@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.functions._
+
+/** Column-level function surface of the engine.
+  *
+  * The reference pipeline uses only three scalar constructs
+  * (SURVEY.md §2.3/§2.9): `TIMESTAMPTOSTRING`, `LCASE`, and `+` string
+  * concatenation — all thin wrappers over codegen'd Spark built-ins here.
+  * `polyFingerprint` is the one native Catalyst expression this engine
+  * adds (ext/ text analysis).
+  */
+package object functions {
+
+  /** ksqlDB `TIMESTAMPTOSTRING(epochMillis, fmt)`
+    * (/root/reference/ksqldb-statements.sql:96; README.md:238).
+    * Input is epoch millis (ksqlDB ROWTIME/WINDOWSTART are BIGINT millis).
+    */
+  def timestampToString(epochMillis: Column, fmt: String): Column =
+    date_format(timestamp_millis(epochMillis), fmt)
+
+  /** ksqlDB `LCASE` (/root/reference/ksqldb-statements.sql:14). */
+  def lcase(c: Column): Column = lower(c)
+
+  /** ksqlDB `FIRST_NAME + ' ' + LAST_NAME` — null-propagating string
+    * concat (/root/reference/ksqldb-statements.sql:54). `concat` (not
+    * `concat_ws`) matches the null-propagation semantics exactly.
+    */
+  def fullName(first: Column, last: Column): Column =
+    concat(first, lit(" "), last)
+
+  /** Deterministic 31-polynomial rolling-hash fingerprint (custom
+    * codegen'd Catalyst expression, see [[graft.functions.PolyHash]]).
+    */
+  def polyFingerprint(c: Column): Column =
+    Bridge.column(PolyHash(Bridge.expression(c)))
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational breadth over the TPC-H-ish corpus: multi-way joins,
+  * semi/anti joins, grouped and windowed aggregation, session/hopping
+  * windows (SURVEY.md §2.4/§2.5 + TESTDATA.md).
+  *
+  * Money arithmetic: inputs are 2-decimal doubles; every SUM happens on
+  * exact scaled integers (`round(x*100)::bigint` cents) so results are
+  * order-independent and bit-identical to the DuckDB oracle — summing
+  * raw doubles would be partition-order-dependent at any scale.
+  */
+object RelationalQueries {
+
+  /** Exact cents: CAST(ROUND(x*100) AS BIGINT) — deterministic in both
+    * engines (round-half-away on an exact-2-decimal double is exact).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
+    QueryDef("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+        |       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+        |       sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_c4,
+        |       sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS sum_charge_c6,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val price = cents(col("l_extendedprice"))
+      val disc = lit(100) - cents(col("l_discount"))
+      val tax = lit(100) + cents(col("l_tax"))
+      li.filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(price).as("sum_base_cents"),
+          sum(price * disc).as("sum_disc_c4"),
+          sum(price * disc * tax).as("sum_charge_c6"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3 shape: 3-way join, grouped revenue, top-N
+    // (TakeOrderedAndProject — no global sort).
+    QueryDef("q3_top_orders",
+      """SELECT l.l_orderkey AS o_orderkey,
+        |       sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4,
+        |       o.o_orderdate, o.o_orderpriority
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_c4 DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey").as("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(cents(col("l_extendedprice")) *
+          (lit(100) - cents(col("l_discount"))))).as("revenue_c4"))
+        .select("o_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue_c4").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-way join through region→nation→(customer,supplier).
+    QueryDef("q5_nation_revenue",
+      """SELECT n.n_name,
+        |       sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue_c4 DESC, n_name""".stripMargin) { (s, d) =>
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val ord = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") &&
+          sup("s_nationkey") === cust("c_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(cents(col("l_extendedprice")) *
+          (lit(100) - cents(col("l_discount"))))).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("n_name"))
+    },
+
+    // LEFT SEMI: orders having a heavy lineitem (EXISTS).
+    QueryDef("j_semi_orders",
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 49)
+      Tables.orders(s, d)
+        .join(heavy, col("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    // LEFT ANTI: customers with no orders (NOT EXISTS).
+    QueryDef("j_anti_customers",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Window function: top-3 orders per customer by totalprice.
+    QueryDef("w_rank_orders",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Running (cumulative) sum per order in linenumber sequence.
+    QueryDef("w_running_sum",
+      """SELECT l_orderkey, l_linenumber,
+        |       sum(CAST(round(l_quantity*100) AS BIGINT))
+        |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty_cents
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(cents(col("l_quantity"))).over(w).as("running_qty_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // DISTINCT aggregation.
+    QueryDef("a_distinct_parts",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    // Session windows (30-min gap) per user over the events stream table —
+    // Spark session_window vs. gaps-and-islands SQL in the oracle. A
+    // session closes when the next event is >= gap after the previous one.
+    QueryDef("s_session_window",
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // Hopping (sliding) window: 10-min windows every 5 min, per event_type.
+    QueryDef("h_hopping_window",
+      """WITH hops AS (
+        |  SELECT e.event_type,
+        |         make_timestamp(((floor(epoch(e.ts) / 300) - k.k) * 300)::BIGINT * 1000000) AS window_start
+        |  FROM events e CROSS JOIN (VALUES (0), (1)) k(k)
+        |)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }
+  )
+}
