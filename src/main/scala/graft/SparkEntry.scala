@@ -19,9 +19,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("p_unhappy_platinum")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. The exposed
+    * plan includes each query's determinism-only output sort so the
+    * driver's hash compare sees a stable row order (QueryDef.verifySort).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(q => q.name -> q.fn).toMap
+    allDefs.map(q => q.name -> q.verifyFn).toMap
+
+  /** Bench-path plans: identical queries minus verification-only sorts. */
+  def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    allDefs.map(q => q.name -> q.fn)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Central session builder so every entry point (Verify, Bench, tests)
+  * runs with identical semantics:
+  *
+  *  - UTC session timezone (oracle comparability),
+  *  - AQE on (runtime join-strategy + skew handling — the 100 TB posture
+  *    relies on AQE picking shuffled-hash/SMJ for scaling tables instead
+  *    of static broadcast hints, SURVEY.md §4),
+  *  - `shuffle.partitions` sized to the local core count, not the 200
+  *    default (on a real cluster this is sized to data volume; AQE
+  *    coalesces down from it either way),
+  *  - `parquet.nanosAsLong` set once, here, instead of as a hidden side
+  *    effect inside a table loader: the driver corpus' `events.ts` is
+  *    parquet TIMESTAMP(NANOS), which the vectorized reader otherwise
+  *    rejects. Only nanos-typed columns are affected.
+  */
+object Sessions {
+  def build(appName: String, cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

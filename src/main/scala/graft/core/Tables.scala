@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated corpus (TESTDATA.md / FIXTURES.md §B).
@@ -24,16 +24,21 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (legacy conf) and convert
-    * to a µs TimestampType column — the generator emits µs-aligned values
-    * (verified: no sub-µs component at any scale factor), so this is exact.
+    * reader rejects outright. Read nanos as long (see
+    * [[graft.core.Sessions]], which sets the legacy conf at session build)
+    * and convert to a µs TimestampType column with *integer* division:
+    * `ts div 1000` is Catalyst IntegralDivide — exact on any Long. (A
+    * float `/` would round-trip through double and corrupt 2024-epoch
+    * nanos, which exceed double's 53-bit mantissa.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Defensive: harmless if already set by Sessions.build; only affects
+    // parquet files that actually carry TIMESTAMP(NANOS) columns.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

@@ -78,8 +78,8 @@ object ParityQueries {
         """SELECT rating_id, user_id, stars, channel, message, ts
           |FROM ratings WHERE lower(channel) NOT LIKE '%err%'
           |ORDER BY rating_id""".stripMargin) { (s, d) =>
-      lc(RatingsOps.live(ratings(s, d), testPattern)).orderBy("rating_id")
-    },
+      lc(RatingsOps.live(ratings(s, d), testPattern))
+    }.sortedBy(col("rating_id")),
 
     // P12 complement.
     QueryDef("p_ratings_test",
@@ -87,8 +87,8 @@ object ParityQueries {
         """SELECT rating_id, user_id, stars, channel, message, ts
           |FROM ratings WHERE lower(channel) LIKE '%err%'
           |ORDER BY rating_id""".stripMargin) { (s, d) =>
-      lc(RatingsOps.test(ratings(s, d), testPattern)).orderBy("rating_id")
-    },
+      lc(RatingsOps.test(ratings(s, d), testPattern))
+    }.sortedBy(col("rating_id")),
 
     // J1: the enrichment join (stream–table LEFT JOIN on expression key).
     QueryDef("p_enrich_join",
@@ -96,8 +96,8 @@ object ParityQueries {
         """SELECT rating_id, message, stars, channel, customer_id,
           |       full_name, club_status, email, ts
           |FROM enriched ORDER BY rating_id""".stripMargin) { (s, d) =>
-      lc(enriched(s, d)).orderBy("rating_id")
-    },
+      lc(enriched(s, d))
+    }.sortedBy(col("rating_id")),
 
     // P9+P10+P11: UNHAPPY_PLATINUM_CUSTOMERS.
     QueryDef("p_unhappy_platinum",
@@ -107,8 +107,7 @@ object ParityQueries {
            |WHERE stars < $unhappyStars AND club_status = '$platinum'
            |ORDER BY rating_id""".stripMargin) { (s, d) =>
       lc(RatingsOps.unhappyPlatinum(enriched(s, d), unhappyStars, platinum))
-        .orderBy("rating_id")
-    },
+    }.sortedBy(col("rating_id")),
 
     // A2: tumbling 15-min window per customer; COLLECT_LIST surfaced as a
     // canonical comma-joined sorted string so the hash compare is
@@ -131,8 +130,7 @@ object ParityQueries {
           sum(round(col("STARS") * 100).cast("long")).as("stars_cents"))
         .select(col("w.start").as("window_start"), col("FULL_NAME").as("full_name"),
           col("ratings_count"), col("rating_ids"), col("stars_cents"))
-        .orderBy("window_start", "full_name")
-    },
+    }.sortedBy(col("window_start"), col("full_name")),
 
     // A1: tumbling 1-min COUNT per club_status.
     QueryDef("p_ratings_by_club_status_1min",
@@ -141,8 +139,7 @@ object ParityQueries {
           |       club_status, count(*) AS rating_count
           |FROM enriched GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       lc(RatingsOps.byClubStatus1min(enriched(s, d)))
-        .orderBy("window_start", "club_status")
-    },
+    }.sortedBy(col("window_start"), col("club_status")),
 
     // A6+A7: median metric under a date_histogram × terms split.
     QueryDef("p_median_stars",
@@ -151,8 +148,7 @@ object ParityQueries {
           |       median(stars) AS median_stars
           |FROM enriched GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       lc(RatingsOps.medianStarsByStatus(enriched(s, d)))
-        .orderBy("day", "club_status")
-    },
+    }.sortedBy(col("day"), col("club_status")),
 
     // A8: terms top-5 with deterministic tiebreak.
     QueryDef("p_top5_channels",
@@ -167,8 +163,8 @@ object ParityQueries {
       prelude +
         """SELECT date_trunc('hour', ts) AS bucket, count(*) AS doc_count
           |FROM ratings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      lc(RatingsOps.dateHistogram(ratings(s, d), "ts", "hour")).orderBy("bucket")
-    },
+      lc(RatingsOps.dateHistogram(ratings(s, d), "ts", "hour"))
+    }.sortedBy(col("bucket")),
 
     // A9: trailing dashboard window anchored at max event time
     // (6h instead of the dashboard's 15min so every scale factor has rows).
@@ -179,8 +175,7 @@ object ParityQueries {
           |ORDER BY rating_id""".stripMargin) { (s, d) =>
       lc(RatingsOps.recentWindow(ratings(s, d), "ts", 360))
         .select("rating_id", "user_id", "stars", "channel", "ts")
-        .orderBy("rating_id")
-    },
+    }.sortedBy(col("rating_id")),
 
     // A3: windowed-table pull query — materialize the 15-min table, then a
     // key+window-range point lookup.
@@ -199,8 +194,7 @@ object ParityQueries {
         .select(col("WINDOW_START").as("window_start"),
           col("FULL_NAME").as("full_name"),
           col("RATINGS_COUNT").as("ratings_count"))
-        .orderBy("window_start")
-    },
+    }.sortedBy(col("window_start")),
 
     // L3: PARTITION BY re-key (physical repartition on the Spark side; the
     // oracle checks content invariance).
@@ -213,7 +207,6 @@ object ParityQueries {
           RatingsOps.unhappyPlatinum(enriched(s, d), unhappyStars, platinum),
           "FULL_NAME"))
         .select("full_name", "rating_id")
-        .orderBy("rating_id")
-    }
+    }.sortedBy(col("rating_id"))
   )
 }

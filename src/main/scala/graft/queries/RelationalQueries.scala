@@ -26,10 +26,10 @@ object RelationalQueries {
     // TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
     QueryDef("q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
-        |       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-        |       sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_c4,
-        |       sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS sum_charge_c6,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_c6,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -47,14 +47,13 @@ object RelationalQueries {
           sum(price * disc).as("sum_disc_c4"),
           sum(price * disc * tax).as("sum_charge_c6"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    },
+    }.sortedBy(col("l_returnflag"), col("l_linestatus")),
 
     // TPC-H Q3 shape: 3-way join, grouped revenue, top-N
     // (TakeOrderedAndProject — no global sort).
     QueryDef("q3_top_orders",
       """SELECT l.l_orderkey AS o_orderkey,
-        |       sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4,
+        |       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4,
         |       o.o_orderdate, o.o_orderpriority
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -68,8 +67,10 @@ object RelationalQueries {
         .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+      // customer scales linearly with data (150k×SF) — no broadcast hint;
+      // AQE picks broadcast at small SF and shuffled-hash/SMJ at scale.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey").as("o_orderkey"),
           col("o_orderdate"), col("o_orderpriority"))
         .agg((sum(cents(col("l_extendedprice")) *
@@ -82,7 +83,7 @@ object RelationalQueries {
     // TPC-H Q5 shape: 6-way join through region→nation→(customer,supplier).
     QueryDef("q5_nation_revenue",
       """SELECT n.n_name,
-        |       sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4
+        |       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
         |FROM region r
         |JOIN nation n ON n.n_regionkey = r.r_regionkey
         |JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -101,9 +102,12 @@ object RelationalQueries {
         col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("o_orderdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
       val li = Tables.lineitem(s, d)
+      // customer/supplier scale linearly (150k×SF / 10k×SF) — broadcast
+      // hints only on the genuinely bounded dims (nation 25 rows, region
+      // 5 rows); AQE chooses the strategy for the scaling sides.
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        .join(broadcast(sup),
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(sup,
           li("l_suppkey") === sup("s_suppkey") &&
           sup("s_nationkey") === cust("c_nationkey"))
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
@@ -111,8 +115,7 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg((sum(cents(col("l_extendedprice")) *
           (lit(100) - cents(col("l_discount"))))).as("revenue_c4"))
-        .orderBy(col("revenue_c4").desc, col("n_name"))
-    },
+    }.sortedBy(col("revenue_c4").desc, col("n_name")),
 
     // LEFT SEMI: orders having a heavy lineitem (EXISTS).
     QueryDef("j_semi_orders",
@@ -124,8 +127,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .join(heavy, col("o_orderkey") === heavy("l_orderkey"), "left_semi")
         .select("o_orderkey", "o_orderstatus")
-        .orderBy("o_orderkey")
-    },
+    }.sortedBy(col("o_orderkey")),
 
     // LEFT ANTI: customers with no orders (NOT EXISTS).
     QueryDef("j_anti_customers",
@@ -136,8 +138,7 @@ object RelationalQueries {
       Tables.customer(s, d)
         .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    },
+    }.sortedBy(col("c_custkey")),
 
     // Window function: top-3 orders per customer by totalprice.
     QueryDef("w_rank_orders",
@@ -155,23 +156,28 @@ object RelationalQueries {
           cents(col("o_totalprice")).as("total_cents"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
-    },
+    }.sortedBy(col("o_custkey"), col("rn")),
 
-    // Running (cumulative) sum per order in linenumber sequence.
+    // Running (cumulative) sum per order in linenumber sequence. The
+    // corpus contains duplicate (l_orderkey, l_linenumber) pairs, so the
+    // window order adds quantity-cents as a tiebreak — remaining ties are
+    // whole-row duplicates, for which any order yields the same prefix
+    // sums. Output sorted by the running sum too, for a stable row order.
     QueryDef("w_running_sum",
       """SELECT l_orderkey, l_linenumber,
-        |       sum(CAST(round(l_quantity*100) AS BIGINT))
-        |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty_cents
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |         OVER (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber, CAST(round(l_quantity*100) AS BIGINT)
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty_cents
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, running_qty_cents""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), cents(col("l_quantity")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           sum(cents(col("l_quantity"))).over(w).as("running_qty_cents"))
-        .orderBy("l_orderkey", "l_linenumber")
-    },
+    }.sortedBy(col("l_orderkey"), col("l_linenumber"), col("running_qty_cents")),
 
     // DISTINCT aggregation.
     QueryDef("a_distinct_parts",
@@ -182,8 +188,7 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
-        .orderBy("l_returnflag")
-    },
+    }.sortedBy(col("l_returnflag")),
 
     // Session windows (30-min gap) per user over the events stream table —
     // Spark session_window vs. gaps-and-islands SQL in the oracle. A
@@ -210,8 +215,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))
-        .orderBy("user_id", "session_start")
-    },
+    }.sortedBy(col("user_id"), col("session_start")),
 
     // Hopping (sliding) window: 10-min windows every 5 min, per event_type.
     QueryDef("h_hopping_window",
@@ -227,7 +231,6 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"))
-        .orderBy("window_start", "event_type")
-    }
+    }.sortedBy(col("window_start"), col("event_type"))
   )
 }
