@@ -48,27 +48,7 @@ object ParityQueries {
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
   // Shared oracle CTE prelude mirroring the adapters above.
-  private val prelude =
-    """WITH ratings AS (
-      |  SELECT event_id AS rating_id, CAST(user_id AS INT) AS user_id,
-      |         value AS stars, event_type AS channel, props AS message, ts
-      |  FROM events
-      |), customers AS (
-      |  SELECT CAST(c_custkey AS INT) AS id, c_name AS first_name,
-      |         c_mktsegment AS last_name,
-      |         lower(c_name) || '@acme.test' AS email,
-      |         c_mktsegment AS club_status
-      |  FROM customer
-      |), enriched AS (
-      |  SELECT r.rating_id, r.message, r.stars, r.channel,
-      |         CAST(c.id AS VARCHAR) AS customer_id,
-      |         c.first_name || ' ' || c.last_name AS full_name,
-      |         c.club_status, c.email, r.ts
-      |  FROM ratings r LEFT JOIN customers c
-      |    ON CAST(r.user_id AS VARCHAR) = CAST(c.id AS VARCHAR)
-      |  WHERE c.first_name IS NOT NULL
-      |)
-      |""".stripMargin
+  private val prelude = ParityOracle.prelude
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -209,4 +189,33 @@ object ParityQueries {
         .select("full_name", "rating_id")
     }.sortedBy(col("rating_id"))
   )
+}
+
+/** The oracle-side CTE prelude shared by every query family that builds
+  * on the ratings/customers/enriched adapter relations (ParityQueries,
+  * PipelineQueries): events→ratings shape, customer→customers dimension,
+  * and the reference enrichment join (ksqldb-statements.sql:50–60).
+  */
+object ParityOracle {
+  val prelude: String =
+    """WITH ratings AS (
+      |  SELECT event_id AS rating_id, CAST(user_id AS INT) AS user_id,
+      |         value AS stars, event_type AS channel, props AS message, ts
+      |  FROM events
+      |), customers AS (
+      |  SELECT CAST(c_custkey AS INT) AS id, c_name AS first_name,
+      |         c_mktsegment AS last_name,
+      |         lower(c_name) || '@acme.test' AS email,
+      |         c_mktsegment AS club_status
+      |  FROM customer
+      |), enriched AS (
+      |  SELECT r.rating_id, r.message, r.stars, r.channel,
+      |         CAST(c.id AS VARCHAR) AS customer_id,
+      |         c.first_name || ' ' || c.last_name AS full_name,
+      |         c.club_status, c.email, r.ts
+      |  FROM ratings r LEFT JOIN customers c
+      |    ON CAST(r.user_id AS VARCHAR) = CAST(c.id AS VARCHAR)
+      |  WHERE c.first_name IS NOT NULL
+      |)
+      |""".stripMargin
 }

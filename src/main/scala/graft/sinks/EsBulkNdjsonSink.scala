@@ -1,0 +1,79 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Elasticsearch sink semantics, offline (SURVEY.md §2.2 K1/K2/K5): the
+  * reference indexes topics into ES via the es-sink connector
+  * (/root/reference/ksqldb-statements.sql:1–11, 70–85) with
+  *
+  *  - doc id = Kafka message key (`key.ignore=false`, :6),
+  *  - dynamic mapping, `*_TS` fields typed `date` via the index template
+  *    (docker-compose.yml:274–279) — so timestamps serialize ISO-8601,
+  *  - an ingest-timestamp SMT (`InsertField$Value` → RATING_TS /
+  *    EXTRACT_TS, :8–10, 82–84),
+  *  - error tolerance: `behavior.on.malformed.documents=warn`,
+  *    `errors.tolerance=all` + logging (:74–77) — skip-and-log bad
+  *    records, never fail the pipeline.
+  *
+  * Offline impl: the ES bulk-API NDJSON format (action line + document
+  * line) written to a directory; rows without a doc id are routed to a
+  * dead-letter directory instead of failing. The transformation is a
+  * pure DataFrame→DataFrame (`bulkLines`) so the driver's oracle can
+  * verify it; file IO is the thin writeBatch shell.
+  */
+final case class EsBulkNdjsonSink(
+    dir: String,
+    index: String,
+    idCol: String,
+    ingestTsField: Option[String] = None,
+    deadLetterDir: Option[String] = None) extends SinkDef {
+
+  override def writeBatch(df: DataFrame, epochId: Long): Unit = {
+    val stamped = EsBulkNdjsonSink.withIngestTs(df, ingestTsField)
+    val keyed = stamped.withColumn("__id", col(idCol).cast("string"))
+    // errors.tolerance=all analog: null/missing doc id → dead letter.
+    val bad = keyed.filter(col("__id").isNull)
+    deadLetterDir.foreach { dl =>
+      bad.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+        .write.mode("append").text(s"$dl/epoch=$epochId")
+    }
+    EsBulkNdjsonSink.bulkLines(keyed.filter(col("__id").isNotNull), index, "__id")
+      .select(concat_ws("\n", col("action"), col("doc")).as("value"))
+      .write.mode("append").text(s"$dir/epoch=$epochId")
+  }
+}
+
+object EsBulkNdjsonSink {
+
+  /** `InsertField$Value` SMT analog (K1): stamp the wall-clock ingest
+    * time into the named `*_TS` field.
+    */
+  def withIngestTs(df: DataFrame, field: Option[String]): DataFrame =
+    field.fold(df)(f => df.withColumn(f, current_timestamp()))
+
+  /** K5 serialization rule: TimestampType → ISO-8601 UTC string (the ES
+    * index template types `*_TS`/date fields as `date`).
+    */
+  def iso8601(c: Column): Column =
+    date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+  /** The pure bulk-format transformation: one row in → ES bulk action +
+    * document JSON out. Doc id from `idCol` (Kafka-key-as-id, K1).
+    * All timestamp columns serialize ISO-8601 per the template rule.
+    */
+  def bulkLines(df: DataFrame, index: String, idCol: String): DataFrame = {
+    val payloadCols = df.columns.filterNot(_ == idCol)
+    val serialized = payloadCols.map { name =>
+      df.schema(name).dataType match {
+        case TimestampType => iso8601(col(name)).as(name)
+        case _ => col(name)
+      }
+    }
+    df.select(
+      concat(lit(s"""{"index":{"_index":"$index","_id":""""),
+        col(idCol).cast("string"), lit("\"}}")).as("action"),
+      to_json(struct(serialized: _*)).as("doc"))
+  }
+}

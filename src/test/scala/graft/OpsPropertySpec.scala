@@ -1,0 +1,62 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.ops.RatingsOps
+
+/** Property-style invariants (SURVEY §5.4) over seeded random corpora:
+  * partition completeness of the live/test split, join row-count
+  * preservation, and window-count conservation.
+  */
+class OpsPropertySpec extends SparkSuite {
+
+  private def randomRatings(seed: Long, n: Int) = {
+    val rnd = new Random(seed)
+    val channels = Seq("ios", "android", "web", "ios-test", "PROD-TEST", "t")
+    (1 to n).map { i =>
+      Rating(i.toLong, rnd.nextInt(30) + 1, rnd.nextInt(6).toDouble,
+        channels(rnd.nextInt(channels.size)), s"msg$i",
+        new java.sql.Timestamp(1704100000000L + rnd.nextInt(7200) * 1000L))
+    }
+  }
+
+  test("live + test is a complete partition of ratings for any corpus") {
+    import spark.implicits._
+    Seq(1L, 7L, 42L).foreach { seed =>
+      val df = randomRatings(seed, 200).toDF()
+      val live = RatingsOps.live(df).count()
+      val tst = RatingsOps.test(df).count()
+      assert(live + tst == 200, s"seed=$seed")
+      // and they are disjoint
+      assert(RatingsOps.live(df).intersect(RatingsOps.test(df)).count() == 0)
+    }
+  }
+
+  test("enrichment never changes row count when unmatched rows are kept") {
+    import spark.implicits._
+    Seq(3L, 99L).foreach { seed =>
+      val df = randomRatings(seed, 150).toDF()
+      val enriched = RatingsOps.enrich(df, customersDf, dropUnmatched = false)
+      assert(enriched.count() == 150, s"seed=$seed")
+      // dropUnmatched=true only removes rows with no customer (USER_ID > 20)
+      val matched = RatingsOps.enrich(df, customersDf)
+      val expected = df.filter(col("USER_ID") <= 20).count()
+      assert(matched.count() == expected, s"seed=$seed")
+    }
+  }
+
+  test("window counts conserve the total event count") {
+    import spark.implicits._
+    Seq(5L, 11L).foreach { seed =>
+      val df = randomRatings(seed, 300).toDF()
+      val enriched = RatingsOps.enrich(df, customersDf, dropUnmatched = false)
+        .withColumn("CLUB_STATUS", coalesce(col("CLUB_STATUS"), lit("?")))
+        .withColumn("FULL_NAME", coalesce(col("FULL_NAME"), lit("?")))
+      val w15 = RatingsOps.perCustomer15min(enriched)
+        .agg(sum("RATINGS_COUNT")).collect().head.getLong(0)
+      val w1 = RatingsOps.byClubStatus1min(enriched)
+        .agg(sum("RATING_COUNT")).collect().head.getLong(0)
+      assert(w15 == 300 && w1 == 300, s"seed=$seed")
+    }
+  }
+}
