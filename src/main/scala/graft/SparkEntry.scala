@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    ParityQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs
+    ParityQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++
+      LlmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's UNHAPPY_PLATINUM_CUSTOMERS enrichment join

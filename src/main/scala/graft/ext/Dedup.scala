@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.polyFingerprint
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH
+  * near-dup, SimHash, and n-gram Jaccard — designed for the 100 TB
+  * posture:
+  *
+  *  - candidate generation is LSH-banded (shingle → minhash → band →
+  *    bucket equi-join): the only shuffle is on band keys, candidate
+  *    pairs are O(collisions), never the O(n²) all-pairs cross join;
+  *  - exact-Jaccard verification runs only on candidate pairs;
+  *  - every hash is integer arithmetic on PolyHash (codegen'd Catalyst
+  *    expression) so the DuckDB oracle reproduces signatures exactly.
+  */
+object Dedup {
+
+  val P: Long = 2147483647L // 2^31-1, the PolyHash modulus
+
+  /** MinHash permutation constants (a·h + b mod P). Fixed primes —
+    * deterministic across engines and runs.
+    */
+  val Perms: Seq[(Long, Long)] = Seq(
+    (1299721L, 7L), (15485863L, 131071L), (32452843L, 524287L),
+    (49979687L, 6700417L), (67867967L, 999999937L), (86028121L, 998244353L),
+    (104395301L, 1000000007L), (122949823L, 1610612741L))
+
+  /** Word n-gram shingles (n consecutive words joined by a space). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+      .otherwise(array(text)) // short doc: the whole text is the shingle
+  }
+
+  /** Distinct shingle hash set — the document's Jaccard feature set. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), s => polyFingerprint(s)))
+
+  /** MinHash signature: per permutation, min over the hash set. */
+  def minhashSignature(hashes: Column): Column =
+    array(Perms.map { case (a, b) =>
+      coalesce(array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P))),
+        lit(P))
+    }: _*)
+
+  /** SimHash (bits-wide): majority vote per bit position over the hash
+    * set — near-identical docs land at small Hamming distance.
+    */
+  def simhash(hashes: Column, bits: Int = 16): Column =
+    (0 until bits).map { b =>
+      val ones = size(filter(hashes, h => shiftright(h, b).bitwiseAND(1) === 1))
+      when(ones * 2 >= size(hashes), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Per-document dedup features over a corpus. */
+  def features(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      shingleHashes(col(textCol), n).as("hashes"))
+      .withColumn("sig", minhashSignature(col("hashes")))
+      .withColumn("simhash", simhash(col("hashes")))
+
+  /** LSH banding: signature → (band, bandKey) rows. Docs sharing any
+    * band key are near-dup candidates. bands×rowsPerBand must equal the
+    * signature width.
+    */
+  def bands(sigDf: DataFrame, idCol: String, bands: Int,
+            rowsPerBand: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          _.cast("string")), "_").as("bkey"))
+    }: _*)
+    sigDf.select(col(idCol), explode(bandStructs).as("b"))
+      .select(col(idCol), col("b.band"), col("b.bkey"))
+  }
+
+  /** Candidate pairs: equi-join on (band, bandKey) — a hash shuffle on
+    * the band key, never an all-pairs product. Pairs are deduped and
+    * canonically ordered (a < b).
+    */
+  def lshCandidates(features: DataFrame, idCol: String = "doc_id",
+                    numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val l = bands(features, idCol, numBands, rowsPerBand)
+      .withColumnRenamed(idCol, "doc_a")
+    val r = bands(features, idCol, numBands, rowsPerBand)
+      .withColumnRenamed(idCol, "doc_b")
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs only:
+    * intersection/union sizes of the distinct shingle-hash sets.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3,
+                   numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val feats = features(docs, idCol, textCol, n).cache()
+    val cands = lshCandidates(feats, idCol, numBands, rowsPerBand)
+    val ha = feats.select(col(idCol).as("doc_a"), col("hashes").as("ha"))
+    val hb = feats.select(col(idCol).as("doc_b"), col("hashes").as("hb"))
+    cands.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("uni", (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
+      .select("doc_a", "doc_b", "inter", "uni")
+  }
+
+  /** Exact dedup: representative (min id) + multiplicity per distinct
+    * key — one hash aggregation, map-side combined.
+    */
+  def exactByKey(df: DataFrame, keyCol: Column, idCol: String): DataFrame =
+    df.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus batched per-partition feature
+  * extraction (the Scala analog of a vectorized/pandas UDF: partition
+  * iterator → fixed-size batches → decode batch → emit rows).
+  *
+  * The decode itself is a clearly-marked deterministic STUB — the
+  * container ships no image/audio codecs — but the Spark-side contract
+  * is real and tested: schema, batch shape, partition parallelism, and
+  * null-payload tolerance are exactly what a real codec impl inherits.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = new StructType()
+    .add("media_id", LongType)
+    .add("media_type", StringType)
+    .add("payload", BinaryType)
+    .add("n_bytes", LongType)
+
+  /** Lift any table with a string column into the multimodal shape
+    * (payload = UTF-8 bytes). Real ingestion would read image/audio
+    * bytes from files; the column contract is identical.
+    */
+  def asMedia(df: DataFrame, idCol: String, contentCol: String,
+              mediaType: String = "text/plain"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(mediaType).as("media_type"),
+      col(contentCol).cast("binary").as("payload"),
+      octet_length(col(contentCol)).cast("long").as("n_bytes"))
+
+  /** Extracted features row. width/height/n_frames come from the decode
+    * stub; sha = content digest (real).
+    */
+  val featureSchema: StructType = new StructType()
+    .add("media_id", LongType)
+    .add("n_bytes", LongType)
+    .add("content_md5", StringType)
+    .add("width", LongType)
+    .add("height", LongType)
+    .add("n_frames", LongType)
+
+  /** STUB decode: deterministic fake dimensions derived from the payload
+    * polynomial hash — stands in for an image/audio codec call. A real
+    * implementation replaces ONLY this function; everything around it
+    * (batching, schema, partitioning) is production plumbing.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    var acc = 0L
+    var i = 0
+    while (i < payload.length) {
+      acc = (acc * 31L + (payload(i) & 0xffL)) % 2147483647L
+      i += 1
+    }
+    (acc % 1280, acc % 720, payload.length % 32 + 1)
+  }
+
+  /** Batched per-partition feature extraction. `batchSize` mirrors a
+    * vectorized UDF's arrow-batch shape: a real codec amortizes model /
+    * library init per batch, not per row.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(featureSchema)
+    media.select("media_id", "payload", "n_bytes")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // one "codec init" per batch would go here
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty)
+            val nBytes = r.getLong(2)
+            val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(payload)
+            val (w, h, f) = decodeStub(payload)
+            Row(id, nBytes, md5hex, w, h, f)
+          }
+        }
+      }(enc)
+  }
+
+  /** Column-only metadata projection (no mapPartitions) — md5/length/
+    * stub-dims as pure expressions, for the oracle-verified surface.
+    */
+  def metadata(media: DataFrame): DataFrame = {
+    val fp = graft.functions.polyFingerprint(col("payload").cast("string"))
+    media.select(
+      col("media_id"),
+      col("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      (fp % 1280).as("width"),
+      (fp % 720).as("height"),
+      (col("n_bytes") % 32 + 1).as("n_frames"))
+  }
+
+  /** Resize/frame-sample stub: real impls transform payload bytes; the
+    * stub tags the target dims while preserving the media contract.
+    */
+  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("media_type",
+      concat(col("media_type"), lit(s";resized=${w}x$h")))
+}

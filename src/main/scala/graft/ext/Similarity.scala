@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale shape: the query set is broadcast (bounded, user-supplied);
+  * the corpus side streams through a single map stage — O(|Q|·n), never
+  * an n×n product. The LSH variant cuts the candidate set per query to
+  * one bucket (expected n/2^planes) before exact rerank.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors, computed in double with a
+    * left-to-right fold — the exact operation order the DuckDB oracle
+    * (list_sum over list_transform) uses, so values are bit-comparable.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbours for each query vector. Queries: a (small)
+    * DataFrame (query_id, query_vec) — broadcast; rank by cosine
+    * rounded to 6 dp with id tiebreak for cross-engine determinism.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col(idCol))
+      .withColumn("cos", round(cosine(col("query_vec"), col(vecCol)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Convenience: use corpus members as queries by id. */
+  def topKByIds(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = corpus
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    topK(corpus, queries, k, idCol, vecCol)
+  }
+
+  // ── LSH scale path ─────────────────────────────────────────────────
+
+  /** Deterministic pseudo-random hyperplane weight for (table, plane,
+    * dim): ±1 from the parity of a small integer hash — reproducible
+    * anywhere, no RNG state.
+    */
+  private def planeWeight(table: Int, plane: Int, dim: Int): Double = {
+    var h = 1125899906842597L
+    h = h * 31 + table; h = h * 31 + plane; h = h * 31 + dim
+    h = h ^ (h >>> 33); h = h * 0xff51afd7ed558ccdL; h = h ^ (h >>> 33)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Sign-bucket of a vector under `planes` random hyperplanes (one
+    * hash table): bit p is the sign of <plane_p, v>.
+    */
+  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val proj = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeWeight(table, p, d))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (table, bucket) pairs for `tables` independent hash tables —
+    * classic multi-table LSH: recall = 1-(1-p^planes)^tables, tuned by
+    * the two knobs. Emits one row per table via explode.
+    */
+  def lshTableBuckets(df: DataFrame, tables: Int, planes: Int, dims: Int,
+                      vecCol: String): DataFrame = {
+    val entries = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col(vecCol), t, planes, dims).as("bucket"))
+    }: _*)
+    df.withColumn("tb", explode(entries))
+      .withColumn("tbl", col("tb.tbl"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** ANN top-k: candidates = union over hash tables of the query's
+    * bucket, deduped, then exact cosine rerank. The join is an equi-join
+    * on (table, bucket) against a broadcast query set — candidate volume
+    * ~ tables·n/2^planes per query, never an n×n product.
+    */
+  def annTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int, planes: Int,
+              dims: Int, tables: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val bucketed = lshTableBuckets(corpus, tables, planes, dims, vecCol)
+    val queries = bucketed
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col("tbl"), col("bucket"),
+        col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val candidates = bucketed
+      .join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col("query_vec"), col(idCol), col(vecCol))
+      .dropDuplicates("query_id", idCol)
+    val scored = candidates
+      .withColumn("cos", round(cosine(col("query_vec"), col(vecCol)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
+    * candidate pairs (unioned over hash tables) with cosine ≥ threshold
+    * — bucket equi-joins, no all-pairs product.
+    */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double, planes: Int,
+                        dims: Int, tables: Int = 8,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val b = lshTableBuckets(corpus, tables, planes, dims, vecCol)
+    val l = b.select(col("tbl"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = b.select(col("tbl"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb").dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

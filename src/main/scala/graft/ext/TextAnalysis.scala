@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.polyFingerprint
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (BASELINE north star; beyond the reference surface, SURVEY §0). All
+  * pure Column expressions — whole-stage-codegen'd, no UDFs, no shuffle:
+  * at 100 TB these run as a single map stage over the document scan.
+  */
+object TextAnalysis {
+
+  /** Tiny english stopword list: deterministic, shared with the DuckDB
+    * oracle (LlmOracle). A production list is a config concern; the
+    * operator shape is identical.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Whitespace tokenization — the corpus is single-space separated; a
+    * BPE-ish regex split is a one-line swap of the delimiter pattern.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charLen(text: Column): Column = length(text)
+
+  /** Count of sentence-ish punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  def stopwordCount(text: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Total characters inside tokens (so avg token length = totalTokenChars
+    * / tokenCount stays exactly representable as two integer outputs —
+    * engine-independent, no float division in the verified surface).
+    */
+  def totalTokenChars(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+
+  /** Language-ID heuristic: integer-arithmetic stopword density test —
+    * ≥ 3% stopword tokens classifies as english. An n-gram profile model
+    * drops into the same column shape.
+    */
+  def langId(text: Column): Column =
+    when(stopwordCount(text) * 1000 >= tokenCount(text) * 30, lit("en"))
+      .otherwise(lit("und"))
+
+  /** Quality score 0–3 (length band, stopword presence, token-shape
+    * band) — all integer predicates, matching the oracle exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(10, 1000), 1).otherwise(0)
+    val swOk = when(stopwordCount(text) > 0, 1).otherwise(0)
+    // avg token length in [3, 12] via cross-multiplication (no division)
+    val shapeOk = when(totalTokenChars(text) >= nTok * 3 &&
+      totalTokenChars(text) <= nTok * 12, 1).otherwise(0)
+    (lenOk + swOk + shapeOk).as("quality")
+  }
+
+  /** Document fingerprint: the codegen'd PolyHash rolling hash
+    * (graft.functions.PolyHash) over the whole text.
+    */
+  def fingerprint(text: Column): Column = polyFingerprint(text)
+
+  /** The full per-document stats projection. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col("doc_id"),
+      charLen(t).as("n_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      totalTokenChars(t).as("token_chars"),
+      punctCount(t).cast("long").as("n_punct"),
+      stopwordCount(t).cast("long").as("n_stopwords"),
+      langId(t).as("lang_id"),
+      qualityScore(t).cast("long").as("quality"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Oracle SQL fragments for the LLM-ops families. The minhash/simhash/
+  * fingerprint pipelines are integer arithmetic on the PolyHash rolling
+  * hash, so DuckDB reproduces every signature exactly; the SQL is
+  * generated from the same constants (Dedup.Perms) the Spark operators
+  * use — one source of truth.
+  */
+object LlmOracle {
+
+  /** PolyHash of a string expression: fold over code points (the corpus
+    * is ASCII, so code point == UTF-8 byte, matching PolyHash exactly).
+    */
+  def polyhash(expr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length($expr)),
+       |      i -> CAST(ord(substring($expr, i, 1)) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+
+  /** CTE: doc_id + distinct 3-word-shingle hash set per document. */
+  val hashesCte: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |shing AS (SELECT doc_id,
+       |  CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws)-2),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |       ELSE [array_to_string(ws, ' ')] END AS sh FROM words),
+       |hashes AS (SELECT doc_id,
+       |  list_distinct(list_transform(sh, s -> ${polyhash("s")})) AS hs
+       |  FROM shing)""".stripMargin
+
+  /** Per-permutation minhash min expressions over the `hs` column. */
+  def minhashExprs: Seq[String] = Dedup.Perms.map { case (a, b) =>
+    s"coalesce(list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.P})), ${Dedup.P})"
+  }
+
+  val sigCte: String =
+    s"""sig AS (SELECT doc_id, [${minhashExprs.mkString(",\n  ")}] AS sig
+       |  FROM hashes)""".stripMargin
+
+  /** SimHash (16-bit majority vote) over the `hs` column. */
+  def simhashExpr: String =
+    (0 until 16).map { b =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " +\n ", ")")
+
+  /** Double-precision cosine between two FLOAT[] columns, same fold
+    * order as Similarity.cosine (left-to-right over 64 dims).
+    */
+  def cosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val stopwordList: String =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+}
+
+/** LLM-data-pipeline operators as oracle-verified queries (BASELINE
+  * north star: dedup, similarity search, multimodal, text analysis —
+  * first-class components alongside SURVEY §2).
+  */
+object LlmQueries {
+  import LlmOracle._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Text analysis ──────────────────────────────────────────────
+    QueryDef("t_text_stats",
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(string_split(text, ' '),
+         |              t -> length(t))) AS BIGINT) AS token_chars,
+         |         CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              t -> list_contains($stopwordList, t))) AS BIGINT) AS n_stopwords,
+         |         ${polyhash("text")} AS fingerprint
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, token_chars, n_punct, n_stopwords,
+         |       CASE WHEN n_stopwords * 1000 >= n_tokens * 30
+         |            THEN 'en' ELSE 'und' END AS lang_id,
+         |       CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN token_chars >= n_tokens * 3
+         |              AND token_chars <= n_tokens * 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS quality
+         |FROM base ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.stats(Tables.documents(s, d))
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .select("doc_id", "n_chars", "n_tokens", "token_chars", "n_punct",
+          "n_stopwords", "lang_id", "quality", "fingerprint")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("token_chars"), col("n_punct"), col("n_stopwords"),
+          col("lang_id"), col("quality"))
+    }.sortedBy(col("doc_id")),
+
+    // Document fingerprint via the codegen'd PolyHash expression.
+    QueryDef("t_fingerprint",
+      s"""SELECT doc_id, ${polyhash("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }.sortedBy(col("doc_id")),
+
+    // ── Dedup family ───────────────────────────────────────────────
+    QueryDef("t_dedup_exact",
+      """SELECT text AS dedup_key, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Dedup.exactByKey(Tables.documents(s, d), col("text"), "doc_id")
+    }.sortedBy(col("keep_id")),
+
+    QueryDef("t_minhash_sig",
+      s"""WITH $hashesCte, $sigCte
+         |SELECT doc_id, array_to_string(sig, ',') AS sig_str
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.features(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), _.cast("string")), ",").as("sig_str"))
+    }.sortedBy(col("doc_id")),
+
+    QueryDef("t_simhash",
+      s"""WITH $hashesCte
+         |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
+         |FROM hashes ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.features(Tables.documents(s, d))
+        .select(col("doc_id"), col("simhash"))
+    }.sortedBy(col("doc_id")),
+
+    // LSH-banded near-dup candidates with exact-Jaccard verification —
+    // candidate generation is a band-key equi-join, NOT an n² product.
+    QueryDef("t_dedup_near",
+      s"""WITH $hashesCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, b.band,
+         |         CAST(sig[b.band * 2 + 1] AS VARCHAR) || '_' ||
+         |         CAST(sig[b.band * 2 + 2] AS VARCHAR) AS bkey
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+         |       CAST(len(ha.hs) + len(hb.hs)
+         |            - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
+         |FROM cand
+         |JOIN hashes ha ON ha.doc_id = cand.doc_a
+         |JOIN hashes hb ON hb.doc_id = cand.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.nearDupPairs(Tables.documents(s, d))
+    }.sortedBy(col("doc_a"), col("doc_b")),
+
+    // ── Similarity search ──────────────────────────────────────────
+    // Exact brute-force top-10 for 5 query vectors: broadcast query set
+    // × corpus scan (O(|Q|·n)), ranked on round(cos, 6) with id
+    // tiebreak so both engines select identical neighbours.
+    QueryDef("t_similarity_topk",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosine("q.qv", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.topKByIds(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // ANN (LSH-bucketed) variant: no SQL oracle — recall vs exact top-k
+    // is asserted in the test suite; the driver checks rows>0.
+    QueryDef.rowsOnly("t_ann_lsh") { (s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, planes = 4, dims = 64)
+    },
+
+    // ── Multimodal columns ─────────────────────────────────────────
+    QueryDef("t_multimodal_meta",
+      s"""SELECT doc_id AS media_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       md5(text) AS content_md5,
+         |       ${polyhash("text")} % 1280 AS width,
+         |       ${polyhash("text")} % 720 AS height,
+         |       CAST(octet_length(encode(text)) % 32 + 1 AS BIGINT) AS n_frames
+         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.metadata(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))
+    }.sortedBy(col("media_id"))
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator semantics beyond what the DuckDB oracle
+  * covers: near-dup detection on planted duplicates, ANN recall vs the
+  * exact baseline, multimodal batch extraction, and plan-shape
+  * assertions (no cartesian products in the scale paths).
+  */
+class LlmOpsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds planted near-duplicates with high jaccard") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).limit(50)
+    // plant a near-dup of doc 0: same text with one word appended
+    val nearDup = base.filter(col("doc_id") === 0)
+      .select(lit(90001L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val exact = base.filter(col("doc_id") === 1)
+      .select(lit(90002L).as("doc_id"), col("text"))
+    val corpus = base.select("doc_id", "text")
+      .union(nearDup).union(exact)
+
+    val pairs = Dedup.nearDupPairs(corpus)
+      .withColumn("jacc", col("inter") / col("uni"))
+      .filter(col("jacc") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 90001L)), s"planted near-dup not found: $pairs")
+    assert(pairs.contains((1L, 90002L)), s"planted exact dup not found: $pairs")
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and often"),
+      (3L, "completely unrelated words about spark query planning engines"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.features(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)),
+      s"near-dup pair not closer: $sh")
+  }
+
+  test("ANN top-k recall >= 0.5 vs exact brute force at 4 planes") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 1L, 2L)
+    val exact = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, ids, 10, planes = 3, dims = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (ann=${ann.size}, exact=${exact.size})")
+    // every ANN result must also be a genuine neighbour of its query
+    assert(ann.forall { case (q, n) => n != q })
+  }
+
+  test("scale guard: no cartesian product in LSH candidate plans") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Dedup.lshCandidates(Dedup.features(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val emb = Tables.embeddings(spark, sf)
+    val annPlan = Similarity
+      .annTopK(emb, Seq(0L), 5, planes = 3, dims = 64)
+      .queryExecution.executedPlan.toString
+    assert(!annPlan.contains("CartesianProduct"), annPlan)
+  }
+
+  test("multimodal: batched feature extraction matches column metadata") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf), "doc_id", "text")
+    val viaPartitions = Multimodal.extractFeatures(media, batchSize = 16)
+    val viaColumns = Multimodal.metadata(media)
+    // identical values through both code paths (mapPartitions stub vs
+    // pure-expression path)
+    assert(rows(viaPartitions) == rows(viaColumns))
+    assert(viaPartitions.schema == Multimodal.featureSchema)
+  }
+
+  test("multimodal: null payload tolerated by the batch extractor") {
+    import spark.implicits._
+    val media = Seq((1L, "text/plain", null: Array[Byte], 0L))
+      .toDF("media_id", "media_type", "payload", "n_bytes")
+    val out = Multimodal.extractFeatures(media).collect()
+    assert(out.length == 1 && out.head.getString(2).nonEmpty) // md5 of empty
+  }
+
+  test("text analysis classifies stopword-bearing text as en") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy for a while"),
+      (2L, "wort katze matte zzz qqq rrr sss ttt uuu vvv www xxx"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stats(docs)
+      .select("doc_id", "lang_id").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "und")
+  }
+}
