@@ -60,6 +60,11 @@ object StreamDemo {
     println("=== LATEST_BY_KEY changelog emissions (update probe) ===")
     spark.table("tbl").show(false)
 
+    println("=== EMIT CHANGES LIMIT 3 over the live datagen (L1/L2 + S1) ===")
+    val pushed = graft.streaming.PushQuery.emitChangesLimit(
+      graft.sources.KafkaShape.ratingsGen(spark, rowsPerSecond = 100), 3)
+    pushed.foreach(println)
+
     unhappy.stop(); club.stop(); tbl.stop()
     spark.stop()
     println("DEMO-DONE")

@@ -67,13 +67,17 @@ object Similarity {
   }
 
   /** Sign-bucket of a vector under `planes` random hyperplanes (one
-    * hash table): bit p is the sign of <plane_p, v>.
+    * hash table): bit p is the sign of <plane_p, v>. The plane is a
+    * single ARRAY literal and the projection a zip_with/aggregate fold —
+    * a ~10-node expression per plane instead of `dims` explicit terms,
+    * keeping codegen fast at any dimensionality.
     */
   def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val proj = (0 until dims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(planeWeight(table, p, d))
-      }.reduce(_ + _)
+      val weights = typedLit((0 until dims).map(d => planeWeight(table, p, d)))
+      val proj = aggregate(
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

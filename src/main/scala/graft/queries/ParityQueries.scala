@@ -176,6 +176,18 @@ object ParityQueries {
           col("RATINGS_COUNT").as("ratings_count"))
     }.sortedBy(col("window_start")),
 
+    // P4: TIMESTAMPTOSTRING(ROWTIME, fmt) (README.md:238) — the engine's
+    // timestampToString over epoch millis, verified against strftime.
+    QueryDef("p_timestamp_format",
+      prelude +
+        """SELECT rating_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+          |FROM ratings ORDER BY rating_id""".stripMargin) { (s, d) =>
+      ratings(s, d).select(
+        col("RATING_ID").as("rating_id"),
+        graft.functions.timestampToString(
+          expr("unix_micros(ts) div 1000"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    }.sortedBy(col("rating_id")),
+
     // L3: PARTITION BY re-key (physical repartition on the Spark side; the
     // oracle checks content invariance).
     QueryDef("p_rekey_by_name",
