@@ -41,6 +41,29 @@ class CdcSpec extends SparkSuite {
     assert(dels.count() == 2)
   }
 
+  test("malformed payloads decode to nulls and flow to the ES dead-letter (K2 end-to-end)") {
+    import spark.implicits._
+    val corrupt = Seq(
+      ("""{"RATING_ID":7,"USER_ID":1,"STARS":5.0,"CHANNEL":"ios","MESSAGE":"ok","ts":"2024-01-01 10:00:00"}""", "good"),
+      ("""{"RATING_ID": oops not json""", "bad"))
+      .toDF("value", "tag")
+      .select(col("value").cast("binary").as("value"),
+        lit("ratings").as("topic"),
+        lit(ts("2024-01-01 10:00:00")).as("timestamp"), col("tag"))
+    val decoded = graft.sources.KafkaShape.decode(corrupt, ratingsDf.schema)
+    // corrupt JSON → all-null row, not an exception (errors.tolerance)
+    assert(decoded.count() == 2)
+    assert(decoded.filter(col("RATING_ID").isNull).count() == 1)
+
+    // the ES sink routes the null-id row to the dead letter, keeps the good one
+    val dir = java.nio.file.Files.createTempDirectory("cdc-es").toString
+    val dl = java.nio.file.Files.createTempDirectory("cdc-dl").toString
+    graft.sinks.EsBulkNdjsonSink(dir, "ratings", "RATING_ID",
+      deadLetterDir = Some(dl)).writeBatch(decoded, 0)
+    assert(spark.read.text(s"$dir/epoch=0").count() == 2)  // action + doc lines
+    assert(spark.read.text(s"$dl/epoch=0").count() == 1)
+  }
+
   test("kafka-shaped encode/decode round-trips the payload (S3 registry analog)") {
     val encoded = KafkaShape.encode(ratingsDf, "RATING_ID", "ts", "ratings")
     assert(encoded.columns.toSeq == KafkaShape.columns)
