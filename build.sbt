@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes straight to stdout/stderr without sbt's
+// "[info] " logger prefix — the bench/verify harness parses the JSON
+// line from stdout and the prefix breaks json.loads.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools for the 100 TB posture (SURVEY §4 scale knobs):
+  * bucketing for shuffle-free co-located joins, and salting for skewed
+  * join keys. Neither changes query results — they change where the
+  * exchanges happen, which is the difference between a plan that
+  * survives 1000 executors and one that doesn't.
+  */
+object Layout {
+
+  /** Persist a DataFrame bucketed (and sorted) by the join key. Two
+    * tables bucketed the same way join with NO Exchange on either side —
+    * the 100 TB fact⋈fact path (e.g. lineitem⋈orders on orderkey every
+    * night: bucket once, join shuffle-free forever).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // with the in-memory catalog a previous JVM's table files survive in
+    // the warehouse without metadata — clear the location for idempotence
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, key)
+  }
+
+  /** Salted equi-join for skewed keys: replicate the (small-enough)
+    * right side `salt` times and scatter the left side's hot keys across
+    * salt sub-partitions. Result is identical to `left.join(right, key)`;
+    * the shuffle spreads a hot key over `salt` reducers instead of one.
+    * (AQE skew-join handles most cases at runtime — salting is the
+    * explicit tool for when the skew is known and extreme.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val saltedRight = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Layout, Tables}
+
+/** Physical layout semantics + plan-shape proofs: bucketed joins must
+  * drop the shuffle entirely; salted joins must be result-identical to
+  * plain joins while splitting hot keys.
+  */
+class LayoutSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("same-bucketed tables join with zero Exchange (co-located fact join)") {
+    // tiny test tables would broadcast — disable so the plan shows the
+    // shuffle behavior the layout is about (at 100 TB neither side
+    // broadcasts; bucketing is what removes the exchange)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try bucketedProof()
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def bucketedProof(): Unit = {
+    Layout.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8)
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 8)
+    val joined = Layout.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be shuffle-free:\n$plan")
+
+    // and it is the same result as the plain join
+    val plain = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "o_orderkey")
+    assert(joined.count() == plain.count())
+  }
+
+  test("salted join equals plain join on a skewed corpus") {
+    import spark.implicits._
+    // 90% of left rows hit one hot key — the classic skew shape
+    val left = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else i.toLong % 50, s"v$i")).toDF("k", "v")
+    val right = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "dim")
+
+    val plain = left.join(right, "k")
+    val salted = Layout.saltedJoin(left, right, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    // same multiset of (k, v, dim) rows
+    assert(rows(salted.select("k", "v", "dim")) ==
+      rows(plain.select("k", "v", "dim")))
+  }
+}
