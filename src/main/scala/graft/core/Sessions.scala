@@ -22,6 +22,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float vectors, computed in double with a
-    * left-to-right fold — the exact operation order the DuckDB oracle
-    * (list_sum over list_transform) uses, so values are bit-comparable.
+  /** Cosine similarity of two float vectors: the native codegen'd
+    * [[graft.functions.CosineSim]] expression — one fused loop, double
+    * accumulation left-to-right over indices, which is the exact fold
+    * order of the DuckDB oracle (list_sum over list_transform), so
+    * values are bit-comparable (verified by t_similarity_topk).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.cosineSim(a, b)
+
+  /** The declarative higher-order-function formulation — semantically
+    * identical to [[cosine]] (same fold order) but interpreted per row;
+    * kept as the executable spec the native expression is tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

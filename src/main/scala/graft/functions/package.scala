@@ -36,4 +36,11 @@ package object functions {
     */
   def polyFingerprint(c: Column): Column =
     Bridge.column(PolyHash(Bridge.expression(c)))
+
+  /** Cosine similarity of two float/double vectors (custom codegen'd
+    * Catalyst expression, see [[graft.functions.CosineSim]]) — the
+    * fused-loop hot path for similarity search.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 }

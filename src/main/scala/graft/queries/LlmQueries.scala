@@ -109,6 +109,16 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }.sortedBy(col("doc_id")),
 
+    // Same fingerprint through the SQL surface: GraftExtensions
+    // registers polyhash()/cosine_sim() via SparkSessionExtensions, so
+    // spark.sql text works exactly like the Column API.
+    QueryDef("t_fingerprint_sql",
+      s"""SELECT doc_id, ${polyhash("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      s.sql("SELECT doc_id, polyhash(text) AS fingerprint FROM graft_documents")
+    }.sortedBy(col("doc_id")),
+
     // ── Dedup family ───────────────────────────────────────────────
     QueryDef("t_dedup_exact",
       """SELECT text AS dedup_key, min(doc_id) AS keep_id,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Native Catalyst expressions: CosineSim must be bit-identical to the
+  * higher-order-function spec it replaces, behave on edge shapes, and be
+  * reachable from SQL via GraftExtensions.
+  */
+class NativeExprSpec extends SparkSuite {
+
+  test("native cosine is bit-identical to the HOF formulation on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .filter(col("ia") < 5)
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val both = a.join(b, col("ia") =!= col("ib"))
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+    // bitwise equality, not tolerance: same fold order must give the
+    // same doubles
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("native cosine edge shapes: mismatched length, zero vector, nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), "same"),
+      (Seq(1.0f, 2.0f), Seq(1.0f), "mismatch"),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f), "zero"),
+      (null, Seq(1.0f), "null"))
+      .toDF("a", "b", "tag")
+    val out = df.select(col("tag"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("same").exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(out("mismatch").isEmpty)
+    assert(out("zero").isEmpty)
+    assert(out("null").isEmpty)
+  }
+
+  test("SQL surface: polyhash and cosine_sim registered via GraftExtensions") {
+    val fp = spark.sql("SELECT polyhash('abc') AS fp").collect().head.getLong(0)
+    // 'a'=97,'b'=98,'c'=99: ((97*31+98)*31+99) % (2^31-1)
+    assert(fp == ((97L * 31 + 98) * 31 + 99) % 2147483647L)
+
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+
+    // arity errors surface as analysis-time failures, not runtime ones
+    intercept[Exception](spark.sql("SELECT polyhash('a', 'b')").collect())
+  }
+}
