@@ -13,6 +13,9 @@ import graft.functions.{CosineSim, PolyHash}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: plans graft.plans.TopKPerKey logical
+    // nodes as the two-phase bounded-heap physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "polyhash"),

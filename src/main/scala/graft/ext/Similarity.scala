@@ -62,6 +62,35 @@ object Similarity {
     topK(corpus, queries, k, idCol, vecCol)
   }
 
+  /** Exact top-k via the custom [[graft.plans.TopKPerKey]] operator:
+    * identical results to [[topK]] but the shuffle carries at most k
+    * rows per (partition, query) instead of every scored candidate —
+    * the scale path for top-k-per-key (see TopKPerKey scaladoc).
+    */
+  def topKByIdsNative(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val queries = corpus
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col(idCol))
+      .withColumn("cos", round(cosine(col("query_vec"), col(vecCol)), 6))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"))
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val plan = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("cos"), Descending),
+        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
+      k, Bridge.logicalPlan(scored))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    Bridge.ofRows(corpus.sparkSession, plan)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   // ── LSH scale path ─────────────────────────────────────────────────
 
   /** Deterministic pseudo-random hyperplane weight for (table, plane,

@@ -190,6 +190,28 @@ object LlmQueries {
       Similarity.topKByIds(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
     }.sortedBy(col("query_id"), col("rank")),
 
+    // Same top-k through the custom TopKPerKey physical operator
+    // (graft.plans): bounded per-partition heaps + k-rows-per-key
+    // shuffle instead of window-sort — must match the same oracle.
+    QueryDef("t_topk_operator",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosine("q.qv", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.topKByIdsNative(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10)
+    }.sortedBy(col("query_id"), col("rank")),
+
     // ANN (LSH-bucketed) variant: no SQL oracle — recall vs exact top-k
     // is asserted in the test suite; the driver checks rows>0.
     QueryDef.rowsOnly("t_ann_lsh") { (s, d) =>

@@ -40,6 +40,22 @@ class NativeExprSpec extends SparkSuite {
     assert(out("null").isEmpty)
   }
 
+  test("TopKPerKey operator matches the window formulation and shrinks the exchange") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val viaWindow = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id", "cos", "rank")
+    val viaOperator = Similarity.topKByIdsNative(emb, ids, 10)
+      .select("query_id", "neighbor_id", "cos", "rank")
+    assert(rows(viaOperator) == rows(viaWindow))
+
+    // the physical plan is the two-phase custom exec, not a window sort
+    val plan = Similarity.topKByIdsNative(emb, ids, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
   test("SQL surface: polyhash and cosine_sim registered via GraftExtensions") {
     val fp = spark.sql("SELECT polyhash('abc') AS fp").collect().head.getLong(0)
     // 'a'=97,'b'=98,'c'=99: ((97*31+98)*31+99) % (2^31-1)
