@@ -34,6 +34,14 @@ object LayoutDemo {
       s"exchange_free=${!plan.contains("Exchange")} ===")
     println(plan.linesIterator.take(10).mkString("\n"))
 
+    val partDir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Layout.writeDatePartitioned(Tables.events(spark, sf), partDir, "ts")
+    val pruned = spark.read.parquet(partDir).filter(col("p_date") === "2024-01-03")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    println(s"=== date-partitioned scan: rows=${pruned.count()} " +
+      s"partition_filtered=${prunedPlan.contains("PartitionFilters: [isnotnull(p_date")} ===")
+    println(new java.io.File(partDir).list().sorted.take(4).mkString(", "))
+
     val left = (1 to 1000).map(i =>
       (if (i <= 900) 1L else i.toLong % 50, s"v$i")).toDF("k", "v")
     val right = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "dim")

@@ -40,6 +40,17 @@ object Layout {
     l.join(r, key)
   }
 
+  /** Date-partitioned parquet layout for the dashboard/time-series path
+    * (A7/A9): writing event data partitioned by day means a trailing-
+    * window query reads only the matching directories — at 100 TB the
+    * "last 15 minutes" dashboard scan prunes everything else at the
+    * FILE LISTING level (explain shows PartitionFilters), before a
+    * single byte is read.
+    */
+  def writeDatePartitioned(df: DataFrame, dir: String, tsCol: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("p_date").parquet(dir)
+
   /** Salted equi-join for skewed keys: replicate the (small-enough)
     * right side `salt` times and scatter the left side's hot keys across
     * salt sub-partitions. Result is identical to `left.join(right, key)`;

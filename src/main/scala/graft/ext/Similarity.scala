@@ -163,6 +163,64 @@ object Similarity {
         col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  // ── IVF scale path ─────────────────────────────────────────────────
+
+  /** Top-k per key via the custom TopKPerKey operator over an already-
+    * scored frame (query_id, <idCol>, cos).
+    */
+  private def topKOperator(scored: DataFrame, k: Int, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    Bridge.ofRows(scored.sparkSession, graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("cos"), Descending),
+        SortOrder(UnresolvedAttribute(idCol), Ascending)),
+      k, Bridge.logicalPlan(scored)))
+  }
+
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest coarse centroid (the inverted lists); each query probes its
+    * `nProbe` nearest centroids and reranks exactly within those lists.
+    *
+    * Centroids here are the `centroids` lowest-id corpus vectors — a
+    * deterministic stand-in for a k-means training step (pluggable; the
+    * operator shape is identical). Probing all cells (nProbe =
+    * centroids) degenerates to exact brute force, which the test suite
+    * asserts. Every stage is a broadcast or cell equi-join + the
+    * TopKPerKey operator — no all-pairs product, no global sort.
+    */
+  def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+              centroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(centroids)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+    // inverted lists: nearest centroid per corpus vector (top-1 per key)
+    val assignScored = corpus
+      .join(broadcast(cents))
+      .select(col(idCol).as("query_id"), col(vecCol),
+        col("cell").as(s"__cand"), cosine(col(vecCol), col("cvec")).as("cos"))
+    val assigned = topKOperator(assignScored, 1, "__cand")
+      .select(col("query_id").as(idCol), col(vecCol),
+        col("__cand").as("cell"))
+    // query probes: nProbe nearest centroids per query
+    val probes = topKOperator(
+      assignScored.filter(col("query_id").isin(queryIds: _*)), nProbe, "__cand")
+      .select(col("query_id"), col(vecCol).as("query_vec"),
+        col("__cand").as("cell"))
+    // candidates = inverted lists of the probed cells; exact rerank
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .dropDuplicates("query_id", idCol)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("query_vec"), col(vecCol)), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    topKOperator(scored, k, "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold
     * — bucket equi-joins, no all-pairs product.

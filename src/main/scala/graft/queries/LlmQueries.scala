@@ -219,6 +219,15 @@ object LlmQueries {
         k = 10, planes = 4, dims = 64)
     },
 
+    // IVF variant (deterministic coarse centroids + nProbe cell probing
+    // + exact rerank through the TopKPerKey operator). rows-only: recall
+    // and the probe-all-cells==brute-force degeneration are asserted in
+    // the test suite.
+    QueryDef.rowsOnly("t_ann_ivf") { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, centroids = 16, nProbe = 6)
+    },
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

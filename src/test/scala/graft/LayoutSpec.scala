@@ -50,6 +50,19 @@ class LayoutSpec extends SparkSuite {
     assert(joined.count() == plain.count())
   }
 
+  test("date-partitioned layout prunes partitions at the scan (dashboard path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Layout.writeDatePartitioned(Tables.events(spark, sf), dir, "ts")
+    val pruned = spark.read.parquet(dir)
+      .filter(col("p_date") === "2024-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"), plan)
+    // only the matching day's rows are read, and they match a full scan
+    val full = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-03").count()
+    assert(pruned.count() == full && full > 0)
+  }
+
   test("salted join equals plain join on a skewed corpus") {
     import spark.implicits._
     // 90% of left rows hit one hot key — the classic skew shape

@@ -61,6 +61,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(ann.forall { case (q, n) => n != q })
   }
 
+  test("IVF with all cells probed degenerates to exact brute force") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 1L, 2L)
+    val exact = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().toSet
+    val ivfAll = Similarity.ivfTopK(emb, ids, 10, centroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(ivfAll == exact)
+  }
+
+  test("IVF recall at partial probing beats random and misses at most half") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 1L, 2L)
+    val exact = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, ids, 10, centroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("scale guard: no cartesian product in LSH candidate plans") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.lshCandidates(Dedup.features(docs))
