@@ -190,6 +190,32 @@ object RelationalQueries {
           countDistinct(col("l_suppkey")).as("n_supps"))
     }.sortedBy(col("l_returnflag")),
 
+    // ROLLUP: hierarchical subtotals (flag, flag+status, grand total).
+    // Note DuckDB orders NULLS LAST by default while Spark orders NULLS
+    // FIRST — the oracle pins NULLS FIRST explicitly.
+    QueryDef("a_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"),
+          count(lit(1)).as("n"))
+    }.sortedBy(col("l_returnflag"), col("l_linestatus")),
+
+    // CUBE: all grouping combinations.
+    QueryDef("a_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+    }.sortedBy(col("l_returnflag"), col("l_linestatus")),
+
     // Session windows (30-min gap) per user over the events stream table —
     // Spark session_window vs. gaps-and-islands SQL in the oracle. A
     // session closes when the next event is >= gap after the previous one.
