@@ -36,8 +36,19 @@ object Dedup {
       .otherwise(array(text)) // short doc: the whole text is the shingle
   }
 
-  /** Distinct shingle hash set — the document's Jaccard feature set. */
+  /** Distinct shingle hash set — the document's Jaccard feature set.
+    * Native single-pass expression (graft.functions.ShingleHashes);
+    * [[shingleHashesHof]] is the declarative spec it is tested against.
+    */
   def shingleHashes(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.graft.Bridge.expression(text), n))
+
+  /** The higher-order-function formulation — semantically identical but
+    * interpreted per row (~1 ms/doc); kept as the executable spec.
+    */
+  def shingleHashesHof(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), s => polyFingerprint(s)))
 
   /** MinHash signature: per permutation, min over the hash set. */
@@ -70,6 +81,10 @@ object Dedup {
     */
   def bands(sigDf: DataFrame, idCol: String, bands: Int,
             rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand == Perms.length,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal the " +
+        s"signature width (${Perms.length}); an out-of-range slice would " +
+        "give every doc an empty band key and explode candidates to n^2")
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
@@ -100,7 +115,11 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", n: Int = 3,
                    numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val feats = features(docs, idCol, textCol, n).cache()
+    // deliberately NOT cached here: a cache() inside a lazy builder can
+    // never be unpersisted and pins storage for the session. At pipeline
+    // scale, materialize features(docs) once (table/checkpoint) and feed
+    // that; here the recompute is a narrow map stage.
+    val feats = features(docs, idCol, textCol, n)
     val cands = lshCandidates(feats, idCol, numBands, rowsPerBand)
     val ha = feats.select(col(idCol).as("doc_a"), col("hashes").as("ha"))
     val hb = feats.select(col(idCol).as("doc_b"), col("hashes").as("hb"))

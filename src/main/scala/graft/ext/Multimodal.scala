@@ -87,11 +87,14 @@ object Multimodal {
     * stub-dims as pure expressions, for the oracle-verified surface.
     */
   def metadata(media: DataFrame): DataFrame = {
-    val fp = graft.functions.polyFingerprint(col("payload").cast("string"))
+    // null payloads behave as empty ones — keeps this path value-
+    // identical to extractFeatures (which substitutes Array.empty)
+    val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
+    val fp = graft.functions.polyFingerprint(payload.cast("string"))
     media.select(
       col("media_id"),
       col("n_bytes"),
-      md5(col("payload")).as("content_md5"),
+      md5(payload).as("content_md5"),
       (fp % 1280).as("width"),
       (fp % 720).as("height"),
       (col("n_bytes") % 32 + 1).as("n_frames"))

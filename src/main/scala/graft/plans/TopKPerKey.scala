@@ -76,17 +76,19 @@ case class TopKPerKeyExec(
       val cmp = org.apache.spark.sql.catalyst.expressions.codegen
         .GenerateOrdering.generate(sortOrder, childOutput)
       // per key: bounded heap holding the k FIRST rows under the
-      // ordering (max-heap on the comparator, evict the worst)
+      // ordering (max-heap on the comparator, evict the worst). Heaps
+      // hold InternalRow — only the key needs UnsafeRow (map equality);
+      // a non-codegen child may emit GenericInternalRow copies.
       val heaps = mutable.LinkedHashMap
-        .empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+        .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       rows.foreach { r =>
         val key = keyProj(r).copy()
         val heap = heaps.getOrElseUpdate(key,
-          mutable.PriorityQueue.empty[UnsafeRow](
+          mutable.PriorityQueue.empty[InternalRow](
             (a, b) => cmp.compare(a, b)))
-        if (heap.size < limit) heap.enqueue(r.copy().asInstanceOf[UnsafeRow])
+        if (heap.size < limit) heap.enqueue(r.copy())
         else if (cmp.compare(r, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(r.copy().asInstanceOf[UnsafeRow])
+          heap.dequeue(); heap.enqueue(r.copy())
         }
       }
       heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)

@@ -40,8 +40,13 @@ final case class AlertSink(
         df.select(lit(null).cast("string").as("EMAIL"),
           lit(null).cast("string").as("MESSAGE"),
           to_json(struct(df.columns.map(col): _*)).as("__raw"))
-    // Row-wise delivery on the executors; per-row failures are contained.
+    // Row-wise delivery on the executors; per-row failures are contained
+    // and LOGGED with a per-partition count — silent total alert loss is
+    // worse than a noisy log (the reference consumer prints each failure,
+    // python_kafka_notify.py:53–57).
     payload.foreachPartition { rows: Iterator[Row] =>
+      var failed = 0L
+      var firstError: String = null
       rows.foreach { r =>
         val (target, text) =
           if (r.isNullAt(0) || r.isNullAt(1))
@@ -49,8 +54,15 @@ final case class AlertSink(
           else
             (ch, AlertSink.alertText(r.getString(0), r.getString(1)))
         try t.send(target, text)
-        catch { case _: Exception => () } // transport failure: log-and-go
+        catch { case e: Exception =>
+          failed += 1
+          if (firstError == null)
+            firstError = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
       }
+      if (failed > 0)
+        System.err.println(
+          s"[alert-sink] $failed deliveries FAILED (first: $firstError)")
     }
   }
 }

@@ -34,14 +34,18 @@ final case class EsBulkNdjsonSink(
     val stamped = EsBulkNdjsonSink.withIngestTs(df, ingestTsField)
     val keyed = stamped.withColumn("__id", col(idCol).cast("string"))
     // errors.tolerance=all analog: null/missing doc id → dead letter.
+    // overwrite the epoch directory, not append: Structured Streaming
+    // re-runs an epoch after a crash-before-commit, and the SinkDef
+    // contract requires replays to be idempotent — append would
+    // duplicate every record of the replayed batch
     val bad = keyed.filter(col("__id").isNull)
     deadLetterDir.foreach { dl =>
       bad.select(to_json(struct(df.columns.map(col): _*)).as("value"))
-        .write.mode("append").text(s"$dl/epoch=$epochId")
+        .write.mode("overwrite").text(s"$dl/epoch=$epochId")
     }
     EsBulkNdjsonSink.bulkLines(keyed.filter(col("__id").isNotNull), index, "__id")
       .select(concat_ws("\n", col("action"), col("doc")).as("value"))
-      .write.mode("append").text(s"$dir/epoch=$epochId")
+      .write.mode("overwrite").text(s"$dir/epoch=$epochId")
   }
 }
 

@@ -19,9 +19,10 @@ final case class KafkaShapeSink(dir: String, topic: String, keyCol: String)
 
   override def writeBatch(df: DataFrame, epochId: Long): Unit =
     KafkaShapeSink.records(df, keyCol)
-      // repartition on key = the producer's key→partition placement (L3).
+      // repartition on key = the producer's key→partition placement (L3);
+      // overwrite-per-epoch keeps crash-replays idempotent (SinkDef).
       .repartition(col("key"))
-      .write.mode("append").json(s"$dir/topic=$topic/epoch=$epochId")
+      .write.mode("overwrite").json(s"$dir/topic=$topic/epoch=$epochId")
 }
 
 object KafkaShapeSink {

@@ -46,10 +46,8 @@ object KafkaShape {
     */
   def decode(kafka: DataFrame, schema: StructType): DataFrame =
     kafka
-      .select(from_json(col("value").cast("string"), schema).as("v"),
-        col("timestamp").as("__kafka_ts"))
-      .select(col("v.*"), col("__kafka_ts"))
-      .drop("__kafka_ts")
+      .select(from_json(col("value").cast("string"), schema).as("v"))
+      .select("v.*")
 
   /** M3 `SET 'auto.offset.reset'` analog for the file-backed source:
     * "earliest" replays everything; "latest" keeps only records after

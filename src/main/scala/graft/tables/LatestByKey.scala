@@ -45,18 +45,32 @@ object LatestByKey {
     * trade-off ksqlDB pushes to topic retention.
     */
   def streaming(df: DataFrame, key: String, ts: String,
-                ttl: Option[String] = None): DataFrame = {
+                ttl: Option[String] = None,
+                tiebreak: Seq[String] = Nil): DataFrame = {
     val schema = df.schema
-    val tsIdx = schema.fieldIndex(ts)
+    val ordIdx = (ts +: tiebreak).map(schema.fieldIndex)
     val keyIdx = schema.fieldIndex(key)
     implicit val rowEnc = Encoders.row(schema)
     val timeout =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
 
+    // same ordering as the batch max_by struct: (ts, tiebreak...)
+    // lexicographic — equal-ts versions resolve deterministically by the
+    // tiebreak columns instead of by arrival order
     def newer(a: Row, b: Row): Boolean = {
-      val ta = a.getTimestamp(tsIdx); val tb = b.getTimestamp(tsIdx)
-      ta.after(tb)
+      var i = 0
+      while (i < ordIdx.length) {
+        val (va, vb) = (a.get(ordIdx(i)), b.get(ordIdx(i)))
+        val c =
+          if (va == null && vb == null) 0
+          else if (va == null) -1
+          else if (vb == null) 1
+          else va.asInstanceOf[Comparable[Any]].compareTo(vb)
+        if (c != 0) return c > 0
+        i += 1
+      }
+      false
     }
 
     df.groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)

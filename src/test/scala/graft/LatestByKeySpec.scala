@@ -61,4 +61,29 @@ class LatestByKeySpec extends SparkSuite {
       assert(spark.table("cust_table").count() == 3) // no new emission
     } finally q.stop()
   }
+
+  test("streaming latest-by-key resolves equal-ts versions by the tiebreak, matching batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[CustVersion]
+    val table = LatestByKey.streaming(ms.toDF(), "id", "ts",
+      tiebreak = Seq("first_name"))
+    val q = table.writeStream.format("memory").queryName("cust_tb")
+      .outputMode("update").start()
+    try {
+      // two versions with the SAME timestamp, split across micro-batches
+      ms.addData(v(9, "Aaa", "X", "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      ms.addData(v(9, "Zzz", "X", "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      val latest = spark.table("cust_tb").as[CustVersion].collect()
+        .maxBy(_.first_name)
+      // batch max_by((ts, first_name)) keeps Zzz; streaming must agree
+      val batch = LatestByKey.batch(
+        Seq(v(9, "Aaa", "X", "2024-01-01 10:00:00"),
+          v(9, "Zzz", "X", "2024-01-01 10:00:00")).toDF(),
+        "id", "ts", "first_name").as[CustVersion].collect().head
+      assert(latest.first_name == "Zzz" && batch.first_name == "Zzz")
+    } finally q.stop()
+  }
 }

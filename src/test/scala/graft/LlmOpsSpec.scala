@@ -108,12 +108,15 @@ class LlmOpsSpec extends SparkSuite {
     assert(viaPartitions.schema == Multimodal.featureSchema)
   }
 
-  test("multimodal: null payload tolerated by the batch extractor") {
+  test("multimodal: null payload tolerated identically by both code paths") {
     import spark.implicits._
     val media = Seq((1L, "text/plain", null: Array[Byte], 0L))
       .toDF("media_id", "media_type", "payload", "n_bytes")
     val out = Multimodal.extractFeatures(media).collect()
     assert(out.length == 1 && out.head.getString(2).nonEmpty) // md5 of empty
+    // the column-only path must agree with the batch extractor on nulls
+    assert(rows(Multimodal.metadata(media)) ==
+      rows(Multimodal.extractFeatures(media)))
   }
 
   test("text analysis classifies stopword-bearing text as en") {

@@ -56,6 +56,23 @@ class NativeExprSpec extends SparkSuite {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("native shingle-hash set is identical to the HOF formulation on the corpus") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      graft.ext.Dedup.shingleHashes(col("text")).as("native"),
+      graft.ext.Dedup.shingleHashesHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+
+    // short-doc fallback (fewer words than the shingle width)
+    import spark.implicits._
+    val short = Seq((1L, "two words")).toDF("doc_id", "text")
+    val s = short.select(
+      graft.ext.Dedup.shingleHashes(col("text")).as("native"),
+      graft.ext.Dedup.shingleHashesHof(col("text")).as("hof")).collect().head
+    assert(s.getSeq[Long](0) == s.getSeq[Long](1) && s.getSeq[Long](0).length == 1)
+  }
+
   test("SQL surface: polyhash and cosine_sim registered via GraftExtensions") {
     val fp = spark.sql("SELECT polyhash('abc') AS fp").collect().head.getLong(0)
     // 'a'=97,'b'=98,'c'=99: ((97*31+98)*31+99) % (2^31-1)
