@@ -34,6 +34,12 @@ object LayoutDemo {
       s"exchange_free=${!plan.contains("Exchange")} ===")
     println(plan.linesIterator.take(10).mkString("\n"))
 
+    Tables.registerAll(spark, sf)
+    println("=== SQL console (M4): registered tables + injected functions ===")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n, polyhash(min(c_name)) AS fp
+        |FROM customer GROUP BY 1 ORDER BY 1 LIMIT 3""".stripMargin).show(false)
+
     val partDir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Layout.writeDatePartitioned(Tables.events(spark, sf), partDir, "ts")
     val pruned = spark.read.parquet(partDir).filter(col("p_date") === "2024-01-03")

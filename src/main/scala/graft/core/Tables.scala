@@ -44,4 +44,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every corpus table as a temp view so the whole engine is
+    * usable from plain `spark.sql` (M4's SQL entry point, SURVEY §2.7 —
+    * together with GraftExtensions this makes ksqlDB-style SQL text the
+    * second first-class API next to the Dataset surface).
+    */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** The SQL entry point (SURVEY §2.7 M4 + §3.2 analog): after
+  * Tables.registerAll, a user can run ksqlDB-ported SQL text directly —
+  * including the engine's injected functions — and gets the same
+  * Catalyst plans (whole-stage codegen, pushdown) as the Dataset API.
+  */
+class SqlSurfaceSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("full pipeline statement runs as plain SQL over registered tables") {
+    Tables.registerAll(spark, sf)
+    // the UNHAPPY_PLATINUM_CUSTOMERS shape, ported from
+    // ksqldb-statements.sql:50-68 to ANSI SQL
+    val unhappy = spark.sql(
+      """SELECT c.c_name || ' ' || c.c_mktsegment AS full_name,
+        |       e.value AS stars, e.props AS message
+        |FROM events e LEFT JOIN customer c
+        |  ON CAST(e.user_id AS STRING) = CAST(c.c_custkey AS STRING)
+        |WHERE c.c_name IS NOT NULL
+        |  AND e.value < 50.0 AND c.c_mktsegment = 'BUILDING'""".stripMargin)
+    assert(unhappy.count() > 0)
+
+    // engine functions compose inside SQL text
+    val fp = spark.sql(
+      "SELECT doc_id, polyhash(text) AS fp FROM documents LIMIT 3")
+    assert(fp.count() == 3)
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // AQE assigns codegen stages only at execution: run the plan, then
+    // inspect the finalized executedPlan for WholeStageCodegen wrappers
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // count WholeStageCodegenExec nodes, descending through the AQE
+    // wrappers (AdaptiveSparkPlanExec/QueryStageExec hide their subtrees
+    // from plain collect)
+    def countCodegen(p: SparkPlan): Int = {
+      val here = p match {
+        case _: WholeStageCodegenExec => 1
+        case a: AdaptiveSparkPlanExec => countCodegen(a.executedPlan)
+        case s: QueryStageExec => countCodegen(s.plan)
+        case _ => 0
+      }
+      here + p.children.map(countCodegen).sum
+    }
+    def spans(q: String): Int = {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      qe.executedPlan.execute().count() // finalize the adaptive plan
+      countCodegen(qe.executedPlan)
+    }
+    // scan-agg and enrich-join plans must be codegen'd end to end
+    assert(spans("q1_agg") >= 1, "q1_agg lost codegen")
+    assert(spans("p_enrich_join") >= 1, "enrich join lost codegen")
+    // and no interpreted lambda functions in the similarity hot path
+    val simPlan = SparkEntry.queries("t_similarity_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!simPlan.contains("lambdafunction"), simPlan)
+  }
+}
