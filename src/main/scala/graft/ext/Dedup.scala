@@ -46,10 +46,14 @@ object Dedup {
         org.apache.spark.sql.graft.Bridge.expression(text), n))
 
   /** The higher-order-function formulation — semantically identical but
-    * interpreted per row (~1 ms/doc); kept as the executable spec.
+    * interpreted per row (~1 ms/doc); kept as the executable spec. The
+    * isNotNull guard pins null-text → null, matching the native
+    * expression (the bare when/otherwise chain would yield [null]).
     */
   def shingleHashesHof(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(text, n), s => polyFingerprint(s)))
+    when(text.isNotNull,
+      array_distinct(transform(shingles(text, n), s => polyFingerprint(s))))
+      .otherwise(lit(null))
 
   /** MinHash signature: per permutation, min over the hash set. */
   def minhashSignature(hashes: Column): Column =

@@ -230,13 +230,18 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val b = lshTableBuckets(corpus, tables, planes, dims, vecCol)
-    val l = b.select(col("tbl"), col("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("va"))
-    val r = b.select(col("tbl"), col("bucket"),
-      col(idCol).as("id_b"), col(vecCol).as("vb"))
-    l.join(r, Seq("tbl", "bucket"))
+    // candidate generation and dedup on BARE id pairs — the bucket join
+    // and distinct shuffle move 16 bytes/row, not two embedding payloads;
+    // vectors re-attach afterwards (broadcast when the corpus side fits,
+    // else two hash joins on ids — either way after the dedup cut)
+    val l = b.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val candidates = l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "va", "vb").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    candidates.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -9,18 +9,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word-n-gram shingle PolyHash set of a text — the dedup
-  * pipeline's hot path as ONE native expression instead of an
-  * interpreted higher-order-function chain
+  * pipeline's hot path as ONE native single-pass expression instead of
+  * an interpreted higher-order-function chain
   * (split → transform(concat_ws) → transform(polyhash) → array_distinct),
   * which costs ~1 ms/document in Catalyst's lambda interpreter. At
-  * 100 TB text dedup this map stage IS the workload.
+  * 100 TB text dedup this map stage IS the workload. (CodegenFallback:
+  * the per-row cost is the hashing loop itself, already a tight JVM
+  * loop over raw bytes — a doGenCode version would fuse the operator
+  * into the enclosing stage but not change the inner-loop work.)
   *
-  * Semantics are bit-identical to the declarative chain (asserted in
-  * NativeExprSpec): split on single space keeping trailing empties
-  * (Spark `split` semantics), shingle = n consecutive words joined by
-  * one space, hash = PolyHash over UTF-8 bytes, distinct preserving
-  * first occurrence; fewer than n words → the whole text is the single
-  * shingle.
+  * Value semantics match the declarative chain exactly (asserted
+  * bitwise in NativeExprSpec): shingle = n consecutive words (split on
+  * 0x20), hash = PolyHash over the shingle's UTF-8 bytes with 0x20
+  * between words, distinct preserving first occurrence; fewer than n
+  * words → the whole text is the single shingle; null text → null
+  * (the HOF spec wraps itself in an isNotNull guard to agree).
+  *
+  * The eval operates on the UTF8String's raw bytes — no String
+  * round-trip, no per-word allocation, and identical hashes to
+  * PolyHash for any byte content (a String detour would substitute
+  * U+FFFD on invalid UTF-8 and hash differently).
   */
 case class ShingleHashes(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
@@ -34,36 +42,41 @@ case class ShingleHashes(child: Expression, n: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"shingle_hashes needs a string argument, got ${child.dataType}")
 
-  private def polyhash(bytes: Array[Byte], acc0: Long): Long = {
-    var acc = acc0
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val P = 2147483647L
+    // word boundaries: starts(i) .. ends(i) (exclusive), split on 0x20,
+    // keeping empty words exactly like Spark's split(text, " ")
+    val starts = mutable.ArrayBuffer(0)
+    val ends = mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i < bytes.length) {
-      acc = (acc * 31L + (bytes(i) & 0xffL)) % 2147483647L
+      if (bytes(i) == 0x20) { ends += i; starts += i + 1 }
       i += 1
     }
-    acc
-  }
+    ends += bytes.length
+    val nWords = starts.length
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    // limit -1: keep trailing empty words, matching Spark's split()
-    val words = text.split(" ", -1)
+    def hashRange(from: Int, until: Int, acc0: Long): Long = {
+      var acc = acc0
+      var k = from
+      while (k < until) {
+        acc = (acc * 31L + (bytes(k) & 0xffL)) % P
+        k += 1
+      }
+      acc
+    }
+
     val out = new mutable.LinkedHashSet[Long]
-    if (words.length < n) {
-      out += polyhash(text.getBytes("UTF-8"), 0L)
+    if (nWords < n) {
+      out += hashRange(0, bytes.length, 0L)
     } else {
-      var i = 0
-      while (i <= words.length - n) {
-        // rolling over the shingle's bytes: words joined by ' ' (0x20)
-        var acc = 0L
-        var j = 0
-        while (j < n) {
-          if (j > 0) acc = (acc * 31L + 0x20L) % 2147483647L
-          acc = polyhash(words(i + j).getBytes("UTF-8"), acc)
-          j += 1
-        }
-        out += acc
-        i += 1
+      var w = 0
+      while (w <= nWords - n) {
+        // the shingle is words w..w+n-1 joined by 0x20 — which is the
+        // contiguous byte range starts(w)..ends(w+n-1) of the input
+        out += hashRange(starts(w), ends(w + n - 1), 0L)
+        w += 1
       }
     }
     new GenericArrayData(out.toArray)

@@ -228,6 +228,17 @@ object LlmQueries {
         k = 10, centroids = 16, nProbe = 6)
     },
 
+    // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed
+    // candidates ≥ threshold. rows-only; pair semantics covered by the
+    // planted-duplicate test in LlmOpsSpec.
+    // 7 planes = 128 buckets: candidate volume scales as n²/2^planes per
+    // table — too few planes floods the rerank (3 planes ≈ 25M pairs at
+    // sf0.1, ~12s; 7 planes ≈ 0.8M, sub-second).
+    QueryDef.rowsOnly("t_embed_neardup") { (s, d) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, d),
+        threshold = 0.25, planes = 7, dims = 64)
+    },
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

@@ -86,6 +86,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("embedding near-dups: planted duplicate vector found, pairs canonical") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact duplicate of vector 0 under a new id: cos == 1.0
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(90001L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.union(dup)
+    val pairs = Similarity.embeddingNearDups(corpus, threshold = 0.99,
+      planes = 3, dims = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 90001L)), s"planted dup not found: $pairs")
+    // canonical ordering: every pair has id_a < id_b, no self-pairs
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("scale guard: no cartesian product in LSH candidate plans") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.lshCandidates(Dedup.features(docs))

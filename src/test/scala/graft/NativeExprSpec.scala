@@ -71,6 +71,13 @@ class NativeExprSpec extends SparkSuite {
       graft.ext.Dedup.shingleHashes(col("text")).as("native"),
       graft.ext.Dedup.shingleHashesHof(col("text")).as("hof")).collect().head
     assert(s.getSeq[Long](0) == s.getSeq[Long](1) && s.getSeq[Long](0).length == 1)
+
+    // null text → null through BOTH formulations (=!= is null-blind, so
+    // assert explicitly rather than via the filter-count idiom)
+    val nul = Seq((2L, null: String)).toDF("doc_id", "text").select(
+      graft.ext.Dedup.shingleHashes(col("text")).as("native"),
+      graft.ext.Dedup.shingleHashesHof(col("text")).as("hof")).collect().head
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
   }
 
   test("SQL surface: polyhash and cosine_sim registered via GraftExtensions") {

@@ -100,6 +100,32 @@ class SinksSpec extends SparkSuite {
     assert(TestTransport.sent.size() == 1) // second row still delivered
   }
 
+  test("ES sink attached to the streaming pipeline writes per-epoch NDJSON (K1 streaming end-to-end)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp("es-stream"); val ckpt = tmp("es-stream-ckpt")
+    val ms = MemoryStream[Rating]
+    val pipe = graft.streaming.RatingsPipeline(ms.toDF(), customersDf,
+      watermark = "0 seconds")
+    val q = EsBulkNdjsonSink(dir, "unhappy", "RATING_ID")
+      .stream(pipe.unhappyPlatinum, checkpoint = Some(ckpt))
+      .outputMode("append").start()
+    try {
+      ms.addData(Fixtures.ratings.take(6))
+      q.processAllAvailable()
+      ms.addData(Fixtures.ratings.drop(6))
+      q.processAllAvailable()
+      val epochs = new java.io.File(dir).list().filter(_.startsWith("epoch="))
+      assert(epochs.length >= 2, epochs.mkString(","))
+      val lines = spark.read.text(s"$dir/epoch=*").as[String]
+        .collect().flatMap(_.split("\n"))
+      val expected = graft.ops.RatingsOps.unhappyPlatinum(
+        graft.ops.RatingsOps.enrich(ratingsDf, customersDf)).count()
+      assert(lines.count(_.startsWith("""{"index"""")) == expected)
+    } finally q.stop()
+  }
+
   test("alert sink drives the full unhappy-platinum stream (K6 end-to-end)") {
     TestTransport.sent.clear()
     val transport = new AlertSink.Transport {

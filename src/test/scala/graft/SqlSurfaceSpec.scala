@@ -12,6 +12,12 @@ class SqlSurfaceSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // drop the corpus views after the suite: the session is shared and a
+  // later suite's SQL must not silently resolve these names
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally Tables.names.foreach(spark.catalog.dropTempView)
+
   test("full pipeline statement runs as plain SQL over registered tables") {
     Tables.registerAll(spark, sf)
     // the UNHAPPY_PLATINUM_CUSTOMERS shape, ported from
@@ -48,14 +54,32 @@ class SqlSurfaceSpec extends SparkSuite {
       }
       here + p.children.map(countCodegen).sum
     }
-    def spans(q: String): Int = {
+    // a WholeStageCodegenExec subtree containing an operator matching
+    // `marker` — "the aggregate/join itself is fused", which a lone
+    // codegen'd scan would not satisfy
+    def codegenContains(p: SparkPlan, marker: String): Boolean = {
+      def regions(x: SparkPlan): Seq[SparkPlan] = {
+        val here = x match {
+          case w: WholeStageCodegenExec => Seq(w)
+          case a: AdaptiveSparkPlanExec => regions(a.executedPlan)
+          case s: QueryStageExec => regions(s.plan)
+          case _ => Nil
+        }
+        here ++ x.children.flatMap(regions)
+      }
+      regions(p).exists(_.toString.contains(marker))
+    }
+    def finalized(q: String): SparkPlan = {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       qe.executedPlan.execute().count() // finalize the adaptive plan
-      countCodegen(qe.executedPlan)
+      qe.executedPlan
     }
-    // scan-agg and enrich-join plans must be codegen'd end to end
-    assert(spans("q1_agg") >= 1, "q1_agg lost codegen")
-    assert(spans("p_enrich_join") >= 1, "enrich join lost codegen")
+    // the heavy operator itself must be INSIDE a codegen region
+    assert(countCodegen(finalized("q1_agg")) >= 1, "q1_agg lost codegen")
+    assert(codegenContains(finalized("q1_agg"), "HashAggregate"),
+      "q1_agg aggregation fell out of whole-stage codegen")
+    assert(codegenContains(finalized("p_enrich_join"), "BroadcastHashJoin"),
+      "enrich join fell out of whole-stage codegen")
     // and no interpreted lambda functions in the similarity hot path
     val simPlan = SparkEntry.queries("t_similarity_topk")(spark, sf)
       .queryExecution.executedPlan.toString
