@@ -139,4 +139,13 @@ object Dedup {
   def exactByKey(df: DataFrame, keyCol: Column, idCol: String): DataFrame =
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Streaming exact dedup: at-least-once delivery → effectively-once
+    * processing by dropping duplicate keys within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state per key is evicted once
+    * the watermark passes it, so state is bounded by the horizon's key
+    * cardinality, not the stream's). The input must carry a watermark.
+    */
+  def streamingExact(stream: DataFrame, idCols: String*): DataFrame =
+    stream.dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 }

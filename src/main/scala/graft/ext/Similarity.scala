@@ -155,12 +155,14 @@ object Similarity {
       .dropDuplicates("query_id", idCol)
     val scored = candidates
       .withColumn("cos", round(cosine(col("query_vec"), col(vecCol)), 6))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"))
+    // rerank via the TopKPerKey operator: only k rows per (partition,
+    // query) reach the exchange; the rank window runs over k·|Q|
+    // survivors, not the candidate set
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    topKOperator(scored, k, "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
   }
 
   // ── IVF scale path ─────────────────────────────────────────────────

@@ -70,6 +70,30 @@ class WatermarkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate ids across micro-batches emit once") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Rating]
+    val deduped = graft.ext.Dedup.streamingExact(
+      ms.toDF().withWatermark("ts", "1 hour"), "RATING_ID")
+    val q = deduped.writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      // the same rating delivered twice in one batch and again in the next
+      // (at-least-once redelivery shape)
+      ms.addData(
+        Rating(1, 1, 3.0, "ios", "m", ts("2024-01-01 10:00:00")),
+        Rating(1, 1, 3.0, "ios", "m", ts("2024-01-01 10:00:00")),
+        Rating(2, 2, 4.0, "web", "n", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      ms.addData(Rating(1, 1, 3.0, "ios", "m", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").select("RATING_ID")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("file-backed streaming source drives the pipeline (production ingestion shape)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
