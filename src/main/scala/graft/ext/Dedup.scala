@@ -55,8 +55,17 @@ object Dedup {
       array_distinct(transform(shingles(text, n), s => polyFingerprint(s))))
       .otherwise(lit(null))
 
-  /** MinHash signature: per permutation, min over the hash set. */
+  /** MinHash signature: per permutation, min over the hash set — one
+    * fused native pass (graft.functions.MinHashSig); the HOF spec below
+    * is what it is tested bitwise against.
+    */
   def minhashSignature(hashes: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.Bridge.expression(hashes), Perms))
+
+  /** Declarative spec of [[minhashSignature]] (interpreted per row). */
+  def minhashSignatureHof(hashes: Column): Column =
     array(Perms.map { case (a, b) =>
       coalesce(array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P))),
         lit(P))

@@ -80,6 +80,18 @@ class NativeExprSpec extends SparkSuite {
     assert(nul.isNullAt(0) && nul.isNullAt(1))
   }
 
+  test("native minhash signature is identical to the HOF formulation, incl. empty sets") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.ext.Dedup.shingleHashes(col("text")).as("hs"))
+      .union(Seq(Seq.empty[Long]).toDF("hs")) // empty hash set edge
+    val both = docs.select(
+      graft.ext.Dedup.minhashSignature(col("hs")).as("native"),
+      graft.ext.Dedup.minhashSignatureHof(col("hs")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("SQL surface: polyhash and cosine_sim registered via GraftExtensions") {
     val fp = spark.sql("SELECT polyhash('abc') AS fp").collect().head.getLong(0)
     // 'a'=97,'b'=98,'c'=99: ((97*31+98)*31+99) % (2^31-1)
