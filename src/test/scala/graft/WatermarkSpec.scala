@@ -94,6 +94,40 @@ class WatermarkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: follow-up ratings within 30 min correlate") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // beyond the reference surface (SURVEY §2.4 notes no stream-stream
+    // joins there) but table-stakes for a Spark streaming engine:
+    // watermarked interval self-join — first rating ⋈ its follow-ups
+    val ms = MemoryStream[Rating]
+    val first = ms.toDF().withWatermark("ts", "1 hour")
+      .select(col("USER_ID").as("u1"), col("RATING_ID").as("first_id"),
+        col("ts").as("t1"))
+    val follow = ms.toDF().withWatermark("ts", "1 hour")
+      .select(col("USER_ID").as("u2"), col("RATING_ID").as("follow_id"),
+        col("ts").as("t2"))
+    val joined = first.join(follow,
+      col("u1") === col("u2") &&
+        col("t2") > col("t1") &&
+        col("t2") <= col("t1") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Rating(1, 7, 1.0, "ios", "bad", ts("2024-01-01 10:00:00")),
+        Rating(2, 7, 2.0, "ios", "still bad", ts("2024-01-01 10:10:00")),
+        Rating(3, 7, 5.0, "ios", "too late", ts("2024-01-01 11:30:00")),
+        Rating(4, 9, 3.0, "web", "other user", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("ss_join")
+        .select("first_id", "follow_id").as[(Long, Long)].collect().toSet
+      // only (1 → 2): same user, within 30 min; 3 is outside the
+      // interval and 4 is another user
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("file-backed streaming source drives the pipeline (production ingestion shape)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
