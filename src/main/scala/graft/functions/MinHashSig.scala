@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (t_minhash_sig).
   */
 case class MinHashSig(child: Expression, perms: Seq[(Long, Long)])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   private val P = 2147483647L
 
@@ -31,8 +31,15 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)])
       s"minhash_sig needs array<bigint>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    computeSig(input.asInstanceOf[ArrayData])
+
+  /** Called from both eval and generated code (reference-object pattern:
+    * the stage stays whole-stage-codegen'd, the per-row work is one
+    * virtual call into this compiled loop — no CodegenFallback, which
+    * would exclude the whole operator from stage fusion).
+    */
+  def computeSig(hashes: ArrayData): ArrayData = {
     val k = perms.length
     val mins = Array.fill(k)(P)
     val as = perms.map(_._1).toArray
@@ -50,6 +57,12 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)])
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.computeSig($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

@@ -3,8 +3,8 @@ package graft.functions
 import scala.collection.mutable
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,10 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * an interpreted higher-order-function chain
   * (split → transform(concat_ws) → transform(polyhash) → array_distinct),
   * which costs ~1 ms/document in Catalyst's lambda interpreter. At
-  * 100 TB text dedup this map stage IS the workload. (CodegenFallback:
-  * the per-row cost is the hashing loop itself, already a tight JVM
-  * loop over raw bytes — a doGenCode version would fuse the operator
-  * into the enclosing stage but not change the inner-loop work.)
+  * 100 TB text dedup this map stage IS the workload. doGenCode uses the
+  * reference-object pattern — the generated stage makes one virtual
+  * call per row into the compiled byte-scan loop, and the enclosing
+  * operators stay whole-stage-codegen'd (a CodegenFallback would
+  * exclude the whole operator from stage fusion).
   *
   * Value semantics match the declarative chain exactly (asserted
   * bitwise in NativeExprSpec): shingle = n consecutive words (split on
@@ -31,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * U+FFFD on invalid UTF-8 and hash differently).
   */
 case class ShingleHashes(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
@@ -42,8 +43,12 @@ case class ShingleHashes(child: Expression, n: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"shingle_hashes needs a string argument, got ${child.dataType}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    computeHashes(input.asInstanceOf[UTF8String])
+
+  /** Called from both eval and generated code. */
+  def computeHashes(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
     val P = 2147483647L
     // word boundaries: starts(i) .. ends(i) (exclusive), split on 0x20,
     // keeping empty words exactly like Spark's split(text, " ")
@@ -80,6 +85,13 @@ case class ShingleHashes(child: Expression, n: Int)
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this,
+      classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.computeHashes($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =

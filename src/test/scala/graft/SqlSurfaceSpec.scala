@@ -80,6 +80,10 @@ class SqlSurfaceSpec extends SparkSuite {
       "q1_agg aggregation fell out of whole-stage codegen")
     assert(codegenContains(finalized("p_enrich_join"), "BroadcastHashJoin"),
       "enrich join fell out of whole-stage codegen")
+    // the dedup signature projection must be fused too (reference-object
+    // doGenCode, not CodegenFallback which would exclude the operator)
+    assert(codegenContains(finalized("t_minhash_sig"), "shinglehashes"),
+      "shingle-hash projection fell out of whole-stage codegen")
     // and no interpreted lambda functions in the similarity hot path
     val simPlan = SparkEntry.queries("t_similarity_topk")(spark, sf)
       .queryExecution.executedPlan.toString
