@@ -100,10 +100,26 @@ object Multimodal {
       (col("n_bytes") % 32 + 1).as("n_frames"))
   }
 
-  /** Resize/frame-sample stub: real impls transform payload bytes; the
-    * stub tags the target dims while preserving the media contract.
+  /** Resize stub: real impls transform payload bytes; the stub tags the
+    * target dims while preserving the media contract.
     */
   def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("media_type",
       concat(col("media_type"), lit(s";resized=${w}x$h")))
+
+  /** Frame sampling: one output row per sampled frame index — the
+    * video→training-examples explode shape. Frame count comes from the
+    * decode stub (n_frames); a real decoder swaps in actual frame
+    * extraction, the row-multiplication plumbing (explode over the
+    * sampled index sequence, payload carried by reference) is identical.
+    */
+  def frameSample(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val features = extractFeatures(media)
+    features.select(
+      col("media_id"),
+      explode(sequence(lit(0L), col("n_frames") - 1, lit(everyNth.toLong)))
+        .as("frame_idx"),
+      col("n_frames"), col("content_md5"))
+  }
 }

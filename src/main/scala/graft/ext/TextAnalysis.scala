@@ -18,10 +18,20 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
-  /** Whitespace tokenization — the corpus is single-space separated; a
-    * BPE-ish regex split is a one-line swap of the delimiter pattern.
-    */
+  /** Whitespace tokenization — the corpus is single-space separated. */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenization (the GPT-2-style pattern shape: common
+    * contractions, letter runs, digit runs, punctuation runs, each with
+    * optional leading space). No lookarounds, so the same pattern runs
+    * in Java regex and RE2 (the DuckDB oracle).
+    */
+  val BpePattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token count under the BPE-ish pattern. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

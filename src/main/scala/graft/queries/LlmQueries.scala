@@ -101,6 +101,18 @@ object LlmQueries {
           col("lang_id"), col("quality"))
     }.sortedBy(col("doc_id")),
 
+    // BPE-ish token counting next to whitespace counting (both engines
+    // run the identical lookaround-free pattern).
+    QueryDef("t_token_bpe",
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+    }.sortedBy(col("doc_id")),
+
     // Document fingerprint via the codegen'd PolyHash expression.
     QueryDef("t_fingerprint",
       s"""SELECT doc_id, ${polyhash("text")} AS fingerprint

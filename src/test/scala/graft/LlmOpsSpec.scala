@@ -135,6 +135,29 @@ class LlmOpsSpec extends SparkSuite {
       rows(Multimodal.extractFeatures(media)))
   }
 
+  test("frame sampling explodes one row per sampled frame") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, "x" * 70)).toDF("doc_id", "text"), "doc_id", "text",
+      mediaType = "video/fake")
+    // 70 bytes → n_frames = 70 % 32 + 1 = 7; every 2nd frame → 0,2,4,6
+    val frames = Multimodal.frameSample(media, everyNth = 2)
+      .select("frame_idx").as[Long].collect().sorted.toSeq
+    assert(frames == Seq(0L, 2L, 4L, 6L), s"got $frames")
+    intercept[IllegalArgumentException](Multimodal.frameSample(media, 0))
+  }
+
+  test("BPE-ish token count splits contractions and punctuation apart") {
+    import spark.implicits._
+    val docs = Seq((1L, "it's fast, really fast!")).toDF("doc_id", "text")
+    val (bpe, ws) = docs.select(
+      TextAnalysis.bpeTokenCount(col("text")),
+      TextAnalysis.tokenCount(col("text")))
+      .as[(Int, Int)].collect().head
+    // it|'s|fast|,|really|fast|! = 7 vs 4 whitespace tokens
+    assert(bpe == 7 && ws == 4, s"bpe=$bpe ws=$ws")
+  }
+
   test("text analysis classifies stopword-bearing text as en") {
     import spark.implicits._
     val docs = Seq(
