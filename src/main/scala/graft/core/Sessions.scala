@@ -18,6 +18,15 @@ import org.apache.spark.sql.SparkSession
   *    rejects. Only nanos-typed columns are affected.
   */
 object Sessions {
+
+  /** Per-JVM warehouse nonce: two concurrent entry points (e.g. `sbt
+    * test` and a Bench run) each get their own warehouse subdirectory,
+    * so Layout's delete-for-idempotence of `warehouse/<table>` can never
+    * clobber another JVM's bucketed data mid-query.
+    */
+  private val warehouseNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def build(appName: String, cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
@@ -28,7 +37,8 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/" +
+          s"$appName-$warehouseNonce")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,7 +33,9 @@ object Multimodal {
       col(idCol).cast("long").as("media_id"),
       lit(mediaType).as("media_type"),
       col(contentCol).cast("binary").as("payload"),
-      octet_length(col(contentCol)).cast("long").as("n_bytes"))
+      // null content → 0 bytes, not null: keeps n_bytes consistent with
+      // extractFeatures' empty-payload substitution on null rows
+      coalesce(octet_length(col(contentCol)), lit(0)).cast("long").as("n_bytes"))
 
   /** Extracted features row. width/height/n_frames come from the decode
     * stub; sha = content digest (real).
@@ -74,7 +76,9 @@ object Multimodal {
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty)
-            val nBytes = r.getLong(2)
+            // media frames not built by asMedia may carry null n_bytes;
+            // treat as 0 to match the empty-payload substitution above
+            val nBytes = if (r.isNullAt(2)) 0L else r.getLong(2)
             val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(payload)
             val (w, h, f) = decodeStub(payload)
             Row(id, nBytes, md5hex, w, h, f)
@@ -90,14 +94,15 @@ object Multimodal {
     // null payloads behave as empty ones — keeps this path value-
     // identical to extractFeatures (which substitutes Array.empty)
     val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
+    val nBytes = coalesce(col("n_bytes"), lit(0L))
     val fp = graft.functions.polyFingerprint(payload.cast("string"))
     media.select(
       col("media_id"),
-      col("n_bytes"),
+      nBytes.as("n_bytes"),
       md5(payload).as("content_md5"),
       (fp % 1280).as("width"),
       (fp % 720).as("height"),
-      (col("n_bytes") % 32 + 1).as("n_frames"))
+      (nBytes % 32 + 1).as("n_frames"))
   }
 
   /** Resize stub: real impls transform payload bytes; the stub tags the

@@ -34,16 +34,23 @@ final case class EsBulkNdjsonSink(
     val stamped = EsBulkNdjsonSink.withIngestTs(df, ingestTsField)
     val keyed = stamped.withColumn("__id", col(idCol).cast("string"))
     // errors.tolerance=all analog: null/missing doc id → dead letter.
+    // Ids containing control characters also dead-letter: they cannot
+    // appear verbatim in a JSON action line (quotes/backslashes are
+    // escaped by bulkLines; control chars would need \u escapes and are
+    // malformed keys in practice).
     // overwrite the epoch directory, not append: Structured Streaming
     // re-runs an epoch after a crash-before-commit, and the SinkDef
     // contract requires replays to be idempotent — append would
     // duplicate every record of the replayed batch
-    val bad = keyed.filter(col("__id").isNull)
+    val bad = keyed.filter(
+      col("__id").isNull || col("__id").rlike("[\\x00-\\x1f]"))
     deadLetterDir.foreach { dl =>
       bad.select(to_json(struct(df.columns.map(col): _*)).as("value"))
         .write.mode("overwrite").text(s"$dl/epoch=$epochId")
     }
-    EsBulkNdjsonSink.bulkLines(keyed.filter(col("__id").isNotNull), index, "__id")
+    val good = keyed.filter(
+      col("__id").isNotNull && !col("__id").rlike("[\\x00-\\x1f]"))
+    EsBulkNdjsonSink.bulkLines(good, index, "__id")
       .select(concat_ws("\n", col("action"), col("doc")).as("value"))
       .write.mode("overwrite").text(s"$dir/epoch=$epochId")
   }
@@ -63,6 +70,14 @@ object EsBulkNdjsonSink {
   def iso8601(c: Column): Column =
     date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
+  /** JSON-string-escape a column: backslash first, then double quote —
+    * an id like `a"b\c` emits `a\"b\\c` inside the action line instead
+    * of corrupting the whole NDJSON bulk request. (Control characters
+    * are dead-lettered upstream by writeBatch, not escaped here.)
+    */
+  def jsonEscape(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
   /** The pure bulk-format transformation: one row in → ES bulk action +
     * document JSON out. Doc id from `idCol` (Kafka-key-as-id, K1).
     * All timestamp columns serialize ISO-8601 per the template rule.
@@ -77,7 +92,7 @@ object EsBulkNdjsonSink {
     }
     df.select(
       concat(lit(s"""{"index":{"_index":"$index","_id":""""),
-        col(idCol).cast("string"), lit("\"}}")).as("action"),
+        jsonEscape(col(idCol).cast("string")), lit("\"}}")).as("action"),
       to_json(struct(serialized: _*)).as("doc"))
   }
 }
