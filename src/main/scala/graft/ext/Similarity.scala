@@ -93,26 +93,26 @@ object Similarity {
 
   // ── LSH scale path ─────────────────────────────────────────────────
 
-  /** Deterministic pseudo-random hyperplane weight for (table, plane,
-    * dim): ±1 from the parity of a small integer hash — reproducible
-    * anywhere, no RNG state.
+  /** All (table, plane) sign-buckets of a vector in one fused native
+    * pass: element t is table t's bucket (see
+    * [[graft.functions.LshBuckets]] for numerics + null semantics;
+    * [[lshBucketHof]] is the declarative spec it is tested against).
     */
-  private def planeWeight(table: Int, plane: Int, dim: Int): Double = {
-    var h = 1125899906842597L
-    h = h * 31 + table; h = h * 31 + plane; h = h * 31 + dim
-    h = h ^ (h >>> 33); h = h * 0xff51afd7ed558ccdL; h = h ^ (h >>> 33)
-    if ((h & 1L) == 0L) 1.0 else -1.0
-  }
+  def lshAllBuckets(vec: Column, tables: Int, planes: Int, dims: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.LshBuckets(
+        org.apache.spark.sql.graft.Bridge.expression(vec), tables, planes, dims))
 
   /** Sign-bucket of a vector under `planes` random hyperplanes (one
-    * hash table): bit p is the sign of <plane_p, v>. The plane is a
-    * single ARRAY literal and the projection a zip_with/aggregate fold —
-    * a ~10-node expression per plane instead of `dims` explicit terms,
-    * keeping codegen fast at any dimensionality.
+    * hash table): bit p is the sign of <plane_p, v>. The declarative
+    * higher-order-function formulation — semantically identical to one
+    * slot of [[lshAllBuckets]] but interpreted per row per plane; kept
+    * as the executable spec the native expression is tested against.
     */
-  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
+  def lshBucketHof(vec: Column, table: Int, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val weights = typedLit((0 until dims).map(d => planeWeight(table, p, d)))
+      val weights = typedLit((0 until dims).map(d =>
+        graft.functions.LshBuckets.planeWeight(table, p, d)))
       val proj = aggregate(
         zip_with(vec, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
@@ -121,19 +121,14 @@ object Similarity {
 
   /** (table, bucket) pairs for `tables` independent hash tables —
     * classic multi-table LSH: recall = 1-(1-p^planes)^tables, tuned by
-    * the two knobs. Emits one row per table via explode.
+    * the two knobs. One fused bucket computation per row, then one row
+    * per table via posexplode (pos = table index).
     */
   def lshTableBuckets(df: DataFrame, tables: Int, planes: Int, dims: Int,
-                      vecCol: String): DataFrame = {
-    val entries = array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        lshBucket(col(vecCol), t, planes, dims).as("bucket"))
-    }: _*)
-    df.withColumn("tb", explode(entries))
-      .withColumn("tbl", col("tb.tbl"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
-  }
+                      vecCol: String): DataFrame =
+    df.select(col("*"),
+      posexplode(lshAllBuckets(col(vecCol), tables, planes, dims))
+        .as(Seq("tbl", "bucket")))
 
   /** ANN top-k: candidates = union over hash tables of the query's
     * bucket, deduped, then exact cosine rerank. The join is an equi-join

@@ -57,6 +57,34 @@ object LlmOracle {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** CTEs reproducing [[graft.ext.Similarity.lshTableBuckets]] exactly:
+    * the ±1 hyperplane weights are materialized from the SAME
+    * `LshBuckets.planeWeight` constants the native expression uses (one
+    * source of truth), and each projection is a left-to-right
+    * `list_sum(list_transform(...))` fold — bit-identical to the fused
+    * expression's double accumulation, so sign buckets agree exactly.
+    * Yields `buckets(vec_id, tbl, bucket)` over the embeddings table.
+    */
+  def lshBucketsCte(tables: Int, planes: Int, dims: Int): String = {
+    val rows = (for (t <- 0 until tables; p <- 0 until planes) yield {
+      val ws = (0 until dims).map(d =>
+        if (graft.functions.LshBuckets.planeWeight(t, p, d) > 0) "1" else "-1")
+      s"($t, $p, ${ws.mkString("[", ",", "]")}::DOUBLE[])"
+    }).mkString(",\n  ")
+    s"""w(tbl, plane, wv) AS (VALUES
+       |  $rows),
+       |proj AS (
+       |  SELECT e.vec_id, w.tbl, w.plane,
+       |         list_sum(list_transform(generate_series(1, $dims),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS proj
+       |  FROM embeddings e CROSS JOIN w),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |         CAST(SUM(CASE WHEN proj >= 0 THEN 1 << plane ELSE 0 END)
+       |              AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, tbl)""".stripMargin
+  }
+
   val stopwordList: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 }
@@ -224,12 +252,35 @@ object LlmQueries {
         Seq(0L, 1L, 2L, 3L, 4L), 10)
     }.sortedBy(col("query_id"), col("rank")),
 
-    // ANN (LSH-bucketed) variant: no SQL oracle — recall vs exact top-k
-    // is asserted in the test suite; the driver checks rows>0.
-    QueryDef.rowsOnly("t_ann_lsh") { (s, d) =>
+    // ANN (LSH-bucketed) variant, fully oracle-checked: the DuckDB side
+    // reproduces the sign buckets from the same planeWeight constants
+    // (lshBucketsCte), then the same candidate join + exact rerank.
+    // Recall vs exact top-k is additionally asserted in the test suite.
+    QueryDef("t_ann_lsh",
+      s"""WITH ${lshBucketsCte(tables = 8, planes = 4, dims = 64)},
+         |q AS (
+         |  SELECT tbl, bucket, vec_id AS query_id
+         |  FROM buckets WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+         |  FROM buckets b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+         |  WHERE b.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, planes = 4, dims = 64)
-    },
+    }.sortedBy(col("query_id"), col("rank")),
 
     // IVF variant (deterministic coarse centroids + nProbe cell probing
     // + exact rerank through the TopKPerKey operator). rows-only: recall
@@ -241,15 +292,28 @@ object LlmQueries {
     },
 
     // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed
-    // candidates ≥ threshold. rows-only; pair semantics covered by the
-    // planted-duplicate test in LlmOpsSpec.
+    // candidates ≥ threshold, oracle-checked end-to-end (bucket
+    // reproduction + canonical pair join + exact cosine cut).
     // 7 planes = 128 buckets: candidate volume scales as n²/2^planes per
     // table — too few planes floods the rerank (3 planes ≈ 25M pairs at
     // sf0.1, ~12s; 7 planes ≈ 0.8M, sub-second).
-    QueryDef.rowsOnly("t_embed_neardup") { (s, d) =>
+    QueryDef("t_embed_neardup",
+      s"""WITH ${lshBucketsCte(tables = 8, planes = 7, dims = 64)},
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM buckets l JOIN buckets r
+         |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(${cosine("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.25
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d),
         threshold = 0.25, planes = 7, dims = 64)
-    },
+    }.sortedBy(col("id_a"), col("id_b")),
 
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",

@@ -92,6 +92,35 @@ class NativeExprSpec extends SparkSuite {
     assert(both.count() > 0)
   }
 
+  test("native fused LSH buckets are identical to the HOF formulation on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (tables, planes, dims) = (8, 7, 64)
+    val hof = array((0 until tables).map(t =>
+      Similarity.lshBucketHof(col("embedding"), t, planes, dims)): _*)
+    val both = emb.select(
+      Similarity.lshAllBuckets(col("embedding"), tables, planes, dims).as("native"),
+      hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+
+    // shape edges, mirroring the HOF's null-projection collapse:
+    // wrong length or a null element → all-zero buckets; null vec → null
+    import spark.implicits._
+    val edges = Seq(
+      ("short", Seq[java.lang.Float](1.0f, 2.0f)),
+      ("nullelem", Seq[java.lang.Float](null) ++
+        (1 until dims).map(i => java.lang.Float.valueOf(i.toFloat))),
+      ("nullvec", null: Seq[java.lang.Float]))
+      .toDF("tag", "v")
+    val out = edges.select(col("tag"),
+      Similarity.lshAllBuckets(col("v"), 2, 3, dims).as("b"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+    assert(out("short").contains(Seq(0L, 0L)))
+    assert(out("nullelem").contains(Seq(0L, 0L)))
+    assert(out("nullvec").isEmpty)
+  }
+
   test("SQL surface: polyhash and cosine_sim registered via GraftExtensions") {
     val fp = spark.sql("SELECT polyhash('abc') AS fp").collect().head.getLong(0)
     // 'a'=97,'b'=98,'c'=99: ((97*31+98)*31+99) % (2^31-1)
