@@ -176,27 +176,92 @@ object Similarity {
       k, Bridge.logicalPlan(scored)))
   }
 
+  /** Deterministic coarse-quantizer training for IVF: `k` hash-sampled
+    * seed vectors refined by one Lloyd iteration — a real k-means step,
+    * with every source of nondeterminism removed so the DuckDB oracle
+    * reproduces the centroids bit-for-bit:
+    *
+    *  - seeds = the k corpus vectors with smallest
+    *    (polyhash(idString), id) — a reproducible pseudo-random sample,
+    *    no RNG state (lowest-id selection would bias toward however the
+    *    generator ordered the data; the hash decorrelates);
+    *  - assignment = nearest seed by raw-double cosine, centroid-id
+    *    tiebreak (bit-identical folds cross-engine);
+    *  - update = element-wise mean via ORDER-INDEPENDENT quantized
+    *    integer sums: each coordinate rounds to round(x·1e6) (exact
+    *    BIGINT), sums exactly under any row/partition order, and divides
+    *    back as one IEEE double division. A naive double sum would give
+    *    partition-order-dependent low bits and poison every downstream
+    *    hash compare.
+    *
+    * Returns (cell, cvec: array<double>). Cells that capture no vectors
+    * disappear (standard Lloyd behavior); seeds always capture
+    * themselves, so the result has k cells unless seeds are duplicates.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val seeds = corpus
+      .withColumn("__h", graft.functions.polyFingerprint(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(k)
+      .select(col(idCol).as("cell"), col(vecCol).as("svec"))
+    val seedScored = corpus.join(broadcast(seeds))
+      .select(col(idCol).as("query_id"), col(vecCol),
+        col("cell").as("__cand"), cosine(col(vecCol), col("svec")).as("cos"))
+    val a0 = topKOperator(seedScored, 1, "__cand")
+      .select(col("__cand").as("cell"), col(vecCol))
+    // quantized element-wise mean, grouped per (cell, dim)
+    val coords = a0
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("cell"), col("d"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("q"))
+      .groupBy("cell", "d")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("cell"), col("d"),
+        (col("sq").cast("double") / (col("n").cast("double") * 1e6)).as("c"))
+    coords.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest coarse centroid (the inverted lists); each query probes its
     * `nProbe` nearest centroids and reranks exactly within those lists.
-    *
-    * Centroids here are the `centroids` lowest-id corpus vectors — a
-    * deterministic stand-in for a k-means training step (pluggable; the
-    * operator shape is identical). Probing all cells (nProbe =
-    * centroids) degenerates to exact brute force, which the test suite
-    * asserts. Every stage is a broadcast or cell equi-join + the
-    * TopKPerKey operator — no all-pairs product, no global sort.
+    * Centroids come from [[trainCentroids]] (deterministic k-means).
+    * Probing all cells (nProbe = centroids) degenerates to exact brute
+    * force, which the test suite asserts. Every stage is a broadcast or
+    * cell equi-join + the TopKPerKey operator — no all-pairs product,
+    * no global sort.
     */
   def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
               centroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(corpus, trainCentroids(corpus, centroids, idCol, vecCol),
+      queryIds, k, nProbe, idCol, vecCol)
+
+  /** The untrained round-2 stand-in (centroids = the `centroids`
+    * lowest-id corpus vectors, no Lloyd step) — kept only as the
+    * comparison baseline for the k-means recall test in LlmOpsSpec.
+    */
+  def ivfTopKStatic(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                    centroids: Int = 16, nProbe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(centroids)
-      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+      .select(col(idCol).as("cell"), col(vecCol).cast("array<double>").as("cvec"))
+    ivfSearch(corpus, cents, queryIds, k, nProbe, idCol, vecCol)
+  }
+
+  /** The IVF search phase over a trained quantizer `cents(cell, cvec)`:
+    * inverted-list assignment, nProbe probing, exact rerank — all
+    * broadcast/equi-joins + TopKPerKey.
+    */
+  def ivfSearch(corpus: DataFrame, cents: DataFrame, queryIds: Seq[Long],
+                k: Int, nProbe: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
     // inverted lists: nearest centroid per corpus vector (top-1 per key)
     val assignScored = corpus
       .join(broadcast(cents))
       .select(col(idCol).as("query_id"), col(vecCol),
-        col("cell").as(s"__cand"), cosine(col(vecCol), col("cvec")).as("cos"))
+        col("cell").as("__cand"), cosine(col(vecCol), col("cvec")).as("cos"))
     val assigned = topKOperator(assignScored, 1, "__cand")
       .select(col("query_id").as(idCol), col(vecCol),
         col("__cand").as("cell"))

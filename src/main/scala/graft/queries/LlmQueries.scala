@@ -87,6 +87,55 @@ object LlmOracle {
 
   val stopwordList: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** CTEs reproducing [[graft.ext.Similarity.trainCentroids]] +
+    * [[graft.ext.Similarity.ivfSearch]] exactly: hash-sampled seeds
+    * (same polyhash), raw-double cosine assignment with cell tiebreak,
+    * and the one Lloyd refinement whose element-wise mean is
+    * order-independent quantized-integer arithmetic — every double on
+    * the DuckDB side is produced by the same IEEE operation sequence as
+    * the Spark side, so centroids (and therefore cells, probes, and
+    * candidates) agree bit-for-bit. Yields `assigned(vec_id, cell)` and
+    * `probes(query_id, cell)`.
+    */
+  def ivfCtes(k: Int, nProbe: Int, queryPred: String): String =
+    s"""seeds AS (
+       |  SELECT vec_id AS cell, embedding AS svec
+       |  FROM embeddings
+       |  ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $k),
+       |s0 AS (
+       |  SELECT e.vec_id, e.embedding, s.cell,
+       |         ${cosine("e.embedding", "s.svec")} AS cos
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |a0 AS (
+       |  SELECT cell, embedding FROM (
+       |    SELECT cell, embedding,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY cos DESC, cell) AS rn
+       |    FROM s0) WHERE rn = 1),
+       |upd AS (
+       |  SELECT cell, g.i,
+       |         CAST(SUM(CAST(round(CAST(embedding[g.i] AS DOUBLE)
+       |                * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS c
+       |  FROM a0 CROSS JOIN generate_series(1, 64) AS g(i)
+       |  GROUP BY cell, g.i),
+       |cents AS (SELECT cell, list(c ORDER BY i) AS cvec
+       |          FROM upd GROUP BY cell),
+       |sc AS (
+       |  SELECT e.vec_id, c.cell,
+       |         ${cosine("e.embedding", "c.cvec")} AS cos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY cos DESC, cell) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY cos DESC, cell) AS rn
+       |    FROM sc WHERE $queryPred) WHERE rn <= $nProbe)""".stripMargin
 }
 
 /** LLM-data-pipeline operators as oracle-verified queries (BASELINE
@@ -282,14 +331,34 @@ object LlmQueries {
         k = 10, planes = 4, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
-    // IVF variant (deterministic coarse centroids + nProbe cell probing
-    // + exact rerank through the TopKPerKey operator). rows-only: recall
-    // and the probe-all-cells==brute-force degeneration are asserted in
-    // the test suite.
-    QueryDef.rowsOnly("t_ann_ivf") { (s, d) =>
+    // IVF variant (deterministic k-means coarse quantizer + nProbe cell
+    // probing + exact rerank through the TopKPerKey operator), fully
+    // oracle-checked: the DuckDB side retrains the same centroids
+    // (ivfCtes) and replays the same search. Recall and the
+    // probe-all-cells==brute-force degeneration are additionally
+    // asserted in the test suite.
+    QueryDef("t_ann_ivf",
+      s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5")},
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, centroids = 16, nProbe = 6)
-    },
+    }.sortedBy(col("query_id"), col("rank")),
 
     // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed
     // candidates ≥ threshold, oracle-checked end-to-end (bucket

@@ -86,6 +86,39 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("trained k-means centroids strictly beat the static lowest-id stand-in on recall") {
+    import spark.implicits._
+    // The driver corpus is isotropic (measured intra-label avg cos
+    // ≈ 0.003 vs inter ≈ 0.000): on structureless vectors NO coarse
+    // quantizer can beat another, so the training win is asserted on a
+    // corpus with real (planted, deterministic) cluster structure —
+    // 16 Gaussian clusters whose members' exact neighbours are
+    // intra-cluster. Static lowest-id centroids cover only the clusters
+    // ids 0..15 happen to land in; the Lloyd step moves the sampled
+    // seeds toward actual cluster means.
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    val rows = (0 until 400).map { i =>
+      val c = centers(rnd.nextInt(16))
+      (i.toLong, c.map(v => (v + 0.6 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val ids = (0L until 10L).toSeq
+    val exact = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // nProbe=1 is the discriminating setting: an edge-sitting static
+    // centroid splits its cluster across cells, and single-probe search
+    // misses the far half; a mean-sitting trained centroid does not.
+    val trained = recallOf(Similarity.ivfTopK(emb, ids, 10, centroids = 16, nProbe = 1))
+    val static0 = recallOf(Similarity.ivfTopKStatic(emb, ids, 10, centroids = 16, nProbe = 1))
+    assert(trained > static0,
+      s"k-means recall $trained does not strictly beat static stand-in $static0")
+  }
+
   test("embedding near-dups: planted duplicate vector found, pairs canonical") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
