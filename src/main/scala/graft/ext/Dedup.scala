@@ -122,17 +122,16 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact n-gram Jaccard verification over candidate pairs only:
-    * intersection/union sizes of the distinct shingle-hash sets.
+  /** Exact n-gram Jaccard verification over candidate pairs only, from
+    * PRE-MATERIALIZED features (the output of [[features]], read back
+    * from a table/checkpoint): intersection/union sizes of the distinct
+    * shingle-hash sets. The feature frame is consumed by four plan
+    * branches (band self-join l/r + hash re-attach a/b); feeding a
+    * materialized frame means the signature stage runs zero times here —
+    * at pipeline scale, write `features(docs)` once and pass it in.
     */
-  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", n: Int = 3,
-                   numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    // deliberately NOT cached here: a cache() inside a lazy builder can
-    // never be unpersisted and pins storage for the session. At pipeline
-    // scale, materialize features(docs) once (table/checkpoint) and feed
-    // that; here the recompute is a narrow map stage.
-    val feats = features(docs, idCol, textCol, n)
+  def nearDupPairsFromFeatures(feats: DataFrame, idCol: String = "doc_id",
+                               numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val cands = lshCandidates(feats, idCol, numBands, rowsPerBand)
     val ha = feats.select(col(idCol).as("doc_a"), col("hashes").as("ha"))
     val hb = feats.select(col(idCol).as("doc_b"), col("hashes").as("hb"))
@@ -141,6 +140,26 @@ object Dedup {
       .withColumn("uni", (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
       .select("doc_a", "doc_b", "inter", "uni")
   }
+
+  /** One-shot near-dup pipeline: evaluates the signature stage exactly
+    * ONCE per document via an eager local checkpoint, then runs
+    * [[nearDupPairsFromFeatures]] over the materialized frame. Catalyst
+    * has no cross-branch common-subexpression reuse, so without
+    * materialization the four consuming branches would each recompute
+    * ShingleHashes+MinHashSig (~4× per doc — the round-2 shape). A
+    * localCheckpoint (executor-local blocks, lineage truncated) is
+    * transient: the ContextCleaner releases the blocks once the frame is
+    * unreferenced — unlike a `cache()` inside a lazy builder, which pins
+    * storage for the session with no owner to unpersist it. At pipeline
+    * scale, prefer writing [[features]] to a real table and calling
+    * [[nearDupPairsFromFeatures]] directly.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3,
+                   numBands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    nearDupPairsFromFeatures(
+      features(docs, idCol, textCol, n).localCheckpoint(),
+      idCol, numBands, rowsPerBand)
 
   /** Exact dedup: representative (min id) + multiplicity per distinct
     * key — one hash aggregation, map-side combined.

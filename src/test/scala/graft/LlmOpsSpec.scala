@@ -86,6 +86,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("near-dup signature stage evaluates once per document, not per plan branch") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    // the convenience path materializes features once: zero
+    // ShingleHashes/MinHashSig evaluations remain in the pair plan
+    val pairs = Dedup.nearDupPairs(docs)
+    val plan = pairs.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("shinglehashes"), plan)
+    assert(!plan.contains("minhashsig"), plan)
+    // whereas an unmaterialized feature frame recomputes per branch
+    val lazyPlan = Dedup.nearDupPairsFromFeatures(Dedup.features(docs))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(lazyPlan.contains("shinglehashes"))
+    // both shapes produce identical pairs
+    assert(rows(pairs) == rows(Dedup.nearDupPairsFromFeatures(Dedup.features(docs))))
+    assert(rows(pairs).nonEmpty)
+  }
+
   test("trained k-means centroids strictly beat the static lowest-id stand-in on recall") {
     import spark.implicits._
     // The driver corpus is isotropic (measured intra-label avg cos
