@@ -49,9 +49,10 @@ object Multimodal {
     .add("n_frames", LongType)
 
   /** STUB decode: deterministic fake dimensions derived from the payload
-    * polynomial hash — stands in for an image/audio codec call. A real
-    * implementation replaces ONLY this function; everything around it
-    * (batching, schema, partitioning) is production plumbing.
+    * polynomial hash — stands in for codecs the JDK does not ship
+    * (audio/video). Image payloads take the REAL [[decodeImage]] path;
+    * everything around either decoder (batching, schema, partitioning)
+    * is the same production plumbing.
     */
   def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     var acc = 0L
@@ -63,13 +64,25 @@ object Multimodal {
     (acc % 1280, acc % 720, payload.length % 32 + 1)
   }
 
+  /** REAL image decode via the JDK's javax.imageio (PNG/BMP/JPEG/GIF
+    * readers ship with the JRE): true (width, height, 1 frame), or None
+    * when the bytes are not a decodable image (caller falls back to the
+    * stub, mirroring a production pipeline's corrupt-sample policy).
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Long, Long, Long)] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth.toLong, img.getHeight.toLong, 1L))
+    catch { case _: Exception => None }
+
   /** Batched per-partition feature extraction. `batchSize` mirrors a
     * vectorized UDF's arrow-batch shape: a real codec amortizes model /
-    * library init per batch, not per row.
+    * library init per batch, not per row. Image-typed payloads decode
+    * for real (javax.imageio); other media types use the stub.
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = Encoders.row(featureSchema)
-    media.select("media_id", "payload", "n_bytes")
+    media.select("media_id", "payload", "n_bytes", "media_type")
       .mapPartitions { rows: Iterator[Row] =>
         rows.grouped(batchSize).flatMap { batch =>
           // one "codec init" per batch would go here
@@ -79,8 +92,12 @@ object Multimodal {
             // media frames not built by asMedia may carry null n_bytes;
             // treat as 0 to match the empty-payload substitution above
             val nBytes = if (r.isNullAt(2)) 0L else r.getLong(2)
+            val mediaType = if (r.isNullAt(3)) "" else r.getString(3)
             val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(payload)
-            val (w, h, f) = decodeStub(payload)
+            val (w, h, f) =
+              if (mediaType.startsWith("image/"))
+                decodeImage(payload).getOrElse(decodeStub(payload))
+              else decodeStub(payload)
             Row(id, nBytes, md5hex, w, h, f)
           }
         }
@@ -89,13 +106,20 @@ object Multimodal {
 
   /** Column-only metadata projection (no mapPartitions) — md5/length/
     * stub-dims as pure expressions, for the oracle-verified surface.
+    * Value-identical to [[extractFeatures]] for every non-image media
+    * type (tested); image-typed rows get real decoded dims there and
+    * stub dims here.
     */
   def metadata(media: DataFrame): DataFrame = {
     // null payloads behave as empty ones — keeps this path value-
     // identical to extractFeatures (which substitutes Array.empty)
     val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
     val nBytes = coalesce(col("n_bytes"), lit(0L))
-    val fp = graft.functions.polyFingerprint(payload.cast("string"))
+    // raw-byte fingerprint (PolyHash binary overload): identical to the
+    // string path on UTF-8 text, and — unlike a binary→string cast,
+    // which substitutes replacement chars — identical to decodeStub's
+    // raw-byte hash on arbitrary binary payloads too
+    val fp = graft.functions.polyFingerprint(payload)
     media.select(
       col("media_id"),
       nBytes.as("n_bytes"),

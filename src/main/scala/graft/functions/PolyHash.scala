@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic polynomial rolling-hash fingerprint of a string:
@@ -23,14 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() =
-    if (child.dataType == StringType)
+    if (child.dataType == StringType || child.dataType == BinaryType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"polyhash needs a string argument, got ${child.dataType}")
+        s"polyhash needs a string or binary argument, got ${child.dataType}")
+
+  // binary input hashes its raw bytes — identical to the string path on
+  // UTF-8 text, and free of the binary→string cast's replacement-char
+  // substitution on non-UTF-8 payloads (the multimodal trap)
+  private def isBinary: Boolean = child.dataType == BinaryType
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val bytes =
+      if (isBinary) input.asInstanceOf[Array[Byte]]
+      else input.asInstanceOf[UTF8String].getBytes
     var acc = 0L
     var i = 0
     while (i < bytes.length) {
@@ -45,8 +52,9 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       val bytes = ctx.freshName("bytes")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val src = if (isBinary) c else s"$c.getBytes()"
       s"""
-         |byte[] $bytes = $c.getBytes();
+         |byte[] $bytes = $src;
          |long $acc = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
          |  $acc = ($acc * 31L + ($bytes[$i] & 0xffL)) % 2147483647L;

@@ -185,6 +185,54 @@ class LlmOpsSpec extends SparkSuite {
       rows(Multimodal.extractFeatures(media)))
   }
 
+  test("multimodal: real PNG/BMP payloads decode true dimensions via javax.imageio") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, "image/png", imageBytes("png", 17, 9)),
+      (2L, "image/bmp", imageBytes("bmp", 5, 23)),
+      (3L, "image/png", "not an image at all".getBytes("UTF-8")),
+      (4L, "audio/wav", "no codec shipped".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val out = Multimodal.extractFeatures(media)
+      .select("media_id", "width", "height", "n_frames")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 17L, 9L, 1L)))
+    assert(out(2L) == ((2L, 5L, 23L, 1L)))
+    // undecodable image bytes fall back to the deterministic stub
+    val stub3 = Multimodal.decodeStub("not an image at all".getBytes("UTF-8"))
+    assert(out(3L) == ((3L, stub3._1, stub3._2, stub3._3)))
+    // non-image media types use the stub (no JDK codec)
+    val stub4 = Multimodal.decodeStub("no codec shipped".getBytes("UTF-8"))
+    assert(out(4L) == ((4L, stub4._1, stub4._2, stub4._3)))
+  }
+
+  test("raw-byte fingerprint: binary polyhash equals string polyhash on text, differs from cast on non-UTF-8") {
+    import spark.implicits._
+    val df = Seq("plain ascii text", "unicode ÿ é").toDF("s")
+    val both = df.select(
+      graft.functions.polyFingerprint(col("s")).as("str"),
+      graft.functions.polyFingerprint(col("s").cast("binary")).as("bin"))
+    assert(both.filter(col("str") =!= col("bin")).count() == 0)
+    // a non-UTF-8 byte sequence: raw-byte hash matches decodeStub's
+    // accumulator; a string-cast hash would see replacement chars
+    val raw = Array[Byte](0x00, -1, -2, 0x41)
+    val viaExpr = Seq(Tuple1(raw)).toDF("b")
+      .select(graft.functions.polyFingerprint(col("b")).as("fp"))
+      .collect().head.getLong(0)
+    assert(viaExpr % 1280 == Multimodal.decodeStub(raw)._1)
+    assert(viaExpr % 720 == Multimodal.decodeStub(raw)._2)
+  }
+
   test("frame sampling explodes one row per sampled frame") {
     import spark.implicits._
     val media = Multimodal.asMedia(
