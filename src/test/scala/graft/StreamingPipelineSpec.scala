@@ -116,4 +116,52 @@ class StreamingPipelineSpec extends SparkSuite {
       assert(seen(101L) == "Rick Astley")
     } finally q.stop()
   }
+
+  test("S4+J1 full topology: LatestByKey changelog feeds the enrich join; mid-stream update lands next micro-batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-chlog").toString
+    val dimDir = s"$base/dim"
+    def cv(id: Int, fn: String, ln: String, at: String) =
+      CustDimVersion(id, fn, ln, s"c$id@example.test", "platinum", ts(at))
+    // seed the dim store with the initial table (incl. the reference's
+    // customer 42, Rica Blaisdell — README.md:201–210)
+    graft.streaming.ChangelogDim.seed(
+      Seq(cv(42, "Rica", "Blaisdell", "2024-01-01 00:00:00"),
+        cv(7, "Seven", "Of9", "2024-01-01 00:00:00")).toDF(), "id", dimDir)
+
+    val custMs = MemoryStream[CustDimVersion]
+    val maintainQ = graft.streaming.ChangelogDim.maintain(
+      custMs.toDF(), "id", "ts", dimDir, s"$base/cp_dim")
+    val ratingsMs = MemoryStream[Rating]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val joinQ = graft.streaming.ChangelogDim.joinEachBatch(
+      ratingsMs.toDF(), dimDir, s"$base/cp_join",
+      (facts, dim) => RatingsOps.enrich(facts, dim)) { (joined, _) =>
+      joined.select("RATING_ID", "FULL_NAME").collect()
+        .foreach(r => out.add((r.getLong(0), r.getString(1))))
+    }
+    try {
+      ratingsMs.addData(Rating(100, 42, 1.0, "ios", "meh", ts("2024-01-01 10:00:00")))
+      joinQ.processAllAvailable()
+      // the probe: UPDATE customer 42 → Rick Astley, THROUGH the
+      // changelog stream (not a dim rewrite from the outside)
+      custMs.addData(cv(42, "Rick", "Astley", "2024-01-01 12:00:00"))
+      maintainQ.processAllAvailable()
+      ratingsMs.addData(Rating(101, 42, 2.0, "ios", "still meh", ts("2024-01-01 10:01:00")))
+      joinQ.processAllAvailable()
+      // an untouched key must survive the partial upsert
+      ratingsMs.addData(Rating(102, 7, 5.0, "web", "hi", ts("2024-01-01 10:02:00")))
+      joinQ.processAllAvailable()
+
+      val seen = out.toArray(Array.empty[(Long, String)]).toMap
+      assert(seen(100L) == "Rica Blaisdell", seen)
+      assert(seen(101L) == "Rick Astley", seen)
+      assert(seen(102L) == "Seven Of9", seen)
+    } finally { maintainQ.stop(); joinQ.stop() }
+  }
 }
+
+final case class CustDimVersion(id: Int, first_name: String, last_name: String,
+                                email: String, club_status: String,
+                                ts: java.sql.Timestamp)
