@@ -51,6 +51,25 @@ object Layout {
     df.withColumn("p_date", to_date(col(tsCol)))
       .write.mode("overwrite").partitionBy("p_date").parquet(dir)
 
+  /** Trailing window over a date-partitioned store with a LITERAL date
+    * cut, so pruning happens at file-listing time: the anchor is fetched
+    * once as a scalar (one footer-stats max, the "what time is it on the
+    * dashboard" lookup), then both filters fold to constants — explain
+    * shows PartitionFilters on p_date and the scan never lists, let
+    * alone reads, older partitions. Contrast
+    * [[graft.ops.RatingsOps.recentWindow]], whose subquery anchor keeps
+    * the cut non-foldable (a full-scan filter at 100 TB).
+    */
+  def recentWindowPruned(spark: SparkSession, dir: String, tsCol: String,
+                         minutes: Int): DataFrame = {
+    val store = spark.read.parquet(dir)
+    val anchor = store.agg(max(col(tsCol))).head.getTimestamp(0)
+    val cut = lit(anchor) - expr(s"INTERVAL $minutes MINUTES")
+    store
+      .filter(col("p_date") >= to_date(cut) && col(tsCol) >= cut)
+      .drop("p_date")
+  }
+
   /** Salted equi-join for skewed keys: replicate the (small-enough)
     * right side `salt` times and scatter the left side's hot keys across
     * salt sub-partitions. Result is identical to `left.join(right, key)`;

@@ -41,13 +41,18 @@ object RatingsOps {
     * so unlike ksqlDB's internal repartition topic there is NO shuffle of
     * the fact stream at any scale. We add an explicit `broadcast` hint so
     * the plan survives even when dim-side size estimates are off.
+    * `broadcastDim = false` is the escape hatch for a customers side too
+    * large to build on the driver (e.g. a full CDC snapshot): the hint is
+    * dropped and AQE picks shuffled-hash/sort-merge from runtime sizes.
     */
   def enrich(ratings: DataFrame, customers: DataFrame,
-             dropUnmatched: Boolean = true): DataFrame = {
+             dropUnmatched: Boolean = true,
+             broadcastDim: Boolean = true): DataFrame = {
     val r = ratings.alias("r")
-    val c = customers.alias("c")
+    val c0 = customers.alias("c")
+    val c = if (broadcastDim) broadcast(c0) else c0
     val joined = r.join(
-      broadcast(c),
+      c,
       col("r.USER_ID").cast("string") === col("c.id").cast("string"),
       "left_outer")
     val projected = joined.select(

@@ -47,6 +47,22 @@ object ParityQueries {
   private def lc(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
+  /** Date-partitioned copy of the ratings shape for the pruned dashboard
+    * variant: written once per (JVM warehouse, sf dir). The corpus is
+    * immutable and the warehouse per-JVM, so an existing _SUCCESS marker
+    * skips the rewrite — the bench then measures the pruned READ, not a
+    * repeated one-time layout job.
+    */
+  def datePartitionedRatings(s: SparkSession, d: String): String = {
+    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/ratings_by_date_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      graft.core.Layout.writeDatePartitioned(ratings(s, d), dir, "ts")
+    dir
+  }
+
   // Shared oracle CTE prelude mirroring the adapters above.
   private val prelude = ParityOracle.prelude
 
@@ -154,6 +170,21 @@ object ParityQueries {
           |WHERE ts >= (SELECT max(ts) FROM ratings) - INTERVAL 360 MINUTE
           |ORDER BY rating_id""".stripMargin) { (s, d) =>
       lc(RatingsOps.recentWindow(ratings(s, d), "ts", 360))
+        .select("rating_id", "user_id", "stars", "channel", "ts")
+    }.sortedBy(col("rating_id")),
+
+    // A9 scale variant: the SAME trailing window over a DATE-PARTITIONED
+    // store with a literal anchor — the executed plan prunes at the file
+    // listing (PartitionFilters on p_date, proven in LayoutSpec), where
+    // p_recent_window's subquery anchor must scan every partition.
+    // Shares p_recent_window's oracle: results must be identical.
+    QueryDef("p_recent_window_pruned",
+      prelude +
+        """SELECT rating_id, user_id, stars, channel, ts FROM ratings
+          |WHERE ts >= (SELECT max(ts) FROM ratings) - INTERVAL 360 MINUTE
+          |ORDER BY rating_id""".stripMargin) { (s, d) =>
+      lc(graft.core.Layout.recentWindowPruned(s, datePartitionedRatings(s, d),
+        "ts", 360))
         .select("rating_id", "user_id", "stars", "channel", "ts")
     }.sortedBy(col("rating_id")),
 

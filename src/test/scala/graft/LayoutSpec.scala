@@ -50,6 +50,54 @@ class LayoutSpec extends SparkSuite {
     assert(joined.count() == plain.count())
   }
 
+  test("recentWindowPruned: literal anchor puts the date cut in PartitionFilters, same rows as the subquery form") {
+    val ratings = graft.queries.ParityQueries.ratings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rwp").toString
+    Layout.writeDatePartitioned(ratings, dir, "ts")
+    val pruned = Layout.recentWindowPruned(spark, dir, "ts", 360)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the p_date cut is foldable → listing-level prune, not a data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"), plan)
+    assert("""p_date#\d+ >=""".r.findFirstIn(plan).isDefined, plan)
+    // identical rows to the subquery-anchored A9 window
+    val viaSubquery = graft.ops.RatingsOps.recentWindow(ratings, "ts", 360)
+    assert(rows(pruned.select("RATING_ID", "USER_ID", "ts")) ==
+      rows(viaSubquery.select("RATING_ID", "USER_ID", "ts")))
+    assert(pruned.count() > 0)
+  }
+
+  test("enrich broadcastDim=false drops the driver-side build for a large dim") {
+    import spark.implicits._
+    // a customers side far past any dim bound: the default hinted plan
+    // would force a driver broadcast build; the escape hatch lets AQE
+    // pick a shuffle join
+    val bigCustomers = spark.range(0, 200000L)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("F"), col("id")).as("first_name"),
+        concat(lit("L"), col("id")).as("last_name"),
+        concat(lit("e"), col("id"), lit("@x.test")).as("email"),
+        lit("gold").as("club_status"))
+    // disable the size-based auto-broadcast so the contrast below is the
+    // HINT itself (an explicit hint overrides the threshold; the escape
+    // hatch removes the hint and leaves the strategy to size/AQE)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = graft.ops.RatingsOps.enrich(ratingsDf, bigCustomers)
+      val unhinted = graft.ops.RatingsOps.enrich(ratingsDf, bigCustomers,
+        broadcastDim = false)
+      assert(hinted.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      assert(!unhinted.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        unhinted.queryExecution.sparkPlan.toString)
+      // escape hatch changes the physical strategy only, never the rows
+      assert(rows(unhinted) == rows(hinted))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan (dashboard path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Layout.writeDatePartitioned(Tables.events(spark, sf), dir, "ts")
