@@ -1,0 +1,115 @@
+package graft.meta
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** M4: the REST entry point (reference rest_example.sh:6–16 — ksqlDB's
+  * `POST /query {"ksql": "SELECT ...;"}`), closing the one SURVEY §2
+  * item descoped in round 2. A thin HTTP shell over the engine's SQL
+  * text surface (Tables.registerAll + GraftExtensions): the JDK's
+  * built-in HttpServer, zero added dependencies.
+  *
+  *   POST /query   body = raw SQL, or {"sql":"..."} / {"ksql":"..."}
+  *                 → 200 {"columns":[...],"rows":[{...},...]}
+  *                 → 400 {"error":"..."} on analysis/parse failures
+  *   GET  /status  → engine name + registered tables (SHOW TOPICS-ish)
+  *
+  * This is a PULL-query surface (bounded result to the caller, like the
+  * driver's /query endpoint): `limit` caps rows driver-side — the
+  * engine's push surface is PushQuery/Structured Streaming, not HTTP.
+  * Row JSON comes from Spark's own `toJSON` serialization (timestamps
+  * ISO-8601 etc.), not a hand-rolled encoder.
+  */
+object RestServer {
+
+  /** Start on `port` (0 = ephemeral; read back via
+    * `server.getAddress.getPort`). Caller owns the returned server
+    * (`stop(0)` to shut down).
+    */
+  def start(spark: SparkSession, port: Int = 0, limit: Int = 1000): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    server.createContext("/query", (x: HttpExchange) => respond(x) {
+      if (x.getRequestMethod != "POST")
+        (405, """{"error":"POST only"}""")
+      else {
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val sql = extractSql(body)
+        try {
+          val df = spark.sql(sql).limit(limit)
+          val cols = df.columns.map(jstr).mkString("[", ",", "]")
+          val rows = df.toJSON.collect().mkString("[", ",", "]")
+          (200, s"""{"columns":$cols,"rows":$rows}""")
+        } catch {
+          case e: Exception =>
+            (400, s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))}}""")
+        }
+      }
+    })
+
+    server.createContext("/status", (x: HttpExchange) => respond(x) {
+      val tables = spark.catalog.listTables().collect()
+        .map(t => jstr(t.name)).sorted.mkString("[", ",", "]")
+      (200, s"""{"engine":"graft","spark":${jstr(spark.version)},"tables":$tables}""")
+    })
+
+    server.start()
+    server
+  }
+
+  /** Body → SQL text: raw SQL, or the ksqlDB envelope's "ksql"/"sql"
+    * field with minimal JSON-string unescaping (thin shell, documented).
+    */
+  def extractSql(body: String): String = {
+    val trimmed = body.trim
+    if (!trimmed.startsWith("{")) return trimmed.stripSuffix(";")
+    val m = """"(?:ksql|sql)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    m.findFirstMatchIn(trimmed) match {
+      case Some(g) => unescape(g.group(1)).stripSuffix(";")
+      case None => throw new IllegalArgumentException(
+        "body must be raw SQL or {\"sql\"|\"ksql\": \"...\"}")
+    }
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o => b.append(o); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
+  private def respond(x: HttpExchange)(f: => (Int, String)): Unit = {
+    val (code, body) = try f catch {
+      case e: Exception => (500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+    }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+}

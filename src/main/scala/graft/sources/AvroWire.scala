@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Schema-registry Avro decode for the Kafka seam (SURVEY §1.3; closes
+  * the round-2 "registry Avro" gap): the reference's topics carry
+  * Confluent wire format — 1 magic byte (0x00), a 4-byte big-endian
+  * schema id, then the Avro binary payload — with the schema id
+  * resolved against the registry (/root/reference/README.md:95–96,
+  * docker-compose.yml:59–72).
+  *
+  * The Spark distro here has no spark-avro module, but the Avro core
+  * library ships in /opt/spark/jars, so this is a REAL Avro binary
+  * decoder, not a JSON stand-in: per partition, one DatumReader per
+  * schema id (the registry analog is an id→schema-JSON map — exactly
+  * what a registry client caches), records decoded and converted to
+  * rows by FIELD NAME against the target struct. Records that fail to
+  * decode (bad magic, unknown id, truncated payload) are skipped, the
+  * `errors.tolerance=all` contract of the reference connectors — and
+  * because conversion is by name, a topic carrying several compatible
+  * schema versions decodes against one target struct (registry
+  * evolution-lite).
+  *
+  * Scale shape: decode is a narrow mapPartitions (no shuffle), reader
+  * init amortized per (partition, schema id) — the same batching
+  * posture as Multimodal.extractFeatures.
+  */
+object AvroWire {
+
+  val Magic: Byte = 0x00
+
+  // ── schema derivation (one source of truth: the Spark StructType) ──
+
+  /** Avro schema JSON for a Spark struct: nullable fields become
+    * `["null", T]` unions; timestamps are `timestamp-micros` longs.
+    */
+  def avroSchemaJson(schema: StructType, name: String = "graft_record"): String = {
+    def prim(dt: DataType): String = dt match {
+      case LongType      => "\"long\""
+      case IntegerType   => "\"int\""
+      case DoubleType    => "\"double\""
+      case FloatType     => "\"float\""
+      case BooleanType   => "\"boolean\""
+      case StringType    => "\"string\""
+      case BinaryType    => "\"bytes\""
+      case TimestampType => "{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}"
+      case other => throw new IllegalArgumentException(
+        s"avro seam supports flat primitive schemas, got $other")
+    }
+    val fields = schema.fields.map { f =>
+      val t = if (f.nullable) s"""["null",${prim(f.dataType)}]""" else prim(f.dataType)
+      s"""{"name":"${f.name}","type":$t}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"$name","fields":[$fields]}"""
+  }
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def tsFromMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  // ── producer side (test/demo analog of to_avro + registry client) ──
+
+  /** Encode a payload frame into Kafka shape with Confluent-wire Avro
+    * values: same contract as [[KafkaShape.encode]] but the value bytes
+    * are magic + schemaId + Avro binary of the whole row.
+    */
+  def encode(df: DataFrame, keyCol: String, tsCol: String, topic: String,
+             schemaId: Int, numPartitions: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schemaJson = avroSchemaJson(df.schema)
+    val sparkSchema = df.schema
+    // per-row schema parse is fine for this producer ANALOG (tests/demo);
+    // the consumer path below is the per-partition-amortized one
+    val valueOf = (r: Row) => {
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val rec = new GenericData.Record(avroSchema)
+      sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v =
+          if (r.isNullAt(i)) null
+          else f.dataType match {
+            case TimestampType => java.lang.Long.valueOf(micros(r.getTimestamp(i)))
+            case BinaryType    => ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+            case _             => r.get(i).asInstanceOf[AnyRef]
+          }
+        rec.put(f.name, v)
+      }
+      val out = new ByteArrayOutputStream()
+      out.write(Magic.toInt)
+      out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](avroSchema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val valueUdf = udf(
+      new org.apache.spark.sql.api.java.UDF1[Row, Array[Byte]] {
+        override def call(r: Row): Array[Byte] = valueOf(r)
+      }, BinaryType)
+    val part = pmod(hash(col(keyCol)), lit(numPartitions))
+    df.select(
+      col(keyCol).cast("string").cast("binary").as("key"),
+      valueUdf(struct(df.columns.map(col): _*)).as("value"),
+      lit(topic).as("topic"),
+      part.cast("int").as("partition"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(part).orderBy(col(tsCol), col(keyCol)))
+        .cast("long").as("offset"),
+      col(tsCol).as("timestamp"))
+  }
+
+  // ── consumer side (the from_avro-with-registry analog) ──
+
+  /** Decode wire-format Avro values against a registry (id → writer
+    * schema JSON), converting to `target` by field name. Undecodable
+    * records are skipped (errors.tolerance=all).
+    */
+  def decode(kafka: DataFrame, registry: Map[Int, String],
+             target: StructType): DataFrame = {
+    val enc = Encoders.row(target)
+    kafka.select("value").mapPartitions { rows: Iterator[Row] =>
+      // one parsed schema + reader per id, amortized over the partition
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      def readerFor(id: Int): Option[GenericDatumReader[GenericRecord]] =
+        readers.get(id).orElse(registry.get(id).map { json =>
+          val r = new GenericDatumReader[GenericRecord](
+            new org.apache.avro.Schema.Parser().parse(json))
+          readers(id) = r
+          r
+        })
+      rows.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](0)
+        decodeOne(bytes, readerFor, target)
+      }
+    }(enc)
+  }
+
+  private def decodeOne(bytes: Array[Byte],
+                        readerFor: Int => Option[GenericDatumReader[GenericRecord]],
+                        target: StructType): Option[Row] = {
+    if (bytes == null || bytes.length < 5 || bytes(0) != Magic) return None
+    val id = ByteBuffer.wrap(bytes, 1, 4).getInt
+    readerFor(id).flatMap { reader =>
+      try {
+        val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+        val rec = reader.read(null, dec)
+        val values = target.fields.map { f =>
+          val raw = if (rec.getSchema.getField(f.name) == null) null
+                    else rec.get(f.name)
+          convert(raw, f.dataType)
+        }
+        Some(Row.fromSeq(values.toIndexedSeq))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  private def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
+    case (null, _)                  => null
+    case (s: org.apache.avro.util.Utf8, StringType) => s.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (l: java.lang.Long, TimestampType) => tsFromMicros(l)
+    case (b: ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (other, _) => other
+  }
+}

@@ -49,6 +49,16 @@ object KafkaShape {
       .select(from_json(col("value").cast("string"), schema).as("v"))
       .select("v.*")
 
+  /** Decode REGISTRY-AVRO values (Confluent wire format) behind the same
+    * signature shape: registry = id → writer-schema JSON, exactly what a
+    * registry client caches. See [[AvroWire]] — real Avro binary
+    * decoding via the Avro core library, per-partition reader reuse,
+    * undecodable records skipped (errors.tolerance=all).
+    */
+  def decodeAvro(kafka: DataFrame, registry: Map[Int, String],
+                 schema: StructType): DataFrame =
+    AvroWire.decode(kafka, registry, schema)
+
   /** M3 `SET 'auto.offset.reset'` analog for the file-backed source:
     * "earliest" replays everything; "latest" keeps only records after
     * the current high-water mark per partition (batch semantics: empty).
