@@ -72,9 +72,19 @@ object Dedup {
     }: _*)
 
   /** SimHash (bits-wide): majority vote per bit position over the hash
-    * set — near-identical docs land at small Hamming distance.
+    * set — near-identical docs land at small Hamming distance. One
+    * fused native pass (graft.functions.SimHash); [[simhashHof]] is the
+    * executable spec it is tested bitwise against.
     */
   def simhash(hashes: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.SimHash(
+        org.apache.spark.sql.graft.Bridge.expression(hashes), bits))
+
+  /** Declarative spec of [[simhash]] — `bits` interpreted filter/size
+    * passes per row (the round-2 shape).
+    */
+  def simhashHof(hashes: Column, bits: Int = 16): Column =
     (0 until bits).map { b =>
       val ones = size(filter(hashes, h => shiftright(h, b).bitwiseAND(1) === 1))
       when(ones * 2 >= size(hashes), lit(1L << b)).otherwise(lit(0L))

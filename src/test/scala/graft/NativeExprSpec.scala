@@ -92,6 +92,18 @@ class NativeExprSpec extends SparkSuite {
     assert(both.count() > 0)
   }
 
+  test("native simhash is identical to the HOF formulation, incl. empty sets") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.ext.Dedup.shingleHashes(col("text")).as("hs"))
+      .union(Seq(Seq.empty[Long]).toDF("hs")) // empty set: all bits tie to 1
+    val both = docs.select(
+      graft.ext.Dedup.simhash(col("hs")).as("native"),
+      graft.ext.Dedup.simhashHof(col("hs")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("native fused LSH buckets are identical to the HOF formulation on real embeddings") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val (tables, planes, dims) = (8, 7, 64)
