@@ -74,13 +74,7 @@ object Bench {
       }
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.Json.str(s)
     val qs = results.map { case (k, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
     val stats = results.collect { case (k, m, xs) if xs.nonEmpty =>
       s"${jstr(k)}:{\"median\":$m,\"n\":${xs.size},\"min\":${xs.min},\"max\":${xs.max}}"

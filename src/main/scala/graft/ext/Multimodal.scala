@@ -82,7 +82,12 @@ object Multimodal {
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = Encoders.row(featureSchema)
-    media.select("media_id", "payload", "n_bytes", "media_type")
+    // media_type is optional (round-2 callers pass only id/payload/
+    // n_bytes): absent column → null type → stub decode path
+    val typed =
+      if (media.columns.contains("media_type")) media
+      else media.withColumn("media_type", lit(null).cast("string"))
+    typed.select("media_id", "payload", "n_bytes", "media_type")
       .mapPartitions { rows: Iterator[Row] =>
         rows.grouped(batchSize).flatMap { batch =>
           // one "codec init" per batch would go here

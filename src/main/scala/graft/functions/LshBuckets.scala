@@ -99,7 +99,11 @@ case class LshBuckets(child: Expression, tables: Int, planes: Int, dims: Int)
       var bucket = 0L
       var p = 0
       while (p < planes) {
-        if (acc(t * planes + p) >= 0.0) bucket |= 1L << p
+        // NaN counts as >= 0: Spark SQL (and DuckDB) order NaN above
+        // every value, so the HOF's `when(proj >= 0, ...)` is TRUE for a
+        // NaN projection — Java's `NaN >= 0.0 == false` must not diverge
+        val a = acc(t * planes + p)
+        if (a >= 0.0 || java.lang.Double.isNaN(a)) bucket |= 1L << p
         p += 1
       }
       out(t) = bucket

@@ -37,9 +37,10 @@ object RestServer {
         (405, """{"error":"POST only"}""")
       else {
         val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        val sql = extractSql(body)
+        // extractSql inside the 400-handler: a malformed body is a CLIENT
+        // error, not a 500
         try {
-          val df = spark.sql(sql).limit(limit)
+          val df = spark.sql(extractSql(body)).limit(limit)
           val cols = df.columns.map(jstr).mkString("[", ",", "]")
           val rows = df.toJSON.collect().mkString("[", ",", "]")
           (200, s"""{"columns":$cols,"rows":$rows}""")
@@ -94,13 +95,7 @@ object RestServer {
     b.toString
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.core.Json.str(s)
 
   private def respond(x: HttpExchange)(f: => (Int, String)): Unit = {
     val (code, body) = try f catch {

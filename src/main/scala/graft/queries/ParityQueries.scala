@@ -53,15 +53,18 @@ object ParityQueries {
     * skips the rewrite — the bench then measures the pruned READ, not a
     * repeated one-time layout job.
     */
-  def datePartitionedRatings(s: SparkSession, d: String): String = {
-    val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/ratings_by_date_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-      graft.core.Layout.writeDatePartitioned(ratings(s, d), dir, "ts")
-    dir
-  }
+  def datePartitionedRatings(s: SparkSession, d: String): String =
+    // the warehouse is per-JVM (Sessions), so a JVM-local lock closes the
+    // check-then-write race between concurrent in-process callers
+    synchronized {
+      val dir = s"${s.conf.get("spark.sql.warehouse.dir")}/ratings_by_date_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+        graft.core.Layout.writeDatePartitioned(ratings(s, d), dir, "ts")
+      dir
+    }
 
   // Shared oracle CTE prelude mirroring the adapters above.
   private val prelude = ParityOracle.prelude

@@ -165,6 +165,13 @@ object AvroWire {
     }
   }
 
+  /** STRICT conversion: the returned value always matches the target
+    * type (with standard Avro widenings int→long, float→double), or
+    * throws — inside decodeOne's try, so a writer/target type mismatch
+    * SKIPS the record per errors.tolerance=all instead of surfacing
+    * later as a task-killing encoder ClassCastException when the
+    * mapPartitions iterator is consumed.
+    */
   private def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _)                  => null
     case (s: org.apache.avro.util.Utf8, StringType) => s.toString
@@ -172,6 +179,14 @@ object AvroWire {
     case (l: java.lang.Long, TimestampType) => tsFromMicros(l)
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case (other, _) => other
+    case (l: java.lang.Long, LongType)       => l
+    case (i: java.lang.Integer, LongType)    => i.longValue() // avro widening
+    case (i: java.lang.Integer, IntegerType) => i
+    case (d: java.lang.Double, DoubleType)   => d
+    case (f: java.lang.Float, DoubleType)    => f.doubleValue() // avro widening
+    case (f: java.lang.Float, FloatType)     => f
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (other, t) => throw new IllegalArgumentException(
+      s"cannot convert ${other.getClass.getName} to $t")
   }
 }

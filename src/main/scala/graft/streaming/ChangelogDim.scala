@@ -24,7 +24,12 @@ import graft.tables.LatestByKey
   * cardinalities (the reference's customers table). For a 100 TB
   * deployment the store becomes a transactional upsert table (Delta/
   * Iceberg MERGE) behind the same two seams; every other line is
-  * unchanged.
+  * unchanged. The raw-parquet stand-in is NOT transactional: a join
+  * micro-batch listing the store exactly while an upsert replaces a
+  * partition can see missing files — micro-batch cadences make the
+  * window small, but a deployment that cannot tolerate a retried batch
+  * needs the transactional store (that, not speed, is what Delta buys
+  * here).
   */
 object ChangelogDim {
 
@@ -51,19 +56,16 @@ object ChangelogDim {
 
   /** Idempotent per-key upsert: dynamic partition overwrite replaces
     * exactly the partitions present in `latest` (the changed keys),
-    * leaving every other key's partition untouched.
+    * leaving every other key's partition untouched. The overwrite mode
+    * is a per-WRITE option, not a session-conf toggle — a toggle would
+    * race with any concurrent write on the shared session (another
+    * thread's partitioned overwrite silently turning dynamic, or this
+    * write turning static mid-flight and wiping the whole store).
     */
-  def upsert(latest: DataFrame, key: String, dir: String): Unit = {
-    val spark = latest.sparkSession
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "dynamic")
-    try latest.write.partitionBy(key).mode("overwrite").parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None    => spark.conf.unset(conf)
-    }
-  }
+  def upsert(latest: DataFrame, key: String, dir: String): Unit =
+    latest.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(key).mode("overwrite").parquet(dir)
 
   /** Join the fact stream against the CURRENT dim state: `foreachBatch`
     * re-reads the store per micro-batch, so an update upserted by

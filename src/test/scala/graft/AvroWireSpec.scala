@@ -73,6 +73,26 @@ class AvroWireSpec extends SparkSuite {
     assert(bySource(None).length == 4)
   }
 
+  test("type evolution: int writer field widens to long target; true mismatches skip, not crash") {
+    import spark.implicits._
+    val writer = Seq((1, 5L)).toDF("USER_ID", "RATING_ID") // USER_ID int
+    val enc = AvroWire.encode(writer, "RATING_ID", "RATING_ID", "t", schemaId = 1)
+    // target declares USER_ID long: standard avro widening must decode
+    val widened = new StructType()
+      .add("USER_ID", LongType).add("RATING_ID", LongType)
+    val ok = AvroWire.decode(enc,
+      Map(1 -> AvroWire.avroSchemaJson(writer.schema)), widened).collect()
+    assert(ok.length == 1 && ok.head.getLong(0) == 1L)
+    // target declares USER_ID string: unconvertible -> record skipped
+    // inside the decode try (errors.tolerance=all), not a lazy encoder
+    // crash when the iterator is consumed
+    val mismatched = new StructType()
+      .add("USER_ID", StringType).add("RATING_ID", LongType)
+    val skipped = AvroWire.decode(enc,
+      Map(1 -> AvroWire.avroSchemaJson(writer.schema)), mismatched)
+    assert(skipped.count() == 0)
+  }
+
   test("timestamps survive with microsecond precision") {
     import spark.implicits._
     val t = java.sql.Timestamp.from(

@@ -233,6 +233,15 @@ class LlmOpsSpec extends SparkSuite {
     assert(viaExpr % 720 == Multimodal.decodeStub(raw)._2)
   }
 
+  test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {
+    import spark.implicits._
+    val legacy = Seq((1L, "abc".getBytes("UTF-8"), 3L))
+      .toDF("media_id", "payload", "n_bytes")
+    val out = Multimodal.extractFeatures(legacy).collect().head
+    val stub = Multimodal.decodeStub("abc".getBytes("UTF-8"))
+    assert(out.getLong(3) == stub._1 && out.getLong(4) == stub._2)
+  }
+
   test("frame sampling explodes one row per sampled frame") {
     import spark.implicits._
     val media = Multimodal.asMedia(

@@ -122,7 +122,9 @@ class NativeExprSpec extends SparkSuite {
       ("short", Seq[java.lang.Float](1.0f, 2.0f)),
       ("nullelem", Seq[java.lang.Float](null) ++
         (1 until dims).map(i => java.lang.Float.valueOf(i.toFloat))),
-      ("nullvec", null: Seq[java.lang.Float]))
+      ("nullvec", null: Seq[java.lang.Float]),
+      ("nan", Seq[java.lang.Float](java.lang.Float.valueOf(Float.NaN)) ++
+        (1 until dims).map(i => java.lang.Float.valueOf(i.toFloat))))
       .toDF("tag", "v")
     val out = edges.select(col("tag"),
       Similarity.lshAllBuckets(col("v"), 2, 3, dims).as("b"))
@@ -131,6 +133,15 @@ class NativeExprSpec extends SparkSuite {
     assert(out("short").contains(Seq(0L, 0L)))
     assert(out("nullelem").contains(Seq(0L, 0L)))
     assert(out("nullvec").isEmpty)
+    // NaN projections: Spark SQL orders NaN above every double, so the
+    // HOF's `proj >= 0` is TRUE — native must agree (Java would say no)
+    val nanBoth = edges.filter(col("tag") === "nan").select(
+      Similarity.lshAllBuckets(col("v"), 2, 3, dims).as("native"),
+      array((0 until 2).map(t =>
+        Similarity.lshBucketHof(col("v"), t, 3, dims)): _*).as("hof"))
+      .collect().head
+    assert(nanBoth.getSeq[Long](0) == nanBoth.getSeq[Long](1))
+    assert(nanBoth.getSeq[Long](0) == Seq(7L, 7L)) // all 3 bits set
   }
 
   test("SQL surface: polyhash and cosine_sim registered via GraftExtensions") {

@@ -48,6 +48,10 @@ class RestServerSpec extends SparkSuite {
       val (c3, b3) = post(port, "/query", "SELECT * FROM no_such_table_xyz")
       assert(c3 == 400 && b3.contains("error"), s"$c3 $b3")
 
+      // malformed envelope (JSON without sql/ksql key) is a CLIENT error
+      val (c5, b5) = post(port, "/query", """{"statement":"SELECT 1"}""")
+      assert(c5 == 400 && b5.contains("error"), s"$c5 $b5")
+
       // GET /status lists the catalog
       val (c4, b4) = get(port, "/status")
       assert(c4 == 200 && b4.contains("rest_customers"), b4)
