@@ -59,4 +59,42 @@ class OpsPropertySpec extends SparkSuite {
       assert(w15 == 300 && w1 == 300, s"seed=$seed")
     }
   }
+
+  test("native expressions match their HOF specs on adversarial random vectors") {
+    import spark.implicits._
+    // beyond the corpus + hand-picked edges in NativeExprSpec: seeded
+    // random float vectors spanning sign changes, magnitude extremes,
+    // denormals, infinities and NaN — bitwise agreement required
+    val rnd = new Random(271828L)
+    def vec(): Seq[Float] = Seq.fill(16) {
+      rnd.nextInt(8) match {
+        case 0 => Float.MinPositiveValue * (rnd.nextInt(100) + 1) // denormal
+        case 1 => (rnd.nextFloat() - 0.5f) * 1e30f                // huge
+        case 2 => Float.PositiveInfinity
+        case 3 => Float.NaN
+        case _ => (rnd.nextFloat() - 0.5f) * 4f
+      }
+    }
+    val df = (1 to 200).map(_ => Tuple1(vec())).toDF("v")
+    val (tables, planes) = (4, 5)
+    val hof = array((0 until tables).map(t =>
+      graft.ext.Similarity.lshBucketHof(col("v"), t, planes, 16)): _*)
+    val lsh = df.select(
+      graft.ext.Similarity.lshAllBuckets(col("v"), tables, planes, 16).as("native"),
+      hof.as("hof"))
+    assert(lsh.filter(col("native") =!= col("hof")).count() == 0)
+
+    // random long sets (incl. empties) for the dedup signature pair
+    def hashes(): Seq[Long] =
+      if (rnd.nextInt(10) == 0) Seq.empty
+      else Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong().abs % 2147483647L)
+    val hd = (1 to 200).map(_ => Tuple1(hashes())).toDF("hs")
+    val sigs = hd.select(
+      graft.ext.Dedup.minhashSignature(col("hs")).as("n1"),
+      graft.ext.Dedup.minhashSignatureHof(col("hs")).as("h1"),
+      graft.ext.Dedup.simhash(col("hs")).as("n2"),
+      graft.ext.Dedup.simhashHof(col("hs")).as("h2"))
+    assert(sigs.filter(col("n1") =!= col("h1") || col("n2") =!= col("h2"))
+      .count() == 0)
+  }
 }
