@@ -2,16 +2,32 @@ package graft.core
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSim, PolyHash}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash}
 
 /** SparkSessionExtensions hook registering the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT polyhash(text),
   * cosine_sim(a, b) ...")` works exactly like the Column API — the
   * idiomatic way to extend Spark's function surface (injected via
-  * `spark.sql.extensions`, see Sessions.build).
+  * `spark.sql.extensions`, see Sessions.build). The full dedup/ANN
+  * signature chain is SQL-reachable: shingle_hashes → minhash_sig /
+  * simhash, and lsh_buckets for the hyperplane path — so the REST/SQL
+  * console runs the same fused expressions as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** A constant-foldable int argument (the SQL analog of a Scala
+    * parameter like `bits` or `planes`) — evaluated at resolution time.
+    */
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: plans graft.plans.TopKPerKey logical
     // nodes as the two-phase bounded-heap physical operator
@@ -19,16 +35,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "polyhash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 1, "polyhash(str) takes 1 argument")
         PolyHash(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(a, b) takes 2 arguments")
         CosineSim(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "shingle_hashes(text[, n]) takes 1-2 arguments")
+        val n = if (children.length == 2) intArg(children(1), "n") else 3
+        ShingleHashes(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "minhash_sig(hashes) takes 1 argument")
+        MinHashSig(children.head, graft.ext.Dedup.Perms)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "simhash(hashes[, bits]) takes 1-2 arguments")
+        val bits = if (children.length == 2) intArg(children(1), "bits") else 16
+        SimHash(children.head, bits)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "lsh_buckets(vec, tables, planes, dims) takes 4 arguments")
+        LshBuckets(children.head, intArg(children(1), "tables"),
+          intArg(children(2), "planes"), intArg(children(3), "dims"))
       }))
   }
 }

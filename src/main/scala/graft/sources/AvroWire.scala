@@ -38,10 +38,13 @@ object AvroWire {
   // ── schema derivation (one source of truth: the Spark StructType) ──
 
   /** Avro schema JSON for a Spark struct: nullable fields become
-    * `["null", T]` unions; timestamps are `timestamp-micros` longs.
+    * `["null", T]` unions; timestamps are `timestamp-micros` longs;
+    * nested structs become nested records (the Debezium envelope shape —
+    * `{before: R, after: R, op, ts_ms}` — is exactly this), with
+    * path-derived record names for Avro's uniqueness rule.
     */
   def avroSchemaJson(schema: StructType, name: String = "graft_record"): String = {
-    def prim(dt: DataType): String = dt match {
+    def typ(dt: DataType, path: String): String = dt match {
       case LongType      => "\"long\""
       case IntegerType   => "\"int\""
       case DoubleType    => "\"double\""
@@ -50,14 +53,51 @@ object AvroWire {
       case StringType    => "\"string\""
       case BinaryType    => "\"bytes\""
       case TimestampType => "{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}"
+      case st: StructType => record(st, path)
       case other => throw new IllegalArgumentException(
-        s"avro seam supports flat primitive schemas, got $other")
+        s"avro seam supports primitive and struct fields, got $other")
     }
-    val fields = schema.fields.map { f =>
-      val t = if (f.nullable) s"""["null",${prim(f.dataType)}]""" else prim(f.dataType)
-      s"""{"name":"${f.name}","type":$t}"""
-    }.mkString(",")
-    s"""{"type":"record","name":"$name","fields":[$fields]}"""
+    def record(st: StructType, recName: String): String = {
+      val fields = st.fields.map { f =>
+        val t0 = typ(f.dataType, s"${recName}_${f.name}")
+        val t = if (f.nullable) s"""["null",$t0]""" else t0
+        s"""{"name":"${f.name}","type":$t}"""
+      }.mkString(",")
+      s"""{"type":"record","name":"$recName","fields":[$fields]}"""
+    }
+    record(schema, name)
+  }
+
+  /** The non-null branch of a union schema (nullable field encoding). */
+  private def nonNullBranch(s: org.apache.avro.Schema): org.apache.avro.Schema =
+    if (s.getType == org.apache.avro.Schema.Type.UNION) {
+      val it = s.getTypes.iterator()
+      var out = s
+      while (it.hasNext) {
+        val t = it.next()
+        if (t.getType != org.apache.avro.Schema.Type.NULL) out = t
+      }
+      out
+    } else s
+
+  /** Row → GenericRecord under `schema`, recursing into struct fields. */
+  private def toAvro(r: Row, st: StructType,
+                     schema: org.apache.avro.Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val v: AnyRef =
+        if (r.isNullAt(i)) null
+        else f.dataType match {
+          case TimestampType => java.lang.Long.valueOf(micros(r.getTimestamp(i)))
+          case BinaryType    => ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+          case nested: StructType =>
+            toAvro(r.getStruct(i), nested,
+              nonNullBranch(schema.getField(f.name).schema()))
+          case _ => r.get(i).asInstanceOf[AnyRef]
+        }
+      rec.put(f.name, v)
+    }
+    rec
   }
 
   private def micros(ts: java.sql.Timestamp): Long = {
@@ -84,17 +124,7 @@ object AvroWire {
     // the consumer path below is the per-partition-amortized one
     val valueOf = (r: Row) => {
       val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-      val rec = new GenericData.Record(avroSchema)
-      sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
-        val v =
-          if (r.isNullAt(i)) null
-          else f.dataType match {
-            case TimestampType => java.lang.Long.valueOf(micros(r.getTimestamp(i)))
-            case BinaryType    => ByteBuffer.wrap(r.getAs[Array[Byte]](i))
-            case _             => r.get(i).asInstanceOf[AnyRef]
-          }
-        rec.put(f.name, v)
-      }
+      val rec = toAvro(r, sparkSchema, avroSchema)
       val out = new ByteArrayOutputStream()
       out.write(Magic.toInt)
       out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
@@ -179,6 +209,12 @@ object AvroWire {
     case (l: java.lang.Long, TimestampType) => tsFromMicros(l)
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (rec: GenericRecord, st: StructType) => // nested record, by name
+      Row.fromSeq(st.fields.map { f =>
+        val raw = if (rec.getSchema.getField(f.name) == null) null
+                  else rec.get(f.name)
+        convert(raw, f.dataType)
+      }.toIndexedSeq)
     case (l: java.lang.Long, LongType)       => l
     case (i: java.lang.Integer, LongType)    => i.longValue() // avro widening
     case (i: java.lang.Integer, IntegerType) => i

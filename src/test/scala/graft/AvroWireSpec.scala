@@ -93,6 +93,24 @@ class AvroWireSpec extends SparkSuite {
     assert(skipped.count() == 0)
   }
 
+  test("CDC over avro: the Debezium envelope (nested record) round-trips and unwraps") {
+    import graft.sources.Cdc
+    // the reference's S2 shape: AvroConverter-encoded Debezium envelopes
+    // {before, after, op, ts_ms} on asgard.demo.CUSTOMERS
+    val envelopes = Cdc.wrap(customersDf)           // op 'r' snapshot reads
+      .union(Cdc.wrap(customersDf.limit(2), "d"))   // plus delete markers
+    val topic = AvroWire.encode(envelopes, "value.after.id", "value.ts_ms",
+      "asgard.demo.CUSTOMERS", schemaId = 11)
+    val registry = Map(11 -> AvroWire.avroSchemaJson(envelopes.schema))
+    val target = new StructType()
+      .add("value", Cdc.envelopeSchema(customersDf.schema))
+    val decoded = AvroWire.decode(topic, registry, target)
+    // ExtractNewRecordState drops the deletes and yields the after-image
+    val unwrapped = Cdc.unwrap(decoded, col("value"), "id")
+    assert(rows(unwrapped) == rows(Cdc.unwrap(envelopes, col("value"), "id")))
+    assert(unwrapped.count() == customersDf.count())
+  }
+
   test("timestamps survive with microsecond precision") {
     import spark.implicits._
     val t = java.sql.Timestamp.from(

@@ -37,6 +37,30 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(fp.count() == 3)
   }
 
+  test("dedup/ANN signature chain is SQL-reachable and matches the Column API") {
+    Tables.registerAll(spark, sf)
+    // full chain in SQL text: text → shingles → minhash sig + simhash
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |       minhash_sig(shingle_hashes(text)) AS sig,
+        |       simhash(shingle_hashes(text)) AS sh
+        |FROM documents ORDER BY doc_id""".stripMargin)
+    val viaApi = graft.ext.Dedup.features(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("sig"), col("simhash").as("sh"))
+      .orderBy(col("doc_id"))
+    assert(rows(viaSql) == rows(viaApi))
+
+    // hyperplane buckets with literal knobs
+    val b = spark.sql(
+      "SELECT lsh_buckets(embedding, 2, 4, 64) AS b FROM embeddings LIMIT 5")
+    assert(b.collect().forall(_.getSeq[Long](0).length == 2))
+
+    // non-literal knob is an analysis-time error, not a runtime one
+    intercept[Exception](
+      spark.sql("SELECT simhash(shingle_hashes(text), doc_id) FROM documents")
+        .collect())
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // AQE assigns codegen stages only at execution: run the plan, then
     // inspect the finalized executedPlan for WholeStageCodegen wrappers
