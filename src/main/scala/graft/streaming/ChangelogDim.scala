@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.tables.LatestByKey
 
@@ -66,6 +67,46 @@ object ChangelogDim {
     latest.write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(key).mode("overwrite").parquet(dir)
+
+  /** Maintain the dim store directly from a stream of Debezium-shaped
+    * CDC envelopes (`{before, after, op, ts_ms}` in `envelope`),
+    * COMPLETE ksqlDB-table semantics: creates/updates/snapshot-reads
+    * upsert the key's partition, DELETES (op 'd' — the tombstone path
+    * ksqlDB drops table rows on) REMOVE it. Per batch, only each key's
+    * LATEST version applies (ts_ms order, op tiebreak), so an
+    * update+delete of one key in one batch resolves deterministically;
+    * cross-batch, a later re-insert simply recreates the partition.
+    * Partition-dir removal is a driver-side filesystem call — bounded by
+    * keys-DELETED-per-batch (dimension-churn small), not data volume.
+    */
+  def maintainCdc(envelopes: DataFrame, envelope: Column, keyField: String,
+                  dir: String, checkpointDir: String): StreamingQuery =
+    envelopes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val flat = batch.select(envelope.alias("__env"))
+          .select(col("__env.op").as("__op"), col("__env.ts_ms").as("__ts"),
+            coalesce(col("__env.after"), col("__env.before")).as("__row"))
+          .select(col("__op"), col("__ts"), col("__row.*"))
+        val latest = LatestByKey.batch(flat, keyField, "__ts", "__op")
+        val ups = latest.filter(col("__op") =!= "d").drop("__op", "__ts")
+        if (!ups.isEmpty) upsert(ups, keyField, dir)
+        val delKeys = latest.filter(col("__op") === "d")
+          .select(col(keyField).cast("string")).collect().map(_.getString(0))
+        if (delKeys.nonEmpty) deleteKeys(batch.sparkSession, delKeys, keyField, dir)
+      }
+      .start()
+
+  /** Remove the named keys' partitions (tombstone application). */
+  def deleteKeys(spark: org.apache.spark.sql.SparkSession, keys: Seq[String],
+                 keyField: String, dir: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    keys.foreach { k =>
+      val p = new org.apache.hadoop.fs.Path(base, s"$keyField=$k")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
 
   /** Join the fact stream against the CURRENT dim state: `foreachBatch`
     * re-reads the store per micro-batch, so an update upserted by

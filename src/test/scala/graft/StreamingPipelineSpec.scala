@@ -160,7 +160,56 @@ class StreamingPipelineSpec extends SparkSuite {
       assert(seen(102L) == "Seven Of9", seen)
     } finally { maintainQ.stop(); joinQ.stop() }
   }
+
+  test("CDC-driven dim store applies upserts AND tombstones (ksqlDB table delete semantics)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cdcdim").toString
+    val dimDir = s"$base/dim"
+    graft.streaming.ChangelogDim.seed(customersDf, "id", dimDir) // ids 1..20
+
+    val ms = MemoryStream[CdcCust]
+    val after = struct(col("id"), col("first_name"), col("last_name"),
+      col("email"), col("club_status"))
+    val envelopes = ms.toDF().select(struct(
+      lit(null).cast(customersDf.schema).as("before"),
+      after.as("after"), col("op"), col("ts_ms")).as("value"))
+    val q = graft.streaming.ChangelogDim.maintainCdc(
+      envelopes, col("value"), "id", dimDir, s"$base/cp")
+    try {
+      // one batch carrying an update of #1 and a tombstone of #2
+      ms.addData(
+        CdcCust("u", 1, "Rick", "Astley", "r@x.test", "platinum", 100L),
+        CdcCust("d", 2, "Gone", "Gone", "g@x.test", "gold", 101L))
+      q.processAllAvailable()
+      val dim1 = spark.read.parquet(dimDir)
+      assert(dim1.count() == 19) // 20 seeded, one deleted
+      assert(dim1.filter(col("id") === 1).select("first_name")
+        .collect().head.getString(0) == "Rick")
+      assert(dim1.filter(col("id") === 2).isEmpty)
+      assert(dim1.filter(col("id") === 3).count() == 1) // untouched key
+
+      // a later re-insert recreates the key's partition
+      ms.addData(CdcCust("c", 2, "Back", "Again", "b@x.test", "gold", 102L))
+      q.processAllAvailable()
+      val dim2 = spark.read.parquet(dimDir)
+      assert(dim2.count() == 20)
+      assert(dim2.filter(col("id") === 2).select("first_name")
+        .collect().head.getString(0) == "Back")
+
+      // in-batch update-then-delete of one key resolves by latest ts
+      ms.addData(
+        CdcCust("u", 4, "Short", "Lived", "s@x.test", "gold", 103L),
+        CdcCust("d", 4, "Short", "Lived", "s@x.test", "gold", 104L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dimDir).filter(col("id") === 4).isEmpty)
+    } finally q.stop()
+  }
 }
+
+final case class CdcCust(op: String, id: Int, first_name: String,
+                         last_name: String, email: String,
+                         club_status: String, ts_ms: Long)
 
 final case class CustDimVersion(id: Int, first_name: String, last_name: String,
                                 email: String, club_status: String,
