@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.polyFingerprint
+
+/** Deterministic splitting/sampling for training-data pipelines: every
+  * assignment is a pure function of the row's KEY (polyhash mod a fixed
+  * grain), so it is
+  *
+  *  - stable across runs, engines, partitionings and cluster sizes (no
+  *    RNG, no zipWithIndex, no sort) — re-running the pipeline on 10
+  *    executors or 1000 yields byte-identical splits;
+  *  - a narrow map + filter (NO shuffle) that pushes into the scan;
+  *  - leakage-safe by construction: the same key always lands in the
+  *    same split, so duplicate documents cannot straddle train/test —
+  *    pair with [[Dedup]] keys for near-dup-safe splits;
+  *  - reproducible in any engine with the same hash (the DuckDB oracle
+  *    verifies assignments row-for-row).
+  *
+  * `sampleRatio`/`rand()`-based sampling is none of these things (it
+  * draws per-task RNG streams that change with partitioning).
+  */
+object Sampling {
+
+  /** Assignment grain: splits resolve to 1/10000ths. */
+  val Grain = 10000L
+
+  /** The hash bucket (0 until Grain) driving every assignment. */
+  def bucket(key: Column): Column =
+    pmod(polyFingerprint(key.cast("string")), lit(Grain))
+
+  /** Add a `split` column assigning each row to the named fractions
+    * (e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`) by
+    * cumulative bucket ranges. Fractions must sum to ≤ 1; any residual
+    * bucket range is assigned to the LAST split (so weights that sum to
+    * 1 cover everything even after integer truncation).
+    */
+  def assignSplit(df: DataFrame, keyCol: Column,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 >= 0) && weights.map(_._2).sum <= 1.0 + 1e-9,
+      s"weights must be non-negative and sum to <= 1, got $weights")
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Grain)
+    }.tail
+    val b = bucket(keyCol)
+    val expr = weights.init.zip(cuts.init).reverse.foldLeft(
+      lit(weights.last._1)) { case (els, ((name, _), cut)) =>
+      when(b < cut, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep a deterministic `fraction` of rows by key hash — the
+    * downsampling primitive (same guarantees as [[assignSplit]]).
+    */
+  def sampleByKey(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(bucket(keyCol) < math.round(fraction * Grain))
+  }
+}

@@ -384,6 +384,33 @@ object LlmQueries {
         threshold = 0.25, planes = 7, dims = 64)
     }.sortedBy(col("id_a"), col("id_b")),
 
+    // ── Deterministic split/sample (training-data pipeline core) ───
+    // Assignment is polyhash(key) mod 10000 against cumulative weight
+    // ranges — a pure key function, so the oracle reproduces every row's
+    // split exactly (no RNG, no partitioning dependence).
+    QueryDef("t_split_assign",
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN bkt < 8000 THEN 'train'
+         |            WHEN bkt < 9000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.assignSplit(
+        Tables.documents(s, d).select("doc_id"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }.sortedBy(col("doc_id")),
+
+    QueryDef("t_sample_by_key",
+      s"""SELECT doc_id FROM documents
+         |WHERE ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 < 2500
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.sampleByKey(
+        Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
+    }.sortedBy(col("doc_id")),
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

@@ -233,6 +233,34 @@ class LlmOpsSpec extends SparkSuite {
     assert(viaExpr % 720 == Multimodal.decodeStub(raw)._2)
   }
 
+  test("deterministic split: complete partition, stable under repartitioning, leakage-safe by content key") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = graft.ext.Sampling.assignSplit(docs, col("doc_id"), w)
+    // complete partition: every row exactly one split, fractions sane
+    val counts = assigned.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // stability: a different physical partitioning yields identical splits
+    val repart = graft.ext.Sampling.assignSplit(docs.repartition(17), col("doc_id"), w)
+    assert(rows(assigned.select("doc_id", "split")) ==
+      rows(repart.select("doc_id", "split")))
+    // leakage safety: keying by CONTENT fingerprint puts an exact dup of
+    // doc 0 (planted under a new id) in the same split as the original
+    val dup = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(90001L))
+    val byContent = graft.ext.Sampling.assignSplit(
+      docs.union(dup), graft.functions.polyFingerprint(col("text")), w)
+    val splits = byContent.filter(col("doc_id").isin(0L, 90001L))
+      .select("split").as[String].collect().toSet
+    assert(splits.size == 1, s"dup straddled splits: $splits")
+    // sampleByKey is a subset consistent with the bucket cut
+    val s25 = graft.ext.Sampling.sampleByKey(docs, col("doc_id"), 0.25)
+    assert(s25.count() > 0 && s25.count() < docs.count())
+  }
+
   test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {
     import spark.implicits._
     val legacy = Seq((1L, "abc".getBytes("UTF-8"), 3L))
