@@ -18,13 +18,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** A constant-foldable int argument (the SQL analog of a Scala
     * parameter like `bits` or `planes`) — evaluated at resolution time.
+    * Accepts any integral literal width (a SQL generator may emit
+    * `CAST(16 AS BIGINT)`), range-checked into Int.
     */
   private def intArg(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
     e.eval() match {
-      case i: Int => i
+      case i: Int   => i
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case l: Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"$what out of int range: $l")
+        l.toInt
       case other => throw new IllegalArgumentException(
-        s"$what must be a literal integer, got $other")
+        s"$what must be an integral literal, got $other")
     }
   }
 

@@ -26,9 +26,15 @@ object Sampling {
   /** Assignment grain: splits resolve to 1/10000ths. */
   val Grain = 10000L
 
-  /** The hash bucket (0 until Grain) driving every assignment. */
+  /** The hash bucket (0 until Grain) driving every assignment. A null
+    * key hashes like the empty string (polyhash("") = 0 → bucket 0),
+    * so null-key rows get a deterministic, DISCLOSED assignment (the
+    * first split / always sampled) instead of a null bucket that would
+    * silently drop them from `sampleByKey` and funnel them into the
+    * last split of `assignSplit`.
+    */
   def bucket(key: Column): Column =
-    pmod(polyFingerprint(key.cast("string")), lit(Grain))
+    pmod(polyFingerprint(coalesce(key.cast("string"), lit(""))), lit(Grain))
 
   /** Add a `split` column assigning each row to the named fractions
     * (e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`) by

@@ -84,26 +84,51 @@ object ChangelogDim {
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // __seq preserves ARRIVAL order as the equal-ts tiebreak: ts_ms
+        // is millisecond-granular, so an update-then-delete of one key
+        // in the same millisecond is routine — the later log event must
+        // win (an op-string tiebreak would keep 'u' over 'd' and leak
+        // the row forever). monotonically_increasing_id is ordered
+        // within each input partition, and a keyed source (Kafka)
+        // delivers one key's events through one partition in order.
         val flat = batch.select(envelope.alias("__env"))
           .select(col("__env.op").as("__op"), col("__env.ts_ms").as("__ts"),
             coalesce(col("__env.after"), col("__env.before")).as("__row"))
           .select(col("__op"), col("__ts"), col("__row.*"))
-        val latest = LatestByKey.batch(flat, keyField, "__ts", "__op")
-        val ups = latest.filter(col("__op") =!= "d").drop("__op", "__ts")
-        if (!ups.isEmpty) upsert(ups, keyField, dir)
-        val delKeys = latest.filter(col("__op") === "d")
-          .select(col(keyField).cast("string")).collect().map(_.getString(0))
-        if (delKeys.nonEmpty) deleteKeys(batch.sparkSession, delKeys, keyField, dir)
+          .withColumn("__seq", monotonically_increasing_id())
+        // persist: the aggregation feeds three actions (isEmpty probe,
+        // upsert write, delete-key collect) — without it each would
+        // re-scan the batch and recompute the groupBy
+        val latest = LatestByKey.batch(flat, keyField, "__ts", "__seq")
+        latest.persist()
+        try {
+          val ups = latest.filter(col("__op") =!= "d")
+            .drop("__op", "__ts", "__seq")
+          if (!ups.isEmpty) upsert(ups, keyField, dir)
+          val delKeys = latest.filter(col("__op") === "d")
+            .select(col(keyField).cast("string")).collect()
+            .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+          if (delKeys.nonEmpty) deleteKeys(batch.sparkSession, delKeys, keyField, dir)
+        } finally latest.unpersist()
       }
       .start()
 
-  /** Remove the named keys' partitions (tombstone application). */
+  /** Remove the named keys' partitions (tombstone application). Paths
+    * use Spark's own partition-value escaping, so string keys with
+    * special characters (':', '/', spaces) and null keys resolve to the
+    * directories the writer actually produced — a raw `k=$v` probe
+    * would silently miss them and leak the row forever.
+    */
   def deleteKeys(spark: org.apache.spark.sql.SparkSession, keys: Seq[String],
                  keyField: String, dir: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     keys.foreach { k =>
-      val p = new org.apache.hadoop.fs.Path(base, s"$keyField=$k")
+      val v = if (k == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(k)
+      val p = new org.apache.hadoop.fs.Path(base,
+        s"${ExternalCatalogUtils.escapePathName(keyField)}=$v")
       if (fs.exists(p)) fs.delete(p, true)
     }
   }

@@ -259,6 +259,13 @@ class LlmOpsSpec extends SparkSuite {
     // sampleByKey is a subset consistent with the bucket cut
     val s25 = graft.ext.Sampling.sampleByKey(docs, col("doc_id"), 0.25)
     assert(s25.count() > 0 && s25.count() < docs.count())
+    // null keys hash like "" (bucket 0): a 100% sample keeps them and
+    // assignSplit gives them the FIRST split deterministically
+    val withNull = Seq((1L, "x"), (2L, null: String)).toDF("doc_id", "text")
+    assert(graft.ext.Sampling.sampleByKey(withNull, col("text"), 1.0).count() == 2)
+    val nullSplit = graft.ext.Sampling.assignSplit(withNull, col("text"), w)
+      .filter(col("doc_id") === 2).select("split").as[String].collect().head
+    assert(nullSplit == "train")
   }
 
   test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {

@@ -55,7 +55,12 @@ class SqlSurfaceSpec extends SparkSuite {
       "SELECT lsh_buckets(embedding, 2, 4, 64) AS b FROM embeddings LIMIT 5")
     assert(b.collect().forall(_.getSeq[Long](0).length == 2))
 
-    // non-literal knob is an analysis-time error, not a runtime one
+    // integral literal knobs of any width resolve (SQL generators emit
+    // typed literals); non-literal knobs are analysis-time errors
+    val wide = spark.sql(
+      "SELECT simhash(shingle_hashes(text), CAST(16 AS BIGINT)) AS sh " +
+        "FROM documents LIMIT 1")
+    assert(wide.count() == 1)
     intercept[Exception](
       spark.sql("SELECT simhash(shingle_hashes(text), doc_id) FROM documents")
         .collect())

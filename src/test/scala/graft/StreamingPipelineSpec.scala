@@ -203,6 +203,14 @@ class StreamingPipelineSpec extends SparkSuite {
         CdcCust("d", 4, "Short", "Lived", "s@x.test", "gold", 104L))
       q.processAllAvailable()
       assert(spark.read.parquet(dimDir).filter(col("id") === 4).isEmpty)
+
+      // SAME-MILLISECOND update-then-delete: ts_ms ties are routine;
+      // arrival order must decide, so the tombstone still wins
+      ms.addData(
+        CdcCust("u", 5, "Same", "Milli", "m@x.test", "gold", 200L),
+        CdcCust("d", 5, "Same", "Milli", "m@x.test", "gold", 200L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dimDir).filter(col("id") === 5).isEmpty)
     } finally q.stop()
   }
 }
