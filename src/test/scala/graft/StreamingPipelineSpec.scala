@@ -211,6 +211,15 @@ class StreamingPipelineSpec extends SparkSuite {
         CdcCust("d", 5, "Same", "Milli", "m@x.test", "gold", 200L))
       q.processAllAvailable()
       assert(spark.read.parquet(dimDir).filter(col("id") === 5).isEmpty)
+
+      // epoch replay idempotence (SinkDef contract): re-applying the
+      // same upsert leaves the store byte-identical in content
+      val before = rows(spark.read.parquet(dimDir))
+      graft.streaming.ChangelogDim.upsert(
+        Seq(("Back", "Again", "b@x.test", "gold", 2))
+          .toDF("first_name", "last_name", "email", "club_status", "id"),
+        "id", dimDir)
+      assert(rows(spark.read.parquet(dimDir)) == before)
     } finally q.stop()
   }
 }
