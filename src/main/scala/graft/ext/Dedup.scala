@@ -178,6 +178,97 @@ object Dedup {
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  // ── Near-dup clustering + canonical keep-list ──────────────────────
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labelled with its own id; each round, a node adopts the
+    * minimum label in its closed neighbourhood; at fixpoint every
+    * component carries its minimum member id as the cluster label.
+    *
+    * Scale shape: one equi-join (edges ⋈ labels on src) plus one hash
+    * aggregation (min per id) per round — all key-partitioned shuffles,
+    * never a collected graph on the driver. Rounds = graph diameter,
+    * which for near-dup clusters (cliques-with-bridges) is small; the
+    * convergence probe is a single overflow-safe DECIMAL(38) checksum
+    * (labels only decrease, so an unchanged sum IS the fixpoint — no
+    * extra join against the previous iteration). Each round is
+    * `localCheckpoint`ed: lineage stays O(1) instead of growing a plan
+    * per round, and the blocks are released by the ContextCleaner once
+    * the next round supersedes them.
+    *
+    * `nodes` must expose `id`; `edges` must expose (`src`, `dst`) —
+    * undirected, either orientation; symmetrized here.
+    */
+  def clusterLabels(nodes: DataFrame, edges: DataFrame,
+                    maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // candidate generation must not rerun per round
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = checksum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val viaNeighbour = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("label"))
+      val next = labels.union(viaNeighbour)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-duplicate clusters over a corpus: LSH candidate pairs
+    * (band-key equi-join) verified by exact Jaccard ≥ num/den (integer
+    * cross-multiply — no float ratio, so the DuckDB oracle replays the
+    * cut exactly), then transitive closure via [[clusterLabels]].
+    * Returns (idCol, cluster_id) for EVERY document; singletons label
+    * themselves.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 3,
+                      numBands: Int = 4, rowsPerBand: Int = 2,
+                      jaccardNum: Int = 8, jaccardDen: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, n, numBands, rowsPerBand)
+    val edges = pairs
+      .filter(col("inter") * jaccardDen >= col("uni") * jaccardNum)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    clusterLabels(docs.select(col(idCol).as("id")), edges)
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** Canonical keep-list: one representative (min id = the cluster
+    * label) per cluster, with the member count — the consumable dedup
+    * artifact, not intermediate pair edges.
+    */
+  def keepList(clusters: DataFrame, idCol: String = "doc_id"): DataFrame =
+    clusters.groupBy("cluster_id")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
+      .select(col("keep_id"), col("n_members"))
+
+  /** The deduplicated corpus: keep exactly the cluster representatives
+    * (a document survives iff it IS its cluster's min id — a filter on
+    * the label frame, then a semi-join to re-attach payloads; the
+    * payload never rides through the clustering shuffles).
+    */
+  def dedupedCorpus(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3,
+                    numBands: Int = 4, rowsPerBand: Int = 2,
+                    jaccardNum: Int = 8, jaccardDen: Int = 10): DataFrame = {
+    val keep = nearDupClusters(docs, idCol, textCol, n, numBands, rowsPerBand,
+      jaccardNum, jaccardDen)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Streaming exact dedup: at-least-once delivery → effectively-once
     * processing by dropping duplicate keys within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — state per key is evicted once

@@ -22,9 +22,11 @@ object LlmOracle {
        |      i -> CAST(ord(substring($expr, i, 1)) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
 
-  /** CTE: doc_id + distinct 3-word-shingle hash set per document. */
-  val hashesCte: String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** CTE: doc_id + distinct 3-word-shingle hash set per document of
+    * `rel` (any relation exposing doc_id + text).
+    */
+  def hashesCteFrom(rel: String): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
        |shing AS (SELECT doc_id,
        |  CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws)-2),
        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
@@ -32,6 +34,48 @@ object LlmOracle {
        |hashes AS (SELECT doc_id,
        |  list_distinct(list_transform(sh, s -> ${polyhash("s")})) AS hs
        |  FROM shing)""".stripMargin
+
+  val hashesCte: String = hashesCteFrom("documents")
+
+  /** CTEs replaying [[graft.ext.Dedup.nearDupClusters]] exactly: LSH
+    * band candidates over `sig`/`hashes`, the integer cross-multiplied
+    * Jaccard cut, then connected components as a recursive reachability
+    * walk whose min per node IS the fixpoint of Spark's min-label
+    * propagation (both equal the component's minimum member id — the
+    * oracle replays the RESULT, not the iteration schedule). Requires
+    * `WITH RECURSIVE`. Yields `clusters(doc_id, cluster_id)` over the
+    * node set `nodesRel` (any relation exposing doc_id).
+    */
+  def clusterCtes(nodesRel: String, jNum: Int, jDen: Int): String =
+    s"""cbands AS (
+       |  SELECT doc_id, b.band,
+       |         CAST(sig[b.band * 2 + 1] AS VARCHAR) || '_' ||
+       |         CAST(sig[b.band * 2 + 2] AS VARCHAR) AS bkey
+       |  FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
+       |ccand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM cbands l JOIN cbands r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |cpairs AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_intersect(ha.hs, hb.hs)) AS inter,
+       |         len(ha.hs) + len(hb.hs)
+       |           - len(list_intersect(ha.hs, hb.hs)) AS uni
+       |  FROM ccand
+       |  JOIN hashes ha ON ha.doc_id = ccand.doc_a
+       |  JOIN hashes hb ON hb.doc_id = ccand.doc_b),
+       |cedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+       |  WHERE inter * $jDen >= uni * $jNum
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM cpairs
+       |  WHERE inter * $jDen >= uni * $jNum),
+       |walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM $nodesRel
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN cedges e ON e.src = w.r),
+       |clusters AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id)""".stripMargin
 
   /** Per-permutation minhash min expressions over the `hs` column. */
   def minhashExprs: Seq[String] = Dedup.Perms.map { case (a, b) =>
@@ -256,6 +300,28 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       Dedup.nearDupPairs(Tables.documents(s, d))
     }.sortedBy(col("doc_a"), col("doc_b")),
+
+    // Near-dup clustering: candidate pairs → Jaccard ≥ 8/10 edges →
+    // connected components (Spark: min-label propagation to fixpoint;
+    // oracle: recursive reachability walk — both yield the component's
+    // min member id). Every doc appears; singletons label themselves.
+    QueryDef("t_dedup_clusters",
+      s"""WITH RECURSIVE $hashesCte, $sigCte,
+         |${clusterCtes("documents", jNum = 8, jDen = 10)}
+         |SELECT doc_id, cluster_id FROM clusters
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.nearDupClusters(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // Canonical keep-list: the consumable dedup artifact — one
+    // representative per cluster with its member count.
+    QueryDef("t_dedup_keep",
+      s"""WITH RECURSIVE $hashesCte, $sigCte,
+         |${clusterCtes("documents", jNum = 8, jDen = 10)}
+         |SELECT cluster_id AS keep_id, count(*) AS n_members
+         |FROM clusters GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Dedup.keepList(Dedup.nearDupClusters(Tables.documents(s, d)))
+    }.sortedBy(col("keep_id")),
 
     // ── Similarity search ──────────────────────────────────────────
     // Exact brute-force top-10 for 5 query vectors: broadcast query set

@@ -152,6 +152,53 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("near-dup clustering: transitive chain collapses to one representative") {
+    import spark.implicits._
+    // A~B and B~C clear the 8/10 Jaccard cut; A–C does not (changing one
+    // MIDDLE word of 40 flips 3 shingles: 35/41 ≈ 0.85 per hop, 32/44 ≈
+    // 0.73 across two hops) — only transitive closure joins all three.
+    val words = (1 to 40).map(i => s"w$i").toArray
+    val a = words.mkString(" ")
+    val bw = words.clone(); bw(19) = "zz"
+    val b = bw.mkString(" ")
+    val cw = bw.clone(); cw(29) = "yy"
+    val c = cw.mkString(" ")
+    val docs = Seq(
+      (10L, a), (11L, b), (12L, c),
+      (20L, "totally different text about catalyst optimizer rules and plans"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.nearDupPairs(docs)
+      .filter(col("inter") * 10 >= col("uni") * 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(edges.contains((10L, 11L)) && edges.contains((11L, 12L)), s"edges=$edges")
+    assert(!edges.contains((10L, 12L)), s"A-C must be below the cut: $edges")
+
+    val labels = Dedup.nearDupClusters(docs).as[(Long, Long)].collect().toMap
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L), labels)
+
+    val kept = Dedup.dedupedCorpus(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L), s"kept=$kept")
+    val keep = Dedup.keepList(Dedup.nearDupClusters(docs))
+      .as[(Long, Long)].collect().toMap
+    assert(keep == Map(10L -> 3L, 20L -> 1L), keep)
+  }
+
+  test("near-dup clustering converges over a 5-hop chain (multi-round propagation)") {
+    import spark.implicits._
+    // d1..d5: each hop changes one more distinct word position; adjacent
+    // Jaccard ≈ 55/61 ≈ 0.90 (above the cut), d1-vs-d5 ≈ 46/70 ≈ 0.66
+    // (below) — the min label must walk 4 propagation rounds to reach d5.
+    val base = (1 to 60).map(i => s"w$i").toArray
+    def doc(changed: Int): String = {
+      val ws = base.clone()
+      (0 until changed).foreach(k => ws(5 + 10 * k) = s"x$k")
+      ws.mkString(" ")
+    }
+    val docs = (0 until 5).map(k => (100L + k, doc(k))).toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(docs).as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(100L), s"chain not one cluster: $labels")
+  }
+
   test("scale guard: no cartesian product in LSH candidate plans") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.lshCandidates(Dedup.features(docs))
