@@ -137,8 +137,17 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int, planes: Int,
               dims: Int, tables: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val bucketed = lshTableBuckets(corpus, tables, planes, dims, vecCol)
+              vecCol: String = "embedding"): DataFrame =
+    annSearch(lshTableBuckets(corpus, tables, planes, dims, vecCol),
+      queryIds, k, idCol, vecCol)
+
+  /** The LSH search phase over a (pre-)bucketed frame (idCol, vecCol,
+    * tbl, bucket) — shared by [[annTopK]] (inline bucketing) and
+    * [[annTopKIndexed]] (persisted index; zero bucket computation).
+    */
+  def annSearch(bucketed: DataFrame, queryIds: Seq[Long], k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
     val queries = bucketed
       .filter(col(idCol).isin(queryIds: _*))
       .select(col("tbl"), col("bucket"),
@@ -250,26 +259,53 @@ object Similarity {
     ivfSearch(corpus, cents, queryIds, k, nProbe, idCol, vecCol)
   }
 
+  /** Inverted-list assignment: nearest trained centroid per corpus
+    * vector (top-1 per key via TopKPerKey; cosine + centroid-id
+    * tiebreak, matching the oracle's row_number replay). This is the
+    * build-time half of IVF — persist its output once, search many.
+    */
+  def assignCells(corpus: DataFrame, cents: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus
+      .join(broadcast(cents))
+      .select(col(idCol).as("query_id"), col(vecCol),
+        col("cell").as("__cand"), cosine(col(vecCol), col("cvec")).as("cos"))
+    topKOperator(scored, 1, "__cand")
+      .select(col("query_id").as(idCol), col(vecCol),
+        col("__cand").as("cell"))
+  }
+
   /** The IVF search phase over a trained quantizer `cents(cell, cvec)`:
     * inverted-list assignment, nProbe probing, exact rerank — all
     * broadcast/equi-joins + TopKPerKey.
     */
   def ivfSearch(corpus: DataFrame, cents: DataFrame, queryIds: Seq[Long],
                 k: Int, nProbe: Int, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    // inverted lists: nearest centroid per corpus vector (top-1 per key)
-    val assignScored = corpus
+                vecCol: String = "embedding"): DataFrame =
+    searchAssigned(assignCells(corpus, cents, idCol, vecCol), cents,
+      queryIds, k, nProbe, idCol, vecCol)
+
+  /** The search-only IVF hot path over PRE-ASSIGNED inverted lists
+    * `assigned(idCol, vecCol, cell)` and a trained quantizer: probe the
+    * nProbe nearest cells per query (queries × broadcast centroids —
+    * |Q|·k tiny), then exact-rerank within the probed lists. No
+    * training, no corpus-wide assignment — at 100 TB this is the
+    * difference between a query touching tables·n rows and touching
+    * nProbe/cells of the corpus.
+    */
+  def searchAssigned(assigned: DataFrame, cents: DataFrame,
+                     queryIds: Seq[Long], k: Int, nProbe: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val queries = assigned.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val probeScored = queries
       .join(broadcast(cents))
-      .select(col(idCol).as("query_id"), col(vecCol),
-        col("cell").as("__cand"), cosine(col(vecCol), col("cvec")).as("cos"))
-    val assigned = topKOperator(assignScored, 1, "__cand")
-      .select(col("query_id").as(idCol), col(vecCol),
-        col("__cand").as("cell"))
-    // query probes: nProbe nearest centroids per query
-    val probes = topKOperator(
-      assignScored.filter(col("query_id").isin(queryIds: _*)), nProbe, "__cand")
-      .select(col("query_id"), col(vecCol).as("query_vec"),
-        col("__cand").as("cell"))
+      .select(col("query_id"), col("query_vec"), col("cell").as("__cand"),
+        cosine(col("query_vec"), col("cvec")).as("cos"))
+    val probes = topKOperator(probeScored, nProbe, "__cand")
+      .select(col("query_id"), col("query_vec"), col("__cand").as("cell"))
     // candidates = inverted lists of the probed cells; exact rerank
     val scored = assigned
       .join(broadcast(probes), Seq("cell"))
@@ -282,6 +318,60 @@ object Similarity {
     topKOperator(scored, k, "neighbor_id")
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  // ── Persisted index lifecycle (write once, query many) ─────────────
+
+  /** Build-and-persist the IVF index artifact: the trained coarse
+    * quantizer as `<name>_centroids` and the inverted lists as
+    * `<name>_lists`, CELL-BUCKETED via [[graft.core.Layout.writeBucketed]]
+    * so a probe's list scan is a bucket-pruned read. Training and
+    * corpus-wide assignment run HERE, once — never again on the query
+    * path ([[ivfTopKIndexed]]).
+    */
+  def buildIvfIndex(corpus: DataFrame, name: String, centroids: Int = 16,
+                    buckets: Int = 8, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    // train once: the centroid frame feeds two write branches (quantizer
+    // table + assignment join) — materialize so Lloyd runs a single time
+    val cents = trainCentroids(corpus, centroids, idCol, vecCol)
+      .localCheckpoint()
+    graft.core.Layout.writeBucketed(cents, s"${name}_centroids", "cell", 1)
+    graft.core.Layout.writeBucketed(
+      assignCells(corpus, cents, idCol, vecCol), s"${name}_lists", "cell",
+      buckets)
+  }
+
+  /** Search-only IVF over the persisted index — the hot path: reads the
+    * quantizer + bucketed inverted lists back and runs
+    * [[searchAssigned]]. Bit-identical results to [[ivfTopK]] (floats
+    * and the quantized-mean doubles round-trip parquet exactly), proven
+    * by the shared t_ann_ivf oracle SQL.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+                     queryIds: Seq[Long], k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    searchAssigned(spark.table(s"${name}_lists"),
+      spark.table(s"${name}_centroids"), queryIds, k, nProbe, idCol, vecCol)
+
+  /** Build-and-persist the LSH index artifact: all (table, bucket) rows
+    * per vector, bucketed by the join key — [[annTopKIndexed]] then
+    * computes zero sign-buckets at query time.
+    */
+  def buildLshIndex(corpus: DataFrame, name: String, planes: Int, dims: Int,
+                    tables: Int = 8, buckets: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    graft.core.Layout.writeBucketed(
+      lshTableBuckets(corpus, tables, planes, dims, vecCol),
+      s"${name}_buckets", "bucket", buckets)
+
+  /** Search-only ANN over the persisted LSH index. */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+                     queryIds: Seq[Long], k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    annSearch(spark.table(s"${name}_buckets"), queryIds, k, idCol, vecCol)
 
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold

@@ -189,6 +189,85 @@ object LlmOracle {
 object LlmQueries {
   import LlmOracle._
 
+  /** Build the persisted ANN index artifacts once per (JVM, sf dir) —
+    * the warehouse is per-JVM (Sessions), so a JVM-local lock closes the
+    * check-then-write race. Queries then exercise the SEARCH-ONLY hot
+    * path; in the bench's interleaved sweeps only the first call pays
+    * the build, which is exactly the write-once/query-many lifecycle.
+    */
+  private val builtIndexes = scala.collection.mutable.Set[String]()
+
+  def ivfIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_ivf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtIndexes.contains(name)) {
+        Similarity.buildIvfIndex(Tables.embeddings(s, d), name, centroids = 16)
+        builtIndexes += name
+      }
+      name
+    }
+
+  def lshIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_lsh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtIndexes.contains(name)) {
+        Similarity.buildLshIndex(Tables.embeddings(s, d), name,
+          planes = 4, dims = 64)
+        builtIndexes += name
+      }
+      name
+    }
+
+  /** Shared by t_ann_lsh and t_ann_lsh_indexed — the persisted index
+    * must be bit-identical to inline bucketing, so one oracle serves
+    * both.
+    */
+  private val annLshSql: String =
+    s"""WITH ${lshBucketsCte(tables = 8, planes = 4, dims = 64)},
+       |q AS (
+       |  SELECT tbl, bucket, vec_id AS query_id
+       |  FROM buckets WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+       |  FROM buckets b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+       |  WHERE b.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by t_ann_ivf and t_ann_ivf_indexed — ditto: the persisted
+    * quantizer + inverted lists round-trip parquet exactly.
+    */
+  private val annIvfSql: String =
+    s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5")},
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
@@ -371,30 +450,17 @@ object LlmQueries {
     // reproduces the sign buckets from the same planeWeight constants
     // (lshBucketsCte), then the same candidate join + exact rerank.
     // Recall vs exact top-k is additionally asserted in the test suite.
-    QueryDef("t_ann_lsh",
-      s"""WITH ${lshBucketsCte(tables = 8, planes = 4, dims = 64)},
-         |q AS (
-         |  SELECT tbl, bucket, vec_id AS query_id
-         |  FROM buckets WHERE vec_id < 5),
-         |cand AS (
-         |  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
-         |  FROM buckets b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
-         |  WHERE b.vec_id <> q.query_id),
-         |scored AS (
-         |  SELECT c.query_id, c.neighbor_id,
-         |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
-         |  FROM cand c
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id
-         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT * FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("t_ann_lsh", annLshSql) { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, planes = 4, dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Same ANN search over the PERSISTED LSH index (write-once bucketed
+    // tables, search-only hot path): bit-identical to t_ann_lsh, so the
+    // same oracle gates the whole write/read lifecycle.
+    QueryDef("t_ann_lsh_indexed", annLshSql) { (s, d) =>
+      Similarity.annTopKIndexed(s, lshIndexFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10)
     }.sortedBy(col("query_id"), col("rank")),
 
     // IVF variant (deterministic k-means coarse quantizer + nProbe cell
@@ -403,27 +469,19 @@ object LlmQueries {
     // (ivfCtes) and replays the same search. Recall and the
     // probe-all-cells==brute-force degeneration are additionally
     // asserted in the test suite.
-    QueryDef("t_ann_ivf",
-      s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5")},
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-         |  FROM assigned a JOIN probes p ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.query_id),
-         |scored AS (
-         |  SELECT c.query_id, c.neighbor_id,
-         |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
-         |  FROM cand c
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id
-         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT * FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("t_ann_ivf", annIvfSql) { (s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, centroids = 16, nProbe = 6)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Same IVF search over the PERSISTED index (trained quantizer +
+    // cell-bucketed inverted lists written once): the search-only path
+    // must replay the identical oracle through a write/read cycle —
+    // this is the index-lifecycle gate, and the scale answer to
+    // train-per-query.
+    QueryDef("t_ann_ivf_indexed", annIvfSql) { (s, d) =>
+      Similarity.ivfTopKIndexed(s, ivfIndexFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 6)
     }.sortedBy(col("query_id"), col("rank")),
 
     // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed

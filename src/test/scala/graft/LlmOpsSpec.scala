@@ -152,6 +152,39 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("persisted IVF index: search-only path matches inline train-and-search exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.buildIvfIndex(emb, "t_ivf_idx", centroids = 16)
+    val indexed = Similarity.ivfTopKIndexed(spark, "t_ivf_idx",
+      Seq(0L, 1L, 2L), 10, nProbe = 6)
+    val inline = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 10,
+      centroids = 16, nProbe = 6)
+    assert(rows(indexed) == rows(inline))
+    assert(rows(indexed).nonEmpty)
+    // plan proof of the lifecycle: the hot path contains NO training or
+    // corpus-wide assignment stage — no Lloyd mean (posexplode +
+    // collect_list), just scans of the persisted index tables
+    val plan = indexed.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("collect_list"), "re-train stage in search plan")
+    assert(!plan.contains("posexplode"), "re-train stage in search plan")
+    assert(plan.contains("t_ivf_idx_lists"), plan)
+    assert(plan.contains("t_ivf_idx_centroids"), plan)
+  }
+
+  test("persisted LSH index: search-only path matches inline bucketing, computes zero buckets") {
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.buildLshIndex(emb, "t_lsh_idx", planes = 4, dims = 64)
+    val indexed = Similarity.annTopKIndexed(spark, "t_lsh_idx",
+      Seq(0L, 1L, 2L), 10)
+    val inline = Similarity.annTopK(emb, Seq(0L, 1L, 2L), 10,
+      planes = 4, dims = 64)
+    assert(rows(indexed) == rows(inline))
+    assert(rows(indexed).nonEmpty)
+    val plan = indexed.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("lshbuckets"), "re-bucketing stage in search plan")
+    assert(plan.contains("t_lsh_idx_buckets"), plan)
+  }
+
   test("near-dup clustering: transitive chain collapses to one representative") {
     import spark.implicits._
     // A~B and B~C clear the 8/10 Jaccard cut; A–C does not (changing one
