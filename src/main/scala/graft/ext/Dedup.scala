@@ -198,9 +198,18 @@ object Dedup {
     *
     * `nodes` must expose `id`; `edges` must expose (`src`, `dst`) —
     * undirected, either orientation; symmetrized here.
+    *
+    * If the loop exits at `maxRounds` without reaching the fixpoint (a
+    * component of diameter > maxRounds — gradual-mutation spam chains),
+    * the labels are NOT the transitive closure. The checksum probe
+    * detects this exactly, so non-convergence is never silent: default
+    * is a WARN log naming rounds used (partial labels returned, each
+    * still a component member so downstream keep-lists stay safe —
+    * just split); `strict = true` throws instead, for pipelines where
+    * a split cluster must halt the job rather than ship.
     */
   def clusterLabels(nodes: DataFrame, edges: DataFrame,
-                    maxRounds: Int = 50): DataFrame = {
+                    maxRounds: Int = 50, strict: Boolean = false): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // candidate generation must not rerun per round
@@ -221,6 +230,14 @@ object Dedup {
       prev = cur
       labels = next
       rounds += 1
+    }
+    if (!converged) {
+      val msg = s"clusterLabels exited UNCONVERGED after $maxRounds rounds: " +
+        "a component has diameter > maxRounds and its labels are split " +
+        "(not the full transitive closure). Raise maxRounds or pre-collapse " +
+        "exact duplicates."
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }

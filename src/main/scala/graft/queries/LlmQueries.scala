@@ -37,6 +37,29 @@ object LlmOracle {
 
   val hashesCte: String = hashesCteFrom("documents")
 
+  /** CTEs: LSH band keys + canonically-ordered candidate pairs over the
+    * `sig` CTE — replaying [[graft.ext.Dedup.bands]] +
+    * [[graft.ext.Dedup.lshCandidates]] for any banding layout. Shared
+    * verbatim by the t_dedup_near oracle and [[clusterCtes]] so the two
+    * formulations can never drift; alias parameters avoid CTE-name
+    * collisions when both appear in one statement.
+    */
+  def bandCandidatesCte(numBands: Int = 4, rowsPerBand: Int = 2,
+                        bandsAlias: String = "bands",
+                        candAlias: String = "cand"): String = {
+    val values = (0 until numBands).map(b => s"($b)").mkString(", ")
+    val keyExpr = (1 to rowsPerBand)
+      .map(r => s"CAST(sig[b.band * $rowsPerBand + $r] AS VARCHAR)")
+      .mkString(" || '_' || ")
+    s"""$bandsAlias AS (
+       |  SELECT doc_id, b.band, $keyExpr AS bkey
+       |  FROM sig, (VALUES $values) b(band)),
+       |$candAlias AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM $bandsAlias l JOIN $bandsAlias r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
   /** CTEs replaying [[graft.ext.Dedup.nearDupClusters]] exactly: LSH
     * band candidates over `sig`/`hashes`, the integer cross-multiplied
     * Jaccard cut, then connected components as a recursive reachability
@@ -44,18 +67,12 @@ object LlmOracle {
     * propagation (both equal the component's minimum member id — the
     * oracle replays the RESULT, not the iteration schedule). Requires
     * `WITH RECURSIVE`. Yields `clusters(doc_id, cluster_id)` over the
-    * node set `nodesRel` (any relation exposing doc_id).
+    * node set `nodesRel` (any relation exposing doc_id). Banding layout
+    * (`numBands` × `rowsPerBand`) must match the Spark call's.
     */
-  def clusterCtes(nodesRel: String, jNum: Int, jDen: Int): String =
-    s"""cbands AS (
-       |  SELECT doc_id, b.band,
-       |         CAST(sig[b.band * 2 + 1] AS VARCHAR) || '_' ||
-       |         CAST(sig[b.band * 2 + 2] AS VARCHAR) AS bkey
-       |  FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
-       |ccand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM cbands l JOIN cbands r
-       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+  def clusterCtes(nodesRel: String, jNum: Int, jDen: Int,
+                  numBands: Int = 4, rowsPerBand: Int = 2): String =
+    s"""${bandCandidatesCte(numBands, rowsPerBand, "cbands", "ccand")},
        |cpairs AS (
        |  SELECT doc_a, doc_b,
        |         len(list_intersect(ha.hs, hb.hs)) AS inter,
@@ -197,9 +214,19 @@ object LlmQueries {
     */
   private val builtIndexes = scala.collection.mutable.Set[String]()
 
+  /** Catalog-safe table-name stem for a dataset dir: the sanitized path
+    * plus a stable hex hash of the RAW string, so distinct dirs that
+    * sanitize identically (sf-1 vs sf_1) can never share an index.
+    */
+  private def dirStem(d: String): String = {
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    d.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+  }
+
   def ivfIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     synchronized {
-      val name = "graft_ivf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val name = "graft_ivf_" + dirStem(d)
       if (!builtIndexes.contains(name)) {
         Similarity.buildIvfIndex(Tables.embeddings(s, d), name, centroids = 16)
         builtIndexes += name
@@ -209,7 +236,7 @@ object LlmQueries {
 
   def lshIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     synchronized {
-      val name = "graft_lsh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val name = "graft_lsh_" + dirStem(d)
       if (!builtIndexes.contains(name)) {
         Similarity.buildLshIndex(Tables.embeddings(s, d), name,
           planes = 4, dims = 64)
@@ -360,15 +387,7 @@ object LlmQueries {
     // candidate generation is a band-key equi-join, NOT an n² product.
     QueryDef("t_dedup_near",
       s"""WITH $hashesCte, $sigCte,
-         |bands AS (
-         |  SELECT doc_id, b.band,
-         |         CAST(sig[b.band * 2 + 1] AS VARCHAR) || '_' ||
-         |         CAST(sig[b.band * 2 + 2] AS VARCHAR) AS bkey
-         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM bands l JOIN bands r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+         |${bandCandidatesCte()}
          |SELECT doc_a, doc_b,
          |       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
          |       CAST(len(ha.hs) + len(hb.hs)

@@ -232,6 +232,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(labels.values.toSet == Set(100L), s"chain not one cluster: $labels")
   }
 
+  test("clusterLabels discloses non-convergence (strict throws; default warns, returns partial)") {
+    import spark.implicits._
+    // a 5-node path needs 4 propagation rounds; maxRounds=1 cannot finish
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterLabels(nodes, edges, maxRounds = 1, strict = true)
+    }
+    assert(ex.getMessage.contains("UNCONVERGED"), ex.getMessage)
+    // default: partial labels come back (logged, not thrown) — complete
+    // node set, but the far end of the chain not yet at the min label
+    val partial = Dedup.clusterLabels(nodes, edges, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(partial(5L) != 1L, s"one round cannot reach node 5: $partial")
+    // enough rounds: converges to the component minimum everywhere
+    val full = Dedup.clusterLabels(nodes, edges).as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(1L), full)
+  }
+
   test("scale guard: no cartesian product in LSH candidate plans") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.lshCandidates(Dedup.features(docs))
