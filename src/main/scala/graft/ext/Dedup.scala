@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.polyFingerprint
 
@@ -13,9 +14,27 @@ import graft.functions.polyFingerprint
   *    pairs are O(collisions), never the O(n²) all-pairs cross join;
   *  - exact-Jaccard verification runs only on candidate pairs;
   *  - every hash is integer arithmetic on PolyHash (codegen'd Catalyst
-  *    expression) so the DuckDB oracle reproduces signatures exactly.
+  *    expression) so the DuckDB oracle reproduces signatures exactly;
+  *  - HOT-BUCKET GUARD: exact duplicates collapse to one representative
+  *    BEFORE banding (m identical copies contribute one band row, not m
+  *    rows and m²/2 in-task pairs — the dup-heavy corpus a dedup
+  *    pipeline exists for is exactly the one that would otherwise put a
+  *    skew cliff inside its own candidate join), and any band bucket
+  *    still wider than [[DefaultMaxBucketWidth]] distinct documents is
+  *    excluded from candidate generation and DISCLOSED (WARN log +
+  *    [[bandOverflow]]), so pathological spam degrades recall visibly
+  *    instead of OOMing a task.
   */
 object Dedup {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Cap on DISTINCT documents per (band, bandKey) after exact-collapse:
+    * a capped bucket emits at most cap²/2 in-task candidate pairs. Keys
+    * wider than this (near-identical-but-distinct spam) are excluded
+    * from candidate generation and disclosed.
+    */
+  val DefaultMaxBucketWidth: Int = 256
 
   val P: Long = 2147483647L // 2^31-1, the PolyHash modulus
 
@@ -117,59 +136,135 @@ object Dedup {
       .select(col(idCol), col("b.band"), col("b.bkey"))
   }
 
+  /** Exact-duplicate collapse: feats plus a `rep` column — the minimum
+    * id among documents with a BIT-IDENTICAL distinct shingle-hash set
+    * (sig, bands, Jaccard all derive from `hashes`, so hash-set equality
+    * is exactly the equivalence the LSH machinery observes). Null-hash
+    * docs (null text) are their own representative — the unguarded join
+    * never matched them either (null band keys). One hash-partitioned
+    * window, no driver state.
+    */
+  def withExactReps(feats: DataFrame, idCol: String = "doc_id"): DataFrame =
+    feats.withColumn("rep",
+      when(col("hashes").isNull, col(idCol))
+        .otherwise(min(col(idCol)).over(Window.partitionBy(col("hashes")))))
+
+  /** Disclosed overflow: (band, bkey, n_docs) for every band bucket
+    * wider than `maxBucket` rows of the given feature frame. Run it over
+    * REPRESENTATIVES (post-collapse): non-empty means distinct-content
+    * spam is saturating a bucket and those keys were excluded from
+    * candidate generation — recall loss you can see, not an OOM.
+    */
+  def bandOverflow(feats: DataFrame, idCol: String = "doc_id",
+                   numBands: Int = 4, rowsPerBand: Int = 2,
+                   maxBucket: Int = DefaultMaxBucketWidth): DataFrame =
+    bands(feats, idCol, numBands, rowsPerBand)
+      .filter(col("bkey").isNotNull)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
   /** Candidate pairs: equi-join on (band, bandKey) — a hash shuffle on
     * the band key, never an all-pairs product. Pairs are deduped and
-    * canonically ordered (a < b).
+    * canonically ordered (a < b). Buckets wider than `maxBucket` are
+    * excluded (see [[bandOverflow]] for the disclosure side); the window
+    * that measures width shuffles on the same (band, bkey) key the join
+    * uses, so the cap adds no extra exchange on the hot path.
     */
   def lshCandidates(features: DataFrame, idCol: String = "doc_id",
-                    numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val l = bands(features, idCol, numBands, rowsPerBand)
-      .withColumnRenamed(idCol, "doc_a")
-    val r = bands(features, idCol, numBands, rowsPerBand)
-      .withColumnRenamed(idCol, "doc_b")
+                    numBands: Int = 4, rowsPerBand: Int = 2,
+                    maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+    val capped = bands(features, idCol, numBands, rowsPerBand)
+      .filter(col("bkey").isNotNull)
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("__w") <= maxBucket)
+      .drop("__w")
+    val l = capped.withColumnRenamed(idCol, "doc_a")
+    val r = capped.withColumnRenamed(idCol, "doc_b")
     l.join(r, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact n-gram Jaccard verification over candidate pairs only, from
-    * PRE-MATERIALIZED features (the output of [[features]], read back
-    * from a table/checkpoint): intersection/union sizes of the distinct
-    * shingle-hash sets. The feature frame is consumed by four plan
-    * branches (band self-join l/r + hash re-attach a/b); feeding a
-    * materialized frame means the signature stage runs zero times here —
-    * at pipeline scale, write `features(docs)` once and pass it in.
+  /** Representative-level pipeline core: exact-collapse (one window),
+    * capped LSH candidates + exact-Jaccard verification over
+    * REPRESENTATIVES only, plus eager overflow disclosure. Returns
+    * (grouped, repPairs): `grouped` = feats + rep, localCheckpointed —
+    * it feeds many plan branches (band self-join, hash re-attach, member
+    * expansion) and Catalyst has no cross-branch subexpression reuse, so
+    * one executor-local materialization beats re-running the window (and
+    * any unmaterialized signature stage) per branch; `repPairs` =
+    * (doc_a, doc_b, inter, uni) over rep ids, doc_a < doc_b.
     */
-  def nearDupPairsFromFeatures(feats: DataFrame, idCol: String = "doc_id",
-                               numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val cands = lshCandidates(feats, idCol, numBands, rowsPerBand)
-    val ha = feats.select(col(idCol).as("doc_a"), col("hashes").as("ha"))
-    val hb = feats.select(col(idCol).as("doc_b"), col("hashes").as("hb"))
-    cands.join(ha, "doc_a").join(hb, "doc_b")
+  private def repLevelPairs(feats: DataFrame, idCol: String, numBands: Int,
+                            rowsPerBand: Int, maxBucket: Int): (DataFrame, DataFrame) = {
+    val grouped = withExactReps(feats, idCol).localCheckpoint()
+    val repFeats = grouped.filter(col(idCol) === col("rep"))
+    val over = bandOverflow(repFeats, idCol, numBands, rowsPerBand, maxBucket)
+      .limit(21).collect()
+    if (over.nonEmpty)
+      log.warn(s"lsh candidate generation: ${over.length}${if (over.length > 20) "+" else ""} " +
+        s"band bucket(s) wider than $maxBucket DISTINCT documents excluded from " +
+        s"candidate generation (recall loss, not a failure): " +
+        over.take(20).map(r => s"(band=${r.get(0)}, bkey=${r.get(1)}, n=${r.get(2)})").mkString(", "))
+    val cands = lshCandidates(repFeats, idCol, numBands, rowsPerBand, maxBucket)
+    val ha = repFeats.select(col(idCol).as("doc_a"), col("hashes").as("ha"))
+    val hb = repFeats.select(col(idCol).as("doc_b"), col("hashes").as("hb"))
+    val repPairs = cands.join(ha, "doc_a").join(hb, "doc_b")
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("uni", (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
       .select("doc_a", "doc_b", "inter", "uni")
+    (grouped, repPairs)
   }
 
-  /** One-shot near-dup pipeline: evaluates the signature stage exactly
-    * ONCE per document via an eager local checkpoint, then runs
-    * [[nearDupPairsFromFeatures]] over the materialized frame. Catalyst
-    * has no cross-branch common-subexpression reuse, so without
-    * materialization the four consuming branches would each recompute
-    * ShingleHashes+MinHashSig (~4× per doc — the round-2 shape). A
-    * localCheckpoint (executor-local blocks, lineage truncated) is
-    * transient: the ContextCleaner releases the blocks once the frame is
-    * unreferenced — unlike a `cache()` inside a lazy builder, which pins
-    * storage for the session with no owner to unpersist it. At pipeline
-    * scale, prefer writing [[features]] to a real table and calling
+  /** Exact n-gram Jaccard verification over candidate pairs, from
+    * features (the output of [[features]]; pre-materialized frames skip
+    * re-running the signature stage). HOT-BUCKET-GUARDED: candidates are
+    * generated at representative level ([[withExactReps]] + capped
+    * join), then rep pairs EXPAND back to member pairs — identical hash
+    * sets mean identical (inter, uni) cross-group and inter = uni = |h|
+    * within a group, so the output is row-for-row what the unguarded
+    * join would produce whenever no REPRESENTATIVE bucket exceeds the
+    * cap (exact duplicates can no longer widen one). NOTE: pair-level
+    * output is inherently quadratic in group size on dup-heavy corpora
+    * (m²/2 true pairs exist); the linear-output consumables are
+    * [[nearDupClusters]] / [[keepList]] / [[dedupedCorpus]], which never
+    * materialize intra-group pairs.
+    */
+  def nearDupPairsFromFeatures(feats: DataFrame, idCol: String = "doc_id",
+                               numBands: Int = 4, rowsPerBand: Int = 2,
+                               maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+    val (grouped, repPairs) = repLevelPairs(feats, idCol, numBands, rowsPerBand, maxBucket)
+    val rp = repPairs.select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+      col("inter"), col("uni"))
+    val ga = grouped.select(col(idCol).as("a"), col("rep").as("ra"))
+    val gb = grouped.select(col(idCol).as("b"), col("rep").as("rb"))
+    val cross = rp.join(ga, "ra").join(gb, "rb")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("inter"), col("uni"))
+    val sz = grouped.filter(col(idCol) === col("rep"))
+      .select(col("rep").as("r0"), size(col("hashes")).cast("long").as("h"))
+    val ma = grouped.select(col(idCol).as("a"), col("rep").as("r0"))
+    val mb = grouped.select(col(idCol).as("b"), col("rep").as("r0"))
+    val intra = ma.join(mb, "r0").filter(col("a") < col("b")).join(sz, "r0")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("h").as("inter"), col("h").as("uni"))
+    cross.union(intra)
+  }
+
+  /** One-shot near-dup pipeline over raw documents. The signature stage
+    * evaluates exactly ONCE per document: [[nearDupPairsFromFeatures]]
+    * materializes the collapsed feature frame via an eager local
+    * checkpoint (executor-local blocks, lineage truncated, released by
+    * the ContextCleaner once unreferenced). At pipeline scale, write
+    * [[features]] to a real table and call
     * [[nearDupPairsFromFeatures]] directly.
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", n: Int = 3,
-                   numBands: Int = 4, rowsPerBand: Int = 2): DataFrame =
-    nearDupPairsFromFeatures(
-      features(docs, idCol, textCol, n).localCheckpoint(),
-      idCol, numBands, rowsPerBand)
+                   numBands: Int = 4, rowsPerBand: Int = 2,
+                   maxBucket: Int = DefaultMaxBucketWidth): DataFrame =
+    nearDupPairsFromFeatures(features(docs, idCol, textCol, n),
+      idCol, numBands, rowsPerBand, maxBucket)
 
   /** Exact dedup: representative (min id) + multiplicity per distinct
     * key — one hash aggregation, map-side combined.
@@ -242,22 +337,35 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
-  /** Near-duplicate clusters over a corpus: LSH candidate pairs
-    * (band-key equi-join) verified by exact Jaccard ≥ num/den (integer
+  /** Near-duplicate clusters over a corpus: capped representative-level
+    * LSH candidates verified by exact Jaccard ≥ num/den (integer
     * cross-multiply — no float ratio, so the DuckDB oracle replays the
     * cut exactly), then transitive closure via [[clusterLabels]].
     * Returns (idCol, cluster_id) for EVERY document; singletons label
     * themselves.
+    *
+    * Edge set = rep pairs passing the cut PLUS one STAR edge per
+    * non-representative member (member → rep): m identical copies
+    * contribute m-1 edges, never m²/2 — and the components (hence
+    * labels: each component's min member id) are provably identical to
+    * the full member-pair edge set, because an identical copy's Jaccard
+    * with ANY third document equals its representative's. The whole
+    * clustering chain is therefore immune to the dup-heavy skew cliff,
+    * not just the candidate join.
     */
   def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 3,
                       numBands: Int = 4, rowsPerBand: Int = 2,
-                      jaccardNum: Int = 8, jaccardDen: Int = 10): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, n, numBands, rowsPerBand)
-    val edges = pairs
+                      jaccardNum: Int = 8, jaccardDen: Int = 10,
+                      maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+    val (grouped, repPairs) = repLevelPairs(
+      features(docs, idCol, textCol, n), idCol, numBands, rowsPerBand, maxBucket)
+    val repEdges = repPairs
       .filter(col("inter") * jaccardDen >= col("uni") * jaccardNum)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    clusterLabels(docs.select(col(idCol).as("id")), edges)
+    val starEdges = grouped.filter(col(idCol) =!= col("rep"))
+      .select(col(idCol).as("src"), col("rep").as("dst"))
+    clusterLabels(docs.select(col(idCol).as("id")), repEdges.union(starEdges))
       .select(col("id").as(idCol), col("cluster_id"))
   }
 
@@ -278,9 +386,10 @@ object Dedup {
   def dedupedCorpus(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3,
                     numBands: Int = 4, rowsPerBand: Int = 2,
-                    jaccardNum: Int = 8, jaccardDen: Int = 10): DataFrame = {
+                    jaccardNum: Int = 8, jaccardDen: Int = 10,
+                    maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
     val keep = nearDupClusters(docs, idCol, textCol, n, numBands, rowsPerBand,
-      jaccardNum, jaccardDen)
+      jaccardNum, jaccardDen, maxBucket)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
     docs.join(keep, Seq(idCol), "left_semi")

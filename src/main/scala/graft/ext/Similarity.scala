@@ -376,26 +376,75 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold
     * — bucket equi-joins, no all-pairs product.
+    *
+    * HOT-BUCKET-GUARDED like [[graft.ext.Dedup.nearDupPairsFromFeatures]]:
+    * bit-identical vectors collapse to their min-id representative
+    * BEFORE bucketing (m exact copies put ONE row in each bucket, not m
+    * rows and m²/2 in-task pairs), any bucket still wider than
+    * `maxBucket` DISTINCT vectors is excluded and disclosed (WARN), and
+    * rep pairs expand back to member pairs afterwards — identical
+    * vectors give bit-identical cosines, so output matches the unguarded
+    * join row-for-row whenever no representative bucket overflows.
+    * Candidate generation and dedup stay on BARE id pairs (16 bytes/row
+    * through the shuffles); vectors re-attach after the distinct cut.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double, planes: Int,
                         dims: Int, tables: Int = 8,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
-    val b = lshTableBuckets(corpus, tables, planes, dims, vecCol)
-    // candidate generation and dedup on BARE id pairs — the bucket join
-    // and distinct shuffle move 16 bytes/row, not two embedding payloads;
-    // vectors re-attach afterwards (broadcast when the corpus side fits,
-    // else two hash joins on ids — either way after the dedup cut)
-    val l = b.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
-    val r = b.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+                        vecCol: String = "embedding",
+                        maxBucket: Int = graft.ext.Dedup.DefaultMaxBucketWidth): DataFrame = {
+    // exact-collapse: one window keyed by the raw vector bits (null
+    // vectors never bucketed — same as the unguarded posexplode drop)
+    val grouped = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .withColumn("rep", min(col(idCol)).over(Window.partitionBy(col(vecCol))))
+      .localCheckpoint()
+    val reps = grouped.filter(col(idCol) === col("rep"))
+    // bucket representatives ONCE (single fused LshBuckets evaluation in
+    // the checkpoint job); bare (tbl, bucket, id) rows from here on
+    val bucketRows = lshTableBuckets(reps, tables, planes, dims, vecCol)
+      .select(col("tbl"), col("bucket"), col(idCol))
+      .localCheckpoint()
+    val over = bucketRows.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("n_vecs")).filter(col("n_vecs") > maxBucket)
+      .limit(21).collect()
+    if (over.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"embeddingNearDups: ${over.length}${if (over.length > 20) "+" else ""} LSH " +
+          s"bucket(s) wider than $maxBucket DISTINCT vectors excluded from " +
+          s"candidate generation (recall loss, not a failure): " +
+          over.take(20).map(r => s"(tbl=${r.get(0)}, bucket=${r.get(1)}, n=${r.get(2)})").mkString(", "))
+    val capped = bucketRows
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("__w") <= maxBucket)
+      .drop("__w")
+    val l = capped.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val r = capped.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
     val candidates = l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    candidates.join(va, "id_a").join(vb, "id_b")
+    val va = reps.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = reps.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val repPairs = candidates.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select(col("id_a").as("ra"), col("id_b").as("rb"), col("cos"))
+    // expansion: cross-group member pairs inherit the rep pair's cosine
+    // (bit-identical vectors), intra-group pairs score the rep against
+    // itself through the SAME expression the unguarded join would run
+    val ga = grouped.select(col(idCol).as("a"), col("rep").as("ra"))
+    val gb = grouped.select(col(idCol).as("b"), col("rep").as("rb"))
+    val cross = repPairs.join(ga, "ra").join(gb, "rb")
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("cos"))
+    val selfCos = reps
+      .withColumn("cos", round(cosine(col(vecCol), col(vecCol)), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("rep").as("r0"), col("cos"))
+    val ma = grouped.select(col(idCol).as("a"), col("rep").as("r0"))
+    val mb = grouped.select(col(idCol).as("b"), col("rep").as("r0"))
+    val intra = ma.join(mb, "r0").filter(col("a") < col("b")).join(selfCos, "r0")
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("cos"))
+    cross.union(intra)
   }
 }

@@ -88,19 +88,89 @@ class LlmOpsSpec extends SparkSuite {
 
   test("near-dup signature stage evaluates once per document, not per plan branch") {
     val docs = Tables.documents(spark, sf).limit(100)
-    // the convenience path materializes features once: zero
+    // the guarded pipeline materializes the collapsed feature frame once
+    // (grouped localCheckpoint): ALL downstream branches — band self-join,
+    // hash re-attach, member expansion — read the checkpoint, so zero
     // ShingleHashes/MinHashSig evaluations remain in the pair plan
     val pairs = Dedup.nearDupPairs(docs)
     val plan = pairs.queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("shinglehashes"), plan)
     assert(!plan.contains("minhashsig"), plan)
-    // whereas an unmaterialized feature frame recomputes per branch
-    val lazyPlan = Dedup.nearDupPairsFromFeatures(Dedup.features(docs))
-      .queryExecution.executedPlan.toString.toLowerCase
-    assert(lazyPlan.contains("shinglehashes"))
+    // same through the features entry point
+    val fromFeats = Dedup.nearDupPairsFromFeatures(Dedup.features(docs))
+    val featsPlan = fromFeats.queryExecution.executedPlan.toString.toLowerCase
+    assert(!featsPlan.contains("shinglehashes"), featsPlan)
     // both shapes produce identical pairs
-    assert(rows(pairs) == rows(Dedup.nearDupPairsFromFeatures(Dedup.features(docs))))
+    assert(rows(pairs) == rows(fromFeats))
     assert(rows(pairs).nonEmpty)
+  }
+
+  test("hot-bucket guard: 1000 identical copies collapse to one band row; clusters exact and bounded") {
+    import spark.implicits._
+    val copies = (0L until 1000L).map(i =>
+      (i, "the same exact document text repeated verbatim across every copy in the spam burst"))
+    val others = Seq(
+      (2000L, "completely different content about catalyst optimizer rule batches"),
+      (2001L, "another unrelated body of text mentioning shuffle partitions and codegen"))
+    val docs = (copies ++ others).toDF("doc_id", "text")
+    // collapse: ONE representative for the 1000 copies, so no band bucket
+    // is hot and the rep-level candidate join is tiny
+    val grouped = Dedup.withExactReps(Dedup.features(docs))
+    val reps = grouped.filter(col("doc_id") === col("rep"))
+    assert(reps.count() == 3, "1000 copies + 2 distinct must collapse to 3 reps")
+    assert(Dedup.bandOverflow(reps).count() == 0,
+      "post-collapse buckets must be narrow — the guard routed the copies around the join")
+    assert(Dedup.lshCandidates(reps).count() <= 3)
+    // clusters: every copy labeled 0, star edges (m-1, not m²/2)
+    val labels = Dedup.nearDupClusters(docs).as[(Long, Long)].collect().toMap
+    assert((0L until 1000L).forall(labels(_) == 0L), "copies must form one cluster")
+    assert(labels(2000L) == 2000L && labels(2001L) == 2001L)
+    val keep = Dedup.keepList(Dedup.nearDupClusters(docs)).as[(Long, Long)].collect().toMap
+    assert(keep == Map(0L -> 1000L, 2000L -> 1L, 2001L -> 1L), keep)
+    // pair-level output is the true quadratic answer, inter == uni per copy pair
+    val intra = Dedup.nearDupPairs(docs)
+      .filter(col("doc_a") < 1000 && col("doc_b") < 1000)
+    assert(intra.count() == 1000L * 999L / 2L)
+    assert(intra.filter(col("inter") =!= col("uni")).count() == 0)
+  }
+
+  test("hot-bucket guard: over-wide DISTINCT-content buckets are excluded and disclosed") {
+    import spark.implicits._
+    // synthetic features: 50 docs with pairwise-DISTINCT hash sets (each
+    // its own rep — no collapse possible) but an identical signature, so
+    // all 50 land in the same 4 band buckets
+    val feats = (0 until 50).map(i =>
+      (i.toLong, Seq(1000L + i), Seq.fill(8)(7L), 0L))
+      .toDF("doc_id", "hashes", "sig", "simhash")
+    val over = Dedup.bandOverflow(feats, maxBucket = 10)
+    assert(over.count() == 4, "all 4 band buckets must be disclosed as over-wide")
+    assert(over.filter(col("n_docs") === 50).count() == 4)
+    // capped: the hot keys are excluded — zero candidates instead of 49·25
+    assert(Dedup.nearDupPairsFromFeatures(feats, maxBucket = 10).count() == 0)
+    // same frame under a loose cap: the full quadratic candidate set
+    assert(Dedup.nearDupPairsFromFeatures(feats).count() == 50L * 49L / 2L)
+  }
+
+  test("hot-bucket guard: embedding copies collapse before bucketing; expansion exact") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => (math.sin(i + 1) / 2).toFloat)
+    val copies = (0L until 200L).map(i => (i, base))
+    // distinct far-away vectors: unit basis axes — cosine vs base well
+    // below threshold, so only the copy pairs survive
+    val others = (0 until 5).map { j =>
+      (900L + j, (0 until 64).map(d => if (d == j) 1.0f else 0.0f))
+    }
+    val corpus = (copies ++ others).toDF("vec_id", "embedding")
+    // cap of 8 << 200 copies: without collapse the copy bucket would be
+    // excluded (or explode); with collapse it holds ONE representative
+    val pairs = Similarity.embeddingNearDups(corpus, threshold = 0.9,
+      planes = 3, dims = 64, maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 200L; b <- (a + 1) until 200L
+    } yield (a, b)).toSet
+    assert(pairs == expected,
+      s"got ${pairs.size} pairs, expected ${expected.size} intra-copy pairs only")
   }
 
   test("trained k-means centroids strictly beat the static lowest-id stand-in on recall") {
