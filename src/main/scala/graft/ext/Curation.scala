@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the consumable derived relation of the
+  * LLM-data mandate, composing the pipeline a training run actually
+  * consumes (the reference's flagship materializes an enrichment join
+  * the same way: a derived stream others read, ksqldb-statements.sql:50–60):
+  *
+  *   quality gate → near-dup dedup (keep cluster representatives) →
+  *   deterministic leakage-safe split assignment
+  *
+  * Scale shape: the quality gate is a pure codegen'd map over the scan
+  * (filters push down; rejected docs never reach a shuffle); dedup is
+  * the hot-bucket-guarded clustering chain ([[Dedup.dedupedCorpus]] —
+  * band-key equi-joins + star edges, payload re-attached by one semi
+  * join at the end); split assignment is a shuffle-free key-hash map
+  * ([[Sampling.assignSplit]]). The only shuffles in the whole flagship
+  * are the dedup aggregations.
+  */
+object Curation {
+
+  /** Curate a raw document corpus into (idCol, quality, split).
+    *
+    * A document survives iff its [[TextAnalysis.qualityScore]] ≥
+    * `minQuality` AND it is its near-dup cluster's representative
+    * (minimum id) among the surviving docs. Survivors are assigned to
+    * `splits` by hashed key — deterministic, engine-independent, and
+    * leakage-safe (near-dups were already collapsed, exact dups share a
+    * key hash, so no duplicate can straddle train/test).
+    */
+  def curate(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", minQuality: Int = 2,
+             splits: Seq[(String, Double)] =
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+             n: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,
+             jaccardNum: Int = 8, jaccardDen: Int = 10,
+             maxBucket: Int = Dedup.DefaultMaxBucketWidth): DataFrame = {
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)).cast("long"))
+      .filter(col("quality") >= minQuality)
+    val kept = Dedup.dedupedCorpus(gated, idCol, textCol, n, numBands,
+      rowsPerBand, jaccardNum, jaccardDen, maxBucket)
+    Sampling.assignSplit(kept, col(idCol), splits)
+      .select(col(idCol), col("quality"), col("split"))
+  }
+}

@@ -149,6 +149,32 @@ object LlmOracle {
   val stopwordList: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Quality score 0–3 over (n_tokens, token_chars, n_stopwords)
+    * columns — [[graft.ext.TextAnalysis.qualityScore]] replayed; shared
+    * by t_text_stats and the t_curate_corpus flagship so the two cannot
+    * drift.
+    */
+  val qualityExpr: String =
+    """CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN token_chars >= n_tokens * 3
+      |              AND token_chars <= n_tokens * 12 THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin
+
+  /** CTEs: token stats + quality score per document of `rel`, yielding
+    * `qscored(doc_id, text, quality)`.
+    */
+  def qualityCtes(rel: String): String =
+    s"""qbase AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(list_sum(list_transform(string_split(text, ' '),
+       |              t -> length(t))) AS BIGINT) AS token_chars,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |              t -> list_contains($stopwordList, t))) AS BIGINT) AS n_stopwords
+       |  FROM $rel),
+       |qscored AS (
+       |  SELECT doc_id, text, $qualityExpr AS quality FROM qbase)""".stripMargin
+
   /** CTEs reproducing [[graft.ext.Similarity.trainCentroids]] +
     * [[graft.ext.Similarity.ivfSearch]] exactly: hash-sampled seeds
     * (same polyhash), raw-double cosine assignment with cell tiebreak,
@@ -313,11 +339,7 @@ object LlmQueries {
          |SELECT doc_id, n_chars, n_tokens, token_chars, n_punct, n_stopwords,
          |       CASE WHEN n_stopwords * 1000 >= n_tokens * 30
          |            THEN 'en' ELSE 'und' END AS lang_id,
-         |       CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) +
-         |       (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) +
-         |       (CASE WHEN token_chars >= n_tokens * 3
-         |              AND token_chars <= n_tokens * 12 THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS quality
+         |       $qualityExpr AS quality
          |FROM base ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.stats(Tables.documents(s, d))
         .withColumn("n_chars", col("n_chars").cast("long"))
@@ -552,6 +574,32 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.ext.Sampling.sampleByKey(
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
+    }.sortedBy(col("doc_id")),
+
+    // ── End-to-end corpus-curation flagship ────────────────────────
+    // quality gate → near-dup dedup (keep cluster representatives
+    // among SURVIVORS) → deterministic split — one consumable derived
+    // relation, the whole LLM-pipeline chained and oracle-gated. The
+    // DuckDB side re-chains the exact CTEs of t_text_stats (quality),
+    // t_dedup_clusters (collapse) and t_split_assign (assignment) over
+    // the quality-filtered sub-relation.
+    QueryDef("t_curate_corpus",
+      s"""WITH RECURSIVE ${qualityCtes("documents")},
+         |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 2),
+         |${hashesCteFrom("curated")},
+         |$sigCte,
+         |${clusterCtes("curated", jNum = 8, jDen = 10)},
+         |keeps AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+         |withb AS (
+         |  SELECT q.doc_id, q.quality,
+         |         ${polyhash("CAST(q.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM qscored q JOIN keeps k ON k.doc_id = q.doc_id)
+         |SELECT doc_id, quality,
+         |       CASE WHEN bkt < 8000 THEN 'train'
+         |            WHEN bkt < 9000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM withb ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Curation.curate(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
     // ── Multimodal columns ─────────────────────────────────────────

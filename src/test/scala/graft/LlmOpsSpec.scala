@@ -322,6 +322,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(full.values.toSet == Set(1L), full)
   }
 
+  test("curation flagship: quality gate, dedup keep and deterministic split compose") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"word$i").toArray
+    words(0) = "the" // stopword presence → quality 3 for both variants
+    val good = words.mkString(" ")
+    val dw = words.clone(); dw(19) = "changed" // 35/41 ≈ 0.85 ≥ 8/10
+    val nearDup = dw.mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, nearDup), // near-dup pair: only min id survives
+      (3L, "x y z")) // 3 tokens, no stopwords, avg len 1 → quality 0, gated out
+      .toDF("doc_id", "text")
+    val out = graft.ext.Curation.curate(docs)
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 3L,
+      graft.ext.Sampling.assignSplit(Seq(Tuple1(1L)).toDF("doc_id"),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("split").as[String].head())), s"got ${out.toSeq}")
+    // the flagship stays equi-join-only end to end
+    val plan = graft.ext.Curation.curate(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("scale guard: no cartesian product in LSH candidate plans") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.lshCandidates(Dedup.features(docs))
