@@ -255,6 +255,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(plan.contains("t_lsh_idx_buckets"), plan)
   }
 
+  test("plan guard: inline LSH paths never re-bucket the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    // t_ann_lsh inline: exactly TWO LshBuckets sites — one full-corpus
+    // evaluation plus one over the isin-filtered (bounded) query rows;
+    // any third site means a plan branch re-bucketing the corpus
+    val ann = Similarity.annTopK(emb, Seq(0L, 1L), 5, planes = 4, dims = 64)
+    val annCount = "lshbuckets".r
+      .findAllIn(ann.queryExecution.executedPlan.toString.toLowerCase).length
+    assert(annCount == 2,
+      s"expected 2 LshBuckets sites (corpus + bounded query side), got $annCount")
+    // t_embed_neardup: buckets come from ONE checkpointed evaluation —
+    // the consuming plan must contain zero LshBuckets expressions
+    val nd = Similarity.embeddingNearDups(emb, 0.25, planes = 7, dims = 64)
+    val ndCount = "lshbuckets".r
+      .findAllIn(nd.queryExecution.executedPlan.toString.toLowerCase).length
+    assert(ndCount == 0, s"re-bucketing leaked into the near-dup plan: $ndCount sites")
+  }
+
   test("near-dup clustering: transitive chain collapses to one representative") {
     import spark.implicits._
     // A~B and B~C clear the 8/10 Jaccard cut; A–C does not (changing one
