@@ -32,6 +32,19 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Append to an existing bucketed table under the SAME bucketing spec
+    * (Spark rejects a mismatched spec) — the incremental-maintenance
+    * half of write-once layouts: new data lands as additional
+    * per-bucket files, co-location with existing readers preserved, and
+    * nothing existing is rewritten or rescanned.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two same-bucketed tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame = {

@@ -373,6 +373,40 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame =
     annSearch(spark.table(s"${name}_buckets"), queryIds, k, idCol, vecCol)
 
+  // ── Incremental index maintenance (append the delta, never rebuild) ─
+
+  /** Append new vectors to a persisted LSH index: sign-buckets are a
+    * pure per-row function, so ONLY the delta is bucketed and appended —
+    * the existing index files are neither rescanned nor rewritten, and
+    * search results are bit-identical to a full rebuild. At 100 TB the
+    * daily ingest touches daily-ingest-sized data, not the corpus.
+    * `planes`/`dims`/`tables`/`buckets` must match the build call (a
+    * bucket-count mismatch is rejected by the catalog).
+    */
+  def appendToLshIndex(delta: DataFrame, name: String, planes: Int, dims: Int,
+                       tables: Int = 8, buckets: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit =
+    graft.core.Layout.appendBucketed(
+      lshTableBuckets(delta, tables, planes, dims, vecCol),
+      s"${name}_buckets", "bucket", buckets)
+
+  /** Append new vectors to a persisted IVF index: the delta is assigned
+    * against the FROZEN persisted quantizer (standard IVF maintenance —
+    * centroids are not retrained, so existing inverted lists stay
+    * valid) and appended to the cell-bucketed lists. Search over the
+    * appended index equals search over assign-everything-at-once under
+    * the same quantizer. Re-train + rebuild only when drift warrants it.
+    */
+  def appendToIvfIndex(delta: DataFrame, name: String, buckets: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val cents = delta.sparkSession.table(s"${name}_centroids")
+    graft.core.Layout.appendBucketed(
+      assignCells(delta, cents, idCol, vecCol), s"${name}_lists", "cell",
+      buckets)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold
     * — bucket equi-joins, no all-pairs product.

@@ -185,15 +185,16 @@ object LlmOracle {
     * candidates) agree bit-for-bit. Yields `assigned(vec_id, cell)` and
     * `probes(query_id, cell)`.
     */
-  def ivfCtes(k: Int, nProbe: Int, queryPred: String): String =
+  def ivfCtes(k: Int, nProbe: Int, queryPred: String,
+              trainRel: String = "embeddings"): String =
     s"""seeds AS (
        |  SELECT vec_id AS cell, embedding AS svec
-       |  FROM embeddings
+       |  FROM $trainRel t0
        |  ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $k),
        |s0 AS (
        |  SELECT e.vec_id, e.embedding, s.cell,
        |         ${cosine("e.embedding", "s.svec")} AS cos
-       |  FROM embeddings e CROSS JOIN seeds s),
+       |  FROM $trainRel e CROSS JOIN seeds s),
        |a0 AS (
        |  SELECT cell, embedding FROM (
        |    SELECT cell, embedding,
@@ -300,9 +301,12 @@ object LlmQueries {
 
   /** Shared by t_ann_ivf and t_ann_ivf_indexed — ditto: the persisted
     * quantizer + inverted lists round-trip parquet exactly.
+    * `trainRel` parameterizes the quantizer's training relation so the
+    * append-lifecycle oracle (frozen quantizer trained on the initial
+    * half, delta assigned later) replays the same arithmetic.
     */
-  private val annIvfSql: String =
-    s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5")},
+  private def annIvfSqlFor(trainRel: String): String =
+    s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5", trainRel)},
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |  FROM assigned a JOIN probes p ON a.cell = p.cell
@@ -320,6 +324,41 @@ object LlmQueries {
        |  FROM scored)
        |SELECT * FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  private val annIvfSql: String = annIvfSqlFor("embeddings")
+
+  /** The append-lifecycle cut: index built on the first half of the
+    * corpus, the rest appended as a delta (LSH: pure re-bucketing; IVF:
+    * frozen quantizer trained on the first half only).
+    */
+  private val AppendCut = 250L
+
+  def lshAppendIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_lshap_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildLshIndex(emb.filter(col("vec_id") < AppendCut), name,
+          planes = 4, dims = 64)
+        Similarity.appendToLshIndex(emb.filter(col("vec_id") >= AppendCut), name,
+          planes = 4, dims = 64)
+        builtIndexes += name
+      }
+      name
+    }
+
+  def ivfAppendIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_ivfap_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") < AppendCut), name,
+          centroids = 16)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= AppendCut), name)
+        builtIndexes += name
+      }
+      name
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -522,6 +561,26 @@ object LlmQueries {
     // train-per-query.
     QueryDef("t_ann_ivf_indexed", annIvfSql) { (s, d) =>
       Similarity.ivfTopKIndexed(s, ivfIndexFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 6)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Incremental LSH index maintenance: index built on the first half,
+    // the rest APPENDED as a delta (only the delta is ever bucketed).
+    // Sign-buckets are data-independent, so the appended index must be
+    // bit-identical to a full build — the SAME t_ann_lsh oracle gates it.
+    QueryDef("t_ann_lsh_appended", annLshSql) { (s, d) =>
+      Similarity.annTopKIndexed(s, lshAppendIndexFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Incremental IVF index maintenance: quantizer trained on the first
+    // half and FROZEN; the delta is assigned against it and appended to
+    // the cell-bucketed lists (standard IVF maintenance — no retrain, no
+    // rebuild). The oracle retrains the same half-corpus quantizer in
+    // DuckDB and assigns the full corpus against it.
+    QueryDef("t_ann_ivf_appended",
+      annIvfSqlFor(s"(SELECT * FROM embeddings WHERE vec_id < $AppendCut)")) { (s, d) =>
+      Similarity.ivfTopKIndexed(s, ivfAppendIndexFor(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 6)
     }.sortedBy(col("query_id"), col("rank")),
 

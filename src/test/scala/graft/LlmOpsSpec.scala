@@ -273,6 +273,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(ndCount == 0, s"re-bucketing leaked into the near-dup plan: $ndCount sites")
   }
 
+  test("incremental ANN append: delta-only maintenance matches frozen-quantizer reference") {
+    val emb = Tables.embeddings(spark, sf)
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val n = emb.count()
+    // LSH: appended index must be bit-identical to inline full bucketing
+    Similarity.buildLshIndex(first, "t_lsh_app", planes = 4, dims = 64)
+    Similarity.appendToLshIndex(rest, "t_lsh_app", planes = 4, dims = 64)
+    val appended = Similarity.annTopKIndexed(spark, "t_lsh_app", Seq(0L, 1L, 2L), 5)
+    val inline = Similarity.annTopK(emb, Seq(0L, 1L, 2L), 5, planes = 4, dims = 64)
+    assert(rows(appended) == rows(inline))
+    assert(rows(appended).nonEmpty)
+    // IVF: frozen half-trained quantizer; appended index search equals
+    // assign-everything-at-once under the same quantizer
+    Similarity.buildIvfIndex(first, "t_ivf_app", centroids = 8)
+    Similarity.appendToIvfIndex(rest, "t_ivf_app")
+    assert(spark.table("t_ivf_app_lists").count() == n,
+      "append must add exactly the delta to the inverted lists")
+    val cents = Similarity.trainCentroids(first, 8)
+    val ref = Similarity.searchAssigned(Similarity.assignCells(emb, cents), cents,
+      Seq(0L, 1L, 2L), 5, nProbe = 4)
+    val got = Similarity.ivfTopKIndexed(spark, "t_ivf_app", Seq(0L, 1L, 2L), 5, nProbe = 4)
+    assert(rows(got) == rows(ref))
+    // maintenance plan reads the delta + broadcast centroids only — the
+    // existing lists are never rescanned at append time
+    val appendPlan = Similarity.assignCells(rest,
+      spark.table("t_ivf_app_centroids")).queryExecution.executedPlan.toString
+    assert(!appendPlan.contains("t_ivf_app_lists"), appendPlan)
+  }
+
   test("near-dup clustering: transitive chain collapses to one representative") {
     import spark.implicits._
     // A~B and B~C clear the 8/10 Jaccard cut; A–C does not (changing one
