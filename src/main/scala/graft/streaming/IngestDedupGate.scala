@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ext.Dedup
+
+/** Streaming ingest dedup gate: a document stream is admitted batch by
+  * batch against a PERSISTED signature store — redelivered ids, exact
+  * copies and near-duplicates of anything already ingested are dropped;
+  * novel documents flow to the sink and their signatures append to the
+  * store. The reference's pipeline is the same shape one stage earlier:
+  * a continuously maintained derived stream others consume
+  * (ksqldb-statements.sql:13–17); this is its training-data analog —
+  * the corpus a crawler feeds stays deduplicated *as it ingests*, not
+  * in a nightly rewrite.
+  *
+  * Store layout (the write-once index lifecycle of
+  * [[graft.ext.Similarity.buildLshIndex]]): `<name>_feats` (id, hashes,
+  * sig) bucketed by id — the redelivery anti-join is bucket-colocated;
+  * `<name>_bands` (id, band, bkey) bucketed AND sorted by bkey — the
+  * per-batch candidate join broadcasts the tiny batch side and prunes
+  * the store scan with the batch's band-key set (pushed to parquet
+  * row-group stats via the sort). Per batch, work scales with
+  * batch-size × collisions, never with store size.
+  *
+  * Delivery contract (same as [[ChangelogDim.joinEachBatch]]): the sink
+  * runs BEFORE the store append, so a crash between them replays the
+  * batch — the sink must be idempotent per epoch (at-least-once); the
+  * store append itself is replay-safe, because a replayed document
+  * matches its own stored signature (Jaccard 1) and is dropped before
+  * a second append.
+  */
+object IngestDedupGate {
+
+  def featsTable(name: String): String = s"${name}_feats"
+  def bandsTable(name: String): String = s"${name}_bands"
+
+  def storeExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(featsTable(name))
+
+  /** Batch-mode admit decision: which of `batch`'s documents are novel
+    * vs the store? Within-batch exact copies collapse to their min-id
+    * representative first ([[Dedup.withExactReps]]); then store-known
+    * ids drop (redelivery, any text), then store near-dups drop (band
+    * candidates + exact Jaccard ≥ num/den). Returns the novel documents'
+    * FEATURE rows (id, hashes, sig, simhash), localCheckpointed — the
+    * decision is frozen before any store mutation. Note: two distinct
+    * near-dup documents arriving in the SAME batch are both admitted
+    * (neither is in the store yet); the cross-batch guarantee is what
+    * bounds the corpus — run [[graft.ext.Dedup.dedupedCorpus]] for a
+    * full intra-corpus collapse.
+    */
+  def filterNovel(batch: DataFrame, name: String, idCol: String = "doc_id",
+                  textCol: String = "text", n: Int = 3, numBands: Int = 4,
+                  rowsPerBand: Int = 2, jaccardNum: Int = 8,
+                  jaccardDen: Int = 10): DataFrame = {
+    val spark = batch.sparkSession
+    val batchReps = Dedup.withExactReps(
+        Dedup.features(batch, idCol, textCol, n), idCol)
+      .filter(col(idCol) === col("rep")).drop("rep")
+      .localCheckpoint()
+    val survivors =
+      if (!storeExists(spark, name)) batchReps
+      else {
+        // 1. redelivered ids (bucket-colocated anti-join on the id key)
+        val unknownIds = batchReps.join(
+          spark.table(featsTable(name)).select(col(idCol)),
+          Seq(idCol), "left_anti")
+        // 2. near-dups of stored content: batch band keys vs the store.
+        //    The batch's key set is bounded (|batch| × numBands), so it
+        //    both broadcasts into the join and prunes the store scan.
+        val bb = Dedup.bands(unknownIds, idCol, numBands, rowsPerBand)
+          .filter(col("bkey").isNotNull)
+        val batchKeys = bb.select("bkey").distinct().collect().map(_.getString(0))
+        val store = spark.table(bandsTable(name))
+        val pruned = if (batchKeys.length <= 10000)
+          store.filter(col("bkey").isin(batchKeys.toSeq: _*)) else store
+        val cand = bb.join(broadcast(pruned.select(col("band"), col("bkey"),
+            col(idCol).as("__sid"))), Seq("band", "bkey"))
+          .select(col(idCol), col("__sid")).distinct()
+        val ha = unknownIds.select(col(idCol), col("hashes").as("__ha"))
+        val hb = spark.table(featsTable(name))
+          .select(col(idCol).as("__sid"), col("hashes").as("__hb"))
+        val dupIds = cand.join(ha, idCol).join(hb, "__sid")
+          .withColumn("__inter",
+            size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+          .withColumn("__uni",
+            (size(col("__ha")) + size(col("__hb"))).cast("long") - col("__inter"))
+          .filter(col("__inter") * jaccardDen >= col("__uni") * jaccardNum)
+          .select(col(idCol))
+        unknownIds.join(dupIds, Seq(idCol), "left_anti")
+      }
+    survivors.localCheckpoint()
+  }
+
+  /** Append admitted feature rows to the store (creating it on first
+    * use): signatures into `<name>_feats`, band rows into
+    * `<name>_bands` — both via the bucketed write/append lifecycle.
+    */
+  def appendToStore(novelFeats: DataFrame, name: String,
+                    idCol: String = "doc_id", numBands: Int = 4,
+                    rowsPerBand: Int = 2, buckets: Int = 8): Unit = {
+    val spark = novelFeats.sparkSession
+    val featRows = novelFeats.select(col(idCol), col("hashes"), col("sig"))
+    val bandRows = Dedup.bands(novelFeats, idCol, numBands, rowsPerBand)
+      .filter(col("bkey").isNotNull)
+    if (!storeExists(spark, name)) {
+      graft.core.Layout.writeBucketed(featRows, featsTable(name), idCol, buckets)
+      graft.core.Layout.writeBucketed(bandRows, bandsTable(name), "bkey", buckets)
+    } else {
+      graft.core.Layout.appendBucketed(featRows, featsTable(name), idCol, buckets)
+      graft.core.Layout.appendBucketed(bandRows, bandsTable(name), "bkey", buckets)
+    }
+  }
+
+  /** The streaming gate: per micro-batch, admit novel documents, hand
+    * them (with their original payload columns) to `sink`, then persist
+    * their signatures. `sink` receives (novel-docs, epochId) and must be
+    * idempotent per epoch.
+    */
+  def gate(docs: DataFrame, name: String, checkpointDir: String,
+           idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+           numBands: Int = 4, rowsPerBand: Int = 2, jaccardNum: Int = 8,
+           jaccardDen: Int = 10, buckets: Int = 8)
+          (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        val b = batch.toDF()
+        val novel = filterNovel(b, name, idCol, textCol, n, numBands,
+          rowsPerBand, jaccardNum, jaccardDen)
+        sink(b.join(novel.select(col(idCol)), Seq(idCol), "left_semi"), epoch)
+        appendToStore(novel, name, idCol, numBands, rowsPerBand, buckets)
+      }
+      .start()
+}
