@@ -22,15 +22,14 @@ import graft.tables.LatestByKey
   * semantics, exactly ksqlDB's stream–table join contract.
   *
   * Scale note: per-key directory partitioning fits dimension-table
-  * cardinalities (the reference's customers table). For a 100 TB
-  * deployment the store becomes a transactional upsert table (Delta/
-  * Iceberg MERGE) behind the same two seams; every other line is
-  * unchanged. The raw-parquet stand-in is NOT transactional: a join
-  * micro-batch listing the store exactly while an upsert replaces a
-  * partition can see missing files — micro-batch cadences make the
-  * window small, but a deployment that cannot tolerate a retried batch
-  * needs the transactional store (that, not speed, is what Delta buys
-  * here).
+  * cardinalities (the reference's customers table). The raw-parquet
+  * stand-in is NOT transactional: a join micro-batch listing the store
+  * exactly while an upsert replaces a partition can see missing files.
+  * [[ManifestStore]] is the transactional backend behind the same two
+  * seams (maintain / joinEachBatch): immutable version dirs + atomic
+  * manifest commits, readers pin a committed snapshot — use it when a
+  * retried or torn batch is not tolerable; this class remains the
+  * lighter per-key-overwrite variant.
   */
 object ChangelogDim {
 

@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.tables.LatestByKey
+
+/** Transactional dim store: the atomic-manifest answer to the
+  * documented raw-parquet caveat in [[ChangelogDim]] (a reader listing
+  * files exactly while a dynamic partition overwrite replaces them can
+  * see missing files). Same idea Delta/Iceberg commit logs are built
+  * on, reduced to the piece the dim-store seam needs:
+  *
+  *  - data lives in IMMUTABLE version directories `d-<v>-<uuid>/`; a
+  *    committed file is never modified or deleted by a writer;
+  *  - each commit writes `_manifest.<v>.txt` (the full list of live
+  *    version dirs) to a temp name and atomically RENAMES it into
+  *    place — rename-onto-new-name is atomic on HDFS-semantics
+  *    filesystems, and a half-written manifest is invisible because it
+  *    only exists under the temp name;
+  *  - readers pin the highest committed manifest at plan time and read
+  *    exactly its files — a concurrent upsert commits a NEW version and
+  *    never perturbs the pinned one (snapshot isolation for the
+  *    micro-batch join);
+  *  - merge-on-read: each version dir holds at most one row per key
+  *    (the LatestByKey contract); the read view keeps each key's row
+  *    from the highest version and drops tombstones (`__op = 'd'`).
+  *    [[compact]] folds history into one dir; [[vacuum]] removes
+  *    unreferenced dirs afterwards (like Delta VACUUM, unsafe only for
+  *    readers still pinned to pre-compaction versions — retention is
+  *    the caller's cadence choice).
+  *
+  * Single-writer (one maintaining stream), many-reader — the dim-store
+  * topology. A concurrent second writer loses the manifest rename race
+  * and gets an error, not silent corruption.
+  */
+object ManifestStore {
+
+  final case class Manifest(version: Long, dirs: Seq[(Long, String)])
+
+  private val ManifestName = """_manifest\.(\d+)\.txt""".r
+
+  private def hfs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The highest committed manifest, if any commit ever happened. */
+  def latestManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val fs = hfs(spark, dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return None
+    val versions = fs.listStatus(base).map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val in = fs.open(new Path(base, s"_manifest.$v.txt"))
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val dirs = content.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(fv, rel) = line.split("\t", 2)
+        (fv.toLong, rel)
+      }.toSeq
+      Some(Manifest(v, dirs))
+    }
+  }
+
+  private def commit(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val fs = hfs(spark, dir)
+    val body = m.dirs.map { case (v, rel) => s"$v\t$rel" }.mkString("\n")
+    val tmp = new Path(dir, s"_manifest.${m.version}.txt.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val target = new Path(dir, s"_manifest.${m.version}.txt")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit race: version ${m.version} already committed under $dir")
+    }
+  }
+
+  /** Commit one change batch as a new version. `latest` must carry at
+    * most one row per key (the [[LatestByKey]] contract) and an `__op`
+    * column ('d' rows are tombstones, anything else upserts); plain
+    * upsert batches go through [[upsert]], which adds `__op = 'u'`.
+    */
+  def applyChanges(latest: DataFrame, key: String, dir: String): Unit = {
+    require(latest.columns.contains("__op"),
+      "applyChanges needs an __op column; use upsert() for plain upserts")
+    val spark = latest.sparkSession
+    val m0 = latestManifest(spark, dir)
+    val v = m0.map(_.version + 1).getOrElse(1L)
+    val rel = s"d-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    latest.write.parquet(s"$dir/$rel")
+    commit(spark, dir, Manifest(v, m0.map(_.dirs).getOrElse(Nil) :+ (v -> rel)))
+  }
+
+  /** Upsert-only change batch (no tombstones). */
+  def upsert(latest: DataFrame, key: String, dir: String): Unit =
+    applyChanges(latest.withColumn("__op", lit("u")), key, dir)
+
+  /** Seed the store with its initial table state as version 1. */
+  def seed(initial: DataFrame, key: String, dir: String): Unit = {
+    require(latestManifest(initial.sparkSession, dir).isEmpty,
+      s"store under $dir already has committed versions")
+    upsert(initial, key, dir)
+  }
+
+  /** The current merged view: pins the highest committed manifest at
+    * plan time, keeps each key's highest-version row, drops tombstones.
+    * A concurrent commit never tears this plan — its files are
+    * immutable and stay on disk until [[vacuum]].
+    */
+  def read(spark: SparkSession, dir: String, key: String): DataFrame = {
+    val m = latestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir — seed() first"))
+    // allowMissingColumns: version dirs may differ in columns (e.g. a
+    // maintain stream carrying its version-ts column over a seed that
+    // lacked it) — absent columns read as null, dim-store schema drift
+    val all = m.dirs.map { case (v, rel) =>
+      spark.read.parquet(s"$dir/$rel").withColumn("__v", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = Window.partitionBy(col(key)).orderBy(col("__v").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(col("__op") =!= "d")
+      .drop("__v", "__rn", "__op")
+  }
+
+  /** Fold merge-on-read history into a single version dir (read cost
+    * back to one file set). Old dirs stay on disk for pinned readers
+    * until [[vacuum]].
+    */
+  def compact(spark: SparkSession, dir: String, key: String): Unit = {
+    val m0 = latestManifest(spark, dir).getOrElse(return)
+    val v = m0.version + 1
+    val rel = s"d-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    read(spark, dir, key).withColumn("__op", lit("u")).write.parquet(s"$dir/$rel")
+    commit(spark, dir, Manifest(v, Seq(v -> rel)))
+  }
+
+  /** Delete data dirs and manifests no longer referenced by the latest
+    * manifest. Safe once no reader is pinned to an older version.
+    */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val fs = hfs(spark, dir)
+    latestManifest(spark, dir).foreach { m =>
+      val live = m.dirs.map(_._2).toSet
+      fs.listStatus(new Path(dir)).foreach { st =>
+        val n = st.getPath.getName
+        val stale = (st.isDirectory && n.startsWith("d-") && !live.contains(n)) ||
+          (ManifestName.findFirstMatchIn(n).exists(_.group(1).toLong < m.version))
+        if (stale) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Maintain the store as the latest-by-key view of a version stream —
+    * the transactional mirror of [[ChangelogDim.maintain]]. Epoch
+    * replay recommits identical rows as a new version: the merged view
+    * is unchanged (idempotent in effect).
+    */
+  def maintain(versions: DataFrame, key: String, ts: String, dir: String,
+               checkpointDir: String, tiebreak: Seq[String] = Nil): StreamingQuery =
+    LatestByKey.streaming(versions, key, ts, tiebreak = tiebreak)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) upsert(batch.toDF(), key, dir)
+      }
+      .start()
+
+  /** Enrich a fact stream against the CURRENT committed dim state —
+    * the transactional mirror of [[ChangelogDim.joinEachBatch]]: each
+    * micro-batch pins one committed version for its whole join, so a
+    * concurrent upsert can neither tear the read nor leak a partial
+    * batch into it.
+    */
+  def joinEachBatch(stream: DataFrame, dimDir: String, key: String,
+                    checkpointDir: String,
+                    join: (DataFrame, DataFrame) => DataFrame)
+                   (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        val dim = read(batch.sparkSession, dimDir, key)
+        sink(join(batch.toDF(), dim), epoch)
+      }
+      .start()
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{ChangelogDim, ManifestStore}
+
+object ManifestStoreSpec {
+  val joined = new ConcurrentLinkedQueue[(Int, String)]()
+}
+
+/** Transactional dim store: atomic manifest commits, snapshot-pinned
+  * readers, tombstones, replay idempotence, compaction — plus the
+  * contrast case showing why the raw dynamic-overwrite store needed it.
+  */
+class ManifestStoreSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("reader pins a committed snapshot; concurrent upserts never tear it (raw store breaks)") {
+    import spark.implicits._
+    val dim = (1 to 20).map(i => (i, s"name$i", s"tier${i % 4}"))
+      .toDF("id", "name", "tier")
+
+    // manifest store: a pinned read survives any number of commits
+    val mdir = tmp("mstore")
+    ManifestStore.seed(dim, "id", mdir)
+    val pinned = ManifestStore.read(spark, mdir, "id")
+    ManifestStore.upsert(Seq((5, "NEW5", "tierX")).toDF("id", "name", "tier"), "id", mdir)
+    ManifestStore.upsert(Seq((7, "NEW7", "tierY")).toDF("id", "name", "tier"), "id", mdir)
+    val snap = pinned.collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(snap(5) == "name5" && snap(7) == "name7" && snap.size == 20,
+      "pinned plan must read the version it pinned, untorn")
+    val fresh = ManifestStore.read(spark, mdir, "id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(fresh(5) == "NEW5" && fresh(7) == "NEW7" && fresh.size == 20)
+
+    // raw store: the same sequence leaves the pinned listing pointing at
+    // files the dynamic partition overwrite deleted
+    val rdir = tmp("rawstore")
+    ChangelogDim.seed(dim, "id", rdir)
+    val rawPinned = spark.read.parquet(rdir)
+    ChangelogDim.upsert(Seq((5, "NEW5", "tierX")).toDF("id", "name", "tier"), "id", rdir)
+    val torn = intercept[Throwable] { rawPinned.collect() }
+    assert(torn.toString.toLowerCase.contains("file") || torn.getCause != null,
+      s"raw store read over a replaced partition must fail: $torn")
+  }
+
+  test("tombstones delete, re-inserts resurrect, epoch replay is idempotent in effect") {
+    import spark.implicits._
+    val dir = tmp("mstore-del")
+    ManifestStore.seed((1 to 5).map(i => (i, s"v$i")).toDF("id", "v"), "id", dir)
+    // delete id=3 via tombstone
+    ManifestStore.applyChanges(
+      Seq((3, null: String, "d")).toDF("id", "v", "__op"), "id", dir)
+    def state(): Map[Int, String] = ManifestStore.read(spark, dir, "id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(state() == Map(1 -> "v1", 2 -> "v2", 4 -> "v4", 5 -> "v5"))
+    // re-insert resurrects
+    val reinsert = Seq((3, "v3b")).toDF("id", "v")
+    ManifestStore.upsert(reinsert, "id", dir)
+    val afterReinsert = state()
+    assert(afterReinsert(3) == "v3b" && afterReinsert.size == 5)
+    // replaying the same change batch (epoch replay) recommits identical
+    // rows: a new version, the same merged view
+    val vBefore = ManifestStore.latestManifest(spark, dir).get.version
+    ManifestStore.upsert(reinsert, "id", dir)
+    assert(state() == afterReinsert)
+    assert(ManifestStore.latestManifest(spark, dir).get.version == vBefore + 1)
+  }
+
+  test("compact folds history to one dir; vacuum removes unreferenced files; view unchanged") {
+    import spark.implicits._
+    val dir = tmp("mstore-compact")
+    ManifestStore.seed((1 to 10).map(i => (i, i * 10)).toDF("id", "x"), "id", dir)
+    (1 to 5).foreach(i => ManifestStore.upsert(Seq((i, i * 100)).toDF("id", "x"), "id", dir))
+    ManifestStore.applyChanges(Seq((10, 0, "d")).toDF("id", "x", "__op"), "id", dir)
+    val before = rows(ManifestStore.read(spark, dir, "id"))
+    ManifestStore.compact(spark, dir, "id")
+    assert(ManifestStore.latestManifest(spark, dir).get.dirs.size == 1)
+    assert(rows(ManifestStore.read(spark, dir, "id")) == before)
+    ManifestStore.vacuum(spark, dir)
+    val left = new java.io.File(dir).listFiles().map(_.getName)
+    assert(left.count(_.startsWith("d-")) == 1, left.mkString(","))
+    assert(left.count(_.startsWith("_manifest")) == 1, left.mkString(","))
+    assert(rows(ManifestStore.read(spark, dir, "id")) == before)
+  }
+
+  test("streaming topology: maintain + joinEachBatch see committed dim updates batch over batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    ManifestStoreSpec.joined.clear()
+    val dimDir = tmp("mstore-dim")
+    ManifestStore.seed(
+      Seq((1, "bronze"), (2, "platinum")).toDF("id", "tier"), "id", dimDir)
+
+    val dimMs = MemoryStream[(Int, String, java.sql.Timestamp)]
+    val maintainQ = ManifestStore.maintain(
+      dimMs.toDF().toDF("id", "tier", "uts"), "id", "uts", dimDir, tmp("ck-m"))
+
+    val factMs = MemoryStream[(Long, Int)]
+    val joinQ = ManifestStore.joinEachBatch(
+      factMs.toDF().toDF("fact_id", "id"), dimDir, "id", tmp("ck-j"),
+      (facts, dim) => facts.join(broadcast(dim), "id")) { (out, _) =>
+      out.select("fact_id", "tier").collect()
+        .foreach(r => ManifestStoreSpec.joined.add((r.getLong(0).toInt, r.getString(1))))
+    }
+    try {
+      factMs.addData((100L, 1))
+      joinQ.processAllAvailable()
+      assert(ManifestStoreSpec.joined.asScala.toSet == Set((100, "bronze")))
+      // live dim update commits a new version; the NEXT fact batch joins it
+      dimMs.addData((1, "gold", ts("2024-01-01 10:00:00")))
+      maintainQ.processAllAvailable()
+      factMs.addData((101L, 1))
+      joinQ.processAllAvailable()
+      assert(ManifestStoreSpec.joined.asScala.toSet ==
+        Set((100, "bronze"), (101, "gold")))
+    } finally { joinQ.stop(); maintainQ.stop() }
+  }
+}
