@@ -33,6 +33,50 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** A real (if compact) subword vocabulary for greedy longest-match
+    * tokenization: frequent English words (with leading-space variants
+    * for the top few, GPT-style), productive prefixes/suffixes, and
+    * single-character fallbacks. Production would load a trained merge
+    * list from config; the operator and its cross-engine contract are
+    * identical. Shared verbatim with the DuckDB oracle (one source of
+    * truth, like Dedup.Perms).
+    */
+  val Vocab: Seq[String] = Seq(
+    // frequent whole words
+    "the", "of", "and", "to", "in", "is", "it", "that", "for", "on",
+    "was", "with", "as", "at", "by", "be", "this", "had", "not", "are",
+    "but", "from", "or", "have", "an", "they", "which", "one", "you",
+    "were", "her", "all", "she", "there", "would", "their", "we", "him",
+    "been", "has", "when", "who", "will", "more", "no", "if", "out",
+    "so", "said", "what", "up", "its", "about", "into", "than", "them",
+    "can", "only", "other", "new", "some", "could", "time", "these",
+    "two", "may", "then", "do", "first", "any", "my", "now", "such",
+    "like", "our", "over", "man", "me", "even", "most", "made", "after",
+    "also", "did", "many", "before", "must", "through",
+    // leading-space variants of the top words (pre-tokens carry the space)
+    " the", " of", " and", " to", " in", " is", " it", " that", " for",
+    " on", " was", " with", " as", " at", " by", " be", " a", " an",
+    // productive prefixes / suffixes / merges
+    "ing", "tion", "sion", "ness", "ment", "able", "ible", "ed", "er",
+    "est", "ly", "ity", "ous", "ive", "al", "ic", "ful", "less",
+    "ation", "es", "re", "un", "dis", "pre", "con", "com", "per",
+    "sub", "inter", "trans", "ex", "en", "de", "qu", "th", "ch", "sh",
+    // single-character fallbacks
+    " ") ++
+    ('a' to 'z').map(_.toString) ++ ('A' to 'Z').map(_.toString) ++
+    ('0' to '9').map(_.toString) ++
+    Seq(".", ",", "!", "?", ";", ":", "'", "\"", "-", "(", ")")
+
+  /** Greedy longest-match token count against [[Vocab]] over the
+    * [[BpePattern]] pre-tokens — the real-vocabulary counterpart of
+    * [[bpeTokenCount]], as one native codegen'd expression
+    * ([[graft.functions.VocabTokenCount]]).
+    */
+  def vocabTokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.VocabTokenCount(
+        org.apache.spark.sql.graft.Bridge.expression(text), Vocab, BpePattern))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def charLen(text: Column): Column = length(text)

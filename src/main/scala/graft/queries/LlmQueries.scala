@@ -401,6 +401,42 @@ object LlmQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
     }.sortedBy(col("doc_id")),
 
+    // Real-vocabulary token counting: greedy longest-match against the
+    // shared TextAnalysis.Vocab over BpePattern pre-tokens. The oracle
+    // replays the greedy rule as a recursive CTE whose step width is the
+    // longest matching vocab entry at the cursor (else 1 = unknown
+    // char) — the vocabulary VALUES list is generated from the same
+    // Scala constant the native expression embeds.
+    QueryDef("t_token_vocab", {
+      val vocabRows = TextAnalysis.Vocab
+        .map(v => s"('${v.replace("'", "''")}')").mkString(", ")
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      s"""WITH RECURSIVE vocab(tok) AS (VALUES $vocabRows),
+         |pts AS (
+         |  SELECT doc_id, x.i AS i, x.pt AS pt
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(regexp_extract_all(text, '$pat'),
+         |                 (y, ii) -> struct_pack(pt := y, i := ii))) AS x
+         |        FROM documents) s),
+         |walk(doc_id, i, pos, cnt) AS (
+         |  SELECT doc_id, i, 1, 0 FROM pts
+         |  UNION ALL
+         |  SELECT w.doc_id, w.i,
+         |         w.pos + coalesce((SELECT max(length(v.tok)) FROM vocab v
+         |                           WHERE substring(p.pt, w.pos, length(v.tok)) = v.tok), 1),
+         |         w.cnt + 1
+         |  FROM walk w JOIN pts p ON p.doc_id = w.doc_id AND p.i = w.i
+         |  WHERE w.pos <= length(p.pt)),
+         |per_pt AS (SELECT doc_id, i, max(cnt) AS n FROM walk GROUP BY doc_id, i)
+         |SELECT d.doc_id, CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_vocab_tokens
+         |FROM documents d LEFT JOIN per_pt p ON p.doc_id = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(TextAnalysis.vocabTokenCount(col("text")), lit(0L))
+          .as("n_vocab_tokens"))
+    }.sortedBy(col("doc_id")),
+
     // Document fingerprint via the codegen'd PolyHash expression.
     QueryDef("t_fingerprint",
       s"""SELECT doc_id, ${polyhash("text")} AS fingerprint

@@ -541,6 +541,46 @@ class LlmOpsSpec extends SparkSuite {
     assert(bpe == 7 && ws == 4, s"bpe=$bpe ws=$ws")
   }
 
+  test("real-vocab token count: greedy longest match goldens + naive-reference parity") {
+    import spark.implicits._
+    // independent naive reference of the same rule (longest-first probing)
+    def naive(text: String): Long = {
+      val m = java.util.regex.Pattern.compile(TextAnalysis.BpePattern).matcher(text)
+      val vs = TextAnalysis.Vocab.toSet
+      val maxLen = TextAnalysis.Vocab.map(_.length).max
+      var total = 0L
+      while (m.find()) {
+        val pt = m.group(); var pos = 0
+        while (pos < pt.length) {
+          val adv = (math.min(maxLen, pt.length - pos) to 1 by -1)
+            .find(k => vs.contains(pt.substring(pos, pos + k))).getOrElse(1)
+          total += 1; pos += adv
+        }
+      }
+      total
+    }
+    // goldens, hand-derived: "the cat" → [the][ ][c][at]; "printing" →
+    // [p][r][in][t][ing]; leading-space merge: " the" is ONE token
+    val golden = Seq("the cat" -> 4L, "printing" -> 5L, "x the y" -> 4L)
+    val got = golden.map(_._1).toDF("text")
+      .select(TextAnalysis.vocabTokenCount(col("text"))).as[Long].collect()
+    assert(got.toSeq == golden.map(_._2), s"goldens: got ${got.toSeq}")
+    golden.foreach { case (t, n) => assert(naive(t) == n, s"naive($t)") }
+    // parity with the naive reference over real corpus text
+    val sample = Tables.documents(spark, sf).limit(50)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val native = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), TextAnalysis.vocabTokenCount(col("text")))
+      .as[(Long, Long)].collect().toMap
+    sample.foreach { case (id, t) =>
+      assert(native(id) == naive(t), s"doc $id diverges from reference")
+    }
+    // null text → null expression value (query layer coalesces to 0)
+    val nullCount = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.vocabTokenCount(col("text"))).collect()(0)
+    assert(nullCount.isNullAt(0))
+  }
+
   test("text analysis classifies stopword-bearing text as en") {
     import spark.implicits._
     val docs = Seq(
