@@ -16,6 +16,17 @@ object Layout {
     * the 100 TB fact⋈fact path (e.g. lineitem⋈orders on orderkey every
     * night: bucket once, join shuffle-free forever).
     */
+  /** The ONE bucketed-writer spec (bucket count + key, key-sorted
+    * files, parquet) shared by create and append so the two can never
+    * drift — Spark rejects an append whose spec mismatches the table's.
+    */
+  private def bucketedWriter(df: DataFrame, table: String, key: String,
+                             buckets: Int, mode: String): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
@@ -26,24 +37,17 @@ object Layout {
     val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
+    bucketedWriter(df, table, key, buckets, "overwrite")
   }
 
   /** Append to an existing bucketed table under the SAME bucketing spec
-    * (Spark rejects a mismatched spec) — the incremental-maintenance
-    * half of write-once layouts: new data lands as additional
-    * per-bucket files, co-location with existing readers preserved, and
-    * nothing existing is rewritten or rescanned.
+    * — the incremental-maintenance half of write-once layouts: new data
+    * lands as additional per-bucket files, co-location with existing
+    * readers preserved, and nothing existing is rewritten or rescanned.
     */
   def appendBucketed(df: DataFrame, table: String, key: String,
                      buckets: Int): Unit =
-    df.write.mode("append")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
+    bucketedWriter(df, table, key, buckets, "append")
 
   /** Join two same-bucketed tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -28,7 +28,13 @@ object Curation {
     * (minimum id) among the surviving docs. Survivors are assigned to
     * `splits` by hashed key — deterministic, engine-independent, and
     * leakage-safe (near-dups were already collapsed, exact dups share a
-    * key hash, so no duplicate can straddle train/test).
+    * key hash, so no duplicate can straddle train/test). The leakage
+    * guarantee requires the clustering to actually converge, so curate
+    * runs the cluster chain STRICT by default: a component whose
+    * diameter exceeds `maxRounds` halts the job instead of silently
+    * shipping a split cluster into train AND test — set
+    * `strictClustering = false` only if a disclosed partial collapse is
+    * acceptable.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text", minQuality: Int = 2,
@@ -36,12 +42,14 @@ object Curation {
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
              n: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,
              jaccardNum: Int = 8, jaccardDen: Int = 10,
-             maxBucket: Int = Dedup.DefaultMaxBucketWidth): DataFrame = {
+             maxBucket: Int = Dedup.DefaultMaxBucketWidth,
+             maxRounds: Int = 50, strictClustering: Boolean = true): DataFrame = {
     val gated = docs
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)).cast("long"))
       .filter(col("quality") >= minQuality)
     val kept = Dedup.dedupedCorpus(gated, idCol, textCol, n, numBands,
-      rowsPerBand, jaccardNum, jaccardDen, maxBucket)
+      rowsPerBand, jaccardNum, jaccardDen, maxBucket, maxRounds,
+      strictClustering)
     Sampling.assignSplit(kept, col(idCol), splits)
       .select(col(idCol), col("quality"), col("split"))
   }

@@ -199,14 +199,26 @@ object Dedup {
                             rowsPerBand: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     val grouped = withExactReps(feats, idCol).localCheckpoint()
     val repFeats = grouped.filter(col(idCol) === col("rep"))
-    val over = bandOverflow(repFeats, idCol, numBands, rowsPerBand, maxBucket)
+    // band rows + bucket width in ONE window pass, materialized once:
+    // the overflow disclosure and the capped self-join both read it
+    val widthed = bands(repFeats, idCol, numBands, rowsPerBand)
+      .filter(col("bkey").isNotNull)
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .localCheckpoint()
+    val over = widthed.filter(col("__w") > maxBucket)
+      .select(col("band"), col("bkey"), col("__w")).distinct()
       .limit(21).collect()
     if (over.nonEmpty)
       log.warn(s"lsh candidate generation: ${over.length}${if (over.length > 20) "+" else ""} " +
         s"band bucket(s) wider than $maxBucket DISTINCT documents excluded from " +
         s"candidate generation (recall loss, not a failure): " +
         over.take(20).map(r => s"(band=${r.get(0)}, bkey=${r.get(1)}, n=${r.get(2)})").mkString(", "))
-    val cands = lshCandidates(repFeats, idCol, numBands, rowsPerBand, maxBucket)
+    val capped = widthed.filter(col("__w") <= maxBucket).drop("__w")
+    val l = capped.withColumnRenamed(idCol, "doc_a")
+    val r = capped.withColumnRenamed(idCol, "doc_b")
+    val cands = l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val ha = repFeats.select(col(idCol).as("doc_a"), col("hashes").as("ha"))
     val hb = repFeats.select(col(idCol).as("doc_b"), col("hashes").as("hb"))
     val repPairs = cands.join(ha, "doc_a").join(hb, "doc_b")
@@ -357,7 +369,8 @@ object Dedup {
                       textCol: String = "text", n: Int = 3,
                       numBands: Int = 4, rowsPerBand: Int = 2,
                       jaccardNum: Int = 8, jaccardDen: Int = 10,
-                      maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+                      maxBucket: Int = DefaultMaxBucketWidth,
+                      maxRounds: Int = 50, strict: Boolean = false): DataFrame = {
     val (grouped, repPairs) = repLevelPairs(
       features(docs, idCol, textCol, n), idCol, numBands, rowsPerBand, maxBucket)
     val repEdges = repPairs
@@ -365,7 +378,8 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val starEdges = grouped.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("src"), col("rep").as("dst"))
-    clusterLabels(docs.select(col(idCol).as("id")), repEdges.union(starEdges))
+    clusterLabels(docs.select(col(idCol).as("id")), repEdges.union(starEdges),
+      maxRounds, strict)
       .select(col("id").as(idCol), col("cluster_id"))
   }
 
@@ -387,9 +401,10 @@ object Dedup {
                     textCol: String = "text", n: Int = 3,
                     numBands: Int = 4, rowsPerBand: Int = 2,
                     jaccardNum: Int = 8, jaccardDen: Int = 10,
-                    maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+                    maxBucket: Int = DefaultMaxBucketWidth,
+                    maxRounds: Int = 50, strict: Boolean = false): DataFrame = {
     val keep = nearDupClusters(docs, idCol, textCol, n, numBands, rowsPerBand,
-      jaccardNum, jaccardDen, maxBucket)
+      jaccardNum, jaccardDen, maxBucket, maxRounds, strict)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
     docs.join(keep, Seq(idCol), "left_semi")

@@ -339,7 +339,34 @@ object Similarity {
     graft.core.Layout.writeBucketed(
       assignCells(corpus, cents, idCol, vecCol), s"${name}_lists", "cell",
       buckets)
+    writeIndexMeta(corpus.sparkSession, name,
+      Seq("centroids" -> centroids, "buckets" -> buckets))
   }
+
+  /** One-row build-parameter record per index, checked at append time —
+    * the bucket COUNT mismatch is caught by the catalog, but nothing
+    * else would be: an append bucketed under different planes/tables
+    * values lands in-range and silently corrupts search results.
+    */
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                             name: String, fields: Seq[(String, Int)]): Unit = {
+    val row = org.apache.spark.sql.Row(fields.map(_._2): _*)
+    val schema = org.apache.spark.sql.types.StructType(fields.map { case (f, _) =>
+      org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.IntegerType)
+    })
+    graft.core.Layout.writeBucketed(
+      spark.createDataFrame(java.util.List.of(row), schema),
+      s"${name}_meta", fields.head._1, 1)
+  }
+
+  private def requireIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                               name: String, fields: Seq[(String, Int)]): Unit =
+    if (spark.catalog.tableExists(s"${name}_meta")) {
+      val m = spark.table(s"${name}_meta").head()
+      val built = fields.map { case (f, _) => f -> m.getInt(m.fieldIndex(f)) }
+      require(built == fields,
+        s"index '$name' append parameters $fields do not match its build $built")
+    }
 
   /** Search-only IVF over the persisted index — the hot path: reads the
     * quantizer + bucketed inverted lists back and runs
@@ -361,10 +388,13 @@ object Similarity {
   def buildLshIndex(corpus: DataFrame, name: String, planes: Int, dims: Int,
                     tables: Int = 8, buckets: Int = 8,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding"): Unit = {
     graft.core.Layout.writeBucketed(
       lshTableBuckets(corpus, tables, planes, dims, vecCol),
       s"${name}_buckets", "bucket", buckets)
+    writeIndexMeta(corpus.sparkSession, name, Seq("planes" -> planes,
+      "dims" -> dims, "tables" -> tables, "buckets" -> buckets))
+  }
 
   /** Search-only ANN over the persisted LSH index. */
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
@@ -386,10 +416,13 @@ object Similarity {
   def appendToLshIndex(delta: DataFrame, name: String, planes: Int, dims: Int,
                        tables: Int = 8, buckets: Int = 8,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit =
+                       vecCol: String = "embedding"): Unit = {
+    requireIndexMeta(delta.sparkSession, name, Seq("planes" -> planes,
+      "dims" -> dims, "tables" -> tables, "buckets" -> buckets))
     graft.core.Layout.appendBucketed(
       lshTableBuckets(delta, tables, planes, dims, vecCol),
       s"${name}_buckets", "bucket", buckets)
+  }
 
   /** Append new vectors to a persisted IVF index: the delta is assigned
     * against the FROZEN persisted quantizer (standard IVF maintenance —
@@ -401,6 +434,12 @@ object Similarity {
   def appendToIvfIndex(delta: DataFrame, name: String, buckets: Int = 8,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
+    if (delta.sparkSession.catalog.tableExists(s"${name}_meta")) {
+      val m = delta.sparkSession.table(s"${name}_meta").head()
+      require(m.getInt(m.fieldIndex("buckets")) == buckets,
+        s"index '$name' append buckets=$buckets does not match its build " +
+          s"buckets=${m.getInt(m.fieldIndex("buckets"))}")
+    }
     val cents = delta.sparkSession.table(s"${name}_centroids")
     graft.core.Layout.appendBucketed(
       assignCells(delta, cents, idCol, vecCol), s"${name}_lists", "cell",
@@ -435,12 +474,15 @@ object Similarity {
       .localCheckpoint()
     val reps = grouped.filter(col(idCol) === col("rep"))
     // bucket representatives ONCE (single fused LshBuckets evaluation in
-    // the checkpoint job); bare (tbl, bucket, id) rows from here on
+    // the checkpoint job), with bucket width attached in the same pass:
+    // the overflow disclosure and the capped join both read the
+    // materialized bare (tbl, bucket, id, width) rows
     val bucketRows = lshTableBuckets(reps, tables, planes, dims, vecCol)
       .select(col("tbl"), col("bucket"), col(idCol))
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
       .localCheckpoint()
-    val over = bucketRows.groupBy("tbl", "bucket")
-      .agg(count(lit(1)).as("n_vecs")).filter(col("n_vecs") > maxBucket)
+    val over = bucketRows.filter(col("__w") > maxBucket)
+      .select(col("tbl"), col("bucket"), col("__w")).distinct()
       .limit(21).collect()
     if (over.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -448,10 +490,7 @@ object Similarity {
           s"bucket(s) wider than $maxBucket DISTINCT vectors excluded from " +
           s"candidate generation (recall loss, not a failure): " +
           over.take(20).map(r => s"(tbl=${r.get(0)}, bucket=${r.get(1)}, n=${r.get(2)})").mkString(", "))
-    val capped = bucketRows
-      .withColumn("__w", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
-      .filter(col("__w") <= maxBucket)
-      .drop("__w")
+    val capped = bucketRows.filter(col("__w") <= maxBucket).drop("__w")
     val l = capped.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
     val r = capped.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
     val candidates = l.join(r, Seq("tbl", "bucket"))

@@ -37,32 +37,55 @@ object LlmOracle {
 
   val hashesCte: String = hashesCteFrom("documents")
 
-  /** CTEs: LSH band keys + canonically-ordered candidate pairs over the
-    * `sig` CTE — replaying [[graft.ext.Dedup.bands]] +
-    * [[graft.ext.Dedup.lshCandidates]] for any banding layout. Shared
-    * verbatim by the t_dedup_near oracle and [[clusterCtes]] so the two
-    * formulations can never drift; alias parameters avoid CTE-name
-    * collisions when both appear in one statement.
+  /** CTEs replaying the hot-bucket guard's exact-collapse over the
+    * `hashes` CTE ([[graft.ext.Dedup.withExactReps]]): `grp` maps each
+    * distinct hash set to its min-id representative; `mem` maps every
+    * document to its rep (null-hash docs represent themselves — the
+    * LEFT JOIN's null keys never match, exactly like the Spark window's
+    * isNull guard).
+    */
+  val repCollapseCtes: String =
+    s"""grp AS (SELECT hs, min(doc_id) AS rep FROM hashes
+       |        WHERE hs IS NOT NULL GROUP BY hs),
+       |mem AS (SELECT h.doc_id, coalesce(g.rep, h.doc_id) AS rep
+       |        FROM hashes h LEFT JOIN grp g ON h.hs = g.hs)""".stripMargin
+
+  /** CTEs: LSH band keys + canonically-ordered candidate pairs at
+    * REPRESENTATIVE level — replaying [[graft.ext.Dedup.repLevelPairs]]'
+    * guarded candidate generation for any banding layout, INCLUDING the
+    * hot-bucket cap (QUALIFY count per (band, bkey) ≤ maxBucket, the
+    * same [[graft.ext.Dedup.DefaultMaxBucketWidth]] constant the Spark
+    * side applies — the cap is part of the verified contract, not a
+    * Spark-only cut). Requires `sig` and the [[repCollapseCtes]] in
+    * scope. Shared verbatim by the t_dedup_near oracle and
+    * [[clusterCtes]] so the two formulations can never drift; alias
+    * parameters avoid CTE-name collisions.
     */
   def bandCandidatesCte(numBands: Int = 4, rowsPerBand: Int = 2,
                         bandsAlias: String = "bands",
-                        candAlias: String = "cand"): String = {
+                        candAlias: String = "cand",
+                        maxBucket: Int = Dedup.DefaultMaxBucketWidth): String = {
     val values = (0 until numBands).map(b => s"($b)").mkString(", ")
     val keyExpr = (1 to rowsPerBand)
       .map(r => s"CAST(sig[b.band * $rowsPerBand + $r] AS VARCHAR)")
       .mkString(" || '_' || ")
     s"""$bandsAlias AS (
-       |  SELECT doc_id, b.band, $keyExpr AS bkey
-       |  FROM sig, (VALUES $values) b(band)),
+       |  SELECT s.doc_id, b.band, $keyExpr AS bkey
+       |  FROM sig s JOIN grp g ON g.rep = s.doc_id
+       |  CROSS JOIN (VALUES $values) b(band)
+       |  QUALIFY count(*) OVER (PARTITION BY b.band, bkey) <= $maxBucket),
        |$candAlias AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM $bandsAlias l JOIN $bandsAlias r
        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
   }
 
-  /** CTEs replaying [[graft.ext.Dedup.nearDupClusters]] exactly: LSH
-    * band candidates over `sig`/`hashes`, the integer cross-multiplied
-    * Jaccard cut, then connected components as a recursive reachability
+  /** CTEs replaying [[graft.ext.Dedup.nearDupClusters]] exactly,
+    * INCLUDING the hot-bucket guard: exact-collapse ([[repCollapseCtes]]),
+    * capped representative-level LSH candidates, the integer
+    * cross-multiplied Jaccard cut, STAR edges (member → rep, the m−1
+    * expansion whose components provably equal the full member-pair
+    * edge set), then connected components as a recursive reachability
     * walk whose min per node IS the fixpoint of Spark's min-label
     * propagation (both equal the component's minimum member id — the
     * oracle replays the RESULT, not the iteration schedule). Requires
@@ -71,8 +94,10 @@ object LlmOracle {
     * (`numBands` × `rowsPerBand`) must match the Spark call's.
     */
   def clusterCtes(nodesRel: String, jNum: Int, jDen: Int,
-                  numBands: Int = 4, rowsPerBand: Int = 2): String =
-    s"""${bandCandidatesCte(numBands, rowsPerBand, "cbands", "ccand")},
+                  numBands: Int = 4, rowsPerBand: Int = 2,
+                  maxBucket: Int = Dedup.DefaultMaxBucketWidth): String =
+    s"""$repCollapseCtes,
+       |${bandCandidatesCte(numBands, rowsPerBand, "cbands", "ccand", maxBucket)},
        |cpairs AS (
        |  SELECT doc_a, doc_b,
        |         len(list_intersect(ha.hs, hb.hs)) AS inter,
@@ -86,7 +111,11 @@ object LlmOracle {
        |  WHERE inter * $jDen >= uni * $jNum
        |  UNION ALL
        |  SELECT doc_b, doc_a FROM cpairs
-       |  WHERE inter * $jDen >= uni * $jNum),
+       |  WHERE inter * $jDen >= uni * $jNum
+       |  UNION ALL
+       |  SELECT doc_id, rep FROM mem WHERE doc_id <> rep
+       |  UNION ALL
+       |  SELECT rep, doc_id FROM mem WHERE doc_id <> rep),
        |walk(id, r) AS (
        |  SELECT doc_id, doc_id FROM $nodesRel
        |  UNION
@@ -481,18 +510,37 @@ object LlmQueries {
     }.sortedBy(col("doc_id")),
 
     // LSH-banded near-dup candidates with exact-Jaccard verification —
-    // candidate generation is a band-key equi-join, NOT an n² product.
+    // the FULL hot-bucket-guarded pipeline replayed: exact-collapse,
+    // capped rep-level band candidates, verification on reps, then the
+    // exact expansion back to member pairs (cross-group pairs inherit
+    // the rep pair's inter/uni; intra-group pairs have inter = uni =
+    // |hash set|). Candidate generation is a band-key equi-join, NOT an
+    // n² product, and the cap is part of the verified contract.
     QueryDef("t_dedup_near",
       s"""WITH $hashesCte, $sigCte,
-         |${bandCandidatesCte()}
-         |SELECT doc_a, doc_b,
-         |       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
-         |       CAST(len(ha.hs) + len(hb.hs)
-         |            - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
-         |FROM cand
-         |JOIN hashes ha ON ha.doc_id = cand.doc_a
-         |JOIN hashes hb ON hb.doc_id = cand.doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+         |$repCollapseCtes,
+         |${bandCandidatesCte()},
+         |rpairs AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(ha.hs, hb.hs)) AS inter,
+         |         len(ha.hs) + len(hb.hs)
+         |           - len(list_intersect(ha.hs, hb.hs)) AS uni
+         |  FROM cand
+         |  JOIN hashes ha ON ha.doc_id = cand.doc_a
+         |  JOIN hashes hb ON hb.doc_id = cand.doc_b),
+         |pairs AS (
+         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |         greatest(ma.doc_id, mb.doc_id) AS doc_b, p.inter, p.uni
+         |  FROM rpairs p
+         |  JOIN mem ma ON ma.rep = p.doc_a
+         |  JOIN mem mb ON mb.rep = p.doc_b
+         |  UNION ALL
+         |  SELECT ma.doc_id, mb.doc_id, len(h.hs), len(h.hs)
+         |  FROM mem ma JOIN mem mb ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+         |  JOIN hashes h ON h.doc_id = ma.rep)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |       CAST(uni AS BIGINT) AS uni
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       Dedup.nearDupPairs(Tables.documents(s, d))
     }.sortedBy(col("doc_a"), col("doc_b")),
 
@@ -628,18 +676,42 @@ object LlmQueries {
     // sf0.1, ~12s; 7 planes ≈ 0.8M, sub-second).
     QueryDef("t_embed_neardup",
       s"""WITH ${lshBucketsCte(tables = 8, planes = 7, dims = 64)},
+         |vgrp AS (SELECT embedding AS emb, min(vec_id) AS rep
+         |         FROM embeddings WHERE embedding IS NOT NULL
+         |         GROUP BY embedding),
+         |vmem AS (SELECT e.vec_id, g.rep FROM embeddings e
+         |         JOIN vgrp g ON e.embedding = g.emb),
+         |rbuckets AS (
+         |  SELECT b.vec_id, b.tbl, b.bucket
+         |  FROM buckets b JOIN vgrp g ON g.rep = b.vec_id
+         |  QUALIFY count(*) OVER (PARTITION BY b.tbl, b.bucket)
+         |          <= ${Dedup.DefaultMaxBucketWidth}),
          |cand AS (
          |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-         |  FROM buckets l JOIN buckets r
+         |  FROM rbuckets l JOIN rbuckets r
          |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
-         |scored AS (
+         |rscored AS (
          |  SELECT c.id_a, c.id_b,
          |         round(${cosine("a.embedding", "b.embedding")}, 6) AS cos
          |  FROM cand c
          |  JOIN embeddings a ON a.vec_id = c.id_a
-         |  JOIN embeddings b ON b.vec_id = c.id_b)
-         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.25
-         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+         |  JOIN embeddings b ON b.vec_id = c.id_b),
+         |rpass AS (SELECT * FROM rscored WHERE cos >= 0.25),
+         |selfcos AS (
+         |  SELECT g.rep, round(${cosine("e.embedding", "e.embedding")}, 6) AS cos
+         |  FROM vgrp g JOIN embeddings e ON e.vec_id = g.rep),
+         |pairs AS (
+         |  SELECT least(ma.vec_id, mb.vec_id) AS id_a,
+         |         greatest(ma.vec_id, mb.vec_id) AS id_b, p.cos
+         |  FROM rpass p
+         |  JOIN vmem ma ON ma.rep = p.id_a
+         |  JOIN vmem mb ON mb.rep = p.id_b
+         |  UNION ALL
+         |  SELECT ma.vec_id, mb.vec_id, s.cos
+         |  FROM vmem ma JOIN vmem mb ON ma.rep = mb.rep AND ma.vec_id < mb.vec_id
+         |  JOIN selfcos s ON s.rep = ma.rep
+         |  WHERE s.cos >= 0.25)
+         |SELECT id_a, id_b, cos FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d),
         threshold = 0.25, planes = 7, dims = 64)
     }.sortedBy(col("id_a"), col("id_b")),

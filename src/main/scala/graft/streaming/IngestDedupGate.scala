@@ -68,16 +68,21 @@ object IngestDedupGate {
           spark.table(featsTable(name)).select(col(idCol)),
           Seq(idCol), "left_anti")
         // 2. near-dups of stored content: batch band keys vs the store.
-        //    The batch's key set is bounded (|batch| × numBands), so it
-        //    both broadcasts into the join and prunes the store scan.
+        //    The BOUNDED side is the batch (|batch| × numBands rows) —
+        //    it carries the broadcast hint; the store side is only ever
+        //    scanned, pruned by the batch's key set when it is small
+        //    enough to inline (pushed to parquet row-group stats via
+        //    the store's bkey sort). Never broadcast the store: one
+        //    popular band key can match millions of stored rows.
         val bb = Dedup.bands(unknownIds, idCol, numBands, rowsPerBand)
           .filter(col("bkey").isNotNull)
         val batchKeys = bb.select("bkey").distinct().collect().map(_.getString(0))
         val store = spark.table(bandsTable(name))
         val pruned = if (batchKeys.length <= 10000)
           store.filter(col("bkey").isin(batchKeys.toSeq: _*)) else store
-        val cand = bb.join(broadcast(pruned.select(col("band"), col("bkey"),
-            col(idCol).as("__sid"))), Seq("band", "bkey"))
+        val cand = broadcast(bb).join(
+            pruned.select(col("band"), col("bkey"), col(idCol).as("__sid")),
+            Seq("band", "bkey"))
           .select(col(idCol), col("__sid")).distinct()
         val ha = unknownIds.select(col(idCol), col("hashes").as("__ha"))
         val hb = spark.table(featsTable(name))
@@ -95,8 +100,20 @@ object IngestDedupGate {
   }
 
   /** Append admitted feature rows to the store (creating it on first
-    * use): signatures into `<name>_feats`, band rows into
-    * `<name>_bands` — both via the bucketed write/append lifecycle.
+    * use): band rows into `<name>_bands`, then signatures into
+    * `<name>_feats` — both via the bucketed write/append lifecycle.
+    *
+    * The two writes are not one transaction; the BANDS-FIRST order
+    * makes the possible crash states benign. Crash between the writes:
+    * the doc's id is NOT yet in `_feats`, so the replayed batch
+    * re-admits it (its own orphan band rows find no `_feats` hash row —
+    * the candidate join is inner on the feats table) and the re-append
+    * only duplicates band rows, which the DISTINCT in the candidate
+    * join already absorbs. The reverse order would leave a doc id in
+    * `_feats` with no band rows: silently invisible to every future
+    * near-dup probe — a permanent recall hole. First-batch crash
+    * between the writes self-heals the same way: [[storeExists]] keys
+    * on `_feats`, so the next batch recreates BOTH tables fresh.
     */
   def appendToStore(novelFeats: DataFrame, name: String,
                     idCol: String = "doc_id", numBands: Int = 4,
@@ -106,11 +123,11 @@ object IngestDedupGate {
     val bandRows = Dedup.bands(novelFeats, idCol, numBands, rowsPerBand)
       .filter(col("bkey").isNotNull)
     if (!storeExists(spark, name)) {
-      graft.core.Layout.writeBucketed(featRows, featsTable(name), idCol, buckets)
       graft.core.Layout.writeBucketed(bandRows, bandsTable(name), "bkey", buckets)
+      graft.core.Layout.writeBucketed(featRows, featsTable(name), idCol, buckets)
     } else {
-      graft.core.Layout.appendBucketed(featRows, featsTable(name), idCol, buckets)
       graft.core.Layout.appendBucketed(bandRows, bandsTable(name), "bkey", buckets)
+      graft.core.Layout.appendBucketed(featRows, featsTable(name), idCol, buckets)
     }
   }
 

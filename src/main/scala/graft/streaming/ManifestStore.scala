@@ -17,10 +17,11 @@ import graft.tables.LatestByKey
   *  - data lives in IMMUTABLE version directories `d-<v>-<uuid>/`; a
   *    committed file is never modified or deleted by a writer;
   *  - each commit writes `_manifest.<v>.txt` (the full list of live
-  *    version dirs) to a temp name and atomically RENAMES it into
-  *    place — rename-onto-new-name is atomic on HDFS-semantics
-  *    filesystems, and a half-written manifest is invisible because it
-  *    only exists under the temp name;
+  *    version dirs) to a temp name and atomically PUBLISHES it —
+  *    create-if-absent rename on HDFS-semantics filesystems, hard link
+  *    on POSIX ones (where rename(2) would silently replace a racing
+  *    winner); a half-written manifest is invisible because it only
+  *    exists under the temp name;
   *  - readers pin the highest committed manifest at plan time and read
   *    exactly its files — a concurrent upsert commits a NEW version and
   *    never perturbs the pinned one (snapshot isolation for the
@@ -67,14 +68,34 @@ object ManifestStore {
     }
   }
 
-  private def commit(spark: SparkSession, dir: String, m: Manifest): Unit = {
+  private[graft] def commit(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val fs = hfs(spark, dir)
     val body = m.dirs.map { case (v, rel) => s"$v\t$rel" }.mkString("\n")
     val tmp = new Path(dir, s"_manifest.${m.version}.txt.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val target = new Path(dir, s"_manifest.${m.version}.txt")
-    if (!fs.rename(tmp, target)) {
+    // Publish atomically, create-if-absent. HDFS rename has exactly that
+    // semantic (fails when the destination exists). POSIX rename(2) does
+    // NOT — it silently REPLACES the destination, so on local
+    // filesystems a racing second writer would overwrite the first
+    // commit and drop its version from every future read. There,
+    // publish via hard LINK instead: link(2) atomically fails with
+    // EEXIST when the target is already present.
+    val isLocal = fs.getScheme == "file"
+    val won =
+      if (isLocal) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.rename(tmp, target)
+    if (!won) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"manifest commit race: version ${m.version} already committed under $dir")

@@ -301,6 +301,13 @@ class LlmOpsSpec extends SparkSuite {
     val appendPlan = Similarity.assignCells(rest,
       spark.table("t_ivf_app_centroids")).queryExecution.executedPlan.toString
     assert(!appendPlan.contains("t_ivf_app_lists"), appendPlan)
+    // build parameters are recorded and enforced: an append under a
+    // different table count would silently mis-bucket — it must throw
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.appendToLshIndex(rest, "t_lsh_app", planes = 4, dims = 64,
+        tables = 16)
+    }
+    assert(bad.getMessage.contains("do not match"), bad.getMessage)
   }
 
   test("near-dup clustering: transitive chain collapses to one representative") {

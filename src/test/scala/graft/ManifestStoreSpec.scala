@@ -48,6 +48,22 @@ class ManifestStoreSpec extends SparkSuite {
       s"raw store read over a replaced partition must fail: $torn")
   }
 
+  test("commit race: the second writer of one version fails loudly, never silently overwrites") {
+    import spark.implicits._
+    val dir = tmp("mstore-race")
+    ManifestStore.seed(Seq((1, "a")).toDF("id", "v"), "id", dir)
+    // two writers race version 2: the winner's commit sticks
+    ManifestStore.commit(spark, dir,
+      ManifestStore.Manifest(2L, ManifestStore.latestManifest(spark, dir).get.dirs))
+    val loser = intercept[IllegalStateException] {
+      ManifestStore.commit(spark, dir, ManifestStore.Manifest(2L, Nil))
+    }
+    assert(loser.getMessage.contains("commit race"))
+    // the winner's manifest content is intact (the loser's Nil list
+    // would have emptied the store had rename silently replaced it)
+    assert(ManifestStore.latestManifest(spark, dir).get.dirs.nonEmpty)
+  }
+
   test("tombstones delete, re-inserts resurrect, epoch replay is idempotent in effect") {
     import spark.implicits._
     val dir = tmp("mstore-del")
