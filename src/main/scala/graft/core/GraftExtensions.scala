@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash}
+import graft.functions.{CosineSim, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash, VocabTokenCount}
 
 /** SparkSessionExtensions hook registering the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT polyhash(text),
@@ -87,6 +87,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "lsh_buckets(vec, tables, planes, dims) takes 4 arguments")
         LshBuckets(children.head, intArg(children(1), "tables"),
           intArg(children(2), "planes"), intArg(children(3), "dims"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vocab_token_count"),
+      new ExpressionInfo(classOf[VocabTokenCount].getName, "vocab_token_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "vocab_token_count(text) takes 1 argument")
+        VocabTokenCount(children.head, graft.ext.TextAnalysis.Vocab,
+          graft.ext.TextAnalysis.BpePattern)
       }))
   }
 }

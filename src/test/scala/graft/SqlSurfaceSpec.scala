@@ -55,6 +55,15 @@ class SqlSurfaceSpec extends SparkSuite {
       "SELECT lsh_buckets(embedding, 2, 4, 64) AS b FROM embeddings LIMIT 5")
     assert(b.collect().forall(_.getSeq[Long](0).length == 2))
 
+    // real-vocab token counting via SQL matches the Column API
+    val tokSql = spark.sql(
+      "SELECT doc_id, vocab_token_count(text) AS n FROM documents ORDER BY doc_id")
+    val tokApi = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.vocabTokenCount(col("text")).as("n"))
+      .orderBy(col("doc_id"))
+    assert(rows(tokSql) == rows(tokApi))
+
     // integral literal knobs of any width resolve (SQL generators emit
     // typed literals); non-literal knobs are analysis-time errors
     val wide = spark.sql(
