@@ -78,27 +78,37 @@ object ChangelogDim {
     * Partition-dir removal is a driver-side filesystem call — bounded by
     * keys-DELETED-per-batch (dimension-churn small), not data volume.
     */
+  /** Flatten a batch of Debezium-shaped envelopes to each key's LATEST
+    * change row (`__op`, `__ts`, `__seq` + the row columns). `__seq`
+    * preserves ARRIVAL order as the equal-ts tiebreak: ts_ms is
+    * millisecond-granular, so an update-then-delete of one key in the
+    * same millisecond is routine — the later log event must win (an
+    * op-string tiebreak would keep 'u' over 'd' and leak the row
+    * forever). monotonically_increasing_id is ordered within each input
+    * partition, and a keyed source (Kafka) delivers one key's events
+    * through one partition in order. Shared by this raw-parquet store
+    * and [[ManifestStore.maintainCdc]] so the CDC semantics cannot
+    * drift between backends.
+    */
+  private[streaming] def cdcLatest(batch: DataFrame, envelope: Column,
+                                   keyField: String): DataFrame = {
+    val flat = batch.select(envelope.alias("__env"))
+      .select(col("__env.op").as("__op"), col("__env.ts_ms").as("__ts"),
+        coalesce(col("__env.after"), col("__env.before")).as("__row"))
+      .select(col("__op"), col("__ts"), col("__row.*"))
+      .withColumn("__seq", monotonically_increasing_id())
+    LatestByKey.batch(flat, keyField, "__ts", "__seq")
+  }
+
   def maintainCdc(envelopes: DataFrame, envelope: Column, keyField: String,
                   dir: String, checkpointDir: String): StreamingQuery =
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        // __seq preserves ARRIVAL order as the equal-ts tiebreak: ts_ms
-        // is millisecond-granular, so an update-then-delete of one key
-        // in the same millisecond is routine — the later log event must
-        // win (an op-string tiebreak would keep 'u' over 'd' and leak
-        // the row forever). monotonically_increasing_id is ordered
-        // within each input partition, and a keyed source (Kafka)
-        // delivers one key's events through one partition in order.
-        val flat = batch.select(envelope.alias("__env"))
-          .select(col("__env.op").as("__op"), col("__env.ts_ms").as("__ts"),
-            coalesce(col("__env.after"), col("__env.before")).as("__row"))
-          .select(col("__op"), col("__ts"), col("__row.*"))
-          .withColumn("__seq", monotonically_increasing_id())
         // persist: the aggregation feeds three actions (isEmpty probe,
         // upsert write, delete-key collect) — without it each would
         // re-scan the batch and recompute the groupBy
-        val latest = LatestByKey.batch(flat, keyField, "__ts", "__seq")
+        val latest = cdcLatest(batch.toDF(), envelope, keyField)
         latest.persist()
         try {
           val ups = latest.filter(col("__op") =!= "d")

@@ -43,13 +43,16 @@ object IngestDedupGate {
     * vs the store? Within-batch exact copies collapse to their min-id
     * representative first ([[Dedup.withExactReps]]); then store-known
     * ids drop (redelivery, any text), then store near-dups drop (band
-    * candidates + exact Jaccard ≥ num/den). Returns the novel documents'
-    * FEATURE rows (id, hashes, sig, simhash), localCheckpointed — the
-    * decision is frozen before any store mutation. Note: two distinct
-    * near-dup documents arriving in the SAME batch are both admitted
-    * (neither is in the store yet); the cross-batch guarantee is what
-    * bounds the corpus — run [[graft.ext.Dedup.dedupedCorpus]] for a
-    * full intra-corpus collapse.
+    * candidates + exact Jaccard ≥ num/den), then WITHIN-BATCH near-dups
+    * drop pairwise: a doc with a smaller-id near-dup among the batch's
+    * survivors is rejected (its keeper is being admitted in this very
+    * batch). Pairwise, not transitive — a chain a~b~c admits a and
+    * drops b, c (each has a smaller direct near-dup), but a member
+    * whose only near-dup link was itself dropped can survive; the full
+    * transitive collapse is [[graft.ext.Dedup.dedupedCorpus]]'s job at
+    * corpus level. Returns the novel documents' FEATURE rows (id,
+    * hashes, sig, simhash), localCheckpointed — the decision is frozen
+    * before any store mutation.
     */
   def filterNovel(batch: DataFrame, name: String, idCol: String = "doc_id",
                   textCol: String = "text", n: Int = 3, numBands: Int = 4,
@@ -96,7 +99,21 @@ object IngestDedupGate {
           .select(col(idCol))
         unknownIds.join(dupIds, Seq(idCol), "left_anti")
       }
-    survivors.localCheckpoint()
+    // within-batch near-dups: lshCandidates emits canonically-ordered
+    // (doc_a < doc_b) pairs, so doc_b always has a smaller-id near-dup
+    // being admitted alongside it — drop doc_b
+    val checked = survivors.localCheckpoint()
+    val bcand = Dedup.lshCandidates(checked, idCol, numBands, rowsPerBand)
+    val ha2 = checked.select(col(idCol).as("doc_a"), col("hashes").as("__ha"))
+    val hb2 = checked.select(col(idCol).as("doc_b"), col("hashes").as("__hb"))
+    val batchDups = bcand.join(ha2, "doc_a").join(hb2, "doc_b")
+      .withColumn("__inter",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .withColumn("__uni",
+        (size(col("__ha")) + size(col("__hb"))).cast("long") - col("__inter"))
+      .filter(col("__inter") * jaccardDen >= col("__uni") * jaccardNum)
+      .select(col("doc_b").as(idCol)).distinct()
+    checked.join(batchDups, Seq(idCol), "left_anti").localCheckpoint()
   }
 
   /** Append admitted feature rows to the store (creating it on first

@@ -194,6 +194,27 @@ object ManifestStore {
       }
       .start()
 
+  /** Maintain the store from a stream of Debezium-shaped CDC envelopes
+    * (`{before, after, op, ts_ms}`) — the transactional mirror of
+    * [[ChangelogDim.maintainCdc]], sharing its flatten/latest semantics
+    * ([[ChangelogDim.cdcLatest]]: per batch only each key's latest
+    * change applies, arrival-order tiebreak on equal ts). Deletes land
+    * as tombstone rows (`__op = 'd'`) in the committed version instead
+    * of driver-side partition removals — one atomic commit covers the
+    * whole batch, upserts and deletes together.
+    */
+  def maintainCdc(envelopes: DataFrame, envelope: org.apache.spark.sql.Column,
+                  keyField: String, dir: String,
+                  checkpointDir: String): StreamingQuery =
+    envelopes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val latest = ChangelogDim.cdcLatest(batch.toDF(), envelope, keyField)
+          .drop("__ts", "__seq")
+        if (!latest.isEmpty) applyChanges(latest, keyField, dir)
+      }
+      .start()
+
   /** Enrich a fact stream against the CURRENT committed dim state —
     * the transactional mirror of [[ChangelogDim.joinEachBatch]]: each
     * micro-batch pins one committed version for its whole join, so a

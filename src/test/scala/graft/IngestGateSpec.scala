@@ -36,8 +36,9 @@ class IngestGateSpec extends SparkSuite {
           .foreach(r => IngestGateSpec.admitted.add(r.getLong(0)))
     }
     try {
-      // batch 1: two novel docs, one arriving twice in-batch (exact copy)
-      ms.addData((1L, docA), (2L, docC), (10L, docA))
+      // batch 1: two novel docs, one exact in-batch copy (id 10), one
+      // in-batch NEAR-dup (id 5, near docA) — only the min ids pass
+      ms.addData((1L, docA), (2L, docC), (10L, docA), (5L, nearA))
       q.processAllAvailable()
       val after1 = IngestGateSpec.admitted.asScala.toSet
       assert(after1 == Set(1L, 2L), s"batch-1 admit set wrong: $after1")

@@ -104,6 +104,47 @@ class ManifestStoreSpec extends SparkSuite {
     assert(rows(ManifestStore.read(spark, dir, "id")) == before)
   }
 
+  test("CDC envelopes drive the transactional store: upserts, tombstones, same-ms ordering, one commit per batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("mstore-cdc")
+    ManifestStore.seed(customersDf, "id", dir) // ids 1..20
+
+    val ms = MemoryStream[CdcCust]
+    val after = struct(col("id"), col("first_name"), col("last_name"),
+      col("email"), col("club_status"))
+    val envelopes = ms.toDF().select(struct(
+      lit(null).cast(customersDf.schema).as("before"),
+      after.as("after"), col("op"), col("ts_ms")).as("value"))
+    val q = ManifestStore.maintainCdc(envelopes, col("value"), "id", dir,
+      tmp("ck-cdc"))
+    def state() = ManifestStore.read(spark, dir, "id")
+    try {
+      // update #1 and tombstone #2 in ONE batch → one atomic commit
+      val v0 = ManifestStore.latestManifest(spark, dir).get.version
+      ms.addData(
+        CdcCust("u", 1, "Rick", "Astley", "r@x.test", "platinum", 100L),
+        CdcCust("d", 2, "Gone", "Gone", "g@x.test", "gold", 101L))
+      q.processAllAvailable()
+      assert(ManifestStore.latestManifest(spark, dir).get.version == v0 + 1)
+      assert(state().count() == 19)
+      assert(state().filter(col("id") === 1).select("first_name")
+        .collect().head.getString(0) == "Rick")
+      assert(state().filter(col("id") === 2).isEmpty)
+      // re-insert resurrects the key
+      ms.addData(CdcCust("c", 2, "Back", "Again", "b@x.test", "gold", 102L))
+      q.processAllAvailable()
+      assert(state().filter(col("id") === 2).select("first_name")
+        .collect().head.getString(0) == "Back")
+      // same-millisecond update-then-delete: arrival order wins
+      ms.addData(
+        CdcCust("u", 5, "Same", "Milli", "m@x.test", "gold", 200L),
+        CdcCust("d", 5, "Same", "Milli", "m@x.test", "gold", 200L))
+      q.processAllAvailable()
+      assert(state().filter(col("id") === 5).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming topology: maintain + joinEachBatch see committed dim updates batch over batch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
