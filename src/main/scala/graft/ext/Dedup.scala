@@ -185,6 +185,31 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Attach exact-Jaccard (inter, uni) to canonically-ordered candidate
+    * pairs — THE single definition of the Jaccard arithmetic
+    * (set-semantics intersection over distinct shingle hashes, union by
+    * inclusion–exclusion), shared by the corpus-level pipeline and the
+    * streaming ingest gate so the two can never diverge. `featsA` /
+    * `featsB` expose (`idCol`, `hashes`).
+    */
+  def withJaccard(pairs: DataFrame, aCol: String, bCol: String,
+                  featsA: DataFrame, featsB: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val ha = featsA.select(col(idCol).as(aCol), col("hashes").as("__ha"))
+    val hb = featsB.select(col(idCol).as(bCol), col("hashes").as("__hb"))
+    pairs.join(ha, aCol).join(hb, bCol)
+      .withColumn("inter", size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .withColumn("uni", (size(col("__ha")) + size(col("__hb"))).cast("long") - col("inter"))
+      .drop("__ha", "__hb")
+  }
+
+  /** The Jaccard ≥ num/den cut over (inter, uni) columns as integer
+    * cross-multiplication — no float ratio, replayed exactly by the
+    * DuckDB oracle.
+    */
+  def jaccardAtLeast(num: Int, den: Int): Column =
+    col("inter") * den >= col("uni") * num
+
   /** Representative-level pipeline core: exact-collapse (one window),
     * capped LSH candidates + exact-Jaccard verification over
     * REPRESENTATIVES only, plus eager overflow disclosure. Returns
@@ -219,11 +244,7 @@ object Dedup {
     val cands = l.join(r, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val ha = repFeats.select(col(idCol).as("doc_a"), col("hashes").as("ha"))
-    val hb = repFeats.select(col(idCol).as("doc_b"), col("hashes").as("hb"))
-    val repPairs = cands.join(ha, "doc_a").join(hb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
-      .withColumn("uni", (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
+    val repPairs = withJaccard(cands, "doc_a", "doc_b", repFeats, repFeats, idCol)
       .select("doc_a", "doc_b", "inter", "uni")
     (grouped, repPairs)
   }
@@ -374,7 +395,7 @@ object Dedup {
     val (grouped, repPairs) = repLevelPairs(
       features(docs, idCol, textCol, n), idCol, numBands, rowsPerBand, maxBucket)
     val repEdges = repPairs
-      .filter(col("inter") * jaccardDen >= col("uni") * jaccardNum)
+      .filter(jaccardAtLeast(jaccardNum, jaccardDen))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val starEdges = grouped.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("src"), col("rep").as("dst"))

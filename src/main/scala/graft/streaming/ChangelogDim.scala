@@ -67,17 +67,6 @@ object ChangelogDim {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(key).mode("overwrite").parquet(dir)
 
-  /** Maintain the dim store directly from a stream of Debezium-shaped
-    * CDC envelopes (`{before, after, op, ts_ms}` in `envelope`),
-    * COMPLETE ksqlDB-table semantics: creates/updates/snapshot-reads
-    * upsert the key's partition, DELETES (op 'd' — the tombstone path
-    * ksqlDB drops table rows on) REMOVE it. Per batch, only each key's
-    * LATEST version applies (ts_ms order, op tiebreak), so an
-    * update+delete of one key in one batch resolves deterministically;
-    * cross-batch, a later re-insert simply recreates the partition.
-    * Partition-dir removal is a driver-side filesystem call — bounded by
-    * keys-DELETED-per-batch (dimension-churn small), not data volume.
-    */
   /** Flatten a batch of Debezium-shaped envelopes to each key's LATEST
     * change row (`__op`, `__ts`, `__seq` + the row columns). `__seq`
     * preserves ARRIVAL order as the equal-ts tiebreak: ts_ms is
@@ -100,6 +89,17 @@ object ChangelogDim {
     LatestByKey.batch(flat, keyField, "__ts", "__seq")
   }
 
+  /** Maintain the dim store directly from a stream of Debezium-shaped
+    * CDC envelopes (`{before, after, op, ts_ms}` in `envelope`),
+    * COMPLETE ksqlDB-table semantics: creates/updates/snapshot-reads
+    * upsert the key's partition, DELETES (op 'd' — the tombstone path
+    * ksqlDB drops table rows on) REMOVE it. Per batch, only each key's
+    * LATEST version applies ([[cdcLatest]]), so an update+delete of one
+    * key in one batch resolves deterministically; cross-batch, a later
+    * re-insert simply recreates the partition. Partition-dir removal is
+    * a driver-side filesystem call — bounded by keys-DELETED-per-batch
+    * (dimension-churn small), not data volume.
+    */
   def maintainCdc(envelopes: DataFrame, envelope: Column, keyField: String,
                   dir: String, checkpointDir: String): StreamingQuery =
     envelopes.writeStream

@@ -87,31 +87,31 @@ object IngestDedupGate {
             pruned.select(col("band"), col("bkey"), col(idCol).as("__sid")),
             Seq("band", "bkey"))
           .select(col(idCol), col("__sid")).distinct()
-        val ha = unknownIds.select(col(idCol), col("hashes").as("__ha"))
-        val hb = spark.table(featsTable(name))
-          .select(col(idCol).as("__sid"), col("hashes").as("__hb"))
-        val dupIds = cand.join(ha, idCol).join(hb, "__sid")
-          .withColumn("__inter",
-            size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
-          .withColumn("__uni",
-            (size(col("__ha")) + size(col("__hb"))).cast("long") - col("__inter"))
-          .filter(col("__inter") * jaccardDen >= col("__uni") * jaccardNum)
+        val dupIds = Dedup.withJaccard(cand, idCol, "__sid",
+            unknownIds, spark.table(featsTable(name)), idCol)
+          .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
           .select(col(idCol))
         unknownIds.join(dupIds, Seq(idCol), "left_anti")
       }
     // within-batch near-dups: lshCandidates emits canonically-ordered
     // (doc_a < doc_b) pairs, so doc_b always has a smaller-id near-dup
-    // being admitted alongside it — drop doc_b
-    val checked = survivors.localCheckpoint()
+    // being admitted alongside it — drop doc_b. The survivor frame is
+    // already materialized on the first-batch path (survivors eq
+    // batchReps); only the store-filtered branch needs its own
+    // checkpoint before feeding the self-join's branches.
+    val checked =
+      if (survivors eq batchReps) batchReps else survivors.localCheckpoint()
+    val over = Dedup.bandOverflow(checked, idCol, numBands, rowsPerBand)
+      .limit(21).collect()
+    if (over.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ingest gate: ${over.length}${if (over.length > 20) "+" else ""} within-batch " +
+          s"band bucket(s) over the width cap excluded from near-dup checking " +
+          s"(recall loss, not a failure): " +
+          over.take(20).map(r => s"(band=${r.get(0)}, bkey=${r.get(1)}, n=${r.get(2)})").mkString(", "))
     val bcand = Dedup.lshCandidates(checked, idCol, numBands, rowsPerBand)
-    val ha2 = checked.select(col(idCol).as("doc_a"), col("hashes").as("__ha"))
-    val hb2 = checked.select(col(idCol).as("doc_b"), col("hashes").as("__hb"))
-    val batchDups = bcand.join(ha2, "doc_a").join(hb2, "doc_b")
-      .withColumn("__inter",
-        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
-      .withColumn("__uni",
-        (size(col("__ha")) + size(col("__hb"))).cast("long") - col("__inter"))
-      .filter(col("__inter") * jaccardDen >= col("__uni") * jaccardNum)
+    val batchDups = Dedup.withJaccard(bcand, "doc_a", "doc_b", checked, checked, idCol)
+      .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
       .select(col("doc_b").as(idCol)).distinct()
     checked.join(batchDups, Seq(idCol), "left_anti").localCheckpoint()
   }

@@ -209,9 +209,14 @@ object ManifestStore {
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val latest = ChangelogDim.cdcLatest(batch.toDF(), envelope, keyField)
-          .drop("__ts", "__seq")
-        if (!latest.isEmpty) applyChanges(latest, keyField, dir)
+        // probe the RAW batch for emptiness — probing the aggregated
+        // frame would run the flatten+groupBy once for the probe and
+        // again for the commit write
+        if (!batch.isEmpty)
+          applyChanges(
+            ChangelogDim.cdcLatest(batch.toDF(), envelope, keyField)
+              .drop("__ts", "__seq"),
+            keyField, dir)
       }
       .start()
 
