@@ -377,6 +377,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(full.values.toSet == Set(1L), full)
   }
 
+  test("dedup chain degrades cleanly: null-text docs are singletons, empty corpus yields empty results") {
+    import spark.implicits._
+    // null texts: own representative, no band rows, never paired — but
+    // present in the cluster output as singletons (they ARE documents)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, null: String), (3L, null: String)).toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(docs).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"null-text docs must not cluster together: $labels")
+    assert(Dedup.nearDupPairs(docs).count() == 0)
+    val kept = Dedup.dedupedCorpus(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // empty corpus: every stage returns empty, no crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.nearDupClusters(empty).count() == 0)
+    assert(Dedup.nearDupPairs(empty).count() == 0)
+    assert(Dedup.dedupedCorpus(empty).count() == 0)
+  }
+
   test("curation flagship: quality gate, dedup keep and deterministic split compose") {
     import spark.implicits._
     val words = (1 to 40).map(i => s"word$i").toArray
