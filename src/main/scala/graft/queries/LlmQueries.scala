@@ -123,6 +123,43 @@ object LlmOracle {
        |clusters AS (
        |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id)""".stripMargin
 
+  /** Band-key rows of `sig` restricted to the ids of `rel(doc_id)`,
+    * optionally width-capped (cap = 0 → uncapped, the shape of the
+    * gate's store-side join).
+    */
+  def bandsOverCte(rel: String, alias: String, cap: Int): String = {
+    val keyExpr = "CAST(sig[b.band * 2 + 1] AS VARCHAR) || '_' || " +
+      "CAST(sig[b.band * 2 + 2] AS VARCHAR)"
+    val qualify = if (cap > 0)
+      s"\n  QUALIFY count(*) OVER (PARTITION BY b.band, bkey) <= $cap" else ""
+    s"""$alias AS (
+       |  SELECT s.doc_id, b.band, $keyExpr AS bkey
+       |  FROM sig s JOIN $rel r ON r.doc_id = s.doc_id
+       |  CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)$qualify)""".stripMargin
+  }
+
+  /** The docs of `candRel(doc_a, doc_b)` whose exact Jaccard clears
+    * num/den — emitting doc_b (the canonically-larger / batch side),
+    * i.e. the DROP set of a pairwise keep-smallest rule.
+    */
+  def jaccardDropCte(candRel: String, alias: String, jNum: Int, jDen: Int): String =
+    s"""$alias AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM $candRel c
+       |  JOIN hashes ha ON ha.doc_id = c.doc_a
+       |  JOIN hashes hb ON hb.doc_id = c.doc_b
+       |  WHERE len(list_intersect(ha.hs, hb.hs)) * $jDen >=
+       |        (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * $jNum)""".stripMargin
+
+  /** Exact-collapse of the docs matching `pred` to min-id reps
+    * (null-hash docs represent themselves), prefixed CTE names.
+    */
+  def collapseCtes(pred: String, p: String): String =
+    s"""${p}grp AS (SELECT hs, min(doc_id) AS rep FROM hashes
+       |  WHERE ($pred) AND hs IS NOT NULL GROUP BY hs),
+       |${p}reps AS (SELECT rep AS doc_id FROM ${p}grp
+       |  UNION ALL SELECT doc_id FROM hashes WHERE ($pred) AND hs IS NULL)""".stripMargin
+
   /** Per-permutation minhash min expressions over the `hs` column. */
   def minhashExprs: Seq[String] = Dedup.Perms.map { case (a, b) =>
     s"coalesce(list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.P})), ${Dedup.P})"
@@ -384,6 +421,25 @@ object LlmQueries {
         Similarity.buildIvfIndex(emb.filter(col("vec_id") < AppendCut), name,
           centroids = 16)
         Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= AppendCut), name)
+        builtIndexes += name
+      }
+      name
+    }
+
+  /** The gate-oracle split: the store is seeded (through the gate's own
+    * admit pipeline) from EVEN doc ids; the probed batch is the odd ids
+    * plus a few redelivered evens so the id-anti-join path is exercised.
+    */
+  private val GateStorePred = "doc_id % 2 = 0"
+  private val GateBatchPred = "doc_id % 2 = 1 OR doc_id <= 4"
+
+  def gateStoreFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_gate_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val seed = Tables.documents(s, d).filter(expr(GateStorePred))
+        graft.streaming.IngestDedupGate.appendToStore(
+          graft.streaming.IngestDedupGate.filterNovel(seed, name), name)
         builtIndexes += name
       }
       name
@@ -767,6 +823,47 @@ object LlmQueries {
          |            ELSE 'test' END AS split
          |FROM withb ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.ext.Curation.curate(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // ── Streaming ingest gate, batch core oracle-gated ─────────────
+    // The gate's admit decision replayed end to end in SQL: stage 1
+    // seeds the store through the SAME pipeline (exact-collapse of the
+    // even ids, capped within-batch near-dup drop); stage 2 probes the
+    // odd ids + redelivered evens — store-id anti-join, near-dups vs
+    // the store's (uncapped) band rows, then the capped within-batch
+    // pairwise rule. Output = admitted doc ids.
+    QueryDef("t_ingest_gate",
+      s"""WITH $hashesCte, $sigCte,
+         |${collapseCtes(GateStorePred, "s")},
+         |${bandsOverCte("sreps", "sbands", Dedup.DefaultMaxBucketWidth)},
+         |scand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM sbands l JOIN sbands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |${jaccardDropCte("scand", "sdrop", 8, 10)},
+         |store AS (SELECT doc_id FROM sreps
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)),
+         |${collapseCtes(GateBatchPred, "b")},
+         |unknown AS (SELECT doc_id FROM breps
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM store)),
+         |${bandsOverCte("unknown", "ubands", 0)},
+         |${bandsOverCte("store", "stbands", 0)},
+         |ncand AS (SELECT DISTINCT t.doc_id AS doc_a, u.doc_id AS doc_b
+         |  FROM ubands u JOIN stbands t
+         |    ON u.band = t.band AND u.bkey = t.bkey),
+         |${jaccardDropCte("ncand", "ndrop", 8, 10)},
+         |surv AS (SELECT doc_id FROM unknown
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+         |${bandsOverCte("surv", "wbands", Dedup.DefaultMaxBucketWidth)},
+         |wcand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM wbands l JOIN wbands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |${jaccardDropCte("wcand", "wdrop", 8, 10)}
+         |SELECT doc_id FROM surv
+         |WHERE doc_id NOT IN (SELECT doc_id FROM wdrop)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val batch = Tables.documents(s, d).filter(expr(GateBatchPred))
+      graft.streaming.IngestDedupGate.filterNovel(batch, gateStoreFor(s, d))
+        .select(col("doc_id"))
     }.sortedBy(col("doc_id")),
 
     // ── Multimodal columns ─────────────────────────────────────────
