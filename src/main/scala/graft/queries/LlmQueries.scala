@@ -427,11 +427,13 @@ object LlmQueries {
     }
 
   /** The gate-oracle split: the store is seeded (through the gate's own
-    * admit pipeline) from EVEN doc ids; the probed batch is the odd ids
-    * plus a few redelivered evens so the id-anti-join path is exercised.
+    * admit pipeline) from EVEN doc ids; the probed batch is a 10% slice
+    * of odd ids (micro-batch-sized, as the gate runs in production)
+    * plus a few redelivered evens so the id-anti-join path is
+    * exercised.
     */
   private val GateStorePred = "doc_id % 2 = 0"
-  private val GateBatchPred = "doc_id % 2 = 1 OR doc_id <= 4"
+  private val GateBatchPred = "doc_id % 10 = 1 OR doc_id <= 4"
 
   def gateStoreFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     synchronized {
