@@ -64,21 +64,13 @@ object LlmOracle {
   def bandCandidatesCte(numBands: Int = 4, rowsPerBand: Int = 2,
                         bandsAlias: String = "bands",
                         candAlias: String = "cand",
-                        maxBucket: Int = Dedup.DefaultMaxBucketWidth): String = {
-    val values = (0 until numBands).map(b => s"($b)").mkString(", ")
-    val keyExpr = (1 to rowsPerBand)
-      .map(r => s"CAST(sig[b.band * $rowsPerBand + $r] AS VARCHAR)")
-      .mkString(" || '_' || ")
+                        maxBucket: Int = Dedup.DefaultMaxBucketWidth): String =
     s"""$bandsAlias AS (
-       |  SELECT s.doc_id, b.band, $keyExpr AS bkey
+       |  SELECT s.doc_id, b.band, ${bandKeyExpr(rowsPerBand)} AS bkey
        |  FROM sig s JOIN grp g ON g.rep = s.doc_id
-       |  CROSS JOIN (VALUES $values) b(band)
+       |  CROSS JOIN (VALUES ${bandValues(numBands)}) b(band)
        |  QUALIFY count(*) OVER (PARTITION BY b.band, bkey) <= $maxBucket),
-       |$candAlias AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM $bandsAlias l JOIN $bandsAlias r
-       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
-  }
+       |${selfCandCte(bandsAlias, candAlias)}""".stripMargin
 
   /** CTEs replaying [[graft.ext.Dedup.nearDupClusters]] exactly,
     * INCLUDING the hot-bucket guard: exact-collapse ([[repCollapseCtes]]),
@@ -123,33 +115,57 @@ object LlmOracle {
        |clusters AS (
        |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id)""".stripMargin
 
+  /** The band-key expression over a `sig` row alias — THE one
+    * definition of the banding layout, shared by every band CTE.
+    */
+  private def bandKeyExpr(rowsPerBand: Int): String =
+    (1 to rowsPerBand)
+      .map(r => s"CAST(sig[b.band * $rowsPerBand + $r] AS VARCHAR)")
+      .mkString(" || '_' || ")
+
+  private def bandValues(numBands: Int): String =
+    (0 until numBands).map(b => s"($b)").mkString(", ")
+
+  /** Canonically-ordered same-bucket candidate pairs from a band CTE —
+    * the one definition of the self-join shape.
+    */
+  def selfCandCte(bandsAlias: String, alias: String): String =
+    s"""$alias AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM $bandsAlias l JOIN $bandsAlias r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+
   /** Band-key rows of `sig` restricted to the ids of `rel(doc_id)`,
     * optionally width-capped (cap = 0 → uncapped, the shape of the
     * gate's store-side join).
     */
-  def bandsOverCte(rel: String, alias: String, cap: Int): String = {
-    val keyExpr = "CAST(sig[b.band * 2 + 1] AS VARCHAR) || '_' || " +
-      "CAST(sig[b.band * 2 + 2] AS VARCHAR)"
+  def bandsOverCte(rel: String, alias: String, cap: Int,
+                   numBands: Int = 4, rowsPerBand: Int = 2): String = {
     val qualify = if (cap > 0)
       s"\n  QUALIFY count(*) OVER (PARTITION BY b.band, bkey) <= $cap" else ""
     s"""$alias AS (
-       |  SELECT s.doc_id, b.band, $keyExpr AS bkey
+       |  SELECT s.doc_id, b.band, ${bandKeyExpr(rowsPerBand)} AS bkey
        |  FROM sig s JOIN $rel r ON r.doc_id = s.doc_id
-       |  CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)$qualify)""".stripMargin
+       |  CROSS JOIN (VALUES ${bandValues(numBands)}) b(band)$qualify)""".stripMargin
   }
 
   /** The docs of `candRel(doc_a, doc_b)` whose exact Jaccard clears
     * num/den — emitting doc_b (the canonically-larger / batch side),
-    * i.e. the DROP set of a pairwise keep-smallest rule.
+    * i.e. the DROP set of a pairwise keep-smallest rule. inter/uni are
+    * computed once per pair (the list intersection is the expensive
+    * part) and filtered in an outer select.
     */
   def jaccardDropCte(candRel: String, alias: String, jNum: Int, jDen: Int): String =
     s"""$alias AS (
-       |  SELECT DISTINCT c.doc_b AS doc_id
-       |  FROM $candRel c
-       |  JOIN hashes ha ON ha.doc_id = c.doc_a
-       |  JOIN hashes hb ON hb.doc_id = c.doc_b
-       |  WHERE len(list_intersect(ha.hs, hb.hs)) * $jDen >=
-       |        (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * $jNum)""".stripMargin
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |    SELECT doc_b, inter, lena + lenb - inter AS uni FROM (
+       |      SELECT c.doc_b,
+       |             len(list_intersect(ha.hs, hb.hs)) AS inter,
+       |             len(ha.hs) AS lena, len(hb.hs) AS lenb
+       |      FROM $candRel c
+       |      JOIN hashes ha ON ha.doc_id = c.doc_a
+       |      JOIN hashes hb ON hb.doc_id = c.doc_b))
+       |  WHERE inter * $jDen >= uni * $jNum)""".stripMargin
 
   /** Exact-collapse of the docs matching `pred` to min-id reps
     * (null-hash docs represent themselves), prefixed CTE names.
@@ -838,9 +854,7 @@ object LlmQueries {
       s"""WITH $hashesCte, $sigCte,
          |${collapseCtes(GateStorePred, "s")},
          |${bandsOverCte("sreps", "sbands", Dedup.DefaultMaxBucketWidth)},
-         |scand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM sbands l JOIN sbands r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |${selfCandCte("sbands", "scand")},
          |${jaccardDropCte("scand", "sdrop", 8, 10)},
          |store AS (SELECT doc_id FROM sreps
          |  WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)),
@@ -856,9 +870,7 @@ object LlmQueries {
          |surv AS (SELECT doc_id FROM unknown
          |  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
          |${bandsOverCte("surv", "wbands", Dedup.DefaultMaxBucketWidth)},
-         |wcand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM wbands l JOIN wbands r
-         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |${selfCandCte("wbands", "wcand")},
          |${jaccardDropCte("wcand", "wdrop", 8, 10)}
          |SELECT doc_id FROM surv
          |WHERE doc_id NOT IN (SELECT doc_id FROM wdrop)
