@@ -446,6 +446,124 @@ object Similarity {
       buckets)
   }
 
+  // ── Product quantization (PQ) — the memory-bound ANN scale path ────
+
+  /** One row per (vector, subspace): the vector sliced into `m`
+    * contiguous sub-vectors of `sub` dims, cast to double (exact).
+    */
+  private def subspaces(df: DataFrame, vecCol: String, out: String,
+                        m: Int, sub: Int): DataFrame =
+    df.select(col("*"), posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * sub + 1, sub).cast("array<double>")): _*))
+      .as(Seq("subspace", out)))
+      .drop(vecCol)
+
+  /** Squared L2 between two double vectors — left-to-right fold, the
+    * exact IEEE operation sequence the DuckDB oracle replays.
+    */
+  private def l2sq(x: Column, c: Column): Column =
+    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic per-subspace PQ codebook training: the SAME
+    * hash-sampled seed ids as [[trainCentroids]] (no RNG), one Lloyd
+    * refinement per subspace with squared-L2 assignment (cell-id
+    * tiebreak) and the ORDER-INDEPENDENT quantized-integer mean, so the
+    * DuckDB oracle retrains bit-identical codebooks. Returns
+    * (subspace, cell, cvec: array<double>) — m × k rows.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
+                       dims: Int = 64, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims $dims must split into $m subspaces")
+    val sub = dims / m
+    val seeds = corpus
+      .withColumn("__h", graft.functions.polyFingerprint(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(k)
+      .select(col(idCol).as("cell"), col(vecCol).as("__sv"))
+    val seedSub = subspaces(seeds, "__sv", "cv", m, sub)
+    val corpSub = subspaces(corpus.select(col(idCol), col(vecCol)), vecCol,
+      "xv", m, sub)
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("__d"), col("cell"))
+    val a0 = corpSub.join(broadcast(seedSub), Seq("subspace"))
+      .withColumn("__d", l2sq(col("xv"), col("cv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("subspace"), col("cell"), col("xv"))
+    val coords = a0
+      .select(col("subspace"), col("cell"), posexplode(col("xv")).as(Seq("d", "x")))
+      .select(col("subspace"), col("cell"), col("d"),
+        round(col("x") * 1e6, 0).cast("long").as("q"))
+      .groupBy("subspace", "cell", "d")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("subspace"), col("cell"), col("d"),
+        (col("sq").cast("double") / (col("n").cast("double") * 1e6)).as("c"))
+    coords.groupBy("subspace", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+  }
+
+  /** PQ encoding: each vector's nearest codebook cell per subspace —
+    * (idCol, subspace, cell), i.e. m small codes per vector instead of
+    * 4·dims bytes of floats. At 100 TB this 32× compression is what
+    * lets the candidate scan live in memory.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
+               dims: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val sub = dims / m
+    val corpSub = subspaces(corpus.select(col(idCol), col(vecCol)), vecCol,
+      "xv", m, sub)
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("__d"), col("cell"))
+    corpSub.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("__d", l2sq(col("xv"), col("cvec")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("subspace"), col("cell"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): per query,
+    * an m×k lookup table of quantized sub-dot-products (one broadcast,
+    * |Q|·m·k rows — tiny); the corpus side is a linear scan of CODES
+    * only, never the float vectors. Scores are integer sums of the
+    * quantized per-subspace dots — order-independent, so the DuckDB
+    * oracle reproduces every score exactly. Approximate-IP ranking by
+    * construction (the PQ trade: memory for exactness); the exact
+    * rerank of the survivors, when wanted, is [[topK]] over k·|Q| ids.
+    * Inline training is the build-path gate, as with [[ivfTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queryIds: Seq[Long], kNn: Int, m: Int = 8,
+             codebookSize: Int = 16, dims: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dims / m
+    val cents = pqTrainCodebooks(corpus, m, codebookSize, dims, idCol, vecCol)
+      .localCheckpoint()
+    val codes = pqEncode(corpus, cents, m, dims, idCol, vecCol)
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol))
+    val qSub = subspaces(queries, vecCol, "qv", m, sub)
+    val lut = qSub.join(broadcast(cents), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cell"),
+        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("pd"))
+    val scored = codes.join(broadcast(lut), Seq("subspace", "cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy("query_id", idCol)
+      .agg(sum("pd").as("score"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val top = Bridge.ofRows(corpus.sparkSession, graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
+        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
+      kNn, Bridge.logicalPlan(scored)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold
     * — bucket equi-joins, no all-pairs product.

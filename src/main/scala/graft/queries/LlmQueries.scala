@@ -257,6 +257,70 @@ object LlmOracle {
        |qscored AS (
        |  SELECT doc_id, text, $qualityExpr AS quality FROM qbase)""".stripMargin
 
+  /** CTEs reproducing [[graft.ext.Similarity.pqTrainCodebooks]] +
+    * [[graft.ext.Similarity.pqEncode]] + the ADC lookup exactly: per
+    * subspace, the same hash-sampled seeds, squared-L2 assignment
+    * (row_number with cell tiebreak, identical double folds), the
+    * quantized-integer Lloyd mean, encoding against the trained
+    * codebook, and the per-query quantized sub-dot LUT. Yields
+    * `pqparts(query_id, vec_id, pd)` — one row per (query, vector,
+    * subspace); integer-summing pd per (query, vector) is the ADC
+    * score, order-independent on both engines.
+    */
+  def pqCtes(m: Int, sub: Int, k: Int, queryPred: String): String = {
+    def l2seed(off: Int): String =
+      s"""list_sum(list_transform(generate_series(1, $sub),
+         |           i -> (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(s.svec[i + $off] AS DOUBLE))
+         |              * (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(s.svec[i + $off] AS DOUBLE))))""".stripMargin
+    def l2cent(off: Int): String =
+      s"""list_sum(list_transform(generate_series(1, $sub),
+         |           i -> (CAST(e.embedding[i + $off] AS DOUBLE) - c.cvec[i])
+         |              * (CAST(e.embedding[i + $off] AS DOUBLE) - c.cvec[i])))""".stripMargin
+    def dotq(off: Int): String =
+      s"""list_sum(list_transform(generate_series(1, $sub),
+         |           i -> CAST(q.embedding[i + $off] AS DOUBLE) * c.cvec[i]))""".stripMargin
+    val chains = (0 until m).map { j =>
+      val off = j * sub
+      s"""s0_$j AS (
+         |  SELECT e.vec_id, s.cell, ${l2seed(off)} AS dist
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |a0_$j AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cell) AS rn FROM s0_$j) WHERE rn = 1),
+         |upd_$j AS (
+         |  SELECT a.cell, g.i,
+         |         CAST(SUM(CAST(round(CAST(e.embedding[g.i + $off] AS DOUBLE)
+         |                * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS c
+         |  FROM a0_$j a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  CROSS JOIN generate_series(1, $sub) AS g(i)
+         |  GROUP BY a.cell, g.i),
+         |cents_$j AS (SELECT cell, list(c ORDER BY i) AS cvec
+         |             FROM upd_$j GROUP BY cell),
+         |sc_$j AS (
+         |  SELECT e.vec_id, c.cell, ${l2cent(off)} AS dist
+         |  FROM embeddings e CROSS JOIN cents_$j c),
+         |code_$j AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cell) AS rn FROM sc_$j) WHERE rn = 1),
+         |lut_$j AS (
+         |  SELECT q.vec_id AS query_id, c.cell,
+         |         CAST(round(${dotq(off)} * 1000000.0) AS BIGINT) AS pd
+         |  FROM embeddings q CROSS JOIN cents_$j c WHERE $queryPred),
+         |part_$j AS (
+         |  SELECT l.query_id, x.vec_id, l.pd
+         |  FROM code_$j x JOIN lut_$j l ON l.cell = x.cell)""".stripMargin
+    }
+    s"""seeds AS (
+       |  SELECT vec_id AS cell, embedding AS svec FROM embeddings
+       |  ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $k),
+       |${chains.mkString(",\n")},
+       |pqparts AS (
+       |  ${(0 until m).map(j => s"SELECT * FROM part_$j").mkString("\n  UNION ALL ")})""".stripMargin
+  }
+
   /** CTEs reproducing [[graft.ext.Similarity.trainCentroids]] +
     * [[graft.ext.Similarity.ivfSearch]] exactly: hash-sampled seeds
     * (same polyhash), raw-double cosine assignment with cell tiebreak,
@@ -740,6 +804,29 @@ object LlmQueries {
       annIvfSqlFor(s"(SELECT * FROM embeddings WHERE vec_id < $AppendCut)")) { (s, d) =>
       Similarity.ivfTopKIndexed(s, ivfAppendIndexFor(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 6)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // PQ (product-quantization) ANN — the memory-bound scale path:
+    // per-subspace codebooks (deterministic k-means, same seed sampling
+    // and quantized-integer Lloyd mean as IVF), m-code encoding, and
+    // ADC scoring as integer sums of quantized sub-dots. The oracle
+    // retrains all m codebooks, re-encodes the corpus and replays every
+    // score bit-for-bit.
+    QueryDef("t_ann_pq",
+      s"""WITH ${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5")},
+         |scores AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         CAST(SUM(pd) AS BIGINT) AS score
+         |  FROM pqparts WHERE query_id <> vec_id GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scores)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+        kNn = 10, m = 8, codebookSize = 16, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
     // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed

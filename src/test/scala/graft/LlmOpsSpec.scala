@@ -206,6 +206,33 @@ class LlmOpsSpec extends SparkSuite {
       s"k-means recall $trained does not strictly beat static stand-in $static0")
   }
 
+  test("PQ ANN: complete codes, bounded codebooks, useful recall on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    val rows400 = (0 until 400).map { i =>
+      val c = centers(rnd.nextInt(16))
+      (i.toLong, c.map(v => (v + 0.4 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows400.toDF("vec_id", "embedding")
+    val cents = Similarity.pqTrainCodebooks(emb)
+    assert(cents.select("subspace").distinct().count() == 8)
+    assert(cents.count() <= 8 * 16)
+    val codes = Similarity.pqEncode(emb, cents)
+    assert(codes.count() == 400L * 8, "one code per (vector, subspace)")
+    assert(codes.groupBy("vec_id", "subspace").count()
+      .filter(col("count") > 1).count() == 0)
+    // recall vs exact cosine top-10 on structured vectors: ADC over
+    // 8×16 codebooks must beat noise by a wide margin
+    val ids = (0L until 10L).toSeq
+    val exact = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, ids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall $recall below floor")
+  }
+
   test("embedding near-dups: planted duplicate vector found, pairs canonical") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
