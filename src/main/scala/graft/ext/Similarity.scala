@@ -564,6 +564,78 @@ object Similarity {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Build-and-persist the PQ index artifact: trained codebooks as
+    * `<name>_codebooks` and the m-code encoding as `<name>_codes`,
+    * bucketed by the ADC join key. Training + corpus encoding run HERE,
+    * once; [[pqTopKIndexed]] is the codes-scan-only hot path.
+    */
+  def buildPqIndex(corpus: DataFrame, name: String, m: Int = 8,
+                   codebookSize: Int = 16, dims: Int = 64, buckets: Int = 8,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val cents = pqTrainCodebooks(corpus, m, codebookSize, dims, idCol, vecCol)
+      .localCheckpoint()
+    graft.core.Layout.writeBucketed(cents, s"${name}_codebooks", "cell", 1)
+    graft.core.Layout.writeBucketed(
+      pqEncode(corpus, cents, m, dims, idCol, vecCol), s"${name}_codes",
+      "cell", buckets)
+    writeIndexMeta(corpus.sparkSession, name,
+      Seq("m" -> m, "codebook_size" -> codebookSize, "dims" -> dims,
+        "buckets" -> buckets))
+  }
+
+  /** Append new vectors to a persisted PQ index: the delta is encoded
+    * against the FROZEN codebooks and appended to the codes table —
+    * same maintenance contract as [[appendToIvfIndex]].
+    */
+  def appendToPqIndex(delta: DataFrame, name: String, m: Int = 8,
+                      dims: Int = 64, buckets: Int = 8,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    requireIndexMeta(delta.sparkSession, name,
+      Seq("m" -> m, "dims" -> dims, "buckets" -> buckets))
+    val cents = delta.sparkSession.table(s"${name}_codebooks")
+    graft.core.Layout.appendBucketed(
+      pqEncode(delta, cents, m, dims, idCol, vecCol), s"${name}_codes",
+      "cell", buckets)
+  }
+
+  /** Search-only PQ ANN over the persisted index: per query, the m×k
+    * LUT against the stored codebooks, then one codes-table scan — no
+    * training, no encoding, no float vectors read from the corpus
+    * (queries supply their own).
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+                    queries: DataFrame, kNn: Int, m: Int = 8, dims: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val sub = dims / m
+    val cents = spark.table(s"${name}_codebooks")
+    val codes = spark.table(s"${name}_codes")
+    val qSub = subspaces(
+      queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv", m, sub)
+    val lut = qSub.join(broadcast(cents), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cell"),
+        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("pd"))
+    val scored = codes.join(broadcast(lut), Seq("subspace", "cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy("query_id", idCol)
+      .agg(sum("pd").as("score"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val top = Bridge.ofRows(spark, graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
+        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
+      kNn, Bridge.logicalPlan(scored)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold
     * — bucket equi-joins, no all-pairs product.

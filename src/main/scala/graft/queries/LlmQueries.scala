@@ -527,6 +527,17 @@ object LlmQueries {
       name
     }
 
+  def pqIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_pq_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        Similarity.buildPqIndex(Tables.embeddings(s, d), name,
+          m = 8, codebookSize = 16, dims = 64)
+        builtIndexes += name
+      }
+      name
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
@@ -827,6 +838,27 @@ object LlmQueries {
          |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         kNn = 10, m = 8, codebookSize = 16, dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Same PQ search over the PERSISTED index (codebooks + codes
+    // written once; the query path is a LUT + codes scan with zero
+    // training/encoding) — the same oracle gates the whole lifecycle.
+    QueryDef("t_ann_pq_indexed",
+      s"""WITH ${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5")},
+         |scores AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         CAST(SUM(pd) AS BIGINT) AS score
+         |  FROM pqparts WHERE query_id <> vec_id GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scores)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKIndexed(s, pqIndexFor(s, d),
+        emb.filter(col("vec_id") < 5), kNn = 10, m = 8, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
     // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed

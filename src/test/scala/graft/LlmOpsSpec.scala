@@ -231,6 +231,28 @@ class LlmOpsSpec extends SparkSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect pq).size.toDouble / exact.size
     assert(recall >= 0.3, s"PQ recall $recall below floor")
+    // persisted lifecycle: build half, append half against the frozen
+    // codebooks, search-only path matches the frozen-codebook reference
+    Similarity.buildPqIndex(emb.filter(col("vec_id") < 200), "t_pq_app")
+    Similarity.appendToPqIndex(emb.filter(col("vec_id") >= 200), "t_pq_app")
+    assert(spark.table("t_pq_app_codes").count() == 400L * 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.pqTopKIndexed(spark, "t_pq_app", queries, 5)
+    val centsHalf = Similarity.pqTrainCodebooks(emb.filter(col("vec_id") < 200))
+    // reference: encode EVERYTHING against the half-trained codebooks,
+    // score through the same indexed search path
+    graft.core.Layout.writeBucketed(centsHalf, "t_pq_ref_codebooks", "cell", 1)
+    graft.core.Layout.writeBucketed(
+      Similarity.pqEncode(emb, centsHalf), "t_pq_ref_codes", "cell", 8)
+    val ref = Similarity.pqTopKIndexed(spark, "t_pq_ref", queries, 5)
+    assert(rows(got) == rows(ref))
+    assert(rows(got).nonEmpty)
+    // mismatched append parameters must throw, not corrupt
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(emb.filter(col("vec_id") >= 200), "t_pq_app",
+        m = 4, dims = 64)
+    }
+    assert(bad.getMessage.contains("do not match"), bad.getMessage)
   }
 
   test("embedding near-dups: planted duplicate vector found, pairs canonical") {
