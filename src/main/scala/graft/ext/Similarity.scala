@@ -564,6 +564,62 @@ object Similarity {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** IVF×PQ composite ANN — the standard large-scale architecture: the
+    * IVF coarse quantizer prunes the candidate set to the nProbe probed
+    * inverted lists (touching nProbe/cells of the corpus), then ADC
+    * over PQ codes scores the survivors without reading a single
+    * corpus float vector. Both quantizers train by the proven
+    * deterministic recipes, so the whole composite replays exactly in
+    * the oracle. Inline training = the build-path gate; persist
+    * assigned+codes via the index lifecycle for the production path.
+    */
+  def ivfPqTopK(corpus: DataFrame, queryIds: Seq[Long], kNn: Int,
+                centroids: Int = 16, nProbe: Int = 6, m: Int = 8,
+                codebookSize: Int = 16, dims: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val sub = dims / m
+    val cents = trainCentroids(corpus, centroids, idCol, vecCol)
+      .localCheckpoint()
+    val assigned = assignCells(corpus, cents, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val pqcents = pqTrainCodebooks(corpus, m, codebookSize, dims, idCol, vecCol)
+      .localCheckpoint()
+    val codes = pqEncode(corpus, pqcents, m, dims, idCol, vecCol)
+      .withColumnRenamed("cell", "code")
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol))
+    val probeScored = queries.join(broadcast(cents))
+      .select(col("query_id"), col("cell").as("__cand"),
+        cosine(col(vecCol), col("cvec")).as("cos"))
+    val probes = topKOperator(probeScored, nProbe, "__cand")
+      .select(col("query_id"), col("__cand").as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol))
+    val qSub = subspaces(queries, vecCol, "qv", m, sub)
+    val lut = qSub.join(broadcast(pqcents), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cell").as("code"),
+        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("pd"))
+    val scored = cand.join(codes, Seq(idCol))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy("query_id", idCol)
+      .agg(sum("pd").as("score"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val top = Bridge.ofRows(corpus.sparkSession, graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
+        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
+      kNn, Bridge.logicalPlan(scored)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Build-and-persist the PQ index artifact: trained codebooks as
     * `<name>_codebooks` and the m-code encoding as `<name>_codes`,
     * bucketed by the ADC join key. Training + corpus encoding run HERE,

@@ -267,7 +267,9 @@ object LlmOracle {
     * subspace); integer-summing pd per (query, vector) is the ADC
     * score, order-independent on both engines.
     */
-  def pqCtes(m: Int, sub: Int, k: Int, queryPred: String): String = {
+  def pqCtes(m: Int, sub: Int, k: Int, queryPred: String,
+             prefix: String = ""): String = {
+    val P = prefix
     def l2seed(off: Int): String =
       s"""list_sum(list_transform(generate_series(1, $sub),
          |           i -> (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(s.svec[i + $off] AS DOUBLE))
@@ -281,44 +283,44 @@ object LlmOracle {
          |           i -> CAST(q.embedding[i + $off] AS DOUBLE) * c.cvec[i]))""".stripMargin
     val chains = (0 until m).map { j =>
       val off = j * sub
-      s"""s0_$j AS (
+      s"""${P}s0_$j AS (
          |  SELECT e.vec_id, s.cell, ${l2seed(off)} AS dist
-         |  FROM embeddings e CROSS JOIN seeds s),
-         |a0_$j AS (
+         |  FROM embeddings e CROSS JOIN ${P}seeds s),
+         |${P}a0_$j AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY dist, cell) AS rn FROM s0_$j) WHERE rn = 1),
-         |upd_$j AS (
+         |      ORDER BY dist, cell) AS rn FROM ${P}s0_$j) WHERE rn = 1),
+         |${P}upd_$j AS (
          |  SELECT a.cell, g.i,
          |         CAST(SUM(CAST(round(CAST(e.embedding[g.i + $off] AS DOUBLE)
          |                * 1000000.0) AS BIGINT)) AS DOUBLE)
          |           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS c
-         |  FROM a0_$j a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  FROM ${P}a0_$j a JOIN embeddings e ON e.vec_id = a.vec_id
          |  CROSS JOIN generate_series(1, $sub) AS g(i)
          |  GROUP BY a.cell, g.i),
-         |cents_$j AS (SELECT cell, list(c ORDER BY i) AS cvec
-         |             FROM upd_$j GROUP BY cell),
-         |sc_$j AS (
+         |${P}cents_$j AS (SELECT cell, list(c ORDER BY i) AS cvec
+         |             FROM ${P}upd_$j GROUP BY cell),
+         |${P}sc_$j AS (
          |  SELECT e.vec_id, c.cell, ${l2cent(off)} AS dist
-         |  FROM embeddings e CROSS JOIN cents_$j c),
-         |code_$j AS (
+         |  FROM embeddings e CROSS JOIN ${P}cents_$j c),
+         |${P}code_$j AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY dist, cell) AS rn FROM sc_$j) WHERE rn = 1),
-         |lut_$j AS (
+         |      ORDER BY dist, cell) AS rn FROM ${P}sc_$j) WHERE rn = 1),
+         |${P}lut_$j AS (
          |  SELECT q.vec_id AS query_id, c.cell,
          |         CAST(round(${dotq(off)} * 1000000.0) AS BIGINT) AS pd
-         |  FROM embeddings q CROSS JOIN cents_$j c WHERE $queryPred),
-         |part_$j AS (
+         |  FROM embeddings q CROSS JOIN ${P}cents_$j c WHERE $queryPred),
+         |${P}part_$j AS (
          |  SELECT l.query_id, x.vec_id, l.pd
-         |  FROM code_$j x JOIN lut_$j l ON l.cell = x.cell)""".stripMargin
+         |  FROM ${P}code_$j x JOIN ${P}lut_$j l ON l.cell = x.cell)""".stripMargin
     }
-    s"""seeds AS (
+    s"""${P}seeds AS (
        |  SELECT vec_id AS cell, embedding AS svec FROM embeddings
        |  ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $k),
        |${chains.mkString(",\n")},
-       |pqparts AS (
-       |  ${(0 until m).map(j => s"SELECT * FROM part_$j").mkString("\n  UNION ALL ")})""".stripMargin
+       |${P}pqparts AS (
+       |  ${(0 until m).map(j => s"SELECT * FROM ${P}part_$j").mkString("\n  UNION ALL ")})""".stripMargin
   }
 
   /** CTEs reproducing [[graft.ext.Similarity.trainCentroids]] +
@@ -859,6 +861,36 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopKIndexed(s, pqIndexFor(s, d),
         emb.filter(col("vec_id") < 5), kNn = 10, m = 8, dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // IVF×PQ composite — the standard large-scale ANN architecture:
+    // IVF probing prunes candidates to nProbe inverted lists, ADC over
+    // PQ codes scores the survivors. The oracle composes the two proven
+    // CTE generators (prefix-isolated) and joins candidate pruning with
+    // the quantized score parts.
+    QueryDef("t_ann_ivfpq",
+      s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5")},
+         |${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5", prefix = "x")},
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |scores AS (
+         |  SELECT c.query_id, c.vec_id AS neighbor_id,
+         |         CAST(SUM(pp.pd) AS BIGINT) AS score
+         |  FROM cand c JOIN xpqparts pp
+         |    ON pp.query_id = c.query_id AND pp.vec_id = c.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scores)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+        kNn = 10, centroids = 16, nProbe = 6, m = 8, codebookSize = 16,
+        dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
     // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed

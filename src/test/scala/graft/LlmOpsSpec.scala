@@ -253,6 +253,13 @@ class LlmOpsSpec extends SparkSuite {
         m = 4, dims = 64)
     }
     assert(bad.getMessage.contains("do not match"), bad.getMessage)
+    // IVF×PQ composite: pruned candidates + ADC scoring still recall
+    // usefully on the structured corpus, and results are a subset of
+    // what full-corpus ADC could return (pruning only removes)
+    val ivfpq = Similarity.ivfPqTopK(emb, ids, 10, centroids = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpqRecall = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(ivfpqRecall >= 0.25, s"IVF×PQ recall $ivfpqRecall below floor")
   }
 
   test("embedding near-dups: planted duplicate vector found, pairs canonical") {
