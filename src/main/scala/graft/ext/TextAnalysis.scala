@@ -123,6 +123,35 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = polyFingerprint(text)
 
+  /** Word 2-gram repetition stats per document — the Gopher-style
+    * repetition filter signals, as INTEGER counts (engine-exact, no
+    * float fractions in the verified surface): total 2-grams, the most
+    * frequent 2-gram's count, and the number of 2-gram occurrences
+    * whose gram appears more than once. Shape: explode + two hash
+    * aggregations, map-side combined — a repeated-content spam doc has
+    * max_2gram_count ≈ n_2grams; clean prose stays near 1. Documents
+    * with fewer than 2 tokens emit (0, 0, 0).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val grams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+    val perGram = docs.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("n"))
+    val agg = perGram.groupBy(idCol).agg(
+      sum("n").as("n_2grams"),
+      max("n").as("max_2gram_count"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_2grams"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("max_2gram_count"), lit(0L)).as("max_2gram_count"),
+        coalesce(col("n_dup_2grams"), lit(0L)).as("n_dup_2grams"))
+  }
+
   /** The full per-document stats projection. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

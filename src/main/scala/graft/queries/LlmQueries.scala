@@ -617,6 +617,33 @@ object LlmQueries {
           .as("n_vocab_tokens"))
     }.sortedBy(col("doc_id")),
 
+    // Gopher-style repetition signals: word-2-gram counts as integers
+    // (total / most-frequent / duplicated occurrences) — the repeated-
+    // content filter a curation pipeline cuts spam on.
+    QueryDef("t_text_repetition",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(generate_series(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i + 1])
+         |    ELSE [] END) AS gram
+         |  FROM ws),
+         |per_gram AS (
+         |  SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams,
+         |         CAST(max(n) AS BIGINT) AS max_2gram_count,
+         |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_2grams
+         |  FROM per_gram GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_2grams, 0) AS n_2grams,
+         |       coalesce(a.max_2gram_count, 0) AS max_2gram_count,
+         |       coalesce(a.n_dup_2grams, 0) AS n_dup_2grams
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     // Document fingerprint via the codegen'd PolyHash expression.
     QueryDef("t_fingerprint",
       s"""SELECT doc_id, ${polyhash("text")} AS fingerprint

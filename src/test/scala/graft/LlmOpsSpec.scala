@@ -663,6 +663,18 @@ class LlmOpsSpec extends SparkSuite {
     assert(nullCount.isNullAt(0))
   }
 
+  test("repetition stats separate spam from prose; short docs emit zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"), // 4 identical 2-grams
+      (2L, "each word here appears exactly once today"), // 6 distinct 2-grams
+      (3L, "single")) // < 2 tokens → zeros
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 4L, 4L), (2L, 6L, 1L, 0L), (3L, 0L, 0L, 0L)), got)
+  }
+
   test("text analysis classifies stopword-bearing text as en") {
     import spark.implicits._
     val docs = Seq(
