@@ -24,7 +24,10 @@ object Curation {
   /** Curate a raw document corpus into (idCol, quality, split).
     *
     * A document survives iff its [[TextAnalysis.qualityScore]] ≥
-    * `minQuality` AND it is its near-dup cluster's representative
+    * `minQuality` (3 of the 4 integer signals by default — length band,
+    * stopword presence, token shape, and the Gopher-style 2-gram
+    * repetition cut, so a repeated-content spam corpus no longer sails
+    * through the flagship) AND it is its near-dup cluster's representative
     * (minimum id) among the surviving docs. Survivors are assigned to
     * `splits` by hashed key — deterministic, engine-independent, and
     * leakage-safe (near-dups were already collapsed, exact dups share a
@@ -37,7 +40,7 @@ object Curation {
     * acceptable.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id",
-             textCol: String = "text", minQuality: Int = 2,
+             textCol: String = "text", minQuality: Int = 3,
              splits: Seq[(String, Double)] =
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
              n: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,

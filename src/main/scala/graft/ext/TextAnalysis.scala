@@ -105,8 +105,13 @@ object TextAnalysis {
     when(stopwordCount(text) * 1000 >= tokenCount(text) * 30, lit("en"))
       .otherwise(lit("und"))
 
-  /** Quality score 0–3 (length band, stopword presence, token-shape
-    * band) — all integer predicates, matching the oracle exactly.
+  /** Quality score 0–4 (length band, stopword presence, token-shape
+    * band, 2-gram repetition band) — all integer predicates, matching
+    * the oracle exactly. The repetition term is the Gopher-style spam
+    * cut: a document whose most frequent word 2-gram covers more than
+    * 1/5 of its 2-gram occurrences loses the point (docs with fewer
+    * than 5 2-grams are too short for the fraction to mean anything and
+    * keep it).
     */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text)
@@ -115,7 +120,9 @@ object TextAnalysis {
     // avg token length in [3, 12] via cross-multiplication (no division)
     val shapeOk = when(totalTokenChars(text) >= nTok * 3 &&
       totalTokenChars(text) <= nTok * 12, 1).otherwise(0)
-    (lenOk + swOk + shapeOk).as("quality")
+    val nG = gramCount(text)
+    val repOk = when(nG < 5 || maxGramCount(text) * 5 <= nG, 1).otherwise(0)
+    (lenOk + swOk + shapeOk + repOk).as("quality")
   }
 
   /** Document fingerprint: the codegen'd PolyHash rolling hash
@@ -123,33 +130,77 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = polyFingerprint(text)
 
+  /** The word 2-gram occurrence array of a text column (empty when the
+    * document has fewer than 2 tokens — and for null text, whose null
+    * token array fails the size predicate the same way).
+    */
+  private def grams(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+  }
+
+  /** Run-length scan over the SORTED gram array: identical grams are
+    * adjacent after the sort, so one left-to-right `aggregate` pass
+    * yields per-gram frequencies with no explode and no aggregation
+    * shuffle — the whole statistic stays a per-row map expression, like
+    * every other member of this file. `finish` projects the wanted
+    * counter out of the (prev, run, max, dup) accumulator.
+    */
+  private def runLengthScan(text: Column,
+                            finish: Column => Column): Column = {
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("mx"), lit(0L).as("dup"))
+    aggregate(array_sort(grams(text)), acc0,
+      (acc, g) => {
+        val same = acc.getField("run") > 0 && acc.getField("prev") === g
+        val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        // a run of length L contributes L duplicated occurrences once
+        // L ≥ 2: +2 when the run first repeats, +1 for each extension
+        val dup = acc.getField("dup") + when(same,
+          when(acc.getField("run") === 1, lit(2L)).otherwise(lit(1L)))
+          .otherwise(lit(0L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"), dup.as("dup"))
+      },
+      finish)
+  }
+
+  /** Total word-2-gram occurrences of a document. */
+  def gramCount(text: Column): Column = size(grams(text)).cast("long")
+
+  /** The most frequent word-2-gram's occurrence count. */
+  def maxGramCount(text: Column): Column =
+    runLengthScan(text, acc => acc.getField("mx"))
+
+  /** Occurrences whose 2-gram appears more than once in the document. */
+  def dupGramCount(text: Column): Column =
+    runLengthScan(text, acc => acc.getField("dup"))
+
   /** Word 2-gram repetition stats per document — the Gopher-style
     * repetition filter signals, as INTEGER counts (engine-exact, no
     * float fractions in the verified surface): total 2-grams, the most
     * frequent 2-gram's count, and the number of 2-gram occurrences
-    * whose gram appears more than once. Shape: explode + two hash
-    * aggregations, map-side combined — a repeated-content spam doc has
+    * whose gram appears more than once. A repeated-content spam doc has
     * max_2gram_count ≈ n_2grams; clean prose stays near 1. Documents
     * with fewer than 2 tokens emit (0, 0, 0).
+    *
+    * Shape: a pure per-row pass (sort the doc's own gram array, run-
+    * length-scan it) — ZERO exchanges, asserted by the plan guard in
+    * LlmOpsSpec. The round-6 formulation exploded every gram occurrence
+    * through two corpus-wide hash aggregations and was the most
+    * expensive query in the bench; a per-document statistic never needs
+    * the corpus shuffled.
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val ws = tokens(col(textCol))
-    val grams = when(size(ws) >= 2,
-      transform(sequence(lit(0), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
-      .otherwise(array())
-    val perGram = docs.select(col(idCol), explode(grams).as("gram"))
-      .groupBy(idCol, "gram").agg(count(lit(1)).as("n"))
-    val agg = perGram.groupBy(idCol).agg(
-      sum("n").as("n_2grams"),
-      max("n").as("max_2gram_count"),
-      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_2grams"))
-    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
-        coalesce(col("max_2gram_count"), lit(0L)).as("max_2gram_count"),
-        coalesce(col("n_dup_2grams"), lit(0L)).as("n_dup_2grams"))
+    val t = col(textCol)
+    docs.select(col(idCol),
+      gramCount(t).as("n_2grams"),
+      maxGramCount(t).as("max_2gram_count"),
+      dupGramCount(t).as("n_dup_2grams"))
   }
 
   /** The full per-document stats projection. */

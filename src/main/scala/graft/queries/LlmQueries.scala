@@ -231,29 +231,53 @@ object LlmOracle {
   val stopwordList: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** Quality score 0–3 over (n_tokens, token_chars, n_stopwords)
-    * columns — [[graft.ext.TextAnalysis.qualityScore]] replayed; shared
-    * by t_text_stats and the t_curate_corpus flagship so the two cannot
-    * drift.
+  /** The word-2-gram occurrence list over a token-list expression `w` —
+    * [[graft.ext.TextAnalysis]]'s gram definition replayed.
+    */
+  def gramListExpr(w: String): String =
+    s"""CASE WHEN len($w) >= 2
+       |  THEN list_transform(generate_series(1, len($w) - 1),
+       |         i -> $w[i] || ' ' || $w[i + 1])
+       |  ELSE [] END""".stripMargin
+
+  /** The most frequent gram's count over a gram-list expression (0 on
+    * an empty list) — per-row, like the Spark run-length scan.
+    */
+  def maxGramExpr(g: String): String =
+    s"""coalesce(list_max(list_transform(list_distinct($g),
+       |  x -> len(list_filter($g, y -> y = x)))), 0)""".stripMargin
+
+  /** Quality score 0–4 over (n_tokens, token_chars, n_stopwords,
+    * n_2grams, max_2gram_count) columns —
+    * [[graft.ext.TextAnalysis.qualityScore]] replayed; shared by
+    * t_text_stats and the t_curate_corpus flagship so the two cannot
+    * drift. The 4th term is the Gopher-style repetition cut (most
+    * frequent 2-gram over 1/5 of occurrences loses the point; docs
+    * with under 5 2-grams keep it).
     */
   val qualityExpr: String =
     """CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) +
       |       (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) +
       |       (CASE WHEN token_chars >= n_tokens * 3
-      |              AND token_chars <= n_tokens * 12 THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin
+      |              AND token_chars <= n_tokens * 12 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN n_2grams < 5
+      |              OR max_2gram_count * 5 <= n_2grams THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin
 
   /** CTEs: token stats + quality score per document of `rel`, yielding
     * `qscored(doc_id, text, quality)`.
     */
   def qualityCtes(rel: String): String =
-    s"""qbase AS (
+    s"""qtok AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM $rel),
+       |qbase AS (
        |  SELECT doc_id, text,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |         CAST(list_sum(list_transform(string_split(text, ' '),
-       |              t -> length(t))) AS BIGINT) AS token_chars,
-       |         CAST(len(list_filter(string_split(text, ' '),
-       |              t -> list_contains($stopwordList, t))) AS BIGINT) AS n_stopwords
-       |  FROM $rel),
+       |         CAST(len(w) AS BIGINT) AS n_tokens,
+       |         CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS token_chars,
+       |         CAST(len(list_filter(w,
+       |              t -> list_contains($stopwordList, t))) AS BIGINT) AS n_stopwords,
+       |         CAST(len(${gramListExpr("w")}) AS BIGINT) AS n_2grams,
+       |         CAST(${maxGramExpr(gramListExpr("w"))} AS BIGINT) AS max_2gram_count
+       |  FROM qtok),
        |qscored AS (
        |  SELECT doc_id, text, $qualityExpr AS quality FROM qbase)""".stripMargin
 
@@ -544,17 +568,20 @@ object LlmQueries {
 
     // ── Text analysis ──────────────────────────────────────────────
     QueryDef("t_text_stats",
-      s"""WITH base AS (
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |base AS (
          |  SELECT doc_id,
          |         CAST(length(text) AS BIGINT) AS n_chars,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |         CAST(list_sum(list_transform(string_split(text, ' '),
-         |              t -> length(t))) AS BIGINT) AS token_chars,
+         |         CAST(len(w) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS token_chars,
          |         CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
-         |         CAST(len(list_filter(string_split(text, ' '),
+         |         CAST(len(list_filter(w,
          |              t -> list_contains($stopwordList, t))) AS BIGINT) AS n_stopwords,
+         |         CAST(len(${gramListExpr("w")}) AS BIGINT) AS n_2grams,
+         |         CAST(${maxGramExpr(gramListExpr("w"))} AS BIGINT) AS max_2gram_count,
          |         ${polyhash("text")} AS fingerprint
-         |  FROM documents)
+         |  FROM tok)
          |SELECT doc_id, n_chars, n_tokens, token_chars, n_punct, n_stopwords,
          |       CASE WHEN n_stopwords * 1000 >= n_tokens * 30
          |            THEN 'en' ELSE 'und' END AS lang_id,
@@ -1004,7 +1031,7 @@ object LlmQueries {
     // the quality-filtered sub-relation.
     QueryDef("t_curate_corpus",
       s"""WITH RECURSIVE ${qualityCtes("documents")},
-         |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 2),
+         |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 3),
          |${hashesCteFrom("curated")},
          |$sigCte,
          |${clusterCtes("curated", jNum = 8, jDen = 10)},

@@ -455,17 +455,17 @@ class LlmOpsSpec extends SparkSuite {
   test("curation flagship: quality gate, dedup keep and deterministic split compose") {
     import spark.implicits._
     val words = (1 to 40).map(i => s"word$i").toArray
-    words(0) = "the" // stopword presence → quality 3 for both variants
+    words(0) = "the" // stopword presence; distinct 2-grams → quality 4
     val good = words.mkString(" ")
     val dw = words.clone(); dw(19) = "changed" // 35/41 ≈ 0.85 ≥ 8/10
     val nearDup = dw.mkString(" ")
     val docs = Seq(
       (1L, good), (2L, nearDup), // near-dup pair: only min id survives
-      (3L, "x y z")) // 3 tokens, no stopwords, avg len 1 → quality 0, gated out
+      (3L, "x y z")) // 3 tokens, no stopwords, avg len 1 → quality 1, gated out
       .toDF("doc_id", "text")
     val out = graft.ext.Curation.curate(docs)
       .as[(Long, Long, String)].collect()
-    assert(out.toSeq == Seq((1L, 3L,
+    assert(out.toSeq == Seq((1L, 4L,
       graft.ext.Sampling.assignSplit(Seq(Tuple1(1L)).toDF("doc_id"),
         col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("split").as[String].head())), s"got ${out.toSeq}")
@@ -673,6 +673,26 @@ class LlmOpsSpec extends SparkSuite {
     val got = TextAnalysis.repetitionStats(docs)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 4L, 4L, 4L), (2L, 6L, 1L, 0L), (3L, 0L, 0L, 0L)), got)
+    // null text behaves like a short doc: zeros, no crash
+    val nulls = TextAnalysis.repetitionStats(
+      Seq((9L, null: String)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(nulls == Seq((9L, 0L, 0L, 0L)), nulls)
+    // a mixed run structure: max run and dup occurrences disagree
+    val mixed = TextAnalysis.repetitionStats(
+      Seq((7L, "a b a b a b c d c d x y")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // grams: "a b"×3, "b a"×2, "b c", "c d"×2, "d c", "d x", "x y" → 11
+    assert(mixed == Seq((7L, 11L, 3L, 7L)), mixed)
+  }
+
+  test("repetition stats plan is a single map stage: zero exchanges") {
+    // the per-document statistic must never shuffle the corpus — the
+    // round-6 explode+aggregate formulation cost two corpus-wide
+    // exchanges and 28× the runtime of the same-scan stats query
+    val plan = TextAnalysis.repetitionStats(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("text analysis classifies stopword-bearing text as en") {
