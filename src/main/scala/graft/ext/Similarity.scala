@@ -160,29 +160,37 @@ object Similarity {
     val scored = candidates
       .withColumn("cos", round(cosine(col("query_vec"), col(vecCol)), 6))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"))
-    // rerank via the TopKPerKey operator: only k rows per (partition,
-    // query) reach the exchange; the rank window runs over k·|Q|
-    // survivors, not the candidate set
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    topKOperator(scored, k, "neighbor_id")
-      .withColumn("rank", row_number().over(w).cast("long"))
+    rankTopK(scored, k, "cos")
   }
 
   // ── IVF scale path ─────────────────────────────────────────────────
 
   /** Top-k per key via the custom TopKPerKey operator over an already-
-    * scored frame (query_id, <idCol>, cos).
+    * scored frame (query_id, <idCol>, <sortCol>) — THE one definition
+    * of the highest-score-then-id cut, shared by every search tail
+    * (cosine rerank and integer ADC score alike).
     */
-  private def topKOperator(scored: DataFrame, k: Int, idCol: String): DataFrame = {
+  private def topKOperator(scored: DataFrame, k: Int, idCol: String,
+                           sortCol: String = "cos"): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     Bridge.ofRows(scored.sparkSession, graft.plans.TopKPerKey(
       Seq(UnresolvedAttribute("query_id")),
-      Seq(SortOrder(UnresolvedAttribute("cos"), Descending),
+      Seq(SortOrder(UnresolvedAttribute(sortCol), Descending),
         SortOrder(UnresolvedAttribute(idCol), Ascending)),
       k, Bridge.logicalPlan(scored)))
+  }
+
+  /** The shared search tail: TopKPerKey cut (only k rows per partition
+    * and query reach the exchange), then the rank window over the k·|Q|
+    * survivors. `scored` = (query_id, neighbor_id, <sortCol>).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, sortCol: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(sortCol).desc, col("neighbor_id"))
+    topKOperator(scored, k, "neighbor_id", sortCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Deterministic coarse-quantizer training for IVF: `k` hash-sampled
@@ -313,10 +321,7 @@ object Similarity {
       .dropDuplicates("query_id", idCol)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(cosine(col("query_vec"), col(vecCol)), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    topKOperator(scored, k, "neighbor_id")
-      .withColumn("rank", row_number().over(w).cast("long"))
+    rankTopK(scored, k, "cos")
   }
 
   // ── Persisted index lifecycle (write once, query many) ─────────────
@@ -465,6 +470,19 @@ object Similarity {
     aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** The per-query ADC lookup table: quantized sub-dot-products of each
+    * query sub-vector against every codebook cell — (query_id, subspace,
+    * <cellOut>, pd), |Q|·m·k rows, always broadcast. THE one definition
+    * of the quantized-score arithmetic, shared by every PQ search path
+    * so the three tails cannot drift.
+    */
+  private def adcLut(qSub: DataFrame, codebooks: DataFrame,
+                     cellOut: String = "cell"): DataFrame =
+    qSub.join(broadcast(codebooks), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cell").as(cellOut),
+        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("pd"))
+
   /** Deterministic per-subspace PQ codebook training: the SAME
     * hash-sampled seed ids as [[trainCentroids]] (no RNG), one Lloyd
     * refinement per subspace with squared-L2 assignment (cell-id
@@ -542,26 +560,13 @@ object Similarity {
     val queries = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol))
     val qSub = subspaces(queries, vecCol, "qv", m, sub)
-    val lut = qSub.join(broadcast(cents), Seq("subspace"))
-      .select(col("query_id"), col("subspace"), col("cell"),
-        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
-          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("pd"))
+    val lut = adcLut(qSub, cents)
     val scored = codes.join(broadcast(lut), Seq("subspace", "cell"))
       .filter(col("query_id") =!= col(idCol))
       .groupBy("query_id", idCol)
       .agg(sum("pd").as("score"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    val top = Bridge.ofRows(corpus.sparkSession, graft.plans.TopKPerKey(
-      Seq(UnresolvedAttribute("query_id")),
-      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
-        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
-      kNn, Bridge.logicalPlan(scored)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    rankTopK(scored, kNn, "score")
   }
 
   /** IVF×PQ composite ANN — the standard large-scale architecture: the
@@ -598,26 +603,22 @@ object Similarity {
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol))
     val qSub = subspaces(queries, vecCol, "qv", m, sub)
-    val lut = qSub.join(broadcast(pqcents), Seq("subspace"))
-      .select(col("query_id"), col("subspace"), col("cell").as("code"),
-        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
-          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("pd"))
+    ivfPqScore(cand, codes, adcLut(qSub, pqcents, "code"), kNn, idCol)
+  }
+
+  /** The shared IVF×PQ scoring tail: probe-pruned candidate ids joined
+    * to their m codes, scored against the broadcast ADC LUT, integer-
+    * summed per (query, vector), ranked. Shared by the inline composite
+    * and the persisted-index search so the two cannot drift.
+    */
+  private def ivfPqScore(cand: DataFrame, codes: DataFrame, lut: DataFrame,
+                         kNn: Int, idCol: String): DataFrame = {
     val scored = cand.join(codes, Seq(idCol))
       .join(broadcast(lut), Seq("query_id", "subspace", "code"))
       .groupBy("query_id", idCol)
       .agg(sum("pd").as("score"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    val top = Bridge.ofRows(corpus.sparkSession, graft.plans.TopKPerKey(
-      Seq(UnresolvedAttribute("query_id")),
-      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
-        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
-      kNn, Bridge.logicalPlan(scored)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    rankTopK(scored, kNn, "score")
   }
 
   /** Build-and-persist the PQ index artifact: trained codebooks as
@@ -670,26 +671,99 @@ object Similarity {
     val codes = spark.table(s"${name}_codes")
     val qSub = subspaces(
       queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "qv", m, sub)
-    val lut = qSub.join(broadcast(cents), Seq("subspace"))
-      .select(col("query_id"), col("subspace"), col("cell"),
-        round(aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
-          lit(0.0), (acc, v) => acc + v) * 1e6, 0).cast("long").as("pd"))
+    val lut = adcLut(qSub, cents)
     val scored = codes.join(broadcast(lut), Seq("subspace", "cell"))
       .filter(col("query_id") =!= col(idCol))
       .groupBy("query_id", idCol)
       .agg(sum("pd").as("score"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    val top = Bridge.ofRows(spark, graft.plans.TopKPerKey(
-      Seq(UnresolvedAttribute("query_id")),
-      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
-        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
-      kNn, Bridge.logicalPlan(scored)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    rankTopK(scored, kNn, "score")
+  }
+
+  // ── Persisted IVF×PQ composite index (the production query path) ───
+
+  /** Build-and-persist the IVF×PQ composite index: the coarse quantizer
+    * (`_centroids`) and its cell-bucketed inverted lists (`_lists` —
+    * bare (id, cell): the composite never reads corpus floats, that is
+    * its memory story), plus the PQ codebooks (`_codebooks`) and the
+    * id-bucketed m-code encoding (`_codes` — bucketed by id because the
+    * composite's code lookup joins probe-pruned candidate IDS, unlike
+    * plain PQ's full codes scan). BOTH trainings and both corpus-wide
+    * passes run HERE, once — [[ivfPqTopKIndexed]] is the zero-training
+    * hot path, the answer to the inline composite's train-per-query
+    * shape.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, name: String, centroids: Int = 16,
+                      m: Int = 8, codebookSize: Int = 16, dims: Int = 64,
+                      buckets: Int = 8, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val cents = trainCentroids(corpus, centroids, idCol, vecCol)
+      .localCheckpoint()
+    graft.core.Layout.writeBucketed(cents, s"${name}_centroids", "cell", 1)
+    graft.core.Layout.writeBucketed(
+      assignCells(corpus, cents, idCol, vecCol).select(col(idCol), col("cell")),
+      s"${name}_lists", "cell", buckets)
+    val books = pqTrainCodebooks(corpus, m, codebookSize, dims, idCol, vecCol)
+      .localCheckpoint()
+    graft.core.Layout.writeBucketed(books, s"${name}_codebooks", "cell", 1)
+    graft.core.Layout.writeBucketed(
+      pqEncode(corpus, books, m, dims, idCol, vecCol), s"${name}_codes",
+      idCol, buckets)
+    writeIndexMeta(corpus.sparkSession, name,
+      Seq("centroids" -> centroids, "m" -> m,
+        "codebook_size" -> codebookSize, "dims" -> dims, "buckets" -> buckets))
+  }
+
+  /** Search-only IVF×PQ over the persisted composite: probes from the
+    * stored quantizer, candidate ids from the bucket-pruned inverted
+    * lists, ADC from the stored codes against the per-query LUT — zero
+    * training, zero encoding, zero corpus floats on the query path
+    * (queries supply their own vectors). Bit-identical to [[ivfPqTopK]]
+    * under the same quantizers, proven by the shared t_ann_ivfpq oracle.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+                       queries: DataFrame, kNn: Int, nProbe: Int = 6,
+                       m: Int = 8, dims: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.table(s"${name}_centroids")
+    val lists = spark.table(s"${name}_lists")
+    val books = spark.table(s"${name}_codebooks")
+    val codes = spark.table(s"${name}_codes").withColumnRenamed("cell", "code")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol))
+    val probeScored = q.join(broadcast(cents))
+      .select(col("query_id"), col("cell").as("__cand"),
+        cosine(col(vecCol), col("cvec")).as("cos"))
+    val probes = topKOperator(probeScored, nProbe, "__cand")
+      .select(col("query_id"), col("__cand").as("cell"))
+    val cand = lists.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol))
+    val qSub = subspaces(q, vecCol, "qv", m, dims / m)
+    ivfPqScore(cand, codes, adcLut(qSub, books, "code"), kNn, idCol)
+  }
+
+  /** Append new vectors to a persisted IVF×PQ index: the delta is
+    * assigned against the FROZEN coarse quantizer (inverted lists stay
+    * valid) and encoded against the FROZEN codebooks — the same
+    * maintenance contract as [[appendToIvfIndex]] + [[appendToPqIndex]],
+    * in one call over one composite artifact. Daily ingest touches
+    * daily-ingest-sized data; re-train + rebuild only on drift.
+    */
+  def appendToIvfPqIndex(delta: DataFrame, name: String, m: Int = 8,
+                         dims: Int = 64, buckets: Int = 8,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    requireIndexMeta(delta.sparkSession, name,
+      Seq("m" -> m, "dims" -> dims, "buckets" -> buckets))
+    val spark = delta.sparkSession
+    graft.core.Layout.appendBucketed(
+      assignCells(delta, spark.table(s"${name}_centroids"), idCol, vecCol)
+        .select(col(idCol), col("cell")),
+      s"${name}_lists", "cell", buckets)
+    graft.core.Layout.appendBucketed(
+      pqEncode(delta, spark.table(s"${name}_codebooks"), m, dims, idCol, vecCol),
+      s"${name}_codes", idCol, buckets)
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket

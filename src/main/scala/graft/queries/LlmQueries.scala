@@ -292,7 +292,7 @@ object LlmOracle {
     * score, order-independent on both engines.
     */
   def pqCtes(m: Int, sub: Int, k: Int, queryPred: String,
-             prefix: String = ""): String = {
+             prefix: String = "", trainRel: String = "embeddings"): String = {
     val P = prefix
     def l2seed(off: Int): String =
       s"""list_sum(list_transform(generate_series(1, $sub),
@@ -309,7 +309,7 @@ object LlmOracle {
       val off = j * sub
       s"""${P}s0_$j AS (
          |  SELECT e.vec_id, s.cell, ${l2seed(off)} AS dist
-         |  FROM embeddings e CROSS JOIN ${P}seeds s),
+         |  FROM $trainRel e CROSS JOIN ${P}seeds s),
          |${P}a0_$j AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
@@ -319,7 +319,7 @@ object LlmOracle {
          |         CAST(SUM(CAST(round(CAST(e.embedding[g.i + $off] AS DOUBLE)
          |                * 1000000.0) AS BIGINT)) AS DOUBLE)
          |           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS c
-         |  FROM ${P}a0_$j a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  FROM ${P}a0_$j a JOIN $trainRel e ON e.vec_id = a.vec_id
          |  CROSS JOIN generate_series(1, $sub) AS g(i)
          |  GROUP BY a.cell, g.i),
          |${P}cents_$j AS (SELECT cell, list(c ORDER BY i) AS cvec
@@ -340,7 +340,7 @@ object LlmOracle {
          |  FROM ${P}code_$j x JOIN ${P}lut_$j l ON l.cell = x.cell)""".stripMargin
     }
     s"""${P}seeds AS (
-       |  SELECT vec_id AS cell, embedding AS svec FROM embeddings
+       |  SELECT vec_id AS cell, embedding AS svec FROM $trainRel t0
        |  ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $k),
        |${chains.mkString(",\n")},
        |${P}pqparts AS (
@@ -563,6 +563,98 @@ object LlmQueries {
       }
       name
     }
+
+  def pqAppendIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_pqap_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildPqIndex(emb.filter(col("vec_id") < AppendCut), name,
+          m = 8, codebookSize = 16, dims = 64)
+        Similarity.appendToPqIndex(emb.filter(col("vec_id") >= AppendCut), name,
+          m = 8, dims = 64)
+        builtIndexes += name
+      }
+      name
+    }
+
+  def ivfPqIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_ivfpq_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        Similarity.buildIvfPqIndex(Tables.embeddings(s, d), name,
+          centroids = 16, m = 8, codebookSize = 16, dims = 64)
+        builtIndexes += name
+      }
+      name
+    }
+
+  def ivfPqAppendIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_ivfpqap_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < AppendCut), name,
+          centroids = 16, m = 8, codebookSize = 16, dims = 64)
+        Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") >= AppendCut),
+          name, m = 8, dims = 64)
+        builtIndexes += name
+      }
+      name
+    }
+
+  /** Shared by t_ann_pq / t_ann_pq_indexed / t_ann_pq_appended: the
+    * oracle retrains the m codebooks on `trainRel` (the full corpus for
+    * build-at-once, the pre-append half for the frozen-codebook append
+    * replay), re-encodes the WHOLE corpus and replays every quantized
+    * score.
+    */
+  private def annPqSqlFor(trainRel: String): String =
+    s"""WITH ${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5",
+                      trainRel = trainRel)},
+       |scores AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         CAST(SUM(pd) AS BIGINT) AS score
+       |  FROM pqparts WHERE query_id <> vec_id GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scores)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val annPqSql: String = annPqSqlFor("embeddings")
+
+  /** Shared by t_ann_ivfpq / t_ann_ivfpq_indexed / t_ann_ivfpq_appended:
+    * the composite of the two proven CTE generators (prefix-isolated),
+    * with BOTH quantizers trained on `trainRel`.
+    */
+  private def annIvfPqSqlFor(trainRel: String): String =
+    s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5", trainRel)},
+       |${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5",
+                 prefix = "x", trainRel = trainRel)},
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scores AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         CAST(SUM(pp.pd) AS BIGINT) AS score
+       |  FROM cand c JOIN xpqparts pp
+       |    ON pp.query_id = c.query_id AND pp.vec_id = c.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scores)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val annIvfPqSql: String = annIvfPqSqlFor("embeddings")
+
+  private val HalfCorpus = s"(SELECT * FROM embeddings WHERE vec_id < $AppendCut)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -879,19 +971,7 @@ object LlmQueries {
     // ADC scoring as integer sums of quantized sub-dots. The oracle
     // retrains all m codebooks, re-encodes the corpus and replays every
     // score bit-for-bit.
-    QueryDef("t_ann_pq",
-      s"""WITH ${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5")},
-         |scores AS (
-         |  SELECT query_id, vec_id AS neighbor_id,
-         |         CAST(SUM(pd) AS BIGINT) AS score
-         |  FROM pqparts WHERE query_id <> vec_id GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, score,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scores)
-         |SELECT * FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("t_ann_pq", annPqSql) { (s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         kNn = 10, m = 8, codebookSize = 16, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
@@ -899,21 +979,19 @@ object LlmQueries {
     // Same PQ search over the PERSISTED index (codebooks + codes
     // written once; the query path is a LUT + codes scan with zero
     // training/encoding) — the same oracle gates the whole lifecycle.
-    QueryDef("t_ann_pq_indexed",
-      s"""WITH ${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5")},
-         |scores AS (
-         |  SELECT query_id, vec_id AS neighbor_id,
-         |         CAST(SUM(pd) AS BIGINT) AS score
-         |  FROM pqparts WHERE query_id <> vec_id GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, score,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scores)
-         |SELECT * FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("t_ann_pq_indexed", annPqSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopKIndexed(s, pqIndexFor(s, d),
+        emb.filter(col("vec_id") < 5), kNn = 10, m = 8, dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Incremental PQ index maintenance: codebooks trained on the first
+    // half and FROZEN; the delta is encoded against them and appended.
+    // The oracle retrains the half-corpus codebooks in DuckDB and
+    // re-encodes the full corpus against them.
+    QueryDef("t_ann_pq_appended", annPqSqlFor(HalfCorpus)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKIndexed(s, pqAppendIndexFor(s, d),
         emb.filter(col("vec_id") < 5), kNn = 10, m = 8, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
@@ -922,29 +1000,32 @@ object LlmQueries {
     // PQ codes scores the survivors. The oracle composes the two proven
     // CTE generators (prefix-isolated) and joins candidate pruning with
     // the quantized score parts.
-    QueryDef("t_ann_ivfpq",
-      s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5")},
-         |${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5", prefix = "x")},
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, a.vec_id
-         |  FROM assigned a JOIN probes p ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.query_id),
-         |scores AS (
-         |  SELECT c.query_id, c.vec_id AS neighbor_id,
-         |         CAST(SUM(pp.pd) AS BIGINT) AS score
-         |  FROM cand c JOIN xpqparts pp
-         |    ON pp.query_id = c.query_id AND pp.vec_id = c.vec_id
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, score,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scores)
-         |SELECT * FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("t_ann_ivfpq", annIvfPqSql) { (s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         kNn = 10, centroids = 16, nProbe = 6, m = 8, codebookSize = 16,
         dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Same composite over the PERSISTED IVF×PQ index (quantizer, bare
+    // id inverted lists, codebooks and id-bucketed codes written once;
+    // the query path runs zero training, zero encoding and reads zero
+    // corpus floats) — the same oracle gates the whole lifecycle, and
+    // the plan proof in LlmOpsSpec asserts no Lloyd/encode stages.
+    QueryDef("t_ann_ivfpq_indexed", annIvfPqSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopKIndexed(s, ivfPqIndexFor(s, d),
+        emb.filter(col("vec_id") < 5), kNn = 10, nProbe = 6, m = 8, dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Incremental composite maintenance: BOTH quantizers trained on the
+    // first half and frozen; the delta is assigned + encoded against
+    // them in one appendToIvfPqIndex call. The oracle retrains both
+    // half-corpus quantizers and replays assignment + encoding of the
+    // full corpus against them.
+    QueryDef("t_ann_ivfpq_appended", annIvfPqSqlFor(HalfCorpus)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopKIndexed(s, ivfPqAppendIndexFor(s, d),
+        emb.filter(col("vec_id") < 5), kNn = 10, nProbe = 6, m = 8, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
     // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed

@@ -262,6 +262,52 @@ class LlmOpsSpec extends SparkSuite {
     assert(ivfpqRecall >= 0.25, s"IVF×PQ recall $ivfpqRecall below floor")
   }
 
+  test("IVF×PQ persisted index: search-only hot path, frozen-quantizer append") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfPqIndex(emb, "t_ivfpq_idx")
+    val indexed = Similarity.ivfPqTopKIndexed(spark, "t_ivfpq_idx", queries, 5)
+    // bit-identical to the inline composite (same deterministic
+    // quantizers, persisted artifacts round-trip parquet exactly)
+    val inline = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L), 5)
+    assert(rows(indexed) == rows(inline))
+    assert(rows(indexed).nonEmpty)
+    // plan proof of the lifecycle: zero Lloyd/training stages in the
+    // search plan; all four persisted artifacts are read
+    val plan = indexed.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("collect_list"), "re-train stage in search plan")
+    Seq("_centroids", "_lists", "_codebooks", "_codes").foreach(a =>
+      assert(plan.contains(s"t_ivfpq_idx$a"), s"missing artifact scan $a"))
+    // the inverted lists are bare (id, cell): no corpus floats are
+    // stored or read on the composite's query path
+    assert(!spark.table("t_ivfpq_idx_lists").columns.contains("embedding"))
+    // append: delta assigned + encoded against FROZEN quantizers must
+    // equal an index whose quantizers were trained on the same initial
+    // half but whose lists/codes cover everything
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 200), "t_ivfpq_app")
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") >= 200), "t_ivfpq_app")
+    assert(spark.table("t_ivfpq_app_lists").count() == emb.count())
+    assert(spark.table("t_ivfpq_app_codes").count() == emb.count() * 8)
+    val got = Similarity.ivfPqTopKIndexed(spark, "t_ivfpq_app", queries, 5)
+    val centsHalf = Similarity.trainCentroids(emb.filter(col("vec_id") < 200), 16)
+    val booksHalf = Similarity.pqTrainCodebooks(emb.filter(col("vec_id") < 200))
+    graft.core.Layout.writeBucketed(centsHalf, "t_ivfpq_ref_centroids", "cell", 1)
+    graft.core.Layout.writeBucketed(
+      Similarity.assignCells(emb, centsHalf).select(col("vec_id"), col("cell")),
+      "t_ivfpq_ref_lists", "cell", 8)
+    graft.core.Layout.writeBucketed(booksHalf, "t_ivfpq_ref_codebooks", "cell", 1)
+    graft.core.Layout.writeBucketed(
+      Similarity.pqEncode(emb, booksHalf), "t_ivfpq_ref_codes", "vec_id", 8)
+    val ref = Similarity.ivfPqTopKIndexed(spark, "t_ivfpq_ref", queries, 5)
+    assert(rows(got) == rows(ref))
+    // mismatched append parameters must throw, not corrupt
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") >= 200),
+        "t_ivfpq_app", m = 4, dims = 64)
+    }
+    assert(bad.getMessage.contains("do not match"), bad.getMessage)
+  }
+
   test("embedding near-dups: planted duplicate vector found, pairs canonical") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
