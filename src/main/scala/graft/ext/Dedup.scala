@@ -197,11 +197,19 @@ object Dedup {
                   idCol: String = "doc_id"): DataFrame = {
     val ha = featsA.select(col(idCol).as(aCol), col("hashes").as("__ha"))
     val hb = featsB.select(col(idCol).as(bCol), col("hashes").as("__hb"))
-    pairs.join(ha, aCol).join(hb, bCol)
+    withJaccardCols(pairs.join(ha, aCol).join(hb, bCol))
+  }
+
+  /** The (inter, uni) arithmetic itself, over pre-attached `__ha` /
+    * `__hb` hash-set columns — the core [[withJaccard]] delegates to,
+    * for callers whose join shape already carries one side's hashes
+    * (the ingest gate's band store does, to spare a second store scan).
+    */
+  def withJaccardCols(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("inter", size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
       .withColumn("uni", (size(col("__ha")) + size(col("__hb"))).cast("long") - col("inter"))
       .drop("__ha", "__hb")
-  }
 
   /** The Jaccard ≥ num/den cut over (inter, uni) columns as integer
     * cross-multiplication — no float ratio, replayed exactly by the

@@ -15,29 +15,80 @@ import graft.ext.Dedup
   * the corpus a crawler feeds stays deduplicated *as it ingests*, not
   * in a nightly rewrite.
   *
-  * Store layout (the write-once index lifecycle of
-  * [[graft.ext.Similarity.buildLshIndex]]): `<name>_feats` (id, hashes,
-  * sig) bucketed by id — the redelivery anti-join is bucket-colocated;
-  * `<name>_bands` (id, band, bkey) bucketed AND sorted by bkey — the
-  * per-batch candidate join broadcasts the tiny batch side and prunes
-  * the store scan with the batch's band-key set (pushed to parquet
-  * row-group stats via the sort). Per batch, work scales with
-  * batch-size × collisions, never with store size.
+  * Store layout — a [[ManifestStore]]-style versioned two-table store:
+  * each micro-batch commits ONE immutable version dir holding both
+  * `bands/` (id, band, bkey, hashes — key-sorted by bkey, so the
+  * per-batch candidate scan prunes to matching parquet row groups) and
+  * `feats/` (id, hashes, sig — key-sorted by id for the redelivery
+  * probe), published by a single atomic manifest commit. Both tables
+  * become visible together or not at all, so there is no crash state
+  * with orphan band rows or a recall hole — the ordering argument the
+  * previous two-append layout needed is retired. Band rows carry the
+  * doc's hash set so the near-dup Jaccard check reads ONE pruned scan
+  * per batch instead of re-probing the feats table by candidate id (the
+  * ×numBands hash duplication is the disclosed price; [[compactStore]]
+  * bounds the file count). Per batch, work scales with batch-size ×
+  * collisions, never with store size.
   *
   * Delivery contract (same as [[ChangelogDim.joinEachBatch]]): the sink
-  * runs BEFORE the store append, so a crash between them replays the
+  * runs BEFORE the store commit, so a crash between them replays the
   * batch — the sink must be idempotent per epoch (at-least-once); the
-  * store append itself is replay-safe, because a replayed document
+  * store commit itself is replay-safe, because a replayed document
   * matches its own stored signature (Jaccard 1) and is dropped before
-  * a second append.
+  * a second commit, and a half-written uncommitted version dir is
+  * invisible (reclaimed by [[vacuumStore]] once its version is no
+  * longer ahead of the committed head).
   */
 object IngestDedupGate {
 
-  def featsTable(name: String): String = s"${name}_feats"
-  def bandsTable(name: String): String = s"${name}_bands"
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The store's manifest directory (under the session warehouse). */
+  def storeDir(spark: SparkSession, name: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/gstore_$name"
 
   def storeExists(spark: SparkSession, name: String): Boolean =
-    spark.catalog.tableExists(featsTable(name))
+    ManifestStore.latestManifest(spark, storeDir(spark, name)).nonEmpty
+
+  private def readPart(spark: SparkSession, dir: String,
+                       m: ManifestStore.Manifest, part: String): DataFrame =
+    m.dirs.map { case (_, rel) => spark.read.parquet(s"$dir/$rel/$part") }
+      .reduce(_.unionByName(_))
+
+  /** The store's band rows (id, band, bkey, hashes), pinned to the
+    * latest committed manifest. O(versions) relations in the plan —
+    * [[compactStore]] folds them back to one.
+    */
+  def bands(spark: SparkSession, name: String): DataFrame = {
+    val dir = storeDir(spark, name)
+    readPart(spark, dir,
+      ManifestStore.latestManifest(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir")),
+      "bands")
+  }
+
+  /** The store's signature rows (id, hashes, sig), pinned likewise. */
+  def feats(spark: SparkSession, name: String): DataFrame = {
+    val dir = storeDir(spark, name)
+    readPart(spark, dir,
+      ManifestStore.latestManifest(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir")),
+      "feats")
+  }
+
+  /** Union of per-chunk isin-pruned scans of `store`: every chunk's
+    * IN-list pushes to parquet row-group stats (the store files are
+    * key-sorted), so a batch with MORE distinct keys than one IN list
+    * comfortably holds costs more pruned scans — never one unpruned
+    * full-store scan (the previous all-or-nothing fallback). Empty key
+    * set reads nothing.
+    */
+  private[graft] def prunedByKeys(store: DataFrame, keyCol: String,
+                                  keys: Seq[Any], chunk: Int): DataFrame =
+    if (keys.isEmpty) store.filter(lit(false))
+    else keys.grouped(chunk)
+      .map(ks => store.filter(col(keyCol).isin(ks: _*)))
+      .reduce(_.union(_))
 
   /** Batch-mode admit decision: which of `batch`'s documents are novel
     * vs the store? Within-batch exact copies collapse to their min-id
@@ -47,17 +98,22 @@ object IngestDedupGate {
     * drop pairwise: a doc with a smaller-id near-dup among the batch's
     * survivors is rejected (its keeper is being admitted in this very
     * batch). Pairwise, not transitive — a chain a~b~c admits a and
-    * drops b, c (each has a smaller direct near-dup), but a member
-    * whose only near-dup link was itself dropped can survive; the full
-    * transitive collapse is [[graft.ext.Dedup.dedupedCorpus]]'s job at
-    * corpus level. Returns the novel documents' FEATURE rows (id,
-    * hashes, sig, simhash), localCheckpointed — the decision is frozen
-    * before any store mutation.
+    * drops b, c (each has a smaller direct near-dup); a doc whose every
+    * keeper was itself dropped is DISCLOSED (WARN with the count: its
+    * content is lost to the corpus, the price of the one-pass rule —
+    * the full transitive collapse is [[graft.ext.Dedup.dedupedCorpus]]'s
+    * job at corpus level). Returns the novel documents' FEATURE rows
+    * (id, hashes, sig, simhash), localCheckpointed — the decision is
+    * frozen before any store mutation.
+    *
+    * Scale shape: the batch side is always the broadcast/collected side
+    * (bounded by the micro-batch); store scans are isin-pruned by the
+    * batch's key sets in `isinChunk`-sized chunks ([[prunedByKeys]]).
     */
   def filterNovel(batch: DataFrame, name: String, idCol: String = "doc_id",
                   textCol: String = "text", n: Int = 3, numBands: Int = 4,
                   rowsPerBand: Int = 2, jaccardNum: Int = 8,
-                  jaccardDen: Int = 10): DataFrame = {
+                  jaccardDen: Int = 10, isinChunk: Int = 10000): DataFrame = {
     val spark = batch.sparkSession
     val batchReps = Dedup.withExactReps(
         Dedup.features(batch, idCol, textCol, n), idCol)
@@ -66,29 +122,34 @@ object IngestDedupGate {
     val survivors =
       if (!storeExists(spark, name)) batchReps
       else {
-        // 1. redelivered ids (bucket-colocated anti-join on the id key)
+        // 1. redelivered ids: the feats scan pruned to the batch's own
+        //    ids (row-group stats via the id sort), then a tiny anti-join
+        val batchIds = batchReps.select(col(idCol)).collect().map(_.get(0)).toSeq
         val unknownIds = batchReps.join(
-          spark.table(featsTable(name)).select(col(idCol)),
+          prunedByKeys(feats(spark, name).select(col(idCol)), idCol,
+            batchIds, isinChunk),
           Seq(idCol), "left_anti")
         // 2. near-dups of stored content: batch band keys vs the store.
         //    The BOUNDED side is the batch (|batch| × numBands rows) —
         //    it carries the broadcast hint; the store side is only ever
-        //    scanned, pruned by the batch's key set when it is small
-        //    enough to inline (pushed to parquet row-group stats via
-        //    the store's bkey sort). Never broadcast the store: one
-        //    popular band key can match millions of stored rows.
+        //    scanned, pruned by the batch's key chunks. Never broadcast
+        //    the store: one popular band key can match millions of
+        //    stored rows. Stored hashes ride the band rows, so this one
+        //    scan feeds the Jaccard check too.
         val bb = Dedup.bands(unknownIds, idCol, numBands, rowsPerBand)
           .filter(col("bkey").isNotNull)
-        val batchKeys = bb.select("bkey").distinct().collect().map(_.getString(0))
-        val store = spark.table(bandsTable(name))
-        val pruned = if (batchKeys.length <= 10000)
-          store.filter(col("bkey").isin(batchKeys.toSeq: _*)) else store
+        val batchKeys = bb.select("bkey").distinct().collect()
+          .map(_.get(0): Any).toSeq
         val cand = broadcast(bb).join(
-            pruned.select(col("band"), col("bkey"), col(idCol).as("__sid")),
+            prunedByKeys(bands(spark, name), "bkey", batchKeys, isinChunk)
+              .select(col("band"), col("bkey"), col(idCol).as("__sid"),
+                col("hashes").as("__hb")),
             Seq("band", "bkey"))
-          .select(col(idCol), col("__sid")).distinct()
-        val dupIds = Dedup.withJaccard(cand, idCol, "__sid",
-            unknownIds, spark.table(featsTable(name)), idCol)
+          .select(col(idCol), col("__sid"), col("__hb"))
+          .dropDuplicates(idCol, "__sid")
+        val dupIds = Dedup.withJaccardCols(cand.join(
+            broadcast(batchReps.select(col(idCol), col("hashes").as("__ha"))),
+            Seq(idCol)))
           .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
           .select(col(idCol))
         unknownIds.join(dupIds, Seq(idCol), "left_anti")
@@ -104,49 +165,90 @@ object IngestDedupGate {
     val over = Dedup.bandOverflow(checked, idCol, numBands, rowsPerBand)
       .limit(21).collect()
     if (over.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      log.warn(
         s"ingest gate: ${over.length}${if (over.length > 20) "+" else ""} within-batch " +
           s"band bucket(s) over the width cap excluded from near-dup checking " +
           s"(recall loss, not a failure): " +
           over.take(20).map(r => s"(band=${r.get(0)}, bkey=${r.get(1)}, n=${r.get(2)})").mkString(", "))
     val bcand = Dedup.lshCandidates(checked, idCol, numBands, rowsPerBand)
-    val batchDups = Dedup.withJaccard(bcand, "doc_a", "doc_b", checked, checked, idCol)
+    val passing = Dedup.withJaccard(bcand, "doc_a", "doc_b", checked, checked, idCol)
       .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
-      .select(col("doc_b").as(idCol)).distinct()
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val batchDups = passing.select(col("doc_b").as(idCol)).distinct()
+    // chained-drop disclosure: a dropped doc whose EVERY keeper was
+    // itself dropped has no admitted near-dup — data loss, not dedup
+    val dropsAsA = passing.select(col("doc_b").as("doc_a")).distinct()
+    val withAliveKeeper = passing.join(dropsAsA, Seq("doc_a"), "left_anti")
+      .select(col("doc_b")).distinct()
+    val orphaned = passing.select(col("doc_b")).distinct()
+      .join(withAliveKeeper, Seq("doc_b"), "left_anti").count()
+    if (orphaned > 0)
+      log.warn(s"ingest gate: $orphaned within-batch doc(s) dropped although " +
+        "every admitted-keeper candidate was itself dropped (chained " +
+        "near-dups) — their content has no admitted representative in this " +
+        "batch; run a corpus-level dedupedCorpus pass if that matters")
     checked.join(batchDups, Seq(idCol), "left_anti").localCheckpoint()
   }
 
-  /** Append admitted feature rows to the store (creating it on first
-    * use): band rows into `<name>_bands`, then signatures into
-    * `<name>_feats` — both via the bucketed write/append lifecycle.
-    *
-    * The two writes are not one transaction; the BANDS-FIRST order
-    * makes the possible crash states benign. Crash between the writes:
-    * the doc's id is NOT yet in `_feats`, so the replayed batch
-    * re-admits it (its own orphan band rows find no `_feats` hash row —
-    * the candidate join is inner on the feats table) and the re-append
-    * only duplicates band rows, which the DISTINCT in the candidate
-    * join already absorbs. The reverse order would leave a doc id in
-    * `_feats` with no band rows: silently invisible to every future
-    * near-dup probe — a permanent recall hole. First-batch crash
-    * between the writes self-heals the same way: [[storeExists]] keys
-    * on `_feats`, so the next batch recreates BOTH tables fresh.
+  private def writeSorted(df: DataFrame, path: String, key: String,
+                          buckets: Int): Unit =
+    df.repartition(buckets, col(key)).sortWithinPartitions(key)
+      .write.parquet(path)
+
+  /** Commit admitted feature rows to the store (creating it on first
+    * use): ONE new immutable version dir holding both the band rows
+    * (with hashes attached) and the signature rows, published by a
+    * single atomic manifest commit ([[ManifestStore.commit]] — hard
+    * link on POSIX, create-if-absent rename on HDFS). A crash anywhere
+    * before the commit leaves an unreferenced dir that no reader ever
+    * sees; there is no state where one table has the batch and the
+    * other does not.
     */
   def appendToStore(novelFeats: DataFrame, name: String,
                     idCol: String = "doc_id", numBands: Int = 4,
                     rowsPerBand: Int = 2, buckets: Int = 8): Unit = {
     val spark = novelFeats.sparkSession
-    val featRows = novelFeats.select(col(idCol), col("hashes"), col("sig"))
+    val dir = storeDir(spark, name)
+    val m0 = ManifestStore.latestManifest(spark, dir)
+    val v = m0.map(_.version + 1).getOrElse(1L)
+    val rel = s"d-$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val bandRows = Dedup.bands(novelFeats, idCol, numBands, rowsPerBand)
       .filter(col("bkey").isNotNull)
-    if (!storeExists(spark, name)) {
-      graft.core.Layout.writeBucketed(bandRows, bandsTable(name), "bkey", buckets)
-      graft.core.Layout.writeBucketed(featRows, featsTable(name), idCol, buckets)
-    } else {
-      graft.core.Layout.appendBucketed(bandRows, bandsTable(name), "bkey", buckets)
-      graft.core.Layout.appendBucketed(featRows, featsTable(name), idCol, buckets)
+      .join(novelFeats.select(col(idCol), col("hashes")), Seq(idCol))
+    writeSorted(bandRows, s"$dir/$rel/bands", "bkey", buckets)
+    writeSorted(novelFeats.select(col(idCol), col("hashes"), col("sig")),
+      s"$dir/$rel/feats", idCol, buckets)
+    ManifestStore.commit(spark, dir,
+      ManifestStore.Manifest(v, m0.map(_.dirs).getOrElse(Nil) :+ (v -> rel)))
+  }
+
+  /** Fold the per-batch version accumulation back to ONE version dir of
+    * `buckets` key-sorted files per table: reads the current pinned
+    * manifest, writes a fresh dir (never touching the immutable inputs),
+    * commits a manifest referencing only it. A month of 5-minute batches
+    * otherwise costs ~8.6k file sets per listing — run this on a
+    * maintenance cadence; [[vacuumStore]] reclaims the superseded dirs.
+    */
+  def compactStore(spark: SparkSession, name: String,
+                   idCol: String = "doc_id", buckets: Int = 8): Unit = {
+    val dir = storeDir(spark, name)
+    ManifestStore.latestManifest(spark, dir).foreach { m0 =>
+      val v = m0.version + 1
+      val rel = s"d-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+      writeSorted(readPart(spark, dir, m0, "bands"), s"$dir/$rel/bands",
+        "bkey", buckets)
+      writeSorted(readPart(spark, dir, m0, "feats"), s"$dir/$rel/feats",
+        idCol, buckets)
+      ManifestStore.commit(spark, dir, ManifestStore.Manifest(v, Seq(v -> rel)))
     }
   }
+
+  /** Reclaim superseded version dirs — [[ManifestStore.vacuum]] with its
+    * retention floor and in-flight-writer guard, over this store's dir.
+    */
+  def vacuumStore(spark: SparkSession, name: String,
+                  minVersionsToKeep: Int = 1): Unit =
+    ManifestStore.vacuum(spark, storeDir(spark, name), minVersionsToKeep)
 
   /** The streaming gate: per micro-batch, admit novel documents, hand
     * them (with their original payload columns) to `sink`, then persist

@@ -30,9 +30,11 @@ import graft.tables.LatestByKey
   *    (the LatestByKey contract); the read view keeps each key's row
   *    from the highest version and drops tombstones (`__op = 'd'`).
   *    [[compact]] folds history into one dir; [[vacuum]] removes
-  *    unreferenced dirs afterwards (like Delta VACUUM, unsafe only for
-  *    readers still pinned to pre-compaction versions — retention is
-  *    the caller's cadence choice).
+  *    unreferenced dirs afterwards (like Delta VACUUM with a retention
+  *    knob: `minVersionsToKeep` manifests stay readable for pinned
+  *    readers, and a dir whose version is ahead of the latest commit is
+  *    treated as the single writer's in-flight commit and never
+  *    deleted).
   *
   * Single-writer (one maintaining stream), many-reader — the dim-store
   * topology. A concurrent second writer loses the manifest rename race
@@ -47,25 +49,33 @@ object ManifestStore {
   private def hfs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The highest committed manifest, if any commit ever happened. */
-  def latestManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+  /** All committed manifest versions under `dir` (empty if none). */
+  private def manifestVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = hfs(spark, dir)
     val base = new Path(dir)
-    if (!fs.exists(base)) return None
-    val versions = fs.listStatus(base).map(_.getPath.getName)
-      .collect { case ManifestName(v) => v.toLong }
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }.toSeq
+  }
+
+  /** Read one committed manifest by version. */
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
+    val fs = hfs(spark, dir)
+    val in = fs.open(new Path(new Path(dir), s"_manifest.$v.txt"))
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val dirs = content.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(fv, rel) = line.split("\t", 2)
+      (fv.toLong, rel)
+    }.toSeq
+    Manifest(v, dirs)
+  }
+
+  /** The highest committed manifest, if any commit ever happened. */
+  def latestManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val versions = manifestVersions(spark, dir)
     if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      val in = fs.open(new Path(base, s"_manifest.$v.txt"))
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val dirs = content.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(fv, rel) = line.split("\t", 2)
-        (fv.toLong, rel)
-      }.toSeq
-      Some(Manifest(v, dirs))
-    }
+    else Some(readManifest(spark, dir, versions.max))
   }
 
   private[graft] def commit(spark: SparkSession, dir: String, m: Manifest): Unit = {
@@ -162,18 +172,44 @@ object ManifestStore {
     commit(spark, dir, Manifest(v, Seq(v -> rel)))
   }
 
-  /** Delete data dirs and manifests no longer referenced by the latest
-    * manifest. Safe once no reader is pinned to an older version.
+  private val DataDirName = """d-(\d+)-.*""".r
+
+  /** Delete data dirs and manifests referenced by none of the newest
+    * `minVersionsToKeep` committed manifests. Two safety rules:
+    *
+    *  - RETENTION FLOOR: a reader pins the manifest current at its plan
+    *    time, so dirs referenced by any of the kept manifests survive —
+    *    `minVersionsToKeep` is the pinned-reader grace window in
+    *    versions (keep ≥ 2 means "a reader one commit behind never
+    *    loses its files"). The floor is a hard guard, not advice:
+    *    vacuum(1) is the only setting that reclaims eagerly, and then
+    *    only a quiesced-reader cadence makes it safe.
+    *  - IN-FLIGHT WRITER: [[applyChanges]] writes its version dir
+    *    BEFORE committing the manifest, so a dir whose encoded version
+    *    exceeds the latest committed version may be a commit in flight —
+    *    never deleted (a vacuum racing the single writer would
+    *    otherwise delete the fresh dir and the subsequent commit would
+    *    publish a manifest pointing at nothing, breaking every future
+    *    read). A CRASHED commit's orphan dir is reclaimed one commit
+    *    later, when its version is no longer in the future.
     */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
+  def vacuum(spark: SparkSession, dir: String,
+             minVersionsToKeep: Int = 1): Unit = {
+    require(minVersionsToKeep >= 1, "must keep at least the latest version")
     val fs = hfs(spark, dir)
     latestManifest(spark, dir).foreach { m =>
-      val live = m.dirs.map(_._2).toSet
+      val floor = m.version - (minVersionsToKeep - 1)
+      val live = manifestVersions(spark, dir).filter(_ >= floor)
+        .flatMap(v => readManifest(spark, dir, v).dirs.map(_._2)).toSet
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
-        val stale = (st.isDirectory && n.startsWith("d-") && !live.contains(n)) ||
-          (ManifestName.findFirstMatchIn(n).exists(_.group(1).toLong < m.version))
-        if (stale) fs.delete(st.getPath, true)
+        val staleData = st.isDirectory && !live.contains(n) && (n match {
+          case DataDirName(v) => v.toLong <= m.version // never the in-flight dir
+          case _ => false
+        })
+        val staleManifest =
+          ManifestName.findFirstMatchIn(n).exists(_.group(1).toLong < floor)
+        if (staleData || staleManifest) fs.delete(st.getPath, true)
       }
     }
   }

@@ -53,7 +53,7 @@ class IngestGateSpec extends SparkSuite {
 
     // the store holds exactly the admitted signatures
     import spark.implicits._
-    val stored = spark.table(IngestDedupGate.featsTable(name))
+    val stored = IngestDedupGate.feats(spark, name)
       .select("doc_id").as[Long].collect().toSet
     assert(stored == Set(1L, 2L, 4L), s"store contents wrong: $stored")
 
@@ -62,6 +62,72 @@ class IngestGateSpec extends SparkSuite {
     val replay = IngestDedupGate.filterNovel(
       Seq((1L, docA), (2L, docC), (4L, docD)).toDF("doc_id", "text"), name)
     assert(replay.count() == 0, "replayed batch must admit nothing")
+  }
+
+  test("store commits are atomic, compaction folds versions, vacuum spares the in-flight dir") {
+    import spark.implicits._
+    val name = "t_gate_v2"
+    def admit(docs: Seq[(Long, String)]): Set[Long] = {
+      val novel = IngestDedupGate.filterNovel(docs.toDF("doc_id", "text"), name)
+      val ids = novel.select("doc_id").as[Long].collect().toSet
+      IngestDedupGate.appendToStore(novel, name)
+      ids
+    }
+    assert(admit(Seq((1L, docA), (2L, docC))) == Set(1L, 2L))
+    assert(admit(Seq((3L, docD))) == Set(3L))
+    val dir = IngestDedupGate.storeDir(spark, name)
+    // a crashed commit = version dir written, manifest never published:
+    // invisible to every read (both tables or neither — no orphan-band /
+    // recall-hole crash states to reason about)
+    Seq((99L, Seq(1L), Seq(1L))).toDF("doc_id", "hashes", "sig")
+      .write.parquet(s"$dir/d-9-orphan/feats")
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // admit decision: redelivered id, near-dup of stored content, novel
+    val probe = Seq((1L, docA), (7L, nearA),
+      (8L, "genuinely fresh content about bloom filters and runtime partition pruning"))
+      .toDF("doc_id", "text")
+    def decide(chunk: Int = 10000): Set[Long] =
+      IngestDedupGate.filterNovel(probe, name, isinChunk = chunk)
+        .select("doc_id").as[Long].collect().toSet
+    val before = decide()
+    assert(before == Set(8L), s"probe decision wrong: $before")
+    // chunked isin pruning (the >10k-band-key shape, forced small) must
+    // not change any decision
+    assert(decide(chunk = 1) == before)
+    // compaction: versions fold to ONE dir per store, decisions unchanged
+    IngestDedupGate.compactStore(spark, name)
+    val m = graft.streaming.ManifestStore.latestManifest(spark, dir).get
+    assert(m.dirs.size == 1, s"compaction left ${m.dirs.size} dirs")
+    assert(decide() == before)
+    // vacuum reclaims the superseded dirs but never the ahead-of-head
+    // orphan (indistinguishable from an in-flight commit)
+    IngestDedupGate.vacuumStore(spark, name)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    assert(left.exists(_.startsWith("d-9-orphan")), s"orphan deleted: $left")
+    assert(left.count(n => n.startsWith("d-") && !n.startsWith("d-9-")) == 1,
+      left.mkString(","))
+    assert(decide() == before)
+  }
+
+  test("chunked isin pruning pushes one IN filter per chunk to the scan") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("gate-prune").toString + "/data"
+    (1L to 9L).map(i => (i, s"k$i")).toDF("id", "k")
+      .repartition(1).sortWithinPartitions("k").write.parquet(p)
+    val df = spark.read.parquet(p)
+    val pruned = IngestDedupGate.prunedByKeys(df, "k",
+      Seq("k1", "k2", "k3", "k5", "k7", "k9"), chunk = 2)
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 5L, 7L, 9L))
+    // three chunks → three scans, EACH with its own pushed IN list (the
+    // previous fallback was one unpruned full scan)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[In\\(k".r.findAllIn(plan).length == 3, plan)
+    assert(IngestDedupGate.prunedByKeys(df, "k", Nil, 2).count() == 0)
   }
 
   test("gate restart resumes from checkpoint: committed docs not re-admitted, new docs not lost") {

@@ -104,6 +104,35 @@ class ManifestStoreSpec extends SparkSuite {
     assert(rows(ManifestStore.read(spark, dir, "id")) == before)
   }
 
+  test("vacuum retention floor protects pinned readers; in-flight writer dir is never deleted") {
+    import spark.implicits._
+    val dir = tmp("mstore-vac")
+    ManifestStore.seed((1 to 5).map(i => (i, i)).toDF("id", "x"), "id", dir) // v1
+    ManifestStore.upsert(Seq((1, 100)).toDF("id", "x"), "id", dir) // v2
+    val pinned = ManifestStore.read(spark, dir, "id") // pins v2 → dirs {d1, d2}
+    ManifestStore.compact(spark, dir, "id") // v3 → one fresh dir
+    // a racing writer's in-flight dir: version ahead of the committed head
+    new java.io.File(dir, "d-9-inflight").mkdirs()
+    ManifestStore.vacuum(spark, dir, minVersionsToKeep = 2)
+    // floor = v2: its dirs survive, so the pinned reader still evaluates
+    assert(pinned.collect().map(r => (r.getInt(0), r.getInt(1))).toMap ==
+      Map(1 -> 100, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5))
+    val kept = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(kept.exists(_.startsWith("d-9-")), s"in-flight dir deleted: $kept")
+    // eager vacuum reclaims the pre-compaction dirs — but never the
+    // in-flight dir (its version is still ahead of the head)
+    ManifestStore.vacuum(spark, dir, minVersionsToKeep = 1)
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(after.exists(_.startsWith("d-9-")), s"in-flight dir deleted: $after")
+    assert(after.count(n => n.startsWith("d-") && !n.startsWith("d-9-")) == 1,
+      after.mkString(","))
+    assert(after.count(_.startsWith("_manifest")) == 1, after.mkString(","))
+    assert(ManifestStore.read(spark, dir, "id").count() == 5)
+    intercept[IllegalArgumentException] {
+      ManifestStore.vacuum(spark, dir, minVersionsToKeep = 0)
+    }
+  }
+
   test("CDC envelopes drive the transactional store: upserts, tombstones, same-ms ordering, one commit per batch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
