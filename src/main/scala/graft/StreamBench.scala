@@ -13,12 +13,83 @@ import graft.streaming.RatingsPipeline
   * streaming throughput on the same topology shape.
   *
   * Usage: runMain graft.StreamBench [nEvents] [batches]
+  *        runMain graft.StreamBench pipeline [nDocs] [batches]
+  * — the second form drives the composed LLM curation flagship
+  * ([[graft.streaming.CurationStream]]: ingest dedup gate → quality
+  * gate → manifest-dim enrich) and reports documents/second.
   */
 object StreamBench {
   final case class R(RATING_ID: Long, USER_ID: Int, STARS: Double,
                      CHANNEL: String, MESSAGE: String, ts: java.sql.Timestamp)
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("pipeline")) pipelineMain(args.drop(1))
+    else ratingsMain(args)
+
+  /** A quality-passing synthetic document (16 tokens, stopwords,
+    * healthy token shape, distinct 2-grams → quality 4).
+    */
+  private def docText(id: Long): String =
+    s"the document $id discusses topic ${math.floorMod(id, 7)} using terms " +
+      s"t${id}a t${id}b t${id}c t${id}d and offers a conclusion"
+
+  /** The composed curation flagship under load: ~10% exact duplicates
+    * (gate-dropped), ~10% repetition spam (quality-gated), the rest
+    * novel quality docs enriched against a 20-row manifest dim.
+    */
+  private def pipelineMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.build("graft-curation-bench", cpus)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    val dimDir = java.nio.file.Files.createTempDirectory("cur-dim").toString
+    graft.streaming.ManifestStore.seed(
+      (0 until 20).map(i => (i, s"crawler$i", if (i % 4 == 0) "low" else "high"))
+        .toDF("source_id", "source_name", "trust"),
+      "source_id", dimDir)
+
+    def mkDocs(b: Int, size: Int): Seq[(Long, String, Int)] =
+      (0 until size).map { i =>
+        val id = b.toLong * size + i
+        val body =
+          if (math.floorMod(id, 10) == 7) // repetition spam → quality-gated
+            (1 to 12).map(_ => "spam").mkString(" ")
+          else if (math.floorMod(id, 10) == 3 && b > 0) // exact redeliver → gate-dropped
+            docText(id - size + 1) // +1: reference a doc whose text was stored
+
+
+          else docText(id)
+        (id, body, math.floorMod(id, 20).toInt)
+      }
+
+    val ms = MemoryStream[(Long, String, Int)]
+    val admitted = new java.util.concurrent.atomic.AtomicLong
+    val q = graft.streaming.CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), "sb_curation", dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("cur-ckpt").toString) {
+      (out, _) => admitted.addAndGet(out.count())
+    }
+    val perBatch = n / nBatches
+    // warm-up batch (untimed): codegen, store creation, dim read
+    ms.addData((0 until perBatch).map(i => (-1L - i, docText(-1L - i), i % 20)))
+    q.processAllAvailable()
+    val t0 = System.nanoTime()
+    (0 until nBatches).foreach { b =>
+      ms.addData(mkDocs(b, perBatch))
+      q.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val docsPerSec = perBatch.toLong * nBatches / secs
+    println(f"""{"metric":"curation_docs_per_sec","value":$docsPerSec%.0f,"unit":"docs/s","docs":${perBatch * nBatches},"batches":$nBatches,"secs":$secs%.2f,"admitted":${admitted.get()}}""")
+    spark.stop()
+  }
+
+  private def ratingsMain(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

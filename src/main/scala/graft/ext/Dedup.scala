@@ -343,13 +343,29 @@ object Dedup {
     * still a component member so downstream keep-lists stay safe —
     * just split); `strict = true` throws instead, for pipelines where
     * a split cluster must halt the job rather than ship.
+    *
+    * Per-round frames pin via `localCheckpoint` by default — executor-
+    * local blocks, cheap, but an executor loss mid-clustering restarts
+    * the whole job. Pass `checkpointDir` (reliable storage — HDFS/S3 in
+    * production) to switch the round frames to RELIABLE checkpoints:
+    * each round's labels survive executor loss, the long-clustering
+    * durability knob for corpora where restarting from round 0 is the
+    * expensive path.
     */
   def clusterLabels(nodes: DataFrame, edges: DataFrame,
-                    maxRounds: Int = 50, strict: Boolean = false): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // candidate generation must not rerun per round
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+                    maxRounds: Int = 50, strict: Boolean = false,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
+    def pin(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(d) =>
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+    val sym = pin(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    // candidate generation must not rerun per round (hence the pin above)
+    var labels = pin(nodes.select(col("id"), col("id").as("label")))
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     var prev = checksum(labels)
@@ -358,9 +374,8 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val viaNeighbour = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
-      val next = labels.union(viaNeighbour)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val next = pin(labels.union(viaNeighbour)
+        .groupBy("id").agg(min("label").as("label")))
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
@@ -399,7 +414,8 @@ object Dedup {
                       numBands: Int = 4, rowsPerBand: Int = 2,
                       jaccardNum: Int = 8, jaccardDen: Int = 10,
                       maxBucket: Int = DefaultMaxBucketWidth,
-                      maxRounds: Int = 50, strict: Boolean = false): DataFrame = {
+                      maxRounds: Int = 50, strict: Boolean = false,
+                      checkpointDir: Option[String] = None): DataFrame = {
     val (grouped, repPairs) = repLevelPairs(
       features(docs, idCol, textCol, n), idCol, numBands, rowsPerBand, maxBucket)
     val repEdges = repPairs
@@ -408,7 +424,7 @@ object Dedup {
     val starEdges = grouped.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("src"), col("rep").as("dst"))
     clusterLabels(docs.select(col(idCol).as("id")), repEdges.union(starEdges),
-      maxRounds, strict)
+      maxRounds, strict, checkpointDir)
       .select(col("id").as(idCol), col("cluster_id"))
   }
 
@@ -431,9 +447,10 @@ object Dedup {
                     numBands: Int = 4, rowsPerBand: Int = 2,
                     jaccardNum: Int = 8, jaccardDen: Int = 10,
                     maxBucket: Int = DefaultMaxBucketWidth,
-                    maxRounds: Int = 50, strict: Boolean = false): DataFrame = {
+                    maxRounds: Int = 50, strict: Boolean = false,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val keep = nearDupClusters(docs, idCol, textCol, n, numBands, rowsPerBand,
-      jaccardNum, jaccardDen, maxBucket, maxRounds, strict)
+      jaccardNum, jaccardDen, maxBucket, maxRounds, strict, checkpointDir)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
     docs.join(keep, Seq(idCol), "left_semi")

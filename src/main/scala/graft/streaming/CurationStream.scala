@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ext.TextAnalysis
+
+/** The composed streaming curation flagship: one topology chaining the
+  * three streaming pieces this engine ships —
+  *
+  *   [[IngestDedupGate]] (admit only novel documents vs the persisted
+  *   signature store) → the [[TextAnalysis.qualityScore]] gate (the
+  *   same 4-signal cut the batch flagship [[graft.ext.Curation.curate]]
+  *   applies, spam and boilerplate dropped in-stream) → a
+  *   [[ManifestStore]]-backed dimension enrich (each micro-batch joins
+  *   one PINNED committed dim version — snapshot isolation, the
+  *   transactional mirror of the reference's enrichment join,
+  *   ksqldb-statements.sql:50–60).
+  *
+  * This is the shape a crawler-fed training corpus actually runs: the
+  * corpus stays deduplicated, quality-gated and provenance-enriched AS
+  * IT INGESTS, not in a nightly rewrite. Per micro-batch the work is
+  * batch-size × collisions (gate) + a codegen'd map (quality) + one
+  * broadcast join against the pinned dim — nothing scales with store
+  * or corpus size.
+  *
+  * Delivery: the sink runs before the gate's store commit (the gate's
+  * contract), so the sink must be idempotent per epoch; a replayed
+  * batch re-drops against the store and re-joins the same pinned-or-
+  * newer dim version.
+  */
+object CurationStream {
+
+  /** Start the composed topology. `docs` must carry (`idCol`,
+    * `textCol`, `dimKey`); admitted, quality-passing documents reach
+    * `sink` enriched (left outer — a doc with no dim row survives with
+    * nulls) with a `quality` column attached.
+    */
+  def run(docs: DataFrame, storeName: String, dimDir: String, dimKey: String,
+          checkpointDir: String, idCol: String = "doc_id",
+          textCol: String = "text", minQuality: Int = 3)
+         (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    IngestDedupGate.gate(docs, storeName, checkpointDir,
+      idCol = idCol, textCol = textCol) { (novel, epoch) =>
+      val gated = novel
+        .withColumn("quality",
+          TextAnalysis.qualityScore(col(textCol)).cast("long"))
+        .filter(col("quality") >= minQuality)
+      val dim = ManifestStore.read(novel.sparkSession, dimDir, dimKey)
+      sink(gated.join(broadcast(dim), Seq(dimKey), "left_outer"), epoch)
+    }
+}

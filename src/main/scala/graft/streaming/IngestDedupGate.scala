@@ -258,14 +258,14 @@ object IngestDedupGate {
   def gate(docs: DataFrame, name: String, checkpointDir: String,
            idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
            numBands: Int = 4, rowsPerBand: Int = 2, jaccardNum: Int = 8,
-           jaccardDen: Int = 10, buckets: Int = 8)
+           jaccardDen: Int = 10, buckets: Int = 8, isinChunk: Int = 10000)
           (sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
         val b = batch.toDF()
         val novel = filterNovel(b, name, idCol, textCol, n, numBands,
-          rowsPerBand, jaccardNum, jaccardDen)
+          rowsPerBand, jaccardNum, jaccardDen, isinChunk)
         sink(b.join(novel.select(col(idCol)), Seq(idCol), "left_semi"), epoch)
         appendToStore(novel, name, idCol, numBands, rowsPerBand, buckets)
       }

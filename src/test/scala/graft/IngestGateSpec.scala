@@ -4,10 +4,11 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.IngestDedupGate
+import graft.streaming.{CurationStream, IngestDedupGate, ManifestStore}
 
 object IngestGateSpec {
   val admitted = new ConcurrentLinkedQueue[Long]()
+  val curated = new ConcurrentLinkedQueue[(Long, Long, String)]()
 }
 
 /** Streaming ingest dedup gate: redelivered / exact / near-dup documents
@@ -160,5 +161,52 @@ class IngestGateSpec extends SparkSuite {
     val all = IngestGateSpec.admitted.asScala.toVector
     assert(all.sorted == Vector(1L, 2L, 4L),
       s"restart must neither re-admit nor lose: $all")
+  }
+
+  test("composed curation stream: gate, quality cut and pinned dim enrich; restart sees dim updates") {
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    val words = (1 to 40).map(i => s"word$i").toArray; words(0) = "the"
+    val good = words.mkString(" ")
+    val goodNear = { val w = words.clone(); w(19) = "zz"; w.mkString(" ") }
+    val other = (1 to 40).map(i => s"other$i").toArray; other(1) = "and"
+    val good2 = other.mkString(" ")
+    val spam = (1 to 12).map(_ => "spam").mkString(" ")
+
+    val name = "t_cur_stream"
+    val srcDir = java.nio.file.Files.createTempDirectory("cur-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-ckpt").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("cur-dimd").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA"), (1, "crawlB")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val schema = Seq((0L, "", 0)).toDF("doc_id", "text", "source_id").schema
+    def start() = CurationStream.run(
+      spark.readStream.schema(schema).parquet(srcDir), name, dimDir,
+      "source_id", ckpt) { (out, _) =>
+      out.select("doc_id", "quality", "source").collect().foreach(r =>
+        IngestGateSpec.curated.add((r.getLong(0), r.getLong(1), r.getString(2))))
+    }
+    // batch 1: a quality doc, repetition spam (admitted by the gate —
+    // novel — but cut by the quality stage), a near-dup (gate-dropped)
+    Seq((1L, good, 0), (2L, spam, 1), (3L, goodNear, 1))
+      .toDF("doc_id", "text", "source_id").write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(IngestGateSpec.curated.asScala.toSet == Set((1L, 4L, "crawlA")),
+      s"batch-1 curated wrong: ${IngestGateSpec.curated.asScala.toSet}")
+    // spam WAS admitted to the store (dedup and quality are layered)
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // while stopped: dim update commits a new version; next file holds a
+    // novel doc and an exact redelivery
+    ManifestStore.upsert(Seq((0, "crawlA2")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    Seq((4L, good2, 0), (5L, good, 0))
+      .toDF("doc_id", "text", "source_id").write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(IngestGateSpec.curated.asScala.toSet ==
+      Set((1L, 4L, "crawlA"), (4L, 4L, "crawlA2")),
+      s"restart curated wrong: ${IngestGateSpec.curated.asScala.toSet}")
   }
 }

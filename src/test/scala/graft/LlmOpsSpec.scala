@@ -521,6 +521,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("clustering with a reliable checkpoint dir completes and matches the default path") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(80)
+    val ckpt = java.nio.file.Files.createTempDirectory("cluster-ckpt").toString
+    val viaReliable = Dedup.nearDupClusters(docs, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    val viaLocal = Dedup.nearDupClusters(docs).as[(Long, Long)].collect().toMap
+    assert(viaReliable == viaLocal && viaReliable.nonEmpty)
+    // the knob really switched to reliable storage: the dir holds rdd
+    // checkpoint data (executor-loss-survivable, unlike local blocks)
+    def hasData(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(hasData))
+    assert(hasData(new java.io.File(ckpt)), "no reliable checkpoint written")
+  }
+
   test("scale guard: no cartesian product in LSH candidate plans") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.lshCandidates(Dedup.features(docs))
