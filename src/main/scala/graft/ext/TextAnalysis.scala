@@ -142,12 +142,24 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** One [[graft.functions.RepetitionStats]] evaluation: the native
+    * single-pass struct(n_2grams, max_2gram_count, n_dup_2grams). The
+    * per-field accessors below all read this one call — codegen
+    * subexpression elimination collapses the repeated subtree.
+    */
+  private def repStats(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Run-length scan over the SORTED gram array: identical grams are
     * adjacent after the sort, so one left-to-right `aggregate` pass
     * yields per-gram frequencies with no explode and no aggregation
-    * shuffle — the whole statistic stays a per-row map expression, like
-    * every other member of this file. `finish` projects the wanted
-    * counter out of the (prev, run, max, dup) accumulator.
+    * shuffle. This is the DECLARATIVE SPEC of the native expression
+    * (tested against it in NativeExprSpec) — interpreted per element,
+    * ~1 ms/doc, so the query surface uses [[repStats]] instead.
+    * `finish` projects the wanted counter out of the (prev, run, max,
+    * dup) accumulator.
     */
   private def runLengthScan(text: Column,
                             finish: Column => Column): Column = {
@@ -169,14 +181,21 @@ object TextAnalysis {
   }
 
   /** Total word-2-gram occurrences of a document. */
-  def gramCount(text: Column): Column = size(grams(text)).cast("long")
+  def gramCount(text: Column): Column = repStats(text).getField("n_2grams")
 
   /** The most frequent word-2-gram's occurrence count. */
   def maxGramCount(text: Column): Column =
-    runLengthScan(text, acc => acc.getField("mx"))
+    repStats(text).getField("max_2gram_count")
 
   /** Occurrences whose 2-gram appears more than once in the document. */
   def dupGramCount(text: Column): Column =
+    repStats(text).getField("n_dup_2grams")
+
+  /** HOF spec twins of the native accessors (see [[runLengthScan]]). */
+  def gramCountHof(text: Column): Column = size(grams(text)).cast("long")
+  def maxGramCountHof(text: Column): Column =
+    runLengthScan(text, acc => acc.getField("mx"))
+  def dupGramCountHof(text: Column): Column =
     runLengthScan(text, acc => acc.getField("dup"))
 
   /** Word 2-gram repetition stats per document — the Gopher-style
@@ -187,20 +206,20 @@ object TextAnalysis {
     * max_2gram_count ≈ n_2grams; clean prose stays near 1. Documents
     * with fewer than 2 tokens emit (0, 0, 0).
     *
-    * Shape: a pure per-row pass (sort the doc's own gram array, run-
-    * length-scan it) — ZERO exchanges, asserted by the plan guard in
-    * LlmOpsSpec. The round-6 formulation exploded every gram occurrence
-    * through two corpus-wide hash aggregations and was the most
-    * expensive query in the bench; a per-document statistic never needs
-    * the corpus shuffled.
+    * Shape: ONE native single-pass expression per row
+    * ([[graft.functions.RepetitionStats]]) — ZERO exchanges, asserted
+    * by the plan guard in LlmOpsSpec. The round-6 formulation exploded
+    * every gram occurrence through two corpus-wide hash aggregations
+    * and was the most expensive query in the bench; a per-document
+    * statistic never needs the corpus shuffled.
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs.select(col(idCol),
-      gramCount(t).as("n_2grams"),
-      maxGramCount(t).as("max_2gram_count"),
-      dupGramCount(t).as("n_dup_2grams"))
+      coalesce(gramCount(t), lit(0L)).as("n_2grams"),
+      coalesce(maxGramCount(t), lit(0L)).as("max_2gram_count"),
+      coalesce(dupGramCount(t), lit(0L)).as("n_dup_2grams"))
   }
 
   /** The full per-document stats projection. */

@@ -56,6 +56,36 @@ class NativeExprSpec extends SparkSuite {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("native repetition stats are identical to the sorted run-length HOF spec on the corpus") {
+    import graft.ext.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = col("text")
+    val both = docs.select(
+      TextAnalysis.gramCount(t).as("ng"), TextAnalysis.gramCountHof(t).as("ngh"),
+      TextAnalysis.maxGramCount(t).as("mg"), TextAnalysis.maxGramCountHof(t).as("mgh"),
+      TextAnalysis.dupGramCount(t).as("dg"), TextAnalysis.dupGramCountHof(t).as("dgh"))
+    assert(both.filter(col("ng") =!= col("ngh") || col("mg") =!= col("mgh") ||
+      col("dg") =!= col("dgh")).count() == 0)
+    assert(both.count() > 0)
+    // edge shapes: null text → null struct (the query layer coalesces);
+    // short/empty/empty-word texts agree with the split(" ") semantics
+    import spark.implicits._
+    val edges = Seq("", "single", "a a", "a  a", " ", "x y x y x")
+      .toDF("text")
+    val e = edges.select(
+      TextAnalysis.gramCount(col("text")).as("ng"),
+      TextAnalysis.maxGramCount(col("text")).as("mg"),
+      TextAnalysis.dupGramCount(col("text")).as("dg"),
+      TextAnalysis.gramCountHof(col("text")).as("ngh"),
+      TextAnalysis.maxGramCountHof(col("text")).as("mgh"),
+      TextAnalysis.dupGramCountHof(col("text")).as("dgh"))
+    assert(e.filter(col("ng") =!= col("ngh") || col("mg") =!= col("mgh") ||
+      col("dg") =!= col("dgh")).count() == 0)
+    val nul = Seq((1L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.maxGramCount(col("text"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("native shingle-hash set is identical to the HOF formulation on the corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val both = docs.select(
