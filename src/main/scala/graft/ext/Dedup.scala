@@ -350,15 +350,21 @@ object Dedup {
     * production) to switch the round frames to RELIABLE checkpoints:
     * each round's labels survive executor loss, the long-clustering
     * durability knob for corpora where restarting from round 0 is the
-    * expensive path.
+    * expensive path. The context's checkpoint dir is set ONCE per call
+    * (setCheckpointDir mints a fresh UUID subdir, so probing
+    * getCheckpointDir for equality can never match — and the knob is
+    * SparkContext-global, shared with any concurrent job); checkpoint
+    * files persist after the job (`cleanCheckpoints` is off by
+    * default) — the caller owns deleting the directory when done.
     */
   def clusterLabels(nodes: DataFrame, edges: DataFrame,
                     maxRounds: Int = 50, strict: Boolean = false,
                     checkpointDir: Option[String] = None): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
+    var ckptDirSet = false
     def pin(df: DataFrame): DataFrame = checkpointDir match {
       case Some(d) =>
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        if (!ckptDirSet) { sc.setCheckpointDir(d); ckptDirSet = true }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

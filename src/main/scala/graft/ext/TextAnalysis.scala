@@ -120,8 +120,14 @@ object TextAnalysis {
     // avg token length in [3, 12] via cross-multiplication (no division)
     val shapeOk = when(totalTokenChars(text) >= nTok * 3 &&
       totalTokenChars(text) <= nTok * 12, 1).otherwise(0)
-    val nG = gramCount(text)
-    val repOk = when(nG < 5 || maxGramCount(text) * 5 <= nG, 1).otherwise(0)
+    // null text coalesces to the zero-gram shape BEFORE the predicate:
+    // the DuckDB replay's gram list is `[]` for null text (ELSE branch
+    // of the CASE), so its n_2grams is 0 and the term scores 1 — an
+    // uncoalesced null here would score 0 and break the cross-engine
+    // hash on any corpus containing a null text
+    val nG = coalesce(gramCount(text), lit(0L))
+    val repOk = when(nG < 5 ||
+      coalesce(maxGramCount(text), lit(0L)) * 5 <= nG, 1).otherwise(0)
     (lenOk + swOk + shapeOk + repOk).as("quality")
   }
 
