@@ -660,12 +660,16 @@ object Similarity {
   /** Search-only PQ ANN over the persisted index: per query, the m×k
     * LUT against the stored codebooks, then one codes-table scan — no
     * training, no encoding, no float vectors read from the corpus
-    * (queries supply their own).
+    * (queries supply their own). m/dims are checked against the build's
+    * recorded parameters — a mismatched caller would slice subspaces
+    * wrong and return plausible-but-wrong neighbors, the same silent
+    * corruption the append paths already reject.
     */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
                     queries: DataFrame, kNn: Int, m: Int = 8, dims: Int = 64,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    requireIndexMeta(spark, name, Seq("m" -> m, "dims" -> dims))
     val sub = dims / m
     val cents = spark.table(s"${name}_codebooks")
     val codes = spark.table(s"${name}_codes")
@@ -720,12 +724,14 @@ object Similarity {
     * training, zero encoding, zero corpus floats on the query path
     * (queries supply their own vectors). Bit-identical to [[ivfPqTopK]]
     * under the same quantizers, proven by the shared t_ann_ivfpq oracle.
+    * m/dims are meta-checked like [[pqTopKIndexed]].
     */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
                        queries: DataFrame, kNn: Int, nProbe: Int = 6,
                        m: Int = 8, dims: Int = 64,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
+    requireIndexMeta(spark, name, Seq("m" -> m, "dims" -> dims))
     val cents = spark.table(s"${name}_centroids")
     val lists = spark.table(s"${name}_lists")
     val books = spark.table(s"${name}_codebooks")
