@@ -57,11 +57,20 @@ object StreamBench {
         val body =
           if (math.floorMod(id, 10) == 7) // repetition spam → quality-gated
             (1 to 12).map(_ => "spam").mkString(" ")
-          else if (math.floorMod(id, 10) == 3 && b > 0) // exact redeliver → gate-dropped
-            docText(id - size + 1) // +1: reference a doc whose text was stored
-
-
-          else docText(id)
+          else if (math.floorMod(id, 10) == 3 && b > 0) {
+            // exact redeliver → gate-dropped: pick an EARLIER-batch slot
+            // whose body was actually stored as docText — slots with
+            // residue 3 (redeliver) or 7 (spam) never stored docText, and
+            // which residues those are shifts with the batch size, so the
+            // slot is searched, not assumed (a size ending in 1 or 7 made
+            // the old id-size+1 choice a novel doc and silently changed
+            // the admitted mix)
+            val dec = (id - size) - math.floorMod(id - size, 10)
+            val j = (0 until 10).iterator.map(dec + _)
+              .find(x => x >= 0 && math.floorMod(x, 10) != 3 &&
+                math.floorMod(x, 10) != 7).get
+            docText(j)
+          } else docText(id)
         (id, body, math.floorMod(id, 20).toInt)
       }
 

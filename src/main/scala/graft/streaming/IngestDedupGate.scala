@@ -76,17 +76,26 @@ object IngestDedupGate {
       "feats")
   }
 
-  /** Union of per-chunk isin-pruned scans of `store`: every chunk's
-    * IN-list pushes to parquet row-group stats (the store files are
-    * key-sorted), so a batch with MORE distinct keys than one IN list
-    * comfortably holds costs more pruned scans — never one unpruned
-    * full-store scan (the previous all-or-nothing fallback). Empty key
-    * set reads nothing.
+  /** Union of per-chunk isin-pruned scans of `store`: keys are SORTED
+    * before chunking, so each chunk covers a contiguous key range. A
+    * chunk within `spark.sql.parquet.pushdown.inFilterThreshold`
+    * (default 10) pushes its IN list to parquet row-group stats
+    * verbatim; a bigger chunk degrades to a min/max RANGE push — which
+    * the sort keeps TIGHT, because a contiguous chunk's range excludes
+    * every row group outside its key span (the store files are
+    * key-sorted, so row-group stats resolve range predicates well).
+    * Raising the threshold instead is a trap: parquet evaluates a large
+    * pushed IN as a recursive OR tree and a few thousand values
+    * stack-overflow the scan. Either way a batch with more distinct
+    * keys than one IN list holds costs more pruned scans — never one
+    * unpruned full-store scan. Empty key set reads nothing.
     */
   private[graft] def prunedByKeys(store: DataFrame, keyCol: String,
                                   keys: Seq[Any], chunk: Int): DataFrame =
     if (keys.isEmpty) store.filter(lit(false))
-    else keys.grouped(chunk)
+    else keys.sortWith((a, b) =>
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      .grouped(chunk)
       .map(ks => store.filter(col(keyCol).isin(ks: _*)))
       .reduce(_.union(_))
 
@@ -174,20 +183,26 @@ object IngestDedupGate {
     val passing = Dedup.withJaccard(bcand, "doc_a", "doc_b", checked, checked, idCol)
       .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val batchDups = passing.select(col("doc_b").as(idCol)).distinct()
-    // chained-drop disclosure: a dropped doc whose EVERY keeper was
-    // itself dropped has no admitted near-dup — data loss, not dedup
-    val dropsAsA = passing.select(col("doc_b").as("doc_a")).distinct()
-    val withAliveKeeper = passing.join(dropsAsA, Seq("doc_a"), "left_anti")
-      .select(col("doc_b")).distinct()
-    val orphaned = passing.select(col("doc_b")).distinct()
-      .join(withAliveKeeper, Seq("doc_b"), "left_anti").count()
-    if (orphaned > 0)
-      log.warn(s"ingest gate: $orphaned within-batch doc(s) dropped although " +
-        "every admitted-keeper candidate was itself dropped (chained " +
-        "near-dups) — their content has no admitted representative in this " +
-        "batch; run a corpus-level dedupedCorpus pass if that matters")
-    checked.join(batchDups, Seq(idCol), "left_anti").localCheckpoint()
+    // the common batch has ZERO within-batch near-dup pairs — skip the
+    // drop anti-join and the orphan probe's two joins + count entirely
+    // (isEmpty on the checkpointed pair frame is a cheap partition peek)
+    if (passing.isEmpty) checked
+    else {
+      val batchDups = passing.select(col("doc_b").as(idCol)).distinct()
+      // chained-drop disclosure: a dropped doc whose EVERY keeper was
+      // itself dropped has no admitted near-dup — data loss, not dedup
+      val dropsAsA = passing.select(col("doc_b").as("doc_a")).distinct()
+      val withAliveKeeper = passing.join(dropsAsA, Seq("doc_a"), "left_anti")
+        .select(col("doc_b")).distinct()
+      val orphaned = passing.select(col("doc_b")).distinct()
+        .join(withAliveKeeper, Seq("doc_b"), "left_anti").count()
+      if (orphaned > 0)
+        log.warn(s"ingest gate: $orphaned within-batch doc(s) dropped although " +
+          "every admitted-keeper candidate was itself dropped (chained " +
+          "near-dups) — their content has no admitted representative in this " +
+          "batch; run a corpus-level dedupedCorpus pass if that matters")
+      checked.join(batchDups, Seq(idCol), "left_anti").localCheckpoint()
+    }
   }
 
   private def writeSorted(df: DataFrame, path: String, key: String,
