@@ -346,6 +346,8 @@ object Similarity {
       buckets)
     writeIndexMeta(corpus.sparkSession, name,
       Seq("centroids" -> centroids, "buckets" -> buckets))
+    writeDriftBaseline(corpus.sparkSession, name,
+      Seq("ivf_assign" -> assignDistance(corpus, cents, idCol, vecCol)))
   }
 
   /** One-row build-parameter record per index, checked at append time —
@@ -372,6 +374,112 @@ object Similarity {
       require(built == fields,
         s"index '$name' append parameters $fields do not match its build $built")
     }
+
+  // ── Drift measurement — the rebuild trigger for frozen quantizers ──
+
+  /** Appends tolerate a delta whose mean quantization error is up to
+    * this many × the build corpus's before disclosing (WARN) or, in
+    * strict mode, refusing — without a measured trigger, "re-train +
+    * rebuild only on drift" is vibes, and daily frozen-quantizer
+    * appends silently degrade recall.
+    */
+  val DefaultMaxDriftRatio = 3.0
+
+  /** Per-vector coarse-assignment distance (1 − cosine to the nearest
+    * centroid): the IVF quantization error a drifting corpus inflates.
+    */
+  private def assignDistance(df: DataFrame, cents: DataFrame,
+                             idCol: String, vecCol: String): DataFrame =
+    df.join(broadcast(cents))
+      .select(col(idCol), (lit(1.0) - cosine(col(vecCol), col("cvec"))).as("d"))
+      .groupBy(col(idCol)).agg(min(col("d")).as("d"))
+
+  /** Per-vector PQ reconstruction residual: the squared L2 to the
+    * nearest codebook cell, summed over subspaces — what ADC scoring
+    * error tracks when the frozen codebooks stop fitting the data.
+    */
+  private def pqResidual(df: DataFrame, books: DataFrame, m: Int, dims: Int,
+                         idCol: String, vecCol: String): DataFrame =
+    subspaces(df.select(col(idCol), col(vecCol)), vecCol, "xv", m, dims / m)
+      .join(broadcast(books), Seq("subspace"))
+      .select(col(idCol), col("subspace"), l2sq(col("xv"), col("cvec")).as("d"))
+      .groupBy(col(idCol), col("subspace")).agg(min(col("d")).as("d"))
+      .groupBy(col(idCol)).agg(sum(col("d")).as("d"))
+
+  private def distStats(dists: DataFrame): (Double, Double) = {
+    val r = dists.agg(avg(col("d")), expr("percentile(d, 0.99)")).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Persist the build corpus's quantization-error stats as
+    * `<name>_drift` (metric, mean, p99) — the baseline every later
+    * [[indexDrift]] comparison and append-time check reads.
+    */
+  private def writeDriftBaseline(spark: org.apache.spark.sql.SparkSession,
+                                 name: String,
+                                 stats: Seq[(String, DataFrame)]): Unit =
+    graft.core.Layout.writeBucketed(
+      spark.createDataFrame(stats.map { case (metric, dists) =>
+        val (mean, p99) = distStats(dists); (metric, mean, p99)
+      }).toDF("metric", "mean", "p99"),
+      s"${name}_drift", "metric", 1)
+
+  /** Quantization-error drift of a delta against the index's FROZEN
+    * quantizers: one row per trained artifact (`ivf_assign` for a
+    * coarse quantizer, `pq_residual` for PQ codebooks) comparing the
+    * delta's error stats to the build corpus's persisted baseline.
+    * `mean_ratio` ≳ [[DefaultMaxDriftRatio]] means the frozen training
+    * no longer fits the data and the index wants a re-train + rebuild.
+    * LSH indexes have no entry by design: sign-buckets are a pure
+    * per-row function with no trained state to drift from.
+    */
+  def indexDrift(spark: org.apache.spark.sql.SparkSession, name: String,
+                 delta: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(spark.catalog.tableExists(s"${name}_drift"),
+      s"index '$name' has no drift baseline — built before drift tracking " +
+        "(rebuild to record one) or an LSH index (no trained state)")
+    val base = spark.table(s"${name}_drift").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = base.toSeq.sortBy(_._1).map { case (metric, (bMean, bP99)) =>
+      val dists = metric match {
+        case "ivf_assign" =>
+          assignDistance(delta, spark.table(s"${name}_centroids"), idCol, vecCol)
+        case "pq_residual" =>
+          val m0 = spark.table(s"${name}_meta").head()
+          pqResidual(delta, spark.table(s"${name}_codebooks"),
+            m0.getInt(m0.fieldIndex("m")), m0.getInt(m0.fieldIndex("dims")),
+            idCol, vecCol)
+      }
+      val (dMean, dP99) = distStats(dists)
+      (metric, bMean, bP99, dMean, dP99, dMean / bMean)
+    }
+    spark.createDataFrame(rows).toDF("metric", "build_mean", "build_p99",
+      "delta_mean", "delta_p99", "mean_ratio")
+  }
+
+  /** Append-time drift gate: measure the delta against the baseline,
+    * WARN (or throw, strict) past `maxDriftRatio`. One delta-sized pass
+    * — the same cost class as the append's own assignment/encoding.
+    * Indexes built before drift tracking skip silently (no baseline).
+    */
+  private def checkDrift(delta: DataFrame, name: String, maxDriftRatio: Double,
+                         strict: Boolean, idCol: String, vecCol: String): Unit = {
+    val spark = delta.sparkSession
+    if (maxDriftRatio > 0 && !maxDriftRatio.isInfinite &&
+        spark.catalog.tableExists(s"${name}_drift")) {
+      val drifted = indexDrift(spark, name, delta, idCol, vecCol)
+        .filter(col("mean_ratio") > maxDriftRatio).collect()
+      if (drifted.nonEmpty) {
+        val msg = s"index '$name': delta drift exceeds $maxDriftRatio× the build corpus — " +
+          drifted.map(r => f"${r.getString(0)} mean ${r.getDouble(3)}%.4g vs " +
+            f"build ${r.getDouble(1)}%.4g (${r.getDouble(5)}%.1f×)").mkString("; ") +
+          " — the frozen quantizers no longer fit the data: re-train + rebuild"
+        if (strict) throw new IllegalStateException(msg)
+        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
+  }
 
   /** Search-only IVF over the persisted index — the hot path: reads the
     * quantizer + bucketed inverted lists back and runs
@@ -434,17 +542,22 @@ object Similarity {
     * centroids are not retrained, so existing inverted lists stay
     * valid) and appended to the cell-bucketed lists. Search over the
     * appended index equals search over assign-everything-at-once under
-    * the same quantizer. Re-train + rebuild only when drift warrants it.
+    * the same quantizer. Drift vs the build baseline is measured per
+    * append ([[checkDrift]]): past `maxDriftRatio` it WARNs — or
+    * refuses with `strictDrift` — that a re-train + rebuild is due.
     */
   def appendToIvfIndex(delta: DataFrame, name: String, buckets: Int = 8,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       maxDriftRatio: Double = DefaultMaxDriftRatio,
+                       strictDrift: Boolean = false): Unit = {
     if (delta.sparkSession.catalog.tableExists(s"${name}_meta")) {
       val m = delta.sparkSession.table(s"${name}_meta").head()
       require(m.getInt(m.fieldIndex("buckets")) == buckets,
         s"index '$name' append buckets=$buckets does not match its build " +
           s"buckets=${m.getInt(m.fieldIndex("buckets"))}")
     }
+    checkDrift(delta, name, maxDriftRatio, strictDrift, idCol, vecCol)
     val cents = delta.sparkSession.table(s"${name}_centroids")
     graft.core.Layout.appendBucketed(
       assignCells(delta, cents, idCol, vecCol), s"${name}_lists", "cell",
@@ -639,6 +752,8 @@ object Similarity {
     writeIndexMeta(corpus.sparkSession, name,
       Seq("m" -> m, "codebook_size" -> codebookSize, "dims" -> dims,
         "buckets" -> buckets))
+    writeDriftBaseline(corpus.sparkSession, name,
+      Seq("pq_residual" -> pqResidual(corpus, cents, m, dims, idCol, vecCol)))
   }
 
   /** Append new vectors to a persisted PQ index: the delta is encoded
@@ -648,9 +763,12 @@ object Similarity {
   def appendToPqIndex(delta: DataFrame, name: String, m: Int = 8,
                       dims: Int = 64, buckets: Int = 8,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Unit = {
+                      vecCol: String = "embedding",
+                      maxDriftRatio: Double = DefaultMaxDriftRatio,
+                      strictDrift: Boolean = false): Unit = {
     requireIndexMeta(delta.sparkSession, name,
       Seq("m" -> m, "dims" -> dims, "buckets" -> buckets))
+    checkDrift(delta, name, maxDriftRatio, strictDrift, idCol, vecCol)
     val cents = delta.sparkSession.table(s"${name}_codebooks")
     graft.core.Layout.appendBucketed(
       pqEncode(delta, cents, m, dims, idCol, vecCol), s"${name}_codes",
@@ -716,6 +834,9 @@ object Similarity {
     writeIndexMeta(corpus.sparkSession, name,
       Seq("centroids" -> centroids, "m" -> m,
         "codebook_size" -> codebookSize, "dims" -> dims, "buckets" -> buckets))
+    writeDriftBaseline(corpus.sparkSession, name,
+      Seq("ivf_assign" -> assignDistance(corpus, cents, idCol, vecCol),
+        "pq_residual" -> pqResidual(corpus, books, m, dims, idCol, vecCol)))
   }
 
   /** Search-only IVF×PQ over the persisted composite: probes from the
@@ -754,14 +875,19 @@ object Similarity {
     * valid) and encoded against the FROZEN codebooks — the same
     * maintenance contract as [[appendToIvfIndex]] + [[appendToPqIndex]],
     * in one call over one composite artifact. Daily ingest touches
-    * daily-ingest-sized data; re-train + rebuild only on drift.
+    * daily-ingest-sized data; "rebuild on drift" is MEASURED, not
+    * vibes — both quantizers' error ratios are checked per append
+    * against the build baseline ([[indexDrift]]).
     */
   def appendToIvfPqIndex(delta: DataFrame, name: String, m: Int = 8,
                          dims: Int = 64, buckets: Int = 8,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): Unit = {
+                         vecCol: String = "embedding",
+                         maxDriftRatio: Double = DefaultMaxDriftRatio,
+                         strictDrift: Boolean = false): Unit = {
     requireIndexMeta(delta.sparkSession, name,
       Seq("m" -> m, "dims" -> dims, "buckets" -> buckets))
+    checkDrift(delta, name, maxDriftRatio, strictDrift, idCol, vecCol)
     val spark = delta.sparkSession
     graft.core.Layout.appendBucketed(
       assignCells(delta, spark.table(s"${name}_centroids"), idCol, vecCol)

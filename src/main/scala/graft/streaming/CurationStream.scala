@@ -35,13 +35,26 @@ object CurationStream {
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
     * `sink` enriched (left outer — a doc with no dim row survives with
     * nulls) with a `quality` column attached.
+    *
+    * The dedup knobs (`n`/`numBands`/`rowsPerBand`/`jaccardNum`/
+    * `jaccardDen`) and the maintenance cadence (`compactEvery`/
+    * `vacuumAfterCompact`) pass straight through to
+    * [[IngestDedupGate.gate]] — the composed flagship exposes the same
+    * tuning surface as its stages, so a production corpus isn't pinned
+    * to the demo thresholds.
     */
   def run(docs: DataFrame, storeName: String, dimDir: String, dimKey: String,
           checkpointDir: String, idCol: String = "doc_id",
-          textCol: String = "text", minQuality: Int = 3)
+          textCol: String = "text", minQuality: Int = 3, n: Int = 3,
+          numBands: Int = 4, rowsPerBand: Int = 2, jaccardNum: Int = 8,
+          jaccardDen: Int = 10, compactEvery: Int = 0,
+          vacuumAfterCompact: Boolean = true)
          (sink: (DataFrame, Long) => Unit): StreamingQuery =
     IngestDedupGate.gate(docs, storeName, checkpointDir,
-      idCol = idCol, textCol = textCol) { (novel, epoch) =>
+      idCol = idCol, textCol = textCol, n = n, numBands = numBands,
+      rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,
+      jaccardDen = jaccardDen, compactEvery = compactEvery,
+      vacuumAfterCompact = vacuumAfterCompact) { (novel, epoch) =>
       val gated = novel
         .withColumn("quality",
           TextAnalysis.qualityScore(col(textCol)).cast("long"))

@@ -90,11 +90,25 @@ object IngestDedupGate {
     * keys than one IN list holds costs more pruned scans — never one
     * unpruned full-store scan. Empty key set reads nothing.
     */
+  /** The supported key types, spelled out instead of a blind
+    * `Comparable[Any]` cast: band keys and doc ids are integral or
+    * String by construction; anything else (array/struct keys) would
+    * have thrown an opaque ClassCastException mid-sort — reject it at
+    * the boundary with a message that names the contract.
+    */
+  private def keyOrdering(sample: Any): Ordering[Any] = sample match {
+    case _: Long | _: Int | _: Short | _: Byte =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
+    case _: String => Ordering.by((x: Any) => x.asInstanceOf[String])
+    case other => throw new IllegalArgumentException(
+      s"prunedByKeys needs integral or String keys (sorted so each chunk " +
+        s"covers a contiguous range); got ${other.getClass.getName}")
+  }
+
   private[graft] def prunedByKeys(store: DataFrame, keyCol: String,
                                   keys: Seq[Any], chunk: Int): DataFrame =
     if (keys.isEmpty) store.filter(lit(false))
-    else keys.sortWith((a, b) =>
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+    else keys.sorted(keyOrdering(keys.head))
       .grouped(chunk)
       .map(ks => store.filter(col(keyCol).isin(ks: _*)))
       .reduce(_.union(_))
@@ -269,20 +283,40 @@ object IngestDedupGate {
     * them (with their original payload columns) to `sink`, then persist
     * their signatures. `sink` receives (novel-docs, epochId) and must be
     * idempotent per epoch.
+    *
+    * Maintenance cadence: `compactEvery = N` folds the store back to one
+    * version dir whenever the committed manifest references ≥ N dirs
+    * (then vacuums the superseded ones unless `vacuumAfterCompact` is
+    * off) — the self-driving answer to the per-batch version
+    * accumulation ([[compactStore]]'s ~8.6k file sets per month of
+    * 5-minute batches). Counting DIRS rather than batches makes the
+    * cadence restart-safe: a resumed query sees the store as it is, not
+    * a counter that died with the previous driver. Compaction runs
+    * AFTER the batch's own commit, so a crash mid-compaction leaves the
+    * just-committed data fully visible; `0` disables (the default —
+    * callers owning an external maintenance schedule keep it).
     */
   def gate(docs: DataFrame, name: String, checkpointDir: String,
            idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
            numBands: Int = 4, rowsPerBand: Int = 2, jaccardNum: Int = 8,
-           jaccardDen: Int = 10, buckets: Int = 8, isinChunk: Int = 10000)
+           jaccardDen: Int = 10, buckets: Int = 8, isinChunk: Int = 10000,
+           compactEvery: Int = 0, vacuumAfterCompact: Boolean = true)
           (sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
         val b = batch.toDF()
+        val spark = b.sparkSession
         val novel = filterNovel(b, name, idCol, textCol, n, numBands,
           rowsPerBand, jaccardNum, jaccardDen, isinChunk)
         sink(b.join(novel.select(col(idCol)), Seq(idCol), "left_semi"), epoch)
         appendToStore(novel, name, idCol, numBands, rowsPerBand, buckets)
+        if (compactEvery > 0 &&
+            ManifestStore.latestManifest(spark, storeDir(spark, name))
+              .exists(_.dirs.size >= compactEvery)) {
+          compactStore(spark, name, idCol, buckets)
+          if (vacuumAfterCompact) vacuumStore(spark, name)
+        }
       }
       .start()
 }

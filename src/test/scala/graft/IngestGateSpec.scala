@@ -131,6 +131,109 @@ class IngestGateSpec extends SparkSuite {
     assert(IngestDedupGate.prunedByKeys(df, "k", Nil, 2).count() == 0)
   }
 
+  test("gate maintenance cadence: compactEvery bounds store versions, decisions survive compaction") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.admitted.clear()
+    val name = "t_gate_maint"
+    val ckpt = java.nio.file.Files.createTempDirectory("gate-maint").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = IngestDedupGate.gate(ms.toDF().toDF("doc_id", "text"), name, ckpt,
+      compactEvery = 3) { (novel, _) =>
+      novel.select("doc_id").collect()
+        .foreach(r => IngestGateSpec.admitted.add(r.getLong(0)))
+    }
+    // token sets are disjoint per doc: zero shared shingles, all novel
+    def uniq(id: Long) = (1 to 12).map(w => s"tok${id}q$w").mkString(" ")
+    val dir = IngestDedupGate.storeDir(spark, name)
+    try {
+      val sizes = (0 until 9).map { b =>
+        ms.addData((b * 10L, uniq(b * 10L)), (b * 10L + 1, uniq(b * 10L + 1)))
+        q.processAllAvailable()
+        ManifestStore.latestManifest(spark, dir).get.dirs.size
+      }
+      assert(sizes.max <= 3, s"cadence failed to bound versions: $sizes")
+      assert(sizes.min == 1, s"compaction never folded the store: $sizes")
+      // decisions survive a compaction boundary: an exact copy of
+      // batch-0 content (under a new id) must still be dropped
+      ms.addData((900L, uniq(0L)), (901L, uniq(901L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = IngestGateSpec.admitted.asScala.toSet
+    assert(!admitted.contains(900L), "exact copy of compacted content re-admitted")
+    assert(admitted.contains(901L), "novel doc lost after compaction")
+    assert(admitted.size == 19, s"admit count wrong: ${admitted.size}")
+    // vacuumAfterCompact reclaimed the folded dirs: the physical dir
+    // count stays bounded instead of growing one per batch
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("d-"))
+    assert(nDirs <= 4, s"vacuum left $nDirs version dirs")
+  }
+
+  test("prunedByKeys: integral/String key contract enforced, unsupported types rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "k")
+    val e = intercept[IllegalArgumentException] {
+      IngestDedupGate.prunedByKeys(df, "k",
+        Seq(Array(1, 2), Array(3, 4)), chunk = 10)
+    }
+    assert(e.getMessage.contains("integral or String"), e.getMessage)
+    // boxed Long keys (what collect() hands back) sort numerically —
+    // 1,2,10 chunks as [1,2]+[10], not the lexicographic [1,10]+[2]
+    val p = java.nio.file.Files.createTempDirectory("gate-longs").toString + "/d"
+    (1L to 10L).map(i => (i, i)).toDF("id", "k")
+      .repartition(1).sortWithinPartitions("k").write.parquet(p)
+    val boxed: Seq[Any] = Seq(10L, 1L, 2L).map(java.lang.Long.valueOf)
+    val pruned = IngestDedupGate.prunedByKeys(spark.read.parquet(p), "k",
+      boxed, chunk = 2)
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 2L, 10L))
+    // numeric chunk boundaries in the pushed filters (a lexicographic
+    // sort would have chunked [1,10] + [2]); the singleton chunk pushes
+    // as EqualTo — the degenerate tight range
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("In(k, [1,2])"), plan)
+    assert(plan.contains("EqualTo(k,10)"), plan)
+  }
+
+  test("oversized IN chunk degrades to a TIGHT range push: out-of-range sorted files are skipped") {
+    // the production shape the isinChunk=10000 default actually hits:
+    // a chunk far above spark.sql.parquet.pushdown.inFilterThreshold
+    // (default 10) cannot push its IN list verbatim — parquet receives
+    // a min/max RANGE predicate instead, and because prunedByKeys sorts
+    // keys before chunking, that range stays tight: row groups of
+    // key-sorted store files outside the chunk's span are skipped
+    val p = java.nio.file.Files.createTempDirectory("gate-range").toString + "/d"
+    spark.range(30000).select(col("id"), col("id").as("k"))
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .write.parquet(p)
+    val keys: Seq[Any] = (0L until 50L).map(java.lang.Long.valueOf)
+    def scanRows(filterPushdown: Boolean): Long = {
+      spark.conf.set("spark.sql.parquet.filterPushdown", filterPushdown)
+      try {
+        val pruned = IngestDedupGate.prunedByKeys(
+          spark.read.parquet(p), "k", keys, chunk = 50)
+        assert(pruned.collect().length == 50)
+        val plan = pruned.queryExecution.executedPlan
+        if (filterPushdown)
+          assert(plan.toString.contains("PushedFilters: [In(k"), plan.toString)
+        plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+      } finally spark.conf.unset("spark.sql.parquet.filterPushdown")
+    }
+    // control: pushdown off reads every row of all three files
+    assert(scanRows(filterPushdown = false) == 30000L)
+    // with the range push, only the one file whose key span overlaps
+    // [0, 49] surfaces rows — the other two files' row groups are never
+    // read (range-partitioner sampling puts the first split near, not
+    // exactly at, 10k rows — hence the ~⅓ bound, not an exact count)
+    val read = scanRows(filterPushdown = true)
+    assert(read <= 11000L, s"range push failed to skip sorted files: read $read rows")
+  }
+
   test("gate restart resumes from checkpoint: committed docs not re-admitted, new docs not lost") {
     import spark.implicits._
     IngestGateSpec.admitted.clear()
@@ -161,6 +264,45 @@ class IngestGateSpec extends SparkSuite {
     val all = IngestGateSpec.admitted.asScala.toVector
     assert(all.sorted == Vector(1L, 2L, 4L),
       s"restart must neither re-admit nor lose: $all")
+  }
+
+  test("composed curation stream honors non-default dedup and quality thresholds") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    val words = (1 to 40).map(i => s"kword$i").toArray; words(0) = "the"
+    val good = words.mkString(" ")
+    // one middle word changed: Jaccard ≈ 0.85 — dropped by the default
+    // 8/10 gate, ADMITTED under the stricter 9/10 cut
+    val goodNear = { val w = words.clone(); w(19) = "zz"; w.mkString(" ") }
+    // healthy shape but zero stopwords → quality 3: passes the default
+    // minQuality = 3, cut by minQuality = 4
+    val q3 = (1 to 15).map(i => s"kterm$i").mkString(" ")
+    val name = "t_cur_knobs"
+    val dimDir = java.nio.file.Files.createTempDirectory("knob-dim").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA"), (1, "crawlB")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("knob-ckpt").toString,
+      minQuality = 4, jaccardNum = 9, jaccardDen = 10) { (out, _) =>
+      out.select("doc_id", "quality", "source").collect().foreach(r =>
+        IngestGateSpec.curated.add((r.getLong(0), r.getLong(1), r.getString(2))))
+    }
+    try {
+      ms.addData((1L, good, 0), (2L, goodNear, 1), (3L, q3, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(IngestGateSpec.curated.asScala.toSet ==
+      Set((1L, 4L, "crawlA"), (2L, 4L, "crawlB")),
+      s"knobbed curated set wrong: ${IngestGateSpec.curated.asScala.toSet}")
+    // the quality-cut doc was still ADMITTED by the gate (layering
+    // unchanged): all three signatures reached the store
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
   test("composed curation stream: gate, quality cut and pinned dim enrich; restart sees dim updates") {

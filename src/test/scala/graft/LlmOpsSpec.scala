@@ -412,6 +412,47 @@ class LlmOpsSpec extends SparkSuite {
     assert(bad.getMessage.contains("do not match"), bad.getMessage)
   }
 
+  test("ANN drift: build writes a baseline, in-distribution delta is quiet, shifted delta trips the trigger") {
+    val emb = Tables.embeddings(spark, sf)
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    Similarity.buildIvfPqIndex(first, "t_drift_idx", centroids = 8)
+    // build persisted both quantizers' error baselines
+    assert(spark.table("t_drift_idx_drift")
+      .select("metric").collect().map(_.getString(0)).toSet ==
+      Set("ivf_assign", "pq_residual"))
+    // an in-distribution delta (the held-out half of the same corpus)
+    // stays within the trigger — the strict append accepts it
+    val d = Similarity.indexDrift(spark, "t_drift_idx", rest)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(d.keySet == Set("ivf_assign", "pq_residual"))
+    assert(d.values.forall(_ < Similarity.DefaultMaxDriftRatio),
+      s"in-distribution delta reads as drifted: $d")
+    Similarity.appendToIvfPqIndex(rest, "t_drift_idx", strictDrift = true)
+    // an out-of-distribution delta (vectors shoved far off the build
+    // manifold) blows past the trigger; the strict append REFUSES
+    // before mutating the index
+    val shifted = rest.withColumn("embedding",
+      transform(col("embedding"), x => (x * lit(-1.0) + lit(9.0)).cast("float")))
+    val codesBefore = spark.table("t_drift_idx_codes").count()
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIvfPqIndex(shifted, "t_drift_idx", strictDrift = true)
+    }
+    assert(e.getMessage.contains("re-train + rebuild"), e.getMessage)
+    assert(spark.table("t_drift_idx_codes").count() == codesBefore,
+      "strict drift refusal must not mutate the index")
+    // the measured ratios say WHICH quantizer no longer fits
+    val shiftedDrift = Similarity.indexDrift(spark, "t_drift_idx", shifted)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(shiftedDrift("pq_residual") > Similarity.DefaultMaxDriftRatio,
+      s"shifted delta should trip: $shiftedDrift")
+    // an index with no trained state has no drift story — contract error
+    val noBase = intercept[IllegalArgumentException] {
+      Similarity.indexDrift(spark, "t_no_such_index", rest)
+    }
+    assert(noBase.getMessage.contains("drift baseline"), noBase.getMessage)
+  }
+
   test("near-dup clustering: transitive chain collapses to one representative") {
     import spark.implicits._
     // A~B and B~C clear the 8/10 Jaccard cut; A–C does not (changing one
