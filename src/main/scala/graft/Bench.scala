@@ -19,16 +19,28 @@ import graft.core.Sessions
   *  - failures are *reported*, not swallowed: a failed query records -1
   *    and is listed in `failed`, never silently contributing a fake time;
   *  - bench plans exclude verification-only output sorts
-  *    (SparkEntry.benchQueries vs .queries).
+  *    (SparkEntry.benchQueries vs .queries);
+  *  - `iters` defaults to 5 and `queries_stats` carries a TRIMMED mean
+  *    (drop one min + one max) beside the median: 3 samples under
+  *    system contention skewed round-over-round reads (a 17.99 s max on
+  *    a 3 s-median query); n=5 with a trimmed mean absorbs one outlier
+  *    completely;
+  *  - the two STREAMING anchors (composed curation flagship docs/s,
+  *    ratings-topology ev/s) run once, untimed-warm-up included, and
+  *    land in a `stream` section placed BEFORE `queries` in the JSON
+  *    line — the driver's artifact tail truncates from the right, so
+  *    the streaming numbers survive even when the per-query tail is cut.
+  *    `SPARK_GRAFT_BENCH_STREAM=0` skips them.
   *
   * Output: one JSON line; `queries` maps name → median seconds (the
-  * driver contract), `queries_stats` maps name → {median, n, min, max}.
+  * driver contract), `queries_stats` maps name → {median, tmean, n,
+  * min, max}.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = Sessions.build("graft-bench", cpus)
 
     val ordered = SparkEntry.benchQueries.sortBy(_._1)
@@ -67,6 +79,13 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // trimmed mean: drop one min and one max, average the rest — one
+    // contention spike contributes zero instead of skewing the mean
+    def tmean(xs: List[Double]): Double = {
+      val s = xs.sorted
+      val kept = if (s.size >= 3) s.slice(1, s.size - 1) else s
+      kept.sum / kept.size
+    }
     val results = ordered.map { case (name, _) =>
       samples.get(name).filter(_.nonEmpty) match {
         case Some(xs) => (name, median(xs), xs)
@@ -74,15 +93,29 @@ object Bench {
       }
     }
 
+    // streaming anchors (one run each, in-session): composed curation
+    // flagship + ratings topology — the durable per-round record of the
+    // numbers StreamBench's mains otherwise print into the void
+    val streamJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "0") ""
+      else {
+        // 4000-doc micro-batches — the batch size the flagship's
+        // published docs/s uses, so the recorded number is comparable
+        val (dps, dSecs, admitted) = StreamBench.pipelineRun(spark, 8000, 2,
+          storeName = "bench_curation")
+        val (eps, eSecs, aggRows) = StreamBench.ratingsRun(spark, 60000, 6)
+        f""""stream":{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows},"""
+      }
+
     def jstr(s: String): String = graft.core.Json.str(s)
     val qs = results.map { case (k, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
     val stats = results.collect { case (k, m, xs) if xs.nonEmpty =>
-      s"${jstr(k)}:{\"median\":$m,\"n\":${xs.size},\"min\":${xs.min},\"max\":${xs.max}}"
+      s"${jstr(k)}:{\"median\":$m,\"tmean\":${tmean(xs)},\"n\":${xs.size},\"min\":${xs.min},\"max\":${xs.max}}"
     }.mkString("{", ",", "}")
     val fails = failed.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, m, xs) if xs.nonEmpty => m }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_stats":$stats,"failed":$fails,"iters":$iters,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails,"iters":$iters,"sf":${jstr(sfDir)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()

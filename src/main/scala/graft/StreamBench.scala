@@ -42,6 +42,21 @@ object StreamBench {
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.build("graft-curation-bench", cpus)
+    val (docsPerSec, secs, admitted) = pipelineRun(spark, n, nBatches)
+    println(f"""{"metric":"curation_docs_per_sec","value":$docsPerSec%.0f,"unit":"docs/s","docs":${n / nBatches * nBatches},"batches":$nBatches,"secs":$secs%.2f,"admitted":$admitted}""")
+    spark.stop()
+  }
+
+  /** The callable core of the curation flagship bench (shared with
+    * [[Bench]]'s per-round `stream` section): drives `nBatches`
+    * micro-batches after an untimed warm-up batch, returns
+    * (docs/second, timed seconds, admitted count). `storeName` keys the
+    * gate's signature store inside the session warehouse — callers
+    * sharing a session pick distinct names.
+    */
+  def pipelineRun(spark: org.apache.spark.sql.SparkSession, n: Int,
+                  nBatches: Int,
+                  storeName: String = "sb_curation"): (Double, Double, Long) = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
 
@@ -77,7 +92,7 @@ object StreamBench {
     val ms = MemoryStream[(Long, String, Int)]
     val admitted = new java.util.concurrent.atomic.AtomicLong
     val q = graft.streaming.CurationStream.run(
-      ms.toDF().toDF("doc_id", "text", "source_id"), "sb_curation", dimDir,
+      ms.toDF().toDF("doc_id", "text", "source_id"), storeName, dimDir,
       "source_id",
       java.nio.file.Files.createTempDirectory("cur-ckpt").toString) {
       (out, _) => admitted.addAndGet(out.count())
@@ -93,9 +108,7 @@ object StreamBench {
     }
     val secs = (System.nanoTime() - t0) / 1e9
     q.stop()
-    val docsPerSec = perBatch.toLong * nBatches / secs
-    println(f"""{"metric":"curation_docs_per_sec","value":$docsPerSec%.0f,"unit":"docs/s","docs":${perBatch * nBatches},"batches":$nBatches,"secs":$secs%.2f,"admitted":${admitted.get()}}""")
-    spark.stop()
+    (perBatch.toLong * nBatches / secs, secs, admitted.get())
   }
 
   private def ratingsMain(args: Array[String]): Unit = {
@@ -103,6 +116,20 @@ object StreamBench {
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.build("graft-stream-bench", cpus)
+    val (evPerSec, secs, aggregated) = ratingsRun(spark, n, nBatches)
+    println(f"""{"metric":"stream_events_per_sec","value":$evPerSec%.0f,"unit":"ev/s","events":${n / nBatches * nBatches.toLong},"batches":$nBatches,"secs":$secs%.2f,"agg_rows_counted":$aggregated}""")
+    spark.stop()
+  }
+
+  /** The callable core of the ratings-topology bench (filter split →
+    * broadcast enrich → two windowed aggregations; shared with
+    * [[Bench]]): returns (events/second, timed seconds, aggregated
+    * event count — the guard that the windowed state actually saw the
+    * timed data). One call per session: the memory-sink query names are
+    * fixed.
+    */
+  def ratingsRun(spark: org.apache.spark.sql.SparkSession, n: Int,
+                 nBatches: Int): (Double, Double, Long) = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
 
@@ -156,9 +183,7 @@ object StreamBench {
     val aggregated = spark.table("sb_c1")
       .agg(org.apache.spark.sql.functions.sum("RATING_COUNT"))
       .collect().head.getLong(0)
-    val evPerSec = timedEvents / secs
     Seq(q1, q2, q3).foreach(_.stop())
-    println(f"""{"metric":"stream_events_per_sec","value":$evPerSec%.0f,"unit":"ev/s","events":$timedEvents,"batches":$nBatches,"secs":$secs%.2f,"agg_rows_counted":$aggregated}""")
-    spark.stop()
+    (timedEvents / secs, secs, aggregated)
   }
 }
