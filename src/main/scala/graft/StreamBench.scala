@@ -57,6 +57,11 @@ object StreamBench {
   def pipelineRun(spark: org.apache.spark.sql.SparkSession, n: Int,
                   nBatches: Int,
                   storeName: String = "sb_curation"): (Double, Double, Long) = {
+    // the planted-redelivery slot search scans one full residue decade
+    // of the PRIOR batch — smaller batches would make the "~10% exact
+    // duplicates" mix silently dissolve into novel docs
+    require(n / nBatches >= 10,
+      s"pipeline bench needs >= 10 docs per batch, got ${n / nBatches}")
     implicit val sql = spark.sqlContext
     import spark.implicits._
 

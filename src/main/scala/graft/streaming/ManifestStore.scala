@@ -214,19 +214,42 @@ object ManifestStore {
     }
   }
 
+  /** Self-driving maintenance cadence for the streaming maintainers —
+    * the same dirs-count trigger as [[IngestDedupGate.gate]]'s
+    * `compactEvery` (restart-safe: reads the store, not a counter).
+    * `vacuumKeep` defaults to 2, the retention floor [[vacuum]]'s doc
+    * prescribes for concurrent pinned readers: a [[joinEachBatch]]
+    * micro-batch one commit behind never loses its files; `0` skips
+    * vacuuming entirely.
+    */
+  private def maybeMaintain(spark: SparkSession, dir: String, key: String,
+                            compactEvery: Int, vacuumKeep: Int): Unit =
+    if (compactEvery > 0 &&
+        latestManifest(spark, dir).exists(_.dirs.size >= compactEvery)) {
+      compact(spark, dir, key)
+      if (vacuumKeep > 0) vacuum(spark, dir, vacuumKeep)
+    }
+
   /** Maintain the store as the latest-by-key view of a version stream —
     * the transactional mirror of [[ChangelogDim.maintain]]. Epoch
     * replay recommits identical rows as a new version: the merged view
-    * is unchanged (idempotent in effect).
+    * is unchanged (idempotent in effect). `compactEvery = N` folds the
+    * merge-on-read history whenever it reaches N dirs and vacuums past
+    * the `vacuumKeep` retention floor — without it a long-lived
+    * maintainer accumulates one version dir per changed batch forever.
     */
   def maintain(versions: DataFrame, key: String, ts: String, dir: String,
-               checkpointDir: String, tiebreak: Seq[String] = Nil): StreamingQuery =
+               checkpointDir: String, tiebreak: Seq[String] = Nil,
+               compactEvery: Int = 0, vacuumKeep: Int = 2): StreamingQuery =
     LatestByKey.streaming(versions, key, ts, tiebreak = tiebreak)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) upsert(batch.toDF(), key, dir)
+        if (!batch.isEmpty) {
+          upsert(batch.toDF(), key, dir)
+          maybeMaintain(batch.sparkSession, dir, key, compactEvery, vacuumKeep)
+        }
       }
       .start()
 
@@ -240,19 +263,22 @@ object ManifestStore {
     * whole batch, upserts and deletes together.
     */
   def maintainCdc(envelopes: DataFrame, envelope: org.apache.spark.sql.Column,
-                  keyField: String, dir: String,
-                  checkpointDir: String): StreamingQuery =
+                  keyField: String, dir: String, checkpointDir: String,
+                  compactEvery: Int = 0, vacuumKeep: Int = 2): StreamingQuery =
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         // probe the RAW batch for emptiness — probing the aggregated
         // frame would run the flatten+groupBy once for the probe and
         // again for the commit write
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           applyChanges(
             ChangelogDim.cdcLatest(batch.toDF(), envelope, keyField)
               .drop("__ts", "__seq"),
             keyField, dir)
+          maybeMaintain(batch.sparkSession, dir, keyField, compactEvery,
+            vacuumKeep)
+        }
       }
       .start()
 

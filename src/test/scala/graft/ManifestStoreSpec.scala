@@ -174,6 +174,38 @@ class ManifestStoreSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("maintain with compactEvery folds merge-on-read history; merged view and vacuum floor intact") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("mstore-cad")
+    ManifestStore.seed(
+      Seq((1, "bronze"), (2, "silver")).toDF("id", "tier"), "id", dir)
+    val ms = MemoryStream[(Int, String, java.sql.Timestamp)]
+    val q = ManifestStore.maintain(
+      ms.toDF().toDF("id", "tier", "uts"), "id", "uts", dir, tmp("ck-cad"),
+      compactEvery = 3)
+    try {
+      val sizes = (1 to 8).map { i =>
+        ms.addData((1, s"t$i", ts(s"2024-01-01 10:00:0$i")))
+        q.processAllAvailable()
+        ManifestStore.latestManifest(spark, dir).get.dirs.size
+      }
+      assert(sizes.max <= 3, s"cadence failed to bound history: $sizes")
+      assert(sizes.min == 1, s"compaction never folded the store: $sizes")
+    } finally q.stop()
+    // the merged latest-by-key view is exactly what uncompacted
+    // merge-on-read would produce
+    val st = ManifestStore.read(spark, dir, "id").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(st == Map(1 -> "t8", 2 -> "silver"), st.toString)
+    // vacuum (retention floor 2) reclaimed the folded dirs
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("d-"))
+    assert(nDirs <= 5, s"vacuum left $nDirs version dirs")
+  }
+
   test("streaming topology: maintain + joinEachBatch see committed dim updates batch over batch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
