@@ -137,6 +137,14 @@ object StreamBench {
                  nBatches: Int): (Double, Double, Long) = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
+    // pin the stateful topology to its published 8-partition shape:
+    // the state-store partition count is captured at query START from
+    // spark.sql.shuffle.partitions, and a 32-partition host session
+    // (Bench) would otherwise measure 32-way per-batch task overhead
+    // instead of the topology — the conf is restored after the queries
+    // are started (each stream keeps the value it started with)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     val channels = Array("ios", "android", "web", "ios-test")
     val base = 1704100000000L
@@ -170,6 +178,7 @@ object StreamBench {
       .queryName("sb_p15").outputMode("update").start()
     val q3 = pipe.byClubStatus1min.writeStream.format("memory")
       .queryName("sb_c1").outputMode("update").start()
+    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
     val perBatch = n / nBatches
     val timedEvents = perBatch.toLong * nBatches
