@@ -279,6 +279,39 @@ object IngestDedupGate {
                   minVersionsToKeep: Int = 1): Unit =
     ManifestStore.vacuum(spark, storeDir(spark, name), minVersionsToKeep)
 
+  /** Operational snapshot of the store: committed version, version-dir
+    * count and per-table parquet file/byte totals — the numbers an
+    * operator watches to judge whether the maintenance cadence
+    * (`compactEvery`, [[compactStore]]/[[vacuumStore]]) is keeping up.
+    * LISTING-ONLY on the pinned manifest's dirs: no data is read, so
+    * the probe costs the same at 100 TB as at 100 rows.
+    */
+  def storeStats(spark: SparkSession, name: String): DataFrame = {
+    val dir = storeDir(spark, name)
+    val m = ManifestStore.latestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def part(p: String): (Long, Long) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(path)) (0L, 0L)
+      else {
+        val fset = fs.listStatus(path)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (fset.length.toLong, fset.map(_.getLen).sum)
+      }
+    }
+    val (bf, bb, ff, fb) = m.dirs.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d), (_, rel)) =>
+        val (e, f) = part(s"$dir/$rel/bands")
+        val (g, h) = part(s"$dir/$rel/feats")
+        (a + e, b + f, c + g, d + h)
+    }
+    spark.createDataFrame(Seq((m.version, m.dirs.size.toLong, bf, bb, ff, fb)))
+      .toDF("version", "dirs", "band_files", "band_bytes", "feat_files",
+        "feat_bytes")
+  }
+
   /** The streaming gate: per micro-batch, admit novel documents, hand
     * them (with their original payload columns) to `sink`, then persist
     * their signatures. `sink` receives (novel-docs, epochId) and must be

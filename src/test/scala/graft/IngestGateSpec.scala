@@ -172,6 +172,29 @@ class IngestGateSpec extends SparkSuite {
     assert(nDirs <= 4, s"vacuum left $nDirs version dirs")
   }
 
+  test("storeStats reports accumulation and compaction collapse without reading data") {
+    import spark.implicits._
+    val name = "t_gate_stats"
+    def admit(docs: Seq[(Long, String)]): Unit =
+      IngestDedupGate.appendToStore(
+        IngestDedupGate.filterNovel(docs.toDF("doc_id", "text"), name), name)
+    admit(Seq((1L, docA), (2L, docC)))
+    admit(Seq((3L, docD)))
+    def stats() = {
+      val r = IngestDedupGate.storeStats(spark, name).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+    }
+    val (v1, dirs1, bandFiles1, featFiles1) = stats()
+    assert(v1 == 2L && dirs1 == 2L, s"accumulation stats wrong: ${stats()}")
+    assert(bandFiles1 > 0 && featFiles1 > 0)
+    IngestDedupGate.compactStore(spark, name)
+    IngestDedupGate.vacuumStore(spark, name)
+    val (v2, dirs2, bandFiles2, featFiles2) = stats()
+    assert(v2 == 3L && dirs2 == 1L, s"compaction stats wrong: ${stats()}")
+    // one folded dir: at most `buckets` files per table
+    assert(bandFiles2 <= 8 && featFiles2 <= 8, s"fold left ${stats()}")
+  }
+
   test("prunedByKeys: integral/String key contract enforced, unsupported types rejected") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "k")
