@@ -274,14 +274,22 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, cents: DataFrame,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding"): DataFrame =
+    assignCellsScored(corpus, cents, idCol, vecCol).drop("__cos")
+
+  /** [[assignCells]] keeping the winning cosine as `__cos`: the
+    * append path measures drift from the assignment it is ALREADY
+    * computing instead of paying a second delta pass.
+    */
+  private def assignCellsScored(corpus: DataFrame, cents: DataFrame,
+                                idCol: String, vecCol: String): DataFrame = {
     val scored = corpus
       .join(broadcast(cents))
       .select(col(idCol).as("query_id"), col(vecCol),
         col("cell").as("__cand"), cosine(col(vecCol), col("cvec")).as("cos"))
     topKOperator(scored, 1, "__cand")
       .select(col("query_id").as(idCol), col(vecCol),
-        col("__cand").as("cell"))
+        col("__cand").as("cell"), col("cos").as("__cos"))
   }
 
   /** The IVF search phase over a trained quantizer `cents(cell, cvec)`:
@@ -408,7 +416,7 @@ object Similarity {
 
   private def distStats(dists: DataFrame): (Double, Double) = {
     val r = dists.agg(avg(col("d")), expr("percentile(d, 0.99)")).head()
-    (r.getDouble(0), r.getDouble(1))
+    if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
   }
 
   /** Persist the build corpus's quantization-error stats as
@@ -458,26 +466,43 @@ object Similarity {
       "delta_mean", "delta_p99", "mean_ratio")
   }
 
-  /** Append-time drift gate: measure the delta against the baseline,
-    * WARN (or throw, strict) past `maxDriftRatio`. One delta-sized pass
-    * — the same cost class as the append's own assignment/encoding.
-    * Indexes built before drift tracking skip silently (no baseline).
+  /** The persisted baseline, iff a drift check should run at all —
+    * `None` for disabled ratios and for indexes built before drift
+    * tracking (those append silently, as before).
     */
-  private def checkDrift(delta: DataFrame, name: String, maxDriftRatio: Double,
-                         strict: Boolean, idCol: String, vecCol: String): Unit = {
-    val spark = delta.sparkSession
+  private def driftBaseline(spark: org.apache.spark.sql.SparkSession,
+                            name: String, maxDriftRatio: Double
+                           ): Option[Map[String, (Double, Double)]] =
     if (maxDriftRatio > 0 && !maxDriftRatio.isInfinite &&
-        spark.catalog.tableExists(s"${name}_drift")) {
-      val drifted = indexDrift(spark, name, delta, idCol, vecCol)
-        .filter(col("mean_ratio") > maxDriftRatio).collect()
-      if (drifted.nonEmpty) {
-        val msg = s"index '$name': delta drift exceeds $maxDriftRatio× the build corpus — " +
-          drifted.map(r => f"${r.getString(0)} mean ${r.getDouble(3)}%.4g vs " +
-            f"build ${r.getDouble(1)}%.4g (${r.getDouble(5)}%.1f×)").mkString("; ") +
-          " — the frozen quantizers no longer fit the data: re-train + rebuild"
-        if (strict) throw new IllegalStateException(msg)
-        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
-      }
+        spark.catalog.tableExists(s"${name}_drift"))
+      Some(spark.table(s"${name}_drift").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap)
+    else None
+
+  /** Append-time drift gate over distances the append ALREADY computed
+    * (the scored assignment/encode frames, localCheckpointed by the
+    * caller so stats and append share one evaluation): WARN past
+    * `maxDriftRatio`, or throw — BEFORE any index mutation — under
+    * strict. An empty delta reads as zero drift.
+    */
+  private def enforceDrift(name: String, base: Map[String, (Double, Double)],
+                           dists: Seq[(String, DataFrame)],
+                           maxDriftRatio: Double, strict: Boolean): Unit = {
+    val drifted = dists.flatMap { case (metric, df) =>
+      base.get(metric).collect {
+        case (bMean, _) if bMean > 0 =>
+          val (dMean, _) = distStats(df)
+          (metric, bMean, dMean, dMean / bMean)
+      }.filter(_._4 > maxDriftRatio)
+    }
+    if (drifted.nonEmpty) {
+      val msg = s"index '$name': delta drift exceeds $maxDriftRatio× the build corpus — " +
+        drifted.map { case (metric, bMean, dMean, ratio) =>
+          f"$metric mean $dMean%.4g vs build $bMean%.4g ($ratio%.1f×)"
+        }.mkString("; ") +
+        " — the frozen quantizers no longer fit the data: re-train + rebuild"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
   }
 
@@ -543,7 +568,8 @@ object Similarity {
     * valid) and appended to the cell-bucketed lists. Search over the
     * appended index equals search over assign-everything-at-once under
     * the same quantizer. Drift vs the build baseline is measured per
-    * append ([[checkDrift]]): past `maxDriftRatio` it WARNs — or
+    * append from the assignment being written anyway ([[enforceDrift]]
+    * — zero extra delta passes): past `maxDriftRatio` it WARNs — or
     * refuses with `strictDrift` — that a re-train + rebuild is due.
     */
   def appendToIvfIndex(delta: DataFrame, name: String, buckets: Int = 8,
@@ -557,11 +583,20 @@ object Similarity {
         s"index '$name' append buckets=$buckets does not match its build " +
           s"buckets=${m.getInt(m.fieldIndex("buckets"))}")
     }
-    checkDrift(delta, name, maxDriftRatio, strictDrift, idCol, vecCol)
-    val cents = delta.sparkSession.table(s"${name}_centroids")
+    val spark = delta.sparkSession
+    val base = driftBaseline(spark, name, maxDriftRatio)
+    val cents = spark.table(s"${name}_centroids")
+    // drift is read off the SAME assignment the append writes — with a
+    // baseline present the scored frame is checkpointed so the stats
+    // job and the append share one evaluation (zero extra delta passes)
+    val scored0 = assignCellsScored(delta, cents, idCol, vecCol)
+    val scored = if (base.isDefined) scored0.localCheckpoint() else scored0
+    base.foreach(b => enforceDrift(name, b,
+      Seq("ivf_assign" ->
+        scored.select(col(idCol), (lit(1.0) - col("__cos")).as("d"))),
+      maxDriftRatio, strictDrift))
     graft.core.Layout.appendBucketed(
-      assignCells(delta, cents, idCol, vecCol), s"${name}_lists", "cell",
-      buckets)
+      scored.drop("__cos"), s"${name}_lists", "cell", buckets)
   }
 
   // ── Product quantization (PQ) — the memory-bound ANN scale path ────
@@ -641,7 +676,16 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
                dims: Int = 64, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding"): DataFrame =
+    pqEncodeScored(corpus, codebooks, m, dims, idCol, vecCol).drop("__d")
+
+  /** [[pqEncode]] keeping the winning cell's squared-L2 as `__d` — the
+    * per-subspace reconstruction residual the append-time drift check
+    * reads for free (the encode already computed it).
+    */
+  private def pqEncodeScored(corpus: DataFrame, codebooks: DataFrame, m: Int,
+                             dims: Int, idCol: String,
+                             vecCol: String): DataFrame = {
     val sub = dims / m
     val corpSub = subspaces(corpus.select(col(idCol), col(vecCol)), vecCol,
       "xv", m, sub)
@@ -650,7 +694,7 @@ object Similarity {
     corpSub.join(broadcast(codebooks), Seq("subspace"))
       .withColumn("__d", l2sq(col("xv"), col("cvec")))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col(idCol), col("subspace"), col("cell"))
+      .select(col(idCol), col("subspace"), col("cell"), col("__d"))
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC): per query,
@@ -768,11 +812,17 @@ object Similarity {
                       strictDrift: Boolean = false): Unit = {
     requireIndexMeta(delta.sparkSession, name,
       Seq("m" -> m, "dims" -> dims, "buckets" -> buckets))
-    checkDrift(delta, name, maxDriftRatio, strictDrift, idCol, vecCol)
-    val cents = delta.sparkSession.table(s"${name}_codebooks")
+    val spark = delta.sparkSession
+    val base = driftBaseline(spark, name, maxDriftRatio)
+    val cents = spark.table(s"${name}_codebooks")
+    val enc0 = pqEncodeScored(delta, cents, m, dims, idCol, vecCol)
+    val enc = if (base.isDefined) enc0.localCheckpoint() else enc0
+    base.foreach(b => enforceDrift(name, b,
+      Seq("pq_residual" ->
+        enc.groupBy(col(idCol)).agg(sum(col("__d")).as("d"))),
+      maxDriftRatio, strictDrift))
     graft.core.Layout.appendBucketed(
-      pqEncode(delta, cents, m, dims, idCol, vecCol), s"${name}_codes",
-      "cell", buckets)
+      enc.drop("__d"), s"${name}_codes", "cell", buckets)
   }
 
   /** Search-only PQ ANN over the persisted index: per query, the m×k
@@ -887,15 +937,27 @@ object Similarity {
                          strictDrift: Boolean = false): Unit = {
     requireIndexMeta(delta.sparkSession, name,
       Seq("m" -> m, "dims" -> dims, "buckets" -> buckets))
-    checkDrift(delta, name, maxDriftRatio, strictDrift, idCol, vecCol)
     val spark = delta.sparkSession
+    val base = driftBaseline(spark, name, maxDriftRatio)
+    val scored0 = assignCellsScored(delta, spark.table(s"${name}_centroids"),
+      idCol, vecCol)
+    val scored = if (base.isDefined) scored0.localCheckpoint() else scored0
+    val enc0 = pqEncodeScored(delta, spark.table(s"${name}_codebooks"), m,
+      dims, idCol, vecCol)
+    val enc = if (base.isDefined) enc0.localCheckpoint() else enc0
+    // BOTH quantizers' drift from the frames the append writes anyway;
+    // the strict path throws before either table has been touched
+    base.foreach(b => enforceDrift(name, b,
+      Seq("ivf_assign" ->
+        scored.select(col(idCol), (lit(1.0) - col("__cos")).as("d")),
+        "pq_residual" ->
+          enc.groupBy(col(idCol)).agg(sum(col("__d")).as("d"))),
+      maxDriftRatio, strictDrift))
     graft.core.Layout.appendBucketed(
-      assignCells(delta, spark.table(s"${name}_centroids"), idCol, vecCol)
-        .select(col(idCol), col("cell")),
+      scored.select(col(idCol), col("cell")),
       s"${name}_lists", "cell", buckets)
     graft.core.Layout.appendBucketed(
-      pqEncode(delta, spark.table(s"${name}_codebooks"), m, dims, idCol, vecCol),
-      s"${name}_codes", idCol, buckets)
+      enc.drop("__d"), s"${name}_codes", idCol, buckets)
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket

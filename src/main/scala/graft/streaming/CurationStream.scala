@@ -41,13 +41,19 @@ object CurationStream {
     * `vacuumAfterCompact`) pass straight through to
     * [[IngestDedupGate.gate]] — the composed flagship exposes the same
     * tuning surface as its stages, so a production corpus isn't pinned
-    * to the demo thresholds.
+    * to the demo thresholds. Unlike the bare gate (cadence off for
+    * callers owning an external schedule), the FLAGSHIP defaults to
+    * `compactEvery = 64`: it is the run-unattended-for-weeks topology
+    * (the reference boots docker-compose and walks away), and 64
+    * five-minute batches ≈ one fold per ~5 h — version accumulation
+    * stays two orders of magnitude under the ~8.6k-dirs-per-month
+    * untended shape while compaction cost stays amortized.
     */
   def run(docs: DataFrame, storeName: String, dimDir: String, dimKey: String,
           checkpointDir: String, idCol: String = "doc_id",
           textCol: String = "text", minQuality: Int = 3, n: Int = 3,
           numBands: Int = 4, rowsPerBand: Int = 2, jaccardNum: Int = 8,
-          jaccardDen: Int = 10, compactEvery: Int = 0,
+          jaccardDen: Int = 10, compactEvery: Int = 64,
           vacuumAfterCompact: Boolean = true)
          (sink: (DataFrame, Long) => Unit): StreamingQuery =
     IngestDedupGate.gate(docs, storeName, checkpointDir,
