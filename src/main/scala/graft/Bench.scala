@@ -98,13 +98,20 @@ object Bench {
     // numbers StreamBench's mains otherwise print into the void
     val streamJson =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "0") ""
-      else {
+      else try {
         // 4000-doc micro-batches — the batch size the flagship's
-        // published docs/s uses, so the recorded number is comparable
+        // published docs/s uses; StreamBench pins shuffle partitioning
+        // to the published 8-partition shape (thread count still
+        // follows SPARK_GRAFT_CPUS — compare like-configured rounds)
         val (dps, dSecs, admitted) = StreamBench.pipelineRun(spark, 8000, 2,
           storeName = "bench_curation")
         val (eps, eSecs, aggRows) = StreamBench.ratingsRun(spark, 60000, 6)
         f""""stream":{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows},"""
+      } catch { case e: Throwable =>
+        // a streaming-anchor failure must cost the stream section, not
+        // the 5×62 batch samples already collected in this run
+        failed("stream") = Option(e.getMessage).getOrElse(e.getClass.getName)
+        ""
       }
 
     def jstr(s: String): String = graft.core.Json.str(s)

@@ -62,6 +62,29 @@ object StreamBench {
     // duplicates" mix silently dissolve into novel docs
     require(n / nBatches >= 10,
       s"pipeline bench needs >= 10 docs per batch, got ${n / nBatches}")
+    withPinnedShuffle(spark)(pipelineRunPinned(spark, n, nBatches, storeName))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to the
+    * topologies' published 8-partition shape — a 32-partition host
+    * session (Bench) would otherwise measure 32-way per-batch task
+    * overhead instead of the topology (streaming state partitioning is
+    * captured at query start; the gate's batch jobs read the conf per
+    * action). Restored even on failure, so a crashed bench never leaves
+    * the shared session re-configured. Host THREAD count still follows
+    * the session — compare anchors run under the same SPARK_GRAFT_CPUS.
+    */
+  private def withPinnedShuffle[A](spark: org.apache.spark.sql.SparkSession)
+                                  (body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def pipelineRunPinned(spark: org.apache.spark.sql.SparkSession,
+                                n: Int, nBatches: Int,
+                                storeName: String): (Double, Double, Long) = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
 
@@ -134,17 +157,13 @@ object StreamBench {
     * fixed.
     */
   def ratingsRun(spark: org.apache.spark.sql.SparkSession, n: Int,
-                 nBatches: Int): (Double, Double, Long) = {
+                 nBatches: Int): (Double, Double, Long) =
+    withPinnedShuffle(spark)(ratingsRunPinned(spark, n, nBatches))
+
+  private def ratingsRunPinned(spark: org.apache.spark.sql.SparkSession,
+                               n: Int, nBatches: Int): (Double, Double, Long) = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
-    // pin the stateful topology to its published 8-partition shape:
-    // the state-store partition count is captured at query START from
-    // spark.sql.shuffle.partitions, and a 32-partition host session
-    // (Bench) would otherwise measure 32-way per-batch task overhead
-    // instead of the topology — the conf is restored after the queries
-    // are started (each stream keeps the value it started with)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     val channels = Array("ios", "android", "web", "ios-test")
     val base = 1704100000000L
@@ -178,7 +197,6 @@ object StreamBench {
       .queryName("sb_p15").outputMode("update").start()
     val q3 = pipe.byClubStatus1min.writeStream.format("memory")
       .queryName("sb_c1").outputMode("update").start()
-    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
     val perBatch = n / nBatches
     val timedEvents = perBatch.toLong * nBatches

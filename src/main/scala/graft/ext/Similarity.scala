@@ -354,8 +354,11 @@ object Similarity {
       buckets)
     writeIndexMeta(corpus.sparkSession, name,
       Seq("centroids" -> centroids, "buckets" -> buckets))
+    // baseline priced off the JUST-WRITTEN lists (they carry vec+cell):
+    // one cosine per vector, no re-scoring of the k centroids
     writeDriftBaseline(corpus.sparkSession, name,
-      Seq("ivf_assign" -> assignDistance(corpus, cents, idCol, vecCol)))
+      Seq("ivf_assign" -> assignDistanceAssigned(
+        corpus.sparkSession.table(s"${name}_lists"), cents, idCol, vecCol)))
   }
 
   /** One-row build-parameter record per index, checked at append time —
@@ -414,8 +417,38 @@ object Similarity {
       .groupBy(col(idCol), col("subspace")).agg(min(col("d")).as("d"))
       .groupBy(col(idCol)).agg(sum(col("d")).as("d"))
 
+  /** [[assignDistance]] when the top-1 assignment ALREADY exists (the
+    * build just wrote it): rows carrying (idCol, vecCol, cell) join
+    * their assigned centroid — ONE cosine per vector instead of
+    * re-scoring all k centroids. How the builds price their baseline.
+    */
+  private def assignDistanceAssigned(assigned: DataFrame, cents: DataFrame,
+                                     idCol: String, vecCol: String): DataFrame =
+    assigned.join(broadcast(cents), Seq("cell"))
+      .select(col(idCol), (lit(1.0) - cosine(col(vecCol), col("cvec"))).as("d"))
+
+  /** [[pqResidual]] when the codes ALREADY exist: sub-vectors join
+    * their chosen cell — ONE squared-L2 per (vector, subspace) instead
+    * of scoring all k codebook cells.
+    */
+  private def pqResidualEncoded(corpus: DataFrame, codes: DataFrame,
+                                books: DataFrame, m: Int, dims: Int,
+                                idCol: String, vecCol: String): DataFrame =
+    subspaces(corpus.select(col(idCol), col(vecCol)), vecCol, "xv", m, dims / m)
+      .join(codes.select(col(idCol), col("subspace"), col("cell")),
+        Seq(idCol, "subspace"))
+      .join(broadcast(books), Seq("subspace", "cell"))
+      .select(col(idCol), l2sq(col("xv"), col("cvec")).as("d"))
+      .groupBy(col(idCol)).agg(sum(col("d")).as("d"))
+
+  /** Mean + p99 of the `d` column. approx_percentile, not the exact
+    * percentile aggregate: exact buffers every distinct distance in one
+    * merge buffer — unbounded at build-corpus scale — and the baseline
+    * only needs a trigger-quality p99.
+    */
   private def distStats(dists: DataFrame): (Double, Double) = {
-    val r = dists.agg(avg(col("d")), expr("percentile(d, 0.99)")).head()
+    val r = dists.agg(avg(col("d")),
+      expr("approx_percentile(d, 0.99, 10000)")).head()
     if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
   }
 
@@ -460,7 +493,11 @@ object Similarity {
             idCol, vecCol)
       }
       val (dMean, dP99) = distStats(dists)
-      (metric, bMean, bP99, dMean, dP99, dMean / bMean)
+      // a zero-error baseline (degenerate corpus == quantizer) has no
+      // judgeable ratio: NaN, matching the append gate which skips the
+      // metric — NaN > maxDriftRatio is false on both surfaces
+      val ratio = if (bMean > 0) dMean / bMean else Double.NaN
+      (metric, bMean, bP99, dMean, dP99, ratio)
     }
     spark.createDataFrame(rows).toDF("metric", "build_mean", "build_p99",
       "delta_mean", "delta_p99", "mean_ratio")
@@ -796,8 +833,12 @@ object Similarity {
     writeIndexMeta(corpus.sparkSession, name,
       Seq("m" -> m, "codebook_size" -> codebookSize, "dims" -> dims,
         "buckets" -> buckets))
+    // baseline priced off the JUST-WRITTEN codes: one L2 per chosen
+    // cell, no re-scoring of the k codebook cells
     writeDriftBaseline(corpus.sparkSession, name,
-      Seq("pq_residual" -> pqResidual(corpus, cents, m, dims, idCol, vecCol)))
+      Seq("pq_residual" -> pqResidualEncoded(corpus,
+        corpus.sparkSession.table(s"${name}_codes"), cents, m, dims, idCol,
+        vecCol)))
   }
 
   /** Append new vectors to a persisted PQ index: the delta is encoded
@@ -884,9 +925,17 @@ object Similarity {
     writeIndexMeta(corpus.sparkSession, name,
       Seq("centroids" -> centroids, "m" -> m,
         "codebook_size" -> codebookSize, "dims" -> dims, "buckets" -> buckets))
-    writeDriftBaseline(corpus.sparkSession, name,
-      Seq("ivf_assign" -> assignDistance(corpus, cents, idCol, vecCol),
-        "pq_residual" -> pqResidual(corpus, books, m, dims, idCol, vecCol)))
+    // baselines priced off the JUST-WRITTEN artifacts, not a re-run of
+    // either training-side scoring pass; the composite's bare (id,cell)
+    // lists re-attach vectors by id join
+    val spark = corpus.sparkSession
+    writeDriftBaseline(spark, name,
+      Seq("ivf_assign" -> assignDistanceAssigned(
+        corpus.select(col(idCol), col(vecCol))
+          .join(spark.table(s"${name}_lists"), Seq(idCol)),
+        cents, idCol, vecCol),
+        "pq_residual" -> pqResidualEncoded(corpus,
+          spark.table(s"${name}_codes"), books, m, dims, idCol, vecCol)))
   }
 
   /** Search-only IVF×PQ over the persisted composite: probes from the

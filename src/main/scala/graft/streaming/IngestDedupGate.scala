@@ -76,6 +76,24 @@ object IngestDedupGate {
       "feats")
   }
 
+  /** Key ordering for the chunk sort: integral and String keys (the
+    * band-key/doc-id types this gate produces) get explicit orderings;
+    * any other `Comparable` key (timestamp, date, decimal doc ids)
+    * keeps the natural-order behavior; a NON-comparable key
+    * (array/struct) is rejected at the boundary with a message naming
+    * the contract instead of an opaque ClassCastException mid-sort.
+    */
+  private def keyOrdering(sample: Any): Ordering[Any] = sample match {
+    case _: Long | _: Int | _: Short | _: Byte =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
+    case _: String => Ordering.by((x: Any) => x.asInstanceOf[String])
+    case _: Comparable[_] => Ordering.fromLessThan(
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+    case other => throw new IllegalArgumentException(
+      s"prunedByKeys needs Comparable keys (sorted so each chunk covers a " +
+        s"contiguous range); got ${other.getClass.getName}")
+  }
+
   /** Union of per-chunk isin-pruned scans of `store`: keys are SORTED
     * before chunking, so each chunk covers a contiguous key range. A
     * chunk within `spark.sql.parquet.pushdown.inFilterThreshold`
@@ -90,21 +108,6 @@ object IngestDedupGate {
     * keys than one IN list holds costs more pruned scans — never one
     * unpruned full-store scan. Empty key set reads nothing.
     */
-  /** The supported key types, spelled out instead of a blind
-    * `Comparable[Any]` cast: band keys and doc ids are integral or
-    * String by construction; anything else (array/struct keys) would
-    * have thrown an opaque ClassCastException mid-sort — reject it at
-    * the boundary with a message that names the contract.
-    */
-  private def keyOrdering(sample: Any): Ordering[Any] = sample match {
-    case _: Long | _: Int | _: Short | _: Byte =>
-      Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
-    case _: String => Ordering.by((x: Any) => x.asInstanceOf[String])
-    case other => throw new IllegalArgumentException(
-      s"prunedByKeys needs integral or String keys (sorted so each chunk " +
-        s"covers a contiguous range); got ${other.getClass.getName}")
-  }
-
   private[graft] def prunedByKeys(store: DataFrame, keyCol: String,
                                   keys: Seq[Any], chunk: Int): DataFrame =
     if (keys.isEmpty) store.filter(lit(false))
@@ -348,7 +351,11 @@ object IngestDedupGate {
             ManifestStore.latestManifest(spark, storeDir(spark, name))
               .exists(_.dirs.size >= compactEvery)) {
           compactStore(spark, name, idCol, buckets)
-          if (vacuumAfterCompact) vacuumStore(spark, name)
+          // retention floor 2, not the eager 1: an external observer
+          // (storeStats, a bands()/feats() probe) pinned to the
+          // pre-compaction manifest must not lose its files mid-scan —
+          // its dirs are reclaimed at the NEXT cadence hit instead
+          if (vacuumAfterCompact) vacuumStore(spark, name, minVersionsToKeep = 2)
         }
       }
       .start()

@@ -163,13 +163,14 @@ class IngestGateSpec extends SparkSuite {
     assert(!admitted.contains(900L), "exact copy of compacted content re-admitted")
     assert(admitted.contains(901L), "novel doc lost after compaction")
     assert(admitted.size == 19, s"admit count wrong: ${admitted.size}")
-    // vacuumAfterCompact reclaimed the folded dirs: the physical dir
-    // count stays bounded instead of growing one per batch
+    // vacuumAfterCompact reclaimed the folded dirs (retention floor 2:
+    // the pre-compaction manifest's dirs survive one cadence for pinned
+    // observers): the physical count stays bounded, not one per batch
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).count(_.startsWith("d-"))
-    assert(nDirs <= 4, s"vacuum left $nDirs version dirs")
+    assert(nDirs <= 6, s"vacuum left $nDirs version dirs")
   }
 
   test("storeStats reports accumulation and compaction collapse without reading data") {
@@ -202,7 +203,13 @@ class IngestGateSpec extends SparkSuite {
       IngestDedupGate.prunedByKeys(df, "k",
         Seq(Array(1, 2), Array(3, 4)), chunk = 10)
     }
-    assert(e.getMessage.contains("integral or String"), e.getMessage)
+    assert(e.getMessage.contains("Comparable"), e.getMessage)
+    // non-integral Comparable keys (timestamp doc ids) keep working via
+    // natural order — the contract rejects only non-Comparable types
+    val tdf = Seq((ts("2024-01-01 10:00:00"), 1L)).toDF("k", "id")
+    assert(IngestDedupGate.prunedByKeys(tdf, "k",
+      Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 09:00:00")), chunk = 1)
+      .count() == 1)
     // boxed Long keys (what collect() hands back) sort numerically —
     // 1,2,10 chunks as [1,2]+[10], not the lexicographic [1,10]+[2]
     val p = java.nio.file.Files.createTempDirectory("gate-longs").toString + "/d"
