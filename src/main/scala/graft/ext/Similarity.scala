@@ -763,6 +763,36 @@ object Similarity {
     rankTopK(scored, kNn, "score")
   }
 
+  /** PQ ADC candidate selection + EXACT cosine rerank — the standard
+    * recall repair for PQ's quantization error: ADC over codes prunes
+    * the corpus to a `rerank`-candidate window per query (memory-bound,
+    * zero corpus floats read), then ONLY those rerank·|Q| vectors are
+    * read back and scored exactly. Float reads are candidate-bound,
+    * never corpus-bound — at 100 TB the scan stays codes-shaped and the
+    * rerank touches rerank/n of the corpus. `rerank = n` degenerates to
+    * exact brute force (the spec asserts it); both stages' tie-breaks
+    * (integer ADC score, round-6 cosine, neighbor-id) replay exactly in
+    * the oracle.
+    */
+  def pqTopKReranked(corpus: DataFrame, queryIds: Seq[Long], kNn: Int,
+                     rerank: Int, m: Int = 8, codebookSize: Int = 16,
+                     dims: Int = 64, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNn, s"rerank window $rerank must cover kNn=$kNn")
+    val cand = pqTopK(corpus, queryIds, rerank, m, codebookSize, dims,
+        idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__nv")), 6).as("cos"))
+    rankTopK(scored, kNn, "cos")
+  }
+
   /** IVF×PQ composite ANN — the standard large-scale architecture: the
     * IVF coarse quantizer prunes the candidate set to the nProbe probed
     * inverted lists (touching nProbe/cells of the corpus), then ADC

@@ -626,6 +626,38 @@ object LlmQueries {
 
   private val annPqSql: String = annPqSqlFor("embeddings")
 
+  /** t_ann_pq_rerank: the proven PQ CTE chain selects the ADC top-30
+    * window (score-desc, neighbor-id tiebreak — the exact rule
+    * rankTopK applies), then the window's true vectors join back for
+    * the round-6 exact-cosine rerank.
+    */
+  private val annPqRerankSql: String =
+    s"""WITH ${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5",
+                      trainRel = "embeddings")},
+       |scores AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         CAST(SUM(pd) AS BIGINT) AS score
+       |  FROM pqparts WHERE query_id <> vec_id GROUP BY 1, 2),
+       |window_cand AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, neighbor_id) AS arank
+       |  FROM scores),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+       |  FROM window_cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |  WHERE c.arank <= 30),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Shared by t_ann_ivfpq / t_ann_ivfpq_indexed / t_ann_ivfpq_appended:
     * the composite of the two proven CTE generators (prefix-isolated),
     * with BOTH quantizers trained on `trainRel`.
@@ -974,6 +1006,16 @@ object LlmQueries {
     QueryDef("t_ann_pq", annPqSql) { (s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         kNn = 10, m = 8, codebookSize = 16, dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // PQ + exact rerank — the standard recall repair: ADC (codes-only)
+    // prunes to a 30-candidate window per query; only those windows'
+    // float vectors are read back for the exact-cosine rerank. Float
+    // reads are candidate-bound, never corpus-bound.
+    QueryDef("t_ann_pq_rerank", annPqRerankSql) { (s, d) =>
+      Similarity.pqTopKReranked(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), kNn = 10, rerank = 30, m = 8,
+        codebookSize = 16, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
     // Same PQ search over the PERSISTED index (codebooks + codes

@@ -412,6 +412,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(bad.getMessage.contains("do not match"), bad.getMessage)
   }
 
+  test("PQ exact rerank: recall never below raw ADC, full window degenerates to exact brute force") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val ids = (0L until 10L).toSeq
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.topKByIds(emb, ids, 10))
+    val adc = pairs(Similarity.pqTopK(emb, ids, 10))
+    val rr = pairs(Similarity.pqTopKReranked(emb, ids, 10, rerank = 40))
+    def recall(s: Set[(Long, Long)]) =
+      (exact intersect s).size.toDouble / exact.size
+    assert(recall(rr) >= recall(adc),
+      s"rerank lost recall: ${recall(rr)} < ${recall(adc)}")
+    // window = whole corpus → the ADC stage prunes nothing and the
+    // exact rerank IS brute force: identical (query, neighbor, rank)
+    val n = emb.count().toInt
+    val full = Similarity.pqTopKReranked(emb, ids, 10, rerank = n)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == brute, "full-window rerank must equal exact top-k")
+    // the window contract is enforced, not silently truncated
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.pqTopKReranked(emb, ids, 10, rerank = 5)
+    }
+    assert(bad.getMessage.contains("must cover"), bad.getMessage)
+  }
+
   test("ANN drift: build writes a baseline, in-distribution delta is quiet, shifted delta trips the trigger") {
     val emb = Tables.embeddings(spark, sf)
     val first = emb.filter(col("vec_id") < 250)
