@@ -307,6 +307,121 @@ object Dedup {
     nearDupPairsFromFeatures(features(docs, idCol, textCol, n),
       idCol, numBands, rowsPerBand, maxBucket)
 
+  // ── SimHash Hamming-ball near-dup (Manku et al., WWW'07 §3) ────────
+
+  /** Block-combination join plan for Hamming-distance candidate
+    * generation: the signature is cut into `blocks` equal slices; a pair
+    * within Hamming distance k differs in at most k slices, so it agrees
+    * EXACTLY on at least `blocks − k` of them — and therefore shares at
+    * least one of the C(blocks, blocks−k) combination keys. Joining on
+    * every combination finds every qualifying pair with NO all-pairs
+    * product, and the key width is (blocks−k) slices — e.g. 6 blocks of
+    * 10 bits at k = 3 gives 20 join tables with 30-bit keys (≈10⁹ key
+    * space), selective enough that buckets stay narrow at corpus scale,
+    * where a naive (k+1)-band cut of the same signature would leave
+    * 15-bit keys that saturate at billions of documents.
+    */
+  def simhashCombos(blocks: Int, agree: Int): Seq[Seq[Int]] =
+    (0 until blocks).combinations(agree).map(_.toSeq).toSeq
+
+  /** SimHash near-dup pairs: (doc_a, doc_b, hamming) for every pair of
+    * documents whose `bits`-wide simhash signatures are within
+    * `maxHamming` — the signature-level dedup family (cheap, one 64-bit
+    * word per doc) complementing the exact-Jaccard MinHash path.
+    *
+    * 100 TB posture mirrors [[nearDupPairsFromFeatures]]:
+    *
+    *  - HAMMING-0 COLLAPSE: documents with BIT-IDENTICAL signatures
+    *    (exact dups and signature collisions alike — Hamming distance to
+    *    every third signature is identical by definition) collapse to a
+    *    min-id representative before banding, so m copies contribute one
+    *    band row, never m²/2 in-task pairs;
+    *  - candidate generation is the [[simhashCombos]] block-combination
+    *    equi-join over representatives — the only shuffles are the
+    *    collapse window and the combo-key join, each O(collisions);
+    *  - any combo bucket wider than `maxBucket` representatives is
+    *    excluded and DISCLOSED (WARN), the same visible-recall-loss
+    *    posture as the LSH guard;
+    *  - verification is one `bit_count(xor)` per candidate pair;
+    *  - rep pairs expand back to member pairs exactly (cross-group pairs
+    *    inherit the rep pair's Hamming distance; intra-group pairs are
+    *    Hamming 0). Null-text docs have null signatures and never pair.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 3, bits: Int = 60,
+                      blocks: Int = 6, maxHamming: Int = 3,
+                      maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+    require(bits % blocks == 0,
+      s"bits ($bits) must split evenly into blocks ($blocks)")
+    require(blocks > maxHamming,
+      s"need blocks ($blocks) > maxHamming ($maxHamming): a pair at " +
+        "distance k only guarantees blocks - k intact slices, so fewer " +
+        "blocks than k+1 would guarantee no shared combination key")
+    val sliceBits = bits / blocks
+    val agree = blocks - maxHamming
+    val combos = simhashCombos(blocks, agree)
+    val feats = docs.select(col(idCol),
+      simhash(shingleHashes(col(textCol), n), bits).as("simhash"))
+    val grouped = feats.withColumn("rep",
+      when(col("simhash").isNull, col(idCol))
+        .otherwise(min(col(idCol)).over(Window.partitionBy("simhash"))))
+      .localCheckpoint()
+    val reps = grouped.filter(col(idCol) === col("rep"))
+      .select(col(idCol), col("simhash"))
+    def blockVal(blk: Int): Column =
+      shiftright(col("simhash"), blk * sliceBits)
+        .bitwiseAND(lit((1L << sliceBits) - 1))
+    // combo key = the agreed slices packed into one long (disjoint bit
+    // ranges; the oracle replays the identical arithmetic)
+    val bandStructs = array(combos.zipWithIndex.map { case (combo, ci) =>
+      struct(lit(ci).as("band"),
+        combo.zipWithIndex.map { case (blk, pos) =>
+          shiftleft(blockVal(blk), pos * sliceBits)
+        }.reduce[Column](_ + _).as("bkey"))
+    }: _*)
+    val banded = reps.filter(col("simhash").isNotNull)
+      .select(col(idCol), explode(bandStructs).as("b"))
+      .select(col(idCol), col("b.band"), col("b.bkey"))
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .localCheckpoint() // feeds the disclosure probe AND the capped join
+    val over = banded.filter(col("__w") > maxBucket)
+      .select(col("band"), col("bkey"), col("__w")).distinct()
+      .limit(21).collect()
+    if (over.nonEmpty)
+      log.warn(s"simhash candidate generation: ${over.length}${if (over.length > 20) "+" else ""} " +
+        s"combo bucket(s) wider than $maxBucket representatives excluded from " +
+        s"candidate generation (recall loss, not a failure): " +
+        over.take(20).map(r => s"(band=${r.get(0)}, bkey=${r.get(1)}, n=${r.get(2)})").mkString(", "))
+    val capped = banded.filter(col("__w") <= maxBucket).drop("__w")
+    val l = capped.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val r = capped.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
+    val cands = l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = reps.select(col(idCol).as("doc_a"), col("simhash").as("__sa"))
+    val sb = reps.select(col(idCol).as("doc_b"), col("simhash").as("__sb"))
+    val repPairs = cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+    val rp = repPairs.select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+      col("hamming"))
+    val ga = grouped.select(col(idCol).as("a"), col("rep").as("ra"))
+    val gb = grouped.select(col(idCol).as("b"), col("rep").as("rb"))
+    val cross = rp.join(ga, "ra").join(gb, "rb")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    val ma = grouped.filter(col("simhash").isNotNull)
+      .select(col(idCol).as("a"), col("rep").as("r0"))
+    val mb = grouped.filter(col("simhash").isNotNull)
+      .select(col(idCol).as("b"), col("rep").as("r0"))
+    val intra = ma.join(mb, "r0").filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.union(intra)
+  }
+
   /** Exact dedup: representative (min id) + multiplicity per distinct
     * key — one hash aggregation, map-side combined.
     */

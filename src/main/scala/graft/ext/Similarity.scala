@@ -784,6 +784,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val queries = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    rerankExact(corpus, cand, queries, kNn, idCol, vecCol)
+  }
+
+  /** The shared exact-rerank tail: candidate (query_id, neighbor_id)
+    * pairs join back ONLY their own float vectors (reads stay
+    * candidate-bound, never corpus-bound) and re-score by the round-6
+    * exact cosine — one definition shared by every rerank composite so
+    * the tie-break rules cannot drift. `queries` exposes
+    * (query_id, __qv).
+    */
+  private def rerankExact(corpus: DataFrame, cand: DataFrame,
+                          queries: DataFrame, kNn: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val scored = cand
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
         Seq("neighbor_id"))
@@ -791,6 +804,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__nv")), 6).as("cos"))
     rankTopK(scored, kNn, "cos")
+  }
+
+  /** IVF×PQ candidate selection + EXACT cosine rerank — the full
+    * production ANN recipe (FAISS's IVFPQ + refine): probing prunes the
+    * corpus to nProbe inverted lists, ADC over codes ranks the
+    * survivors memory-bound, and only the top-`rerank` window per query
+    * reads float vectors back for the exact re-score. At 100 TB the
+    * scan is codes-shaped AND list-pruned, and float reads are
+    * rerank·|Q|, never corpus-bound. Inline training is the build-path
+    * oracle gate; [[ivfPqTopKRerankedIndexed]] is the zero-training
+    * production path over the persisted composite.
+    */
+  def ivfPqTopKReranked(corpus: DataFrame, queryIds: Seq[Long], kNn: Int,
+                        rerank: Int, centroids: Int = 16, nProbe: Int = 6,
+                        m: Int = 8, codebookSize: Int = 16, dims: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNn, s"rerank window $rerank must cover kNn=$kNn")
+    val cand = ivfPqTopK(corpus, queryIds, rerank, centroids, nProbe, m,
+        codebookSize, dims, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    rerankExact(corpus, cand, queries, kNn, idCol, vecCol)
+  }
+
+  /** The rerank composite over the PERSISTED IVF×PQ index: candidates
+    * from [[ivfPqTopKIndexed]] (zero training, zero encoding, zero
+    * corpus floats), then the exact re-score reads only the window's
+    * vectors from `corpus` (the float table the index was built from —
+    * the index itself stores codes, not floats, by design). Queries
+    * supply their own vectors.
+    */
+  def ivfPqTopKRerankedIndexed(spark: org.apache.spark.sql.SparkSession,
+                               name: String, queries: DataFrame,
+                               corpus: DataFrame, kNn: Int, rerank: Int,
+                               nProbe: Int = 6, m: Int = 8, dims: Int = 64,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNn, s"rerank window $rerank must cover kNn=$kNn")
+    val cand = ivfPqTopKIndexed(spark, name, queries, rerank, nProbe, m,
+        dims, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    rerankExact(corpus, cand, q, kNn, idCol, vecCol)
   }
 
   /** IVF×PQ composite ANN — the standard large-scale architecture: the

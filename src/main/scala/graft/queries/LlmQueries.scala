@@ -185,11 +185,35 @@ object LlmOracle {
     s"""sig AS (SELECT doc_id, [${minhashExprs.mkString(",\n  ")}] AS sig
        |  FROM hashes)""".stripMargin
 
-  /** SimHash (16-bit majority vote) over the `hs` column. */
-  def simhashExpr: String =
-    (0 until 16).map { b =>
+  /** SimHash (majority vote per bit) over the `hs` column at any width
+    * up to 63 — replays [[graft.functions.SimHash]] bit for bit.
+    */
+  def simhashExprBits(bits: Int): String =
+    (0 until bits).map { b =>
       s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " +\n ", ")")
+
+  /** SimHash (16-bit majority vote) over the `hs` column. */
+  def simhashExpr: String = simhashExprBits(16)
+
+  /** The [[graft.ext.Dedup.simhashCombos]] block-combination plan as a
+    * VALUES list `(band, b0..b{agree-1})` — generated from the SAME
+    * combination enumeration the Spark operator joins on.
+    */
+  def simhashComboValues(blocks: Int, agree: Int): String =
+    graft.ext.Dedup.simhashCombos(blocks, agree).zipWithIndex.map {
+      case (combo, ci) => s"($ci, ${combo.mkString(", ")})"
+    }.mkString(",\n    ")
+
+  /** The combo join key over a BIGINT simhash column `sim` and the
+    * VALUES columns c.b0.. — the agreed slices packed into one BIGINT,
+    * identical arithmetic to the Spark operator's shift/mask fold.
+    */
+  def simhashComboKeyExpr(sim: String, sliceBits: Int, agree: Int): String =
+    (0 until agree).map { pos =>
+      val block = s"(($sim >> (c.b$pos * $sliceBits)) & ${(1L << sliceBits) - 1})"
+      if (pos == 0) block else s"($block << ${pos * sliceBits})"
+    }.mkString(" + ")
 
   /** Double-precision cosine between two FLOAT[] columns, same fold
     * order as Similarity.cosine (left-to-right over 64 dims).
@@ -686,6 +710,45 @@ object LlmQueries {
 
   private val annIvfPqSql: String = annIvfPqSqlFor("embeddings")
 
+  /** t_ann_ivfpq_rerank: the composite CTE chain selects the ADC top-30
+    * window per query over the probe-pruned candidates (score-desc,
+    * neighbor-id tiebreak — rankTopK's rule), then only the window's
+    * true vectors join back for the round-6 exact-cosine rerank.
+    */
+  private val annIvfPqRerankSql: String =
+    s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5", "embeddings")},
+       |${pqCtes(m = 8, sub = 8, k = 16, queryPred = "q.vec_id < 5",
+                 prefix = "x", trainRel = "embeddings")},
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scores AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         CAST(SUM(pp.pd) AS BIGINT) AS score
+       |  FROM cand c JOIN xpqparts pp
+       |    ON pp.query_id = c.query_id AND pp.vec_id = c.vec_id
+       |  GROUP BY 1, 2),
+       |window_cand AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, neighbor_id) AS arank
+       |  FROM scores),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+       |  FROM window_cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |  WHERE c.arank <= 30),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   private val HalfCorpus = s"(SELECT * FROM embeddings WHERE vec_id < $AppendCut)"
 
   val defs: Seq[QueryDef] = Seq(
@@ -873,6 +936,52 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d))
     }.sortedBy(col("doc_a"), col("doc_b")),
 
+    // SimHash Hamming-ball near-dup (Manku et al., WWW'07): 60-bit
+    // signature cut into 6 blocks of 10; a pair within Hamming 3 agrees
+    // on >= 3 blocks, so the C(6,3) = 20 packed-combo keys find every
+    // qualifying pair by equi-join. Full guarded pipeline replayed:
+    // hamming-0 collapse to reps, capped combo buckets (QUALIFY), one
+    // bit_count(xor) verify per candidate, exact member expansion.
+    QueryDef("t_dedup_simhash",
+      s"""WITH $hashesCte,
+         |sims AS (SELECT doc_id,
+         |  CAST(${simhashExprBits(60)} AS BIGINT) AS sim FROM hashes),
+         |sgrp AS (SELECT sim, min(doc_id) AS rep FROM sims
+         |         WHERE sim IS NOT NULL GROUP BY sim),
+         |smem AS (SELECT s.doc_id, coalesce(g.rep, s.doc_id) AS rep, s.sim
+         |         FROM sims s LEFT JOIN sgrp g ON s.sim = g.sim),
+         |sbands AS (
+         |  SELECT g.rep AS doc_id, c.band,
+         |         ${simhashComboKeyExpr("g.sim", 10, 3)} AS bkey
+         |  FROM sgrp g CROSS JOIN (VALUES
+         |    ${simhashComboValues(6, 3)}) c(band, b0, b1, b2)
+         |  QUALIFY count(*) OVER (PARTITION BY c.band, bkey)
+         |    <= ${Dedup.DefaultMaxBucketWidth}),
+         |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sbands a JOIN sbands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |srpairs AS (
+         |  SELECT c.doc_a, c.doc_b, bit_count(xor(sa.sim, sb.sim)) AS hamming
+         |  FROM scand c
+         |  JOIN sims sa ON sa.doc_id = c.doc_a
+         |  JOIN sims sb ON sb.doc_id = c.doc_b
+         |  WHERE bit_count(xor(sa.sim, sb.sim)) <= 3),
+         |spairs AS (
+         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |         greatest(ma.doc_id, mb.doc_id) AS doc_b, p.hamming
+         |  FROM srpairs p
+         |  JOIN smem ma ON ma.rep = p.doc_a
+         |  JOIN smem mb ON mb.rep = p.doc_b
+         |  UNION ALL
+         |  SELECT ma.doc_id, mb.doc_id, 0
+         |  FROM smem ma JOIN smem mb
+         |    ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+         |  WHERE ma.sim IS NOT NULL)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM spairs ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d))
+    }.sortedBy(col("doc_a"), col("doc_b")),
+
     // Near-dup clustering: candidate pairs → Jaccard ≥ 8/10 edges →
     // connected components (Spark: min-label propagation to fixpoint;
     // oracle: recursive reachability walk — both yield the component's
@@ -1057,6 +1166,15 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfPqTopKIndexed(s, ivfPqIndexFor(s, d),
         emb.filter(col("vec_id") < 5), kNn = 10, nProbe = 6, m = 8, dims = 64)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // IVF×PQ + exact rerank — the full production ANN recipe (probe
+    // pruning, memory-bound ADC window, candidate-bound float rerank);
+    // both stages' tie-breaks replay exactly in the oracle.
+    QueryDef("t_ann_ivfpq_rerank", annIvfPqRerankSql) { (s, d) =>
+      Similarity.ivfPqTopKReranked(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), kNn = 10, rerank = 30, centroids = 16,
+        nProbe = 6, m = 8, codebookSize = 16, dims = 64)
     }.sortedBy(col("query_id"), col("rank")),
 
     // Incremental composite maintenance: BOTH quantizers trained on the

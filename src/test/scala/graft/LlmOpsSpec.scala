@@ -47,6 +47,65 @@ class LlmOpsSpec extends SparkSuite {
       s"near-dup pair not closer: $sh")
   }
 
+  test("simhash near-dup: combination join returns exactly the brute-force Hamming ball") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).limit(40).select("doc_id", "text")
+    val d0 = base.filter(col("doc_id") === 0)
+    // two exact copies (hamming-0 collapse group with doc 0), one light
+    // mutation (a near-miss signature), one null text (never pairs)
+    val mut = d0.select(lit(90001L).as("doc_id"),
+      concat(col("text"), lit(" tail words")).as("text"))
+    val copies = Seq(90002L, 90003L).map(id =>
+      d0.select(lit(id).as("doc_id"), col("text")))
+    val nul = Seq((90004L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val corpus = (Seq(base, mut) ++ copies :+ nul).reduce(_ union _)
+
+    val got = Dedup.simhashNearDups(corpus)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val sims = corpus.select(col("doc_id"),
+      Dedup.simhash(Dedup.shingleHashes(col("text"), 3), 60).as("sim"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    val expect = (for {
+      (a, Some(sa)) <- sims
+      (b, Some(sb)) <- sims
+      if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == expect,
+      s"missed=${expect -- got} spurious=${got -- expect}")
+    // the collapse group pairs at hamming 0 (intra-group expansion)
+    assert(got.contains((0L, 90002L, 0L)) && got.contains((90002L, 90003L, 0L)))
+    assert(!got.exists(p => p._1 == 90004L || p._2 == 90004L),
+      "null-text doc must never pair")
+  }
+
+  test("simhash near-dup: hot buckets are excluded, parameters validated") {
+    import spark.implicits._
+    // 5 light mutations of one 16-word text: 4 DISTINCT representatives
+    // (docs 0 and 4 share a signature) differing only in low bits, all
+    // pairwise within Hamming 2 — so every pair-bearing combo bucket
+    // holds all 4 reps
+    val words = (1 to 16).map(i => s"word$i").mkString(" ")
+    val docs = (0L to 4L).map(i => (i, s"$words variant$i")).toDF("doc_id", "text")
+    val full = Dedup.simhashNearDups(docs).count()
+    assert(full == 10L, s"5 mutual near-dups should give 10 pairs, got $full")
+    // cap below the 4-wide rep buckets: every rep pair is dropped and
+    // disclosed; only the hamming-0 collapse pair (0, 4) survives
+    val capped = Dedup.simhashNearDups(docs, maxBucket = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((0L, 4L, 0L)),
+      s"capped buckets must drop rep candidates, got $capped")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, bits = 60, blocks = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, blocks = 3, maxHamming = 3)
+    }
+  }
+
   test("ANN top-k recall >= 0.5 vs exact brute force at 4 planes") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
@@ -440,6 +499,37 @@ class LlmOpsSpec extends SparkSuite {
       Similarity.pqTopKReranked(emb, ids, 10, rerank = 5)
     }
     assert(bad.getMessage.contains("must cover"), bad.getMessage)
+  }
+
+  test("IVF×PQ exact rerank: recall >= raw composite; indexed path matches inline bit for bit") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val ids = (0L until 10L).toSeq
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.topKByIds(emb, ids, 10))
+    val raw = pairs(Similarity.ivfPqTopK(emb, ids, 10))
+    val rr = pairs(Similarity.ivfPqTopKReranked(emb, ids, 10, rerank = 40))
+    def recall(s: Set[(Long, Long)]) =
+      (exact intersect s).size.toDouble / exact.size
+    assert(recall(rr) >= recall(raw),
+      s"rerank lost recall: ${recall(rr)} < ${recall(raw)}")
+    // the indexed production path (same deterministic quantizers,
+    // persisted) reranks to the identical result set
+    val name = "graft_ivfpq_rr_test"
+    Similarity.buildIvfPqIndex(emb, name, centroids = 16, m = 8,
+      codebookSize = 16, dims = 64)
+    val inline = Similarity.ivfPqTopKReranked(emb, ids, 10, rerank = 40)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val indexed = Similarity.ivfPqTopKRerankedIndexed(spark, name,
+        emb.filter(col("vec_id") < 10), emb, kNn = 10, rerank = 40)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(indexed == inline, "indexed rerank must equal inline rerank")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKReranked(emb, ids, 10, rerank = 5)
+    }
   }
 
   test("ANN drift: build writes a baseline, in-distribution delta is quiet, shifted delta trips the trigger") {
