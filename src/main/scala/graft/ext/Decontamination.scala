@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: drop (or report)
+  * corpus documents that share word n-grams with a held-out benchmark /
+  * evaluation set, so the training data cannot memorize the test set
+  * (the GPT-3 appendix-C / The-Pile style n-gram overlap rule; the
+  * reference pipeline has no analog — this is part of the LLM-ops
+  * mandate, same family as [[Dedup]]).
+  *
+  * 100 TB posture:
+  *  - the benchmark side is, by definition, orders of magnitude smaller
+  *    than the corpus (an eval set, not a crawl). Its DISTINCT n-gram
+  *    hash set is reduced first and then BROADCAST, so the corpus —
+  *    the 100 TB side — is never shuffled: the scan → shingle-hash →
+  *    explode → broadcast-hash-join chain is all map-side. The only
+  *    shuffled rows are the contaminated (doc_id, hit) pairs, a set
+  *    bounded by actual contamination, not corpus size;
+  *  - `broadcastBench = false` drops the hint for the rare huge-
+  *    benchmark case (decontaminating against another corpus) — then
+  *    it's a plain shuffled semi-ish join and AQE sizes it;
+  *  - n-gram hashing is the same codegen'd [[Dedup.shingleHashes]]
+  *    PolyHash chain the dedup family uses (one source of truth, and
+  *    the DuckDB oracle replays it bit-exactly);
+  *  - null-text rows hash to a null shingle set on both sides: they
+  *    contribute no benchmark grams and can never be flagged
+  *    contaminated (explode drops the null array).
+  */
+object Decontamination {
+
+  /** Distinct n-gram hash set of the benchmark relation — the
+    * contamination filter. One column `gram`.
+    */
+  def benchmarkGrams(bench: DataFrame, textCol: String = "text",
+                     n: Int = 3): DataFrame =
+    bench.select(explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Contamination report: one row per corpus document sharing at least
+    * `minOverlap` DISTINCT n-grams with the benchmark —
+    * (idCol, overlap_grams). `overlap_grams` counts distinct shared
+    * grams (a document's shingle hash set is already distinct, so the
+    * per-doc join-hit count IS the distinct overlap).
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3, minOverlap: Int = 1,
+                          broadcastBench: Boolean = true): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val grams0 = benchmarkGrams(bench, textCol, n)
+    val grams = if (broadcastBench) broadcast(grams0) else grams0
+    corpus.select(col(idCol),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+      .join(grams, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_grams"))
+      .filter(col("overlap_grams") >= minOverlap)
+  }
+
+  /** The corpus minus contaminated documents (anti-join on the report).
+    * Column set is the corpus's, unchanged.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 3, minOverlap: Int = 1,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val report = contaminationReport(corpus, bench, idCol, textCol, n,
+      minOverlap, broadcastBench)
+    corpus.join(report.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+}

@@ -23,17 +23,20 @@ object LlmOracle {
        |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
 
   /** CTE: doc_id + distinct 3-word-shingle hash set per document of
-    * `rel` (any relation exposing doc_id + text).
+    * `rel` (any relation exposing doc_id + text). `prefix` renames the
+    * chain (`<p>words`/`<p>shing`/`<p>hashes`) so a query can carry two
+    * independent hash chains (e.g. corpus vs benchmark) without CTE
+    * collisions.
     */
-  def hashesCteFrom(rel: String): String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
-       |shing AS (SELECT doc_id,
+  def hashesCteFrom(rel: String, prefix: String = ""): String =
+    s"""${prefix}words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
+       |${prefix}shing AS (SELECT doc_id,
        |  CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws)-2),
        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-       |       ELSE [array_to_string(ws, ' ')] END AS sh FROM words),
-       |hashes AS (SELECT doc_id,
+       |       ELSE [array_to_string(ws, ' ')] END AS sh FROM ${prefix}words),
+       |${prefix}hashes AS (SELECT doc_id,
        |  list_distinct(list_transform(sh, s -> ${polyhash("s")})) AS hs
-       |  FROM shing)""".stripMargin
+       |  FROM ${prefix}shing)""".stripMargin
 
   val hashesCte: String = hashesCteFrom("documents")
 
@@ -1261,6 +1264,50 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.ext.Sampling.sampleByKey(
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
+    }.sortedBy(col("doc_id")),
+
+    // ── Benchmark decontamination (n-gram overlap vs a held-out set) ──
+    // Corpus docs sharing >= 2 distinct word 3-gram hashes with the
+    // benchmark slice (doc_id % 97 = 3) are contaminated. The oracle
+    // replays the same shingle → PolyHash chain on both relations and
+    // counts per-doc join hits against the benchmark's DISTINCT gram
+    // set (a doc's hash set is list_distinct, so hits = distinct
+    // overlap). Spark side broadcasts the benchmark gram set — the
+    // corpus scan is never shuffled.
+    QueryDef("t_contamination_report",
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+         |${hashesCteFrom("bench", "b")},
+         |${hashesCteFrom("corpus", "c")},
+         |bgrams AS (SELECT DISTINCT unnest(hs) AS gram FROM bhashes),
+         |cgrams AS (SELECT doc_id, unnest(hs) AS gram FROM chashes),
+         |hits AS (SELECT c.doc_id, count(*) AS overlap_grams
+         |         FROM cgrams c JOIN bgrams b USING (gram) GROUP BY c.doc_id)
+         |SELECT doc_id, overlap_grams FROM hits WHERE overlap_grams >= 2
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Decontamination.contaminationReport(
+        docs.filter("doc_id % 97 <> 3"), docs.filter("doc_id % 97 = 3"),
+        minOverlap = 2)
+    }.sortedBy(col("doc_id")),
+
+    QueryDef("t_decontaminate",
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+         |${hashesCteFrom("bench", "b")},
+         |${hashesCteFrom("corpus", "c")},
+         |bgrams AS (SELECT DISTINCT unnest(hs) AS gram FROM bhashes),
+         |cgrams AS (SELECT doc_id, unnest(hs) AS gram FROM chashes),
+         |hits AS (SELECT c.doc_id, count(*) AS overlap_grams
+         |         FROM cgrams c JOIN bgrams b USING (gram) GROUP BY c.doc_id)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE overlap_grams >= 2)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Decontamination.decontaminate(
+        docs.filter("doc_id % 97 <> 3"), docs.filter("doc_id % 97 = 3"),
+        minOverlap = 2)
+        .select(col("doc_id"))
     }.sortedBy(col("doc_id")),
 
     // ── End-to-end corpus-curation flagship ────────────────────────

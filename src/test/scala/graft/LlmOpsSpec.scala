@@ -682,6 +682,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("decontamination flags n-gram overlap with the benchmark, honors minOverlap, broadcasts the bench side") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // two distinct benchmark 3-grams → contaminated at minOverlap 2
+      (1L, "alpha beta gamma delta unrelated tail words here"),
+      // exactly one benchmark 3-gram → flagged only at minOverlap 1
+      (2L, "prefix words alpha beta gamma unrelated suffix"),
+      (3L, "completely disjoint vocabulary only clean words"),
+      (4L, null.asInstanceOf[String])) // null text: never contaminated
+      .toDF("doc_id", "text")
+
+    val at2 = graft.ext.Decontamination.contaminationReport(corpus, bench,
+      minOverlap = 2).as[(Long, Long)].collect().toMap
+    assert(at2.keySet == Set(1L) && at2(1L) == 2L, s"got $at2")
+    val at1 = graft.ext.Decontamination.contaminationReport(corpus, bench)
+      .as[(Long, Long)].collect().toMap
+    assert(at1.keySet == Set(1L, 2L), s"got $at1")
+
+    val clean = graft.ext.Decontamination.decontaminate(corpus, bench,
+      minOverlap = 2).select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L, 4L), s"got $clean")
+
+    // scale posture: the benchmark gram set broadcasts — the corpus side
+    // is map-only (no corpus shuffle feeds the gram join)
+    val plan = graft.ext.Decontamination.contaminationReport(
+      Tables.documents(spark, sf), bench).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("clustering with a reliable checkpoint dir completes and matches the default path") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(80)
