@@ -65,4 +65,65 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
     df.filter(bucket(keyCol) < math.round(fraction * Grain))
   }
+
+  /** Per-domain keep thresholds (in 1/[[Grain]] buckets) that resample a
+    * corpus to integer mixture `weights`, keeping as much data as
+    * possible with NO upsampling (the DoReMi-style static re-mix,
+    * restricted to downsampling): the largest total T satisfiable from
+    * the available counts is `min over d of floor(c_d·W / w_d)`; each
+    * domain then needs `floor(w_d·T / W)` rows, i.e. a bucket threshold
+    * of `floor(need_d·Grain / c_d)`. ALL arithmetic is Long floor
+    * division so any engine (the DuckDB oracle included) reproduces the
+    * thresholds exactly; no float ever enters the assignment. The
+    * realized per-domain count is `#{keys: bucket(key) < thr_d}` — it
+    * tracks `need_d` as the domain's key-hash buckets approach
+    * uniformity (exact when thr hits the full [[Grain]]), so the
+    * mixture is approximate on small or adversarially-keyed domains and
+    * converges at corpus scale. An EXACT quota would need a per-domain
+    * global rank — a shuffle + sort of the full corpus, and an
+    * assignment that changes whenever any other row is added; this rule
+    * is the deterministic, shuffle-free trade.
+    *
+    * Every weighted domain must be present with a positive count (a
+    * zero-count domain makes the target mixture unattainable — fail
+    * loudly rather than silently emit an empty corpus).
+    */
+  def domainMixThresholds(counts: Map[String, Long],
+                          weights: Seq[(String, Int)]): Map[String, Long] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val absent = weights.collect {
+      case (d, _) if counts.getOrElse(d, 0L) <= 0L => d
+    }
+    require(absent.isEmpty,
+      s"domains $absent have no rows — target mixture unattainable")
+    val w = weights.map(_._2.toLong).sum
+    val t = weights.map { case (d, wd) => counts(d) * w / wd }.min
+    weights.map { case (d, wd) =>
+      val need = wd * t / w
+      d -> need * Grain / counts(d)
+    }.toMap
+  }
+
+  /** Resample `df` so the surviving rows match the integer mixture
+    * `weights` over `domainCol` (domains without a weight are DROPPED —
+    * they have share 0 in the target). Row-level keep/drop is the same
+    * pure key-hash rule as [[sampleByKey]]: stable across runs and
+    * partitionings, a broadcast join + narrow filter (the only action
+    * is one count per domain to size the thresholds — bounded by domain
+    * cardinality, the same driver-side footprint as a catalog listing).
+    */
+  def mixByDomain(df: DataFrame, domainCol: Column, keyCol: Column,
+                  weights: Seq[(String, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(domainCol.as("__mix_domain")).count()
+      .as[(String, Long)].collect().toMap
+    // internal column names are collision-proof vs any input schema
+    val thr = domainMixThresholds(counts, weights).toSeq
+      .toDF("__mix_domain", "__mix_thr")
+    df.join(broadcast(thr), domainCol === col("__mix_domain"))
+      .filter(bucket(keyCol) < col("__mix_thr"))
+      .drop("__mix_domain", "__mix_thr")
+  }
 }

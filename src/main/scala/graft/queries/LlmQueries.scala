@@ -1266,6 +1266,32 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // ── Domain-mixture resampling ──────────────────────────────────
+    // Downsample each weighted source so survivors match a 3:2:1 mix
+    // (unweighted sources drop). Thresholds are pure Long floor
+    // division over the per-domain counts — the oracle recomputes them
+    // in SQL (// is DuckDB integer division) and replays the same
+    // polyhash-bucket keep rule row for row.
+    QueryDef("t_domain_mix",
+      s"""WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+         |w(source, wt) AS (VALUES ('src0', CAST(3 AS BIGINT)),
+         |                         ('src1', CAST(2 AS BIGINT)),
+         |                         ('src2', CAST(1 AS BIGINT))),
+         |tot AS (SELECT sum(wt) AS tw FROM w),
+         |tmax AS (SELECT min(c * tw // wt) AS t
+         |         FROM counts JOIN w USING (source) CROSS JOIN tot),
+         |thr AS (SELECT source, ((wt * t // tw) * 10000 // c) AS keep_thr
+         |        FROM counts JOIN w USING (source)
+         |        CROSS JOIN tot CROSS JOIN tmax)
+         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+         |WHERE ${polyhash("CAST(d.doc_id AS VARCHAR)")} % 10000 < keep_thr
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.mixByDomain(
+        Tables.documents(s, d).select("doc_id", "source"),
+        col("source"), col("doc_id"),
+        Seq("src0" -> 3, "src1" -> 2, "src2" -> 1))
+    }.sortedBy(col("doc_id")),
+
     // ── Benchmark decontamination (n-gram overlap vs a held-out set) ──
     // Corpus docs sharing >= 2 distinct word 3-gram hashes with the
     // benchmark slice (doc_id % 97 = 3) are contaminated. The oracle

@@ -843,6 +843,46 @@ class LlmOpsSpec extends SparkSuite {
     assert(nullSplit == "train")
   }
 
+  test("domain mix: integer thresholds, quota tracking on uniform keys, unweighted domains drop, broadcast plan") {
+    import spark.implicits._
+    // hand-checked thresholds: equal counts, 3:2:1 weights, W=6 →
+    // T = min(25·6/3, 25·6/2, 25·6/1) = 50; need = (25, 16, 8);
+    // thr = (10000, 6400, 3200)
+    val thr = graft.ext.Sampling.domainMixThresholds(
+      Map("a" -> 25L, "b" -> 25L, "c" -> 25L),
+      Seq("a" -> 3, "b" -> 2, "c" -> 1))
+    assert(thr == Map("a" -> 10000L, "b" -> 6400L, "c" -> 3200L), s"got $thr")
+    // a weighted domain with no rows fails loudly, never an empty corpus
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.domainMixThresholds(
+        Map("a" -> 25L), Seq("a" -> 1, "missing" -> 1))
+    }
+
+    // quota tracking on realistic (string, well-spread) keys: A has 2×
+    // the rows of B; a 1:1 target halves A and keeps B whole
+    val rows = (1 to 2000).map(i => (s"key$i", "A")) ++
+      (1 to 1000).map(i => (s"other$i", "B"))
+    val df = rows.toDF("k", "domain")
+    val mixed = graft.ext.Sampling.mixByDomain(df, col("domain"), col("k"),
+      Seq("A" -> 1, "B" -> 1))
+    val byDom = mixed.groupBy("domain").count().as[(String, Long)]
+      .collect().toMap
+    assert(byDom("B") == 1000L, s"full-keep domain resampled: $byDom")
+    assert(math.abs(byDom("A") - 1000L) < 100, s"quota off: $byDom")
+    // output schema is the input's — the threshold plumbing never leaks
+    assert(mixed.columns.toSeq == Seq("k", "domain"))
+
+    // unweighted domains are dropped (share 0 in the target)
+    val withC = df.union(Seq(("x1", "C")).toDF("k", "domain"))
+    assert(graft.ext.Sampling.mixByDomain(withC, col("domain"), col("k"),
+      Seq("A" -> 1, "B" -> 1)).filter(col("domain") === "C").count() == 0)
+
+    // the thresholds join broadcasts; the corpus is never shuffled
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan)
+  }
+
   test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {
     import spark.implicits._
     val legacy = Seq((1L, "abc".getBytes("UTF-8"), 3L))
