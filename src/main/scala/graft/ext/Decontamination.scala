@@ -38,19 +38,18 @@ object Decontamination {
     bench.select(explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
       .distinct()
 
-  /** Contamination report: one row per corpus document sharing at least
-    * `minOverlap` DISTINCT n-grams with the benchmark —
-    * (idCol, overlap_grams). `overlap_grams` counts distinct shared
-    * grams (a document's shingle hash set is already distinct, so the
-    * per-doc join-hit count IS the distinct overlap).
+  /** Contamination report against a PRECOMPUTED gram set (one `gram`
+    * column, e.g. [[benchmarkGrams]] cached once for a stream that
+    * probes every micro-batch): one row per corpus document sharing at
+    * least `minOverlap` DISTINCT n-grams — (idCol, overlap_grams). A
+    * document's shingle hash set is already distinct, so the per-doc
+    * join-hit count IS the distinct overlap.
     */
-  def contaminationReport(corpus: DataFrame, bench: DataFrame,
-                          idCol: String = "doc_id", textCol: String = "text",
-                          n: Int = 3, minOverlap: Int = 1,
-                          broadcastBench: Boolean = true): DataFrame = {
+  def contaminationReportAgainst(corpus: DataFrame, grams: DataFrame,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text", n: Int = 3,
+                                 minOverlap: Int = 1): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
-    val grams0 = benchmarkGrams(bench, textCol, n)
-    val grams = if (broadcastBench) broadcast(grams0) else grams0
     corpus.select(col(idCol),
         explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
       .join(grams, "gram")
@@ -59,8 +58,31 @@ object Decontamination {
       .filter(col("overlap_grams") >= minOverlap)
   }
 
-  /** The corpus minus contaminated documents (anti-join on the report).
-    * Column set is the corpus's, unchanged.
+  /** [[contaminationReportAgainst]] with the gram set derived from the
+    * benchmark relation inline.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3, minOverlap: Int = 1,
+                          broadcastBench: Boolean = true): DataFrame = {
+    val grams0 = benchmarkGrams(bench, textCol, n)
+    val grams = if (broadcastBench) broadcast(grams0) else grams0
+    contaminationReportAgainst(corpus, grams, idCol, textCol, n, minOverlap)
+  }
+
+  /** The corpus minus documents contaminated vs a precomputed gram set
+    * (anti-join on the report). Column set is the corpus's, unchanged.
+    */
+  def decontaminateAgainst(corpus: DataFrame, grams: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val report = contaminationReportAgainst(corpus, grams, idCol, textCol,
+      n, minOverlap)
+    corpus.join(report.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** The corpus minus contaminated documents. Column set is the
+    * corpus's, unchanged.
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",

@@ -48,14 +48,26 @@ object CurationStream {
     * five-minute batches ≈ one fold per ~5 h — version accumulation
     * stays two orders of magnitude under the ~8.6k-dirs-per-month
     * untended shape while compaction cost stays amortized.
+    *
+    * `benchmark` (optional) decontaminates in-stream: admitted,
+    * quality-passing docs sharing ≥ `minOverlap` word n-grams with the
+    * benchmark relation are dropped before the enrich
+    * ([[graft.ext.Decontamination]] — the eval set never reaches the
+    * training corpus, enforced at ingest rather than in a nightly
+    * sweep). The benchmark's distinct gram set is computed ONCE and
+    * cached; each micro-batch pays one broadcast-hash probe against
+    * it, so the per-batch cost is batch-sized, not benchmark-sized.
     */
   def run(docs: DataFrame, storeName: String, dimDir: String, dimKey: String,
           checkpointDir: String, idCol: String = "doc_id",
           textCol: String = "text", minQuality: Int = 3, n: Int = 3,
           numBands: Int = 4, rowsPerBand: Int = 2, jaccardNum: Int = 8,
           jaccardDen: Int = 10, compactEvery: Int = 64,
-          vacuumAfterCompact: Boolean = true)
-         (sink: (DataFrame, Long) => Unit): StreamingQuery =
+          vacuumAfterCompact: Boolean = true,
+          benchmark: Option[DataFrame] = None, minOverlap: Int = 1)
+         (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val benchGrams = benchmark.map(b =>
+      graft.ext.Decontamination.benchmarkGrams(b, textCol, n).cache())
     IngestDedupGate.gate(docs, storeName, checkpointDir,
       idCol = idCol, textCol = textCol, n = n, numBands = numBands,
       rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,
@@ -65,7 +77,11 @@ object CurationStream {
         .withColumn("quality",
           TextAnalysis.qualityScore(col(textCol)).cast("long"))
         .filter(col("quality") >= minQuality)
+      val clean = benchGrams.fold(gated)(g =>
+        graft.ext.Decontamination.decontaminateAgainst(
+          gated, broadcast(g), idCol, textCol, n, minOverlap))
       val dim = ManifestStore.read(novel.sparkSession, dimDir, dimKey)
-      sink(gated.join(broadcast(dim), Seq(dimKey), "left_outer"), epoch)
+      sink(clean.join(broadcast(dim), Seq(dimKey), "left_outer"), epoch)
     }
+  }
 }

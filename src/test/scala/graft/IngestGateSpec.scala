@@ -335,6 +335,42 @@ class IngestGateSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("composed curation stream decontaminates against a benchmark set in-stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    val cw = (1 to 40).map(i => s"cword$i").toArray; cw(0) = "the"
+    val contaminated = cw.mkString(" ") // carries cword10 cword11 cword12
+    val bw = (1 to 40).map(i => s"bword$i").toArray; bw(0) = "the"
+    val clean = bw.mkString(" ")
+    // the benchmark's single 3-gram appears verbatim in `contaminated`
+    val bench = Seq((100L, "cword10 cword11 cword12")).toDF("doc_id", "text")
+    val name = "t_cur_decon"
+    val dimDir = java.nio.file.Files.createTempDirectory("dec-dim").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA"), (1, "crawlB")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("dec-ckpt").toString,
+      benchmark = Some(bench)) { (out, _) =>
+      out.select("doc_id", "quality", "source").collect().foreach(r =>
+        IngestGateSpec.curated.add((r.getLong(0), r.getLong(1), r.getString(2))))
+    }
+    try {
+      ms.addData((1L, clean, 0), (2L, contaminated, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(IngestGateSpec.curated.asScala.toSet == Set((1L, 4L, "crawlA")),
+      s"decontaminated set wrong: ${IngestGateSpec.curated.asScala.toSet}")
+    // the contaminated doc was still ADMITTED by the gate — decon layers
+    // after dedup, so redeliveries of it keep deduping at the store
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("composed curation stream: gate, quality cut and pinned dim enrich; restart sees dim updates") {
     import spark.implicits._
     IngestGateSpec.curated.clear()
