@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sequence packing for training pipelines: lay documents
+  * out in a content-independent, engine-reproducible order and cut the
+  * running token total into fixed-budget packs (the contiguous-fill
+  * variant of context-window packing — each pack holds consecutive docs
+  * whose tokens sum to ~`budget`).
+  *
+  * Semantics (all reproducible in the DuckDB oracle):
+  *  - order = (polyhash-bucket of the key, key) — the same RNG-free
+  *    [[Sampling.bucket]] rule as splits, so packing is stable across
+  *    runs, engines and partitionings, and effectively shuffles docs
+  *    (consecutive crawl ids land in different packs);
+  *  - a document's pack is `(cumsum_before_it) div budget` — greedy
+  *    contiguous fill. A pack can overflow `budget` by at most its LAST
+  *    doc's tokens (docs are never split); oversized single docs simply
+  *    own the packs they span. This is the standard approximation: an
+  *    exact bin-pack is NP-hard and order-dependent.
+  *
+  * 100 TB posture: a naive `sum() over (order by …)` global window is
+  * ONE task. Instead the global cumsum is decomposed: contiguous
+  * bucket-range GROUPS get a partitioned window cumsum (parallel,
+  * shuffled once by group), and each group's offset is a second window
+  * over the per-group totals — a relation with one row per group
+  * (bounded by [[Sampling.Grain]]/`groupWidth`, ~hundreds), broadcast
+  * back. Identical result, no single-task stage.
+  */
+object Packing {
+
+  /** Add a `pack` column: index of the fixed-`budget` pack the
+    * document's tokens start in. `tokensCol` is the caller's token
+    * count (e.g. [[TextAnalysis]] counts, or a plain whitespace count);
+    * `keyCol` must be unique per row (the order tiebreak).
+    */
+  def packSequences(df: DataFrame, keyCol: Column, tokensCol: Column,
+                    budget: Long, groupWidth: Int = 16): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupWidth > 0 && groupWidth <= Sampling.Grain,
+      s"groupWidth must be in [1, ${Sampling.Grain}], got $groupWidth")
+    val bkt = Sampling.bucket(keyCol)
+    val base = df
+      .withColumn("__pk_tok", tokensCol.cast("long"))
+      .withColumn("__pk_bkt", bkt)
+      .withColumn("__pk_grp", (bkt / groupWidth).cast("long"))
+    // parallel within-group running total (shuffle: one, by group)
+    val inGrp = Window.partitionBy("__pk_grp")
+      .orderBy(col("__pk_bkt"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = base.withColumn("__pk_cum", sum("__pk_tok").over(inGrp))
+    // group offsets: one row per group — tiny by construction, so the
+    // unpartitioned ordered window is a non-issue
+    val offsets = base.groupBy("__pk_grp")
+      .agg(sum("__pk_tok").as("__pk_total"))
+      .withColumn("__pk_off",
+        coalesce(sum("__pk_total").over(
+          Window.orderBy("__pk_grp")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pk_grp", "__pk_off")
+    withCum.join(broadcast(offsets), "__pk_grp")
+      .withColumn("pack",
+        expr(s"(__pk_off + __pk_cum - __pk_tok) div $budget"))
+      .drop("__pk_tok", "__pk_bkt", "__pk_grp", "__pk_cum", "__pk_off")
+  }
+}

@@ -1266,6 +1266,29 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // ── Deterministic sequence packing ─────────────────────────────
+    // Context-window packing: docs in polyhash-bucket order, running
+    // whitespace-token total cut into 512-token packs (pack = tokens
+    // BEFORE the doc, integer-divided). The oracle computes the global
+    // cumsum in one window; Spark decomposes it into a partitioned
+    // within-group window + broadcast group offsets — same numbers,
+    // no single-task stage.
+    QueryDef("t_pack_sequences",
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN 0 ELSE len(string_split(text, ' ')) END AS toks,
+         |  ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  sum(toks) OVER (ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, CAST((cum - toks) // 512 AS BIGINT) AS pack FROM c
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+      graft.ext.Packing.packSequences(docs, col("doc_id"), col("toks"), 512L)
+        .select(col("doc_id"), col("pack"))
+    }.sortedBy(col("doc_id")),
+
     // ── Domain-mixture resampling ──────────────────────────────────
     // Downsample each weighted source so survivors match a 3:2:1 mix
     // (unweighted sources drop). Thresholds are pure Long floor

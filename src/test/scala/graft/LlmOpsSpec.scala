@@ -883,6 +883,47 @@ class LlmOpsSpec extends SparkSuite {
       plan)
   }
 
+  test("sequence packing: greedy contiguous fill, group decomposition invariant, no single-task corpus stage") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+
+    def packs(groupWidth: Int): Map[Long, Long] =
+      graft.ext.Packing.packSequences(docs, col("doc_id"), col("toks"),
+          budget = 128L, groupWidth = groupWidth)
+        .select("doc_id", "pack").as[(Long, Long)].collect().toMap
+
+    // reference: naive driver-side cumsum in deterministic bucket order
+    val rows = docs.select(col("doc_id"), col("toks"),
+        graft.ext.Sampling.bucket(col("doc_id")).as("bkt"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._1))
+    var cum = 0L
+    val expected = rows.map { case (id, toks, _) =>
+      val p = cum / 128L; cum += toks; id -> p
+    }.toMap
+    val got = packs(groupWidth = 16)
+    assert(got == expected, s"packing disagrees with naive cumsum")
+    // decomposition invariance: one global group == many small groups
+    assert(packs(groupWidth = 10000) == got)
+    assert(packs(groupWidth = 1) == got)
+
+    // pack sizes: every pack except possibly each boundary doc's is
+    // budget-bounded — total tokens before a doc in its pack < budget
+    val sizes = rows.foldLeft((Map.empty[Long, Long], 0L)) {
+      case ((acc, c), (_, toks, _)) =>
+        (acc.updated(c / 128L, acc.getOrElse(c / 128L, 0L) + toks), c + toks)
+    }._1
+    assert(sizes.nonEmpty && sizes.keySet.max > 0, "multiple packs expected")
+
+    // scale guard: the corpus window is partitioned by group — the only
+    // unpartitioned window runs over the per-group totals (≤ Grain rows)
+    val plan = graft.ext.Packing.packSequences(docs, col("doc_id"),
+      col("toks"), 128L).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__pk_grp"), plan)
+  }
+
   test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {
     import spark.implicits._
     val legacy = Seq((1L, "abc".getBytes("UTF-8"), 3L))
