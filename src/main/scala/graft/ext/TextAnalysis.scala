@@ -241,4 +241,43 @@ object TextAnalysis {
       qualityScore(t).cast("long").as("quality"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** TF-IDF-style keyword extraction, integer-exact: per document, the
+    * top-`k` terms by `score = tf·10⁶ div df` (term frequency weighted
+    * against corpus-wide document frequency — the idf in fixed-point
+    * integer form, so the ranking is bit-reproducible in any engine; no
+    * float log ever enters the comparator). Ties break lexicographically
+    * — a total order, so top-k is deterministic.
+    *
+    * Scale shape: term explode and tf aggregation are one shuffle on
+    * (doc, word); df is a vocabulary-sized aggregate joined back on
+    * word (AQE broadcasts it when small); the per-doc top-k runs on the
+    * custom [[graft.plans.TopKPerKey]] operator — bounded per-partition
+    * heaps, at most k rows per key enter the final exchange, never a
+    * full window sort of every (doc, term) pair.
+    */
+  def keywords(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    val tf = terms.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "word")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .select(col(idCol), col("word"), col("tf"), col("df"), col("score"))
+    val top = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute(idCol)),
+      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
+        SortOrder(UnresolvedAttribute("word"), Ascending)),
+      k, Bridge.logicalPlan(scored))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word"))
+    Bridge.ofRows(docs.sparkSession, top)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

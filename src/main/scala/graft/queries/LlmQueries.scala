@@ -1266,6 +1266,30 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // ── Keyword extraction (integer-exact TF-IDF ranking) ──────────
+    // Per doc: top-3 terms by tf·10⁶ div df (fixed-point idf — no float
+    // log in the comparator, so DuckDB reproduces the ranking exactly),
+    // lexicographic tiebreak. Spark runs the per-doc top-k on the
+    // custom TopKPerKey operator; the oracle uses a window.
+    QueryDef("t_keywords",
+      s"""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT t.doc_id, t.word, t.tf, d.df,
+         |  (t.tf * 1000000) // d.df AS score FROM tf t JOIN df d USING (word)),
+         |ranked AS (SELECT doc_id, word, tf, df, score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |       ORDER BY score DESC, word) AS BIGINT) AS rank FROM scored)
+         |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |       CAST(score AS BIGINT) AS score, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.keywords(Tables.documents(s, d), k = 3)
+          .select(col("doc_id"), col("word"), col("tf"), col("df"),
+            col("score"), col("rank"))
+    }.sortedBy(col("doc_id"), col("rank")),
+
     // ── Deterministic sequence packing ─────────────────────────────
     // Context-window packing: docs in polyhash-bucket order, running
     // whitespace-token total cut into 512-token packs (pack = tokens

@@ -883,6 +883,32 @@ class LlmOpsSpec extends SparkSuite {
       plan)
   }
 
+  test("keyword extraction: fixed-point tf-idf ranking, lexicographic ties, runs on TopKPerKey") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common cherry"),
+      (4L, null.asInstanceOf[String])) // null text contributes nothing
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(docs, k = 2)
+      .select("doc_id", "word", "score", "rank")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // df: apple 1, banana 2, cherry 2, common 3 →
+    // d1: apple 2·10⁶/1, banana 10⁶/2; d2: banana == cherry (500000) —
+    // the lexicographic tiebreak decides; d3: common 2·10⁶/3, cherry
+    assert(out == Set(
+      (1L, "apple", 2000000L, 1L), (1L, "banana", 500000L, 2L),
+      (2L, "banana", 500000L, 1L), (2L, "cherry", 500000L, 2L),
+      (3L, "common", 666666L, 1L), (3L, "cherry", 500000L, 2L)),
+      s"got $out")
+    // the per-doc top-k is the custom operator, not a window sort of
+    // every (doc, term) pair
+    val plan = TextAnalysis.keywords(Tables.documents(spark, sf), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
   test("sequence packing: greedy contiguous fill, group decomposition invariant, no single-task corpus stage") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
