@@ -65,4 +65,48 @@ object Packing {
         expr(s"(__pk_off + __pk_cum - __pk_tok) div $budget"))
       .drop("__pk_tok", "__pk_bkt", "__pk_grp", "__pk_cum", "__pk_off")
   }
+
+  /** Budget-capped corpus selection: keep the highest-`priorityCol`
+    * documents whose running token total fits `budget` — "fill a
+    * 1B-token training budget with the best docs first", deterministic.
+    * Order = (priority DESC, polyhash bucket, key): within a priority
+    * level docs are hash-shuffled, so the cut is content-independent
+    * and reproducible; a doc is kept iff the INCLUSIVE running total is
+    * ≤ budget (prefix selection — no later smaller doc back-fills, so
+    * membership never depends on what follows the cut).
+    *
+    * Same distributed prefix-sum as [[packSequences]], with the
+    * (priority, bucket-range) pair as the parallel group; the offsets
+    * relation has one row per (priority level × group) — priorities
+    * must be integral and low-cardinality (a quality score, not a raw
+    * float), which is also what makes the order engine-reproducible.
+    */
+  def selectByBudget(df: DataFrame, keyCol: Column, tokensCol: Column,
+                     priorityCol: Column, budget: Long,
+                     groupWidth: Int = 16): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupWidth > 0 && groupWidth <= Sampling.Grain,
+      s"groupWidth must be in [1, ${Sampling.Grain}], got $groupWidth")
+    val bkt = Sampling.bucket(keyCol)
+    val base = df
+      .withColumn("__sb_tok", tokensCol.cast("long"))
+      .withColumn("__sb_pri", priorityCol.cast("long"))
+      .withColumn("__sb_bkt", bkt)
+      .withColumn("__sb_grp", (bkt / groupWidth).cast("long"))
+    val inGrp = Window.partitionBy("__sb_pri", "__sb_grp")
+      .orderBy(col("__sb_bkt"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = base.withColumn("__sb_cum", sum("__sb_tok").over(inGrp))
+    val offsets = base.groupBy("__sb_pri", "__sb_grp")
+      .agg(sum("__sb_tok").as("__sb_total"))
+      .withColumn("__sb_off",
+        coalesce(sum("__sb_total").over(
+          Window.orderBy(col("__sb_pri").desc, col("__sb_grp"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__sb_pri", "__sb_grp", "__sb_off")
+    withCum.join(broadcast(offsets), Seq("__sb_pri", "__sb_grp"))
+      .filter(col("__sb_off") + col("__sb_cum") <= budget)
+      .drop("__sb_tok", "__sb_pri", "__sb_bkt", "__sb_grp", "__sb_cum",
+        "__sb_off")
+  }
 }

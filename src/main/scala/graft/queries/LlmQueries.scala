@@ -1313,6 +1313,31 @@ object LlmQueries {
         .select(col("doc_id"), col("pack"))
     }.sortedBy(col("doc_id")),
 
+    // ── Budget-capped best-first selection ─────────────────────────
+    // Fill a 12k-token budget with the highest-quality docs first
+    // (quality DESC, then hash order — deterministic cut). The oracle
+    // reuses the proven quality CTEs and one global window cumsum;
+    // Spark runs the decomposed prefix-sum with (quality, bucket-range)
+    // groups. Inclusive prefix rule: kept iff running total ≤ budget.
+    QueryDef("t_select_budget",
+      s"""WITH ${qualityCtes("documents")},
+         |t AS (SELECT q.doc_id, q.quality,
+         |  len(string_split(q.text, ' ')) AS toks,
+         |  ${polyhash("CAST(q.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM qscored q),
+         |c AS (SELECT doc_id, quality, toks,
+         |  sum(toks) OVER (ORDER BY quality DESC, bkt, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, CAST(quality AS BIGINT) AS quality FROM c
+         |WHERE cum <= 12000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("long").as("quality"),
+        size(split(col("text"), " ")).as("toks"))
+      graft.ext.Packing.selectByBudget(scored, col("doc_id"), col("toks"),
+          col("quality"), 12000L)
+        .select(col("doc_id"), col("quality"))
+    }.sortedBy(col("doc_id")),
+
     // ── Domain-mixture resampling ──────────────────────────────────
     // Downsample each weighted source so survivors match a 3:2:1 mix
     // (unweighted sources drop). Thresholds are pure Long floor

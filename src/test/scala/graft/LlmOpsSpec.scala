@@ -950,6 +950,35 @@ class LlmOpsSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(__pk_grp"), plan)
   }
 
+  test("budget selection: best-first inclusive prefix, decomposition invariant") {
+    import spark.implicits._
+    // priorities 3/2/1, 40 tokens each doc — budget 200 takes all five
+    // pri-3 docs (200 tokens) and nothing else: the pri-2 doc that
+    // WOULD fit is past the cut (prefix rule, no back-fill)
+    val docs = ((1L to 5L).map((_, 40L, 3L)) ++ (6L to 10L).map((_, 40L, 2L))
+      ++ Seq((11L, 40L, 1L))).toDF("doc_id", "toks", "pri")
+    def sel(gw: Int): Set[Long] =
+      graft.ext.Packing.selectByBudget(docs, col("doc_id"), col("toks"),
+          col("pri"), budget = 200L, groupWidth = gw)
+        .select("doc_id").as[Long].collect().toSet
+    assert(sel(16) == (1L to 5L).toSet, s"got ${sel(16)}")
+    assert(sel(10000) == sel(16) && sel(1) == sel(16))
+
+    // a mid-level cut: budget 280 admits the 2 hash-earliest pri-2 docs
+    val buckets = docs.select(col("doc_id"),
+        graft.ext.Sampling.bucket(col("doc_id")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val pri2Order = (6L to 10L).sortBy(id => (buckets(id), id))
+    val got280 = graft.ext.Packing.selectByBudget(docs, col("doc_id"),
+        col("toks"), col("pri"), budget = 280L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got280 == (1L to 5L).toSet ++ pri2Order.take(2), s"got $got280")
+
+    // output schema is the input's
+    assert(graft.ext.Packing.selectByBudget(docs, col("doc_id"), col("toks"),
+      col("pri"), 200L).columns.toSeq == Seq("doc_id", "toks", "pri"))
+  }
+
   test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {
     import spark.implicits._
     val legacy = Seq((1L, "abc".getBytes("UTF-8"), 3L))
