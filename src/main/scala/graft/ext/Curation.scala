@@ -56,4 +56,32 @@ object Curation {
     Sampling.assignSplit(kept, col(idCol), splits)
       .select(col(idCol), col("quality"), col("split"))
   }
+
+  /** Corpus snapshot diff — dataset versioning between two crawls or
+    * pipeline runs: one row per document whose membership or CONTENT
+    * changed, `(idCol, status)` with status ∈ added | removed |
+    * changed; unchanged docs are omitted. Content comparison is by
+    * [[graft.functions.polyFingerprint]] of the text (null-safe: a
+    * text appearing or disappearing under a surviving id is `changed`),
+    * so the shuffled payload is (id, 8-byte hash), never the documents
+    * themselves. The id join shuffles both sides once — snapshots
+    * written with [[graft.core.Layout.writeBucketed]] on the id
+    * co-locate it away entirely.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"__${side}_id"),
+      graft.functions.polyFingerprint(col(textCol)).as(s"__${side}_fp"))
+    fp(oldDocs, "old").join(fp(newDocs, "new"),
+        col("__old_id") === col("__new_id"), "full_outer")
+      .withColumn("status",
+        when(col("__old_id").isNull, "added")
+          .when(col("__new_id").isNull, "removed")
+          .when(!(col("__old_fp") <=> col("__new_fp")), "changed"))
+      .filter(col("status").isNotNull)
+      .select(coalesce(col("__old_id"), col("__new_id")).as(idCol),
+        col("status"))
+  }
 }

@@ -1266,6 +1266,37 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // ── Corpus snapshot diff (dataset versioning) ──────────────────
+    // "New" snapshot simulated in SQL on both sides: drop % 13 = 5
+    // (removed), append ' v2' where % 11 = 3 (changed), re-add % 17 = 2
+    // under id+100000 (added). Compare by text PolyHash — membership
+    // and content drift in one full-outer pass, unchanged docs omitted.
+    QueryDef("t_corpus_diff",
+      s"""WITH newc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 2),
+         |ofp AS (SELECT doc_id, ${polyhash("text")} AS fp FROM documents),
+         |nfp AS (SELECT doc_id, ${polyhash("text")} AS fp FROM newc),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed' END AS status
+         |  FROM ofp o FULL JOIN nfp n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val newc = docs.filter("doc_id % 13 <> 5")
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter("doc_id % 17 = 2")
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.ext.Curation.corpusDiff(docs, newc)
+    }.sortedBy(col("doc_id")),
+
     // ── Keyword extraction (integer-exact TF-IDF ranking) ──────────
     // Per doc: top-3 terms by tf·10⁶ div df (fixed-point idf — no float
     // log in the comparator, so DuckDB reproduces the ranking exactly),

@@ -950,6 +950,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(__pk_grp"), plan)
   }
 
+  test("corpus diff: added/removed/changed by content hash, null-safe, unchanged omitted") {
+    import spark.implicits._
+    val oldc = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will be removed"),
+      (4L, null.asInstanceOf[String]), // null → null: unchanged
+      (5L, "text goes null")) // non-null → null: changed
+      .toDF("doc_id", "text")
+    val newc = Seq(
+      (1L, "same text"), (2L, "has changed"),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String]),
+      (6L, "brand new")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.corpusDiff(oldc, newc)
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "changed"), (3L, "removed"),
+      (5L, "changed"), (6L, "added")), s"got $out")
+  }
+
   test("budget selection: best-first inclusive prefix, decomposition invariant") {
     import spark.implicits._
     // priorities 3/2/1, 40 tokens each doc — budget 200 takes all five
