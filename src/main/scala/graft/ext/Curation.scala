@@ -60,26 +60,33 @@ object Curation {
   /** Corpus snapshot diff — dataset versioning between two crawls or
     * pipeline runs: one row per document whose membership or CONTENT
     * changed, `(idCol, status)` with status ∈ added | removed |
-    * changed; unchanged docs are omitted. Content comparison is by
-    * [[graft.functions.polyFingerprint]] of the text (null-safe: a
-    * text appearing or disappearing under a surviving id is `changed`),
-    * so the shuffled payload is (id, 8-byte hash), never the documents
-    * themselves. The id join shuffles both sides once — snapshots
-    * written with [[graft.core.Layout.writeBucketed]] on the id
-    * co-locate it away entirely.
+    * changed; unchanged docs are omitted. Content comparison is by a
+    * PAIR of [[graft.functions.polyFingerprint]] hashes — the text and
+    * its reverse (~62 bits combined: one 31-bit PolyHash alone would
+    * miss a changed doc with probability 2⁻³¹, material at a
+    * billions-of-docs scale; a collision must now hold in both scan
+    * directions simultaneously). Null-safe: a text appearing or
+    * disappearing under a surviving id is `changed`. The shuffled
+    * payload is (id, two longs), never the documents themselves; the
+    * id join shuffles both sides once — snapshots written with
+    * [[graft.core.Layout.writeBucketed]] on the id co-locate it away
+    * entirely.
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     def fp(df: DataFrame, side: String) = df.select(
       col(idCol).as(s"__${side}_id"),
-      graft.functions.polyFingerprint(col(textCol)).as(s"__${side}_fp"))
+      graft.functions.polyFingerprint(col(textCol)).as(s"__${side}_fp"),
+      graft.functions.polyFingerprint(reverse(col(textCol)))
+        .as(s"__${side}_rfp"))
     fp(oldDocs, "old").join(fp(newDocs, "new"),
         col("__old_id") === col("__new_id"), "full_outer")
       .withColumn("status",
         when(col("__old_id").isNull, "added")
           .when(col("__new_id").isNull, "removed")
-          .when(!(col("__old_fp") <=> col("__new_fp")), "changed"))
+          .when(!(col("__old_fp") <=> col("__new_fp")) ||
+            !(col("__old_rfp") <=> col("__new_rfp")), "changed"))
       .filter(col("status").isNotNull)
       .select(coalesce(col("__old_id"), col("__new_id")).as(idCol),
         col("status"))

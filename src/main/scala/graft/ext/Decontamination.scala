@@ -88,8 +88,8 @@ object Decontamination {
                     idCol: String = "doc_id", textCol: String = "text",
                     n: Int = 3, minOverlap: Int = 1,
                     broadcastBench: Boolean = true): DataFrame = {
-    val report = contaminationReport(corpus, bench, idCol, textCol, n,
-      minOverlap, broadcastBench)
-    corpus.join(report.select(col(idCol)), Seq(idCol), "left_anti")
+    val grams0 = benchmarkGrams(bench, textCol, n)
+    val grams = if (broadcastBench) broadcast(grams0) else grams0
+    decontaminateAgainst(corpus, grams, idCol, textCol, n, minOverlap)
   }
 }

@@ -33,7 +33,9 @@ object Packing {
 
   /** Add a `pack` column: index of the fixed-`budget` pack the
     * document's tokens start in. `tokensCol` is the caller's token
-    * count (e.g. [[TextAnalysis]] counts, or a plain whitespace count);
+    * count (e.g. [[TextAnalysis]] counts, or a plain whitespace count) —
+    * a NULL count is treated as 0 tokens (the row still gets a pack, it
+    * just occupies no budget; same rule as [[selectByBudget]]);
     * `keyCol` must be unique per row (the order tiebreak).
     */
   def packSequences(df: DataFrame, keyCol: Column, tokensCol: Column,
@@ -43,7 +45,7 @@ object Packing {
       s"groupWidth must be in [1, ${Sampling.Grain}], got $groupWidth")
     val bkt = Sampling.bucket(keyCol)
     val base = df
-      .withColumn("__pk_tok", tokensCol.cast("long"))
+      .withColumn("__pk_tok", coalesce(tokensCol.cast("long"), lit(0L)))
       .withColumn("__pk_bkt", bkt)
       .withColumn("__pk_grp", (bkt / groupWidth).cast("long"))
     // parallel within-group running total (shuffle: one, by group)
@@ -80,6 +82,9 @@ object Packing {
     * relation has one row per (priority level × group) — priorities
     * must be integral and low-cardinality (a quality score, not a raw
     * float), which is also what makes the order engine-reproducible.
+    * NULL handling is deterministic and disclosed, never a silent drop:
+    * a NULL priority sorts LAST (below every real level — it competes
+    * for leftover budget only) and a NULL token count costs 0.
     */
   def selectByBudget(df: DataFrame, keyCol: Column, tokensCol: Column,
                      priorityCol: Column, budget: Long,
@@ -89,8 +94,9 @@ object Packing {
       s"groupWidth must be in [1, ${Sampling.Grain}], got $groupWidth")
     val bkt = Sampling.bucket(keyCol)
     val base = df
-      .withColumn("__sb_tok", tokensCol.cast("long"))
-      .withColumn("__sb_pri", priorityCol.cast("long"))
+      .withColumn("__sb_tok", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__sb_pri",
+        coalesce(priorityCol.cast("long"), lit(Long.MinValue)))
       .withColumn("__sb_bkt", bkt)
       .withColumn("__sb_grp", (bkt / groupWidth).cast("long"))
     val inGrp = Window.partitionBy("__sb_pri", "__sb_grp")

@@ -92,6 +92,9 @@ object Sampling {
                           weights: Seq[(String, Int)]): Map[String, Long] = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive, got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate domains in weights: $weights — the total W would " +
+        "double-count while .toMap keeps one threshold")
     val absent = weights.collect {
       case (d, _) if counts.getOrElse(d, 0L) <= 0L => d
     }

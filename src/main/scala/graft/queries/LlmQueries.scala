@@ -1278,12 +1278,15 @@ object LlmQueries {
          |  FROM documents WHERE doc_id % 13 <> 5
          |  UNION ALL
          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 2),
-         |ofp AS (SELECT doc_id, ${polyhash("text")} AS fp FROM documents),
-         |nfp AS (SELECT doc_id, ${polyhash("text")} AS fp FROM newc),
+         |ofp AS (SELECT doc_id, ${polyhash("text")} AS fp,
+         |        ${polyhash("reverse(text)")} AS rfp FROM documents),
+         |nfp AS (SELECT doc_id, ${polyhash("text")} AS fp,
+         |        ${polyhash("reverse(text)")} AS rfp FROM newc),
          |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
          |  CASE WHEN o.doc_id IS NULL THEN 'added'
          |       WHEN n.doc_id IS NULL THEN 'removed'
-         |       WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed' END AS status
+         |       WHEN o.fp IS DISTINCT FROM n.fp
+         |         OR o.rfp IS DISTINCT FROM n.rfp THEN 'changed' END AS status
          |  FROM ofp o FULL JOIN nfp n ON o.doc_id = n.doc_id)
          |SELECT doc_id, status FROM j WHERE status IS NOT NULL
          |ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -877,6 +877,12 @@ class LlmOpsSpec extends SparkSuite {
     assert(graft.ext.Sampling.mixByDomain(withC, col("domain"), col("k"),
       Seq("A" -> 1, "B" -> 1)).filter(col("domain") === "C").count() == 0)
 
+    // duplicate domain names are rejected loudly (W would double-count)
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.domainMixThresholds(
+        Map("a" -> 25L), Seq("a" -> 1, "a" -> 1))
+    }
+
     // the thresholds join broadcasts; the corpus is never shuffled
     val plan = mixed.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
@@ -995,6 +1001,27 @@ class LlmOpsSpec extends SparkSuite {
     // output schema is the input's
     assert(graft.ext.Packing.selectByBudget(docs, col("doc_id"), col("toks"),
       col("pri"), 200L).columns.toSeq == Seq("doc_id", "toks", "pri"))
+
+    // null priority sorts LAST (never silently dropped) and null token
+    // counts cost 0 in both ops — deterministic, not a vanished row
+    val withNulls = Seq[(Long, Option[Long], Option[Long])](
+      (1L, Some(40L), Some(2L)), (2L, Some(40L), None), (3L, None, Some(3L)))
+      .toDF("doc_id", "toks", "pri")
+    val all = graft.ext.Packing.selectByBudget(withNulls, col("doc_id"),
+        col("toks"), col("pri"), budget = 10000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L), s"null rows dropped: $all")
+    // tight budget: the null-pri doc competes LAST (only doc 3 — null
+    // toks, cost 0 — and doc 1 fit a 40-token budget)
+    val tight = graft.ext.Packing.selectByBudget(withNulls, col("doc_id"),
+        col("toks"), col("pri"), budget = 40L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight == Set(1L, 3L), s"null-pri ordering wrong: $tight")
+    val packed = graft.ext.Packing.packSequences(withNulls, col("doc_id"),
+        col("toks"), budget = 10000L)
+      .select("doc_id", "pack").as[(Long, Long)].collect().toMap
+    assert(packed.keySet == Set(1L, 2L, 3L) && packed.values.forall(_ == 0L),
+      s"null-token row mispacked: $packed")
   }
 
   test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {
