@@ -57,6 +57,27 @@ object Curation {
       .select(col(idCol), col("quality"), col("split"))
   }
 
+  /** Per-domain corpus profile — the mixture report a pipeline reads
+    * before choosing [[Sampling.mixByDomain]] weights and after it to
+    * verify the realized mix: one row per `domainCol` value with doc
+    * count, token/char totals and the integer quality-score sum
+    * (sum, not mean — float division stays out of the oracle contract;
+    * divide at the consumer). One partial-aggregated shuffle on the
+    * domain key, grouped counts bounded by domain cardinality.
+    */
+  def corpusProfile(docs: DataFrame, domainCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(t.isNull, 0L)
+        .otherwise(TextAnalysis.tokenCount(t).cast("long"))).as("n_tokens"),
+      sum(when(t.isNull, 0L).otherwise(length(t).cast("long"))).as("n_chars"),
+      sum(when(t.isNull, 0L)
+        .otherwise(TextAnalysis.qualityScore(t).cast("long")))
+        .as("quality_sum"))
+  }
+
   /** Corpus snapshot diff — dataset versioning between two crawls or
     * pipeline runs: one row per document whose membership or CONTENT
     * changed, `(idCol, status)` with status ∈ added | removed |

@@ -1266,6 +1266,25 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // ── Per-domain corpus profile (mixture report) ─────────────────
+    // One row per source: doc count, token/char totals, integer
+    // quality-score sum — the read-before/verify-after companion to
+    // t_domain_mix. The oracle reuses the proven quality CTEs.
+    QueryDef("t_corpus_profile",
+      s"""WITH ${qualityCtes("documents")}
+         |SELECT d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |           ELSE len(string_split(d.text, ' ')) END) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |           ELSE length(d.text) END) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |           ELSE q.quality END) AS BIGINT) AS quality_sum
+         |FROM documents d JOIN qscored q ON q.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      graft.ext.Curation.corpusProfile(Tables.documents(s, d))
+    }.sortedBy(col("source")),
+
     // ── Corpus snapshot diff (dataset versioning) ──────────────────
     // "New" snapshot simulated in SQL on both sides: drop % 13 = 5
     // (removed), append ' v2' where % 11 = 3 (changed), re-add % 17 = 2

@@ -956,6 +956,20 @@ class LlmOpsSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(__pk_grp"), plan)
   }
 
+  test("corpus profile: per-domain sums, null text counts docs but zero tokens/chars/quality") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick fox", "a"), (2L, null: String, "a"),
+      (3L, "x", "b")).toDF("doc_id", "text", "source")
+    val q = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    val out = graft.ext.Curation.corpusProfile(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((2L, 3L, 13L, q(1L))), s"got ${out("a")}")
+    assert(out("b") == ((1L, 1L, 1L, q(3L))), s"got ${out("b")}")
+  }
+
   test("corpus diff: added/removed/changed by content hash, null-safe, unchanged omitted") {
     import spark.implicits._
     val oldc = Seq(
