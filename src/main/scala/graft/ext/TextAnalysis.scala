@@ -242,6 +242,29 @@ object TextAnalysis {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** PII redaction patterns — like [[BpePattern]], no lookarounds or
+    * backreferences, so each pattern compiles identically under Java
+    * regex (Spark) and RE2 (the DuckDB oracle). Deliberately
+    * conservative: emails, dotted-quad IPs, and long (≥9) digit runs
+    * (account/SSN-shaped ids). A production deployment swaps in its
+    * compliance list; the operator shape — ordered, engine-portable
+    * regexp_replace chain, one codegen'd map over the scan — is what
+    * the engine provides.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{9,}\\b" -> "<NUM>")
+
+  /** Apply the [[PiiPatterns]] chain in order (IPs are matched before
+    * bare digit runs can eat their octets — order is part of the
+    * contract). Null text stays null.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
   /** TF-IDF-style keyword extraction, integer-exact: per document, the
     * top-`k` terms by `score = tf·10⁶ div df` (term frequency weighted
     * against corpus-wide document frequency — the idf in fixed-point

@@ -1266,6 +1266,35 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // ── PII redaction (engine-portable regex chain) ────────────────
+    // PII is PLANTED in SQL on both sides (emails, dotted-quad IPs,
+    // long digit runs derived from doc_id), so the oracle exercises
+    // real replacements, not an identity pass. The nested
+    // regexp_replace chain is generated from the same
+    // TextAnalysis.PiiPatterns constants the Spark expression folds —
+    // one source of truth, Java-regex/RE2-portable patterns.
+    QueryDef("t_redact_pii", {
+      val planted =
+        """text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+          |  '@ex.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          |  '.7 acct 9001234' || CAST(doc_id + 100 AS VARCHAR)""".stripMargin
+      val chain = TextAnalysis.PiiPatterns.foldLeft("text") {
+        case (inner, (pat, rep)) =>
+          s"regexp_replace($inner, '$pat', '$rep', 'g')"
+      }
+      s"""WITH planted AS (SELECT doc_id, $planted AS text FROM documents)
+         |SELECT doc_id, $chain AS text FROM planted
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@ex.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 acct 9001234"),
+          (col("doc_id") + 100).cast("string")).as("text"))
+      planted.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("text"))
+    }.sortedBy(col("doc_id")),
+
     // ── Per-domain corpus profile (mixture report) ─────────────────
     // One row per source: doc count, token/char totals, integer
     // quality-score sum — the read-before/verify-after companion to

@@ -956,6 +956,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(__pk_grp"), plan)
   }
 
+  test("pii redaction: emails, ips and long digit runs; order protects ip octets; null passthrough") {
+    import spark.implicits._
+    val out = Seq(
+      "mail me at first.last+tag@sub.example.co.uk today",
+      "server 192.168.100.200 and acct 123456789 and pin 12345678",
+      "u9@x.io then 10.0.0.1 then 999999999",
+      null: String).toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect().toSeq
+    assert(out(0) == "mail me at <EMAIL> today", out(0))
+    // 8-digit pin survives (< 9 digits); the ip is <IP>, not <NUM> pieces
+    assert(out(1) == "server <IP> and acct <NUM> and pin 12345678", out(1))
+    assert(out(2) == "<EMAIL> then <IP> then <NUM>", out(2))
+    assert(out(3) == null)
+  }
+
   test("corpus profile: per-domain sums, null text counts docs but zero tokens/chars/quality") {
     import spark.implicits._
     val docs = Seq((1L, "the quick fox", "a"), (2L, null: String, "a"),
