@@ -96,5 +96,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VocabTokenCount(children.head, graft.ext.TextAnalysis.Vocab,
           graft.ext.TextAnalysis.BpePattern)
       }))
+    // redact_pii(text): the same ordered RegExpReplace fold as
+    // TextAnalysis.redactPii, built from the same PiiPatterns constants
+    ext.injectFunction((
+      FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "redact_pii"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "redact_pii(text) takes 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        graft.ext.TextAnalysis.PiiPatterns.foldLeft(children.head) {
+          case (e, (pat, rep)) => RegExpReplace(e, Literal(pat), Literal(rep))
+        }
+      }))
   }
 }

@@ -64,6 +64,12 @@ class SqlSurfaceSpec extends SparkSuite {
       .orderBy(col("doc_id"))
     assert(rows(tokSql) == rows(tokApi))
 
+    // pii redaction via SQL matches the Column API fold
+    val redSql = spark.sql(
+      "SELECT redact_pii('u9@x.io then 10.0.0.1 then 999999999') AS r")
+      .collect().head.getString(0)
+    assert(redSql == "<EMAIL> then <IP> then <NUM>", redSql)
+
     // integral literal knobs of any width resolve (SQL generators emit
     // typed literals); non-literal knobs are analysis-time errors
     val wide = spark.sql(
