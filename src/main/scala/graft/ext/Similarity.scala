@@ -147,13 +147,56 @@ object Similarity {
     */
   def annSearch(bucketed: DataFrame, queryIds: Seq[Long], k: Int,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    val queries = bucketed
+                vecCol: String = "embedding"): DataFrame =
+    searchProbes(bucketed,
+      annQueries(bucketed, queryIds, idCol, vecCol), k, idCol, vecCol)
+
+  /** Multi-probe LSH search (Lv et al., VLDB'07): each query probes its
+    * own bucket PLUS every 1-bit perturbation — `planes + 1` probes per
+    * table, recovering near neighbors that one flipped hyperplane sign
+    * pushed into an adjacent bucket. Recall rises toward exact top-k at
+    * the cost of a (planes+1)× wider candidate probe set — the standard
+    * alternative to adding tables, with ZERO index growth: the same
+    * bucketed frame (inline or persisted) serves both search modes, so
+    * the recall/latency trade is a per-QUERY decision, not a build-time
+    * one. Candidates are deduped before the exact rerank; the probe
+    * side stays broadcast (queries × tables × (planes+1) rows).
+    */
+  def annTopKMultiProbe(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                        planes: Int, dims: Int, tables: Int = 8,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    annSearchMultiProbe(lshTableBuckets(corpus, tables, planes, dims, vecCol),
+      queryIds, k, planes, idCol, vecCol)
+
+  /** [[annTopKMultiProbe]]'s search phase over a (pre-)bucketed frame —
+    * point it at a persisted LSH index for the indexed variant.
+    */
+  def annSearchMultiProbe(bucketed: DataFrame, queryIds: Seq[Long], k: Int,
+                          planes: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(planes > 0 && planes < 63, s"planes must be in [1, 62], got $planes")
+    val q = annQueries(bucketed, queryIds, idCol, vecCol)
+    val probes = q.select(col("tbl"),
+      explode(array(col("bucket") +: (0 until planes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"),
+      col("query_id"), col("query_vec"))
+    searchProbes(bucketed, probes, k, idCol, vecCol)
+  }
+
+  /** The query side of an LSH search: each query id's per-table bucket. */
+  private def annQueries(bucketed: DataFrame, queryIds: Seq[Long],
+                         idCol: String, vecCol: String): DataFrame =
+    bucketed
       .filter(col(idCol).isin(queryIds: _*))
       .select(col("tbl"), col("bucket"),
         col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+
+  /** Shared LSH tail: probe join → dedup → exact cosine rerank → top-k. */
+  private def searchProbes(bucketed: DataFrame, probes: DataFrame, k: Int,
+                           idCol: String, vecCol: String): DataFrame = {
     val candidates = bucketed
-      .join(broadcast(queries), Seq("tbl", "bucket"))
+      .join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col("query_vec"), col(idCol), col(vecCol))
       .dropDuplicates("query_id", idCol)
@@ -577,6 +620,20 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame =
     annSearch(spark.table(s"${name}_buckets"), queryIds, k, idCol, vecCol)
+
+  /** [[annTopKMultiProbe]] over a persisted LSH index — zero bucket
+    * computation, zero index growth; `planes` is validated against the
+    * build's `_meta` (a mismatch would silently probe nonexistent or
+    * too-few perturbations).
+    */
+  def annTopKMultiProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                               name: String, queryIds: Seq[Long], k: Int,
+                               planes: Int, idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    requireIndexMeta(spark, name, Seq("planes" -> planes))
+    annSearchMultiProbe(spark.table(s"${name}_buckets"), queryIds, k,
+      planes, idCol, vecCol)
+  }
 
   // ── Incremental index maintenance (append the delta, never rebuild) ─
 

@@ -498,6 +498,40 @@ object LlmQueries {
        |SELECT * FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Multi-probe variant of [[annLshSql]]: the probe set per (query,
+    * table) is the bucket itself plus every 1-bit flip — the same
+    * list_prepend/xor expansion the Spark side explodes.
+    */
+  private val annLshMultiProbeSql: String =
+    s"""WITH ${lshBucketsCte(tables = 8, planes = 4, dims = 64)},
+       |q AS (
+       |  SELECT tbl, bucket, vec_id AS query_id
+       |  FROM buckets WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT tbl,
+       |         unnest(list_prepend(bucket,
+       |           list_transform(generate_series(0, 3),
+       |             i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket,
+       |         query_id
+       |  FROM q),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+       |  FROM buckets b JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.bucket
+       |  WHERE b.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Shared by t_ann_ivf and t_ann_ivf_indexed — ditto: the persisted
     * quantizer + inverted lists round-trip parquet exactly.
     * `trainRel` parameterizes the quantizer's training relation so the
@@ -1066,6 +1100,16 @@ object LlmQueries {
     QueryDef("t_ann_lsh_indexed", annLshSql) { (s, d) =>
       Similarity.annTopKIndexed(s, lshIndexFor(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // Multi-probe search over the SAME persisted index (probe the
+    // bucket + every 1-bit flip; zero index growth). The oracle expands
+    // the identical probe list and reranks exactly — and since the
+    // indexed buckets are bit-identical to inline bucketing, this one
+    // oracle gates the multi-probe path end to end.
+    QueryDef("t_ann_lsh_multiprobe", annLshMultiProbeSql) { (s, d) =>
+      Similarity.annTopKMultiProbeIndexed(s, lshIndexFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10, planes = 4)
     }.sortedBy(col("query_id"), col("rank")),
 
     // IVF variant (deterministic k-means coarse quantizer + nProbe cell

@@ -120,6 +120,32 @@ class LlmOpsSpec extends SparkSuite {
     assert(ann.forall { case (q, n) => n != q })
   }
 
+  test("multi-probe LSH: recall >= single-probe at identical index, inline == indexed") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 1L, 2L)
+    val exact = Similarity.topKByIds(emb, ids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(s: Set[(Long, Long)]) =
+      (exact intersect s).size.toDouble / exact.size
+    val single = Similarity.annTopK(emb, ids, 10, planes = 4, dims = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.annTopKMultiProbe(emb, ids, 10, planes = 4,
+        dims = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the probe set includes the original bucket, so every single-probe
+    // candidate is a multi-probe candidate: recall can only rise
+    assert(recallOf(multi) >= recallOf(single),
+      s"multi=${recallOf(multi)} single=${recallOf(single)}")
+    assert(multi.forall { case (q, n) => n != q })
+    // rejected out-of-range plane widths
+    intercept[IllegalArgumentException] {
+      Similarity.annSearchMultiProbe(
+        Similarity.lshTableBuckets(emb, 8, 4, 64, "embedding"),
+        ids, 10, planes = 0)
+    }
+  }
+
   test("IVF with all cells probed degenerates to exact brute force") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
