@@ -242,6 +242,32 @@ object TextAnalysis {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** Overlapping-window document chunking — the embedding/RAG
+    * preprocessing step: one row per (doc, chunk) with `chunk_id` and
+    * the `window`-token chunk text starting at every `stride` tokens
+    * (the final windows clip at the document end; a null or empty text
+    * yields no chunks). Pure per-row expression — explode + codegen'd
+    * array ops, no shuffle: at 100 TB this is a map stage over the
+    * scan, and chunk rows land where their document was.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window=$window], got $stride")
+    val ws = tokens(col(textCol))
+    val starts = when(col(textCol).isNotNull && size(ws) > 0,
+      sequence(lit(0), size(ws) - 1, lit(stride))).otherwise(array())
+    docs.select(col(idCol), ws.as("__ck_ws"),
+        explode(starts).as("__ck_start"))
+      .select(col(idCol),
+        expr(s"__ck_start div $stride").cast("long").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("__ck_ws"), col("__ck_start") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** PII redaction patterns — like [[BpePattern]], no lookarounds or
     * backreferences, so each pattern compiles identically under Java
     * regex (Spark) and RE2 (the DuckDB oracle). Deliberately

@@ -1310,6 +1310,24 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // ── Document chunking (overlapping token windows) ──────────────
+    // 8-token windows every 4 tokens, final windows clipped — one row
+    // per (doc, chunk). DuckDB's exclusive range(0, n, stride) equals
+    // Spark's inclusive sequence(0, n-1, stride) for n > 0; empty/null
+    // texts yield no chunks on both engines.
+    QueryDef("t_chunk_docs",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, ws,
+         |  unnest(CASE WHEN len(ws) > 0 THEN range(0, len(ws), 4)
+         |         ELSE [] END) AS st FROM w)
+         |SELECT doc_id, CAST(st // 4 AS BIGINT) AS chunk_id,
+         |       array_to_string(ws[st+1:st+8], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        window = 8, stride = 4)
+    }.sortedBy(col("doc_id"), col("chunk_id")),
+
     // ── PII redaction (engine-portable regex chain) ────────────────
     // PII is PLANTED in SQL on both sides (emails, dotted-quad IPs,
     // long digit runs derived from doc_id), so the oracle exercises

@@ -982,6 +982,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(__pk_grp"), plan)
   }
 
+  test("document chunking: stride windows clip at the end; null/empty yield no chunks; knob validation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y"),
+      (3L, null: String), (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, window = 8, stride = 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, "a b c d e f g h"), (1L, 1L, "e f g h i j"), (1L, 2L, "i j"),
+      (2L, 0L, "x y"),
+      // empty text splits to one empty token → a single empty chunk;
+      // null text yields none
+      (4L, 0L, "")), s"got $out")
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocuments(docs, window = 4, stride = 5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocuments(docs, window = 0, stride = 1))
+  }
+
   test("pii redaction: emails, ips and long digit runs; order protects ip octets; null passthrough") {
     import spark.implicits._
     val out = Seq(
