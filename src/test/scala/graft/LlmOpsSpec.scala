@@ -1016,6 +1016,68 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(3) == null)
   }
 
+  test("property: domainMixThresholds invariants over 500 random count/weight sets") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 500).foreach { i =>
+      val nDom = 1 + rnd.nextInt(8)
+      val counts = (0 until nDom)
+        .map(d => s"d$d" -> (1L + rnd.nextInt(1000000))).toMap
+      val weights = (0 until nDom).map(d => s"d$d" -> (1 + rnd.nextInt(50)))
+      val thr = graft.ext.Sampling.domainMixThresholds(counts, weights)
+      // thresholds are valid bucket cuts
+      assert(thr.values.forall(t => t >= 0 && t <= graft.ext.Sampling.Grain),
+        s"case $i: thresholds out of range: $thr")
+      // no domain is asked for more than it has: need_d = thr-implied
+      // rows never exceeds c_d (thr ≤ Grain already encodes this), and
+      // the binding domain (the arg-min of c_d·W/w_d) keeps ALL its
+      // rows only if it is the unique constraint — check need ≤ count
+      val w = weights.map(_._2.toLong).sum
+      val t = weights.map { case (d, wd) => counts(d) * w / wd }.min
+      weights.foreach { case (d, wd) =>
+        val need = wd * t / w
+        assert(need <= counts(d), s"case $i: need $need > count ${counts(d)}")
+      }
+      // weight-scale invariance: k·weights yields identical thresholds
+      val k = 2 + rnd.nextInt(5)
+      val scaled = graft.ext.Sampling.domainMixThresholds(
+        counts, weights.map { case (d, wd) => d -> wd * k })
+      assert(scaled == thr, s"case $i: scale-$k changed thresholds")
+    }
+  }
+
+  test("property: packing decomposition equals naive cumsum on adversarial token values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    // zeros, ones, huge values, nulls — shuffled ids so bucket order is
+    // exercised, 200 rows
+    val rows = (1L to 200L).map { id =>
+      val tok: Option[Long] = rnd.nextInt(5) match {
+        case 0 => None
+        case 1 => Some(0L)
+        case 2 => Some(1L + rnd.nextInt(10))
+        case 3 => Some(1000L + rnd.nextInt(100000))
+        case _ => Some(rnd.nextInt(100).toLong)
+      }
+      (id, tok)
+    }
+    val df = rows.toDF("doc_id", "toks")
+    def packs(gw: Int) = graft.ext.Packing.packSequences(df, col("doc_id"),
+        col("toks"), budget = 777L, groupWidth = gw)
+      .select("doc_id", "pack").as[(Long, Long)].collect().toMap
+    val got = packs(16)
+    // naive reference
+    val buckets = df.select(col("doc_id"),
+        graft.ext.Sampling.bucket(col("doc_id")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    var cum = 0L
+    val expected = rows.map { case (id, tok) => (id, tok, buckets(id)) }
+      .sortBy(r => (r._3, r._1)).map { case (id, tok, _) =>
+        val p = cum / 777L; cum += tok.getOrElse(0L); id -> p
+      }.toMap
+    assert(got == expected)
+    assert(packs(1) == got && packs(500) == got && packs(10000) == got)
+  }
+
   test("corpus profile: per-domain sums, null text counts docs but zero tokens/chars/quality") {
     import spark.implicits._
     val docs = Seq((1L, "the quick fox", "a"), (2L, null: String, "a"),
