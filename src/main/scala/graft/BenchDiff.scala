@@ -1,0 +1,116 @@
+package graft
+
+/** Compare two bench outputs: `sbt "runMain graft.BenchDiff a.json b.json"`.
+  *
+  * Accepts, for each side, ANY of:
+  *  - raw Bench stdout (the big `"metric":"total"` line and/or the
+  *    `"metric":"bench_summary"` trailer line);
+  *  - a driver BENCH_r{N}.json artifact (`{"n":…,"tail":"…","parsed":…}`)
+  *    — including the truncated-front tails rounds 9/10 produced, where
+  *    `parsed` is null and only a suffix of the big line survives.
+  *
+  * Extraction is regex-based rather than a strict JSON parse precisely so
+  * a truncated tail still yields every per-query median it contains:
+  * `queries_stats` fragments (`"name":{"median":s,…}`) are preferred,
+  * the plain `queries` map (`"name":s`) fills gaps, and totals come from
+  * either line's header. Output: per-query ratio table sorted worst-first
+  * (b/a, regressions at the top), then queries present on one side only,
+  * then totals. No SparkSession — pure text, instant.
+  */
+object BenchDiff {
+  private val StatsPair = """"([A-Za-z0-9_]+)":\{"median":([-0-9.eE+]+)""".r
+  private val PlainPair = """"([A-Za-z0-9_]+)":([-0-9.eE+]+)""".r
+  private val QueriesMap = """"queries":\{([^}]*)\}""".r
+  private val TotalHead = """"metric":"total","value":([-0-9.eE+]+)""".r
+  private val SummaryHead = """"metric":"bench_summary","total":([-0-9.eE+]+)""".r
+  private val StreamStanza = """"stream":(\{[^}]*\})""".r
+
+  /** Unwrap a driver artifact's escaped `tail` string if present; pass raw
+    * stdout through untouched. Hand-rolled unescape (\" \\ \uXXXX \n \t)
+    * — the tail only ever contains what Bench itself printed.
+    */
+  private[graft] def extractText(fileText: String): String = {
+    val tailField = """"tail"\s*:\s*"""".r.findFirstMatchIn(fileText)
+    tailField match {
+      case None => fileText
+      case Some(m) =>
+        val sb = new StringBuilder
+        var i = m.end
+        var done = false
+        while (i < fileText.length && !done) {
+          fileText.charAt(i) match {
+            case '"' => done = true
+            case '\\' if i + 1 < fileText.length =>
+              fileText.charAt(i + 1) match {
+                case '"'  => sb += '"'; i += 1
+                case '\\' => sb += '\\'; i += 1
+                case 'n'  => sb += '\n'; i += 1
+                case 't'  => sb += '\t'; i += 1
+                case 'u' if i + 5 < fileText.length =>
+                  sb += Integer.parseInt(fileText.substring(i + 2, i + 6), 16).toChar
+                  i += 5
+                case c => sb += c; i += 1
+              }
+              i += 1
+            case c => sb += c; i += 1
+          }
+        }
+        // keep any raw text around the artifact too (parsed echo, etc.)
+        sb.toString
+    }
+  }
+
+  private[graft] def parseQueries(text: String): Map[String, Double] = {
+    // queries_stats medians first (survive truncation independently),
+    // then the plain queries map fills anything the stats lack
+    val fromStats = StatsPair.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val fromPlain = QueriesMap.findAllMatchIn(text).flatMap { qm =>
+      PlainPair.findAllMatchIn(qm.group(1))
+        .map(m => m.group(1) -> m.group(2).toDouble)
+    }.toMap
+    (fromPlain ++ fromStats).filter(_._2 >= 0) // -1 = failed, not a time
+  }
+
+  private[graft] def parseTotal(text: String): Option[Double] =
+    SummaryHead.findFirstMatchIn(text).map(_.group(1).toDouble)
+      .orElse(TotalHead.findFirstMatchIn(text).map(_.group(1).toDouble))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: BenchDiff <a.json> <b.json>")
+    def load(p: String) = {
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      val text = extractText(raw)
+      (parseQueries(text), parseTotal(text),
+        StreamStanza.findFirstMatchIn(text).map(_.group(1)))
+    }
+    val (qa, ta, sa) = load(args(0))
+    val (qb, tb, sb) = load(args(1))
+
+    val common = (qa.keySet & qb.keySet).toSeq
+    val rows = common.map { k =>
+      val (a, b) = (qa(k), qb(k))
+      (k, a, b, if (a > 0) b / a else Double.PositiveInfinity)
+    }.sortBy(-_._4)
+    println(f"${"query"}%-34s ${"a_sec"}%9s ${"b_sec"}%9s ${"b/a"}%7s")
+    rows.foreach { case (k, a, b, r) =>
+      val flag = if (r >= 1.25) "  <-- regressed" else if (r <= 0.8) "  (faster)" else ""
+      println(f"$k%-34s $a%9.3f $b%9.3f $r%7.2f$flag")
+    }
+    val onlyA = (qa.keySet -- qb.keySet).toSeq.sorted
+    val onlyB = (qb.keySet -- qa.keySet).toSeq.sorted
+    if (onlyA.nonEmpty) println(s"only in a (${onlyA.size}): ${onlyA.mkString(", ")}")
+    if (onlyB.nonEmpty) println(s"only in b (${onlyB.size}): ${onlyB.mkString(", ")}")
+    val (ca, cb) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    println(f"common-subset total: a=$ca%.2f s  b=$cb%.2f s  b/a=${if (ca > 0) cb / ca else 0.0}%.2f (${rows.size} queries)")
+    (ta, tb) match {
+      case (Some(x), Some(y)) => println(f"reported totals:     a=$x%.2f s  b=$y%.2f s")
+      case _ => println(s"reported totals:     a=${ta.fold("?")(x => f"$x%.2f")} s  b=${tb.fold("?")(x => f"$x%.2f")} s")
+    }
+    (sa, sb) match {
+      case (Some(x), Some(y)) => println(s"stream a: $x\nstream b: $y")
+      case _ => ()
+    }
+  }
+}

@@ -245,8 +245,10 @@ object TextAnalysis {
   /** Overlapping-window document chunking — the embedding/RAG
     * preprocessing step: one row per (doc, chunk) with `chunk_id` and
     * the `window`-token chunk text starting at every `stride` tokens
-    * (the final windows clip at the document end; a null or empty text
-    * yields no chunks). Pure per-row expression — explode + codegen'd
+    * (the final windows clip at the document end; a null text yields no
+    * chunks, while an EMPTY text — one empty token under the
+    * split-keeping-empties contract — yields a single empty chunk, as
+    * LlmOpsSpec asserts). Pure per-row expression — explode + codegen'd
     * array ops, no shuffle: at 100 TB this is a map stage over the
     * scan, and chunk rows land where their document was.
     */
@@ -298,12 +300,18 @@ object TextAnalysis {
     * float log ever enters the comparator). Ties break lexicographically
     * — a total order, so top-k is deterministic.
     *
-    * Scale shape: term explode and tf aggregation are one shuffle on
-    * (doc, word); df is a vocabulary-sized aggregate joined back on
-    * word (AQE broadcasts it when small); the per-doc top-k runs on the
-    * custom [[graft.plans.TopKPerKey]] operator — bounded per-partition
-    * heaps, at most k rows per key enter the final exchange, never a
-    * full window sort of every (doc, term) pair.
+    * Scale shape (round 11 — formerly a corpus-wide (doc, word)
+    * aggregation exchange): tf is a ROW-LOCAL statistic — every word of
+    * a document lives inside its own row — so the native
+    * [[graft.functions.WordTfs]] expression computes the per-doc
+    * (word, tf) array inside the scan's map stage and explodes it with
+    * ZERO shuffle. The only corpus-scale exchange left is df: one
+    * partial-aggregated (map tasks emit ≤ vocab rows, skew-safe)
+    * word-keyed shuffle, joined back (AQE broadcasts it when small);
+    * the per-doc top-k runs on the custom [[graft.plans.TopKPerKey]]
+    * operator — bounded per-partition heaps, at most k rows per key
+    * enter the final exchange, never a full window sort of every
+    * (doc, term) pair.
     */
   def keywords(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
@@ -311,10 +319,10 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.expressions.Window
-    val terms = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
-    val tf = terms.groupBy(col(idCol), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "word")
       .withColumn("score", expr("(tf * 1000000) div df"))

@@ -43,4 +43,12 @@ package object functions {
     */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Per-document word term-frequencies `array<struct<word, tf>>` in one
+    * row-local pass (custom codegen'd Catalyst expression, see
+    * [[graft.functions.WordTfs]]) — deletes the (doc, word) exchange
+    * from keyword extraction.
+    */
+  def wordTfs(c: Column): Column =
+    Bridge.column(WordTfs(Bridge.expression(c)))
 }

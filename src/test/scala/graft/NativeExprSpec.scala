@@ -86,6 +86,37 @@ class NativeExprSpec extends SparkSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("native word-tf array is identical to the explode+groupBy formulation on the corpus") {
+    import graft.functions.wordTfs
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    // twin: the (doc, word, tf) relation the corpus-wide aggregation
+    // produced before round 11 — same rows, now computed row-locally
+    val native = docs
+      .select(col("doc_id"), explode(wordTfs(col("text"))).as("wt"))
+      .select(col("doc_id"), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    val agg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    assert(native.count() > 0)
+    assert(native.exceptAll(agg).count() == 0 && agg.exceptAll(native).count() == 0)
+    // the native tf relation involves NO exchange — it is a map stage
+    assert(!native.queryExecution.executedPlan.toString.contains("Exchange"),
+      native.queryExecution.executedPlan.toString)
+    // edge shapes under the split-keeping-empties contract: empty text
+    // = one empty word; double space = an empty middle word; null → null
+    import spark.implicits._
+    val edge = Seq("", "a  a", " ").toDF("text")
+      .select(col("text"), wordTfs(col("text")).as("w"))
+      .as[(String, Seq[(String, Long)])].collect().toMap
+    assert(edge("") == Seq("" -> 1L))
+    assert(edge("a  a").toSet == Set("a" -> 2L, "" -> 1L))
+    assert(edge(" ") == Seq("" -> 2L))
+    val nul = Seq((1L, null: String)).toDF("id", "text")
+      .select(wordTfs(col("text"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("native shingle-hash set is identical to the HOF formulation on the corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val both = docs.select(
