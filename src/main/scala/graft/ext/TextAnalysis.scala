@@ -77,6 +77,44 @@ object TextAnalysis {
       graft.functions.VocabTokenCount(
         org.apache.spark.sql.graft.Bridge.expression(text), Vocab, BpePattern))
 
+  /** A compact learned-style BPE merge table, rank-ordered (index =
+    * rank, lower merges first) and WELL-FORMED: each side is a single
+    * character or an earlier merge's output — the invariant a real
+    * learned table satisfies by construction, and the precondition for
+    * the rank-order-replay oracle (see [[graft.functions.BpeMergeTokens]]).
+    * Space-prefixed merges rank early, GPT-2 style (pre-tokens carry
+    * their leading space). Production loads a trained table from
+    * config; the operator and its cross-engine contract are identical.
+    * Shared verbatim with the DuckDB oracle (one source of truth, like
+    * [[Vocab]]).
+    */
+  val Merges: Seq[(String, String)] = Seq(
+    " " -> "t", " " -> "a", " " -> "i", " " -> "o", " " -> "w",
+    "t" -> "h", "h" -> "e", " t" -> "he",
+    "i" -> "n", "e" -> "r", "a" -> "n", "r" -> "e", "t" -> "i",
+    "e" -> "n", " a" -> "n", "a" -> "t", "e" -> "s", "a" -> "s",
+    "o" -> "r", "o" -> "n", "s" -> "t", "a" -> "r", "a" -> "l",
+    "e" -> "d", "i" -> "t", "i" -> "s", "o" -> "u", "l" -> "e",
+    "o" -> "m", "c" -> "h", "s" -> "h", "q" -> "u",
+    "th" -> "e", "in" -> "g", "an" -> "d", " an" -> "d",
+    "ti" -> "on", "a" -> "tion", "en" -> "t", "c" -> "om",
+    "b" -> "le", "'" -> "s",
+    " i" -> "s", " i" -> "n", " o" -> "f", " w" -> "as")
+
+  /** Merge-based BPE tokens of a text (the GPT-2 inference loop over
+    * [[Merges]]) — the tokenizer real training pipelines count and pack
+    * budgets with. One native codegen'd expression
+    * ([[graft.functions.BpeMergeTokens]]); count = [[bpeMergeTokenCount]].
+    */
+  def bpeMergeTokens(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeMergeTokens(
+        org.apache.spark.sql.graft.Bridge.expression(text), Merges, BpePattern))
+
+  /** Token count under merge-based BPE ([[bpeMergeTokens]]). */
+  def bpeMergeTokenCount(text: Column): Column =
+    size(bpeMergeTokens(text)).cast("long")
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def charLen(text: Column): Column = length(text)

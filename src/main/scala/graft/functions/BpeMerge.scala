@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True merge-based BPE tokenization — the rank-ordered pair-merge loop
+  * real training pipelines tokenize with (GPT-2 inference rule), not
+  * the greedy longest-match of [[VocabTokenCount]]: pre-tokenize with
+  * the BPE-style regex, start each pre-token as single characters, then
+  * repeatedly merge ALL occurrences (left to right) of the adjacent
+  * pair with the LOWEST rank in the merge table until no adjacent pair
+  * is mergeable. Returns the final token array (count = `size(...)`).
+  * One native expression: the merge table lives once in a hash map on
+  * the reference object, and the whole tokenization is a single map
+  * over the document scan — no shuffle, no UDF, whole-stage codegen
+  * via the reference-object pattern (see [[ShingleHashes]]).
+  *
+  * WELL-FORMEDNESS (checked at construction): each merge's two sides
+  * must be a single character or the output of an EARLIER merge — the
+  * invariant every learned BPE table satisfies by construction (a pair
+  * can only be learned after its parts exist). Under it, the min-rank
+  * loop is equivalent to a strict rank-order pass applying each merge
+  * once (merge k can never create an occurrence of a pair ranked below
+  * k, because any pair containing k's output outranks k) — which is
+  * exactly what the DuckDB oracle (t_token_bpe_merges) replays as a
+  * recursive CTE over a delimited symbol string, and what the
+  * naive-reference spec in NativeExprSpec re-implements independently.
+  *
+  * Cross-engine contract caveats as [[VocabTokenCount]]: characters are
+  * Java UTF-16 units here and code points in DuckDB — identical on
+  * ASCII/BMP corpora (the merge table is ASCII); null text → null.
+  */
+case class BpeMergeTokens(child: Expression, merges: Seq[(String, String)],
+                          pattern: String) extends UnaryExpression {
+
+  require(merges.nonEmpty, "empty merge table")
+  locally {
+    val formed = scala.collection.mutable.HashSet[String]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      require(a.length == 1 || formed.contains(a),
+        s"merge $i ($a, $b): left side '$a' is neither a single character " +
+          "nor an earlier merge's output — the table is not well-formed")
+      require(b.length == 1 || formed.contains(b),
+        s"merge $i ($a, $b): right side '$b' is neither a single character " +
+          "nor an earlier merge's output — the table is not well-formed")
+      formed += (a + b)
+    }
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_tokens needs a string argument, got ${child.dataType}")
+
+  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
+  // pair (a, b) keyed as a + NUL + b (symbols never contain NUL)
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // ties impossible: a learned table has one rank per pair; keep the
+      // first (lowest) if a caller passes a duplicate
+      m.putIfAbsent(a + "\u0000" + b, i)
+    }
+    m
+  }
+  @transient private lazy val pairArr: Array[(String, String)] = merges.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    tokenize(input.asInstanceOf[UTF8String])
+
+  /** Called from both eval and generated code. */
+  def tokenize(text: UTF8String): ArrayData = {
+    val m = regex.matcher(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) {
+      val pt = m.group()
+      var syms = new java.util.ArrayList[String](pt.length)
+      var c = 0
+      while (c < pt.length) { syms.add(String.valueOf(pt.charAt(c))); c += 1 }
+      var go = syms.size >= 2
+      while (go) {
+        var best = Integer.MAX_VALUE
+        var i = 0
+        while (i < syms.size - 1) {
+          val r = rank.get(syms.get(i) + "\u0000" + syms.get(i + 1))
+          if (r != null && r < best) best = r
+          i += 1
+        }
+        if (best == Integer.MAX_VALUE) go = false
+        else {
+          val (a, b) = pairArr(best)
+          val merged = a + b
+          val next = new java.util.ArrayList[String](syms.size)
+          var j = 0
+          while (j < syms.size) {
+            if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+              next.add(merged); j += 2
+            } else { next.add(syms.get(j)); j += 1 }
+          }
+          syms = next
+          go = syms.size >= 2
+        }
+      }
+      var k = 0
+      while (k < syms.size) { out += UTF8String.fromString(syms.get(k)); k += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergeTokens", this,
+      classOf[BpeMergeTokens].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.tokenize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeTokens =
+    copy(child = newChild)
+}

@@ -868,6 +868,69 @@ object LlmQueries {
           .as("n_vocab_tokens"))
     }.sortedBy(col("doc_id")),
 
+    // TRUE merge-based BPE (the GPT-2 inference loop): rank-ordered
+    // pair merges over BpePattern pre-tokens, one native codegen'd
+    // expression (graft.functions.BpeMergeTokens). The oracle replays
+    // the merge table IN RANK ORDER as a recursive CTE over a
+    // chr(1)-delimited symbol string — sound because the table is
+    // well-formed (constructor-checked: each side is a single char or
+    // an earlier merge's output, so merge k never creates a pair ranked
+    // <= k and the min-rank loop degenerates to rank-order replay) —
+    // iterating replace() to fixpoint within a rank (adjacent
+    // occurrences share a delimiter, so one replace() can miss the
+    // next; no merge has equal sides, so occurrences never overlap and
+    // the fixpoint equals the engine's left-to-right pass). The merge
+    // VALUES are generated from the same Scala constant the expression
+    // embeds. Compares the FULL tokenization (delimiter-joined), not
+    // just counts.
+    QueryDef("t_token_bpe_merges", {
+      val mergeRows = TextAnalysis.Merges.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"($i, '${a.replace("'", "''")}', '${b.replace("'", "''")}')" }
+        .mkString(", ")
+      val nMerges = TextAnalysis.Merges.size
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      val anyChar = "[\\s\\S]"
+      s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES $mergeRows),
+         |pts AS (
+         |  SELECT doc_id, x.i AS i, x.pt AS pt
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(regexp_extract_all(text, '$pat'),
+         |                 (y, ii) -> struct_pack(pt := y, i := ii))) AS x
+         |        FROM documents) s),
+         |walk(doc_id, i, s, rank) AS (
+         |  SELECT doc_id, i,
+         |         chr(1) || array_to_string(regexp_extract_all(pt, '$anyChar'), chr(1)) || chr(1),
+         |         0
+         |  FROM pts
+         |  UNION ALL
+         |  SELECT doc_id, i, new_s,
+         |         CASE WHEN new_s = s THEN rank + 1 ELSE rank END
+         |  FROM (SELECT w.doc_id, w.i, w.s, w.rank,
+         |               replace(w.s, chr(1) || m.a || chr(1) || m.b || chr(1),
+         |                            chr(1) || m.a || m.b || chr(1)) AS new_s
+         |        FROM walk w JOIN merges m ON m.rank = w.rank
+         |        WHERE w.rank < $nMerges) t),
+         |fin AS (SELECT doc_id, i, trim(s, chr(1)) AS toks
+         |        FROM walk WHERE rank = $nMerges),
+         |per_doc AS (
+         |  SELECT doc_id,
+         |         string_agg(toks, chr(1) ORDER BY i) AS merge_tokens,
+         |         CAST(sum(len(string_split(toks, chr(1)))) AS BIGINT) AS n_merge_tokens
+         |  FROM fin GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(p.merge_tokens, '') AS merge_tokens,
+         |       CAST(coalesce(p.n_merge_tokens, 0) AS BIGINT) AS n_merge_tokens
+         |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val toks = TextAnalysis.bpeMergeTokens(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("merge_tokens"),
+        coalesce(TextAnalysis.bpeMergeTokenCount(col("text")), lit(0L))
+          .as("n_merge_tokens"))
+    }.sortedBy(col("doc_id")),
+
     // Gopher-style repetition signals: word-2-gram counts as integers
     // (total / most-frequent / duplicated occurrences) — the repeated-
     // content filter a curation pipeline cuts spam on.

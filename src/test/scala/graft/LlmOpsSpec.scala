@@ -1232,6 +1232,80 @@ class LlmOpsSpec extends SparkSuite {
     assert(nullCount.isNullAt(0))
   }
 
+  test("merge-based BPE: goldens, naive min-rank-loop parity, well-formedness guard") {
+    import spark.implicits._
+    // independent naive reference of the GPT-2 inference rule:
+    // repeatedly merge ALL occurrences (left to right) of the
+    // lowest-rank adjacent pair until none is mergeable — deliberately
+    // the MIN-RANK LOOP, not the rank-order replay the oracle uses, so
+    // spec + oracle together witness the well-formedness equivalence
+    def naive(text: String): Seq[String] = {
+      val m = java.util.regex.Pattern.compile(TextAnalysis.BpePattern).matcher(text)
+      val rank = TextAnalysis.Merges.zipWithIndex.toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) {
+        var syms = m.group().map(_.toString).toVector
+        var go = syms.size >= 2
+        while (go) {
+          val present = syms.zip(syms.tail).flatMap(rank.get)
+          if (present.isEmpty) go = false
+          else {
+            val (a, b) = TextAnalysis.Merges(present.min)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.size) {
+              if (j < syms.size - 1 && syms(j) == a && syms(j + 1) == b) {
+                buf += a + b; j += 2
+              } else { buf += syms(j); j += 1 }
+            }
+            syms = buf.toVector
+            go = syms.size >= 2
+          }
+        }
+        out ++= syms
+      }
+      out.toSeq
+    }
+    // goldens, hand-derived against the Merges table: " the" collapses
+    // via " t"+"he"; "printing" keeps p/r apart; "quest" shows rank
+    // order (es before qu); contraction pre-token "'s" merges whole
+    val golden = Seq(
+      "the cat" -> Seq("the", " ", "c", "at"),
+      " the" -> Seq(" the"),
+      "printing" -> Seq("p", "r", "in", "t", "ing"),
+      "quest" -> Seq("qu", "es", "t"),
+      "it's" -> Seq("it", "'s"))
+    val got = golden.map(_._1).toDF("text")
+      .select(TextAnalysis.bpeMergeTokens(col("text"))).as[Seq[String]].collect()
+    assert(got.toSeq == golden.map(_._2), s"goldens: got ${got.toSeq}")
+    golden.foreach { case (t, e) => assert(naive(t) == e, s"naive($t)") }
+    // parity with the naive reference over real corpus text
+    val sample = Tables.documents(spark, sf).limit(50)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val native = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), TextAnalysis.bpeMergeTokens(col("text")))
+      .as[(Long, Seq[String])].collect().toMap
+    sample.foreach { case (id, t) =>
+      assert(native(id) == naive(t), s"doc $id diverges from reference")
+    }
+    // count column = size of the token array
+    val n = Seq("the cat").toDF("text")
+      .select(TextAnalysis.bpeMergeTokenCount(col("text"))).as[Long].collect()(0)
+    assert(n == 4L)
+    // null text → null expression value (query layer coalesces)
+    val nul = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeMergeTokens(col("text"))).collect()(0)
+    assert(nul.isNullAt(0))
+    // ill-formed tables are rejected at construction: a side that is
+    // neither a single char nor an earlier merge's output
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.BpeMergeTokens(
+        org.apache.spark.sql.graft.Bridge.expression(col("text")),
+        Seq("ab" -> "c"), TextAnalysis.BpePattern)
+    }
+    assert(e.getMessage.contains("not well-formed"))
+  }
+
   test("repetition stats separate spam from prose; short docs emit zeros") {
     import spark.implicits._
     val docs = Seq(
