@@ -55,8 +55,16 @@ object CurationStream {
     * ([[graft.ext.Decontamination]] — the eval set never reaches the
     * training corpus, enforced at ingest rather than in a nightly
     * sweep). The benchmark's distinct gram set is computed ONCE and
-    * cached; each micro-batch pays one broadcast-hash probe against
-    * it, so the per-batch cost is batch-sized, not benchmark-sized.
+    * cached for the life of the query (unpersisted when the query
+    * terminates); each micro-batch pays one broadcast-hash probe
+    * against it, so the per-batch cost is batch-sized, not
+    * benchmark-sized.
+    *
+    * `broadcastDim = false` is the escape hatch for a dim store past
+    * broadcast range (mirrors [[graft.ops.RatingsOps.enrich]]): the
+    * hint is dropped and the per-batch join strategy is left to
+    * size/AQE — at 100 TB a provenance dim can outgrow any driver-side
+    * build, and the composed flagship must not pin it to one.
     */
   def run(docs: DataFrame, storeName: String, dimDir: String, dimKey: String,
           checkpointDir: String, idCol: String = "doc_id",
@@ -64,11 +72,12 @@ object CurationStream {
           numBands: Int = 4, rowsPerBand: Int = 2, jaccardNum: Int = 8,
           jaccardDen: Int = 10, compactEvery: Int = 64,
           vacuumAfterCompact: Boolean = true,
-          benchmark: Option[DataFrame] = None, minOverlap: Int = 1)
+          benchmark: Option[DataFrame] = None, minOverlap: Int = 1,
+          broadcastDim: Boolean = true)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val benchGrams = benchmark.map(b =>
       graft.ext.Decontamination.benchmarkGrams(b, textCol, n).cache())
-    IngestDedupGate.gate(docs, storeName, checkpointDir,
+    val query = IngestDedupGate.gate(docs, storeName, checkpointDir,
       idCol = idCol, textCol = textCol, n = n, numBands = numBands,
       rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,
       jaccardDen = jaccardDen, compactEvery = compactEvery,
@@ -80,8 +89,30 @@ object CurationStream {
       val clean = benchGrams.fold(gated)(g =>
         graft.ext.Decontamination.decontaminateAgainst(
           gated, broadcast(g), idCol, textCol, n, minOverlap))
-      val dim = ManifestStore.read(novel.sparkSession, dimDir, dimKey)
-      sink(clean.join(broadcast(dim), Seq(dimKey), "left_outer"), epoch)
+      val dim0 = ManifestStore.read(novel.sparkSession, dimDir, dimKey)
+      val dim = if (broadcastDim) broadcast(dim0) else dim0
+      sink(clean.join(dim, Seq(dimKey), "left_outer"), epoch)
     }
+    // release the cached gram set when the query ends — without this,
+    // repeated run() calls over the same benchmark accumulate cached
+    // copies for the life of the session
+    benchGrams.foreach { g =>
+      val spark = docs.sparkSession
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            g.unpersist()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+      // the query could have terminated before the listener attached —
+      // unpersist() is idempotent, so the rare double release is safe
+      if (!query.isActive) { g.unpersist(); spark.streams.removeListener(listener) }
+    }
+    query
   }
 }

@@ -369,6 +369,64 @@ class IngestGateSpec extends SparkSuite {
     // after dedup, so redeliveries of it keep deduping at the store
     assert(IngestDedupGate.feats(spark, name)
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // the cached benchmark gram set is released once the query
+    // terminates (the listener unpersists it): rebuilding the same plan
+    // must no longer hit the cache
+    val g = graft.ext.Decontamination.benchmarkGrams(bench, "text", 3)
+    val deadline = System.currentTimeMillis + 20000
+    while (g.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+           System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(g.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "benchmark gram cache leaked past query termination")
+  }
+
+  test("composed curation stream broadcastDim=false leaves the dim join strategy to AQE") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    val words = (1 to 40).map(i => s"bdword$i").toArray; words(0) = "the"
+    val good = words.mkString(" ")
+    val dimDir = java.nio.file.Files.createTempDirectory("bd-dim").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA"), (1, "crawlB")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    // disable size-based auto-broadcast so the contrast below is the HINT
+    // itself (mirrors the LayoutSpec enrich escape-hatch test)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      def once(name: String, hatch: Boolean): Unit = {
+        val ms = MemoryStream[(Long, String, Int)]
+        val q = CurationStream.run(
+          ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+          "source_id",
+          java.nio.file.Files.createTempDirectory("bd-ckpt").toString,
+          broadcastDim = hatch) { (out, _) =>
+          plans.add(out.queryExecution.sparkPlan.toString)
+          out.select("doc_id", "quality", "source").collect().foreach(r =>
+            IngestGateSpec.curated.add((r.getLong(0), r.getLong(1), r.getString(2))))
+        }
+        try { ms.addData((1L, good, 0)); q.processAllAvailable() }
+        finally q.stop()
+      }
+      once("t_cur_bd_hint", hatch = true)
+      val hinted = plans.asScala.toSeq; plans.clear()
+      once("t_cur_bd_free", hatch = false)
+      val unhinted = plans.asScala.toSeq
+      // the hinted topology force-broadcasts even past the threshold;
+      // the escape hatch leaves the strategy to size/AQE
+      assert(hinted.exists(_.contains("BroadcastHashJoin")), hinted.mkString)
+      assert(unhinted.nonEmpty && !unhinted.exists(_.contains("BroadcastHashJoin")),
+        unhinted.mkString)
+      // strategy only, never rows: both runs curate the same doc
+      assert(IngestGateSpec.curated.asScala.toSet ==
+        Set((1L, 4L, "crawlA")), IngestGateSpec.curated.asScala.toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("composed curation stream: gate, quality cut and pinned dim enrich; restart sees dim updates") {
