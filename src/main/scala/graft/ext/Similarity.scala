@@ -152,34 +152,45 @@ object Similarity {
       annQueries(bucketed, queryIds, idCol, vecCol), k, idCol, vecCol)
 
   /** Multi-probe LSH search (Lv et al., VLDB'07): each query probes its
-    * own bucket PLUS every 1-bit perturbation — `planes + 1` probes per
-    * table, recovering near neighbors that one flipped hyperplane sign
-    * pushed into an adjacent bucket. Recall rises toward exact top-k at
-    * the cost of a (planes+1)× wider candidate probe set — the standard
-    * alternative to adding tables, with ZERO index growth: the same
-    * bucketed frame (inline or persisted) serves both search modes, so
-    * the recall/latency trade is a per-QUERY decision, not a build-time
-    * one. Candidates are deduped before the exact rerank; the probe
-    * side stays broadcast (queries × tables × (planes+1) rows).
+    * own bucket PLUS every perturbation of up to `probeBits` hyperplane
+    * signs — `planes + 1` probes per table at `probeBits = 1`, plus the
+    * C(planes, 2) 2-bit flips at `probeBits = 2` — recovering near
+    * neighbors that one (or two) flipped hyperplane signs pushed into an
+    * adjacent bucket. Recall rises toward exact top-k as the probe
+    * budget widens — the standard alternative to adding tables, with
+    * ZERO index growth: the same bucketed frame (inline or persisted)
+    * serves every probe budget, so the recall/latency trade is a
+    * per-QUERY decision, not a build-time one. Candidates are deduped
+    * before the exact rerank; the probe side stays broadcast (queries ×
+    * tables × probe-budget rows).
     */
   def annTopKMultiProbe(corpus: DataFrame, queryIds: Seq[Long], k: Int,
                         planes: Int, dims: Int, tables: Int = 8,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame =
+                        vecCol: String = "embedding",
+                        probeBits: Int = 1): DataFrame =
     annSearchMultiProbe(lshTableBuckets(corpus, tables, planes, dims, vecCol),
-      queryIds, k, planes, idCol, vecCol)
+      queryIds, k, planes, idCol, vecCol, probeBits)
 
   /** [[annTopKMultiProbe]]'s search phase over a (pre-)bucketed frame —
     * point it at a persisted LSH index for the indexed variant.
     */
   def annSearchMultiProbe(bucketed: DataFrame, queryIds: Seq[Long], k: Int,
                           planes: Int, idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          probeBits: Int = 1): DataFrame = {
     require(planes > 0 && planes < 63, s"planes must be in [1, 62], got $planes")
+    require(probeBits == 1 || probeBits == 2,
+      s"probeBits must be 1 or 2, got $probeBits")
     val q = annQueries(bucketed, queryIds, idCol, vecCol)
+    val oneBit = (0 until planes).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i)))
+    val twoBit =
+      if (probeBits < 2) Seq.empty
+      else for { i <- 0 until planes; j <- i + 1 until planes }
+        yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
     val probes = q.select(col("tbl"),
-      explode(array(col("bucket") +: (0 until planes).map(i =>
-        col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"),
+      explode(array(col("bucket") +: (oneBit ++ twoBit): _*)).as("bucket"),
       col("query_id"), col("query_vec"))
     searchProbes(bucketed, probes, k, idCol, vecCol)
   }
@@ -629,10 +640,11 @@ object Similarity {
   def annTopKMultiProbeIndexed(spark: org.apache.spark.sql.SparkSession,
                                name: String, queryIds: Seq[Long], k: Int,
                                planes: Int, idCol: String = "vec_id",
-                               vecCol: String = "embedding"): DataFrame = {
+                               vecCol: String = "embedding",
+                               probeBits: Int = 1): DataFrame = {
     requireIndexMeta(spark, name, Seq("planes" -> planes))
     annSearchMultiProbe(spark.table(s"${name}_buckets"), queryIds, k,
-      planes, idCol, vecCol)
+      planes, idCol, vecCol, probeBits)
   }
 
   // ── Incremental index maintenance (append the delta, never rebuild) ─

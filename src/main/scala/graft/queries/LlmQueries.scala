@@ -499,19 +499,29 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   /** Multi-probe variant of [[annLshSql]]: the probe set per (query,
-    * table) is the bucket itself plus every 1-bit flip — the same
+    * table) is the bucket itself plus every 1-bit flip — and, at
+    * `probeBits = 2`, every C(planes, 2) 2-bit flip — the same
     * list_prepend/xor expansion the Spark side explodes.
     */
-  private val annLshMultiProbeSql: String =
+  private def annLshMultiProbeSqlFor(probeBits: Int): String = {
+    val oneBitList =
+      """list_prepend(bucket,
+        |           list_transform(generate_series(0, 3),
+        |             i -> xor(bucket, CAST(1 AS BIGINT) << i)))""".stripMargin
+    val probeList =
+      if (probeBits < 2) oneBitList
+      else s"""list_concat($oneBitList,
+        |           flatten(list_transform(generate_series(0, 2),
+        |             i -> list_transform(generate_series(i + 1, 3),
+        |               j -> xor(bucket, (CAST(1 AS BIGINT) << i)
+        |                                + (CAST(1 AS BIGINT) << j))))))""".stripMargin
     s"""WITH ${lshBucketsCte(tables = 8, planes = 4, dims = 64)},
        |q AS (
        |  SELECT tbl, bucket, vec_id AS query_id
        |  FROM buckets WHERE vec_id < 5),
        |probes AS (
        |  SELECT tbl,
-       |         unnest(list_prepend(bucket,
-       |           list_transform(generate_series(0, 3),
-       |             i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket,
+       |         unnest($probeList) AS bucket,
        |         query_id
        |  FROM q),
        |cand AS (
@@ -531,6 +541,7 @@ object LlmQueries {
        |  FROM scored)
        |SELECT * FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Shared by t_ann_ivf and t_ann_ivf_indexed — ditto: the persisted
     * quantizer + inverted lists round-trip parquet exactly.
@@ -1170,9 +1181,18 @@ object LlmQueries {
     // the identical probe list and reranks exactly — and since the
     // indexed buckets are bit-identical to inline bucketing, this one
     // oracle gates the multi-probe path end to end.
-    QueryDef("t_ann_lsh_multiprobe", annLshMultiProbeSql) { (s, d) =>
+    QueryDef("t_ann_lsh_multiprobe", annLshMultiProbeSqlFor(1)) { (s, d) =>
       Similarity.annTopKMultiProbeIndexed(s, lshIndexFor(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), k = 10, planes = 4)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // 2-bit probe budget over the SAME persisted index: the probe set
+    // adds every C(planes, 2) two-bit flip (Lv et al.'s extended
+    // perturbation sequence) — another recall step at zero index cost.
+    // The oracle expands the identical 1-bit + 2-bit xor list.
+    QueryDef("t_ann_lsh_multiprobe2", annLshMultiProbeSqlFor(2)) { (s, d) =>
+      Similarity.annTopKMultiProbeIndexed(s, lshIndexFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10, planes = 4, probeBits = 2)
     }.sortedBy(col("query_id"), col("rank")),
 
     // IVF variant (deterministic k-means coarse quantizer + nProbe cell

@@ -138,11 +138,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(recallOf(multi) >= recallOf(single),
       s"multi=${recallOf(multi)} single=${recallOf(single)}")
     assert(multi.forall { case (q, n) => n != q })
-    // rejected out-of-range plane widths
+    // 2-bit probe budget strictly widens the 1-bit probe set: recall is
+    // monotone again (2-bit ⊇ 1-bit ⊇ single)
+    val multi2 = Similarity.annTopKMultiProbe(emb, ids, 10, planes = 4,
+        dims = 64, probeBits = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(recallOf(multi2) >= recallOf(multi),
+      s"multi2=${recallOf(multi2)} multi=${recallOf(multi)}")
+    // rejected out-of-range plane widths and probe budgets
     intercept[IllegalArgumentException] {
       Similarity.annSearchMultiProbe(
         Similarity.lshTableBuckets(emb, 8, 4, 64, "embedding"),
         ids, 10, planes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.annSearchMultiProbe(
+        Similarity.lshTableBuckets(emb, 8, 4, 64, "embedding"),
+        ids, 10, planes = 4, probeBits = 3)
     }
   }
 
