@@ -1166,6 +1166,93 @@ object Similarity {
       enc.drop("__d"), s"${name}_codes", idCol, buckets)
   }
 
+  /** The outcome of one [[maintainIndex]] call: which index kind was
+    * touched, whether the delta was appended under the frozen quantizers
+    * or the index was re-trained + rebuilt, and the worst measured
+    * quantization-error ratio that drove the decision (NaN when every
+    * baseline was degenerate-zero — treated as in-bounds, like the
+    * append gate).
+    */
+  final case class IndexMaintenance(action: String, kind: String,
+                                    maxMeanRatio: Double)
+
+  /** Drift-GATED index maintenance — the one-call answer to "append the
+    * daily delta, unless the frozen quantizers no longer fit, in which
+    * case re-train and rebuild": measures [[indexDrift]] of `delta`
+    * against the persisted build baseline, then either appends under
+    * the frozen quantizers (every `mean_ratio` ≤ `maxDriftRatio`) or
+    * re-trains + rebuilds the whole index over `indexed ∪ delta` with
+    * the build parameters recorded in `_meta`. The plain appends WARN
+    * on drift but leave the degraded index in place; this helper closes
+    * that loop.
+    *
+    * `indexed` is the CURRENT indexed corpus's float vectors (the
+    * system-of-record relation the index was built from plus every
+    * delta appended since) — required because the PQ and IVF×PQ
+    * artifacts deliberately persist codes, never corpus floats, so a
+    * re-train cannot read its training data out of the index. It must
+    * NOT be derived from the index's own tables (the rebuild overwrites
+    * them in place).
+    *
+    * The index kind is inferred from the persisted artifacts
+    * (`_centroids` → IVF, `_codebooks` → PQ, both → IVF×PQ); LSH is
+    * rejected — sign-buckets have no trained state to drift, append
+    * directly. Cost: one delta-sized drift pass, then either the
+    * delta-sized append (its own internal gate is disabled — this
+    * helper IS the gate) or the corpus-sized rebuild.
+    */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                    indexed: DataFrame, delta: DataFrame,
+                    maxDriftRatio: Double = DefaultMaxDriftRatio,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IndexMaintenance = {
+    require(maxDriftRatio > 0 && !maxDriftRatio.isInfinite,
+      s"maxDriftRatio must be a positive finite ratio, got $maxDriftRatio")
+    val hasIvf = spark.catalog.tableExists(s"${name}_centroids")
+    val hasPq = spark.catalog.tableExists(s"${name}_codebooks")
+    require(hasIvf || hasPq,
+      s"index '$name' has no trained quantizer to drift (LSH or unbuilt) — " +
+        "append directly, there is nothing to re-train")
+    val kind = (hasIvf, hasPq) match {
+      case (true, true)  => "ivfpq"
+      case (true, false) => "ivf"
+      case _             => "pq"
+    }
+    val ratios = indexDrift(spark, name, delta, idCol, vecCol)
+      .select(col("mean_ratio")).collect().map(_.getDouble(0))
+      .filterNot(_.isNaN)
+    val maxRatio = if (ratios.isEmpty) Double.NaN else ratios.max
+    val meta = spark.table(s"${name}_meta").head()
+    def mi(f: String) = meta.getInt(meta.fieldIndex(f))
+    if (maxRatio > maxDriftRatio) {
+      val corpus = indexed.select(col(idCol), col(vecCol))
+        .unionByName(delta.select(col(idCol), col(vecCol)))
+      kind match {
+        case "ivf"   => buildIvfIndex(corpus, name, mi("centroids"),
+          mi("buckets"), idCol, vecCol)
+        case "pq"    => buildPqIndex(corpus, name, mi("m"),
+          mi("codebook_size"), mi("dims"), mi("buckets"), idCol, vecCol)
+        case "ivfpq" => buildIvfPqIndex(corpus, name, mi("centroids"),
+          mi("m"), mi("codebook_size"), mi("dims"), mi("buckets"), idCol,
+          vecCol)
+      }
+      IndexMaintenance("rebuilt", kind, maxRatio)
+    } else {
+      // in-bounds (or no judgeable baseline): append under the frozen
+      // quantizers; maxDriftRatio = 0 disables the append's own gate so
+      // the delta is not re-measured
+      kind match {
+        case "ivf"   => appendToIvfIndex(delta, name, mi("buckets"),
+          idCol, vecCol, maxDriftRatio = 0.0)
+        case "pq"    => appendToPqIndex(delta, name, mi("m"), mi("dims"),
+          mi("buckets"), idCol, vecCol, maxDriftRatio = 0.0)
+        case "ivfpq" => appendToIvfPqIndex(delta, name, mi("m"), mi("dims"),
+          mi("buckets"), idCol, vecCol, maxDriftRatio = 0.0)
+      }
+      IndexMaintenance("appended", kind, maxRatio)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold
     * — bucket equi-joins, no all-pairs product.

@@ -611,6 +611,54 @@ class LlmOpsSpec extends SparkSuite {
     assert(noBase.getMessage.contains("drift baseline"), noBase.getMessage)
   }
 
+  test("maintainIndex: in-bounds delta appends, drifted delta re-trains and rebuilds") {
+    val emb = Tables.embeddings(spark, sf)
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    Similarity.buildIvfPqIndex(first, "t_maint_idx", centroids = 8)
+    val centsBefore = spark.table("t_maint_idx_centroids").collect().toSet
+    // in-distribution delta: APPENDED under the frozen quantizers
+    val r1 = Similarity.maintainIndex(spark, "t_maint_idx", first, rest)
+    assert(r1.action == "appended" && r1.kind == "ivfpq", r1)
+    assert(r1.maxMeanRatio <= Similarity.DefaultMaxDriftRatio, r1)
+    assert(spark.table("t_maint_idx_codes").select("vec_id").distinct().count()
+      == emb.count())
+    assert(spark.table("t_maint_idx_centroids").collect().toSet == centsBefore,
+      "append must not touch the trained quantizer")
+    // out-of-distribution delta (distinct ids): REBUILT — re-trained over
+    // indexed ∪ delta with the _meta build parameters
+    val shifted = rest
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(-1.0) + lit(9.0)).cast("float")))
+    val r2 = Similarity.maintainIndex(spark, "t_maint_idx", emb, shifted)
+    assert(r2.action == "rebuilt" && r2.kind == "ivfpq", r2)
+    assert(r2.maxMeanRatio > Similarity.DefaultMaxDriftRatio, r2)
+    assert(spark.table("t_maint_idx_codes").select("vec_id").distinct().count()
+      == emb.count() + shifted.count(), "rebuild must index indexed ∪ delta")
+    assert(spark.table("t_maint_idx_centroids").collect().toSet != centsBefore,
+      "rebuild must re-train the quantizer")
+    // the rebuild brought the formerly-drifting data back in
+    // distribution: its drift against the NEW baseline is in-bounds
+    val post = Similarity.indexDrift(spark, "t_maint_idx", shifted)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(post.values.forall(_ <= Similarity.DefaultMaxDriftRatio),
+      s"post-rebuild drift should be quiet: $post")
+    // and search over the rebuilt index stays green across both regions
+    val hits = Similarity.ivfPqTopKIndexed(spark, "t_maint_idx",
+      emb.filter(col("vec_id") < 2), kNn = 5)
+    assert(hits.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+    // contract errors: no trained state (LSH/unbuilt), bogus ratio
+    assert(intercept[IllegalArgumentException] {
+      Similarity.maintainIndex(spark, "t_no_such_index2", emb, rest)
+    }.getMessage.contains("no trained quantizer"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.maintainIndex(spark, "t_maint_idx", emb, rest,
+        maxDriftRatio = 0.0)
+    }.getMessage.contains("positive finite"))
+  }
+
   test("near-dup clustering: transitive chain collapses to one representative") {
     import spark.implicits._
     // A~B and B~C clear the 8/10 Jaccard cut; A–C does not (changing one
