@@ -92,6 +92,12 @@ object Curation {
     * id join shuffles both sides once — snapshots written with
     * [[graft.core.Layout.writeBucketed]] on the id co-locate it away
     * entirely.
+    *
+    * PRECONDITION: `idCol` must be unique per row in EACH snapshot
+    * (the same contract as [[graft.ext.Packing.packSequences]]'s
+    * keyCol) — the full-outer join fans duplicate ids out into
+    * multiple, potentially contradictory (id, status) rows.
+    * Deduplicate or pre-aggregate fingerprints per id first.
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String = "doc_id",

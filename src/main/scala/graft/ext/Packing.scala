@@ -80,11 +80,20 @@ object Packing {
     * Same distributed prefix-sum as [[packSequences]], with the
     * (priority, bucket-range) pair as the parallel group; the offsets
     * relation has one row per (priority level × group) — priorities
-    * must be integral and low-cardinality (a quality score, not a raw
-    * float), which is also what makes the order engine-reproducible.
+    * must be integral and LOW-CARDINALITY (a quality score, not a raw
+    * float or a per-document rank), which is also what makes the order
+    * engine-reproducible. Misuse fails LOUDLY: more than
+    * [[MaxOffsetRows]] distinct (priority, group) rows aborts before
+    * the offsets relation is broadcast (a high-cardinality priority
+    * would otherwise silently turn the "tiny" broadcast into a
+    * corpus-sized unpartitioned window + driver OOM).
     * NULL handling is deterministic and disclosed, never a silent drop:
     * a NULL priority sorts LAST (below every real level — it competes
-    * for leftover budget only) and a NULL token count costs 0.
+    * for leftover budget only) and a NULL token count costs 0. The
+    * NULL sentinel is `Long.MinValue`, so a GENUINE priority of
+    * `Long.MinValue` is indistinguishable from NULL and merges into
+    * the null group — no real quality score lives at the very bottom
+    * of the Long range; rescale if yours does.
     */
   def selectByBudget(df: DataFrame, keyCol: Column, tokensCol: Column,
                      priorityCol: Column, budget: Long,
@@ -103,6 +112,8 @@ object Packing {
       .orderBy(col("__sb_bkt"), keyCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = base.withColumn("__sb_cum", sum("__sb_tok").over(inGrp))
+    // materialized once: the guard count below and the broadcast join
+    // share one evaluation of the aggregation
     val offsets = base.groupBy("__sb_pri", "__sb_grp")
       .agg(sum("__sb_tok").as("__sb_total"))
       .withColumn("__sb_off",
@@ -110,9 +121,23 @@ object Packing {
           Window.orderBy(col("__sb_pri").desc, col("__sb_grp"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__sb_pri", "__sb_grp", "__sb_off")
+      .localCheckpoint()
+    val nOff = offsets.count()
+    require(nOff <= MaxOffsetRows,
+      s"selectByBudget: $nOff distinct (priority, group) rows exceed the " +
+        s"$MaxOffsetRows offsets-relation cap — the priority column is " +
+        "high-cardinality (a raw float or per-document rank?); pass a " +
+        "low-cardinality integral quality level instead")
     withCum.join(broadcast(offsets), Seq("__sb_pri", "__sb_grp"))
       .filter(col("__sb_off") + col("__sb_cum") <= budget)
       .drop("__sb_tok", "__sb_pri", "__sb_bkt", "__sb_grp", "__sb_cum",
         "__sb_off")
   }
+
+  /** Hard cap on [[selectByBudget]]'s broadcast offsets relation
+    * (priority levels × bucket groups): ~2.4 MB of (long, long, long)
+    * rows — two orders of magnitude above any sane quality-score
+    * cardinality, far below anything that could hurt the driver.
+    */
+  val MaxOffsetRows = 100000L
 }

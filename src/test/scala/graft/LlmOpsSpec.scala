@@ -1218,6 +1218,17 @@ class LlmOpsSpec extends SparkSuite {
       .select("doc_id", "pack").as[(Long, Long)].collect().toMap
     assert(packed.keySet == Set(1L, 2L, 3L) && packed.values.forall(_ == 0L),
       s"null-token row mispacked: $packed")
+
+    // a high-cardinality priority (here: one level per doc) fails LOUDLY
+    // before the offsets relation is broadcast, instead of OOMing the
+    // driver with a corpus-sized "tiny" relation
+    val perDocPri = spark.range(0, graft.ext.Packing.MaxOffsetRows + 10)
+      .select(col("id").as("doc_id"), lit(1L).as("toks"), col("id").as("pri"))
+    val loud = intercept[IllegalArgumentException] {
+      graft.ext.Packing.selectByBudget(perDocPri, col("doc_id"), col("toks"),
+        col("pri"), budget = 10L)
+    }
+    assert(loud.getMessage.contains("high-cardinality"), loud.getMessage)
   }
 
   test("extractFeatures tolerates frames without a media_type column (round-2 contract)") {
