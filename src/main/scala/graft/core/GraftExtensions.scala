@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash, VocabTokenCount}
+import graft.functions.{BpeMergeTokens, CosineSim, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash, VocabTokenCount, WordTfs}
 
 /** SparkSessionExtensions hook registering the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT polyhash(text),
@@ -95,6 +95,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "vocab_token_count(text) takes 1 argument")
         VocabTokenCount(children.head, graft.ext.TextAnalysis.Vocab,
           graft.ext.TextAnalysis.BpePattern)
+      }))
+    // bpe_merge_tokens(text): the true merge-loop tokenizer over the
+    // same TextAnalysis.Merges table the Column API embeds
+    ext.injectFunction((
+      FunctionIdentifier("bpe_merge_tokens"),
+      new ExpressionInfo(classOf[BpeMergeTokens].getName, "bpe_merge_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bpe_merge_tokens(text) takes 1 argument")
+        BpeMergeTokens(children.head, graft.ext.TextAnalysis.Merges,
+          graft.ext.TextAnalysis.BpePattern)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_tfs"),
+      new ExpressionInfo(classOf[WordTfs].getName, "word_tfs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "word_tfs(text) takes 1 argument")
+        WordTfs(children.head)
       }))
     // redact_pii(text): the same ordered RegExpReplace fold as
     // TextAnalysis.redactPii, built from the same PiiPatterns constants

@@ -64,6 +64,23 @@ class SqlSurfaceSpec extends SparkSuite {
       .orderBy(col("doc_id"))
     assert(rows(tokSql) == rows(tokApi))
 
+    // merge-based BPE tokenization via SQL matches the Column API
+    val bpeSql = spark.sql(
+      "SELECT doc_id, bpe_merge_tokens(text) AS toks FROM documents ORDER BY doc_id")
+    val bpeApi = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.bpeMergeTokens(col("text")).as("toks"))
+      .orderBy(col("doc_id"))
+    assert(rows(bpeSql) == rows(bpeApi))
+
+    // per-doc word tf map via SQL matches the Column API
+    val tfSql = spark.sql(
+      "SELECT doc_id, word_tfs(text) AS w FROM documents ORDER BY doc_id")
+    val tfApi = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.wordTfs(col("text")).as("w"))
+      .orderBy(col("doc_id"))
+    assert(rows(tfSql) == rows(tfApi))
+
     // pii redaction via SQL matches the Column API fold
     val redSql = spark.sql(
       "SELECT redact_pii('u9@x.io then 10.0.0.1 then 999999999') AS r")
