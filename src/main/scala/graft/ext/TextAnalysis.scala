@@ -115,6 +115,76 @@ object TextAnalysis {
   def bpeMergeTokenCount(text: Column): Column =
     size(bpeMergeTokens(text)).cast("long")
 
+  /** [[bpeMergeTokens]] under a CALLER-SUPPLIED merge table — the
+    * companion of [[learnBpeMerges]]: tokenize with the table you just
+    * trained (or loaded from config).
+    */
+  def bpeMergeTokensWith(text: Column,
+                         merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeMergeTokens(
+        org.apache.spark.sql.graft.Bridge.expression(text), merges, BpePattern))
+
+  /** TRAIN a BPE merge table on a corpus — the Sennrich/GPT-2 learning
+    * loop, distributed: pre-tokenize, collapse to DISTINCT pre-tokens
+    * weighted by frequency (the classic trick — every iteration then
+    * costs |pre-token vocabulary|, not |corpus|), and repeatedly take
+    * the adjacent symbol pair with the highest weighted count (ties:
+    * count DESC, then lexicographic pair — deterministic and
+    * engine-reproducible), re-tokenizing the pre-token vocabulary under
+    * the merges learned so far via the same [[graft.functions.BpeMergeTokens]]
+    * expression that later tokenizes with the result. Returns
+    * (lhs, rhs, weighted count) in rank order; stops early when the
+    * best pair's count falls below `minPairCount`.
+    *
+    * Scale shape: ONE corpus-sized explode + aggregation builds the
+    * weighted pre-token vocabulary (localCheckpointed — iterations
+    * never re-read the corpus); each of the `nMerges` iterations is one
+    * map (re-tokenize the vocabulary, codegen'd) + one partial-
+    * aggregated pair-count shuffle + a TakeOrdered(1) argmax. Real
+    * pipelines train the tokenizer on a bounded SAMPLE of the corpus
+    * ([[graft.ext.Sampling.sampleByKey]]) — pass the sample as `docs`;
+    * the learned table is driver-sized by definition (it IS the
+    * tokenizer config).
+    *
+    * The learned table is well-formed by construction (each side exists
+    * as a symbol when its merge is learned), so it satisfies
+    * [[graft.functions.BpeMergeTokens]]'s construction check and the
+    * rank-order-replay oracle equivalence.
+    */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int,
+                     textCol: String = "text",
+                     minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 4096,
+      s"nMerges must be in [1, 4096], got $nMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val vocabPt = docs.filter(col(textCol).isNotNull)
+      .select(explode(regexp_extract_all(col(textCol), lit(BpePattern),
+        lit(0))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var go = true
+    while (go && learned.size < nMerges) {
+      val toks = bpeMergeTokensWith(col("pt"), learned.toSeq.map(m => (m._1, m._2)))
+      val top = vocabPt
+        .select(toks.as("t"), col("w"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"), col("w"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("w")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) go = false
+      else learned += ((top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2)))
+    }
+    learned.toSeq
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def charLen(text: Column): Column = length(text)

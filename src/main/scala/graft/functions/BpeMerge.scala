@@ -37,7 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeMergeTokens(child: Expression, merges: Seq[(String, String)],
                           pattern: String) extends UnaryExpression {
 
-  require(merges.nonEmpty, "empty merge table")
+  // an EMPTY table is legal — tokenization degenerates to one symbol
+  // per character, the starting state of BPE training
+  // (TextAnalysis.learnBpeMerges iteration 0)
   locally {
     val formed = scala.collection.mutable.HashSet[String]()
     merges.zipWithIndex.foreach { case ((a, b), i) =>

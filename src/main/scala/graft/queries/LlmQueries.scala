@@ -471,6 +471,27 @@ object LlmQueries {
       name
     }
 
+  /** The learned-once BPE merge table per (JVM, sf dir, n) — the two
+    * tokenizer-training queries share one training run, mirroring the
+    * train-once/tokenize-many lifecycle (and the ANN index memo above).
+    */
+  private val learnedMergeTables =
+    scala.collection.mutable.Map[String, Seq[(String, String, Long)]]()
+
+  def learnedMergesFor(s: org.apache.spark.sql.SparkSession, d: String,
+                       n: Int): Seq[(String, String, Long)] =
+    synchronized {
+      learnedMergeTables.getOrElseUpdate(dirStem(d) + "#" + n,
+        TextAnalysis.learnBpeMerges(Tables.documents(s, d), n))
+    }
+
+  /** Stage count for the tokenizer-training oracle pair — small enough
+    * that the unrolled DuckDB replay stays cheap, large enough to learn
+    * real multi-level merges (outputs of earlier merges appear as sides
+    * of later ones on this corpus).
+    */
+  val BpeTrainMerges = 8
+
   /** Shared by t_ann_lsh and t_ann_lsh_indexed — the persisted index
     * must be bit-identical to inline bucketing, so one oracle serves
     * both.
@@ -541,6 +562,120 @@ object LlmQueries {
        |  FROM scored)
        |SELECT * FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** BPE tokenizer TRAINING replayed in SQL — the Sennrich loop
+    * UNROLLED into `n` chained stages (a recursive CTE cannot aggregate
+    * over the whole corpus per step, but the oracle SQL is GENERATED,
+    * so the loop unrolls at generation time): stage k re-tokenizes the
+    * weighted pre-token vocabulary under the k merges learned so far
+    * (the same per-rank fixpoint-replace walk as t_token_bpe_merges,
+    * parameterized by the mg_k RELATION instead of literal VALUES),
+    * counts adjacent pairs weighted by pre-token frequency, and takes
+    * the (count DESC, lhs, rhs) argmax as merge k. Exact under the same
+    * caveat as the replay oracle: no learned merge may have lhs = rhs
+    * (replace() would group an odd run differently than the engine's
+    * left-to-right pass) — asserted against this corpus in LlmOpsSpec.
+    *
+    * Every chain CTE is AS MATERIALIZED: DuckDB inlines CTEs by
+    * default, and a recursive walk whose step joins an INLINED mg_k
+    * re-evaluates mg_k — and therefore the ENTIRE previous stage's
+    * recursion — once per iteration, an exponential blowup that hangs
+    * the oracle (measured: >10 min inlined vs 0.2 s materialized at
+    * sf0.001). Materialization pins each stage to run exactly once.
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val pat = TextAnalysis.BpePattern.replace("'", "''")
+    val anyChar = "[\\s\\S]"
+    val sb = new StringBuilder
+    sb.append(
+      s"""vocabpt AS MATERIALIZED (
+         |  SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT unnest(regexp_extract_all(text, '$pat')) AS pt
+         |    FROM documents WHERE text IS NOT NULL) u GROUP BY pt),
+         |tbase AS MATERIALIZED (
+         |  SELECT pt, w,
+         |         chr(1) || array_to_string(regexp_extract_all(pt, '$anyChar'), chr(1)) || chr(1) AS s
+         |  FROM vocabpt),
+         |mg0(rank, a, b) AS MATERIALIZED (SELECT 0, '', '' WHERE 1 = 0)""".stripMargin)
+    for (k <- 0 until n) {
+      sb.append(",\n")
+      sb.append(
+        s"""walk$k(pt, w, s, rank) AS (
+           |  SELECT pt, w, s, 0 FROM tbase
+           |  UNION ALL
+           |  SELECT pt, w, new_s,
+           |         CASE WHEN new_s = s THEN rank + 1 ELSE rank END
+           |  FROM (SELECT wk.pt, wk.w, wk.s, wk.rank,
+           |               replace(wk.s, chr(1) || m.a || chr(1) || m.b || chr(1),
+           |                             chr(1) || m.a || m.b || chr(1)) AS new_s
+           |        FROM walk$k wk JOIN mg$k m ON m.rank = wk.rank
+           |        WHERE wk.rank < $k) t),
+           |fin$k AS MATERIALIZED (SELECT w, string_split(trim(s, chr(1)), chr(1)) AS toks
+           |          FROM walk$k WHERE rank = $k),
+           |pairs$k AS (
+           |  SELECT p.a AS a, p.b AS b, CAST(sum(w) AS BIGINT) AS n FROM (
+           |    SELECT w, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |           idx -> struct_pack(a := toks[idx], b := toks[idx + 1]))) AS p
+           |    FROM fin$k WHERE len(toks) >= 2) q
+           |  GROUP BY p.a, p.b),
+           |best$k AS MATERIALIZED (SELECT a, b, n FROM pairs$k ORDER BY n DESC, a, b LIMIT 1),
+           |mg${k + 1}(rank, a, b) AS MATERIALIZED (
+           |  SELECT rank, a, b FROM mg$k
+           |  UNION ALL SELECT $k, a, b FROM best$k)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeTrainSql(n: Int): String = {
+    val learned = (0 until n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, n FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${bpeTrainCtes(n)}
+       |SELECT * FROM (
+       |$learned
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** Tokenize the corpus under the TRAINED table (mg_n as the walk's
+    * merge relation over full documents) — proves the learn → tokenize
+    * composition end to end, the full tokenizer lifecycle.
+    */
+  private def bpeTrainTokenizeSql(n: Int): String = {
+    val pat = TextAnalysis.BpePattern.replace("'", "''")
+    val anyChar = "[\\s\\S]"
+    s"""WITH RECURSIVE ${bpeTrainCtes(n)},
+       |dpts AS (
+       |  SELECT doc_id, x.i AS i, x.pt AS pt
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(regexp_extract_all(text, '$pat'),
+       |                 (y, ii) -> struct_pack(pt := y, i := ii))) AS x
+       |        FROM documents) s),
+       |dwalk(doc_id, i, s, rank) AS (
+       |  SELECT doc_id, i,
+       |         chr(1) || array_to_string(regexp_extract_all(pt, '$anyChar'), chr(1)) || chr(1),
+       |         0
+       |  FROM dpts
+       |  UNION ALL
+       |  SELECT doc_id, i, new_s,
+       |         CASE WHEN new_s = s THEN rank + 1 ELSE rank END
+       |  FROM (SELECT wk.doc_id, wk.i, wk.s, wk.rank,
+       |               replace(wk.s, chr(1) || m.a || chr(1) || m.b || chr(1),
+       |                             chr(1) || m.a || m.b || chr(1)) AS new_s
+       |        FROM dwalk wk JOIN mg$n m ON m.rank = wk.rank
+       |        WHERE wk.rank < $n) t),
+       |dfin AS (SELECT doc_id, i, trim(s, chr(1)) AS toks
+       |         FROM dwalk WHERE rank = $n),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |         string_agg(toks, chr(1) ORDER BY i) AS learned_tokens,
+       |         CAST(sum(len(string_split(toks, chr(1)))) AS BIGINT) AS n_learned_tokens
+       |  FROM dfin GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(p.learned_tokens, '') AS learned_tokens,
+       |       CAST(coalesce(p.n_learned_tokens, 0) AS BIGINT) AS n_learned_tokens
+       |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Shared by t_ann_ivf and t_ann_ivf_indexed — ditto: the persisted
@@ -940,6 +1075,27 @@ object LlmQueries {
         coalesce(array_join(toks, "\u0001"), lit("")).as("merge_tokens"),
         coalesce(TextAnalysis.bpeMergeTokenCount(col("text")), lit(0L))
           .as("n_merge_tokens"))
+    }.sortedBy(col("doc_id")),
+
+    // BPE tokenizer TRAINING: learn the merge table from the corpus
+    // (weighted distinct pre-tokens, iterative argmax pair). The oracle
+    // unrolls the same loop into chained CTE stages (see bpeTrainCtes)
+    // and must produce the identical (rank, lhs, rhs, count) table.
+    QueryDef("t_bpe_train", bpeTrainSql(BpeTrainMerges)) { (s, d) =>
+      import s.implicits._
+      learnedMergesFor(s, d, BpeTrainMerges).zipWithIndex
+        .map { case ((a, b, n), i) => (i.toLong, a, b, n) }
+        .toDF("rank", "lhs", "rhs", "n")
+    }.sortedBy(col("rank")),
+
+    // ... and tokenize the corpus under the table just learned -- the
+    // full train -> tokenize lifecycle, compared token-for-token.
+    QueryDef("t_bpe_train_tokenize", bpeTrainTokenizeSql(BpeTrainMerges)) { (s, d) =>
+      val learned = learnedMergesFor(s, d, BpeTrainMerges).map(m => (m._1, m._2))
+      val toks = TextAnalysis.bpeMergeTokensWith(col("text"), learned)
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
     }.sortedBy(col("doc_id")),
 
     // Gopher-style repetition signals: word-2-gram counts as integers

@@ -1377,6 +1377,90 @@ class LlmOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("not well-formed"))
   }
 
+  test("BPE training: hand goldens, naive-reference parity, early stop, oracle validity") {
+    import spark.implicits._
+    // independent naive reference: tokenize-under-merges (min-rank loop)
+    def tok(pt: String, merges: Seq[(String, String)]): Vector[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var syms = pt.map(_.toString).toVector
+      var go = syms.size >= 2
+      while (go) {
+        val present = syms.zip(syms.tail).flatMap(rank.get)
+        if (present.isEmpty) go = false
+        else {
+          val (a, b) = merges(present.min)
+          val buf = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.size) {
+            if (j < syms.size - 1 && syms(j) == a && syms(j + 1) == b) {
+              buf += a + b; j += 2
+            } else { buf += syms(j); j += 1 }
+          }
+          syms = buf.result(); go = syms.size >= 2
+        }
+      }
+      syms
+    }
+    // ... and the training loop over weighted distinct pre-tokens
+    def naiveTrain(texts: Seq[String], n: Int): Seq[(String, String, Long)] = {
+      val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+      val vocab = scala.collection.mutable.HashMap.empty[String, Long]
+      texts.foreach { t =>
+        val m = pat.matcher(t)
+        while (m.find()) vocab(m.group()) = vocab.getOrElse(m.group(), 0L) + 1L
+      }
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var go = true
+      while (go && learned.size < n) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (pt, w) =>
+          val ts = tok(pt, learned.toSeq.map(x => (x._1, x._2)))
+          ts.zip(ts.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + w)
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best match {
+          case Some(((a, b), c)) if c >= 2L => learned += ((a, b, c))
+          case _ => go = false
+        }
+      }
+      learned.toSeq
+    }
+    // hand-derived golden: (a,b) and (c,d) both count 3, lexicographic
+    // tiebreak learns (a,b) first; every round-2 pair counts 1 → the
+    // loop stops at 2 merges even when asked for 5
+    val fixture = Seq("abab", "ab cd", "cdcd")
+    val got = TextAnalysis.learnBpeMerges(fixture.toDF("text"), nMerges = 5)
+    assert(got == Seq(("a", "b", 3L), ("c", "d", 3L)), got)
+    assert(naiveTrain(fixture, 5) == got)
+    // parity with the naive trainer on real corpus text
+    val docs = Tables.documents(spark, sf)
+    val sample = docs.limit(60).select("text").as[String].collect().toSeq
+    val learnedSpark = TextAnalysis.learnBpeMerges(
+      docs.limit(60), nMerges = 6)
+    assert(learnedSpark == naiveTrain(sample, 6),
+      s"spark=$learnedSpark naive=${naiveTrain(sample, 6)}")
+    // tokenizing under the learned table round-trips through the same
+    // expression (well-formed by construction)
+    val nTok = docs.limit(10)
+      .select(TextAnalysis.bpeMergeTokensWith(col("text"),
+        learnedSpark.map(m => (m._1, m._2))))
+      .collect().map(_.getSeq[String](0).size).sum
+    assert(nTok > 0)
+    // ORACLE VALIDITY on this corpus: the replay oracle's per-rank
+    // fixpoint replace() is exact only for distinct-sided merges — the
+    // gate-scale training (the t_bpe_train stage count) must learn none
+    val gateTable = TextAnalysis.learnBpeMerges(docs,
+      graft.queries.LlmQueries.BpeTrainMerges)
+    assert(gateTable.size == graft.queries.LlmQueries.BpeTrainMerges)
+    assert(gateTable.forall(m => m._1 != m._2),
+      s"equal-sided merge learned — replay oracle invalid: $gateTable")
+    // knob validation
+    intercept[IllegalArgumentException](
+      TextAnalysis.learnBpeMerges(fixture.toDF("text"), 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.learnBpeMerges(fixture.toDF("text"), 1, minPairCount = 0))
+  }
+
   test("repetition stats separate spam from prose; short docs emit zeros") {
     import spark.implicits._
     val docs = Seq(
