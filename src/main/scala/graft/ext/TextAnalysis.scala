@@ -445,4 +445,61 @@ object TextAnalysis {
     Bridge.ofRows(docs.sparkSession, top)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Sparse keyword RETRIEVAL — the lexical complement of the dense ANN
+    * family ([[graft.ext.Similarity]]): per query (a bag of terms), the
+    * top-`k` documents by summed integer tf-idf, `score =
+    * Σ_t tf(t,d)·10⁶ div df(t)` — the same fixed-point arithmetic as
+    * [[keywords]], so ranking is bit-reproducible in any engine (ties:
+    * score DESC, then doc id — a total order). `queries` is a RELATION
+    * (`queryIdCol`, `termCol`); duplicate (query, term) pairs are
+    * deduplicated so a repeated term cannot double-count. `n_terms` =
+    * how many of the query's terms the document matched.
+    *
+    * Scale shape: the corpus side is the zero-shuffle
+    * [[graft.functions.WordTfs]] map over the scan, immediately cut by
+    * a BROADCAST join on the distinct query terms — everything after
+    * that is bounded by MATCHED rows, not the corpus: df is one
+    * partial-aggregated shuffle over matched (term) rows, per-(query,
+    * doc) scores one more over matched pairs, and the per-query top-k
+    * runs on the bounded-heap [[graft.plans.TopKPerKey]] operator. At
+    * 100 TB a keyword search costs one corpus scan + matched-sized
+    * shuffles.
+    */
+  def searchDocs(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 queryIdCol: String = "query_id",
+                 termCol: String = "term"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("word"))
+      .distinct()
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    // restrict to query terms FIRST: df of a term is identical computed
+    // before or after the cut, and everything downstream is then
+    // matched-sized, not corpus-sized
+    val matched = tf.join(broadcast(terms.select("word").distinct()), "word")
+    val dfreq = matched.groupBy("word").agg(count(lit(1)).as("df"))
+    val perQuery = matched.join(broadcast(dfreq), "word")
+      .withColumn("tscore", expr("(tf * 1000000) div df"))
+      .join(broadcast(terms), "word")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("tscore").as("score"), count(lit(1)).as("n_terms"))
+    val top = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
+        SortOrder(UnresolvedAttribute(idCol), Ascending)),
+      k, Bridge.logicalPlan(perQuery))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    Bridge.ofRows(docs.sparkSession, top)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

@@ -492,6 +492,15 @@ object LlmQueries {
     */
   val BpeTrainMerges = 8
 
+  /** Query-term fixture for the sparse-retrieval oracle — mixed
+    * document frequencies from this corpus's vocabulary, multi-term
+    * bags so the per-(query, doc) score aggregation is exercised.
+    */
+  val SearchQueries: Seq[(Long, String)] = Seq(
+    0L -> "query", 0L -> "window",
+    1L -> "stream", 1L -> "join", 1L -> "sort",
+    2L -> "spark", 2L -> "hash")
+
   /** Shared by t_ann_lsh and t_ann_lsh_indexed — the persisted index
     * must be bit-identical to inline bucketing, so one oracle serves
     * both.
@@ -1672,6 +1681,44 @@ object LlmQueries {
           .select(col("doc_id"), col("word"), col("tf"), col("df"),
             col("score"), col("rank"))
     }.sortedBy(col("doc_id"), col("rank")),
+
+    // ── Sparse keyword retrieval (search, not extraction) ──────────
+    // Per query (a bag of terms): top-10 docs by summed integer tf-idf
+    // — the lexical complement of the dense ANN searches, same
+    // fixed-point arithmetic as t_keywords. Spark cuts the corpus tf
+    // map with a broadcast term join and runs per-query top-k on
+    // TopKPerKey; the oracle replays the identical integer scoring
+    // with a window.
+    QueryDef("t_search_docs", {
+      val qRows = SearchQueries
+        .map { case (q, t) => s"($q, '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $qRows),
+         |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |mt AS (SELECT tf.doc_id, tf.word, tf.tf FROM tf
+         |  JOIN (SELECT DISTINCT term FROM q) t ON tf.word = t.term),
+         |df AS (SELECT word, count(*) AS df FROM mt GROUP BY 1),
+         |sc AS (SELECT m.doc_id, m.word, (m.tf * 1000000) // d.df AS tscore
+         |  FROM mt m JOIN df d USING (word)),
+         |pq AS (SELECT q.query_id, s.doc_id,
+         |  CAST(sum(s.tscore) AS BIGINT) AS score,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM sc s JOIN q ON q.term = s.word GROUP BY 1, 2),
+         |ranked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  score, n_terms,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM pq)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      TextAnalysis.searchDocs(Tables.documents(s, d), queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("n_terms"), col("rank"))
+    }.sortedBy(col("query_id"), col("rank")),
 
     // ── Deterministic sequence packing ─────────────────────────────
     // Context-window packing: docs in polyhash-bucket order, running

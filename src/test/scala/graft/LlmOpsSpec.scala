@@ -1377,6 +1377,37 @@ class LlmOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("not well-formed"))
   }
 
+  test("searchDocs: integer tf-idf retrieval goldens, dedup of repeated terms, TopKPerKey plan") {
+    import spark.implicits._
+    // four docs, two terms: df(cat)=2, df(dog)=1 → tscore(cat)=500000/tf-mult,
+    // tscore(dog)=1000000·tf. Hand-computed totals below.
+    val docs = Seq(
+      (1L, "cat cat dog"),   // cat: 2·10⁶/2=1000000, dog: 1·10⁶/1=1000000 → 2000000, n_terms 2
+      (2L, "cat mouse"),     // cat: 500000 → 500000, n_terms 1
+      (3L, "mouse mouse"),   // no match
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // the repeated (0, cat) pair must not double-count
+    val queries = Seq((0L, "cat"), (0L, "dog"), (0L, "cat"), (1L, "mouse"))
+      .toDF("query_id", "term")
+    val got = TextAnalysis.searchDocs(docs, queries, k = 10)
+      .select("query_id", "doc_id", "score", "n_terms", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 1L, 2000000L, 2L, 1L),
+      (0L, 2L, 500000L, 1L, 2L),
+      (1L, 3L, 1000000L, 1L, 1L),   // df(mouse)=2: doc3 tf=2 → 2·10⁶/2
+      (1L, 2L, 500000L, 1L, 2L)), s"got $got")
+    // k cuts per query, ties break on doc id — and the per-query top-k
+    // runs on the custom bounded-heap operator, not a full window sort
+    val one = TextAnalysis.searchDocs(docs, queries, k = 1)
+    assert(one.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    intercept[IllegalArgumentException](
+      TextAnalysis.searchDocs(docs, queries, k = 0))
+  }
+
   test("BPE training: hand goldens, naive-reference parity, early stop, oracle validity") {
     import spark.implicits._
     // independent naive reference: tokenize-under-merges (min-rank loop)
