@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — fuse the engine's SPARSE keyword search
+  * ([[TextAnalysis.searchDocs]], integer tf-idf) with its DENSE
+  * embedding search ([[Similarity]] exact cosine top-k) by reciprocal-
+  * rank fusion, the standard way modern retrieval stacks combine
+  * lexical and semantic signals (e.g. for sourcing training data by
+  * topic). RRF is rank-only, so the fusion is INTEGER-EXACT:
+  * `rrf = Σ_systems 10⁶ div (rrfK + rank)` — no float score
+  * calibration between systems, bit-reproducible in any engine.
+  */
+object Retrieval {
+
+  /** Top-`k` documents per query under reciprocal-rank fusion of the
+    * sparse and dense rankings. `queries` is the sparse relation
+    * (`query_id`, `term`); the DENSE side uses each distinct query id
+    * as a corpus vector id ([[Similarity.topKByIdsNative]]) — `docs`
+    * and `emb` must share one id space (`docIdCol` ↔ `vecIdCol`, the
+    * TESTDATA contract). A document ranked by only one system scores
+    * that system's term alone (the other contributes 0) — standard RRF.
+    *
+    * Output: (query_id, doc_id, rrf, sparse_rank, dense_rank, rank) —
+    * the per-system ranks ride along (null = unranked by that system)
+    * so a caller can audit why a document fused where it did.
+    *
+    * Scale shape: both arms are the engine's existing scale paths (the
+    * broadcast-cut corpus scan and the broadcast-query cosine scan, each
+    * ending in a bounded-heap TopKPerKey cut); the fusion itself joins
+    * two ≤ |Q|·kArm relations — negligible — and the final per-query
+    * top-k is one more TopKPerKey. Queries are collected to the driver
+    * only to derive the dense id list — bounded by |Q| by definition.
+    */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+                   k: Int = 10, kSparse: Int = 20, kDense: Int = 20,
+                   rrfK: Int = 60, docIdCol: String = "doc_id",
+                   textCol: String = "text", vecIdCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && kSparse > 0 && kDense > 0,
+      s"k/kSparse/kDense must be positive, got $k/$kSparse/$kDense")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val queryIds = queries.select(col("query_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val sparse = TextAnalysis
+      .searchDocs(docs, queries, kSparse, docIdCol, textCol)
+      .select(col("query_id"), col(docIdCol).as("doc_id"),
+        col("rank").as("sparse_rank"))
+    val dense = Similarity
+      .topKByIdsNative(emb, queryIds, kDense, vecIdCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"${1000000L} div ($rrfK + sparse_rank)"), lit(0L)) +
+          coalesce(expr(s"${1000000L} div ($rrfK + dense_rank)"), lit(0L)))
+    val top = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("rrf"), Descending),
+        SortOrder(UnresolvedAttribute("doc_id"), Ascending)),
+      k, Bridge.logicalPlan(fused))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    Bridge.ofRows(docs.sparkSession, top)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        col("sparse_rank"), col("dense_rank"), col("rank"))
+  }
+}

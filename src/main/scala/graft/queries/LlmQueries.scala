@@ -501,6 +501,34 @@ object LlmQueries {
     1L -> "stream", 1L -> "join", 1L -> "sort",
     2L -> "spark", 2L -> "hash")
 
+  /** The sparse-retrieval CTE chain (s-prefixed names so the hybrid
+    * oracle can compose it beside the dense chain): integer tf-idf
+    * scoring of documents against the [[SearchQueries]] term bags,
+    * ending in `sranked` (query_id, doc_id, score, n_terms, rank).
+    */
+  private def searchDocsCtes: String = {
+    val qRows = SearchQueries
+      .map { case (q, t) => s"($q, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""sq(query_id, term) AS (VALUES $qRows),
+       |sterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |stf AS (SELECT doc_id, word, count(*) AS tf FROM sterms GROUP BY 1, 2),
+       |smt AS (SELECT stf.doc_id, stf.word, stf.tf FROM stf
+       |  JOIN (SELECT DISTINCT term FROM sq) t ON stf.word = t.term),
+       |sdf AS (SELECT word, count(*) AS df FROM smt GROUP BY 1),
+       |ssc AS (SELECT m.doc_id, m.word, (m.tf * 1000000) // d.df AS tscore
+       |  FROM smt m JOIN sdf d USING (word)),
+       |spq AS (SELECT sq.query_id, s.doc_id,
+       |  CAST(sum(s.tscore) AS BIGINT) AS score,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM ssc s JOIN sq ON sq.term = s.word GROUP BY 1, 2),
+       |sranked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  score, n_terms,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM spq)""".stripMargin
+  }
+
   /** Shared by t_ann_lsh and t_ann_lsh_indexed — the persisted index
     * must be bit-identical to inline bucketing, so one oracle serves
     * both.
@@ -1689,35 +1717,60 @@ object LlmQueries {
     // map with a broadcast term join and runs per-query top-k on
     // TopKPerKey; the oracle replays the identical integer scoring
     // with a window.
-    QueryDef("t_search_docs", {
-      val qRows = SearchQueries
-        .map { case (q, t) => s"($q, '${t.replace("'", "''")}')" }
-        .mkString(", ")
-      s"""WITH q(query_id, term) AS (VALUES $qRows),
-         |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |  FROM documents WHERE text IS NOT NULL),
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2),
-         |mt AS (SELECT tf.doc_id, tf.word, tf.tf FROM tf
-         |  JOIN (SELECT DISTINCT term FROM q) t ON tf.word = t.term),
-         |df AS (SELECT word, count(*) AS df FROM mt GROUP BY 1),
-         |sc AS (SELECT m.doc_id, m.word, (m.tf * 1000000) // d.df AS tscore
-         |  FROM mt m JOIN df d USING (word)),
-         |pq AS (SELECT q.query_id, s.doc_id,
-         |  CAST(sum(s.tscore) AS BIGINT) AS score,
-         |  CAST(count(*) AS BIGINT) AS n_terms
-         |  FROM sc s JOIN q ON q.term = s.word GROUP BY 1, 2),
-         |ranked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-         |  score, n_terms,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM pq)
-         |SELECT * FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
-    }) { (s, d) =>
+    QueryDef("t_search_docs",
+      s"""WITH $searchDocsCtes
+         |SELECT * FROM sranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       import s.implicits._
       val queries = SearchQueries.toDF("query_id", "term")
       TextAnalysis.searchDocs(Tables.documents(s, d), queries, k = 10)
         .select(col("query_id"), col("doc_id"), col("score"),
           col("n_terms"), col("rank"))
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // ── Hybrid retrieval: reciprocal-rank fusion ───────────────────
+    // Sparse (integer tf-idf) top-20 fused with dense (exact cosine)
+    // top-20 by rrf = Σ 10⁶ div (60 + rank) — rank-only, so the fusion
+    // replays integer-exactly; per-system ranks ride along (null =
+    // unranked by that arm). The dense arm reuses the t_similarity_topk
+    // scoring; query ids double as vector ids (the TESTDATA contract).
+    QueryDef("t_hybrid_search", {
+      val qIds = SearchQueries.map(_._1).distinct.sorted.mkString(", ")
+      s"""WITH $searchDocsCtes,
+         |dq AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id IN ($qIds)),
+         |dscored AS (
+         |  SELECT dq.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosine("dq.qv", "e.embedding")}, 6) AS cos
+         |  FROM dq JOIN embeddings e ON e.vec_id <> dq.query_id),
+         |dranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM dscored),
+         |fused AS (
+         |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         |         coalesce(s.doc_id, d.neighbor_id) AS doc_id,
+         |         coalesce(1000000 // (60 + s.rank), 0)
+         |           + coalesce(1000000 // (60 + d.rank), 0) AS rrf,
+         |         s.rank AS sparse_rank, d.rank AS dense_rank
+         |  FROM (SELECT * FROM sranked WHERE rank <= 20) s
+         |  FULL JOIN (SELECT * FROM dranked WHERE rank <= 20) d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.neighbor_id),
+         |hranked AS (
+         |  SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf,
+         |         sparse_rank, dense_rank,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |SELECT * FROM hranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      graft.ext.Retrieval.hybridSearch(Tables.documents(s, d),
+        Tables.embeddings(s, d), queries, k = 10)
     }.sortedBy(col("query_id"), col("rank")),
 
     // ── Deterministic sequence packing ─────────────────────────────

@@ -1408,6 +1408,39 @@ class LlmOpsSpec extends SparkSuite {
       TextAnalysis.searchDocs(docs, queries, k = 0))
   }
 
+  test("hybridSearch: RRF fusion golden — both-armed docs outrank single-armed, ranks ride along") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat"), (2L, "cat"), (3L, "nope"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),      // the query vector
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),  // dense rank 2
+      (2L, Seq(0.99f, 0.01f, 0f, 0f)),// dense rank 1
+      (3L, Seq(0f, 1f, 0f, 0f)))      // dense rank 3
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, "cat")).toDF("query_id", "term")
+    // sparse: doc1 r1 (tf 2), doc2 r2 — df(cat) = 2
+    // rrf(doc1) = 10⁶/61 + 10⁶/62 = 16393 + 16129 = 32522
+    // rrf(doc2) = 10⁶/62 + 10⁶/61 = 32522 (tie → doc id)
+    // rrf(doc3) = 0 + 10⁶/63 = 15873 (dense-only)
+    val got = graft.ext.Retrieval.hybridSearch(docs, emb, queries, k = 10)
+      .select("query_id", "doc_id", "rrf", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(got == Seq(
+      (0L, 1L, 32522L, 1L), (0L, 2L, 32522L, 2L), (0L, 3L, 15873L, 3L)),
+      s"got $got")
+    // per-system ranks ride along; a dense-only doc has null sparse_rank
+    val r3 = graft.ext.Retrieval.hybridSearch(docs, emb, queries, k = 10)
+      .filter(col("doc_id") === 3L).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("sparse_rank")) &&
+      r3.getLong(r3.fieldIndex("dense_rank")) == 3L)
+    intercept[IllegalArgumentException](
+      graft.ext.Retrieval.hybridSearch(docs, emb, queries, k = 0))
+    intercept[IllegalArgumentException](
+      graft.ext.Retrieval.hybridSearch(docs, emb, queries, rrfK = 0))
+  }
+
   test("BPE training: hand goldens, naive-reference parity, early stop, oracle validity") {
     import spark.implicits._
     // independent naive reference: tokenize-under-merges (min-rank loop)
