@@ -55,10 +55,37 @@ object Retrieval {
       .topKByIdsNative(emb, queryIds, kDense, vecIdCol, vecCol)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+    rrfFuse(sparse, dense, k, rrfK)
+  }
+
+  /** The fusion primitive [[hybridSearch]] is built on, public so ANY
+    * two ranked arms fuse — e.g. sparse + the persisted-index ANN
+    * searches ([[Similarity.annTopKIndexed]], ivfPqTopKRerankedIndexed)
+    * for the production dense arm, or two dense searches over different
+    * embedding columns. Each arm is (query_id, doc_id, <rankCol>) with
+    * rank 1 = best; arms may rank disjoint documents (full-outer
+    * fusion, absent arm contributes 0).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val Seq(aRank, bRank) = Seq(a, b).map(df =>
+      df.columns.filterNot(Set("query_id", "doc_id")) match {
+        case Array(r) => r
+        case other => throw new IllegalArgumentException(
+          s"an RRF arm needs exactly (query_id, doc_id, <rank>), got " +
+            s"extra columns ${other.mkString(",")}")
+      })
+    require(aRank != bRank,
+      s"the two arms' rank columns must be named distinctly, both '$aRank'")
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
-        coalesce(expr(s"${1000000L} div ($rrfK + sparse_rank)"), lit(0L)) +
-          coalesce(expr(s"${1000000L} div ($rrfK + dense_rank)"), lit(0L)))
+        coalesce(expr(s"${1000000L} div ($rrfK + $aRank)"), lit(0L)) +
+          coalesce(expr(s"${1000000L} div ($rrfK + $bRank)"), lit(0L)))
     val top = graft.plans.TopKPerKey(
       Seq(UnresolvedAttribute("query_id")),
       Seq(SortOrder(UnresolvedAttribute("rrf"), Descending),
@@ -66,9 +93,9 @@ object Retrieval {
       k, Bridge.logicalPlan(fused))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
-    Bridge.ofRows(docs.sparkSession, top)
+    Bridge.ofRows(a.sparkSession, top)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("query_id"), col("doc_id"), col("rrf"),
-        col("sparse_rank"), col("dense_rank"), col("rank"))
+      .select(Seq(col("query_id"), col("doc_id"), col("rrf")) ++
+        Seq(aRank, bRank).map(col) :+ col("rank"): _*)
   }
 }

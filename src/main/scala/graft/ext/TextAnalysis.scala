@@ -484,8 +484,11 @@ object TextAnalysis {
       .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
     // restrict to query terms FIRST: df of a term is identical computed
     // before or after the cut, and everything downstream is then
-    // matched-sized, not corpus-sized
+    // matched-sized, not corpus-sized. Materialized — df AND scoring
+    // both read it, and without the checkpoint each would replay the
+    // corpus scan (plan-audited: two Scan parquet nodes → one)
     val matched = tf.join(broadcast(terms.select("word").distinct()), "word")
+      .localCheckpoint()
     val dfreq = matched.groupBy("word").agg(count(lit(1)).as("df"))
     val perQuery = matched.join(broadcast(dfreq), "word")
       .withColumn("tscore", expr("(tf * 1000000) div df"))

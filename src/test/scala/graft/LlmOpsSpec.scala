@@ -1439,6 +1439,17 @@ class LlmOpsSpec extends SparkSuite {
       graft.ext.Retrieval.hybridSearch(docs, emb, queries, k = 0))
     intercept[IllegalArgumentException](
       graft.ext.Retrieval.hybridSearch(docs, emb, queries, rrfK = 0))
+    // the public fusion primitive enforces the arm contract: exactly
+    // (query_id, doc_id, <rank>) with distinctly named rank columns
+    val armA = Seq((0L, 1L, 1L)).toDF("query_id", "doc_id", "r1")
+    val armB = Seq((0L, 2L, 1L)).toDF("query_id", "doc_id", "r2")
+    val fusedDisjoint = graft.ext.Retrieval.rrfFuse(armA, armB, k = 5)
+      .select("doc_id", "rrf").as[(Long, Long)].collect().toSet
+    assert(fusedDisjoint == Set((1L, 1000000L / 61), (2L, 1000000L / 61)))
+    intercept[IllegalArgumentException](graft.ext.Retrieval.rrfFuse(
+      armA, armB.withColumnRenamed("r2", "r1"), k = 5))
+    intercept[IllegalArgumentException](graft.ext.Retrieval.rrfFuse(
+      armA.withColumn("extra", lit(1)), armB, k = 5))
   }
 
   test("BPE training: hand goldens, naive-reference parity, early stop, oracle validity") {
