@@ -307,6 +307,67 @@ object Dedup {
     nearDupPairsFromFeatures(features(docs, idCol, textCol, n),
       idCol, numBands, rowsPerBand, maxBucket)
 
+  /** Asymmetric CONTAINMENT detection — quotes, boilerplate, a short
+    * doc embedded in a long one: directed pairs where ≥ `num/den` of
+    * the CONTAINED document's distinct shingle hashes also appear in
+    * the container. Deliberately NOT built on the MinHash-LSH candidate
+    * generation: Jaccard-tuned banding misses exactly the
+    * high-containment / low-Jaccard pairs this exists for (a 15-word
+    * quote inside a 500-word page has tiny Jaccard). Instead, an EXACT
+    * inverted-index overlap join — explode distinct hashes, self-join
+    * on the hash, count shared hashes per pair — with the quadratic
+    * blowup bounded by the HOT-HASH guard: shingles appearing in more
+    * than `maxDf` documents are dropped from the universe (WARN
+    * disclosure, the dedup family's cap-and-disclose pattern; a
+    * boilerplate shingle in every doc would otherwise put n²/2 pairs
+    * through the join). Both `inter` and the per-doc size are counted
+    * over the KEPT universe, so the ratio stays consistent; a document
+    * whose every shingle is ultra-common drops out entirely
+    * (disclosed, not silent). Integer cross-multiplied threshold — no
+    * float ratio, replayed exactly by the DuckDB oracle.
+    *
+    * Output: (doc_id, container_id, inter, n_grams) — doc_id's
+    * `n_grams` kept hashes overlap the container on `inter` of them.
+    */
+  def containmentPairs(docs: DataFrame, num: Int = 9, den: Int = 10,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 3,
+                       maxDf: Int = DefaultMaxBucketWidth): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"containment threshold must be a ratio in (0, 1], got $num/$den")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val feats = docs
+      .select(col(idCol), shingleHashes(col(textCol), n).as("hashes"))
+      .filter(col("hashes").isNotNull)
+    val ex = feats.select(col(idCol), explode(col("hashes")).as("h"))
+    // hash document-frequency, materialized once: the disclosure probe
+    // and the universe cut both read it
+    val hdf = ex.groupBy("h").agg(count(lit(1)).as("hdf")).localCheckpoint()
+    val over = hdf.filter(col("hdf") > maxDf).limit(21).collect()
+    if (over.nonEmpty)
+      log.warn(s"containment: ${over.length}${if (over.length > 20) "+" else ""} " +
+        s"shingle hash(es) in more than $maxDf documents dropped from the " +
+        s"overlap universe (boilerplate guard; recall loss on pairs whose " +
+        s"overlap was only those shingles)")
+    val kept = ex.join(hdf.filter(col("hdf") <= maxDf).select("h"), "h")
+    val sizes = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("nh"))
+    val l = kept.select(col("h"), col(idCol).as("doc_a"))
+    val r = kept.select(col("h"), col(idCol).as("doc_b"))
+    val inter = l.join(r, "h").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val j = inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("nh").as("nh_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("nh").as("nh_b")), "doc_b")
+    val aInB = j.filter(col("inter") * den >= col("nh_a") * num)
+      .select(col("doc_a").as(idCol), col("doc_b").as("container_id"),
+        col("inter"), col("nh_a").as("n_grams"))
+    val bInA = j.filter(col("inter") * den >= col("nh_b") * num)
+      .select(col("doc_b").as(idCol), col("doc_a").as("container_id"),
+        col("inter"), col("nh_b").as("n_grams"))
+    aInB.union(bInA)
+  }
+
   // ── SimHash Hamming-ball near-dup (Manku et al., WWW'07 §3) ────────
 
   /** Block-combination join plan for Hamming-distance candidate

@@ -1240,6 +1240,43 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d))
     }.sortedBy(col("doc_a"), col("doc_b")),
 
+    // Asymmetric containment (quote/boilerplate detection): directed
+    // pairs where >= 9/10 of the contained doc's kept shingle hashes
+    // appear in the container. EXACT inverted-index overlap join (NOT
+    // the Jaccard-tuned LSH, which misses low-Jaccard containment),
+    // quadratic blowup bounded by the hot-hash guard: shingles in more
+    // than 50 docs leave the universe; inter AND sizes count over the
+    // kept universe so the ratio stays consistent. The oracle replays
+    // the identical cut and integer cross-multiplied threshold.
+    QueryDef("t_containment",
+      s"""WITH $hashesCte,
+         |cex AS (SELECT doc_id, unnest(hs) AS h FROM hashes
+         |        WHERE hs IS NOT NULL),
+         |chdf AS (SELECT h, count(*) AS hdf FROM cex GROUP BY 1),
+         |ckept AS (SELECT cex.doc_id, cex.h FROM cex
+         |  JOIN chdf USING (h) WHERE chdf.hdf <= 50),
+         |csizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh
+         |  FROM ckept GROUP BY 1),
+         |cinter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM ckept l JOIN ckept r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |cj AS (SELECT i.doc_a, i.doc_b, i.inter, sa.nh AS nh_a, sb.nh AS nh_b
+         |  FROM cinter i
+         |  JOIN csizes sa ON sa.doc_id = i.doc_a
+         |  JOIN csizes sb ON sb.doc_id = i.doc_b)
+         |SELECT doc_id, container_id, inter, n_grams FROM (
+         |  SELECT doc_a AS doc_id, doc_b AS container_id, inter,
+         |         nh_a AS n_grams
+         |  FROM cj WHERE inter * 10 >= nh_a * 9
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, inter, nh_b
+         |  FROM cj WHERE inter * 10 >= nh_b * 9) u
+         |ORDER BY doc_id, container_id""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), num = 9, den = 10,
+        maxDf = 50)
+    }.sortedBy(col("doc_id"), col("container_id")),
+
     // SimHash Hamming-ball near-dup (Manku et al., WWW'07): 60-bit
     // signature cut into 6 blocks of 10; a pair within Hamming 3 agrees
     // on >= 3 blocks, so the C(6,3) = 20 packed-combo keys find every

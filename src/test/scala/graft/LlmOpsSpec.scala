@@ -659,6 +659,39 @@ class LlmOpsSpec extends SparkSuite {
     }.getMessage.contains("positive finite"))
   }
 
+  test("containment: planted quote found one-directionally, hot-hash cap drops boilerplate") {
+    import spark.implicits._
+    // B = the first 15 words of A: every B-shingle appears in A
+    // (containment 13/13 = 1.0) but A is NOT contained in B (13/38);
+    // Jaccard 13/38 ≈ 0.34 — far below any near-dup cut, exactly the
+    // pair the LSH pipeline is blind to
+    val aw = (1 to 40).map(i => s"cw$i")
+    val a = aw.mkString(" ")
+    val b = aw.take(15).mkString(" ")
+    val docs = Seq((1L, a), (2L, b),
+      (3L, "entirely unrelated text about catalyst rules and codegen"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, num = 9, den = 10)
+      .select("doc_id", "container_id", "inter", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L, 13L, 13L)), s"got $got")
+    // identical docs are mutually contained — both directions emitted
+    val twins = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(twins)
+      .select("doc_id", "container_id").as[(Long, Long)].collect().toSet
+    assert(both == Set((1L, 2L), (2L, 1L)), both)
+    // the hot-hash cap: with maxDf = 2, shingles shared by all three
+    // copies leave the universe and the pair set empties (disclosed
+    // drop, not a silent n² join)
+    val spam = Seq((1L, a), (2L, a), (3L, a)).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(spam, maxDf = 2).count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, num = 11, den = 10))
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, maxDf = 1))
+  }
+
   test("near-dup clustering: transitive chain collapses to one representative") {
     import spark.implicits._
     // A~B and B~C clear the 8/10 Jaccard cut; A–C does not (changing one
