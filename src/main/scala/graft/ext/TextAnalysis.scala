@@ -446,6 +446,48 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Unigram SURPRISAL — the perplexity-filter analog (CCNet-style
+    * quality signal: gibberish and boilerplate sit at the surprisal
+    * extremes), integer-exact: per-occurrence surprisal is the
+    * floor-log2 gap `L(total) − L(count_w)` where `L(x) =
+    * length(bin(x))` — both engines render positive integers to the
+    * same binary string, so no float log enters the score. Output per
+    * document: summed `surprisal`, `n_tokens`, and the filterable
+    * `mean_bits_x100 = surprisal·100 div n_tokens` (0 for null/empty
+    * text, via the left join back to the corpus).
+    *
+    * Scale shape: tf is the zero-shuffle [[graft.functions.WordTfs]]
+    * map; the unigram model is ONE partial-aggregated word-keyed
+    * shuffle (≤ vocab rows out), its 1-row total broadcast-crossed
+    * back; scoring re-joins counts on the word (AQE broadcasts a small
+    * vocab) and the per-doc sum partial-aggregates before its
+    * exchange. Two corpus-derived shuffles total, both vocab- or
+    * doc-bounded.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    val counts = tf.groupBy("word").agg(sum("tf").as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val agg = tf.join(counts, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(bin(col("total"))) - length(bin(col("cnt")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("bits")).as("surprisal"),
+        sum(col("tf")).as("n_tokens"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("surprisal"), lit(0L)).as("surprisal"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          expr("(surprisal * 100) div n_tokens"))
+          .otherwise(lit(0L)).as("mean_bits_x100"))
+  }
+
   /** Sparse keyword RETRIEVAL — the lexical complement of the dense ANN
     * family ([[graft.ext.Similarity]]): per query (a bag of terms), the
     * top-`k` documents by summed integer tf-idf, `score =

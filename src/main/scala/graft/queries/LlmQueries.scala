@@ -1747,6 +1747,36 @@ object LlmQueries {
             col("score"), col("rank"))
     }.sortedBy(col("doc_id"), col("rank")),
 
+    // ── Unigram surprisal (perplexity-filter analog) ───────────────
+    // Integer-exact quality signal: per-occurrence surprisal is the
+    // floor-log2 gap length(bin(total)) - length(bin(count)) — both
+    // engines render positive ints to the same binary string, so no
+    // float log enters the score.
+    QueryDef("t_surprisal",
+      s"""WITH utf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
+         |ucnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM utf GROUP BY 1),
+         |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ucnt),
+         |usc AS (SELECT t.doc_id, t.tf,
+         |    CAST(length(bin(u.total)) - length(bin(c.cnt)) AS BIGINT) AS bits
+         |  FROM utf t JOIN ucnt c USING (word) CROSS JOIN utot u),
+         |uagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens
+         |  FROM usc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.surprisal, 0) AS surprisal,
+         |  coalesce(a.n_tokens, 0) AS n_tokens,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |       THEN CAST((a.surprisal * 100) // a.n_tokens AS BIGINT)
+         |       ELSE 0 END AS mean_bits_x100
+         |FROM documents d LEFT JOIN uagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     // ── Sparse keyword retrieval (search, not extraction) ──────────
     // Per query (a bag of terms): top-10 docs by summed integer tf-idf
     // — the lexical complement of the dense ANN searches, same

@@ -1441,6 +1441,19 @@ class LlmOpsSpec extends SparkSuite {
       TextAnalysis.searchDocs(docs, queries, k = 0))
   }
 
+  test("unigramSurprisal: rare tokens score higher, hand-computed integer golden") {
+    import spark.implicits._
+    // counts: a=2, b=1, c=1, total=4 → L(4)=3, L(2)=2, L(1)=1
+    // doc1 "a a b": 2·(3−2) + 1·(3−1) = 4 over 3 tokens → mean 133
+    // doc2 "c":     1·(3−1) = 2 over 1 token → mean 200 (rarer = higher)
+    val docs = Seq((1L, "a a b"), (2L, "c"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L, 133L), (2L, 2L, 1L, 200L), (3L, 0L, 0L, 0L)), got)
+  }
+
   test("hybridSearch: RRF fusion golden — both-armed docs outrank single-armed, ranks ride along") {
     import spark.implicits._
     val docs = Seq(
