@@ -130,7 +130,12 @@ object Bench {
         val r = graft.streaming.IngestDedupGate
           .storeStats(spark, "bench_curation").collect().head
         Some(s"""{"version":${r.getLong(0)},"dirs":${r.getLong(1)},"band_files":${r.getLong(2)},"band_bytes":${r.getLong(3)},"feat_files":${r.getLong(4)},"feat_bytes":${r.getLong(5)}}""")
-      } catch { case _: Throwable => None }
+      } catch { case e: Throwable =>
+        // disclose, don't swallow: a corrupt store should show up as
+        // failed("store") in the artifact, not as a silently absent key
+        failed("store") = Option(e.getMessage).getOrElse(e.getClass.getName)
+        None
+      }
     }
 
     def jstr(s: String): String = graft.core.Json.str(s)
@@ -147,7 +152,15 @@ object Bench {
     // bytes — small enough (~400 B) to always survive truncation.
     val streamTrail = streamStanza.map(s => s""","stream":$s""").getOrElse("")
     val storeTrail = storeStanza.map(s => s""","store":$s""").getOrElse("")
-    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail,"failed":$fails,"iters":$iters,"sf":${jstr(sfDir)}}""")
+    // the trailer must stay small even on a MASS-failure run (84 × 200-char
+    // messages ≈ 18 KB would push "total" past the kept-tail window — the
+    // exact r09/r10 truncation this line exists to survive): the trailer
+    // carries only a failure COUNT + up to 10 names; full messages live in
+    // the big line's "failed" map
+    val failTrail =
+      if (failed.isEmpty) ""","failed_n":0"""
+      else s""","failed_n":${failed.size},"failed_names":${failed.keys.take(10).map(jstr).mkString("[", ",", "]")}"""
+    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail,"iters":$iters,"sf":${jstr(sfDir)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()

@@ -349,7 +349,12 @@ object Dedup {
         s"shingle hash(es) in more than $maxDf documents dropped from the " +
         s"overlap universe (boilerplate guard; recall loss on pairs whose " +
         s"overlap was only those shingles)")
+    // materialized once: `sizes` and BOTH sides of the self-join below
+    // read `kept` — without the checkpoint the corpus-wide shingle
+    // explode + universe-cut join would be three separate plan subtrees
+    // (up to three corpus scans in one action)
     val kept = ex.join(hdf.filter(col("hdf") <= maxDf).select("h"), "h")
+      .localCheckpoint()
     val sizes = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("nh"))
     val l = kept.select(col("h"), col(idCol).as("doc_a"))

@@ -112,22 +112,27 @@ object Packing {
       .orderBy(col("__sb_bkt"), keyCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = base.withColumn("__sb_cum", sum("__sb_tok").over(inGrp))
-    // materialized once: the guard count below and the broadcast join
-    // share one evaluation of the aggregation
-    val offsets = base.groupBy("__sb_pri", "__sb_grp")
+    // GUARD ORDER MATTERS: materialize the per-(priority, group) totals
+    // first — a distributed partial-aggregated shuffle, safe at any
+    // cardinality — and trip the cap on THAT count, so a high-cardinality
+    // priority fails loudly BEFORE the unpartitioned running-sum window
+    // below ever runs (that window is single-task by construction and is
+    // only safe because this guard has already bounded its input)
+    val totals = base.groupBy("__sb_pri", "__sb_grp")
       .agg(sum("__sb_tok").as("__sb_total"))
-      .withColumn("__sb_off",
-        coalesce(sum("__sb_total").over(
-          Window.orderBy(col("__sb_pri").desc, col("__sb_grp"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__sb_pri", "__sb_grp", "__sb_off")
       .localCheckpoint()
-    val nOff = offsets.count()
+    val nOff = totals.count()
     require(nOff <= MaxOffsetRows,
       s"selectByBudget: $nOff distinct (priority, group) rows exceed the " +
         s"$MaxOffsetRows offsets-relation cap — the priority column is " +
         "high-cardinality (a raw float or per-document rank?); pass a " +
         "low-cardinality integral quality level instead")
+    val offsets = totals
+      .withColumn("__sb_off",
+        coalesce(sum("__sb_total").over(
+          Window.orderBy(col("__sb_pri").desc, col("__sb_grp"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__sb_pri", "__sb_grp", "__sb_off")
     withCum.join(broadcast(offsets), Seq("__sb_pri", "__sb_grp"))
       .filter(col("__sb_off") + col("__sb_cum") <= budget)
       .drop("__sb_tok", "__sb_pri", "__sb_bkt", "__sb_grp", "__sb_cum",

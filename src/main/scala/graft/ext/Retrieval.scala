@@ -41,12 +41,15 @@ object Retrieval {
     require(k > 0 && kSparse > 0 && kDense > 0,
       s"k/kSparse/kDense must be positive, got $k/$kSparse/$kDense")
     require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    import org.apache.spark.sql.expressions.Window
-    val queryIds = queries.select(col("query_id").cast("long"))
+    // null-safe: a null query_id (or a non-numeric id the cast nulls
+    // out) is a contract violation surfaced loudly, not an NPE from
+    // Row.getLong deep in the dense arm
+    val queryIds = queries.select(col("query_id").cast("long").as("qid"))
+      .filter(col("qid").isNotNull)
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    require(queryIds.nonEmpty,
+      "hybridSearch: the queries relation has no non-null numeric query_id " +
+        "— dense-arm ids must cast to long (the TESTDATA vec_id contract)")
     val sparse = TextAnalysis
       .searchDocs(docs, queries, kSparse, docIdCol, textCol)
       .select(col("query_id"), col(docIdCol).as("doc_id"),
@@ -82,10 +85,17 @@ object Retrieval {
       })
     require(aRank != bRank,
       s"the two arms' rank columns must be named distinctly, both '$aRank'")
+    Seq(aRank, bRank).foreach(r => require(r != "rrf" && r != "rank",
+      s"an arm's rank column is named '$r', which collides with a fusion " +
+        "output column — rename it (e.g. sparse_rank / dense_rank)"))
+    // rank names are caller-supplied: backtick-quote them into the div
+    // expression (and the final select) so dots, spaces, or reserved
+    // words in a name can't break or re-target the generated SQL
+    def bq(name: String): String = "`" + name.replace("`", "``") + "`"
     val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
-        coalesce(expr(s"${1000000L} div ($rrfK + $aRank)"), lit(0L)) +
-          coalesce(expr(s"${1000000L} div ($rrfK + $bRank)"), lit(0L)))
+        coalesce(expr(s"${1000000L} div ($rrfK + ${bq(aRank)})"), lit(0L)) +
+          coalesce(expr(s"${1000000L} div ($rrfK + ${bq(bRank)})"), lit(0L)))
     val top = graft.plans.TopKPerKey(
       Seq(UnresolvedAttribute("query_id")),
       Seq(SortOrder(UnresolvedAttribute("rrf"), Descending),
@@ -96,6 +106,6 @@ object Retrieval {
     Bridge.ofRows(a.sparkSession, top)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(Seq(col("query_id"), col("doc_id"), col("rrf")) ++
-        Seq(aRank, bRank).map(col) :+ col("rank"): _*)
+        Seq(aRank, bRank).map(n => col(bq(n))) :+ col("rank"): _*)
   }
 }

@@ -401,6 +401,20 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** Per-document term frequencies `(idCol, word, tf)` — the shared
+    * zero-shuffle base of the keywords / surprisal / retrieval family:
+    * the native [[graft.functions.WordTfs]] expression computes the
+    * per-doc (word, tf) array inside the scan's map stage and explodes
+    * it row-locally. One definition so the tokenization and null
+    * contracts of the whole family move together.
+    */
+  private def tfRelation(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
+
   /** TF-IDF-style keyword extraction, integer-exact: per document, the
     * top-`k` terms by `score = tf·10⁶ div df` (term frequency weighted
     * against corpus-wide document frequency — the idf in fixed-point
@@ -427,10 +441,7 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
-      .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    val tf = tfRelation(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "word")
       .withColumn("score", expr("(tf * 1000000) div df"))
@@ -466,10 +477,7 @@ object TextAnalysis {
     */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val tf = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
-      .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    val tf = tfRelation(docs, idCol, textCol)
     val counts = tf.groupBy("word").agg(sum("tf").as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     val agg = tf.join(counts, "word")
@@ -520,10 +528,7 @@ object TextAnalysis {
     val terms = queries
       .select(col(queryIdCol).as("query_id"), col(termCol).as("word"))
       .distinct()
-    val tf = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
-      .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
+    val tf = tfRelation(docs, idCol, textCol)
     // restrict to query terms FIRST: df of a term is identical computed
     // before or after the cut, and everything downstream is then
     // matched-sized, not corpus-sized. Materialized — df AND scoring
