@@ -643,6 +643,76 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Base for the per-passage occurrence key `doc_id · 2²⁰ + chunk_id`:
+    * one long totally orders (document, passage) occurrences so
+    * "first occurrence" is a skew-safe `min` AGGREGATION, never a
+    * per-hash row_number window a boilerplate passage could turn into a
+    * single-reducer task. Contract: ids are non-negative integrals and
+    * documents have fewer than 2²⁰ passages (a 100 TB web corpus is
+    * ~10³ passages/doc; a violating key would collide silently, so size
+    * `window` accordingly).
+    */
+  val PassageKeyBase: Long = 1L << 20
+
+  /** PASSAGE-level exact dedup — the CCNet/RefinedWeb "duplicated
+    * line removal" stage, over fixed `window`-word passages (the corpus
+    * is delimiter-agnostic; a caller with real paragraph breaks can
+    * pre-split and pass window-sized units). Every passage is hashed
+    * corpus-wide; a passage occurring more than once keeps only its
+    * first occurrence (`keepFirst = true`, ties broken by the
+    * [[PassageKeyBase]] key) or is dropped everywhere (`keepFirst =
+    * false` — the boilerplate-removal mode), and each document is
+    * reassembled from its surviving passages in order.
+    *
+    * Output: (idCol, clean_text, n_passages, n_kept) for EVERY input
+    * document — null text stays null, a fully-deduplicated document
+    * becomes the empty string, so corpus row count is preserved.
+    *
+    * Dedup is by PolyHash of the passage text (the engine-portable
+    * integer hash the whole dedup family shares); as with any
+    * hash-keyed dedup, a 31-bit collision merges unrelated passages —
+    * the standard trade the reference family makes, disclosed here.
+    *
+    * Scale shape: passages derive from the scan by a row-local
+    * explode (zero shuffle); the first-occurrence table is ONE
+    * partial-aggregated hash-keyed shuffle (`min(key), count` combine
+    * map-side, so a passage duplicated 10⁸ times still emits one row
+    * per map task); the flag join re-shuffles passages on the hash
+    * (one row per hash on the build side — AQE's skew split handles
+    * hot boilerplate keys); reassembly is one doc-keyed shuffle.
+    * Nothing is collected to the driver and no global window runs.
+    */
+  def dedupPassages(docs: DataFrame, window: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    keepFirst: Boolean = true): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val p = graft.ext.TextAnalysis
+      .chunkDocuments(docs, window, window, idCol, textCol)
+      .withColumn("__pd_h", polyFingerprint(col("chunk_text")))
+      .withColumn("__pd_k",
+        col(idCol).cast("long") * PassageKeyBase + col("chunk_id"))
+    val firsts = p.groupBy("__pd_h")
+      .agg(min("__pd_k").as("__pd_first"), count(lit(1)).as("__pd_n"))
+    val flagged = p.join(firsts, "__pd_h")
+      .withColumn("__pd_keep",
+        if (keepFirst) col("__pd_k") === col("__pd_first")
+        else col("__pd_n") === 1)
+    val agg = flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__pd_keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__pd_keep"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          x => x("chunk_text")), " ").as("__pd_clean"))
+    docs.select(col(idCol), col(textCol))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__pd_clean"), lit(""))).as("clean_text"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Streaming exact dedup: at-least-once delivery → effectively-once
     * processing by dropping duplicate keys within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — state per key is evicted once

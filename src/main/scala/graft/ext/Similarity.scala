@@ -1327,4 +1327,84 @@ object Similarity {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("cos"))
     cross.union(intra)
   }
+
+  // ── SemDeDup: cluster-then-cosine semantic dedup ───────────────────
+
+  /** Cap on vectors per k-means cell in [[semDedupPairs]]: a capped
+    * cell computes at most cap²/2 in-task pairs (~8M cosines — seconds
+    * of work). SemDeDup's contract is that `centroids` is sized so
+    * cells hold ~10³–10⁴ vectors; a cell past this cap means the
+    * clustering is too coarse for the corpus and is excluded +
+    * disclosed rather than allowed to go quadratic.
+    */
+  val DefaultMaxCellWidth: Int = 4096
+
+  /** SemDeDup-style semantic near-dup PAIRS (cluster-then-threshold:
+    * k-means partitions the embedding space, exact cosine runs only
+    * WITHIN each cell — the pruning idea of SemDeDup, Abbas et al.
+    * 2023, arXiv:2303.09540): (id_a, id_b, cos) for every same-cell
+    * pair with `round(cos, 6) >= threshold`, id_a < id_b. Differs from
+    * [[embeddingNearDups]] (LSH-bucketed, favors high thresholds) in
+    * recall shape: a cell is a coarse Voronoi region, so moderate-
+    * similarity pairs that LSH tables would scatter still meet — at
+    * the cost of missing pairs straddling a cell boundary (the
+    * SemDeDup trade; raise `centroids` to tighten cells).
+    *
+    * Scale shape: reuses the IVF trainer ([[trainCentroids]] — seeds,
+    * one Lloyd step, broadcast assignment); the assignment is
+    * checkpointed once (disclosure probe + both self-join sides read
+    * it); per-cell widths partial-aggregate to ≤ `centroids` rows and
+    * broadcast back; the within-cell self-join shuffles on the cell
+    * key, so pair work is Σ w_c²/2 bounded by [[DefaultMaxCellWidth]]
+    * — never a corpus cross-join.
+    */
+  def semDedupPairs(corpus: DataFrame, threshold: Double,
+                    centroids: Int = 16, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxCell: Int = DefaultMaxCellWidth): DataFrame = {
+    require(centroids > 0, s"centroids must be positive, got $centroids")
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+    val cents = trainCentroids(vecs, centroids, idCol, vecCol)
+    val assigned = assignCells(vecs, cents, idCol, vecCol).localCheckpoint()
+    val widths = assigned.groupBy("cell").agg(count(lit(1)).as("__w"))
+    val over = widths.filter(col("__w") > maxCell).limit(21).collect()
+    if (over.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semDedupPairs: ${over.length}${if (over.length > 20) "+" else ""} " +
+          s"cell(s) wider than $maxCell vectors excluded from pair " +
+          s"generation (recall loss, not a failure — raise `centroids`): " +
+          over.take(20).map(r => s"(cell=${r.get(0)}, n=${r.get(1)})")
+            .mkString(", "))
+    val capped = assigned.join(
+      broadcast(widths.filter(col("__w") <= maxCell).select("cell")), "cell")
+    val a = capped.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = capped.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, "cell").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Connected-component labels over the [[semDedupPairs]] graph —
+    * (idCol, cluster_id), every input id labeled (untouched vectors
+    * are their own singleton cluster), via the same min-label
+    * propagation as the MinHash dedup path; feed to
+    * [[graft.ext.Dedup.keepList]] for the keep-one-representative
+    * artifact SemDeDup prescribes.
+    */
+  def semDedupClusters(corpus: DataFrame, threshold: Double,
+                       centroids: Int = 16, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       maxCell: Int = DefaultMaxCellWidth,
+                       maxRounds: Int = 50, strict: Boolean = false,
+                       checkpointDir: Option[String] = None): DataFrame =
+    graft.ext.Dedup.clusterLabels(
+      corpus.select(col(idCol).as("id")),
+      semDedupPairs(corpus, threshold, centroids, idCol, vecCol, maxCell)
+        .select(col("id_a").as("src"), col("id_b").as("dst")),
+      maxRounds, strict, checkpointDir)
+      .select(col("id").as(idCol), col("cluster_id"))
 }

@@ -2021,6 +2021,97 @@ object LlmQueries {
         .select(col("doc_id"))
     }.sortedBy(col("doc_id")),
 
+    // ── Passage-level exact dedup (CCNet/RefinedWeb line dedup) ────
+    // 8-word passages hashed corpus-wide; duplicated passages keep
+    // only the first occurrence (min doc·2²⁰+idx key — a skew-safe min
+    // aggregation on both engines); documents reassembled from
+    // surviving passages. Natural duplication: the generator plants
+    // repeated spans across documents, so the keep set is non-trivial.
+    QueryDef("t_passage_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, ws,
+         |  unnest(CASE WHEN len(ws) > 0 THEN range(0, len(ws), 8)
+         |         ELSE [] END) AS st FROM w),
+         |p AS (SELECT doc_id, CAST(st // 8 AS BIGINT) AS cid,
+         |  array_to_string(ws[st+1:st+8], ' ') AS ct FROM s),
+         |ph AS (SELECT doc_id, cid, ct, ${polyhash("ct")} AS h,
+         |  doc_id * ${Dedup.PassageKeyBase} + cid AS k FROM p),
+         |f AS (SELECT h, min(k) AS mk FROM ph GROUP BY h),
+         |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
+         |  FROM ph JOIN f ON f.h = ph.h),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+         |  string_agg(CASE WHEN keep THEN ct END, ' ' ORDER BY cid) AS ctext
+         |  FROM fl GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE coalesce(a.ctext, '') END AS clean_text,
+         |  CAST(coalesce(a.np, 0) AS BIGINT) AS n_passages,
+         |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.dedupPassages(Tables.documents(s, d), window = 8)
+    }.sortedBy(col("doc_id")),
+
+    // ── SemDeDup (cluster-then-cosine semantic dedup) ──────────────
+    // The DuckDB side retrains the same 16 k-means cells (shared
+    // ivfCtes — hash-sampled seeds, one quantized-integer Lloyd step),
+    // then replays the within-cell pair scan + cosine cut exactly.
+    QueryDef("t_semdedup_pairs",
+      s"""WITH ${ivfCtes(k = 16, nProbe = 1, queryPred = "FALSE")},
+         |swidths AS (SELECT cell, count(*) AS w FROM assigned GROUP BY cell),
+         |qcap AS (SELECT a.vec_id, a.cell FROM assigned a
+         |  JOIN swidths sw ON sw.cell = a.cell
+         |    AND sw.w <= ${Similarity.DefaultMaxCellWidth}),
+         |spairs AS (
+         |  SELECT id_a, id_b, cos FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |           round(${cosine("ea.embedding", "eb.embedding")}, 6) AS cos
+         |    FROM qcap a JOIN qcap b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |    JOIN embeddings eb ON eb.vec_id = b.vec_id)
+         |  WHERE cos >= 0.3)
+         |SELECT id_a, id_b, cos FROM spairs
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Similarity.semDedupPairs(Tables.embeddings(s, d), threshold = 0.3)
+    }.sortedBy(col("id_a"), col("id_b")),
+
+    // Connected components over the SemDeDup pair graph → one label
+    // per vector (recursive reachability CTE, min id per component —
+    // the same walk shape as t_dedup_clusters). spairs is MATERIALIZED
+    // so the recursion's per-iteration join reads a computed table
+    // instead of re-evaluating the whole Lloyd chain each step.
+    QueryDef("t_semdedup_clusters",
+      s"""WITH RECURSIVE ${ivfCtes(k = 16, nProbe = 1, queryPred = "FALSE")},
+         |swidths AS (SELECT cell, count(*) AS w FROM assigned GROUP BY cell),
+         |qcap AS (SELECT a.vec_id, a.cell FROM assigned a
+         |  JOIN swidths sw ON sw.cell = a.cell
+         |    AND sw.w <= ${Similarity.DefaultMaxCellWidth}),
+         |spairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |           round(${cosine("ea.embedding", "eb.embedding")}, 6) AS cos
+         |    FROM qcap a JOIN qcap b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |    JOIN embeddings eb ON eb.vec_id = b.vec_id)
+         |  WHERE cos >= 0.3),
+         |sedges AS MATERIALIZED (
+         |  SELECT id_a AS src, id_b AS dst FROM spairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM spairs),
+         |walk(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN sedges e ON e.src = w.r)
+         |SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY id
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.semDedupClusters(Tables.embeddings(s, d), threshold = 0.3)
+    }.sortedBy(col("vec_id")),
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

@@ -1624,4 +1624,63 @@ class LlmOpsSpec extends SparkSuite {
       .select("doc_id", "lang_id").as[(Long, String)].collect().toMap
     assert(out(1L) == "en" && out(2L) == "und")
   }
+
+  test("passage dedup: first occurrence survives, boilerplate mode drops all copies, row count preserved") {
+    import spark.implicits._
+    // window=2 passages; "x y" is planted in docs 1, 2 and TWICE in 3
+    val docs = Seq(
+      (1L, "x y a b"),          // passages: [x y][a b]
+      (2L, "c d x y"),          // [c d][x y] — dup of 1's first
+      (3L, "x y x y"),          // [x y][x y] — intra-doc dup too
+      (4L, "u v w"),            // [u v][w] — unique, odd tail
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val first = Dedup.dedupPassages(docs, window = 2)
+      .select("doc_id", "clean_text", "n_passages", "n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(first == Seq(
+      (1L, "x y a b", 2L, 2L),  // owns the first occurrence of "x y"
+      (2L, "c d", 2L, 1L),
+      (3L, "", 2L, 0L),         // both copies lose to doc 1's
+      (4L, "u v w", 2L, 2L),
+      (5L, null, 0L, 0L)), first)
+    // boilerplate mode: ANY duplicated passage is dropped everywhere
+    val strictMode = Dedup.dedupPassages(docs, window = 2, keepFirst = false)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(strictMode == Seq((1L, "a b", 1L), (2L, "c d", 1L),
+      (3L, "", 0L), (4L, "u v w", 2L), (5L, null, 0L)), strictMode)
+    intercept[IllegalArgumentException](Dedup.dedupPassages(docs, window = 0))
+  }
+
+  test("semdedup: within-cell pairs complete vs brute force, clusters label every id, guard discloses") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Similarity.semDedupPairs(emb, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // reference: same assignment, brute-force within-cell pairs
+    val cents = Similarity.trainCentroids(emb, 16)
+    val asg = Similarity.assignCells(emb, cents).select("vec_id", "cell")
+    val ref = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .join(emb.select(col("vec_id").as("ia"), col("embedding").as("va")),
+        col("a.vec_id") === col("ia"))
+      .join(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")),
+        col("b.vec_id") === col("ib"))
+      .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.3)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    assert(pairs == ref, s"pairs ${pairs.size} vs brute-force ${ref.size}")
+    assert(pairs.nonEmpty, "threshold chosen to be non-trivial on this corpus")
+    // clusters: every id labeled, representatives are component minima
+    val clusters = Similarity.semDedupClusters(emb, threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size == emb.count())
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= a && clusters(b) <= b, "label above a member id")
+    }
+    // a tiny maxCell excludes every cell (width > 2) and yields no pairs
+    val gated = Similarity.semDedupPairs(emb, threshold = 0.3, maxCell = 2)
+    assert(gated.count() == 0L)
+  }
 }
