@@ -257,6 +257,57 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"))
-    }.sortedBy(col("window_start"), col("event_type"))
+    }.sortedBy(col("window_start"), col("event_type")),
+
+    // AS-OF join (point-in-time): every event picks the user's most
+    // recent prior-or-equal purchase value. The right side is made
+    // unique per (user, ts) by construction (max(value), non-null);
+    // DuckDB verifies with its NATIVE ASOF LEFT JOIN operator — an
+    // independent algorithm agreeing row-for-row with the union +
+    // carry-forward-window formulation.
+    QueryDef("j_asof_state",
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS last_purchase
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type, r.last_purchase
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val state = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy("user_id", "ts").agg(max("value").as("last_purchase"))
+      graft.ops.TemporalJoins.asofJoin(
+        ev.select("event_id", "user_id", "ts", "event_type"), state,
+        keys = Seq("user_id"))
+    }.sortedBy(col("event_id")),
+
+    // RANGE (interval) join: events falling inside the 10-minute
+    // half-open window following each signup by the same user. The
+    // oracle states the raw range predicate; the engine runs the
+    // bin-and-verify plan (5-min bins → ≤ 3 bins/interval).
+    QueryDef("j_range_window",
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, user_id, ts AS start_ts,
+        |         ts + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       iv.interval_id, iv.start_ts, iv.end_ts
+        |FROM events e JOIN iv
+        |  ON e.user_id = iv.user_id
+        | AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |ORDER BY e.event_id, iv.interval_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("interval_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      graft.ops.TemporalJoins.rangeJoin(
+        ev.select("event_id", "user_id", "ts"), iv,
+        keys = Seq("user_id"), timeCol = "ts",
+        startCol = "start_ts", endCol = "end_ts")
+    }.sortedBy(col("event_id"), col("interval_id"))
   )
 }
