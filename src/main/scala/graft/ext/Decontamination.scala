@@ -92,4 +92,54 @@ object Decontamination {
     val grams = if (broadcastBench) broadcast(grams0) else grams0
     decontaminateAgainst(corpus, grams, idCol, textCol, n, minOverlap)
   }
+
+  // ── SEMANTIC decontamination (embedding space) ─────────────────────
+  // The n-gram rule misses paraphrases; the embedding rule catches a
+  // training document that *means* the same as an eval item. Same
+  // asymmetry as above: the benchmark side is small by definition, so
+  // it is BROADCAST whole and the check is one map-only pass over the
+  // corpus embeddings — a BroadcastNestedLoopJoin is the *intended*
+  // plan here (exact bipartite threshold check against a broadcast
+  // relation; nothing shuffles, the anti side short-circuits on the
+  // first hit per row). Cosine is the family's round(cos, 6) contract.
+
+  /** One row per (corpus doc, benchmark item) pair with
+    * `round(cos, 6) >= threshold` — (idCol, bench_id, cos), the
+    * auditable evidence behind [[decontaminateEmbeddings]]. Null
+    * vectors on either side never pair.
+    */
+  def embeddingContaminationReport(corpus: DataFrame, bench: DataFrame,
+                                   threshold: Double,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding",
+                                   benchIdCol: String = "vec_id",
+                                   benchVecCol: String = "embedding"): DataFrame = {
+    val b = bench.filter(col(benchVecCol).isNotNull)
+      .select(col(benchIdCol).as("bench_id"), col(benchVecCol).as("__sb_v"))
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(b))
+      .withColumn("cos", round(Similarity.cosine(col(vecCol), col("__sb_v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col(idCol), col("bench_id"), col("cos"))
+  }
+
+  /** The corpus minus every document whose embedding is within
+    * `threshold` cosine of ANY benchmark embedding. Column set is the
+    * corpus's, unchanged; a null-vector corpus row is never flagged and
+    * passes through. The anti-join evaluates the threshold predicate
+    * directly against the broadcast benchmark — per corpus row it
+    * stops at the first matching benchmark vector.
+    */
+  def decontaminateEmbeddings(corpus: DataFrame, bench: DataFrame,
+                              threshold: Double,
+                              vecCol: String = "embedding",
+                              benchVecCol: String = "embedding"): DataFrame = {
+    val b = bench.filter(col(benchVecCol).isNotNull)
+      .select(col(benchVecCol).as("__sb_v"))
+    corpus.join(broadcast(b),
+      col(vecCol).isNotNull &&
+        round(Similarity.cosine(col(vecCol), col("__sb_v")), 6) >= threshold,
+      "left_anti")
+  }
 }

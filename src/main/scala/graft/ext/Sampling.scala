@@ -129,4 +129,39 @@ object Sampling {
       .filter(bucket(keyCol) < col("__mix_thr"))
       .drop("__mix_domain", "__mix_thr")
   }
+
+  /** Stratified EXACT-N take: deterministically select (up to) `n` rows
+    * per stratum — "give me 10k eval docs per domain" — by ascending
+    * polyhash(key) order with a key tiebreak, so the selection is a
+    * uniform-without-RNG sample that is stable across runs, engines and
+    * partitionings (same law as [[sampleByKey]], but an exact count
+    * instead of a rate). Output: the input columns + `rank` (1-based
+    * position within the stratum's hash order).
+    *
+    * Scale shape: the cut runs on the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — each map task keeps at most
+    * `n` rows per stratum in a heap, so the exchange carries
+    * O(strata · n) rows, never a full per-stratum sort of the corpus;
+    * the rank window then orders only the ≤ n survivors per stratum.
+    */
+  def stratifiedTake(df: DataFrame, strataCol: String, keyCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.withColumn("__st_h",
+      polyFingerprint(col(keyCol).cast("string")))
+    val top = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute(strataCol)),
+      Seq(SortOrder(UnresolvedAttribute("__st_h"), Ascending),
+        SortOrder(UnresolvedAttribute(keyCol), Ascending)),
+      n, Bridge.logicalPlan(hashed))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__st_h"), col(keyCol))
+    Bridge.ofRows(df.sparkSession, top)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .drop("__st_h")
+  }
 }

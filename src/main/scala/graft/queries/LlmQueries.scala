@@ -2112,6 +2112,62 @@ object LlmQueries {
       Similarity.semDedupClusters(Tables.embeddings(s, d), threshold = 0.3)
     }.sortedBy(col("vec_id")),
 
+    // ── Stratified exact-N take (per-domain eval sampling) ─────────
+    // Up to 5 docs per source by ascending polyhash(doc_id) order —
+    // deterministic uniform-without-RNG; runs on the bounded-heap
+    // TopKPerKey operator, replayed as a plain ranked window in SQL.
+    QueryDef("t_stratified_sample",
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |              ORDER BY ${polyhash("CAST(doc_id AS VARCHAR)")},
+         |              doc_id) AS BIGINT) AS rank
+         |  FROM documents)
+         |SELECT source, doc_id, rank FROM r WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.stratifiedTake(
+        Tables.documents(s, d).select("source", "doc_id"),
+        strataCol = "source", keyCol = "doc_id", n = 5)
+    }.sortedBy(col("source"), col("rank")),
+
+    // ── Semantic decontamination (embedding space) ─────────────────
+    // Benchmark = every 97th embedding; the corpus side must shed any
+    // doc within 0.3 cosine of a benchmark vector. The engine runs a
+    // map-only broadcast check (the eval set is small by definition);
+    // the oracle states the raw bipartite predicate.
+    QueryDef("t_embed_contamination",
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |c AS (SELECT vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 97 <> 0),
+         |p AS (SELECT c.vec_id, b.bench_id,
+         |  round(${cosine("c.embedding", "b.embedding")}, 6) AS cos
+         |  FROM c CROSS JOIN b)
+         |SELECT vec_id, bench_id, cos FROM p WHERE cos >= 0.3
+         |ORDER BY vec_id, bench_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Decontamination.embeddingContaminationReport(
+        emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0), threshold = 0.3)
+    }.sortedBy(col("vec_id"), col("bench_id")),
+
+    QueryDef("t_decontaminate_semantic",
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |c AS (SELECT vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 97 <> 0),
+         |bad AS (SELECT DISTINCT c.vec_id FROM c CROSS JOIN b
+         |  WHERE round(${cosine("c.embedding", "b.embedding")}, 6) >= 0.3)
+         |SELECT c.vec_id FROM c
+         |WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
+         |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Decontamination.decontaminateEmbeddings(
+        emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0), threshold = 0.3)
+        .select("vec_id")
+    }.sortedBy(col("vec_id")),
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

@@ -1625,6 +1625,52 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(1L) == "en" && out(2L) == "und")
   }
 
+  test("stratified take: exact n per stratum, short strata whole, stable under repartition, TopKPerKey plan") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("source", "doc_id")
+    val got = graft.ext.Sampling.stratifiedTake(docs, "source", "doc_id", 3)
+    val bySrc = got.groupBy("source").agg(count(lit(1)).as("n"),
+        max("rank").as("maxr"))
+      .as[(String, Long, Long)].collect()
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    bySrc.foreach { case (src, n, maxr) =>
+      assert(n == math.min(3L, sizes(src)) && maxr == n, s"$src: $n/$maxr")
+    }
+    // determinism: a different partitioning selects the same rows
+    val again = graft.ext.Sampling.stratifiedTake(
+      docs.repartition(17), "source", "doc_id", 3)
+    assert(got.select("source", "doc_id", "rank").collect().toSet ==
+      again.select("source", "doc_id", "rank").collect().toSet)
+    assert(got.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    intercept[IllegalArgumentException](
+      graft.ext.Sampling.stratifiedTake(docs, "source", "doc_id", 0))
+  }
+
+  test("semantic decontamination: planted paraphrase flagged, nulls pass, report and anti-join agree") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to bench 100
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near bench 100
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // orthogonal — clean
+      (4L, null.asInstanceOf[Array[Float]])) // null vec: never flagged
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val report = graft.ext.Decontamination
+      .embeddingContaminationReport(corpus, bench, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(report == Set((1L, 100L, 1.0), (2L, 100L, 0.993884)), report)
+    val clean = graft.ext.Decontamination
+      .decontaminateEmbeddings(corpus, bench, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(clean == Set(3L, 4L), clean)
+    // the two views partition the corpus
+    assert(clean ++ report.map(_._1) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("passage dedup: first occurrence survives, boilerplate mode drops all copies, row count preserved") {
     import spark.implicits._
     // window=2 passages; "x y" is planted in docs 1, 2 and TWICE in 3
