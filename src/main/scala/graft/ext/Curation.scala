@@ -118,4 +118,50 @@ object Curation {
       .select(coalesce(col("__old_id"), col("__new_id")).as(idCol),
         col("status"))
   }
+
+  /** INTEGER-EXACT per-group percentiles of a discrete value column —
+    * the length-distribution report curation cutoffs are set from
+    * ("p95 token count per domain"), computed WITHOUT sorting the
+    * corpus: the histogram formulation. For quantile q%, the result is
+    * the smallest value whose cumulative count reaches ceil(n·q/100)
+    * (the lower empirical quantile — a value that occurs in the data,
+    * never an interpolation, so both engines agree bit-for-bit).
+    *
+    * Output: (groupCol, n, p<q1>, p<q2>, ...) — one row per group.
+    * Null values are excluded from the distribution (a group of only
+    * nulls disappears); `n` counts the non-null values.
+    *
+    * Scale shape: the only corpus-sized step is the (group, value)
+    * histogram — ONE partial-aggregated shuffle emitting at most
+    * groups × |distinct values| rows. The cumulative window and the
+    * per-q cuts run on the histogram, not the corpus — so the contract
+    * is a DISCRETE value (lengths, scores, counts; cardinality ~10³),
+    * not a continuous double.
+    */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    require(percentiles.forall(q => q >= 1 && q <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    require(percentiles.distinct.size == percentiles.size,
+      s"duplicate percentiles in $percentiles")
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__gp_v"))
+      .agg(count(lit(1)).as("__gp_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__gp_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("__gp_cum", sum("__gp_c").over(w))
+    val totals = hist.groupBy(col(groupCol)).agg(sum("__gp_c").as("n"))
+    val joined = cum.join(totals, Seq(groupCol))
+    // ceil(n·q/100) as pure integer arithmetic: (n·q + 99) div 100
+    percentiles.foldLeft(totals) { (acc, q) =>
+      val cut = joined
+        .filter(col("__gp_cum") >= expr(s"(n * $q + 99) div 100"))
+        .groupBy(col(groupCol)).agg(min("__gp_v").as(s"p$q"))
+      acc.join(cut, Seq(groupCol))
+    }
+  }
 }

@@ -2168,6 +2168,39 @@ object LlmQueries {
         .select("vec_id")
     }.sortedBy(col("vec_id")),
 
+    // ── Integer-exact per-domain percentiles (histogram formulation)
+    // p50/p90/p99 of n_chars per source — the lower empirical quantile
+    // (smallest value whose cumulative count reaches ceil(n·q/100)),
+    // pure integer arithmetic, no corpus sort on either engine.
+    QueryDef("t_group_percentiles",
+      s"""WITH hist AS (
+         |  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |         ROWS UNBOUNDED PRECEDING) AS cumc FROM hist),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |        FROM hist GROUP BY 1),
+         |p50 AS (SELECT c.source, min(v) AS p50 FROM cum c
+         |  JOIN tot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 50 + 99) // 100 GROUP BY 1),
+         |p90 AS (SELECT c.source, min(v) AS p90 FROM cum c
+         |  JOIN tot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 90 + 99) // 100 GROUP BY 1),
+         |p99 AS (SELECT c.source, min(v) AS p99 FROM cum c
+         |  JOIN tot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 99 + 99) // 100 GROUP BY 1)
+         |SELECT t.source, t.n, p50.p50, p90.p90, p99.p99
+         |FROM tot t
+         |JOIN p50 ON p50.source = t.source
+         |JOIN p90 ON p90.source = t.source
+         |JOIN p99 ON p99.source = t.source
+         |ORDER BY t.source""".stripMargin) { (s, d) =>
+      graft.ext.Curation.groupPercentiles(Tables.documents(s, d),
+        groupCol = "source", valueCol = "n_chars",
+        percentiles = Seq(50, 90, 99))
+    }.sortedBy(col("source")),
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

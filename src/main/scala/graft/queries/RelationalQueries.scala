@@ -308,6 +308,20 @@ object RelationalQueries {
         ev.select("event_id", "user_id", "ts"), iv,
         keys = Seq("user_id"), timeCol = "ts",
         startCol = "start_ts", endCol = "end_ts")
-    }.sortedBy(col("event_id"), col("interval_id"))
+    }.sortedBy(col("event_id"), col("interval_id")),
+
+    // Salted skew join: the engine spreads each customer key over 8
+    // deterministic sub-keys (build side replicated 8×); the oracle is
+    // the PLAIN join — salting must be invisible in the result.
+    QueryDef("j_salted_join",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
+      graft.ops.SkewJoin.saltedJoin(o, c, Seq("o_custkey"),
+        leftUniqueCol = "o_orderkey", salt = 8)
+    }.sortedBy(col("o_orderkey"))
   )
 }

@@ -1647,6 +1647,29 @@ class LlmOpsSpec extends SparkSuite {
       graft.ext.Sampling.stratifiedTake(docs, "source", "doc_id", 0))
   }
 
+  test("group percentiles: lower empirical quantile golden, null-only group drops, knob rejection") {
+    import spark.implicits._
+    // group g: values 1..10 once each → p50 = 5 (ceil(10·0.5)=5th),
+    // p90 = 9, p99 = 10, p100 = 10, p1 = 1
+    val df = ((1L to 10L).map(v => ("g", Some(v))) ++
+      Seq(("h", Some(7L)), ("h", Some(7L)), ("h", Some(9L)),
+        ("nulls", None))).toDF("grp", "v")
+    val out = graft.ext.Curation
+      .groupPercentiles(df, "grp", "v", Seq(1, 50, 90, 99, 100))
+      .select("grp", "n", "p1", "p50", "p90", "p99", "p100")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // h: n=3 → p50 idx ceil(1.5)=2 → 7; p90 idx ceil(2.7)=3 → 9
+    assert(out == Seq(("g", 10L, 1L, 5L, 9L, 10L, 10L),
+      ("h", 3L, 7L, 7L, 9L, 9L, 9L)), out)
+    intercept[IllegalArgumentException](
+      graft.ext.Curation.groupPercentiles(df, "grp", "v", Seq()))
+    intercept[IllegalArgumentException](
+      graft.ext.Curation.groupPercentiles(df, "grp", "v", Seq(0)))
+    intercept[IllegalArgumentException](
+      graft.ext.Curation.groupPercentiles(df, "grp", "v", Seq(50, 50)))
+  }
+
   test("semantic decontamination: planted paraphrase flagged, nulls pass, report and anti-join agree") {
     import spark.implicits._
     val corpus = Seq(
