@@ -65,6 +65,14 @@ object CurationStream {
     * hint is dropped and the per-batch join strategy is left to
     * size/AQE — at 100 TB a provenance dim can outgrow any driver-side
     * build, and the composed flagship must not pin it to one.
+    *
+    * `redactPii = true` rewrites `textCol` through the
+    * [[TextAnalysis.redactPii]] chain BEFORE the quality gate — PII
+    * never reaches the sink, the store, or the quality signals; the
+    * chain is a codegen'd per-row map, so the stream pays zero extra
+    * shuffle. NOTE the gate's novelty signatures are computed on the
+    * RAW text (dedup is about the ingested artifact), redaction on
+    * the admitted copy.
     */
   def run(docs: DataFrame, storeName: String, dimDir: String, dimKey: String,
           checkpointDir: String, idCol: String = "doc_id",
@@ -73,7 +81,7 @@ object CurationStream {
           jaccardDen: Int = 10, compactEvery: Int = 64,
           vacuumAfterCompact: Boolean = true,
           benchmark: Option[DataFrame] = None, minOverlap: Int = 1,
-          broadcastDim: Boolean = true)
+          broadcastDim: Boolean = true, redactPii: Boolean = false)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val benchGrams = benchmark.map(b =>
       graft.ext.Decontamination.benchmarkGrams(b, textCol, n).cache())
@@ -82,7 +90,11 @@ object CurationStream {
       rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,
       jaccardDen = jaccardDen, compactEvery = compactEvery,
       vacuumAfterCompact = vacuumAfterCompact) { (novel, epoch) =>
-      val gated = novel
+      val admitted =
+        if (redactPii)
+          novel.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+        else novel
+      val gated = admitted
         .withColumn("quality",
           TextAnalysis.qualityScore(col(textCol)).cast("long"))
         .filter(col("quality") >= minQuality)

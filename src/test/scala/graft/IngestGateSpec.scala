@@ -335,6 +335,41 @@ class IngestGateSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("composed curation stream redacts PII in-stream before the sink; raw text still keys dedup") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    val base = ((1 to 30).map(i => s"pword$i") :+ "the").mkString(" ")
+    val withPii = base + " contact bob@example.com from 10.0.0.7"
+    val name = "t_cur_redact"
+    val dimDir = java.nio.file.Files.createTempDirectory("red-dim").toString
+    ManifestStore.seed(Seq((0, "crawlA")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("red-ckpt").toString,
+      redactPii = true) { (out, _) =>
+      out.select("doc_id", "text").collect().foreach(r =>
+        sunk.add((r.getLong(0), r.getString(1))))
+    }
+    try {
+      ms.addData((1L, withPii, 0))
+      q.processAllAvailable()
+      // a re-sent copy of the SAME raw text must still dedup against
+      // the store (novelty keys on raw text, not the redacted copy)
+      ms.addData((2L, withPii, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sunk.asScala.toSet
+    assert(got.map(_._1) == Set(1L), s"dedup-on-raw violated: $got")
+    val text = got.head._2
+    assert(text.contains("<EMAIL>") && text.contains("<IP>") &&
+      !text.contains("bob@example.com") && !text.contains("10.0.0.7"), text)
+  }
+
   test("composed curation stream decontaminates against a benchmark set in-stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
