@@ -156,4 +156,25 @@ object Multimodal {
         .as("frame_idx"),
       col("n_frames"), col("content_md5"))
   }
+
+  /** Exact-duplicate media groups by RAW-BYTE content fingerprint —
+    * the image/video analog of [[Dedup.exactDupGroups]] (a re-crawled
+    * image is a byte-identical payload; near-dup perceptual hashing is
+    * the embedding family's job). One row per distinct payload:
+    * (content_fp, keep_id = min media id, n_copies). A null payload
+    * fingerprints like the empty payload (the [[metadata]] contract),
+    * so all null/empty media form one group.
+    *
+    * Scale shape: one codegen'd fingerprint map over the scan + one
+    * partial-aggregated fingerprint-keyed shuffle (min/count combine
+    * map-side — 10⁸ copies of one image emit one row per map task);
+    * payload bytes never ride the exchange, only the 8-byte hash.
+    */
+  def exactDupGroups(media: DataFrame): DataFrame = {
+    val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
+    media.select(col("media_id"),
+        graft.functions.polyFingerprint(payload).as("content_fp"))
+      .groupBy("content_fp")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
 }

@@ -2201,6 +2201,32 @@ object LlmQueries {
         percentiles = Seq(50, 90, 99))
     }.sortedBy(col("source")),
 
+    // ── Multimodal exact dedup (raw-byte fingerprint groups) ───────
+    // Duplicate payloads are PLANTED in SQL on both sides (a re-crawl
+    // copy of every doc_id < 20 under a shifted media id), so the
+    // grouping is exercised on real collisions; only multi-copy groups
+    // are emitted. The fingerprint is the binary PolyHash — equal to
+    // the string PolyHash on UTF-8 text (NativeExprSpec), which is
+    // what the oracle computes.
+    QueryDef("t_media_dup_groups",
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         |g AS (SELECT ${polyhash("coalesce(text, '')")} AS content_fp,
+         |        min(media_id) AS keep_id,
+         |        CAST(count(*) AS BIGINT) AS n_copies
+         |      FROM m GROUP BY 1)
+         |SELECT content_fp, keep_id, n_copies FROM g WHERE n_copies > 1
+         |ORDER BY keep_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.asMedia(docs, "doc_id", "text").union(
+        Multimodal.asMedia(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")),
+          "doc_id", "text"))
+      Multimodal.exactDupGroups(media).filter(col("n_copies") > 1)
+    }.sortedBy(col("keep_id")),
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

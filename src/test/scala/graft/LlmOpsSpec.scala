@@ -910,6 +910,20 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(4L) == ((4L, stub4._1, stub4._2, stub4._3)))
   }
 
+  test("multimodal exact dedup: byte-identical payloads group, null and empty payloads share one group") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "abc".getBytes("UTF-8")),
+      (2L, "abc".getBytes("UTF-8")),
+      (3L, "xyz".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]),
+      (5L, Array.empty[Byte]))
+      .toDF("media_id", "payload")
+    val g = Multimodal.exactDupGroups(media)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (3L, 1L), (4L, 2L)), g)
+  }
+
   test("raw-byte fingerprint: binary polyhash equals string polyhash on text, differs from cast on non-UTF-8") {
     import spark.implicits._
     val df = Seq("plain ascii text", "unicode ÿ é").toDF("s")
