@@ -130,6 +130,25 @@ object Sampling {
       .drop("__mix_domain", "__mix_thr")
   }
 
+  /** Per-row WEIGHTED deterministic sampling: keep a row iff
+    * `bucket(key) · den < Grain · num`, where `numCol`/`den` express
+    * the row's keep rate as an integer ratio — e.g. quality-weighted
+    * upsampling (`numCol` = quality 0–4, `den = 4`: quality-0 rows
+    * never kept, quality-4 always, quality-2 at half rate). The same
+    * pure key-hash law as [[sampleByKey]] — stable across runs,
+    * engines and partitionings, a shuffle-free codegen'd filter that
+    * pushes into the scan — but with a per-ROW rate instead of one
+    * global fraction. A null or negative `numCol` keeps nothing for
+    * that row; `num >= den` always keeps it. Cross-multiplied integer
+    * comparison — no float rate ever enters the decision.
+    */
+  def sampleByRate(df: DataFrame, keyCol: Column, numCol: Column,
+                   den: Long): DataFrame = {
+    require(den > 0, s"den must be positive, got $den")
+    df.filter(bucket(keyCol) * lit(den) <
+      lit(Grain) * coalesce(numCol.cast("long"), lit(0L)))
+  }
+
   /** Stratified EXACT-N take: deterministically select (up to) `n` rows
     * per stratum — "give me 10k eval docs per domain" — by ascending
     * polyhash(key) order with a key tiebreak, so the selection is a

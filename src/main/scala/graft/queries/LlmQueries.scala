@@ -1623,6 +1623,20 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id"), col("doc_id"), 0.25)
     }.sortedBy(col("doc_id")),
 
+    // Weighted variant: per-row keep rate (n_chars % 5)/4 — rates 0
+    // (never), 1/4 … 4/4 (always) all exercised; same pure key-hash
+    // law, cross-multiplied integers, shuffle-free.
+    QueryDef("t_sample_weighted",
+      s"""SELECT doc_id FROM documents
+         |WHERE (${polyhash("CAST(doc_id AS VARCHAR)")} % 10000) * 4
+         |      < 10000 * (n_chars % 5)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.sampleByRate(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars") % 5, den = 4)
+        .select("doc_id")
+    }.sortedBy(col("doc_id")),
+
     // ── Document chunking (overlapping token windows) ──────────────
     // 8-token windows every 4 tokens, final windows clipped — one row
     // per (doc, chunk). DuckDB's exclusive range(0, n, stride) equals

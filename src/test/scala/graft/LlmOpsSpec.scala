@@ -1661,6 +1661,26 @@ class LlmOpsSpec extends SparkSuite {
       graft.ext.Sampling.stratifiedTake(docs, "source", "doc_id", 0))
   }
 
+  test("weighted sampling: rate-0 drops all, full rate keeps all, rates monotone, null weight drops") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    def kept(num: Int, den: Long): Long = graft.ext.Sampling
+      .sampleByRate(docs, col("doc_id"), lit(num), den).count()
+    val n = docs.count()
+    assert(kept(0, 4) == 0L && kept(4, 4) == n && kept(5, 4) == n)
+    val half = kept(2, 4)
+    assert(half > 0 && half < n, s"half-rate kept $half of $n")
+    assert(kept(1, 4) <= half && half <= kept(3, 4), "rates monotone")
+    // per-row weights: null weight drops the row, others keyed by hash
+    val w = Seq((1L, Some(4L)), (2L, None), (3L, Some(0L)))
+      .toDF("doc_id", "w")
+    val got = graft.ext.Sampling.sampleByRate(w, col("doc_id"), col("w"), 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L), got)
+    intercept[IllegalArgumentException](
+      graft.ext.Sampling.sampleByRate(w, col("doc_id"), col("w"), 0))
+  }
+
   test("group percentiles: lower empirical quantile golden, null-only group drops, knob rejection") {
     import spark.implicits._
     // group g: values 1..10 once each → p50 = 5 (ceil(10·0.5)=5th),
