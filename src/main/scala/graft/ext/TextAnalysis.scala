@@ -552,4 +552,78 @@ object TextAnalysis {
     Bridge.ofRows(docs.sparkSession, top)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** BM25-SHAPED ranked retrieval — [[searchDocs]]'s raw tf·idf scoring
+    * upgraded with the three BM25 ingredients: tf SATURATION
+    * (`tf·(k1+1)/(tf + k1·…)` — the 100th occurrence of a term adds
+    * almost nothing), LENGTH normalization (long documents stop winning
+    * by volume; `b` dials it), and a rarity (idf) weight. Integer-exact
+    * adaptation so the ranking is order-independent and engine-portable:
+    * idf is the floor-log2 gap `L(N) − L(df)` via `length(bin(x))` (the
+    * [[unigramSurprisal]] trick — no float log), k1/b ride as ×100
+    * fixed-point, the length norm keeps ratios exact by
+    * cross-multiplying corpus totals (`dlen·N div totLen`), and each
+    * term's contribution is ONE truncating division to ×10⁶, summed per
+    * (query, doc) as exact integers. The floor-log2 idf and truncating
+    * divisions deviate from textbook BM25 deterministically — the
+    * SHAPE is the contract. Bounds: contributions stay in Long for
+    * corpora up to ~10¹¹ docs × ~10⁵-token documents.
+    *
+    * Scale shape identical to [[searchDocs]] (broadcast term cut → one
+    * corpus scan, matched-sized shuffles, TopKPerKey), plus one 1-row
+    * corpus-stats aggregate (N, total length) broadcast-crossed in;
+    * per-doc length is computed ROW-LOCALLY from the [[graft.functions.WordTfs]]
+    * array — no extra shuffle.
+    */
+  def searchDocsBm25(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                     k1X100: Int = 120, bX100: Int = 75,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     queryIdCol: String = "query_id",
+                     termCol: String = "term"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k1X100 >= 0, s"k1X100 must be >= 0, got $k1X100")
+    require(bX100 >= 0 && bX100 <= 100,
+      s"bX100 must be in [0, 100], got $bX100")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("word"))
+      .distinct()
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.wordTfs(col(textCol)).as("__wt"))
+      .withColumn("dlen",
+        aggregate(col("__wt"), lit(0L), (a, x) => a + x("tf")))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum("dlen").as("tot_len"))
+    val tf = base
+      .select(col(idCol), col("dlen"), explode(col("__wt")).as("wt"))
+      .select(col(idCol), col("dlen"),
+        col("wt.word").as("word"), col("wt.tf").as("tf"))
+    val matched = tf.join(broadcast(terms.select("word").distinct()), "word")
+      .localCheckpoint()
+    val dfreq = matched.groupBy("word").agg(count(lit(1)).as("df"))
+    val perQuery = matched.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits",
+        expr("length(bin(n_docs)) - length(bin(df))").cast("long"))
+      .withColumn("lennorm_x100",
+        expr(s"100 - $bX100 + ($bX100 * dlen * n_docs) div tot_len"))
+      .withColumn("contrib",
+        expr(s"(idf_bits * tf * ($k1X100 + 100) * 100000000) div " +
+          s"(tf * 10000 + $k1X100 * lennorm_x100)"))
+      .join(broadcast(terms), "word")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms"))
+    val top = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("score"), Descending),
+        SortOrder(UnresolvedAttribute(idCol), Ascending)),
+      k, Bridge.logicalPlan(perQuery))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    Bridge.ofRows(docs.sparkSession, top)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

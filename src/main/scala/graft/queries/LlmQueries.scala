@@ -529,6 +529,46 @@ object LlmQueries {
        |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM spq)""".stripMargin
   }
 
+  /** BM25 replay: the same integer arithmetic as
+    * [[graft.ext.TextAnalysis.searchDocsBm25]] — floor-log2 idf via
+    * length(bin(x)), ×100 fixed-point k1/b, cross-multiplied length
+    * norm, one truncating division per term contribution. dlen replays
+    * the WordTfs token count as sum(tf) per document.
+    */
+  private def bm25Ctes(k1X100: Int, bX100: Int): String = {
+    val qRows = SearchQueries
+      .map { case (q, t) => s"($q, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""bsq(query_id, term) AS (VALUES $qRows),
+       |bterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |btf AS (SELECT doc_id, word, count(*) AS tf FROM bterms GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+       |  FROM btf GROUP BY 1),
+       |bst AS (SELECT
+       |  (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
+       |  CAST(sum(dlen) AS BIGINT) AS tot_len FROM bdl),
+       |bmt AS (SELECT btf.doc_id, btf.word, btf.tf FROM btf
+       |  JOIN (SELECT DISTINCT term FROM bsq) t ON btf.word = t.term),
+       |bdf AS (SELECT word, count(*) AS df FROM bmt GROUP BY 1),
+       |bsc AS (SELECT m.doc_id, m.word,
+       |  (CAST(length(bin(s.n_docs)) - length(bin(d.df)) AS BIGINT)
+       |     * m.tf * ($k1X100 + 100) * 100000000)
+       |  // (m.tf * 10000 + $k1X100 *
+       |      (100 - $bX100 + ($bX100 * l.dlen * s.n_docs) // s.tot_len))
+       |    AS contrib
+       |  FROM bmt m JOIN bdf d USING (word) JOIN bdl l USING (doc_id)
+       |  CROSS JOIN bst s),
+       |bpq AS (SELECT bsq.query_id, s.doc_id,
+       |  CAST(sum(s.contrib) AS BIGINT) AS score,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM bsc s JOIN bsq ON bsq.term = s.word GROUP BY 1, 2),
+       |branked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  score, n_terms,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM bpq)""".stripMargin
+  }
+
   /** Shared by t_ann_lsh and t_ann_lsh_indexed — the persisted index
     * must be bit-identical to inline bucketing, so one oracle serves
     * both.
@@ -1805,6 +1845,19 @@ object LlmQueries {
       import s.implicits._
       val queries = SearchQueries.toDF("query_id", "term")
       TextAnalysis.searchDocs(Tables.documents(s, d), queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("n_terms"), col("rank"))
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // BM25-shaped variant: saturation + length norm + floor-log2 idf,
+    // every step exact integer arithmetic replayed by the oracle.
+    QueryDef("t_search_docs_bm25",
+      s"""WITH ${bm25Ctes(k1X100 = 120, bX100 = 75)}
+         |SELECT * FROM branked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      TextAnalysis.searchDocsBm25(Tables.documents(s, d), queries, k = 10)
         .select(col("query_id"), col("doc_id"), col("score"),
           col("n_terms"), col("rank"))
     }.sortedBy(col("query_id"), col("rank")),

@@ -1661,6 +1661,44 @@ class LlmOpsSpec extends SparkSuite {
       graft.ext.Sampling.stratifiedTake(docs, "source", "doc_id", 0))
   }
 
+  test("bm25 search: rarity outranks commonality, tf saturates, length penalized, b=0 disables the penalty") {
+    import spark.implicits._
+    // "common" appears in every doc; "rare" in one. Docs 1/2 differ
+    // only in which term they carry; 3/4 differ only in tf; 5/6 in len
+    // "rare" df=1; "common" df=3 (docs 2,3,4) → idf 2 vs 1 bits (N=6).
+    // Docs 1/2 have EQUAL length and tf — only rarity differs. Docs 3/4
+    // equal length, boost tf 50 vs 1. Docs 5/6 equal tf, len 21 vs 101.
+    val filler = (1 to 20).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"rare $filler"),
+      (2L, s"common $filler"),
+      (3L, "common " + Seq.fill(50)("boost").mkString(" ") + " sat"),
+      (4L, "common boost " + (1 to 49).map(i => s"pad$i").mkString(" ") +
+        " sat"),
+      (5L, s"lenq $filler"),
+      (6L, s"lenq $filler $filler ${(1 to 60).map(i => s"x$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    def scores(term: String, b: Int = 75) = TextAnalysis
+      .searchDocsBm25(docs, Seq((1L, term)).toDF("query_id", "term"),
+        k = 10, bX100 = b)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val rc = scores("rare") ++ scores("common")
+    assert(rc(1L) > rc(2L),
+      s"rare match must outrank common match: $rc") // idf bites
+    val sat = scores("boost")
+    assert(sat(3L) < sat(4L) * 3,
+      s"tf=50 must score < 3x tf=1 (saturation): $sat")
+    assert(sat(3L) > sat(4L), s"more tf still scores higher: $sat")
+    val len = scores("lenq")
+    assert(len(5L) > len(6L), s"longer doc penalized at b=0.75: $len")
+    val len0 = scores("lenq", b = 0)
+    assert(len0(5L) == len0(6L), s"b=0 disables the penalty: $len0")
+    intercept[IllegalArgumentException](TextAnalysis.searchDocsBm25(
+      docs, Seq((1L, "x")).toDF("query_id", "term"), bX100 = 101))
+    intercept[IllegalArgumentException](TextAnalysis.searchDocsBm25(
+      docs, Seq((1L, "x")).toDF("query_id", "term"), k1X100 = -1))
+  }
+
   test("weighted sampling: rate-0 drops all, full rate keeps all, rates monotone, null weight drops") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id")
