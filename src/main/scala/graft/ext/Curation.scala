@@ -156,12 +156,13 @@ object Curation {
     val cum = hist.withColumn("__gp_cum", sum("__gp_c").over(w))
     val totals = hist.groupBy(col(groupCol)).agg(sum("__gp_c").as("n"))
     val joined = cum.join(totals, Seq(groupCol))
-    // ceil(n·q/100) as pure integer arithmetic: (n·q + 99) div 100
-    percentiles.foldLeft(totals) { (acc, q) =>
-      val cut = joined
-        .filter(col("__gp_cum") >= expr(s"(n * $q + 99) div 100"))
-        .groupBy(col(groupCol)).agg(min("__gp_v").as(s"p$q"))
-      acc.join(cut, Seq(groupCol))
-    }
+    // ceil(n·q/100) as pure integer arithmetic: (n·q + 99) div 100.
+    // ONE conditional aggregation computes every requested percentile —
+    // not a per-q filter+join chain over the histogram
+    val cuts = percentiles.map(q =>
+      min(when(col("__gp_cum") >= expr(s"(n * $q + 99) div 100"),
+        col("__gp_v"))).as(s"p$q"))
+    joined.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), cuts: _*)
   }
 }

@@ -647,10 +647,13 @@ object Dedup {
     * one long totally orders (document, passage) occurrences so
     * "first occurrence" is a skew-safe `min` AGGREGATION, never a
     * per-hash row_number window a boilerplate passage could turn into a
-    * single-reducer task. Contract: ids are non-negative integrals and
+    * single-reducer task. Contract: ids are non-negative integrals
+    * BELOW 2⁴³ (the key doc_id·2²⁰ + idx must fit a 63-bit Long — a
+    * 63-bit fingerprint used directly as an id overflows and corrupts
+    * the first-occurrence order; re-key such corpora first), and
     * documents have fewer than 2²⁰ passages (a 100 TB web corpus is
-    * ~10³ passages/doc; a violating key would collide silently, so size
-    * `window` accordingly).
+    * ~10³ passages/doc; a violating key would collide silently, so
+    * size `window` accordingly).
     */
   val PassageKeyBase: Long = 1L << 20
 

@@ -157,6 +157,12 @@ object Sampling {
     * instead of a rate). Output: the input columns + `rank` (1-based
     * position within the stratum's hash order).
     *
+    * CONTRACT: `keyCol` must be unique within each stratum (the
+    * [[graft.ext.Packing.packSequences]] key-uniqueness rule) — for
+    * duplicate keys the (hash, key) order ties completely and which
+    * physical duplicate survives the heap cut is partition-dependent,
+    * voiding the determinism law above.
+    *
     * Scale shape: the cut runs on the bounded-heap
     * [[graft.plans.TopKPerKey]] operator — each map task keeps at most
     * `n` rows per stratum in a heap, so the exchange carries

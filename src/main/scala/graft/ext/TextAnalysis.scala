@@ -591,12 +591,16 @@ object TextAnalysis {
     val terms = queries
       .select(col(queryIdCol).as("query_id"), col(termCol).as("word"))
       .distinct()
+    // dlen is the token count — size(split) equals the WordTfs tf-sum
+    // (the keep-empties law, NativeExprSpec), and keeps the 1-row stats
+    // aggregate a cheap split-size scan instead of a second WordTfs
+    // evaluation over the corpus
     val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), graft.functions.wordTfs(col(textCol)).as("__wt"))
-      .withColumn("dlen",
-        aggregate(col("__wt"), lit(0L), (a, x) => a + x("tf")))
-    val stats = base.agg(count(lit(1)).as("n_docs"),
-      sum("dlen").as("tot_len"))
+      .select(col(idCol), graft.functions.wordTfs(col(textCol)).as("__wt"),
+        size(tokens(col(textCol))).cast("long").as("dlen"))
+    val stats = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("tot_len"))
     val tf = base
       .select(col(idCol), col("dlen"), explode(col("__wt")).as("wt"))
       .select(col(idCol), col("dlen"),

@@ -37,8 +37,13 @@ object SkewJoin {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(Seq("inner", "left_outer").contains(joinType),
       s"joinType must be inner or left_outer, got $joinType")
+    // null-safe: PolyHash propagates null, and a null salt would drop
+    // the row from the equi-join — a null unique id hashes like the
+    // empty string instead (the Sampling.bucket convention), keeping
+    // salted semantics identical to the plain join for every row
     val l = left.withColumn("__sj_s",
-      pmod(polyFingerprint(col(leftUniqueCol).cast("string")),
+      pmod(polyFingerprint(
+        coalesce(col(leftUniqueCol).cast("string"), lit(""))),
         lit(salt.toLong)))
     val r = right.withColumn("__sj_s",
       explode(sequence(lit(0L), lit(salt.toLong - 1L))))

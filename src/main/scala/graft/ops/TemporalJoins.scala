@@ -130,6 +130,9 @@ object TemporalJoins {
         when(col("__rj_e") > col("__rj_s"),
           floor((col("__rj_e") - 1) / binMicros) -
             floor(col("__rj_s") / binMicros) + 1).otherwise(lit(0L)))
+      // materialized once: the disclosure probe below and the join both
+      // read the interval side (the semDedupPairs guard pattern)
+      .localCheckpoint()
     // disclosure probe: over-wide intervals leave the join, visibly.
     // The probe is a dim-sized action (right is the interval side).
     val over = rBase.filter(col("__rj_nb") > maxBins)

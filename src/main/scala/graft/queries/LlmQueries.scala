@@ -519,10 +519,12 @@ object LlmQueries {
        |sdf AS (SELECT word, count(*) AS df FROM smt GROUP BY 1),
        |ssc AS (SELECT m.doc_id, m.word, (m.tf * 1000000) // d.df AS tscore
        |  FROM smt m JOIN sdf d USING (word)),
-       |spq AS (SELECT sq.query_id, s.doc_id,
+       |spq AS (SELECT q.query_id, s.doc_id,
        |  CAST(sum(s.tscore) AS BIGINT) AS score,
        |  CAST(count(*) AS BIGINT) AS n_terms
-       |  FROM ssc s JOIN sq ON sq.term = s.word GROUP BY 1, 2),
+       |  FROM ssc s
+       |  JOIN (SELECT DISTINCT query_id, term FROM sq) q
+       |    ON q.term = s.word GROUP BY 1, 2),
        |sranked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        |  score, n_terms,
        |  CAST(row_number() OVER (PARTITION BY query_id
@@ -543,10 +545,10 @@ object LlmQueries {
        |bterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents WHERE text IS NOT NULL),
        |btf AS (SELECT doc_id, word, count(*) AS tf FROM bterms GROUP BY 1, 2),
-       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
-       |  FROM btf GROUP BY 1),
-       |bst AS (SELECT
-       |  (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
+       |bdl AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dlen
+       |  FROM documents WHERE text IS NOT NULL),
+       |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(dlen) AS BIGINT) AS tot_len FROM bdl),
        |bmt AS (SELECT btf.doc_id, btf.word, btf.tf FROM btf
        |  JOIN (SELECT DISTINCT term FROM bsq) t ON btf.word = t.term),
@@ -559,10 +561,12 @@ object LlmQueries {
        |    AS contrib
        |  FROM bmt m JOIN bdf d USING (word) JOIN bdl l USING (doc_id)
        |  CROSS JOIN bst s),
-       |bpq AS (SELECT bsq.query_id, s.doc_id,
+       |bpq AS (SELECT q.query_id, s.doc_id,
        |  CAST(sum(s.contrib) AS BIGINT) AS score,
        |  CAST(count(*) AS BIGINT) AS n_terms
-       |  FROM bsc s JOIN bsq ON bsq.term = s.word GROUP BY 1, 2),
+       |  FROM bsc s
+       |  JOIN (SELECT DISTINCT query_id, term FROM bsq) q
+       |    ON q.term = s.word GROUP BY 1, 2),
        |branked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        |  score, n_terms,
        |  CAST(row_number() OVER (PARTITION BY query_id

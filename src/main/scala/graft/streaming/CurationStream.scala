@@ -83,8 +83,16 @@ object CurationStream {
           benchmark: Option[DataFrame] = None, minOverlap: Int = 1,
           broadcastDim: Boolean = true, redactPii: Boolean = false)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val benchGrams = benchmark.map(b =>
-      graft.ext.Decontamination.benchmarkGrams(b, textCol, n).cache())
+    // when the stream redacts, the benchmark must be redacted the same
+    // way before gram extraction — otherwise a benchmark item containing
+    // PII-shaped tokens could never match its redacted in-stream copy
+    // and would leak past the decontamination gate
+    val benchGrams = benchmark.map { b =>
+      val src = if (redactPii)
+        b.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      else b
+      graft.ext.Decontamination.benchmarkGrams(src, textCol, n).cache()
+    }
     val query = IngestDedupGate.gate(docs, storeName, checkpointDir,
       idCol = idCol, textCol = textCol, n = n, numBands = numBands,
       rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,

@@ -368,6 +368,28 @@ class IngestGateSpec extends SparkSuite {
     val text = got.head._2
     assert(text.contains("<EMAIL>") && text.contains("<IP>") &&
       !text.contains("bob@example.com") && !text.contains("10.0.0.7"), text)
+
+    // redaction + decontamination compose: a PII-bearing BENCHMARK item
+    // must still catch its in-stream copy (the benchmark is redacted the
+    // same way before gram extraction — raw-vs-redacted grams would
+    // never overlap and the contaminated doc would leak)
+    val sunk2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ms2 = MemoryStream[(Long, String, Int)]
+    val q2 = CurationStream.run(
+      ms2.toDF().toDF("doc_id", "text", "source_id"), "t_cur_redact2",
+      dimDir, "source_id",
+      java.nio.file.Files.createTempDirectory("red2-ckpt").toString,
+      redactPii = true,
+      benchmark = Some(Seq((99L, withPii)).toDF("doc_id", "text"))) {
+      (out, _) =>
+        out.select("doc_id").collect().foreach(r => sunk2.add(r.getLong(0)))
+    }
+    try {
+      ms2.addData((7L, withPii, 0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sunk2.isEmpty,
+      s"PII-bearing benchmark copy leaked past decon: ${sunk2.asScala}")
   }
 
   test("composed curation stream decontaminates against a benchmark set in-stream") {

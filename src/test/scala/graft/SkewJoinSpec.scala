@@ -44,6 +44,12 @@ class SkewJoinSpec extends SparkSuite {
       .distinct().count()
     assert(spread > 4, s"hot key spread over only $spread sub-keys")
 
+    // a NULL unique id must still join (it salts like the empty string
+    // — the plain join would match it, so the salted one must too)
+    val nullId = Seq((Option.empty[Long], "cold")).toDF("row_id", "k")
+    assert(SkewJoin.saltedJoin(nullId, right, Seq("k"), "row_id")
+      .count() == 1L)
+
     intercept[IllegalArgumentException](
       SkewJoin.saltedJoin(left, right, Seq("k"), "row_id", salt = 0))
     intercept[IllegalArgumentException](
