@@ -2036,6 +2036,49 @@ object LlmQueries {
     // DuckDB side re-chains the exact CTEs of t_text_stats (quality),
     // t_dedup_clusters (collapse) and t_split_assign (assignment) over
     // the quality-filtered sub-relation.
+    // ── TRAINING-PREP flagship: the full batch path a training run
+    // consumes — curate (quality gate → near-dup keep → split) → take
+    // the train split → fill a token budget best-quality-first → pack
+    // into 512-token context windows. Every stage is an
+    // already-oracle-verified operator; this query proves they COMPOSE
+    // (one SQL chain replays quality CTEs + recursive clustering +
+    // split + both decomposed prefix-sums).
+    QueryDef("t_training_prep",
+      s"""WITH RECURSIVE ${qualityCtes("documents")},
+         |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 3),
+         |${hashesCteFrom("curated")},
+         |$sigCte,
+         |${clusterCtes("curated", jNum = 8, jDen = 10)},
+         |keeps AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+         |withb AS (
+         |  SELECT q.doc_id, q.quality,
+         |         ${polyhash("CAST(q.doc_id AS VARCHAR)")} % 10000 AS bkt,
+         |         CAST(len(string_split(q.text, ' ')) AS BIGINT) AS toks
+         |  FROM qscored q JOIN keeps k ON k.doc_id = q.doc_id),
+         |trn AS (SELECT * FROM withb WHERE bkt < 8000),
+         |bsel AS (SELECT doc_id, quality, toks, bkt,
+         |  sum(toks) OVER (ORDER BY quality DESC, bkt, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM trn),
+         |sel AS (SELECT * FROM bsel WHERE cum <= 12000),
+         |pck AS (SELECT doc_id, quality, toks,
+         |  sum(toks) OVER (ORDER BY bkt, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS pcum FROM sel)
+         |SELECT doc_id, CAST(quality AS BIGINT) AS quality,
+         |       CAST((pcum - toks) // 512 AS BIGINT) AS pack
+         |FROM pck ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val curated = graft.ext.Curation.curate(docs)
+      val toks = docs.select(col("doc_id"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+      val train = curated.filter(col("split") === "train")
+        .join(toks, "doc_id")
+      val sel = graft.ext.Packing.selectByBudget(train, col("doc_id"),
+        col("toks"), col("quality"), 12000L)
+      graft.ext.Packing.packSequences(sel, col("doc_id"), col("toks"), 512L)
+        .select(col("doc_id"), col("quality"), col("pack"))
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_curate_corpus",
       s"""WITH RECURSIVE ${qualityCtes("documents")},
          |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 3),
