@@ -676,6 +676,13 @@ object Dedup {
     * hash-keyed dedup, a 31-bit collision merges unrelated passages —
     * the standard trade the reference family makes, disclosed here.
     *
+    * `perDocument = true` scopes duplication to WITHIN each document —
+    * the intra-doc repeated-span trim (choruses, templated
+    * boilerplate repeated inside one page) rather than corpus-wide
+    * dedup: a passage repeated across documents is untouched, only
+    * repeats inside the same document collapse (or drop entirely
+    * under `keepFirst = false`).
+    *
     * Scale shape: passages derive from the scan by a row-local
     * explode (zero shuffle); the first-occurrence table is ONE
     * partial-aggregated hash-keyed shuffle (`min(key), count` combine
@@ -684,19 +691,23 @@ object Dedup {
     * (one row per hash on the build side — AQE's skew split handles
     * hot boilerplate keys); reassembly is one doc-keyed shuffle.
     * Nothing is collected to the driver and no global window runs.
+    * (Per-document scope keys those shuffles on (doc, hash) — finer,
+    * so strictly less skew-prone.)
     */
   def dedupPassages(docs: DataFrame, window: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text",
-                    keepFirst: Boolean = true): DataFrame = {
+                    keepFirst: Boolean = true,
+                    perDocument: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val p = graft.ext.TextAnalysis
       .chunkDocuments(docs, window, window, idCol, textCol)
       .withColumn("__pd_h", polyFingerprint(col("chunk_text")))
       .withColumn("__pd_k",
         col(idCol).cast("long") * PassageKeyBase + col("chunk_id"))
-    val firsts = p.groupBy("__pd_h")
+    val scopeCols = if (perDocument) Seq(idCol, "__pd_h") else Seq("__pd_h")
+    val firsts = p.groupBy(scopeCols.map(col): _*)
       .agg(min("__pd_k").as("__pd_first"), count(lit(1)).as("__pd_n"))
-    val flagged = p.join(firsts, "__pd_h")
+    val flagged = p.join(firsts, scopeCols)
       .withColumn("__pd_keep",
         if (keepFirst) col("__pd_k") === col("__pd_first")
         else col("__pd_n") === 1)

@@ -2169,6 +2169,50 @@ object LlmQueries {
       Dedup.dedupPassages(Tables.documents(s, d), window = 8)
     }.sortedBy(col("doc_id")),
 
+    // Per-DOCUMENT scope: intra-doc repeated-span trim. Each doc's own
+    // first 8-word passage is PLANTED again at its head (both sides),
+    // so every ≥8-word document carries a genuine intra-doc duplicate;
+    // cross-doc duplicates must survive (scope is the document).
+    QueryDef("t_passage_dedup_doc",
+      s"""WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws0
+         |  FROM documents),
+         |pl AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       ELSE array_to_string(ws0[1:8], ' ') || ' ' || text
+         |  END AS text FROM w0),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM pl
+         |  WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, ws,
+         |  unnest(CASE WHEN len(ws) > 0 THEN range(0, len(ws), 8)
+         |         ELSE [] END) AS st FROM w),
+         |p AS (SELECT doc_id, CAST(st // 8 AS BIGINT) AS cid,
+         |  array_to_string(ws[st+1:st+8], ' ') AS ct FROM s),
+         |ph AS (SELECT doc_id, cid, ct, ${polyhash("ct")} AS h,
+         |  doc_id * ${Dedup.PassageKeyBase} + cid AS k FROM p),
+         |f AS (SELECT doc_id, h, min(k) AS mk FROM ph GROUP BY 1, 2),
+         |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
+         |  FROM ph JOIN f ON f.h = ph.h AND f.doc_id = ph.doc_id),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+         |  string_agg(CASE WHEN keep THEN ct END, ' ' ORDER BY cid) AS ctext
+         |  FROM fl GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE coalesce(a.ctext, '') END AS clean_text,
+         |  CAST(coalesce(a.np, 0) AS BIGINT) AS n_passages,
+         |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
+         |FROM pl d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat(
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)),
+            lit(" "), col("text"))).as("text"))
+      Dedup.dedupPassages(planted, window = 8, perDocument = true)
+    }.sortedBy(col("doc_id")),
+
     // ── SemDeDup (cluster-then-cosine semantic dedup) ──────────────
     // The DuckDB side retrains the same 16 k-means cells (shared
     // ivfCtes — hash-sampled seeds, one quantized-integer Lloyd step),

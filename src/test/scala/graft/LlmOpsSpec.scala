@@ -1693,6 +1693,10 @@ class LlmOpsSpec extends SparkSuite {
     assert(len(5L) > len(6L), s"longer doc penalized at b=0.75: $len")
     val len0 = scores("lenq", b = 0)
     assert(len0(5L) == len0(6L), s"b=0 disables the penalty: $len0")
+    // the per-query cut runs on the bounded-heap operator, like searchDocs
+    assert(TextAnalysis.searchDocsBm25(docs,
+      Seq((1L, "rare")).toDF("query_id", "term"))
+      .queryExecution.executedPlan.toString.contains("TopKPerKey"))
     intercept[IllegalArgumentException](TextAnalysis.searchDocsBm25(
       docs, Seq((1L, "x")).toDF("query_id", "term"), bX100 = 101))
     intercept[IllegalArgumentException](TextAnalysis.searchDocsBm25(
@@ -1792,6 +1796,15 @@ class LlmOpsSpec extends SparkSuite {
     assert(strictMode == Seq((1L, "a b", 1L), (2L, "c d", 1L),
       (3L, "", 0L), (4L, "u v w", 2L), (5L, null, 0L)), strictMode)
     intercept[IllegalArgumentException](Dedup.dedupPassages(docs, window = 0))
+    // per-document scope: intra-doc repeats collapse, cross-doc survive
+    val perDoc = Seq(
+      (1L, "x y x y a b"),  // [x y][x y][a b] → intra dup
+      (2L, "x y c d"))      // [x y][c d] — cross-doc copy SURVIVES
+      .toDF("doc_id", "text")
+    val scoped = Dedup.dedupPassages(perDoc, window = 2, perDocument = true)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(scoped == Seq((1L, "x y a b", 2L), (2L, "x y c d", 2L)), scoped)
   }
 
   test("semdedup: within-cell pairs complete vs brute force, clusters label every id, guard discloses") {
