@@ -93,6 +93,64 @@ object Decontamination {
     decontaminateAgainst(corpus, grams, idCol, textCol, n, minOverlap)
   }
 
+  // ── FUZZY decontamination (MinHash-LSH Jaccard) ────────────────────
+  // Completes the trilogy: EXACT n-gram overlap (above) misses
+  // lightly-edited copies, SEMANTIC cosine (below) needs embeddings —
+  // fuzzy Jaccard catches the rewritten-but-mostly-verbatim eval item
+  // with text alone, at near-dup fidelity (the same shingle/minhash/
+  // band machinery as [[Dedup]], bipartite). The benchmark's band keys
+  // and hash sets BROADCAST (eval-set-sized); the corpus side computes
+  // bands map-side and is cut by the broadcast join, so only candidate
+  // (corpus, bench) pairs — bounded by actual band collisions — carry
+  // hash sets into the exact-Jaccard verify. A boilerplate-degenerate
+  // benchmark (near-empty docs bucketing everywhere) widens candidates;
+  // quality-gate the benchmark first, as any eval set should be.
+
+  /** One row per (corpus doc, benchmark doc) candidate pair whose exact
+    * shingle Jaccard reaches `jaccardNum/jaccardDen` — (idCol,
+    * bench_id, inter, uni), the auditable evidence behind
+    * [[fuzzyDecontaminate]]. Recall is LSH-banded (a pair missing every
+    * band escapes — the standard near-dup trade, same banding layout
+    * knobs as [[Dedup.nearDupPairs]]).
+    */
+  def fuzzyContaminationReport(corpus: DataFrame, bench: DataFrame,
+                               jaccardNum: Int = 8, jaccardDen: Int = 10,
+                               idCol: String = "doc_id",
+                               textCol: String = "text", n: Int = 3,
+                               numBands: Int = 4,
+                               rowsPerBand: Int = 2): DataFrame = {
+    require(jaccardNum > 0 && jaccardDen > 0 && jaccardNum <= jaccardDen,
+      s"jaccard threshold must be a ratio in (0, 1], got " +
+        s"$jaccardNum/$jaccardDen")
+    val cf = Dedup.features(corpus, idCol, textCol, n)
+    // bench-sized: bands and the verify join both read it
+    val bf = Dedup.features(bench, idCol, textCol, n).localCheckpoint()
+    val cb = Dedup.bands(cf, idCol, numBands, rowsPerBand)
+      .filter(col("bkey").isNotNull)
+    val bb = Dedup.bands(bf, idCol, numBands, rowsPerBand)
+      .filter(col("bkey").isNotNull)
+      .select(col("band"), col("bkey"), col(idCol).as("bench_id"))
+    val cand = cb.join(broadcast(bb), Seq("band", "bkey"))
+      .select(col(idCol), col("bench_id")).distinct()
+    Dedup.withJaccard(cand, idCol, "bench_id", cf, bf, idCol)
+      .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
+      .select(col(idCol), col("bench_id"), col("inter"), col("uni"))
+  }
+
+  /** The corpus minus every document within fuzzy-Jaccard range of any
+    * benchmark document. Column set is the corpus's, unchanged.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame,
+                         jaccardNum: Int = 8, jaccardDen: Int = 10,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, numBands: Int = 4,
+                         rowsPerBand: Int = 2): DataFrame =
+    corpus.join(
+      fuzzyContaminationReport(corpus, bench, jaccardNum, jaccardDen,
+        idCol, textCol, n, numBands, rowsPerBand)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // ── SEMANTIC decontamination (embedding space) ─────────────────────
   // The n-gram rule misses paraphrases; the embedding rule catches a
   // training document that *means* the same as an eval item. Same

@@ -188,6 +188,39 @@ object LlmOracle {
     s"""sig AS (SELECT doc_id, [${minhashExprs.mkString(",\n  ")}] AS sig
        |  FROM hashes)""".stripMargin
 
+  /** CTEs replaying [[graft.ext.Decontamination.fuzzyContaminationReport]]:
+    * two independent hash/sig chains (corpus `fc*`, benchmark `fb*`),
+    * band keys on both sides, the bipartite band join, and the exact
+    * integer-Jaccard cut. Yields `fhits(doc_id, bench_id, inter, uni)`.
+    * No exact-collapse or bucket cap — the bipartite operator applies
+    * neither (the benchmark side is eval-set-sized by contract).
+    */
+  def fuzzyDeconCtes(corpRel: String, benchRel: String, jNum: Int,
+                     jDen: Int, numBands: Int = 4,
+                     rowsPerBand: Int = 2): String =
+    s"""${hashesCteFrom(corpRel, "fc")},
+       |${hashesCteFrom(benchRel, "fb")},
+       |fcsig AS (SELECT doc_id, [${minhashExprs.mkString(",\n  ")}] AS sig
+       |  FROM fchashes),
+       |fbsig AS (SELECT doc_id, [${minhashExprs.mkString(",\n  ")}] AS sig
+       |  FROM fbhashes),
+       |fcb AS (SELECT s.doc_id, b.band, ${bandKeyExpr(rowsPerBand)} AS bkey
+       |  FROM fcsig s CROSS JOIN (VALUES ${bandValues(numBands)}) b(band)),
+       |fbb AS (SELECT s.doc_id AS bench_id, b.band,
+       |    ${bandKeyExpr(rowsPerBand)} AS bkey
+       |  FROM fbsig s CROSS JOIN (VALUES ${bandValues(numBands)}) b(band)),
+       |fcand AS (SELECT DISTINCT c.doc_id, bb.bench_id
+       |  FROM fcb c JOIN fbb bb ON c.band = bb.band AND c.bkey = bb.bkey),
+       |fhits AS (SELECT * FROM (
+       |  SELECT f.doc_id, f.bench_id,
+       |    CAST(len(list_intersect(ch.hs, bh.hs)) AS BIGINT) AS inter,
+       |    CAST(len(ch.hs) + len(bh.hs)
+       |      - len(list_intersect(ch.hs, bh.hs)) AS BIGINT) AS uni
+       |  FROM fcand f
+       |  JOIN fchashes ch ON ch.doc_id = f.doc_id
+       |  JOIN fbhashes bh ON bh.doc_id = f.bench_id)
+       |  WHERE inter * $jDen >= uni * $jNum)""".stripMargin
+
   /** SimHash (majority vote per bit) over the `hs` column at any width
     * up to 63 — replays [[graft.functions.SimHash]] bit for bit.
     */
@@ -2269,6 +2302,42 @@ object LlmQueries {
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
       Similarity.semDedupClusters(Tables.embeddings(s, d), threshold = 0.3)
     }.sortedBy(col("vec_id")),
+
+    // ── Fuzzy (MinHash-Jaccard) decontamination ────────────────────
+    // Benchmark = every 7th document (a split that crosses 14 natural
+    // near-dup pairs at sf0.01); corpus docs within Jaccard 0.8 of any
+    // benchmark doc are reported / dropped — the lightly-edited-copy
+    // case exact n-gram overlap underweights and semantic decon needs
+    // embeddings for.
+    QueryDef("t_fuzzy_contamination",
+      s"""WITH corp AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 7 <> 0),
+         |bench AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |${fuzzyDeconCtes("corp", "bench", jNum = 8, jDen = 10)}
+         |SELECT doc_id, bench_id, inter, uni FROM fhits
+         |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Decontamination.fuzzyContaminationReport(
+        docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text"))
+    }.sortedBy(col("doc_id"), col("bench_id")),
+
+    QueryDef("t_decontaminate_fuzzy",
+      s"""WITH corp AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 7 <> 0),
+         |bench AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |${fuzzyDeconCtes("corp", "bench", jNum = 8, jDen = 10)}
+         |SELECT doc_id FROM corp
+         |WHERE doc_id NOT IN (SELECT doc_id FROM fhits)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Decontamination.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text"))
+        .select("doc_id")
+    }.sortedBy(col("doc_id")),
 
     // ── Stratified exact-N take (per-domain eval sampling) ─────────
     // Up to 5 docs per source by ascending polyhash(doc_id) order —

@@ -1746,6 +1746,31 @@ class LlmOpsSpec extends SparkSuite {
       graft.ext.Curation.groupPercentiles(df, "grp", "v", Seq(50, 50)))
   }
 
+  test("fuzzy decontamination: planted lightly-edited eval copy flagged, clean docs survive, views partition") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"fz$i")
+    val benchText = words.mkString(" ")
+    // one middle word swapped: Jaccard ~= 0.85 — the lightly-edited
+    // copy exact-match dedup would miss at doc level
+    val edited = { val w = words.toArray.clone(); w(19) = "zq"; w.mkString(" ") }
+    val corpus = Seq(
+      (1L, edited),
+      (2L, benchText),                          // verbatim copy
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val report = graft.ext.Decontamination
+      .fuzzyContaminationReport(corpus, bench)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(report == Set((1L, 100L), (2L, 100L)), report)
+    val clean = graft.ext.Decontamination.fuzzyDecontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L), clean)
+    intercept[IllegalArgumentException](graft.ext.Decontamination
+      .fuzzyContaminationReport(corpus, bench, jaccardNum = 11,
+        jaccardDen = 10))
+  }
+
   test("semantic decontamination: planted paraphrase flagged, nulls pass, report and anti-join agree") {
     import spark.implicits._
     val corpus = Seq(
