@@ -153,9 +153,13 @@ object Curation {
       .partitionBy(col(groupCol)).orderBy(col("__gp_v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = hist.withColumn("__gp_cum", sum("__gp_c").over(w))
-    val totals = hist.groupBy(col(groupCol)).agg(sum("__gp_c").as("n"))
-    val joined = cum.join(totals, Seq(groupCol))
+    // n rides the SAME per-group exchange as the cumulative window (an
+    // unordered whole-partition frame) — no second aggregation of the
+    // histogram and no join to bring totals back
+    val joined = hist
+      .withColumn("__gp_cum", sum("__gp_c").over(w))
+      .withColumn("n", sum("__gp_c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
     // ceil(n·q/100) as pure integer arithmetic: (n·q + 99) div 100.
     // ONE conditional aggregation computes every requested percentile —
     // not a per-q filter+join chain over the histogram

@@ -122,8 +122,11 @@ object Decontamination {
     require(jaccardNum > 0 && jaccardDen > 0 && jaccardNum <= jaccardDen,
       s"jaccard threshold must be a ratio in (0, 1], got " +
         s"$jaccardNum/$jaccardDen")
-    val cf = Dedup.features(corpus, idCol, textCol, n)
-    // bench-sized: bands and the verify join both read it
+    // both sides materialized once: bands and the verify hash-attach
+    // each read them, and Catalyst has no cross-branch subexpression
+    // reuse — without the checkpoint the corpus shingle/minhash stage
+    // would run twice per call (the repLevelPairs pattern)
+    val cf = Dedup.features(corpus, idCol, textCol, n).localCheckpoint()
     val bf = Dedup.features(bench, idCol, textCol, n).localCheckpoint()
     val cb = Dedup.bands(cf, idCol, numBands, rowsPerBand)
       .filter(col("bkey").isNotNull)

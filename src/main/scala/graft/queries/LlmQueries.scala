@@ -194,12 +194,18 @@ object LlmOracle {
     * integer-Jaccard cut. Yields `fhits(doc_id, bench_id, inter, uni)`.
     * No exact-collapse or bucket cap — the bipartite operator applies
     * neither (the benchmark side is eval-set-sized by contract).
+    * Null-text rows are filtered from BOTH chains: Spark gives a null
+    * doc null band keys (dropped before its join), while this hash
+    * chain would give it hs=[0] like the empty string — the filter
+    * keeps the oracle aligned with "a null doc never pairs".
     */
   def fuzzyDeconCtes(corpRel: String, benchRel: String, jNum: Int,
                      jDen: Int, numBands: Int = 4,
                      rowsPerBand: Int = 2): String =
-    s"""${hashesCteFrom(corpRel, "fc")},
-       |${hashesCteFrom(benchRel, "fb")},
+    s"""${hashesCteFrom(
+      s"(SELECT doc_id, text FROM $corpRel WHERE text IS NOT NULL)", "fc")},
+       |${hashesCteFrom(
+      s"(SELECT doc_id, text FROM $benchRel WHERE text IS NOT NULL)", "fb")},
        |fcsig AS (SELECT doc_id, [${minhashExprs.mkString(",\n  ")}] AS sig
        |  FROM fchashes),
        |fbsig AS (SELECT doc_id, [${minhashExprs.mkString(",\n  ")}] AS sig
@@ -567,8 +573,10 @@ object LlmQueries {
   /** BM25 replay: the same integer arithmetic as
     * [[graft.ext.TextAnalysis.searchDocsBm25]] — floor-log2 idf via
     * length(bin(x)), ×100 fixed-point k1/b, cross-multiplied length
-    * norm, one truncating division per term contribution. dlen replays
-    * the WordTfs token count as sum(tf) per document.
+    * norm, one truncating division per term contribution. dlen is the
+    * split-size token count (`len(string_split)`), which equals the
+    * WordTfs tf-sum by the keep-empties law — mirroring the engine's
+    * cheap stats path.
     */
   private def bm25Ctes(k1X100: Int, bX100: Int): String = {
     val qRows = SearchQueries
