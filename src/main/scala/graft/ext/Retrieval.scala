@@ -69,33 +69,49 @@ object Retrieval {
     * rank 1 = best; arms may rank disjoint documents (full-outer
     * fusion, absent arm contributes 0).
     */
-  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame =
+    rrfFuseAll(Seq(a, b), k, rrfK)
+
+  /** N-ARY reciprocal-rank fusion — [[rrfFuse]] generalized to any
+    * number of arms (e.g. tf-idf + BM25 + dense: lexical precision,
+    * saturation-weighted lexical recall, and semantic match fused in
+    * one ranking). Same per-arm contract ((query_id, doc_id, <rank>),
+    * rank 1 = best, distinct rank names); a document absent from an
+    * arm takes 0 from it. Fusion joins `arms.size − 1` query-bounded
+    * (≤ |Q|·kArm-row) relations and cuts on the bounded-heap
+    * TopKPerKey operator — arm count scales the tiny fusion join, not
+    * any corpus-sized work.
+    */
+  def rrfFuseAll(arms: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(arms.size >= 2, s"need at least 2 arms to fuse, got ${arms.size}")
     require(k > 0, s"k must be positive, got $k")
     require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.expressions.Window
-    val Seq(aRank, bRank) = Seq(a, b).map(df =>
+    val ranks = arms.map(df =>
       df.columns.filterNot(Set("query_id", "doc_id")) match {
         case Array(r) => r
         case other => throw new IllegalArgumentException(
           s"an RRF arm needs exactly (query_id, doc_id, <rank>), got " +
             s"extra columns ${other.mkString(",")}")
       })
-    require(aRank != bRank,
-      s"the two arms' rank columns must be named distinctly, both '$aRank'")
-    Seq(aRank, bRank).foreach(r => require(r != "rrf" && r != "rank",
+    require(ranks.distinct.size == ranks.size,
+      s"arms' rank columns must be named distinctly, got $ranks")
+    ranks.foreach(r => require(r != "rrf" && r != "rank",
       s"an arm's rank column is named '$r', which collides with a fusion " +
         "output column — rename it (e.g. sparse_rank / dense_rank)"))
     // rank names are caller-supplied: backtick-quote them into the div
     // expression (and the final select) so dots, spaces, or reserved
     // words in a name can't break or re-target the generated SQL
     def bq(name: String): String = "`" + name.replace("`", "``") + "`"
-    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(expr(s"${1000000L} div ($rrfK + ${bq(aRank)})"), lit(0L)) +
-          coalesce(expr(s"${1000000L} div ($rrfK + ${bq(bRank)})"), lit(0L)))
+    val joined = arms.reduce(
+      (a, b) => a.join(b, Seq("query_id", "doc_id"), "full_outer"))
+    val fused = joined.withColumn("rrf",
+      ranks.map(r =>
+        coalesce(expr(s"${1000000L} div ($rrfK + ${bq(r)})"), lit(0L)))
+        .reduce(_ + _))
     val top = graft.plans.TopKPerKey(
       Seq(UnresolvedAttribute("query_id")),
       Seq(SortOrder(UnresolvedAttribute("rrf"), Descending),
@@ -103,9 +119,9 @@ object Retrieval {
       k, Bridge.logicalPlan(fused))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
-    Bridge.ofRows(a.sparkSession, top)
+    Bridge.ofRows(arms.head.sparkSession, top)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(Seq(col("query_id"), col("doc_id"), col("rrf")) ++
-        Seq(aRank, bRank).map(n => col(bq(n))) :+ col("rank"): _*)
+        ranks.map(n => col(bq(n))) :+ col("rank"): _*)
   }
 }

@@ -1913,6 +1913,74 @@ object LlmQueries {
     // replays integer-exactly; per-system ranks ride along (null =
     // unranked by that arm). The dense arm reuses the t_similarity_topk
     // scoring; query ids double as vector ids (the TESTDATA contract).
+    // TRI-ARM fusion: tf-idf + BM25 + dense through the n-ary
+    // rrfFuseAll — lexical precision, saturation-weighted lexical
+    // recall, and semantic match in one integer-exact ranking. The
+    // oracle unions the three cut arms' id space and left-joins each
+    // (≡ the engine's chained full-outer fusion).
+    QueryDef("t_hybrid_tri", {
+      val qIds = SearchQueries.map(_._1).distinct.sorted.mkString(", ")
+      s"""WITH $searchDocsCtes,
+         |${bm25Ctes(k1X100 = 120, bX100 = 75)},
+         |dq AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id IN ($qIds)),
+         |dscored AS (
+         |  SELECT dq.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosine("dq.qv", "e.embedding")}, 6) AS cos
+         |  FROM dq JOIN embeddings e ON e.vec_id <> dq.query_id),
+         |dranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM dscored),
+         |tids AS (
+         |  SELECT DISTINCT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id FROM sranked WHERE rank <= 20
+         |    UNION ALL
+         |    SELECT query_id, doc_id FROM branked WHERE rank <= 20
+         |    UNION ALL
+         |    SELECT query_id, neighbor_id FROM dranked WHERE rank <= 20)),
+         |tf3 AS (
+         |  SELECT i.query_id, i.doc_id,
+         |    CAST(coalesce(1000000 // (60 + s.rank), 0)
+         |       + coalesce(1000000 // (60 + b.rank), 0)
+         |       + coalesce(1000000 // (60 + d.rank), 0) AS BIGINT) AS rrf,
+         |    s.rank AS tfidf_rank, b.rank AS bm25_rank,
+         |    d.rank AS dense_rank
+         |  FROM tids i
+         |  LEFT JOIN (SELECT * FROM sranked WHERE rank <= 20) s
+         |    ON s.query_id = i.query_id AND s.doc_id = i.doc_id
+         |  LEFT JOIN (SELECT * FROM branked WHERE rank <= 20) b
+         |    ON b.query_id = i.query_id AND b.doc_id = i.doc_id
+         |  LEFT JOIN (SELECT * FROM dranked WHERE rank <= 20) d
+         |    ON d.query_id = i.query_id AND d.neighbor_id = i.doc_id),
+         |tr3 AS (
+         |  SELECT query_id, doc_id, rrf,
+         |         tfidf_rank, bm25_rank, dense_rank,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM tf3)
+         |SELECT * FROM tr3 WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val qIds = SearchQueries.map(_._1).distinct.sorted
+      val sparse = TextAnalysis.searchDocs(docs, queries, k = 20)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("tfidf_rank"))
+      val bm25 = TextAnalysis.searchDocsBm25(docs, queries, k = 20)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("bm25_rank"))
+      val dense = Similarity
+        .topKByIdsNative(Tables.embeddings(s, d), qIds, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank"))
+      graft.ext.Retrieval.rrfFuseAll(Seq(sparse, bm25, dense), k = 10)
+    }.sortedBy(col("query_id"), col("rank")),
+
     QueryDef("t_hybrid_search", {
       val qIds = SearchQueries.map(_._1).distinct.sorted.mkString(", ")
       s"""WITH $searchDocsCtes,

@@ -1703,6 +1703,23 @@ class LlmOpsSpec extends SparkSuite {
       docs, Seq((1L, "x")).toDF("query_id", "term"), k1X100 = -1))
   }
 
+  test("n-ary rrf fusion: three arms sum reciprocal ranks, absent arms give zero, contracts enforced") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "a_rank")
+    val b = Seq((1L, 10L, 2L), (1L, 20L, 1L))
+      .toDF("query_id", "doc_id", "b_rank")
+    val c = Seq((1L, 20L, 1L)).toDF("query_id", "doc_id", "c_rank")
+    val out = graft.ext.Retrieval.rrfFuseAll(Seq(a, b, c), k = 10)
+      .select("doc_id", "rrf", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    // doc 10: 10⁶/61 + 10⁶/62 + 0 = 16393 + 16129; doc 20: 2 × 10⁶/61
+    assert(out == Set((20L, 32786L, 1L), (10L, 32522L, 2L)), out)
+    intercept[IllegalArgumentException](
+      graft.ext.Retrieval.rrfFuseAll(Seq(a), k = 10))
+    intercept[IllegalArgumentException](
+      graft.ext.Retrieval.rrfFuseAll(Seq(a, a), k = 10)) // duplicate names
+  }
+
   test("weighted sampling: rate-0 drops all, full rate keeps all, rates monotone, null weight drops") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id")
