@@ -37,6 +37,13 @@ object SkewJoin {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(Seq("inner", "left_outer").contains(joinType),
       s"joinType must be inner or left_outer, got $joinType")
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      val hit = df.columns.filter(_.startsWith("__sj_"))
+      require(hit.isEmpty,
+        s"$side column(s) ${hit.mkString(", ")} use the reserved internal " +
+          "prefix '__sj_' — rename before joining (withColumn would " +
+          "silently replace them and change join semantics)")
+    }
     // null-safe: PolyHash propagates null, and a null salt would drop
     // the row from the equi-join — a null unique id hashes like the
     // empty string instead (the Sampling.bucket convention), keeping

@@ -1,17 +1,19 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
 /** Temporal joins Spark has no native operator for — AS-OF
-  * (point-in-time: each left row picks the single most recent right row
-  * at or before its timestamp, per key; the feature-store join every
-  * training pipeline needs for leakage-free feature attachment) and
-  * RANGE (each left row matches the right intervals containing its
-  * timestamp). Both are expressed as compositions Catalyst can optimize
-  * — no custom physical operator is required because the semantics
-  * decompose into window/equi-join primitives:
+  * (point-in-time: each left row picks the single nearest right row at
+  * or before — or, `direction = "forward"`, at or after — its
+  * timestamp, per key; the feature-store join every training pipeline
+  * needs for leakage-free feature attachment) and RANGE (each left row
+  * matches the right intervals containing its timestamp). Both are
+  * expressed as compositions Catalyst can optimize — no custom physical
+  * operator is required because the semantics decompose into
+  * window/equi-join primitives:
   *
   *  - AS-OF: the sort-merge formulation — union the two sides tagged,
   *    one window per key carries the latest right payload forward, left
@@ -20,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    that survives 100 TB: per-key event history sorts inside its own
   *    partition; a hot key degrades to a single sorted partition (the
   *    inherent lower bound for sort-based as-of), never a cross join.
+  *    `direction = "forward"` is the SAME window with the time ordering
+  *    reversed; `tolerance` nulls out matches staler than a bound —
+  *    both knobs are row-local post-processing on the carried match, so
+  *    the shuffle shape is identical to the unbounded join.
   *  - RANGE: the bin-and-verify formulation — intervals explode into
   *    covered fixed-width bins (bounded by a disclosed cap), left
   *    timestamps bin once, an equi-join on (keys, bin) prunes the
@@ -27,16 +33,50 @@ import org.apache.spark.sql.functions._
   *    O(|left| + Σ bins(interval) + matches) — never the
   *    BroadcastNestedLoopJoin a naive `t BETWEEN start AND end` join
   *    plan falls into when the build side outgrows broadcast range.
+  *    `joinType = "left_outer"` preserves unmatched left rows with null
+  *    interval payload (the attach-containing-window-else-null
+  *    enrichment shape) by pushing the verify predicate into the join
+  *    condition — still the same single (keys, bin) equi-shuffle.
   */
 object TemporalJoins {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Exact integer floor division of a long column by a positive
+    * constant — `floor(col / m)` promotes to double and can misround
+    * near 2⁵³; `(c - pmod(c, m)) div m` stays integer-exact for every
+    * long (pmod is non-negative, so the numerator is the exact largest
+    * multiple of m at or below c, and `div` of an exact multiple is the
+    * floor).
+    */
+  private def floorDivExpr(colName: String, m: Long): Column =
+    expr(s"(`$colName` - pmod(`$colName`, ${m}L)) div ${m}L")
+
+  private def requireNoReserved(df: DataFrame, side: String,
+                                prefix: String): Unit = {
+    val hit = df.columns.filter(_.startsWith(prefix))
+    require(hit.isEmpty,
+      s"$side column(s) ${hit.mkString(", ")} use the reserved internal " +
+        s"prefix '$prefix' — rename before joining (withColumn would " +
+        "silently replace them and change join semantics)")
+  }
+
   /** AS-OF join: every `left` row, plus `right`'s payload columns from
-    * the single right row with the greatest `rightTime <=` the left
-    * row's `leftTime` for the same `keys` (inclusive match — a right
-    * row AT the left timestamp is visible), or nulls when no right row
-    * precedes it (left-outer semantics; left row count is preserved).
+    * the single right row NEAREST its timestamp on the `direction` side
+    * — `"backward"` (default): the greatest `rightTime <=` the left
+    * row's `leftTime`; `"forward"`: the smallest `rightTime >=` it —
+    * for the same `keys` (inclusive match either way — a right row AT
+    * the left timestamp is visible), or nulls when no right row
+    * qualifies (left-outer semantics; left row count is preserved).
+    *
+    * `tolerance` bounds match staleness: a nearest match farther than
+    * `tolerance` from the left timestamp yields NULL payload instead —
+    * the feature-freshness guard (an unbounded-lookback as-of silently
+    * attaches a years-old feature row; with a tolerance the row
+    * surfaces as missing and the pipeline can impute or drop).
+    * Units: MICROSECONDS for timestamp-typed time columns; the
+    * column's own units for numeric time columns. Inclusive bound
+    * (staleness == tolerance still matches).
     *
     * Contracts (violations would make "the" match ill-defined):
     *  - `right` is unique per (keys, rightTime) — pre-aggregate first
@@ -44,11 +84,20 @@ object TemporalJoins {
     *  - right rows with a null key or null time never match anything
     *    and are dropped here (a null-keyed LEFT row still flows
     *    through, with null payload);
-    *  - right payload column names must not collide with left columns.
+    *  - right payload column names must not collide with left columns,
+    *    and neither side may use the reserved `__aj_` prefix.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTime: String = "ts", rightTime: String = "ts"): DataFrame = {
+               leftTime: String = "ts", rightTime: String = "ts",
+               tolerance: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward or forward, got $direction")
+    tolerance.foreach(t =>
+      require(t >= 0, s"tolerance must be >= 0, got $t"))
+    requireNoReserved(left, "left", "__aj_")
+    requireNoReserved(right, "right", "__aj_")
     val payload = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == rightTime)
     require(payload.nonEmpty,
@@ -61,12 +110,15 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     // the payload rides as ONE struct so a matched right row is taken
     // as a unit — per-column last(ignoreNulls) would leak an OLDER
-    // row's value through any null payload column of the true match
-    val pType = org.apache.spark.sql.types.StructType(
-      payload.map(c => right.schema(c)))
+    // row's value through any null payload column of the true match.
+    // The matched right TIME rides beside it (field "t") so the
+    // tolerance check reads the actual matched row's timestamp.
+    val pType = StructType(payload.map(c => right.schema(c)))
+    val cType = StructType(Seq(StructField("p", pType),
+      StructField("t", right.schema(rightTime).dataType)))
     // aligned union schema: [left columns..., __aj_p, __aj_t, __aj_tag]
     val lPart = left.select(
-      leftCols.map(col) ++ Seq(lit(null).cast(pType).as("__aj_p"),
+      leftCols.map(col) ++ Seq(lit(null).cast(cType).as("__aj_p"),
         col(leftTime).as("__aj_t"), lit(1).as("__aj_tag")): _*)
     val rPart = right
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
@@ -74,19 +126,43 @@ object TemporalJoins {
       .select(
         leftCols.map(c => if (keys.contains(c)) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(struct(payload.map(col): _*).as("__aj_p"),
+        Seq(struct(struct(payload.map(col): _*).as("p"),
+            col(rightTime).as("t")).as("__aj_p"),
           col(rightTime).as("__aj_t"), lit(0).as("__aj_tag")): _*)
     // tag orders right (0) before left (1) at equal timestamps → the
-    // inclusive <= match; rows-between running `last ignoreNulls` is
-    // the carry-forward
+    // inclusive match; rows-between running `last ignoreNulls` is the
+    // carry-forward. Forward direction = the same carry with time
+    // DESCENDING: the "last right seen so far" is then the smallest
+    // rightTime >= the left row's time.
+    val timeOrder =
+      if (direction == "backward") col("__aj_t").asc else col("__aj_t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__aj_t"), col("__aj_tag"))
+      .orderBy(timeOrder, col("__aj_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lPart.union(rPart)
+    val carried = lPart.union(rPart)
       .withColumn("__aj_p", last(col("__aj_p"), ignoreNulls = true).over(w))
       .filter(col("__aj_tag") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(c => col("__aj_p")(c).as(c)): _*)
+    // tolerance: staleness of the matched row, measured toward the
+    // match direction; micros for timestamps, raw units otherwise
+    def asUnits(c: Column, isLeft: Boolean): Column = {
+      val dt = if (isLeft) left.schema(leftTime).dataType
+               else right.schema(rightTime).dataType
+      dt match {
+        case TimestampType => unix_micros(c)
+        case _             => c.cast("long")
+      }
+    }
+    val keep = tolerance match {
+      case None => col("__aj_p").isNotNull
+      case Some(tol) =>
+        val lt = asUnits(col("__aj_t"), isLeft = true)
+        val rt = asUnits(col("__aj_p")("t"), isLeft = false)
+        val staleness = if (direction == "backward") lt - rt else rt - lt
+        col("__aj_p").isNotNull && staleness <= lit(tol)
+    }
+    carried.select(leftCols.map(col) ++
+      payload.map(c =>
+        when(keep, col("__aj_p")("p")(c)).otherwise(lit(null)).as(c)): _*)
   }
 
   /** Cap on time bins per interval in [[rangeJoin]]: an interval
@@ -101,19 +177,31 @@ object TemporalJoins {
   /** RANGE (interval) join: (left row, right row) for every pair with
     * equal `keys` and `startCol <= timeCol < endCol` (half-open, the
     * convention window semantics use). Output: all left columns + all
-    * right columns except the keys (inner-join semantics — unmatched
-    * rows on either side drop).
+    * right columns except the keys.
     *
-    * Null keys/times/bounds never match and are filtered; degenerate
-    * intervals (end <= start) match nothing by the half-open predicate.
+    * `joinType`: `"inner"` (default — unmatched rows on either side
+    * drop) or `"left_outer"` (every left row survives; interval columns
+    * are null when no interval contains it — including left rows with
+    * null keys/times, which can never match). Either way a matching
+    * (left, interval) pair emits exactly once: an interval covering the
+    * left timestamp covers its bin exactly once.
+    *
+    * Null keys/times/bounds never match and (inner) are filtered;
+    * degenerate intervals (end <= start) match nothing by the half-open
+    * predicate. Neither side may use the reserved `__rj_` prefix.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 timeCol: String, startCol: String, endCol: String,
                 binMicros: Long = 300L * 1000000L,
-                maxBins: Int = DefaultMaxBinsPerInterval): DataFrame = {
+                maxBins: Int = DefaultMaxBinsPerInterval,
+                joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "rangeJoin needs at least one key column")
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     require(maxBins > 0, s"maxBins must be positive, got $maxBins")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
+    requireNoReserved(left, "left", "__rj_")
+    requireNoReserved(right, "right", "__rj_")
     val clash = right.columns.toSeq.filterNot(keys.contains)
       .intersect(left.columns.toSeq)
     require(clash.isEmpty,
@@ -125,11 +213,16 @@ object TemporalJoins {
       .withColumn("__rj_s", unix_micros(col(startCol)))
       .withColumn("__rj_e", unix_micros(col(endCol)))
       // end is EXCLUSIVE: an interval ending exactly on a bin edge does
-      // not cover that bin — last covered instant is end-1 micro
+      // not cover that bin — last covered instant is end-1 micro.
+      // Bin indices use exact integer floor division (floor(x/m) on
+      // doubles can misround a bin edge near 2^53 micros, silently
+      // missing a match).
+      .withColumn("__rj_b0", floorDivExpr("__rj_s", binMicros))
+      .withColumn("__rj_e1", col("__rj_e") - 1)
+      .withColumn("__rj_b1", floorDivExpr("__rj_e1", binMicros))
       .withColumn("__rj_nb",
         when(col("__rj_e") > col("__rj_s"),
-          floor((col("__rj_e") - 1) / binMicros) -
-            floor(col("__rj_s") / binMicros) + 1).otherwise(lit(0L)))
+          col("__rj_b1") - col("__rj_b0") + 1).otherwise(lit(0L)))
       // materialized once: the disclosure probe below and the join both
       // read the interval side (the semDedupPairs guard pattern)
       .localCheckpoint()
@@ -144,17 +237,38 @@ object TemporalJoins {
         over.take(20).map(_.toString).mkString(", "))
     val rBinned = rBase
       .filter(col("__rj_nb").between(1, maxBins))
-      .withColumn("__rj_bin", explode(sequence(
-        floor(col("__rj_s") / binMicros),
-        floor((col("__rj_e") - 1) / binMicros))))
-      .drop("__rj_nb")
-    val lBinned = left
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
-        col(timeCol).isNotNull)
+      .withColumn("__rj_bin", explode(sequence(col("__rj_b0"), col("__rj_b1"))))
+      .drop("__rj_nb", "__rj_b0", "__rj_b1", "__rj_e1")
+    val lTimed = left
       .withColumn("__rj_t", unix_micros(col(timeCol)))
-      .withColumn("__rj_bin", floor(col("__rj_t") / binMicros))
-    lBinned.join(rBinned, keys :+ "__rj_bin")
-      .filter(col("__rj_t") >= col("__rj_s") && col("__rj_t") < col("__rj_e"))
-      .drop("__rj_bin", "__rj_t", "__rj_s", "__rj_e")
+      .withColumn("__rj_bin", floorDivExpr("__rj_t", binMicros))
+    joinType match {
+      case "inner" =>
+        val lBinned = lTimed.filter(
+          keys.map(col(_).isNotNull).reduce(_ && _) && col(timeCol).isNotNull)
+        lBinned.join(rBinned, keys :+ "__rj_bin")
+          .filter(col("__rj_t") >= col("__rj_s") && col("__rj_t") < col("__rj_e"))
+          .drop("__rj_bin", "__rj_t", "__rj_s", "__rj_e")
+      case _ =>
+        // left_outer: the verify predicate moves INTO the join condition
+        // so a left row with no containing interval (or a null key/time
+        // — null equi-keys never match) survives once with null interval
+        // payload. Right keys ride under reserved names to keep the
+        // condition unambiguous; the equi part still drives the one
+        // (keys, bin) shuffle.
+        val rRenamed = keys.zipWithIndex.foldLeft(
+          rBinned.withColumnRenamed("__rj_bin", "__rj_rbin")) {
+          case (df, (k, i)) => df.withColumnRenamed(k, s"__rj_k$i")
+        }
+        val cond = keys.zipWithIndex
+          .map { case (k, i) => lTimed(k) === rRenamed(s"__rj_k$i") }
+          .reduce(_ && _) &&
+          lTimed("__rj_bin") === rRenamed("__rj_rbin") &&
+          lTimed("__rj_t") >= rRenamed("__rj_s") &&
+          lTimed("__rj_t") < rRenamed("__rj_e")
+        lTimed.join(rRenamed, cond, "left_outer")
+          .drop("__rj_bin", "__rj_t", "__rj_rbin", "__rj_s", "__rj_e")
+          .drop(keys.indices.map(i => s"__rj_k$i"): _*)
+    }
   }
 }

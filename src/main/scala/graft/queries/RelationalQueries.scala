@@ -284,6 +284,55 @@ object RelationalQueries {
         keys = Seq("user_id"))
     }.sortedBy(col("event_id")),
 
+    // AS-OF with a TOLERANCE bound (feature freshness): same join, but
+    // a nearest match staler than 30 minutes nulls out instead of
+    // silently attaching — the leakage/staleness guard real feature
+    // stores require. The oracle reads the matched row's ts off
+    // DuckDB's native ASOF operator and replays the null-out as a CASE.
+    QueryDef("j_asof_tolerance",
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS last_purchase
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |       CASE WHEN e.ts - r.ts <= INTERVAL 30 MINUTE
+        |            THEN r.last_purchase END AS last_purchase
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val state = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy("user_id", "ts").agg(max("value").as("last_purchase"))
+      graft.ops.TemporalJoins.asofJoin(
+        ev.select("event_id", "user_id", "ts", "event_type"), state,
+        keys = Seq("user_id"), tolerance = Some(30L * 60L * 1000000L))
+    }.sortedBy(col("event_id")),
+
+    // AS-OF with direction = FORWARD: each event picks the user's
+    // NEXT purchase at-or-after its timestamp (label attachment /
+    // time-to-event shape). Same engine window with the time ordering
+    // reversed; DuckDB's ASOF operator takes the reversed inequality.
+    QueryDef("j_asof_forward",
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS next_purchase
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type, r.next_purchase
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts <= r.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val state = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy("user_id", "ts").agg(max("value").as("next_purchase"))
+      graft.ops.TemporalJoins.asofJoin(
+        ev.select("event_id", "user_id", "ts", "event_type"), state,
+        keys = Seq("user_id"), direction = "forward")
+    }.sortedBy(col("event_id")),
+
     // RANGE (interval) join: events falling inside the 10-minute
     // half-open window following each signup by the same user. The
     // oracle states the raw range predicate; the engine runs the
@@ -308,6 +357,33 @@ object RelationalQueries {
         ev.select("event_id", "user_id", "ts"), iv,
         keys = Seq("user_id"), timeCol = "ts",
         startCol = "start_ts", endCol = "end_ts")
+    }.sortedBy(col("event_id"), col("interval_id")),
+
+    // LEFT-OUTER range join: every event survives; the containing
+    // signup window attaches where one exists, else null interval
+    // payload — the attach-context-else-null enrichment shape. The
+    // engine pushes the verify predicate into the (keys, bin) join
+    // condition; the oracle is the raw-predicate LEFT JOIN.
+    QueryDef("j_range_left",
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, user_id AS iv_user, ts AS start_ts,
+        |         ts + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       iv.interval_id, iv.start_ts, iv.end_ts
+        |FROM events e LEFT JOIN iv
+        |  ON e.user_id = iv.iv_user
+        | AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |ORDER BY e.event_id, iv.interval_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("interval_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      graft.ops.TemporalJoins.rangeJoin(
+        ev.select("event_id", "user_id", "ts"), iv,
+        keys = Seq("user_id"), timeCol = "ts",
+        startCol = "start_ts", endCol = "end_ts", joinType = "left_outer")
     }.sortedBy(col("event_id"), col("interval_id")),
 
     // Salted skew join: the engine spreads each customer key over 8

@@ -98,6 +98,99 @@ class TemporalJoinsSpec extends SparkSuite {
         binMicros = 0L))
   }
 
+  test("asof join: tolerance nulls out stale matches, boundary staleness inclusive") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u", T("2024-01-01 10:30:00")), // match@10:00 → 30 min stale
+      (2L, "u", T("2024-01-01 10:31:00")), // 31 min stale → nulled
+      (3L, "u", T("2024-01-01 10:00:00"))) // exact hit, staleness 0
+      .toDF("event_id", "k", "t")
+    val right = Seq(("u", T("2024-01-01 10:00:00"), 100L))
+      .toDF("k", "t", "state")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        tolerance = Some(30L * 60L * 1000000L))
+      .select("event_id", "state").as[(Long, Option[Long])].collect().toMap
+    // 30:00 staleness == tolerance → INCLUSIVE, still matches
+    assert(out == Map(1L -> Some(100L), 2L -> None, 3L -> Some(100L)), out)
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        tolerance = Some(-1L)))
+  }
+
+  test("asof join: forward direction picks the nearest at-or-after row; tolerance bounds forward staleness") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u", T("2024-01-01 10:00:00")), // next = 10:05
+      (2L, "u", T("2024-01-01 10:05:00")), // == right ts → inclusive
+      (3L, "u", T("2024-01-01 10:06:00")), // next = 10:20
+      (4L, "u", T("2024-01-01 10:21:00")), // nothing after → null
+      (5L, "w", T("2024-01-01 10:00:00"))) // key with no right rows
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      ("u", T("2024-01-01 10:05:00"), 100L),
+      ("u", T("2024-01-01 10:20:00"), 200L))
+      .toDF("k", "t", "state")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        direction = "forward")
+      .select("event_id", "state").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> Some(200L),
+      4L -> None, 5L -> None), out)
+    // forward tolerance: event 3's next match is 14 min ahead → nulled
+    // at a 10-min bound; event 1's is 5 min ahead → kept
+    val bounded = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        tolerance = Some(10L * 60L * 1000000L), direction = "forward")
+      .select("event_id", "state").as[(Long, Option[Long])].collect().toMap
+    assert(bounded == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> None, 5L -> None), bounded)
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        direction = "sideways"))
+  }
+
+  test("asof/range/salted joins: reserved internal column names rejected loudly") {
+    import spark.implicits._
+    val l = Seq((1L, "u", T("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
+    val r = Seq(("u", T("2024-01-01 09:00:00"), 5L)).toDF("k", "t", "state")
+    intercept[IllegalArgumentException](TemporalJoins.asofJoin(
+      l.withColumn("__aj_t", lit(1)), r, Seq("k"), "t", "t"))
+    intercept[IllegalArgumentException](TemporalJoins.asofJoin(
+      l, r.withColumn("__aj_p", lit(1)), Seq("k"), "t", "t"))
+    val iv = Seq((10L, "u", T("2024-01-01 10:00:00"), T("2024-01-01 10:10:00")))
+      .toDF("iid", "k", "s", "e")
+    intercept[IllegalArgumentException](TemporalJoins.rangeJoin(
+      l.withColumn("__rj_bin", lit(1)), iv, Seq("k"), "t", "s", "e"))
+    intercept[IllegalArgumentException](graft.ops.SkewJoin.saltedJoin(
+      l.withColumn("__sj_s", lit(1)), r.drop("t"), Seq("k"), "event_id"))
+  }
+
+  test("range join left_outer: every left row survives exactly once unmatched, matched rows multiply, null-key rows preserved") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u", T("2024-01-01 10:05:00")),  // inside both overlapping ivs
+      (2L, "u", T("2024-01-01 10:30:00")),  // inside nothing
+      (3L, "v", T("2024-01-01 10:05:00")),  // wrong key → unmatched
+      (4L, null.asInstanceOf[String], T("2024-01-01 10:05:00")), // null key
+      (5L, "u", null.asInstanceOf[java.sql.Timestamp]))          // null time
+      .toDF("event_id", "k", "t")
+    val iv = Seq(
+      (10L, "u", T("2024-01-01 10:00:00"), T("2024-01-01 10:10:00")),
+      (11L, "u", T("2024-01-01 10:04:00"), T("2024-01-01 10:06:00")))
+      .toDF("iid", "k", "s", "e")
+    val out = TemporalJoins.rangeJoin(left, iv, Seq("k"), "t", "s", "e",
+        binMicros = 60L * 1000000L, joinType = "left_outer")
+      .select("event_id", "iid").as[(Long, Option[Long])].collect().toSeq
+    assert(out.sorted == Seq(1L -> Some(10L), 1L -> Some(11L), 2L -> None,
+      3L -> None, 4L -> None, 5L -> None).sorted, out)
+    // row-count preservation law: |left_outer| >= |left|, and the
+    // unmatched tail is exactly the left rows the inner join drops
+    val inner = TemporalJoins.rangeJoin(left, iv, Seq("k"), "t", "s", "e",
+      binMicros = 60L * 1000000L)
+    assert(out.size == inner.count() + 4)
+    intercept[IllegalArgumentException](
+      TemporalJoins.rangeJoin(left, iv, Seq("k"), "t", "s", "e",
+        joinType = "full_outer"))
+  }
+
   test("plan shape: range join is an equi-join on (keys, bin) — no nested-loop product; asof is one window, no join") {
     import spark.implicits._
     val left = Seq((1L, "u", T("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
@@ -107,6 +200,11 @@ class TemporalJoinsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!rPlan.contains("BroadcastNestedLoopJoin") &&
       !rPlan.contains("CartesianProduct"), rPlan)
+    val loPlan = TemporalJoins.rangeJoin(left, iv, Seq("k"), "t", "s", "e",
+        joinType = "left_outer")
+      .queryExecution.executedPlan.toString
+    assert(!loPlan.contains("BroadcastNestedLoopJoin") &&
+      !loPlan.contains("CartesianProduct"), loPlan)
     val right = Seq(("u", T("2024-01-01 09:00:00"), 5L)).toDF("k", "t", "state")
     val aPlan = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t")
       .queryExecution.executedPlan.toString

@@ -6,6 +6,7 @@ values exact."""
 import sys, json, glob, duckdb, pandas as pd, numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -14,6 +15,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         odf = con.execute(sql).df()
     except Exception as e:
