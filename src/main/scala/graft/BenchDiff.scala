@@ -55,8 +55,13 @@ object BenchDiff {
             case c => sb += c; i += 1
           }
         }
-        // keep any raw text around the artifact too (parsed echo, etc.)
-        sb.toString
+        // keep the raw text AROUND the tail field too (the artifact's
+        // parsed echo after the closing quote, headers before it) — a
+        // per-query median present only there must not be dropped
+        val after =
+          if (done && i + 1 < fileText.length) fileText.substring(i + 1)
+          else ""
+        fileText.substring(0, m.start) + sb.toString + after
     }
   }
 

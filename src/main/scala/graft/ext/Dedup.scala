@@ -652,10 +652,17 @@ object Dedup {
     * 63-bit fingerprint used directly as an id overflows and corrupts
     * the first-occurrence order; re-key such corpora first), and
     * documents have fewer than 2²⁰ passages (a 100 TB web corpus is
-    * ~10³ passages/doc; a violating key would collide silently, so
-    * size `window` accordingly).
+    * ~10³ passages/doc; size `window` accordingly). Violations FAIL
+    * LOUDLY at execution ([[dedupPassages]] guards the key packing) —
+    * a non-numeric id would otherwise cast to a null key, null wins
+    * every min, and every passage would silently drop.
     */
   val PassageKeyBase: Long = 1L << 20
+
+  /** Exclusive upper bound on [[dedupPassages]] doc ids: the packed key
+    * `id · PassageKeyBase + chunk_id` must stay inside a positive Long.
+    */
+  val MaxPassageDocId: Long = Long.MaxValue / PassageKeyBase
 
   /** PASSAGE-level exact dedup — the CCNet/RefinedWeb "duplicated
     * line removal" stage, over fixed `window`-word passages (the corpus
@@ -699,11 +706,28 @@ object Dedup {
                     keepFirst: Boolean = true,
                     perDocument: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
+    // key-packing guard (the knob-rejection posture): a doc id that is
+    // non-numeric (casts to null), negative, or >= 2^43 — or a document
+    // with >= 2^20 passages — would wrap/null the packed key and
+    // silently corrupt the first-occurrence order (null keys win every
+    // min → every passage dropped). Fail AT EXECUTION, row-local, with
+    // the violating values named; valid inputs pay one branch, no extra
+    // action or scan.
+    val idL = col(idCol).cast("long")
+    val keyOk = idL.isNotNull && idL >= 0 && idL < MaxPassageDocId &&
+      col("chunk_id") < PassageKeyBase
     val p = graft.ext.TextAnalysis
       .chunkDocuments(docs, window, window, idCol, textCol)
       .withColumn("__pd_h", polyFingerprint(col("chunk_text")))
       .withColumn("__pd_k",
-        col(idCol).cast("long") * PassageKeyBase + col("chunk_id"))
+        when(keyOk, idL * PassageKeyBase + col("chunk_id"))
+          .otherwise(raise_error(concat(
+            lit(s"dedupPassages: '$idCol' must cast to a long in " +
+              s"[0, $MaxPassageDocId) and documents must have fewer than " +
+              s"$PassageKeyBase passages (re-key or raise `window`); " +
+              s"violating row: $idCol="),
+            coalesce(col(idCol).cast("string"), lit("null")),
+            lit(", chunk_id="), col("chunk_id").cast("string")))))
     val scopeCols = if (perDocument) Seq(idCol, "__pd_h") else Seq("__pd_h")
     val firsts = p.groupBy(scopeCols.map(col): _*)
       .agg(min("__pd_k").as("__pd_first"), count(lit(1)).as("__pd_n"))

@@ -30,9 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * recursive CTE over a delimited symbol string, and what the
   * naive-reference spec in NativeExprSpec re-implements independently.
   *
-  * Cross-engine contract caveats as [[VocabTokenCount]]: characters are
-  * Java UTF-16 units here and code points in DuckDB — identical on
-  * ASCII/BMP corpora (the merge table is ASCII); null text → null.
+  * Symbols are Unicode CODE POINTS (String#codePointAt walk), matching
+  * DuckDB's code-point semantics on ALL text — an astral character
+  * starts as one intact symbol, never a lone surrogate (which
+  * UTF8String would encode as '?', collapsing distinct astral chars
+  * into identical tokens). Null text → null.
   */
 case class BpeMergeTokens(child: Expression, merges: Seq[(String, String)],
                           pattern: String) extends UnaryExpression {
@@ -42,11 +44,13 @@ case class BpeMergeTokens(child: Expression, merges: Seq[(String, String)],
   // (TextAnalysis.learnBpeMerges iteration 0)
   locally {
     val formed = scala.collection.mutable.HashSet[String]()
+    def oneCp(s: String): Boolean =
+      s.nonEmpty && s.codePointCount(0, s.length) == 1
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      require(a.length == 1 || formed.contains(a),
+      require(oneCp(a) || formed.contains(a),
         s"merge $i ($a, $b): left side '$a' is neither a single character " +
           "nor an earlier merge's output — the table is not well-formed")
-      require(b.length == 1 || formed.contains(b),
+      require(oneCp(b) || formed.contains(b),
         s"merge $i ($a, $b): right side '$b' is neither a single character " +
           "nor an earlier merge's output — the table is not well-formed")
       formed += (a + b)
@@ -84,7 +88,11 @@ case class BpeMergeTokens(child: Expression, merges: Seq[(String, String)],
       val pt = m.group()
       var syms = new java.util.ArrayList[String](pt.length)
       var c = 0
-      while (c < pt.length) { syms.add(String.valueOf(pt.charAt(c))); c += 1 }
+      while (c < pt.length) {
+        val cp = pt.codePointAt(c)
+        syms.add(new String(Character.toChars(cp)))
+        c += Character.charCount(cp)
+      }
       var go = syms.size >= 2
       while (go) {
         var best = Integer.MAX_VALUE

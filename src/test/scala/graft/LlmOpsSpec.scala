@@ -1422,6 +1422,15 @@ class LlmOpsSpec extends SparkSuite {
         Seq("ab" -> "c"), TextAnalysis.BpePattern)
     }
     assert(e.getMessage.contains("not well-formed"))
+    // non-BMP text: symbols are CODE POINTS — two distinct astral
+    // characters stay two distinct intact tokens (a UTF-16-unit walk
+    // would split each into lone surrogates, which UTF8String encodes
+    // as '?', collapsing them into identical token arrays)
+    val astral = Seq("😀", "😁").toDF("text")
+      .select(TextAnalysis.bpeMergeTokens(col("text")))
+      .as[Seq[String]].collect().toSeq
+    assert(astral == Seq(Seq("😀"), Seq("😁")), astral)
+    assert(astral(0) != astral(1), "distinct astral chars must not collapse")
   }
 
   test("searchDocs: integer tf-idf retrieval goldens, dedup of repeated terms, TopKPerKey plan") {
@@ -1847,6 +1856,30 @@ class LlmOpsSpec extends SparkSuite {
       .select("doc_id", "clean_text", "n_kept")
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(scoped == Seq((1L, "x y a b", 2L), (2L, "x y c d", 2L)), scoped)
+  }
+
+  test("passage dedup: key-packing contract violations fail loudly, never a silent drop") {
+    import spark.implicits._
+    // a non-numeric id casts to null — before the guard this nulled the
+    // packed key, null won every min, and every passage dropped silently
+    val badId = Seq(("doc-a", "x y a b")).toDF("doc_id", "text")
+    val e1 = intercept[Exception](
+      Dedup.dedupPassages(badId, window = 2).collect())
+    assert(e1.getMessage.contains("dedupPassages"), e1.getMessage)
+    // an id at/above 2^43 would wrap the 63-bit packed key
+    val bigId = Seq((Dedup.MaxPassageDocId, "x y")).toDF("doc_id", "text")
+    val e2 = intercept[Exception](
+      Dedup.dedupPassages(bigId, window = 2).collect())
+    assert(e2.getMessage.contains("dedupPassages"), e2.getMessage)
+    // a negative id breaks the total order the min-aggregation needs
+    val negId = Seq((-1L, "x y")).toDF("doc_id", "text")
+    val e3 = intercept[Exception](
+      Dedup.dedupPassages(negId, window = 2).collect())
+    assert(e3.getMessage.contains("dedupPassages"), e3.getMessage)
+    // in-range ids still work, including the top of the range
+    val ok = Seq((Dedup.MaxPassageDocId - 1, "x y")).toDF("doc_id", "text")
+    assert(Dedup.dedupPassages(ok, window = 2)
+      .select("n_kept").as[Long].head() == 1L)
   }
 
   test("semdedup: within-cell pairs complete vs brute force, clusters label every id, guard discloses") {
