@@ -416,7 +416,27 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 3, bits: Int = 60,
                       blocks: Int = 6, maxHamming: Int = 3,
+                      maxBucket: Int = DefaultMaxBucketWidth): DataFrame =
+    hammingNearDups(
+      docs.select(col(idCol),
+        simhash(shingleHashes(col(textCol), n), bits).as("simhash")),
+      idCol, "simhash", bits, blocks, maxHamming, maxBucket)
+
+  /** Hamming-ball near-dup pairs over PRECOMPUTED integer signatures —
+    * the [[simhashNearDups]] machinery (which delegates here) exposed
+    * signature-level, so ANY `bits`-wide hash reuses the full guarded
+    * plan: perceptual media dHash ([[Multimodal.nearDupMediaPairs]]),
+    * an externally-computed simhash, a feature fingerprint. Signatures
+    * may use all 64 bits (signed values are fine — slices are
+    * mask-extracted, and XOR/bit_count are sign-agnostic); null
+    * signatures never pair. Output: (doc_a, doc_b, hamming) member
+    * pairs, ids ordered doc_a < doc_b.
+    */
+  def hammingNearDups(sigs: DataFrame, idCol: String = "doc_id",
+                      sigCol: String = "simhash", bits: Int = 64,
+                      blocks: Int = 8, maxHamming: Int = 3,
                       maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(bits % blocks == 0,
       s"bits ($bits) must split evenly into blocks ($blocks)")
     require(blocks > maxHamming,
@@ -426,8 +446,7 @@ object Dedup {
     val sliceBits = bits / blocks
     val agree = blocks - maxHamming
     val combos = simhashCombos(blocks, agree)
-    val feats = docs.select(col(idCol),
-      simhash(shingleHashes(col(textCol), n), bits).as("simhash"))
+    val feats = sigs.select(col(idCol), col(sigCol).as("simhash"))
     val grouped = feats.withColumn("rep",
       when(col("simhash").isNull, col(idCol))
         .otherwise(min(col(idCol)).over(Window.partitionBy("simhash"))))

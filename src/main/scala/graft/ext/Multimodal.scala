@@ -159,8 +159,8 @@ object Multimodal {
 
   /** Exact-duplicate media groups by RAW-BYTE content fingerprint —
     * the image/video analog of [[Dedup.exactDupGroups]] (a re-crawled
-    * image is a byte-identical payload; near-dup perceptual hashing is
-    * the embedding family's job). One row per distinct payload:
+    * image is a byte-identical payload; a re-ENCODED one is
+    * [[nearDupMediaPairs]]' job). One row per distinct payload:
     * (content_fp, keep_id = min media id, n_copies). A null payload
     * fingerprints like the empty payload (the [[metadata]] contract),
     * so all null/empty media form one group.
@@ -176,5 +176,169 @@ object Multimodal {
         graft.functions.polyFingerprint(payload).as("content_fp"))
       .groupBy("content_fp")
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // ── Perceptual near-dup (dHash) ──────────────────────────────────
+
+  /** 64-bit difference hash (dHash) of a decoded raster: area-averaged
+    * 9×8 grayscale, bit (row r, col c) = 1 iff cell(r)(c) < cell(r)(c+1)
+    * — the horizontal-gradient signature. Reads PIXELS, not bytes, so a
+    * re-encoded/re-compressed copy (PNG↔BMP, recompressed JPEG) hashes
+    * to the same or a few-bit-distant value, which byte-exact dedup
+    * ([[exactDupGroups]]) can never catch. Deterministic: integer cell
+    * edges by proportional division, Rec.601 luma weights.
+    */
+  def dHashFromImage(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val cells = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.min(h, math.max((gy + 1) * h / gh, y0 + 1))
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.min(w, math.max((gx + 1) * w / gw, x0 + 1))
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(gy)(gx) = if (n == 0) 0.0 else sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var acc = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r)(c) < cells(r)(c + 1)) acc |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    acc
+  }
+
+  /** STUB perceptual hash for media the JDK cannot decode: 63 bits from
+    * two PolyHash passes over the raw bytes (`h(p) << 32 | h(p ++ '#')`
+    * — each pass is 31 bits, so the packed value stays non-negative).
+    * Byte-deterministic, NOT perceptual — it stands in for the raster
+    * path exactly like [[decodeStub]] stands in for codecs; the
+    * engine-portable arithmetic is what the oracle replays.
+    */
+  def dHashStubBytes(payload: Array[Byte]): Long = {
+    def ph(bs: Array[Byte]): Long = {
+      var acc = 0L; var i = 0
+      while (i < bs.length) {
+        acc = (acc * 31L + (bs(i) & 0xffL)) % 2147483647L
+        i += 1
+      }
+      acc
+    }
+    (ph(payload) << 32) + ph(payload ++ HashSalt)
+  }
+
+  private val HashSalt: Array[Byte] = "#".getBytes("UTF-8")
+
+  /** Column-only stub-dHash projection (the oracle-verified surface,
+    * mirroring [[metadata]] vs [[extractFeatures]]): (media_id, dhash)
+    * as pure codegen'd expressions — value-identical to
+    * [[dHashFeatures]] for every non-image media type (null payload
+    * hashes as empty, the [[metadata]] convention).
+    */
+  def dHash(media: DataFrame): DataFrame = {
+    val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
+    media.select(col("media_id"),
+      (shiftleft(graft.functions.polyFingerprint(payload), 32) +
+        graft.functions.polyFingerprint(
+          concat(payload, lit(HashSalt)))).as("dhash"))
+  }
+
+  /** Batched per-partition perceptual hashing: image-typed payloads decode
+    * for REAL (javax.imageio) and hash their raster via
+    * [[dHashFromImage]]; undecodable or non-image payloads fall back to
+    * [[dHashStubBytes]] (the corrupt-sample policy [[extractFeatures]]
+    * uses). Output: (media_id, dhash).
+    */
+  def dHashFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(new StructType()
+      .add("media_id", LongType).add("dhash", LongType))
+    val typed =
+      if (media.columns.contains("media_type")) media
+      else media.withColumn("media_type", lit(null).cast("string"))
+    typed.select("media_id", "payload", "media_type")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty)
+            val mediaType = if (r.isNullAt(2)) "" else r.getString(2)
+            val dh =
+              if (mediaType.startsWith("image/"))
+                decodeImage(payload) match {
+                  case Some(_) =>
+                    // decodeImage proved the bytes decode; re-read for
+                    // the raster (ImageIO.read is the decode)
+                    dHashFromImage(javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(payload)))
+                  case None => dHashStubBytes(payload)
+                }
+              else dHashStubBytes(payload)
+            Row(id, dh)
+          }
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-dup media PAIRS: dHash signatures through the
+    * guarded Hamming-ball machinery ([[Dedup.hammingNearDups]] — 8
+    * blocks of 8 bits, capped disclosed combo buckets, one
+    * bit_count(xor) verify per candidate). Catches the most common
+    * duplicate in crawled media — the same image re-encoded, resized
+    * storage-side, or recompressed — which byte-exact grouping misses
+    * entirely. Output: (media_a, media_b, hamming), media_a < media_b.
+    *
+    * Scale shape inherits the Hamming machinery wholesale: one decode
+    * pass over the scan (the only per-byte work), then everything
+    * shuffles 8-byte signatures — identical-signature collapse first,
+    * so 10⁸ copies of one logo cost one band row.
+    */
+  def nearDupMediaPairs(media: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = Dedup.DefaultMaxBucketWidth,
+                        useRealDecode: Boolean = true): DataFrame = {
+    val sigs =
+      if (useRealDecode) dHashFeatures(media) else dHash(media)
+    Dedup.hammingNearDups(sigs, idCol = "media_id", sigCol = "dhash",
+        bits = 64, blocks = 8, maxHamming = maxHamming,
+        maxBucket = maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
+  /** Perceptual near-dup media GROUPS: the pair edges closed into
+    * connected components ([[Dedup.clusterLabels]] min-label
+    * propagation); every media id appears, singletons label themselves.
+    * Output: (media_id, group_id).
+    */
+  def nearDupMediaGroups(media: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = Dedup.DefaultMaxBucketWidth,
+                         useRealDecode: Boolean = true,
+                         maxRounds: Int = 50): DataFrame = {
+    val edges = nearDupMediaPairs(media, maxHamming, maxBucket, useRealDecode)
+      .select(col("media_a").as("src"), col("media_b").as("dst"))
+    Dedup.clusterLabels(media.select(col("media_id").as("id")), edges,
+        maxRounds)
+      .select(col("id").as("media_id"), col("cluster_id").as("group_id"))
   }
 }

@@ -2530,6 +2530,69 @@ object LlmQueries {
       Multimodal.exactDupGroups(media).filter(col("n_copies") > 1)
     }.sortedBy(col("keep_id")),
 
+    // ── Perceptual media near-dup (dHash → Hamming-ball) ───────────
+    // Re-encoded copies are PLANTED at signature level: every doc_id
+    // < 20 gains a variant under a shifted id whose stub dHash differs
+    // by XOR 5 (2 bits — deterministic codec noise), so the full
+    // guarded Hamming machinery (collapse → C(8,5) combo banding →
+    // capped buckets → bit_count verify → member expansion) is
+    // exercised on real near-collisions. The REAL raster path (decode
+    // PNG/BMP, 9×8 area-average, gradient bits) is spec-gated
+    // (LlmOpsSpec: a re-encode hashes identically, distinct images
+    // don't); the stub hash is the engine-portable arithmetic DuckDB
+    // replays here.
+    QueryDef("t_media_neardup", {
+      val dhExpr = s"(${polyhash("coalesce(text, '')")} * 4294967296 + " +
+        s"${polyhash("concat(coalesce(text, ''), '#')")})"
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, $dhExpr AS dh FROM documents),
+         |u AS (
+         |  SELECT media_id, dh FROM m
+         |  UNION ALL
+         |  SELECT media_id + 100000, xor(dh, 5) FROM m WHERE media_id < 20),
+         |ugrp AS (SELECT dh, min(media_id) AS rep FROM u GROUP BY dh),
+         |umem AS (SELECT u.media_id, g.rep, u.dh
+         |         FROM u JOIN ugrp g ON u.dh = g.dh),
+         |ubands AS (
+         |  SELECT g.rep AS media_id, c.band,
+         |         ${simhashComboKeyExpr("g.dh", 8, 5)} AS bkey
+         |  FROM ugrp g CROSS JOIN (VALUES
+         |    ${simhashComboValues(8, 5)}) c(band, b0, b1, b2, b3, b4)
+         |  QUALIFY count(*) OVER (PARTITION BY c.band, bkey)
+         |    <= ${Dedup.DefaultMaxBucketWidth}),
+         |ucand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+         |  FROM ubands a JOIN ubands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id),
+         |urp AS (
+         |  SELECT c.ma, c.mb, bit_count(xor(ga.dh, gb.dh)) AS hamming
+         |  FROM ucand c
+         |  JOIN ugrp ga ON ga.rep = c.ma
+         |  JOIN ugrp gb ON gb.rep = c.mb
+         |  WHERE bit_count(xor(ga.dh, gb.dh)) <= 3),
+         |upairs AS (
+         |  SELECT least(ma2.media_id, mb2.media_id) AS media_a,
+         |         greatest(ma2.media_id, mb2.media_id) AS media_b, p.hamming
+         |  FROM urp p
+         |  JOIN umem ma2 ON ma2.rep = p.ma
+         |  JOIN umem mb2 ON mb2.rep = p.mb
+         |  UNION ALL
+         |  SELECT a.media_id, b.media_id, 0
+         |  FROM umem a JOIN umem b
+         |    ON a.rep = b.rep AND a.media_id < b.media_id)
+         |SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM upairs ORDER BY media_a, media_b""".stripMargin
+    }) { (s, d) =>
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val base = Multimodal.dHash(media)
+      val reenc = base.filter(col("media_id") < 20)
+        .select((col("media_id") + 100000).as("media_id"),
+          col("dhash").bitwiseXOR(lit(5L)).as("dhash"))
+      Dedup.hammingNearDups(base.union(reenc), idCol = "media_id",
+          sigCol = "dhash", bits = 64, blocks = 8, maxHamming = 3)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming"))
+    }.sortedBy(col("media_a"), col("media_b")),
+
     // ── Multimodal columns ─────────────────────────────────────────
     QueryDef("t_multimodal_meta",
       s"""SELECT doc_id AS media_id,

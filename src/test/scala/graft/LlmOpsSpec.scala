@@ -924,6 +924,69 @@ class LlmOpsSpec extends SparkSuite {
     assert(g == Set((1L, 2L), (3L, 1L), (4L, 2L)), g)
   }
 
+  test("perceptual media near-dup: a re-encoded image groups with its original, distinct images stay apart") {
+    import spark.implicits._
+    // two VISUALLY distinct images: a left-to-right ramp (every dHash
+    // gradient bit 1) and its reverse (every bit 0) → Hamming 64
+    def ramp(reverse: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 40).foreach { x =>
+        val v = if (reverse) 255 - x * 6 else x * 6
+        (0 until 24).foreach(y => img.setRGB(x, y, v << 16 | v << 8 | v))
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val a = ramp(reverse = false)
+    val pngA = enc(a, "png")
+    val bmpA = enc(a, "bmp") // same raster, DIFFERENT bytes
+    val pngB = enc(ramp(reverse = true), "png")
+    assert(!java.util.Arrays.equals(pngA, bmpA),
+      "re-encode must actually change the bytes")
+    val media = Seq(
+      (1L, "image/png", pngA),
+      (2L, "image/bmp", bmpA),
+      (3L, "image/png", pngB))
+      .toDF("media_id", "media_type", "payload")
+    // byte-exact dedup CANNOT see the re-encode...
+    val exact = Multimodal.exactDupGroups(media)
+      .filter(col("n_copies") > 1).count()
+    assert(exact == 0L, "distinct bytes must not group byte-exactly")
+    // ...the perceptual path must: lossless re-encode → same raster →
+    // identical dHash → Hamming 0
+    val pairs = Multimodal.nearDupMediaPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)), pairs)
+    val groups = Multimodal.nearDupMediaGroups(media)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), groups)
+  }
+
+  test("perceptual media near-dup: stub arithmetic agrees across column, byte, and mapPartitions paths") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, sf).limit(50), "doc_id", "text")
+    // non-image media: the batched path must equal the pure-expression
+    // path bit for bit (the metadata/extractFeatures law)
+    assert(rows(Multimodal.dHashFeatures(media, batchSize = 16)) ==
+      rows(Multimodal.dHash(media)))
+    // and both equal the reference byte computation
+    val viaBytes = Multimodal.dHashStubBytes("spark graft".getBytes("UTF-8"))
+    val viaCol = Multimodal.dHash(
+      Seq((1L, "text/plain", "spark graft".getBytes("UTF-8")))
+        .toDF("media_id", "media_type", "payload"))
+      .select("dhash").as[Long].head()
+    assert(viaBytes == viaCol)
+    // signatures use high bits (>= 2^32) so all 8 Hamming blocks carry
+    // real content — the banding has selectivity in every block
+    assert(viaBytes > (1L << 32), viaBytes.toString)
+  }
+
   test("raw-byte fingerprint: binary polyhash equals string polyhash on text, differs from cast on non-UTF-8") {
     import spark.implicits._
     val df = Seq("plain ascii text", "unicode ÿ é").toDF("s")
