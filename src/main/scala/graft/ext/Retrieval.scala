@@ -44,12 +44,7 @@ object Retrieval {
     // null-safe: a null query_id (or a non-numeric id the cast nulls
     // out) is a contract violation surfaced loudly, not an NPE from
     // Row.getLong deep in the dense arm
-    val queryIds = queries.select(col("query_id").cast("long").as("qid"))
-      .filter(col("qid").isNotNull)
-      .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    require(queryIds.nonEmpty,
-      "hybridSearch: the queries relation has no non-null numeric query_id " +
-        "— dense-arm ids must cast to long (the TESTDATA vec_id contract)")
+    val queryIds = numericQueryIds(queries)
     val sparse = TextAnalysis
       .searchDocs(docs, queries, kSparse, docIdCol, textCol)
       .select(col("query_id"), col(docIdCol).as("doc_id"),
@@ -59,6 +54,56 @@ object Retrieval {
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
     rrfFuse(sparse, dense, k, rrfK)
+  }
+
+  /** PRODUCTION hybrid retrieval: BM25 lexical arm + a PERSISTED-INDEX
+    * dense arm (multi-probe search over a pre-built LSH index —
+    * [[Similarity.annTopKMultiProbeIndexed]]) fused by RRF. This is
+    * the shape that holds at corpus scale: the lexical arm is one
+    * broadcast-cut corpus scan, the dense arm touches only the probed
+    * index buckets (zero training, zero sign-bucket computation at
+    * query time), and fusion joins two ≤ |Q|·kArm relations. The
+    * inline [[hybridSearch]] (exact brute-force dense arm) remains the
+    * recall baseline this approximates — when the index covers the
+    * corpus and the probe set finds the true neighbors, the two fuse
+    * identically (spec-asserted).
+    *
+    * Output: (query_id, doc_id, rrf, bm25_rank, dense_rank, rank) —
+    * same audit shape as [[hybridSearch]].
+    */
+  def hybridSearchIndexed(docs: DataFrame, queries: DataFrame,
+                          indexName: String, k: Int = 10, kSparse: Int = 20,
+                          kDense: Int = 20, rrfK: Int = 60, planes: Int = 4,
+                          probeBits: Int = 1, docIdCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(k > 0 && kSparse > 0 && kDense > 0,
+      s"k/kSparse/kDense must be positive, got $k/$kSparse/$kDense")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val queryIds = numericQueryIds(queries)
+    val bm25 = TextAnalysis
+      .searchDocsBm25(docs, queries, kSparse, idCol = docIdCol,
+        textCol = textCol)
+      .select(col("query_id"), col(docIdCol).as("doc_id"),
+        col("rank").as("bm25_rank"))
+    val dense = Similarity
+      .annTopKMultiProbeIndexed(docs.sparkSession, indexName, queryIds,
+        kDense, planes, probeBits = probeBits)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    rrfFuseAll(Seq(bm25, dense), k, rrfK)
+  }
+
+  /** Distinct numeric query ids for a dense arm — |Q|-bounded driver
+    * collect, loud on the null/non-numeric contract violation.
+    */
+  private def numericQueryIds(queries: DataFrame): Seq[Long] = {
+    val ids = queries.select(col("query_id").cast("long").as("qid"))
+      .filter(col("qid").isNotNull)
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    require(ids.nonEmpty,
+      "the queries relation has no non-null numeric query_id — dense-arm " +
+        "ids must cast to long (the TESTDATA vec_id contract)")
+    ids
   }
 
   /** The fusion primitive [[hybridSearch]] is built on, public so ANY

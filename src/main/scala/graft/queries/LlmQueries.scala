@@ -644,9 +644,18 @@ object LlmQueries {
   /** Multi-probe variant of [[annLshSql]]: the probe set per (query,
     * table) is the bucket itself plus every 1-bit flip — and, at
     * `probeBits = 2`, every C(planes, 2) 2-bit flip — the same
-    * list_prepend/xor expansion the Spark side explodes.
+    * list_prepend/xor expansion the Spark side explodes. The CTE chain
+    * (ending at `ranked`) is exposed separately so the hybrid-indexed
+    * oracle can compose it beside the BM25 chain; `idPred` selects the
+    * query vectors.
     */
-  private def annLshMultiProbeSqlFor(probeBits: Int): String = {
+  private def annLshMultiProbeSqlFor(probeBits: Int): String =
+    s"""WITH ${annLshMultiProbeCtes(probeBits)}
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def annLshMultiProbeCtes(probeBits: Int,
+                                   idPred: String = "vec_id < 5"): String = {
     val oneBitList =
       """list_prepend(bucket,
         |           list_transform(generate_series(0, 3),
@@ -658,10 +667,10 @@ object LlmQueries {
         |             i -> list_transform(generate_series(i + 1, 3),
         |               j -> xor(bucket, (CAST(1 AS BIGINT) << i)
         |                                + (CAST(1 AS BIGINT) << j))))))""".stripMargin
-    s"""WITH ${lshBucketsCte(tables = 8, planes = 4, dims = 64)},
+    s"""${lshBucketsCte(tables = 8, planes = 4, dims = 64)},
        |q AS (
        |  SELECT tbl, bucket, vec_id AS query_id
-       |  FROM buckets WHERE vec_id < 5),
+       |  FROM buckets WHERE $idPred),
        |probes AS (
        |  SELECT tbl,
        |         unnest($probeList) AS bucket,
@@ -681,9 +690,7 @@ object LlmQueries {
        |  SELECT query_id, neighbor_id, cos,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM scored)
-       |SELECT * FROM ranked WHERE rank <= 10
-       |ORDER BY query_id, rank""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   /** BPE tokenizer TRAINING replayed in SQL — the Sennrich loop
@@ -2018,6 +2025,40 @@ object LlmQueries {
       val queries = SearchQueries.toDF("query_id", "term")
       graft.ext.Retrieval.hybridSearch(Tables.documents(s, d),
         Tables.embeddings(s, d), queries, k = 10)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // PRODUCTION hybrid: BM25 arm + PERSISTED-INDEX dense arm
+    // (multi-probe LSH over the same index t_ann_lsh_multiprobe gates)
+    // through rrfFuseAll — the at-scale shape where the dense arm
+    // touches only probed buckets, zero train/bucket work per query.
+    // The oracle composes the two proven CTE chains (bm25Ctes +
+    // annLshMultiProbeCtes) and replays the integer RRF fusion.
+    QueryDef("t_hybrid_indexed", {
+      val qIds = SearchQueries.map(_._1).distinct.sorted.mkString(", ")
+      s"""WITH ${bm25Ctes(k1X100 = 120, bX100 = 75)},
+         |${annLshMultiProbeCtes(1, s"vec_id IN ($qIds)")},
+         |hifused AS (
+         |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         |         coalesce(s.doc_id, d.neighbor_id) AS doc_id,
+         |         coalesce(1000000 // (60 + s.rank), 0)
+         |           + coalesce(1000000 // (60 + d.rank), 0) AS rrf,
+         |         s.rank AS bm25_rank, d.rank AS dense_rank
+         |  FROM (SELECT * FROM branked WHERE rank <= 20) s
+         |  FULL JOIN (SELECT * FROM ranked WHERE rank <= 20) d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.neighbor_id),
+         |hiranked AS (
+         |  SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf,
+         |         bm25_rank, dense_rank,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM hifused)
+         |SELECT * FROM hiranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      graft.ext.Retrieval.hybridSearchIndexed(Tables.documents(s, d),
+        queries, lshIndexFor(s, d), k = 10)
     }.sortedBy(col("query_id"), col("rank")),
 
     // ── Deterministic sequence packing ─────────────────────────────

@@ -1584,6 +1584,34 @@ class LlmOpsSpec extends SparkSuite {
       armA.withColumn("extra", lit(1)), armB, k = 5))
   }
 
+  test("hybridSearchIndexed: fusion over the persisted index equals manual fusion of the proven arms") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val queries = Seq((0L, "query"), (0L, "window"), (1L, "stream"))
+      .toDF("query_id", "term")
+    Similarity.buildLshIndex(emb, "t_hybrid_idx", planes = 4, dims = 64)
+    val got = graft.ext.Retrieval.hybridSearchIndexed(
+      docs, queries, "t_hybrid_idx", k = 10)
+    // reference: the same two arms assembled by hand — BM25 inline +
+    // INLINE multi-probe LSH (bit-identical to the indexed search by
+    // the t_ann_lsh_multiprobe law) — through the public fusion
+    val bm25 = TextAnalysis.searchDocsBm25(docs, queries, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val dense = Similarity.annTopKMultiProbe(emb, Seq(0L, 1L), 20,
+        planes = 4, dims = 64)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val ref = graft.ext.Retrieval.rrfFuseAll(Seq(bm25, dense), k = 10)
+    assert(rows(got) == rows(ref))
+    // output carries both audit ranks; every fused row is in the top-10
+    assert(got.columns.toSeq ==
+      Seq("query_id", "doc_id", "rrf", "bm25_rank", "dense_rank", "rank"))
+    assert(got.filter(col("rank") > 10).count() == 0L)
+    intercept[IllegalArgumentException](graft.ext.Retrieval
+      .hybridSearchIndexed(docs, queries, "t_hybrid_idx", k = 0))
+  }
+
   test("BPE training: hand goldens, naive-reference parity, early stop, oracle validity") {
     import spark.implicits._
     // independent naive reference: tokenize-under-merges (min-rank loop)
