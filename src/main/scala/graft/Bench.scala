@@ -26,8 +26,15 @@ import graft.core.Sessions
   *    a 3 s-median query); n=5 with a trimmed mean absorbs one outlier
   *    completely;
   *  - the two STREAMING anchors (composed curation flagship docs/s,
-  *    ratings-topology ev/s) run once, untimed-warm-up included.
-  *    `SPARK_GRAFT_BENCH_STREAM=0` skips them.
+  *    ratings-topology ev/s) run `SPARK_GRAFT_BENCH_STREAM_REPS`
+  *    (default 3) times each, untimed-warm-up included per rep, and
+  *    report the MEDIAN rep — single runs carried ±2× contention
+  *    variance, unusable as a regression gate; `stream_reps` rides in
+  *    the stanza. `SPARK_GRAFT_BENCH_STREAM=0` skips them.
+  *  - `SPARK_GRAFT_BENCH_PREV=<prior BENCH artifact or raw stdout>`
+  *    appends an in-process regression verdict to the trailer
+  *    (`regressions_n` + the worst ≤10 shared queries past 1.3×, via
+  *    BenchDiff's truncation-tolerant parser).
   *
   * Output: TWO JSON lines. First the full line: `queries` maps name →
   * median seconds (the driver contract), `queries_stats` maps name →
@@ -97,22 +104,34 @@ object Bench {
       }
     }
 
-    // streaming anchors (one run each, in-session): composed curation
-    // flagship + ratings topology — the durable per-round record of the
-    // numbers StreamBench's mains otherwise print into the void.
+    // streaming anchors (MEDIAN of `streamReps` runs each, in-session):
+    // composed curation flagship + ratings topology — the durable
+    // per-round record of the numbers StreamBench's mains otherwise
+    // print into the void. Single runs carried ±2× run-to-run variance
+    // under sandbox contention (r11 verdict), too noisy to detect a
+    // real streaming regression; the median of 3 is the stable signal.
     // `streamStanza` is the bare `{...}` object so it can be embedded in
     // BOTH the big line and the trailer line.
+    val streamReps =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "3").toInt.max(1)
     val streamStanza: Option[String] =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "0") None
       else try {
+        // median rep by throughput (odd reps → true median); each rep
+        // gets its OWN gate store + sink tag — a shared store would make
+        // later reps see rep 1's docs as redeliveries and gate them all
+        def med(xs: Seq[(Double, Double, Long)]): (Double, Double, Long) =
+          xs.sortBy(_._1).apply(xs.size / 2)
         // 4000-doc micro-batches — the batch size the flagship's
         // published docs/s uses; StreamBench pins shuffle partitioning
         // to the published 8-partition shape (thread count still
         // follows SPARK_GRAFT_CPUS — compare like-configured rounds)
-        val (dps, dSecs, admitted) = StreamBench.pipelineRun(spark, 8000, 2,
-          storeName = "bench_curation")
-        val (eps, eSecs, aggRows) = StreamBench.ratingsRun(spark, 60000, 6)
-        Some(f"""{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows}""")
+        val (dps, dSecs, admitted) = med((1 to streamReps).map(r =>
+          StreamBench.pipelineRun(spark, 8000, 2,
+            storeName = s"bench_curation_$r")))
+        val (eps, eSecs, aggRows) = med((1 to streamReps).map(r =>
+          StreamBench.ratingsRun(spark, 60000, 6, tag = s"sbr$r")))
+        Some(f"""{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows,"stream_reps":$streamReps}""")
       } catch { case e: Throwable =>
         // a streaming-anchor failure must cost the stream section, not
         // the 5×62 batch samples already collected in this run
@@ -128,7 +147,7 @@ object Bench {
     val storeStanza: Option[String] = streamStanza.flatMap { _ =>
       try {
         val r = graft.streaming.IngestDedupGate
-          .storeStats(spark, "bench_curation").collect().head
+          .storeStats(spark, s"bench_curation_$streamReps").collect().head
         Some(s"""{"version":${r.getLong(0)},"dirs":${r.getLong(1)},"band_files":${r.getLong(2)},"band_bytes":${r.getLong(3)},"feat_files":${r.getLong(4)},"feat_bytes":${r.getLong(5)}}""")
       } catch { case e: Throwable =>
         // disclose, don't swallow: a corrupt store should show up as
@@ -139,6 +158,34 @@ object Bench {
     }
 
     def jstr(s: String): String = graft.core.Json.str(s)
+
+    // in-process regression check vs a prior artifact: point
+    // SPARK_GRAFT_BENCH_PREV at the previous round's BENCH_r{N}.json
+    // (or raw Bench stdout) and the trailer carries its own
+    // round-over-round verdict — shared queries slower than 1.3×,
+    // worst first — instead of leaving ratio reconstruction to a later
+    // BenchDiff run against a possibly-truncated tail.
+    val regressionJson: String = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
+      case None => ""
+      case Some(p) =>
+        try {
+          val (prev, _, _) = BenchDiff.loadFile(p)
+          val cur = results.collect {
+            case (k, m, xs) if xs.nonEmpty => k -> m
+          }.toMap
+          val regs = BenchDiff.regressions(prev, cur, threshold = 1.3)
+          val items = regs.take(10).map { case (k, pv, cv, r) =>
+            f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f}"""
+          }
+          s""","regressions_n":${regs.size},"regressions":[${items.mkString(",")}]"""
+        } catch { case e: Throwable =>
+          // disclose an unreadable prev artifact, don't fail the bench
+          failed("bench_prev") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+          ""
+        }
+    }
+
     val qs = results.map { case (k, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
     val stats = results.collect { case (k, m, xs) if xs.nonEmpty =>
       s"${jstr(k)}:{\"median\":$m,\"tmean\":${tmean(xs)},\"n\":${xs.size},\"min\":${xs.min},\"max\":${xs.max}}"
@@ -160,7 +207,7 @@ object Bench {
     val failTrail =
       if (failed.isEmpty) ""","failed_n":0"""
       else s""","failed_n":${failed.size},"failed_names":${failed.keys.take(10).map(jstr).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail,"iters":$iters,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail$regressionJson,"iters":$iters,"sf":${jstr(sfDir)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()

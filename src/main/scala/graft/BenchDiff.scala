@@ -81,17 +81,36 @@ object BenchDiff {
     SummaryHead.findFirstMatchIn(text).map(_.group(1).toDouble)
       .orElse(TotalHead.findFirstMatchIn(text).map(_.group(1).toDouble))
 
+  /** Shared queries whose current median regressed past `threshold`
+    * (cur/prev), worst first: (query, prev, cur, ratio). Shared with
+    * [[Bench]]'s in-process regression trailer (SPARK_GRAFT_BENCH_PREV)
+    * so each round's artifact carries its own regression verdict.
+    */
+  private[graft] def regressions(prev: Map[String, Double],
+                                 cur: Map[String, Double],
+                                 threshold: Double = 1.3)
+      : Seq[(String, Double, Double, Double)] =
+    cur.toSeq.flatMap { case (k, c) =>
+      prev.get(k).filter(p => p > 0 && c / p > threshold)
+        .map(p => (k, p, c, c / p))
+    }.sortBy(-_._4)
+
+  /** Load + extract + parse one bench artifact/stdout file: per-query
+    * medians, reported total, stream stanza.
+    */
+  private[graft] def loadFile(path: String)
+      : (Map[String, Double], Option[Double], Option[String]) = {
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val text = extractText(raw)
+    (parseQueries(text), parseTotal(text),
+      StreamStanza.findFirstMatchIn(text).map(_.group(1)))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: BenchDiff <a.json> <b.json>")
-    def load(p: String) = {
-      val raw = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-      val text = extractText(raw)
-      (parseQueries(text), parseTotal(text),
-        StreamStanza.findFirstMatchIn(text).map(_.group(1)))
-    }
-    val (qa, ta, sa) = load(args(0))
-    val (qb, tb, sb) = load(args(1))
+    val (qa, ta, sa) = loadFile(args(0))
+    val (qb, tb, sb) = loadFile(args(1))
 
     val common = (qa.keySet & qb.keySet).toSeq
     val rows = common.map { k =>

@@ -153,15 +153,17 @@ object StreamBench {
     * broadcast enrich → two windowed aggregations; shared with
     * [[Bench]]): returns (events/second, timed seconds, aggregated
     * event count — the guard that the windowed state actually saw the
-    * timed data). One call per session: the memory-sink query names are
-    * fixed.
+    * timed data). `tag` prefixes the memory-sink query names — callers
+    * repeating the run inside one session (Bench's median-of-n stream
+    * anchor) pick distinct tags.
     */
   def ratingsRun(spark: org.apache.spark.sql.SparkSession, n: Int,
-                 nBatches: Int): (Double, Double, Long) =
-    withPinnedShuffle(spark)(ratingsRunPinned(spark, n, nBatches))
+                 nBatches: Int, tag: String = "sb"): (Double, Double, Long) =
+    withPinnedShuffle(spark)(ratingsRunPinned(spark, n, nBatches, tag))
 
   private def ratingsRunPinned(spark: org.apache.spark.sql.SparkSession,
-                               n: Int, nBatches: Int): (Double, Double, Long) = {
+                               n: Int, nBatches: Int,
+                               tag: String): (Double, Double, Long) = {
     implicit val sql = spark.sqlContext
     import spark.implicits._
 
@@ -194,9 +196,9 @@ object StreamBench {
     val pipe = RatingsPipeline(ms.toDF(), customers, watermark = "10 minutes")
     val q1 = pipe.unhappyPlatinum.writeStream.format("noop").start()
     val q2 = pipe.perCustomer15min.writeStream.format("memory")
-      .queryName("sb_p15").outputMode("update").start()
+      .queryName(s"${tag}_p15").outputMode("update").start()
     val q3 = pipe.byClubStatus1min.writeStream.format("memory")
-      .queryName("sb_c1").outputMode("update").start()
+      .queryName(s"${tag}_c1").outputMode("update").start()
 
     val perBatch = n / nBatches
     val timedEvents = perBatch.toLong * nBatches
@@ -212,7 +214,7 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     // sanity: the windowed aggregations actually aggregated the timed
     // events (guards against watermark-drop measuring an empty topology)
-    val aggregated = spark.table("sb_c1")
+    val aggregated = spark.table(s"${tag}_c1")
       .agg(org.apache.spark.sql.functions.sum("RATING_COUNT"))
       .collect().head.getLong(0)
     Seq(q1, q2, q3).foreach(_.stop())

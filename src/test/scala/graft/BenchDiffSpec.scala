@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BenchDiff's parsing/diffing core — pure text, no SparkSession: the
+  * artifact-tail unwrap (including surrounding raw text), per-query
+  * median extraction from both line shapes, truncation tolerance, and
+  * the regression computation Bench's trailer embeds.
+  */
+class BenchDiffSpec extends AnyFunSuite {
+
+  private val bigLine =
+    """{"metric":"total","value":12.5,"unit":"sec","queries":{"q_a":1.5,"q_b":2.0,"q_fail":-1.0},""" +
+      """"queries_stats":{"q_a":{"median":1.5,"tmean":1.6,"n":5,"min":1.4,"max":1.9},"q_b":{"median":2.0,"tmean":2.1,"n":5,"min":1.9,"max":2.4}},""" +
+      """"failed":{"q_fail":"boom"},"iters":5,"sf":"/x"}"""
+  private val trailer =
+    """{"metric":"bench_summary","total":12.5,"unit":"sec","n_queries":2,"stream":{"curation_docs_per_sec":900,"stream_reps":3},"failed_n":1,"iters":5,"sf":"/x"}"""
+
+  test("raw stdout passes through; queries parse from stats first, plain map fills gaps, -1 dropped") {
+    val text = BenchDiff.extractText(bigLine + "\n" + trailer)
+    assert(text == bigLine + "\n" + trailer)
+    val qs = BenchDiff.parseQueries(text)
+    assert(qs == Map("q_a" -> 1.5, "q_b" -> 2.0), qs)
+    // totals prefer the trailer's summary header
+    assert(BenchDiff.parseTotal(text).contains(12.5))
+  }
+
+  test("driver artifact tail unwraps, keeping the raw text around it") {
+    val artifact =
+      s"""{"n":12,"rc":0,"tail":"${bigLine.replace("\\", "\\\\").replace("\"", "\\\"")}\\n","parsed":{"total":12.5}}"""
+    val text = BenchDiff.extractText(artifact)
+    assert(text.contains(""""q_a":{"median":1.5"""), text.take(200))
+    // surrounding raw text survives the unwrap (the r11 review fix):
+    // the header BEFORE the tail and the parsed echo AFTER it
+    assert(text.startsWith("""{"n":12,"rc":0,"""))
+    assert(text.contains(""""parsed":{"total":12.5}"""))
+    assert(BenchDiff.parseQueries(text) == Map("q_a" -> 1.5, "q_b" -> 2.0))
+  }
+
+  test("truncated-front tail still yields the medians it contains") {
+    // keep only the last 120 chars of the big line (the r09/r10 shape)
+    val cut = bigLine.takeRight(160)
+    val qs = BenchDiff.parseQueries(cut)
+    assert(qs.contains("q_b"), qs) // whatever survived parses
+    assert(!qs.values.exists(_ < 0))
+  }
+
+  test("regressions: shared queries past threshold only, worst first") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_gone" -> 5.0)
+    val cur = Map("q_a" -> 1.5, "q_b" -> 2.1, "q_new" -> 9.0)
+    val regs = BenchDiff.regressions(prev, cur, threshold = 1.3)
+    // q_a 1.5x > 1.3 → flagged; q_b 1.05x → not; q_new/q_gone unshared
+    assert(regs.map(_._1) == Seq("q_a"), regs)
+    val (_, p, c, r) = regs.head
+    assert(p == 1.0 && c == 1.5 && math.abs(r - 1.5) < 1e-9)
+    // threshold is strict: exactly 1.3x does not flag
+    assert(BenchDiff.regressions(Map("q" -> 1.0), Map("q" -> 1.3)).isEmpty)
+    // a zero/negative prev never divides
+    assert(BenchDiff.regressions(Map("q" -> 0.0), Map("q" -> 9.0)).isEmpty)
+  }
+}
