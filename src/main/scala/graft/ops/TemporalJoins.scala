@@ -64,10 +64,14 @@ object TemporalJoins {
   /** AS-OF join: every `left` row, plus `right`'s payload columns from
     * the single right row NEAREST its timestamp on the `direction` side
     * — `"backward"` (default): the greatest `rightTime <=` the left
-    * row's `leftTime`; `"forward"`: the smallest `rightTime >=` it —
-    * for the same `keys` (inclusive match either way — a right row AT
-    * the left timestamp is visible), or nulls when no right row
-    * qualifies (left-outer semantics; left row count is preserved).
+    * row's `leftTime`; `"forward"`: the smallest `rightTime >=` it;
+    * `"nearest"`: whichever of those two is closer in time (ties go
+    * BACKWARD — the leakage-conservative side) — for the same `keys`
+    * (inclusive match either way — a right row AT the left timestamp is
+    * visible), or nulls when no right row qualifies (left-outer
+    * semantics; left row count is preserved). `nearest` costs no extra
+    * shuffle: both carries share the one key partitioning (two sorts,
+    * one exchange) and the choice is row-local.
     *
     * `tolerance` bounds match staleness: a nearest match farther than
     * `tolerance` from the left timestamp yields NULL payload instead —
@@ -92,8 +96,8 @@ object TemporalJoins {
                tolerance: Option[Long] = None,
                direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
-    require(Seq("backward", "forward").contains(direction),
-      s"direction must be backward or forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward, or nearest, got $direction")
     tolerance.foreach(t =>
       require(t >= 0, s"tolerance must be >= 0, got $t"))
     requireNoReserved(left, "left", "__aj_")
@@ -133,17 +137,18 @@ object TemporalJoins {
     // inclusive match; rows-between running `last ignoreNulls` is the
     // carry-forward. Forward direction = the same carry with time
     // DESCENDING: the "last right seen so far" is then the smallest
-    // rightTime >= the left row's time.
-    val timeOrder =
-      if (direction == "backward") col("__aj_t").asc else col("__aj_t").desc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrder, col("__aj_tag").asc)
+    // rightTime >= the left row's time. Nearest runs BOTH carries —
+    // same partitioning, so Catalyst plans one exchange with two sorts
+    // — and chooses row-locally.
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__aj_t").asc, col("__aj_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lPart.union(rPart)
-      .withColumn("__aj_p", last(col("__aj_p"), ignoreNulls = true).over(w))
-      .filter(col("__aj_tag") === 1)
-    // tolerance: staleness of the matched row, measured toward the
-    // match direction; micros for timestamps, raw units otherwise
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__aj_t").desc, col("__aj_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = lPart.union(rPart)
+    // staleness of a matched row, measured toward its match direction;
+    // micros for timestamps, raw column units otherwise
     def asUnits(c: Column, isLeft: Boolean): Column = {
       val dt = if (isLeft) left.schema(leftTime).dataType
                else right.schema(rightTime).dataType
@@ -152,17 +157,37 @@ object TemporalJoins {
         case _             => c.cast("long")
       }
     }
-    val keep = tolerance match {
-      case None => col("__aj_p").isNotNull
-      case Some(tol) =>
-        val lt = asUnits(col("__aj_t"), isLeft = true)
-        val rt = asUnits(col("__aj_p")("t"), isLeft = false)
-        val staleness = if (direction == "backward") lt - rt else rt - lt
-        col("__aj_p").isNotNull && staleness <= lit(tol)
+    val lt = asUnits(col("__aj_t"), isLeft = true)
+    def valid(p: Column, backward: Boolean): Column = {
+      val staleness =
+        if (backward) lt - asUnits(p("t"), isLeft = false)
+        else asUnits(p("t"), isLeft = false) - lt
+      tolerance.fold(p.isNotNull)(tol => p.isNotNull && staleness <= lit(tol))
     }
-    carried.select(leftCols.map(col) ++
-      payload.map(c =>
-        when(keep, col("__aj_p")("p")(c)).otherwise(lit(null)).as(c)): _*)
+    val chosen = direction match {
+      case "backward" | "forward" =>
+        val backward = direction == "backward"
+        unioned
+          .withColumn("__aj_p", last(col("__aj_p"), ignoreNulls = true)
+            .over(if (backward) wB else wF))
+          .filter(col("__aj_tag") === 1)
+          .withColumn("__aj_sel",
+            when(valid(col("__aj_p"), backward), col("__aj_p")))
+      case _ => // nearest: closer of the two sides, ties backward
+        val carried = unioned
+          .withColumn("__aj_pb", last(col("__aj_p"), ignoreNulls = true).over(wB))
+          .withColumn("__aj_pf", last(col("__aj_p"), ignoreNulls = true).over(wF))
+          .filter(col("__aj_tag") === 1)
+        val db = lt - asUnits(col("__aj_pb")("t"), isLeft = false)
+        val df = asUnits(col("__aj_pf")("t"), isLeft = false) - lt
+        val vb = valid(col("__aj_pb"), backward = true)
+        val vf = valid(col("__aj_pf"), backward = false)
+        carried.withColumn("__aj_sel",
+          when(vb && (!vf || db <= df), col("__aj_pb"))
+            .when(vf, col("__aj_pf")))
+    }
+    chosen.select(leftCols.map(col) ++
+      payload.map(c => col("__aj_sel")("p")(c).as(c)): _*)
   }
 
   /** Cap on time bins per interval in [[rangeJoin]]: an interval

@@ -333,6 +333,35 @@ object RelationalQueries {
         keys = Seq("user_id"), direction = "forward")
     }.sortedBy(col("event_id")),
 
+    // AS-OF with direction = NEAREST: whichever of the backward/forward
+    // matches is closer in time, ties backward (the leakage-conservative
+    // side). Engine: both carries over ONE key exchange (two sorts),
+    // row-local choice; oracle: two native ASOF joins + the same CASE.
+    QueryDef("j_asof_nearest",
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS near_purchase
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |       CASE WHEN rb.ts IS NOT NULL AND (rf.ts IS NULL
+        |                  OR e.ts - rb.ts <= rf.ts - e.ts)
+        |            THEN rb.near_purchase
+        |            WHEN rf.ts IS NOT NULL THEN rf.near_purchase
+        |       END AS near_purchase
+        |FROM events e
+        |ASOF LEFT JOIN r rb ON e.user_id = rb.user_id AND e.ts >= rb.ts
+        |ASOF LEFT JOIN r rf ON e.user_id = rf.user_id AND e.ts <= rf.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val state = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy("user_id", "ts").agg(max("value").as("near_purchase"))
+      graft.ops.TemporalJoins.asofJoin(
+        ev.select("event_id", "user_id", "ts", "event_type"), state,
+        keys = Seq("user_id"), direction = "nearest")
+    }.sortedBy(col("event_id")),
+
     // RANGE (interval) join: events falling inside the 10-minute
     // half-open window following each signup by the same user. The
     // oracle states the raw range predicate; the engine runs the

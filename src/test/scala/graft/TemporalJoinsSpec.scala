@@ -147,6 +147,50 @@ class TemporalJoinsSpec extends SparkSuite {
         direction = "sideways"))
   }
 
+  test("asof join: nearest picks the closer side, ties go backward, tolerance bounds both sides") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u", T("2024-01-01 10:04:00")), // 4 min after 10:00, 1 min before 10:05 → forward
+      (2L, "u", T("2024-01-01 10:01:00")), // 1 min after 10:00, 4 min before 10:05 → backward
+      (3L, "u", T("2024-01-01 10:02:30")), // equidistant (150 s both) → tie → BACKWARD
+      (4L, "u", T("2024-01-01 09:00:00")), // only a forward match exists
+      (5L, "u", T("2024-01-01 11:00:00")), // only a backward match exists
+      (6L, "w", T("2024-01-01 10:00:00"))) // no right rows at all
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      ("u", T("2024-01-01 10:00:00"), 100L),
+      ("u", T("2024-01-01 10:05:00"), 200L))
+      .toDF("k", "t", "state")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        direction = "nearest")
+      .select("event_id", "state").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(200L), 2L -> Some(100L), 3L -> Some(100L),
+      4L -> Some(100L), 5L -> Some(200L), 6L -> None), out)
+    // tolerance applies to BOTH sides: at a 2-min bound, event 1 keeps
+    // its 1-min forward match, event 4's 60-min forward match nulls,
+    // event 2 keeps its 1-min backward match, event 5's 55-min nulls
+    val bounded = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        tolerance = Some(2L * 60L * 1000000L), direction = "nearest")
+      .select("event_id", "state").as[(Long, Option[Long])].collect().toMap
+    assert(bounded == Map(1L -> Some(200L), 2L -> Some(100L), 3L -> None,
+      4L -> None, 5L -> None, 6L -> None), bounded)
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        direction = "sideways"))
+  }
+
+  test("asof join: nearest plans one exchange (both carries share the key partitioning)") {
+    import spark.implicits._
+    val left = Seq((1L, "u", T("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
+    val right = Seq(("u", T("2024-01-01 09:00:00"), 5L)).toDF("k", "t", "state")
+    val plan = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        direction = "nearest")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"nearest must not add a shuffle:\n$plan")
+  }
+
   test("asof/range/salted joins: reserved internal column names rejected loudly") {
     import spark.implicits._
     val l = Seq((1L, "u", T("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
