@@ -80,7 +80,13 @@ object Layout {
   def recentWindowPruned(spark: SparkSession, dir: String, tsCol: String,
                          minutes: Int): DataFrame = {
     val store = spark.read.parquet(dir)
-    val anchor = store.agg(max(col(tsCol))).head.getTimestamp(0)
+    // Row.get, not Row.getTimestamp: the anchor value is
+    // java.sql.Timestamp for TIMESTAMP_LTZ columns but
+    // java.time.LocalDateTime for TIMESTAMP_NTZ parquet (writer-
+    // dependent, isAdjustedToUTC=false) — lit() folds either into a
+    // literal of the column's own type, so the pruning cut stays
+    // foldable under both encodings.
+    val anchor = store.agg(max(col(tsCol))).head.get(0)
     val cut = lit(anchor) - expr(s"INTERVAL $minutes MINUTES")
     store
       .filter(col("p_date") >= to_date(cut) && col(tsCol) >= cut)

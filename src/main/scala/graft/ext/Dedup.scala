@@ -778,4 +778,53 @@ object Dedup {
     */
   def streamingExact(stream: DataFrame, idCols: String*): DataFrame =
     stream.dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Per-document DUPLICATION PROFILE — the "how much of this document
+    * is boilerplate" quality signal (the corpus-wide complement of
+    * [[graft.ext.TextAnalysis.repetitionStats]]' within-doc view, and
+    * the document-level readout of the n-gram duplication that
+    * [[dedupPassages]] removes): for each document, the share of its
+    * DISTINCT word-`n`-gram shingles that also occur in at least
+    * `minDocs` documents corpus-wide. Output per input row: `n_shingles`
+    * (distinct shingles), `dup_shingles` (those with corpus document
+    * frequency ≥ `minDocs`), and the filterable `dup_frac_x100 =
+    * dup_shingles·100 div n_shingles` (0 for null-text rows). Distinct
+    * (not positional) shingles on purpose: a phrase repeated WITHIN one
+    * document is [[graft.ext.TextAnalysis.repetitionStats]]' signal —
+    * here it must not inflate the cross-document score.
+    *
+    * Scale shape: shingle sets are the native single-pass
+    * [[graft.functions.ShingleHashes]] map over the scan (8-byte
+    * hashes through every exchange, never shingle text); document
+    * frequency is ONE partial-aggregated hash-keyed shuffle (map tasks
+    * emit ≤ distinct-shingle rows; a 10⁸-doc boilerplate shingle
+    * combines map-side — its df row is still one row); the flag join
+    * back is hash-keyed with a 1-row-per-hash build side (AQE
+    * broadcasts small dfs, skew-splits hot probes), and the per-doc
+    * rollup partial-aggregates before its exchange. No pair explosion
+    * anywhere — this is a profile, not a candidate generator, so the
+    * hot-bucket guard is structurally unnecessary.
+    */
+  def duplicationProfile(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val hs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__dp_h"))
+    val dfreq = hs.groupBy("__dp_h").agg(count(lit(1)).as("__dp_df"))
+    val agg = hs.join(dfreq, "__dp_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__dp_df") >= minDocs, lit(1L)).otherwise(lit(0L)))
+          .as("dup_shingles"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          expr("(dup_shingles * 100) div n_shingles"))
+          .otherwise(lit(0L)).as("dup_frac_x100"))
+  }
 }

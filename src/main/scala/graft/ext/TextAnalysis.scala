@@ -630,4 +630,138 @@ object TextAnalysis {
     Bridge.ofRows(docs.sparkSession, top)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Internal: the trained multinomial-NB relations. `wc` = per
+    * (label, word) token counts (localCheckpointed — vocab, classes AND
+    * the model all read it; without the pin each consumer would replay
+    * the labeled-corpus scan); `classes` = per-label stats (n_docs,
+    * denom, prior_bits, default_bits); `model` = per (label, word)
+    * evidence bits. All integer-exact: every "log" is the floor-log2
+    * `L(x) = length(bin(x))` of [[unigramSurprisal]], so any engine
+    * reproduces the scores bit-for-bit.
+    */
+  private def nbParts(labeled: DataFrame, labelCol: String,
+                      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val lab = labeled.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        col(textCol).as("__text"))
+    // priors count EVERY labeled row — a null-text document still
+    // evidences its class frequency
+    val priors = lab.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val total = priors.agg(sum("n_docs").as("n"))
+    // (label, word) counts explode per-row tf arrays directly off the
+    // (label, text) projection — the label rides the row, so NO
+    // doc-keyed join ever touches token-level data
+    val wc = lab.filter(col("__text").isNotNull)
+      .select(col("label"),
+        explode(graft.functions.wordTfs(col("__text"))).as("wt"))
+      .select(col("label"), col("wt.word").as("word"), col("wt.tf").as("tf"))
+      .groupBy("label", "word").agg(sum("tf").as("cnt"))
+      .localCheckpoint()
+    val vocabN = wc.agg(countDistinct("word").as("v"))
+    val toks = wc.groupBy("label").agg(sum("cnt").as("tok"))
+    val classes = priors.join(toks, Seq("label"), "left_outer")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(vocabN))
+      .withColumn("denom", coalesce(col("tok"), lit(0L)) + col("v"))
+      .withColumn("prior_bits",
+        expr("length(bin(n)) - length(bin(n_docs))").cast("long"))
+      .withColumn("default_bits",
+        expr("length(bin(denom)) - 1").cast("long"))
+      .select("label", "n_docs", "denom", "prior_bits", "default_bits")
+    val model = wc.join(classes.select("label", "denom"), "label")
+      .withColumn("bits",
+        expr("length(bin(denom)) - length(bin(cnt + 1))").cast("long"))
+      .select("label", "word", "cnt", "bits")
+    (wc, classes, model)
+  }
+
+  /** Multinomial Naive Bayes MODEL trained distributed from a labeled
+    * corpus — the model-based quality/domain/language filter every
+    * CCNet-style curation pipeline runs (fastText-classifier analog;
+    * e.g. train on `lang` for a learned language ID that [[langId]]'s
+    * heuristic can't match). Integer-exact: evidence for word w in
+    * class c is the floor-log2 bits of add-one-smoothed likelihood,
+    * `bits = L(tok_c + V) − L(cnt_{w,c} + 1)` with `L(x) =
+    * length(bin(x))` — no float log, so DuckDB replays the model
+    * bit-for-bit. Output: (label, word, cnt, bits), one row per SEEN
+    * (class, word) pair — vocab×classes bounded, never corpus-sized.
+    *
+    * Scale shape: ONE (label, word)-keyed partial-aggregated shuffle
+    * over token counts (map tasks emit ≤ vocab·C rows); V and the class
+    * totals are vocab-bounded aggregates of that result. The corpus is
+    * scanned once, map-only ([[graft.functions.WordTfs]] zero-shuffle
+    * tf arrays).
+    */
+  def nbModel(labeled: DataFrame, labelCol: String = "lang",
+              textCol: String = "text"): DataFrame =
+    nbParts(labeled, labelCol, textCol)._3
+
+  /** Classify `docs` under a multinomial-NB model trained from
+    * `labeled` (see [[nbModel]]): per document the minimum-total-bits
+    * class, `total = prior_bits(c) + Σ_w tf(w)·bits(w,c)` with in-vocab
+    * words unseen in class c contributing the smoothed default
+    * `L(denom_c) − 1` and out-of-vocab words DROPPED (standard NB
+    * practice — no training evidence either way). Ties break on label
+    * ascending — a total order, so the argmin is deterministic in any
+    * engine. Output per input row: `pred` (winning label), `bits` (its
+    * total), `margin` (runner-up total − winner; 0 when only one class
+    * is trained — the confidence signal to threshold on), `n_tokens`
+    * (in-vocab evidence tokens). Documents with no in-vocab evidence
+    * (null/empty text, all-OOV) fall back to the PRIOR argmin — the
+    * correct no-evidence posterior — so every input row appears in the
+    * output exactly once.
+    *
+    * Scale shape: training as [[nbModel]]; classification is the
+    * zero-shuffle tf map over the corpus scan, cut to in-vocab words by
+    * a vocab join, expanded ×C by a BROADCAST of the C-row class table,
+    * evidence attached by a (word, label)-keyed join against the
+    * vocab·C-bounded model (AQE broadcasts it when small), then ONE
+    * per-(doc, class) partial-aggregated exchange and a C-row-per-doc
+    * window for the argmin. No corpus-sized sort, no driver collect.
+    */
+  def classifyNaiveBayes(docs: DataFrame, labeled: DataFrame,
+                         labelCol: String = "lang", idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (wc, classes, model) = nbParts(labeled, labelCol, textCol)
+    val vocab = wc.select("word").distinct()
+    val tf = tfRelation(docs, idCol, textCol)
+    val matched = tf.join(vocab, "word")
+    val scores = matched
+      .crossJoin(broadcast(
+        classes.select("label", "prior_bits", "default_bits")))
+      .join(model.select("label", "word", "bits"),
+        Seq("word", "label"), "left_outer")
+      .withColumn("b", coalesce(col("bits"), col("default_bits")))
+      .groupBy(col(idCol), col("label"), col("prior_bits"))
+      .agg(sum(col("tf") * col("b")).as("evid"),
+        sum("tf").as("n_tokens"))
+      .withColumn("tot", col("prior_bits") + col("evid"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tot").asc, col("label").asc)
+    val best = scores
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("tot"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("__pred"), col("tot").as("__bits"),
+        coalesce(col("nxt") - col("tot"), lit(0L)).as("__margin"),
+        col("n_tokens").as("__ntok"))
+    // prior-only fallback winner: C rows → 1; the unpartitioned window
+    // is bounded by class cardinality (the Packing.scala posture)
+    val pw = Window.orderBy(col("prior_bits").asc, col("label").asc)
+    val pbest = classes.select("label", "prior_bits")
+      .withColumn("rn", row_number().over(pw))
+      .withColumn("nxt", lead(col("prior_bits"), 1).over(pw))
+      .filter(col("rn") === 1)
+      .select(col("label").as("__ppred"), col("prior_bits").as("__pbits"),
+        coalesce(col("nxt") - col("prior_bits"), lit(0L)).as("__pmargin"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left_outer")
+      .crossJoin(broadcast(pbest))
+      .select(col(idCol),
+        coalesce(col("__pred"), col("__ppred")).as("pred"),
+        coalesce(col("__bits"), col("__pbits")).as("bits"),
+        coalesce(col("__margin"), col("__pmargin")).as("margin"),
+        coalesce(col("__ntok"), lit(0L)).as("n_tokens"))
+  }
 }

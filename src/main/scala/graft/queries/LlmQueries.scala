@@ -1883,6 +1883,127 @@ object LlmQueries {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Duplication profile (corpus-wide boilerplate share) ────────
+    // Per doc: share of its DISTINCT 3-gram shingles that occur in
+    // >= 2 documents corpus-wide — the document-level readout of the
+    // duplication the dedup family removes. Reuses the t_minhash hash
+    // chain (same ShingleHashes constants), so the oracle replays the
+    // identical shingle → PolyHash sets.
+    QueryDef("t_dup_profile",
+      s"""WITH $hashesCte,
+         |dpx AS (SELECT doc_id, unnest(hs) AS h FROM hashes
+         |        WHERE hs IS NOT NULL),
+         |dpf AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+         |        FROM dpx GROUP BY 1),
+         |dpa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_shingles
+         |  FROM dpx x JOIN dpf f USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_shingles, 0) AS n_shingles,
+         |  coalesce(a.dup_shingles, 0) AS dup_shingles,
+         |  CASE WHEN coalesce(a.n_shingles, 0) > 0
+         |       THEN CAST((a.dup_shingles * 100) // a.n_shingles AS BIGINT)
+         |       ELSE 0 END AS dup_frac_x100
+         |FROM documents d LEFT JOIN dpa a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.duplicationProfile(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // ── Naive Bayes: model-based filtering (fastText analog) ───────
+    // Multinomial NB trained distributed on the lang label — the
+    // learned language-ID / quality-classifier shape every CCNet-style
+    // pipeline runs. Integer-exact floor-log2 likelihoods (the
+    // t_surprisal bin-length trick), so DuckDB replays the MODEL
+    // bit-for-bit: bits(w,c) = L(tok_c + V) - L(cnt+1).
+    QueryDef("t_nb_model",
+      s"""WITH vtf AS (SELECT lang AS label,
+         |    unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |vwc AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM vtf GROUP BY 1, 2),
+         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM vwc),
+         |vtok AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok
+         |  FROM vwc GROUP BY 1),
+         |vcls AS (SELECT t.label, CAST(t.tok + vv.v AS BIGINT) AS denom
+         |  FROM vtok t CROSS JOIN vv)
+         |SELECT w.label, w.word, w.cnt,
+         |  CAST(length(bin(c.denom)) - length(bin(w.cnt + 1)) AS BIGINT)
+         |    AS bits
+         |FROM vwc w JOIN vcls c USING (label)
+         |ORDER BY label, word""".stripMargin) { (s, d) =>
+      TextAnalysis.nbModel(Tables.documents(s, d))
+    }.sortedBy(col("label"), col("word")),
+
+    // ... and CLASSIFY the corpus under that model: per doc the
+    // minimum-total-bits class (prior + summed evidence, add-one
+    // smoothed defaults for in-vocab words unseen in a class, OOV
+    // dropped), margin = runner-up - winner. The oracle replays the
+    // identical integer argmin with a window.
+    QueryDef("t_nb_classify",
+      s"""WITH vtf0 AS (SELECT doc_id, lang AS label,
+         |    unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |ntf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
+         |vwc AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM vtf0 GROUP BY 1, 2),
+         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM vwc),
+         |vprior AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |vn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM vprior),
+         |vtok AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok
+         |  FROM vwc GROUP BY 1),
+         |vcls AS (SELECT p.label,
+         |    CAST(coalesce(t.tok, 0) + vv.v AS BIGINT) AS denom,
+         |    CAST(length(bin(vn.n)) - length(bin(p.n_docs)) AS BIGINT)
+         |      AS prior_bits
+         |  FROM vprior p LEFT JOIN vtok t USING (label)
+         |  CROSS JOIN vn CROSS JOIN vv),
+         |vcls2 AS (SELECT label, prior_bits,
+         |    CAST(length(bin(denom)) - 1 AS BIGINT) AS default_bits, denom
+         |  FROM vcls),
+         |vmodel AS (SELECT w.label, w.word,
+         |    CAST(length(bin(c.denom)) - length(bin(w.cnt + 1)) AS BIGINT)
+         |      AS bits
+         |  FROM vwc w JOIN vcls2 c USING (label)),
+         |nmatched AS (SELECT t.doc_id, t.word, t.tf FROM ntf t
+         |  WHERE t.word IN (SELECT DISTINCT word FROM vwc)),
+         |nsc AS (SELECT m.doc_id, c.label, c.prior_bits,
+         |    CAST(sum(m.tf * coalesce(md.bits, c.default_bits)) AS BIGINT)
+         |      AS evid,
+         |    CAST(sum(m.tf) AS BIGINT) AS n_tokens
+         |  FROM nmatched m CROSS JOIN vcls2 c
+         |  LEFT JOIN vmodel md ON md.word = m.word AND md.label = c.label
+         |  GROUP BY 1, 2, 3),
+         |nrk AS (SELECT doc_id, label,
+         |    CAST(prior_bits + evid AS BIGINT) AS bits, n_tokens,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY prior_bits + evid, label) AS rn,
+         |    lead(prior_bits + evid) OVER (PARTITION BY doc_id
+         |      ORDER BY prior_bits + evid, label) AS nxt
+         |  FROM nsc),
+         |npk AS (SELECT label, prior_bits,
+         |    row_number() OVER (ORDER BY prior_bits, label) AS rn,
+         |    lead(prior_bits) OVER (ORDER BY prior_bits, label) AS nxt
+         |  FROM vcls2)
+         |SELECT d.doc_id,
+         |  coalesce(r.label, p.label) AS pred,
+         |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
+         |  CAST(CASE WHEN r.doc_id IS NOT NULL
+         |            THEN coalesce(r.nxt - r.bits, 0)
+         |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
+         |    AS margin,
+         |  coalesce(r.n_tokens, 0) AS n_tokens
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+         |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.classifyNaiveBayes(docs, docs)
+    }.sortedBy(col("doc_id")),
+
     // ── Sparse keyword retrieval (search, not extraction) ──────────
     // Per query (a bag of terms): top-10 docs by summed integer tf-idf
     // — the lexical complement of the dense ANN searches, same
