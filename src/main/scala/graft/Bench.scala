@@ -34,7 +34,10 @@ import graft.core.Sessions
   *  - `SPARK_GRAFT_BENCH_PREV=<prior BENCH artifact or raw stdout>`
   *    appends an in-process regression verdict to the trailer
   *    (`regressions_n` + the worst ≤10 shared queries past 1.3×, via
-  *    BenchDiff's truncation-tolerant parser).
+  *    BenchDiff's truncation-tolerant parser). Unset, it DEFAULTS to
+  *    the newest `BENCH_r{N}.json` in the working directory, so the
+  *    driver's per-round artifact self-reports round-over-round
+  *    regressions with no env cooperation.
   *
   * Output: TWO JSON lines. First the full line: `queries` maps name →
   * median seconds (the driver contract), `queries_stats` maps name →
@@ -165,7 +168,17 @@ object Bench {
     // round-over-round verdict — shared queries slower than 1.3×,
     // worst first — instead of leaving ratio reconstruction to a later
     // BenchDiff run against a possibly-truncated tail.
-    val regressionJson: String = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
+    // default: the newest BENCH_r*.json in cwd (the driver checks out the
+    // repo root as cwd and never sets the env var — without the fallback
+    // the artifact shipped with no regressions_n stanza, round 12)
+    val prevArtifact: Option[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+        Option(new java.io.File(".").listFiles()).flatMap(_
+          .filter(f => f.isFile && f.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+          .lastOption.map(_.getPath))
+      }
+    val regressionJson: String = prevArtifact match {
       case None => ""
       case Some(p) =>
         try {

@@ -19,7 +19,18 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // fail LOUD: leave a _FAILED sentinel (with the message) in the
+        // query's output dir so the driver records an `err` row instead
+        // of silently dropping the query from the correctness
+        // denominator — in round 12 five crashed queries vanished from
+        // CORRECTNESS entirely, making 105/111 look like 105/106.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
+        } catch { case _: Throwable => () } // sentinel write is best-effort
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

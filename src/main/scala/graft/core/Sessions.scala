@@ -13,9 +13,20 @@ import org.apache.spark.sql.SparkSession
   *    default (on a real cluster this is sized to data volume; AQE
   *    coalesces down from it either way),
   *  - `parquet.nanosAsLong` set once, here, instead of as a hidden side
-  *    effect inside a table loader: the driver corpus' `events.ts` is
-  *    parquet TIMESTAMP(NANOS), which the vectorized reader otherwise
-  *    rejects. Only nanos-typed columns are affected.
+  *    effect inside a table loader: earlier driver corpora wrote
+  *    `events.ts` as parquet TIMESTAMP(NANOS), which the vectorized
+  *    reader otherwise rejects. Only nanos-typed columns are affected.
+  *  - `parquet.inferTimestampNTZ.enabled=false`: the regenerated corpus
+  *    writes TIMESTAMP_MICROS with `isAdjustedToUTC=false`, which Spark 4
+  *    otherwise reads as TIMESTAMP_NTZ — a type that breaks
+  *    `unix_micros`, `cast(.. as long)`, and every TimestampType
+  *    dispatch in the engine (the round-12 corpus regression). With the
+  *    session timezone pinned UTC above, reading those columns as plain
+  *    TimestampType is a bit-identical reinterpretation of the stored
+  *    micros — the reference's own time semantics are epoch-millis
+  *    ROWTIME (README.md:238), i.e. instants, not wall-clock values.
+  *    Operators additionally accept NTZ inputs directly (defense in
+  *    depth for user-supplied frames) — see FIXTURES.md §Timestamps.
   */
 object Sessions {
 
@@ -36,6 +47,7 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/" +
           s"$appName-$warehouseNonce")

@@ -1,8 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated corpus (TESTDATA.md / FIXTURES.md §B).
   * One parquet file per table; schemas are fixed by the generator, so we
@@ -23,13 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (see
-    * [[graft.core.Sessions]], which sets the legacy conf at session build)
-    * and convert to a µs TimestampType column with *integer* division:
-    * `ts div 1000` is Catalyst IntegralDivide — exact on any Long. (A
-    * float `/` would round-trip through double and corrupt 2024-epoch
-    * nanos, which exceed double's 53-bit mantissa.)
+  /** The loader owns timestamp-encoding normalization so downstream
+    * operators see ONE type, `TimestampType` (session-UTC instants),
+    * regardless of which generator wrote the corpus:
+    *
+    *  - parquet TIMESTAMP(NANOS) (early corpora): Spark's vectorized
+    *    reader rejects it outright. Read nanos as long (see
+    *    [[graft.core.Sessions]], which sets the legacy conf at session
+    *    build) and convert to a µs TimestampType column with *integer*
+    *    division: `ts div 1000` is Catalyst IntegralDivide — exact on
+    *    any Long. (A float `/` would round-trip through double and
+    *    corrupt 2024-epoch nanos, which exceed double's 53-bit
+    *    mantissa.)
+    *  - parquet TIMESTAMP_MICROS with `isAdjustedToUTC=false` (the
+    *    round-12 regenerated corpus): reads as TIMESTAMP_NTZ when
+    *    `inferTimestampNTZ` is on (Sessions.build turns it off, but a
+    *    user-built session may not). Under the engine's pinned-UTC
+    *    sessions `cast(ntz as timestamp)` reinterprets the stored
+    *    micros bit-identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Defensive: harmless if already set by Sessions.build; only affects
@@ -39,6 +50,8 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

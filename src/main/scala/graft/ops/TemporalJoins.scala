@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType,
+  TimestampNTZType, TimestampType}
 
 /** Temporal joins Spark has no native operator for — AS-OF
   * (point-in-time: each left row picks the single nearest right row at
@@ -51,6 +52,20 @@ object TemporalJoins {
     */
   private def floorDivExpr(colName: String, m: Long): Column =
     expr(s"(`$colName` - pmod(`$colName`, ${m}L)) div ${m}L")
+
+  /** Epoch-micros of a time column, by declared type: TimestampType
+    * reads directly; TIMESTAMP_NTZ (what `isAdjustedToUTC=false` parquet
+    * infers as under Spark 4's default conf) casts to TimestampType
+    * first — under the engine's pinned-UTC sessions that cast is a
+    * bit-identical reinterpretation of the stored micros, and
+    * `unix_micros` on raw NTZ is an analysis error. Numeric time
+    * columns pass through in their own units (documented contract).
+    */
+  private def toMicros(c: Column, dt: DataType): Column = dt match {
+    case TimestampType    => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _                => c.cast("long")
+  }
 
   private def requireNoReserved(df: DataFrame, side: String,
                                 prefix: String): Unit = {
@@ -149,14 +164,9 @@ object TemporalJoins {
     val unioned = lPart.union(rPart)
     // staleness of a matched row, measured toward its match direction;
     // micros for timestamps, raw column units otherwise
-    def asUnits(c: Column, isLeft: Boolean): Column = {
-      val dt = if (isLeft) left.schema(leftTime).dataType
-               else right.schema(rightTime).dataType
-      dt match {
-        case TimestampType => unix_micros(c)
-        case _             => c.cast("long")
-      }
-    }
+    def asUnits(c: Column, isLeft: Boolean): Column =
+      toMicros(c, if (isLeft) left.schema(leftTime).dataType
+                  else right.schema(rightTime).dataType)
     val lt = asUnits(col("__aj_t"), isLeft = true)
     def valid(p: Column, backward: Boolean): Column = {
       val staleness =
@@ -235,8 +245,8 @@ object TemporalJoins {
     val rBase = right
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
         col(startCol).isNotNull && col(endCol).isNotNull)
-      .withColumn("__rj_s", unix_micros(col(startCol)))
-      .withColumn("__rj_e", unix_micros(col(endCol)))
+      .withColumn("__rj_s", toMicros(col(startCol), right.schema(startCol).dataType))
+      .withColumn("__rj_e", toMicros(col(endCol), right.schema(endCol).dataType))
       // end is EXCLUSIVE: an interval ending exactly on a bin edge does
       // not cover that bin — last covered instant is end-1 micro.
       // Bin indices use exact integer floor division (floor(x/m) on
@@ -265,7 +275,7 @@ object TemporalJoins {
       .withColumn("__rj_bin", explode(sequence(col("__rj_b0"), col("__rj_b1"))))
       .drop("__rj_nb", "__rj_b0", "__rj_b1", "__rj_e1")
     val lTimed = left
-      .withColumn("__rj_t", unix_micros(col(timeCol)))
+      .withColumn("__rj_t", toMicros(col(timeCol), left.schema(timeCol).dataType))
       .withColumn("__rj_bin", floorDivExpr("__rj_t", binMicros))
     joinType match {
       case "inner" =>

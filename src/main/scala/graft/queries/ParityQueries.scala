@@ -219,7 +219,11 @@ object ParityQueries {
       ratings(s, d).select(
         col("RATING_ID").as("rating_id"),
         graft.functions.timestampToString(
-          expr("unix_micros(ts) div 1000"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+          // cast-before-unix_micros: identical for TimestampType, and
+          // keeps the query alive if `ts` arrives as TIMESTAMP_NTZ
+          // (unix_micros on raw NTZ is an analysis error — round 12)
+          expr("unix_micros(cast(ts as timestamp)) div 1000"),
+          "yyyy-MM-dd HH:mm:ss").as("ts_str"))
     }.sortedBy(col("rating_id")),
 
     // L3: PARTITION BY re-key (physical repartition on the Spark side; the

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Elasticsearch sink semantics, offline (SURVEY.md §2.2 K1/K2/K5): the
   * reference indexes topics into ES via the es-sink connector
@@ -64,11 +64,16 @@ object EsBulkNdjsonSink {
   def withIngestTs(df: DataFrame, field: Option[String]): DataFrame =
     field.fold(df)(f => df.withColumn(f, current_timestamp()))
 
-  /** K5 serialization rule: TimestampType → ISO-8601 UTC string (the ES
-    * index template types `*_TS`/date fields as `date`).
+  /** K5 serialization rule: timestamp → ISO-8601 UTC string (the ES
+    * index template types `*_TS`/date fields as `date`). The cast makes
+    * TIMESTAMP_NTZ inputs render identically to TimestampType ones
+    * (bit-identical micros under the engine's pinned-UTC sessions) —
+    * without it an NTZ `RATING_TS` fell through to `to_json`'s default
+    * rendering, silently dropping the `.SSS'Z'` suffix (round-12
+    * k_es_bulk hash regression). No-op for TimestampType.
     */
   def iso8601(c: Column): Column =
-    date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    date_format(c.cast(TimestampType), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
   /** JSON-string-escape a column: backslash first, then double quote —
     * an id like `a"b\c` emits `a\"b\\c` inside the action line instead
@@ -86,7 +91,7 @@ object EsBulkNdjsonSink {
     val payloadCols = df.columns.filterNot(_ == idCol)
     val serialized = payloadCols.map { name =>
       df.schema(name).dataType match {
-        case TimestampType => iso8601(col(name)).as(name)
+        case TimestampType | TimestampNTZType => iso8601(col(name)).as(name)
         case _ => col(name)
       }
     }
