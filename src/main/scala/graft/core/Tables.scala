@@ -13,8 +13,54 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (needsSplit(spark, path)) {
+      // the round-12 regenerated corpus writes each table as ONE parquet
+      // row group, and a row group is the parquet read-parallelism
+      // quantum: file-splitting by maxPartitionBytes cannot help (every
+      // split except the one holding the row-group midpoint reads zero
+      // rows), so every scan serializes onto a single task. One
+      // round-robin repartition after load restores cluster-wide
+      // parallelism for everything downstream; the serial scan + one
+      // exchange is the unavoidable floor for this file layout. Catalyst
+      // still pushes filters and prunes columns THROUGH the repartition
+      // into the scan, so only surviving columns/rows pay the shuffle.
+      // Small tables (< 1024 rows) skip it: dims stay broadcast-cheap
+      // and a shuffle would cost more than the serial scan.
+      df.repartition(spark.sparkContext.defaultParallelism)
+    } else df
+  }
+
+  /** Repartition only when it pays: a SINGLE-file table of ONE row group
+    * carrying at least [[MinSplitRows]] rows. The gate is row count, not
+    * bytes: the corpus' compute-heavy tables (documents, embeddings) are
+    * under a megabyte on disk but thousands of rows whose per-row work
+    * (shingling, tokenization, vector math) is the actual cost — leaving
+    * them on one task serializes every map stage before the first
+    * shuffle. Footer-read once per (path, length) — the decision is
+    * cached for the JVM's lifetime, so repeated `load` calls inside
+    * query builders cost a map lookup.
+    */
+  private val MinSplitRows: Long = 1024L
+  private val splitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def needsSplit(spark: SparkSession, path: String): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile) false
+    else splitCache.computeIfAbsent(s"$path@${f.length}", _ =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size == 1 &&
+          r.getFooter.getBlocks.get(0).getRowCount >= MinSplitRows
+        finally r.close()
+      } catch { case _: Exception => false })
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

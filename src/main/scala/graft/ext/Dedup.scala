@@ -812,6 +812,10 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val hs = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__dp_h"))
+      // pinned: dfreq AND the flag join both read hs — without the pin
+      // the corpus scan + shingle explode runs twice, contradicting the
+      // single-pass claim above (the nbParts/Decontamination pattern)
+      .localCheckpoint()
     val dfreq = hs.groupBy("__dp_h").agg(count(lit(1)).as("__dp_df"))
     val agg = hs.join(dfreq, "__dp_h")
       .groupBy(col(idCol))

@@ -284,17 +284,18 @@ object Multimodal {
             val id = r.getLong(0)
             val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty)
             val mediaType = if (r.isNullAt(2)) "" else r.getString(2)
+            // ONE ImageIO.read per image: the decode IS the per-byte
+            // hot path, so the decoded raster is hashed directly —
+            // null/throwing decodes fall back to the corrupt-sample stub
             val dh =
-              if (mediaType.startsWith("image/"))
-                decodeImage(payload) match {
-                  case Some(_) =>
-                    // decodeImage proved the bytes decode; re-read for
-                    // the raster (ImageIO.read is the decode)
-                    dHashFromImage(javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(payload)))
-                  case None => dHashStubBytes(payload)
-                }
-              else dHashStubBytes(payload)
+              if (mediaType.startsWith("image/")) {
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(payload))
+                  catch { case _: Exception => null }
+                if (img != null) dHashFromImage(img)
+                else dHashStubBytes(payload)
+              } else dHashStubBytes(payload)
             Row(id, dh)
           }
         }

@@ -724,6 +724,14 @@ object TextAnalysis {
                          textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (wc, classes, model) = nbParts(labeled, labelCol, textCol)
+    // an empty trained class set would make the prior-fallback crossJoin
+    // drop EVERY doc row — a silent violation of the one-row-per-input
+    // contract (and the DuckDB oracle shares the shape, so parity tests
+    // can't catch it). Fail loud instead; the probe is a C-row action on
+    // the localCheckpoint-pinned training aggregate, not a corpus scan.
+    require(!classes.isEmpty,
+      "classifyNaiveBayes: `labeled` has no non-null labels — train on " +
+        "at least one labeled row (an untrained model cannot classify)")
     val vocab = wc.select("word").distinct()
     val tf = tfRelation(docs, idCol, textCol)
     val matched = tf.join(vocab, "word")

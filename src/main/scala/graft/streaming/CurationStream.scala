@@ -31,6 +31,36 @@ import graft.ext.TextAnalysis
   */
 object CurationStream {
 
+  /** Point-in-time feature attachment stage for [[run]] — the streaming
+    * feature-store shape: each micro-batch as-of-joins
+    * ([[graft.ops.TemporalJoins.asofJoin]]) against the feature HISTORY
+    * pinned from a [[ManifestStore]] at that batch's read, so a doc
+    * ingested at `leftTime` t gets the features that were current AT t
+    * (leakage-free by construction — a feature row committed with a
+    * later `rightTime` never reaches an earlier document, and
+    * `tolerance` bounds staleness so a years-old feature surfaces as
+    * null instead of silently attaching).
+    *
+    *  - `dir`/`rowKey`: the store holding the feature history. The
+    *    store key must be a ROW-unique id (e.g. a surrogate per
+    *    (entity, rightTime) version) so upserts ACCUMULATE history
+    *    instead of overwriting it; `rowKey` is dropped before the join.
+    *    The as-of uniqueness contract (one feature row per
+    *    (keys, rightTime)) is the maintainer's discipline.
+    *  - `keys`/`leftTime`/`rightTime`: entity join keys, the stream's
+    *    event-time column, and the feature row's effective-from column.
+    *
+    * Per batch the join is ONE key shuffle of batch + history (the
+    * sort-merge as-of formulation — no point-in-time self-join
+    * explosion), and the pinned manifest guarantees a concurrent
+    * feature commit never tears the batch's view.
+    */
+  final case class FeatureAsOf(dir: String, rowKey: String,
+                               keys: Seq[String], leftTime: String,
+                               rightTime: String,
+                               tolerance: Option[Long] = None,
+                               direction: String = "backward")
+
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
     * `sink` enriched (left outer — a doc with no dim row survives with
@@ -81,7 +111,8 @@ object CurationStream {
           jaccardDen: Int = 10, compactEvery: Int = 64,
           vacuumAfterCompact: Boolean = true,
           benchmark: Option[DataFrame] = None, minOverlap: Int = 1,
-          broadcastDim: Boolean = true, redactPii: Boolean = false)
+          broadcastDim: Boolean = true, redactPii: Boolean = false,
+          features: Option[FeatureAsOf] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // when the stream redacts, the benchmark must be redacted the same
     // way before gram extraction — otherwise a benchmark item containing
@@ -111,7 +142,18 @@ object CurationStream {
           gated, broadcast(g), idCol, textCol, n, minOverlap))
       val dim0 = ManifestStore.read(novel.sparkSession, dimDir, dimKey)
       val dim = if (broadcastDim) broadcast(dim0) else dim0
-      sink(clean.join(dim, Seq(dimKey), "left_outer"), epoch)
+      val enriched = clean.join(dim, Seq(dimKey), "left_outer")
+      // point-in-time feature stage: pin the feature history's current
+      // committed version for this batch and as-of join on the entity
+      // keys (no broadcast hint — the as-of is a union + window, not a
+      // hash join, so the hint would be meaningless)
+      val out = features.fold(enriched) { f =>
+        val hist = ManifestStore
+          .read(novel.sparkSession, f.dir, f.rowKey).drop(f.rowKey)
+        graft.ops.TemporalJoins.asofJoin(enriched, hist, f.keys,
+          f.leftTime, f.rightTime, f.tolerance, f.direction)
+      }
+      sink(out, epoch)
     }
     // release the cached gram set when the query ends — without this,
     // repeated run() calls over the same benchmark accumulate cached

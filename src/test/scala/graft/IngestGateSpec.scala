@@ -532,4 +532,67 @@ class IngestGateSpec extends SparkSuite {
       Set((1L, 4L, "crawlA"), (4L, 4L, "crawlA2")),
       s"restart curated wrong: ${IngestGateSpec.curated.asScala.toSet}")
   }
+
+  test("composed curation stream attaches point-in-time features as-of; restart pins new feature history") {
+    import spark.implicits._
+    val feat = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long])]()
+    def text(d: Int) = "the " + (1 to 39).map(i => s"w${d}x$i").mkString(" ")
+
+    val name = "t_cur_asof"
+    val srcDir = java.nio.file.Files.createTempDirectory("asof-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("asof-ckpt").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("asof-dimd").toString
+    val featDir = java.nio.file.Files.createTempDirectory("asof-feat").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA")).toDF("source_id", "source"), "source_id", dimDir)
+    // feature HISTORY: row-unique feat_id preserves versions; source 0's
+    // score is 10 from 10:00 and 20 from 11:00
+    ManifestStore.seed(
+      Seq((1L, 0, ts("2024-01-01 10:00:00"), 10L),
+          (2L, 0, ts("2024-01-01 11:00:00"), 20L))
+        .toDF("feat_id", "source_id", "f_ts", "score"),
+      "feat_id", featDir)
+
+    val schema = Seq((0L, "", 0, ts("2024-01-01 00:00:00")))
+      .toDF("doc_id", "text", "source_id", "ts").schema
+    def start() = CurationStream.run(
+      spark.readStream.schema(schema).parquet(srcDir), name, dimDir,
+      "source_id", ckpt,
+      features = Some(CurationStream.FeatureAsOf(featDir, "feat_id",
+        Seq("source_id"), "ts", "f_ts",
+        tolerance = Some(2L * 3600L * 1000000L)))) { (out, _) =>
+      out.select("doc_id", "score").collect().foreach(r =>
+        feat.add((r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))))
+    }
+    // batch 1: doc@10:30 → score 10; doc@11:30 → 20 (point-in-time, not
+    // latest); doc@09:00 → null (no feature yet)
+    Seq((1L, text(1), 0, ts("2024-01-01 10:30:00")),
+        (2L, text(2), 0, ts("2024-01-01 11:30:00")),
+        (3L, text(3), 0, ts("2024-01-01 09:00:00")))
+      .toDF("doc_id", "text", "source_id", "ts")
+      .write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(feat.asScala.toSet ==
+      Set((1L, Some(10L)), (2L, Some(20L)), (3L, None)),
+      s"batch-1 features wrong: ${feat.asScala.toSet}")
+
+    // while stopped: feature history grows (score 30 from 12:00); the
+    // restarted stream pins the NEW committed history — doc@12:30 reads
+    // 30, doc@11:40 still reads the point-in-time 20, and doc@23:00 is
+    // past the 2 h tolerance of the freshest row → null (staleness guard)
+    ManifestStore.upsert(
+      Seq((3L, 0, ts("2024-01-01 12:00:00"), 30L))
+        .toDF("feat_id", "source_id", "f_ts", "score"),
+      "feat_id", featDir)
+    feat.clear()
+    Seq((4L, text(4), 0, ts("2024-01-01 12:30:00")),
+        (5L, text(5), 0, ts("2024-01-01 11:40:00")),
+        (6L, text(6), 0, ts("2024-01-01 23:00:00")))
+      .toDF("doc_id", "text", "source_id", "ts")
+      .write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(feat.asScala.toSet ==
+      Set((4L, Some(30L)), (5L, Some(20L)), (6L, None)),
+      s"restart features wrong: ${feat.asScala.toSet}")
+  }
 }

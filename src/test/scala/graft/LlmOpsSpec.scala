@@ -2003,4 +2003,22 @@ class LlmOpsSpec extends SparkSuite {
     val gated = Similarity.semDedupPairs(emb, threshold = 0.3, maxCell = 2)
     assert(gated.count() == 0L)
   }
+
+  test("classifyNaiveBayes rejects an untrained (all-null-label) model instead of emptying the output") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "bonjour monde"))
+      .toDF("doc_id", "text")
+    val unlabeled = Seq((10L, "some text", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.classifyNaiveBayes(docs, unlabeled)
+    }
+    assert(e.getMessage.contains("no non-null labels"), e.getMessage)
+    // and a trained model still honors one-row-per-input
+    val labeled = Seq((10L, "hello there world", "en"),
+      (11L, "bonjour le monde", "fr")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.classifyNaiveBayes(docs, labeled)
+    assert(out.count() == 2L)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
 }
