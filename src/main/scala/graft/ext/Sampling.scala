@@ -130,6 +130,83 @@ object Sampling {
       .drop("__mix_domain", "__mix_thr")
   }
 
+  /** Floor integer `den`-th root of a non-negative BigInt, by binary
+    * search over BigInt powers — exact at any magnitude (a double
+    * `pow(x, 1/den)` would misround past 2⁵³, silently shifting a
+    * threshold at corpus scale).
+    */
+  private[graft] def iroot(x: BigInt, den: Int): BigInt = {
+    require(den >= 1, s"root degree must be >= 1, got $den")
+    require(x >= 0, s"iroot needs a non-negative radicand, got $x")
+    if (den == 1 || x <= 1) x
+    else {
+      var lo = BigInt(0)
+      var hi = (BigInt(1) << (x.bitLength / den + 1)).min(x)
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >> 1
+        if (mid.pow(den) <= x) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+  }
+
+  /** Per-domain keep thresholds for TEMPERATURE-smoothed resampling
+    * with `alpha = alphaNum / alphaDen` ∈ [0, 1] — the exponentiated
+    * mixture rebalancing multilingual/multi-domain training runs use
+    * (sampling probability ∝ p_d^alpha: alpha = 1 keeps the natural
+    * mixture, alpha = 0 flattens to uniform, in-between upweights the
+    * tail without discarding the head's advantage). Restricted to
+    * DOWNSAMPLING (no row is duplicated): the smoothed per-domain keep
+    * count interpolates geometrically between the domain's own count
+    * (alpha = 1) and the smallest domain's count (alpha = 0),
+    *
+    *   keep_d = floor((c_d^num · c_min^(den−num))^(1/den)),
+    *
+    * evaluated in exact BigInt arithmetic ([[iroot]] — no float enters
+    * the count), then converted to a bucket threshold
+    * `floor(keep_d · Grain / c_d)` exactly as [[domainMixThresholds]].
+    * The smallest domain always keeps everything; equal counts are
+    * invariant under every alpha. Realized counts track keep_d as the
+    * domain's key-hash buckets approach uniformity (the
+    * [[domainMixThresholds]] approximation note applies verbatim).
+    */
+  def temperatureMixThresholds(counts: Map[String, Long], alphaNum: Int,
+                               alphaDen: Int): Map[String, Long] = {
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
+      s"alpha must be a rational in [0,1]: got $alphaNum/$alphaDen")
+    require(counts.nonEmpty, "temperature mix needs at least one domain")
+    require(counts.values.forall(_ > 0),
+      s"zero-count domain in $counts — thresholds undefined")
+    val cmin = BigInt(counts.values.min)
+    counts.map { case (d, c) =>
+      val keep =
+        iroot(BigInt(c).pow(alphaNum) * cmin.pow(alphaDen - alphaNum), alphaDen)
+      d -> ((keep * Grain) / c).toLong
+    }
+  }
+
+  /** Resample `df` to the temperature-`alpha` mixture over `domainCol`
+    * (see [[temperatureMixThresholds]]). Null-domain rows are DROPPED —
+    * they have no mixture share (and must not shrink c_min). Same
+    * execution shape as [[mixByDomain]]: one domain-bounded count
+    * action, then a broadcast threshold join + the pure key-hash filter
+    * — deterministic across runs, engines and partitionings, and the
+    * corpus side is never shuffled.
+    */
+  def temperatureMix(df: DataFrame, domainCol: Column, keyCol: Column,
+                     alphaNum: Int, alphaDen: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(domainCol.isNotNull)
+      .groupBy(domainCol.as("__tm_domain")).count()
+      .as[(String, Long)].collect().toMap
+    val thr = temperatureMixThresholds(counts, alphaNum, alphaDen).toSeq
+      .toDF("__tm_domain", "__tm_thr")
+    df.join(broadcast(thr), domainCol === col("__tm_domain"))
+      .filter(bucket(keyCol) < col("__tm_thr"))
+      .drop("__tm_domain", "__tm_thr")
+  }
+
   /** Per-row WEIGHTED deterministic sampling: keep a row iff
     * `bucket(key) · den < Grain · num`, where `numCol`/`den` express
     * the row's keep rate as an integer ratio — e.g. quality-weighted

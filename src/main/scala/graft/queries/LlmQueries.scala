@@ -2256,6 +2256,29 @@ object LlmQueries {
         Seq("src0" -> 3, "src1" -> 2, "src2" -> 1))
     }.sortedBy(col("doc_id")),
 
+    // ── Temperature-smoothed domain resampling (alpha = 1/2) ──────
+    // keep_d = floor(sqrt(c_d · c_min)) — the geometric interpolation
+    // between natural mixture and uniform; threshold math then mirrors
+    // t_domain_mix. The Spark side computes the root in exact BigInt
+    // (Sampling.iroot); the oracle's floor(sqrt(double)) agrees exactly
+    // while c_d·c_min < ~2^50 (IEEE sqrt is correctly rounded, and at
+    // oracle scale the gap to the next integer dwarfs one ulp).
+    QueryDef("t_temperature_mix",
+      s"""WITH counts AS (SELECT source, count(*) AS c FROM documents
+         |               WHERE source IS NOT NULL GROUP BY source),
+         |cmin AS (SELECT min(c) AS cm FROM counts),
+         |thr AS (SELECT source,
+         |          (CAST(floor(sqrt(CAST(c * cm AS DOUBLE))) AS BIGINT)
+         |             * 10000 // c) AS keep_thr
+         |        FROM counts CROSS JOIN cmin)
+         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+         |WHERE ${polyhash("CAST(d.doc_id AS VARCHAR)")} % 10000 < keep_thr
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.temperatureMix(
+        Tables.documents(s, d).select("doc_id", "source"),
+        col("source"), col("doc_id"), alphaNum = 1, alphaDen = 2)
+    }.sortedBy(col("doc_id")),
+
     // ── Benchmark decontamination (n-gram overlap vs a held-out set) ──
     // Corpus docs sharing >= 2 distinct word 3-gram hashes with the
     // benchmark slice (doc_id % 97 = 3) are contaminated. The oracle

@@ -1085,6 +1085,44 @@ class LlmOpsSpec extends SparkSuite {
       plan)
   }
 
+  test("temperature mix: exact roots, alpha endpoints, smallest domain kept whole, broadcast plan") {
+    import spark.implicits._
+    // iroot is exact where double pow is not: (2^40)^3 has a 120-bit
+    // radicand; the cube root must come back exactly 2^40
+    assert(graft.ext.Sampling.iroot(BigInt(2).pow(120), 3) == BigInt(2).pow(40))
+    assert(graft.ext.Sampling.iroot(BigInt(2).pow(120) - 1, 3) ==
+      BigInt(2).pow(40) - 1, "floor root at a perfect-power boundary")
+    // hand-checked thresholds at alpha=1/2: counts (400, 100) →
+    // keep = (floor(sqrt(400·100)) = 200, 100); thr = (5000, 10000)
+    val thr = graft.ext.Sampling.temperatureMixThresholds(
+      Map("a" -> 400L, "b" -> 100L), 1, 2)
+    assert(thr == Map("a" -> 5000L, "b" -> 10000L), s"got $thr")
+    // alpha = 1 is the identity mixture; alpha = 0 flattens to c_min
+    assert(graft.ext.Sampling.temperatureMixThresholds(
+      Map("a" -> 400L, "b" -> 100L), 1, 1) ==
+      Map("a" -> 10000L, "b" -> 10000L))
+    assert(graft.ext.Sampling.temperatureMixThresholds(
+      Map("a" -> 400L, "b" -> 100L), 0, 1) ==
+      Map("a" -> 2500L, "b" -> 10000L))
+
+    // end-to-end: A has 4× B's rows; alpha=1/2 halves A toward B while
+    // B (the smallest domain) keeps every row; null domains drop
+    val rows = (1 to 2000).map(i => (s"key$i", "A")) ++
+      (1 to 500).map(i => (s"other$i", "B")) :+ (("nul1", null: String))
+    val df = rows.toDF("k", "domain")
+    val mixed = graft.ext.Sampling.temperatureMix(
+      df, col("domain"), col("k"), 1, 2)
+    val byDom = mixed.groupBy("domain").count().as[(String, Long)]
+      .collect().toMap
+    assert(byDom("B") == 500L, s"smallest domain resampled: $byDom")
+    assert(math.abs(byDom("A") - 1000L) < 100, s"sqrt quota off: $byDom")
+    assert(!byDom.contains(null), "null-domain rows must drop")
+    assert(mixed.columns.toSeq == Seq("k", "domain"))
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan)
+  }
+
   test("keyword extraction: fixed-point tf-idf ranking, lexicographic ties, runs on TopKPerKey") {
     import spark.implicits._
     val docs = Seq(
