@@ -57,7 +57,14 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = Sessions.build("graft-bench", cpus)
 
-    val ordered = SparkEntry.benchQueries.sortBy(_._1)
+    // optional subset for local iteration (comma-separated names);
+    // unset = all queries (the driver path) — mirrors
+    // SPARK_GRAFT_VERIFY_ONLY on the Verify main
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = only.fold(SparkEntry.benchQueries)(names =>
+      SparkEntry.benchQueries.filter { case (n, _) => names.contains(n) })
+      .sortBy(_._1)
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 

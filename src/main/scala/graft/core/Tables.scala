@@ -13,41 +13,56 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** `split = true` opts a table into the single-row-group mitigation:
+    * the round-12 regenerated corpus writes each table as ONE parquet
+    * row group, and a row group is the parquet read-parallelism quantum
+    * — file-splitting by maxPartitionBytes cannot help (every split
+    * except the one holding the row-group midpoint reads zero rows), so
+    * every scan serializes onto a single task. One round-robin
+    * repartition after load restores parallelism for everything
+    * downstream; Catalyst still pushes filters and prunes columns
+    * THROUGH the repartition into the scan.
+    *
+    * Opt-IN, not blanket, because a measured A/B at sf0.1 (local[32],
+    * 3-iter medians) shows the exchange only pays where per-row MAP
+    * work dominates the scan: documents-text queries gained
+    * (t_text_stats 0.58×) while partial-agg/window queries over the
+    * fact tables LOST the full-row exchange outright (h_hopping_window
+    * 1.74×, w_running_sum 1.68×, q1_agg 1.41× — their single-task scan
+    * feeds a map-side combine that collapses rows before the shuffle,
+    * so added parallelism buys nothing and the exchange is pure cost).
+    * Only [[documents]] opts in. On a real 100 TB corpus no table is
+    * one row group and the mitigation never engages (the footer gate);
+    * SPARK_GRAFT_NO_SPLIT=1 kills it outright.
+    */
+  def load(spark: SparkSession, dir: String, name: String,
+           split: Boolean = false): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
-    if (needsSplit(spark, path)) {
-      // the round-12 regenerated corpus writes each table as ONE parquet
-      // row group, and a row group is the parquet read-parallelism
-      // quantum: file-splitting by maxPartitionBytes cannot help (every
-      // split except the one holding the row-group midpoint reads zero
-      // rows), so every scan serializes onto a single task. One
-      // round-robin repartition after load restores cluster-wide
-      // parallelism for everything downstream; the serial scan + one
-      // exchange is the unavoidable floor for this file layout. Catalyst
-      // still pushes filters and prunes columns THROUGH the repartition
-      // into the scan, so only surviving columns/rows pay the shuffle.
-      // Small tables (< 1024 rows) skip it: dims stay broadcast-cheap
-      // and a shuffle would cost more than the serial scan.
+    if (split && needsSplit(spark, path))
       df.repartition(spark.sparkContext.defaultParallelism)
-    } else df
+    else df
   }
 
-  /** Repartition only when it pays: a SINGLE-file table of ONE row group
-    * carrying at least [[MinSplitRows]] rows. The gate is row count, not
-    * bytes: the corpus' compute-heavy tables (documents, embeddings) are
-    * under a megabyte on disk but thousands of rows whose per-row work
-    * (shingling, tokenization, vector math) is the actual cost — leaving
-    * them on one task serializes every map stage before the first
-    * shuffle. Footer-read once per (path, length) — the decision is
-    * cached for the JVM's lifetime, so repeated `load` calls inside
-    * query builders cost a map lookup.
+  /** Mitigation gate: a SINGLE-file table of ONE row group carrying at
+    * least [[MinSplitRows]] rows. The gate is row count, not bytes: the
+    * corpus' compute-heavy tables are under a megabyte on disk but
+    * thousands of rows whose per-row work (shingling, tokenization,
+    * quality signals) is the actual cost. Footer-read once per
+    * (path, length) — the decision is cached for the JVM's lifetime, so
+    * repeated `load` calls inside query builders cost a map lookup.
     */
+  // 1024, not lower: sf0.001/sf0.01 documents (500 rows) must NOT split
+  // — single-partition loads keep `limit()` sampling and zero-exchange
+  // plan-shape tests deterministic at test scale, and 500 rows gain
+  // nothing from parallelism. sf0.1's 5000-row documents (the bench
+  // corpus, where the A/B measured the win) is safely above the gate.
   private val MinSplitRows: Long = 1024L
   private val splitCache =
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   private def needsSplit(spark: SparkSession, path: String): Boolean = {
+    if (sys.env.get("SPARK_GRAFT_NO_SPLIT").contains("1")) return false
     val f = new java.io.File(path)
     if (!f.isFile) false
     else splitCache.computeIfAbsent(s"$path@${f.length}", _ =>
@@ -101,7 +116,8 @@ object Tables {
       case _ => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def documents(s: SparkSession, d: String): DataFrame  =
+    load(s, d, "documents", split = true)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every corpus table as a temp view so the whole engine is
@@ -111,7 +127,12 @@ object Tables {
     */
   def registerAll(s: SparkSession, d: String): Unit =
     names.foreach { n =>
-      val df = if (n == "events") events(s, d) else load(s, d, n)
+      // per-table loaders own normalization/mitigation decisions
+      val df = n match {
+        case "events"    => events(s, d)
+        case "documents" => documents(s, d)
+        case other       => load(s, d, other)
+      }
       df.createOrReplaceTempView(n)
     }
 }

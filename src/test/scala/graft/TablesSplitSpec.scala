@@ -7,36 +7,50 @@ import graft.core.Tables
   * corpus writes each table as ONE parquet row group, and a row group is
   * the read-parallelism quantum — without intervention every scan (and
   * every map stage before the first shuffle) serializes onto one task.
-  * Tables.load round-robin-repartitions qualifying tables after load;
-  * these tests pin the gate (big tables split, dims don't) and that
-  * Catalyst still pushes filters and prunes columns THROUGH the
-  * repartition into the parquet scan.
+  * `Tables.load(split = true)` round-robin-repartitions qualifying
+  * tables after load. The mitigation is OPT-IN per table: a measured
+  * sf0.1 A/B showed it pays only where per-row map work dominates
+  * (documents text compute) and COSTS on fact tables whose partial-agg
+  * pipelines collapse rows before any shuffle (see Tables.load doc).
+  * These tests pin the opt-in surface, the row gate, and that Catalyst
+  * still pushes filters and prunes columns THROUGH the repartition into
+  * the parquet scan.
   */
 class TablesSplitSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
   private def corpusPresent = new java.io.File(s"$sf/lineitem.parquet").exists()
 
-  test("single-row-group tables above the row gate load with full parallelism") {
+  test("opted-in single-row-group tables above the row gate load with full parallelism") {
     assume(corpusPresent)
-    val li = Tables.lineitem(spark, sf) // 6000 rows, 1 row group
-    assert(li.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
-      s"lineitem should split to defaultParallelism, got ${li.rdd.getNumPartitions}")
-    assert(li.count() == 6000L)
+    // lineitem at sf0.001 is 6000 rows in one row group: above the gate
+    val opted = Tables.load(spark, sf, "lineitem", split = true)
+    assert(opted.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      s"opted-in lineitem should split, got ${opted.rdd.getNumPartitions}")
+    assert(opted.count() == 6000L)
+    // documents at sf0.001 is 500 rows: BELOW the gate even though the
+    // loader opts in — tiny corpora keep deterministic single-partition
+    // order (limit() sampling, zero-exchange plan tests)
+    assert(Tables.documents(spark, sf).rdd.getNumPartitions == 1)
+    // at sf0.1 (5000 rows — the bench corpus the A/B measured) it splits
+    val sf01 = "/root/testdata/sf0.1"
+    if (new java.io.File(s"$sf01/documents.parquet").exists())
+      assert(Tables.documents(spark, sf01).rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism)
   }
 
-  test("small dims stay single-partition (broadcast-cheap, no pointless shuffle)") {
+  test("fact tables and dims stay unsplit (partial-agg pipelines keep their map-side combine)") {
     assume(corpusPresent)
-    for (dim <- Seq("region", "nation", "supplier")) {
-      val df = Tables.load(spark, sf, dim)
+    for (t <- Seq("lineitem", "orders", "region", "nation", "supplier")) {
+      val df = Tables.load(spark, sf, t)
       assert(df.rdd.getNumPartitions == 1,
-        s"$dim (tiny dim) should not repartition, got ${df.rdd.getNumPartitions}")
+        s"$t should not repartition by default, got ${df.rdd.getNumPartitions}")
     }
   }
 
   test("filters and column pruning reach the parquet scan through the repartition") {
     assume(corpusPresent)
-    val plan = Tables.lineitem(spark, sf)
+    val plan = Tables.load(spark, sf, "lineitem", split = true)
       .filter(col("l_quantity") > 40)
       .select("l_orderkey", "l_quantity")
       .queryExecution.executedPlan.toString
@@ -49,11 +63,9 @@ class TablesSplitSpec extends SparkSuite {
       s"column pruning must reach the scan (got: $readSchema)")
   }
 
-  test("events loader composes the split with timestamp normalization") {
+  test("events loader composes timestamp normalization with the default no-split path") {
     assume(corpusPresent)
-    val ev = Tables.events(spark, sf) // 1000 rows at sf0.001: below gate
-    // whatever the gate decides, the ts column is TimestampType and the
-    // row count survives the plumbing
+    val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
     assert(ev.count() == 1000L)
