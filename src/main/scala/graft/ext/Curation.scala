@@ -169,4 +169,45 @@ object Curation {
     joined.groupBy(col(groupCol))
       .agg(max(col("n")).as("n"), cuts: _*)
   }
+
+  /** CCNet-style per-domain perplexity bucketing: each document lands in
+    * `head` / `middle` / `tail` by where its unigram-surprisal score
+    * ([[TextAnalysis.unigramSurprisal]] `mean_bits_x100` — lower = more
+    * predictable text) falls against its OWN domain's tercile cutoffs —
+    * the language-model-filter shape CCNet popularized (keep `head`,
+    * sample `middle`, drop `tail`), with per-domain thresholds so a
+    * verbose domain isn't graded on a terse domain's curve. Documents
+    * with a null domain get a null bucket (no curve to grade on).
+    * Output: (idCol, domainCol, mean_bits_x100, bucket), one row per
+    * input document.
+    *
+    * Integer-exact end to end: the surprisal is the floor-log2
+    * bin-length formulation and the cutoffs are [[groupPercentiles]]'
+    * histogram quantiles (smallest value whose cumulative count reaches
+    * ceil(n·q/100)) — values that occur in the data, never an
+    * interpolation, so any engine reproduces the buckets bit-for-bit.
+    *
+    * Scale shape: surprisal's own aggregations + ONE id-keyed join to
+    * attach the domain + the histogram percentile pass (the only
+    * corpus-sized step is its (domain, score) partial-agg shuffle —
+    * score cardinality is ~10³ by construction) + a broadcast of the
+    * domain-bounded cutoff table. No corpus sort, no per-domain global
+    * rank — the thresholds-then-assign decomposition is exactly why
+    * this survives where `ntile(3) OVER (PARTITION BY domain)` dies.
+    */
+  def perplexityBuckets(docs: DataFrame, domainCol: String = "source",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val scored = TextAnalysis.unigramSurprisal(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(domainCol)), Seq(idCol))
+    val thr = groupPercentiles(scored, domainCol, "mean_bits_x100",
+        Seq(33, 67))
+      .select(col(domainCol), col("p33"), col("p67"))
+    scored.join(broadcast(thr), Seq(domainCol), "left_outer")
+      .select(col(idCol), col(domainCol), col("mean_bits_x100"),
+        when(col("p33").isNull, lit(null).cast("string"))
+          .when(col("mean_bits_x100") <= col("p33"), "head")
+          .when(col("mean_bits_x100") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -24,6 +24,15 @@ package object functions {
   /** ksqlDB `LCASE` (/root/reference/ksqldb-statements.sql:14). */
   def lcase(c: Column): Column = lower(c)
 
+  /** ksqlDB `EXTRACTJSONFIELD(json, '$.path')` — part of ksqlDB's scalar
+    * surface for JSON-string payloads like the corpus' `events.props`
+    * (TESTDATA.md). Thin wrapper over Spark's codegen'd
+    * `get_json_object`: returns the field as STRING (ksqlDB semantics —
+    * callers cast), null for missing paths or malformed JSON.
+    */
+  def extractJsonField(json: Column, path: String): Column =
+    get_json_object(json, path)
+
   /** ksqlDB `FIRST_NAME + ' ' + LAST_NAME` — null-propagating string
     * concat (/root/reference/ksqldb-statements.sql:54). `concat` (not
     * `concat_ws`) matches the null-propagation semantics exactly.

@@ -1883,6 +1883,53 @@ object LlmQueries {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── CCNet perplexity buckets (per-domain head/middle/tail) ─────
+    // Composes two proven chains: the t_surprisal CTEs produce the
+    // integer mean-bits score, the t_group_percentiles histogram CTEs
+    // produce each domain's tercile cutoffs, and a CASE assigns the
+    // bucket — the thresholds-then-assign decomposition (never a
+    // per-domain ntile over the corpus).
+    QueryDef("t_ppl_buckets",
+      s"""WITH utf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
+         |ucnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM utf GROUP BY 1),
+         |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ucnt),
+         |usc AS (SELECT t.doc_id, t.tf,
+         |    CAST(length(bin(u.total)) - length(bin(c.cnt)) AS BIGINT) AS bits
+         |  FROM utf t JOIN ucnt c USING (word) CROSS JOIN utot u),
+         |uagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens FROM usc GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |         THEN CAST((a.surprisal * 100) // a.n_tokens AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS m
+         |  FROM documents d LEFT JOIN uagg a USING (doc_id)),
+         |bhist AS (SELECT source, m AS v, count(*) AS c FROM sc GROUP BY 1, 2),
+         |bcum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |        ROWS UNBOUNDED PRECEDING) AS cumc FROM bhist),
+         |btot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |         FROM bhist GROUP BY 1),
+         |b33 AS (SELECT c.source, min(v) AS p33 FROM bcum c
+         |  JOIN btot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 33 + 99) // 100 GROUP BY 1),
+         |b67 AS (SELECT c.source, min(v) AS p67 FROM bcum c
+         |  JOIN btot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 67 + 99) // 100 GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.m AS mean_bits_x100,
+         |  CASE WHEN b33.p33 IS NULL THEN NULL
+         |       WHEN s.m <= b33.p33 THEN 'head'
+         |       WHEN s.m <= b67.p67 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc s
+         |LEFT JOIN b33 ON b33.source = s.source
+         |LEFT JOIN b67 ON b67.source = s.source
+         |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Curation.perplexityBuckets(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     // ── Duplication profile (corpus-wide boilerplate share) ────────
     // Per doc: share of its DISTINCT 3-gram shingles that occur in
     // >= 2 documents corpus-wide — the document-level readout of the

@@ -226,6 +226,19 @@ object ParityQueries {
           "yyyy-MM-dd HH:mm:ss").as("ts_str"))
     }.sortedBy(col("rating_id")),
 
+    // ksqlDB EXTRACTJSONFIELD over the JSON-string payload column
+    // (events.props, TESTDATA.md) — ksqlDB's scalar JSON surface on the
+    // shape the reference's rating MESSAGE would carry if structured.
+    // STRING-returning extract + explicit cast, both engines.
+    QueryDef("p_json_extract",
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        graft.functions.extractJsonField(col("props"), "$.k")
+          .cast("long").as("k"))
+    }.sortedBy(col("event_id")),
+
     // L3: PARTITION BY re-key (physical repartition on the Spark side; the
     // oracle checks content invariance).
     QueryDef("p_rekey_by_name",

@@ -1123,6 +1123,38 @@ class LlmOpsSpec extends SparkSuite {
       plan)
   }
 
+  test("perplexity buckets: per-domain terciles, degenerate domains all-head, null domain null bucket") {
+    import spark.implicits._
+    // domain A: 9 docs of 8 tokens each, doc i carrying i unique words
+    // and (8-i) copies of the common word → 9 strictly increasing
+    // surprisal scores. n=9: p33 = 3rd smallest, p67 = 7th →
+    // 3 head, 4 middle, 2 tail.
+    var u = 0
+    val aDocs = (0 until 9).map { i =>
+      val words = Seq.fill(8 - i)("c") ++ (1 to i).map { _ => u += 1; s"u$u" }
+      (i.toLong, words.mkString(" "), "A")
+    }
+    // domain B: identical docs → p33 == p67 == the one score → all head
+    val bDocs = (10 until 13).map(i => (i.toLong, "c c c c", "B"))
+    val nullDoc = Seq((99L, "c c", null: String))
+    val docs = (aDocs ++ bDocs ++ nullDoc).toDF("doc_id", "text", "source")
+    val out = graft.ext.Curation.perplexityBuckets(docs)
+      .select("doc_id", "bucket").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out.size == 13, "one row per input document")
+    val aBuckets = (0 until 9).map(i => out(i.toLong).get)
+    assert(aBuckets.count(_ == "head") == 3 &&
+      aBuckets.count(_ == "middle") == 4 &&
+      aBuckets.count(_ == "tail") == 2, s"A terciles wrong: $aBuckets")
+    // monotone: head scores below middle below tail
+    assert(aBuckets.take(3).forall(_ == "head") &&
+      aBuckets.slice(3, 7).forall(_ == "middle") &&
+      aBuckets.drop(7).forall(_ == "tail"), s"bucket order wrong: $aBuckets")
+    assert((10 until 13).forall(i => out(i.toLong).contains("head")),
+      s"degenerate domain must be all head: $out")
+    assert(out(99L).isEmpty, "null domain must yield null bucket")
+  }
+
   test("keyword extraction: fixed-point tf-idf ranking, lexicographic ties, runs on TopKPerKey") {
     import spark.implicits._
     val docs = Seq(
