@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Per-key temporal FEATURE derivation over an event log — the
+  * feature-engineering step a behavioral training pipeline runs before
+  * model input: each event is enriched with its predecessor's value,
+  * the inter-event gap, its position in the key's timeline, and a
+  * gap-threshold session index (the feature-shaped complement of the
+  * reference's windowed AGGREGATIONS — session_window collapses rows,
+  * this keeps one row per event; README.md:252–259 is the aggregate
+  * analog).
+  *
+  * Determinism contract: events are ordered per key by
+  * (`timeCol`, `idCol`) — a TOTAL order as long as `idCol` is unique,
+  * so every engine reproduces lags/gaps/sessions bit-for-bit (the
+  * DuckDB oracle replays the same window). All derived columns are
+  * integers or passthrough values — no float accumulation whose result
+  * would depend on evaluation order.
+  *
+  * Scale shape: ONE key-partitioned exchange + in-partition sort carries
+  * every feature (all four windows share the same partitioning and
+  * ordering, so Catalyst plans a single Exchange + Sort); a hot key
+  * degrades to one sorted partition — the inherent floor for
+  * sequence-ordered features, same posture as [[TemporalJoins.asofJoin]].
+  */
+object EventFeatures {
+
+  /** Enrich `events` with per-key sequence features:
+    *
+    *  - `seq`: 1-based position of the event in its key's timeline;
+    *  - `prev_value`: `valueCol` of the previous event (null on the
+    *    first event of a key);
+    *  - `gap_micros`: micros since the previous event (null on the
+    *    first). Timestamp time columns measure in epoch micros
+    *    (TIMESTAMP_NTZ accepted — cast under the engine's pinned-UTC
+    *    sessions, the [[TemporalJoins]] round-13 rule); integer time
+    *    columns measure in their own units;
+    *  - `session_idx`: 1-based session number within the key — a new
+    *    session starts at the first event and whenever
+    *    `gap_micros > sessionGap` (the gap-based sessionization
+    *    ksqlDB's SESSION windows use, README.md:256, kept per-row).
+    *
+    * Null-key or null-time rows pass through with null features (they
+    * have no well-defined place in any timeline).
+    */
+  def lagFeatures(events: DataFrame, keys: Seq[String] = Seq("user_id"),
+                  timeCol: String = "ts", idCol: String = "event_id",
+                  valueCol: String = "value",
+                  sessionGap: Long = 300L * 1000000L): DataFrame = {
+    require(keys.nonEmpty, "lagFeatures needs at least one key column")
+    require(sessionGap > 0, s"sessionGap must be positive, got $sessionGap")
+    val reserved = events.columns.filter(_.startsWith("__ef_")) ++
+      Seq("seq", "prev_value", "gap_micros", "session_idx")
+        .filter(events.columns.contains)
+    require(reserved.isEmpty,
+      s"column(s) ${reserved.mkString(", ")} collide with lagFeatures " +
+        "outputs / reserved prefix '__ef_' — rename before deriving")
+    val t: Column = events.schema(timeCol).dataType match {
+      case TimestampType    => unix_micros(col(timeCol))
+      case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
+      case _                => col(timeCol).cast("long")
+    }
+    // the validity flag is part of the PARTITIONING, not just an output
+    // mask: a null-time row sorted into its key's timeline would shift
+    // every seq and leak its value into a lag — isolating invalid rows
+    // in their own partitions keeps the valid timeline untouched while
+    // still computing everything in one exchange + sort. Materialized
+    // as a COLUMN (not an inline expression) so every window shares the
+    // same partitioning attribute — inline, each Window operator
+    // re-projects the expression under a fresh attribute and Catalyst
+    // plans one exchange per window.
+    val valid = col("__ef_valid")
+    val ordered = Window.partitionBy(valid +: keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(idCol).asc)
+    val withGap = events
+      .withColumn("__ef_valid",
+        keys.map(col(_).isNotNull).reduce(_ && _) && col(timeCol).isNotNull)
+      .withColumn("__ef_t", t)
+      .withColumn("seq",
+        when(valid, row_number().over(ordered).cast("long")))
+      .withColumn("prev_value",
+        when(valid, lag(col(valueCol), 1).over(ordered)))
+      .withColumn("gap_micros",
+        when(valid, col("__ef_t") - lag(col("__ef_t"), 1).over(ordered)))
+    // session boundaries: first event of a key (null gap) or a gap past
+    // the threshold; the running sum over the SAME window partitioning
+    // and ordering numbers the sessions without a second exchange
+    withGap
+      .withColumn("session_idx",
+        when(valid, sum(
+          when(col("gap_micros").isNull || col("gap_micros") > sessionGap,
+            lit(1L)).otherwise(lit(0L))).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .drop("__ef_t", "__ef_valid")
+  }
+}

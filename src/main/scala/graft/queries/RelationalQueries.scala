@@ -427,6 +427,33 @@ object RelationalQueries {
         col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
       graft.ops.SkewJoin.saltedJoin(o, c, Seq("o_custkey"),
         leftUniqueCol = "o_orderkey", salt = 8)
-    }.sortedBy(col("o_orderkey"))
+    }.sortedBy(col("o_orderkey")),
+
+    // Per-key temporal features: lag value, inter-event gap, sequence
+    // position, 5-min gap-threshold session index — one event in, one
+    // enriched row out (ops/EventFeatures). Total (ts, event_id) order
+    // per user makes every engine agree; the query filters to non-null
+    // key/time rows so the oracle's window sees the same universe (the
+    // operator's null passthrough is spec-covered).
+    QueryDef("w_lag_features",
+      """WITH g AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(row_number() OVER w AS BIGINT) AS seq,
+        |    lag(value) OVER w AS prev_value,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_micros
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, value, seq, prev_value, gap_micros,
+        |  CAST(sum(CASE WHEN gap_micros IS NULL OR gap_micros > 300000000
+        |                THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY seq
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |FROM g ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.ops.EventFeatures.lagFeatures(
+          Tables.events(s, d).select("event_id", "user_id", "value", "ts")
+            .filter(col("user_id").isNotNull && col("ts").isNotNull))
+        .select("event_id", "user_id", "value", "seq", "prev_value",
+          "gap_micros", "session_idx")
+    }.sortedBy(col("event_id"))
   )
 }

@@ -13,6 +13,35 @@ class TemporalJoinsSpec extends SparkSuite {
 
   private def T(s: String) = ts(s)
 
+  test("lagFeatures: seq/lag/gap/session per key, null rows pass through, one exchange") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "u", 10.0, T("2024-01-01 10:00:00")),
+      (2L, "u", 20.0, T("2024-01-01 10:02:00")), // gap 2 min, same session
+      (3L, "u", 30.0, T("2024-01-01 10:10:00")), // gap 8 min > 5 → new session
+      (4L, "v", 40.0, T("2024-01-01 10:00:00")), // own timeline
+      (5L, null.asInstanceOf[String], 50.0, T("2024-01-01 10:00:00")),
+      (6L, "u", 60.0, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("event_id", "user_id", "value", "ts")
+    val out = graft.ops.EventFeatures.lagFeatures(ev)
+    val rows = out.select("event_id", "seq", "prev_value", "gap_micros",
+        "session_idx")
+      .as[(Long, Option[Long], Option[Double], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows(1L) == ((Some(1L), None, None, Some(1L))))
+    assert(rows(2L) == ((Some(2L), Some(10.0), Some(120000000L), Some(1L))))
+    assert(rows(3L) == ((Some(3L), Some(20.0), Some(480000000L), Some(2L))))
+    assert(rows(4L) == ((Some(1L), None, None, Some(1L))))
+    // null key / null time: row preserved, features null
+    assert(rows(5L) == ((None, None, None, None)))
+    assert(rows(6L) == ((None, None, None, None)))
+    assert(rows.size == 6, "every input row appears exactly once")
+    // all four windows ride ONE key exchange + sort
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single exchange, got $exchanges:\n$plan")
+  }
+
   test("asof join: inclusive tie, carry-forward, no-prior null, null right rows never match") {
     import spark.implicits._
     val left = Seq(
