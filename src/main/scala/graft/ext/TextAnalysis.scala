@@ -496,6 +496,71 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("mean_bits_x100"))
   }
 
+  /** BIGRAM (conditional) surprisal — the next step up the n-gram-LM
+    * ladder from [[unigramSurprisal]] (CCNet's actual filter is a
+    * 5-gram KenLM; the bigram captures the word-ORDER signal a unigram
+    * model is blind to: "the the the the" is unigram-cheap but
+    * bigram-expensive in natural text). Integer-exact, add-one
+    * smoothed: for each bigram occurrence (w1, w2),
+    *
+    *   bits = L(ctx(w1) + V) − L(cnt(w1,w2) + 1),   L(x) = length(bin(x))
+    *
+    * (the [[nbModel]] smoothing with w1 as the class) where `ctx(w1)` =
+    * corpus occurrences of w1 as a bigram CONTEXT and `V` = distinct
+    * unigram vocabulary size — the same floor-log2 bin-length law both
+    * engines render identically, so no float log enters the score.
+    * Output per document: summed `surprisal`, `n_bigrams`, and the
+    * filterable `mean_bits_x100` (0 for null/empty/single-token text,
+    * via the left join back to the corpus).
+    *
+    * Scale shape: bigram strings derive ROW-LOCALLY from the scan (a
+    * codegen'd transform over the split array — no custom expression
+    * needed since the per-doc tf aggregation shuffles anyway); then ONE
+    * (doc, bigram) partial-agg shuffle, a bigram-vocab-bounded count
+    * aggregation with its context rollup, a 1-row V broadcast, and the
+    * doc-keyed scoring sum — every exchange vocab- or doc-bounded,
+    * never corpus-quadratic.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    // per-doc bigram occurrence counts; single-token docs yield none
+    val bp = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(expr(
+        // the size guard matters: Spark's sequence(2, 1) DESCENDS
+        // ([2, 1]) instead of being empty like generate_series, so a
+        // single-token doc would index past its array
+        s"""CASE WHEN size(split(`$textCol`, ' ')) >= 2 THEN
+           |  transform(sequence(2, size(split(`$textCol`, ' '))),
+           |    i -> concat_ws(' ', element_at(split(`$textCol`, ' '), i - 1),
+           |                        element_at(split(`$textCol`, ' '), i)))
+           |ELSE cast(array() AS array<string>) END"""
+          .stripMargin)).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = bp.groupBy("bigram").agg(sum("tf").as("cnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c1 = c2.groupBy("w1").agg(sum("cnt").as("ctx"))
+    val vocab = tfRelation(docs, idCol, textCol)
+      .agg(count_distinct(col("word")).as("v"))
+    val agg = bp
+      .join(c2.select("bigram", "cnt", "w1"), "bigram")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        (length(bin(col("ctx") + col("v"))) -
+          length(bin(col("cnt") + 1))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("bits")).as("surprisal"),
+        sum(col("tf")).as("n_bigrams"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("surprisal"), lit(0L)).as("surprisal"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("(surprisal * 100) div n_bigrams"))
+          .otherwise(lit(0L)).as("mean_bits_x100"))
+  }
+
   /** Sparse keyword RETRIEVAL — the lexical complement of the dense ANN
     * family ([[graft.ext.Similarity]]): per query (a bag of terms), the
     * top-`k` documents by summed integer tf-idf, `score =

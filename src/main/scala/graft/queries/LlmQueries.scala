@@ -1883,6 +1883,42 @@ object LlmQueries {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Bigram (conditional) surprisal — word-order signal ─────────
+    // Add-one-smoothed conditional bits per bigram occurrence,
+    // L(ctx(w1)+V) − L(cnt(w1,w2)+1) — the nbModel smoothing with the
+    // context word as the class; same bin-length law as t_surprisal.
+    QueryDef("t_bigram_surprisal",
+      s"""WITH bw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(2, len(ws)), i -> ws[i-1] || ' ' || ws[i]))
+         |    AS bigram FROM bw),
+         |btf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+         |  FROM bg GROUP BY 1, 2),
+         |bc2 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cnt,
+         |    string_split(bigram, ' ')[1] AS w1 FROM btf GROUP BY 1),
+         |bc1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx
+         |  FROM bc2 GROUP BY 1),
+         |bv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)),
+         |bsc AS (SELECT t.doc_id, t.tf,
+         |    CAST(length(bin(c1.ctx + v.v)) - length(bin(c2.cnt + 1))
+         |      AS BIGINT) AS bits
+         |  FROM btf t JOIN bc2 c2 USING (bigram)
+         |  JOIN bc1 c1 ON c1.w1 = c2.w1 CROSS JOIN bv v),
+         |bagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_bigrams FROM bsc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.surprisal, 0) AS surprisal,
+         |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN coalesce(a.n_bigrams, 0) > 0
+         |       THEN CAST((a.surprisal * 100) // a.n_bigrams AS BIGINT)
+         |       ELSE 0 END AS mean_bits_x100
+         |FROM documents d LEFT JOIN bagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     // ── CCNet perplexity buckets (per-domain head/middle/tail) ─────
     // Composes two proven chains: the t_surprisal CTEs produce the
     // integer mean-bits score, the t_group_percentiles histogram CTEs

@@ -1123,6 +1123,30 @@ class LlmOpsSpec extends SparkSuite {
       plan)
   }
 
+  test("bigram surprisal: hand-computed conditional bits, repeated bigrams score low, degenerate docs zero") {
+    import spark.implicits._
+    // corpus: doc1 "x y x y x y" → bigrams xy×3, yx×2; doc2 "x z" → xz×1
+    // V = |{x,y,z,solo}| = 4 (vocab counts every doc, bigrams or not);
+    // ctx(x) = 4, ctx(y) = 2
+    // bits(xy) = L(8)−L(4) = 1; bits(yx) = L(6)−L(3) = 1; bits(xz) = L(8)−L(2) = 2
+    // doc1: surprisal 5, n 5, mean 100; doc2: surprisal 2, n 1, mean 200
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "x z"),
+      (3L, "solo"),                       // single token: no bigrams
+      (4L, null.asInstanceOf[String]))    // null text
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bigramSurprisal(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 5L, 100L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 200L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L)), "single-token doc must score zero")
+    assert(out(4L) == ((0L, 0L, 0L)), "null text must score zero")
+    assert(out.size == 4, "one row per input document")
+    // the word-order law: repeated-bigram text is conditionally cheaper
+    assert(out(1L)._3 < out(2L)._3)
+  }
+
   test("perplexity buckets: per-domain terciles, degenerate domains all-head, null domain null bucket") {
     import spark.implicits._
     // domain A: 9 docs of 8 tokens each, doc i carrying i unique words
