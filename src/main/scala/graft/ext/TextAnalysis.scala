@@ -537,6 +537,10 @@ object TextAnalysis {
           .stripMargin)).as("bigram"))
       .groupBy(col(idCol), col("bigram"))
       .agg(count(lit(1)).as("tf"))
+      // pinned: the corpus-wide counts AND the scoring join both read
+      // bp — without the pin the scan + bigram explode runs twice (the
+      // duplicationProfile lesson, ADVICE r12)
+      .localCheckpoint()
     val c2 = bp.groupBy("bigram").agg(sum("tf").as("cnt"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val c1 = c2.groupBy("w1").agg(sum("cnt").as("ctx"))
