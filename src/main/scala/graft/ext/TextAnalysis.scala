@@ -239,6 +239,31 @@ object TextAnalysis {
     (lenOk + swOk + shapeOk + repOk).as("quality")
   }
 
+  /** Per-SIGNAL quality breakdown — [[qualityScore]]'s four 0/1 terms
+    * as separate columns plus the summed score, one row per input doc.
+    * The debugging/threshold-tuning readout every filter pipeline needs:
+    * "quality dropped 30%" is unactionable until you know WHICH rule
+    * fired (did the crawl change length distribution, or did a spam
+    * wave trip the repetition cut?). Same integer predicates and null
+    * semantics as the score (null text: only the repetition term holds
+    * — its gram universe is empty); a pure codegen'd map over the scan,
+    * zero shuffles.
+    */
+  def qualityReport(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val nTok = tokenCount(text)
+    val nG = coalesce(gramCount(text), lit(0L))
+    docs.select(col(idCol),
+      when(nTok.between(10, 1000), 1L).otherwise(0L).as("len_ok"),
+      when(stopwordCount(text) > 0, 1L).otherwise(0L).as("stopword_ok"),
+      when(totalTokenChars(text) >= nTok * 3 &&
+        totalTokenChars(text) <= nTok * 12, 1L).otherwise(0L).as("shape_ok"),
+      when(nG < 5 || coalesce(maxGramCount(text), lit(0L)) * 5 <= nG, 1L)
+        .otherwise(0L).as("repetition_ok"),
+      qualityScore(text).cast("long").as("quality"))
+  }
+
   /** Document fingerprint: the codegen'd PolyHash rolling hash
     * (graft.functions.PolyHash) over the whole text.
     */

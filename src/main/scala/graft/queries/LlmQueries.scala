@@ -1883,6 +1883,26 @@ object LlmQueries {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Per-signal quality breakdown (threshold-tuning readout) ────
+    // The four qualityScore terms as separate 0/1 columns + the sum —
+    // replayed from the SAME qbase CTE the quality chain uses.
+    QueryDef("t_quality_report",
+      s"""WITH ${qualityCtes("documents")}
+         |SELECT doc_id,
+         |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 1000
+         |       THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
+         |  CAST(CASE WHEN n_stopwords > 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS stopword_ok,
+         |  CAST(CASE WHEN token_chars >= n_tokens * 3
+         |        AND token_chars <= n_tokens * 12
+         |       THEN 1 ELSE 0 END AS BIGINT) AS shape_ok,
+         |  CAST(CASE WHEN n_2grams < 5 OR max_2gram_count * 5 <= n_2grams
+         |       THEN 1 ELSE 0 END AS BIGINT) AS repetition_ok,
+         |  $qualityExpr AS quality
+         |FROM qbase ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.qualityReport(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     // ── Bigram (conditional) surprisal — word-order signal ─────────
     // Add-one-smoothed conditional bits per bigram occurrence,
     // L(ctx(w1)+V) − L(cnt(w1,w2)+1) — the nbModel smoothing with the

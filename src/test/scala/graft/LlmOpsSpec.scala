@@ -1123,6 +1123,31 @@ class LlmOpsSpec extends SparkSuite {
       plan)
   }
 
+  test("quality report: per-signal terms sum to qualityScore, null and spam fire the right rules") {
+    import spark.implicits._
+    val good = "the " + (1 to 39).map(i => s"word$i").mkString(" ")
+    val spam = (1 to 12).map(_ => "spam").mkString(" ") // repetition cut
+    val short = "the end"                                // length cut
+    val docs = Seq((1L, good), (2L, spam), (3L, short),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.qualityReport(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // every row: terms sum to the quality column, and that column
+    // equals the standalone qualityScore
+    val scores = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    r.values.foreach { case (id, len, sw, shape, rep, q) =>
+      assert(len + sw + shape + rep == q, s"doc $id terms don't sum")
+      assert(q == scores(id), s"doc $id report disagrees with qualityScore")
+    }
+    assert(r(1L) == ((1L, 1L, 1L, 1L, 1L, 4L)), s"good: ${r(1L)}")
+    assert(r(2L)._5 == 0L, "spam must fail the repetition rule")
+    assert(r(3L)._2 == 0L && r(3L)._3 == 1L, "short doc fails length, keeps stopword")
+    assert(r(4L) == ((4L, 0L, 0L, 0L, 1L, 1L)), s"null text: ${r(4L)}")
+  }
+
   test("bigram surprisal: hand-computed conditional bits, repeated bigrams score low, degenerate docs zero") {
     import spark.implicits._
     // corpus: doc1 "x y x y x y" → bigrams xy×3, yx×2; doc2 "x z" → xz×1
