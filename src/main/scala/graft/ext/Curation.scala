@@ -200,6 +200,11 @@ object Curation {
                         textCol: String = "text"): DataFrame = {
     val scored = TextAnalysis.unigramSurprisal(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(domainCol)), Seq(idCol))
+      // pinned: the tercile histogram AND the assignment join both read
+      // scored — without the pin the whole surprisal chain (two corpus
+      // scans + three aggregations) runs twice (the duplicationProfile
+      // lesson)
+      .localCheckpoint()
     val thr = groupPercentiles(scored, domainCol, "mean_bits_x100",
         Seq(33, 67))
       .select(col(domainCol), col("p33"), col("p67"))
