@@ -29,6 +29,62 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object EventFeatures {
 
+  /** Per-key event-RATE anomaly flags — the abuse/bot readout a
+    * behavioral event log feeds into data curation (a scraper hitting
+    * 50× its own median hourly rate is noise a training pipeline wants
+    * flagged before the events become features): events bin into
+    * fixed `binMicros` windows per key, and a bin is flagged when its
+    * count exceeds `factorX100/100 ×` the key's OWN median bin count —
+    * per-key baselines, so a naturally-busy key isn't graded on a quiet
+    * key's curve. Only bins that contain events exist (sparse); keys
+    * need ≥ 1 bin and a single-bin key can never flag (its median is
+    * itself). Output: (key, bin_start_us, n_events, p50, flagged 0/1).
+    *
+    * Integer-exact end to end: bin indices by exact floor division,
+    * the median is [[graft.ext.Curation.groupPercentiles]]' histogram
+    * quantile (a count that occurs, never an interpolation), and the
+    * flag is a cross-multiplied integer comparison — any engine
+    * reproduces every flag bit-for-bit.
+    *
+    * Scale shape: ONE (key, bin) partial-agg shuffle over the scan,
+    * then the histogram percentile pass runs on BINS (corpus-sized ÷
+    * bin width) with a (key, count) histogram partial-agg, and the p50
+    * table joins back key-keyed (AQE broadcasts when small). No
+    * corpus sort, no window over raw events.
+    */
+  def rateAnomalies(events: DataFrame, key: String = "user_id",
+                    timeCol: String = "ts",
+                    binMicros: Long = 3600L * 1000000L,
+                    factorX100: Long = 300L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    require(factorX100 > 100,
+      s"factorX100 must exceed 100 (the median itself), got $factorX100")
+    val t: Column = events.schema(timeCol).dataType match {
+      case TimestampType    => unix_micros(col(timeCol))
+      case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
+      case _                => col(timeCol).cast("long")
+    }
+    val bins = events
+      .filter(col(key).isNotNull && col(timeCol).isNotNull)
+      .withColumn("__ef_t", t)
+      // exact integer floor division (the TemporalJoins rule: floor()
+      // on doubles can misround near 2^53 micros)
+      .withColumn("bin_start_us",
+        expr(s"(`__ef_t` - pmod(`__ef_t`, ${binMicros}L)) div ${binMicros}L")
+          * binMicros)
+      .groupBy(col(key), col("bin_start_us"))
+      .agg(count(lit(1)).as("n_events"))
+      // pinned: the median histogram AND the flag join both read bins
+      .localCheckpoint()
+    val p50 = graft.ext.Curation
+      .groupPercentiles(bins, key, "n_events", Seq(50))
+      .select(col(key), col("p50"))
+    bins.join(p50, Seq(key))
+      .select(col(key), col("bin_start_us"), col("n_events"), col("p50"),
+        when(col("n_events") * 100 > lit(factorX100) * col("p50"), 1L)
+          .otherwise(0L).as("flagged"))
+  }
+
   /** Enrich `events` with per-key sequence features:
     *
     *  - `seq`: 1-based position of the event in its key's timeline;

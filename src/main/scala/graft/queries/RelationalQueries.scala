@@ -429,6 +429,33 @@ object RelationalQueries {
         leftUniqueCol = "o_orderkey", salt = 8)
     }.sortedBy(col("o_orderkey")),
 
+    // Per-key event-rate anomaly flags: hourly bins per user, flagged
+    // when a bin exceeds 3x the user's own median bin count — per-key
+    // baselines via the histogram-median machinery (no corpus sort).
+    QueryDef("w_rate_anomalies",
+      """WITH b AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000
+        |           AS bin_start_us,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |hist AS (SELECT user_id, n_events AS v, count(*) AS c
+        |         FROM b GROUP BY 1, 2),
+        |cum AS (SELECT user_id, v, sum(c) OVER (PARTITION BY user_id
+        |        ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc FROM hist),
+        |tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+        |        FROM hist GROUP BY 1),
+        |p50 AS (SELECT c.user_id, min(v) AS p50 FROM cum c
+        |  JOIN tot t ON t.user_id = c.user_id
+        |  WHERE c.cumc >= (t.n * 50 + 99) // 100 GROUP BY 1)
+        |SELECT b.user_id, b.bin_start_us, b.n_events, p50.p50,
+        |  CAST(CASE WHEN b.n_events * 100 > 300 * p50.p50
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM b JOIN p50 ON p50.user_id = b.user_id
+        |ORDER BY b.user_id, b.bin_start_us""".stripMargin) { (s, d) =>
+      graft.ops.EventFeatures.rateAnomalies(Tables.events(s, d))
+    }.sortedBy(col("user_id"), col("bin_start_us")),
+
     // Per-key temporal features: lag value, inter-event gap, sequence
     // position, 5-min gap-threshold session index — one event in, one
     // enriched row out (ops/EventFeatures). Total (ts, event_id) order

@@ -42,6 +42,33 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(exchanges == 1, s"expected a single exchange, got $exchanges:\n$plan")
   }
 
+  test("rateAnomalies: planted burst flagged vs the key's own median, quiet keys and single bins never flag") {
+    import spark.implicits._
+    // user u: five 1-hour bins of 2 events + one burst bin of 12 —
+    // median 2, 12·100 > 300·2 → flagged; user v: uniform 3/bin → none;
+    // user w: one bin (median = itself) → can never flag
+    def at(h: Int, m: Int) = T(f"2024-01-01 $h%02d:$m%02d:00")
+    var id = 0L
+    def ev(u: String, h: Int, n: Int) = (0 until n).map { i =>
+      id += 1; (id, u, at(h, i % 60))
+    }
+    val events = ((0 until 5).flatMap(h => ev("u", h, 2)) ++ ev("u", 5, 12) ++
+      (0 until 4).flatMap(h => ev("v", h, 3)) ++ ev("w", 7, 9))
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.ops.EventFeatures.rateAnomalies(events, key = "user_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val flagged = out.filter(_._5 == 1L)
+    assert(flagged.map(r => (r._1, r._3)).toSeq == Seq(("u", 12L)),
+      s"only u's burst bin must flag: ${flagged.toSeq}")
+    assert(out.filter(_._1 == "u").forall(_._4 == 2L), "u's median is 2")
+    assert(out.filter(_._1 == "v").forall(_._5 == 0L), "uniform v never flags")
+    assert(out.filter(_._1 == "w").forall(_._5 == 0L), "single-bin w never flags")
+    assert(out.length == 11, s"one row per (key, bin): ${out.length}")
+    intercept[IllegalArgumentException] {
+      graft.ops.EventFeatures.rateAnomalies(events, factorX100 = 100)
+    }
+  }
+
   test("asof join: inclusive tie, carry-forward, no-prior null, null right rows never match") {
     import spark.implicits._
     val left = Seq(
