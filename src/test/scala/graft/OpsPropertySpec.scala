@@ -97,4 +97,83 @@ class OpsPropertySpec extends SparkSuite {
     assert(sigs.filter(col("n1") =!= col("h1") || col("n2") =!= col("h2"))
       .count() == 0)
   }
+
+  test("lagFeatures invariants on random event logs: gaps positive-ordered, sessions monotone, rows preserved") {
+    import spark.implicits._
+    Seq(2L, 31L).foreach { seed =>
+      val rnd = new Random(seed)
+      val ev = (1 to 400).map { i =>
+        (i.toLong, s"u${rnd.nextInt(8)}", rnd.nextDouble() * 100,
+          new java.sql.Timestamp(1704100000000L + rnd.nextInt(36000) * 1000L))
+      }.toDF("event_id", "user_id", "value", "ts")
+      val out = graft.ops.EventFeatures.lagFeatures(ev,
+        sessionGap = 600L * 1000000L)
+      assert(out.count() == 400, s"seed=$seed rows")
+      // every gap non-negative (total order), session indices start at
+      // 1 and never decrease along seq, and a gap past the threshold
+      // ALWAYS bumps the session
+      val bad = out.filter(col("gap_micros") < 0).count()
+      assert(bad == 0, s"seed=$seed negative gap")
+      val rows = out.select("user_id", "seq", "gap_micros", "session_idx")
+        .as[(String, Long, Option[Long], Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2))
+      rows.foreach { case (u, es) =>
+        assert(es.head._4 == 1L, s"seed=$seed $u first session")
+        es.sliding(2).foreach {
+          case Array(a, b) =>
+            val expectBump = b._3.exists(_ > 600L * 1000000L)
+            assert(b._4 == a._4 + (if (expectBump) 1 else 0),
+              s"seed=$seed $u session law at seq ${b._2}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("temperatureMix invariants: output is a subset, smallest domain complete, monotone in alpha") {
+    import spark.implicits._
+    Seq(13L, 77L).foreach { seed =>
+      val rnd = new Random(seed)
+      val doms = Seq("a" -> 900, "b" -> 300, "c" -> 60)
+      val df = doms.flatMap { case (d, n) =>
+        (1 to n).map(i => (s"$d-$i-${rnd.nextInt(1000)}", d))
+      }.toDF("k", "domain")
+      def mix(num: Int, den: Int) =
+        graft.ext.Sampling.temperatureMix(df, col("domain"), col("k"), num, den)
+      val half = mix(1, 2)
+      // subset law: every kept row exists in the input
+      assert(half.exceptAll(df).count() == 0, s"seed=$seed subset")
+      // smallest domain keeps everything at every alpha
+      assert(mix(0, 1).filter(col("domain") === "c").count() == 60)
+      assert(half.filter(col("domain") === "c").count() == 60)
+      // monotone: a bigger alpha keeps at least as much of every domain
+      // (thresholds rise with alpha for every domain)
+      val t0 = graft.ext.Sampling.temperatureMixThresholds(
+        Map("a" -> 900L, "b" -> 300L, "c" -> 60L), 0, 1)
+      val t1 = graft.ext.Sampling.temperatureMixThresholds(
+        Map("a" -> 900L, "b" -> 300L, "c" -> 60L), 1, 2)
+      val t2 = graft.ext.Sampling.temperatureMixThresholds(
+        Map("a" -> 900L, "b" -> 300L, "c" -> 60L), 1, 1)
+      Seq("a", "b", "c").foreach { d =>
+        assert(t0(d) <= t1(d) && t1(d) <= t2(d), s"seed=$seed monotone $d")
+      }
+    }
+  }
+
+  test("rateAnomalies conserves event counts into bins for any corpus") {
+    import spark.implicits._
+    Seq(4L, 23L).foreach { seed =>
+      val rnd = new Random(seed)
+      val ev = (1 to 500).map { i =>
+        (i.toLong, s"u${rnd.nextInt(6)}",
+          new java.sql.Timestamp(1704100000000L + rnd.nextInt(86400) * 1000L))
+      }.toDF("event_id", "user_id", "ts")
+      val out = graft.ops.EventFeatures.rateAnomalies(ev)
+      val total = out.agg(sum("n_events")).collect().head.getLong(0)
+      assert(total == 500, s"seed=$seed binned counts must conserve events")
+      // every (key, bin) appears once
+      assert(out.groupBy("user_id", "bin_start_us").count()
+        .filter(col("count") > 1).count() == 0, s"seed=$seed bin uniqueness")
+    }
+  }
 }
