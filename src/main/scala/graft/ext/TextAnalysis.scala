@@ -466,7 +466,10 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.expressions.Window
-    val tf = tfRelation(docs, idCol, textCol)
+    // pinned: dfreq AND the scoring join both read tf — without the pin
+    // the corpus scan + WordTfs explode runs twice (the searchDocs /
+    // duplicationProfile pattern; plan-audited round 13)
+    val tf = tfRelation(docs, idCol, textCol).localCheckpoint()
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "word")
       .withColumn("score", expr("(tf * 1000000) div df"))
@@ -502,7 +505,10 @@ object TextAnalysis {
     */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val tf = tfRelation(docs, idCol, textCol)
+    // pinned: the unigram model AND the scoring join both read tf —
+    // without the pin the corpus scan + WordTfs explode runs twice
+    // (plan-audited round 13)
+    val tf = tfRelation(docs, idCol, textCol).localCheckpoint()
     val counts = tf.groupBy("word").agg(sum("tf").as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     val agg = tf.join(counts, "word")
