@@ -466,10 +466,15 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.expressions.Window
-    // pinned: dfreq AND the scoring join both read tf — without the pin
-    // the corpus scan + WordTfs explode runs twice (the searchDocs /
-    // duplicationProfile pattern; plan-audited round 13)
-    val tf = tfRelation(docs, idCol, textCol).localCheckpoint()
+    // tf is deliberately NOT pinned although dfreq and the scoring join
+    // both read it: WordTfs is a cheap codegen'd map pipelined straight
+    // into each consumer's aggregation, and a measured sf0.1 A/B showed
+    // localCheckpoint-materializing the corpus-sized explode costs ~25%
+    // (0.67→0.88 s) — two pipelined columnar scans beat writing the
+    // row blow-up. Pinning pays only for BOUNDED or post-aggregation
+    // relations (searchDocs' query-cut `matched`, nbParts' vocab-sized
+    // `wc`, bigramSurprisal's aggregated `bp`).
+    val tf = tfRelation(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "word")
       .withColumn("score", expr("(tf * 1000000) div df"))
@@ -505,10 +510,11 @@ object TextAnalysis {
     */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    // pinned: the unigram model AND the scoring join both read tf —
-    // without the pin the corpus scan + WordTfs explode runs twice
-    // (plan-audited round 13)
-    val tf = tfRelation(docs, idCol, textCol).localCheckpoint()
+    // tf deliberately NOT pinned (the keywords rationale: a cheap
+    // codegen'd explode pipelined into two consumers beats
+    // materializing the corpus-sized intermediate — measured 0.75→0.94 s
+    // at sf0.1 with the pin)
+    val tf = tfRelation(docs, idCol, textCol)
     val counts = tf.groupBy("word").agg(sum("tf").as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     val agg = tf.join(counts, "word")
