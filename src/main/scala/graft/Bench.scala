@@ -33,11 +33,19 @@ import graft.core.Sessions
   *    the stanza. `SPARK_GRAFT_BENCH_STREAM=0` skips them.
   *  - `SPARK_GRAFT_BENCH_PREV=<prior BENCH artifact or raw stdout>`
   *    appends an in-process regression verdict to the trailer
-  *    (`regressions_n` + the worst ≤10 shared queries past 1.3×, via
-  *    BenchDiff's truncation-tolerant parser). Unset, it DEFAULTS to
-  *    the newest `BENCH_r{N}.json` in the working directory, so the
-  *    driver's per-round artifact self-reports round-over-round
-  *    regressions with no env cooperation.
+  *    (`shared_n` + `regressions_n` + the worst ≤10 shared queries past
+  *    1.3×, via BenchDiff's truncation-tolerant parser). Unset, it
+  *    DEFAULTS to the newest `bench_full_r{M}.json` (else
+  *    `BENCH_r{M}.json`) in the working directory with M STRICTLY below
+  *    the current round — never this round's own output (the round-13
+  *    advice fix for vacuous same-round self-comparison).
+  *  - every FULL run (no SPARK_GRAFT_BENCH_ONLY subset) also writes
+  *    `bench_full_r{N}.json` to cwd: the complete per-query stats
+  *    record, immune to the driver's stdout-tail truncation that left
+  *    BENCH_r12.json with stats for ~1 of 106 queries. Next round's
+  *    regression check (and BenchDiff, via resolvePreferFull) prefers
+  *    this file, so `regressions_n` is computed over the full shared
+  *    query set (`shared_n` in the trailer proves the denominator).
   *
   * Output: TWO JSON lines. First the full line: `queries` maps name →
   * median seconds (the driver contract), `queries_stats` maps name →
@@ -169,22 +177,53 @@ object Bench {
 
     def jstr(s: String): String = graft.core.Json.str(s)
 
+    // Current ROUND number: env override, else (newest DRIVER-written
+    // BENCH_r{N}.json in cwd) + 1 — the driver writes BENCH_r{N} only
+    // AFTER the round-N bench run, so at run time the newest such
+    // artifact is the PRIOR round's. Deliberately ignores
+    // bench_full_r{M}.json here: the engine writes that file DURING the
+    // round (including local full runs), so counting it would bump the
+    // detected round past the real one.
+    val round: Int = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.matches("BENCH_r\\d+\\.json"))
+        .flatMap(f => BenchDiff.artifactRound(f.getName))
+        .sortBy(identity).lastOption.map(_ + 1).getOrElse(1)
+    }
+
     // in-process regression check vs a prior artifact: point
-    // SPARK_GRAFT_BENCH_PREV at the previous round's BENCH_r{N}.json
-    // (or raw Bench stdout) and the trailer carries its own
-    // round-over-round verdict — shared queries slower than 1.3×,
-    // worst first — instead of leaving ratio reconstruction to a later
-    // BenchDiff run against a possibly-truncated tail.
-    // default: the newest BENCH_r*.json in cwd (the driver checks out the
-    // repo root as cwd and never sets the env var — without the fallback
-    // the artifact shipped with no regressions_n stanza, round 12)
+    // SPARK_GRAFT_BENCH_PREV at the previous round's artifact (or raw
+    // Bench stdout) and the trailer carries its own round-over-round
+    // verdict — shared queries slower than 1.3×, worst first — instead
+    // of leaving ratio reconstruction to a later BenchDiff run against a
+    // possibly-truncated tail.
+    // Default resolution (driver sets no env): the engine's own complete
+    // bench_full_r{M}.json for the newest round M < current round, else
+    // the driver's (tail-truncated) BENCH_r{M}.json, M < current round.
+    // The strict M < round guard is the round-13 advice fix: a re-run
+    // inside a round whose own artifact already landed must not produce
+    // a vacuous self-comparison.
+    // A default-resolved candidate must also MATCH the current sf: a
+    // bench_full written by a local sf0.001 iteration must never serve
+    // as the regression baseline for the driver's sf0.1 run (every
+    // ratio would read ~100× slower). An explicit SPARK_GRAFT_BENCH_PREV
+    // is trusted as-is; an artifact with no parseable sf is accepted.
+    def sfMatches(path: String): Boolean =
+      try {
+        val raw = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        // matches both raw JSON ("sf":"/dir") and the driver artifact's
+        // tail-escaped form (\"sf\":\"/dir\")
+        """\\?"sf\\?":\\?"([^"\\]+)""".r.findFirstMatchIn(raw)
+          .forall(_.group(1) == sfDir)
+      } catch { case _: Throwable => false }
+    val cwd = new java.io.File(".")
     val prevArtifact: Option[String] =
-      sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
-        Option(new java.io.File(".").listFiles()).flatMap(_
-          .filter(f => f.isFile && f.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-          .lastOption.map(_.getPath))
-      }
+      sys.env.get("SPARK_GRAFT_BENCH_PREV")
+        .orElse(BenchDiff.newestArtifactBelow(cwd, """bench_full_r\d+\.json""", round)
+          .filter(sfMatches))
+        .orElse(BenchDiff.newestArtifactBelow(cwd, """BENCH_r\d+\.json""", round)
+          .filter(sfMatches))
     val regressionJson: String = prevArtifact match {
       case None => ""
       case Some(p) =>
@@ -193,11 +232,12 @@ object Bench {
           val cur = results.collect {
             case (k, m, xs) if xs.nonEmpty => k -> m
           }.toMap
+          val sharedN = (prev.keySet & cur.keySet).size
           val regs = BenchDiff.regressions(prev, cur, threshold = 1.3)
           val items = regs.take(10).map { case (k, pv, cv, r) =>
             f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f}"""
           }
-          s""","regressions_n":${regs.size},"regressions":[${items.mkString(",")}]"""
+          s""","shared_n":$sharedN,"prev_artifact":${jstr(new java.io.File(p).getName)},"regressions_n":${regs.size},"regressions":[${items.mkString(",")}]"""
         } catch { case e: Throwable =>
           // disclose an unreadable prev artifact, don't fail the bench
           failed("bench_prev") =
@@ -213,6 +253,29 @@ object Bench {
     val fails = failed.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, m, xs) if xs.nonEmpty => m }.sum
+
+    // Self-contained per-round artifact (round-13 verdict ask #1): the
+    // driver keeps only the TAIL of stdout, so BENCH_r{N}.json carries
+    // per-query stats for however few queries survive truncation — r12's
+    // regressions_n was computed over ~1 shared query. This file is the
+    // COMPLETE record, written to cwd where BenchDiff.resolvePreferFull
+    // and next round's prev-resolution find it. Skipped on subset runs
+    // (SPARK_GRAFT_BENCH_ONLY): a 3-query local iteration must not
+    // poison the next round's 118-query regression baseline.
+    if (only.isEmpty) {
+      val storeJson = storeStanza.map(s => s""","store":$s""").getOrElse("")
+      val fullLine =
+        s"""{"metric":"bench_full","round":$round,"total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)},$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails$storeJson$regressionJson,"iters":$iters,"sf":${jstr(sfDir)}}"""
+      try
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"bench_full_r$round.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        failed("bench_full_write") =
+          Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
+    }
+
     println(s"""{"metric":"total","value":$total,"unit":"sec",$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails,"iters":$iters,"sf":${jstr(sfDir)}}""")
     // Compact TRAILER line, printed LAST: the driver's artifact keeps the
     // tail (end) of stdout, so the headline numbers must be in the final

@@ -23,6 +23,7 @@ object BenchDiff {
   private val QueriesMap = """"queries":\{([^}]*)\}""".r
   private val TotalHead = """"metric":"total","value":([-0-9.eE+]+)""".r
   private val SummaryHead = """"metric":"bench_summary","total":([-0-9.eE+]+)""".r
+  private val FullHead = """"metric":"bench_full","round":\d+,"total":([-0-9.eE+]+)""".r
   private val StreamStanza = """"stream":(\{[^}]*\})""".r
 
   /** Unwrap a driver artifact's escaped `tail` string if present; pass raw
@@ -79,6 +80,7 @@ object BenchDiff {
 
   private[graft] def parseTotal(text: String): Option[Double] =
     SummaryHead.findFirstMatchIn(text).map(_.group(1).toDouble)
+      .orElse(FullHead.findFirstMatchIn(text).map(_.group(1).toDouble))
       .orElse(TotalHead.findFirstMatchIn(text).map(_.group(1).toDouble))
 
   /** Shared queries whose current median regressed past `threshold`
@@ -95,13 +97,53 @@ object BenchDiff {
         .map(p => (k, p, c, c / p))
     }.sortBy(-_._4)
 
+  /** Round number embedded in a bench artifact file name
+    * (`BENCH_r13.json` / `bench_full_r13.json` → 13).
+    */
+  private val ArtifactNum = """(?:BENCH|bench_full)_r(\d+)\.json""".r
+
+  private[graft] def artifactRound(name: String): Option[Int] =
+    ArtifactNum.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** The newest artifact in `dir` matching `pattern` whose round is
+    * strictly below `belowRound` — the self-comparison guard: a bench
+    * re-run inside round N must diff against round N-1's artifact, never
+    * the BENCH_rN.json its own round already produced.
+    */
+  private[graft] def newestArtifactBelow(dir: java.io.File, pattern: String,
+                                         belowRound: Int): Option[String] = {
+    val rx = pattern.r
+    Option(dir.listFiles()).flatMap(_
+      .filter(f => f.isFile && rx.pattern.matcher(f.getName).matches())
+      .flatMap(f => artifactRound(f.getName).filter(_ < belowRound).map(_ -> f))
+      .sortBy(_._1).lastOption.map(_._2.getPath))
+  }
+
+  /** Given a driver `BENCH_r{N}.json` path, prefer the engine's own
+    * complete sibling `bench_full_r{N}.json` when present: the driver
+    * artifact keeps only the TAIL of stdout (per-query stats for ~1
+    * query survive truncation), while the full artifact Bench writes to
+    * cwd carries every query's stats. Non-BENCH paths pass through.
+    */
+  private[graft] def resolvePreferFull(path: String): String = {
+    val f = new java.io.File(path)
+    val m = """BENCH_r(\d+)\.json""".r.findFirstMatchIn(f.getName)
+    m.map { mm =>
+      val full = new java.io.File(f.getParentFile, s"bench_full_r${mm.group(1)}.json")
+      if (full.isFile) full.getPath else path
+    }.getOrElse(path)
+  }
+
   /** Load + extract + parse one bench artifact/stdout file: per-query
-    * medians, reported total, stream stanza.
+    * medians, reported total, stream stanza. A driver `BENCH_r{N}.json`
+    * is transparently upgraded to its complete `bench_full_r{N}.json`
+    * sibling when one exists (see [[resolvePreferFull]]).
     */
   private[graft] def loadFile(path: String)
       : (Map[String, Double], Option[Double], Option[String]) = {
+    val resolved = resolvePreferFull(path)
     val raw = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resolved)), "UTF-8")
     val text = extractText(raw)
     (parseQueries(text), parseTotal(text),
       StreamStanza.findFirstMatchIn(text).map(_.group(1)))

@@ -45,6 +45,44 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(!qs.values.exists(_ < 0))
   }
 
+  test("bench_full artifact: round extraction, below-round prev resolution, prefer-full upgrade") {
+    assert(BenchDiff.artifactRound("BENCH_r13.json").contains(13))
+    assert(BenchDiff.artifactRound("bench_full_r7.json").contains(7))
+    assert(BenchDiff.artifactRound("CORRECTNESS_r13.json").isEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("benchdiff").toFile
+    def put(name: String, text: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, text.getBytes("UTF-8"))
+      f
+    }
+    put("BENCH_r12.json", """{"n":12,"tail":"\"queries_stats\":{\"q_a\":{\"median\":1.0}}"}""")
+    put("BENCH_r13.json", """{"n":13,"tail":"\"queries_stats\":{\"q_a\":{\"median\":2.0}}"}""")
+    val full13 =
+      """{"metric":"bench_full","round":13,"total":9.5,"unit":"sec","n_queries":2,""" +
+        """"queries":{"q_a":3.0,"q_b":6.5},"queries_stats":{"q_a":{"median":3.0,"tmean":3.0,"n":5,"min":2.9,"max":3.2},"q_b":{"median":6.5,"tmean":6.4,"n":5,"min":6.1,"max":7.0}},"failed":{},"iters":5,"sf":"/x"}"""
+    put("bench_full_r13.json", full13)
+
+    // below-round guard: asking below 14 yields r13; below 13 yields r12;
+    // below 12 yields nothing (self-comparison impossible)
+    assert(BenchDiff.newestArtifactBelow(dir, """BENCH_r\d+\.json""", 14)
+      .exists(_.endsWith("BENCH_r13.json")))
+    assert(BenchDiff.newestArtifactBelow(dir, """bench_full_r\d+\.json""", 14)
+      .exists(_.endsWith("bench_full_r13.json")))
+    assert(BenchDiff.newestArtifactBelow(dir, """BENCH_r\d+\.json""", 13)
+      .exists(_.endsWith("BENCH_r12.json")))
+    assert(BenchDiff.newestArtifactBelow(dir, """bench_full_r\d+\.json""", 13).isEmpty)
+
+    // a BENCH_r13 path upgrades to its complete bench_full_r13 sibling:
+    // the truncated tail only knows q_a, the full artifact knows both
+    val viaDriver = BenchDiff.loadFile(new java.io.File(dir, "BENCH_r13.json").getPath)
+    assert(viaDriver._1 == Map("q_a" -> 3.0, "q_b" -> 6.5), viaDriver._1)
+    assert(viaDriver._2.contains(9.5)) // bench_full header total parses
+    // r12 has no full sibling → tail parse as before
+    val viaTail = BenchDiff.loadFile(new java.io.File(dir, "BENCH_r12.json").getPath)
+    assert(viaTail._1 == Map("q_a" -> 1.0))
+  }
+
   test("regressions: shared queries past threshold only, worst first") {
     val prev = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_gone" -> 5.0)
     val cur = Map("q_a" -> 1.5, "q_b" -> 2.1, "q_new" -> 9.0)
