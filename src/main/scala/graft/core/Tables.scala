@@ -31,26 +31,43 @@ object Tables {
     * 1.74×, w_running_sum 1.68×, q1_agg 1.41× — their single-task scan
     * feeds a map-side combine that collapses rows before the shuffle,
     * so added parallelism buys nothing and the exchange is pure cost).
-    * Only [[documents]] opts in. On a real 100 TB corpus no table is
-    * one row group and the mitigation never engages (the footer gate);
-    * SPARK_GRAFT_NO_SPLIT=1 kills it outright.
+    * The opt-in SET is configurable: `SPARK_GRAFT_SPLIT_TABLES` is a
+    * comma-separated table list (default `documents`, the measured
+    * winner) — a future corpus whose per-row cost lives elsewhere opts
+    * in without a code change (round-13 verdict ask #5). On a real
+    * 100 TB corpus no table is one row group and the mitigation never
+    * engages (the footer gate); SPARK_GRAFT_NO_SPLIT=1 kills it
+    * outright.
     */
   def load(spark: SparkSession, dir: String, name: String,
            split: Boolean = false): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
-    if (split && needsSplit(spark, path))
+    if ((split || splitTables.contains(name)) && needsSplit(spark, path))
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
+
+  /** Tables opted into the single-row-group split mitigation. The
+    * system property (settable in-process, so the spec can exercise the
+    * config surface) wins over the env var; both are read per call —
+    * `load` is nowhere near a hot path.
+    */
+  private[graft] def splitTables: Set[String] =
+    sys.props.get("graft.split.tables")
+      .orElse(sys.env.get("SPARK_GRAFT_SPLIT_TABLES"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("documents"))
 
   /** Mitigation gate: a SINGLE-file table of ONE row group carrying at
     * least [[MinSplitRows]] rows. The gate is row count, not bytes: the
     * corpus' compute-heavy tables are under a megabyte on disk but
     * thousands of rows whose per-row work (shingling, tokenization,
     * quality signals) is the actual cost. Footer-read once per
-    * (path, length) — the decision is cached for the JVM's lifetime, so
-    * repeated `load` calls inside query builders cost a map lookup.
+    * (path, length, lastModified) — the decision is cached for the
+    * JVM's lifetime, so repeated `load` calls inside query builders
+    * cost a map lookup; lastModified in the key means a regenerated
+    * file of identical size still re-reads its footer.
     */
   // 1024, not lower: sf0.001/sf0.01 documents (500 rows) must NOT split
   // — single-partition loads keep `limit()` sampling and zero-exchange
@@ -65,7 +82,7 @@ object Tables {
     if (sys.env.get("SPARK_GRAFT_NO_SPLIT").contains("1")) return false
     val f = new java.io.File(path)
     if (!f.isFile) false
-    else splitCache.computeIfAbsent(s"$path@${f.length}", _ =>
+    else splitCache.computeIfAbsent(s"$path@${f.length}@${f.lastModified}", _ =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath),
@@ -116,8 +133,9 @@ object Tables {
       case _ => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  =
-    load(s, d, "documents", split = true)
+  // split opt-in comes from the configurable set (default: documents) so
+  // SPARK_GRAFT_SPLIT_TABLES can both add other tables and remove this one
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every corpus table as a temp view so the whole engine is

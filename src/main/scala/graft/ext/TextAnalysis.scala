@@ -560,6 +560,12 @@ object TextAnalysis {
     */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
+    // the one operator here that splices the column name into SQL text
+    // (the transform/sequence lambda below) — a backtick in the name
+    // would break out of the quoting, so reject it up front instead of
+    // failing with an opaque parse error (ADVICE r13)
+    require(!textCol.contains("`"),
+      s"bigramSurprisal: textCol must not contain a backtick, got '$textCol'")
     // per-doc bigram occurrence counts; single-token docs yield none
     val bp = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(expr(

@@ -124,6 +124,24 @@ object CurationStream {
       else b
       graft.ext.Decontamination.benchmarkGrams(src, textCol, n).cache()
     }
+    // Fail at stream START, not mid-stream: a feature column sharing a
+    // name with a doc/dim column would make the as-of join's output
+    // ambiguous and kill the query on some later batch with an opaque
+    // duplicate-column error. The check reads both stores' schemas once
+    // (an unseeded feature store also surfaces here, at start, instead
+    // of on batch 0).
+    features.foreach { f =>
+      val spark = docs.sparkSession
+      val featCols = ManifestStore.read(spark, f.dir, f.rowKey).columns.toSet --
+        Set(f.rowKey, f.rightTime) -- f.keys
+      val dimCols = ManifestStore.read(spark, dimDir, dimKey).columns.toSet - dimKey
+      val enrichedCols = docs.columns.toSet + "quality" ++ dimCols
+      val clash = featCols & enrichedCols
+      require(clash.isEmpty,
+        s"FeatureAsOf columns ${clash.toSeq.sorted.mkString(", ")} collide with " +
+          "doc/dim columns — rename them in the feature store (the as-of join " +
+          "would produce ambiguous duplicate output columns)")
+    }
     val query = IngestDedupGate.gate(docs, storeName, checkpointDir,
       idCol = idCol, textCol = textCol, n = n, numBands = numBands,
       rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,

@@ -595,4 +595,32 @@ class IngestGateSpec extends SparkSuite {
       Set((4L, Some(30L)), (5L, Some(20L)), (6L, None)),
       s"restart features wrong: ${feat.asScala.toSet}")
   }
+
+  test("feature column colliding with a doc/dim column fails at stream START, not mid-stream") {
+    import spark.implicits._
+    val name = "t_cur_asof_clash"
+    val srcDir = java.nio.file.Files.createTempDirectory("clash-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("clash-ckpt").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("clash-dimd").toString
+    val featDir = java.nio.file.Files.createTempDirectory("clash-feat").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA")).toDF("source_id", "source"), "source_id", dimDir)
+    // feature history carries a column literally named "source" — the
+    // dim's enrich column — and one named "quality" — the gate's own
+    ManifestStore.seed(
+      Seq((1L, 0, ts("2024-01-01 10:00:00"), "boom", 9L))
+        .toDF("feat_id", "source_id", "f_ts", "source", "quality"),
+      "feat_id", featDir)
+    val schema = Seq((0L, "", 0, ts("2024-01-01 00:00:00")))
+      .toDF("doc_id", "text", "source_id", "ts").schema
+    val e = intercept[IllegalArgumentException] {
+      CurationStream.run(
+        spark.readStream.schema(schema).parquet(srcDir), name, dimDir,
+        "source_id", ckpt,
+        features = Some(CurationStream.FeatureAsOf(featDir, "feat_id",
+          Seq("source_id"), "ts", "f_ts"))) { (_, _) => () }
+    }
+    assert(e.getMessage.contains("quality") && e.getMessage.contains("source"),
+      s"collision message should name both clashing columns: ${e.getMessage}")
+  }
 }

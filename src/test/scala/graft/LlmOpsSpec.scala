@@ -1170,6 +1170,13 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.size == 4, "one row per input document")
     // the word-order law: repeated-bigram text is conditionally cheaper
     assert(out(1L)._3 < out(2L)._3)
+    // the SQL-splice guard: a backticked column name is rejected up
+    // front, not via an opaque parse error (ADVICE r13)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.bigramSurprisal(
+        docs.withColumnRenamed("text", "t`xt"), textCol = "t`xt")
+    }
+    assert(e.getMessage.contains("backtick"), e.getMessage)
   }
 
   test("perplexity buckets: per-domain terciles, degenerate domains all-head, null domain null bucket") {

@@ -48,6 +48,35 @@ class TablesSplitSpec extends SparkSuite {
     }
   }
 
+  test("split opt-in set is configurable (graft.split.tables property / SPARK_GRAFT_SPLIT_TABLES)") {
+    assume(corpusPresent)
+    // default: only documents
+    assert(Tables.splitTables == Set("documents"))
+    val prev = sys.props.get("graft.split.tables")
+    try {
+      // add lineitem, drop documents — a corpus whose per-row cost lives
+      // in the fact table opts in without a code change
+      sys.props("graft.split.tables") = "lineitem, orders"
+      assert(Tables.splitTables == Set("lineitem", "orders"))
+      assert(Tables.load(spark, sf, "lineitem").rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism)
+      val sf01 = "/root/testdata/sf0.1"
+      if (new java.io.File(s"$sf01/documents.parquet").exists())
+        assert(Tables.documents(spark, sf01).rdd.getNumPartitions == 1,
+          "documents must NOT split when removed from the opt-in set")
+      // explicit split=true call-site override still wins
+      sys.props("graft.split.tables") = ""
+      assert(Tables.splitTables == Set.empty)
+      assert(Tables.load(spark, sf, "lineitem", split = true)
+        .rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.split.tables") = v
+        case None    => sys.props -= "graft.split.tables"
+      }
+    }
+  }
+
   test("filters and column pruning reach the parquet scan through the repartition") {
     assume(corpusPresent)
     val plan = Tables.load(spark, sf, "lineitem", split = true)
