@@ -197,8 +197,16 @@ object Curation {
     */
   def perplexityBuckets(docs: DataFrame, domainCol: String = "source",
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val scored = TextAnalysis.unigramSurprisal(docs, idCol, textCol)
+                        textCol: String = "text",
+                        scorer: (DataFrame, String, String) => DataFrame =
+                          TextAnalysis.unigramSurprisal(_, _, _)): DataFrame = {
+    // `scorer` is pluggable (round-13 verdict ask #2): any
+    // (docs, idCol, textCol) => DataFrame producing one row per doc
+    // with a `mean_bits_x100` column — unigramSurprisal (default),
+    // bigramSurprisal, trigramSurprisal, or a trigramScoreWith closure
+    // over a pre-trained backoff model all fit the shape.
+    val scored = scorer(docs, idCol, textCol)
+      .select(col(idCol), col("mean_bits_x100"))
       .join(docs.select(col(idCol), col(domainCol)), Seq(idCol))
       // pinned: the tercile histogram AND the assignment join both read
       // scored — without the pin the whole surprisal chain (two corpus

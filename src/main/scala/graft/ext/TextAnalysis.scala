@@ -608,6 +608,150 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("mean_bits_x100"))
   }
 
+  /** Array of word `n`-grams of `textCol` (space-joined strings), built
+    * row-locally over the split array — empty for docs with fewer than
+    * `n` tokens (the explicit size guard matters: Spark's
+    * `sequence(n, m)` DESCENDS when m < n instead of being empty).
+    * Shared by the n-gram LM family; validates the column name because
+    * the lambda is SQL text (the [[bigramSurprisal]] splice rule).
+    */
+  private def ngramArray(textCol: String, n: Int): org.apache.spark.sql.Column = {
+    require(!textCol.contains("`"),
+      s"column name must not contain a backtick, got '$textCol'")
+    val parts = (n - 1 to 0 by -1)
+      .map(j => s"element_at(split(`$textCol`, ' '), i - $j)")
+      .mkString(", ")
+    expr(
+      s"""CASE WHEN size(split(`$textCol`, ' ')) >= $n THEN
+         |  transform(sequence($n, size(split(`$textCol`, ' '))),
+         |    i -> concat_ws(' ', $parts))
+         |ELSE cast(array() AS array<string>) END""".stripMargin)
+  }
+
+  /** Train a TRIGRAM stupid-backoff model (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") from a corpus: one
+    * unified relation (`level`, `gram`, `cnt`) holding the raw n-gram
+    * counts [[trigramScoreWith]] consumes —
+    *
+    *  - level 3: trigram "w1 w2 w3" occurrence counts;
+    *  - level 2: bigram counts (both the trigram denominators and the
+    *    first-backoff numerators);
+    *  - level 1: unigram counts (second-backoff numerators and bigram
+    *    denominators);
+    *  - level 0: the single smoothing scalar `N + V` (total tokens +
+    *    vocabulary size, gram = "") for the add-one unigram floor.
+    *
+    * A model is just a DataFrame: persist it to parquet for reuse (the
+    * ANN-index lifecycle pattern) or feed it straight to the scorer.
+    *
+    * Scale shape: three map-side n-gram explodes over the training
+    * scan, each partial-aggregated into a vocab-bounded count relation
+    * — no corpus-sized exchange; the unigram aggregate is pinned
+    * because the level-1 rows and the N+V scalar both read it.
+    */
+  def trigramModel(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val live = docs.filter(col(textCol).isNotNull)
+    def counts(n: Int): DataFrame = live
+      .select(explode(ngramArray(textCol, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("cnt"))
+    // vocab-bounded, read twice (level-1 rows + the N+V scalar) → pinned
+    val uni = counts(1).localCheckpoint()
+    val nv = uni.agg((sum("cnt") + count(lit(1))).cast("long").as("cnt"))
+      .select(lit(0).as("level"), lit("").as("gram"), col("cnt"))
+    val lvl1 = uni.select(lit(1).as("level"), col("gram"), col("cnt"))
+    val lvl2 = counts(2).select(lit(2).as("level"), col("gram"), col("cnt"))
+    val lvl3 = counts(3).select(lit(3).as("level"), col("gram"), col("cnt"))
+    nv.unionByName(lvl1).unionByName(lvl2).unionByName(lvl3)
+  }
+
+  /** TRIGRAM surprisal under a stupid-backoff model ([[trigramModel]])
+    * — the third rung of the n-gram-LM ladder (unigram → bigram →
+    * trigram; CCNet's production filter is a 5-gram KenLM) and the
+    * first that can score a corpus the model has NEVER seen: an unseen
+    * trigram backs off to the bigram, an unseen bigram to the add-one
+    * unigram floor, each hop paying the fixed ×0.4 = 2/5 stupid-backoff
+    * penalty. Integer-exact throughout — the 2/5 rational folds INTO
+    * the bin-length law instead of entering as a float: with
+    * `L(x) = length(bin(x))` (floor-log2 + 1), per trigram occurrence
+    *
+    *   seen trigram:      bits = L(cnt₂(w1 w2))        − L(cnt₃(w1 w2 w3))
+    *   backoff to bigram: bits = L(cnt₁(w2)·5)         − L(cnt₂(w2 w3)·2)
+    *   unigram floor:     bits = L((N+V)·25)           − L((cnt₁(w3)+1)·4)
+    *
+    * i.e. `S = (2/5)ᵏ·num/den` rendered as `L(den·5ᵏ) − L(num·2ᵏ)` —
+    * every quantity a positive integer, so any engine reproduces the
+    * score bit-for-bit. Output per input document: summed `surprisal`,
+    * `n_trigrams`, filterable `mean_bits_x100` (0 for null/short text,
+    * via the left join back to the corpus).
+    *
+    * Scale shape: trigram occurrences derive row-locally from the
+    * scoring scan; ONE (doc, trigram) partial-agg shuffle; five
+    * gram-keyed joins against the vocab-bounded model (AQE broadcasts
+    * the small levels; the model is pinned once here because the five
+    * level-filters would otherwise recompute an inline training
+    * pipeline five times); a 1-row N+V broadcast; one doc-keyed sum.
+    * Nothing corpus-quadratic, no corpus sort.
+    */
+  def trigramScoreWith(docs: DataFrame, model: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val m = model.localCheckpoint()
+    def lvl(n: Int, cntAs: String): DataFrame = m
+      .filter(col("level") === n).select(col("gram"), col("cnt").as(cntAs))
+    val nv = m.filter(col("level") === 0)
+      .select(col("cnt").as("nv"))
+    val occ = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(ngramArray(textCol, 3)).as("g123"))
+      .groupBy(col(idCol), col("g123"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("w2", element_at(split(col("g123"), " "), 2))
+      .withColumn("w3", element_at(split(col("g123"), " "), 3))
+      .withColumn("g12",
+        concat_ws(" ", element_at(split(col("g123"), " "), 1), col("w2")))
+      .withColumn("g23", concat_ws(" ", col("w2"), col("w3")))
+    val L: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      x => length(bin(x))
+    val agg = occ
+      .join(lvl(3, "c3").withColumnRenamed("gram", "g123"), Seq("g123"), "left_outer")
+      .join(lvl(2, "c12").withColumnRenamed("gram", "g12"), Seq("g12"), "left_outer")
+      .join(lvl(2, "c23").withColumnRenamed("gram", "g23"), Seq("g23"), "left_outer")
+      .join(lvl(1, "c2").withColumnRenamed("gram", "w2"), Seq("w2"), "left_outer")
+      .join(lvl(1, "c1").withColumnRenamed("gram", "w3"), Seq("w3"), "left_outer")
+      .crossJoin(broadcast(nv))
+      // the c12/c2 guards cover a hand-built inconsistent model (a
+      // trigram whose prefix bigram is absent falls through to the next
+      // backoff level instead of producing a null score)
+      .withColumn("bits",
+        when(col("c3").isNotNull && col("c12").isNotNull,
+          L(col("c12")) - L(col("c3")))
+          .when(col("c23").isNotNull && col("c2").isNotNull,
+            L(col("c2") * 5) - L(col("c23") * 2))
+          .otherwise(L(col("nv") * 25) -
+            L((coalesce(col("c1"), lit(0L)) + 1) * 4))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("bits")).as("surprisal"),
+        sum(col("tf")).as("n_trigrams"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("surprisal"), lit(0L)).as("surprisal"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          expr("(surprisal * 100) div n_trigrams"))
+          .otherwise(lit(0L)).as("mean_bits_x100"))
+  }
+
+  /** Self-scored convenience: [[trigramScoreWith]] under a model
+    * trained on the same corpus (every trigram seen → no backoff fires;
+    * the in-corpus perplexity signal, same contract as
+    * [[unigramSurprisal]]/[[bigramSurprisal]] and a drop-in scorer for
+    * [[graft.ext.Curation.perplexityBuckets]]).
+    */
+  def trigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    trigramScoreWith(docs, trigramModel(docs, idCol, textCol), idCol, textCol)
+
   /** Sparse keyword RETRIEVAL — the lexical complement of the dense ANN
     * family ([[graft.ext.Similarity]]): per query (a bag of terms), the
     * top-`k` documents by summed integer tf-idf, `score =

@@ -1939,6 +1939,67 @@ object LlmQueries {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Trigram stupid-backoff surprisal (cross-corpus LM scoring) ─
+    // Model trained on the EVEN doc_ids only, scoring the WHOLE corpus
+    // — odd documents hit unseen trigrams, so both backoff hops (the
+    // ×2/5 penalty folded into the bin-length law: L(den·5ᵏ)−L(num·2ᵏ))
+    // and the add-one unigram floor are all exercised, not just the
+    // seen-trigram fast path.
+    QueryDef("t_trigram_surprisal",
+      s"""WITH tw AS (SELECT string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
+         |nv AS (SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS nv FROM uni),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
+         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
+         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
+         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+         |    FROM tw) GROUP BY 1),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(3, len(ws)),
+         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
+         |  FROM dw),
+         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY 1, 2),
+         |ox AS (SELECT doc_id, g123, tf,
+         |    string_split(g123, ' ')[1] AS w1,
+         |    string_split(g123, ' ')[2] AS w2,
+         |    string_split(g123, ' ')[3] AS w3 FROM otf),
+         |sc AS (SELECT o.doc_id, o.tf,
+         |    CAST(CASE
+         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
+         |        THEN length(bin(b12.cnt)) - length(bin(t.cnt))
+         |      WHEN b23.cnt IS NOT NULL AND u2.cnt IS NOT NULL
+         |        THEN length(bin(u2.cnt * 5)) - length(bin(b23.cnt * 2))
+         |      ELSE length(bin(n.nv * 25)) -
+         |           length(bin((coalesce(u3.cnt, 0) + 1) * 4))
+         |    END AS BIGINT) AS bits
+         |  FROM ox o
+         |  LEFT JOIN tri t ON t.gram = o.g123
+         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
+         |  LEFT JOIN bi b23 ON b23.gram = o.w2 || ' ' || o.w3
+         |  LEFT JOIN uni u2 ON u2.gram = o.w2
+         |  LEFT JOIN uni u3 ON u3.gram = o.w3
+         |  CROSS JOIN nv n),
+         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_trigrams FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.surprisal, 0) AS surprisal,
+         |  coalesce(a.n_trigrams, 0) AS n_trigrams,
+         |  CASE WHEN coalesce(a.n_trigrams, 0) > 0
+         |       THEN CAST((a.surprisal * 100) // a.n_trigrams AS BIGINT)
+         |       ELSE 0 END AS mean_bits_x100
+         |FROM documents d LEFT JOIN tagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.trigramScoreWith(docs,
+        TextAnalysis.trigramModel(docs.filter(col("doc_id") % 2 === 0)))
+    }.sortedBy(col("doc_id")),
+
     // ── CCNet perplexity buckets (per-domain head/middle/tail) ─────
     // Composes two proven chains: the t_surprisal CTEs produce the
     // integer mean-bits score, the t_group_percentiles histogram CTEs

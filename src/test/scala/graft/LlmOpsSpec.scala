@@ -1179,6 +1179,64 @@ class LlmOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("backtick"), e.getMessage)
   }
 
+  test("trigram stupid-backoff: seen trigram, bigram backoff, unigram floor — hand-computed bits") {
+    import spark.implicits._
+    // training corpus "a b c a b c": tri {abc:2, bca:1, cab:1},
+    // bi {ab:2, bc:2, ca:1}, uni {a:2, b:2, c:2} → N=6, V=3, N+V=9
+    val train = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val model = graft.ext.TextAnalysis.trigramModel(train)
+    // the model is a closed relation: 3 tri + 3 bi + 3 uni + 1 scalar
+    assert(model.count() == 10)
+    assert(model.filter($"level" === 0).select("cnt").as[Long].head() == 9L)
+    val docs = Seq(
+      (1L, "a b c"),   // seen trigram: L(cnt2(ab)=2)−L(cnt3(abc)=2) = 0
+      (2L, "a a b"),   // backoff: suffix "a b" seen → L(cnt1(a)·5=10)−L(cnt2(ab)·2=4) = 4−3 = 1
+      (3L, "b c b"),   // floor: "c b" unseen → L(9·25=225)−L((cnt1(b)+1)·4=12) = 8−4 = 4
+      (4L, "z z z"),   // OOV floor: L(225)−L((0+1)·4=4) = 8−3 = 5
+      (5L, "a b"),     // < 3 tokens: zeros
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.trigramScoreWith(docs, model)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 1L, 0L)), s"seen: ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 100L)), s"bigram backoff: ${out(2L)}")
+    assert(out(3L) == ((4L, 1L, 400L)), s"unigram floor: ${out(3L)}")
+    assert(out(4L) == ((5L, 1L, 500L)), s"OOV floor: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0L)) && out(6L) == ((0L, 0L, 0L)))
+    assert(out.size == 6, "one row per input document")
+    // backoff is monotone in evidence: seen < bigram-hop < unigram < OOV
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3 &&
+      out(3L)._3 < out(4L)._3)
+    // self-scored convenience: every trigram seen, no backoff fires —
+    // "a b c" under its own model: ctx ab=1, abc=1 → 0 bits
+    val self = graft.ext.TextAnalysis.trigramSurprisal(
+      Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(self == ((1L, 0L, 1L, 0L)), s"self-scored: $self")
+  }
+
+  test("perplexity buckets accept a pluggable scorer (trigram drop-in)") {
+    import spark.implicits._
+    var u = 0
+    val docs = (0 until 6).map { i =>
+      val words = Seq.fill(8 - i)("c") ++ (1 to i).map { _ => u += 1; s"u$u" }
+      (i.toLong, words.mkString(" "), "A")
+    }.toDF("doc_id", "text", "source")
+    val viaTri = graft.ext.Curation.perplexityBuckets(docs,
+        scorer = graft.ext.TextAnalysis.trigramSurprisal(_, _, _))
+      .select("doc_id", "mean_bits_x100", "bucket")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val direct = graft.ext.TextAnalysis.trigramSurprisal(docs)
+      .select("doc_id", "mean_bits_x100").as[(Long, Long)].collect().toMap
+    assert(viaTri.size == 6)
+    // the plugged scorer's scores flow through to the bucket assignment
+    viaTri.foreach { case (id, (m, b)) =>
+      assert(m == direct(id), s"doc $id: bucket score $m != scorer ${direct(id)}")
+      assert(Set("head", "middle", "tail")(b))
+    }
+  }
+
   test("perplexity buckets: per-domain terciles, degenerate domains all-head, null domain null bucket") {
     import spark.implicits._
     // domain A: 9 docs of 8 tokens each, doc i carrying i unique words
