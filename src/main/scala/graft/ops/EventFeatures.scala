@@ -56,15 +56,28 @@ object EventFeatures {
                     timeCol: String = "ts",
                     binMicros: Long = 3600L * 1000000L,
                     factorX100: Long = 300L): DataFrame = {
-    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     require(factorX100 > 100,
       s"factorX100 must exceed 100 (the median itself), got $factorX100")
+    val bins = binCounts(events, key, timeCol, binMicros)
+      // pinned: the median histogram AND the flag join both read bins
+      .localCheckpoint()
+    flagBins(bins, key, factorX100)
+  }
+
+  /** The (key, bin_start_us, n_events) relation [[rateAnomalies]] and
+    * its streaming complement share: fixed-window bin counts by exact
+    * floor division, null key/time rows excluded.
+    */
+  private[graft] def binCounts(events: DataFrame, key: String,
+                               timeCol: String,
+                               binMicros: Long): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     val t: Column = events.schema(timeCol).dataType match {
       case TimestampType    => unix_micros(col(timeCol))
       case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
       case _                => col(timeCol).cast("long")
     }
-    val bins = events
+    events
       .filter(col(key).isNotNull && col(timeCol).isNotNull)
       .withColumn("__ef_t", t)
       // exact integer floor division (the TemporalJoins rule: floor()
@@ -74,8 +87,14 @@ object EventFeatures {
           * binMicros)
       .groupBy(col(key), col("bin_start_us"))
       .agg(count(lit(1)).as("n_events"))
-      // pinned: the median histogram AND the flag join both read bins
-      .localCheckpoint()
+  }
+
+  /** Flag computation over a (key, bin_start_us, n_events) relation —
+    * shared verbatim by the batch operator and the streaming store path
+    * so the two produce bit-identical flags from the same bin counts.
+    */
+  private[graft] def flagBins(bins: DataFrame, key: String,
+                              factorX100: Long): DataFrame = {
     val p50 = graft.ext.Curation
       .groupPercentiles(bins, key, "n_events", Seq(50))
       .select(col(key), col("p50"))

@@ -144,14 +144,28 @@ object ManifestStore {
     * A concurrent commit never tears this plan — its files are
     * immutable and stay on disk until [[vacuum]].
     */
-  def read(spark: SparkSession, dir: String, key: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, key: String): DataFrame =
+    readWhere(spark, dir, key, lit(true))
+
+  /** [[read]] with a predicate applied BELOW the latest-version window,
+    * directly on the version-dir parquet scans — the pruned read a
+    * per-batch consumer needs (scanning and window-sorting the whole
+    * store to look at a batch's keys would make batch cost grow with
+    * store size). ONLY safe when `pred` is functionally determined by
+    * the row key — every version of a key row satisfies it or none
+    * (e.g. a predicate on the key itself, or on an immutable attribute
+    * the key embeds); a predicate on a MUTABLE column would instead
+    * resurrect an older version of a row whose latest version fails it.
+    */
+  def readWhere(spark: SparkSession, dir: String, key: String,
+                pred: org.apache.spark.sql.Column): DataFrame = {
     val m = latestManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir — seed() first"))
     // allowMissingColumns: version dirs may differ in columns (e.g. a
     // maintain stream carrying its version-ts column over a seed that
     // lacked it) — absent columns read as null, dim-store schema drift
     val all = m.dirs.map { case (v, rel) =>
-      spark.read.parquet(s"$dir/$rel").withColumn("__v", lit(v))
+      spark.read.parquet(s"$dir/$rel").filter(pred).withColumn("__v", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(col(key)).orderBy(col("__v").desc)
     all.withColumn("__rn", row_number().over(w))

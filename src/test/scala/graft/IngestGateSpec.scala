@@ -596,6 +596,109 @@ class IngestGateSpec extends SparkSuite {
       s"restart features wrong: ${feat.asScala.toSet}")
   }
 
+  test("streaming lag features match the batch operator and survive a checkpoint restart") {
+    import spark.implicits._
+    val got = new ConcurrentLinkedQueue[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]()
+    val srcDir = java.nio.file.Files.createTempDirectory("efs-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("efs-ckpt").toString
+    val schema = Seq((0L, 0L, 0L, 0L)).toDF("event_id", "user_id", "ts", "value").schema
+    def start() = graft.streaming.EventFeatureStream.lagFeatures(
+        spark.readStream.schema(schema).parquet(srcDir),
+        keys = Seq("user_id"), timeCol = "ts", idCol = "event_id",
+        valueCol = "value", sessionGap = 1000L)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (out: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out.select("event_id", "seq", "prev_value", "gap_micros", "session_idx")
+          .collect().foreach { r =>
+            def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+            got.add((r.getLong(0), opt(1), opt(2), opt(3), opt(4)))
+          }
+      }.start()
+    // batch 1: user 1 two events (same session), user 2 one; one
+    // null-time straggler passes through with null features
+    val b1 = Seq(
+      (1L, 1L, 10L, 100L), (2L, 1L, 110L, 200L), (3L, 2L, 50L, 300L))
+      .toDF("event_id", "user_id", "ts", "value")
+      .unionByName(Seq((99L, 1L)).toDF("event_id", "user_id")
+        .withColumn("ts", lit(null).cast("long"))
+        .withColumn("value", lit(null).cast("long")))
+    b1.write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // RESTART, then batch 2: user 1 jumps past the session gap (new
+    // session), user 2 stays inside it — state carried seq/session
+    Seq((4L, 1L, 2000L, 400L), (5L, 2L, 60L, 500L))
+      .toDF("event_id", "user_id", "ts", "value")
+      .write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val all = b1.unionByName(
+      Seq((4L, 1L, 2000L, 400L), (5L, 2L, 60L, 500L))
+        .toDF("event_id", "user_id", "ts", "value"))
+    val batch = graft.ops.EventFeatures.lagFeatures(all,
+        keys = Seq("user_id"), timeCol = "ts", idCol = "event_id",
+        valueCol = "value", sessionGap = 1000L)
+      .select("event_id", "seq", "prev_value", "gap_micros", "session_idx")
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), opt(1), opt(2), opt(3), opt(4))
+      }.toSet
+    assert(got.asScala.toSet == batch,
+      s"stream ${got.asScala.toSet} != batch $batch")
+    // the restart carried state: user 1's batch-2 event is seq 3,
+    // session 2; user 2's is seq 2, session 1
+    val byId = got.asScala.map(t => t._1 -> t).toMap
+    assert(byId(4L) == ((4L, Some(3L), Some(200L), Some(1890L), Some(2L))), byId(4L))
+    assert(byId(5L) == ((5L, Some(2L), Some(300L), Some(10L), Some(1L))), byId(5L))
+    assert(byId(99L) == ((99L, None, None, None, None)), byId(99L))
+  }
+
+  test("streaming rate anomalies accumulate bin history in the store and match the batch operator") {
+    import spark.implicits._
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long)]()
+    val srcDir = java.nio.file.Files.createTempDirectory("ras-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ras-ckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("ras-store").toString
+    val schema = Seq((0L, 0L)).toDF("user_id", "ts").schema
+    def start() = graft.streaming.EventFeatureStream.rateAnomalies(
+        spark.readStream.schema(schema).parquet(srcDir), store, ckpt,
+        key = "user_id", timeCol = "ts", binMicros = 100L,
+        factorX100 = 300L) { (flags, epoch) =>
+      flags.collect().foreach(r => got.add((epoch, r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    }
+    // user 1: bins [1, 1, 10] (10 = the burst, split ACROSS batches:
+    // 4 events in batch 1 + 6 in batch 2); user 2: uniform [2, 2]
+    val u1b1 = Seq(10L, 110L) ++ (0 until 4).map(i => 200L + i)
+    u1b1.map(t => (1L, t)).toDF("user_id", "ts")
+      .write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // after batch 1 the burst bin holds only 4 events (median 1 →
+    // 4 > 3×1 already flags — on PARTIAL history, as a live monitor must)
+    val e0 = got.asScala.filter(_._1 == 0L).map(t => (t._3, t._4, t._5, t._6)).toSet
+    assert(e0 == Set((0L, 1L, 1L, 0L), (100L, 1L, 1L, 0L), (200L, 4L, 1L, 1L)), e0)
+
+    // RESTART; batch 2 completes the burst and brings user 2
+    val b2 = (0 until 6).map(i => (1L, 204L + i)) ++
+      Seq((2L, 10L), (2L, 20L), (2L, 110L), (2L, 120L))
+    b2.toDF("user_id", "ts").write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // the batch-2 emission re-flags BOTH touched keys against their FULL
+    // accumulated history — bit-identical to the batch operator over the
+    // whole log
+    val all = (u1b1.map(t => (1L, t)) ++ b2).toDF("user_id", "ts")
+    val batch = graft.ops.EventFeatures.rateAnomalies(all,
+        key = "user_id", timeCol = "ts", binMicros = 100L, factorX100 = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val e1 = got.asScala.filter(_._1 == 1L)
+      .map(t => (t._2, t._3, t._4, t._5, t._6)).toSet
+    assert(e1 == batch, s"stream $e1 != batch $batch")
+    // the store accumulated per-epoch rows: the burst bin's total is the
+    // cross-epoch sum, not the last batch's slice
+    assert(e1.contains((1L, 200L, 10L, 1L, 1L)), e1)
+  }
+
   test("feature column colliding with a doc/dim column fails at stream START, not mid-stream") {
     import spark.implicits._
     val name = "t_cur_asof_clash"
