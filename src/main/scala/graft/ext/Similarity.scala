@@ -1225,8 +1225,15 @@ object Similarity {
     val meta = spark.table(s"${name}_meta").head()
     def mi(f: String) = meta.getInt(meta.fieldIndex(f))
     if (maxRatio > maxDriftRatio) {
+      // pinned BEFORE the rebuild: `indexed` may derive from the index's
+      // own persisted tables (the streaming maintainer recovers it from
+      // the inverted lists), and the build starts by dropping + deleting
+      // those files — an unpinned plan would scan deleted data. The pin
+      // costs one corpus materialization on a path that is already
+      // corpus-sized by definition.
       val corpus = indexed.select(col(idCol), col(vecCol))
         .unionByName(delta.select(col(idCol), col(vecCol)))
+        .localCheckpoint()
       kind match {
         case "ivf"   => buildIvfIndex(corpus, name, mi("centroids"),
           mi("buckets"), idCol, vecCol)
