@@ -223,4 +223,45 @@ object Curation {
           .when(col("mean_bits_x100") <= col("p67"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** The CCNet pipeline end-to-end (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): LM-perplexity bucket per domain → keep the predictable
+    * buckets (`head` + `middle` by default; CCNet drops `tail` as
+    * likely gibberish/boilerplate) → the [[curate]] flagship (quality
+    * gate → near-dup collapse → leakage-safe split) over the
+    * survivors. One call, one consumable relation:
+    * (idCol, mean_bits_x100, bucket, quality, split), one row per doc
+    * that survived every stage. Docs with a NULL bucket (null domain —
+    * no curve to grade on) are dropped with the tail, CCNet's posture
+    * for unclassifiable text. `scorer` plugs any LM rung
+    * ([[TextAnalysis.unigramSurprisal]] default, bigram, trigram, or a
+    * pre-trained backoff-model closure) into the bucketing.
+    *
+    * Scale shape: the bucket relation (id, score, bucket — 3 narrow
+    * columns) is pinned once because the keep-filter and the output
+    * join both read it; everything else is the already-audited shapes
+    * of [[perplexityBuckets]] and [[curate]] — no new corpus-sized
+    * exchange beyond theirs.
+    */
+  def ccnetCurate(docs: DataFrame, domainCol: String = "source",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  keepBuckets: Seq[String] = Seq("head", "middle"),
+                  minQuality: Int = 3,
+                  splits: Seq[(String, Double)] =
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                  scorer: (DataFrame, String, String) => DataFrame =
+                    TextAnalysis.unigramSurprisal(_, _, _)): DataFrame = {
+    require(keepBuckets.nonEmpty, "ccnetCurate needs at least one kept bucket")
+    val buck = perplexityBuckets(docs, domainCol, idCol, textCol, scorer)
+      .select(col(idCol), col("mean_bits_x100"), col("bucket"))
+      .localCheckpoint()
+    val kept = docs.join(
+      buck.filter(col("bucket").isin(keepBuckets: _*)).select(col(idCol)),
+      Seq(idCol))
+    curate(kept, idCol, textCol, minQuality, splits)
+      .join(buck, Seq(idCol))
+      .select(col(idCol), col("mean_bits_x100"), col("bucket"),
+        col("quality"), col("split"))
+  }
 }

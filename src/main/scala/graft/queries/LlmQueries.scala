@@ -2537,6 +2537,73 @@ object LlmQueries {
         .select(col("doc_id"), col("quality"), col("pack"))
     }.sortedBy(col("doc_id")),
 
+    // ── CCNet flagship: perplexity buckets → keep head+middle →
+    // curate → split (Wenzek et al. end-to-end). The DuckDB side chains
+    // the PROVEN CTE families: the t_surprisal + t_ppl_buckets chain
+    // computes per-domain buckets, `ckept` keeps head/middle (null
+    // buckets — null domain — drop with the tail), and the
+    // t_curate_corpus chain (quality CTEs + recursive clustering +
+    // split buckets) runs over the survivors.
+    QueryDef("t_ccnet_curate",
+      s"""WITH RECURSIVE utf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
+         |ucnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM utf GROUP BY 1),
+         |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ucnt),
+         |usc AS (SELECT t.doc_id, t.tf,
+         |    CAST(length(bin(u.total)) - length(bin(c.cnt)) AS BIGINT) AS bits
+         |  FROM utf t JOIN ucnt c USING (word) CROSS JOIN utot u),
+         |uagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens FROM usc GROUP BY 1),
+         |psc AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |         THEN CAST((a.surprisal * 100) // a.n_tokens AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS m
+         |  FROM documents d LEFT JOIN uagg a USING (doc_id)),
+         |phist AS (SELECT source, m AS v, count(*) AS c FROM psc GROUP BY 1, 2),
+         |pcum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |        ROWS UNBOUNDED PRECEDING) AS cumc FROM phist),
+         |ptot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |         FROM phist GROUP BY 1),
+         |p33 AS (SELECT c.source, min(v) AS p33 FROM pcum c
+         |  JOIN ptot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 33 + 99) // 100 GROUP BY 1),
+         |p67 AS (SELECT c.source, min(v) AS p67 FROM pcum c
+         |  JOIN ptot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 67 + 99) // 100 GROUP BY 1),
+         |cbuck AS (SELECT s.doc_id, s.m,
+         |    CASE WHEN p33.p33 IS NULL THEN NULL
+         |         WHEN s.m <= p33.p33 THEN 'head'
+         |         WHEN s.m <= p67.p67 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM psc s
+         |  LEFT JOIN p33 ON p33.source = s.source
+         |  LEFT JOIN p67 ON p67.source = s.source),
+         |ckept AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN cbuck b ON b.doc_id = d.doc_id
+         |  WHERE b.bucket IN ('head', 'middle')),
+         |${qualityCtes("ckept")},
+         |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 3),
+         |${hashesCteFrom("curated")},
+         |$sigCte,
+         |${clusterCtes("curated", jNum = 8, jDen = 10)},
+         |keeps AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+         |withb AS (
+         |  SELECT q.doc_id, q.quality,
+         |         ${polyhash("CAST(q.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM qscored q JOIN keeps k ON k.doc_id = q.doc_id)
+         |SELECT w.doc_id, b.m AS mean_bits_x100, b.bucket,
+         |       CAST(w.quality AS BIGINT) AS quality,
+         |       CASE WHEN w.bkt < 8000 THEN 'train'
+         |            WHEN w.bkt < 9000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM withb w JOIN cbuck b ON b.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Curation.ccnetCurate(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_curate_corpus",
       s"""WITH RECURSIVE ${qualityCtes("documents")},
          |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 3),

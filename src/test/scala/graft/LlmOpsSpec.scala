@@ -1237,6 +1237,39 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("ccnet flagship: tail and null-domain docs drop before curation; survivors carry bucket + quality + split") {
+    import spark.implicits._
+    var u = 0
+    // 9 docs, 12 tokens each, strictly increasing surprisal (i unique
+    // words) → 3 head / 4 middle / 2 tail per the tercile law; "the"
+    // keeps the stopword signal alive
+    val aDocs = (0 until 9).map { i =>
+      val words = Seq.fill(12 - i)("the") ++ (1 to i).map { _ => u += 1; s"u$u" }
+      (i.toLong, words.mkString(" "), "A")
+    }
+    val nullDoc = Seq((99L, "the quick brown fox jumps over the lazy dog again today", null: String))
+    val docs = (aDocs ++ nullDoc).toDF("doc_id", "text", "source")
+    val out = graft.ext.Curation.ccnetCurate(docs)
+      .select("doc_id", "bucket", "quality", "split")
+      .as[(Long, String, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == byId.size, "one row per surviving doc")
+    // null-domain doc has no curve to grade on → dropped with the tail
+    assert(!byId.contains(99L), s"null-domain doc must drop: $byId")
+    val buckets = graft.ext.Curation.perplexityBuckets(docs)
+      .select("doc_id", "bucket").as[(Long, Option[String])].collect().toMap
+    out.foreach { case (id, b, q, s) =>
+      assert(Set("head", "middle")(b) && buckets(id).contains(b),
+        s"doc $id bucket $b")
+      assert(q >= 3L, s"doc $id quality $q below the gate")
+      assert(Set("train", "val", "test")(s), s"doc $id split $s")
+    }
+    // every tail doc is absent
+    buckets.collect { case (id, Some("tail")) => id }
+      .foreach(id => assert(!byId.contains(id), s"tail doc $id leaked"))
+    assert(out.nonEmpty, "head/middle quality docs must survive")
+  }
+
   test("perplexity buckets: per-domain terciles, degenerate domains all-head, null domain null bucket") {
     import spark.implicits._
     // domain A: 9 docs of 8 tokens each, doc i carrying i unique words
