@@ -62,13 +62,17 @@ object Curation {
     * verify the realized mix: one row per `domainCol` value with doc
     * count, token/char totals and the integer quality-score sum
     * (sum, not mean — float division stays out of the oracle contract;
-    * divide at the consumer). One partial-aggregated shuffle on the
-    * domain key, grouped counts bounded by domain cardinality.
+    * divide at the consumer), plus the `approx_distinct_tokens` HLL
+    * sketch column. Two partial-aggregated shuffles on the domain key
+    * (row-local stats; word-exploded sketch — each ships
+    * domain-cardinality rows, the sketch a few KB per domain), joined
+    * domain-keyed.
     */
   def corpusProfile(docs: DataFrame, domainCol: String = "source",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    approxRsd: Double = 0.05): DataFrame = {
     val t = col(textCol)
-    docs.groupBy(col(domainCol)).agg(
+    val exact = docs.groupBy(col(domainCol)).agg(
       count(lit(1)).as("n_docs"),
       sum(when(t.isNull, 0L)
         .otherwise(TextAnalysis.tokenCount(t).cast("long"))).as("n_tokens"),
@@ -76,6 +80,32 @@ object Curation {
       sum(when(t.isNull, 0L)
         .otherwise(TextAnalysis.qualityScore(t).cast("long")))
         .as("quality_sum"))
+    // SKETCH column: per-domain approximate distinct tokens
+    // (HyperLogLog++, relative standard deviation `approxRsd`) — the
+    // 100 TB profiling reality, where an exact per-domain
+    // count(DISTINCT word) would shuffle the full token vocabulary and
+    // a sketch ships a few KB per domain through one partial-agg
+    // exchange. Deterministic (hash-based, no RNG) but APPROXIMATE and
+    // engine-specific — deliberately NOT part of the cross-engine
+    // oracle contract; CurationSketchSpec pins the error bound against
+    // the exact count instead. The word explode is the zero-shuffle
+    // WordTfs map over the scan.
+    val sketch = docs.filter(t.isNotNull)
+      .select(col(domainCol),
+        explode(graft.functions.wordTfs(t)).as("wt"))
+      .groupBy(col(domainCol))
+      .agg(approx_count_distinct(col("wt.word"), approxRsd)
+        .as("approx_distinct_tokens"))
+    // null-safe join (the null-domain group must keep its sketch row);
+    // the domain column is selected from the EXACT side explicitly — a
+    // post-join drop() resolved the wrong instance and surfaced the
+    // sketch side's null for domains with no text
+    exact.join(sketch,
+        exact(domainCol) <=> sketch(domainCol), "left_outer")
+      .select(exact(domainCol), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("quality_sum"),
+        coalesce(col("approx_distinct_tokens"), lit(0L))
+          .as("approx_distinct_tokens"))
   }
 
   /** Corpus snapshot diff — dataset versioning between two crawls or

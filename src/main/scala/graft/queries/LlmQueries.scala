@@ -1792,7 +1792,12 @@ object LlmQueries {
          |           ELSE q.quality END) AS BIGINT) AS quality_sum
          |FROM documents d JOIN qscored q ON q.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      // approx_distinct_tokens is an HLL sketch — deterministic but
+      // engine-specific, so it cannot be oracle-gated cross-engine;
+      // CurationSketchSpec pins its error bound against the exact
+      // count instead, and the oracle keeps gating the exact columns
       graft.ext.Curation.corpusProfile(Tables.documents(s, d))
+        .drop("approx_distinct_tokens")
     }.sortedBy(col("source")),
 
     // ── Corpus snapshot diff (dataset versioning) ──────────────────
