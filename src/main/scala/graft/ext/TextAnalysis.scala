@@ -1028,4 +1028,51 @@ object TextAnalysis {
         coalesce(col("__margin"), col("__pmargin")).as("margin"),
         coalesce(col("__ntok"), lit(0L)).as("n_tokens"))
   }
+
+  /** Character-TRIGRAM re-encoding of a text column: spaces become
+    * `_` (so grams never collide with the whitespace tokenizer), every
+    * 3-char substring is emitted in order, space-joined — "the cat"
+    * → "the he_ e_c _ca cat". Texts shorter than 3 chars survive as
+    * their single collapsed form; empty text encodes to the empty
+    * string (zero grams on both engines); null stays null. A pure
+    * codegen'd per-row map — zero shuffle.
+    *
+    * This is the representation bridge that turns the word-token NB
+    * machinery into a character-n-gram model: char 3-grams carry the
+    * orthographic signal (suffixes, diacritic patterns, script
+    * mixtures) that makes fastText-style language ID work where a
+    * word-unigram model sees only OOV.
+    */
+  def charTrigrams(text: Column): Column = {
+    val s = regexp_replace(text, " ", "_")
+    when(text.isNull, lit(null).cast("string"))
+      .when(length(s) >= 3,
+        concat_ws(" ",
+          transform(sequence(lit(1), length(s) - 2),
+            i => s.substr(i, lit(3)))))
+      .otherwise(s)
+  }
+
+  /** Model-based LANGUAGE ID: the multinomial NB ([[nbModel]] /
+    * [[classifyNaiveBayes]]) trained on character trigrams — the
+    * fastText-analog upgrade over the [[langId]] stopword heuristic
+    * (which only knows English). Both the training corpus and the
+    * classified corpus pass through the SAME [[charTrigrams]]
+    * re-encoding, so model vocabulary and document evidence live in
+    * one gram space. Output per input doc: (idCol, pred, bits, margin,
+    * n_tokens) — `pred` drops into the same column shape as the
+    * heuristic, so a quality gate can consume either.
+    *
+    * Scale shape: identical to [[classifyNaiveBayes]] (the re-encoding
+    * is a codegen'd map folded into the scan); char-trigram vocabulary
+    * is alphabet³-bounded — typically SMALLER than a word vocab, so
+    * the (gram, label) model relation broadcasts even more readily.
+    */
+  def classifyLangId(docs: DataFrame, labeled: DataFrame,
+                     labelCol: String = "lang", idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    classifyNaiveBayes(
+      docs.withColumn(textCol, charTrigrams(col(textCol))),
+      labeled.withColumn(textCol, charTrigrams(col(textCol))),
+      labelCol, idCol, textCol)
 }

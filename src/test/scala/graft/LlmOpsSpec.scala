@@ -1237,6 +1237,42 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("char-trigram langId classifies OOV-word text the word-unigram NB cannot") {
+    import spark.implicits._
+    // two orthographies: language A = runs of a/b, language B = z/y;
+    // the held-out docs use WORDS never seen in training — word-level
+    // NB has zero evidence (prior fallback), char trigrams carry it
+    val labeled = Seq(
+      (101L, "aababa abab baba ababab", "A"),
+      (102L, "babab ababa aabb bbaa", "A"),
+      (103L, "zyzyzy zyzy yzyz zyzyz", "B"),
+      (104L, "yzyzy zyzyz zzyy yyzz", "B"))
+      .toDF("doc_id", "text", "lang")
+    val docs = Seq(
+      (1L, "abababab bababa"),  // unseen words, A-shaped trigrams
+      (2L, "zyzyzyzy yzyzyz"),  // unseen words, B-shaped trigrams
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.classifyLangId(docs, labeled)
+      .select("doc_id", "pred", "n_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 3, "one row per input doc")
+    assert(out(1L)._2 == "A" && out(1L)._3 > 0, out(1L).toString)
+    assert(out(2L)._2 == "B" && out(2L)._3 > 0, out(2L).toString)
+    // null text: zero evidence → prior argmin (tie on 2+2 docs → label asc)
+    assert(out(3L)._2 == "A" && out(3L)._3 == 0, out(3L).toString)
+    // the word-level model really is blind here: zero in-vocab tokens
+    val word = graft.ext.TextAnalysis.classifyNaiveBayes(docs, labeled)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(word(1L) == 0L && word(2L) == 0L,
+      "held-out words must be OOV for the word model (the contrast this test pins)")
+    // re-encoding law: "the cat" → overlapping trigrams with _ joints
+    val enc = docs.sparkSession.range(1).select(
+      graft.ext.TextAnalysis.charTrigrams(lit("the cat")).as("g"))
+      .head().getString(0)
+    assert(enc == "the he_ e_c _ca cat", enc)
+  }
+
   test("ccnet flagship: tail and null-domain docs drop before curation; survivors carry bucket + quality + split") {
     import spark.implicits._
     var u = 0
