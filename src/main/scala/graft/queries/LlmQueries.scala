@@ -2052,6 +2052,68 @@ object LlmQueries {
       graft.ext.Curation.perplexityBuckets(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Perplexity buckets under the TRIGRAM scorer ────────────────
+    // The pluggable-scorer path oracle-gated: the same
+    // thresholds-then-assign chain as t_ppl_buckets, driven by the
+    // self-scored trigram surprisal (model over the full corpus — no
+    // backoff fires; t_trigram_surprisal covers the backoff hops).
+    QueryDef("t_ppl_buckets_tri",
+      s"""WITH tw AS (SELECT string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
+         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
+         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
+         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+         |    FROM tw) GROUP BY 1),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(3, len(ws)),
+         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
+         |  FROM dw),
+         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY 1, 2),
+         |tsc AS (SELECT o.doc_id, o.tf,
+         |    CAST(length(bin(b12.cnt)) - length(bin(t.cnt)) AS BIGINT) AS bits
+         |  FROM otf o
+         |  JOIN tri t ON t.gram = o.g123
+         |  JOIN bi b12 ON b12.gram =
+         |    string_split(o.g123, ' ')[1] || ' ' || string_split(o.g123, ' ')[2]),
+         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n FROM tsc GROUP BY 1),
+         |psc AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN coalesce(a.n, 0) > 0
+         |         THEN CAST((a.surprisal * 100) // a.n AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS m
+         |  FROM documents d LEFT JOIN tagg a USING (doc_id)),
+         |phist AS (SELECT source, m AS v, count(*) AS c FROM psc GROUP BY 1, 2),
+         |pcum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |        ROWS UNBOUNDED PRECEDING) AS cumc FROM phist),
+         |ptot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |         FROM phist GROUP BY 1),
+         |p33 AS (SELECT c.source, min(v) AS p33 FROM pcum c
+         |  JOIN ptot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 33 + 99) // 100 GROUP BY 1),
+         |p67 AS (SELECT c.source, min(v) AS p67 FROM pcum c
+         |  JOIN ptot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 67 + 99) // 100 GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.m AS mean_bits_x100,
+         |  CASE WHEN p33.p33 IS NULL THEN NULL
+         |       WHEN s.m <= p33.p33 THEN 'head'
+         |       WHEN s.m <= p67.p67 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM psc s
+         |LEFT JOIN p33 ON p33.source = s.source
+         |LEFT JOIN p67 ON p67.source = s.source
+         |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Curation.perplexityBuckets(Tables.documents(s, d),
+        scorer = TextAnalysis.trigramSurprisal(_, _, _))
+    }.sortedBy(col("doc_id")),
+
     // ── Duplication profile (corpus-wide boilerplate share) ────────
     // Per doc: share of its DISTINCT 3-gram shingles that occur in
     // >= 2 documents corpus-wide — the document-level readout of the

@@ -1509,10 +1509,11 @@ class LlmOpsSpec extends SparkSuite {
         TextAnalysis.qualityScore(col("text")).cast("long").as("q"))
       .as[(Long, Long)].collect().toMap
     val out = graft.ext.Curation.corpusProfile(docs)
-      .as[(String, Long, Long, Long, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    assert(out("a") == ((2L, 3L, 13L, q(1L))), s"got ${out("a")}")
-    assert(out("b") == ((1L, 1L, 1L, q(3L))), s"got ${out("b")}")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // tiny distinct counts are exact under HLL: 3 and 1
+    assert(out("a") == ((2L, 3L, 13L, q(1L), 3L)), s"got ${out("a")}")
+    assert(out("b") == ((1L, 1L, 1L, q(3L), 1L)), s"got ${out("b")}")
   }
 
   test("corpus diff: added/removed/changed by content hash, null-safe, unchanged omitted") {
