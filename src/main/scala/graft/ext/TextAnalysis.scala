@@ -433,11 +433,11 @@ object TextAnalysis {
     * it row-locally. One definition so the tokenization and null
     * contracts of the whole family move together.
     */
-  private def tfRelation(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame =
+  private def tfRelation(docs: DataFrame, idCol: String, textCol: String,
+                         tfs: Column => Column =
+                           graft.functions.wordTfs): DataFrame =
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .select(col(idCol), explode(tfs(col(textCol))).as("wt"))
       .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))
 
   /** TF-IDF-style keyword extraction, integer-exact: per document, the
@@ -897,7 +897,9 @@ object TextAnalysis {
     * reproduces the scores bit-for-bit.
     */
   private def nbParts(labeled: DataFrame, labelCol: String,
-                      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+                      textCol: String,
+                      tfs: Column => Column = graft.functions.wordTfs)
+      : (DataFrame, DataFrame, DataFrame) = {
     val lab = labeled.filter(col(labelCol).isNotNull)
       .select(col(labelCol).cast("string").as("label"),
         col(textCol).as("__text"))
@@ -909,8 +911,7 @@ object TextAnalysis {
     // (label, text) projection — the label rides the row, so NO
     // doc-keyed join ever touches token-level data
     val wc = lab.filter(col("__text").isNotNull)
-      .select(col("label"),
-        explode(graft.functions.wordTfs(col("__text"))).as("wt"))
+      .select(col("label"), explode(tfs(col("__text"))).as("wt"))
       .select(col("label"), col("wt.word").as("word"), col("wt.tf").as("tf"))
       .groupBy("label", "word").agg(sum("tf").as("cnt"))
       .localCheckpoint()
@@ -977,9 +978,11 @@ object TextAnalysis {
     */
   def classifyNaiveBayes(docs: DataFrame, labeled: DataFrame,
                          labelCol: String = "lang", idCol: String = "doc_id",
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         tfs: Column => Column =
+                           graft.functions.wordTfs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (wc, classes, model) = nbParts(labeled, labelCol, textCol)
+    val (wc, classes, model) = nbParts(labeled, labelCol, textCol, tfs)
     // an empty trained class set would make the prior-fallback crossJoin
     // drop EVERY doc row — a silent violation of the one-row-per-input
     // contract (and the DuckDB oracle shares the shape, so parity tests
@@ -989,7 +992,7 @@ object TextAnalysis {
       "classifyNaiveBayes: `labeled` has no non-null labels — train on " +
         "at least one labeled row (an untrained model cannot classify)")
     val vocab = wc.select("word").distinct()
-    val tf = tfRelation(docs, idCol, textCol)
+    val tf = tfRelation(docs, idCol, textCol, tfs)
     val matched = tf.join(vocab, "word")
     val scores = matched
       .crossJoin(broadcast(
@@ -1071,8 +1074,11 @@ object TextAnalysis {
   def classifyLangId(docs: DataFrame, labeled: DataFrame,
                      labelCol: String = "lang", idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
-    classifyNaiveBayes(
-      docs.withColumn(textCol, charTrigrams(col(textCol))),
-      labeled.withColumn(textCol, charTrigrams(col(textCol))),
-      labelCol, idCol, textCol)
+    // the tokenizer hook, not a text re-encode: CharTrigramTfs emits
+    // the gram tf pairs in ONE native pass — the re-encode + re-split
+    // formulation measured 25 s at sf0.1 (the 4× intermediate string
+    // and a String per gram position dominated); semantics identical
+    // (NativeExprSpec pins the twin)
+    classifyNaiveBayes(docs, labeled, labelCol, idCol, textCol,
+      tfs = graft.functions.charTrigramTfs)
 }

@@ -60,4 +60,14 @@ package object functions {
     */
   def wordTfs(c: Column): Column =
     Bridge.column(WordTfs(Bridge.expression(c)))
+
+  /** Per-document character-TRIGRAM term-frequencies in one row-local
+    * pass (custom codegen'd Catalyst expression, see
+    * [[graft.functions.CharTrigramTfs]]) — the fused hot path of the
+    * char-n-gram language ID: identical semantics to
+    * `wordTfs(charTrigrams(c))` without the 4× re-encoded string
+    * round-trip.
+    */
+  def charTrigramTfs(c: Column): Column =
+    Bridge.column(CharTrigramTfs(Bridge.expression(c)))
 }

@@ -117,6 +117,44 @@ class NativeExprSpec extends SparkSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("native char-trigram-tf array is identical to the re-encode + wordTfs formulation") {
+    import graft.functions.{charTrigramTfs, wordTfs}
+    import graft.ext.TextAnalysis.charTrigrams
+    // twin on the corpus: same (gram, tf) multiset per doc, same
+    // first-occurrence order (both LinkedHashMap passes walk the same
+    // gram sequence)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val both = docs.select(
+      charTrigramTfs(col("text")).as("native"),
+      wordTfs(charTrigrams(col("text"))).as("encoded"))
+    assert(both.filter(col("native") =!= col("encoded")).count() == 0)
+    assert(both.count() > 0)
+    // edge shapes: short text collapses (spaces → _), empty = one empty
+    // gram, multi-byte chars gram by CODE POINT, null → null
+    import spark.implicits._
+    val edge = Seq("", "ab", "a b", "abc", "the cat", "héllo")
+      .toDF("text")
+      .select(col("text"), charTrigramTfs(col("text")).as("g"))
+      .as[(String, Seq[(String, Long)])].collect().toMap
+    assert(edge("") == Seq("" -> 1L))
+    assert(edge("ab") == Seq("ab" -> 1L))
+    assert(edge("a b") == Seq("a_b" -> 1L))
+    assert(edge("abc") == Seq("abc" -> 1L))
+    assert(edge("the cat") ==
+      Seq("the" -> 1L, "he_" -> 1L, "e_c" -> 1L, "_ca" -> 1L, "cat" -> 1L))
+    assert(edge("héllo") ==
+      Seq("hél" -> 1L, "éll" -> 1L, "llo" -> 1L))
+    val nul = Seq((1L, null: String)).toDF("id", "text")
+      .select(charTrigramTfs(col("text"))).collect()(0)
+    assert(nul.isNullAt(0))
+    // repeats count: "aaaa" → aaa ×2
+    val rep = Seq("aaaa").toDF("text")
+      .select(charTrigramTfs(col("text")).as("g"))
+      .as[Seq[(String, Long)]].head()
+    assert(rep == Seq("aaa" -> 2L))
+  }
+
   test("native shingle-hash set is identical to the HOF formulation on the corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val both = docs.select(
