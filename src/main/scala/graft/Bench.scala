@@ -149,7 +149,12 @@ object Bench {
             storeName = s"bench_curation_$r")))
         val (eps, eSecs, aggRows) = med((1 to streamReps).map(r =>
           StreamBench.ratingsRun(spark, 60000, 6, tag = s"sbr$r")))
-        Some(f"""{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows,"stream_reps":$streamReps}""")
+        // round-14 anchor: the incremental flatMapGroupsWithState
+        // feature stage (EventFeatureStream.lagFeatures) — ev/s through
+        // per-key seq/lag/gap/session derivation
+        val (fps, fSecs, fRows) = med((1 to streamReps).map(r =>
+          StreamBench.featuresRun(spark, 60000, 6, tag = s"sbf$r")))
+        Some(f"""{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows,"features_events_per_sec":$fps%.0f,"features_secs":$fSecs%.2f,"features_rows":$fRows,"stream_reps":$streamReps}""")
       } catch { case e: Throwable =>
         // a streaming-anchor failure must cost the stream section, not
         // the 5×62 batch samples already collected in this run

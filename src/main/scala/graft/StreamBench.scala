@@ -139,6 +139,57 @@ object StreamBench {
     (perBatch.toLong * nBatches / secs, secs, admitted.get())
   }
 
+  /** The callable core of the incremental-feature bench (shared with
+    * [[Bench]]'s per-round `stream` section): drains `n` synthetic
+    * events through [[graft.streaming.EventFeatureStream.lagFeatures]]
+    * (the flatMapGroupsWithState seq/lag/gap/session stage, 200 keys)
+    * and returns (events/second, timed seconds, feature rows out — the
+    * guard that every event actually produced a feature row). Warm-up
+    * batch uses a DISJOINT key range so the timed keys start with
+    * fresh state.
+    */
+  def featuresRun(spark: org.apache.spark.sql.SparkSession, n: Int,
+                  nBatches: Int, tag: String = "sbf"): (Double, Double, Long) =
+    withPinnedShuffle(spark)(featuresRunPinned(spark, n, nBatches, tag))
+
+  private def featuresRunPinned(spark: org.apache.spark.sql.SparkSession,
+                                n: Int, nBatches: Int,
+                                tag: String): (Double, Double, Long) = {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    val feats = graft.streaming.EventFeatureStream.lagFeatures(
+      ms.toDF().toDF("event_id", "user_id", "ts", "value"),
+      keys = Seq("user_id"), timeCol = "ts", idCol = "event_id",
+      valueCol = "value", sessionGap = 1000L * 100L)
+    val q = feats.writeStream
+      .queryName(s"${tag}_feats")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"$tag-ckpt").toString)
+      .foreachBatch { (out: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        rows.addAndGet(out.count()): Unit
+      }.start()
+    val perBatch = n / nBatches
+    def mkBatch(b: Int, size: Int, keyBase: Long): Seq[(Long, Long, Long, Long)] =
+      (0 until size).map { i =>
+        val id = b.toLong * size + i
+        (id, keyBase + id % 200, id * 100L, id % 7)
+      }
+    // warm-up (untimed): codegen + state-store init on disjoint keys
+    ms.addData(mkBatch(0, perBatch, keyBase = 100000L))
+    q.processAllAvailable()
+    rows.set(0)
+    val t0 = System.nanoTime()
+    (0 until nBatches).foreach { b =>
+      ms.addData(mkBatch(b, perBatch, keyBase = 0L))
+      q.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    (perBatch.toLong * nBatches / secs, secs, rows.get())
+  }
+
   private def ratingsMain(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
