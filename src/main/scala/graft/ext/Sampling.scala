@@ -226,6 +226,102 @@ object Sampling {
       lit(Grain) * coalesce(numCol.cast("long"), lit(0L)))
   }
 
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
+    * for Language Models via Importance Resampling"): score every corpus
+    * document by how much MORE LIKELY its hashed-n-gram bag is under a
+    * TARGET distribution (the data you want more of — a trusted
+    * high-quality set, an in-domain seed) than under the raw corpus
+    * distribution. Features are hashed word {1,2}-grams (the paper's
+    * bag-of-hashed-ngrams) folded into `buckets` cells via the same
+    * PolyHash every fingerprint in this engine uses, so feature space —
+    * and therefore both models — is `buckets`-bounded regardless of
+    * corpus size.
+    *
+    * INTEGER-exact scoring by the floor-log2 bin-length law the LM
+    * family uses (L(x) = length(bin(x)); both engines render identical
+    * binary strings, no float log): with add-one-smoothed bucket models
+    * p̂_b = (tgt_b+1)/(T_t+B) and q̂_b = (raw_b+1)/(T_r+B), a document's
+    * importance weight in bits is
+    *
+    *   dsir_bits = Σ_b c_b·(L(tgt_b+1) − L(raw_b+1))
+    *             + n·(L(T_r+B) − L(T_t+B)),
+    *
+    * where c_b = the doc's occurrences hashing to bucket b and n = Σc_b.
+    * Positive ⇒ more target-like than corpus-typical; negative ⇒ the
+    * reverse. Null/empty-gram docs score 0 with n_grams 0 (the
+    * surprisal-family left-join law). Output: (idCol, dsir_bits,
+    * n_grams).
+    *
+    * Scale shape: grams derive ROW-LOCALLY (split + the shared
+    * 2-gram transform); the per-doc bucket tf relation is pinned once
+    * (model counts + scoring join share it — the bigramSurprisal
+    * lesson); the raw model is ONE `buckets`-bounded partial-agg
+    * shuffle; the target model likewise (the target may be any size —
+    * its model is still ≤ `buckets` rows); per-bucket weights and the
+    * 1-row total shift BROADCAST back over the pinned tf relation.
+    * Nothing corpus-sized crosses an exchange except the one (doc,
+    * bucket) tf aggregation every bag-of-features operator pays.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, buckets: Int = 4096,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def gramBuckets(df: DataFrame): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol), explode(concat(split(col(textCol), " "),
+          TextAnalysis.ngramArray(textCol, 2))).as("__ds_gram"))
+        .select(col(idCol),
+          pmod(polyFingerprint(col("__ds_gram")), lit(buckets.toLong))
+            .as("__ds_b"))
+    // pinned: the raw model AND the scoring join both read the corpus
+    // tf relation — without the pin the scan + gram explode runs twice
+    val dtf = gramBuckets(corpus)
+      .groupBy(col(idCol), col("__ds_b"))
+      .agg(count(lit(1)).as("__ds_tf"))
+      .localCheckpoint()
+    val rawm = dtf.groupBy("__ds_b").agg(sum("__ds_tf").as("__ds_cr"))
+    val tgtm = gramBuckets(target)
+      .groupBy("__ds_b").agg(count(lit(1)).as("__ds_ct"))
+    val weights = rawm.join(tgtm, Seq("__ds_b"), "left_outer")
+      .select(col("__ds_b"),
+        (length(bin(coalesce(col("__ds_ct"), lit(0L)) + 1)) -
+          length(bin(col("__ds_cr") + 1))).cast("long").as("__ds_w"))
+    val shift = rawm.agg(sum("__ds_cr").as("__ds_tr"))
+      .crossJoin(tgtm.agg(sum("__ds_ct").as("__ds_tt")))
+      .select((length(bin(col("__ds_tr") + buckets)) -
+        length(bin(col("__ds_tt") + buckets))).cast("long").as("__ds_shift"))
+    val agg = dtf.join(broadcast(weights), "__ds_b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__ds_tf") * col("__ds_w")).as("__ds_gb"),
+        sum(col("__ds_tf")).as("__ds_n"))
+    corpus.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .crossJoin(broadcast(shift))
+      .select(col(idCol),
+        (coalesce(col("__ds_gb"), lit(0L)) +
+          coalesce(col("__ds_n"), lit(0L)) * col("__ds_shift"))
+          .as("dsir_bits"),
+        coalesce(col("__ds_n"), lit(0L)).as("n_grams"))
+  }
+
+  /** DSIR selection: the `n` most target-like corpus documents by
+    * [[dsirWeights]], deterministic (weight DESC, id ASC tiebreak — the
+    * paper samples with Gumbel noise; a deterministic top-n is this
+    * engine's reproducibility law, and at corpus scale the two coincide
+    * in expectation). Output adds a 1-based `rank`. The global cut is a
+    * TakeOrdered (bounded-heap per task, n rows through the exchange);
+    * the rank window then orders only the ≤ n survivors.
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, n: Int,
+                 buckets: Int = 4096, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val top = dsirWeights(corpus, target, buckets, idCol, textCol)
+      .orderBy(col("dsir_bits").desc, col(idCol))
+      .limit(n)
+    top.withColumn("rank", row_number()
+      .over(Window.orderBy(col("dsir_bits").desc, col(idCol))).cast("long"))
+  }
+
   /** Stratified EXACT-N take: deterministically select (up to) `n` rows
     * per stratum — "give me 10k eval docs per domain" — by ascending
     * polyhash(key) order with a key tiebreak, so the selection is a

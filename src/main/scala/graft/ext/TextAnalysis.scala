@@ -615,7 +615,7 @@ object TextAnalysis {
     * Shared by the n-gram LM family; validates the column name because
     * the lambda is SQL text (the [[bigramSurprisal]] splice rule).
     */
-  private def ngramArray(textCol: String, n: Int): org.apache.spark.sql.Column = {
+  private[ext] def ngramArray(textCol: String, n: Int): org.apache.spark.sql.Column = {
     require(!textCol.contains("`"),
       s"column name must not contain a backtick, got '$textCol'")
     val parts = (n - 1 to 0 by -1)

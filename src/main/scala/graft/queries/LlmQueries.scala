@@ -462,6 +462,42 @@ object LlmOracle {
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
        |             ORDER BY cos DESC, cell) AS rn
        |    FROM sc WHERE $queryPred) WHERE rn <= $nProbe)""".stripMargin
+
+  /** CTEs replaying [[graft.ext.Sampling.dsirWeights]]: hashed word
+    * {1,2}-gram bucket tfs over the corpus (`dstf`), the raw and target
+    * bucket models, the per-bucket bit weights L(tgt+1) − L(raw+1), the
+    * 1-row total shift L(T_r+B) − L(T_t+B), and the per-doc aggregate
+    * `dsagg(doc_id, gb, n_grams)`. Same PolyHash-mod bucketing and
+    * bin-length law as the Spark side — integer-exact end to end.
+    */
+  def dsirCtes(corpusRel: String, targetRel: String, buckets: Int): String =
+    s"""dsw AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM $corpusRel WHERE text IS NOT NULL),
+       |dsg AS (SELECT doc_id, unnest(list_concat(ws,
+       |    list_transform(generate_series(2, len(ws)),
+       |      i -> ws[i-1] || ' ' || ws[i]))) AS gram FROM dsw),
+       |dstf AS (SELECT doc_id, ${polyhash("gram")} % $buckets AS bkt,
+       |    CAST(count(*) AS BIGINT) AS tf FROM dsg GROUP BY 1, 2),
+       |dsraw AS (SELECT bkt, CAST(sum(tf) AS BIGINT) AS cr
+       |          FROM dstf GROUP BY 1),
+       |tsw AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM $targetRel WHERE text IS NOT NULL),
+       |tsg AS (SELECT doc_id, unnest(list_concat(ws,
+       |    list_transform(generate_series(2, len(ws)),
+       |      i -> ws[i-1] || ' ' || ws[i]))) AS gram FROM tsw),
+       |dstgt AS (SELECT ${polyhash("gram")} % $buckets AS bkt,
+       |    CAST(count(*) AS BIGINT) AS ct FROM tsg GROUP BY 1),
+       |dswt AS (SELECT r.bkt,
+       |    CAST(length(bin(coalesce(t.ct, 0) + 1)) - length(bin(r.cr + 1))
+       |      AS BIGINT) AS w
+       |  FROM dsraw r LEFT JOIN dstgt t USING (bkt)),
+       |dsshift AS (SELECT
+       |    CAST(length(bin((SELECT sum(cr) FROM dsraw) + $buckets))
+       |       - length(bin((SELECT sum(ct) FROM dstgt) + $buckets)) AS BIGINT)
+       |      AS shift),
+       |dsagg AS (SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS gb,
+       |    CAST(sum(tf) AS BIGINT) AS n_grams
+       |  FROM dstf JOIN dswt USING (bkt) GROUP BY 1)""".stripMargin
 }
 
 /** LLM-data-pipeline operators as oracle-verified queries (BASELINE
@@ -2584,6 +2620,48 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "source"),
         col("source"), col("doc_id"), alphaNum = 1, alphaDen = 2)
     }.sortedBy(col("doc_id")),
+
+    // ── DSIR importance weights (Xie et al. 2023) ──────────────────
+    // Every corpus doc scored by how much more likely its hashed
+    // {1,2}-gram bag is under the TARGET distribution (source = src0)
+    // than under the raw corpus — add-one-smoothed bucket models,
+    // integer-exact via the bin-length floor-log2 law. The oracle
+    // replays the PolyHash-mod-4096 feature hashing, both models, the
+    // per-bucket weights and the total shift bit for bit.
+    QueryDef("t_dsir_weights",
+      s"""WITH tgt AS (SELECT doc_id, text FROM documents
+         |            WHERE source = 'src0'),
+         |${dsirCtes("documents", "tgt", 4096)}
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.gb, 0) + coalesce(a.n_grams, 0)
+         |       * (SELECT shift FROM dsshift) AS BIGINT) AS dsir_bits,
+         |  coalesce(a.n_grams, 0) AS n_grams
+         |FROM documents d LEFT JOIN dsagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Sampling.dsirWeights(docs,
+        docs.filter(col("source") === "src0"))
+    }.sortedBy(col("doc_id")),
+
+    // ── DSIR selection (deterministic top-n most target-like) ──────
+    QueryDef("t_dsir_select",
+      s"""WITH tgt AS (SELECT doc_id, text FROM documents
+         |            WHERE source = 'src0'),
+         |${dsirCtes("documents", "tgt", 4096)},
+         |dscored AS (SELECT d.doc_id,
+         |    CAST(coalesce(a.gb, 0) + coalesce(a.n_grams, 0)
+         |         * (SELECT shift FROM dsshift) AS BIGINT) AS dsir_bits,
+         |    coalesce(a.n_grams, 0) AS n_grams
+         |  FROM documents d LEFT JOIN dsagg a USING (doc_id))
+         |SELECT doc_id, dsir_bits, n_grams,
+         |  CAST(row_number() OVER (ORDER BY dsir_bits DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |FROM dscored ORDER BY dsir_bits DESC, doc_id
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Sampling.dsirSelect(docs,
+        docs.filter(col("source") === "src0"), n = 100)
+    }.sortedBy(col("rank")),
 
     // ── Benchmark decontamination (n-gram overlap vs a held-out set) ──
     // Corpus docs sharing >= 2 distinct word 3-gram hashes with the

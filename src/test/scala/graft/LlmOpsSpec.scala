@@ -1123,6 +1123,70 @@ class LlmOpsSpec extends SparkSuite {
       plan)
   }
 
+  test("dsir: weights match an independent reimplementation, target-like docs outrank, selection ordered and bounded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common words here"),
+      (2L, "target style text sample"),
+      (3L, "common words again common words"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "target style target style")).toDF("doc_id", "text")
+    val target = Seq((100L, "target style text"),
+      (101L, "target style sample text")).toDF("doc_id", "text")
+    val B = 64
+
+    // independent plain-Scala replay of the whole arithmetic: PolyHash,
+    // hashed {1,2}-gram bucketing, add-one models, bin-length log law
+    def ph(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + (c & 0xff)) % 2147483647L)
+    def bitsLen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def grams(t: String): Seq[Long] = {
+      val ws = t.split(" ", -1).toSeq
+      (ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(g => ph(g) % B)
+    }
+    val corpusTexts = Map(1L -> "common common words here",
+      2L -> "target style text sample",
+      3L -> "common words again common words",
+      5L -> "target style target style")
+    val rawCnt = corpusTexts.values.flatMap(grams).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tgtCnt = Seq("target style text", "target style sample text")
+      .flatMap(grams).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val shift = bitsLen(rawCnt.values.sum + B) - bitsLen(tgtCnt.values.sum + B)
+    def expected(t: String): (Long, Long) = {
+      val gs = grams(t)
+      val gb = gs.map(b => bitsLen(tgtCnt.getOrElse(b, 0L) + 1) -
+        bitsLen(rawCnt(b) + 1)).sum
+      (gb + gs.size * shift, gs.size.toLong)
+    }
+
+    val got = graft.ext.Sampling.dsirWeights(corpus, target, buckets = B)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "one row per corpus doc")
+    corpusTexts.foreach { case (id, t) =>
+      assert(got(id) == expected(t), s"doc $id: got ${got(id)}, want ${expected(t)}")
+    }
+    assert(got(4L) == ((0L, 0L)), "null text scores 0 with 0 grams")
+    // docs made of target vocabulary must outrank corpus-only vocabulary
+    assert(got(5L)._1 > got(3L)._1, s"target-like must outrank: $got")
+    assert(got(2L)._1 > got(1L)._1, s"target-like must outrank: $got")
+
+    // selection: top-3 by (bits desc, id), ranks 1..3, agrees with weights
+    val sel = graft.ext.Sampling.dsirSelect(corpus, target, n = 3, buckets = B)
+      .select("doc_id", "dsir_bits", "rank").as[(Long, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(sel.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    val wantOrder = got.toSeq.sortBy { case (id, (b, _)) => (-b, id) }.take(3)
+    assert(sel.map(s => (s._1, s._2)).toSeq ==
+      wantOrder.map { case (id, (b, _)) => (id, b) }, s"selection disagrees")
+
+    intercept[IllegalArgumentException](
+      graft.ext.Sampling.dsirWeights(corpus, target, buckets = 0))
+    intercept[IllegalArgumentException](
+      graft.ext.Sampling.dsirSelect(corpus, target, n = 0))
+  }
+
   test("quality report: per-signal terms sum to qualityScore, null and spam fire the right rules") {
     import spark.implicits._
     val good = "the " + (1 to 39).map(i => s"word$i").mkString(" ")
