@@ -725,23 +725,96 @@ object Dedup {
                     keepFirst: Boolean = true,
                     perDocument: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
+    dedupChunked(docs,
+      graft.ext.TextAnalysis.chunkDocuments(docs, window, window, idCol, textCol),
+      idCol, textCol, keepFirst, perDocument, "dedupPassages")
+  }
+
+  /** CONTENT-DEFINED chunking (the word-level analog of CDC/Rabin
+    * chunking in dedup storage systems, and of the variable-passage
+    * split RefinedWeb-style pipelines use to survive edits): a chunk
+    * boundary falls AFTER word `i` exactly when the PolyHash of the
+    * trailing `window`-word shingle ending at `i` is ≡ 0 mod `divisor`
+    * — a pure function of LOCAL content, so inserting or deleting a
+    * word re-synchronizes the chunking within one boundary instead of
+    * shifting every downstream chunk the way fixed-stride
+    * [[graft.ext.TextAnalysis.chunkDocuments]] windows do. Expected
+    * chunk length ≈ `divisor` words (geometric); the final chunk always
+    * closes at the document end, and a document shorter than
+    * `window + 1` words is one chunk. Output: (idCol, chunk_id
+    * (0-based), chunk_text); null-text docs emit nothing (the
+    * chunkDocuments contract).
+    *
+    * Entirely ROW-LOCAL — boundary hashes, bounds and chunk slices are
+    * codegen'd array ops inside the scan's map stage; no shuffle, no
+    * custom expression.
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 4, divisor: Int = 8,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(divisor > 1, s"divisor must be > 1 (1 cuts after every word), got $divisor")
+    val ws = split(col(textCol), " ")
+    val n = size(ws)
+    def trailing(i: Column): Column = concat_ws(" ",
+      (window - 1 to 0 by -1).map(j => element_at(ws, i - j)): _*)
+    // boundary candidates stop at n−1: a boundary AT the last word would
+    // duplicate the closing bound. The size guard matters — Spark's
+    // sequence(a, b) DESCENDS when b < a instead of being empty.
+    val cuts = when(n - 1 >= window,
+      filter(sequence(lit(window), n - 1),
+        i => pmod(polyFingerprint(trailing(i)), lit(divisor.toLong)) === 0))
+      .otherwise(expr("cast(array() AS array<int>)"))
+    val bounds = concat(array(lit(0)), cuts, array(n))
+    val chunks = transform(sequence(lit(2), size(bounds)),
+      j => concat_ws(" ", slice(ws,
+        element_at(bounds, j - 1) + 1,
+        element_at(bounds, j) - element_at(bounds, j - 1))))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"))
+  }
+
+  /** [[dedupPassages]] over CONTENT-DEFINED chunks ([[cdcChunks]])
+    * instead of fixed windows — the edit-robust passage dedup: a
+    * near-copy with a word inserted or dropped still shares every
+    * chunk after the next content boundary, where fixed windows shift
+    * and share nothing. Same first-occurrence min-key law, same output
+    * contract and scale shape as [[dedupPassages]].
+    */
+  def dedupPassagesCdc(docs: DataFrame, window: Int = 4, divisor: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       keepFirst: Boolean = true,
+                       perDocument: Boolean = false): DataFrame =
+    dedupChunked(docs, cdcChunks(docs, window, divisor, idCol, textCol),
+      idCol, textCol, keepFirst, perDocument, "dedupPassagesCdc")
+
+  /** Shared tail of the passage-dedup family: hash + pack + flag +
+    * reassemble over any (idCol, chunk_id, chunk_text) relation.
+    */
+  private def dedupChunked(docs: DataFrame, chunksRel: DataFrame,
+                           idCol: String, textCol: String,
+                           keepFirst: Boolean, perDocument: Boolean,
+                           opName: String): DataFrame = {
     // key-packing guard (the knob-rejection posture): a doc id that is
-    // non-numeric (casts to null), negative, or >= 2^43 — or a document
-    // with >= 2^20 passages — would wrap/null the packed key and
-    // silently corrupt the first-occurrence order (null keys win every
-    // min → every passage dropped). Fail AT EXECUTION, row-local, with
-    // the violating values named; valid inputs pay one branch, no extra
-    // action or scan.
-    val idL = col(idCol).cast("long")
+    // non-numeric (try_cast → null), negative, or >= 2^43 — or a
+    // document with >= 2^20 passages — would wrap/null the packed key
+    // and silently corrupt the first-occurrence order (null keys win
+    // every min → every passage dropped). Fail AT EXECUTION, row-local,
+    // with the operator and violating values NAMED (a plain ANSI cast
+    // would throw first with an anonymous frame); valid inputs pay one
+    // branch, no extra action or scan.
+    require(!idCol.contains("`"),
+      s"$opName: idCol must not contain a backtick, got '$idCol'")
+    val idL = expr(s"try_cast(`$idCol` AS BIGINT)")
     val keyOk = idL.isNotNull && idL >= 0 && idL < MaxPassageDocId &&
       col("chunk_id") < PassageKeyBase
-    val p = graft.ext.TextAnalysis
-      .chunkDocuments(docs, window, window, idCol, textCol)
+    val p = chunksRel
       .withColumn("__pd_h", polyFingerprint(col("chunk_text")))
       .withColumn("__pd_k",
         when(keyOk, idL * PassageKeyBase + col("chunk_id"))
           .otherwise(raise_error(concat(
-            lit(s"dedupPassages: '$idCol' must cast to a long in " +
+            lit(s"$opName: '$idCol' must cast to a long in " +
               s"[0, $MaxPassageDocId) and documents must have fewer than " +
               s"$PassageKeyBase passages (re-key or raise `window`); " +
               s"violating row: $idCol="),

@@ -2958,6 +2958,65 @@ object LlmQueries {
       Dedup.dedupPassages(planted, window = 8, perDocument = true)
     }.sortedBy(col("doc_id")),
 
+    // ── Content-defined chunking passage dedup (edit-robust) ───────
+    // Chunk boundaries fall where the trailing 4-word shingle's
+    // PolyHash ≡ 0 mod 8 — a pure function of local content, so the
+    // PLANTED copies (every doc_id < 25 re-appears under +100000 with
+    // one word PREPENDED) re-synchronize after the first boundary and
+    // their chunks dedup against the originals, where fixed-stride
+    // windows would all shift and match nothing. Oracle replays the
+    // boundary rule, bounds assembly, slicing, min-key law and
+    // reassembly bit for bit.
+    QueryDef("t_passage_dedup_cdc", {
+      // the boundary lambda variable must NOT be `i` — polyhash()'s own
+      // inner list_transform binds `i`, and DuckDB resolves the inner
+      // binding (shadowing), which would hash with the character index
+      // in place of the word index
+      val shingle = "ws[bi-3] || ' ' || ws[bi-2] || ' ' || ws[bi-1] || ' ' || ws[bi]"
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'zzz ' || text FROM documents
+         |  WHERE doc_id < 25 AND text IS NOT NULL),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM aug WHERE text IS NOT NULL),
+         |cbn AS (SELECT doc_id, ws, list_concat(list_concat(
+         |    [0],
+         |    CASE WHEN len(ws) - 1 >= 4 THEN
+         |      list_filter(generate_series(4, len(ws) - 1),
+         |        bi -> (${polyhash(shingle)}) % 8 = 0)
+         |    ELSE [] END),
+         |    [len(ws)]) AS bounds FROM cw),
+         |cch AS (SELECT doc_id, ws, bounds,
+         |    unnest(generate_series(2, len(bounds))) AS j FROM cbn),
+         |p AS (SELECT doc_id, CAST(j - 2 AS BIGINT) AS cid,
+         |    array_to_string(ws[bounds[j-1]+1 : bounds[j]], ' ') AS ct
+         |  FROM cch),
+         |ph AS (SELECT doc_id, cid, ct, ${polyhash("ct")} AS h,
+         |  doc_id * ${Dedup.PassageKeyBase} + cid AS k FROM p),
+         |f AS (SELECT h, min(k) AS mk FROM ph GROUP BY h),
+         |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
+         |  FROM ph JOIN f ON f.h = ph.h),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+         |  string_agg(CASE WHEN keep THEN ct END, ' ' ORDER BY cid) AS ctext
+         |  FROM fl GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE coalesce(a.ctext, '') END AS clean_text,
+         |  CAST(coalesce(a.np, 0) AS BIGINT) AS n_passages,
+         |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
+         |FROM aug d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"), col("text")).union(
+        docs.filter(col("doc_id") < 25 && col("text").isNotNull)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("zzz "), col("text")).as("text")))
+      Dedup.dedupPassagesCdc(planted, window = 4, divisor = 8)
+    }.sortedBy(col("doc_id")),
+
     // ── SemDeDup (cluster-then-cosine semantic dedup) ──────────────
     // The DuckDB side retrains the same 16 k-means cells (shared
     // ivfCtes — hash-sampled seeds, one quantized-integer Lloyd step),

@@ -2267,6 +2267,62 @@ class LlmOpsSpec extends SparkSuite {
     assert(scoped == Seq((1L, "x y a b", 2L), (2L, "x y c d", 2L)), scoped)
   }
 
+  test("cdc chunks: reimplementation parity on the corpus, insertion re-syncs where fixed windows shift") {
+    import spark.implicits._
+    // independent plain-Scala replay of the boundary rule + slicing
+    def ph(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + (c & 0xff)) % 2147483647L)
+    def chunksOf(t: String, w: Int, m: Int): Seq[String] = {
+      val ws = t.split(" ", -1)
+      val n = ws.length
+      val cuts = (w to n - 1).filter(i => ph(ws.slice(i - w, i).mkString(" ")) % m == 0)
+      val bounds = 0 +: cuts :+ n
+      bounds.sliding(2).map { case Seq(a, b) => ws.slice(a, b).mkString(" ") }.toSeq
+    }
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val texts = docs.filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Dedup.cdcChunks(docs, window = 4, divisor = 8)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.keySet == texts.keySet, "one chunk list per non-null doc")
+    texts.foreach { case (id, t) =>
+      assert(got(id) == chunksOf(t, 4, 8), s"doc $id chunking disagrees")
+      assert(got(id).mkString(" ") == t, s"doc $id chunks must reassemble")
+    }
+
+    // insertion robustness: prepending one word shifts EVERY fixed
+    // window (w1..w40 are all distinct, so no fixed chunk can match)
+    // but CDC boundaries re-synchronize at the first content cut
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val pair = Seq((1L, t), (2L, "inserted " + t)).toDF("doc_id", "text")
+    val fixed = Dedup.dedupPassages(pair, window = 4)
+      .select("doc_id", "n_passages", "n_kept")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fixed(2L)._1 == fixed(2L)._2, s"fixed windows all shift: $fixed")
+    val cdc = Dedup.dedupPassagesCdc(pair, window = 4, divisor = 4)
+      .select("doc_id", "n_passages", "n_kept")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // reimplementation of the min-key law over the same chunkings
+    val c1 = chunksOf(t, 4, 4)
+    val c2 = chunksOf("inserted " + t, 4, 4)
+    val firstKeys = (c1.zipWithIndex.map { case (c, i) => (c, 1L * (1L << 20) + i) } ++
+      c2.zipWithIndex.map { case (c, i) => (c, 2L * (1L << 20) + i) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expKept2 = c2.zipWithIndex.count { case (c, i) =>
+      firstKeys(c) == 2L * (1L << 20) + i }
+    assert(cdc(2L) == ((c2.size.toLong, expKept2.toLong)), s"cdc: $cdc")
+    assert(expKept2 < c2.size, "CDC must re-sync and dedup shared chunks")
+    assert(cdc(1L) == ((c1.size.toLong, c1.size.toLong)), "doc 1 owns firsts")
+
+    // degenerate inputs + knob rejection
+    val edge = Seq((7L, ""), (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val e = Dedup.cdcChunks(edge).as[(Long, Long, String)].collect()
+    assert(e.toSeq == Seq((7L, 0L, "")), s"empty text is one empty chunk: ${e.toSeq}")
+    intercept[IllegalArgumentException](Dedup.cdcChunks(edge, window = 0))
+    intercept[IllegalArgumentException](Dedup.cdcChunks(edge, divisor = 1))
+  }
+
   test("passage dedup: key-packing contract violations fail loudly, never a silent drop") {
     import spark.implicits._
     // a non-numeric id casts to null — before the guard this nulled the
