@@ -1414,4 +1414,33 @@ object Similarity {
         .select(col("id_a").as("src"), col("id_b").as("dst")),
       maxRounds, strict, checkpointDir)
       .select(col("id").as(idCol), col("cluster_id"))
+
+  /** Cluster-stratified DIVERSITY sampling — a small subset that COVERS
+    * the embedding space instead of mirroring its density (the
+    * cluster-balanced selection step of SemDeDup/D4-style pipelines: a
+    * head-heavy corpus sampled uniformly re-creates the head; sampling
+    * an EQUAL quota per k-means cell keeps the tail represented). Cells
+    * come from the same deterministic [[trainCentroids]] quantizer the
+    * IVF family uses; within each cell the quota is the
+    * [[graft.ext.Sampling.stratifiedTake]] law (ascending
+    * polyhash(id) — uniform-without-RNG, stable across runs, engines
+    * and partitionings). Output: (idCol, cell, rank); null-vector rows
+    * are dropped (they belong to no cell).
+    *
+    * Scale shape: one broadcast-centroid assignment pass over the
+    * corpus (the IVF assignment shape), then the bounded-heap
+    * TopKPerKey cut — the exchange carries O(centroids · n) rows,
+    * never a per-cell corpus sort.
+    */
+  def diversitySample(corpus: DataFrame, n: Int, centroids: Int = 16,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(centroids > 0, s"centroids must be positive, got $centroids")
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+    val cents = trainCentroids(vecs, centroids, idCol, vecCol)
+    val assigned = assignCells(vecs, cents, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    graft.ext.Sampling.stratifiedTake(assigned, "cell", idCol, n)
+  }
 }

@@ -3128,6 +3128,23 @@ object LlmQueries {
         strataCol = "source", keyCol = "doc_id", n = 5)
     }.sortedBy(col("source"), col("rank")),
 
+    // ── Cluster-stratified diversity sampling (coverage subset) ────
+    // Up to 20 vectors per k-means cell: the same deterministic
+    // 16-cell quantizer the IVF family trains (shared ivfCtes replay —
+    // centroids, assignment and tiebreaks agree bit-for-bit), then the
+    // stratifiedTake hash-order quota per cell.
+    QueryDef("t_diversity_sample",
+      s"""WITH ${ivfCtes(16, 1, "FALSE")},
+         |dvr AS (SELECT vec_id, cell,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |         ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |      AS BIGINT) AS rank
+         |  FROM assigned)
+         |SELECT vec_id, cell, rank FROM dvr WHERE rank <= 20
+         |ORDER BY cell, rank""".stripMargin) { (s, d) =>
+      graft.ext.Similarity.diversitySample(Tables.embeddings(s, d), n = 20)
+    }.sortedBy(col("cell"), col("rank")),
+
     // ── Semantic decontamination (embedding space) ─────────────────
     // Benchmark = every 97th embedding; the corpus side must shed any
     // doc within 0.3 cosine of a benchmark vector. The engine runs a

@@ -2347,6 +2347,35 @@ class LlmOpsSpec extends SparkSuite {
       .select("n_kept").as[Long].head() == 1L)
   }
 
+  test("diversity sample: per-cell quotas with contiguous ranks, assignments honored, deterministic, knobs rejected") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val n = 7
+    val rows1 = Similarity.diversitySample(emb, n = n, centroids = 8)
+      .as[(Long, Long, Long)].collect()
+    rows1.groupBy(_._2).foreach { case (cell, rs) =>
+      assert(rs.size <= n, s"cell $cell over quota")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.size).map(_.toLong),
+        s"cell $cell ranks not contiguous")
+    }
+    // sampled (vec, cell) pairs must be the quantizer's own assignment,
+    // and every non-empty cell must be represented (the coverage law)
+    val cents = Similarity.trainCentroids(emb, 8)
+    val assigned = Similarity.assignCells(emb, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    rows1.foreach { case (v, c, _) =>
+      assert(assigned(v) == c, s"vec $v sampled under the wrong cell") }
+    assert(rows1.map(_._2).toSet == assigned.values.toSet,
+      "every non-empty cell covered")
+    // deterministic under physical repartitioning (no RNG anywhere)
+    val rows2 = Similarity.diversitySample(emb.repartition(17), n = n,
+      centroids = 8).as[(Long, Long, Long)].collect()
+    assert(rows2.toSet == rows1.toSet, "sample must not depend on partitioning")
+    intercept[IllegalArgumentException](Similarity.diversitySample(emb, 0))
+    intercept[IllegalArgumentException](
+      Similarity.diversitySample(emb, 5, centroids = 0))
+  }
+
   test("semdedup: within-cell pairs complete vs brute force, clusters label every id, guard discloses") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
