@@ -904,4 +904,177 @@ object Dedup {
           expr("(dup_shingles * 100) div n_shingles"))
           .otherwise(lit(0L)).as("dup_frac_x100"))
   }
+
+  /** Shared front half of the ExactSubstr family ([[dupSpanStats]] /
+    * [[removeDupSpans]]): per document, the SORTED array of 0-based
+    * token positions starting a duplicated `minLen`-token window.
+    * A window (stride 1 — every position, unlike [[dedupPassages]]'
+    * stride-`window` passages) is duplicated when its PolyHash occurs
+    * ≥ 2 times corpus-wide; under `keepFirst` the globally-first
+    * occurrence (min packed `id·PassageKeyBase + pos` key) is NOT
+    * flagged, so one copy of every duplicated substring survives —
+    * the Lee et al. ExactSubstr posture; `keepFirst = false` flags
+    * every occurrence (boilerplate removal). Only documents with ≥ 1
+    * flagged window appear in the output.
+    *
+    * Scale shape: the windows relation is one row per TOKEN (stride 1
+    * is the point of ExactSubstr — ~`minLen`× the passage relation),
+    * but window text is hashed row-locally inside the scan stage and
+    * only (id, pos, hash, key) ever reaches an exchange. Then the
+    * dedupPassages shuffle plan: one partial-aggregated hash-keyed
+    * count/min (a span duplicated 10⁸ times still combines map-side),
+    * one hash-keyed flag join (1 row per hash build side; AQE splits
+    * hot boilerplate keys), and one doc-keyed collect bounded by
+    * document length. No pair explosion, no global window, nothing on
+    * the driver.
+    */
+  private def dupSpanStarts(docs: DataFrame, minLen: Int, idCol: String,
+                            textCol: String, keepFirst: Boolean,
+                            opName: String): DataFrame = {
+    require(minLen >= 2,
+      s"$opName: minLen must be >= 2 (1 would flag every repeated word), got $minLen")
+    require(!idCol.contains("`"),
+      s"$opName: idCol must not contain a backtick, got '$idCol'")
+    val idL = expr(s"try_cast(`$idCol` AS BIGINT)")
+    val keyOk = idL.isNotNull && idL >= 0 && idL < MaxPassageDocId &&
+      col("__ds_i") < PassageKeyBase
+    val ws = split(col(textCol), " ")
+    val wins = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), ws.as("__ds_ws"))
+      .select(col(idCol), col("__ds_ws"),
+        explode(when(size(col("__ds_ws")) >= minLen,
+          sequence(lit(0), size(col("__ds_ws")) - minLen))
+          .otherwise(array().cast("array<int>"))).as("__ds_i"))
+    val p = wins.select(col(idCol), col("__ds_i"),
+      polyFingerprint(concat_ws(" ",
+        slice(col("__ds_ws"), col("__ds_i") + 1, lit(minLen)))).as("__ds_h"),
+      when(keyOk, idL * PassageKeyBase + col("__ds_i"))
+        .otherwise(raise_error(concat(
+          lit(s"$opName: '$idCol' must cast to a long in " +
+            s"[0, $MaxPassageDocId) and documents must have fewer than " +
+            s"$PassageKeyBase tokens; violating row: $idCol="),
+          coalesce(col(idCol).cast("string"), lit("null")),
+          lit(", pos="), col("__ds_i").cast("string")))).as("__ds_k"))
+    val firsts = p.groupBy("__ds_h")
+      .agg(min("__ds_k").as("__ds_first"), count(lit(1)).as("__ds_n"))
+    p.join(firsts, "__ds_h")
+      .filter(col("__ds_n") >= 2 &&
+        (if (keepFirst) col("__ds_k") =!= col("__ds_first") else lit(true)))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("__ds_i"))).as("__ds_starts"))
+  }
+
+  /** Row-local fold merging a SORTED array of flagged window starts
+    * into maximal duplicated spans (fixed window length `minLen`;
+    * adjacency merges: a window starting exactly at the previous end
+    * extends the span). `finish` projects the wanted shape out of the
+    * (curStart, curEnd, closed-interval accumulator) state.
+    */
+  private def foldSpans(starts: Column, minLen: Int, accInit: Column,
+                        onClose: (Column, Column, Column) => Column,
+                        finish: (Column, Column, Column) => Column): Column = {
+    val acc0 = struct(lit(-1L).as("s"), lit(-1L).as("e"), accInit.as("acc"))
+    aggregate(starts, acc0,
+      (a, s0) => {
+        val s = s0.cast("long")
+        val open = a.getField("s") >= 0
+        val ext = open && s <= a.getField("e")
+        struct(
+          when(ext, a.getField("s")).otherwise(s).as("s"),
+          (s + minLen).as("e"),
+          when(ext, a.getField("acc"))
+            .otherwise(when(open,
+              onClose(a.getField("acc"), a.getField("s"), a.getField("e")))
+              .otherwise(a.getField("acc"))).as("acc"))
+      },
+      a => {
+        val open = a.getField("s") >= 0
+        finish(
+          when(open, onClose(a.getField("acc"), a.getField("s"),
+            a.getField("e"))).otherwise(a.getField("acc")),
+          a.getField("s"), a.getField("e"))
+      })
+  }
+
+  /** ExactSubstr-STYLE duplicated-span statistics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the suffix-array ExactSubstr pass re-expressed as hashed
+    * stride-1 windows): a token is DUPLICATED when any `minLen`-token
+    * window covering it also occurs elsewhere in the corpus; per
+    * document, overlapping/adjacent flagged windows merge into
+    * maximal spans. Output for EVERY input row: (idCol, n_tokens,
+    * dup_tokens, n_spans, max_span) — null text → all zeros. Under
+    * `keepFirst` (default) the globally-first occurrence of each
+    * window is exempt, so a corpus-unique document scores 0 even when
+    * it is the COPIED-FROM source. As with the passage family, dedup
+    * is by PolyHash — a 31-bit collision merges unrelated windows
+    * (disclosed trade).
+    */
+  def dupSpanStats(docs: DataFrame, minLen: Int = 10,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   keepFirst: Boolean = true): DataFrame = {
+    val flagged = dupSpanStarts(docs, minLen, idCol, textCol, keepFirst,
+      "dupSpanStats")
+    val stats = flagged.select(col(idCol),
+      foldSpans(col("__ds_starts"), minLen,
+        accInit = struct(lit(0L).as("dup"), lit(0L).as("spans"),
+          lit(0L).as("mx")),
+        onClose = (acc, s, e) => struct(
+          (acc.getField("dup") + (e - s)).as("dup"),
+          (acc.getField("spans") + 1L).as("spans"),
+          greatest(acc.getField("mx"), e - s).as("mx")),
+        finish = (acc, _, _) => acc).as("__ds_r"))
+    docs.select(col(idCol), col(textCol))
+      .join(stats, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), " ")).cast("long"))
+          .as("n_tokens"),
+        coalesce(col("__ds_r").getField("dup"), lit(0L)).as("dup_tokens"),
+        coalesce(col("__ds_r").getField("spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__ds_r").getField("mx"), lit(0L)).as("max_span"))
+  }
+
+  /** ExactSubstr-style duplicated-span REMOVAL: drops every token of
+    * every duplicated span ([[dupSpanStats]] semantics, including the
+    * `keepFirst` exemption) and reassembles the survivors in order.
+    * Output for EVERY input row: (idCol, clean_text, n_tokens,
+    * kept_tokens); null text stays null, a fully-duplicated document
+    * becomes the empty string. The coverage test is row-local:
+    * flagged starts fold into merged intervals (few, even when many
+    * windows flag) and each token index probes them with `exists` —
+    * O(tokens · spans) per row, never a shuffle.
+    */
+  def removeDupSpans(docs: DataFrame, minLen: Int = 10,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     keepFirst: Boolean = true): DataFrame = {
+    val flagged = dupSpanStarts(docs, minLen, idCol, textCol, keepFirst,
+      "removeDupSpans")
+    val ivs = flagged.select(col(idCol),
+      foldSpans(col("__ds_starts"), minLen,
+        accInit = array().cast("array<struct<s:bigint,e:bigint>>"),
+        onClose = (acc, s, e) =>
+          concat(acc, array(struct(s.as("s"), e.as("e")))),
+        finish = (acc, _, _) => acc).as("__ds_ivs"))
+    val ws = split(col(textCol), " ")
+    val kept = filter(sequence(lit(0), size(col("__ds_ws")) - 1),
+      t => !exists(col("__ds_ivs"),
+        iv => t.cast("long") >= iv.getField("s") &&
+          t.cast("long") < iv.getField("e")))
+    docs.select(col(idCol), col(textCol))
+      .join(ivs, Seq(idCol), "left_outer")
+      .withColumn("__ds_ws", ws)
+      .withColumn("__ds_ivs",
+        coalesce(col("__ds_ivs"),
+          array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("__ds_kept", kept)
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", transform(col("__ds_kept"),
+            t => element_at(col("__ds_ws"), t + 1)))).as("clean_text"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(col("__ds_ws")).cast("long")).as("n_tokens"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(col("__ds_kept")).cast("long")).as("kept_tokens"))
+  }
 }

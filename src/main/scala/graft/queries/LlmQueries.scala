@@ -3017,6 +3017,107 @@ object LlmQueries {
       Dedup.dedupPassagesCdc(planted, window = 4, divisor = 8)
     }.sortedBy(col("doc_id")),
 
+    // ── ExactSubstr duplicated-span statistics (Lee et al. 2022) ───
+    // Stride-1 10-token windows; a window hash seen ≥ 2× corpus-wide
+    // flags its tokens, the globally-first occurrence exempt
+    // (keepFirst). PLANTED twins (every doc_id < 25 re-appears under
+    // +1000000 with 'xq7' prepended) guarantee long duplicated spans:
+    // the twin's copied text is one maximal span while the original
+    // (first occurrence) scores 0. Oracle replays window hashing, the
+    // min-key exemption, and gaps-and-islands interval merging.
+    QueryDef("t_dup_spans",
+      s"""WITH pl AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'xq7 ' || text FROM documents
+         |  WHERE doc_id < 25 AND text IS NOT NULL),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM pl WHERE text IS NOT NULL),
+         |wins AS (SELECT doc_id, ws,
+         |  unnest(CASE WHEN len(ws) >= 10 THEN range(0, len(ws) - 9)
+         |         ELSE [] END) AS wi FROM w),
+         |wt AS (SELECT doc_id, wi,
+         |  array_to_string(ws[wi+1:wi+10], ' ') AS t10 FROM wins),
+         |h AS (SELECT doc_id, wi, ${polyhash("t10")} AS h,
+         |  doc_id * ${Dedup.PassageKeyBase} + wi AS k FROM wt),
+         |f AS (SELECT h, count(*) AS c, min(k) AS mk FROM h GROUP BY h),
+         |fl AS (SELECT h.doc_id, h.wi FROM h JOIN f ON f.h = h.h
+         |  WHERE f.c >= 2 AND h.k <> f.mk),
+         |x AS (SELECT doc_id, wi, max(wi + 10) OVER (PARTITION BY doc_id
+         |    ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS pmax FROM fl),
+         |g AS (SELECT doc_id, wi, CASE WHEN pmax IS NULL OR wi > pmax
+         |    THEN 1 ELSE 0 END AS ng FROM x),
+         |gi AS (SELECT doc_id, wi, sum(ng) OVER (PARTITION BY doc_id
+         |    ORDER BY wi) AS grp FROM g),
+         |iv AS (SELECT doc_id, grp, min(wi) AS s, max(wi) + 10 AS e
+         |  FROM gi GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(max(e - s) AS BIGINT) AS max_span FROM iv GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CAST(CASE WHEN p.text IS NULL THEN 0
+         |       ELSE len(string_split(p.text, ' ')) END AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.max_span, 0) AS BIGINT) AS max_span
+         |FROM pl p LEFT JOIN agg a ON a.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"), col("text")).union(
+        docs.filter(col("doc_id") < 25 && col("text").isNotNull)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("xq7 "), col("text")).as("text")))
+      Dedup.dupSpanStats(planted, minLen = 10)
+    }.sortedBy(col("doc_id")),
+
+    // ExactSubstr REMOVAL over the same planted corpus: every token
+    // covered by a non-first duplicated window drops; the oracle
+    // expands flagged windows to covered positions and anti-joins the
+    // token stream.
+    QueryDef("t_dup_span_removal",
+      s"""WITH pl AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'xq7 ' || text FROM documents
+         |  WHERE doc_id < 25 AND text IS NOT NULL),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM pl WHERE text IS NOT NULL),
+         |wins AS (SELECT doc_id, ws,
+         |  unnest(CASE WHEN len(ws) >= 10 THEN range(0, len(ws) - 9)
+         |         ELSE [] END) AS wi FROM w),
+         |wt AS (SELECT doc_id, wi,
+         |  array_to_string(ws[wi+1:wi+10], ' ') AS t10 FROM wins),
+         |h AS (SELECT doc_id, wi, ${polyhash("t10")} AS h,
+         |  doc_id * ${Dedup.PassageKeyBase} + wi AS k FROM wt),
+         |f AS (SELECT h, count(*) AS c, min(k) AS mk FROM h GROUP BY h),
+         |fl AS (SELECT h.doc_id, h.wi FROM h JOIN f ON f.h = h.h
+         |  WHERE f.c >= 2 AND h.k <> f.mk),
+         |cov0 AS (SELECT doc_id, unnest(range(wi, wi + 10)) AS t FROM fl),
+         |cov AS (SELECT DISTINCT doc_id, t FROM cov0),
+         |tok0 AS (SELECT doc_id, ws,
+         |  unnest(range(0, len(ws))) AS t FROM w),
+         |tok AS (SELECT doc_id, t, ws[t+1] AS wd FROM tok0),
+         |kept AS (SELECT tok.doc_id, tok.t, tok.wd FROM tok
+         |  LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+         |  WHERE cov.t IS NULL),
+         |agg AS (SELECT doc_id,
+         |  string_agg(wd, ' ' ORDER BY t) AS ctext,
+         |  CAST(count(*) AS BIGINT) AS nk FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.text IS NULL THEN NULL
+         |       ELSE coalesce(a.ctext, '') END AS clean_text,
+         |  CAST(CASE WHEN p.text IS NULL THEN 0
+         |       ELSE len(string_split(p.text, ' ')) END AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.nk, 0) AS BIGINT) AS kept_tokens
+         |FROM pl p LEFT JOIN agg a ON a.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"), col("text")).union(
+        docs.filter(col("doc_id") < 25 && col("text").isNotNull)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("xq7 "), col("text")).as("text")))
+      Dedup.removeDupSpans(planted, minLen = 10)
+    }.sortedBy(col("doc_id")),
+
     // ── SemDeDup (cluster-then-cosine semantic dedup) ──────────────
     // The DuckDB side retrains the same 16 k-means cells (shared
     // ivfCtes — hash-sampled seeds, one quantized-integer Lloyd step),

@@ -2424,4 +2424,121 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.count() == 2L)
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("dup spans: reimplementation parity on the planted corpus (stats + removal)") {
+    import spark.implicits._
+    def ph(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + (c & 0xff)) % 2147483647L)
+    val L = 10
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+    val corpus = base.select(col("doc_id"), col("text")).union(
+      base.filter(col("doc_id") < 10 && col("text").isNotNull)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("xq7 "), col("text")).as("text")))
+    val texts = corpus.filter(col("text").isNotNull)
+      .as[(Long, String)].collect().toMap
+
+    // independent plain-Scala replay of the whole law
+    val wins = texts.toSeq.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 to ws.length - L).map(i =>
+        (id, i, ph(ws.slice(i, i + L).mkString(" ")), id * (1L << 20) + i))
+    }
+    val byHash = wins.groupBy(_._3)
+    val flagged: Map[Long, Seq[Int]] = wins
+      .filter { case (_, _, h, k) =>
+        byHash(h).size >= 2 && k != byHash(h).map(_._4).min }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def merged(starts: Seq[Int]): Seq[(Int, Int)] =
+      starts.foldLeft(Vector.empty[(Int, Int)]) { case (acc, s) =>
+        acc.lastOption match {
+          case Some((a, b)) if s <= b => acc.init :+ (a, math.max(b, s + L))
+          case _ => acc :+ (s, s + L)
+        }
+      }
+    val expStats = texts.map { case (id, t) =>
+      val n = t.split(" ", -1).length.toLong
+      val ivs = merged(flagged.getOrElse(id, Nil))
+      (id, (n, ivs.map(iv => iv._2 - iv._1).sum.toLong, ivs.size.toLong,
+        if (ivs.isEmpty) 0L else ivs.map(iv => iv._2 - iv._1).max.toLong))
+    }
+
+    val gotStats = Dedup.dupSpanStats(corpus, minLen = L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(gotStats.keySet == corpus.select("doc_id").as[Long].collect().toSet)
+    expStats.foreach { case (id, exp) =>
+      assert(gotStats(id) == exp, s"doc $id stats disagree: ${gotStats(id)} vs $exp")
+    }
+
+    val gotClean = Dedup.removeDupSpans(corpus, minLen = L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    texts.foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val ivs = merged(flagged.getOrElse(id, Nil))
+      val keep = ws.indices.filterNot(i => ivs.exists(iv => i >= iv._1 && i < iv._2))
+      val exp = (keep.map(ws).mkString(" "), ws.length.toLong, keep.size.toLong)
+      assert(gotClean(id) == exp, s"doc $id removal disagrees")
+      // stats and removal agree: kept = n_tokens − dup_tokens
+      assert(gotClean(id)._3 == gotStats(id)._1 - gotStats(id)._2)
+    }
+
+    // the planted twin collapses to its unique prefix token; the
+    // copied-from original is the first occurrence and survives intact
+    val twinIds = texts.keySet.filter(_ >= 1000000)
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { id =>
+      assert(gotClean(id)._1 == "xq7", s"twin $id: ${gotClean(id)}")
+      assert(gotStats(id)._3 == 1L && gotStats(id)._2 == gotStats(id)._1 - 1,
+        s"twin $id must be one maximal span: ${gotStats(id)}")
+    }
+  }
+
+  test("dup spans: merge law, keepFirst=false, degenerate inputs, knob rejection") {
+    import spark.implicits._
+    // u* tokens are globally unique; the shared run 's1..s6' (6 tokens)
+    // duplicated across docs 1/2 yields windows only with minLen=4
+    def run(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"${run("a", 5)} $shared ${run("b", 5)} $shared ${run("c", 5)}"),
+      (2L, s"${run("d", 5)} $shared ${run("e", 5)}"),
+      (3L, "tiny text"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = Dedup.dupSpanStats(docs, minLen = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1 owns the globally-first copy of the run (positions 5..10)
+    // but its SECOND, intra-doc copy (16..21) is a non-first occurrence
+    // → exactly that one merged 6-token span flags under keepFirst
+    assert(st(1L) == ((27L, 6L, 1L, 6L)), s"doc1: ${st(1L)}")
+    // doc 2: its copy of the 6-token run = 3 overlapping windows → ONE
+    // merged span of exactly 6 tokens
+    assert(st(2L) == ((16L, 6L, 1L, 6L)), s"doc2: ${st(2L)}")
+    assert(st(3L) == ((2L, 0L, 0L, 0L)) && st(4L) == ((0L, 0L, 0L, 0L)))
+
+    // keepFirst=false: every occurrence drops — doc 1's TWO copies are
+    // two separate spans (disjoint, separated by unique b-tokens)
+    val all = Dedup.dupSpanStats(docs, minLen = 4, keepFirst = false)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(all(1L) == ((27L, 12L, 2L, 6L)), s"doc1 all: ${all(1L)}")
+    assert(all(2L) == ((16L, 6L, 1L, 6L)), s"doc2 all: ${all(2L)}")
+
+    val rm = Dedup.removeDupSpans(docs, minLen = 4, keepFirst = false)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rm(1L)._1 == s"${run("a", 5)} ${run("b", 5)} ${run("c", 5)}")
+    assert(rm(4L) == ((null, 0L, 0L)))
+
+    intercept[IllegalArgumentException](Dedup.dupSpanStats(docs, minLen = 1))
+    intercept[IllegalArgumentException](
+      Dedup.removeDupSpans(docs, idCol = "doc`id"))
+    // key-packing violation fails loudly at execution
+    val bad = Seq(("doc-a", (1 to 30).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val ex = intercept[Exception](Dedup.dupSpanStats(bad, minLen = 4).collect())
+    assert(ex.getMessage != null)
+  }
 }
