@@ -905,6 +905,73 @@ object Dedup {
           .otherwise(lit(0L)).as("dup_frac_x100"))
   }
 
+  /** SoftDeDup — duplicate-aware DOWN-WEIGHTING instead of removal
+    * (She et al. 2024, "SoftDedup: an efficient data reweighting method
+    * for speeding up language model pre-training"): hard dedup throws
+    * information away at an arbitrary threshold; soft dedup keeps every
+    * document but lowers the sampling weight of common ones. Per
+    * document, COMMONNESS = mean corpus document-frequency of its
+    * distinct word-`n`-gram shingles ([[duplicationProfile]]'s df law —
+    * distinct on purpose: intra-doc repetition is repetitionStats'
+    * signal), and the weight is its reciprocal. Integer-exact so both
+    * engines agree bit for bit:
+    *
+    *   commonness_x100 = (Σ df · 100) div n_shingles   (≥ 100; 100 ⇔ all unique)
+    *   weight_x100     = 10000 div commonness_x100     (≤ 100; 100 ⇔ unique doc)
+    *
+    * A document whose every shingle is corpus-unique keeps full weight;
+    * one whose shingles appear in k documents on average weighs ≈ 1/k.
+    * Null-text / shingle-less rows keep weight 100 (nothing duplicated
+    * about them — the conservative posture for a REWEIGHTING pass;
+    * quality gates are a different operator's job). Output for every
+    * input row: (idCol, n_shingles, sum_df, commonness_x100,
+    * weight_x100).
+    *
+    * Scale shape: identical to [[duplicationProfile]] — one pinned
+    * shingle explode, one partial-aggregated df shuffle, one hash-keyed
+    * flag join, one doc-keyed rollup; no pair explosion.
+    */
+  def softDedupWeights(docs: DataFrame, n: Int = 3,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val hs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__sd_h"))
+      .localCheckpoint()
+    val dfreq = hs.groupBy("__sd_h").agg(count(lit(1)).as("__sd_df"))
+    val agg = hs.join(dfreq, "__sd_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum("__sd_df").as("sum_df"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          expr("(sum_df * 100) div n_shingles"))
+          .otherwise(lit(0L)).as("commonness_x100"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          expr("10000 div ((sum_df * 100) div n_shingles)"))
+          .otherwise(lit(100L)).as("weight_x100"))
+  }
+
+  /** SoftDeDup SELECTION: the [[softDedupWeights]] weights applied as a
+    * deterministic keep rule — document kept iff its [[graft.ext.
+    * Sampling.bucket]] polyhash falls under weight_x100/100 (the
+    * shuffle-free sampleByRate law, so the draw is reproducible across
+    * runs, partitionings and engines; no RNG). Output: the kept rows'
+    * (idCol, weight_x100) — in expectation each duplicated cluster
+    * contributes ~1 document's worth of mass, without the cliff of a
+    * hard threshold.
+    */
+  def softDedupSample(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    graft.ext.Sampling.sampleByRate(
+      softDedupWeights(docs, n, idCol, textCol),
+      col(idCol), col("weight_x100"), den = 100)
+      .select(col(idCol), col("weight_x100"))
+
   /** Shared front half of the ExactSubstr family ([[dupSpanStats]] /
     * [[removeDupSpans]]): per document, the SORTED array of 0-based
     * token positions starting a duplicated `minLen`-token window.

@@ -2177,6 +2177,72 @@ object LlmQueries {
       Dedup.duplicationProfile(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── SoftDeDup duplicate-aware reweighting (She et al. 2024) ────
+    // Commonness = mean corpus df of the doc's distinct 3-gram
+    // shingles; weight = its reciprocal, integer-exact
+    // (weight_x100 = 10000 div ((Σdf·100) div n_shingles)).
+    QueryDef("t_softdedup_weights",
+      s"""WITH $hashesCte,
+         |sdx AS (SELECT doc_id, unnest(hs) AS h FROM hashes
+         |        WHERE hs IS NOT NULL),
+         |sdf AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+         |        FROM sdx GROUP BY 1),
+         |sda AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(f.df) AS BIGINT) AS sdfs
+         |  FROM sdx x JOIN sdf f USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.ns, 0) AS n_shingles,
+         |  coalesce(a.sdfs, 0) AS sum_df,
+         |  CASE WHEN coalesce(a.ns, 0) > 0
+         |       THEN CAST((a.sdfs * 100) // a.ns AS BIGINT)
+         |       ELSE 0 END AS commonness_x100,
+         |  CASE WHEN coalesce(a.ns, 0) > 0
+         |       THEN CAST(10000 // ((a.sdfs * 100) // a.ns) AS BIGINT)
+         |       ELSE 100 END AS weight_x100
+         |FROM documents d LEFT JOIN sda a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.softDedupWeights(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // SoftDeDup SELECTION over a corpus with PLANTED duplicate
+    // clusters (each doc_id < 20 appears 3×) — the deterministic
+    // polyhash keep rule applies each doc's weight, so the planted
+    // clusters contribute ~1 doc's worth of mass instead of 3.
+    QueryDef("t_softdedup_sample", {
+      val chain = LlmOracle.hashesCteFrom("pl")
+      s"""WITH pl AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents
+         |  WHERE doc_id < 20 AND text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text FROM documents
+         |  WHERE doc_id < 20 AND text IS NOT NULL),
+         |$chain,
+         |sdx AS (SELECT doc_id, unnest(hs) AS h FROM hashes
+         |        WHERE hs IS NOT NULL),
+         |sdf AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+         |        FROM sdx GROUP BY 1),
+         |sda AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(f.df) AS BIGINT) AS sdfs
+         |  FROM sdx x JOIN sdf f USING (h) GROUP BY 1),
+         |wts AS (SELECT d.doc_id,
+         |  CASE WHEN coalesce(a.ns, 0) > 0
+         |       THEN CAST(10000 // ((a.sdfs * 100) // a.ns) AS BIGINT)
+         |       ELSE 100 END AS weight_x100
+         |  FROM pl d LEFT JOIN sda a USING (doc_id))
+         |SELECT doc_id, weight_x100 FROM wts
+         |WHERE (${polyhash("CAST(doc_id AS VARCHAR)")} % 10000) * 100
+         |      < 10000 * weight_x100
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dup = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+      val planted = docs.select(col("doc_id"), col("text"))
+        .union(dup.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .union(dup.select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      Dedup.softDedupSample(planted)
+    }.sortedBy(col("doc_id")),
+
     // ── Naive Bayes: model-based filtering (fastText analog) ───────
     // Multinomial NB trained distributed on the lang label — the
     // learned language-ID / quality-classifier shape every CCNet-style

@@ -2541,4 +2541,38 @@ class LlmOpsSpec extends SparkSuite {
     val ex = intercept[Exception](Dedup.dupSpanStats(bad, minLen = 4).collect())
     assert(ex.getMessage != null)
   }
+
+  test("soft dedup: reciprocal-commonness weights and the deterministic keep rule") {
+    import spark.implicits._
+    def ph(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + (c & 0xff)) % 2147483647L)
+    // 4 identical docs (distinct shingles, each df=4), one unique doc,
+    // one null — texts long enough for >= 1 distinct 3-gram shingle
+    val t = (1 to 12).map(i => s"c$i").mkString(" ")
+    val u = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = (Seq(10L, 11L, 12L, 13L).map(id => (id, t)) ++
+      Seq((20L, u), (30L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // identical cluster: every shingle df=4 → commonness 400 → weight 25
+    Seq(10L, 11L, 12L, 13L).foreach { id =>
+      assert(w(id) == ((10L, 40L, 400L, 25L)), s"doc $id: ${w(id)}")
+    }
+    assert(w(20L) == ((10L, 10L, 100L, 100L)), s"unique: ${w(20L)}")
+    assert(w(30L) == ((0L, 0L, 0L, 100L)), s"null: ${w(30L)}")
+
+    // selection replays the sampleByRate law: kept iff
+    // (polyhash(id) mod 10000) * 100 < 10000 * weight
+    val kept = Dedup.softDedupSample(docs).select("doc_id")
+      .as[Long].collect().toSet
+    val expKept = Map(10L -> 25L, 11L -> 25L, 12L -> 25L, 13L -> 25L,
+      20L -> 100L, 30L -> 100L).collect {
+      case (id, wt) if (ph(id.toString) % 10000L) * 100 < 10000L * wt => id
+    }.toSet
+    assert(kept == expKept, s"kept $kept vs $expKept")
+    assert(Set(20L, 30L).subsetOf(kept), "full-weight docs always keep")
+
+    intercept[IllegalArgumentException](Dedup.softDedupWeights(docs, n = 0))
+  }
 }
