@@ -294,4 +294,33 @@ object Curation {
       .select(col(idCol), col("mean_bits_x100"), col("bucket"),
         col("quality"), col("split"))
   }
+
+  /** Language-BALANCED corpus mix: classify every document's language
+    * with the char-trigram Naive Bayes model ([[TextAnalysis
+    * .classifyLangId]] — trained on `labeled`, so docs with a NULL or
+    * untrusted `lang` column still get a prediction from orthographic
+    * evidence), then temperature-resample over the PREDICTED language
+    * with exponent `alphaNum/alphaDen` ([[Sampling.temperatureMix]] —
+    * the multilingual-pretraining α-mix of mBERT/XLM-R applied to
+    * model output rather than to self-reported metadata). Output: the
+    * kept rows' (idCol, lang_pred). α = 1/2 (default) pulls
+    * head-language mass toward the tail without flattening entirely.
+    *
+    * Scale shape: the classifier is the audited NB plan (one
+    * (label, gram) shuffle, C-row broadcasts); the mix adds only a
+    * language-cardinality count collect, a broadcast threshold join,
+    * and the shuffle-free polyhash keep filter. One corpus-keyed join
+    * attaches predictions to rows.
+    */
+  def langBalancedMix(docs: DataFrame, labeled: DataFrame,
+                      alphaNum: Int = 1, alphaDen: Int = 2,
+                      labelCol: String = "lang", idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val pred = TextAnalysis
+      .classifyLangId(docs, labeled, labelCol, idCol, textCol)
+      .select(col(idCol), col("pred").as("lang_pred"))
+    Sampling.temperatureMix(
+      docs.select(col(idCol)).join(pred, Seq(idCol)),
+      col("lang_pred"), col(idCol), alphaNum, alphaDen)
+  }
 }

@@ -1099,6 +1099,67 @@ object LlmQueries {
 
   private val HalfCorpus = s"(SELECT * FROM embeddings WHERE vec_id < $AppendCut)"
 
+  /** CTE chain of the char-trigram NB language-ID classifier over
+    * `documents` (shared by t_nb_langid and t_lang_mix): re-encoded
+    * code-point trigrams, add-one-smoothed per-label model, ranked
+    * per-doc labels in `nrk` (rn = 1 is the argmin) and the
+    * prior-only ranking `npk` for the null-text fallback.
+    */
+  private def nbLangIdCtes: String =
+    s"""lre AS (SELECT doc_id, lang, replace(text, ' ', '_') AS s
+         |  FROM documents WHERE text IS NOT NULL),
+         |lg AS (SELECT doc_id, lang,
+         |    CASE WHEN length(s) >= 3
+         |         THEN list_transform(generate_series(1, length(s) - 2),
+         |                i -> s[i:i+2])
+         |         ELSE [s] END AS gs FROM lre),
+         |vtf0 AS (SELECT doc_id, lang AS label, unnest(gs) AS word
+         |  FROM lg WHERE lang IS NOT NULL),
+         |ntf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(gs) AS word FROM lg) u GROUP BY 1, 2),
+         |vwc AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM vtf0 GROUP BY 1, 2),
+         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM vwc),
+         |vprior AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |vn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM vprior),
+         |vtok AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok
+         |  FROM vwc GROUP BY 1),
+         |vcls AS (SELECT p.label,
+         |    CAST(coalesce(t.tok, 0) + vv.v AS BIGINT) AS denom,
+         |    CAST(length(bin(vn.n)) - length(bin(p.n_docs)) AS BIGINT)
+         |      AS prior_bits
+         |  FROM vprior p LEFT JOIN vtok t USING (label)
+         |  CROSS JOIN vn CROSS JOIN vv),
+         |vcls2 AS (SELECT label, prior_bits,
+         |    CAST(length(bin(denom)) - 1 AS BIGINT) AS default_bits, denom
+         |  FROM vcls),
+         |vmodel AS (SELECT w.label, w.word,
+         |    CAST(length(bin(c.denom)) - length(bin(w.cnt + 1)) AS BIGINT)
+         |      AS bits
+         |  FROM vwc w JOIN vcls2 c USING (label)),
+         |nmatched AS (SELECT t.doc_id, t.word, t.tf FROM ntf t
+         |  WHERE t.word IN (SELECT DISTINCT word FROM vwc)),
+         |nsc AS (SELECT m.doc_id, c.label, c.prior_bits,
+         |    CAST(sum(m.tf * coalesce(md.bits, c.default_bits)) AS BIGINT)
+         |      AS evid,
+         |    CAST(sum(m.tf) AS BIGINT) AS n_tokens
+         |  FROM nmatched m CROSS JOIN vcls2 c
+         |  LEFT JOIN vmodel md ON md.word = m.word AND md.label = c.label
+         |  GROUP BY 1, 2, 3),
+         |nrk AS (SELECT doc_id, label,
+         |    CAST(prior_bits + evid AS BIGINT) AS bits, n_tokens,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY prior_bits + evid, label) AS rn,
+         |    lead(prior_bits + evid) OVER (PARTITION BY doc_id
+         |      ORDER BY prior_bits + evid, label) AS nxt
+         |  FROM nsc),
+         |npk AS (SELECT label, prior_bits,
+         |    row_number() OVER (ORDER BY prior_bits, label) AS rn,
+         |    lead(prior_bits) OVER (ORDER BY prior_bits, label) AS nxt
+         |  FROM vcls2)"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
@@ -2344,58 +2405,7 @@ object LlmQueries {
     // their collapsed form) — orthographic evidence instead of word
     // unigrams, the upgrade that classifies text whose words are OOV.
     QueryDef("t_nb_langid",
-      s"""WITH lre AS (SELECT doc_id, lang, replace(text, ' ', '_') AS s
-         |  FROM documents WHERE text IS NOT NULL),
-         |lg AS (SELECT doc_id, lang,
-         |    CASE WHEN length(s) >= 3
-         |         THEN list_transform(generate_series(1, length(s) - 2),
-         |                i -> s[i:i+2])
-         |         ELSE [s] END AS gs FROM lre),
-         |vtf0 AS (SELECT doc_id, lang AS label, unnest(gs) AS word
-         |  FROM lg WHERE lang IS NOT NULL),
-         |ntf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(gs) AS word FROM lg) u GROUP BY 1, 2),
-         |vwc AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM vtf0 GROUP BY 1, 2),
-         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM vwc),
-         |vprior AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
-         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
-         |vn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM vprior),
-         |vtok AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok
-         |  FROM vwc GROUP BY 1),
-         |vcls AS (SELECT p.label,
-         |    CAST(coalesce(t.tok, 0) + vv.v AS BIGINT) AS denom,
-         |    CAST(length(bin(vn.n)) - length(bin(p.n_docs)) AS BIGINT)
-         |      AS prior_bits
-         |  FROM vprior p LEFT JOIN vtok t USING (label)
-         |  CROSS JOIN vn CROSS JOIN vv),
-         |vcls2 AS (SELECT label, prior_bits,
-         |    CAST(length(bin(denom)) - 1 AS BIGINT) AS default_bits, denom
-         |  FROM vcls),
-         |vmodel AS (SELECT w.label, w.word,
-         |    CAST(length(bin(c.denom)) - length(bin(w.cnt + 1)) AS BIGINT)
-         |      AS bits
-         |  FROM vwc w JOIN vcls2 c USING (label)),
-         |nmatched AS (SELECT t.doc_id, t.word, t.tf FROM ntf t
-         |  WHERE t.word IN (SELECT DISTINCT word FROM vwc)),
-         |nsc AS (SELECT m.doc_id, c.label, c.prior_bits,
-         |    CAST(sum(m.tf * coalesce(md.bits, c.default_bits)) AS BIGINT)
-         |      AS evid,
-         |    CAST(sum(m.tf) AS BIGINT) AS n_tokens
-         |  FROM nmatched m CROSS JOIN vcls2 c
-         |  LEFT JOIN vmodel md ON md.word = m.word AND md.label = c.label
-         |  GROUP BY 1, 2, 3),
-         |nrk AS (SELECT doc_id, label,
-         |    CAST(prior_bits + evid AS BIGINT) AS bits, n_tokens,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY prior_bits + evid, label) AS rn,
-         |    lead(prior_bits + evid) OVER (PARTITION BY doc_id
-         |      ORDER BY prior_bits + evid, label) AS nxt
-         |  FROM nsc),
-         |npk AS (SELECT label, prior_bits,
-         |    row_number() OVER (ORDER BY prior_bits, label) AS rn,
-         |    lead(prior_bits) OVER (ORDER BY prior_bits, label) AS nxt
-         |  FROM vcls2)
+      s"""WITH $nbLangIdCtes
          |SELECT d.doc_id,
          |  coalesce(r.label, p.label) AS pred,
          |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
@@ -2410,6 +2420,30 @@ object LlmQueries {
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.classifyLangId(docs, docs)
+    }.sortedBy(col("doc_id")),
+
+    // ── Language-balanced mix (α-temperature over PREDICTED lang) ──
+    // The mBERT/XLM-R multilingual α-mix applied to the char-trigram
+    // NB classifier's output instead of self-reported metadata: the
+    // shared nbLangIdCtes chain predicts, then the t_temperature_mix
+    // threshold law resamples per predicted language (α = 1/2).
+    QueryDef("t_lang_mix",
+      s"""WITH $nbLangIdCtes,
+         |lmp AS (SELECT d.doc_id, coalesce(r.label, p.label) AS lang_pred
+         |  FROM documents d
+         |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+         |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p),
+         |lmc AS (SELECT lang_pred, count(*) AS c FROM lmp GROUP BY 1),
+         |lmm AS (SELECT min(c) AS cm FROM lmc),
+         |lmt AS (SELECT lang_pred,
+         |          (CAST(floor(sqrt(CAST(c * cm AS DOUBLE))) AS BIGINT)
+         |             * 10000 // c) AS keep_thr
+         |        FROM lmc CROSS JOIN lmm)
+         |SELECT p.doc_id, p.lang_pred FROM lmp p JOIN lmt USING (lang_pred)
+         |WHERE ${polyhash("CAST(p.doc_id AS VARCHAR)")} % 10000 < keep_thr
+         |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Curation.langBalancedMix(docs, docs)
     }.sortedBy(col("doc_id")),
 
     // ── Sparse keyword retrieval (search, not extraction) ──────────

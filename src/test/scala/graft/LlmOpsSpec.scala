@@ -2575,4 +2575,28 @@ class LlmOpsSpec extends SparkSuite {
 
     intercept[IllegalArgumentException](Dedup.softDedupWeights(docs, n = 0))
   }
+
+  test("lang-balanced mix: alpha-temperature flattens the PREDICTED-language head") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val mixed = graft.ext.Curation.langBalancedMix(docs, docs)
+    val kept = mixed.groupBy("lang_pred").count()
+      .as[(String, Long)].collect().toMap
+    val raw = graft.ext.TextAnalysis.classifyLangId(docs, docs)
+      .groupBy("pred").count().as[(String, Long)].collect().toMap
+    assert(kept.keySet.subsetOf(raw.keySet))
+    kept.foreach { case (l, k) => assert(k <= raw(l), s"$l kept $k > raw") }
+    // α = 1/2 keeps the minimum-count language in full and resamples
+    // larger ones toward sqrt: the head's keep RATE must be strictly
+    // below the tail's (the whole point of temperature balancing)
+    val head = raw.maxBy(_._2)._1
+    val tail = raw.minBy(_._2)._1
+    assert(head != tail, s"corpus must be imbalanced for this test: $raw")
+    val headRate = kept.getOrElse(head, 0L).toDouble / raw(head)
+    val tailRate = kept.getOrElse(tail, 0L).toDouble / raw(tail)
+    assert(headRate < tailRate,
+      s"head $head rate $headRate must be < tail $tail rate $tailRate")
+    // output ids are a subset of the input's and carry the prediction
+    assert(mixed.columns.toSeq == Seq("doc_id", "lang_pred"))
+  }
 }
