@@ -361,6 +361,56 @@ object TextAnalysis {
       coalesce(dupGramCount(t), lit(0L)).as("n_dup_2grams"))
   }
 
+  /** Gopher repetition-rule thresholds ×100 (Rae et al. 2021, Table
+    * A1): a document is removed when any fraction EXCEEDS its
+    * threshold — top-{2,3,4}-gram char fraction over 20/18/16%,
+    * dup-{5..10}-gram char fraction over 15/14/13/12/11/10%.
+    */
+  val GopherThresholdsX100: Seq[Int] = Seq(20, 18, 16, 15, 14, 13, 12, 11, 10)
+
+  /** The FULL Gopher word-n-gram repetition rule set (Rae et al. 2021
+    * — [[repetitionStats]] is the 2-gram precursor): per document, the
+    * x100 char fraction of the most repetition-heavy single n-gram for
+    * n = 2,3,4 and of all duplicated n-grams for n = 5..10, plus
+    * `gopher_pass` — 1 iff every fraction is at or under its paper
+    * threshold (`thresholdsX100`, default [[GopherThresholdsX100]]).
+    * Fractions are exact integers: (chars · 100) div byte-length; a
+    * null or empty text scores all zeros and passes (repetition rules
+    * judge repetition — emptiness is the length gate's job).
+    *
+    * Shape: ONE native single-pass expression per row
+    * ([[graft.functions.GopherRepetition]] — all nine n sizes share
+    * one word-boundary scan) + codegen'd integer arithmetic; ZERO
+    * exchanges, the [[repetitionStats]] plan-guard posture.
+    */
+  def gopherStats(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  thresholdsX100: Seq[Int] = GopherThresholdsX100): DataFrame = {
+    val names = GopherFields
+    require(thresholdsX100.length == names.length,
+      s"need ${names.length} thresholds (${names.mkString(", ")}), " +
+        s"got ${thresholdsX100.length}")
+    val g = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.GopherRepetition(
+        org.apache.spark.sql.graft.Bridge.expression(col(textCol))))
+    val nChars = coalesce(length(col(textCol)).cast("long"), lit(0L))
+    val withRaw = docs.select(col(idCol) +: nChars.as("n_chars") +:
+      names.map(f => coalesce(g.getField(f), lit(0L)).as(s"__go_$f")): _*)
+    val fracs = names.map(f =>
+      when(col("n_chars") > 0, expr(s"(__go_$f * 100) div n_chars"))
+        .otherwise(lit(0L)).as(s"${f}_frac_x100"))
+    val passed = names.zip(thresholdsX100).map { case (f, thr) =>
+      col(s"${f}_frac_x100") <= thr
+    }.reduce(_ && _)
+    withRaw.select(col(idCol) +: col("n_chars") +: fracs: _*)
+      .withColumn("gopher_pass", when(passed, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Field order of [[graft.functions.GopherRepetition]]'s struct. */
+  private val GopherFields: Seq[String] =
+    graft.functions.GopherRepetition.TopNs.map(n => s"top$n") ++
+      graft.functions.GopherRepetition.DupNs.map(n => s"dup$n")
+
   /** The full per-document stats projection. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

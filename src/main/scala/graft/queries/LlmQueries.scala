@@ -1327,6 +1327,55 @@ object LlmQueries {
     // Gopher-style repetition signals: word-2-gram counts as integers
     // (total / most-frequent / duplicated occurrences) — the repeated-
     // content filter a curation pipeline cuts spam on.
+    // ── Full Gopher repetition rule set (Rae et al. 2021) ──────────
+    // Per n: top-{2,3,4}-gram max count·length and dup-{5..10}-gram
+    // Σ count·length, as x100 char fractions + the pass flag under the
+    // paper thresholds. One generated CTE trio per n-size; the Spark
+    // side is one native single-pass expression.
+    QueryDef("t_gopher_stats", {
+      val tops = graft.functions.GopherRepetition.TopNs
+      val dups = graft.functions.GopherRepetition.DupNs
+      val thr = TextAnalysis.GopherThresholdsX100
+      def cte(n: Int): String =
+        s"""gg$n AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= $n
+           |    THEN list_transform(generate_series(1, len(ws) - ${n - 1}),
+           |           gi -> array_to_string(ws[gi:gi+${n - 1}], ' '))
+           |    ELSE [] END) AS gm FROM gow),
+           |gc$n AS (SELECT doc_id, gm, CAST(count(*) AS BIGINT) AS c
+           |  FROM gg$n GROUP BY 1, 2),
+           |ga$n AS (SELECT doc_id,
+           |  CAST(max(c * length(gm)) AS BIGINT) AS top,
+           |  CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * length(gm) END), 0)
+           |       AS BIGINT) AS dup
+           |  FROM gc$n GROUP BY 1)"""
+      val fracs = tops.map(n =>
+        s"""  CASE WHEN coalesce(length(d.text), 0) > 0
+           |       THEN CAST(coalesce(ga$n.top, 0) * 100 // length(d.text)
+           |            AS BIGINT) ELSE 0 END AS top${n}_frac_x100""") ++
+        dups.map(n =>
+          s"""  CASE WHEN coalesce(length(d.text), 0) > 0
+             |       THEN CAST(coalesce(ga$n.dup, 0) * 100 // length(d.text)
+             |            AS BIGINT) ELSE 0 END AS dup${n}_frac_x100""")
+      val passTerms = (tops.map(n => s"top${n}_frac_x100") ++
+        dups.map(n => s"dup${n}_frac_x100")).zip(thr)
+        .map { case (c, t) => s"$c <= $t" }.mkString(" AND ")
+      val joins = (tops ++ dups)
+        .map(n => s"LEFT JOIN ga$n ON ga$n.doc_id = d.doc_id").mkString("\n|")
+      s"""WITH gow AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |${(tops ++ dups).map(cte).mkString(",\n|")},
+         |gall AS (SELECT d.doc_id,
+         |  CAST(coalesce(length(d.text), 0) AS BIGINT) AS n_chars,
+         |${fracs.mkString(",\n|")}
+         |FROM documents d
+         |$joins)
+         |SELECT *, CAST(CASE WHEN $passTerms THEN 1 ELSE 0 END AS BIGINT)
+         |  AS gopher_pass
+         |FROM gall ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.gopherStats(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_text_repetition",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (

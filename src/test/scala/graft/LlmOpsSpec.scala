@@ -2576,6 +2576,26 @@ class LlmOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.softDedupWeights(docs, n = 0))
   }
 
+  test("gopher stats: spam fails the gate, diverse prose passes, knob rejection") {
+    import spark.implicits._
+    val spam = ((1 to 20).map(_ => "buy cheap pills now") :+ "ok").mkString(" ")
+    val prose = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, spam), (2L, prose), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = graft.ext.TextAnalysis.gopherStats(docs)
+    val byId = st.collect().map(r => r.getLong(0) -> r).toMap
+    val passIdx = st.columns.indexOf("gopher_pass")
+    assert(byId(1L).getLong(passIdx) == 0L, "repeated spam must fail")
+    assert(byId(2L).getLong(passIdx) == 1L, "unique prose must pass")
+    // null text: all-zero fractions pass (length gates are elsewhere)
+    assert(byId(3L).getLong(passIdx) == 1L)
+    assert(byId(3L).getLong(st.columns.indexOf("n_chars")) == 0L)
+    // the dup-5..10 signals specifically fire on the spam doc
+    assert(byId(1L).getLong(st.columns.indexOf("dup10_frac_x100")) > 10L)
+    intercept[IllegalArgumentException](
+      graft.ext.TextAnalysis.gopherStats(docs, thresholdsX100 = Seq(1, 2)))
+  }
+
   test("lang-balanced mix: alpha-temperature flattens the PREDICTED-language head") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

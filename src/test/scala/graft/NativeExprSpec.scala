@@ -256,4 +256,47 @@ class NativeExprSpec extends SparkSuite {
     // arity errors surface as analysis-time failures, not runtime ones
     intercept[Exception](spark.sql("SELECT polyhash('a', 'b')").collect())
   }
+
+  test("native gopher repetition vector matches a plain-Scala replay on the corpus") {
+    import spark.implicits._
+    import graft.functions.GopherRepetition
+    // independent replay of the law: split on single spaces keeping
+    // empties, gram = n adjacent words space-joined, stat in BYTES
+    def replay(t: String): Seq[Long] = {
+      val ws = t.split(" ", -1)
+      def counts(n: Int): Map[String, Long] =
+        if (ws.length < n) Map.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      GopherRepetition.TopNs.map { n =>
+        val c = counts(n)
+        if (c.isEmpty) 0L
+        else c.map { case (g, k) => k * g.getBytes("UTF-8").length }.max
+      } ++ GopherRepetition.DupNs.map { n =>
+        counts(n).collect { case (g, k) if k >= 2 =>
+          k * g.getBytes("UTF-8").length }.sum
+      }
+    }
+    val g = org.apache.spark.sql.graft.Bridge.column(
+      GopherRepetition(
+        org.apache.spark.sql.graft.Bridge.expression(col("text"))))
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull).limit(100)
+    val rows = docs.select(col("text"), g.as("g")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val got = r.getStruct(1).toSeq.map(_.asInstanceOf[Long])
+      assert(got == replay(r.getString(0)), s"text: ${r.getString(0).take(60)}")
+    }
+    // edges: repeated gram dominance, empties, single word, null
+    val edges = Seq("spam spam spam spam spam", "", "one", "a  a", " ")
+      .toDF("text")
+    edges.select(col("text"), g.as("g")).collect().foreach { r =>
+      val got = r.getStruct(1).toSeq.map(_.asInstanceOf[Long])
+      assert(got == replay(r.getString(0)), s"edge '${r.getString(0)}'")
+    }
+    val nul = Seq((1L, null: String)).toDF("id", "text")
+      .select(g).collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }
