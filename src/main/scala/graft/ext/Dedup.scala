@@ -905,6 +905,76 @@ object Dedup {
           .otherwise(lit(0L)).as("dup_frac_x100"))
   }
 
+  /** Cross-DOMAIN duplication matrix — "which sources copy from each
+    * other": for every pair of domains sharing at least one distinct
+    * word-`n`-gram shingle, the count of shared distinct shingle
+    * hashes and that count as an x100 share of EACH side's distinct
+    * shingle vocabulary. The corpus-audit complement of
+    * [[duplicationProfile]] (which scores documents): syndicated
+    * boilerplate, mirrored sites and template reuse show up as hot
+    * off-diagonal cells before any dedup runs. Output:
+    * (domain_a, domain_b, shared_shingles, share_a_x100,
+    * share_b_x100), domain_a < domain_b; null-domain and null-text
+    * rows are excluded (no meaningful cell).
+    *
+    * Scale shape: ONE partial-aggregated distinct over (domain, hash)
+    * — vocab × domain-presence bounded, never corpus-sized; per-hash
+    * domain sets collect at most |domains| entries, and the pair
+    * expansion is ROW-LOCAL (≤ D²/2 pairs per hash). A shingle
+    * present in more than `maxDomains` domains is EXCLUDED from pair
+    * counting (universal boilerplate would otherwise quadratically
+    * dominate exactly when domains are fine-grained, e.g. URLs) —
+    * run [[crossDomainOverflow]] for the disclosed exclusion list;
+    * share denominators still count every distinct shingle. The
+    * domain-count `types` table is |domains| rows and broadcasts.
+    */
+  def crossDomainDup(docs: DataFrame, n: Int = 3,
+                     domainCol: String = "source",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxDomains: Int = 64): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(maxDomains >= 2, s"maxDomains must be >= 2, got $maxDomains")
+    val hd = docs
+      .filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(domainCol).cast("string").as("__cd_dom"),
+        explode(shingleHashes(col(textCol), n)).as("__cd_h"))
+      .distinct()
+    val types = hd.groupBy("__cd_dom").agg(count(lit(1)).as("__cd_types"))
+    val pairs = hd.groupBy("__cd_h")
+      .agg(sort_array(collect_set(col("__cd_dom"))).as("__cd_ds"))
+      .filter(size(col("__cd_ds")).between(2, maxDomains))
+      .select(explode(col("__cd_ds")).as("domain_a"), col("__cd_ds"))
+      .select(col("domain_a"), explode(col("__cd_ds")).as("domain_b"))
+      .filter(col("domain_a") < col("domain_b"))
+      .groupBy("domain_a", "domain_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+    val ta = broadcast(types.select(col("__cd_dom").as("domain_a"),
+      col("__cd_types").as("__cd_ta")))
+    val tb = broadcast(types.select(col("__cd_dom").as("domain_b"),
+      col("__cd_types").as("__cd_tb")))
+    pairs.join(ta, Seq("domain_a")).join(tb, Seq("domain_b"))
+      .select(col("domain_a"), col("domain_b"), col("shared_shingles"),
+        expr("(shared_shingles * 100) div __cd_ta").as("share_a_x100"),
+        expr("(shared_shingles * 100) div __cd_tb").as("share_b_x100"))
+  }
+
+  /** Disclosure companion of [[crossDomainDup]]: the shingle hashes
+    * excluded from pair counting because they occur in more than
+    * `maxDomains` domains, with their domain count — non-empty means
+    * the matrix under-counts universal boilerplate (visibly, not
+    * silently).
+    */
+  def crossDomainOverflow(docs: DataFrame, n: Int = 3,
+                          domainCol: String = "source",
+                          textCol: String = "text",
+                          maxDomains: Int = 64): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(domainCol).cast("string").as("__cd_dom"),
+        explode(shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .groupBy("h").agg(countDistinct(col("__cd_dom")).as("n_domains"))
+      .filter(col("n_domains") > maxDomains)
+
   /** SoftDeDup — duplicate-aware DOWN-WEIGHTING instead of removal
     * (She et al. 2024, "SoftDedup: an efficient data reweighting method
     * for speeding up language model pre-training"): hard dedup throws

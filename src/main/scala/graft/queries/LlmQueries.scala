@@ -2287,6 +2287,35 @@ object LlmQueries {
       Dedup.duplicationProfile(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Cross-domain duplication matrix ────────────────────────────
+    // For every domain pair sharing distinct 3-gram shingles: the
+    // shared count and its x100 share of each side's shingle
+    // vocabulary. Pair counting excludes shingles present in > 64
+    // domains (the crossDomainDup boilerplate guard — vacuous on this
+    // 20-domain corpus, law replayed regardless).
+    QueryDef("t_cross_domain_dup",
+      s"""WITH $hashesCte,
+         |cdx AS (SELECT d.source AS dom, unnest(h.hs) AS h
+         |  FROM hashes h JOIN documents d USING (doc_id)
+         |  WHERE d.source IS NOT NULL),
+         |cdd AS (SELECT DISTINCT dom, h FROM cdx),
+         |cdt AS (SELECT dom, CAST(count(*) AS BIGINT) AS types
+         |  FROM cdd GROUP BY 1),
+         |cdw AS (SELECT h, count(*) AS nd FROM cdd GROUP BY 1),
+         |cdp AS (SELECT a.dom AS domain_a, b.dom AS domain_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM cdd a JOIN cdd b ON a.h = b.h AND a.dom < b.dom
+         |  JOIN cdw w ON w.h = a.h AND w.nd BETWEEN 2 AND 64
+         |  GROUP BY 1, 2)
+         |SELECT p.domain_a, p.domain_b, p.shared AS shared_shingles,
+         |  CAST(p.shared * 100 // ta.types AS BIGINT) AS share_a_x100,
+         |  CAST(p.shared * 100 // tb.types AS BIGINT) AS share_b_x100
+         |FROM cdp p JOIN cdt ta ON ta.dom = p.domain_a
+         |JOIN cdt tb ON tb.dom = p.domain_b
+         |ORDER BY p.domain_a, p.domain_b""".stripMargin) { (s, d) =>
+      Dedup.crossDomainDup(Tables.documents(s, d))
+    }.sortedBy(col("domain_a"), col("domain_b")),
+
     // ── SoftDeDup duplicate-aware reweighting (She et al. 2024) ────
     // Commonness = mean corpus df of the doc's distinct 3-gram
     // shingles; weight = its reciprocal, integer-exact

@@ -2576,6 +2576,43 @@ class LlmOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.softDedupWeights(docs, n = 0))
   }
 
+  test("cross-domain dup matrix: known overlaps, boilerplate guard, disclosure") {
+    import spark.implicits._
+    // shingle sets (3-grams): shared = one 3-word run in A and B;
+    // universal = a run in all three domains (excluded at maxDomains=2)
+    val shared = "p q r"
+    val universal = "x y z"
+    val docs = Seq(
+      (1L, "A", s"a1 a2 a3 $shared $universal"),
+      (2L, "B", s"b1 b2 b3 $shared $universal"),
+      (3L, "C", s"c1 c2 c3 c4 $universal"),
+      (4L, null.asInstanceOf[String], "ignored entirely"),
+      (5L, "A", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.crossDomainDup(docs, maxDomains = 2)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // doc A: 7 words → 5 shingles; 'r x y'/'q r x' bridge runs, so
+    // compute expected overlap independently
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb, sc) = (sh(s"a1 a2 a3 $shared $universal"),
+      sh(s"b1 b2 b3 $shared $universal"), sh(s"c1 c2 c3 c4 $universal"))
+    // pairs only over shingles in EXACTLY 2 domains (maxDomains = 2)
+    val in3 = sa & sb & sc
+    def cell(x: Set[String], y: Set[String]) = ((x & y) -- in3).size.toLong
+    val expAB = cell(sa, sb)
+    assert(expAB > 0 && in3.nonEmpty, "fixture must exercise both laws")
+    assert(m(("A", "B")) == ((expAB, expAB * 100 / sa.size, expAB * 100 / sb.size)), m)
+    assert(m.get(("A", "C")).map(_._1).getOrElse(0L) == cell(sa, sc))
+    assert(m.get(("B", "C")).map(_._1).getOrElse(0L) == cell(sb, sc))
+    // disclosure: the universal shingles excluded from pair counting
+    val ov = Dedup.crossDomainOverflow(docs, maxDomains = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ov.size == in3.size && ov.values.forall(_ == 3L), s"overflow: $ov")
+    intercept[IllegalArgumentException](Dedup.crossDomainDup(docs, maxDomains = 1))
+  }
+
   test("gopher stats: spam fails the gate, diverse prose passes, knob rejection") {
     import spark.implicits._
     val spam = ((1 to 20).map(_ => "buy cheap pills now") :+ "ok").mkString(" ")
