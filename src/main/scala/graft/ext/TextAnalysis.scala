@@ -406,6 +406,29 @@ object TextAnalysis {
       .withColumn("gopher_pass", when(passed, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** [[gopherStats]]' pass flag as a single boolean COLUMN — the form
+    * a streaming gate or composed filter consumes (one native
+    * single-pass expression, zero shuffles). Division-free: frac ≤ t
+    * ⇔ chars·100 < (t+1)·n_chars under floor division, so the whole
+    * gate is cross-multiplied integer comparisons (the sampleByRate
+    * posture). Null/empty text passes — length gates are a different
+    * signal's job. Agrees with `gopherStats(...).gopher_pass` by
+    * construction (asserted in the spec).
+    */
+  def gopherPass(text: Column,
+                 thresholdsX100: Seq[Int] = GopherThresholdsX100): Column = {
+    require(thresholdsX100.length == GopherFields.length,
+      s"need ${GopherFields.length} thresholds, got ${thresholdsX100.length}")
+    val g = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.GopherRepetition(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+    val nChars = coalesce(length(text).cast("long"), lit(0L))
+    val ok = GopherFields.zip(thresholdsX100).map { case (f, t) =>
+      coalesce(g.getField(f), lit(0L)) * 100 < (lit(t.toLong) + 1L) * nChars
+    }.reduce(_ && _)
+    when(nChars === 0, lit(true)).otherwise(ok)
+  }
+
   /** Field order of [[graft.functions.GopherRepetition]]'s struct. */
   private val GopherFields: Seq[String] =
     graft.functions.GopherRepetition.TopNs.map(n => s"top$n") ++
@@ -1131,4 +1154,35 @@ object TextAnalysis {
     // (NativeExprSpec pins the twin)
     classifyNaiveBayes(docs, labeled, labelCol, idCol, textCol,
       tfs = graft.functions.charTrigramTfs)
+
+  /** Model-based QUALITY classifier — the GPT-3/LLaMA-pipeline "quality
+    * classifier" stage (a learned filter distilled from a trusted
+    * signal) with the rule gate as the teacher: documents are labeled
+    * good/bad by [[qualityScore]] ≥ `minQuality`, the multinomial NB
+    * trains on those labels in word space, and EVERY document is
+    * scored by the model. The model generalizes past the rules —
+    * vocabulary that co-occurs with rule-passing text raises a
+    * document the rules alone would miss (and `margin` gives the
+    * graded confidence a hard rule never could; filter on
+    * `pred = 'good'` or rank by margin). Output: the
+    * [[classifyNaiveBayes]] shape (idCol, pred, bits, margin,
+    * n_tokens).
+    *
+    * Scale shape: one codegen'd quality map labels the training side
+    * (no extra shuffle over the classifier's own (label, word)
+    * aggregation); the rest is the audited NB plan — 2-row class
+    * table, broadcast model joins.
+    */
+  def qualityClassifier(docs: DataFrame, minQuality: Int = 3,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(minQuality >= 1 && minQuality <= 4,
+      s"minQuality must be in [1, 4], got $minQuality")
+    val labeled = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        when(qualityScore(col(textCol)) >= minQuality, lit("good"))
+          .otherwise(lit("bad")).as("__qc_label"))
+    classifyNaiveBayes(docs, labeled, labelCol = "__qc_label",
+      idCol, textCol)
+  }
 }

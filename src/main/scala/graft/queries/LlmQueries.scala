@@ -1160,6 +1160,62 @@ object LlmQueries {
          |  FROM vcls2)"""
       .stripMargin
 
+  /** CTE chain of the word-unigram NB classifier: trained on
+    * `labeledRel` (must expose doc_id, label, text), scoring every
+    * `documents` row; ends with `nrk` (per-doc ranked labels) and
+    * `npk` (prior-only fallback ranking). Shared by t_nb_classify
+    * and t_quality_classifier.
+    */
+  private def nbWordCtes(labeledRel: String): String =
+    s"""vtf0 AS (SELECT doc_id, label,
+         |    unnest(string_split(text, ' ')) AS word
+         |  FROM $labeledRel WHERE label IS NOT NULL AND text IS NOT NULL),
+         |ntf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
+         |vwc AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM vtf0 GROUP BY 1, 2),
+         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM vwc),
+         |vprior AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM $labeledRel WHERE label IS NOT NULL GROUP BY 1),
+         |vn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM vprior),
+         |vtok AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok
+         |  FROM vwc GROUP BY 1),
+         |vcls AS (SELECT p.label,
+         |    CAST(coalesce(t.tok, 0) + vv.v AS BIGINT) AS denom,
+         |    CAST(length(bin(vn.n)) - length(bin(p.n_docs)) AS BIGINT)
+         |      AS prior_bits
+         |  FROM vprior p LEFT JOIN vtok t USING (label)
+         |  CROSS JOIN vn CROSS JOIN vv),
+         |vcls2 AS (SELECT label, prior_bits,
+         |    CAST(length(bin(denom)) - 1 AS BIGINT) AS default_bits, denom
+         |  FROM vcls),
+         |vmodel AS (SELECT w.label, w.word,
+         |    CAST(length(bin(c.denom)) - length(bin(w.cnt + 1)) AS BIGINT)
+         |      AS bits
+         |  FROM vwc w JOIN vcls2 c USING (label)),
+         |nmatched AS (SELECT t.doc_id, t.word, t.tf FROM ntf t
+         |  WHERE t.word IN (SELECT DISTINCT word FROM vwc)),
+         |nsc AS (SELECT m.doc_id, c.label, c.prior_bits,
+         |    CAST(sum(m.tf * coalesce(md.bits, c.default_bits)) AS BIGINT)
+         |      AS evid,
+         |    CAST(sum(m.tf) AS BIGINT) AS n_tokens
+         |  FROM nmatched m CROSS JOIN vcls2 c
+         |  LEFT JOIN vmodel md ON md.word = m.word AND md.label = c.label
+         |  GROUP BY 1, 2, 3),
+         |nrk AS (SELECT doc_id, label,
+         |    CAST(prior_bits + evid AS BIGINT) AS bits, n_tokens,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY prior_bits + evid, label) AS rn,
+         |    lead(prior_bits + evid) OVER (PARTITION BY doc_id
+         |      ORDER BY prior_bits + evid, label) AS nxt
+         |  FROM nsc),
+         |npk AS (SELECT label, prior_bits,
+         |    row_number() OVER (ORDER BY prior_bits, label) AS rn,
+         |    lead(prior_bits) OVER (ORDER BY prior_bits, label) AS nxt
+         |  FROM vcls2)"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
@@ -2413,53 +2469,8 @@ object LlmQueries {
     // dropped), margin = runner-up - winner. The oracle replays the
     // identical integer argmin with a window.
     QueryDef("t_nb_classify",
-      s"""WITH vtf0 AS (SELECT doc_id, lang AS label,
-         |    unnest(string_split(text, ' ')) AS word
-         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
-         |ntf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |        FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
-         |vwc AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM vtf0 GROUP BY 1, 2),
-         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM vwc),
-         |vprior AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
-         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
-         |vn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM vprior),
-         |vtok AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok
-         |  FROM vwc GROUP BY 1),
-         |vcls AS (SELECT p.label,
-         |    CAST(coalesce(t.tok, 0) + vv.v AS BIGINT) AS denom,
-         |    CAST(length(bin(vn.n)) - length(bin(p.n_docs)) AS BIGINT)
-         |      AS prior_bits
-         |  FROM vprior p LEFT JOIN vtok t USING (label)
-         |  CROSS JOIN vn CROSS JOIN vv),
-         |vcls2 AS (SELECT label, prior_bits,
-         |    CAST(length(bin(denom)) - 1 AS BIGINT) AS default_bits, denom
-         |  FROM vcls),
-         |vmodel AS (SELECT w.label, w.word,
-         |    CAST(length(bin(c.denom)) - length(bin(w.cnt + 1)) AS BIGINT)
-         |      AS bits
-         |  FROM vwc w JOIN vcls2 c USING (label)),
-         |nmatched AS (SELECT t.doc_id, t.word, t.tf FROM ntf t
-         |  WHERE t.word IN (SELECT DISTINCT word FROM vwc)),
-         |nsc AS (SELECT m.doc_id, c.label, c.prior_bits,
-         |    CAST(sum(m.tf * coalesce(md.bits, c.default_bits)) AS BIGINT)
-         |      AS evid,
-         |    CAST(sum(m.tf) AS BIGINT) AS n_tokens
-         |  FROM nmatched m CROSS JOIN vcls2 c
-         |  LEFT JOIN vmodel md ON md.word = m.word AND md.label = c.label
-         |  GROUP BY 1, 2, 3),
-         |nrk AS (SELECT doc_id, label,
-         |    CAST(prior_bits + evid AS BIGINT) AS bits, n_tokens,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY prior_bits + evid, label) AS rn,
-         |    lead(prior_bits + evid) OVER (PARTITION BY doc_id
-         |      ORDER BY prior_bits + evid, label) AS nxt
-         |  FROM nsc),
-         |npk AS (SELECT label, prior_bits,
-         |    row_number() OVER (ORDER BY prior_bits, label) AS rn,
-         |    lead(prior_bits) OVER (ORDER BY prior_bits, label) AS nxt
-         |  FROM vcls2)
+      s"""WITH nblab AS (SELECT doc_id, lang AS label, text FROM documents),
+         |${nbWordCtes("nblab")}
          |SELECT d.doc_id,
          |  coalesce(r.label, p.label) AS pred,
          |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
@@ -2474,6 +2485,32 @@ object LlmQueries {
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.classifyNaiveBayes(docs, docs)
+    }.sortedBy(col("doc_id")),
+
+    // ── Model-based quality classifier (rule-gate as teacher) ──────
+    // Docs labeled good/bad by the replayed quality rules (shared
+    // qualityCtes), the word-unigram NB chain trains on those labels
+    // and scores every document — same nbWordCtes the language
+    // classifier consumes, different teacher.
+    QueryDef("t_quality_classifier",
+      s"""WITH ${qualityCtes("documents")},
+         |nblab AS (SELECT doc_id,
+         |    CASE WHEN quality >= 3 THEN 'good' ELSE 'bad' END AS label,
+         |    text FROM qscored WHERE text IS NOT NULL),
+         |${nbWordCtes("nblab")}
+         |SELECT d.doc_id,
+         |  coalesce(r.label, p.label) AS pred,
+         |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
+         |  CAST(CASE WHEN r.doc_id IS NOT NULL
+         |            THEN coalesce(r.nxt - r.bits, 0)
+         |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
+         |    AS margin,
+         |  coalesce(r.n_tokens, 0) AS n_tokens
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+         |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
     // ── Char-trigram NB language ID (fastText analog) ──────────────

@@ -112,6 +112,7 @@ object CurationStream {
           vacuumAfterCompact: Boolean = true,
           benchmark: Option[DataFrame] = None, minOverlap: Int = 1,
           broadcastDim: Boolean = true, redactPii: Boolean = false,
+          gopherGate: Boolean = false,
           features: Option[FeatureAsOf] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // when the stream redacts, the benchmark must be redacted the same
@@ -151,10 +152,17 @@ object CurationStream {
         if (redactPii)
           novel.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
         else novel
+      // `gopherGate` adds the full Rae et al. repetition rule set
+      // ([[TextAnalysis.gopherPass]]) beside the 4-signal quality cut —
+      // still a pure codegen'd per-row map (one native expression, zero
+      // extra shuffle), so spam that repeats itself past the 2-gram
+      // signal's reach is dropped in-stream too
       val gated = admitted
         .withColumn("quality",
           TextAnalysis.qualityScore(col(textCol)).cast("long"))
-        .filter(col("quality") >= minQuality)
+        .filter(col("quality") >= minQuality &&
+          (if (gopherGate) TextAnalysis.gopherPass(col(textCol))
+           else lit(true)))
       val clean = benchGrams.fold(gated)(g =>
         graft.ext.Decontamination.decontaminateAgainst(
           gated, broadcast(g), idCol, textCol, n, minOverlap))

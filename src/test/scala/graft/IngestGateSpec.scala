@@ -335,6 +335,43 @@ class IngestGateSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("composed curation stream gopherGate drops repetition spam the 4-signal cut passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    val clean = ((1 to 40).map(i => s"gword$i") :+ "the").mkString(" ")
+    // 12-word phrase repeated 4x: max 2-gram count 4 vs 48 2-grams, so
+    // the quality repetition signal PASSES (4·5 ≤ 48, quality = 4) —
+    // but every 5..10-gram inside the phrase repeats, so the Gopher
+    // dup-n-gram fractions blow through their thresholds
+    val phrase = (1 to 12).map(i => s"spamw$i").mkString(" ")
+    val spam = ("the " + Seq.fill(4)(phrase).mkString(" "))
+    val name = "t_cur_gopher"
+    val dimDir = java.nio.file.Files.createTempDirectory("go-dim").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA")).toDF("source_id", "source"), "source_id", dimDir)
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("go-ckpt").toString,
+      gopherGate = true) { (out, _) =>
+      out.select("doc_id", "quality").collect().foreach(r =>
+        IngestGateSpec.curated.add((r.getLong(0), r.getLong(1), "")))
+    }
+    try {
+      ms.addData((1L, clean, 0), (2L, spam, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // both quality-pass (spam scores 4!), only the clean doc survives
+    assert(IngestGateSpec.curated.asScala.toSet.map((t: (Long, Long, String)) => t._1 -> t._2) ==
+      Set(1L -> 4L), s"curated: ${IngestGateSpec.curated.asScala.toSet}")
+    // layering unchanged: the gate admitted BOTH (novelty is upstream
+    // of the gopher cut), so both signatures reached the store
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("composed curation stream redacts PII in-stream before the sink; raw text still keys dedup") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -2576,6 +2576,29 @@ class LlmOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.softDedupWeights(docs, n = 0))
   }
 
+  test("quality classifier: learns the rule gate's vocabulary and scores every row") {
+    import spark.implicits._
+    // strong vocabulary separation between rule-passing and failing
+    // docs so the learned model must recover the teacher's split
+    val good = (1 to 8).map(i =>
+      (i.toLong, "the " + (1 to 30).map(j => s"fine${i}x$j").mkString(" ")))
+    // rule-failing: too short (lenOk 0), no stopword, single char
+    // tokens (shapeOk 0) → quality ≤ 1
+    val bad = (11 to 18).map(i => (i.toLong, s"z$i y q"))
+    val docs = (good ++ bad :+ (99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(docs)
+    assert(out.count() == docs.count(), "one row per input")
+    val preds = out.select("doc_id", "pred").as[(Long, String)]
+      .collect().toMap
+    good.foreach { case (id, _) => assert(preds(id) == "good", s"doc $id") }
+    bad.foreach { case (id, _) => assert(preds(id) == "bad", s"doc $id") }
+    // null text falls back to the prior class, never drops
+    assert(preds.contains(99L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityClassifier(docs, minQuality = 5))
+  }
+
   test("cross-domain dup matrix: known overlaps, boilerplate guard, disclosure") {
     import spark.implicits._
     // shingle sets (3-grams): shared = one 3-word run in A and B;
@@ -2631,6 +2654,20 @@ class LlmOpsSpec extends SparkSuite {
     assert(byId(1L).getLong(st.columns.indexOf("dup10_frac_x100")) > 10L)
     intercept[IllegalArgumentException](
       graft.ext.TextAnalysis.gopherStats(docs, thresholdsX100 = Seq(1, 2)))
+
+    // the division-free Column form agrees with the stats projection
+    // on the corpus (floor-division ≤ is cross-multiplied <)
+    val corpus = Tables.documents(spark, sf)
+    val colPass = corpus.select(col("doc_id"),
+      when(graft.ext.TextAnalysis.gopherPass(col("text")), 1L)
+        .otherwise(0L).as("p"))
+    val statPass = graft.ext.TextAnalysis.gopherStats(corpus)
+      .select(col("doc_id"), col("gopher_pass").as("sp"))
+    assert(colPass.join(statPass, "doc_id")
+      .filter(col("p") =!= col("sp")).count() == 0)
+    assert(colPass.filter(col("p") === 1L).count() > 0)
+    intercept[IllegalArgumentException](
+      graft.ext.TextAnalysis.gopherPass(col("text"), Seq(1)))
   }
 
   test("lang-balanced mix: alpha-temperature flattens the PREDICTED-language head") {
