@@ -11,7 +11,7 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     ParityQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++
-      LlmQueries.defs
+      LlmQueries.defs ++ TextMiningQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's UNHAPPY_PLATINUM_CUSTOMERS enrichment join

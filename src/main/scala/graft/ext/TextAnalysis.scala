@@ -701,6 +701,54 @@ object TextAnalysis {
          |ELSE cast(array() AS array<string>) END""".stripMargin)
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): corpus-wide bigram
+    * association strength — the classic "which word pairs co-occur far
+    * more than chance" signal a curation pipeline uses to spot
+    * boilerplate phrases, template spans, and multi-word entities.
+    * Integer-exact: with `L(x) = length(bin(x))` (floor-log2 + 1) the
+    * score is the overflow-safe per-factor decomposition
+    *
+    *   pmi_bits = (L(c(w1 w2)) − L(c(w1))) + (L(N) − L(c(w2)))
+    *
+    * of `log2(c(w1 w2)·N / (c(w1)·c(w2)))` — the products `c·N` and
+    * `c·c` that the textbook form needs overflow int64 at 100 TB token
+    * counts (~10¹² tokens squared), so each factor enters through its
+    * own bin length and nothing is ever multiplied. Both engines render
+    * positive ints to the same binary string, so no float log enters
+    * the score. `minCount` drops the unstable low-frequency tail
+    * (standard PMI practice — a 1-occurrence pair maximizes PMI by
+    * construction).
+    *
+    * Scale shape: ONE corpus bigram explode partial-aggregated into a
+    * vocab²-bounded pair relation (pinned — the N scalar and the output
+    * both read it); unigram counts are a vocab-bounded relation AQE
+    * broadcasts into the two attach joins; N is a 1-row broadcast
+    * cross. No corpus-sized exchange anywhere.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      minCount: Long = 5L): DataFrame = {
+    // vocab²-bounded, read twice (N scalar + the filtered output) → pinned
+    val pairs = docs.filter(col(textCol).isNotNull)
+      .select(explode(ngramArray(textCol, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).cast("long").as("n_pair"))
+      .localCheckpoint()
+    val uni = tfRelation(docs, idCol, textCol)
+      .groupBy("word").agg(sum("tf").cast("long").as("cnt"))
+    val tot = pairs.agg(sum("n_pair").cast("long").as("n_total"))
+    pairs.filter(col("n_pair") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("word").as("w1"), col("cnt").as("n_w1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("cnt").as("n_w2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"), col("n_total"),
+        ((length(bin(col("n_pair"))) - length(bin(col("n_w1")))) +
+          (length(bin(col("n_total"))) - length(bin(col("n_w2")))))
+          .cast("long").as("pmi_bits"))
+  }
+
   /** Train a TRIGRAM stupid-backoff model (Brants et al. 2007, "Large
     * Language Models in Machine Translation") from a corpus: one
     * unified relation (`level`, `gram`, `cnt`) holding the raw n-gram

@@ -2693,4 +2693,23 @@ class LlmOpsSpec extends SparkSuite {
     // output ids are a subset of the input's and carry the prediction
     assert(mixed.columns.toSeq == Seq("doc_id", "lang_pred"))
   }
+
+  test("pmiCollocations: hand-computed integer golden (bin-length law)") {
+    import spark.implicits._
+    // bigrams: "a b"×5, "b a"×2, "b c"×2, "c a"×1; N = 10
+    // unigrams: a=5, b=6, c=2; L = bitlen
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b c a b"), (3L, "b c"),
+      (4L, "solo"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 2L)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // "c a" (count 1) cut by minCount; "solo" contributes no bigram but
+    // its unigram enters c( ) only via tfRelation — N stays bigram-only
+    assert(got == Seq(
+      ("a", "b", 5L, 5L, 6L, 10L, (3 - 3) + (4 - 3).toLong),
+      ("b", "a", 2L, 6L, 5L, 10L, (2 - 3) + (4 - 3).toLong),
+      ("b", "c", 2L, 6L, 2L, 10L, (2 - 3) + (4 - 2).toLong)))
+  }
 }
