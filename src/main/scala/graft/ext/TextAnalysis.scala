@@ -701,6 +701,43 @@ object TextAnalysis {
          |ELSE cast(array() AS array<string>) END""".stripMargin)
   }
 
+  /** C4 page-cleaning statistics (Raffel et al. 2020 §2.2) per
+    * document: line-filter results (`clean_text`, `n_lines`, `n_kept`,
+    * `n_sentences`) plus the page flags (`has_lorem`, `has_brace`,
+    * `has_badword`) and the derived `c4_pass` under the ≥5-sentence
+    * rule — the classic rule-based web-page cleaner alongside the
+    * Gopher repetition gate. One row-local codegen'd expression
+    * ([[graft.functions.C4Stats]]), zero shuffles; null text coalesces
+    * to the empty page (pass = 0).
+    */
+  def c4Stats(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.c4Stats(col(textCol)).as("c4"))
+      .select(col(idCol),
+        coalesce(col("c4.clean"), lit("")).as("clean_text"),
+        coalesce(col("c4.n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("c4.n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("c4.n_sentences"), lit(0L)).as("n_sentences"),
+        coalesce(col("c4.has_lorem"), lit(0L)).as("has_lorem"),
+        coalesce(col("c4.has_brace"), lit(0L)).as("has_brace"),
+        coalesce(col("c4.has_badword"), lit(0L)).as("has_badword"))
+      .withColumn("c4_pass",
+        when(col("n_sentences") >= graft.functions.C4Stats.MinSentences &&
+          col("has_lorem") === 0L && col("has_brace") === 0L &&
+          col("has_badword") === 0L, 1L).otherwise(0L))
+
+  /** The C4 page REWRITE: surviving pages only (`c4_pass` = 1), text
+    * replaced by the line-filtered `clean_text` — the shape a curation
+    * pipeline feeds downstream. Same zero-shuffle scan as [[c4Stats]].
+    */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    c4Stats(docs, idCol, textCol)
+      .filter(col("c4_pass") === 1L)
+      .select(col(idCol), col("clean_text"), col("n_kept"),
+        col("n_sentences"))
+
   /** PMI collocation mining (Church & Hanks 1990): corpus-wide bigram
     * association strength — the classic "which word pairs co-occur far
     * more than chance" signal a curation pipeline uses to spot

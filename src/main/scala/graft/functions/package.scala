@@ -70,4 +70,11 @@ package object functions {
     */
   def charTrigramTfs(c: Column): Column =
     Bridge.column(CharTrigramTfs(Bridge.expression(c)))
+
+  /** C4 page-cleaning statistics struct (line filter + page flags) in
+    * one row-local pass (custom codegen'd Catalyst expression, see
+    * [[graft.functions.C4Stats]]).
+    */
+  def c4Stats(c: Column): Column =
+    Bridge.column(C4Stats(Bridge.expression(c)))
 }

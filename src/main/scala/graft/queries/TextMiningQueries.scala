@@ -16,6 +16,97 @@ object TextMiningQueries {
     */
   private val PmiMinCount = 5L
 
+  // ── C4 test-harness lineification ────────────────────────────────
+  // The corpus is punctuation-free word soup, so the C4 line rules
+  // would be vacuously all-drop on raw text. Both engines first derive
+  // the SAME newline-delimited page deterministically from (doc_id,
+  // text): 6-word chunks with a (doc_id + i) % 5 ending — '.', '!',
+  // '?', '' (non-terminal → dropped), ' javascript.' (terminal but
+  // poisoned → dropped) — plus doc_id-keyed page-level injections that
+  // exercise each page flag (badword / lorem ipsum / brace). The
+  // operator under test is the real rule set; the lineifier is just
+  // the fixture generator, replayed verbatim in the oracle.
+  private val LineifySpark = expr(
+    """concat_ws(chr(10), concat(
+      |  transform(sequence(1, (size(split(text, ' ')) + 5) div 6),
+      |    i -> concat(
+      |      array_join(slice(split(text, ' '), (i - 1) * 6 + 1, 6), ' '),
+      |      element_at(array('.', '!', '?', '', ' javascript.'),
+      |        cast((doc_id + i) % 5 AS int) + 1))),
+      |  if(doc_id % 11 = 0, array('what the hell happened here.'),
+      |     cast(array() AS array<string>)),
+      |  if(doc_id % 13 = 0, array('lorem ipsum dolor sit amet.'),
+      |     cast(array() AS array<string>)),
+      |  if(doc_id % 17 = 0, array('config { toggles }.'),
+      |     cast(array() AS array<string>))))""".stripMargin)
+
+  private val LineifyCte =
+    """lined AS (
+      |  SELECT doc_id, array_to_string(list_concat(list_concat(list_concat(
+      |    list_transform(generate_series(1, (len(ws) + 5) // 6),
+      |      i -> array_to_string(ws[(i - 1) * 6 + 1 : i * 6], ' ') ||
+      |           CASE CAST((doc_id + i) % 5 AS INT)
+      |             WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+      |             WHEN 3 THEN '' ELSE ' javascript.' END),
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN ['what the hell happened here.'] ELSE [] END),
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+      |    CASE WHEN doc_id % 17 = 0
+      |         THEN ['config { toggles }.'] ELSE [] END),
+      |    chr(10)) AS lined
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t)""".stripMargin
+
+  /** The C4 rule replay over the lineified page — clean text, line and
+    * sentence counts, page flags, pass under the ≥5-sentence rule.
+    */
+  private val C4StatsCtes =
+    s"""$LineifyCte,
+       |flt AS (
+       |  SELECT doc_id, lined,
+       |    CAST(len(string_split(lined, chr(10))) AS BIGINT) AS n_lines,
+       |    list_filter(string_split(lined, chr(10)), l ->
+       |      length(l) > 0
+       |      AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
+       |      AND len(list_filter(string_split(l, ' '),
+       |            w -> length(w) > 0)) >= 3
+       |      AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM lined),
+       |st AS (
+       |  SELECT doc_id,
+       |    array_to_string(kept, chr(10)) AS clean_text,
+       |    n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_kept,
+       |    CAST(length(array_to_string(kept, chr(10)))
+       |         - length(replace(replace(replace(
+       |             array_to_string(kept, chr(10)), '.', ''), '!', ''),
+       |             '?', '')) AS BIGINT) AS n_sentences,
+       |    CAST(CASE WHEN contains(lower(lined), 'lorem ipsum')
+       |         THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+       |    CAST(CASE WHEN contains(lined, '{')
+       |         THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+       |    CAST(CASE WHEN len(list_intersect(
+       |           regexp_split_to_array(lower(lined), '[^a-z0-9]+'),
+       |           ['hell', 'damn', 'shit'])) > 0
+       |         THEN 1 ELSE 0 END AS BIGINT) AS has_badword
+       |  FROM flt),
+       |c4 AS (
+       |  SELECT d.doc_id,
+       |    coalesce(s.clean_text, '') AS clean_text,
+       |    coalesce(s.n_lines, 0) AS n_lines,
+       |    coalesce(s.n_kept, 0) AS n_kept,
+       |    coalesce(s.n_sentences, 0) AS n_sentences,
+       |    coalesce(s.has_lorem, 0) AS has_lorem,
+       |    coalesce(s.has_brace, 0) AS has_brace,
+       |    coalesce(s.has_badword, 0) AS has_badword,
+       |    CAST(CASE WHEN coalesce(s.n_sentences, 0) >= 5
+       |              AND coalesce(s.has_lorem, 0) = 0
+       |              AND coalesce(s.has_brace, 0) = 0
+       |              AND coalesce(s.has_badword, 0) = 0
+       |         THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
+       |  FROM documents d LEFT JOIN st s USING (doc_id))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── PMI collocations (Church & Hanks 1990) ─────────────────────
@@ -54,5 +145,28 @@ object TextMiningQueries {
          |ORDER BY w1, w2""".stripMargin) { (s, d) =>
       TextAnalysis.pmiCollocations(Tables.documents(s, d),
         minCount = PmiMinCount)
-    }.sortedBy(col("w1"), col("w2")))
+    }.sortedBy(col("w1"), col("w2")),
+
+    // ── C4 page cleaning (Raffel et al. 2020 §2.2) ────────────────
+    // The full rule set over the lineified corpus: per-page stats +
+    // flags + pass. The Spark side is ONE row-local codegen'd
+    // expression (functions/C4Stats.scala) — zero shuffles.
+    QueryDef("t_c4_stats",
+      s"""WITH $C4StatsCtes
+         |SELECT * FROM c4 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val lined = Tables.documents(s, d)
+        .select(col("doc_id"), LineifySpark.as("lined"))
+      TextAnalysis.c4Stats(lined, textCol = "lined")
+    }.sortedBy(col("doc_id")),
+
+    // ... and the page REWRITE a pipeline feeds downstream: surviving
+    // pages only, text replaced by the line-filtered clean form.
+    QueryDef("t_c4_clean",
+      s"""WITH $C4StatsCtes
+         |SELECT doc_id, clean_text, n_kept, n_sentences
+         |FROM c4 WHERE c4_pass = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val lined = Tables.documents(s, d)
+        .select(col("doc_id"), LineifySpark.as("lined"))
+      TextAnalysis.c4Clean(lined, textCol = "lined")
+    }.sortedBy(col("doc_id")))
 }

@@ -299,4 +299,51 @@ class NativeExprSpec extends SparkSuite {
       .select(g).collect()(0)
     assert(nul.isNullAt(0))
   }
+
+  test("C4Stats: every rule exercised on a hand-built page") {
+    import spark.implicits._
+    val page = Seq(
+      "Good line with words.",        // kept (terminal, 4 words)
+      "short one.",                   // dropped: < 3 words
+      "no terminal here",             // dropped: no terminal punct
+      "This has JavaScript inside.",  // dropped: js, case-insensitive
+      "Another fine line here!",      // kept
+      "Quoted line ends well \"",     // kept (quote terminal, 0 marks)
+      "Bad { brace line.",            // kept; page has_brace
+      "what the hell.",               // kept; page has_badword
+      "lorem ipsum here.").mkString("\n") // kept; page has_lorem
+    val got = graft.ext.TextAnalysis.c4Stats(
+      Seq((1L, page)).toDF("doc_id", "text")).collect()(0)
+    assert(got.getAs[String]("clean_text") == Seq(
+      "Good line with words.", "Another fine line here!",
+      "Quoted line ends well \"", "Bad { brace line.",
+      "what the hell.", "lorem ipsum here.").mkString("\n"))
+    assert(got.getAs[Long]("n_lines") == 9L)
+    assert(got.getAs[Long]("n_kept") == 6L)
+    assert(got.getAs[Long]("n_sentences") == 5L)
+    assert(got.getAs[Long]("has_lorem") == 1L)
+    assert(got.getAs[Long]("has_brace") == 1L)
+    assert(got.getAs[Long]("has_badword") == 1L)
+    assert(got.getAs[Long]("c4_pass") == 0L)
+  }
+
+  test("C4Stats: badword is a TOKEN match, pass needs 5 sentences") {
+    import spark.implicits._
+    // 'shell'/'hello' must NOT trip the word-level badword rule
+    val five = (1 to 5).map(i => s"hello shell line number $i.")
+    val four = five.take(4)
+    val df = Seq((1L, five.mkString("\n")), (2L, four.mkString("\n")),
+      (3L, null: String)).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.c4Stats(df)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("has_badword") == 0L)
+    assert(got(0).getAs[Long]("c4_pass") == 1L)   // 5 sentences
+    assert(got(1).getAs[Long]("c4_pass") == 0L)   // only 4
+    assert(got(2).getAs[Long]("n_lines") == 0L)   // null page coalesces
+    assert(got(2).getAs[String]("clean_text") == "")
+    assert(got(2).getAs[Long]("c4_pass") == 0L)
+    // the rewrite keeps exactly the passing page
+    val clean = graft.ext.TextAnalysis.c4Clean(df).collect()
+    assert(clean.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
