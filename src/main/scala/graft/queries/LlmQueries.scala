@@ -2922,6 +2922,34 @@ object LlmQueries {
         .select(col("doc_id"))
     }.sortedBy(col("doc_id")),
 
+    // Bloom-gated decontamination: the corpus-vs-corpus scale path —
+    // a reference gram set too large to broadcast folds into an m-bit
+    // Bloom bitset (one distributed OR-fold pass), corpus grams are cut
+    // MAP-SIDE by the codegen'd probe, and the exact confirm join
+    // removes the false positives. Zero false negatives ⇒ the result is
+    // bit-identical to the plain exact operator, so the oracle IS the
+    // plain exact query (the j_salted_join invisibility contract). A
+    // deliberately tiny bitset (4096 bits → high FPR) keeps the confirm
+    // join honest in the compare.
+    QueryDef("t_bloom_decontaminate",
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 89 = 7),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 7),
+         |${hashesCteFrom("bench", "b")},
+         |${hashesCteFrom("corpus", "c")},
+         |bgrams AS (SELECT DISTINCT unnest(hs) AS gram FROM bhashes),
+         |cgrams AS (SELECT doc_id, unnest(hs) AS gram FROM chashes),
+         |hits AS (SELECT c.doc_id, count(*) AS overlap_grams
+         |         FROM cgrams c JOIN bgrams b USING (gram) GROUP BY c.doc_id)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE overlap_grams >= 2)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.BloomGate.decontaminate(
+        docs.filter("doc_id % 89 <> 7"), docs.filter("doc_id % 89 = 7"),
+        minOverlap = 2, numBits = 4096, k = 5)
+        .select(col("doc_id"))
+    }.sortedBy(col("doc_id")),
+
     // ── End-to-end corpus-curation flagship ────────────────────────
     // quality gate → near-dup dedup (keep cluster representatives
     // among SURVIVORS) → deterministic split — one consumable derived

@@ -2694,6 +2694,40 @@ class LlmOpsSpec extends SparkSuite {
     assert(mixed.columns.toSeq == Seq("doc_id", "lang_pred"))
   }
 
+  test("bloom gate: zero false negatives, bounded FPR, exact-equal result") {
+    import spark.implicits._
+    val keys = (0L until 2000L).map(_ * 2654435761L).toDF("gram")
+    val numBits = 1 << 15
+    val k = 5
+    val bits = graft.ext.BloomGate.buildBits(keys, col("gram"), numBits, k)
+    // every inserted key MUST probe true — bloom's hard guarantee
+    val misses = keys
+      .filter(!graft.ext.BloomGate.mightContain(col("gram"), bits, numBits, k))
+      .count()
+    assert(misses == 0L, s"$misses false negatives")
+    // disjoint probe set: hit rate within 2x of (1 - e^{-kn/m})^k
+    val fresh = (0L until 4000L).map(i => i * 2654435761L + 1L).toDF("gram")
+    val fp = fresh
+      .filter(graft.ext.BloomGate.mightContain(col("gram"), bits, numBits, k))
+      .count()
+    val expected = graft.functions.BloomBits.expectedFpr(2000L, numBits, k)
+    assert(fp <= math.max(2.0 * expected * 4000, 8.0),
+      s"fpr ${fp / 4000.0} vs expected $expected")
+    // the gated decontamination is BIT-IDENTICAL to the exact operator
+    // even under a deliberately saturated 512-bit filter (FPR ≈ 1 —
+    // every false positive must die in the confirm join)
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter("doc_id % 7 <> 2")
+    val bench = docs.filter("doc_id % 7 = 2")
+    val exact = graft.ext.Decontamination
+      .decontaminate(corpus, bench, minOverlap = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val gated = graft.ext.BloomGate
+      .decontaminate(corpus, bench, minOverlap = 2, numBits = 512, k = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gated == exact)
+  }
+
   test("pmiCollocations: hand-computed integer golden (bin-length law)") {
     import spark.implicits._
     // bigrams: "a b"×5, "b a"×2, "b c"×2, "c a"×1; N = 10
