@@ -168,5 +168,22 @@ object TextMiningQueries {
       val lined = Tables.documents(s, d)
         .select(col("doc_id"), LineifySpark.as("lined"))
       TextAnalysis.c4Clean(lined, textCol = "lined")
-    }.sortedBy(col("doc_id")))
+    }.sortedBy(col("doc_id")),
+
+    // ── CMS-pruned heavy hitters ───────────────────────────────────
+    // Exact corpus word frequencies ≥ threshold, with the long tail cut
+    // MAP-SIDE by a count-min estimate (ext/FreqSketch.scala) before
+    // the exact aggregation — CMS never undercounts, so the output is
+    // bit-identical to the plain exact query the oracle runs (the
+    // Bloom-gate invisibility contract). A deliberately narrow 2×64
+    // sketch forces collisions; the exact confirm absorbs them.
+    QueryDef("t_heavy_hitters",
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE text IS NOT NULL) u
+        |GROUP BY 1 HAVING count(*) >= 100
+        |ORDER BY word""".stripMargin) { (s, d) =>
+      graft.ext.FreqSketch.heavyHitterWords(Tables.documents(s, d),
+        threshold = 100L, d = 2, w = 64)
+    }.sortedBy(col("word")))
 }

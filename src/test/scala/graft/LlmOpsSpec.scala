@@ -2728,6 +2728,41 @@ class LlmOpsSpec extends SparkSuite {
     assert(gated == exact)
   }
 
+  test("count-min sketch: never undercounts, bounded error, exact-equal hitters") {
+    import spark.implicits._
+    // zipf-ish synthetic: word_i has weight ~ 3000/i
+    val toks = (1 to 200).map(i => (s"word_$i", 3000L / i))
+      .toDF("word", "weight")
+    val (d, w) = (4, 1024)
+    val table = graft.ext.FreqSketch.buildCms(
+      toks, col("word"), col("weight"), d, w)
+    val est = toks.withColumn("est",
+      graft.ext.FreqSketch.cmsEstimate(col("word"), table, d, w))
+      .as[(String, Long, Long)].collect()
+    val n = est.map(_._2).sum
+    est.foreach { case (word, exact, e) =>
+      assert(e >= exact, s"$word undercounted: $e < $exact")
+      assert(e - exact <= (2.0 * math.E * n / w).toLong + 1,
+        s"$word error ${e - exact} above bound")
+    }
+    // the probe prunes the tail before the exact aggregation...
+    val survivors = toks.filter(
+      graft.ext.FreqSketch.cmsEstimate(col("word"), table, d, w) >= 300L)
+      .count()
+    assert(survivors < 200, "probe must cut the tail")
+    assert(survivors >= 10, "head must survive")
+    // ...and the end-to-end operator is bit-identical to exact, even
+    // under a collision-saturated 2x16 sketch
+    val docs = Tables.documents(spark, sf)
+    val exact = graft.ext.FreqSketch.tokenWeights(docs)
+      .groupBy("word").agg(sum("weight").as("n"))
+      .filter(col("n") >= 50).as[(String, Long)].collect().sorted.toSeq
+    val sketched = graft.ext.FreqSketch
+      .heavyHitterWords(docs, threshold = 50L, d = 2, w = 16)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(sketched == exact)
+  }
+
   test("pmiCollocations: hand-computed integer golden (bin-length law)") {
     import spark.implicits._
     // bigrams: "a b"×5, "b a"×2, "b c"×2, "c a"×1; N = 10
