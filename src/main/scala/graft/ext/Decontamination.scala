@@ -93,6 +93,51 @@ object Decontamination {
     decontaminateAgainst(corpus, grams, idCol, textCol, n, minOverlap)
   }
 
+  /** N-gram NOVELTY score against a reference gram set — the positive
+    * complement of decontamination: instead of dropping overlapping
+    * documents, score each by how much of it the reference corpus has
+    * NOT seen (data-selection pipelines upweight novel text and
+    * downweight boilerplate the previous snapshot already carried).
+    * Per document: `n_grams` (distinct shingle hashes), `n_seen`
+    * (grams present in the reference), and the filterable
+    * `novelty_x100 = (n_grams − n_seen)·100 div n_grams` — 100 for
+    * gram-less (null-text) documents: no evidence of overlap.
+    *
+    * Scale shape: the corpus side is one explode + per-doc count (the
+    * per-doc hash array is already distinct, so join hits ARE the
+    * distinct overlap); the reference gram set joins broadcast when
+    * eval-sized, or swap in [[BloomGate.mightContain]] ahead of the
+    * join when the reference is itself corpus-sized.
+    */
+  def noveltyReport(corpus: DataFrame, grams: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 3): DataFrame = {
+    val agg = corpus.select(col(idCol),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+      .join(grams.select(col("gram"), lit(1L).as("seen")),
+        Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+    corpus.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty_x100",
+        when(col("n_grams") > 0,
+          expr("(n_grams - n_seen) * 100 div n_grams"))
+          .otherwise(lit(100L)))
+  }
+
+  /** [[noveltyReport]] with the gram set derived from a reference
+    * relation inline (distinct shingle hashes, broadcast).
+    */
+  def novelty(corpus: DataFrame, reference: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text",
+              n: Int = 3): DataFrame =
+    noveltyReport(corpus, broadcast(benchmarkGrams(reference, textCol, n)),
+      idCol, textCol, n)
+
   // ── FUZZY decontamination (MinHash-LSH Jaccard) ────────────────────
   // Completes the trilogy: EXACT n-gram overlap (above) misses
   // lightly-edited copies, SEMANTIC cosine (below) needs embeddings —

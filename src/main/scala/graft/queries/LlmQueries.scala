@@ -2950,6 +2950,37 @@ object LlmQueries {
         .select(col("doc_id"))
     }.sortedBy(col("doc_id")),
 
+    // N-gram novelty scoring — the positive complement of
+    // decontamination: per target document, how many of its distinct
+    // shingles the reference split has NOT seen (data-selection
+    // pipelines upweight novel text over boilerplate the previous
+    // snapshot already carried). Same shingle machinery, scoring
+    // instead of filtering.
+    QueryDef("t_novelty",
+      s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 83 = 5),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 83 <> 5),
+         |${hashesCteFrom("ref", "r")},
+         |${hashesCteFrom("corpus", "c")},
+         |rgrams AS (SELECT DISTINCT unnest(hs) AS gram FROM rhashes),
+         |cgrams AS (SELECT doc_id, unnest(hs) AS gram FROM chashes),
+         |agg AS (SELECT c.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(coalesce(sum(CASE WHEN r.gram IS NOT NULL THEN 1 END), 0)
+         |         AS BIGINT) AS n_seen
+         |  FROM cgrams c LEFT JOIN rgrams r USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.n_seen, 0) AS n_seen,
+         |  CASE WHEN coalesce(a.n_grams, 0) > 0
+         |       THEN CAST((a.n_grams - a.n_seen) * 100 // a.n_grams AS BIGINT)
+         |       ELSE 100 END AS novelty_x100
+         |FROM corpus d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Decontamination.novelty(
+        docs.filter("doc_id % 83 <> 5"), docs.filter("doc_id % 83 = 5"))
+    }.sortedBy(col("doc_id")),
+
     // ── End-to-end corpus-curation flagship ────────────────────────
     // quality gate → near-dup dedup (keep cluster representatives
     // among SURVIVORS) → deterministic split — one consumable derived

@@ -185,5 +185,34 @@ object TextMiningQueries {
         |ORDER BY word""".stripMargin) { (s, d) =>
       graft.ext.FreqSketch.heavyHitterWords(Tables.documents(s, d),
         threshold = 100L, d = 2, w = 64)
-    }.sortedBy(col("word")))
+    }.sortedBy(col("word")),
+
+    // ── Per-domain tokenizer fertility ─────────────────────────────
+    // chars-per-BPE-token by source domain — the "how many tokens will
+    // this domain cost to train on" planning statistic (fertility
+    // regressions are how tokenizer/corpus mismatches surface). One
+    // partial-aggregated shuffle over the codegen'd token counter;
+    // integer fixed-point ratio.
+    QueryDef("t_domain_fertility", {
+      val pat = TextAnalysis.BpePattern.replace("'", "''")
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  CASE WHEN sum(len(regexp_extract_all(text, '$pat'))) > 0
+         |       THEN CAST(sum(length(text)) * 100
+         |            // sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT)
+         |       ELSE 0 END AS chars_per_token_x100
+         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).cast("long")
+            .as("n_bpe_tokens"))
+        .withColumn("chars_per_token_x100",
+          when(col("n_bpe_tokens") > 0,
+            expr("n_chars * 100 div n_bpe_tokens")).otherwise(0L))
+    }.sortedBy(col("source")))
 }
