@@ -1443,4 +1443,105 @@ object Similarity {
       .select(col(idCol), col("cell"))
     graft.ext.Sampling.stratifiedTake(assigned, "cell", idCol, n)
   }
+
+  // ── Embedding classifiers (Rocchio nearest-centroid, IVF kNN) ──────
+
+  /** Per-label prototype vectors (Rocchio/nearest-centroid training):
+    * the element-wise mean embedding of each label's training vectors.
+    * Same ORDER-INDEPENDENT quantized-integer mean as
+    * [[trainCentroids]]' Lloyd update — each coordinate rounds to
+    * round(x·1e6) (exact in a Long), sums exactly under any partition
+    * order, and divides back as one IEEE double division — so the
+    * DuckDB oracle reproduces every centroid bit-for-bit. Output:
+    * (labelCol, cvec: array<double>).
+    *
+    * Scale shape: one (label, dim) partial-agg shuffle — the exchange
+    * carries at most |labels|·dims rows after map-side combine, never
+    * the corpus.
+    */
+  def labelCentroids(labeled: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    labeled
+      .filter(col(vecCol).isNotNull)
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col(labelCol), col("d"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("q"))
+      .groupBy(labelCol, "d")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col(labelCol), col("d"),
+        (col("sq").cast("double") / (col("n").cast("double") * 1e6)).as("c"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+
+  /** Nearest-centroid (Rocchio) classification: every query vector gets
+    * the label of its most-cosine-similar class prototype, label-id
+    * tiebreak. Output: (idCol, pred_label, cos) — cos rounded to 6
+    * places, the cross-engine comparison contract.
+    *
+    * Scale shape: the |labels|-row centroid table is broadcast; the
+    * corpus streams through one scored map stage and the bounded-heap
+    * TopKPerKey top-1 cut — no corpus-side sort, no all-pairs.
+    */
+  def classifyRocchio(queries: DataFrame, labeled: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    val cents = labelCentroids(labeled, labelCol, vecCol)
+    val scored = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol))
+      .join(broadcast(cents))
+      .select(col("query_id"), col(labelCol).as("__cand"),
+        cosine(col(vecCol), col("cvec")).as("cos"))
+    topKOperator(scored, 1, "__cand")
+      .select(col("query_id").as(idCol), col("__cand").as("pred_label"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Bulk kNN classification over the IVF probe path: each query probes
+    * its nProbe nearest coarse cells (quantizer = [[trainCentroids]] on
+    * the TRAINING split only), exact-reranks within the probed inverted
+    * lists, and takes the majority label of its k nearest training
+    * neighbours (vote-count tiebreak: lowest label wins). Output:
+    * (idCol, pred_label, votes).
+    *
+    * Scale shape — deliberately DIFFERENT from [[searchAssigned]]:
+    * there the query set is bounded and the probe table broadcasts;
+    * here the query side is corpus-scale (classify-everything), so
+    * candidates come from a PLAIN cell equi-join (one shuffle keyed on
+    * cell, AQE-skew-splittable), then the bounded-heap TopKPerKey cut
+    * and a |Q|·k-row label join. Broadcasting corpus-scale probes
+    * would be the 100 TB scale-killer this variant exists to avoid.
+    */
+  def knnClassify(train: DataFrame, queries: DataFrame, k: Int = 10,
+                  centroids: Int = 16, nProbe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val trainVecs = train.filter(col(vecCol).isNotNull)
+    val cents = trainCentroids(trainVecs, centroids, idCol, vecCol)
+    val assigned = assignCells(trainVecs, cents, idCol, vecCol)
+    val probeScored = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("query_vec"), col("cell").as("__cand"),
+        cosine(col("query_vec"), col("cvec")).as("cos"))
+    val probes = topKOperator(probeScored, nProbe, "__cand")
+      .select(col("query_id"), col("query_vec"), col("__cand").as("cell"))
+    val scored = assigned
+      .join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("query_vec"), col(vecCol)), 6).as("cos"))
+    val neighbors = rankTopK(scored, k, "cos")
+    val labels = trainVecs
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("__cand"))
+    val votes = neighbors.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("__cand"))
+      .agg(count(lit(1)).as("votes"))
+    topKOperator(votes, 1, "__cand", sortCol = "votes")
+      .select(col("query_id").as(idCol), col("__cand").as("pred_label"),
+        col("votes"))
+  }
 }

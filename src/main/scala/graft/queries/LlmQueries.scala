@@ -3520,6 +3520,77 @@ object LlmQueries {
       graft.ext.Similarity.diversitySample(Tables.embeddings(s, d), n = 20)
     }.sortedBy(col("cell"), col("rank")),
 
+    // ── Embedding classifiers ──────────────────────────────────────
+    // Rocchio nearest-centroid: per-label prototypes over the training
+    // split (every vec_id % 7 <> 0), held-out seventh classified by
+    // most-cosine-similar prototype. Centroid means replay the same
+    // order-independent quantized-integer arithmetic as the IVF
+    // quantizer oracle, so both engines agree bit-for-bit.
+    QueryDef("t_rocchio_classify",
+      s"""WITH train AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 0),
+         |upd AS (
+         |  SELECT label, g.i,
+         |         CAST(SUM(CAST(round(CAST(embedding[g.i] AS DOUBLE)
+         |                * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS c
+         |  FROM train CROSS JOIN generate_series(1, 64) AS g(i)
+         |  GROUP BY label, g.i),
+         |cents AS (SELECT label, list(c ORDER BY i) AS cvec
+         |          FROM upd GROUP BY label),
+         |sc AS (
+         |  SELECT e.vec_id, c.label, ${cosine("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 7 = 0)
+         |SELECT vec_id, label AS pred_label, round(cos, 6) AS cos
+         |FROM (SELECT vec_id, label, cos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, label) AS rn
+         |      FROM sc) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.classifyRocchio(emb.filter(col("vec_id") % 7 === 0),
+        emb.filter(col("vec_id") % 7 =!= 0))
+    }.sortedBy(col("vec_id")),
+
+    // IVF-probed kNN classification of the held-out seventh: quantizer
+    // trained on the training split only, candidates from a plain cell
+    // equi-join (the corpus-scale-query shape — probes are NOT
+    // broadcast), majority label of the 10 nearest training
+    // neighbours, vote-count tiebreak toward the lowest label.
+    QueryDef("t_knn_classify",
+      s"""WITH ${ivfCtes(k = 16, nProbe = 4, queryPred = "vec_id % 7 = 0",
+           trainRel = "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0)")},
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id AND a.vec_id % 7 <> 0),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |knn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |votes AS (
+         |  SELECT k.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id AS vec_id, label AS pred_label, votes
+         |FROM (SELECT query_id, label, votes,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY votes DESC, label) AS rn
+         |      FROM votes) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnClassify(emb.filter(col("vec_id") % 7 =!= 0),
+        emb.filter(col("vec_id") % 7 === 0), k = 10, centroids = 16,
+        nProbe = 4)
+    }.sortedBy(col("vec_id")),
+
     // ── Semantic decontamination (embedding space) ─────────────────
     // Benchmark = every 97th embedding; the corpus side must shed any
     // doc within 0.3 cosine of a benchmark vector. The engine runs a

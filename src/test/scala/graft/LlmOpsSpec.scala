@@ -2781,4 +2781,41 @@ class LlmOpsSpec extends SparkSuite {
       ("b", "a", 2L, 6L, 5L, 10L, (2 - 3) + (4 - 3).toLong),
       ("b", "c", 2L, 6L, 2L, 10L, (2 - 3) + (4 - 2).toLong)))
   }
+
+  test("rocchio + knn classify planted separable clusters perfectly") {
+    import spark.implicits._
+    // two tight clusters: label 0 near axis 3, label 1 near axis 40,
+    // with a small per-point deterministic jitter on a side axis
+    def vec(center: Int, j: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(center) = 1.0f
+      a((center + 7 + (j % 11)) % 64) = 0.3f
+      a
+    }
+    def rows(ids: Range) = ids.map { i =>
+      val lab = i % 2
+      (i.toLong, vec(if (lab == 0) 3 else 40, i), lab)
+    }
+    val train = rows(0 until 40).toDF("vec_id", "embedding", "label")
+    val queries = rows(100 until 110).toDF("vec_id", "embedding", "label")
+
+    val roc = graft.ext.Similarity.classifyRocchio(queries, train)
+      .select("vec_id", "pred_label").as[(Long, Int)].collect().toMap
+    assert(roc.size == 10)
+    roc.foreach { case (id, pred) =>
+      assert(pred == (id % 2).toInt, s"rocchio misclassified $id -> $pred")
+    }
+
+    val knn = graft.ext.Similarity.knnClassify(train, queries, k = 5,
+      centroids = 4, nProbe = 4)
+      .select("vec_id", "pred_label", "votes").as[(Long, Int, Long)]
+      .collect()
+    assert(knn.length == 10)
+    knn.foreach { case (id, pred, votes) =>
+      assert(pred == (id % 2).toInt, s"knn misclassified $id -> $pred")
+      // a unanimous 5-vote majority: the clusters are far apart, so all
+      // k neighbours share the query's label
+      assert(votes == 5L, s"expected unanimous votes for $id, got $votes")
+    }
+  }
 }
