@@ -145,4 +145,65 @@ object Packing {
     * cardinality, far below anything that could hurt the driver.
     */
   val MaxOffsetRows = 100000L
+
+  /** T5/UL2-style span-corruption preparation: deterministically mask
+    * token spans of each document and emit the (inputs, targets) pair a
+    * denoising objective trains on — inputs = the document with each
+    * masked span replaced by one `<extra_id_k>` sentinel, targets = the
+    * sentinels each followed by the tokens it hid.
+    *
+    * Span placement is RNG-free and engine-reproducible: token indices
+    * are cut into fixed `blockSize` blocks, and each block masks ONE
+    * `spanLen`-token span at offset polyhash(docId:block) mod
+    * (blockSize − spanLen + 1) — i.e. a spanLen/blockSize corruption
+    * rate (the T5 default 15% at 3/20) with spans that can never
+    * overlap, so sentinel numbering is simply the block index. The
+    * final partial block masks whatever suffix of its span exists (a
+    * span may be shorter or absent there).
+    *
+    * 100 TB posture: the whole derivation is per-row higher-order
+    * functions over the token array — one codegen'd map stage, zero
+    * shuffles, no UDFs. Null text → null inputs/targets, zero counts.
+    */
+  def spanCorruption(docs: DataFrame, blockSize: Int = 20, spanLen: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive, got $spanLen")
+    require(blockSize > spanLen,
+      s"blockSize ($blockSize) must exceed spanLen ($spanLen)")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // exact integer ceil(n / blockSize): doubles are exact far past any
+    // token count, but keep the arithmetic integral anyway
+    val nBlocks =
+      floor((n.cast("double") + (blockSize - 1)) / blockSize).cast("int")
+    val offs = transform(sequence(lit(0), nBlocks - 1),
+      b => pmod(graft.functions.polyFingerprint(
+        concat(col(idCol).cast("string"), lit(":"), b.cast("string"))),
+        lit(blockSize - spanLen + 1)).cast("int"))
+    def blk(i: Column) =
+      floor((i - 1).cast("double") / blockSize).cast("int")
+    def off(i: Column) = element_at(offs, blk(i) + 1)
+    def pos(i: Column) = pmod(i - 1, lit(blockSize))
+    def isMasked(i: Column) =
+      pos(i) >= off(i) && pos(i) < off(i) + spanLen
+    def isStart(i: Column) = pos(i) === off(i)
+    def sentinel(i: Column) =
+      concat(lit("<extra_id_"), blk(i).cast("string"), lit(">"))
+    val idxs = sequence(lit(1), n)
+    val inArr = transform(filter(idxs, i => !(isMasked(i) && !isStart(i))),
+      i => when(isStart(i), sentinel(i)).otherwise(element_at(toks, i)))
+    val tgArr = transform(filter(idxs, i => isMasked(i)),
+      i => when(isStart(i), concat(sentinel(i), lit(" "), element_at(toks, i)))
+        .otherwise(element_at(toks, i)))
+    val present = col(textCol).isNotNull
+    docs.select(col(idCol),
+      when(present, array_join(inArr, " ")).as("inputs"),
+      when(present, array_join(tgArr, " ")).as("targets"),
+      when(present, n.cast("long")).otherwise(0L).as("n_tokens"),
+      when(present, size(filter(idxs, i => isMasked(i))).cast("long"))
+        .otherwise(0L).as("n_masked"),
+      when(present, size(filter(idxs, i => isStart(i))).cast("long"))
+        .otherwise(0L).as("n_spans"))
+  }
 }

@@ -2746,6 +2746,60 @@ object LlmQueries {
     // cumsum in one window; Spark decomposes it into a partitioned
     // within-group window + broadcast group offsets — same numbers,
     // no single-task stage.
+    // ── Span-corruption prep (T5/UL2 denoising pairs) ──────────────
+    // Deterministic span masking: each 20-token block hides one 3-token
+    // span at offset polyhash(doc:block) % 18 (15% corruption, spans
+    // never overlap, sentinel id = block index). The oracle replays the
+    // same per-index arithmetic with DuckDB list lambdas; the coalesce
+    // around each array_to_string bridges DuckDB's NULL-for-empty-list
+    // vs Spark's ''-for-empty-array (a fully-unmasked doc has empty
+    // targets).
+    QueryDef("t_span_corruption", {
+      val blk = "((i-1)//20)"
+      val off = s"o.offs[$blk + 1]"
+      val pos = "((i-1) % 20)"
+      val masked = s"($pos >= $off AND $pos < $off + 3)"
+      val isStart = s"($pos = $off)"
+      val sent = s"'<extra_id_' || CAST($blk AS VARCHAR) || '>'"
+      s"""WITH base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         |         len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |offs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, ((n + 19) // 20) - 1),
+         |      b -> CAST(${polyhash(
+              "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+         |           % 18 AS INT)) AS offs
+         |  FROM base WHERE text IS NOT NULL),
+         |calc AS (
+         |  SELECT b.doc_id,
+         |    CAST(b.n AS BIGINT) AS n_tokens,
+         |    coalesce(array_to_string(list_transform(list_filter(
+         |        generate_series(1, b.n),
+         |        i -> NOT ($masked AND NOT $isStart)),
+         |      i -> CASE WHEN $isStart THEN $sent
+         |           ELSE b.ws[i] END), ' '), '') AS inputs,
+         |    coalesce(array_to_string(list_transform(list_filter(
+         |        generate_series(1, b.n), i -> $masked),
+         |      i -> CASE WHEN $isStart THEN $sent || ' ' || b.ws[i]
+         |           ELSE b.ws[i] END), ' '), '') AS targets,
+         |    CAST(len(list_filter(generate_series(1, b.n),
+         |      i -> $masked)) AS BIGINT) AS n_masked,
+         |    CAST(len(list_filter(generate_series(1, b.n),
+         |      i -> $isStart)) AS BIGINT) AS n_spans
+         |  FROM base b JOIN offs o USING (doc_id)
+         |  WHERE b.text IS NOT NULL)
+         |SELECT d.doc_id, c.inputs, c.targets,
+         |  coalesce(c.n_tokens, 0) AS n_tokens,
+         |  coalesce(c.n_masked, 0) AS n_masked,
+         |  coalesce(c.n_spans, 0) AS n_spans
+         |FROM documents d LEFT JOIN calc c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.ext.Packing.spanCorruption(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_pack_sequences",
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN text IS NULL THEN 0 ELSE len(string_split(text, ' ')) END AS toks,

@@ -176,4 +176,43 @@ class OpsPropertySpec extends SparkSuite {
         .filter(col("count") > 1).count() == 0, s"seed=$seed bin uniqueness")
     }
   }
+
+  test("span corruption round-trips: splicing targets into inputs restores the text") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val out = graft.ext.Packing.spanCorruption(docs)
+      .join(docs, "doc_id")
+      .select("doc_id", "inputs", "targets", "text", "n_tokens", "n_masked",
+        "n_spans")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (inputs, targets, text) =
+        (r.getString(1), r.getString(2), r.getString(3))
+      if (text == null) {
+        assert(inputs == null && targets == null && r.getLong(5) == 0L)
+      } else {
+        // parse targets into sentinel -> hidden tokens
+        val spans = scala.collection.mutable.LinkedHashMap[String,
+          scala.collection.mutable.ArrayBuffer[String]]()
+        var cur: scala.collection.mutable.ArrayBuffer[String] = null
+        if (targets.nonEmpty) targets.split(" ", -1).foreach { t =>
+          if (t.startsWith("<extra_id_")) {
+            cur = scala.collection.mutable.ArrayBuffer[String]()
+            spans(t) = cur
+          } else cur += t
+        }
+        val restored = inputs.split(" ", -1).flatMap { t =>
+          if (t.startsWith("<extra_id_")) spans(t).toSeq else Seq(t)
+        }.mkString(" ")
+        assert(restored == text,
+          s"doc ${r.getLong(0)}: round-trip mismatch\n$inputs\n$targets")
+        // masking bookkeeping: n_masked <= n_tokens; n_spans matches the
+        // distinct sentinels that actually appear in targets
+        assert(r.getLong(5) <= r.getLong(4))
+        assert(r.getLong(6) == spans.size.toLong)
+      }
+    }
+  }
 }
