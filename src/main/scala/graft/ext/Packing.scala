@@ -146,6 +146,61 @@ object Packing {
     */
   val MaxOffsetRows = 100000L
 
+  /** Curriculum-ordered sequence packing: [[packSequences]] under a
+    * leading STAGE ordering — docs are laid out (stage ASC, hash
+    * bucket, key) and cut into fixed-budget packs, so a trainer
+    * consuming packs 0..N in order sees the curriculum (e.g. stage =
+    * inverted quality score: cleanest data first, noisiest last).
+    * Within a stage the hash order still shuffles documents
+    * content-independently.
+    *
+    * Same decomposed prefix-sum as [[selectByBudget]] with the (stage,
+    * bucket-range) pair as the parallel group, the same
+    * [[MaxOffsetRows]] loud-failure guard (stages must be integral and
+    * low-cardinality), and the same NULL law — a NULL stage sorts LAST
+    * (sentinel Long.MaxValue: unknown difficulty trains at the end), a
+    * NULL token count costs 0.
+    */
+  def curriculumPack(df: DataFrame, keyCol: Column, tokensCol: Column,
+                     stageCol: Column, budget: Long,
+                     groupWidth: Int = 16): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupWidth > 0 && groupWidth <= Sampling.Grain,
+      s"groupWidth must be in [1, ${Sampling.Grain}], got $groupWidth")
+    val bkt = Sampling.bucket(keyCol)
+    val base = df
+      .withColumn("__cp_tok", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__cp_stg",
+        coalesce(stageCol.cast("long"), lit(Long.MaxValue)))
+      .withColumn("__cp_bkt", bkt)
+      .withColumn("__cp_grp", (bkt / groupWidth).cast("long"))
+    val inGrp = Window.partitionBy("__cp_stg", "__cp_grp")
+      .orderBy(col("__cp_bkt"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = base.withColumn("__cp_cum", sum("__cp_tok").over(inGrp))
+    // guard order matters — see selectByBudget: bound the offsets
+    // relation BEFORE the unpartitioned window over it runs
+    val totals = base.groupBy("__cp_stg", "__cp_grp")
+      .agg(sum("__cp_tok").as("__cp_total"))
+      .localCheckpoint()
+    val nOff = totals.count()
+    require(nOff <= MaxOffsetRows,
+      s"curriculumPack: $nOff distinct (stage, group) rows exceed the " +
+        s"$MaxOffsetRows offsets-relation cap — the stage column is " +
+        "high-cardinality; pass a low-cardinality integral stage instead")
+    val offsets = totals
+      .withColumn("__cp_off",
+        coalesce(sum("__cp_total").over(
+          Window.orderBy(col("__cp_stg"), col("__cp_grp"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__cp_stg", "__cp_grp", "__cp_off")
+    withCum.join(broadcast(offsets), Seq("__cp_stg", "__cp_grp"))
+      .withColumn("pack",
+        expr(s"(__cp_off + __cp_cum - __cp_tok) div $budget"))
+      .drop("__cp_tok", "__cp_stg", "__cp_bkt", "__cp_grp", "__cp_cum",
+        "__cp_off")
+  }
+
   /** T5/UL2-style span-corruption preparation: deterministically mask
     * token spans of each document and emit the (inputs, targets) pair a
     * denoising objective trains on — inputs = the document with each

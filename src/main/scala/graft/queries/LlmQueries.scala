@@ -2841,6 +2841,35 @@ object LlmQueries {
         .select(col("doc_id"), col("quality"))
     }.sortedBy(col("doc_id")),
 
+    // ── Curriculum-ordered packing ─────────────────────────────────
+    // Stage = inverted quality score (0 = cleanest): docs lay out
+    // (stage, hash bucket, id) and cut into 512-token packs, so pack
+    // order IS the curriculum. Oracle: one global window cumsum over
+    // the same ordering; Spark runs the decomposed (stage, bucket-
+    // range) prefix sum.
+    QueryDef("t_curriculum_pack",
+      s"""WITH ${qualityCtes("documents")},
+         |t AS (SELECT q.doc_id, (4 - q.quality) AS stage,
+         |  CASE WHEN q.text IS NULL THEN 0
+         |       ELSE len(string_split(q.text, ' ')) END AS toks,
+         |  ${polyhash("CAST(q.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM qscored q),
+         |c AS (SELECT doc_id, stage, toks,
+         |  sum(toks) OVER (ORDER BY stage, bkt, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+         |  CAST((cum - toks) // 512 AS BIGINT) AS pack
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (lit(4) - TextAnalysis.qualityScore(col("text")))
+          .cast("long").as("stage"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+      graft.ext.Packing.curriculumPack(docs, col("doc_id"), col("toks"),
+          col("stage"), 512L)
+        .select(col("doc_id"), col("stage"), col("pack"))
+    }.sortedBy(col("doc_id")),
+
     // ── Domain-mixture resampling ──────────────────────────────────
     // Downsample each weighted source so survivors match a 3:2:1 mix
     // (unweighted sources drop). Thresholds are pure Long floor

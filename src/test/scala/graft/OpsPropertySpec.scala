@@ -177,6 +177,27 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("curriculum pack: later stages never pack before earlier ones") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        (lit(4) - graft.ext.TextAnalysis.qualityScore(col("text")))
+          .cast("long").as("stage"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+    val packed = graft.ext.Packing.curriculumPack(docs, col("doc_id"),
+      col("toks"), col("stage"), 512L)
+    val ranges = packed.groupBy("stage")
+      .agg(min("pack").as("lo"), max("pack").as("hi"))
+      .orderBy("stage")
+      .as[(Long, Long, Long)].collect()
+    assert(ranges.length > 1, "expected multiple curriculum stages")
+    ranges.sliding(2).foreach { case Array((s1, _, hi1), (s2, lo2, _)) =>
+      // a boundary pack may straddle two stages; interleaving may not
+      assert(lo2 >= hi1, s"stage $s2 packs before stage $s1: $lo2 < $hi1")
+    }
+  }
+
   test("span corruption round-trips: splicing targets into inputs restores the text") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
