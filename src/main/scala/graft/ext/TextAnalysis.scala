@@ -1240,6 +1240,60 @@ object TextAnalysis {
     classifyNaiveBayes(docs, labeled, labelCol, idCol, textCol,
       tfs = graft.functions.charTrigramTfs)
 
+  /** Per-document language-MIXTURE (code-switch) profile: cut each doc
+    * into non-overlapping `window`-token chunks ([[chunkDocuments]]),
+    * language-ID every chunk with the char-trigram NB model
+    * ([[classifyLangId]], trained on `labeled`), and roll the chunk
+    * predictions up per document — how many chunks, how many distinct
+    * predicted languages, the dominant language and its share, and a
+    * 0/1 `switched` flag (more than one language detected). The signal
+    * multilingual-corpus curation filters on: a doc whose halves
+    * disagree is code-switched (or a scraped template) and routes to a
+    * different pipeline than its doc-level majority label suggests.
+    *
+    * Chunk identity is the string key `docId:chunkId` (so the NB
+    * machinery stays key-type-agnostic); `idCol` must be integral —
+    * the rollup recovers it by splitting the key. Null-text docs have
+    * zero chunks: zero counts, null dominant language, not switched.
+    * Dominant-language tiebreak: highest chunk count, then lowest
+    * label (the same (count DESC, label ASC) law as kNN voting).
+    *
+    * Scale shape: inherits the audited NB plan (broadcast model
+    * joins, one (key, word) tf shuffle over chunks ≈ tokens/window ×
+    * docs rows), then two bounded per-doc aggregations. No windows
+    * over the corpus, no driver materialization.
+    */
+  def codeSwitch(docs: DataFrame, labeled: DataFrame, window: Int = 30,
+                 labelCol: String = "lang", idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val chunks = chunkDocuments(docs.filter(col(textCol).isNotNull),
+        window, window, idCol, textCol)
+      .select(concat(col(idCol).cast("string"), lit(":"),
+        col("chunk_id").cast("string")).as("__cs_key"),
+        col("chunk_text").as(textCol))
+    val preds = classifyLangId(chunks, labeled, labelCol, "__cs_key",
+      textCol)
+    val votes = preds
+      .select(substring_index(col("__cs_key"), ":", 1).cast("long")
+        .as(idCol), col("pred"))
+      .groupBy(idCol, "pred").agg(count(lit(1)).as("__cs_c"))
+    val agg = votes.groupBy(idCol)
+      .agg(sum("__cs_c").as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__cs_c")).as("negc"), col("pred").as("l")))
+          .as("__cs_top"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        col("__cs_top.l").as("dom_lang"),
+        coalesce(expr("(-__cs_top.negc) * 100 div n_chunks"), lit(0L))
+          .as("dom_share_x100"),
+        when(coalesce(col("n_langs"), lit(0L)) > 1, 1L).otherwise(0L)
+          .as("switched"))
+  }
+
   /** Model-based QUALITY classifier — the GPT-3/LLaMA-pipeline "quality
     * classifier" stage (a learned filter distilled from a trusted
     * signal) with the rule gate as the teacher: documents are labeled

@@ -1105,7 +1105,16 @@ object LlmQueries {
     * per-doc labels in `nrk` (rn = 1 is the argmin) and the
     * prior-only ranking `npk` for the null-text fallback.
     */
-  private def nbLangIdCtes: String =
+  private def nbLangIdCtes: String = nbLangIdCtesFor("documents", "doc_id")
+
+  /** The char-trigram NB language-ID chain with a parameterized SCORING
+    * relation: training always reads `documents.lang`, but the rows
+    * being classified come from `scoreRel` (exposing `scoreKey` + text)
+    * — `documents` itself for t_nb_langid/t_lang_mix, the chunk
+    * relation for t_code_switch. The scoring key is aliased `doc_id`
+    * throughout the chain so the nrk/npk tail stays shared.
+    */
+  private def nbLangIdCtesFor(scoreRel: String, scoreKey: String): String =
     s"""lre AS (SELECT doc_id, lang, replace(text, ' ', '_') AS s
          |  FROM documents WHERE text IS NOT NULL),
          |lg AS (SELECT doc_id, lang,
@@ -1115,8 +1124,15 @@ object LlmQueries {
          |         ELSE [s] END AS gs FROM lre),
          |vtf0 AS (SELECT doc_id, lang AS label, unnest(gs) AS word
          |  FROM lg WHERE lang IS NOT NULL),
+         |sre AS (SELECT $scoreKey AS doc_id, replace(text, ' ', '_') AS s
+         |  FROM $scoreRel WHERE text IS NOT NULL),
+         |sg AS (SELECT doc_id,
+         |    CASE WHEN length(s) >= 3
+         |         THEN list_transform(generate_series(1, length(s) - 2),
+         |                i -> s[i:i+2])
+         |         ELSE [s] END AS gs FROM sre),
          |ntf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(gs) AS word FROM lg) u GROUP BY 1, 2),
+         |  FROM (SELECT doc_id, unnest(gs) AS word FROM sg) u GROUP BY 1, 2),
          |vwc AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
          |  FROM vtf0 GROUP BY 1, 2),
          |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM vwc),
@@ -2535,6 +2551,52 @@ object LlmQueries {
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.classifyLangId(docs, docs)
+    }.sortedBy(col("doc_id")),
+
+    // ── Code-switch detection (per-chunk language mixture) ─────────
+    // Non-overlapping 30-token chunks, each language-ID'd by the SAME
+    // char-trigram NB chain (nbLangIdCtesFor with the chunk relation as
+    // the scoring side), rolled up per doc: chunk count, distinct
+    // predicted languages, dominant language + share, switched flag.
+    QueryDef("t_code_switch",
+      s"""WITH cch AS (
+         |  SELECT CAST(doc_id AS VARCHAR) || ':' ||
+         |         CAST(st // 30 AS VARCHAR) AS ckey,
+         |         array_to_string(ws[st+1:st+30], ' ') AS text
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(CASE WHEN len(ws) > 0 THEN range(0, len(ws), 30)
+         |                 ELSE [] END) AS st
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |              FROM documents WHERE text IS NOT NULL) w) s),
+         |${nbLangIdCtesFor("cch", "ckey")},
+         |cpred AS (SELECT c.ckey, coalesce(r.label, p.label) AS pred
+         |  FROM cch c
+         |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r
+         |    ON r.doc_id = c.ckey
+         |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p),
+         |cvotes AS (SELECT CAST(split_part(ckey, ':', 1) AS BIGINT)
+         |    AS doc_id, pred, CAST(count(*) AS BIGINT) AS c
+         |  FROM cpred GROUP BY 1, 2),
+         |crk AS (SELECT doc_id, pred, c,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, pred) AS rn
+         |  FROM cvotes),
+         |cagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |    CAST(count(*) AS BIGINT) AS n_langs
+         |  FROM cvotes GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_chunks, 0) AS n_chunks,
+         |  coalesce(a.n_langs, 0) AS n_langs,
+         |  k.pred AS dom_lang,
+         |  coalesce(k.c * 100 // a.n_chunks, 0) AS dom_share_x100,
+         |  CAST(CASE WHEN coalesce(a.n_langs, 0) > 1 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS switched
+         |FROM documents d
+         |LEFT JOIN cagg a USING (doc_id)
+         |LEFT JOIN (SELECT * FROM crk WHERE rn = 1) k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.codeSwitch(docs, docs)
     }.sortedBy(col("doc_id")),
 
     // ── Language-balanced mix (α-temperature over PREDICTED lang) ──

@@ -177,6 +177,30 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("code-switch: a planted bilingual doc flags, monolingual docs don't") {
+    import spark.implicits._
+    val aTok = Seq.fill(30)("aaa").mkString(" ")
+    val bTok = Seq.fill(30)("bbb").mkString(" ")
+    val labeled = Seq(
+      (1L, "aa", aTok), (2L, "aa", aTok),
+      (3L, "bb", bTok), (4L, "bb", bTok))
+      .toDF("doc_id", "lang", "text")
+    val docs = Seq(
+      (10L, null, s"$aTok $bTok"), // 2 chunks, one per language
+      (11L, null, aTok),           // monolingual
+      (12L, null, null))           // null text: zero chunks
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ext.TextAnalysis.codeSwitch(docs, labeled)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_langs", "dom_lang",
+        "dom_share_x100", "switched")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 2L, 2L, "aa", 50L, 1L),
+      (11L, 1L, 1L, "aa", 100L, 0L),
+      (12L, 0L, 0L, null, 0L, 0L)), s"got $out")
+  }
+
   test("curriculum pack: later stages never pack before earlier ones") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
