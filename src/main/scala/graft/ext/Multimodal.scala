@@ -327,6 +327,39 @@ object Multimodal {
         col("hamming"))
   }
 
+  // ── Acoustic near-dup (PCM energy-delta fingerprint) ─────────────
+
+  /** Acoustic fingerprints over raw-PCM payloads: (media_id, n_frames,
+    * audio_fp) via the native [[graft.functions.PcmFingerprint]]
+    * expression — 16-sample frames, exact integer energies, 60
+    * energy-rise contour bits. For `audio/pcm` payloads this is the
+    * real signal path (raw PCM needs no codec); null payloads
+    * fingerprint as empty (0 frames, fp 0), the [[metadata]]
+    * convention. One codegen'd map over the scan, zero shuffles.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
+    media.select(col("media_id"),
+      expr("(length(coalesce(payload, cast('' as binary))) + 15) div 16")
+        .cast("long").as("n_frames"),
+      graft.functions.pcmFingerprint(payload).as("audio_fp"))
+  }
+
+  /** Acoustic near-dup media PAIRS: [[audioFingerprint]] contours
+    * through the same guarded Hamming-ball machinery as image dHash
+    * ([[Dedup.hammingNearDups]]). An amplitude-preserving re-encode or
+    * a short tail edit disturbs at most a couple of contour bits, so
+    * the default radius catches it; unrelated audio differs in ~half
+    * the bits. Output: (media_a, media_b, hamming), media_a < media_b.
+    */
+  def nearDupAudioPairs(media: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = Dedup.DefaultMaxBucketWidth): DataFrame =
+    Dedup.hammingNearDups(audioFingerprint(media), idCol = "media_id",
+        sigCol = "audio_fp", bits = 64, blocks = 8, maxHamming = maxHamming,
+        maxBucket = maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   /** Perceptual near-dup media GROUPS: the pair edges closed into
     * connected components ([[Dedup.clusterLabels]] min-label
     * propagation); every media id appears, singletons label themselves.

@@ -46,6 +46,13 @@ package object functions {
   def polyFingerprint(c: Column): Column =
     Bridge.column(PolyHash(Bridge.expression(c)))
 
+  /** Energy-delta acoustic fingerprint of an 8-bit PCM buffer (custom
+    * codegen'd Catalyst expression, see
+    * [[graft.functions.PcmFingerprint]]).
+    */
+  def pcmFingerprint(c: Column): Column =
+    Bridge.column(PcmFingerprint(Bridge.expression(c)))
+
   /** Cosine similarity of two float/double vectors (custom codegen'd
     * Catalyst expression, see [[graft.functions.CosineSim]]) — the
     * fused-loop hot path for similarity search.

@@ -346,4 +346,35 @@ class NativeExprSpec extends SparkSuite {
     val clean = graft.ext.TextAnalysis.c4Clean(df).collect()
     assert(clean.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("pcm fingerprint: hand-computed contour, edge shapes, tail-edit stability") {
+    import spark.implicits._
+    // frame energies: f0 = 16·1², f1 = 16·2², f2 = 8·3² — rises at f1
+    // (bit 0) and again at f2 (576 > 512... no: 8·9=72 < 1024, falls)
+    val rising = Array.fill(16)(1.toByte) ++ Array.fill(16)(2.toByte) ++
+      Array.fill(8)(3.toByte)
+    // reference model of the expression
+    def ref(bytes: Array[Byte]): Long = {
+      val es = bytes.grouped(16).map(_.map(b => { val v = (b & 0xff).toLong; v * v }).sum).toSeq
+      es.indices.drop(1).take(60).foldLeft(0L) { (fp, f) =>
+        if (es(f) > es(f - 1)) fp | (1L << (f - 1)) else fp
+      }
+    }
+    val df = Seq(
+      (1L, rising), (2L, Array.empty[Byte]), (3L, null: Array[Byte]),
+      (4L, Array.tabulate(200)(i => (i % 97).toByte)))
+      .toDF("media_id", "payload")
+    val got = df.select(col("media_id"),
+        graft.functions.pcmFingerprint(coalesce(col("payload"),
+          lit(Array.empty[Byte]))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == ref(rising) && (got(1L) & 1L) == 1L)
+    assert(got(2L) == 0L && got(3L) == 0L)
+    assert(got(4L) == ref(Array.tabulate(200)(i => (i % 97).toByte)))
+    // a short tail edit moves the contour by at most 2 bits — the
+    // invariant the audio Hamming-ball near-dup relies on
+    val base = Array.tabulate(100)(i => (i % 50).toByte)
+    val edited = base ++ Array.fill(4)(122.toByte)
+    assert(java.lang.Long.bitCount(ref(base) ^ ref(edited)) <= 2)
+  }
 }
