@@ -108,6 +108,50 @@ object Curation {
           .as("approx_distinct_tokens"))
   }
 
+  /** One-row corpus HEALTH report — the numbers a dataset card or a
+    * crawl-over-crawl dashboard leads with, in a single consumable row:
+    * doc/token totals, null-text count, exact-duplicate count (docs
+    * minus distinct text fingerprints), rule-quality pass count
+    * ([[TextAnalysis.qualityScore]] ≥ 3, the qualityClassifier
+    * teacher's threshold), and the language spread (distinct labels,
+    * dominant label and its share). Everything integer-exact and
+    * engine-reproducible — the cross-engine complement of
+    * [[corpusProfile]]'s per-domain rows.
+    *
+    * Scale shape: one partial-agg pass over the scan for the totals,
+    * one distinct-fingerprint shuffle (8-byte hashes, never text) for
+    * the dup count, one label-bounded aggregation for the language
+    * spread; the three 1-row results attach by broadcast crossJoin
+    * (the stat-attachment pattern).
+    */
+  def corpusReport(docs: DataFrame, textCol: String = "text",
+                   langCol: String = "lang"): DataFrame = {
+    val t = col(textCol)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(t.isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(when(t.isNull, 0L)
+        .otherwise(TextAnalysis.tokenCount(t).cast("long"))).as("n_tokens"),
+      sum(when(t.isNull, 0L)
+        .otherwise(when(TextAnalysis.qualityScore(t) >= 3, 1L)
+          .otherwise(0L))).as("n_quality_pass"))
+    val dups = docs.filter(t.isNotNull).agg(
+      (count(lit(1)) - countDistinct(graft.functions.polyFingerprint(t)))
+        .cast("long").as("n_dup_docs"))
+    val langCounts = docs.filter(col(langCol).isNotNull)
+      .groupBy(col(langCol)).agg(count(lit(1)).as("__cr_c"))
+    val langs = langCounts.agg(
+      count(lit(1)).as("n_langs"),
+      sum("__cr_c").as("__cr_n"),
+      min(struct((-col("__cr_c")).as("negc"), col(langCol).as("l")))
+        .as("__cr_top"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(langs))
+      .select(col("n_docs"), col("n_null_text"), col("n_tokens"),
+        col("n_dup_docs"), col("n_quality_pass"), col("n_langs"),
+        col("__cr_top.l").as("dom_lang"),
+        expr("(-__cr_top.negc) * 100 div __cr_n").as("dom_lang_share_x100"))
+  }
+
   /** Corpus snapshot diff — dataset versioning between two crawls or
     * pipeline runs: one row per document whose membership or CONTENT
     * changed, `(idCol, status)` with status ∈ added | removed |

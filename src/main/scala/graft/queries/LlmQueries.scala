@@ -2018,6 +2018,42 @@ object LlmQueries {
         .drop("approx_distinct_tokens")
     }.sortedBy(col("source")),
 
+    // ── One-row corpus health report (dataset-card headline) ───────
+    // Totals + exact-dup count (distinct polyhash fingerprints) +
+    // quality-pass count + language spread with dominant share — the
+    // cross-engine one-row complement of the per-domain profile.
+    QueryDef("t_corpus_report",
+      s"""WITH ${qualityCtes("documents")},
+         |crb AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN d.text IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_null_text,
+         |    CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |             ELSE len(string_split(d.text, ' ')) END)
+         |      AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |             WHEN q.quality >= 3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_quality_pass
+         |  FROM documents d JOIN qscored q ON q.doc_id = d.doc_id),
+         |crd AS (SELECT
+         |    CAST(count(*) - count(DISTINCT ${polyhash("text")})
+         |      AS BIGINT) AS n_dup_docs
+         |  FROM documents WHERE text IS NOT NULL),
+         |crl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |crt AS (SELECT lang, c,
+         |    row_number() OVER (ORDER BY c DESC, lang) AS rn FROM crl),
+         |cra AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+         |    CAST(sum(c) AS BIGINT) AS nl FROM crl)
+         |SELECT b.n_docs, b.n_null_text, b.n_tokens, d.n_dup_docs,
+         |  b.n_quality_pass, a.n_langs, t.lang AS dom_lang,
+         |  (t.c * 100 // a.nl) AS dom_lang_share_x100
+         |FROM crb b CROSS JOIN crd d CROSS JOIN cra a
+         |CROSS JOIN (SELECT * FROM crt WHERE rn = 1) t""".stripMargin) {
+      (s, d) =>
+        graft.ext.Curation.corpusReport(Tables.documents(s, d))
+    },
+
     // ── Corpus snapshot diff (dataset versioning) ──────────────────
     // "New" snapshot simulated in SQL on both sides: drop % 13 = 5
     // (removed), append ' v2' where % 11 = 3 (changed), re-add % 17 = 2
