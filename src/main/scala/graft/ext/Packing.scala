@@ -201,6 +201,22 @@ object Packing {
         "__cp_off")
   }
 
+  /** Packing QA report — per-pack fill statistics over a
+    * [[packSequences]]/[[curriculumPack]] result: document count, token
+    * total, and integer fill percentage against the budget. The
+    * readout that catches a broken packing run (fill collapsing, one
+    * giant doc owning many packs) before a trainer does. One bounded
+    * groupBy on the pack id — packs ≈ corpus tokens / budget rows.
+    */
+  def packStats(packed: DataFrame, tokensCol: Column,
+                budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packed.groupBy(col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(tokensCol.cast("long"), lit(0L))).as("n_tokens"))
+      .withColumn("fill_x100", expr(s"n_tokens * 100 div $budget"))
+  }
+
   /** T5/UL2-style span-corruption preparation: deterministically mask
     * token spans of each document and emit the (inputs, targets) pair a
     * denoising objective trains on — inputs = the document with each

@@ -362,4 +362,58 @@ object Sampling {
       .withColumn("rank", row_number().over(w).cast("long"))
       .drop("__st_h")
   }
+
+  /** Exact integer apportionment (largest-remainder / Hamilton method):
+    * split a document budget across domains proportionally to integer
+    * weights — floor shares first, then the leftover units go one each
+    * to the largest fractional remainders (tie-break: larger weight,
+    * then domain name). Σ quotas == budget exactly, the property the
+    * rate-threshold mixers ([[mixByDomain]]) cannot give. Pure Long
+    * arithmetic: `budget · w` must stay within Long (fine for any sane
+    * budget × weight; weights are ratios, not magnitudes).
+    */
+  def apportion(weights: Seq[(String, Long)],
+                budget: Long): Seq[(String, Long)] = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(weights.nonEmpty, "apportion needs at least one weight")
+    require(weights.forall(_._2 >= 0), s"weights must be non-negative")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate domain in weights")
+    val w = weights.map(_._2).sum
+    require(w > 0, "weights must not all be zero")
+    val base = weights.map { case (d, wt) =>
+      (d, wt, budget * wt / w, budget * wt % w)
+    }
+    val rem = (budget - base.map(_._3).sum).toInt
+    base.sortBy { case (d, wt, _, r) => (-r, -wt, d) }
+      .zipWithIndex
+      .map { case ((d, _, q, _), i) => d -> (q + (if (i < rem) 1L else 0L)) }
+      .sortBy(_._1)
+  }
+
+  /** Take EXACTLY the apportioned quota of documents per domain (hash
+    * order, deterministic): [[apportion]] fixes per-domain quotas, then
+    * one [[stratifiedTake]] at the max quota bounds the exchange
+    * (O(domains · maxQuota) heap rows) and a broadcast quota join cuts
+    * each domain to its own quota. Domains with fewer rows than their
+    * quota return what they have — the shortfall is the caller's
+    * under-supply, disclosed by the per-domain counts, never silently
+    * back-filled from other domains (that would skew the mix).
+    * Output: the selected rows + (rank, quota).
+    */
+  def takeApportioned(df: DataFrame, strataCol: String, keyCol: String,
+                      weights: Seq[(String, Long)],
+                      budget: Long): DataFrame = {
+    val quotas = apportion(weights, budget)
+    val maxQ = quotas.map(_._2).max
+    require(maxQ <= Int.MaxValue, s"quota $maxQ exceeds Int range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quotas.toDF(strataCol, "quota")
+    if (maxQ == 0L) return df.join(broadcast(qdf), strataCol)
+      .withColumn("rank", lit(0L)).filter(lit(false))
+    val taken = stratifiedTake(
+      df.join(broadcast(qdf), strataCol), strataCol, keyCol, maxQ.toInt)
+    taken.filter(col("rank") <= col("quota"))
+  }
 }

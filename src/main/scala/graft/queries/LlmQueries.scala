@@ -2914,6 +2914,29 @@ object LlmQueries {
         .select(col("doc_id"), col("pack"))
     }.sortedBy(col("doc_id")),
 
+    // Packing QA: per-pack fill report over the same packing — the
+    // check that catches a collapsed fill or a pack-owning giant doc.
+    QueryDef("t_pack_stats",
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN 0 ELSE len(string_split(text, ' ')) END AS toks,
+         |  ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  sum(toks) OVER (ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |p AS (SELECT doc_id, toks, CAST((cum - toks) // 512 AS BIGINT) AS pack
+         |      FROM c)
+         |SELECT pack, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(toks) * 100 // 512 AS BIGINT) AS fill_x100
+         |FROM p GROUP BY pack ORDER BY pack""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+      val packed = graft.ext.Packing.packSequences(docs, col("doc_id"),
+        col("toks"), 512L)
+      graft.ext.Packing.packStats(packed, col("toks"), 512L)
+    }.sortedBy(col("pack")),
+
     // ── Budget-capped best-first selection ─────────────────────────
     // Fill a 12k-token budget with the highest-quality docs first
     // (quality DESC, then hash order — deterministic cut). The oracle
@@ -2992,6 +3015,41 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "source"),
         col("source"), col("doc_id"),
         Seq("src0" -> 3, "src1" -> 2, "src2" -> 1))
+    }.sortedBy(col("doc_id")),
+
+    // ── Exact budget apportionment (largest-remainder / Hamilton) ──
+    // 37 docs split 5:3:2 over three domains — floor shares 18/11/7,
+    // the leftover unit goes to the largest fractional remainder
+    // (src0). Unlike the rate-threshold mixers, Σ selected == budget
+    // EXACTLY; selection is the stratifiedTake hash order cut to each
+    // domain's quota.
+    QueryDef("t_apportion_take",
+      s"""WITH w(source, wt) AS (VALUES ('src0', CAST(5 AS BIGINT)),
+         |                              ('src1', CAST(3 AS BIGINT)),
+         |                              ('src2', CAST(2 AS BIGINT))),
+         |tw AS (SELECT sum(wt) AS w FROM w),
+         |qb AS (SELECT source, wt, 37 * wt // w AS q, (37 * wt) % w AS r
+         |       FROM w CROSS JOIN tw),
+         |rem AS (SELECT 37 - sum(q) AS rem FROM qb),
+         |bump AS (SELECT source, q,
+         |    row_number() OVER (ORDER BY r DESC, wt DESC, source) AS rn
+         |  FROM qb),
+         |quota AS (SELECT source,
+         |    CAST(q + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
+         |      AS quota
+         |  FROM bump CROSS JOIN rem),
+         |sel AS (SELECT d.doc_id, d.source, qt.quota,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY ${polyhash("CAST(d.doc_id AS VARCHAR)")}, d.doc_id)
+         |      AS rank
+         |  FROM documents d JOIN quota qt USING (source))
+         |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank, quota
+         |FROM sel WHERE rank <= quota ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.ext.Sampling.takeApportioned(
+          Tables.documents(s, d).select("doc_id", "source"),
+          "source", "doc_id",
+          Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L), budget = 37L)
     }.sortedBy(col("doc_id")),
 
     // ── Temperature-smoothed domain resampling (alpha = 1/2) ──────

@@ -177,6 +177,25 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("apportion: exact sum, floor+largest-remainder, deterministic ties") {
+    import graft.ext.Sampling.apportion
+    assert(apportion(Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L), 37L) ==
+      Seq("src0" -> 19L, "src1" -> 11L, "src2" -> 7L))
+    // property: Σ quotas == budget for arbitrary weights/budgets
+    val rnd = new Random(7L)
+    (1 to 50).foreach { _ =>
+      val ws = (0 until rnd.nextInt(8) + 1)
+        .map(i => s"d$i" -> (rnd.nextInt(100) + 1).toLong)
+      val b = rnd.nextInt(100000).toLong
+      val qs = apportion(ws, b)
+      assert(qs.map(_._2).sum == b, s"ws=$ws b=$b -> $qs")
+      assert(qs.forall(_._2 >= 0))
+    }
+    // equal-weight tie at one leftover unit: lowest name wins
+    assert(apportion(Seq("b" -> 1L, "a" -> 1L), 3L) ==
+      Seq("a" -> 2L, "b" -> 1L))
+  }
+
   test("code-switch: a planted bilingual doc flags, monolingual docs don't") {
     import spark.implicits._
     val aTok = Seq.fill(30)("aaa").mkString(" ")
