@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Event-stream product analytics over the corpus `events` shape
+  * (key, type, timestamp): ordered funnels and cohort retention — the
+  * two rollups every event pipeline ships next to windowed counts.
+  * Like [[EventFeatures]], both are pure integer/timestamp arithmetic
+  * with DuckDB-replayable semantics.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel depth per key: how many of `steps` the key
+    * completed IN ORDER, where step i counts only strictly after the
+    * (first) completion of step i−1 — t₀ = min ts of step 0,
+    * tᵢ = min ts of step i with ts > tᵢ₋₁ (the standard first-touch
+    * funnel; strict > makes simultaneous events never satisfy two
+    * steps). Output: (keyCol, steps_completed) for every key that has
+    * ANY event — keys that never reach step 0 report 0.
+    *
+    * Scale shape: the step chain is k unordered window aggregates over
+    * the SAME key partitioning, so Catalyst plans ONE exchange for the
+    * whole derivation (the [[EventFeatures.lagFeatures]] posture), and
+    * the per-key rollup reuses that partitioning — no second shuffle,
+    * no per-key event list ever materializes (the collect_list
+    * formulation would put a whale user's history in one row).
+    */
+  def funnelDepth(events: DataFrame, steps: Seq[String],
+                  keyCol: String = "user_id",
+                  typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnelDepth needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step in $steps — a repeated type is ambiguous")
+    val w = Window.partitionBy(keyCol)
+    var df = events.select(col(keyCol), col(typeCol), col(tsCol))
+    steps.indices.foreach { i =>
+      val cond =
+        if (i == 0) col(typeCol) === steps(0)
+        else col(typeCol) === steps(i) &&
+          col(tsCol) > col(s"__fn_t${i - 1}")
+      df = df.withColumn(s"__fn_t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val depth = steps.indices
+      .map(i => when(col(s"__fn_t$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("__fn_depth", depth)
+      .groupBy(keyCol)
+      .agg(max("__fn_depth").as("steps_completed"))
+  }
+
+  /** Cohort retention matrix: keys cohorted by the UTC day of their
+    * first event (integer epoch days — exact, no calendar arithmetic),
+    * then counted distinct per (cohort_day, offset_day) for every day
+    * they were active. Row (c, 0) is the cohort size; (c, k) over it is
+    * day-k retention. Null-timestamp events are dropped (no timeline
+    * position), disclosed here rather than silently cohorted.
+    *
+    * Scale shape: one per-key min aggregation (partial-agg shuffle),
+    * one key equi-join back, one (cohort, offset) distinct-count — the
+    * distinct shuffles (cohort, offset, key) triples, never events.
+    */
+  def cohortRetention(events: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val t: Column = events.schema(tsCol).dataType match {
+      case TimestampType    => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _                => col(tsCol).cast("long")
+    }
+    val days = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), t.as("__cr_us"))
+      .withColumn("__cr_day", expr("__cr_us div 86400000000"))
+    val cohorts = days.groupBy(keyCol)
+      .agg(min("__cr_day").as("cohort_day"))
+    days.join(cohorts, keyCol)
+      .select(col(keyCol), col("cohort_day"),
+        (col("__cr_day") - col("cohort_day")).as("offset_day"))
+      .groupBy("cohort_day", "offset_day")
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
+}

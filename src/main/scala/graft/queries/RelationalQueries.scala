@@ -481,6 +481,54 @@ object RelationalQueries {
             .filter(col("user_id").isNotNull && col("ts").isNotNull))
         .select("event_id", "user_id", "value", "seq", "prev_value",
           "gap_micros", "session_idx")
-    }.sortedBy(col("event_id"))
+    }.sortedBy(col("event_id")),
+
+    // Ordered first-touch funnel (signup → view → click → purchase):
+    // step i counts only strictly after the first completion of step
+    // i−1. The engine derives the whole chain under ONE key exchange
+    // (k unordered windows sharing the partitioning); the oracle states
+    // the recurrence as a join chain of per-step minima.
+    QueryDef("w_funnel_steps",
+      """WITH f0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |f1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |       JOIN f0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > f0.t0 GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN f1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN f2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST((CASE WHEN f0.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN f1.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN f2.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN f3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS steps_completed
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN f0 USING (user_id)
+        |LEFT JOIN f1 USING (user_id)
+        |LEFT JOIN f2 USING (user_id)
+        |LEFT JOIN f3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.funnelDepth(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"))
+    }.sortedBy(col("user_id")),
+
+    // Cohort retention matrix: users cohorted by integer epoch day of
+    // first event, counted distinct per (cohort_day, offset_day).
+    QueryDef("w_retention_cohorts",
+      """WITH days AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events
+        |  WHERE ts IS NOT NULL),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day
+        |            FROM days GROUP BY 1)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS offset_day,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+        |FROM days d JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.cohortRetention(Tables.events(s, d))
+    }.sortedBy(col("cohort_day"), col("offset_day"))
   )
 }

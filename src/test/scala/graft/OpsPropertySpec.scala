@@ -177,6 +177,34 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("funnel: ordered first-touch semantics, one exchange for the whole chain") {
+    import spark.implicits._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // A completes all four in order
+      (1L, "signup", T("2024-01-01 10:00:00")),
+      (1L, "view", T("2024-01-01 10:01:00")),
+      (1L, "click", T("2024-01-01 10:02:00")),
+      (1L, "purchase", T("2024-01-01 10:03:00")),
+      // B viewed BEFORE signing up — the view must not count
+      (2L, "view", T("2024-01-01 09:00:00")),
+      (2L, "signup", T("2024-01-01 10:00:00")),
+      // C skips click; purchase without click still stops at 2
+      (3L, "signup", T("2024-01-01 10:00:00")),
+      (3L, "view", T("2024-01-01 10:01:00")),
+      (3L, "purchase", T("2024-01-01 10:02:00")),
+      // D never enters the funnel
+      (4L, "error", T("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val steps = Seq("signup", "view", "click", "purchase")
+    val out = graft.ops.EventAnalytics.funnelDepth(ev, steps)
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 2L -> 1L, 3L -> 2L, 4L -> 0L), s"got $got")
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"funnel chain must share one exchange:\n$plan")
+  }
+
   test("apportion: exact sum, floor+largest-remainder, deterministic ties") {
     import graft.ext.Sampling.apportion
     assert(apportion(Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L), 37L) ==
