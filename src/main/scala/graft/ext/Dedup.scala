@@ -1214,4 +1214,67 @@ object Dedup {
         when(col(textCol).isNull, lit(0L))
           .otherwise(size(col("__ds_kept")).cast("long")).as("kept_tokens"))
   }
+
+  /** Contrastive TRAINING TRIPLETS mined from the corpus itself —
+    * (anchor, positive, negative) rows for embedding-model training:
+    * positives are verified near-dup pairs at Jaccard ≥ jNum/jDen
+    * (integer cross-multiplied, the [[nearDupPairs]] pipeline), and
+    * each pair's negative is a deterministic hash-random corpus doc —
+    * the doc at hash rank (polyhash(anchor:positive) mod n) in a global
+    * hash ordering, skipping forward past the pair itself (three
+    * candidate ranks r, r+1, r+2 mod n guarantee a non-member for any
+    * corpus of ≥ 3 docs). RNG-free: the same corpus always yields the
+    * same triplets, on any engine or partitioning.
+    *
+    * Scale shape: the global hash ranking is the DECOMPOSED prefix-sum
+    * (bucket-grouped row_numbers + per-group count offsets, the
+    * Packing posture — never a single-task global window); negatives
+    * resolve through a rank equi-join carrying 3 rows per pair; the
+    * near-dup side inherits the guarded LSH machinery wholesale.
+    */
+  def contrastiveTriplets(docs: DataFrame, jNum: Int = 1, jDen: Int = 2,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          groupWidth: Int = 16): DataFrame = {
+    require(jNum >= 0 && jDen > 0 && jNum <= jDen,
+      s"jaccard threshold $jNum/$jDen must be a fraction in [0, 1]")
+    require(groupWidth > 0, s"groupWidth must be positive, got $groupWidth")
+    val pairs = nearDupPairs(docs, idCol, textCol)
+      .filter(col("inter") * jDen >= col("uni") * jNum)
+      .select(col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"))
+    val bkt = Sampling.bucket(col(idCol))
+    val base = docs.select(col(idCol)).withColumn("__ct_bkt", bkt)
+      .withColumn("__ct_grp", (col("__ct_bkt") / groupWidth).cast("long"))
+    val inGrp = Window.partitionBy("__ct_grp")
+      .orderBy(col("__ct_bkt"), col(idCol))
+    val withRn = base
+      .withColumn("__ct_rn", row_number().over(inGrp).cast("long"))
+    // per-group offsets: bounded by Grain/groupWidth rows, broadcast
+    val offsets = base.groupBy("__ct_grp")
+      .agg(count(lit(1)).as("__ct_cnt"))
+      .withColumn("__ct_off",
+        coalesce(sum("__ct_cnt").over(
+          Window.orderBy("__ct_grp")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__ct_grp", "__ct_off")
+    val ranked = withRn.join(broadcast(offsets), "__ct_grp")
+      .select(col(idCol).as("__ct_cand"),
+        (col("__ct_rn") + col("__ct_off")).as("__ct_rank"))
+    val n = docs.agg(count(lit(1)).as("__ct_n"))
+    val cands = pairs.crossJoin(broadcast(n))
+      .withColumn("__ct_h", pmod(polyFingerprint(
+        concat(col("anchor_id").cast("string"), lit(":"),
+          col("positive_id").cast("string"))), col("__ct_n")))
+      .select(col("anchor_id"), col("positive_id"), col("__ct_n"),
+        col("__ct_h"), explode(array(lit(0L), lit(1L), lit(2L))).as("__ct_k"))
+      .withColumn("__ct_rank",
+        pmod(col("__ct_h") + col("__ct_k"), col("__ct_n")) + 1)
+    cands.join(ranked, "__ct_rank")
+      .filter(col("__ct_cand") =!= col("anchor_id") &&
+        col("__ct_cand") =!= col("positive_id"))
+      .groupBy("anchor_id", "positive_id")
+      .agg(min(struct(col("__ct_k"), col("__ct_cand"))).as("__ct_pick"))
+      .select(col("anchor_id"), col("positive_id"),
+        col("__ct_pick.__ct_cand").as("negative_id"))
+  }
 }

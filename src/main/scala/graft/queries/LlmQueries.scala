@@ -1550,6 +1550,61 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d))
     }.sortedBy(col("doc_a"), col("doc_b")),
 
+    // Contrastive training triplets: near-dup pairs at Jaccard >= 1/2
+    // as (anchor, positive); the negative is the corpus doc at hash
+    // rank polyhash(anchor:positive) mod n in the global hash order,
+    // skipping forward past the pair itself — RNG-free, so both
+    // engines mine identical triplets. Spark ranks via the decomposed
+    // bucket-grouped prefix sum; the oracle's one global window is the
+    // executable spec.
+    QueryDef("t_contrastive_triplets",
+      s"""WITH $hashesCte, $sigCte,
+         |$repCollapseCtes,
+         |${bandCandidatesCte()},
+         |rpairs AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(ha.hs, hb.hs)) AS inter,
+         |         len(ha.hs) + len(hb.hs)
+         |           - len(list_intersect(ha.hs, hb.hs)) AS uni
+         |  FROM cand
+         |  JOIN hashes ha ON ha.doc_id = cand.doc_a
+         |  JOIN hashes hb ON hb.doc_id = cand.doc_b),
+         |pairs AS (
+         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |         greatest(ma.doc_id, mb.doc_id) AS doc_b, p.inter, p.uni
+         |  FROM rpairs p
+         |  JOIN mem ma ON ma.rep = p.doc_a
+         |  JOIN mem mb ON mb.rep = p.doc_b
+         |  UNION ALL
+         |  SELECT ma.doc_id, mb.doc_id, len(h.hs), len(h.hs)
+         |  FROM mem ma JOIN mem mb ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+         |  JOIN hashes h ON h.doc_id = ma.rep),
+         |strong AS (SELECT doc_a AS anchor_id, doc_b AS positive_id
+         |  FROM pairs WHERE inter * 2 >= uni * 1),
+         |ctrk AS (SELECT doc_id AS cand_id,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000, doc_id)
+         |      AS BIGINT) AS rank
+         |  FROM documents),
+         |ctn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ctc AS (SELECT s.anchor_id, s.positive_id, k.k,
+         |    ((${polyhash(
+              "CAST(s.anchor_id AS VARCHAR) || ':' || CAST(s.positive_id AS VARCHAR)")}
+         |      % ctn.n) + k.k) % ctn.n + 1 AS rank
+         |  FROM strong s CROSS JOIN ctn
+         |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+         |                     (CAST(2 AS BIGINT))) k(k)),
+         |ctj AS (SELECT c.anchor_id, c.positive_id, c.k, r.cand_id
+         |  FROM ctc c JOIN ctrk r USING (rank)
+         |  WHERE r.cand_id <> c.anchor_id AND r.cand_id <> c.positive_id)
+         |SELECT anchor_id, positive_id, cand_id AS negative_id
+         |FROM (SELECT anchor_id, positive_id, cand_id,
+         |        row_number() OVER (PARTITION BY anchor_id, positive_id
+         |          ORDER BY k) AS rn FROM ctj) WHERE rn = 1
+         |ORDER BY anchor_id, positive_id""".stripMargin) { (s, d) =>
+      Dedup.contrastiveTriplets(Tables.documents(s, d))
+    }.sortedBy(col("anchor_id"), col("positive_id")),
+
     // Asymmetric containment (quote/boilerplate detection): directed
     // pairs where >= 9/10 of the contained doc's kept shingle hashes
     // appear in the container. EXACT inverted-index overlap join (NOT

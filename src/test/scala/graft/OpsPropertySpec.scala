@@ -177,6 +177,30 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("contrastive triplets: valid members, deterministic under repartition") {
+    import spark.implicits._
+    val base = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(60)
+    // plant two near-dup pairs
+    val dup1 = base.filter(col("doc_id") === 0)
+      .select(lit(90001L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val dup2 = base.filter(col("doc_id") === 1)
+      .select(lit(90002L).as("doc_id"), col("text"))
+    val corpus = base.union(dup1).union(dup2)
+    val t1 = graft.ext.Dedup.contrastiveTriplets(corpus)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t1.nonEmpty, "planted near-dups must yield triplets")
+    t1.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"negative collides: ($a, $p, $n)")
+      assert(a < p)
+    }
+    assert(t1.exists { case (a, p, _) => a == 0L && p == 90001L })
+    val t2 = graft.ext.Dedup.contrastiveTriplets(corpus.repartition(13))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t1 == t2, "triplets must be partitioning-independent")
+  }
+
   test("funnel: ordered first-touch semantics, one exchange for the whole chain") {
     import spark.implicits._
     def T(s: String) = java.sql.Timestamp.valueOf(s)
