@@ -1139,8 +1139,46 @@ object TextAnalysis {
                          textCol: String = "text",
                          tfs: Column => Column =
                            graft.functions.wordTfs): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (wc, classes, model) = nbParts(labeled, labelCol, textCol, tfs)
+    applyNaiveBayes(docs, wc, classes, model, idCol, textCol, tfs)
+  }
+
+  /** A trained NB model pinned for REPEATED application — the streaming
+    * / per-batch shape: the three model relations localCheckpoint-pin
+    * (executor-local materialized blocks), so each [[classifyWith]]
+    * call pays only the scoring plan, never a training re-aggregation
+    * of the labeled corpus. `tfs` rides along so the applying side is
+    * guaranteed the same tokenizer the model trained under.
+    */
+  final case class NbBundle(wc: DataFrame, classes: DataFrame,
+                            model: DataFrame, tfs: Column => Column)
+
+  /** Train once, pin, reuse: the [[classifyNaiveBayes]] training half
+    * as a [[NbBundle]]. `tfs = graft.functions.charTrigramTfs` gives
+    * the language-ID model ([[classifyLangId]]'s space).
+    */
+  def trainNbBundle(labeled: DataFrame, labelCol: String = "lang",
+                    textCol: String = "text",
+                    tfs: Column => Column =
+                      graft.functions.wordTfs): NbBundle = {
+    val (wc, classes, model) = nbParts(labeled, labelCol, textCol, tfs)
+    NbBundle(wc, classes.localCheckpoint(), model.localCheckpoint(), tfs)
+  }
+
+  /** Apply a pinned [[NbBundle]] — identical semantics to
+    * [[classifyNaiveBayes]], zero training work.
+    */
+  def classifyWith(docs: DataFrame, bundle: NbBundle,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    applyNaiveBayes(docs, bundle.wc, bundle.classes, bundle.model,
+      idCol, textCol, bundle.tfs)
+
+  private def applyNaiveBayes(docs: DataFrame, wc: DataFrame,
+                              classes: DataFrame, model: DataFrame,
+                              idCol: String, textCol: String,
+                              tfs: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // an empty trained class set would make the prior-fallback crossJoin
     // drop EVERY doc row — a silent violation of the one-row-per-input
     // contract (and the DuckDB oracle shares the shape, so parity tests

@@ -61,6 +61,24 @@ object CurationStream {
                                tolerance: Option[Long] = None,
                                direction: String = "backward")
 
+  /** In-stream language gate for [[run]] — the streaming face of the
+    * round's char-trigram language-ID work: the NB model trains ONCE at
+    * stream start from `labeled` (a trusted labeled snapshot) and pins
+    * ([[TextAnalysis.trainNbBundle]]); each micro-batch's admitted,
+    * quality-passing docs are classified in char-trigram space and only
+    * predictions in `keep` survive to decontamination/enrich. A
+    * multilingual crawl thus routes to per-language pipelines at
+    * ingest, on orthographic evidence — self-reported `lang` metadata
+    * (absent or untrusted on real crawls) is never consulted.
+    *
+    * Per-batch cost: the audited NB scoring plan over the batch (tf
+    * map, vocab cut, C-row broadcast, one (doc, class) partial-agg
+    * exchange) + one batch-sized id join to filter — nothing scales
+    * with the store or the training corpus after start.
+    */
+  final case class LangGate(labeled: DataFrame, keep: Set[String],
+                            labelCol: String = "lang")
+
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
     * `sink` enriched (left outer — a doc with no dim row survives with
@@ -113,8 +131,19 @@ object CurationStream {
           benchmark: Option[DataFrame] = None, minOverlap: Int = 1,
           broadcastDim: Boolean = true, redactPii: Boolean = false,
           gopherGate: Boolean = false,
-          features: Option[FeatureAsOf] = None)
+          features: Option[FeatureAsOf] = None,
+          langGate: Option[LangGate] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // language model trains once, here, and pins — per batch only the
+    // scoring plan runs (trainNbBundle fails loud on an unlabeled
+    // snapshot, so a misconfigured gate dies at start, not on batch 0)
+    val langBundle = langGate.map { lg =>
+      require(lg.keep.nonEmpty, "LangGate.keep must name at least one language")
+      require(!docs.columns.contains("lang_pred"),
+        "doc column `lang_pred` collides with the LangGate output — rename it")
+      TextAnalysis.trainNbBundle(lg.labeled, lg.labelCol, textCol,
+        tfs = graft.functions.charTrigramTfs)
+    }
     // when the stream redacts, the benchmark must be redacted the same
     // way before gram extraction — otherwise a benchmark item containing
     // PII-shaped tokens could never match its redacted in-stream copy
@@ -136,7 +165,8 @@ object CurationStream {
       val featCols = ManifestStore.read(spark, f.dir, f.rowKey).columns.toSet --
         Set(f.rowKey, f.rightTime) -- f.keys
       val dimCols = ManifestStore.read(spark, dimDir, dimKey).columns.toSet - dimKey
-      val enrichedCols = docs.columns.toSet + "quality" ++ dimCols
+      val enrichedCols = docs.columns.toSet + "quality" ++ dimCols ++
+        langGate.map(_ => "lang_pred")
       val clash = featCols & enrichedCols
       require(clash.isEmpty,
         s"FeatureAsOf columns ${clash.toSeq.sorted.mkString(", ")} collide with " +
@@ -163,9 +193,18 @@ object CurationStream {
         .filter(col("quality") >= minQuality &&
           (if (gopherGate) TextAnalysis.gopherPass(col(textCol))
            else lit(true)))
-      val clean = benchGrams.fold(gated)(g =>
+      // language gate: classify the batch under the PINNED model and
+      // keep only the routed languages (pred join is batch-sized)
+      val routed = langBundle.fold(gated) { b =>
+        val keep = langGate.get.keep
+        val preds = TextAnalysis.classifyWith(gated, b, idCol, textCol)
+          .filter(col("pred").isin(keep.toSeq: _*))
+          .select(col(idCol), col("pred").as("lang_pred"))
+        gated.join(preds, idCol)
+      }
+      val clean = benchGrams.fold(routed)(g =>
         graft.ext.Decontamination.decontaminateAgainst(
-          gated, broadcast(g), idCol, textCol, n, minOverlap))
+          routed, broadcast(g), idCol, textCol, n, minOverlap))
       val dim0 = ManifestStore.read(novel.sparkSession, dimDir, dimKey)
       val dim = if (broadcastDim) broadcast(dim0) else dim0
       val enriched = clean.join(dim, Seq(dimKey), "left_outer")

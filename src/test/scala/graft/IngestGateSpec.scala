@@ -429,6 +429,44 @@ class IngestGateSpec extends SparkSuite {
       s"PII-bearing benchmark copy leaked past decon: ${sunk2.asScala}")
   }
 
+  test("composed curation stream langGate keeps only routed languages on orthographic evidence") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // two orthographically distinct "languages"; the streamed docs share
+    // NO words with the training snapshot — only char-trigram evidence
+    // can route them (the labeled `lang` column is never on the stream)
+    val aDoc = ((1 to 30).map(i => s"aax$i") :+ "the").mkString(" ")
+    val bDoc = ((1 to 30).map(i => s"bbx$i") :+ "the").mkString(" ")
+    val labeled = Seq(
+      (101L, "aa", ((31 to 60).map(i => s"aax$i") :+ "the").mkString(" ")),
+      (102L, "bb", ((31 to 60).map(i => s"bbx$i") :+ "the").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val name = "t_cur_lang"
+    val dimDir = java.nio.file.Files.createTempDirectory("lg-dim").toString
+    ManifestStore.seed(Seq((0, "crawlA")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("lg-ckpt").toString,
+      langGate = Some(CurationStream.LangGate(labeled, Set("aa")))) {
+      (out, _) =>
+        out.select("doc_id", "lang_pred").collect().foreach(r =>
+          sunk.add((r.getLong(0), r.getString(1))))
+    }
+    try {
+      ms.addData((1L, aDoc, 0), (2L, bDoc, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.asScala.toSet == Set((1L, "aa")),
+      s"language routing wrong: ${sunk.asScala.toSet}")
+    // layering unchanged: the gate admitted BOTH languages' signatures
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("composed curation stream decontaminates against a benchmark set in-stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
