@@ -753,7 +753,11 @@ object Dedup {
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(divisor > 1, s"divisor must be > 1 (1 cuts after every word), got $divisor")
-    val ws = split(col(textCol), " ")
+    val reserved = docs.columns.filter(_.startsWith("__cdc_"))
+    require(reserved.isEmpty,
+      s"column(s) ${reserved.mkString(", ")} collide with cdcChunks' " +
+        "reserved prefix '__cdc_' — rename before chunking")
+    val ws = col("__cdc_ws")
     val n = size(ws)
     def trailing(i: Column): Column = concat_ws(" ",
       (window - 1 to 0 by -1).map(j => element_at(ws, i - j)): _*)
@@ -764,12 +768,20 @@ object Dedup {
       filter(sequence(lit(window), n - 1),
         i => pmod(polyFingerprint(trailing(i)), lit(divisor.toLong)) === 0))
       .otherwise(expr("cast(array() AS array<int>)"))
-    val bounds = concat(array(lit(0)), cuts, array(n))
+    // `bounds` (which embeds the O(n·window) boundary-hash scan) is
+    // STAGED through a materialized column: inlined, every element_at
+    // inside the slicing lambda re-evaluated the whole scan —
+    // O(n·chunks) hash work per document, measured 16.8 s at sf0.1 vs
+    // 1.6 s staged. CollapseProject leaves the alias alone (non-cheap,
+    // referenced three times), so each stage evaluates once per row.
+    val bounds = col("__cdc_bounds")
     val chunks = transform(sequence(lit(2), size(bounds)),
       j => concat_ws(" ", slice(ws,
         element_at(bounds, j - 1) + 1,
         element_at(bounds, j) - element_at(bounds, j - 1))))
     docs.filter(col(textCol).isNotNull)
+      .withColumn("__cdc_ws", split(col(textCol), " "))
+      .withColumn("__cdc_bounds", concat(array(lit(0)), cuts, array(n)))
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         col("chunk_text"))
@@ -1214,6 +1226,29 @@ object Dedup {
         when(col(textCol).isNull, lit(0L))
           .otherwise(size(col("__ds_kept")).cast("long")).as("kept_tokens"))
   }
+
+  /** NORMALIZED exact-dup groups: byte-exact grouping after
+    * [[TextAnalysis.normalizeText]] — catches the most common crawl
+    * duplicate byte-exact grouping misses (same page re-serialized
+    * with different casing/punctuation/whitespace) at hash-groupBy
+    * cost, far below near-dup banding. Output: one row per group with
+    * > 1 member, (norm_fp, keep_id, n_copies); the 31-bit PolyHash
+    * group key is the same collision posture as the media dup grouping
+    * (pair with [[nearDupPairs]] when collisions matter).
+    *
+    * Scale shape: one codegen'd normalize+hash map over the scan, one
+    * partial-agg groupBy of 8-byte keys.
+    */
+  def normalizedDupGroups(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        polyFingerprint(TextAnalysis.normalizeText(col(textCol)))
+          .as("norm_fp"))
+      .groupBy("norm_fp")
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
 
   /** Contrastive TRAINING TRIPLETS mined from the corpus itself —
     * (anchor, positive, negative) rows for embedding-model training:

@@ -499,6 +499,19 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** Canonical text normalization for robust dedup/matching — the
+    * preprocessing every C4/RefinedWeb-style pipeline applies before
+    * shingling: lowercase, non-alphanumerics to spaces, runs of spaces
+    * collapsed, ends trimmed. Engine-portable (plain character classes,
+    * no lookarounds — Java regex and RE2 agree), a pure codegen'd
+    * per-row map; null stays null, a fully-punctuation text normalizes
+    * to ''. Deliberately ASCII-scoped like the tokenizer family; a
+    * Unicode NFKC pass is a locale decision layered above.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Per-document term frequencies `(idCol, word, tf)` — the shared
     * zero-shuffle base of the keywords / surprisal / retrieval family:
     * the native [[graft.functions.WordTfs]] expression computes the

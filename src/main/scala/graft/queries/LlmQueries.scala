@@ -1550,6 +1550,45 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d))
     }.sortedBy(col("doc_a"), col("doc_b")),
 
+    // ── Normalization + normalization-robust dedup ─────────────────
+    // Canonical lowercase/strip-punct/collapse-space normalization
+    // (the C4/RefinedWeb preprocessing), then exact grouping over the
+    // normalized form. Re-serialized variants are PLANTED in SQL on
+    // both sides (upper-cased text + punctuation tail for doc_id < 20
+    // under shifted ids) so the grouping provably collapses what
+    // byte-exact dedup misses.
+    QueryDef("t_normalize_text",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))
+    }.sortedBy(col("doc_id")),
+
+    QueryDef("t_dedup_normalized", {
+      val norm = (e: String) =>
+        s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH nm AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, upper(text) || ' !!'
+         |  FROM documents WHERE doc_id < 20),
+         |ng AS (SELECT ${polyhash(norm("text"))} AS norm_fp,
+         |         min(doc_id) AS keep_id,
+         |         CAST(count(*) AS BIGINT) AS n_copies
+         |       FROM nm WHERE text IS NOT NULL GROUP BY 1)
+         |SELECT norm_fp, keep_id, n_copies FROM ng WHERE n_copies > 1
+         |ORDER BY keep_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val variants = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+      Dedup.normalizedDupGroups(
+        docs.select("doc_id", "text").union(variants))
+    }.sortedBy(col("keep_id")),
+
     // Contrastive training triplets: near-dup pairs at Jaccard >= 1/2
     // as (anchor, positive); the negative is the corpus doc at hash
     // rank polyhash(anchor:positive) mod n in the global hash order,
