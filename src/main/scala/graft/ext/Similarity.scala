@@ -1444,6 +1444,32 @@ object Similarity {
     graft.ext.Sampling.stratifiedTake(assigned, "cell", idCol, n)
   }
 
+  /** ANN quality report — recall@k of the LSH search against exact
+    * brute force, per query: the number every index deployment watches
+    * (a recall drop is how you notice the planes stopped fitting the
+    * data). Output: (query_id, n_exact, n_hit, recall_x100). Both
+    * sides are the existing audited searches; the comparison is a
+    * |Q|·k-bounded semi-join — this report costs one extra exact
+    * search over the bounded query set, nothing corpus-shaped.
+    */
+  def annRecallReport(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                      planes: Int = 4, dims: Int = 64,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val ann = annTopK(corpus, queryIds, k, planes, dims,
+        idCol = idCol, vecCol = vecCol)
+      .select("query_id", "neighbor_id")
+    val exact = topKByIds(corpus, queryIds, k, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 100 div n_exact").as("recall_x100"))
+  }
+
   // ── Embedding classifiers (Rocchio nearest-centroid, IVF kNN) ──────
 
   /** Per-label prototype vectors (Rocchio/nearest-centroid training):
