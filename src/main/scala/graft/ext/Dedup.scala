@@ -643,6 +643,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
       .select(col("keep_id"), col("n_members"))
 
+  /** QUALITY-AWARE keep list: per near-dup cluster keep the
+    * highest-`scoreCol` member (tie: lowest id) instead of the first
+    * occurrence — what a production dedup actually wants (the cluster's
+    * cleanest serialization survives, not whichever copy crawled
+    * first). `scored` must expose (idCol, scoreCol) for every
+    * clustered id; an id missing a score competes with score NULL and
+    * loses to any scored member (nulls sort last under the descending
+    * struct law). Output: (cluster_id, keep_id, score, n_members).
+    *
+    * Scale shape: one id equi-join of the label frame against the
+    * score projection, one cluster-keyed partial aggregation — the
+    * argmax is a min(struct(-score, id)), never a per-cluster sort.
+    */
+  def keepBest(clusters: DataFrame, scored: DataFrame,
+               scoreCol: String = "quality",
+               idCol: String = "doc_id"): DataFrame =
+    clusters.join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(
+        // negate BEFORE the null coalesce: a null score becomes
+        // Long.MaxValue (sorts last — any scored member beats it);
+        // negating the sentinel instead would overflow-wrap
+        min(struct(
+          coalesce(-col(scoreCol).cast("long"), lit(Long.MaxValue))
+            .as("negs"),
+          col(idCol).as("i"), col(scoreCol).as("s"))).as("__kb_top"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("__kb_top.i").as("keep_id"),
+        col("__kb_top.s").as("score"), col("n_members"))
+
   /** The deduplicated corpus: keep exactly the cluster representatives
     * (a document survives iff it IS its cluster's min id — a filter on
     * the label frame, then a semi-join to re-attach payloads; the

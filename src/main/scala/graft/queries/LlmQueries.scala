@@ -1749,6 +1749,31 @@ object LlmQueries {
       Dedup.keepList(Dedup.nearDupClusters(Tables.documents(s, d)))
     }.sortedBy(col("keep_id")),
 
+    // Quality-aware keep list: per cluster keep the HIGHEST-quality
+    // member (tie: lowest id) — the cleanest serialization survives,
+    // not whichever copy crawled first.
+    QueryDef("t_dedup_keep_best",
+      s"""WITH RECURSIVE $hashesCte, $sigCte,
+         |${clusterCtes("documents", jNum = 8, jDen = 10)},
+         |${qualityCtes("documents")},
+         |kb AS (SELECT c.cluster_id, c.doc_id, q.quality
+         |  FROM clusters c JOIN qscored q USING (doc_id)),
+         |kbr AS (SELECT cluster_id, doc_id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM kb)
+         |SELECT cluster_id, doc_id AS keep_id,
+         |  CAST(quality AS BIGINT) AS score,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM kbr WHERE rn = 1 ORDER BY cluster_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).cast("long").as("quality"))
+        Dedup.keepBest(Dedup.nearDupClusters(docs), scored)
+    }.sortedBy(col("cluster_id")),
+
     // ── Similarity search ──────────────────────────────────────────
     // Exact brute-force top-10 for 5 query vectors: broadcast query set
     // × corpus scan (O(|Q|·n)), ranked on round(cos, 6) with id
