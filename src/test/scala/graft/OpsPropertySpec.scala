@@ -177,6 +177,26 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("normalizeText: case/punct/whitespace variants collapse; null and empty behave") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO--WORLD"),
+      (4L, "!!!"), (5L, null.asInstanceOf[String]), (6L, ""))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "hello world" && out(2L) == "hello world" &&
+      out(3L) == "hello world")
+    assert(out(4L) == "" && out(6L) == "")
+    assert(out(5L) == null)
+    // the dup grouping collapses all three variants to one group
+    val groups = graft.ext.Dedup.normalizedDupGroups(df)
+      .as[(Long, Long, Long)].collect()
+    assert(groups.map(g => (g._2, g._3)).toSet == Set((1L, 3L), (4L, 2L)),
+      s"got ${groups.toSeq}")
+  }
+
   test("contrastive triplets: valid members, deterministic under repartition") {
     import spark.implicits._
     val base = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
