@@ -216,6 +216,49 @@ object RelationalQueries {
         .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
     }.sortedBy(col("l_returnflag"), col("l_linestatus")),
 
+    // Pivot: per-user event-type counts as columns — Spark's pivot with
+    // EXPLICIT values (no discovery pass over the corpus; the value
+    // list is part of the schema contract at scale), absent combos 0.
+    // The oracle states the conditional aggregation it compiles to.
+    QueryDef("a_pivot_events", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val conds = types.map(t =>
+        s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      s"""SELECT user_id,
+         |${conds.mkString(",\n")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    }) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, d).groupBy("user_id")
+        .pivot("event_type", types).count()
+      pivoted.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }.sortedBy(col("user_id")),
+
+    // Per-key moving-window aggregate (last 3 events): quantized-cent
+    // integer sums so the frame arithmetic is order-independent on
+    // both engines (a float frame sum would expose DuckDB's
+    // segment-tree accumulation order).
+    QueryDef("w_moving_sum",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS mov_sum_x100,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          sum(round(col("value") * 100, 0).cast("long")).over(w)
+            .cast("long").as("mov_sum_x100"),
+          count(lit(1)).over(w).cast("long").as("n_window"))
+    }.sortedBy(col("event_id")),
+
     // Session windows (30-min gap) per user over the events stream table —
     // Spark session_window vs. gaps-and-islands SQL in the oracle. A
     // session closes when the next event is >= gap after the previous one.
