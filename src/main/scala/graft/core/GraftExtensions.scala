@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("pcm_fingerprint"),
+      new ExpressionInfo(classOf[graft.functions.PcmFingerprint].getName,
+        "pcm_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "pcm_fingerprint(bytes) takes 1 argument")
+        graft.functions.PcmFingerprint(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

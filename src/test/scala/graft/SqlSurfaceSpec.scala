@@ -55,6 +55,15 @@ class SqlSurfaceSpec extends SparkSuite {
       "SELECT lsh_buckets(embedding, 2, 4, 64) AS b FROM embeddings LIMIT 5")
     assert(b.collect().forall(_.getSeq[Long](0).length == 2))
 
+    // acoustic fingerprint via SQL matches the Column API
+    val pcmSql = spark.sql(
+      "SELECT doc_id, pcm_fingerprint(cast(text AS binary)) AS fp FROM documents ORDER BY doc_id")
+    val pcmApi = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.pcmFingerprint(col("text").cast("binary")).as("fp"))
+      .orderBy(col("doc_id"))
+    assert(rows(pcmSql) == rows(pcmApi))
+
     // real-vocab token counting via SQL matches the Column API
     val tokSql = spark.sql(
       "SELECT doc_id, vocab_token_count(text) AS n FROM documents ORDER BY doc_id")
