@@ -157,6 +157,100 @@ object EventFeatureStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout())(fn _)(stateEnc, outEnc)
   }
 
+  /** STREAMING ordered-funnel depth — the incremental complement of
+    * [[graft.ops.EventAnalytics.funnelDepth]]: per-key state carries
+    * the first-completion timestamp of each step (k scalars, bounded
+    * regardless of history), each micro-batch advances the chain over
+    * its events in the batch operator's (time, id) order, and one
+    * (keys..., steps_completed) row per touched key per batch is
+    * emitted — the funnel's changelog. Over a closed per-key-ordered
+    * log the final depth equals the batch operator's exactly (a
+    * forward scan's first qualifying occurrence IS the min-after-chain
+    * recurrence); the same arrival-order contract as [[lagFeatures]]
+    * applies across batches.
+    *
+    * Scale shape: ONE stateful key exchange; state is k longs per key.
+    * Null-time events are skipped (no timeline position); a touched
+    * key still reports its standing depth.
+    */
+  def funnelDepth(events: DataFrame, steps: Seq[String],
+                  keys: Seq[String] = Seq("user_id"),
+                  typeCol: String = "event_type",
+                  timeCol: String = "ts",
+                  idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty, "funnelDepth needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step in $steps — a repeated type is ambiguous")
+    require(keys.nonEmpty, "funnelDepth needs at least one key column")
+    val t: Column = events.schema(timeCol).dataType match {
+      case TimestampType    => unix_micros(col(timeCol))
+      case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
+      case _                => col(timeCol).cast("long")
+    }
+    val withT = events.withColumn("__ef_t", t)
+    val inSchema = withT.schema
+    val tIdx = inSchema.fieldIndex("__ef_t")
+    val idIdx = inSchema.fieldIndex(idCol)
+    val typeIdx = inSchema.fieldIndex(typeCol)
+    val keyIdxs = keys.map(inSchema.fieldIndex)
+    val k = steps.length
+
+    val keySchema = StructType(keys.map(kc => inSchema(inSchema.fieldIndex(kc))))
+    val stateSchema = StructType(
+      (0 until k).map(i => StructField(s"t$i", LongType, nullable = true)))
+    val outSchema = StructType(keySchema.fields :+
+      StructField("steps_completed", LongType, nullable = false))
+    val keyEnc = Encoders.row(keySchema)
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+
+    def cmpId(a: Any, b: Any): Int = (a, b) match {
+      case (null, null)           => 0
+      case (null, _)              => -1
+      case (_, null)              => 1
+      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x, y)                 => x.toString.compareTo(y.toString)
+    }
+
+    def fn(key: Row, it: Iterator[Row], state: GroupState[Row]): Iterator[Row] = {
+      val keyNull = (0 until key.size).exists(key.isNullAt)
+      if (keyNull) { it.foreach(_ => ()); Iterator.empty }
+      else {
+        val ts = Array.fill[Option[Long]](k)(None)
+        state.getOption.foreach { s =>
+          (0 until k).foreach(i =>
+            if (!s.isNullAt(i)) ts(i) = Some(s.getLong(i)))
+        }
+        var depth = ts.takeWhile(_.isDefined).length
+        val ordered = it.toVector.filter(r => !r.isNullAt(tIdx))
+          .sortWith { (a, b) =>
+            val c = java.lang.Long.compare(a.getLong(tIdx), b.getLong(tIdx))
+            if (c != 0) c < 0 else cmpId(a.get(idIdx), b.get(idIdx)) < 0
+          }
+        ordered.foreach { r =>
+          if (depth < k && !r.isNullAt(typeIdx) &&
+              r.getString(typeIdx) == steps(depth)) {
+            val tv = r.getLong(tIdx)
+            if (depth == 0 || tv > ts(depth - 1).get) {
+              ts(depth) = Some(tv)
+              depth += 1
+            }
+          }
+        }
+        state.update(Row.fromSeq(ts.map(_.map(Long.box).orNull).toSeq))
+        Iterator.single(Row.fromSeq(
+          (0 until key.size).map(key.get) ++ Seq(depth.toLong)))
+      }
+    }
+
+    withT
+      .groupByKey((r: Row) => Row.fromSeq(keyIdxs.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout())(fn _)(stateEnc, outEnc)
+  }
+
   /** Streaming per-key event-rate anomaly flags: each micro-batch's
     * events bin exactly as [[graft.ops.EventFeatures.rateAnomalies]]
     * does, the counts ACCUMULATE in a [[ManifestStore]] under

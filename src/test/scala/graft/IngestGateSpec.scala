@@ -671,6 +671,50 @@ class IngestGateSpec extends SparkSuite {
       s"restart features wrong: ${feat.asScala.toSet}")
   }
 
+  test("streaming funnel depth matches the batch operator and survives a restart") {
+    import spark.implicits._
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val srcDir = java.nio.file.Files.createTempDirectory("fns-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fns-ckpt").toString
+    val schema = Seq((0L, 0L, "x", 0L))
+      .toDF("event_id", "user_id", "event_type", "ts").schema
+    val steps = Seq("signup", "view", "purchase")
+    def start() = graft.streaming.EventFeatureStream.funnelDepth(
+        spark.readStream.schema(schema).parquet(srcDir), steps,
+        keys = Seq("user_id"), typeCol = "event_type", timeCol = "ts",
+        idCol = "event_id")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (out: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out.collect().foreach(r => last.put(r.getLong(0), r.getLong(1)))
+      }.start()
+    // batch 1: user 1 signs up then views; user 2 views BEFORE signing
+    // up (the view must not count); user 3 only errors
+    val b1 = Seq(
+      (1L, 1L, "signup", 10L), (2L, 1L, "view", 20L),
+      (3L, 2L, "view", 5L), (4L, 2L, "signup", 30L),
+      (5L, 3L, "error", 10L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    b1.write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(last.get(1L) == 2L && last.get(2L) == 1L && last.get(3L) == 0L,
+      s"batch-1 depths wrong: $last")
+    // RESTART, batch 2: user 1 purchases (chain completes across the
+    // restart); user 2's view now lands AFTER signup and counts
+    val b2 = Seq((6L, 1L, "purchase", 40L), (7L, 2L, "view", 50L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    b2.write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // final stream depths == the batch operator over the closed log
+    val batch = graft.ops.EventAnalytics.funnelDepth(
+        b1.unionByName(b2), steps, keyCol = "user_id",
+        typeCol = "event_type", tsCol = "ts")
+      .as[(Long, Long)].collect().toMap
+    val streamed = Map(1L -> last.get(1L), 2L -> last.get(2L),
+      3L -> last.get(3L))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch == Map(1L -> 3L, 2L -> 2L, 3L -> 0L))
+  }
+
   test("streaming lag features match the batch operator and survive a checkpoint restart") {
     import spark.implicits._
     val got = new ConcurrentLinkedQueue[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]()
