@@ -714,6 +714,43 @@ object TextAnalysis {
          |ELSE cast(array() AS array<string>) END""".stripMargin)
   }
 
+  /** Per-domain top-k n-grams — the corpus-profiling staple ("what
+    * does each source actually say"): total n-gram occurrence counts
+    * per (domain, gram), cut to the k most frequent per domain
+    * (count DESC, gram ASC tiebreak) on the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator. Output: (domainCol, gram,
+    * cnt, rank).
+    *
+    * Scale shape: the gram explode map-side-combines into one
+    * (domain, gram) partial-agg shuffle (vocab-bounded, never
+    * corpus-sized), then the TopKPerKey cut carries ≤ k rows per
+    * (partition, domain) into the final exchange — no per-domain
+    * vocabulary sort.
+    */
+  def domainTopNgrams(docs: DataFrame, k: Int = 5, n: Int = 2,
+                      domainCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(domainCol), explode(ngramArray(textCol, n)).as("gram"))
+      .groupBy(domainCol, "gram").agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute(domainCol)),
+      Seq(SortOrder(UnresolvedAttribute("cnt"), Descending),
+        SortOrder(UnresolvedAttribute("gram"), Ascending)),
+      k, Bridge.logicalPlan(counts))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("cnt").desc, col("gram"))
+    Bridge.ofRows(docs.sparkSession, top)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** C4 page-cleaning statistics (Raffel et al. 2020 §2.2) per
     * document: line-filter results (`clean_text`, `n_lines`, `n_kept`,
     * `n_sentences`) plus the page flags (`has_lorem`, `has_brace`,

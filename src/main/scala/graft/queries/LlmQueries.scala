@@ -3139,6 +3139,52 @@ object LlmQueries {
         .select(col("doc_id"), col("stage"), col("pack"))
     }.sortedBy(col("doc_id")),
 
+    // Length-bucketed packing: stage = bit-length of the token count
+    // (power-of-2 length bins), so similar-length docs pack together —
+    // the padding-efficiency batching trick, on the same curriculum
+    // machinery.
+    QueryDef("t_length_bucket_pack",
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN 0 ELSE len(string_split(text, ' ')) END AS toks,
+         |  ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |  CAST(length(bin(toks)) AS BIGINT) AS stage, bkt FROM t),
+         |c AS (SELECT doc_id, stage, toks,
+         |  sum(toks) OVER (ORDER BY stage, bkt, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+         |SELECT doc_id, stage, CAST((cum - toks) // 512 AS BIGINT) AS pack
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+        .withColumn("stage", expr("length(bin(toks))").cast("long"))
+      graft.ext.Packing.curriculumPack(docs, col("doc_id"), col("toks"),
+          col("stage"), 512L)
+        .select(col("doc_id"), col("stage"), col("pack"))
+    }.sortedBy(col("doc_id")),
+
+    // Per-domain top-5 bigrams — what each source actually says; the
+    // (domain, gram) counts partial-agg to vocab-bounded rows, then
+    // the bounded-heap TopKPerKey cut (no per-domain vocabulary sort).
+    QueryDef("t_domain_ngrams", {
+      val ws = "string_split(text, ' ')"
+      s"""WITH dg AS (SELECT source, unnest(
+         |    CASE WHEN len($ws) >= 2
+         |      THEN list_transform(generate_series(2, len($ws)),
+         |        i -> $ws[i-1] || ' ' || $ws[i])
+         |      ELSE [] END) AS gram
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |dc AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM dg GROUP BY 1, 2),
+         |dr AS (SELECT source, gram, cnt,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, gram) AS BIGINT) AS rank FROM dc)
+         |SELECT source, gram, cnt, rank FROM dr WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.domainTopNgrams(Tables.documents(s, d), k = 5, n = 2)
+    }.sortedBy(col("source"), col("rank")),
+
     // ── Domain-mixture resampling ──────────────────────────────────
     // Downsample each weighted source so survivors match a 3:2:1 mix
     // (unweighted sources drop). Thresholds are pure Long floor
