@@ -81,4 +81,36 @@ object EventAnalytics {
       .groupBy("cohort_day", "offset_day")
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
+
+  /** Funnel CONVERSION report over [[funnelDepth]]: one row per step
+    * level 0..k with the number of keys that reached at least that
+    * level and the integer conversion rate from the previous level
+    * (level 0 = every key with an event; conv_x100 null there). The
+    * headline funnel chart, derived from the per-key depths.
+    *
+    * Scale shape: funnelDepth's plan + one broadcast ×(k+1) level
+    * expansion of the (key, depth) rows, partial-agg to k+1 rows; the
+    * lag window runs over those k+1 rows only.
+    */
+  def funnelReport(events: DataFrame, steps: Seq[String],
+                   keyCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    val depths = funnelDepth(events, steps, keyCol, typeCol, tsCol)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val levels = (0 to steps.length).map(_.toLong).toDF("step")
+    val perLevel = depths.crossJoin(broadcast(levels))
+      .groupBy("step")
+      .agg(sum(when(col("steps_completed") >= col("step"), 1L)
+        .otherwise(0L)).as("n_users"))
+    // k+1-row unpartitioned window — bounded by the step count
+    val w = Window.orderBy("step")
+    perLevel
+      .withColumn("__fr_prev", lag(col("n_users"), 1).over(w))
+      .withColumn("conv_x100",
+        expr("CASE WHEN __fr_prev IS NULL OR __fr_prev = 0 THEN NULL " +
+          "ELSE n_users * 100 div __fr_prev END"))
+      .drop("__fr_prev")
+  }
 }

@@ -172,4 +172,33 @@ object EventFeatures {
           ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       .drop("__ef_t", "__ef_valid")
   }
+
+  /** Per-SESSION rollup over [[lagFeatures]]' sessionization: one row
+    * per (key, session) with event count, duration (last − first event,
+    * micros) and the quantized value total — the session-analytics
+    * readout (dwell time, events per visit) every event pipeline ships
+    * next to the raw feature rows. Null-key/-time rows have no session
+    * and are excluded (the lagFeatures passthrough contract).
+    *
+    * Scale shape: the lagFeatures single exchange + one (key, session)
+    * partial-agg shuffle of the enriched rows.
+    */
+  def sessionStats(events: DataFrame, keys: Seq[String] = Seq("user_id"),
+                   timeCol: String = "ts", idCol: String = "event_id",
+                   valueCol: String = "value",
+                   sessionGap: Long = 300L * 1000000L): DataFrame = {
+    val t: Column = events.schema(timeCol).dataType match {
+      case TimestampType    => unix_micros(col(timeCol))
+      case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
+      case _                => col(timeCol).cast("long")
+    }
+    lagFeatures(events, keys, timeCol, idCol, valueCol, sessionGap)
+      .filter(col("session_idx").isNotNull)
+      .withColumn("__ss_us", t)
+      .groupBy((keys.map(col) :+ col("session_idx")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("__ss_us")) - min(col("__ss_us"))).as("duration_micros"),
+        sum(round(col(valueCol).cast("double") * 100, 0).cast("long"))
+          .as("value_x100"))
+  }
 }

@@ -559,6 +559,71 @@ object RelationalQueries {
         Seq("signup", "view", "click", "purchase"))
     }.sortedBy(col("user_id")),
 
+    // Per-session rollup over the lag-features sessionization: event
+    // count, dwell duration, quantized value total per (user, session).
+    QueryDef("w_session_stats",
+      """WITH g AS (
+        |  SELECT event_id, user_id, value, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_micros
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sgs AS (SELECT user_id, value, ts,
+        |    sum(CASE WHEN gap_micros IS NULL OR gap_micros > 300000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+        |    AS duration_micros,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_x100
+        |FROM sgs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.EventFeatures.sessionStats(
+        Tables.events(s, d).select("event_id", "user_id", "value", "ts")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull))
+    }.sortedBy(col("user_id"), col("session_idx")),
+
+    // Funnel conversion report: per step level, keys reaching at least
+    // that level + integer conversion from the previous level.
+    QueryDef("w_funnel_report",
+      """WITH f0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |f1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |       JOIN f0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > f0.t0 GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN f1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN f2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY 1),
+        |fd AS (SELECT u.user_id,
+        |  (CASE WHEN f0.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN f1.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN f2.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN f3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN f0 USING (user_id) LEFT JOIN f1 USING (user_id)
+        |  LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)),
+        |lv AS (SELECT k.step,
+        |    CAST(sum(CASE WHEN fd.depth >= k.step THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_users
+        |  FROM fd CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
+        |    (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |    (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT))) k(step)
+        |  GROUP BY 1)
+        |SELECT step, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL
+        |         OR lag(n_users) OVER (ORDER BY step) = 0 THEN NULL
+        |       ELSE n_users * 100 // lag(n_users) OVER (ORDER BY step) END
+        |    AS conv_x100
+        |FROM lv ORDER BY step""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.funnelReport(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"))
+    }.sortedBy(col("step")),
+
     // Cohort retention matrix: users cohorted by integer epoch day of
     // first event, counted distinct per (cohort_day, offset_day).
     QueryDef("w_retention_cohorts",
