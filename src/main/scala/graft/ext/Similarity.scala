@@ -1444,6 +1444,34 @@ object Similarity {
     graft.ext.Sampling.stratifiedTake(assigned, "cell", idCol, n)
   }
 
+  /** Embedding-space HEALTH report — one row of the numbers an index
+    * owner checks before trusting a new embedding drop: vector count,
+    * null-vector count, zero-norm count (cosine-undefined — they break
+    * similarity silently), and the p50/p90 of the quantized squared
+    * norm (round(‖v‖²·1e6), the cross-engine fixed-point law) via the
+    * histogram percentile formulation — no corpus sort. The dot fold
+    * is the [[cosineHof]] fold order, so both engines quantize the
+    * same doubles.
+    */
+  def normReport(corpus: DataFrame,
+                 vecCol: String = "embedding"): DataFrame = {
+    def dotSelf(x: Column): Column =
+      aggregate(zip_with(x, x, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val n2 = when(col(vecCol).isNull, lit(null))
+      .otherwise(round(dotSelf(col(vecCol)) * 1e6, 0).cast("long"))
+    val base = corpus.select(n2.as("__nr_n2")).localCheckpoint()
+    val stats = base.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("__nr_n2").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("__nr_n2") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val pct = graft.ext.Curation.groupPercentiles(
+        base.filter(col("__nr_n2").isNotNull).withColumn("__nr_g", lit(1)),
+        "__nr_g", "__nr_n2", Seq(50, 90))
+      .select(col("p50").as("p50_norm2_x1e6"), col("p90").as("p90_norm2_x1e6"))
+    stats.crossJoin(broadcast(pct))
+  }
+
   /** ANN quality report — recall@k of the LSH search against exact
     * brute force, per query: the number every index deployment watches
     * (a recall drop is how you notice the planes stopped fitting the

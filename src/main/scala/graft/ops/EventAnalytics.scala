@@ -82,6 +82,41 @@ object EventAnalytics {
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
 
+  /** Rolling `windowDays`-day distinct actives (the DAU/WAU family):
+    * for every day with events, how many distinct keys were active in
+    * the trailing window ending that day. Exact distinct over a
+    * sliding window via the standard expansion: each (key, day) pair —
+    * deduped FIRST, so the expansion is bounded by active-days, not
+    * events — contributes to the `windowDays` window anchors it
+    * covers, then one (day, key) distinct count. Days without events
+    * are omitted (semi-join against the observed days).
+    *
+    * Scale shape: one (key, day) distinct partial-agg, a ×windowDays
+    * row-local expansion, one (day, key) distinct count — triples of
+    * longs through every exchange, never events.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7,
+                    keyCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val t: Column = events.schema(tsCol).dataType match {
+      case TimestampType    => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _                => col(tsCol).cast("long")
+    }
+    val days = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), t.as("__ra_us"))
+      .withColumn("day", expr("__ra_us div 86400000000"))
+      .select(col(keyCol), col("day")).distinct()
+    val expanded = days.select(col(keyCol),
+      explode(sequence(col("day"), col("day") + (windowDays - 1)))
+        .as("day"))
+    expanded.groupBy("day")
+      .agg(countDistinct(col(keyCol)).as(s"n_active_${windowDays}d"))
+      .join(days.select("day").distinct(), Seq("day"), "left_semi")
+  }
+
   /** Funnel CONVERSION report over [[funnelDepth]]: one row per step
     * level 0..k with the number of keys that reached at least that
     * level and the integer conversion rate from the previous level

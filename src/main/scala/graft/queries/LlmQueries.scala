@@ -4024,6 +4024,39 @@ object LlmQueries {
         nProbe = 4)
     }.sortedBy(col("vec_id")),
 
+    // ── Embedding-space health report ──────────────────────────────
+    // One row: vector/null/zero-norm counts + p50/p90 of the quantized
+    // squared norm (histogram percentile law, no corpus sort). The dot
+    // fold matches the cosine oracle's list_sum order exactly.
+    QueryDef("t_embed_norm_report", {
+      val n2 = s"""CAST(round(list_sum(list_transform(generate_series(1, 64),
+        |  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |  * 1000000.0) AS BIGINT)""".stripMargin
+      s"""WITH nr AS (SELECT vec_id,
+         |  CASE WHEN embedding IS NULL THEN NULL ELSE $n2 END AS n2
+         |  FROM embeddings),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(CASE WHEN n2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_null,
+         |    CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_zero
+         |  FROM nr),
+         |nh AS (SELECT n2 AS v, count(*) AS c FROM nr
+         |       WHERE n2 IS NOT NULL GROUP BY 1),
+         |nc AS (SELECT v, sum(c) OVER (ORDER BY v
+         |         ROWS UNBOUNDED PRECEDING) AS cumc FROM nh),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM nh),
+         |np50 AS (SELECT min(v) AS p50_norm2_x1e6 FROM nc CROSS JOIN nt
+         |         WHERE cumc >= (n * 50 + 99) // 100),
+         |np90 AS (SELECT min(v) AS p90_norm2_x1e6 FROM nc CROSS JOIN nt
+         |         WHERE cumc >= (n * 90 + 99) // 100)
+         |SELECT b.n_vecs, b.n_null, b.n_zero,
+         |  p50.p50_norm2_x1e6, p90.p90_norm2_x1e6
+         |FROM nb b CROSS JOIN np50 p50 CROSS JOIN np90 p90""".stripMargin
+    }) { (s, d) =>
+      Similarity.normReport(Tables.embeddings(s, d))
+    },
+
     // ── Semantic decontamination (embedding space) ─────────────────
     // Benchmark = every 97th embedding; the corpus side must shed any
     // doc within 0.3 cosine of a benchmark vector. The engine runs a

@@ -624,6 +624,24 @@ object RelationalQueries {
         Seq("signup", "view", "click", "purchase"))
     }.sortedBy(col("step")),
 
+    // Rolling 7-day distinct actives (WAU): each (user, day) pair —
+    // deduped first — covers the 7 trailing-window anchors it belongs
+    // to; exact distinct per day, days without events omitted.
+    QueryDef("w_rolling_active",
+      """WITH dys AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |ex AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS day2
+        |       FROM dys),
+        |act AS (SELECT day2 AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+        |  FROM ex GROUP BY 1)
+        |SELECT a.day, a.n_active_7d
+        |FROM act a JOIN (SELECT DISTINCT day FROM dys) p USING (day)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.rollingActive(Tables.events(s, d))
+    }.sortedBy(col("day")),
+
     // Cohort retention matrix: users cohorted by integer epoch day of
     // first event, counted distinct per (cohort_day, offset_day).
     QueryDef("w_retention_cohorts",
