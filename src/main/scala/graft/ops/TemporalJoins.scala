@@ -306,4 +306,93 @@ object TemporalJoins {
           .drop(keys.indices.map(i => s"__rj_k$i"): _*)
     }
   }
+
+  /** INTERVAL-OVERLAP equi-join — both sides are intervals (media
+    * spans, sessions, validity windows): per key, every (left, right)
+    * pair whose half-open [start, end) windows overlap, with the
+    * overlap length attached (`overlap_micros`). Completes the
+    * temporal family next to the point-in-interval [[rangeJoin]] and
+    * the [[asofJoin]].
+    *
+    * Same bin-and-verify shape as rangeJoin — both sides explode into
+    * covered `binMicros` bins and meet on a (keys, bin) equi-join —
+    * with the FIRST-SHARED-BIN claim de-duplicating pairs row-locally:
+    * an overlapping pair's bin ranges intersect starting at
+    * max(left start-bin, right start-bin), so the pair is emitted only
+    * in that bin — no DISTINCT shuffle over the joined output. Exact
+    * integer bin arithmetic throughout (a double floor near 2^53
+    * micros would silently miss a bin edge).
+    *
+    * Guards inherit the family posture: over-wide intervals (spanning
+    * more than `maxBins` bins) leave the join with a WARN disclosure —
+    * the RIGHT side is pinned and probed like rangeJoin's interval
+    * side; the LEFT side's probe is a limit-21 short-circuit scan (no
+    * corpus-sized pin). Null keys/bounds and empty intervals
+    * (end ≤ start) drop on both sides.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftStartCol: String, leftEndCol: String,
+                   rightStartCol: String, rightEndCol: String,
+                   binMicros: Long = 300L * 1000000L,
+                   maxBins: Int = DefaultMaxBinsPerInterval): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    require(maxBins > 0, s"maxBins must be positive, got $maxBins")
+    requireNoReserved(left, "left", "__ij_")
+    requireNoReserved(right, "right", "__ij_")
+    val clash = right.columns.toSeq.filterNot(keys.contains)
+      .intersect(left.columns.toSeq)
+    require(clash.isEmpty,
+      s"right column(s) ${clash.mkString(", ")} collide with left columns " +
+        "— rename before joining")
+    def prep(df: DataFrame, sCol: String, eCol: String,
+             sOut: String, eOut: String, b0: String, b1: String): DataFrame =
+      df.filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
+          col(sCol).isNotNull && col(eCol).isNotNull)
+        .withColumn(sOut, toMicros(col(sCol), df.schema(sCol).dataType))
+        .withColumn(eOut, toMicros(col(eCol), df.schema(eCol).dataType))
+        .withColumn(b0, floorDivExpr(sOut, binMicros))
+        .withColumn("__ij_e1", col(eOut) - 1)
+        .withColumn(b1, floorDivExpr("__ij_e1", binMicros))
+        .withColumn("__ij_nb",
+          when(col(eOut) > col(sOut), col(b1) - col(b0) + 1)
+            .otherwise(lit(0L)))
+        .drop("__ij_e1")
+    val lBase = prep(left, leftStartCol, leftEndCol,
+      "__ij_ls", "__ij_le", "__ij_lb0", "__ij_lb1")
+    // limit-21 short-circuit probe — no corpus-sized pin on the left
+    val lOver = lBase.filter(col("__ij_nb") > maxBins)
+      .select(keys.map(col) :+ col("__ij_nb"): _*).limit(21).collect()
+    if (lOver.nonEmpty)
+      log.warn(s"intervalJoin: ${lOver.length}${if (lOver.length > 20) "+" else ""} " +
+        s"left interval(s) spanning more than $maxBins bins excluded " +
+        s"(raise binMicros or maxBins): " +
+        lOver.take(20).map(_.toString).mkString(", "))
+    val rBase = prep(right, rightStartCol, rightEndCol,
+      "__ij_rs", "__ij_re", "__ij_rb0", "__ij_rb1").localCheckpoint()
+    val rOver = rBase.filter(col("__ij_nb") > maxBins)
+      .select(keys.map(col) :+ col("__ij_nb"): _*).limit(21).collect()
+    if (rOver.nonEmpty)
+      log.warn(s"intervalJoin: ${rOver.length}${if (rOver.length > 20) "+" else ""} " +
+        s"right interval(s) spanning more than $maxBins bins excluded " +
+        s"(raise binMicros or maxBins): " +
+        rOver.take(20).map(_.toString).mkString(", "))
+    val lBinned = lBase.filter(col("__ij_nb").between(1, maxBins))
+      .withColumn("__ij_bin",
+        explode(sequence(col("__ij_lb0"), col("__ij_lb1"))))
+      .drop("__ij_nb", "__ij_lb1")
+    val rBinned = rBase.filter(col("__ij_nb").between(1, maxBins))
+      .withColumn("__ij_bin",
+        explode(sequence(col("__ij_rb0"), col("__ij_rb1"))))
+      .drop("__ij_nb", "__ij_rb1")
+    lBinned.join(rBinned, keys :+ "__ij_bin")
+      .filter(col("__ij_ls") < col("__ij_re") &&
+        col("__ij_rs") < col("__ij_le") &&
+        col("__ij_bin") === greatest(col("__ij_lb0"), col("__ij_rb0")))
+      .withColumn("overlap_micros",
+        least(col("__ij_le"), col("__ij_re")) -
+          greatest(col("__ij_ls"), col("__ij_rs")))
+      .drop("__ij_bin", "__ij_lb0", "__ij_rb0", "__ij_ls", "__ij_le",
+        "__ij_rs", "__ij_re")
+  }
 }

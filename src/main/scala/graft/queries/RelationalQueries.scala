@@ -431,6 +431,44 @@ object RelationalQueries {
         startCol = "start_ts", endCol = "end_ts")
     }.sortedBy(col("event_id"), col("interval_id")),
 
+    // INTERVAL-OVERLAP join: 8-minute view windows x 5-minute click
+    // windows per user; every overlapping pair once (first-shared-bin
+    // claim — no DISTINCT over the joined output) with the overlap
+    // length attached. The oracle states the raw overlap predicate.
+    QueryDef("j_interval_overlap",
+      """WITH lv AS (
+        |  SELECT event_id AS view_id, user_id,
+        |         epoch_us(ts) AS ls,
+        |         epoch_us(ts) + 480000000 AS le
+        |  FROM events WHERE event_type = 'view'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |rc AS (
+        |  SELECT event_id AS click_id, user_id,
+        |         epoch_us(ts) AS rs,
+        |         epoch_us(ts) + 300000000 AS re
+        |  FROM events WHERE event_type = 'click'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT l.view_id, l.user_id, r.click_id,
+        |  CAST(least(l.le, r.re) - greatest(l.ls, r.rs) AS BIGINT)
+        |    AS overlap_micros
+        |FROM lv l JOIN rc r
+        |  ON l.user_id = r.user_id AND l.ls < r.re AND r.rs < l.le
+        |ORDER BY l.view_id, r.click_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def iv(tpe: String, idAs: String, lenMicros: Long) = ev
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id"),
+          unix_micros(col("ts")).as(s"${idAs}_s"),
+          (unix_micros(col("ts")) + lenMicros).as(s"${idAs}_e"))
+      graft.ops.TemporalJoins.intervalJoin(
+          iv("view", "view_id", 480000000L),
+          iv("click", "click_id", 300000000L),
+          keys = Seq("user_id"),
+          leftStartCol = "view_id_s", leftEndCol = "view_id_e",
+          rightStartCol = "click_id_s", rightEndCol = "click_id_e")
+        .select("view_id", "user_id", "click_id", "overlap_micros")
+    }.sortedBy(col("view_id"), col("click_id")),
+
     // LEFT-OUTER range join: every event survives; the containing
     // signup window attaches where one exists, else null interval
     // payload — the attach-context-else-null enrichment shape. The

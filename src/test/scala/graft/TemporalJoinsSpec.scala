@@ -310,4 +310,31 @@ class TemporalJoinsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(aPlan.contains("Window") && !aPlan.contains("Join"), aPlan)
   }
+
+  test("intervalJoin: half-open touch excluded, multi-bin pair once, equi-join plan") {
+    import spark.implicits._
+    val M = 60L * 1000000L // one minute in micros
+    // left windows per key u: A [0, 10m), B [20m, 30m)
+    val l = Seq((1L, "u", 0L * M, 10L * M), (2L, "u", 20L * M, 30L * M))
+      .toDF("l_id", "k", "ls", "le")
+    // right: X [5m, 25m) overlaps BOTH (spans many 5-min bins with A —
+    // the pair must appear ONCE); Y [10m, 12m) TOUCHES A at 10m
+    // (half-open: no overlap) and misses B; Z empty interval drops
+    val r = Seq((10L, "u", 5L * M, 25L * M), (11L, "u", 10L * M, 12L * M),
+      (12L, "u", 7L * M, 7L * M))
+      .toDF("r_id", "k", "rs", "re")
+    val out = TemporalJoins.intervalJoin(l, r, Seq("k"),
+        "ls", "le", "rs", "re")
+      .select("l_id", "r_id", "overlap_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L, 5L * M),  // A ∩ X = [5m, 10m)
+      (2L, 10L, 5L * M)), // B ∩ X = [20m, 25m)
+      s"got $out")
+    val plan = TemporalJoins.intervalJoin(l, r, Seq("k"),
+        "ls", "le", "rs", "re")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
