@@ -108,6 +108,39 @@ object Curation {
           .as("approx_distinct_tokens"))
   }
 
+  /** Per-DOMAIN language mixture — the multilingual complement of
+    * [[corpusProfile]]: every doc language-ID'd by the char-trigram NB
+    * ([[TextAnalysis.classifyLangId]], trained on `labeled`), rolled
+    * up per domain into doc/language counts, the dominant predicted
+    * language and its x100 share (count DESC, label ASC tie law).
+    * The report that routes a mixed crawl's sources to per-language
+    * pipelines — on model evidence, not self-reported metadata.
+    *
+    * Scale shape: the audited NB plan + one id equi-join to re-attach
+    * the domain + two bounded aggregations.
+    */
+  def domainLangProfile(docs: DataFrame, labeled: DataFrame,
+                        domainCol: String = "source",
+                        labelCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val pred = TextAnalysis
+      .classifyLangId(docs, labeled, labelCol, idCol, textCol)
+      .select(col(idCol), col("pred"))
+    val byLang = docs.select(col(idCol), col(domainCol))
+      .filter(col(domainCol).isNotNull)
+      .join(pred, Seq(idCol))
+      .groupBy(domainCol, "pred").agg(count(lit(1)).as("__dl_c"))
+    byLang.groupBy(domainCol)
+      .agg(sum("__dl_c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__dl_c")).as("negc"), col("pred").as("l")))
+          .as("__dl_top"))
+      .select(col(domainCol), col("n_docs"), col("n_langs"),
+        col("__dl_top.l").as("dom_lang"),
+        expr("(-__dl_top.negc) * 100 div n_docs").as("dom_share_x100"))
+  }
+
   /** One-row corpus HEALTH report — the numbers a dataset card or a
     * crawl-over-crawl dashboard leads with, in a single consumable row:
     * doc/token totals, null-text count, exact-duplicate count (docs

@@ -2783,6 +2783,33 @@ object LlmQueries {
       TextAnalysis.codeSwitch(docs, docs)
     }.sortedBy(col("doc_id")),
 
+    // ── Per-domain language mixture (multilingual source report) ───
+    // Every doc language-ID'd by the shared NB chain, rolled up per
+    // source: doc/language counts, dominant predicted language + x100
+    // share — the routing report for a mixed crawl.
+    QueryDef("t_domain_lang_mix",
+      s"""WITH $nbLangIdCtes,
+         |dlp AS (SELECT d.doc_id, d.source,
+         |    coalesce(r.label, p.label) AS pred
+         |  FROM documents d
+         |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+         |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
+         |  WHERE d.source IS NOT NULL),
+         |dlc AS (SELECT source, pred, CAST(count(*) AS BIGINT) AS c
+         |  FROM dlp GROUP BY 1, 2),
+         |dlr AS (SELECT source, pred, c,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY c DESC, pred) AS rn FROM dlc),
+         |dla AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_langs FROM dlc GROUP BY 1)
+         |SELECT a.source, a.n_docs, a.n_langs, t.pred AS dom_lang,
+         |  (t.c * 100 // a.n_docs) AS dom_share_x100
+         |FROM dla a JOIN (SELECT * FROM dlr WHERE rn = 1) t USING (source)
+         |ORDER BY a.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Curation.domainLangProfile(docs, docs)
+    }.sortedBy(col("source")),
+
     // ── Language-balanced mix (α-temperature over PREDICTED lang) ──
     // The mBERT/XLM-R multilingual α-mix applied to the char-trigram
     // NB classifier's output instead of self-reported metadata: the
