@@ -108,6 +108,45 @@ object Curation {
           .as("approx_distinct_tokens"))
   }
 
+  /** VOCABULARY drift between two corpus snapshots — the
+    * distribution-shift monitor [[corpusDiff]]'s membership view can't
+    * give: per word, occurrence counts and parts-per-million share on
+    * each side, ranked by absolute share drift (integer ppm — exact,
+    * no float log-ratio). The top movers ARE the story ("crawl N+1 is
+    * suddenly 4% the word 'casino'"). Words absent from a side count
+    * zero there. Output: top `k` rows (word, c_old, c_new,
+    * drift_x1m, rank).
+    *
+    * Scale shape: two zero-shuffle tf maps → two vocab-bounded word
+    * aggregations → one vocab-keyed full-outer join; the top-k is a
+    * bounded TakeOrdered, never a vocabulary sort.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 20,
+                 textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(df: DataFrame, as: String): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .groupBy(col("wt.word").as("word"))
+      .agg(sum("wt.tf").cast("long").as(as))
+    val o = counts(oldDocs, "c_old")
+    val n = counts(newDocs, "c_new")
+    val ot = o.agg(sum("c_old").as("__vd_to"))
+    val nt = n.agg(sum("c_new").as("__vd_tn"))
+    o.join(n, Seq("word"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .crossJoin(broadcast(ot)).crossJoin(broadcast(nt))
+      .withColumn("__vd_so", expr("c_old * 1000000 div __vd_to"))
+      .withColumn("__vd_sn", expr("c_new * 1000000 div __vd_tn"))
+      .withColumn("drift_x1m", abs(col("__vd_sn") - col("__vd_so")))
+      .orderBy(col("drift_x1m").desc, col("word"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("drift_x1m").desc, col("word"))).cast("long"))
+      .select("word", "c_old", "c_new", "drift_x1m", "rank")
+  }
+
   /** Per-DOMAIN language mixture — the multilingual complement of
     * [[corpusProfile]]: every doc language-ID'd by the char-trigram NB
     * ([[TextAnalysis.classifyLangId]], trained on `labeled`), rolled

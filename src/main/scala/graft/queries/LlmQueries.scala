@@ -2783,6 +2783,38 @@ object LlmQueries {
       TextAnalysis.codeSwitch(docs, docs)
     }.sortedBy(col("doc_id")),
 
+    // ── Vocabulary drift between snapshots ─────────────────────────
+    // Old = even doc_ids, new = odd; per-word ppm share on each side,
+    // top-20 absolute movers. Integer ppm — no float log-ratio.
+    QueryDef("t_vocab_drift",
+      s"""WITH vow AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+         |voc AS (SELECT word, CAST(count(*) AS BIGINT) AS c_old
+         |  FROM vow GROUP BY 1),
+         |vnw AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+         |vnc AS (SELECT word, CAST(count(*) AS BIGINT) AS c_new
+         |  FROM vnw GROUP BY 1),
+         |vot AS (SELECT CAST(sum(c_old) AS BIGINT) AS t FROM voc),
+         |vnt AS (SELECT CAST(sum(c_new) AS BIGINT) AS t FROM vnc),
+         |vj AS (SELECT coalesce(o.word, n.word) AS word,
+         |    coalesce(o.c_old, 0) AS c_old, coalesce(n.c_new, 0) AS c_new
+         |  FROM voc o FULL OUTER JOIN vnc n ON o.word = n.word),
+         |vd AS (SELECT word, c_old, c_new,
+         |    abs(c_new * 1000000 // vnt.t - c_old * 1000000 // vot.t)
+         |      AS drift_x1m
+         |  FROM vj CROSS JOIN vot CROSS JOIN vnt)
+         |SELECT word, c_old, c_new, drift_x1m,
+         |  CAST(row_number() OVER (ORDER BY drift_x1m DESC, word)
+         |    AS BIGINT) AS rank
+         |FROM vd ORDER BY drift_x1m DESC, word LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        graft.ext.Curation.vocabDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), k = 20)
+    }.sortedBy(col("rank")),
+
     // ── Per-domain language mixture (multilingual source report) ───
     // Every doc language-ID'd by the shared NB chain, rolled up per
     // source: doc/language counts, dominant predicted language + x100
