@@ -329,6 +329,52 @@ object LlmOracle {
       |       (CASE WHEN n_2grams < 5
       |              OR max_2gram_count * 5 <= n_2grams THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin
 
+  /** CTEs replaying [[graft.ext.Packing.spanCorruption]] over `rel`
+    * (exposing doc_id + text): yields `calc(doc_id, n_tokens, inputs,
+    * targets, n_masked, n_spans)` for every non-null-text row — the
+    * same per-index block/offset arithmetic in DuckDB list lambdas
+    * (the coalesce around each array_to_string bridges
+    * NULL-for-empty-list vs Spark's ''-for-empty-array). Shared by
+    * t_span_corruption and the denoising-prep flagship.
+    */
+  def spanCorruptionCtes(rel: String): String = {
+    val blk = "((i-1)//20)"
+    val off = s"o.offs[$blk + 1]"
+    val pos = "((i-1) % 20)"
+    val masked = s"($pos >= $off AND $pos < $off + 3)"
+    val isStart = s"($pos = $off)"
+    val sent = s"'<extra_id_' || CAST($blk AS VARCHAR) || '>'"
+    s"""scbase AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM $rel),
+       |offs AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ((n + 19) // 20) - 1),
+       |      b -> CAST(${polyhash(
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+       |           % 18 AS INT)) AS offs
+       |  FROM scbase WHERE text IS NOT NULL),
+       |calc AS (
+       |  SELECT b.doc_id,
+       |    CAST(b.n AS BIGINT) AS n_tokens,
+       |    coalesce(array_to_string(list_transform(list_filter(
+       |        generate_series(1, b.n),
+       |        i -> NOT ($masked AND NOT $isStart)),
+       |      i -> CASE WHEN $isStart THEN $sent
+       |           ELSE b.ws[i] END), ' '), '') AS inputs,
+       |    coalesce(array_to_string(list_transform(list_filter(
+       |        generate_series(1, b.n), i -> $masked),
+       |      i -> CASE WHEN $isStart THEN $sent || ' ' || b.ws[i]
+       |           ELSE b.ws[i] END), ' '), '') AS targets,
+       |    CAST(len(list_filter(generate_series(1, b.n),
+       |      i -> $masked)) AS BIGINT) AS n_masked,
+       |    CAST(len(list_filter(generate_series(1, b.n),
+       |      i -> $isStart)) AS BIGINT) AS n_spans
+       |  FROM scbase b JOIN offs o USING (doc_id)
+       |  WHERE b.text IS NOT NULL)""".stripMargin
+  }
+
   /** CTEs: token stats + quality score per document of `rel`, yielding
     * `qscored(doc_id, text, quality)`.
     */
@@ -3059,50 +3105,67 @@ object LlmQueries {
     // around each array_to_string bridges DuckDB's NULL-for-empty-list
     // vs Spark's ''-for-empty-array (a fully-unmasked doc has empty
     // targets).
-    QueryDef("t_span_corruption", {
-      val blk = "((i-1)//20)"
-      val off = s"o.offs[$blk + 1]"
-      val pos = "((i-1) % 20)"
-      val masked = s"($pos >= $off AND $pos < $off + 3)"
-      val isStart = s"($pos = $off)"
-      val sent = s"'<extra_id_' || CAST($blk AS VARCHAR) || '>'"
-      s"""WITH base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS ws,
-         |         len(string_split(text, ' ')) AS n
-         |  FROM documents),
-         |offs AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(0, ((n + 19) // 20) - 1),
-         |      b -> CAST(${polyhash(
-              "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
-         |           % 18 AS INT)) AS offs
-         |  FROM base WHERE text IS NOT NULL),
-         |calc AS (
-         |  SELECT b.doc_id,
-         |    CAST(b.n AS BIGINT) AS n_tokens,
-         |    coalesce(array_to_string(list_transform(list_filter(
-         |        generate_series(1, b.n),
-         |        i -> NOT ($masked AND NOT $isStart)),
-         |      i -> CASE WHEN $isStart THEN $sent
-         |           ELSE b.ws[i] END), ' '), '') AS inputs,
-         |    coalesce(array_to_string(list_transform(list_filter(
-         |        generate_series(1, b.n), i -> $masked),
-         |      i -> CASE WHEN $isStart THEN $sent || ' ' || b.ws[i]
-         |           ELSE b.ws[i] END), ' '), '') AS targets,
-         |    CAST(len(list_filter(generate_series(1, b.n),
-         |      i -> $masked)) AS BIGINT) AS n_masked,
-         |    CAST(len(list_filter(generate_series(1, b.n),
-         |      i -> $isStart)) AS BIGINT) AS n_spans
-         |  FROM base b JOIN offs o USING (doc_id)
-         |  WHERE b.text IS NOT NULL)
+    QueryDef("t_span_corruption",
+      s"""WITH ${spanCorruptionCtes("documents")}
          |SELECT d.doc_id, c.inputs, c.targets,
          |  coalesce(c.n_tokens, 0) AS n_tokens,
          |  coalesce(c.n_masked, 0) AS n_masked,
          |  coalesce(c.n_spans, 0) AS n_spans
          |FROM documents d LEFT JOIN calc c USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.ext.Packing.spanCorruption(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // ── Denoising-prep flagship (round-14 composition) ─────────────
+    // The round's new ops end-to-end: near-dup clusters keep their
+    // BEST-quality member → survivors pack curriculum-ordered
+    // (cleanest first) → each packed doc becomes a T5/UL2
+    // (inputs, targets) denoising pair. One consumable derived
+    // relation, every stage an already-proven CTE family.
+    QueryDef("t_denoising_prep",
+      s"""WITH RECURSIVE $hashesCte, $sigCte,
+         |${clusterCtes("documents", jNum = 8, jDen = 10)},
+         |${qualityCtes("documents")},
+         |dpkb AS (SELECT c.cluster_id, c.doc_id, q.quality
+         |  FROM clusters c JOIN qscored q USING (doc_id)),
+         |dpkr AS (SELECT cluster_id, doc_id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM dpkb),
+         |dpkept AS (SELECT d.doc_id, d.text, k.quality
+         |  FROM (SELECT doc_id, quality FROM dpkr WHERE rn = 1) k
+         |  JOIN documents d USING (doc_id)),
+         |dpt AS (SELECT doc_id, (4 - quality) AS stage,
+         |  CASE WHEN text IS NULL THEN 0
+         |       ELSE len(string_split(text, ' ')) END AS toks,
+         |  ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM dpkept),
+         |dpc AS (SELECT doc_id, stage, toks,
+         |  sum(toks) OVER (ORDER BY stage, bkt, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM dpt),
+         |${spanCorruptionCtes("dpkept")}
+         |SELECT p.doc_id, CAST(p.stage AS BIGINT) AS stage,
+         |  CAST((p.cum - p.toks) // 512 AS BIGINT) AS pack,
+         |  c.inputs, c.targets, coalesce(c.n_spans, 0) AS n_spans
+         |FROM dpc p LEFT JOIN calc c USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("long").as("quality"))
+      val best = Dedup.keepBest(Dedup.nearDupClusters(docs), scored)
+        .select(col("keep_id").as("doc_id"), col("score").as("quality"))
+      val kept = docs.select("doc_id", "text").join(best, "doc_id")
+      val staged = kept.select(col("doc_id"),
+        (lit(4) - col("quality")).cast("long").as("stage"),
+        when(col("text").isNull, 0)
+          .otherwise(size(split(col("text"), " "))).as("toks"))
+      val packed = graft.ext.Packing.curriculumPack(staged, col("doc_id"),
+          col("toks"), col("stage"), 512L)
+        .select("doc_id", "stage", "pack")
+      val pairs = graft.ext.Packing.spanCorruption(kept)
+        .select("doc_id", "inputs", "targets", "n_spans")
+      packed.join(pairs, "doc_id")
+        .select("doc_id", "stage", "pack", "inputs", "targets", "n_spans")
     }.sortedBy(col("doc_id")),
 
     QueryDef("t_pack_sequences",
