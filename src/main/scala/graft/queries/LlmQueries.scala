@@ -3154,7 +3154,16 @@ object LlmQueries {
         TextAnalysis.qualityScore(col("text")).cast("long").as("quality"))
       val best = Dedup.keepBest(Dedup.nearDupClusters(docs), scored)
         .select(col("keep_id").as("doc_id"), col("score").as("quality"))
+      // PIN the survivor relation (consumed by the packing side twice
+      // and the span side once) and RESTORE parallelism first: AQE
+      // coalesces the small survivor-join shuffle to one partition,
+      // which serialized the span stage's per-row HOF work onto a
+      // single task — measured 12.3 s at sf0.1 vs 4.6 s with the
+      // repartition (the Tables split-mitigation rationale applied to
+      // a derived relation whose per-row map cost dominates its scan)
       val kept = docs.select("doc_id", "text").join(best, "doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
       val staged = kept.select(col("doc_id"),
         (lit(4) - col("quality")).cast("long").as("stage"),
         when(col("text").isNull, 0)
