@@ -177,6 +177,45 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("takeApportioned: exact quotas per domain, under-supply disclosed not back-filled") {
+    import spark.implicits._
+    // src0 has 30 rows, src1 only 2 (under-supplied), src2 has 10
+    val rows = (1 to 30).map(i => (i.toLong, "src0")) ++
+      Seq((100L, "src1"), (101L, "src1")) ++
+      (200 to 209).map(i => (i.toLong, "src2"))
+    val df = rows.toDF("doc_id", "source")
+    val out = graft.ext.Sampling.takeApportioned(df, "source", "doc_id",
+        Seq("src0" -> 2L, "src1" -> 2L, "src2" -> 1L), budget = 20L)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // quotas: 20·2/5=8, 20·2/5=8, 20·1/5=4 — src1 can only supply 2
+    assert(bySrc == Map("src0" -> 8, "src1" -> 2, "src2" -> 4), s"got $bySrc")
+    // deterministic: same selection under a different partitioning
+    val out2 = graft.ext.Sampling.takeApportioned(df.repartition(7),
+        "source", "doc_id",
+        Seq("src0" -> 2L, "src1" -> 2L, "src2" -> 1L), budget = 20L)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(out.toSet == out2.toSet)
+  }
+
+  test("corpusReport: hand-computed golden on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "aa", "the quick brown fox jumps over the lazy dog today ok"),
+      (3L, "bb", "tiny"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    val r = graft.ext.Curation.corpusReport(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_null_text") == 1L)
+    assert(r.getAs[Long]("n_tokens") == 11L + 11L + 1L)
+    assert(r.getAs[Long]("n_dup_docs") == 1L)     // docs 1 and 2 share text
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[String]("dom_lang") == "aa")   // 2 of 3 labeled
+    assert(r.getAs[Long]("dom_lang_share_x100") == 66L)
+  }
+
   test("normalizeText: case/punct/whitespace variants collapse; null and empty behave") {
     import spark.implicits._
     val df = Seq(
