@@ -1280,6 +1280,26 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Doc-level MIRROR detection: exact text fingerprints shared by
+    * more than one DOMAIN — syndication/mirror sites at document
+    * granularity (the [[crossDomainDup]] shingle matrix tells you two
+    * domains overlap; this names the actual mirrored documents).
+    * Output: (content_fp, n_sources, n_copies, keep_id) for every
+    * cross-domain group. One codegen'd hash map over the scan + one
+    * fp-keyed partial aggregation — 8-byte keys through the exchange.
+    */
+  def mirrorDocs(docs: DataFrame, domainCol: String = "source",
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(idCol), col(domainCol),
+        polyFingerprint(col(textCol)).as("content_fp"))
+      .groupBy("content_fp")
+      .agg(countDistinct(col(domainCol)).as("n_sources"),
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keep_id"))
+      .filter(col("n_sources") > 1)
+
   /** Contrastive TRAINING TRIPLETS mined from the corpus itself —
     * (anchor, positive, negative) rows for embedding-model training:
     * positives are verified near-dup pairs at Jaccard ≥ jNum/jDen

@@ -1612,6 +1612,35 @@ object LlmQueries {
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
     }.sortedBy(col("doc_id")),
 
+    // Doc-level mirror detection: the same text under more than one
+    // source — syndication named at document granularity. Mirrors are
+    // PLANTED in SQL on both sides (doc_id < 15 re-appears under a
+    // shifted id with a rotated source label).
+    QueryDef("t_mirror_docs",
+      s"""WITH mm AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |         'src' || CAST((doc_id + 1) % 20 AS VARCHAR), text
+         |  FROM documents WHERE doc_id < 15),
+         |mg AS (SELECT ${polyhash("text")} AS content_fp,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(*) AS BIGINT) AS n_copies,
+         |    min(doc_id) AS keep_id
+         |  FROM mm WHERE text IS NOT NULL AND source IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT content_fp, n_sources, n_copies, keep_id FROM mg
+         |WHERE n_sources > 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("src"), ((col("doc_id") + 1) % 20).cast("string"))
+            .as("source"),
+          col("text"))
+      Dedup.mirrorDocs(
+        docs.select("doc_id", "source", "text").union(mirrored))
+    }.sortedBy(col("keep_id")),
+
     QueryDef("t_dedup_normalized", {
       val norm = (e: String) =>
         s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
