@@ -1498,6 +1498,30 @@ object Similarity {
         expr("coalesce(n_hit, 0) * 100 div n_exact").as("recall_x100"))
   }
 
+  /** [[annRecallReport]] for the MULTI-PROBE search — the recall side
+    * of the probe-budget trade (multi-probe candidates strictly
+    * contain single-probe's, so its recall can only rise; this report
+    * puts the actual number next to it).
+    */
+  def annRecallReportMultiProbe(corpus: DataFrame, queryIds: Seq[Long],
+                                k: Int, planes: Int = 4, dims: Int = 64,
+                                probeBits: Int = 1,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val ann = annTopKMultiProbe(corpus, queryIds, k, planes, dims,
+        idCol = idCol, vecCol = vecCol, probeBits = probeBits)
+      .select("query_id", "neighbor_id")
+    val exact = topKByIds(corpus, queryIds, k, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 100 div n_exact").as("recall_x100"))
+  }
+
   // ── Embedding classifiers (Rocchio nearest-centroid, IVF kNN) ──────
 
   /** Per-label prototype vectors (Rocchio/nearest-centroid training):

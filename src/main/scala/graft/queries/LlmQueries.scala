@@ -1926,6 +1926,35 @@ object LlmQueries {
         Seq(0L, 1L, 2L, 3L, 4L), k = 10, planes = 4, dims = 64)
     }.sortedBy(col("query_id")),
 
+    // Multi-probe recall report: the recall side of the probe-budget
+    // trade next to t_ann_recall's single-probe number.
+    QueryDef("t_ann_recall_multiprobe",
+      s"""WITH annr AS (SELECT query_id, neighbor_id
+         |  FROM (${annLshMultiProbeSqlFor(1)}) a),
+         |exq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |exs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    round(${cosine("q.qv", "e.embedding")}, 6) AS cos
+         |  FROM exq q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |exr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rn FROM exs)
+         |  WHERE rn <= 10),
+         |rhit AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM exr e JOIN annr a USING (query_id, neighbor_id)
+         |  GROUP BY 1),
+         |rtot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM exr GROUP BY 1)
+         |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+         |  coalesce(h.n_hit, 0) * 100 // t.n_exact AS recall_x100
+         |FROM rtot t LEFT JOIN rhit h USING (query_id)
+         |ORDER BY query_id""".stripMargin) { (s, d) =>
+      Similarity.annRecallReportMultiProbe(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10, planes = 4, dims = 64,
+        probeBits = 1)
+    }.sortedBy(col("query_id")),
+
     QueryDef("t_ann_lsh", annLshSql) { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, planes = 4, dims = 64)
