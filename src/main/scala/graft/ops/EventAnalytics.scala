@@ -82,6 +82,31 @@ object EventAnalytics {
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
 
+  /** Behavior-flow TRANSITION counts (the Markov-edge view product
+    * analytics calls a flow chart): per key, consecutive event-type
+    * pairs in (time, id) order, counted corpus-wide — (type_from,
+    * type_to, n_transitions), one row per observed edge. Null
+    * key/time/type rows have no timeline position and are excluded.
+    *
+    * Scale shape: one key exchange for the lag window (the
+    * [[EventFeatures.lagFeatures]] posture), then a partial-agg
+    * shuffle bounded by |types|² rows.
+    */
+  def transitionCounts(events: DataFrame, keyCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__tc_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__tc_prev").isNotNull)
+      .groupBy(col("__tc_prev").as("type_from"),
+        col(typeCol).as("type_to"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Rolling `windowDays`-day distinct actives (the DAU/WAU family):
     * for every day with events, how many distinct keys were active in
     * the trailing window ending that day. Exact distinct over a

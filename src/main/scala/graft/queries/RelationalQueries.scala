@@ -662,6 +662,24 @@ object RelationalQueries {
         Seq("signup", "view", "click", "purchase"))
     }.sortedBy(col("step")),
 
+    // Behavior-flow transition counts: consecutive event-type pairs
+    // per user in (ts, id) order, counted corpus-wide — the Markov
+    // edges of the product flow chart.
+    QueryDef("w_transition_counts",
+      """WITH tt AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL)
+        |SELECT prev_type AS type_from, event_type AS type_to,
+        |  CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM tt WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.transitionCounts(Tables.events(s, d))
+    }.sortedBy(col("type_from"), col("type_to")),
+
     // Rolling 7-day distinct actives (WAU): each (user, day) pair —
     // deduped first — covers the 7 trailing-window anchors it belongs
     // to; exact distinct per day, days without events omitted.
