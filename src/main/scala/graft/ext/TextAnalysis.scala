@@ -714,6 +714,34 @@ object TextAnalysis {
          |ELSE cast(array() AS array<string>) END""".stripMargin)
   }
 
+  /** Corpus-driven STOPWORD discovery: words whose document frequency
+    * reaches `minDfX100`% of the corpus (exact df, integer
+    * cross-multiplied — df·100 ≥ threshold·n_docs). The standard way a
+    * stopword list is built for a language/domain the curated lists
+    * don't cover; feed the output to [[stopwordCount]]-style signals
+    * or retrieval term filtering. Output: (word, df, df_x100), every
+    * qualifying word.
+    *
+    * Scale shape: the per-doc distinct-word relation partial-aggs into
+    * one vocab-bounded (word, df) shuffle; the corpus count is a 1-row
+    * broadcast attachment.
+    */
+  def discoverStopwords(docs: DataFrame, minDfX100: Long = 40L,
+                        textCol: String = "text"): DataFrame = {
+    require(minDfX100 >= 1 && minDfX100 <= 100,
+      s"minDfX100 must be in [1, 100], got $minDfX100")
+    val n = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("__sw_n"))
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .groupBy(col("wt.word").as("word"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 100 >= lit(minDfX100) * col("__sw_n"))
+      .select(col("word"), col("df"),
+        expr("df * 100 div __sw_n").as("df_x100"))
+  }
+
   /** Per-domain top-k n-grams — the corpus-profiling staple ("what
     * does each source actually say"): total n-gram occurrence counts
     * per (domain, gram), cut to the k most frequent per domain

@@ -2887,6 +2887,26 @@ object LlmQueries {
       TextAnalysis.codeSwitch(docs, docs)
     }.sortedBy(col("doc_id")),
 
+    // ── Corpus-driven stopword discovery ───────────────────────────
+    // Words in >= 40% of documents by exact df (integer
+    // cross-multiplied) — how a stopword list is built for a language
+    // the curated lists don't cover. wordTfs emits distinct words per
+    // doc, so counting rows IS df.
+    QueryDef("t_stopword_discovery",
+      """WITH swd AS (SELECT doc_id, word, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
+        |swf AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+        |  FROM swd GROUP BY 1),
+        |swn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |        WHERE text IS NOT NULL)
+        |SELECT word, df, (df * 100 // n) AS df_x100
+        |FROM swf CROSS JOIN swn WHERE df * 100 >= 40 * n
+        |ORDER BY word""".stripMargin) { (s, d) =>
+      TextAnalysis.discoverStopwords(Tables.documents(s, d),
+        minDfX100 = 40L)
+    }.sortedBy(col("word")),
+
     // ── Vocabulary drift between snapshots ─────────────────────────
     // Old = even doc_ids, new = odd; per-word ppm share on each side,
     // top-20 absolute movers. Integer ppm — no float log-ratio.
