@@ -714,6 +714,46 @@ object TextAnalysis {
          |ELSE cast(array() AS array<string>) END""".stripMargin)
   }
 
+  /** Per-document LEXICAL DIVERSITY: distinct words, total words, and
+    * the integer type-token ratio ×100 — the classic richness signal
+    * (templated/spun text scores low; a TTR floor is a cheap quality
+    * cut beside the repetition gates). Pure row-local array ops, zero
+    * shuffles; null text scores zeros.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(!textCol.contains("`"),
+      s"lexicalDiversity: textCol must not contain a backtick, got '$textCol'")
+    val ws = tokens(col(textCol))
+    val nTok = size(ws).cast("long")
+    val nTypes = size(array_distinct(ws)).cast("long")
+    docs.select(col(idCol),
+      when(col(textCol).isNull, 0L).otherwise(nTok).as("n_tokens"),
+      when(col(textCol).isNull, 0L).otherwise(nTypes).as("n_types"),
+      when(col(textCol).isNull || nTok === 0L, 0L)
+        .otherwise(expr(
+          s"size(array_distinct(split(`$textCol`, ' '))) * 100L" +
+            s" div size(split(`$textCol`, ' '))"))
+        .as("ttr_x100"))
+  }
+
+  /** Per-DOMAIN lexical profile: exact vocabulary size and the hapax
+    * share (words seen exactly once in the domain — the
+    * vocabulary-richness number corpus linguistics leads with; a
+    * boilerplate-heavy domain has few hapaxes, an OCR-noise domain has
+    * too many). One (domain, word) partial-agg shuffle, vocab-bounded.
+    */
+  def domainLexicalProfile(docs: DataFrame, domainCol: String = "source",
+                           textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(domainCol), explode(graft.functions.wordTfs(col(textCol))).as("wt"))
+      .groupBy(col(domainCol), col("wt.word").as("word"))
+      .agg(sum("wt.tf").as("cnt"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax_count"))
+      .withColumn("hapax_x100", expr("hapax_count * 100 div vocab_size"))
+
   /** Corpus-driven STOPWORD discovery: words whose document frequency
     * reaches `minDfX100`% of the corpus (exact df, integer
     * cross-multiplied — df·100 ≥ threshold·n_docs). The standard way a

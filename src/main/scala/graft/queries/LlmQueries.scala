@@ -2887,6 +2887,41 @@ object LlmQueries {
       TextAnalysis.codeSwitch(docs, docs)
     }.sortedBy(col("doc_id")),
 
+    // ── Lexical diversity (TTR + per-domain hapax profile) ─────────
+    QueryDef("t_lexical_diversity",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(list_distinct(string_split(text, ' '))) END
+        |    AS BIGINT) AS n_types,
+        |  CAST(CASE WHEN text IS NULL OR len(string_split(text, ' ')) = 0
+        |       THEN 0
+        |       ELSE len(list_distinct(string_split(text, ' '))) * 100
+        |            // len(string_split(text, ' ')) END AS BIGINT)
+        |    AS ttr_x100
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    QueryDef("t_domain_lexical",
+      """WITH dlw AS (SELECT source, word, CAST(sum(tf) AS BIGINT) AS cnt
+        |  FROM (SELECT source, word, count(*) AS tf FROM (
+        |      SELECT doc_id, source,
+        |        unnest(string_split(text, ' ')) AS word
+        |      FROM documents
+        |      WHERE text IS NOT NULL AND source IS NOT NULL) u
+        |    GROUP BY source, word, doc_id) g
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax_count,
+        |  (CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 100 // count(*)) AS hapax_x100
+        |FROM dlw GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      TextAnalysis.domainLexicalProfile(Tables.documents(s, d))
+    }.sortedBy(col("source")),
+
     // ── Corpus-driven stopword discovery ───────────────────────────
     // Words in >= 40% of documents by exact df (integer
     // cross-multiplied) — how a stopword list is built for a language
