@@ -1280,6 +1280,24 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Per-DOMAIN exact-duplicate rates: docs, distinct text
+    * fingerprints, duplicate count and ×100 share per source — the
+    * "which feed ships dupes" triage number that decides where dedup
+    * effort goes. One hash map over the scan, one (domain, fp)
+    * partial-agg, one domain rollup.
+    */
+  def domainDupRates(docs: DataFrame, domainCol: String = "source",
+                     textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .groupBy(col(domainCol),
+        polyFingerprint(col(textCol)).as("__dr_fp"))
+      .agg(count(lit(1)).as("__dr_c"))
+      .groupBy(domainCol)
+      .agg(sum("__dr_c").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum("__dr_c") - count(lit(1))).as("n_dups"))
+      .withColumn("dup_x100", expr("n_dups * 100 div n_docs"))
+
   /** Doc-level MIRROR detection: exact text fingerprints shared by
     * more than one DOMAIN — syndication/mirror sites at document
     * granularity (the [[crossDomainDup]] shingle matrix tells you two

@@ -1612,6 +1612,22 @@ object LlmQueries {
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
     }.sortedBy(col("doc_id")),
 
+    // Per-domain exact-dup rates: which feed ships dupes — the triage
+    // number deciding where dedup effort goes.
+    QueryDef("t_domain_dup_rate",
+      s"""WITH ddr AS (SELECT source, ${polyhash("text")} AS fp,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
+         |  ((CAST(sum(c) AS BIGINT) - count(*)) * 100 // sum(c))
+         |    AS dup_x100
+         |FROM ddr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Dedup.domainDupRates(Tables.documents(s, d))
+    }.sortedBy(col("source")),
+
     // Doc-level mirror detection: the same text under more than one
     // source — syndication named at document granularity. Mirrors are
     // PLANTED in SQL on both sides (doc_id < 15 re-appears under a
