@@ -2903,6 +2903,30 @@ object LlmQueries {
       TextAnalysis.codeSwitch(docs, docs)
     }.sortedBy(col("doc_id")),
 
+    // Per-domain quality pass rates: the gate dashboard per source.
+    QueryDef("t_domain_quality_rate",
+      s"""WITH ${qualityCtes("documents")}
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |           WHEN q.quality >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  (CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |           WHEN q.quality >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 100 // count(*)) AS pass_x100
+         |FROM documents d JOIN qscored q USING (doc_id)
+         |WHERE d.source IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("source").isNotNull)
+      docs.select(col("source"),
+          when(col("text").isNull, 0L)
+            .otherwise(when(TextAnalysis.qualityScore(col("text")) >= 3, 1L)
+              .otherwise(0L)).as("__dq_p"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("__dq_p").as("n_pass"))
+        .withColumn("pass_x100", expr("n_pass * 100 div n_docs"))
+    }.sortedBy(col("source")),
+
     // ── Lexical diversity (TTR + per-domain hapax profile) ─────────
     QueryDef("t_lexical_diversity",
       """SELECT doc_id,

@@ -662,6 +662,36 @@ object RelationalQueries {
         Seq("signup", "view", "click", "purchase"))
     }.sortedBy(col("step")),
 
+    // Per-type value percentiles: the histogram-formulation integer
+    // percentile law (t_group_percentiles) over quantized event values.
+    QueryDef("w_value_percentiles",
+      """WITH vh AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |         count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |vc AS (
+        |  SELECT event_type, v, sum(c) OVER (PARTITION BY event_type
+        |         ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc FROM vh),
+        |vt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |       FROM vh GROUP BY 1),
+        |vp50 AS (SELECT c.event_type, min(v) AS p50 FROM vc c
+        |  JOIN vt t ON t.event_type = c.event_type
+        |  WHERE c.cumc >= (t.n * 50 + 99) // 100 GROUP BY 1),
+        |vp90 AS (SELECT c.event_type, min(v) AS p90 FROM vc c
+        |  JOIN vt t ON t.event_type = c.event_type
+        |  WHERE c.cumc >= (t.n * 90 + 99) // 100 GROUP BY 1)
+        |SELECT t.event_type, t.n, vp50.p50, vp90.p90
+        |FROM vt t
+        |JOIN vp50 ON vp50.event_type = t.event_type
+        |JOIN vp90 ON vp90.event_type = t.event_type
+        |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+      graft.ext.Curation.groupPercentiles(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("v")),
+        "event_type", "v", Seq(50, 90))
+    }.sortedBy(col("event_type")),
+
     // Behavior-flow transition counts: consecutive event-type pairs
     // per user in (ts, id) order, counted corpus-wide — the Markov
     // edges of the product flow chart.
