@@ -1280,6 +1280,42 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** CONTINUATION-pair detection — the pagination-split problem: a
+    * crawler that saved one article as pages A, B leaves A's last
+    * `window` words equal to B's first `window` words (overlapping
+    * page renders). Pairs where tail(A) == head(B), found by an
+    * equi-join on the boundary-gram hash and VERIFIED on the actual
+    * gram text (hash collisions cannot fabricate a pair). Docs shorter
+    * than `window` words have no reliable boundary and are excluded.
+    * Output: (prev_id, next_id, boundary_gram).
+    *
+    * Scale shape: one codegen'd map emits two (hash, gram) boundary
+    * keys per doc; one hash equi-join pairs tails with heads —
+    * boundary-gram hashes are near-unique, so the join is
+    * collision-bounded, never all-pairs.
+    */
+  def continuationPairs(docs: DataFrame, window: Int = 8,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val ws = split(col(textCol), " ")
+    val n = size(ws)
+    val head = concat_ws(" ", slice(ws, 1, window))
+    val tail = concat_ws(" ", slice(ws, -window, window))
+    val base = docs.filter(col(textCol).isNotNull && n >= window)
+      .select(col(idCol), head.as("__cp_head"), tail.as("__cp_tail"))
+    val tails = base.select(col(idCol).as("prev_id"),
+      col("__cp_tail").as("boundary_gram"),
+      polyFingerprint(col("__cp_tail")).as("__cp_h"))
+    val heads = base.select(col(idCol).as("next_id"),
+      col("__cp_head").as("__cp_hg"),
+      polyFingerprint(col("__cp_head")).as("__cp_h"))
+    tails.join(heads, "__cp_h")
+      .filter(col("prev_id") =!= col("next_id") &&
+        col("boundary_gram") === col("__cp_hg"))
+      .select("prev_id", "next_id", "boundary_gram")
+  }
+
   /** Per-DOMAIN exact-duplicate rates: docs, distinct text
     * fingerprints, duplicate count and ×100 share per source — the
     * "which feed ships dupes" triage number that decides where dedup

@@ -1612,6 +1612,44 @@ object LlmQueries {
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
     }.sortedBy(col("doc_id")),
 
+    // Continuation pairs (pagination splits): docs whose first 8 words
+    // equal another doc's last 8 — page-two fragments PLANTED in SQL
+    // both sides (doc_id < 12 gains a continuation page under a
+    // shifted id). Hash equi-join + text verify on the Spark side; the
+    // oracle joins on the gram text directly (same pairs).
+    QueryDef("t_continuation_pairs",
+      """WITH cpb AS (SELECT doc_id, text,
+        |    string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |cpu AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(ws[n-7:n], ' ') ||
+        |    ' page two continues here with fresh words'
+        |  FROM cpb WHERE doc_id < 12 AND n >= 8),
+        |cpk AS (SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS head,
+        |    array_to_string(string_split(text, ' ')
+        |      [len(string_split(text, ' '))-7:len(string_split(text, ' '))],
+        |      ' ') AS tail
+        |  FROM cpu WHERE len(string_split(text, ' ')) >= 8)
+        |SELECT t.doc_id AS prev_id, h.doc_id AS next_id,
+        |       t.tail AS boundary_gram
+        |FROM cpk t JOIN cpk h
+        |  ON t.tail = h.head AND t.doc_id <> h.doc_id
+        |ORDER BY prev_id, next_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ws = split(col("text"), " ")
+      val n = size(ws)
+      val pages = docs
+        .filter(col("text").isNotNull && col("doc_id") < 12 && n >= 8)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(concat_ws(" ", slice(ws, -8, 8)),
+            lit(" page two continues here with fresh words")).as("text"))
+      Dedup.continuationPairs(docs.union(pages), window = 8)
+    }.sortedBy(col("prev_id"), col("next_id")),
+
     // Per-domain exact-dup rates: which feed ships dupes — the triage
     // number deciding where dedup effort goes.
     QueryDef("t_domain_dup_rate",
