@@ -662,12 +662,14 @@ object Dedup {
     clusters.join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
       .groupBy("cluster_id")
       .agg(
-        // negate BEFORE the null coalesce: a null score becomes
-        // Long.MaxValue (sorts last — any scored member beats it);
-        // negating the sentinel instead would overflow-wrap
+        // null-last law via a leading null flag (0 = scored, 1 =
+        // null): any scored member beats an unscored one, and the raw
+        // score is compared in its OWN numeric type — no long cast
+        // that would truncate a fractional 0..1 quality to 0 and
+        // silently degenerate the argmax into a lowest-id pick
         min(struct(
-          coalesce(-col(scoreCol).cast("long"), lit(Long.MaxValue))
-            .as("negs"),
+          when(col(scoreCol).isNull, lit(1)).otherwise(lit(0)).as("nullf"),
+          (-col(scoreCol)).as("negs"),
           col(idCol).as("i"), col(scoreCol).as("s"))).as("__kb_top"),
         count(lit(1)).as("n_members"))
       .select(col("cluster_id"), col("__kb_top.i").as("keep_id"),

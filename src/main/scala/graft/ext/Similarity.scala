@@ -1487,6 +1487,16 @@ object Similarity {
     val ann = annTopK(corpus, queryIds, k, planes, dims,
         idCol = idCol, vecCol = vecCol)
       .select("query_id", "neighbor_id")
+    recallAgainstExact(ann, corpus, queryIds, k, idCol, vecCol)
+  }
+
+  /** Shared recall tail for the ANN recall reports: exact top-k over
+    * the bounded query set, semi-join the ANN result against it,
+    * per-query hit/exact counts and the integer recall ratio.
+    */
+  private def recallAgainstExact(ann: DataFrame, corpus: DataFrame,
+                                 queryIds: Seq[Long], k: Int,
+                                 idCol: String, vecCol: String): DataFrame = {
     val exact = topKByIds(corpus, queryIds, k, idCol, vecCol)
       .select("query_id", "neighbor_id")
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1511,15 +1521,7 @@ object Similarity {
     val ann = annTopKMultiProbe(corpus, queryIds, k, planes, dims,
         idCol = idCol, vecCol = vecCol, probeBits = probeBits)
       .select("query_id", "neighbor_id")
-    val exact = topKByIds(corpus, queryIds, k, idCol, vecCol)
-      .select("query_id", "neighbor_id")
-    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left_outer")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        expr("coalesce(n_hit, 0) * 100 div n_exact").as("recall_x100"))
+    recallAgainstExact(ann, corpus, queryIds, k, idCol, vecCol)
   }
 
   // ── Embedding classifiers (Rocchio nearest-centroid, IVF kNN) ──────
@@ -1555,7 +1557,10 @@ object Similarity {
   /** Nearest-centroid (Rocchio) classification: every query vector gets
     * the label of its most-cosine-similar class prototype, label-id
     * tiebreak. Output: (idCol, pred_label, cos) — cos rounded to 6
-    * places, the cross-engine comparison contract.
+    * places, the cross-engine comparison contract. Queries with a NULL
+    * embedding are DROPPED (no prediction row — a null vector has no
+    * cosine against anything); the oracle mirrors the drop with an
+    * `embedding IS NOT NULL` predicate on the query side.
     *
     * Scale shape: the |labels|-row centroid table is broadcast; the
     * corpus streams through one scored map stage and the bounded-heap
@@ -1581,7 +1586,8 @@ object Similarity {
     * the TRAINING split only), exact-reranks within the probed inverted
     * lists, and takes the majority label of its k nearest training
     * neighbours (vote-count tiebreak: lowest label wins). Output:
-    * (idCol, pred_label, votes).
+    * (idCol, pred_label, votes). Null-embedding queries are DROPPED
+    * (same contract as [[classifyRocchio]], mirrored in the oracle).
     *
     * Scale shape — deliberately DIFFERENT from [[searchAssigned]]:
     * there the query set is bounded and the probe table broadcasts;

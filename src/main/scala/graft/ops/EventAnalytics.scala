@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object EventAnalytics {
 
+  /** Epoch-day of an epoch-micros long column by FLOOR division (the
+    * [[TemporalJoins]] floorDivExpr posture): Spark `div` truncates
+    * toward zero, DuckDB `//` floors, so a pre-1970 timestamp would
+    * land in different days cross-engine under bare `div`.
+    * `(c - pmod(c, m)) div m` is integer-exact floor for every long.
+    */
+  private def epochDayExpr(colName: String): Column =
+    expr(s"(`$colName` - pmod(`$colName`, 86400000000L)) div 86400000000L")
+
   /** Ordered-funnel depth per key: how many of `steps` the key
     * completed IN ORDER, where step i counts only strictly after the
     * (first) completion of step i−1 — t₀ = min ts of step 0,
@@ -72,7 +81,7 @@ object EventAnalytics {
     }
     val days = events.filter(col(tsCol).isNotNull)
       .select(col(keyCol), t.as("__cr_us"))
-      .withColumn("__cr_day", expr("__cr_us div 86400000000"))
+      .withColumn("__cr_day", epochDayExpr("__cr_us"))
     val cohorts = days.groupBy(keyCol)
       .agg(min("__cr_day").as("cohort_day"))
     days.join(cohorts, keyCol)
@@ -132,7 +141,7 @@ object EventAnalytics {
     val days = events
       .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol), t.as("__ra_us"))
-      .withColumn("day", expr("__ra_us div 86400000000"))
+      .withColumn("day", epochDayExpr("__ra_us"))
       .select(col(keyCol), col("day")).distinct()
     val expanded = days.select(col(keyCol),
       explode(sequence(col("day"), col("day") + (windowDays - 1)))

@@ -1660,8 +1660,8 @@ object LlmQueries {
          |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
          |  CAST(count(*) AS BIGINT) AS n_distinct,
          |  CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
-         |  ((CAST(sum(c) AS BIGINT) - count(*)) * 100 // sum(c))
-         |    AS dup_x100
+         |  CAST((CAST(sum(c) AS BIGINT) - count(*)) * 100
+         |    // CAST(sum(c) AS BIGINT) AS BIGINT) AS dup_x100
          |FROM ddr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Dedup.domainDupRates(Tables.documents(s, d))
     }.sortedBy(col("source")),
@@ -4294,7 +4294,8 @@ object LlmQueries {
          |          FROM upd GROUP BY label),
          |sc AS (
          |  SELECT e.vec_id, c.label, ${cosine("e.embedding", "c.cvec")} AS cos
-         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 7 = 0)
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id % 7 = 0 AND e.embedding IS NOT NULL)
          |SELECT vec_id, label AS pred_label, round(cos, 6) AS cos
          |FROM (SELECT vec_id, label, cos,
          |        row_number() OVER (PARTITION BY vec_id
@@ -4312,7 +4313,9 @@ object LlmQueries {
     // broadcast), majority label of the 10 nearest training
     // neighbours, vote-count tiebreak toward the lowest label.
     QueryDef("t_knn_classify",
-      s"""WITH ${ivfCtes(k = 16, nProbe = 4, queryPred = "vec_id % 7 = 0",
+      s"""WITH ${ivfCtes(k = 16, nProbe = 4,
+           queryPred = "vec_id % 7 = 0 AND vec_id IN " +
+             "(SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL)",
            trainRel = "(SELECT * FROM embeddings WHERE vec_id % 7 <> 0)")},
          |cand AS (
          |  SELECT p.query_id, a.vec_id AS neighbor_id

@@ -288,6 +288,38 @@ class OpsPropertySpec extends SparkSuite {
     assert(exchanges <= 1, s"funnel chain must share one exchange:\n$plan")
   }
 
+  test("cohort/rolling day bucketing FLOORS pre-1970 timestamps") {
+    import spark.implicits._
+    // 1969-12-31 18:00 UTC is epoch-micros < 0: truncating `div` would
+    // bucket it into day 0 (same as 1970-01-01), floor puts it in -1
+    val ev = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T18:00:00Z"))),
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T06:00:00Z"))))
+      .toDF("user_id", "ts")
+    val ret = graft.ops.EventAnalytics.cohortRetention(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ret == Set((-1L, 0L, 1L), (-1L, 1L, 1L)),
+      s"pre-1970 cohort must floor to day -1: $ret")
+    val days = graft.ops.EventAnalytics.rollingActive(ev, windowDays = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(days == Map(-1L -> 1L, 0L -> 1L), s"got $days")
+  }
+
+  test("keepBest compares fractional scores without truncation") {
+    import spark.implicits._
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("doc_id", "cluster_id")
+    // fractional 0..1 qualities: a long cast would zero them all and
+    // degrade the argmax to lowest-id; doc 12 / doc 21 must win. Null
+    // score loses to any scored member.
+    val scored = Seq((10L, Some(0.2)), (11L, Some(0.5)), (12L, Some(0.9)),
+      (20L, None), (21L, Some(0.1))).toDF("doc_id", "quality")
+    val got = graft.ext.Dedup.keepBest(clusters, scored)
+      .select("cluster_id", "keep_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 12L, 3L), (2L, 21L, 2L)), s"got $got")
+  }
+
   test("apportion: exact sum, floor+largest-remainder, deterministic ties") {
     import graft.ext.Sampling.apportion
     assert(apportion(Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L), 37L) ==
