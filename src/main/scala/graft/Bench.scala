@@ -65,6 +65,21 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = Sessions.build("graft-bench", cpus)
 
+    // Ambient-load context (round-14 verdict ask #3): this sandbox's
+    // totals swing ±15% with NEIGHBOR contention (five same-code full
+    // runs measured 161–182 s in r14; an interleaved r15 A/B put the
+    // SAME binary at 3.5–5.8 s on one query) — the 1-/5-/15-min load
+    // averages at run start/end ride in the trailer so a cross-round
+    // ratio can be normalized against how loaded the box actually was.
+    def loadAvg(): String =
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+          .split("\\s+")
+        s"[${parts(0)},${parts(1)},${parts(2)}]"
+      } catch { case _: Throwable => "[]" }
+    val loadStart = loadAvg()
+
     // optional subset for local iteration (comma-separated names);
     // unset = all queries (the driver path) — mirrors
     // SPARK_GRAFT_VERIFY_ONLY on the Verify main
@@ -270,7 +285,7 @@ object Bench {
     if (only.isEmpty) {
       val storeJson = storeStanza.map(s => s""","store":$s""").getOrElse("")
       val fullLine =
-        s"""{"metric":"bench_full","round":$round,"total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)},$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails$storeJson$regressionJson,"iters":$iters,"sf":${jstr(sfDir)}}"""
+        s"""{"metric":"bench_full","round":$round,"total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)},$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails$storeJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}"""
       try
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"bench_full_r$round.json"),
@@ -295,7 +310,7 @@ object Bench {
     val failTrail =
       if (failed.isEmpty) ""","failed_n":0"""
       else s""","failed_n":${failed.size},"failed_names":${failed.keys.take(10).map(jstr).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail$regressionJson,"iters":$iters,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
