@@ -1292,6 +1292,73 @@ object TextAnalysis {
     applyNaiveBayes(docs, bundle.wc, bundle.classes, bundle.model,
       idCol, textCol, bundle.tfs)
 
+  /** Named tokenizer registry for PERSISTED NB bundles: the tokenizer
+    * must survive a JVM restart, so a written bundle records a name
+    * resolved here on load — never a closure. `word` is the
+    * whitespace-word space ([[classifyNaiveBayes]]'s default), `char3`
+    * the padded char-trigram space ([[classifyLangId]]'s).
+    */
+  val NbTokenizers: Map[String, Column => Column] = Map(
+    "word" -> (graft.functions.wordTfs(_)),
+    "char3" -> (graft.functions.charTrigramTfs(_)))
+
+  /** Train an NB model and PERSIST it — the 100 TB model lifecycle: a
+    * language/quality classifier trains ONCE over the labeled corpus
+    * and is reused (and audited) across jobs and sessions, exactly like
+    * the ANN indexes' write-once Layout tables. Three bucketed
+    * relations + a 1-row `_meta`:
+    *
+    *  - `<name>_wc(label, word, cnt)` — seen-pair counts, bucketed by
+    *    `word` (the vocab-join key the scoring plan probes);
+    *  - `<name>_classes(label, n_docs, denom, prior_bits,
+    *    default_bits)` — C rows, one bucket;
+    *  - `<name>_model(label, word, cnt, bits)` — smoothed evidence,
+    *    bucketed by `word`;
+    *  - `<name>_meta(tokenizer)` — the [[NbTokenizers]] name, checked
+    *    on load so a classifier can never score under a different
+    *    tokenizer than it trained under.
+    *
+    * Everything persisted is vocab·C-bounded — KBs-to-MBs for a real
+    * vocabulary, never corpus-sized.
+    */
+  def writeNbBundle(labeled: DataFrame, name: String,
+                    labelCol: String = "lang", textCol: String = "text",
+                    tokenizer: String = "word", buckets: Int = 8): Unit = {
+    val tfs = NbTokenizers.getOrElse(tokenizer,
+      throw new IllegalArgumentException(
+        s"unknown tokenizer '$tokenizer' — register it in " +
+          s"TextAnalysis.NbTokenizers (have: ${NbTokenizers.keys.mkString(", ")})"))
+    // nbParts pins wc (localCheckpoint), so the three writes share one
+    // training aggregation — the labeled corpus is scanned once
+    val (wc, classes, model) = nbParts(labeled, labelCol, textCol, tfs)
+    graft.core.Layout.writeBucketed(wc, s"${name}_wc", "word", buckets)
+    graft.core.Layout.writeBucketed(classes, s"${name}_classes", "label", 1)
+    graft.core.Layout.writeBucketed(
+      model, s"${name}_model", "word", buckets)
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    graft.core.Layout.writeBucketed(
+      Seq(tokenizer).toDF("tokenizer"), s"${name}_meta", "tokenizer", 1)
+  }
+
+  /** Load a persisted NB bundle written by [[writeNbBundle]]: the three
+    * model relations read straight from the bucketed tables (no
+    * training work, no localCheckpoint — the tables ARE the pinned
+    * form), the tokenizer resolved from `_meta`. A loaded bundle
+    * classifies bit-identically to the in-session one it was written
+    * from (spec-gated, plus the t_nb_classify_persisted oracle).
+    */
+  def loadNbBundle(spark: org.apache.spark.sql.SparkSession,
+                   name: String): NbBundle = {
+    val tok = spark.table(s"${name}_meta").head().getString(0)
+    val tfs = NbTokenizers.getOrElse(tok,
+      throw new IllegalStateException(
+        s"bundle '$name' trained under tokenizer '$tok', which this " +
+          "build does not register in TextAnalysis.NbTokenizers"))
+    NbBundle(spark.table(s"${name}_wc"), spark.table(s"${name}_classes"),
+      spark.table(s"${name}_model"), tfs)
+  }
+
   private def applyNaiveBayes(docs: DataFrame, wc: DataFrame,
                               classes: DataFrame, model: DataFrame,
                               idCol: String, textCol: String,

@@ -592,6 +592,23 @@ object LlmQueries {
       name
     }
 
+  /** The written-once NB language bundle per (JVM, sf dir) — the
+    * train-once/classify-many model lifecycle (ANN-index memo posture):
+    * the first consumer pays the training write, later consumers load
+    * the persisted tables.
+    */
+  def nbBundleFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_nb_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val lab = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang").as("label"), col("text"))
+        TextAnalysis.writeNbBundle(lab, name, labelCol = "label")
+        builtIndexes += name
+      }
+      name
+    }
+
   /** The learned-once BPE merge table per (JVM, sf dir, n) — the two
     * tokenizer-training queries share one training run, mirroring the
     * train-once/tokenize-many lifecycle (and the ANN index memo above).
@@ -1221,6 +1238,27 @@ object LlmQueries {
          |    lead(prior_bits) OVER (ORDER BY prior_bits, label) AS nxt
          |  FROM vcls2)"""
       .stripMargin
+
+  /** The language-teacher NB classification oracle — shared verbatim by
+    * t_nb_classify (in-session training) and t_nb_classify_persisted
+    * (bundle round-tripped through disk): one SQL gating that both
+    * paths produce the identical result.
+    */
+  private lazy val nbClassifyLangSql: String =
+    s"""WITH nblab AS (SELECT doc_id, lang AS label, text FROM documents),
+       |${nbWordCtes("nblab")}
+       |SELECT d.doc_id,
+       |  coalesce(r.label, p.label) AS pred,
+       |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL
+       |            THEN coalesce(r.nxt - r.bits, 0)
+       |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
+       |    AS margin,
+       |  coalesce(r.n_tokens, 0) AS n_tokens
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+       |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
+       |ORDER BY d.doc_id""".stripMargin
 
   /** CTE chain of the word-unigram NB classifier: trained on
     * `labeledRel` (must expose doc_id, label, text), scoring every
@@ -2826,23 +2864,20 @@ object LlmQueries {
     // smoothed defaults for in-vocab words unseen in a class, OOV
     // dropped), margin = runner-up - winner. The oracle replays the
     // identical integer argmin with a window.
-    QueryDef("t_nb_classify",
-      s"""WITH nblab AS (SELECT doc_id, lang AS label, text FROM documents),
-         |${nbWordCtes("nblab")}
-         |SELECT d.doc_id,
-         |  coalesce(r.label, p.label) AS pred,
-         |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
-         |  CAST(CASE WHEN r.doc_id IS NOT NULL
-         |            THEN coalesce(r.nxt - r.bits, 0)
-         |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
-         |    AS margin,
-         |  coalesce(r.n_tokens, 0) AS n_tokens
-         |FROM documents d
-         |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
-         |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    QueryDef("t_nb_classify", nbClassifyLangSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.classifyNaiveBayes(docs, docs)
+    }.sortedBy(col("doc_id")),
+
+    // The SAME chain with the model ROUND-TRIPPED THROUGH DISK
+    // (writeNbBundle → bucketed tables + _meta → loadNbBundle →
+    // classifyWith): one oracle gates that a persisted bundle
+    // classifies bit-identically to in-session training — the
+    // train-once/reuse-across-jobs lifecycle a 100 TB pipeline needs
+    // (round-14 verdict ask #4).
+    QueryDef("t_nb_classify_persisted", nbClassifyLangSql) { (s, d) =>
+      val bundle = TextAnalysis.loadNbBundle(s, nbBundleFor(s, d))
+      TextAnalysis.classifyWith(Tables.documents(s, d), bundle)
     }.sortedBy(col("doc_id")),
 
     // ── Model-based quality classifier (rule-gate as teacher) ──────

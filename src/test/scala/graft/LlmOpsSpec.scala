@@ -2818,4 +2818,38 @@ class LlmOpsSpec extends SparkSuite {
       assert(votes == 5L, s"expected unanimous votes for $id, got $votes")
     }
   }
+
+  test("persisted NB bundle classifies bit-identically to in-session training") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val lab = docs.select(col("doc_id"), col("lang").as("label"), col("text"))
+    // word-tokenizer bundle: disk round-trip vs the straight chain
+    TextAnalysis.writeNbBundle(lab, "spec_nb_word", labelCol = "label")
+    val loaded = TextAnalysis.loadNbBundle(spark, "spec_nb_word")
+    val direct = TextAnalysis
+      .classifyNaiveBayes(docs, lab, labelCol = "label")
+      .orderBy("doc_id").collect().toSeq
+    val viaDisk = TextAnalysis.classifyWith(docs, loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(direct == viaDisk,
+      "persisted word bundle must classify bit-identically")
+
+    // char-trigram bundle: the tokenizer NAME must survive the
+    // round-trip and resolve back to the same tf space
+    TextAnalysis.writeNbBundle(lab, "spec_nb_c3", labelCol = "label",
+      tokenizer = "char3")
+    val loaded3 = TextAnalysis.loadNbBundle(spark, "spec_nb_c3")
+    val direct3 = TextAnalysis.classifyNaiveBayes(docs, lab,
+        labelCol = "label", tfs = graft.functions.charTrigramTfs)
+      .orderBy("doc_id").collect().toSeq
+    val viaDisk3 = TextAnalysis.classifyWith(docs, loaded3)
+      .orderBy("doc_id").collect().toSeq
+    assert(direct3 == viaDisk3,
+      "persisted char3 bundle must classify bit-identically")
+
+    // an unregistered tokenizer must fail loudly at WRITE time
+    intercept[IllegalArgumentException] {
+      TextAnalysis.writeNbBundle(lab, "spec_nb_bad", labelCol = "label",
+        tokenizer = "bpe")
+    }
+  }
 }
