@@ -429,6 +429,84 @@ object TextAnalysis {
     when(nChars === 0, lit(true)).otherwise(ok)
   }
 
+  /** Thresholds ×100 for the LINE/PARAGRAPH Gopher rules (Rae et al.
+    * 2021, Table A1's remaining rows): duplicate line fraction 30%,
+    * duplicate line CHARACTER fraction 20%, duplicate paragraph
+    * fraction 30%, duplicate paragraph character fraction 20%.
+    */
+  val GopherLineThresholdsX100: Seq[Int] = Seq(30, 20, 30, 20)
+
+  /** The LINE/PARAGRAPH half of the Gopher rule set, completing
+    * [[gopherStats]]' n-gram half: per document the x100 fraction of
+    * duplicate lines / paragraphs (all-but-first occurrences of each
+    * repeated unit — exactly `n − n_distinct`) and of the CHARACTERS
+    * those duplicate occurrences contain, plus `gopher_lines_pass`
+    * (1 iff every fraction is at or under its threshold). Lines split
+    * on `\n`, paragraphs on `\n\n`; the char denominators are the
+    * unit-char totals (separators excluded — both engines then count
+    * the same bytes). Null text scores zeros and passes (repetition
+    * rules judge repetition; emptiness is the length gate's job).
+    * Empty units (blank lines) count like any other — deterministic
+    * and engine-portable; strip them upstream if a corpus makes them
+    * meaningless.
+    *
+    * Shape: pure row-local HOF arithmetic (split / array_distinct /
+    * aggregate-of-lengths), codegen'd, ZERO exchanges. The split
+    * arrays and char sums are STAGED through materialized columns —
+    * the CDC-chunker lesson: an array expression referenced by several
+    * HOFs re-evaluates per reference when inlined.
+    */
+  def gopherLineStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      thresholdsX100: Seq[Int] = GopherLineThresholdsX100)
+      : DataFrame = {
+    require(thresholdsX100.length == 4,
+      s"need 4 thresholds (dup_line, dup_line_char, dup_para, " +
+        s"dup_para_char), got ${thresholdsX100.length}")
+    val reserved = docs.columns.filter(_.startsWith("__gl_"))
+    require(reserved.isEmpty,
+      s"column(s) ${reserved.mkString(", ")} collide with " +
+        "gopherLineStats' reserved prefix '__gl_'")
+    def charSum(arr: Column): Column =
+      coalesce(aggregate(transform(arr, u => length(u).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L))
+    val staged = docs
+      .withColumn("__gl_ls", split(col(textCol), "\n"))
+      .withColumn("__gl_ps", split(col(textCol), "\n\n"))
+      .withColumn("__gl_ln", coalesce(size(col("__gl_ls")), lit(0))
+        .cast("long"))
+      .withColumn("__gl_ld",
+        coalesce(size(array_distinct(col("__gl_ls"))), lit(0)).cast("long"))
+      .withColumn("__gl_lc", charSum(col("__gl_ls")))
+      .withColumn("__gl_lcd", charSum(array_distinct(col("__gl_ls"))))
+      .withColumn("__gl_pn", coalesce(size(col("__gl_ps")), lit(0))
+        .cast("long"))
+      .withColumn("__gl_pd",
+        coalesce(size(array_distinct(col("__gl_ps"))), lit(0)).cast("long"))
+      .withColumn("__gl_pc", charSum(col("__gl_ps")))
+      .withColumn("__gl_pcd", charSum(array_distinct(col("__gl_ps"))))
+    val out = staged.select(col(idCol),
+      col("__gl_ln").as("n_lines"), col("__gl_pn").as("n_paras"),
+      when(col("__gl_ln") > 0,
+        expr("((__gl_ln - __gl_ld) * 100) div __gl_ln"))
+        .otherwise(lit(0L)).as("dup_line_frac_x100"),
+      when(col("__gl_lc") > 0,
+        expr("((__gl_lc - __gl_lcd) * 100) div __gl_lc"))
+        .otherwise(lit(0L)).as("dup_line_char_frac_x100"),
+      when(col("__gl_pn") > 0,
+        expr("((__gl_pn - __gl_pd) * 100) div __gl_pn"))
+        .otherwise(lit(0L)).as("dup_para_frac_x100"),
+      when(col("__gl_pc") > 0,
+        expr("((__gl_pc - __gl_pcd) * 100) div __gl_pc"))
+        .otherwise(lit(0L)).as("dup_para_char_frac_x100"))
+    val names = Seq("dup_line_frac_x100", "dup_line_char_frac_x100",
+      "dup_para_frac_x100", "dup_para_char_frac_x100")
+    val passed = names.zip(thresholdsX100)
+      .map { case (f, thr) => col(f) <= thr }.reduce(_ && _)
+    out.withColumn("gopher_lines_pass",
+      when(passed, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Field order of [[graft.functions.GopherRepetition]]'s struct. */
   private val GopherFields: Seq[String] =
     graft.functions.GopherRepetition.TopNs.map(n => s"top$n") ++

@@ -1532,6 +1532,86 @@ object LlmQueries {
       TextAnalysis.gopherStats(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Line/paragraph Gopher rules over PLANTED multiline structure ─
+    // The corpus is flat single-space text, so the fixture rebuilds
+    // every doc as 2 paragraphs × 3 lines IN SQL ON BOTH SIDES (the
+    // t_mirror_docs planted pattern): doc_id % 3 repeats a line inside
+    // paragraph 1, doc_id % 5 repeats the whole paragraph — so the
+    // corpus exercises line-dup-only, para-dup-only (which drags line
+    // dups with it), both (%15), and clean docs. Duplicates counted as
+    // all-but-first occurrences (n − n_distinct), char fractions over
+    // unit-char totals (separators excluded on both engines).
+    QueryDef("t_gopher_lines",
+      s"""WITH mlv AS (
+         |  SELECT doc_id,
+         |    coalesce(array_to_string(ws[1:4], ' '), '') AS l1,
+         |    coalesce(array_to_string(ws[5:8], ' '), '') AS l2,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN coalesce(array_to_string(ws[1:4], ' '), '')
+         |         ELSE coalesce(array_to_string(ws[9:12], ' '), '')
+         |    END AS l3,
+         |    coalesce(array_to_string(ws[13:20], ' '), '') AS tl
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents WHERE text IS NOT NULL)),
+         |mlt AS (
+         |  SELECT doc_id,
+         |    l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || chr(10) ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN l1 || chr(10) || l2 || chr(10) || l3
+         |         ELSE tl END AS text
+         |  FROM mlv),
+         |gls AS (SELECT doc_id,
+         |    string_split(text, chr(10)) AS ls,
+         |    string_split(text, chr(10) || chr(10)) AS ps
+         |  FROM mlt),
+         |glm AS (SELECT doc_id,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(ps) AS BIGINT) AS n_paras,
+         |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dl,
+         |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+         |      AS BIGINT) AS lc,
+         |    CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+         |      x -> length(x))), 0) AS BIGINT) AS lcd,
+         |    CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS dp,
+         |    CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0)
+         |      AS BIGINT) AS pc,
+         |    CAST(coalesce(list_sum(list_transform(list_distinct(ps),
+         |      x -> length(x))), 0) AS BIGINT) AS pcd
+         |  FROM gls),
+         |glf AS (SELECT doc_id, n_lines, n_paras,
+         |    CASE WHEN n_lines > 0
+         |         THEN CAST(dl * 100 // n_lines AS BIGINT) ELSE 0 END
+         |      AS dup_line_frac_x100,
+         |    CASE WHEN lc > 0
+         |         THEN CAST((lc - lcd) * 100 // lc AS BIGINT) ELSE 0 END
+         |      AS dup_line_char_frac_x100,
+         |    CASE WHEN n_paras > 0
+         |         THEN CAST(dp * 100 // n_paras AS BIGINT) ELSE 0 END
+         |      AS dup_para_frac_x100,
+         |    CASE WHEN pc > 0
+         |         THEN CAST((pc - pcd) * 100 // pc AS BIGINT) ELSE 0 END
+         |      AS dup_para_char_frac_x100
+         |  FROM glm)
+         |SELECT *, CAST(CASE WHEN dup_line_frac_x100 <= 30
+         |    AND dup_line_char_frac_x100 <= 20
+         |    AND dup_para_frac_x100 <= 30
+         |    AND dup_para_char_frac_x100 <= 20 THEN 1 ELSE 0 END
+         |  AS BIGINT) AS gopher_lines_pass
+         |FROM glf ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val ws = split(col("text"), " ")
+      def seg(st: Int, len: Int) = concat_ws(" ", slice(ws, st, len))
+      val l1 = seg(1, 4)
+      val l2 = seg(5, 4)
+      val l3 = when(col("doc_id") % 3 === 0, seg(1, 4)).otherwise(seg(9, 4))
+      val p1 = concat(l1, lit("\n"), l2, lit("\n"), l3)
+      val planted = docs.select(col("doc_id"),
+        concat(p1, lit("\n\n"),
+          when(col("doc_id") % 5 === 0, p1).otherwise(seg(13, 8)))
+          .as("text"))
+      TextAnalysis.gopherLineStats(planted)
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_text_repetition",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (

@@ -2670,6 +2670,40 @@ class LlmOpsSpec extends SparkSuite {
       graft.ext.TextAnalysis.gopherPass(col("text"), Seq(1)))
   }
 
+  test("gopher line/paragraph rules: hand-computed golden, zero exchanges") {
+    import spark.implicits._
+    // doc 1: para "aa bb\ncc\naa bb" repeated — every line AND paragraph
+    // duplicated; doc 2: all unique; doc 3: null
+    val d1 = "aa bb\ncc\naa bb\n\naa bb\ncc\naa bb"
+    val d2 = "one two\nthree\n\nfour five"
+    val docs = Seq((1L, d1), (2L, d2), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = graft.ext.TextAnalysis.gopherLineStats(docs)
+    val byId = st.collect().map(r => r.getLong(0) -> r).toMap
+    def g(id: Long, c: String) = byId(id).getLong(st.columns.indexOf(c))
+    // doc 1 lines: [aa bb, cc, aa bb, "", aa bb, cc, aa bb] → n=7,
+    // distinct {aa bb, cc, ""}=3 → dups 4 → 4*100 div 7 = 57;
+    // chars: 5+2+5+0+5+2+5=24, distinct 5+2+0=7 → (24-7)*100 div 24=70
+    assert(g(1L, "n_lines") == 7L)
+    assert(g(1L, "dup_line_frac_x100") == 57L)
+    assert(g(1L, "dup_line_char_frac_x100") == 70L)
+    // paragraphs: 2 identical → 1 dup → 50; chars 13+13 → 50
+    assert(g(1L, "n_paras") == 2L)
+    assert(g(1L, "dup_para_frac_x100") == 50L)
+    assert(g(1L, "dup_para_char_frac_x100") == 50L)
+    assert(g(1L, "gopher_lines_pass") == 0L)
+    assert(g(2L, "dup_line_frac_x100") == 0L &&
+      g(2L, "gopher_lines_pass") == 1L)
+    // null text: zeros, passes
+    assert(g(3L, "n_lines") == 0L && g(3L, "gopher_lines_pass") == 1L)
+    intercept[IllegalArgumentException](
+      graft.ext.TextAnalysis.gopherLineStats(docs, thresholdsX100 = Seq(1)))
+    // row-local: the whole derivation is one map stage, no exchange
+    val plan = st.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"gopherLineStats must be shuffle-free:\n$plan")
+  }
+
   test("lang-balanced mix: alpha-temperature flattens the PREDICTED-language head") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
