@@ -1260,6 +1260,68 @@ object Similarity {
     }
   }
 
+  /** Per-table result of [[compactIndex]]: parquet file counts before
+    * and after the rewrite — the number an operator alerts on.
+    */
+  final case class TableCompaction(table: String, filesBefore: Long,
+                                   filesAfter: Long)
+
+  /** COMPACT a persisted index's appendable data tables: every
+    * [[appendToLshIndex]]/[[appendToIvfIndex]]/... lands the delta as
+    * additional per-bucket files, so a long append cadence accumulates
+    * an unbounded small-file tail that every search then lists and
+    * opens. Compaction is a FILE-LEVEL fold: each data table is pinned,
+    * repartitioned onto its bucket key (same Murmur3-mod law as the
+    * bucketed write, so each task holds exactly one bucket) and
+    * rewritten under the identical Layout spec — afterwards the table
+    * holds `buckets` files regardless of how many appends preceded.
+    * NOTHING is retrained: the frozen `_centroids`/`_codebooks`
+    * quantizer artifacts, `_meta`, and the drift baseline are untouched
+    * (they are written once and never appended), and search over the
+    * compacted index is bit-identical to before (spec-gated) — rows
+    * only moved between files. This is the gate store's
+    * [[graft.streaming.IngestDedupGate.compactStore]] for the ANN
+    * indexes; [[graft.streaming.AnnIndexStream]] runs it on a
+    * `compactEvery` cadence.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                   idCol: String = "vec_id"): Seq[TableCompaction] = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"index '$name' has no _meta — nothing built to compact")
+    val meta = spark.table(s"${name}_meta").head()
+    val buckets = meta.getInt(meta.fieldIndex("buckets"))
+    val hasIvf = spark.catalog.tableExists(s"${name}_centroids")
+    val hasPq = spark.catalog.tableExists(s"${name}_codebooks")
+    val targets = Seq(
+      (s"${name}_buckets", "bucket"),
+      (s"${name}_lists", "cell"),
+      // the PQ code table buckets by cell standalone but by id under
+      // IVF×PQ (search joins it id-keyed after the list probe)
+      (s"${name}_codes", if (hasIvf && hasPq) idCol else "cell"))
+      .filter { case (t, _) => spark.catalog.tableExists(t) }
+    require(targets.nonEmpty,
+      s"index '$name' has no data tables (_buckets/_lists/_codes)")
+    targets.map { case (table, key) =>
+      val before = parquetFileCount(spark, table)
+      // pinned BEFORE the rewrite — writeBucketed drops the table and
+      // deletes its files first; an unpinned plan would scan deleted data
+      val pinned = spark.table(table).localCheckpoint()
+      graft.core.Layout.writeBucketed(
+        pinned.repartition(buckets, col(key)), table, key, buckets)
+      TableCompaction(table, before, parquetFileCount(spark, table))
+    }
+  }
+
+  private def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+                               table: String): Long = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0L
+    else fs.listStatus(loc)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): same-bucket
     * candidate pairs (unioned over hash tables) with cosine ≥ threshold
     * — bucket equi-joins, no all-pairs product.

@@ -65,6 +65,33 @@ object AnnIndexStream {
     f.create(new org.apache.hadoop.fs.Path(d, s"_applied.$epoch"), true).close()
   }
 
+  /** Applied-epoch count — the compaction cadence's clock. Derived from
+    * the marker files (listing-only), so it survives restarts without
+    * any in-memory counter: the Nth applied batch compacts whether or
+    * not the stream bounced in between.
+    */
+  private def appliedCount(spark: SparkSession, name: String): Long = {
+    val d = epochDir(spark, name)
+    val f = fs(spark, d)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).count(_.getPath.getName.startsWith("_applied.")).toLong
+  }
+
+  /** Run [[Similarity.compactIndex]] when the applied-batch count hits
+    * the `compactEvery` cadence (0 = never): folds the accumulated
+    * per-append files back to one file per bucket — without it a
+    * long-lived maintenance stream grows an unbounded small-file tail
+    * that every search lists and opens. Search results are unchanged
+    * (compaction moves rows between files, bit-identical by spec).
+    */
+  private def maybeCompact(spark: SparkSession, owner: SparkSession,
+                           name: String, compactEvery: Int,
+                           idCol: String): Unit =
+    if (compactEvery > 0 && appliedCount(spark, name) % compactEvery == 0) {
+      Similarity.compactIndex(spark, name, idCol)
+      refreshOwner(owner, name)
+    }
+
   /** Delta rows whose id the index does not already hold — the
     * crash-replay repair probe: one anti-join against the index table's
     * id column (a single-column scan of the index per first-attempt
@@ -97,6 +124,7 @@ object AnnIndexStream {
   def maintainLsh(vectors: DataFrame, name: String, checkpointDir: String,
                   planes: Int, dims: Int, tables: Int = 8, buckets: Int = 8,
                   idCol: String = "vec_id", vecCol: String = "embedding",
+                  compactEvery: Int = 0,
                   onBatch: MaintainEvent => Unit = _ => ()): StreamingQuery = {
     val owner = vectors.sparkSession
     vectors.writeStream
@@ -116,6 +144,7 @@ object AnnIndexStream {
             refreshOwner(owner, name)
           }
           markApplied(spark, name, epoch)
+          maybeCompact(spark, owner, name, compactEvery, idCol)
           onBatch(MaintainEvent(epoch, "appended", "lsh", n, Double.NaN))
         }
       }
@@ -137,6 +166,7 @@ object AnnIndexStream {
   def maintainIvf(vectors: DataFrame, name: String, checkpointDir: String,
                   maxDriftRatio: Double = Similarity.DefaultMaxDriftRatio,
                   idCol: String = "vec_id", vecCol: String = "embedding",
+                  compactEvery: Int = 0,
                   onBatch: MaintainEvent => Unit = _ => ()): StreamingQuery = {
     val owner = vectors.sparkSession
     val spark0 = owner
@@ -164,6 +194,7 @@ object AnnIndexStream {
               maxDriftRatio, idCol, vecCol)
             refreshOwner(owner, name)
             markApplied(spark, name, epoch)
+            maybeCompact(spark, owner, name, compactEvery, idCol)
             onBatch(MaintainEvent(epoch, r.action, r.kind, n, r.maxMeanRatio))
           } else {
             markApplied(spark, name, epoch)

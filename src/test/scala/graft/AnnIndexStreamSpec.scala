@@ -144,4 +144,98 @@ class AnnIndexStreamSpec extends SparkSuite {
       assert(e.getMessage.contains("codebooks"), e.getMessage)
     }
   }
+
+  private def parquetFiles(table: String): Long = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  test("compactIndex folds append files; search bit-identical, quantizers frozen") {
+    assume(corpusPresent)
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").localCheckpoint()
+
+    // LSH: build on a slice, append the rest in 5 slices
+    Similarity.buildLshIndex(emb.filter(col("vec_id") < 100), "t_cp_lsh",
+      planes = 4, dims = 64)
+    (0 until 5).foreach { i =>
+      Similarity.appendToLshIndex(
+        emb.filter(col("vec_id") >= 100 + i * 80 &&
+          col("vec_id") < 100 + (i + 1) * 80),
+        "t_cp_lsh", planes = 4, dims = 64)
+    }
+    val beforeSearch = rows(Similarity.annTopKIndexed(spark, "t_cp_lsh",
+      Seq(0L, 1L, 2L), 5))
+    val beforeFiles = parquetFiles("t_cp_lsh_buckets")
+    val report = Similarity.compactIndex(spark, "t_cp_lsh")
+    assert(report.map(_.table) == Seq("t_cp_lsh_buckets"))
+    assert(report.head.filesBefore == beforeFiles)
+    assert(report.head.filesAfter < beforeFiles,
+      s"compaction must shrink the file tail: $report")
+    assert(report.head.filesAfter <= 8L,
+      s"compacted table must hold at most `buckets` files: $report")
+    val afterSearch = rows(Similarity.annTopKIndexed(spark, "t_cp_lsh",
+      Seq(0L, 1L, 2L), 5))
+    assert(afterSearch == beforeSearch,
+      "compaction must not change search results")
+    assert(afterSearch.nonEmpty)
+
+    // IVF×PQ: BOTH data tables compact (lists cell-keyed, codes
+    // id-keyed); the frozen quantizer artifacts are byte-for-byte
+    // untouched
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), "t_cp_ivfpq",
+      centroids = 4, m = 8, codebookSize = 4, dims = 64)
+    (0 until 4).foreach { i =>
+      Similarity.appendToIvfPqIndex(
+        emb.filter(col("vec_id") >= 300 + i * 50 &&
+          col("vec_id") < 300 + (i + 1) * 50),
+        "t_cp_ivfpq", m = 8, dims = 64, maxDriftRatio = 0.0)
+    }
+    val centsBefore = rows(spark.table("t_cp_ivfpq_centroids"))
+    val booksBefore = rows(spark.table("t_cp_ivfpq_codebooks"))
+    val qs = emb.filter(col("vec_id") < 3)
+    val searchBefore = rows(Similarity.ivfPqTopKIndexed(spark, "t_cp_ivfpq",
+      qs, 5, m = 8, dims = 64))
+    val rep2 = Similarity.compactIndex(spark, "t_cp_ivfpq")
+    assert(rep2.map(_.table).toSet ==
+      Set("t_cp_ivfpq_lists", "t_cp_ivfpq_codes"), rep2.toString)
+    rep2.foreach(r => assert(r.filesAfter < r.filesBefore, r.toString))
+    assert(rows(spark.table("t_cp_ivfpq_centroids")) == centsBefore)
+    assert(rows(spark.table("t_cp_ivfpq_codebooks")) == booksBefore)
+    assert(rows(Similarity.ivfPqTopKIndexed(spark, "t_cp_ivfpq",
+      qs, 5, m = 8, dims = 64)) == searchBefore)
+  }
+
+  test("streaming maintenance compacts on cadence; index stays rebuild-identical") {
+    assume(corpusPresent)
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").localCheckpoint()
+    val srcDir = java.nio.file.Files.createTempDirectory("anncp-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("anncp-ckpt").toString
+    Similarity.buildLshIndex(emb.filter(col("vec_id") < 100), "t_cp_stream",
+      planes = 4, dims = 64)
+    // 4 batches via 4 restarts (each restart drains one file batch),
+    // compactEvery = 2 → at least two compactions fold the tail
+    (0 until 4).foreach { i =>
+      emb.filter(col("vec_id") >= 100 + i * 100 &&
+        col("vec_id") < 100 + (i + 1) * 100)
+        .write.mode("append").parquet(srcDir)
+      val q = AnnIndexStream.maintainLsh(
+        spark.readStream.schema(emb.schema).parquet(srcDir), "t_cp_stream",
+        ckpt, planes = 4, dims = 64, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+    }
+    assert(parquetFiles("t_cp_stream_buckets") <= 8L * 3,
+      "cadenced compaction must bound the file tail")
+    Similarity.buildLshIndex(emb.filter(col("vec_id") < 500),
+      "t_cp_stream_ref", planes = 4, dims = 64)
+    assert(rows(Similarity.annTopKIndexed(spark, "t_cp_stream",
+        Seq(0L, 1L, 2L), 5)) ==
+      rows(Similarity.annTopKIndexed(spark, "t_cp_stream_ref",
+        Seq(0L, 1L, 2L), 5)),
+      "compacted maintained index must equal full rebuild")
+  }
 }
