@@ -1106,6 +1106,168 @@ object TextAnalysis {
                        textCol: String = "text"): DataFrame =
     trigramScoreWith(docs, trigramModel(docs, idCol, textCol), idCol, textCol)
 
+  /** Train a KNESER–NEY-grade ABSOLUTE-DISCOUNT trigram model — the
+    * smoothing rung above stupid backoff ([[trigramModel]]): lower
+    * orders use CONTINUATION counts ("how many distinct contexts has
+    * this n-gram completed", Kneser & Ney 1995) rather than raw
+    * frequency, so a word that is frequent only inside one fixed phrase
+    * ("Francisco") stops inflating its own backoff probability. Same
+    * unified (`level`, `gram`, `cnt`) relation shape as the backoff
+    * model (persist like any model table; feed [[knTrigramScoreWith]]):
+    *
+    *  - level 3:  trigram counts c₃(w1 w2 w3);
+    *  - level 2:  raw bigram counts c₂(w1 w2) — the trigram denominators;
+    *  - level 12: N₁₊(w1 w2 ·) — distinct followers per bigram context
+    *    (the discount-mass numerator γ needs);
+    *  - level 23: continuation counts N₁₊(· w2 w3) — distinct w1 the
+    *    trigram level observed before "w2 w3";
+    *  - level 21: their per-w2 total N₁₊(· w2 ·) (the KN bigram
+    *    denominator);
+    *  - level 22: N₁₊kn(w2 ·) — distinct w3 the KN bigram level knows
+    *    after w2 (the second discount-mass numerator);
+    *  - level 1:  unigram continuation counts N₁₊(· w3) over distinct
+    *    bigram types;
+    *  - level 0:  the add-one floor scalar B + U (distinct bigram types
+    *    + distinct unigram types, gram = "").
+    *
+    * Scale shape: one trigram-counts and one bigram-counts relation
+    * (each a map-side explode + vocab-bounded partial agg, pinned —
+    * five derived levels read them), every derived level a further
+    * vocab-bounded aggregation; no corpus-sized exchange.
+    */
+  def knTrigramModel(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val live = docs.filter(col(textCol).isNotNull)
+    def counts(n: Int): DataFrame = live
+      .select(explode(ngramArray(textCol, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("cnt"))
+    val tri = counts(3).localCheckpoint()
+    val big = counts(2).localCheckpoint()
+    val uni = counts(1)
+    def w(i: Int, of: Column = col("gram")) = element_at(split(of, " "), i)
+    val lvl3 = tri.select(lit(3).as("level"), col("gram"), col("cnt"))
+    val lvl2 = big.select(lit(2).as("level"), col("gram"), col("cnt"))
+    // distinct-follower / continuation aggregates all read the DISTINCT
+    // trigram rows (each tri row IS one distinct trigram type)
+    val lvl12 = tri
+      .groupBy(concat_ws(" ", w(1), w(2)).as("gram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(lit(12).as("level"), col("gram"), col("cnt"))
+    val kn23 = tri
+      .groupBy(concat_ws(" ", w(2), w(3)).as("gram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint()
+    val lvl23 = kn23.select(lit(23).as("level"), col("gram"), col("cnt"))
+    val lvl21 = kn23
+      .groupBy(w(1).as("gram"))
+      .agg(sum("cnt").cast("long").as("cnt"))
+      .select(lit(21).as("level"), col("gram"), col("cnt"))
+    val lvl22 = kn23
+      .groupBy(w(1).as("gram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(lit(22).as("level"), col("gram"), col("cnt"))
+    val lvl1 = big
+      .groupBy(w(2).as("gram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(lit(1).as("level"), col("gram"), col("cnt"))
+    val bu = big.agg(count(lit(1)).as("b"))
+      .crossJoin(uni.agg(count(lit(1)).as("u")))
+      .select(lit(0).as("level"), lit("").as("gram"),
+        (col("b") + col("u")).cast("long").as("cnt"))
+    bu.unionByName(lvl1).unionByName(lvl2).unionByName(lvl3)
+      .unionByName(lvl12).unionByName(lvl23).unionByName(lvl21)
+      .unionByName(lvl22)
+  }
+
+  /** Score documents under a [[knTrigramModel]] — absolute-discount
+    * BACKOFF with discount D = 3/4, integer-exact via the per-factor
+    * bin-length law: a backed-off probability is a PRODUCT of rationals
+    * (discounted ratio · discount-mass γ hops), so its bits render as
+    * the SUM of each factor's `L(den) − L(num)` with
+    * `L(x) = length(bin(x))` — every quantity a positive integer, every
+    * term provably ≥ 0 (numerators are bounded by their denominators),
+    * any engine replays the score bit-for-bit. Per trigram occurrence:
+    *
+    *   seen trigram:  bits = L(c₂(w1w2)·4) − L(c₃·4 − 3)
+    *   γ to bigram:   + L(c₂(w1w2)·4) − L(N₁₊(w1w2·)·3)   (0 if context unseen)
+    *   seen KN bigram: + L(N₁₊(·w2·)·4) − L(N₁₊(·w2w3)·4 − 3)
+    *   γ to unigram:  + L(N₁₊(·w2·)·4) − L(N₁₊kn(w2·)·3)  (0 if w2 unseen)
+    *   unigram floor: + L(B + U) − L(N₁₊(·w3) + 1)
+    *
+    * An unseen CONTEXT carries no discount mass to renormalize, so its
+    * hop is penalty-free (γ = 1) — the standard backoff convention,
+    * documented here because the oracle replays it. Output contract
+    * identical to [[trigramScoreWith]] (surprisal, n_trigrams,
+    * mean_bits_x100) — a drop-in second scorer for
+    * [[graft.ext.Curation.perplexityBuckets]].
+    *
+    * Scale shape: the [[trigramScoreWith]] posture — row-local trigram
+    * derivation, ONE (doc, trigram) partial-agg shuffle, seven
+    * gram-keyed joins against vocab-bounded model levels (AQE
+    * broadcasts the small ones), a 1-row scalar broadcast, one
+    * doc-keyed sum.
+    */
+  def knTrigramScoreWith(docs: DataFrame, model: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val m = model.localCheckpoint()
+    def lvl(n: Int, key: String, cntAs: String): DataFrame = m
+      .filter(col("level") === n)
+      .select(col("gram").as(key), col("cnt").as(cntAs))
+    val bu = m.filter(col("level") === 0).select(col("cnt").as("bu"))
+    val occ = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(ngramArray(textCol, 3)).as("g123"))
+      .groupBy(col(idCol), col("g123"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("w2", element_at(split(col("g123"), " "), 2))
+      .withColumn("w3", element_at(split(col("g123"), " "), 3))
+      .withColumn("g12",
+        concat_ws(" ", element_at(split(col("g123"), " "), 1), col("w2")))
+      .withColumn("g23", concat_ws(" ", col("w2"), col("w3")))
+    val L: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      x => length(bin(x))
+    val seen3 = col("c3").isNotNull && col("c12").isNotNull
+    val seen2 = col("ck23").isNotNull && col("ckd2").isNotNull
+    val p12 = when(col("c12").isNotNull && col("n12").isNotNull,
+      L(col("c12") * 4) - L(col("n12") * 3)).otherwise(lit(0L))
+    val p2 = when(col("ckd2").isNotNull && col("nk2").isNotNull,
+      L(col("ckd2") * 4) - L(col("nk2") * 3)).otherwise(lit(0L))
+    val floor1 = L(col("bu")) - L(coalesce(col("ck1"), lit(0L)) + 1)
+    val agg = occ
+      .join(lvl(3, "g123", "c3"), Seq("g123"), "left_outer")
+      .join(lvl(2, "g12", "c12"), Seq("g12"), "left_outer")
+      .join(lvl(12, "g12", "n12"), Seq("g12"), "left_outer")
+      .join(lvl(23, "g23", "ck23"), Seq("g23"), "left_outer")
+      .join(lvl(21, "w2", "ckd2"), Seq("w2"), "left_outer")
+      .join(lvl(22, "w2", "nk2"), Seq("w2"), "left_outer")
+      .join(lvl(1, "w3", "ck1"), Seq("w3"), "left_outer")
+      .crossJoin(broadcast(bu))
+      .withColumn("bits",
+        when(seen3, L(col("c12") * 4) - L(col("c3") * 4 - 3))
+          .when(seen2, p12 + L(col("ckd2") * 4) - L(col("ck23") * 4 - 3))
+          .otherwise(p12 + p2 + floor1)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("bits")).as("surprisal"),
+        sum(col("tf")).as("n_trigrams"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("surprisal"), lit(0L)).as("surprisal"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          expr("(surprisal * 100) div n_trigrams"))
+          .otherwise(lit(0L)).as("mean_bits_x100"))
+  }
+
+  /** Self-scored convenience for the KN rung — the
+    * [[trigramSurprisal]] contract under [[knTrigramModel]] smoothing;
+    * a drop-in scorer for [[graft.ext.Curation.perplexityBuckets]].
+    */
+  def knTrigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    knTrigramScoreWith(docs, knTrigramModel(docs, idCol, textCol),
+      idCol, textCol)
+
   /** Sparse keyword RETRIEVAL — the lexical complement of the dense ANN
     * family ([[graft.ext.Similarity]]): per query (a bag of terms), the
     * top-`k` documents by summed integer tf-idf, `score =

@@ -2853,6 +2853,37 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("KN trigram: continuation counts punish phrase-locked words; plugs into perplexityBuckets") {
+    import spark.implicits._
+    // "francisco" and "common" have EQUAL raw frequency (10 each), but
+    // francisco only ever follows "san" (continuation count 1) while
+    // common follows 10 distinct predecessors (continuation count 10).
+    // Under the KN unigram floor an unseen-context occurrence of
+    // francisco must cost MORE bits than one of common — the signature
+    // a raw-frequency backoff model cannot produce.
+    val train = (0 until 10).map { i =>
+      (i * 2L, s"p$i q$i san francisco and p$i w$i common here")
+    }.toDF("doc_id", "text")
+    val probe = Seq((1L, "zz yy francisco"), (3L, "zz yy common"))
+      .toDF("doc_id", "text")
+    val model = graft.ext.TextAnalysis.knTrigramModel(train)
+    val got = graft.ext.TextAnalysis.knTrigramScoreWith(probe, model)
+      .select("doc_id", "surprisal").as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(3L),
+      s"phrase-locked 'francisco' must cost more bits than free " +
+        s"'common' under KN continuation counts: $got")
+
+    // drop-in scorer: the CCNet bucket stage accepts the KN rung
+    val docs = Tables.documents(spark, sf).limit(120)
+    val buckets = graft.ext.Curation.perplexityBuckets(docs,
+      scorer = graft.ext.TextAnalysis.knTrigramSurprisal(_, _, _))
+    val names = buckets.select("bucket").distinct()
+      .as[String].collect().toSet
+    assert(names.subsetOf(Set("head", "middle", "tail")) && names.nonEmpty)
+    assert(buckets.count() == docs.count(),
+      "one bucket row per scored document")
+  }
+
   test("persisted NB bundle classifies bit-identically to in-session training") {
     val docs = Tables.documents(spark, sf).limit(200)
     val lab = docs.select(col("doc_id"), col("lang").as("label"), col("text"))
