@@ -833,13 +833,43 @@ object Dedup {
     dedupChunked(docs, cdcChunks(docs, window, divisor, idCol, textCol),
       idCol, textCol, keepFirst, perDocument, "dedupPassagesCdc")
 
+  /** Corpus-level LINE dedup — CCNet's first pipeline stage (Wenzek et
+    * al. 2020 run it before anything else: identical lines across a
+    * crawl are overwhelmingly boilerplate — headers, nav bars, cookie
+    * banners): every line (split on `\n`) is deduplicated under the
+    * same packed-key first-occurrence law as [[dedupPassages]], the
+    * survivors re-joined with `\n` so line structure is preserved.
+    * `perDocument = true` restricts the scope to within-document
+    * repeats ([[graft.ext.TextAnalysis.gopherLineStats]]' removal
+    * counterpart); `keepFirst = false` drops EVERY copy of a repeated
+    * line. Output: (idCol, clean_text, n_passages, n_kept) — the
+    * shared passage-dedup contract, where a "passage" is a line.
+    *
+    * Scale shape: inherited wholesale — one (hash)-keyed partial-agg
+    * min, a hash equi-join flag, one doc-keyed rebuild; the skew-safe
+    * min AGGREGATION (never a per-hash window) is what lets the
+    * empty-line group, which every multiline document contributes to,
+    * combine map-side instead of landing on one reducer.
+    */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", keepFirst: Boolean = true,
+                 perDocument: Boolean = false): DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"))
+    dedupChunked(docs, lines, idCol, textCol, keepFirst, perDocument,
+      "dedupLines", "\n")
+  }
+
   /** Shared tail of the passage-dedup family: hash + pack + flag +
     * reassemble over any (idCol, chunk_id, chunk_text) relation.
     */
   private def dedupChunked(docs: DataFrame, chunksRel: DataFrame,
                            idCol: String, textCol: String,
                            keepFirst: Boolean, perDocument: Boolean,
-                           opName: String): DataFrame = {
+                           opName: String, joiner: String = " "): DataFrame = {
     // key-packing guard (the knob-rejection posture): a doc id that is
     // non-numeric (try_cast → null), negative, or >= 2^43 — or a
     // document with >= 2^20 passages — would wrap/null the packed key
@@ -877,7 +907,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(when(col("__pd_keep"),
             struct(col("chunk_id"), col("chunk_text"))))),
-          x => x("chunk_text")), " ").as("__pd_clean"))
+          x => x("chunk_text")), joiner).as("__pd_clean"))
     docs.select(col(idCol), col(textCol))
       .join(agg, Seq(idCol), "left_outer")
       .select(col(idCol),

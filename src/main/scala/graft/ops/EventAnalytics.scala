@@ -182,4 +182,83 @@ object EventAnalytics {
           "ELSE n_users * 100 div __fr_prev END"))
       .drop("__fr_prev")
   }
+
+  /** STICKINESS ratio (the DAU/WAU product-health headline): per day
+    * with events, daily distinct actives over trailing
+    * `windowDays`-distinct actives, ×100 integer. Composes two
+    * [[rollingActive]] windows on their shared day key; a day inside a
+    * longer window but without its own events is absent (both sides
+    * derive from the same observed-day set, so the join is total).
+    *
+    * Scale shape: two (key, day)-distinct partial-agg chains (the
+    * 1-day side skips the expansion entirely) + one day-keyed join of
+    * day-cardinality relations.
+    */
+  def stickiness(events: DataFrame, windowDays: Int = 7,
+                 keyCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    require(windowDays > 1,
+      s"windowDays must exceed the daily window, got $windowDays")
+    val daily = rollingActive(events, 1, keyCol, tsCol)
+    val windowed = rollingActive(events, windowDays, keyCol, tsCol)
+    daily.join(windowed, "day")
+      .select(col("day"), col("n_active_1d"),
+        col(s"n_active_${windowDays}d"),
+        expr(s"n_active_1d * 100 div n_active_${windowDays}d")
+          .as("stickiness_x100"))
+  }
+
+  /** Funnel CONVERSION LATENCY: for each adjacent step pair (i−1 → i)
+    * of the [[funnelDepth]] first-touch chain, how long converting keys
+    * took — n_converted plus exact integer percentiles (p50/p90, the
+    * histogram-percentile law — never a corpus sort) of the
+    * microsecond gap tᵢ − tᵢ₋₁. The "where does the funnel stall"
+    * report next to [[funnelReport]]'s "where does it leak".
+    *
+    * Scale shape: funnelDepth's single-exchange window chain, cut to
+    * one row per (key, step) gap, then the
+    * [[graft.ext.Curation.groupPercentiles]] histogram aggregation
+    * keyed by the k-row step column.
+    */
+  def funnelLatency(events: DataFrame, steps: Seq[String],
+                    keyCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts",
+                    percentiles: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(steps.length >= 2,
+      s"funnelLatency needs at least two steps, got ${steps.length}")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step in $steps — a repeated type is ambiguous")
+    val t: Column = events.schema(tsCol).dataType match {
+      case TimestampType    => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _                => col(tsCol).cast("long")
+    }
+    val w = Window.partitionBy(keyCol)
+    var df = events.select(col(keyCol), col(typeCol), t.as("__fl_us"))
+    steps.indices.foreach { i =>
+      val cond =
+        if (i == 0) col(typeCol) === steps(0)
+        else col(typeCol) === steps(i) &&
+          col("__fl_us") > col(s"__fl_t${i - 1}")
+      df = df.withColumn(s"__fl_t$i",
+        min(when(cond, col("__fl_us"))).over(w))
+    }
+    val aggs = steps.indices.map(i => max(s"__fl_t$i").as(s"__fl_t$i"))
+    val perKey = df.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+    val gaps = (1 until steps.length).map { i =>
+      perKey
+        .filter(col(s"__fl_t$i").isNotNull)
+        .select(lit(i.toLong).as("step"),
+          (col(s"__fl_t$i") - col(s"__fl_t${i - 1}")).as("__fl_gap"))
+    }.reduce(_ unionByName _)
+    val counts = gaps.groupBy("step")
+      .agg(count(lit(1)).as("n_converted"))
+    counts.join(
+      graft.ext.Curation.groupPercentiles(gaps, "step", "__fl_gap",
+        percentiles),
+      Seq("step"), "left_outer")
+      .select(col("step") +: col("n_converted") +:
+        percentiles.map(p => col(s"p$p").as(s"p${p}_micros")): _*)
+  }
 }

@@ -1612,6 +1612,68 @@ object LlmQueries {
       TextAnalysis.gopherLineStats(planted)
     }.sortedBy(col("doc_id")),
 
+    // ── Corpus-level line dedup (CCNet stage 1) over the SAME planted
+    // multiline fixture: %3 docs lose their repeated intra-doc line,
+    // %5 docs lose the mirrored paragraph's lines, and the empty
+    // boundary line (which EVERY doc contributes) survives only in the
+    // globally-first document — the global-scope proof. The replay is
+    // the t_passage_dedup packed-key law at line granularity with a
+    // chr(10) rebuild.
+    QueryDef("t_dedup_lines",
+      s"""WITH mlv AS (
+         |  SELECT doc_id,
+         |    coalesce(array_to_string(ws[1:4], ' '), '') AS l1,
+         |    coalesce(array_to_string(ws[5:8], ' '), '') AS l2,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN coalesce(array_to_string(ws[1:4], ' '), '')
+         |         ELSE coalesce(array_to_string(ws[9:12], ' '), '')
+         |    END AS l3,
+         |    coalesce(array_to_string(ws[13:20], ' '), '') AS tl
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents WHERE text IS NOT NULL)),
+         |mlt AS (
+         |  SELECT doc_id,
+         |    l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || chr(10) ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN l1 || chr(10) || l2 || chr(10) || l3
+         |         ELSE tl END AS text
+         |  FROM mlv),
+         |gls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM mlt),
+         |lp AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ls)),
+         |    i -> struct_pack(cid := CAST(i - 1 AS BIGINT), ct := ls[i])))
+         |    AS u FROM gls),
+         |ph AS (SELECT doc_id, u.cid AS cid, u.ct AS ct,
+         |  ${polyhash("u.ct")} AS h,
+         |  doc_id * ${Dedup.PassageKeyBase} + u.cid AS k FROM lp),
+         |f AS (SELECT h, min(k) AS mk FROM ph GROUP BY h),
+         |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
+         |  FROM ph JOIN f ON f.h = ph.h),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+         |  string_agg(CASE WHEN keep THEN ct END, chr(10) ORDER BY cid)
+         |    AS ctext
+         |  FROM fl GROUP BY doc_id)
+         |SELECT m.doc_id, coalesce(a.ctext, '') AS clean_text,
+         |  CAST(coalesce(a.np, 0) AS BIGINT) AS n_passages,
+         |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
+         |FROM mlt m LEFT JOIN agg a ON a.doc_id = m.doc_id
+         |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val ws = split(col("text"), " ")
+      def seg(st: Int, len: Int) = concat_ws(" ", slice(ws, st, len))
+      val l1 = seg(1, 4)
+      val l2 = seg(5, 4)
+      val l3 = when(col("doc_id") % 3 === 0, seg(1, 4)).otherwise(seg(9, 4))
+      val p1 = concat(l1, lit("\n"), l2, lit("\n"), l3)
+      val planted = docs.select(col("doc_id"),
+        concat(p1, lit("\n\n"),
+          when(col("doc_id") % 5 === 0, p1).otherwise(seg(13, 8)))
+          .as("text"))
+      Dedup.dedupLines(planted)
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_text_repetition",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (

@@ -741,6 +741,76 @@ object RelationalQueries {
         |FROM days d JOIN cohorts c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       graft.ops.EventAnalytics.cohortRetention(Tables.events(s, d))
-    }.sortedBy(col("cohort_day"), col("offset_day"))
+    }.sortedBy(col("cohort_day"), col("offset_day")),
+
+    // DAU/WAU stickiness: daily over trailing-7-day distinct actives,
+    // x100 integer — the two rollingActive windows joined on their
+    // shared observed-day key.
+    QueryDef("w_stickiness",
+      """WITH dys AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |d1 AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |         AS n_active_1d FROM dys GROUP BY 1),
+        |ex AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS day2
+        |       FROM dys),
+        |d7 AS (SELECT day2 AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+        |  FROM ex GROUP BY 1)
+        |SELECT a.day, a.n_active_1d, b.n_active_7d,
+        |  CAST(a.n_active_1d * 100 // b.n_active_7d AS BIGINT)
+        |    AS stickiness_x100
+        |FROM d1 a JOIN d7 b USING (day)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.stickiness(Tables.events(s, d))
+    }.sortedBy(col("day")),
+
+    // Funnel conversion latency: per adjacent step pair, converting-key
+    // count + exact integer p50/p90 of the microsecond gap between the
+    // first-touch completions (histogram percentile law per step).
+    QueryDef("w_funnel_latency",
+      """WITH f0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |f1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |       JOIN f0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > f0.t0 GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN f1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN f2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(1 AS BIGINT) AS step,
+        |         epoch_us(f1.t1) - epoch_us(f0.t0) AS gap
+        |  FROM f1 JOIN f0 USING (user_id)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT),
+        |         epoch_us(f2.t2) - epoch_us(f1.t1)
+        |  FROM f2 JOIN f1 USING (user_id)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT),
+        |         epoch_us(f3.t3) - epoch_us(f2.t2)
+        |  FROM f3 JOIN f2 USING (user_id)),
+        |gc AS (SELECT step, CAST(count(*) AS BIGINT) AS n_converted
+        |       FROM g GROUP BY 1),
+        |gh AS (SELECT step, gap AS v, count(*) AS c FROM g GROUP BY 1, 2),
+        |gcum AS (SELECT step, v, sum(c) OVER (PARTITION BY step
+        |           ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc FROM gh),
+        |gt AS (SELECT step, CAST(sum(c) AS BIGINT) AS n FROM gh GROUP BY 1),
+        |gp50 AS (SELECT c.step, min(v) AS p50_micros FROM gcum c
+        |  JOIN gt t ON t.step = c.step
+        |  WHERE c.cumc >= (t.n * 50 + 99) // 100 GROUP BY 1),
+        |gp90 AS (SELECT c.step, min(v) AS p90_micros FROM gcum c
+        |  JOIN gt t ON t.step = c.step
+        |  WHERE c.cumc >= (t.n * 90 + 99) // 100 GROUP BY 1)
+        |SELECT gc.step, gc.n_converted, gp50.p50_micros, gp90.p90_micros
+        |FROM gc
+        |LEFT JOIN gp50 ON gp50.step = gc.step
+        |LEFT JOIN gp90 ON gp90.step = gc.step
+        |ORDER BY gc.step""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.funnelLatency(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"))
+    }.sortedBy(col("step"))
   )
 }

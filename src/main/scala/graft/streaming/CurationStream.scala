@@ -77,7 +77,21 @@ object CurationStream {
     * with the store or the training corpus after start.
     */
   final case class LangGate(labeled: DataFrame, keep: Set[String],
-                            labelCol: String = "lang")
+                            labelCol: String = "lang",
+                            bundleName: Option[String] = None)
+
+  object LangGate {
+    /** Gate from a PERSISTED bundle
+      * ([[graft.ext.TextAnalysis.writeNbBundle]]) instead of training
+      * at stream start — the production shape: the language model is
+      * trained/audited once by a batch job and every stream (and
+      * restart) loads the same artifact; the tokenizer rides in the
+      * bundle's `_meta`, so the gate scores in exactly the space the
+      * model trained under.
+      */
+    def persisted(bundleName: String, keep: Set[String]): LangGate =
+      LangGate(null, keep, bundleName = Some(bundleName))
+  }
 
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
@@ -136,13 +150,22 @@ object CurationStream {
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // language model trains once, here, and pins — per batch only the
     // scoring plan runs (trainNbBundle fails loud on an unlabeled
-    // snapshot, so a misconfigured gate dies at start, not on batch 0)
+    // snapshot, so a misconfigured gate dies at start, not on batch 0);
+    // a PERSISTED gate loads the batch-trained artifact instead
+    // (loadNbBundle fails loud on a missing/foreign-tokenizer bundle)
     val langBundle = langGate.map { lg =>
       require(lg.keep.nonEmpty, "LangGate.keep must name at least one language")
       require(!docs.columns.contains("lang_pred"),
         "doc column `lang_pred` collides with the LangGate output — rename it")
-      TextAnalysis.trainNbBundle(lg.labeled, lg.labelCol, textCol,
-        tfs = graft.functions.charTrigramTfs)
+      lg.bundleName match {
+        case Some(nm) => TextAnalysis.loadNbBundle(docs.sparkSession, nm)
+        case None =>
+          require(lg.labeled != null,
+            "LangGate needs either a labeled snapshot to train on or a " +
+              "persisted bundleName (LangGate.persisted)")
+          TextAnalysis.trainNbBundle(lg.labeled, lg.labelCol, textCol,
+            tfs = graft.functions.charTrigramTfs)
+      }
     }
     // when the stream redacts, the benchmark must be redacted the same
     // way before gram extraction — otherwise a benchmark item containing

@@ -465,6 +465,29 @@ class IngestGateSpec extends SparkSuite {
     // layering unchanged: the gate admitted BOTH languages' signatures
     assert(IngestDedupGate.feats(spark, name)
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // PERSISTED gate: the same labeled snapshot written as a char3
+    // bundle by a "batch job", loaded by name at stream start — routing
+    // must be identical to the in-stream-trained gate above
+    graft.ext.TextAnalysis.writeNbBundle(labeled, "t_cur_lang_bundle",
+      labelCol = "lang", tokenizer = "char3")
+    val sunk2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val ms2 = MemoryStream[(Long, String, Int)]
+    val q2 = CurationStream.run(
+      ms2.toDF().toDF("doc_id", "text", "source_id"), name + "_p", dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("lgp-ckpt").toString,
+      langGate = Some(CurationStream.LangGate.persisted(
+        "t_cur_lang_bundle", Set("aa")))) { (out, _) =>
+      out.select("doc_id", "lang_pred").collect().foreach(r =>
+        sunk2.add((r.getLong(0), r.getString(1))))
+    }
+    try {
+      ms2.addData((1L, aDoc, 0), (2L, bDoc, 0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sunk2.asScala.toSet == Set((1L, "aa")),
+      s"persisted-bundle routing wrong: ${sunk2.asScala.toSet}")
   }
 
   test("composed curation stream decontaminates against a benchmark set in-stream") {

@@ -2853,6 +2853,39 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedupLines: global first-occurrence, per-doc scope, newline rebuild") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "header\nalpha beta\nheader"),   // intra-doc repeat
+      (2L, "header\ngamma delta"),          // cross-doc repeat of doc 1's line
+      (3L, "epsilon\n\nzeta"),              // empty line, unique elsewhere
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val global = Dedup.dedupLines(docs)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(global == Seq(
+      (1L, "header\nalpha beta", 3L, 2L),   // second 'header' dropped
+      (2L, "gamma delta", 2L, 1L),          // doc 1 owns 'header'
+      (3L, "epsilon\n\nzeta", 3L, 3L),
+      (4L, null, 0L, 0L)), global.toString)
+
+    // per-document scope: cross-doc repeats survive, intra-doc don't
+    val perDoc = Dedup.dedupLines(docs, perDocument = true)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(perDoc.head == (1L, "header\nalpha beta", 3L, 2L))
+    assert(perDoc(1) == (2L, "header\ngamma delta", 2L, 2L),
+      s"cross-doc repeat must survive per-doc scope: ${perDoc(1)}")
+
+    // keepFirst = false: every copy of a repeated line goes
+    val strict = Dedup.dedupLines(docs, keepFirst = false)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(strict.head == (1L, "alpha beta", 3L, 1L), strict.toString)
+    assert(strict(1) == (2L, "gamma delta", 2L, 1L))
+  }
+
   test("KN trigram: continuation counts punish phrase-locked words; plugs into perplexityBuckets") {
     import spark.implicits._
     // "francisco" and "common" have EQUAL raw frequency (10 each), but

@@ -288,6 +288,41 @@ class OpsPropertySpec extends SparkSuite {
     assert(exchanges <= 1, s"funnel chain must share one exchange:\n$plan")
   }
 
+  test("stickiness and funnel latency: hand-computed goldens") {
+    import spark.implicits._
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    // stickiness over a 2-day window: day d has users {1,2}, day d+1 has
+    // {1}; 2-day actives at d+1 = {1,2} → 1*100 div 2 = 50
+    val ev = Seq(
+      (1L, "view", T("2024-01-01 10:00:00")),
+      (2L, "view", T("2024-01-01 11:00:00")),
+      (1L, "view", T("2024-01-02 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val st = graft.ops.EventAnalytics.stickiness(ev, windowDays = 2)
+      .select("day", "n_active_1d", "n_active_2d", "stickiness_x100")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val d0 = st.keys.min
+    assert(st(d0) == (2L, 2L, 100L), st.toString)
+    assert(st(d0 + 1) == (1L, 2L, 50L), st.toString)
+    intercept[IllegalArgumentException](
+      graft.ops.EventAnalytics.stickiness(ev, windowDays = 1))
+
+    // funnel latency signup→view: user 1 converts in 60s, user 2 in
+    // 180s, user 3 never → n=2, p50=60s, p90=180s (micros)
+    val fe = Seq(
+      (1L, "signup", T("2024-01-01 10:00:00")),
+      (1L, "view", T("2024-01-01 10:01:00")),
+      (2L, "signup", T("2024-01-01 10:00:00")),
+      (2L, "view", T("2024-01-01 10:03:00")),
+      (3L, "signup", T("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val lat = graft.ops.EventAnalytics.funnelLatency(fe,
+        Seq("signup", "view"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(lat == Seq((1L, 2L, 60000000L, 180000000L)), lat.toString)
+  }
+
   test("cohort/rolling day bucketing FLOORS pre-1970 timestamps") {
     import spark.implicits._
     // 1969-12-31 18:00 UTC is epoch-micros < 0: truncating `div` would
