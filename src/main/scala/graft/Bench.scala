@@ -244,26 +244,53 @@ object Bench {
           .filter(sfMatches))
         .orElse(BenchDiff.newestArtifactBelow(cwd, """BENCH_r\d+\.json""", round)
           .filter(sfMatches))
-    val regressionJson: String = prevArtifact match {
-      case None => ""
-      case Some(p) =>
-        try {
-          val (prev, _, _) = BenchDiff.loadFile(p)
-          val cur = results.collect {
-            case (k, m, xs) if xs.nonEmpty => k -> m
-          }.toMap
-          val sharedN = (prev.keySet & cur.keySet).size
-          val regs = BenchDiff.regressions(prev, cur, threshold = 1.3)
-          val items = regs.take(10).map { case (k, pv, cv, r) =>
-            f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f}"""
-          }
-          s""","shared_n":$sharedN,"prev_artifact":${jstr(new java.io.File(p).getName)},"regressions_n":${regs.size},"regressions":[${items.mkString(",")}]"""
-        } catch { case e: Throwable =>
+    val cur = results.collect {
+      case (k, m, xs) if xs.nonEmpty => k -> m
+    }.toMap
+    val prevMedians: Option[(String, Map[String, Double])] =
+      prevArtifact.flatMap { p =>
+        try Some((new java.io.File(p).getName, BenchDiff.loadFile(p)._1))
+        catch { case e: Throwable =>
           // disclose an unreadable prev artifact, don't fail the bench
           failed("bench_prev") =
             Option(e.getMessage).getOrElse(e.getClass.getName)
-          ""
+          None
         }
+      }
+    // Bench tiers (round-15 verdict ask #6, rule recorded in BASELINE.md
+    // §Bench tiers): a query's tier follows its BASELINE median when a
+    // prev artifact covers it (so a query can't switch tiers by merely
+    // regressing), else its current median. `flagship` = train-per-query
+    // compositions (≥ 2 s); `core` = simple relational/windowed plans.
+    // One 1.3× gate over both kept drowning the signal: 1.35× on a 0.4 s
+    // core query is sandbox noise, the same ratio on a 5 s flagship is
+    // ~2 s of real work — so core regressions additionally need a ≥0.3 s
+    // absolute delta and a higher 1.5× ratio before they're flagged.
+    val TierCutSecs = 2.0
+    def tierOf(q: String): String = {
+      val base = prevMedians.flatMap(_._2.get(q)).orElse(cur.get(q)).getOrElse(0.0)
+      if (base >= TierCutSecs) "flagship" else "core"
+    }
+    val tiersJson: String = {
+      val byTier = cur.keys.toSeq.groupBy(tierOf)
+      Seq("core", "flagship").map { t =>
+        val qs = byTier.getOrElse(t, Nil)
+        val tot = qs.map(cur).sum
+        f""""$t%s":{"n":${qs.size}%d,"total":$tot%.2f}"""
+      }.mkString(""","tiers":{""", ",", "}")
+    }
+    val regressionJson: String = prevMedians match {
+      case None => ""
+      case Some((prevName, prev)) =>
+        val sharedN = (prev.keySet & cur.keySet).size
+        val all = BenchDiff.regressions(prev, cur, threshold = 1.3)
+        def item(e: (String, Double, Double, Double)): String = {
+          val (k, pv, cv, r) = e
+          f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f}"""
+        }
+        val (flag, coreAll) = all.partition { case (k, _, _, _) => tierOf(k) == "flagship" }
+        val core = coreAll.filter { case (_, pv, cv, r) => r >= 1.5 && cv - pv >= 0.3 }
+        s""","shared_n":$sharedN,"prev_artifact":${jstr(prevName)},"regressions_n":${all.size},"regressions":[${all.take(10).map(item).mkString(",")}],"regressions_flagship":[${flag.take(10).map(item).mkString(",")}],"regressions_core":[${core.take(10).map(item).mkString(",")}]"""
     }
 
     val qs = results.map { case (k, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
@@ -285,7 +312,7 @@ object Bench {
     if (only.isEmpty) {
       val storeJson = storeStanza.map(s => s""","store":$s""").getOrElse("")
       val fullLine =
-        s"""{"metric":"bench_full","round":$round,"total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)},$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails$storeJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}"""
+        s"""{"metric":"bench_full","round":$round,"total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)},$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails$storeJson$tiersJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}"""
       try
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"bench_full_r$round.json"),
@@ -310,7 +337,7 @@ object Bench {
     val failTrail =
       if (failed.isEmpty) ""","failed_n":0"""
       else s""","failed_n":${failed.size},"failed_names":${failed.keys.take(10).map(jstr).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail$tiersJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()

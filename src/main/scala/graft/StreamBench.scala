@@ -17,6 +17,15 @@ import graft.streaming.RatingsPipeline
   * — the second form drives the composed LLM curation flagship
   * ([[graft.streaming.CurationStream]]: ingest dedup gate → quality
   * gate → manifest-dim enrich) and reports documents/second.
+  *
+  *        runMain graft.StreamBench warm [ratings|curation] [n] [reps]
+  * — the A/B-bisect protocol (BASELINE.md §Streaming-anchor
+  * measurement): `reps` runs of one anchor inside ONE warm session,
+  * reporting every rep plus the median. Single-shot runs in a fresh
+  * forked JVM vary 1.5k–9.3k ev/s at the SAME commit on a sandbox box
+  * (JIT + page-cache + CPU-frequency state dominate a 6-second timed
+  * section); warm in-JVM medians are stable to ±10% and are the only
+  * form of this measurement that supports cross-commit conclusions.
   */
 object StreamBench {
   final case class R(RATING_ID: Long, USER_ID: Int, STARS: Double,
@@ -24,7 +33,37 @@ object StreamBench {
 
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("pipeline")) pipelineMain(args.drop(1))
+    else if (args.headOption.contains("warm")) warmMain(args.drop(1))
     else ratingsMain(args)
+
+  /** Warm in-JVM repetition protocol for cross-commit A/B comparisons
+    * (the round-16 bisect instrument — see BASELINE.md
+    * §Streaming-anchor measurement for why single-shot numbers must
+    * not be compared across commits).
+    */
+  private def warmMain(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("ratings")
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(6)
+    val spark = Sessions.build(s"graft-warm-$which",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val rates = (1 to reps).map { i =>
+      val (rate, secs, _) = which match {
+        case "curation" =>
+          val n = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
+          pipelineRun(spark, n, 5, s"warm_cur$i")
+        case _ =>
+          val n = args.drop(1).headOption.map(_.toInt).getOrElse(60000)
+          ratingsRun(spark, n, 5, s"warm$i")
+      }
+      println(f"""{"metric":"warm_rep","anchor":"$which","rep":$i,"rate":$rate%.0f,"secs":$secs%.2f}""")
+      rate
+    }
+    val s = rates.sorted
+    val median =
+      if (reps % 2 == 0) (s(reps / 2 - 1) + s(reps / 2)) / 2 else s(reps / 2)
+    println(f"""{"metric":"warm_median","anchor":"$which","value":$median%.0f,"unit":"per_sec","reps":$reps}""")
+    spark.stop()
+  }
 
   /** A quality-passing synthetic document (16 tokens, stopwords,
     * healthy token shape, distinct 2-grams → quality 4).
