@@ -407,7 +407,8 @@ object Similarity {
       assignCells(corpus, cents, idCol, vecCol), s"${name}_lists", "cell",
       buckets)
     writeIndexMeta(corpus.sparkSession, name,
-      Seq("centroids" -> centroids, "buckets" -> buckets))
+      Seq("centroids" -> centroids, "buckets" -> buckets),
+      dataKeys = Seq("lists" -> "cell"))
     // baseline priced off the JUST-WRITTEN lists (they carry vec+cell):
     // one cosine per vector, no re-scoring of the k centroids
     writeDriftBaseline(corpus.sparkSession, name,
@@ -419,13 +420,25 @@ object Similarity {
     * the bucket COUNT mismatch is caught by the catalog, but nothing
     * else would be: an append bucketed under different planes/tables
     * values lands in-range and silently corrupts search results.
+    *
+    * `dataKeys` records each appendable data table's bucket KEY (e.g.
+    * `lists=cell;codes=vec_id`) as a `data_keys` string column, so
+    * maintenance ([[compactIndex]]) reads the key it must repartition
+    * on from the build record instead of re-deriving it from
+    * table-existence heuristics — a future index variant or an id
+    * column passed inconsistently would otherwise repartition under
+    * the wrong key and silently break bucketed co-location.
     */
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
-                             name: String, fields: Seq[(String, Int)]): Unit = {
-    val row = org.apache.spark.sql.Row(fields.map(_._2): _*)
+                             name: String, fields: Seq[(String, Int)],
+                             dataKeys: Seq[(String, String)]): Unit = {
+    val row = org.apache.spark.sql.Row(
+      fields.map(_._2) :+ dataKeys.map { case (t, k) => s"$t=$k" }
+        .mkString(";"): _*)
     val schema = org.apache.spark.sql.types.StructType(fields.map { case (f, _) =>
       org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.IntegerType)
-    })
+    } :+ org.apache.spark.sql.types.StructField("data_keys",
+      org.apache.spark.sql.types.StringType))
     graft.core.Layout.writeBucketed(
       spark.createDataFrame(java.util.List.of(row), schema),
       s"${name}_meta", fields.head._1, 1)
@@ -622,7 +635,8 @@ object Similarity {
       lshTableBuckets(corpus, tables, planes, dims, vecCol),
       s"${name}_buckets", "bucket", buckets)
     writeIndexMeta(corpus.sparkSession, name, Seq("planes" -> planes,
-      "dims" -> dims, "tables" -> tables, "buckets" -> buckets))
+      "dims" -> dims, "tables" -> tables, "buckets" -> buckets),
+      dataKeys = Seq("buckets" -> "bucket"))
   }
 
   /** Search-only ANN over the persisted LSH index. */
@@ -989,7 +1003,8 @@ object Similarity {
       "cell", buckets)
     writeIndexMeta(corpus.sparkSession, name,
       Seq("m" -> m, "codebook_size" -> codebookSize, "dims" -> dims,
-        "buckets" -> buckets))
+        "buckets" -> buckets),
+      dataKeys = Seq("codes" -> "cell"))
     // baseline priced off the JUST-WRITTEN codes: one L2 per chosen
     // cell, no re-scoring of the k codebook cells
     writeDriftBaseline(corpus.sparkSession, name,
@@ -1081,7 +1096,8 @@ object Similarity {
       idCol, buckets)
     writeIndexMeta(corpus.sparkSession, name,
       Seq("centroids" -> centroids, "m" -> m,
-        "codebook_size" -> codebookSize, "dims" -> dims, "buckets" -> buckets))
+        "codebook_size" -> codebookSize, "dims" -> dims, "buckets" -> buckets),
+      dataKeys = Seq("lists" -> "cell", "codes" -> idCol))
     // baselines priced off the JUST-WRITTEN artifacts, not a re-run of
     // either training-side scoring pass; the composite's bare (id,cell)
     // lists re-attach vectors by id join
@@ -1283,6 +1299,21 @@ object Similarity {
     * [[graft.streaming.IngestDedupGate.compactStore]] for the ANN
     * indexes; [[graft.streaming.AnnIndexStream]] runs it on a
     * `compactEvery` cadence.
+    *
+    * CRASH-SAFE (the compactStore precedent, adapted to catalog
+    * tables): the compacted rows are first written to a scratch table
+    * (`<table>__compact`, its own location) while the live table's
+    * files stay IMMUTABLE — a reader mid-scan and a crash mid-rewrite
+    * both keep a complete copy on disk at every instant. Only after
+    * the scratch write commits does the swap run: DROP the old table,
+    * then an atomic catalog RENAME moves the scratch directory into
+    * place. A crash between those two steps leaves the data solely in
+    * the scratch table; the next [[compactIndex]] call detects the
+    * orphan (scratch exists, live table missing) and completes the
+    * rename instead of recompacting. The bucket KEY per table comes
+    * from the build's `_meta` `data_keys` record ([[writeIndexMeta]]);
+    * indexes persisted by earlier builds fall back to the historical
+    * table-existence heuristic.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
                    idCol: String = "vec_id"): Seq[TableCompaction] = {
@@ -1290,25 +1321,63 @@ object Similarity {
       s"index '$name' has no _meta — nothing built to compact")
     val meta = spark.table(s"${name}_meta").head()
     val buckets = meta.getInt(meta.fieldIndex("buckets"))
-    val hasIvf = spark.catalog.tableExists(s"${name}_centroids")
-    val hasPq = spark.catalog.tableExists(s"${name}_codebooks")
-    val targets = Seq(
-      (s"${name}_buckets", "bucket"),
-      (s"${name}_lists", "cell"),
-      // the PQ code table buckets by cell standalone but by id under
-      // IVF×PQ (search joins it id-keyed after the list probe)
-      (s"${name}_codes", if (hasIvf && hasPq) idCol else "cell"))
-      .filter { case (t, _) => spark.catalog.tableExists(t) }
+    val keyByTable: Seq[(String, String)] =
+      if (meta.schema.fieldNames.contains("data_keys"))
+        meta.getString(meta.fieldIndex("data_keys")).split(";").toSeq
+          .map { kv =>
+            val Array(sfx, k) = kv.split("=", 2)
+            (s"${name}_$sfx", k)
+          }
+      else {
+        // pre-data_keys index: the historical heuristic (the PQ code
+        // table buckets by cell standalone but by id under IVF×PQ,
+        // whose search joins it id-keyed after the list probe)
+        val hasIvf = spark.catalog.tableExists(s"${name}_centroids")
+        val hasPq = spark.catalog.tableExists(s"${name}_codebooks")
+        Seq(
+          (s"${name}_buckets", "bucket"),
+          (s"${name}_lists", "cell"),
+          (s"${name}_codes", if (hasIvf && hasPq) idCol else "cell"))
+      }
+    val targets = keyByTable.filter { case (t, _) =>
+      spark.catalog.tableExists(t) ||
+        // orphaned swap: the previous compaction crashed after DROP —
+        // the rows live only in the scratch table; keep it a target so
+        // the recovery branch below republishes it
+        spark.catalog.tableExists(s"${t}__compact")
+    }
     require(targets.nonEmpty,
       s"index '$name' has no data tables (_buckets/_lists/_codes)")
     targets.map { case (table, key) =>
-      val before = parquetFileCount(spark, table)
-      // pinned BEFORE the rewrite — writeBucketed drops the table and
-      // deletes its files first; an unpinned plan would scan deleted data
-      val pinned = spark.table(table).localCheckpoint()
-      graft.core.Layout.writeBucketed(
-        pinned.repartition(buckets, col(key)), table, key, buckets)
-      TableCompaction(table, before, parquetFileCount(spark, table))
+      val scratch = s"${table}__compact"
+      if (!spark.catalog.tableExists(table)) {
+        // recovery: finish the interrupted swap (no recompaction — the
+        // scratch table already holds the complete compacted rows)
+        spark.sql(s"ALTER TABLE $scratch RENAME TO $table")
+        val n = parquetFileCount(spark, table)
+        TableCompaction(table, n, n)
+      } else {
+        val before = parquetFileCount(spark, table)
+        // scratch write first: live table untouched (the source files
+        // are immutable while this plan runs); writeBucketed clears any
+        // stale scratch from a crash mid-write. The source is the
+        // table's files read as RAW parquet, not the catalog table: a
+        // catalog scan CLAIMS the bucketed HashPartitioning (so the
+        // optimizer deletes this repartition as redundant) while
+        // auto-bucketed-scan simultaneously un-buckets the actual read
+        // — each task then holds several bucket ids and the bucketed
+        // writer fans out to task×bucket files instead of `buckets`.
+        // The raw read claims nothing, the exchange stays, and its
+        // hash-mod law matches the writer's bucket-id law, so each
+        // task lands exactly one file.
+        val raw = spark.read.parquet(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+        graft.core.Layout.writeBucketed(
+          raw.repartition(buckets, col(key)), scratch, key, buckets)
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE $scratch RENAME TO $table")
+        TableCompaction(table, before, parquetFileCount(spark, table))
+      }
     }
   }
 

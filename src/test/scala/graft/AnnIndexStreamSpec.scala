@@ -209,6 +209,38 @@ class AnnIndexStreamSpec extends SparkSuite {
       qs, 5, m = 8, dims = 64)) == searchBefore)
   }
 
+  test("compactIndex swap is crash-recoverable: orphaned scratch completes, data intact") {
+    assume(corpusPresent)
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").localCheckpoint()
+    Similarity.buildLshIndex(emb.filter(col("vec_id") < 100), "t_cr_lsh",
+      planes = 4, dims = 64)
+    Similarity.appendToLshIndex(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 200), "t_cr_lsh",
+      planes = 4, dims = 64)
+    val beforeSearch = rows(Similarity.annTopKIndexed(spark, "t_cr_lsh",
+      Seq(0L, 1L, 2L), 5))
+    // simulate the worst crash window: scratch committed, old table
+    // dropped, RENAME never ran — the rows exist ONLY in the scratch
+    val buckets = spark.table("t_cr_lsh_buckets")
+    graft.core.Layout.writeBucketed(
+      buckets.repartition(8, col("bucket")), "t_cr_lsh_buckets__compact",
+      "bucket", 8)
+    spark.sql("DROP TABLE t_cr_lsh_buckets")
+    assert(!spark.catalog.tableExists("t_cr_lsh_buckets"))
+    // recovery: the next compactIndex call must finish the swap, not
+    // throw or recompact from a missing table
+    val report = Similarity.compactIndex(spark, "t_cr_lsh")
+    assert(report.map(_.table) == Seq("t_cr_lsh_buckets"), report.toString)
+    assert(spark.catalog.tableExists("t_cr_lsh_buckets"))
+    assert(!spark.catalog.tableExists("t_cr_lsh_buckets__compact"))
+    val afterSearch = rows(Similarity.annTopKIndexed(spark, "t_cr_lsh",
+      Seq(0L, 1L, 2L), 5))
+    assert(afterSearch == beforeSearch,
+      "recovered table must search bit-identically")
+    assert(afterSearch.nonEmpty)
+  }
+
   test("streaming maintenance compacts on cadence; index stays rebuild-identical") {
     assume(corpusPresent)
     val emb = Tables.embeddings(spark, sf)
