@@ -45,7 +45,12 @@ object EventAnalytics {
     require(steps.distinct.size == steps.size,
       s"duplicate step in $steps — a repeated type is ambiguous")
     val w = Window.partitionBy(keyCol)
-    var df = events.select(col(keyCol), col(typeCol), col(tsCol))
+    // null keys have no identity to funnel over: the window would pool
+    // them into ONE partition that can "convert" across unrelated
+    // events (and DuckDB's JOIN USING oracle drops them) — exclude,
+    // matching rollingActive/stickiness
+    var df = events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(typeCol), col(tsCol))
     steps.indices.foreach { i =>
       val cond =
         if (i == 0) col(typeCol) === steps(0)
@@ -235,7 +240,11 @@ object EventAnalytics {
       case _                => col(tsCol).cast("long")
     }
     val w = Window.partitionBy(keyCol)
-    var df = events.select(col(keyCol), col(typeCol), t.as("__fl_us"))
+    // null keys excluded for the same reason as funnelDepth: one pooled
+    // window partition would convert across unrelated events and emit
+    // gap rows the oracle's JOIN USING chain never sees
+    var df = events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(typeCol), t.as("__fl_us"))
     steps.indices.foreach { i =>
       val cond =
         if (i == 0) col(typeCol) === steps(0)
