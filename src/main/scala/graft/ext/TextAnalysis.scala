@@ -1778,13 +1778,38 @@ object TextAnalysis {
   def qualityClassifier(docs: DataFrame, minQuality: Int = 3,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    classifyNaiveBayes(docs, qualityLabeled(docs, minQuality, idCol, textCol),
+      labelCol = "__qc_label", idCol, textCol)
+  }
+
+  /** The rule-teacher labeling half of [[qualityClassifier]], shared
+    * with [[writeQualityBundle]] so the in-session and persisted
+    * classifiers train on the identical labeled relation.
+    */
+  private def qualityLabeled(docs: DataFrame, minQuality: Int,
+                             idCol: String, textCol: String): DataFrame = {
     require(minQuality >= 1 && minQuality <= 4,
       s"minQuality must be in [1, 4], got $minQuality")
-    val labeled = docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol),
         when(qualityScore(col(textCol)) >= minQuality, lit("good"))
           .otherwise(lit("bad")).as("__qc_label"))
-    classifyNaiveBayes(docs, labeled, labelCol = "__qc_label",
-      idCol, textCol)
   }
+
+  /** Train the model-based quality classifier ONCE and PERSIST it
+    * through the [[writeNbBundle]] lifecycle (bucketed model tables +
+    * `_meta`-pinned tokenizer): the 100 TB shape for the learned
+    * quality filter — one batch job labels a trusted snapshot with the
+    * rule gate and trains, every later job (and every stream restart —
+    * [[graft.streaming.CurationStream]]'s model quality gate) loads
+    * the same audited artifact via [[loadNbBundle]] and scores
+    * bit-identically (spec-gated, plus the
+    * t_quality_classifier_persisted oracle).
+    */
+  def writeQualityBundle(docs: DataFrame, name: String, minQuality: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         buckets: Int = 8): Unit =
+    writeNbBundle(qualityLabeled(docs, minQuality, idCol, textCol), name,
+      labelCol = "__qc_label", textCol = textCol, tokenizer = "word",
+      buckets = buckets)
 }

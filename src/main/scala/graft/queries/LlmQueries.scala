@@ -609,6 +609,21 @@ object LlmQueries {
       name
     }
 
+  /** The persisted QUALITY-classifier bundle per (JVM, sf dir) — the
+    * write-once half of t_quality_classifier_persisted, same memo
+    * discipline as [[nbBundleFor]].
+    */
+  def qualityBundleFor(s: org.apache.spark.sql.SparkSession,
+                       d: String): String =
+    synchronized {
+      val name = "graft_qc_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        TextAnalysis.writeQualityBundle(Tables.documents(s, d), name)
+        builtIndexes += name
+      }
+      name
+    }
+
   /** The learned-once BPE merge table per (JVM, sf dir, n) — the two
     * tokenizer-training queries share one training run, mirroring the
     * train-once/tokenize-many lifecycle (and the ANN index memo above).
@@ -1246,6 +1261,31 @@ object LlmQueries {
     */
   private lazy val nbClassifyLangSql: String =
     s"""WITH nblab AS (SELECT doc_id, lang AS label, text FROM documents),
+       |${nbWordCtes("nblab")}
+       |SELECT d.doc_id,
+       |  coalesce(r.label, p.label) AS pred,
+       |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL
+       |            THEN coalesce(r.nxt - r.bits, 0)
+       |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
+       |    AS margin,
+       |  coalesce(r.n_tokens, 0) AS n_tokens
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+       |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The quality-teacher NB classification oracle — shared verbatim by
+    * t_quality_classifier (in-session training) and
+    * t_quality_classifier_persisted (bundle round-tripped through
+    * disk): one SQL gating that both paths produce the identical
+    * result, the [[nbClassifyLangSql]] pattern for the quality teacher.
+    */
+  private lazy val qualityClassifySql: String =
+    s"""WITH ${qualityCtes("documents")},
+       |nblab AS (SELECT doc_id,
+       |    CASE WHEN quality >= 3 THEN 'good' ELSE 'bad' END AS label,
+       |    text FROM qscored WHERE text IS NOT NULL),
        |${nbWordCtes("nblab")}
        |SELECT d.doc_id,
        |  coalesce(r.label, p.label) AS pred,
@@ -3111,25 +3151,19 @@ object LlmQueries {
     // qualityCtes), the word-unigram NB chain trains on those labels
     // and scores every document — same nbWordCtes the language
     // classifier consumes, different teacher.
-    QueryDef("t_quality_classifier",
-      s"""WITH ${qualityCtes("documents")},
-         |nblab AS (SELECT doc_id,
-         |    CASE WHEN quality >= 3 THEN 'good' ELSE 'bad' END AS label,
-         |    text FROM qscored WHERE text IS NOT NULL),
-         |${nbWordCtes("nblab")}
-         |SELECT d.doc_id,
-         |  coalesce(r.label, p.label) AS pred,
-         |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
-         |  CAST(CASE WHEN r.doc_id IS NOT NULL
-         |            THEN coalesce(r.nxt - r.bits, 0)
-         |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
-         |    AS margin,
-         |  coalesce(r.n_tokens, 0) AS n_tokens
-         |FROM documents d
-         |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
-         |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    QueryDef("t_quality_classifier", qualityClassifySql) { (s, d) =>
       TextAnalysis.qualityClassifier(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // The SAME chain with the model ROUND-TRIPPED THROUGH DISK
+    // (writeQualityBundle → bucketed tables + _meta → loadNbBundle →
+    // classifyWith) — the t_nb_classify_persisted lifecycle for the
+    // QUALITY teacher (round-15 verdict ask #4): one oracle gates
+    // that the persisted quality model scores bit-identically to
+    // in-session training.
+    QueryDef("t_quality_classifier_persisted", qualityClassifySql) { (s, d) =>
+      val bundle = TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d))
+      TextAnalysis.classifyWith(Tables.documents(s, d), bundle)
     }.sortedBy(col("doc_id")),
 
     // ── Char-trigram NB language ID (fastText analog) ──────────────

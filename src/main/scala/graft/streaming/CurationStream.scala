@@ -76,11 +76,24 @@ object CurationStream {
     * exchange) + one batch-sized id join to filter — nothing scales
     * with the store or the training corpus after start.
     */
-  final case class LangGate(labeled: DataFrame, keep: Set[String],
+  final case class LangGate(labeled: Option[DataFrame], keep: Set[String],
                             labelCol: String = "lang",
                             bundleName: Option[String] = None)
 
   object LangGate {
+    /** Train-at-start gate from a labeled snapshot (the demo/test
+      * shape). `labeled: Option[...]` on the case class makes the
+      * invalid "persisted gate with a dangling training frame" state
+      * unrepresentable — `None` IS the persisted shape, no null
+      * DataFrame ever exists to NPE on.
+      */
+    def apply(labeled: DataFrame, keep: Set[String]): LangGate =
+      LangGate(Some(labeled), keep)
+
+    def apply(labeled: DataFrame, keep: Set[String],
+              labelCol: String): LangGate =
+      LangGate(Some(labeled), keep, labelCol)
+
     /** Gate from a PERSISTED bundle
       * ([[graft.ext.TextAnalysis.writeNbBundle]]) instead of training
       * at stream start — the production shape: the language model is
@@ -90,8 +103,21 @@ object CurationStream {
       * model trained under.
       */
     def persisted(bundleName: String, keep: Set[String]): LangGate =
-      LangGate(null, keep, bundleName = Some(bundleName))
+      LangGate(None, keep, bundleName = Some(bundleName))
   }
+
+  /** Model-based quality gate for [[run]] — the streaming face of
+    * [[TextAnalysis.qualityClassifier]]'s learned filter, ALWAYS from a
+    * persisted bundle ([[TextAnalysis.writeQualityBundle]]): the
+    * classifier trains/audits once in a batch job; the stream (and
+    * every restart) loads the artifact at start and keeps only docs
+    * the model scores `keep` (default `good`). Runs AFTER the rule
+    * cut: the rules are the cheap codegen'd floor, the model the
+    * learned refinement that catches vocabulary the rules alone would
+    * miss. Per-batch cost is the audited NB scoring plan over the
+    * batch + one batch-sized id join — nothing retrains, ever.
+    */
+  final case class QualityGate(bundleName: String, keep: String = "good")
 
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
@@ -146,8 +172,13 @@ object CurationStream {
           broadcastDim: Boolean = true, redactPii: Boolean = false,
           gopherGate: Boolean = false,
           features: Option[FeatureAsOf] = None,
-          langGate: Option[LangGate] = None)
+          langGate: Option[LangGate] = None,
+          qualityGate: Option[QualityGate] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // model quality gate loads its persisted bundle ONCE, here — a
+    // missing/foreign-tokenizer artifact dies at start, not on batch 0
+    val qualityBundle = qualityGate.map(qg =>
+      TextAnalysis.loadNbBundle(docs.sparkSession, qg.bundleName))
     // language model trains once, here, and pins — per batch only the
     // scoring plan runs (trainNbBundle fails loud on an unlabeled
     // snapshot, so a misconfigured gate dies at start, not on batch 0);
@@ -157,14 +188,14 @@ object CurationStream {
       require(lg.keep.nonEmpty, "LangGate.keep must name at least one language")
       require(!docs.columns.contains("lang_pred"),
         "doc column `lang_pred` collides with the LangGate output — rename it")
-      lg.bundleName match {
-        case Some(nm) => TextAnalysis.loadNbBundle(docs.sparkSession, nm)
-        case None =>
-          require(lg.labeled != null,
-            "LangGate needs either a labeled snapshot to train on or a " +
-              "persisted bundleName (LangGate.persisted)")
-          TextAnalysis.trainNbBundle(lg.labeled, lg.labelCol, textCol,
+      (lg.bundleName, lg.labeled) match {
+        case (Some(nm), _) => TextAnalysis.loadNbBundle(docs.sparkSession, nm)
+        case (None, Some(lab)) =>
+          TextAnalysis.trainNbBundle(lab, lg.labelCol, textCol,
             tfs = graft.functions.charTrigramTfs)
+        case (None, None) => throw new IllegalArgumentException(
+          "LangGate needs either a labeled snapshot to train on or a " +
+            "persisted bundleName (LangGate.persisted)")
       }
     }
     // when the stream redacts, the benchmark must be redacted the same
@@ -216,14 +247,22 @@ object CurationStream {
         .filter(col("quality") >= minQuality &&
           (if (gopherGate) TextAnalysis.gopherPass(col(textCol))
            else lit(true)))
+      // model quality gate: score the rule-passing batch under the
+      // PINNED persisted classifier, keep only `keep`-labeled docs
+      val mGated = qualityBundle.fold(gated) { b =>
+        val keepPreds = TextAnalysis.classifyWith(gated, b, idCol, textCol)
+          .filter(col("pred") === qualityGate.get.keep)
+          .select(col(idCol))
+        gated.join(keepPreds, idCol)
+      }
       // language gate: classify the batch under the PINNED model and
       // keep only the routed languages (pred join is batch-sized)
-      val routed = langBundle.fold(gated) { b =>
+      val routed = langBundle.fold(mGated) { b =>
         val keep = langGate.get.keep
-        val preds = TextAnalysis.classifyWith(gated, b, idCol, textCol)
+        val preds = TextAnalysis.classifyWith(mGated, b, idCol, textCol)
           .filter(col("pred").isin(keep.toSeq: _*))
           .select(col(idCol), col("pred").as("lang_pred"))
-        gated.join(preds, idCol)
+        mGated.join(preds, idCol)
       }
       val clean = benchGrams.fold(routed)(g =>
         graft.ext.Decontamination.decontaminateAgainst(

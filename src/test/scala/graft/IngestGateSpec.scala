@@ -490,6 +490,73 @@ class IngestGateSpec extends SparkSuite {
       s"persisted-bundle routing wrong: ${sunk2.asScala.toSet}")
   }
 
+  test("composed curation stream model quality gate scores from a persisted bundle") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // training snapshot for the persisted classifier: the RULES label it
+    // — good docs (healthy shape, quality 4) carry goodw* vocabulary,
+    // bad docs (too short, no stopwords → quality 2) carry badw* vocab
+    val snapshot = Seq(
+      (11L, "the goodw1 goodw2 goodw3 is a good doc with many fine words"),
+      (12L, "the goodw4 goodw5 goodw6 is a good doc with many fine words"),
+      (13L, "the goodw7 goodw8 goodw9 is a good doc with many fine words"),
+      (21L, "badw1 badw2 badw3"),
+      (22L, "badw4 badw5 badw6"),
+      (23L, "badw7 badw8 badw9")).toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeQualityBundle(snapshot, "t_cur_qc_bundle")
+
+    // both streamed docs PASS the rule gate (≥10 tokens, stopword,
+    // healthy shape, distinct 2-grams) — only the learned model can
+    // tell them apart, on vocabulary evidence alone
+    val goodDoc =
+      "the goodw1 goodw2 goodw3 plus extra pleasant material finally done"
+    val badVocabDoc =
+      "the badw1 badw2 badw3 badw4 badw5 badw6 badw7 badw8 badw9 finally done"
+    val name = "t_cur_qc"
+    val dimDir = java.nio.file.Files.createTempDirectory("qc-dim").toString
+    ManifestStore.seed(Seq((0, "crawlA")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("qc-ckpt").toString,
+      qualityGate = Some(CurationStream.QualityGate("t_cur_qc_bundle"))) {
+      (out, _) =>
+        out.select("doc_id").collect().foreach(r => sunk.add(r.getLong(0)))
+    }
+    try {
+      ms.addData((1L, goodDoc, 0), (2L, badVocabDoc, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.asScala.toSet == Set(1L),
+      s"model quality gate routing wrong: ${sunk.asScala.toSet}")
+    // layering unchanged: the dedup gate admitted BOTH docs' signatures
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // restart shape: a SECOND stream (fresh store/checkpoint — the
+    // restarted driver) names the same bundle and scores identically,
+    // with no training input anywhere in sight
+    val sunk2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ms2 = MemoryStream[(Long, String, Int)]
+    val q2 = CurationStream.run(
+      ms2.toDF().toDF("doc_id", "text", "source_id"), name + "_p", dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("qcp-ckpt").toString,
+      qualityGate = Some(CurationStream.QualityGate("t_cur_qc_bundle"))) {
+      (out, _) =>
+        out.select("doc_id").collect().foreach(r => sunk2.add(r.getLong(0)))
+    }
+    try {
+      ms2.addData((3L, goodDoc + " again", 0), (4L, badVocabDoc + " again", 0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sunk2.asScala.toSet == Set(3L),
+      s"restarted stream must reuse the persisted artifact: ${sunk2.asScala.toSet}")
+  }
+
   test("composed curation stream decontaminates against a benchmark set in-stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -2949,5 +2949,17 @@ class LlmOpsSpec extends SparkSuite {
       TextAnalysis.writeNbBundle(lab, "spec_nb_bad", labelCol = "label",
         tokenizer = "bpe")
     }
+
+    // QUALITY bundle (rule-teacher labels through the same lifecycle):
+    // the persisted classifier must score bit-identically to the
+    // in-session qualityClassifier chain
+    TextAnalysis.writeQualityBundle(docs, "spec_qc_bundle")
+    val qcDirect = TextAnalysis.qualityClassifier(docs)
+      .orderBy("doc_id").collect().toSeq
+    val qcViaDisk = TextAnalysis.classifyWith(docs,
+        TextAnalysis.loadNbBundle(spark, "spec_qc_bundle"))
+      .orderBy("doc_id").collect().toSeq
+    assert(qcDirect == qcViaDisk,
+      "persisted quality bundle must classify bit-identically")
   }
 }
