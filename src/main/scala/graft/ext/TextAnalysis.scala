@@ -185,6 +185,145 @@ object TextAnalysis {
     learned.toSeq
   }
 
+  /** Code-point block length for unigram-LM segmentation: pre-tokens
+    * longer than this are cut into consecutive blocks segmented
+    * independently (SentencePiece's max-sentence-length analog). Bounds
+    * the Viterbi DP — and the oracle's unrolled DP level count — by a
+    * constant, shared verbatim with the DuckDB replay.
+    */
+  val UnigramBlockLen: Int = 16
+
+  /** TRAIN a unigram-LM (SentencePiece-style) piece inventory on a
+    * corpus — the Kudo (2018) lifecycle, distributed and INTEGER-EXACT
+    * so the DuckDB oracle replays it bit-for-bit:
+    *
+    *  1. SEED: the weighted pre-token vocabulary (the [[learnBpeMerges]]
+    *     collapse — iterations cost |vocabulary|, not |corpus|) is cut
+    *     into [[UnigramBlockLen]]-code-point blocks; every ≤
+    *     `maxPieceLen`-code-point substring is counted (weighted), and
+    *     the top `seedSize` by (count DESC, piece ASC) — plus ALL
+    *     single characters, for coverage — form the seed inventory.
+    *  2. HARD EM (`emRounds`): piece costs are integer surprisal bits
+    *     under add-one smoothing (`bitlen(total + |V|) − bitlen(cnt +
+    *     1)` — the NB-classifier bit law); the E-step Viterbi-segments
+    *     the block vocabulary under those costs
+    *     ([[graft.functions.UnigramLmTokens]], one codegen'd map over
+    *     the pinned vocabulary) and recounts weighted piece usage; the
+    *     M-step recomputes bits from the new counts.
+    *  3. PRUNE (after round 1): single characters always survive;
+    *     multi-character pieces keep the top `vocabSize − |chars|`
+    *     slots by integer likelihood LOSS — `cnt × (Σ char bits −
+    *     piece bits)`, the exact extra bits paid if the piece's
+    *     occurrences fell back to single characters (ties: count DESC,
+    *     piece ASC). The final E-step reassigns counts under the
+    *     pruned inventory.
+    *
+    * Returns (piece, weighted count, final bits) in (count DESC, piece
+    * ASC) order. Scale shape: ONE corpus-sized explode builds the
+    * pinned vocabulary; each round is a codegen'd map + one partial-
+    * aggregated piece-count shuffle; every driver materialization is
+    * inventory-sized (the tokenizer config itself), never corpus-sized.
+    * Real pipelines train on a bounded sample — pass it as `docs`.
+    */
+  def learnUnigramLm(docs: DataFrame, vocabSize: Int = 200,
+                     seedSize: Int = 400, maxPieceLen: Int = 4,
+                     emRounds: Int = 2,
+                     textCol: String = "text"): Seq[(String, Long, Long)] = {
+    require(vocabSize >= 1 && vocabSize <= 8192,
+      s"vocabSize must be in [1, 8192], got $vocabSize")
+    require(seedSize >= vocabSize,
+      s"seedSize ($seedSize) must be >= vocabSize ($vocabSize)")
+    require(maxPieceLen >= 1 && maxPieceLen <= UnigramBlockLen,
+      s"maxPieceLen must be in [1, $UnigramBlockLen], got $maxPieceLen")
+    require(emRounds >= 1 && emRounds <= 4,
+      s"emRounds must be in [1, 4], got $emRounds")
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+    val vocabPt = docs.filter(col(textCol).isNotNull)
+      .select(explode(regexp_extract_all(col(textCol), lit(BpePattern),
+        lit(0))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val blocks = vocabPt.select(
+      explode(transform(
+        sequence(lit(0),
+          ((length(col("pt")) - 1) / lit(UnigramBlockLen)).cast("int")),
+        bi => col("pt").substr(bi * UnigramBlockLen + 1,
+          lit(UnigramBlockLen)))).as("b"),
+      col("w"))
+
+    // seed counts: one aggregation over all ≤ maxPieceLen-cp substrings
+    val seedCounts = blocks.select(
+      explode(flatten(transform(sequence(lit(1), length(col("b"))),
+        p => transform(
+          sequence(lit(1), least(lit(maxPieceLen),
+            length(col("b")) - p + 1)),
+          l => col("b").substr(p, l))))).as("piece"),
+      col("w"))
+      .groupBy("piece").agg(sum("w").as("cnt"))
+      .localCheckpoint()
+    val top = seedCounts.orderBy(col("cnt").desc, col("piece"))
+      .limit(seedSize).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val charRows = seedCounts.filter(length(col("piece")) === 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var inv: Seq[(String, Long)] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      (top ++ charRows).foreach { case (p, c) => m.getOrElseUpdate(p, c) }
+      m.toSeq
+    }
+
+    (1 to emRounds).foreach { r =>
+      val total = inv.map(_._2).sum + inv.size
+      val bits = inv.map { case (p, c) =>
+        p -> (bitlen(total) - bitlen(c + 1)) }
+      val unkBits = bitlen(total)
+      val tok = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.UnigramLmTokens(
+          org.apache.spark.sql.graft.Bridge.expression(col("b")),
+          bits, unkBits, maxPieceLen, UnigramBlockLen, pattern = None))
+      val counts = blocks.select(explode(tok).as("piece"), col("w"))
+        .groupBy("piece").agg(sum("w").as("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      inv = inv.map { case (p, _) => p -> counts.getOrElse(p, 0L) }
+      if (r == 1 && emRounds > 1) {
+        val bmap = bits.toMap
+        val (chars, multi) = inv.partition { case (p, _) => cpLen(p) == 1 }
+        val keepN = math.max(0, vocabSize - chars.size)
+        val kept = multi.map { case (p, c) =>
+          val charBits = p.codePoints().toArray.map(cp =>
+            bmap.getOrElse(new String(Character.toChars(cp)), unkBits)).sum
+          (p, c, c * (charBits - bmap(p)))
+        }.sortBy { case (p, c, loss) => (-loss, -c, p) }
+          .take(keepN)
+        inv = chars ++ kept.map { case (p, c, _) => (p, c) }
+      }
+    }
+    val totalF = inv.map(_._2).sum + inv.size
+    inv.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, c, bitlen(totalF) - bitlen(c + 1)) }
+  }
+
+  /** Viterbi-tokenize under a TRAINED unigram-LM inventory
+    * ([[learnUnigramLm]]'s output) — the companion of
+    * [[bpeMergeTokensWith]] for the unigram family: pre-tokenize with
+    * [[BpePattern]], block-cut, segment each block by the same integer
+    * DP the trainer's E-step ran. Unknown single characters cost the
+    * smoothed-denominator bitlen, so tokenization is total on any
+    * input.
+    */
+  def unigramTokensWith(text: Column, inv: Seq[(String, Long, Long)],
+                        maxPieceLen: Int = 4): Column = {
+    val total = inv.map(_._2).sum + inv.size
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.UnigramLmTokens(
+        org.apache.spark.sql.graft.Bridge.expression(text),
+        inv.map(t => (t._1, t._3)),
+        unkBits = 64L - java.lang.Long.numberOfLeadingZeros(total),
+        maxPieceLen, UnigramBlockLen, pattern = Some(BpePattern)))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def charLen(text: Column): Column = length(text)

@@ -624,6 +624,28 @@ object LlmQueries {
       name
     }
 
+  /** The learned-once unigram-LM inventory per (JVM, sf dir) — shared
+    * by t_unigram_lm_train and t_unigram_lm_tokenize (the
+    * [[learnedMergeTables]] discipline for the unigram family).
+    */
+  private val learnedUnigramInvs =
+    scala.collection.mutable.Map[String, Seq[(String, Long, Long)]]()
+
+  def learnedUnigramFor(s: org.apache.spark.sql.SparkSession,
+                        d: String): Seq[(String, Long, Long)] =
+    synchronized {
+      learnedUnigramInvs.getOrElseUpdate(dirStem(d),
+        TextAnalysis.learnUnigramLm(Tables.documents(s, d),
+          vocabSize = UnigramVocab, seedSize = UnigramSeeds))
+    }
+
+  /** Unigram-LM oracle parameters: the sf0.01 corpus has ~308 distinct
+    * ≤4-cp pieces and ~25 single chars, so seeds = 256 exercises the
+    * seed cut and vocab = 64 exercises the likelihood-loss prune.
+    */
+  private val UnigramVocab = 64
+  private val UnigramSeeds = 256
+
   /** The learned-once BPE merge table per (JVM, sf dir, n) — the two
     * tokenizer-training queries share one training run, mirroring the
     * train-once/tokenize-many lifecycle (and the ANN index memo above).
@@ -868,6 +890,174 @@ object LlmQueries {
            |  UNION ALL SELECT $k, a, b FROM best$k)""".stripMargin)
     }
     sb.toString
+  }
+
+  /** Unrolled DuckDB replay of [[TextAnalysis.learnUnigramLm]] — the
+    * unigram-LM (SentencePiece-style) training loop, bit-for-bit:
+    * weighted pre-token vocabulary → block cut → seed substring counts
+    * (top `seeds` ∪ all single chars) → per EM round, integer
+    * surprisal bits (the NB bit law), an exact suffix-distance Viterbi
+    * DP unrolled to [[TextAnalysis.UnigramBlockLen]] levels with the
+    * engine's tie-break (`ORDER BY cost ASC, l DESC`), a recursive
+    * walk that re-reads the chosen piece chain, and weighted usage
+    * recounts — with the char-fallback likelihood-loss prune between
+    * rounds. `withFinalSeg` additionally runs the inference DP under
+    * the FINAL bits and emits `usegF(block, pos, piece)` — the
+    * tokenize oracle's per-block segmentation relation.
+    */
+  private def unigramCtes(seeds: Int, vocab: Int, withFinalSeg: Boolean): String = {
+    val pat = TextAnalysis.BpePattern.replace("'", "''")
+    val L = 4
+    val K = TextAnalysis.UnigramBlockLen
+    val sb = new StringBuilder
+    sb.append(
+      s"""vocabpt AS MATERIALIZED (
+         |  SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT unnest(regexp_extract_all(text, '$pat')) AS pt
+         |    FROM documents WHERE text IS NOT NULL) u GROUP BY pt),
+         |ublocks AS MATERIALIZED (
+         |  SELECT b, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT unnest(list_transform(generate_series(0, (length(pt) - 1) // $K),
+         |           bi -> substr(pt, bi * $K + 1, $K))) AS b, w
+         |    FROM vocabpt) u GROUP BY b),
+         |usubs AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(w) AS BIGINT) AS cnt FROM (
+         |    SELECT w, unnest(flatten(list_transform(generate_series(1, length(b)),
+         |           p -> list_transform(generate_series(1, least($L, length(b) - p + 1)),
+         |                l -> substr(b, p, l))))) AS piece
+         |    FROM ublocks) u GROUP BY piece),
+         |useeds AS (SELECT piece, cnt FROM usubs ORDER BY cnt DESC, piece LIMIT $seeds),
+         |uchars AS (SELECT piece, cnt FROM usubs WHERE length(piece) = 1),
+         |uinv0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM (
+         |  SELECT * FROM useeds UNION ALL SELECT * FROM uchars) z)""".stripMargin)
+
+    // bits + unk of an inventory relation, under tag `t`
+    def bitsCtes(t: String, invRel: String): String =
+      s"""utot$t AS (SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS t FROM $invRel),
+         |ubits$t AS MATERIALIZED (
+         |  SELECT piece, CAST(length(bin(tt.t)) - length(bin(cnt + 1)) AS BIGINT) AS bits
+         |  FROM $invRel CROSS JOIN utot$t tt),
+         |uunk$t AS (SELECT CAST(length(bin(t)) AS BIGINT) AS bits FROM utot$t)""".stripMargin
+
+    // exact suffix-distance DP + walk under tag `t`'s bits → useg$t
+    def dpCtes(t: String): String = {
+      val levels = (1 to K).map { d =>
+        val branches = (1 to math.min(L, d)).map { l =>
+          val pieceExpr = s"substr(bl.b, length(bl.b) - $d + 1, $l)"
+          if (l == 1)
+            s"""      SELECT bl.b AS block, coalesce(bb.bits, uu.bits) + pv.cost AS cost,
+               |             1 AS l, $pieceExpr AS piece
+               |      FROM ublocks bl CROSS JOIN uunk$t uu
+               |      LEFT JOIN ubits$t bb ON bb.piece = $pieceExpr
+               |      JOIN udp${t}_${d - 1} pv ON pv.block = bl.b
+               |      WHERE length(bl.b) >= $d""".stripMargin
+          else
+            s"""      SELECT bl.b AS block, bb.bits + pv.cost AS cost,
+               |             $l AS l, $pieceExpr AS piece
+               |      FROM ublocks bl
+               |      JOIN ubits$t bb ON bb.piece = $pieceExpr
+               |      JOIN udp${t}_${d - l} pv ON pv.block = bl.b
+               |      WHERE length(bl.b) >= $d""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""udp${t}_$d AS MATERIALIZED (
+           |  SELECT block, cost, l, piece FROM (
+           |    SELECT q.*, row_number() OVER (PARTITION BY q.block
+           |             ORDER BY q.cost ASC, q.l DESC) AS rn FROM (
+           |$branches
+           |    ) q) z WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""udp${t}_0 AS (SELECT b AS block, CAST(0 AS BIGINT) AS cost FROM ublocks),
+         |$levels,
+         |udpall$t AS MATERIALIZED (
+         |${(1 to K).map(d => s"  SELECT block, $d AS d, l, piece FROM udp${t}_$d")
+             .mkString("\n  UNION ALL\n")}),
+         |uwalk$t(block, d, piece, pos) AS (
+         |  SELECT b, length(b), CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) FROM ublocks
+         |  UNION ALL
+         |  SELECT w.block, w.d - a.l, a.piece,
+         |         CAST(length(w.block) - w.d AS BIGINT)
+         |  FROM uwalk$t w JOIN udpall$t a ON a.block = w.block AND a.d = w.d
+         |  WHERE w.d > 0),
+         |useg$t AS MATERIALIZED (
+         |  SELECT block, pos, piece FROM uwalk$t WHERE piece IS NOT NULL)""".stripMargin
+    }
+
+    def countCtes(t: String): String =
+      s"""ucnt$t AS (SELECT s.piece, CAST(sum(bl.w) AS BIGINT) AS cnt
+         |  FROM useg$t s JOIN ublocks bl ON bl.b = s.block GROUP BY s.piece)""".stripMargin
+
+    // round 1: bits from uinv0, E-step, M-step, PRUNE → uinv1
+    sb.append(",\n").append(bitsCtes("1", "uinv0"))
+    sb.append(",\n").append(dpCtes("1"))
+    sb.append(",\n").append(countCtes("1"))
+    sb.append(",\n").append(
+      s"""uinvm1 AS MATERIALIZED (
+         |  SELECT i.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+         |  FROM uinv0 i LEFT JOIN ucnt1 c USING (piece)),
+         |upch AS (SELECT piece, unnest(list_transform(generate_series(1, length(piece)),
+         |    i -> substr(piece, i, 1))) AS ch FROM uinvm1 WHERE length(piece) > 1),
+         |upcb AS (SELECT p.piece, CAST(sum(coalesce(b2.bits, u.bits)) AS BIGINT) AS charbits
+         |  FROM upch p CROSS JOIN uunk1 u
+         |  LEFT JOIN ubits1 b2 ON b2.piece = p.ch GROUP BY p.piece),
+         |uloss AS (SELECT m.piece, m.cnt, m.cnt * (cb.charbits - b1.bits) AS loss
+         |  FROM uinvm1 m JOIN upcb cb USING (piece)
+         |  JOIN ubits1 b1 ON b1.piece = m.piece),
+         |ukeepn AS (SELECT CAST($vocab AS BIGINT) - count(*) AS n
+         |  FROM uinvm1 WHERE length(piece) = 1),
+         |ukept AS (SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY loss DESC, cnt DESC, piece) AS rn
+         |    FROM uloss) z CROSS JOIN ukeepn WHERE rn <= n),
+         |uinv1 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM uinvm1 WHERE length(piece) = 1
+         |  UNION ALL SELECT piece, cnt FROM ukept)""".stripMargin)
+    // round 2: bits from uinv1, E-step, M-step → uinv2 (final counts)
+    sb.append(",\n").append(bitsCtes("2", "uinv1"))
+    sb.append(",\n").append(dpCtes("2"))
+    sb.append(",\n").append(countCtes("2"))
+    sb.append(",\n").append(
+      s"""uinv2 AS MATERIALIZED (
+         |  SELECT i.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+         |  FROM uinv1 i LEFT JOIN ucnt2 c USING (piece))""".stripMargin)
+    // final bits (the returned inventory's), + optional inference DP
+    sb.append(",\n").append(bitsCtes("F", "uinv2"))
+    if (withFinalSeg) sb.append(",\n").append(dpCtes("F"))
+    sb.toString
+  }
+
+  private def unigramTrainSql: String =
+    s"""WITH RECURSIVE ${unigramCtes(UnigramSeeds, UnigramVocab, withFinalSeg = false)}
+       |SELECT CAST(row_number() OVER (ORDER BY f.cnt DESC, f.piece) - 1 AS BIGINT) AS rank,
+       |       f.piece, f.cnt, b.bits
+       |FROM uinv2 f JOIN ubitsF b USING (piece)
+       |ORDER BY rank""".stripMargin
+
+  private def unigramTokenizeSql: String = {
+    val pat = TextAnalysis.BpePattern.replace("'", "''")
+    val K = TextAnalysis.UnigramBlockLen
+    s"""WITH RECURSIVE ${unigramCtes(UnigramSeeds, UnigramVocab, withFinalSeg = true)},
+       |udpts AS (
+       |  SELECT doc_id, x.i AS i, x.pt AS pt
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(regexp_extract_all(text, '$pat'),
+       |                 (y, ii) -> struct_pack(pt := y, i := ii))) AS x
+       |        FROM documents) s),
+       |udblk AS (
+       |  SELECT doc_id, i, bi, substr(pt, bi * $K + 1, $K) AS b
+       |  FROM (SELECT doc_id, i, pt,
+       |          unnest(generate_series(0, (length(pt) - 1) // $K)) AS bi
+       |        FROM udpts) t),
+       |uper_doc AS (
+       |  SELECT doc_id,
+       |         string_agg(piece, chr(1) ORDER BY i, bi, pos) AS learned_tokens,
+       |         CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT d.doc_id, d.i, d.bi, s.pos, s.piece
+       |    FROM udblk d JOIN usegF s ON s.block = d.b) q
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(p.learned_tokens, '') AS learned_tokens,
+       |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_learned_tokens
+       |FROM documents d LEFT JOIN uper_doc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def bpeTrainSql(n: Int): String = {
@@ -1503,6 +1693,31 @@ object LlmQueries {
     // (weighted distinct pre-tokens, iterative argmax pair). The oracle
     // unrolls the same loop into chained CTE stages (see bpeTrainCtes)
     // and must produce the identical (rank, lhs, rhs, count) table.
+    // ── Unigram-LM (SentencePiece-style) tokenizer training ────────
+    // Integer-exact hard-EM over the weighted pre-token block
+    // vocabulary: seed substring counts → surprisal-bit costs → exact
+    // Viterbi DP (longer-piece tie-break) → usage recount, with the
+    // char-fallback likelihood-loss prune between rounds. The oracle
+    // replays every stage unrolled — seeds, both EM rounds' DP levels,
+    // the recursive chosen-piece walk, and the prune ranking.
+    QueryDef("t_unigram_lm_train", unigramTrainSql) { (s, d) =>
+      import s.implicits._
+      learnedUnigramFor(s, d).zipWithIndex
+        .map { case ((p, c, b), i) => (i.toLong, p, c, b) }
+        .toDF("rank", "piece", "cnt", "bits")
+    }.sortedBy(col("rank")),
+
+    // ... and Viterbi-tokenize the corpus under the inventory just
+    // learned (final smoothed bits) — the full train → tokenize
+    // lifecycle, compared token-for-token like t_bpe_train_tokenize.
+    QueryDef("t_unigram_lm_tokenize", unigramTokenizeSql) { (s, d) =>
+      val inv = learnedUnigramFor(s, d)
+      val toks = TextAnalysis.unigramTokensWith(col("text"), inv)
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_bpe_train", bpeTrainSql(BpeTrainMerges)) { (s, d) =>
       import s.implicits._
       learnedMergesFor(s, d, BpeTrainMerges).zipWithIndex

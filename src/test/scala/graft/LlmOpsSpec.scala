@@ -1930,6 +1930,98 @@ class LlmOpsSpec extends SparkSuite {
       .hybridSearchIndexed(docs, queries, "t_hybrid_idx", k = 0))
   }
 
+  test("unigram-LM training: naive-reference parity, prune invariants, lossless Viterbi tokenize") {
+    import spark.implicits._
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val L = 4
+    val K = TextAnalysis.UnigramBlockLen
+    def blocksOf(pt: String): Seq[String] = pt.grouped(K).toSeq
+    // independent naive reference of the exact suffix-distance DP
+    // (integer bits, unknown-char fallback, longer-piece tie-break)
+    def viterbi(b: String, bits: Map[String, Long], unk: Long): Seq[String] = {
+      val n = b.length
+      val cost = new Array[Long](n + 1)
+      val ch = new Array[Int](n + 1)
+      for (d <- 1 to n) {
+        var best = Long.MaxValue; var bl = 0
+        for (l <- 1 to math.min(L, d)) {
+          val p = b.substring(n - d, n - d + l)
+          val bb = bits.get(p).orElse(if (l == 1) Some(unk) else None)
+          bb.foreach { x =>
+            val c = x + cost(d - l)
+            if (c < best || (c == best && l > bl)) { best = c; bl = l }
+          }
+        }
+        cost(d) = best; ch(d) = bl
+      }
+      val out = Seq.newBuilder[String]; var d = n
+      while (d > 0) { val l = ch(d); out += b.substring(n - d, n - d + l); d -= l }
+      out.result()
+    }
+    // ... and of the whole training pipeline (seed → 2×EM → prune)
+    def naive(texts: Seq[String], vocabSize: Int,
+              seedSize: Int): Seq[(String, Long, Long)] = {
+      val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+      val vocab = scala.collection.mutable.HashMap.empty[String, Long]
+      texts.foreach { t =>
+        val m = pat.matcher(t)
+        while (m.find()) vocab(m.group()) = vocab.getOrElse(m.group(), 0L) + 1L
+      }
+      val blocks = vocab.toSeq.flatMap { case (pt, w) => blocksOf(pt).map(_ -> w) }
+      val subs = scala.collection.mutable.HashMap.empty[String, Long]
+      blocks.foreach { case (b, w) =>
+        for (p <- 0 until b.length; l <- 1 to math.min(L, b.length - p))
+          subs(b.substring(p, p + l)) = subs.getOrElse(b.substring(p, p + l), 0L) + w
+      }
+      val top = subs.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+      val chars = subs.filter(_._1.length == 1).toSeq
+      var inv: Seq[(String, Long)] = (top ++ chars).distinctBy(_._1)
+      for (r <- 1 to 2) {
+        val total = inv.map(_._2).sum + inv.size
+        val bits = inv.map { case (p, c) => p -> (bitlen(total) - bitlen(c + 1)) }.toMap
+        val unk = bitlen(total)
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        blocks.foreach { case (b, w) =>
+          viterbi(b, bits, unk).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + w)
+        }
+        inv = inv.map { case (p, _) => p -> counts.getOrElse(p, 0L) }
+        if (r == 1) {
+          val (cs, multi) = inv.partition(_._1.length == 1)
+          val keepN = math.max(0, vocabSize - cs.size)
+          val kept = multi.map { case (p, c) =>
+            (p, c, c * (p.map(x => bits.getOrElse(x.toString, unk)).sum - bits(p)))
+          }.sortBy { case (p, c, loss) => (-loss, -c, p) }.take(keepN)
+          inv = cs ++ kept.map(t => (t._1, t._2))
+        }
+      }
+      val totF = inv.map(_._2).sum + inv.size
+      inv.sortBy { case (p, c) => (-c, p) }
+        .map { case (p, c) => (p, c, bitlen(totF) - bitlen(c + 1)) }
+    }
+    val docs = Tables.documents(spark, sf)
+    val sample = docs.limit(80).select("text").as[String].collect()
+      .toSeq.filter(_ != null)
+    val got = TextAnalysis.learnUnigramLm(docs.limit(80), vocabSize = 48,
+      seedSize = 160)
+    assert(got == naive(sample, 48, 160),
+      s"spark=${got.take(8)}... naive=${naive(sample, 48, 160).take(8)}...")
+    // prune invariants: every corpus char survives; the inventory never
+    // exceeds max(vocabSize, #chars); learned multi-char pieces used
+    val chars = got.filter(_._1.length == 1)
+    assert(got.size <= math.max(48, chars.size), got.size.toString)
+    assert(got.count(_._1.length > 1) > 0,
+      "training must learn at least one multi-char piece on real text")
+    // Viterbi tokenize is LOSSLESS: tokens rejoin to the pre-token
+    // concatenation on every doc
+    val toks = TextAnalysis.unigramTokensWith(col("text"), got)
+    val mismatches = docs.select(concat_ws("", toks).as("j"),
+        concat_ws("", regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpePattern), lit(0))).as("orig"))
+      .filter(col("j") =!= col("orig")).count()
+    assert(mismatches == 0L, s"$mismatches docs failed to rejoin")
+  }
+
   test("BPE training: hand goldens, naive-reference parity, early stop, oracle validity") {
     import spark.implicits._
     // independent naive reference: tokenize-under-merges (min-rank loop)
