@@ -185,6 +185,80 @@ object TextAnalysis {
     learned.toSeq
   }
 
+  /** TRAIN a WordPiece merge table — the BERT-lineage learning loop
+    * (Schuster & Nakajima 2012; Wu et al. 2016), distributed over the
+    * same weighted distinct pre-token vocabulary as
+    * [[learnBpeMerges]]: identical iteration shape, ONE substitution —
+    * the next merge maximizes the LIKELIHOOD score
+    * `count(ab) / (count(a) · count(b))` instead of the raw pair
+    * count, so a pair of RARE symbols that always co-occur outranks a
+    * frequent pair of independently-frequent symbols (the property
+    * that makes WordPiece vocabularies morpheme-shaped). The score is
+    * integer-exact as a 10¹²-fixed-point floor division
+    * (`n·10¹² div (cₐ·c_b)`), with deterministic tie-break
+    * (score DESC, count DESC, lexicographic pair) — replayed verbatim
+    * by the DuckDB oracle. Returns (lhs, rhs, weighted count,
+    * score_fp) in rank order; stops when the best pair's count falls
+    * below `minPairCount`.
+    *
+    * Tokenize-with is [[bpeMergeTokensWith]] — a WordPiece-learned
+    * table is well-formed by construction and applies with the same
+    * rank-ordered merge rule (the HuggingFace-BPE inference rule; the
+    * WORDPIECE part is the training objective).
+    *
+    * The fixed-point law needs `n · 10¹²` inside Long, so training
+    * requires total weighted symbol count ≤ ~9·10⁶ — train on a
+    * bounded sample (real pipelines always do; the learned table is
+    * the driver-sized tokenizer config).
+    */
+  def learnWordPieceMerges(docs: DataFrame, nMerges: Int,
+                           textCol: String = "text",
+                           minPairCount: Long = 2L): Seq[(String, String, Long, Long)] = {
+    require(nMerges >= 1 && nMerges <= 4096,
+      s"nMerges must be in [1, 4096], got $nMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val Scale = 1000000000000L
+    val vocabPt = docs.filter(col(textCol).isNotNull)
+      .select(explode(regexp_extract_all(col(textCol), lit(BpePattern),
+        lit(0))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val totalSyms = vocabPt.agg(sum(col("w") * length(col("pt"))))
+      .head.getLong(0)
+    require(totalSyms <= 9000000L,
+      s"learnWordPieceMerges: corpus has $totalSyms weighted symbols — the " +
+        "10^12 fixed-point score law needs <= 9e6; train on a bounded sample")
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    var go = true
+    while (go && learned.size < nMerges) {
+      val toks =
+        bpeMergeTokensWith(col("pt"), learned.toSeq.map(m => (m._1, m._2)))
+      // pinned: the pair-count and symbol-count aggregations both read
+      // the tokenized vocabulary — one tokenization pass, not two
+      val tokd = vocabPt.select(toks.as("t"), col("w")).localCheckpoint()
+      val pairs = tokd.filter(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"), col("w"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("w")).as("n"))
+      val uni = tokd.select(explode(col("t")).as("sym"), col("w"))
+        .groupBy("sym").agg(sum(col("w")).as("c"))
+      val top = pairs
+        .join(uni.select(col("sym").as("lhs"), col("c").as("ca")), "lhs")
+        .join(uni.select(col("sym").as("rhs"), col("c").as("cb")), "rhs")
+        .withColumn("s", expr(s"(n * ${Scale}L) div (ca * cb)"))
+        .orderBy(col("s").desc, col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).select("lhs", "rhs", "n", "s").collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) go = false
+      else learned += ((top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2), top(0).getLong(3)))
+    }
+    learned.toSeq
+  }
+
   /** Code-point block length for unigram-LM segmentation: pre-tokens
     * longer than this are cut into consecutive blocks segmented
     * independently (SentencePiece's max-sentence-length analog). Bounds

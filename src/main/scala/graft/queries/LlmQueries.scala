@@ -660,6 +660,19 @@ object LlmQueries {
         TextAnalysis.learnBpeMerges(Tables.documents(s, d), n))
     }
 
+  /** The learned-once WordPiece table per (JVM, sf dir, n) — the
+    * [[learnedMergesFor]] discipline for the likelihood-scored trainer.
+    */
+  private val learnedWpTables =
+    scala.collection.mutable.Map[String, Seq[(String, String, Long, Long)]]()
+
+  def learnedWordPieceFor(s: org.apache.spark.sql.SparkSession, d: String,
+                          n: Int): Seq[(String, String, Long, Long)] =
+    synchronized {
+      learnedWpTables.getOrElseUpdate(dirStem(d) + "#" + n,
+        TextAnalysis.learnWordPieceMerges(Tables.documents(s, d), n))
+    }
+
   /** Stage count for the tokenizer-training oracle pair — small enough
     * that the unrolled DuckDB replay stays cheap, large enough to learn
     * real multi-level merges (outputs of earlier merges appear as sides
@@ -849,7 +862,13 @@ object LlmQueries {
     * the oracle (measured: >10 min inlined vs 0.2 s materialized at
     * sf0.001). Materialization pins each stage to run exactly once.
     */
-  private def bpeTrainCtes(n: Int): String = {
+  /** Shared by the BPE and WordPiece training oracles: identical
+    * walk/pair machinery, ONE substitution in `best$k` — raw-count
+    * argmax (BPE) vs the 10¹²-fixed-point likelihood score
+    * `n·10¹² // (cₐ·c_b)` over the iteration's symbol counts
+    * (WordPiece, `scored = true`).
+    */
+  private def bpeTrainCtes(n: Int, scored: Boolean = false): String = {
     val pat = TextAnalysis.BpePattern.replace("'", "''")
     val anyChar = "[\\s\\S]"
     val sb = new StringBuilder
@@ -865,6 +884,19 @@ object LlmQueries {
          |mg0(rank, a, b) AS MATERIALIZED (SELECT 0, '', '' WHERE 1 = 0)""".stripMargin)
     for (k <- 0 until n) {
       sb.append(",\n")
+      val bestK =
+        if (!scored)
+          s"""best$k AS MATERIALIZED (SELECT a, b, n FROM pairs$k ORDER BY n DESC, a, b LIMIT 1)"""
+        else
+          s"""uni$k AS (SELECT sym, CAST(sum(w) AS BIGINT) AS c FROM (
+             |    SELECT w, unnest(toks) AS sym FROM fin$k) q GROUP BY sym),
+             |best$k AS MATERIALIZED (
+             |  SELECT a, b, n, s FROM (
+             |    SELECT p.a, p.b, p.n, (p.n * 1000000000000) // (ua.c * ub.c) AS s
+             |    FROM pairs$k p
+             |    JOIN uni$k ua ON ua.sym = p.a
+             |    JOIN uni$k ub ON ub.sym = p.b) z
+             |  ORDER BY s DESC, n DESC, a, b LIMIT 1)""".stripMargin
       sb.append(
         s"""walk$k(pt, w, s, rank) AS (
            |  SELECT pt, w, s, 0 FROM tbase
@@ -884,7 +916,7 @@ object LlmQueries {
            |           idx -> struct_pack(a := toks[idx], b := toks[idx + 1]))) AS p
            |    FROM fin$k WHERE len(toks) >= 2) q
            |  GROUP BY p.a, p.b),
-           |best$k AS MATERIALIZED (SELECT a, b, n FROM pairs$k ORDER BY n DESC, a, b LIMIT 1),
+           |$bestK,
            |mg${k + 1}(rank, a, b) AS MATERIALIZED (
            |  SELECT rank, a, b FROM mg$k
            |  UNION ALL SELECT $k, a, b FROM best$k)""".stripMargin)
@@ -1070,14 +1102,24 @@ object LlmQueries {
        |) ORDER BY rank""".stripMargin
   }
 
+  private def wordPieceTrainSql(n: Int): String = {
+    val learned = (0 until n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, n, s AS score_fp FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${bpeTrainCtes(n, scored = true)}
+       |SELECT * FROM (
+       |$learned
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** Tokenize the corpus under the TRAINED table (mg_n as the walk's
     * merge relation over full documents) — proves the learn → tokenize
     * composition end to end, the full tokenizer lifecycle.
     */
-  private def bpeTrainTokenizeSql(n: Int): String = {
+  private def bpeTrainTokenizeSql(n: Int, scored: Boolean = false): String = {
     val pat = TextAnalysis.BpePattern.replace("'", "''")
     val anyChar = "[\\s\\S]"
-    s"""WITH RECURSIVE ${bpeTrainCtes(n)},
+    s"""WITH RECURSIVE ${bpeTrainCtes(n, scored)},
        |dpts AS (
        |  SELECT doc_id, x.i AS i, x.pt AS pt
        |  FROM (SELECT doc_id,
@@ -1693,6 +1735,32 @@ object LlmQueries {
     // (weighted distinct pre-tokens, iterative argmax pair). The oracle
     // unrolls the same loop into chained CTE stages (see bpeTrainCtes)
     // and must produce the identical (rank, lhs, rhs, count) table.
+    // ── WordPiece tokenizer training (BERT lineage) ────────────────
+    // The learnBpeMerges iteration shape with the likelihood-score
+    // argmax: next merge maximizes count(ab)/(count(a)·count(b)) as a
+    // 10¹²-fixed-point integer — rare-but-cohesive pairs outrank
+    // frequent-but-independent ones. Oracle replays the same unrolled
+    // walk with the scored best-pair selection.
+    QueryDef("t_wordpiece_train", wordPieceTrainSql(BpeTrainMerges)) { (s, d) =>
+      import s.implicits._
+      learnedWordPieceFor(s, d, BpeTrainMerges).zipWithIndex
+        .map { case ((a, b, n, sc), i) => (i.toLong, a, b, n, sc) }
+        .toDF("rank", "lhs", "rhs", "n", "score_fp")
+    }.sortedBy(col("rank")),
+
+    // ... and tokenize the corpus under the WordPiece-learned table
+    // (rank-ordered merge application — the training objective is
+    // WordPiece's, the inference rule the shared merge walk).
+    QueryDef("t_wordpiece_tokenize",
+      bpeTrainTokenizeSql(BpeTrainMerges, scored = true)) { (s, d) =>
+      val learned = learnedWordPieceFor(s, d, BpeTrainMerges)
+        .map(m => (m._1, m._2))
+      val toks = TextAnalysis.bpeMergeTokensWith(col("text"), learned)
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
+    }.sortedBy(col("doc_id")),
+
     // ── Unigram-LM (SentencePiece-style) tokenizer training ────────
     // Integer-exact hard-EM over the weighted pre-token block
     // vocabulary: seed substring counts → surprisal-bit costs → exact

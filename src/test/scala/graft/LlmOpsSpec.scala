@@ -1930,6 +1930,84 @@ class LlmOpsSpec extends SparkSuite {
       .hybridSearchIndexed(docs, queries, "t_hybrid_idx", k = 0))
   }
 
+  test("WordPiece training: likelihood argmax diverges from BPE on crafted cohesion, naive parity") {
+    import spark.implicits._
+    // naive reference: the BPE loop with the 10^12-fixed-point
+    // likelihood score argmax (score DESC, count DESC, lex pair)
+    def naiveWp(texts: Seq[String], n: Int): Seq[(String, String, Long, Long)] = {
+      val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+      val vocab = scala.collection.mutable.HashMap.empty[String, Long]
+      texts.foreach { t =>
+        val m = pat.matcher(t)
+        while (m.find()) vocab(m.group()) = vocab.getOrElse(m.group(), 0L) + 1L
+      }
+      def tok(pt: String, merges: Seq[(String, String)]): Vector[String] = {
+        val rank = merges.zipWithIndex.toMap
+        var syms = pt.map(_.toString).toVector
+        var go = syms.size >= 2
+        while (go) {
+          val present = syms.zip(syms.tail).flatMap(rank.get)
+          if (present.isEmpty) go = false
+          else {
+            val (a, b) = merges(present.min)
+            val buf = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.size) {
+              if (j < syms.size - 1 && syms(j) == a && syms(j + 1) == b) {
+                buf += a + b; j += 2
+              } else { buf += syms(j); j += 1 }
+            }
+            syms = buf.result(); go = syms.size >= 2
+          }
+        }
+        syms
+      }
+      val learned =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+      var go = true
+      while (go && learned.size < n) {
+        val pairC = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        val uniC = scala.collection.mutable.HashMap.empty[String, Long]
+        vocab.foreach { case (pt, w) =>
+          val ts = tok(pt, learned.toSeq.map(x => (x._1, x._2)))
+          ts.foreach(s => uniC(s) = uniC.getOrElse(s, 0L) + w)
+          ts.zip(ts.tail).foreach(p => pairC(p) = pairC.getOrElse(p, 0L) + w)
+        }
+        val best = pairC.toSeq.map { case ((a, b), c) =>
+          (a, b, c, c * 1000000000000L / (uniC(a) * uniC(b)))
+        }.sortBy { case (a, b, c, s) => (-s, -c, a, b) }.headOption
+        best match {
+          case Some((a, b, c, s)) if c >= 2L => learned += ((a, b, c, s))
+          case _ => go = false
+        }
+      }
+      learned.toSeq
+    }
+    // crafted cohesion: (x, y) occurs only 2 times but x/y never occur
+    // apart (score 5.0e11); the frequent pairs ride on ubiquitous
+    // ' '/'t' symbols and score ~1e11 — WordPiece's first merge is the
+    // RARE cohesive pair, BPE's is the frequent one
+    val fixture = Seq("ta th ta th ta th ta th", "xy xy")
+    val wp = TextAnalysis.learnWordPieceMerges(fixture.toDF("text"), nMerges = 1)
+    assert(wp.map(m => (m._1, m._2)) == Seq(("x", "y")), wp.toString)
+    assert(wp.head._4 == 500000000000L, s"score_fp: ${wp.head._4}")
+    val bpe = TextAnalysis.learnBpeMerges(fixture.toDF("text"), nMerges = 1)
+    assert(bpe.map(m => (m._1, m._2)) == Seq((" ", "t")),
+      s"BPE must pick the frequent pair here, got $bpe")
+    // parity with the naive trainer on real corpus text
+    val docs = Tables.documents(spark, sf)
+    val sample = docs.limit(60).select("text").as[String].collect().toSeq
+    val learnedSpark = TextAnalysis.learnWordPieceMerges(docs.limit(60), nMerges = 6)
+    assert(learnedSpark == naiveWp(sample, 6),
+      s"spark=$learnedSpark naive=${naiveWp(sample, 6)}")
+    // the learned table is well-formed: tokenizing under it succeeds
+    val nTok = docs.limit(10)
+      .select(TextAnalysis.bpeMergeTokensWith(col("text"),
+        learnedSpark.map(m => (m._1, m._2))))
+      .collect().map(_.getSeq[String](0).size).sum
+    assert(nTok > 0L)
+  }
+
   test("unigram-LM training: naive-reference parity, prune invariants, lossless Viterbi tokenize") {
     import spark.implicits._
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
