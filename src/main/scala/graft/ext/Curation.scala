@@ -411,6 +411,86 @@ object Curation {
         col("quality"), col("split"))
   }
 
+  /** DoReMi-STYLE domain reweighting (Xie et al. 2023, adapted to the
+    * engine's integer-exact LM rungs): per domain, the EXCESS mean
+    * surprisal of a weak PROXY scorer over a stronger REFERENCE scorer
+    * — domains where the cheap model underperforms the strong one most
+    * are where more training weight buys the most, DoReMi's core
+    * signal — turned into an exact integer weight allocation that sums
+    * to `scaleTo` via the largest-remainder law ([[Sampling.apportion]],
+    * so the weights are directly consumable by
+    * [[Sampling.takeApportioned]]/[[Sampling.mixByDomain]]).
+    *
+    * Default rung pair: unigram proxy vs self-trained trigram
+    * reference ([[TextAnalysis.unigramSurprisal]] /
+    * [[TextAnalysis.trigramSurprisal]]) — the stand-ins for DoReMi's
+    * small-proxy/large-reference models; any scorer pair with the
+    * rung output contract (idCol, surprisal, n_units, mean_bits_x100)
+    * plugs in. All arithmetic integer: per-domain mean bits are
+    * `Σ surprisal · 100 div Σ units`, excess clips at 0, and an
+    * all-zero-excess corpus degrades to uniform weights (weight 1 per
+    * domain into the apportionment). Null-domain docs are dropped
+    * (nothing to weight), the [[perplexityBuckets]] posture.
+    *
+    * Output: (domain, n_docs, proxy_bits_x100, ref_bits_x100,
+    * excess_x100, weight), one row per domain, Σ weight = `scaleTo`
+    * exactly.
+    *
+    * Scale shape: two already-audited scorer chains over the corpus
+    * (each: one vocab-bounded model aggregation + one doc-keyed
+    * scoring sum), one domain-keyed partial-agg rollup, and a
+    * DOMAIN-BOUNDED driver collect for the apportionment (the
+    * [[Sampling.domainMixThresholds]] posture — domains are the unit
+    * of the report, never corpus-sized).
+    */
+  def domainReweight(docs: DataFrame, domainCol: String = "source",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     scaleTo: Long = 10000L,
+                     proxyScorer: (DataFrame, String, String) => DataFrame =
+                       TextAnalysis.unigramSurprisal(_, _, _),
+                     refScorer: (DataFrame, String, String) => DataFrame =
+                       TextAnalysis.trigramSurprisal(_, _, _)): DataFrame = {
+    require(scaleTo >= 1, s"scaleTo must be positive, got $scaleTo")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def rung(scorer: (DataFrame, String, String) => DataFrame,
+             sCol: String, nCol: String): DataFrame = {
+      val out = scorer(docs, idCol, textCol)
+      // rung contract: (idCol, surprisal, n_units, mean_bits_x100) —
+      // read the unit column positionally so n_tokens/n_trigrams both fit
+      val cols = out.columns
+      out.select(col(cols(0)).as(idCol), col(cols(1)).as(sCol),
+        col(cols(2)).as(nCol))
+    }
+    val p = rung(proxyScorer, "__dr_ps", "__dr_pn")
+    val r = rung(refScorer, "__dr_rs", "__dr_rn")
+    val perDomain = docs.filter(col(domainCol).isNotNull)
+      .select(col(idCol), col(domainCol).as("domain"))
+      .join(p, Seq(idCol)).join(r, Seq(idCol))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__dr_ps").as("psur"), sum("__dr_pn").as("pn"),
+        sum("__dr_rs").as("rsur"), sum("__dr_rn").as("rn"))
+      .select(col("domain"), col("n_docs"),
+        when(col("pn") > 0, expr("(psur * 100) div pn")).otherwise(0L)
+          .as("proxy_bits_x100"),
+        when(col("rn") > 0, expr("(rsur * 100) div rn")).otherwise(0L)
+          .as("ref_bits_x100"))
+      .withColumn("excess_x100",
+        greatest(col("proxy_bits_x100") - col("ref_bits_x100"), lit(0L)))
+      .localCheckpoint()
+    // domain-bounded collect → exact largest-remainder allocation
+    val excess = perDomain.select("domain", "excess_x100")
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toSeq
+    val weights =
+      if (excess.forall(_._2 == 0L)) excess.map { case (dm, _) => (dm, 1L) }
+      else excess
+    val quotas = Sampling.apportion(weights, scaleTo)
+    perDomain.join(broadcast(quotas.toDF("domain", "weight")), Seq("domain"))
+      .select("domain", "n_docs", "proxy_bits_x100", "ref_bits_x100",
+        "excess_x100", "weight")
+  }
+
   /** Language-BALANCED corpus mix: classify every document's language
     * with the char-trigram Naive Bayes model ([[TextAnalysis
     * .classifyLangId]] — trained on `labeled`, so docs with a NULL or

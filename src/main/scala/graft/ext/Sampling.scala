@@ -130,6 +130,46 @@ object Sampling {
       .drop("__mix_domain", "__mix_thr")
   }
 
+  /** Deterministic EPOCH SHUFFLE: materialize the training ORDER for
+    * one epoch as (shard, pos) coordinates — the "reshuffle the corpus
+    * every epoch" requirement of LLM training runs, without RNG. Each
+    * row's order key is `polyhash("ep<epoch>:" ++ key)`, so
+    *
+    *  - the permutation is a pure function of (epoch, key): stable
+    *    across runs, engines, partitionings and cluster sizes, and
+    *    RESUMABLE — a restarted job recomputes the identical order;
+    *  - different epochs produce (statistically) independent
+    *    permutations — the salt rides inside the hash, no reseeding
+    *    protocol;
+    *  - `shard = ord mod numShards` balances rows across output shards
+    *    (hash-uniform, so shard sizes deviate only like √n), and `pos`
+    *    is the dense 0-based rank INSIDE the shard in hash order —
+    *    (shard, pos) is a complete, gap-free training-order coordinate
+    *    a loader can seek by.
+    *
+    * CONTRACT: `keyCol` unique per row (the [[Packing.packSequences]]
+    * rule — duplicate keys collide to one coordinate order and the
+    * tie is partition-dependent). Null keys hash like "" ([[bucket]]).
+    *
+    * Scale shape: one hash exchange into `numShards` window partitions
+    * + a per-shard sort — the floor cost of materializing a global
+    * order; no single-partition window, no global sort, no
+    * zipWithIndex. At 100 TB, numShards is thousands and each shard's
+    * sort is corpus/numShards — executor-sized by construction.
+    */
+  def epochShuffle(df: DataFrame, keyCol: Column, epoch: Int,
+                   numShards: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    require(numShards >= 1, s"numShards must be positive, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val ord = polyFingerprint(
+      concat(lit(s"ep$epoch:"), coalesce(keyCol.cast("string"), lit(""))))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), keyCol)
+    df.withColumn("ord", ord)
+      .withColumn("shard", pmod(col("ord"), lit(numShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Floor integer `den`-th root of a non-negative BigInt, by binary
     * search over BigInt powers — exact at any magnitude (a double
     * `pow(x, 1/den)` would misround past 2⁵³, silently shifting a

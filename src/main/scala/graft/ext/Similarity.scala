@@ -91,6 +91,77 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  // ── INT8 quantized path ────────────────────────────────────────────
+
+  /** Symmetric per-vector INT8 quantization: each vector is scaled by
+    * its own max-|x| to the [-127, 127] integer grid,
+    * `q_i = floor(x_i · 127 / maxabs)` — the compression step of
+    * int8 similarity search (4× less memory traffic than float32 on a
+    * billion-vector scan; here additionally an EXACTNESS device: every
+    * downstream score is pure integer arithmetic, bit-reproducible in
+    * any engine). Floor (not round) so the grid cell is a pure double
+    * IEEE expression with no half-way tie rule to disagree on
+    * cross-engine.
+    *
+    * Output: (idCol, qvec array<long>, maxabs double). A zero or empty
+    * vector quantizes to all-zero with maxabs 0 (disclosed, not null —
+    * it still participates in search and scores 0 against everything).
+    * Row-local map — no shuffle, pushes down the scan.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol)
+    val maxabs = coalesce(
+      array_max(transform(x, v => abs(v.cast("double")))), lit(0.0))
+    corpus
+      .withColumn("maxabs", maxabs)
+      .withColumn("qvec",
+        when(col("maxabs") > 0.0,
+          transform(x, v =>
+            floor(v.cast("double") * lit(127.0) / col("maxabs")).cast("long")))
+          .otherwise(transform(x, _ => lit(0L))))
+      .select(col(idCol), col("qvec"), col("maxabs"))
+  }
+
+  /** Exact top-k by INT8-quantized dot product: quantize the corpus
+    * ([[quantizeInt8]]), score every candidate with the fused integer
+    * kernel ([[graft.functions.intDot]]) and keep k per query through
+    * the bounded-heap [[graft.plans.TopKPerKey]] operator. The ranking
+    * (qdot DESC, id ASC) never touches a float, so it is deterministic
+    * across engines, partitionings and instruction sets — the property
+    * float cosine only reaches via the round-to-6dp convention.
+    *
+    * Scale shape: one quantized corpus scan × broadcast queries; the
+    * exchange carries ≤ k rows per (task, query). At 100 TB the
+    * quantized corpus is the ¼-width relation you persist and scan
+    * instead of the float vectors.
+    */
+  def int8TopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    // null vectors cannot be scored (a null qdot has no deterministic
+    // rank) — excluded from both sides, the topK float path's posture
+    val q = quantizeInt8(corpus.filter(col(vecCol).isNotNull), idCol, vecCol)
+    val queries = q.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("qvec").as("query_qvec"))
+    val scored = q
+      .join(broadcast(queries), col("query_id") =!= col(idCol))
+      .withColumn("qdot", graft.functions.intDot(col("query_qvec"), col("qvec")))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("qdot"))
+    val plan = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("qdot"), Descending),
+        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
+      k, Bridge.logicalPlan(scored))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    Bridge.ofRows(corpus.sparkSession, plan)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   // ── LSH scale path ─────────────────────────────────────────────────
 
   /** All (table, plane) sign-buckets of a vector in one fused native

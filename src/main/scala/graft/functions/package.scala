@@ -60,6 +60,13 @@ package object functions {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Integer dot product of two int/long vectors (custom codegen'd
+    * Catalyst expression, see [[graft.functions.IntDot]]) — the exact
+    * integer scoring kernel of the INT8-quantized similarity path.
+    */
+  def intDot(a: Column, b: Column): Column =
+    Bridge.column(IntDot(Bridge.expression(a), Bridge.expression(b)))
+
   /** Per-document word term-frequencies `array<struct<word, tf>>` in one
     * row-local pass (custom codegen'd Catalyst expression, see
     * [[graft.functions.WordTfs]]) — deletes the (doc, word) exchange

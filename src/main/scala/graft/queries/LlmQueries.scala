@@ -2450,6 +2450,69 @@ object LlmQueries {
         Seq(0L, 1L, 2L, 3L, 4L), 10)
     }.sortedBy(col("query_id"), col("rank")),
 
+    // ── INT8 quantization (exact integer similarity) ───────────────
+    // Per-vector symmetric int8 grid: q_i = floor(x_i·127/maxabs) —
+    // floor, not round, so the cell is one IEEE double expression with
+    // no tie rule. Report: scale + integer summaries of the quantized
+    // vector (sum, L1, saturation count) — the full qvec replayed as
+    // scalars both engines hash identically.
+    QueryDef("t_embed_quantize",
+      s"""WITH mq AS (SELECT vec_id, embedding,
+         |  coalesce(list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))), 0.0) AS maxabs
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, maxabs,
+         |  CASE WHEN maxabs > 0 THEN list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs)
+         |              AS BIGINT))
+         |       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |  END AS q FROM mq)
+         |SELECT vec_id, maxabs,
+         |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+         |  CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS l1_q,
+         |  CAST(list_sum(list_transform(q,
+         |    v -> CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS n_sat
+         |FROM qv ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("maxabs"),
+          aggregate(col("qvec"), lit(0L), (a, v) => a + v).as("sum_q"),
+          aggregate(col("qvec"), lit(0L), (a, v) => a + abs(v)).as("l1_q"),
+          aggregate(col("qvec"), lit(0L),
+            (a, v) => a + when(abs(v) === 127L, 1L).otherwise(0L)).as("n_sat"))
+    }.sortedBy(col("vec_id")),
+
+    // Top-8 neighbours for 3 queries by INT8 dot product — ranking
+    // never touches a float (the bit-reproducibility float cosine only
+    // gets via round-to-6dp). Engine: fused IntDot codegen kernel +
+    // bounded-heap TopKPerKey; oracle: the same integer grid and a
+    // list_sum-of-products scan.
+    QueryDef("t_ann_int8",
+      s"""WITH mq AS (SELECT vec_id, embedding,
+         |  coalesce(list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))), 0.0) AS maxabs
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |qv AS (SELECT vec_id,
+         |  CASE WHEN maxabs > 0 THEN list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs)
+         |              AS BIGINT))
+         |       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |  END AS q FROM mq),
+         |qq AS (SELECT vec_id AS query_id, q AS qvq FROM qv
+         |       WHERE vec_id < 3),
+         |scored AS (SELECT qq.query_id, e.vec_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+         |    i -> qq.qvq[i] * e.q[i])) AS BIGINT) AS qdot
+         |  FROM qq JOIN qv e ON e.vec_id <> qq.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, qdot,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 8
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.int8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), 8)
+    }.sortedBy(col("query_id"), col("rank")),
+
     // ANN (LSH-bucketed) variant, fully oracle-checked: the DuckDB side
     // reproduces the sign buckets from the same planeWeight constants
     // (lshBucketsCte), then the same candidate join + exact rerank.
@@ -2754,6 +2817,25 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "n_chars"),
         col("doc_id"), col("n_chars") % 5, den = 4)
         .select("doc_id")
+    }.sortedBy(col("doc_id")),
+
+    // ── Deterministic epoch shuffle (training-order materialization) ─
+    // Epoch-2 permutation into 8 shards: order key = polyhash('ep2:'
+    // ++ id) — the per-epoch salt rides inside the hash, so every
+    // engine replays the identical (shard, pos) coordinates. Oracle:
+    // the same hash chain + one partitioned row_number.
+    QueryDef("t_epoch_shuffle",
+      s"""WITH t AS (SELECT doc_id,
+         |  ${polyhash("'ep2:' || CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM documents),
+         |s AS (SELECT doc_id, ord, ord % 8 AS shard FROM t)
+         |SELECT doc_id, ord, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+         |       - 1 AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.epochShuffle(
+        Tables.documents(s, d).select("doc_id"), col("doc_id"),
+        epoch = 2, numShards = 8)
     }.sortedBy(col("doc_id")),
 
     // ── Document chunking (overlapping token windows) ──────────────
@@ -4091,6 +4173,91 @@ object LlmQueries {
     // division over the per-domain counts — the oracle recomputes them
     // in SQL (// is DuckDB integer division) and replays the same
     // polyhash-bucket keep rule row for row.
+    // ── DoReMi-style domain reweighting (model-signal data mixing) ──
+    // Per domain: excess mean surprisal of the unigram PROXY rung over
+    // the self-trained trigram REFERENCE rung (the self-trained model
+    // never backs off — every corpus trigram is in its own model, so
+    // the replay is the pure trigram case), apportioned to exactly
+    // 10000 weight units by the largest-remainder law the mixers
+    // consume. The oracle chains the two PROVEN scorer CTE families
+    // and replays the Hamilton allocation (floor shares, then +1 to
+    // the largest remainders, ties by weight then domain).
+    QueryDef("t_domain_reweight",
+      s"""WITH utf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL) u GROUP BY 1, 2),
+         |ucnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM utf GROUP BY 1),
+         |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ucnt),
+         |usc AS (SELECT t.doc_id, t.tf,
+         |    CAST(length(bin(u.total)) - length(bin(c.cnt)) AS BIGINT) AS bits
+         |  FROM utf t JOIN ucnt c USING (word) CROSS JOIN utot u),
+         |uagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens
+         |  FROM usc GROUP BY 1),
+         |drw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |drbi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
+         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM drw) GROUP BY 1),
+         |drtri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
+         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+         |    FROM drw) GROUP BY 1),
+         |drocc AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(3, len(ws)),
+         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
+         |  FROM drw),
+         |drotf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
+         |  FROM drocc GROUP BY 1, 2),
+         |drsc AS (SELECT o.doc_id, o.tf,
+         |    CAST(length(bin(b12.cnt)) - length(bin(t.cnt)) AS BIGINT) AS bits
+         |  FROM drotf o
+         |  JOIN drtri t ON t.gram = o.g123
+         |  JOIN drbi b12 ON b12.gram =
+         |    string_split(o.g123, ' ')[1] || ' ' || string_split(o.g123, ' ')[2]),
+         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n FROM drsc GROUP BY 1),
+         |drdom AS (SELECT doc_id, source AS domain FROM documents
+         |  WHERE source IS NOT NULL),
+         |dragg AS (SELECT d.domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(coalesce(u.surprisal, 0)) AS BIGINT) AS psur,
+         |    CAST(sum(coalesce(u.n_tokens, 0)) AS BIGINT) AS pn,
+         |    CAST(sum(coalesce(t.surprisal, 0)) AS BIGINT) AS rsur,
+         |    CAST(sum(coalesce(t.n, 0)) AS BIGINT) AS rn
+         |  FROM drdom d
+         |  LEFT JOIN uagg u USING (doc_id)
+         |  LEFT JOIN tagg t USING (doc_id)
+         |  GROUP BY 1),
+         |drm AS (SELECT domain, n_docs,
+         |   CASE WHEN pn > 0 THEN CAST((psur * 100) // pn AS BIGINT)
+         |        ELSE CAST(0 AS BIGINT) END AS proxy_bits_x100,
+         |   CASE WHEN rn > 0 THEN CAST((rsur * 100) // rn AS BIGINT)
+         |        ELSE CAST(0 AS BIGINT) END AS ref_bits_x100
+         |  FROM dragg),
+         |dre AS (SELECT *, CAST(greatest(proxy_bits_x100 - ref_bits_x100, 0)
+         |    AS BIGINT) AS excess_x100 FROM drm),
+         |drwts AS (SELECT domain,
+         |    CASE WHEN (SELECT max(excess_x100) FROM dre) > 0
+         |         THEN excess_x100 ELSE CAST(1 AS BIGINT) END AS wt
+         |  FROM dre),
+         |drtot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM drwts),
+         |drbase AS (SELECT domain, wt, (10000 * wt) // w.tw AS q,
+         |    (10000 * wt) % w.tw AS r FROM drwts CROSS JOIN drtot w),
+         |drrem AS (SELECT 10000 - CAST(sum(q) AS BIGINT) AS rem FROM drbase),
+         |drrank AS (SELECT *, row_number() OVER
+         |    (ORDER BY r DESC, wt DESC, domain) AS rnk FROM drbase),
+         |drfin AS (SELECT domain, CAST(q + CASE
+         |    WHEN rnk <= (SELECT rem FROM drrem) THEN 1 ELSE 0 END AS BIGINT)
+         |  AS weight FROM drrank)
+         |SELECT e.domain, e.n_docs, e.proxy_bits_x100, e.ref_bits_x100,
+         |       e.excess_x100, f.weight
+         |FROM dre e JOIN drfin f USING (domain)
+         |ORDER BY e.domain""".stripMargin) { (s, d) =>
+      graft.ext.Curation.domainReweight(Tables.documents(s, d))
+    }.sortedBy(col("domain")),
+
     QueryDef("t_domain_mix",
       s"""WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
          |w(source, wt) AS (VALUES ('src0', CAST(3 AS BIGINT)),

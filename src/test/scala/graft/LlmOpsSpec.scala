@@ -1039,6 +1039,44 @@ class LlmOpsSpec extends SparkSuite {
     assert(nullSplit == "train")
   }
 
+  test("epoch shuffle: dense gap-free coordinates, epoch-independent permutations, repartition-stable, balanced shards") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val n = docs.count()
+    val e0 = graft.ext.Sampling.epochShuffle(docs, col("doc_id"), 0, 8)
+    // complete: every doc exactly one coordinate, all 8 shards hit
+    assert(e0.count() == n)
+    assert(e0.select("shard").distinct().count() == 8)
+    // dense gap-free positions: per shard, max(pos) == count-1 and
+    // positions are distinct (0..n_i-1)
+    val perShard = e0.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("m"),
+        countDistinct("pos").as("d"))
+      .as[(Long, Long, Long, Long)].collect()
+    perShard.foreach { case (sh, c, m, d) =>
+      assert(m == c - 1 && d == c, s"shard $sh positions not dense: c=$c m=$m d=$d")
+    }
+    // hash-uniform balance: no shard more than 2x the smallest
+    val sizes = perShard.map(_._2)
+    assert(sizes.max < 2 * sizes.min, s"shards unbalanced: ${sizes.toSeq}")
+    // a different epoch is a genuinely different permutation
+    val e1 = graft.ext.Sampling.epochShuffle(docs, col("doc_id"), 1, 8)
+    val moved = e0.select(col("doc_id"), col("shard").as("s0"), col("pos").as("p0"))
+      .join(e1.select(col("doc_id"), col("shard").as("s1"), col("pos").as("p1")),
+        Seq("doc_id"))
+      .filter(col("s0") =!= col("s1") || col("p0") =!= col("p1")).count()
+    assert(moved > n / 2, s"epochs 0/1 nearly identical: only $moved of $n moved")
+    // determinism: physical partitioning does not change the order
+    val repart = graft.ext.Sampling.epochShuffle(
+      docs.repartition(17), col("doc_id"), 0, 8)
+    assert(rows(e0.select("doc_id", "shard", "pos")) ==
+      rows(repart.select("doc_id", "shard", "pos")))
+    // plan: the window partitions by shard — no single-partition window
+    val plan = e0.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "epoch shuffle must never window over a single partition")
+  }
+
   test("domain mix: integer thresholds, quota tracking on uniform keys, unweighted domains drop, broadcast plan") {
     import spark.implicits._
     // hand-checked thresholds: equal counts, 3:2:1 weights, W=6 →
@@ -1928,6 +1966,49 @@ class LlmOpsSpec extends SparkSuite {
     assert(got.filter(col("rank") > 10).count() == 0L)
     intercept[IllegalArgumentException](graft.ext.Retrieval
       .hybridSearchIndexed(docs, queries, "t_hybrid_idx", k = 0))
+  }
+
+  test("DoReMi domain reweighting: exact allocation, uniform fallback, excess-driven ordering") {
+    import spark.implicits._
+    // planted signal: `div` docs have all-distinct vocabulary (high
+    // unigram bits; the self-trained trigram memorizes → ref ~0), `rep`
+    // docs repeat one word (unigram bits low) — excess must route more
+    // weight to `div`
+    val docs = ((1 to 6).map(i =>
+      (i.toLong, ((i * 20) until (i * 20 + 12)).map(j => s"w$j").mkString(" "),
+        "div")) ++
+      (7 to 12).map(i =>
+        (i.toLong, (1 to 12).map(_ => "aaa").mkString(" "), "rep")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Curation.domainReweight(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set("div", "rep"))
+    assert(out.values.map(_._5).sum == 10000L,
+      s"weights must sum exactly to scaleTo: $out")
+    // excess consistency + ordering
+    out.foreach { case (_, (_, p, rf, e, _)) =>
+      assert(e == math.max(0L, p - rf))
+    }
+    assert(out("div")._4 > out("rep")._4 && out("div")._5 > out("rep")._5,
+      s"diverse-vocab domain must get more weight: $out")
+
+    // uniform fallback: identical text everywhere → zero excess in
+    // every domain → weights split evenly (±1 from the remainder law)
+    val flat = (1 to 9).map(i =>
+      (i.toLong, "the same twelve words appear in every single document here now",
+        s"d${i % 3}")).toDF("doc_id", "text", "source")
+    val u = graft.ext.Curation.domainReweight(flat).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(u.values.sum == 10000L)
+    assert(u.values.max - u.values.min <= 1L,
+      s"zero-excess corpus must fall back to uniform weights: $u")
+
+    // null domains dropped, corpus run sane
+    val corpus = Tables.documents(spark, sf)
+    val cw = graft.ext.Curation.domainReweight(corpus)
+    assert(cw.agg(sum("weight")).head.getLong(0) == 10000L)
+    assert(cw.filter(col("domain").isNull).count() == 0L)
   }
 
   test("WordPiece training: likelihood argmax diverges from BPE on crafted cohesion, naive parity") {

@@ -40,6 +40,64 @@ class NativeExprSpec extends SparkSuite {
     assert(out("null").isEmpty)
   }
 
+  test("native IntDot is identical to the HOF integer aggregate on quantized embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(emb.filter(col("embedding").isNotNull))
+    val a = q.select(col("vec_id").as("ia"), col("qvec").as("qa")).filter(col("ia") < 5)
+    val b = q.select(col("vec_id").as("ib"), col("qvec").as("qb"))
+    val both = a.join(b, col("ia") =!= col("ib"))
+      .select(graft.functions.intDot(col("qa"), col("qb")).as("native"),
+        aggregate(zip_with(col("qa"), col("qb"), (p, r) => p * r),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("int8 quantization invariants and int8 top-k determinism") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(emb)
+    // range law: every quantized element in [-127, 127]; the per-vector
+    // max |q| is exactly 127 wherever the vector is non-zero
+    val stats = q.filter(col("qvec").isNotNull).select(
+      aggregate(col("qvec"), lit(0L), (a, v) => greatest(a, abs(v))).as("m"),
+      col("maxabs"))
+    assert(stats.filter(col("m") > 127L).count() == 0)
+    assert(stats.filter(col("maxabs") > 0.0 && col("m") =!= 127L).count() == 0,
+      "a non-zero vector must saturate its own max element to exactly 127")
+    // hand-checked grid: maxabs 4 → [127, floor(-63.5)=-64, 31, 0]
+    val hand = Similarity.quantizeInt8(
+      Seq((1L, Seq(4.0f, -2.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding"))
+      .select("qvec").as[Seq[Long]].collect().head
+    assert(hand == Seq(127L, -64L, 31L, 0L), s"got $hand")
+    // zero + null vectors: all-zero qvec with scale 0 / null qvec
+    val edge = Similarity.quantizeInt8(
+      Seq((1L, Seq(0.0f, 0.0f)), (2L, null: Seq[Float]))
+        .toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1),
+        r.getDouble(2))).toMap
+    assert(edge(1L) == (Seq(0L, 0L), 0.0))
+    assert(edge(2L)._1 == null && edge(2L)._2 == 0.0)
+    // search: k per query, self excluded, repartition-stable, heap plan
+    val ids = Seq(0L, 1L, 2L)
+    val t = Similarity.int8TopK(emb, ids, 8)
+    assert(t.groupBy("query_id").count().filter(col("count") =!= 8L).count() == 0)
+    assert(t.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val t2 = Similarity.int8TopK(emb.repartition(13), ids, 8)
+    assert(rows(t.select("query_id", "neighbor_id", "qdot", "rank")) ==
+      rows(t2.select("query_id", "neighbor_id", "qdot", "rank")))
+    assert(t.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // exact duplicate of query 0's direction (scaled copy) must rank
+    // first: same int8 grid after per-vector scaling
+    val v0 = emb.filter(col("vec_id") === 0L).select("embedding")
+      .as[Seq[Float]].collect().head
+    val planted = emb.select("vec_id", "embedding")
+      .union(Seq((9001L, v0.map(_ * 2.0f))).toDF("vec_id", "embedding"))
+    val r = Similarity.int8TopK(planted, Seq(0L), 3)
+      .filter(col("rank") === 1L).select("neighbor_id").as[Long].collect().head
+    assert(r == 9001L, s"scaled copy must be the int8 nearest neighbour, got $r")
+  }
+
   test("TopKPerKey operator matches the window formulation and shrinks the exchange") {
     import spark.implicits._
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
