@@ -187,6 +187,50 @@ object TextMiningQueries {
         threshold = 100L, d = 2, w = 64)
     }.sortedBy(col("word")),
 
+    // ── Cross-engine HLL distinct-shingle sketch ───────────────────
+    // Per-domain distinct 3-shingle count by a 64-register HyperLogLog
+    // on the engine's polyhash — unlike approx_count_distinct (an
+    // engine-private HLL++), registers AND the raw integer estimate
+    // replay exactly in DuckDB, so the sketch itself is oracle-gated.
+    // The exact count + err_x100 ride along as the sf-scale
+    // verification columns a 100 TB run drops.
+    QueryDef("t_hll_shingles",
+      s"""WITH hw AS (SELECT source, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |hsh AS (SELECT source,
+         |  CASE WHEN len(ws) >= 3 THEN list_transform(
+         |         generate_series(1, len(ws)-2),
+         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |       ELSE [array_to_string(ws, ' ')] END AS sh FROM hw),
+         |hhs AS (SELECT source,
+         |  list_distinct(list_transform(sh, s -> ${LlmOracle.polyhash("s")}))
+         |    AS hs FROM hsh),
+         |items AS (SELECT source, unnest(hs) AS h FROM hhs),
+         |regs AS (SELECT source, h % 64 AS reg,
+         |  max(CASE WHEN h // 64 = 0 THEN 26
+         |           ELSE 26 - length(bin(h // 64)) END) AS rank
+         |  FROM items GROUP BY 1, 2),
+         |rl AS (SELECT source, rank,
+         |  max(rank) OVER (PARTITION BY source) AS l FROM regs),
+         |pg AS (SELECT source, CAST(max(l) AS BIGINT) AS max_rank,
+         |  CAST(count(*) AS BIGINT) AS n_regs,
+         |  CAST(sum(CAST(1 AS BIGINT) << CAST(l - rank AS INT)) AS BIGINT)
+         |    AS sp FROM rl GROUP BY 1),
+         |fin AS (SELECT source, n_regs, max_rank,
+         |  sp + (64 - n_regs) * (CAST(1 AS BIGINT) << CAST(max_rank AS INT))
+         |    AS s FROM pg),
+         |est AS (SELECT source, n_regs, max_rank,
+         |  (7094 * 4096 * (CAST(1 AS BIGINT) << CAST(max_rank AS INT)))
+         |    // (10000 * s) AS hll_distinct FROM fin),
+         |ex AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+         |  FROM items GROUP BY 1)
+         |SELECT e.source, e.n_regs, e.max_rank, e.hll_distinct, x.n_exact,
+         |  abs(e.hll_distinct - x.n_exact) * 100 // x.n_exact AS err_x100
+         |FROM est e JOIN ex x USING (source)
+         |ORDER BY e.source""".stripMargin) { (s, d) =>
+      graft.ext.FreqSketch.hllShingleReport(Tables.documents(s, d))
+    }.sortedBy(col("source")),
+
     // ── Per-domain tokenizer fertility ─────────────────────────────
     // chars-per-BPE-token by source domain — the "how many tokens will
     // this domain cost to train on" planning statistic (fertility

@@ -61,4 +61,49 @@ class CurationSketchSpec extends SparkSuite {
     assert(b._2 == 0L && b._3 == 1L,
       s"null-text domain keeps its exact row with a zero sketch: $b")
   }
+
+  test("cross-engine HLL: mergeable registers, duplicate-invariant, error envelope, single pass") {
+    import spark.implicits._
+    import graft.ext.FreqSketch
+    assume(corpusPresent)
+    val docs = Tables.documents(spark, sf)
+    // error envelope on the real corpus: raw-HLL expected rsd is
+    // 1.04/sqrt(64) = 13%; 4 sigma = 52% is the practical hard gate
+    val rep = FreqSketch.hllShingleReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rep.nonEmpty)
+    rep.foreach { case (dom, (est, exact)) =>
+      assert(math.abs(est - exact) <= math.max(0.52 * exact, 8.0),
+        s"domain $dom: hll $est vs exact $exact outside 4-sigma envelope")
+    }
+    // duplicate invariance: the register table (and thus estimate) of
+    // corpus ++ corpus is identical — max absorbs repetition, so the
+    // sketch needs no distinct pass
+    val items = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source").as("group"),
+        explode(graft.ext.Dedup.shingleHashes(col("text"))).as("h"))
+    val once = FreqSketch.hllRegisters(items, col("group"), col("h"))
+    val twice = FreqSketch.hllRegisters(items.union(items), col("group"), col("h"))
+    assert(rows(once) == rows(twice), "registers must be duplicate-invariant")
+    // mergeability: registers(A union B) == elementwise max of
+    // registers(A), registers(B) — shards combine without re-reading
+    val (ia, ib) = (items.filter(col("h") % 2 === 0), items.filter(col("h") % 2 =!= 0))
+    val merged = FreqSketch.hllRegisters(ia, col("group"), col("h"))
+      .union(FreqSketch.hllRegisters(ib, col("group"), col("h")))
+      .groupBy("group", "reg").agg(max("rank").as("rank"))
+    assert(rows(once) == rows(merged), "sketch union law must hold")
+    // hand-checked register: hash 193 = 3*64 + 1 → reg 1, payload 3
+    // (bits '11', bitlength 2) → rank 24; payload 0 → rank 26
+    val hand = FreqSketch.hllRegisters(
+      Seq(("g", 193L), ("g", 1L)).toDF("group", "h"),
+      col("group"), col("h"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(hand == Map(1L -> 26L), s"got $hand")
+    // scale shape: one partial-aggregated exchange builds the
+    // registers — no distinct, no second shuffle before the estimate
+    val plan = FreqSketch.hllEstimate(
+      FreqSketch.hllRegisters(items, col("group"), col("h")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan)
+  }
 }
