@@ -398,6 +398,115 @@ object TextAnalysis {
         maxPieceLen, UnigramBlockLen, pattern = Some(BpePattern)))
   }
 
+  // ── Persisted tokenizer bundles ────────────────────────────────────
+
+  /** A loaded tokenizer artifact: `kind` ∈ {bpe, wordpiece, unigram}
+    * and the tokenize Column it applies ([[bpeMergeTokensWith]] for the
+    * merge kinds, [[unigramTokensWith]] for unigram). */
+  final case class TokenizerBundle(kind: String, tokens: Column => Column) {
+    def tokenCount(text: Column): Column =
+      coalesce(size(tokens(text)).cast("long"), lit(0L))
+  }
+
+  /** PERSIST a trained merge tokenizer ([[learnBpeMerges]] /
+    * [[learnWordPieceMerges]] output) — the [[writeNbBundle]] lifecycle
+    * for tokenizers: a tokenizer trains ONCE (on a bounded sample) and
+    * every downstream job — token counting, packing, budget selection,
+    * fertility reports — must use the IDENTICAL artifact, across JVMs
+    * and sessions; a silently retrained tokenizer changes every token
+    * count in the pipeline. Two tiny relations:
+    *
+    *  - `<name>_vocab(rank, lhs, rhs, piece, n, bits)` — one row per
+    *    merge in learned order (piece/bits null for merge kinds);
+    *  - `<name>_meta(kind, max_piece_len)` — the application rule,
+    *    checked on load.
+    *
+    * Both are driver-sized by definition (the table IS the tokenizer
+    * config — a GPT-2-scale vocabulary is 50k rows, KBs on disk).
+    * WordPiece's training-time likelihood score is a diagnostic, not
+    * part of the applied artifact — the inference rule for both merge
+    * kinds is the rank-ordered merge walk.
+    */
+  def writeMergeTokenizer(spark: org.apache.spark.sql.SparkSession,
+                          name: String,
+                          merges: Seq[(String, String, Long)],
+                          kind: String = "bpe"): Unit = {
+    require(kind == "bpe" || kind == "wordpiece",
+      s"merge tokenizer kind must be bpe|wordpiece, got '$kind'")
+    require(merges.nonEmpty, "refusing to persist an EMPTY merge table " +
+      "— a no-op tokenizer is a training failure, not an artifact")
+    import spark.implicits._
+    val vocab = merges.zipWithIndex
+      .map { case ((a, b, n), i) => (i.toLong, a, b, n) }
+      .toDF("rank", "lhs", "rhs", "n")
+      .withColumn("piece", lit(null).cast("string"))
+      .withColumn("bits", lit(null).cast("long"))
+      .select("rank", "lhs", "rhs", "piece", "n", "bits")
+    graft.core.Layout.writeBucketed(vocab, s"${name}_vocab", "rank", 1)
+    graft.core.Layout.writeBucketed(
+      Seq((kind, 0L)).toDF("kind", "max_piece_len"), s"${name}_meta",
+      "kind", 1)
+  }
+
+  /** PERSIST a trained unigram-LM inventory ([[learnUnigramLm]]
+    * output): counts ride along so the loaded artifact re-derives the
+    * smoothing denominator exactly as [[unigramTokensWith]] does —
+    * bit-identical segmentation. `maxPieceLen` is part of the
+    * application rule (it bounds the DP), so it pins in `_meta`.
+    */
+  def writeUnigramTokenizer(spark: org.apache.spark.sql.SparkSession,
+                            name: String, inv: Seq[(String, Long, Long)],
+                            maxPieceLen: Int = 4): Unit = {
+    require(inv.nonEmpty, "refusing to persist an EMPTY piece inventory")
+    require(maxPieceLen >= 1 && maxPieceLen <= UnigramBlockLen,
+      s"maxPieceLen must be in [1, $UnigramBlockLen], got $maxPieceLen")
+    import spark.implicits._
+    val vocab = inv.zipWithIndex
+      .map { case ((p, c, b), i) => (i.toLong, p, c, b) }
+      .toDF("rank", "piece", "n", "bits")
+      .withColumn("lhs", lit(null).cast("string"))
+      .withColumn("rhs", lit(null).cast("string"))
+      .select("rank", "lhs", "rhs", "piece", "n", "bits")
+    graft.core.Layout.writeBucketed(vocab, s"${name}_vocab", "rank", 1)
+    graft.core.Layout.writeBucketed(
+      Seq(("unigram", maxPieceLen.toLong)).toDF("kind", "max_piece_len"),
+      s"${name}_meta", "kind", 1)
+  }
+
+  /** Load a persisted tokenizer: the vocab table read back in rank
+    * order (a driver-sized config read, not a corpus scan), the
+    * application rule resolved from `_meta`. A loaded bundle tokenizes
+    * bit-identically to the in-session trainer output it was written
+    * from (spec-gated, plus the t_bpe_persisted_tokenize /
+    * t_unigram_persisted_tokenize oracles).
+    */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    name: String): TokenizerBundle = {
+    val meta = spark.table(s"${name}_meta").head()
+    val kind = meta.getAs[String]("kind")
+    val rows = spark.table(s"${name}_vocab").orderBy("rank").collect()
+    require(rows.nonEmpty, s"tokenizer bundle '$name' has an empty vocab " +
+      "table — the artifact is corrupt, refusing a no-op tokenizer")
+    kind match {
+      case "bpe" | "wordpiece" =>
+        val merges = rows.map(r =>
+          (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        require(merges.forall(m => m._1 != null && m._2 != null),
+          s"bundle '$name' (kind $kind) has null merge sides")
+        TokenizerBundle(kind, t => bpeMergeTokensWith(t, merges))
+      case "unigram" =>
+        val inv = rows.map(r => (r.getAs[String]("piece"),
+          r.getAs[Long]("n"), r.getAs[Long]("bits"))).toSeq
+        require(inv.forall(_._1 != null),
+          s"bundle '$name' (kind unigram) has null pieces")
+        val mpl = meta.getAs[Long]("max_piece_len").toInt
+        TokenizerBundle(kind, t => unigramTokensWith(t, inv, mpl))
+      case other => throw new IllegalStateException(
+        s"bundle '$name' has unknown tokenizer kind '$other' — this " +
+          "build applies bpe|wordpiece|unigram")
+    }
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def charLen(text: Column): Column = length(text)

@@ -680,6 +680,37 @@ object LlmQueries {
     */
   val BpeTrainMerges = 8
 
+  /** The PERSISTED BPE tokenizer bundle per (JVM, sf dir) — writes the
+    * learned-once merge table through the writeMergeTokenizer lifecycle
+    * (the [[nbBundleFor]] memo discipline) so
+    * t_bpe_persisted_tokenize exercises a disk round-trip, not a cache.
+    */
+  def bpeTokenizerFor(s: org.apache.spark.sql.SparkSession,
+                      d: String): String =
+    synchronized {
+      val name = "graft_bpe_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        TextAnalysis.writeMergeTokenizer(s, name,
+          learnedMergesFor(s, d, BpeTrainMerges))
+        builtIndexes += name
+      }
+      name
+    }
+
+  /** The PERSISTED unigram-LM tokenizer bundle per (JVM, sf dir) —
+    * [[bpeTokenizerFor]] for the unigram family.
+    */
+  def unigramTokenizerFor(s: org.apache.spark.sql.SparkSession,
+                          d: String): String =
+    synchronized {
+      val name = "graft_ug_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        TextAnalysis.writeUnigramTokenizer(s, name, learnedUnigramFor(s, d))
+        builtIndexes += name
+      }
+      name
+    }
+
   /** Query-term fixture for the sparse-retrieval oracle — mixed
     * document frequencies from this corpus's vocabulary, multi-term
     * bags so the per-(query, doc) score aggregation is exercised.
@@ -1798,6 +1829,33 @@ object LlmQueries {
     QueryDef("t_bpe_train_tokenize", bpeTrainTokenizeSql(BpeTrainMerges)) { (s, d) =>
       val learned = learnedMergesFor(s, d, BpeTrainMerges).map(m => (m._1, m._2))
       val toks = TextAnalysis.bpeMergeTokensWith(col("text"), learned)
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
+    }.sortedBy(col("doc_id")),
+
+    // The SAME chain with the tokenizer ROUND-TRIPPED THROUGH DISK
+    // (writeMergeTokenizer → rank-ordered vocab table + _meta →
+    // loadTokenizer) — the t_nb_classify_persisted lifecycle for
+    // tokenizers: one oracle gates that a persisted tokenizer cuts
+    // every document bit-identically to the in-session trainer output
+    // (a silently retrained/drifted tokenizer changes every token
+    // count downstream).
+    QueryDef("t_bpe_persisted_tokenize",
+      bpeTrainTokenizeSql(BpeTrainMerges)) { (s, d) =>
+      val bundle = TextAnalysis.loadTokenizer(s, bpeTokenizerFor(s, d))
+      val toks = bundle.tokens(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
+    }.sortedBy(col("doc_id")),
+
+    // ... and the unigram-LM family through the same disk round-trip
+    // (counts persist so the loaded artifact re-derives the smoothing
+    // denominator exactly; max_piece_len pins in _meta).
+    QueryDef("t_unigram_persisted_tokenize", unigramTokenizeSql) { (s, d) =>
+      val bundle = TextAnalysis.loadTokenizer(s, unigramTokenizerFor(s, d))
+      val toks = bundle.tokens(col("text"))
       Tables.documents(s, d).select(col("doc_id"),
         coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
         coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))

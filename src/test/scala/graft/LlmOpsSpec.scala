@@ -2011,6 +2011,60 @@ class LlmOpsSpec extends SparkSuite {
     assert(cw.filter(col("domain").isNull).count() == 0L)
   }
 
+  test("persisted tokenizer bundles: disk round-trip is bit-identical for all three kinds, corrupt artifacts refuse") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    def tokensOf(c: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id"), coalesce(array_join(c, ""), lit(""))
+        .as("t"))
+    // BPE: train → persist → load → identical cuts on every document
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 4)
+    TextAnalysis.writeMergeTokenizer(spark, "tokspec_bpe", merges)
+    val bpeLoaded = TextAnalysis.loadTokenizer(spark, "tokspec_bpe")
+    assert(bpeLoaded.kind == "bpe")
+    assert(rows(tokensOf(bpeLoaded.tokens(col("text")))) ==
+      rows(tokensOf(TextAnalysis.bpeMergeTokensWith(col("text"),
+        merges.map(m => (m._1, m._2))))))
+    // WordPiece: same application rule, kind preserved for provenance
+    val wp = TextAnalysis.learnWordPieceMerges(docs, nMerges = 3)
+    TextAnalysis.writeMergeTokenizer(spark, "tokspec_wp",
+      wp.map(m => (m._1, m._2, m._3)), kind = "wordpiece")
+    val wpLoaded = TextAnalysis.loadTokenizer(spark, "tokspec_wp")
+    assert(wpLoaded.kind == "wordpiece")
+    assert(rows(tokensOf(wpLoaded.tokens(col("text")))) ==
+      rows(tokensOf(TextAnalysis.bpeMergeTokensWith(col("text"),
+        wp.map(m => (m._1, m._2))))))
+    // Unigram: counts persist so the smoothing denominator re-derives
+    // exactly; max_piece_len pins through _meta
+    val inv = TextAnalysis.learnUnigramLm(docs, vocabSize = 48,
+      seedSize = 128, maxPieceLen = 3)
+    TextAnalysis.writeUnigramTokenizer(spark, "tokspec_ug", inv,
+      maxPieceLen = 3)
+    val ugLoaded = TextAnalysis.loadTokenizer(spark, "tokspec_ug")
+    assert(ugLoaded.kind == "unigram")
+    assert(rows(tokensOf(ugLoaded.tokens(col("text")))) ==
+      rows(tokensOf(TextAnalysis.unigramTokensWith(col("text"), inv,
+        maxPieceLen = 3))))
+    // tokenCount convenience nulls to 0
+    assert(Seq(Tuple1(null: String)).toDF("text")
+      .select(bpeLoaded.tokenCount(col("text"))).head.getLong(0) == 0L)
+    // refusal paths: empty artifacts never persist; unknown kind never
+    // applies; wrong kind label rejected at write
+    intercept[IllegalArgumentException] {
+      TextAnalysis.writeMergeTokenizer(spark, "tokspec_bad", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.writeMergeTokenizer(spark, "tokspec_bad",
+        merges, kind = "unigram")
+    }
+    graft.core.Layout.writeBucketed(Seq(("sentencepiece", 0L))
+      .toDF("kind", "max_piece_len"), "tokspec_bpe_meta", "kind", 1)
+    intercept[IllegalStateException] {
+      TextAnalysis.loadTokenizer(spark, "tokspec_bpe")
+    }
+  }
+
   test("WordPiece training: likelihood argmax diverges from BPE on crafted cohesion, naive parity") {
     import spark.implicits._
     // naive reference: the BPE loop with the 10^12-fixed-point
