@@ -1590,6 +1590,63 @@ object TextAnalysis {
     knTrigramScoreWith(docs, knTrigramModel(docs, idCol, textCol),
       idCol, textCol)
 
+  // ── Persisted n-gram LM bundles ────────────────────────────────────
+
+  /** A loaded n-gram LM artifact: the unified (level, gram, cnt) model
+    * relation plus the smoothing rule that interprets it (`trigram` =
+    * stupid backoff, `kn` = Kneser–Ney-grade absolute discount — the
+    * two relations share a SCHEMA but not a level vocabulary, so
+    * applying one under the other's rule would silently mis-score;
+    * `kind` makes that impossible). */
+  final case class LmBundle(kind: String, model: DataFrame) {
+    def score(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = kind match {
+      case "trigram" => trigramScoreWith(docs, model, idCol, textCol)
+      case "kn" => knTrigramScoreWith(docs, model, idCol, textCol)
+      case other => throw new IllegalStateException(
+        s"LmBundle has unknown kind '$other'") // unreachable via load
+    }
+  }
+
+  /** PERSIST a trained LM model relation ([[trigramModel]] /
+    * [[knTrigramModel]] output) — the CCNet production posture: the
+    * reference-perplexity model trains ONCE on the trusted corpus and
+    * every later crawl scores against the SAME artifact (retraining on
+    * each crawl would move every perplexity threshold). The model
+    * table buckets by `gram` — the key every scoring join probes — so
+    * a persisted-model score plan co-locates with the bucketed read;
+    * `_meta(kind)` pins the smoothing rule.
+    */
+  def writeLmModel(model: DataFrame, name: String, kind: String,
+                   buckets: Int = 8): Unit = {
+    require(kind == "trigram" || kind == "kn",
+      s"LM kind must be trigram|kn, got '$kind'")
+    require(!model.filter(col("level") === 0).isEmpty,
+      "refusing to persist an LM model with no level-0 scalar row — " +
+        "the relation is not a trigramModel/knTrigramModel output")
+    graft.core.Layout.writeBucketed(model, s"${name}_model", "gram", buckets)
+    val spark = model.sparkSession
+    import spark.implicits._
+    graft.core.Layout.writeBucketed(Seq(kind).toDF("kind"),
+      s"${name}_meta", "kind", 1)
+  }
+
+  /** Load a persisted LM bundle: the model read straight from the
+    * bucketed table, the smoothing rule resolved (and validated) from
+    * `_meta`. A loaded bundle scores bit-identically to the in-session
+    * model it was written from (spec-gated, plus the
+    * t_trigram_persisted / t_kn_persisted oracles).
+    */
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession,
+                  name: String): LmBundle = {
+    val kind = spark.table(s"${name}_meta").head().getString(0)
+    if (kind != "trigram" && kind != "kn")
+      throw new IllegalStateException(
+        s"LM bundle '$name' has unknown kind '$kind' — this build " +
+          "scores trigram|kn")
+    LmBundle(kind, spark.table(s"${name}_model"))
+  }
+
   /** Sparse keyword RETRIEVAL — the lexical complement of the dense ANN
     * family ([[graft.ext.Similarity]]): per query (a bag of terms), the
     * top-`k` documents by summed integer tf-idf, `score =

@@ -680,6 +680,173 @@ object LlmQueries {
     */
   val BpeTrainMerges = 8
 
+  /** The trigram stupid-backoff scoring oracle — shared verbatim by
+    * t_trigram_surprisal (in-session model) and t_trigram_persisted
+    * (model round-tripped through disk): one SQL gating that both
+    * paths score identically, the nbClassifyLangSql pattern for LMs.
+    */
+  private lazy val trigramSurprisalSql: String =
+    s"""WITH tw AS (SELECT string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
+         |nv AS (SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS nv FROM uni),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
+         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
+         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
+         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+         |    FROM tw) GROUP BY 1),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(3, len(ws)),
+         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
+         |  FROM dw),
+         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY 1, 2),
+         |ox AS (SELECT doc_id, g123, tf,
+         |    string_split(g123, ' ')[1] AS w1,
+         |    string_split(g123, ' ')[2] AS w2,
+         |    string_split(g123, ' ')[3] AS w3 FROM otf),
+         |sc AS (SELECT o.doc_id, o.tf,
+         |    CAST(CASE
+         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
+         |        THEN length(bin(b12.cnt)) - length(bin(t.cnt))
+         |      WHEN b23.cnt IS NOT NULL AND u2.cnt IS NOT NULL
+         |        THEN length(bin(u2.cnt * 5)) - length(bin(b23.cnt * 2))
+         |      ELSE length(bin(n.nv * 25)) -
+         |           length(bin((coalesce(u3.cnt, 0) + 1) * 4))
+         |    END AS BIGINT) AS bits
+         |  FROM ox o
+         |  LEFT JOIN tri t ON t.gram = o.g123
+         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
+         |  LEFT JOIN bi b23 ON b23.gram = o.w2 || ' ' || o.w3
+         |  LEFT JOIN uni u2 ON u2.gram = o.w2
+         |  LEFT JOIN uni u3 ON u3.gram = o.w3
+         |  CROSS JOIN nv n),
+         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_trigrams FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.surprisal, 0) AS surprisal,
+         |  coalesce(a.n_trigrams, 0) AS n_trigrams,
+         |  CASE WHEN coalesce(a.n_trigrams, 0) > 0
+         |       THEN CAST((a.surprisal * 100) // a.n_trigrams AS BIGINT)
+         |       ELSE 0 END AS mean_bits_x100
+         |FROM documents d LEFT JOIN tagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** The KN absolute-discount scoring oracle — shared verbatim by
+    * t_kn_surprisal and t_kn_persisted ([[trigramSurprisalSql]]'s
+    * discipline for the KN rung).
+    */
+  private lazy val knSurprisalSql: String =
+    s"""WITH tw AS (SELECT string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
+         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
+         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
+         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+         |    FROM tw) GROUP BY 1),
+         |kn12 AS (SELECT string_split(gram, ' ')[1] || ' ' ||
+         |      string_split(gram, ' ')[2] AS g,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY 1),
+         |kn23 AS (SELECT string_split(gram, ' ')[2] || ' ' ||
+         |      string_split(gram, ' ')[3] AS g,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY 1),
+         |knd2 AS (SELECT string_split(g, ' ')[1] AS g2,
+         |    CAST(sum(cnt) AS BIGINT) AS cnt FROM kn23 GROUP BY 1),
+         |knn2 AS (SELECT string_split(g, ' ')[1] AS g2,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM kn23 GROUP BY 1),
+         |kn1 AS (SELECT string_split(gram, ' ')[2] AS g1,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY 1),
+         |knbu AS (SELECT CAST((SELECT count(*) FROM bi) +
+         |    (SELECT count(*) FROM uni) AS BIGINT) AS bu),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(3, len(ws)),
+         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
+         |  FROM dw),
+         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY 1, 2),
+         |ox AS (SELECT doc_id, g123, tf,
+         |    string_split(g123, ' ')[1] AS w1,
+         |    string_split(g123, ' ')[2] AS w2,
+         |    string_split(g123, ' ')[3] AS w3 FROM otf),
+         |sc AS (SELECT o.doc_id, o.tf,
+         |    CAST(CASE
+         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
+         |        THEN length(bin(b12.cnt * 4)) - length(bin(t.cnt * 4 - 3))
+         |      WHEN k23.cnt IS NOT NULL AND kd.cnt IS NOT NULL
+         |        THEN (CASE WHEN b12.cnt IS NOT NULL AND n12.cnt IS NOT NULL
+         |                THEN length(bin(b12.cnt * 4)) -
+         |                     length(bin(n12.cnt * 3)) ELSE 0 END)
+         |          + length(bin(kd.cnt * 4)) - length(bin(k23.cnt * 4 - 3))
+         |      ELSE (CASE WHEN b12.cnt IS NOT NULL AND n12.cnt IS NOT NULL
+         |              THEN length(bin(b12.cnt * 4)) -
+         |                   length(bin(n12.cnt * 3)) ELSE 0 END)
+         |        + (CASE WHEN kd.cnt IS NOT NULL AND nk.cnt IS NOT NULL
+         |             THEN length(bin(kd.cnt * 4)) -
+         |                  length(bin(nk.cnt * 3)) ELSE 0 END)
+         |        + length(bin(n.bu)) - length(bin(coalesce(k1.cnt, 0) + 1))
+         |    END AS BIGINT) AS bits
+         |  FROM ox o
+         |  LEFT JOIN tri t ON t.gram = o.g123
+         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
+         |  LEFT JOIN kn12 n12 ON n12.g = o.w1 || ' ' || o.w2
+         |  LEFT JOIN kn23 k23 ON k23.g = o.w2 || ' ' || o.w3
+         |  LEFT JOIN knd2 kd ON kd.g2 = o.w2
+         |  LEFT JOIN knn2 nk ON nk.g2 = o.w2
+         |  LEFT JOIN kn1 k1 ON k1.g1 = o.w3
+         |  CROSS JOIN knbu n),
+         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n_trigrams FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.surprisal, 0) AS surprisal,
+         |  coalesce(a.n_trigrams, 0) AS n_trigrams,
+         |  CASE WHEN coalesce(a.n_trigrams, 0) > 0
+         |       THEN CAST((a.surprisal * 100) // a.n_trigrams AS BIGINT)
+         |       ELSE 0 END AS mean_bits_x100
+         |FROM documents d LEFT JOIN tagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** The PERSISTED trigram LM bundle per (JVM, sf dir): the even-half
+    * model written through the writeLmModel lifecycle (the
+    * [[nbBundleFor]] memo discipline) so t_trigram_persisted exercises
+    * a disk round-trip, not a cache.
+    */
+  def trigramLmFor(s: org.apache.spark.sql.SparkSession,
+                   d: String): String =
+    synchronized {
+      val name = "graft_lm3_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        TextAnalysis.writeLmModel(TextAnalysis.trigramModel(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 0)),
+          name, kind = "trigram")
+        builtIndexes += name
+      }
+      name
+    }
+
+  /** The PERSISTED KN LM bundle per (JVM, sf dir) — [[trigramLmFor]]
+    * for the absolute-discount rung.
+    */
+  def knLmFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_lmkn_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        TextAnalysis.writeLmModel(TextAnalysis.knTrigramModel(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 0)),
+          name, kind = "kn")
+        builtIndexes += name
+      }
+      name
+    }
+
   /** The PERSISTED BPE tokenizer bundle per (JVM, sf dir) — writes the
     * learned-once merge table through the writeMergeTokenizer lifecycle
     * (the [[nbBundleFor]] memo discipline) so
@@ -3153,56 +3320,7 @@ object LlmQueries {
     // ×2/5 penalty folded into the bin-length law: L(den·5ᵏ)−L(num·2ᵏ))
     // and the add-one unigram floor are all exercised, not just the
     // seen-trigram fast path.
-    QueryDef("t_trigram_surprisal",
-      s"""WITH tw AS (SELECT string_split(text, ' ') AS ws
-         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
-         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
-         |nv AS (SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS nv FROM uni),
-         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
-         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
-         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
-         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
-         |    FROM tw) GROUP BY 1),
-         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |  FROM documents WHERE text IS NOT NULL),
-         |occ AS (SELECT doc_id, unnest(list_transform(
-         |    generate_series(3, len(ws)),
-         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
-         |  FROM dw),
-         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
-         |  FROM occ GROUP BY 1, 2),
-         |ox AS (SELECT doc_id, g123, tf,
-         |    string_split(g123, ' ')[1] AS w1,
-         |    string_split(g123, ' ')[2] AS w2,
-         |    string_split(g123, ' ')[3] AS w3 FROM otf),
-         |sc AS (SELECT o.doc_id, o.tf,
-         |    CAST(CASE
-         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
-         |        THEN length(bin(b12.cnt)) - length(bin(t.cnt))
-         |      WHEN b23.cnt IS NOT NULL AND u2.cnt IS NOT NULL
-         |        THEN length(bin(u2.cnt * 5)) - length(bin(b23.cnt * 2))
-         |      ELSE length(bin(n.nv * 25)) -
-         |           length(bin((coalesce(u3.cnt, 0) + 1) * 4))
-         |    END AS BIGINT) AS bits
-         |  FROM ox o
-         |  LEFT JOIN tri t ON t.gram = o.g123
-         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
-         |  LEFT JOIN bi b23 ON b23.gram = o.w2 || ' ' || o.w3
-         |  LEFT JOIN uni u2 ON u2.gram = o.w2
-         |  LEFT JOIN uni u3 ON u3.gram = o.w3
-         |  CROSS JOIN nv n),
-         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
-         |    CAST(sum(tf) AS BIGINT) AS n_trigrams FROM sc GROUP BY 1)
-         |SELECT d.doc_id, coalesce(a.surprisal, 0) AS surprisal,
-         |  coalesce(a.n_trigrams, 0) AS n_trigrams,
-         |  CASE WHEN coalesce(a.n_trigrams, 0) > 0
-         |       THEN CAST((a.surprisal * 100) // a.n_trigrams AS BIGINT)
-         |       ELSE 0 END AS mean_bits_x100
-         |FROM documents d LEFT JOIN tagg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    QueryDef("t_trigram_surprisal", trigramSurprisalSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.trigramScoreWith(docs,
         TextAnalysis.trigramModel(docs.filter(col("doc_id") % 2 === 0)))
@@ -3214,82 +3332,26 @@ object LlmQueries {
     // orders use CONTINUATION counts off the distinct trigram/bigram
     // type relations; the D=3/4 discount and γ mass render as the
     // per-factor bin-length sum, every term a positive integer.
-    QueryDef("t_kn_surprisal",
-      s"""WITH tw AS (SELECT string_split(text, ' ') AS ws
-         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
-         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
-         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
-         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
-         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
-         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
-         |    FROM tw) GROUP BY 1),
-         |kn12 AS (SELECT string_split(gram, ' ')[1] || ' ' ||
-         |      string_split(gram, ' ')[2] AS g,
-         |    CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY 1),
-         |kn23 AS (SELECT string_split(gram, ' ')[2] || ' ' ||
-         |      string_split(gram, ' ')[3] AS g,
-         |    CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY 1),
-         |knd2 AS (SELECT string_split(g, ' ')[1] AS g2,
-         |    CAST(sum(cnt) AS BIGINT) AS cnt FROM kn23 GROUP BY 1),
-         |knn2 AS (SELECT string_split(g, ' ')[1] AS g2,
-         |    CAST(count(*) AS BIGINT) AS cnt FROM kn23 GROUP BY 1),
-         |kn1 AS (SELECT string_split(gram, ' ')[2] AS g1,
-         |    CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY 1),
-         |knbu AS (SELECT CAST((SELECT count(*) FROM bi) +
-         |    (SELECT count(*) FROM uni) AS BIGINT) AS bu),
-         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |  FROM documents WHERE text IS NOT NULL),
-         |occ AS (SELECT doc_id, unnest(list_transform(
-         |    generate_series(3, len(ws)),
-         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
-         |  FROM dw),
-         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
-         |  FROM occ GROUP BY 1, 2),
-         |ox AS (SELECT doc_id, g123, tf,
-         |    string_split(g123, ' ')[1] AS w1,
-         |    string_split(g123, ' ')[2] AS w2,
-         |    string_split(g123, ' ')[3] AS w3 FROM otf),
-         |sc AS (SELECT o.doc_id, o.tf,
-         |    CAST(CASE
-         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
-         |        THEN length(bin(b12.cnt * 4)) - length(bin(t.cnt * 4 - 3))
-         |      WHEN k23.cnt IS NOT NULL AND kd.cnt IS NOT NULL
-         |        THEN (CASE WHEN b12.cnt IS NOT NULL AND n12.cnt IS NOT NULL
-         |                THEN length(bin(b12.cnt * 4)) -
-         |                     length(bin(n12.cnt * 3)) ELSE 0 END)
-         |          + length(bin(kd.cnt * 4)) - length(bin(k23.cnt * 4 - 3))
-         |      ELSE (CASE WHEN b12.cnt IS NOT NULL AND n12.cnt IS NOT NULL
-         |              THEN length(bin(b12.cnt * 4)) -
-         |                   length(bin(n12.cnt * 3)) ELSE 0 END)
-         |        + (CASE WHEN kd.cnt IS NOT NULL AND nk.cnt IS NOT NULL
-         |             THEN length(bin(kd.cnt * 4)) -
-         |                  length(bin(nk.cnt * 3)) ELSE 0 END)
-         |        + length(bin(n.bu)) - length(bin(coalesce(k1.cnt, 0) + 1))
-         |    END AS BIGINT) AS bits
-         |  FROM ox o
-         |  LEFT JOIN tri t ON t.gram = o.g123
-         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
-         |  LEFT JOIN kn12 n12 ON n12.g = o.w1 || ' ' || o.w2
-         |  LEFT JOIN kn23 k23 ON k23.g = o.w2 || ' ' || o.w3
-         |  LEFT JOIN knd2 kd ON kd.g2 = o.w2
-         |  LEFT JOIN knn2 nk ON nk.g2 = o.w2
-         |  LEFT JOIN kn1 k1 ON k1.g1 = o.w3
-         |  CROSS JOIN knbu n),
-         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
-         |    CAST(sum(tf) AS BIGINT) AS n_trigrams FROM sc GROUP BY 1)
-         |SELECT d.doc_id, coalesce(a.surprisal, 0) AS surprisal,
-         |  coalesce(a.n_trigrams, 0) AS n_trigrams,
-         |  CASE WHEN coalesce(a.n_trigrams, 0) > 0
-         |       THEN CAST((a.surprisal * 100) // a.n_trigrams AS BIGINT)
-         |       ELSE 0 END AS mean_bits_x100
-         |FROM documents d LEFT JOIN tagg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    QueryDef("t_kn_surprisal", knSurprisalSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.knTrigramScoreWith(docs,
         TextAnalysis.knTrigramModel(docs.filter(col("doc_id") % 2 === 0)))
+    }.sortedBy(col("doc_id")),
+
+    // The SAME scoring chains with the model ROUND-TRIPPED THROUGH
+    // DISK (writeLmModel → gram-bucketed model table + _meta(kind) →
+    // loadLmModel) — the CCNet posture: the reference-perplexity model
+    // trains once and every crawl scores against the same artifact.
+    // One oracle per rung gates that the persisted model scores
+    // bit-identically to in-session training.
+    QueryDef("t_trigram_persisted", trigramSurprisalSql) { (s, d) =>
+      TextAnalysis.loadLmModel(s, trigramLmFor(s, d))
+        .score(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    QueryDef("t_kn_persisted", knSurprisalSql) { (s, d) =>
+      TextAnalysis.loadLmModel(s, knLmFor(s, d))
+        .score(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
     // ── CCNet perplexity buckets (per-domain head/middle/tail) ─────

@@ -2065,6 +2065,42 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("persisted LM bundles: disk round-trip scores bit-identically, kind pins the smoothing rule") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    // trigram stupid-backoff: train → persist → load → identical scores
+    val m3 = TextAnalysis.trigramModel(half)
+    TextAnalysis.writeLmModel(m3, "lmspec_tri", "trigram")
+    val b3 = TextAnalysis.loadLmModel(spark, "lmspec_tri")
+    assert(b3.kind == "trigram")
+    assert(rows(b3.score(docs)) == rows(TextAnalysis.trigramScoreWith(docs, m3)))
+    // KN absolute-discount rung, same law
+    val mk = TextAnalysis.knTrigramModel(half)
+    TextAnalysis.writeLmModel(mk, "lmspec_kn", "kn")
+    val bk = TextAnalysis.loadLmModel(spark, "lmspec_kn")
+    assert(bk.kind == "kn")
+    assert(rows(bk.score(docs)) == rows(TextAnalysis.knTrigramScoreWith(docs, mk)))
+    // the two rungs genuinely differ on this corpus (same schema,
+    // different level vocabulary — the reason kind must pin the rule)
+    assert(rows(b3.score(docs)) != rows(bk.score(docs)))
+    // refusals: unknown kind at write; relation without the level-0
+    // scalar (not a model output); unknown kind at load
+    intercept[IllegalArgumentException] {
+      TextAnalysis.writeLmModel(m3, "lmspec_bad", "kenlm")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.writeLmModel(
+        m3.filter(col("level") =!= 0), "lmspec_bad", "trigram")
+    }
+    graft.core.Layout.writeBucketed(Seq("kenlm").toDF("kind"),
+      "lmspec_tri_meta", "kind", 1)
+    intercept[IllegalStateException] {
+      TextAnalysis.loadLmModel(spark, "lmspec_tri")
+    }
+  }
+
   test("WordPiece training: likelihood argmax diverges from BPE on crafted cohesion, naive parity") {
     import spark.implicits._
     // naive reference: the BPE loop with the 10^12-fixed-point
