@@ -119,6 +119,25 @@ object CurationStream {
     */
   final case class QualityGate(bundleName: String, keep: String = "good")
 
+  /** In-stream PERPLEXITY gate for [[run]] — the streaming face of the
+    * persisted LM bundles ([[TextAnalysis.writeLmModel]]), i.e. the
+    * CCNet production filter: the reference LM trains/audits ONCE on a
+    * trusted corpus in a batch job; the stream (and every restart)
+    * loads the same artifact at start and keeps only docs whose mean
+    * surprisal stays at or under `maxMeanBitsX100` (low-perplexity =
+    * head-like text; gibberish and vocabulary soup score high and
+    * drop). The smoothing rule (trigram stupid-backoff vs KN) rides in
+    * the bundle's `_meta` — the gate scores under exactly the rule the
+    * model was written for. Runs after the rule/model quality cuts,
+    * before decontamination.
+    *
+    * Per-batch cost: the audited scoring plan over the batch (row-local
+    * trigram explode, joins against the PINNED vocab-bounded model
+    * levels, one (doc, gram) partial-agg exchange) + one batch-sized id
+    * join — nothing retrains, nothing scales with the corpus.
+    */
+  final case class PerplexityGate(bundleName: String, maxMeanBitsX100: Long)
+
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
     * `sink` enriched (left outer — a doc with no dim row survives with
@@ -173,12 +192,24 @@ object CurationStream {
           gopherGate: Boolean = false,
           features: Option[FeatureAsOf] = None,
           langGate: Option[LangGate] = None,
-          qualityGate: Option[QualityGate] = None)
+          qualityGate: Option[QualityGate] = None,
+          perplexityGate: Option[PerplexityGate] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // model quality gate loads its persisted bundle ONCE, here — a
     // missing/foreign-tokenizer artifact dies at start, not on batch 0
     val qualityBundle = qualityGate.map(qg =>
       TextAnalysis.loadNbBundle(docs.sparkSession, qg.bundleName))
+    // perplexity gate: load + PIN the persisted LM once at start (a
+    // missing/unknown-kind artifact dies here, not on batch 0); the
+    // pinned model blocks are what every batch's scoring joins read —
+    // vocab-bounded, never re-read from the table per batch
+    val lmBundle = perplexityGate.map { pg =>
+      require(pg.maxMeanBitsX100 > 0,
+        s"PerplexityGate.maxMeanBitsX100 must be positive, got " +
+          s"${pg.maxMeanBitsX100}")
+      val b = TextAnalysis.loadLmModel(docs.sparkSession, pg.bundleName)
+      b.copy(model = b.model.localCheckpoint())
+    }
     // language model trains once, here, and pins — per batch only the
     // scoring plan runs (trainNbBundle fails loud on an unlabeled
     // snapshot, so a misconfigured gate dies at start, not on batch 0);
@@ -264,9 +295,17 @@ object CurationStream {
           .select(col(idCol), col("pred").as("lang_pred"))
         mGated.join(preds, idCol)
       }
-      val clean = benchGrams.fold(routed)(g =>
+      // perplexity gate: score the batch under the PINNED persisted LM
+      // and keep the low-surprisal head (id join is batch-sized)
+      val headed = lmBundle.fold(routed) { b =>
+        val keep = b.score(routed, idCol, textCol)
+          .filter(col("mean_bits_x100") <= perplexityGate.get.maxMeanBitsX100)
+          .select(col(idCol))
+        routed.join(keep, idCol)
+      }
+      val clean = benchGrams.fold(headed)(g =>
         graft.ext.Decontamination.decontaminateAgainst(
-          routed, broadcast(g), idCol, textCol, n, minOverlap))
+          headed, broadcast(g), idCol, textCol, n, minOverlap))
       val dim0 = ManifestStore.read(novel.sparkSession, dimDir, dimKey)
       val dim = if (broadcastDim) broadcast(dim0) else dim0
       val enriched = clean.join(dim, Seq(dimKey), "left_outer")

@@ -557,6 +557,69 @@ class IngestGateSpec extends SparkSuite {
       s"restarted stream must reuse the persisted artifact: ${sunk2.asScala.toSet}")
   }
 
+  test("composed curation stream perplexity gate scores from a persisted LM bundle") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // trusted "reference corpus": head-like text with a stable
+    // vocabulary — the persisted trigram model memorizes its phrases
+    val trusted = (1 to 6).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeLmModel(
+      graft.ext.TextAnalysis.trigramModel(trusted), "t_cur_lm_bundle",
+      kind = "trigram")
+    // both docs pass the rule gate; only the LM can tell head-like
+    // (seen trigrams, low bits) from vocabulary soup (every trigram
+    // backs off to the unigram floor, high bits)
+    val headDoc =
+      "the quick brown fox jumps over the lazy dog again today for sure"
+    val soupDoc =
+      ("the " + (1 to 11).map(i => s"zq$i").mkString(" "))
+    val name = "t_cur_lm"
+    val dimDir = java.nio.file.Files.createTempDirectory("lm-dim").toString
+    ManifestStore.seed(Seq((0, "crawlA")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    // calibrate the cut between the two scores (the production flow:
+    // thresholds come from scoring a sample under the SAME artifact)
+    val lm = graft.ext.TextAnalysis.loadLmModel(spark, "t_cur_lm_bundle")
+    val scores = lm.score(
+      Seq((1L, headDoc), (2L, soupDoc)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scores(1L) < scores(2L),
+      s"head text must out-score soup under the trusted model: $scores")
+    val cut = (scores(1L) + scores(2L)) / 2
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("lm-ckpt").toString,
+      minQuality = 2,
+      perplexityGate = Some(CurationStream.PerplexityGate(
+        "t_cur_lm_bundle", cut))) { (out, _) =>
+      out.select("doc_id").collect().foreach(r => sunk.add(r.getLong(0)))
+    }
+    try {
+      ms.addData((1L, headDoc, 0), (2L, soupDoc, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.asScala.toSet == Set(1L),
+      s"perplexity gate routing wrong: ${sunk.asScala.toSet}")
+    // layering unchanged: the dedup gate admitted BOTH docs' signatures
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // a missing artifact dies at stream START, not on batch 0
+    intercept[Exception] {
+      CurationStream.run(
+        MemoryStream[(Long, String, Int)].toDF()
+          .toDF("doc_id", "text", "source_id"), name + "_x", dimDir,
+        "source_id",
+        java.nio.file.Files.createTempDirectory("lmx-ckpt").toString,
+        perplexityGate = Some(CurationStream.PerplexityGate(
+          "t_cur_lm_no_such_bundle", 1000L))) { (_, _) => () }
+    }
+  }
+
   test("composed curation stream decontaminates against a benchmark set in-stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
