@@ -441,6 +441,75 @@ object Sampling {
     * back-filled from other domains (that would skew the mix).
     * Output: the selected rows + (rank, quota).
     */
+  /** Take a TOKEN-budget-apportioned mix per domain — training mixes
+    * are token budgets, not document counts ("1B tokens at 3:2:1 over
+    * web:books:code"), and a doc-count quota silently skews toward
+    * short-doc domains. [[apportion]] splits `totalTokens` across the
+    * weighted domains exactly (largest remainder); within each domain
+    * docs are laid out in (hash bucket, key) order — the
+    * content-independent reproducible shuffle every mixer here uses —
+    * and kept while the INCLUSIVE running token total fits the
+    * domain's quota (prefix rule: no later smaller doc back-fills, so
+    * membership never depends on what follows the cut). Unweighted
+    * domains drop (share 0); a domain with fewer tokens than its quota
+    * returns everything it has — the shortfall is the caller's
+    * under-supply, disclosed by the output's per-domain sums, never
+    * back-filled from other domains. NULL token counts cost 0.
+    *
+    * Scale shape: the [[Packing.selectByBudget]] decomposed prefix sum
+    * with (domain, bucket-range) as the parallel cell — the in-cell
+    * window sorts ~1/`groupWidth`·Grain of a domain, never a whole
+    * skewed domain in one task; per-cell offsets accumulate under a
+    * domain-PARTITIONED window over the cell relation (bounded by
+    * domains × Grain/groupWidth rows, [[Packing.MaxOffsetRows]]-capped
+    * loudly) and broadcast back with the quotas.
+    *
+    * Output: the input columns + (`toks`, `quota`).
+    */
+  def takeTokenApportioned(df: DataFrame, domainCol: String, keyCol: String,
+                           tokensCol: Column,
+                           weights: Seq[(String, Long)], totalTokens: Long,
+                           groupWidth: Int = 16): DataFrame = {
+    require(groupWidth > 0 && groupWidth <= Grain,
+      s"groupWidth must be in [1, $Grain], got $groupWidth")
+    val quotas = apportion(weights, totalTokens)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quotas.toDF(domainCol, "quota")
+    val bkt = bucket(col(keyCol))
+    val base = df.join(broadcast(qdf), domainCol)
+      .withColumn("toks", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__tt_bkt", bkt)
+      .withColumn("__tt_grp", (bkt / groupWidth).cast("long"))
+    val inCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("__tt_grp"))
+      .orderBy(col("__tt_bkt"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withCum = base.withColumn("__tt_cum", sum("toks").over(inCell))
+    // guard order matters (the selectByBudget discipline): bound the
+    // cell relation BEFORE any window over it runs
+    val totals = base.groupBy(col(domainCol), col("__tt_grp"))
+      .agg(sum("toks").as("__tt_total"))
+      .localCheckpoint()
+    val nOff = totals.count()
+    require(nOff <= Packing.MaxOffsetRows,
+      s"takeTokenApportioned: $nOff (domain, group) cells exceed the " +
+        s"${Packing.MaxOffsetRows} offsets cap — raise groupWidth")
+    val offsets = totals
+      .withColumn("__tt_off",
+        coalesce(sum("__tt_total").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(domainCol)).orderBy(col("__tt_grp"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(domainCol), col("__tt_grp"), col("__tt_off"))
+    withCum.join(broadcast(offsets), Seq(domainCol, "__tt_grp"))
+      .filter(col("__tt_off") + col("__tt_cum") <= col("quota"))
+      .drop("__tt_bkt", "__tt_grp", "__tt_cum", "__tt_off")
+  }
+
   def takeApportioned(df: DataFrame, strataCol: String, keyCol: String,
                       weights: Seq[(String, Long)],
                       budget: Long): DataFrame = {

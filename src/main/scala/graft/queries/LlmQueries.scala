@@ -4433,6 +4433,51 @@ object LlmQueries {
           Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L), budget = 37L)
     }.sortedBy(col("doc_id")),
 
+    // ── TOKEN-budget apportioned mix (training mixes are tokens) ───
+    // 30k tokens at 3:2:1 over src0/src1/src2: Hamilton-apportioned
+    // token quotas, then per domain the inclusive prefix rule over the
+    // (hash bucket, id) order — a doc survives iff its running token
+    // total fits the domain's quota. The oracle replays the allocation
+    // and one partitioned window cumsum; Spark runs the decomposed
+    // (domain, bucket-range) prefix sum.
+    QueryDef("t_token_apportion",
+      s"""WITH w(source, wt) AS (VALUES ('src0', CAST(3 AS BIGINT)),
+         |                              ('src1', CAST(2 AS BIGINT)),
+         |                              ('src2', CAST(1 AS BIGINT))),
+         |tw AS (SELECT sum(wt) AS w FROM w),
+         |qb AS (SELECT source, wt, 30000 * wt // w AS q,
+         |              (30000 * wt) % w AS r FROM w CROSS JOIN tw),
+         |rem AS (SELECT 30000 - sum(q) AS rem FROM qb),
+         |bump AS (SELECT source, q,
+         |    row_number() OVER (ORDER BY r DESC, wt DESC, source) AS rn
+         |  FROM qb),
+         |quota AS (SELECT source,
+         |    CAST(q + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
+         |      AS quota
+         |  FROM bump CROSS JOIN rem),
+         |t AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN d.text IS NULL THEN 0
+         |         ELSE len(string_split(d.text, ' ')) END AS toks,
+         |    ${polyhash("CAST(d.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM documents d JOIN quota USING (source)),
+         |c AS (SELECT doc_id, source, toks,
+         |    sum(toks) OVER (PARTITION BY source ORDER BY bkt, doc_id
+         |                    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT c.doc_id, c.source, CAST(c.toks AS BIGINT) AS toks,
+         |       q.quota
+         |FROM c JOIN quota q USING (source)
+         |WHERE c.cum <= q.quota ORDER BY c.doc_id""".stripMargin) {
+      (s, d) =>
+        graft.ext.Sampling.takeTokenApportioned(
+          Tables.documents(s, d).select("doc_id", "source", "text"),
+          "source", "doc_id",
+          when(col("text").isNull, 0L)
+            .otherwise(size(split(col("text"), " ")).cast("long")),
+          Seq("src0" -> 3L, "src1" -> 2L, "src2" -> 1L),
+          totalTokens = 30000L)
+          .select("doc_id", "source", "toks", "quota")
+    }.sortedBy(col("doc_id")),
+
     // ── Temperature-smoothed domain resampling (alpha = 1/2) ──────
     // keep_d = floor(sqrt(c_d · c_min)) — the geometric interpolation
     // between natural mixture and uniform; threshold math then mirrors

@@ -198,6 +198,56 @@ class OpsPropertySpec extends SparkSuite {
     assert(out.toSet == out2.toSet)
   }
 
+  test("takeTokenApportioned: token quotas respected by the prefix rule, shortfall disclosed, repartition-stable") {
+    import spark.implicits._
+    // src0: 30 docs x 10 tokens; src1: 2 docs x 10 (under-supplied);
+    // src2: 10 docs x 10. weights 2:2:1, budget 250 tokens ->
+    // quotas 100/100/50
+    val rows = (1 to 30).map(i => (i.toLong, "src0", 10L)) ++
+      Seq((100L, "src1", 10L), (101L, "src1", 10L)) ++
+      (200 to 209).map(i => (i.toLong, "src2", 10L))
+    val df = rows.toDF("doc_id", "source", "toks_in")
+    val w = Seq("src0" -> 2L, "src1" -> 2L, "src2" -> 1L)
+    val out = graft.ext.Sampling.takeTokenApportioned(df, "source",
+      "doc_id", col("toks_in"), w, totalTokens = 250L)
+    val sums = out.groupBy("source")
+      .agg(sum("toks").as("t"), max("quota").as("q"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // each domain's taken tokens fit the quota; full domains fill it
+    // exactly (uniform 10-token docs); src1 discloses its shortfall
+    assert(sums("src0") == (100L, 100L) && sums("src2") == (50L, 50L),
+      s"got $sums")
+    assert(sums("src1") == (20L, 100L), s"shortfall not disclosed: $sums")
+    // prefix rule: selected rows are exactly the quota/10 first docs in
+    // (bucket, id) hash order — verify against an independent ranking
+    val ranked = df.withColumn("b", graft.ext.Sampling.bucket(col("doc_id")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("b"), col("doc_id"))))
+    val expected = ranked.filter(
+      (col("source") === "src0" && col("rn") <= 10) ||
+      col("source") === "src1" ||
+      (col("source") === "src2" && col("rn") <= 5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == expected)
+    // deterministic under repartitioning
+    val out2 = graft.ext.Sampling.takeTokenApportioned(df.repartition(7),
+      "source", "doc_id", col("toks_in"), w, totalTokens = 250L)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      out2.select("doc_id").as[Long].collect().toSet)
+    // null token counts cost 0 (kept for free, never poison the cumsum)
+    val withNull = Seq((1L, "src0", Some(10L)), (2L, "src0", None))
+      .toDF("doc_id", "source", "toks_in")
+    val nOut = graft.ext.Sampling.takeTokenApportioned(withNull, "source",
+      "doc_id", col("toks_in"), Seq("src0" -> 1L), 100L)
+    assert(nOut.count() == 2)
+    // a weighted domain absent from the data yields nothing (disclosed
+    // by the empty output, never back-filled)
+    val absent = graft.ext.Sampling.takeTokenApportioned(withNull, "source",
+      "doc_id", col("toks_in"), Seq("srcZ" -> 1L), 100L)
+    assert(absent.count() == 0)
+  }
+
   test("corpusReport: hand-computed golden on a tiny corpus") {
     import spark.implicits._
     val docs = Seq(
