@@ -599,6 +599,112 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round rewrites the edge set so every edge
+    * points closer to its component's minimum id —
+    *
+    *  - large-star: per node u with neighbourhood N(u), let
+    *    m = min(N(u) ∪ {u}); every STRICTLY LARGER neighbour v > u is
+    *    re-attached as (v, m);
+    *  - small-star: orient every edge toward the smaller endpoint; per
+    *    node u over its smaller neighbours, m = min(N(u)); re-attach
+    *    every smaller neighbour AND u itself to m.
+    *
+    * The fixpoint is a star forest — every node holds a direct edge to
+    * its component minimum — reached in O(log n) rounds on ANY graph,
+    * vs. O(diameter) for [[clusterLabels]]' plain min-label
+    * propagation. That is the 100 TB difference for chain-shaped
+    * components (gradual-mutation spam: doc i ≈ doc i+1 for 10⁵ docs —
+    * diameter 10⁵, but ~17 star rounds).
+    *
+    * Scale shape per round: two hash aggregations (per-node min) + two
+    * broadcast-free equi-joins + one distinct — all key-partitioned
+    * shuffles on node ids; the edge set never grows past the input
+    * size (every rewrite maps an existing edge to one output edge,
+    * deduplicated), and nothing is collected to the driver. The
+    * convergence probe is an exact (count, Σsrc, Σdst) signature over
+    * the CANONICALIZED edge set in DECIMAL(38): the round map is a
+    * deterministic function of the edge set, so an unchanged canonical
+    * set IS the fixpoint (the triple is compared exactly, not hashed).
+    *
+    * Same contract as [[clusterLabels]]: `nodes` exposes `id`, `edges`
+    * exposes (`src`, `dst`) undirected; returns (id, cluster_id) with
+    * cluster_id = component min; isolated nodes label themselves.
+    * Non-convergence at `maxRounds` warns (or throws under `strict`)
+    * with labels = each node's best-known min — still component
+    * members, just possibly split. `checkpointDir` switches the
+    * per-round pins to reliable checkpoints exactly as in
+    * [[clusterLabels]].
+    */
+  def clusterLabelsStar(nodes: DataFrame, edges: DataFrame,
+                        maxRounds: Int = 25, strict: Boolean = false,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
+    var ckptDirSet = false
+    def pin(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(d) =>
+        if (!ckptDirSet) { sc.setCheckpointDir(d); ckptDirSet = true }
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+    // canonical orientation (big, small); self-loops and duplicates out
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, sym("src") === mins("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = canon(e) // src > dst everywhere below
+      val mins = dir.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      dir.join(mins, dir("src") === mins("u"))
+        .select(dir("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+    }
+    def signature(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var cur = pin(canon(edges))
+    var prevSig = signature(cur)
+    var rounds = 0
+    var converged = cur.isEmpty // edge-free graph: all singletons
+    while (!converged && rounds < maxRounds) {
+      val next = pin(canon(smallStar(largeStar(cur))))
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      cur = next
+      rounds += 1
+    }
+    if (!converged) {
+      val msg = s"clusterLabelsStar exited UNCONVERGED after $maxRounds " +
+        "alternating rounds: labels below are each node's best-known " +
+        "minimum, not necessarily the full transitive closure. Raise " +
+        "maxRounds (fixpoint is O(log n) rounds)."
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    // star forest: every non-root node carries a direct edge to its
+    // component min; roots and isolated nodes label themselves
+    val rootOf = cur.groupBy(col("src").as("id")).agg(min(col("dst")).as("l"))
+    nodes.select(col("id"))
+      .join(rootOf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("l"), col("id")).as("cluster_id"))
+  }
+
   /** Near-duplicate clusters over a corpus: capped representative-level
     * LSH candidates verified by exact Jaccard ≥ num/den (integer
     * cross-multiply — no float ratio, so the DuckDB oracle replays the
@@ -622,6 +728,44 @@ object Dedup {
                       maxBucket: Int = DefaultMaxBucketWidth,
                       maxRounds: Int = 50, strict: Boolean = false,
                       checkpointDir: Option[String] = None): DataFrame = {
+    val edges = nearDupEdgeSet(docs, idCol, textCol, n, numBands,
+      rowsPerBand, jaccardNum, jaccardDen, maxBucket)
+    clusterLabels(docs.select(col(idCol).as("id")), edges,
+      maxRounds, strict, checkpointDir)
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** [[nearDupClusters]] with the transitive closure computed by
+    * [[clusterLabelsStar]] instead of plain propagation — identical
+    * components (same verified edge set, both algorithms compute the
+    * exact transitive closure), but convergence in O(log n) alternating
+    * rounds instead of O(diameter): the variant to reach for when the
+    * dup graph may contain long mutation CHAINS rather than tight
+    * cliques. Gated by the same DuckDB recursive-CTE oracle as
+    * [[nearDupClusters]] — the two paths must agree bit-for-bit.
+    */
+  def nearDupClustersStar(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 3,
+                          numBands: Int = 4, rowsPerBand: Int = 2,
+                          jaccardNum: Int = 8, jaccardDen: Int = 10,
+                          maxBucket: Int = DefaultMaxBucketWidth,
+                          maxRounds: Int = 25, strict: Boolean = false,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val edges = nearDupEdgeSet(docs, idCol, textCol, n, numBands,
+      rowsPerBand, jaccardNum, jaccardDen, maxBucket)
+    clusterLabelsStar(docs.select(col(idCol).as("id")), edges,
+      maxRounds, strict, checkpointDir)
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** The shared verified near-dup edge set (rep-level LSH candidates
+    * passing the exact integer Jaccard cut, plus one star edge per
+    * exact-copy member) both clustering algorithms close over.
+    */
+  private def nearDupEdgeSet(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int, numBands: Int,
+                             rowsPerBand: Int, jaccardNum: Int,
+                             jaccardDen: Int, maxBucket: Int): DataFrame = {
     val (grouped, repPairs) = repLevelPairs(
       features(docs, idCol, textCol, n), idCol, numBands, rowsPerBand, maxBucket)
     val repEdges = repPairs
@@ -629,9 +773,7 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val starEdges = grouped.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("src"), col("rep").as("dst"))
-    clusterLabels(docs.select(col(idCol).as("id")), repEdges.union(starEdges),
-      maxRounds, strict, checkpointDir)
-      .select(col("id").as(idCol), col("cluster_id"))
+    repEdges.union(starEdges)
   }
 
   /** Canonical keep-list: one representative (min id = the cluster

@@ -2596,6 +2596,18 @@ object LlmQueries {
       Dedup.nearDupClusters(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // Same transitive closure via the ALTERNATING large-star/small-star
+    // rewriting (O(log n) rounds vs O(diameter)) — both clustering
+    // algorithms must land on the identical component labels, so the
+    // SAME recursive-CTE oracle gates this path.
+    QueryDef("t_dedup_clusters_star",
+      s"""WITH RECURSIVE $hashesCte, $sigCte,
+         |${clusterCtes("documents", jNum = 8, jDen = 10)}
+         |SELECT doc_id, cluster_id FROM clusters
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.nearDupClustersStar(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
     // Canonical keep-list: the consumable dedup artifact — one
     // representative per cluster with its member count.
     QueryDef("t_dedup_keep",

@@ -759,6 +759,37 @@ class LlmOpsSpec extends SparkSuite {
     assert(full.values.toSet == Set(1L), full)
   }
 
+  test("clusterLabelsStar closes a diameter-64 path in O(log n) rounds and matches plain propagation") {
+    import spark.implicits._
+    // a 65-node path (diameter 64): plain propagation needs 64 rounds;
+    // the alternating star rewriting must finish within 10 (≈ log₂ 65
+    // plus slack) — strict=true makes a slow fixpoint FAIL, not warn.
+    // Node ids deliberately not in path order (i*7 mod 65 walk), so the
+    // min label is in the middle of the path, not at an end.
+    val ids = (0 until 65).map(i => (i * 7L) % 65L)
+    val nodes = (ids :+ 1000L).toDF("id") // plus one isolated node
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+    val star = Dedup.clusterLabelsStar(nodes, edges, maxRounds = 10,
+      strict = true).as[(Long, Long)].collect().toMap
+    assert(star(1000L) == 1000L, s"isolated node must self-label: $star")
+    assert((star - 1000L).values.toSet == Set(0L),
+      s"path must collapse to min id 0: $star")
+    // both algorithms are exact transitive closures — identical labels
+    val plain = Dedup.clusterLabels(nodes, edges, maxRounds = 70,
+      strict = true).as[(Long, Long)].collect().toMap
+    assert(star == plain)
+    // plain propagation at 10 rounds genuinely CANNOT close this graph
+    // (the star variant is not just matching an easy fixture)
+    intercept[IllegalStateException] {
+      Dedup.clusterLabels(nodes, edges, maxRounds = 10, strict = true)
+    }
+    // strict star non-convergence discloses too
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterLabelsStar(nodes, edges, maxRounds = 1, strict = true)
+    }
+    assert(ex.getMessage.contains("UNCONVERGED"), ex.getMessage)
+  }
+
   test("dedup chain degrades cleanly: null-text docs are singletons, empty corpus yields empty results") {
     import spark.implicits._
     // null texts: own representative, no band rows, never paired — but
