@@ -457,6 +457,77 @@ object Similarity {
     rankTopK(scored, k, "cos")
   }
 
+  // ── Hard-negative mining (contrastive-training batches) ────────────
+
+  /** Hard-negative mining over a labelled embedding corpus: for each
+    * query anchor, the k HIGHEST-cosine vectors whose `labelCol`
+    * DIFFERS from the anchor's — the negatives that actually move a
+    * contrastive/triplet loss (random negatives are trivially far and
+    * contribute ~zero gradient; the near-but-wrong ones define the
+    * decision boundary). Output: (query_id, neighbor_id, neg_label,
+    * cos, rank).
+    *
+    * Exact brute-force rung: broadcast anchor set × one corpus scan
+    * (O(|Q|·n)), ranked on round(cos, 6) with id tiebreak through the
+    * TopKPerKey operator — at most k rows per (partition, query) reach
+    * the exchange. Self-pairs are excluded for free (a vector shares
+    * its own label). NULL-label rows participate in NEITHER side — SQL
+    * `<>` semantics, identical in the DuckDB oracle.
+    */
+  def hardNegatives(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        col(labelCol).as("__qlab"))
+    val scored = corpus
+      .join(broadcast(queries), col(labelCol) =!= col("__qlab"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(labelCol).as("neg_label"),
+        round(cosine(col("query_vec"), col(vecCol)), 6).as("cos"))
+    rankTopK(scored, k, "cos")
+  }
+
+  /** [[hardNegatives]] through the IVF index instead of a full corpus
+    * scan — the 100 TB mining path: anchors probe their `nProbe`
+    * nearest coarse cells and only those inverted lists are scored and
+    * label-filtered, so a mining pass touches ~nProbe/centroids of the
+    * corpus per anchor instead of all of it. Same deterministic
+    * quantizer as every IVF rung ([[trainCentroids]]), so the DuckDB
+    * oracle replays cells, probes, and candidates bit-for-bit.
+    * Approximation is the usual IVF trade (a hard negative hiding in
+    * an unprobed cell is missed) — disclosed, and gated by its own
+    * oracle replaying the identical probe set.
+    */
+  def hardNegativesIvf(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                       centroids: Int = 16, nProbe: Int = 4,
+                       labelCol: String = "label", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(corpus, centroids, idCol, vecCol)
+    val assigned = assignCells(corpus, cents, idCol, vecCol)
+    val labels = corpus.select(col(idCol), col(labelCol))
+    val queries = assigned.filter(col(idCol).isin(queryIds: _*))
+      .join(labels, Seq(idCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        col(labelCol).as("__qlab"))
+    val probeScored = queries
+      .join(broadcast(cents))
+      .select(col("query_id"), col("query_vec"), col("__qlab"),
+        col("cell").as("__cand"),
+        cosine(col("query_vec"), col("cvec")).as("cos"))
+    val probes = topKOperator(probeScored, nProbe, "__cand")
+      .select(col("query_id"), col("query_vec"), col("__qlab"),
+        col("__cand").as("cell"))
+    val scored = assigned.join(labels, Seq(idCol))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col(labelCol) =!= col("__qlab"))
+      .dropDuplicates("query_id", idCol)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(labelCol).as("neg_label"),
+        round(cosine(col("query_vec"), col(vecCol)), 6).as("cos"))
+    rankTopK(scored, k, "cos")
+  }
+
   // ── Persisted index lifecycle (write once, query many) ─────────────
 
   /** Build-and-persist the IVF index artifact: the trained coarse

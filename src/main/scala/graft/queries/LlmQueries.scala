@@ -2865,6 +2865,58 @@ object LlmQueries {
         Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 6)
     }.sortedBy(col("query_id"), col("rank")),
 
+    // ── Hard-negative mining ───────────────────────────────────────
+    // Exact rung: per anchor, the 10 highest-cosine DIFFERENT-label
+    // vectors (the negatives a contrastive loss actually learns from).
+    // Self-pairs fall out for free (a vector shares its own label).
+    QueryDef("t_hard_negatives",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         e.label AS neg_label,
+         |         round(${cosine("q.qv", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.label <> q.ql),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, neg_label, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    }.sortedBy(col("query_id"), col("rank")),
+
+    // IVF-probed mining — the 100 TB path: only the anchors' probed
+    // inverted lists are scored and label-filtered. Same deterministic
+    // quantizer CTEs as t_ann_ivf, so cells/probes/candidates replay
+    // bit-for-bit; the label cut is applied to the identical candidate
+    // set on both engines.
+    QueryDef("t_hard_negatives_ivf",
+      s"""WITH ${ivfCtes(k = 16, nProbe = 6, queryPred = "vec_id < 5", "embeddings")},
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id, ne.label AS neg_label,
+         |         round(${cosine("qe.embedding", "ne.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+         |  WHERE ne.label <> qe.label),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, neg_label, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.hardNegativesIvf(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), k = 10, centroids = 16, nProbe = 6)
+    }.sortedBy(col("query_id"), col("rank")),
+
     // Incremental LSH index maintenance: index built on the first half,
     // the rest APPENDED as a delta (only the delta is ever bucketed).
     // Sign-buckets are data-independent, so the appended index must be

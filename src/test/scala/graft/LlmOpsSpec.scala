@@ -171,6 +171,47 @@ class LlmOpsSpec extends SparkSuite {
     assert(ivfAll == exact)
   }
 
+  test("hard negatives: different-label only, hardest-first, IVF all-probed degenerates to exact") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 1L, 2L)
+    val anchorLabels = emb.filter(col("vec_id").isin(ids: _*))
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val hn = Similarity.hardNegatives(emb, ids, 10)
+    val rows = hn.select("query_id", "neighbor_id", "neg_label", "cos", "rank")
+      .as[(Long, Long, Int, Double, Long)].collect()
+    assert(rows.length == 30)
+    rows.foreach { case (q, n, nl, _, _) =>
+      assert(nl != anchorLabels(q.toLong), s"same-label negative: q=$q n=$n")
+      assert(n != q, s"self returned as negative: $q")
+    }
+    // hardest-first: rank order is non-increasing cosine per anchor
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._5).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, g.toSeq)
+    }
+    // the rank-1 negative really is the global different-label argmax:
+    // no vector outside the result with a different label scores higher
+    val all = Similarity.topKByIds(emb, ids, 499)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .select("query_id", "neighbor_id", "label", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    ids.foreach { q =>
+      val best = all.filter(r => r._1 == q && r._3 != anchorLabels(q))
+        .maxBy(r => (r._4, -r._2))
+      val got = rows.filter(r => r._1 == q && r._5 == 1L).head
+      assert((best._2, best._4) == (got._2, got._4), s"q=$q best=$best got=$got")
+    }
+    // IVF path with every cell probed must equal the exact rung
+    val ivfAll = Similarity.hardNegativesIvf(emb, ids, 10,
+      centroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = hn.select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivfAll == exact)
+  }
+
   test("IVF recall at partial probing beats random and misses at most half") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
