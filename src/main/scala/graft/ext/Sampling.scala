@@ -170,6 +170,65 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** TOKEN-balanced output shard plan: assign every row a shard in
+    * [0, numShards) such that each shard's token total lands within one
+    * document of `ceil(total / numShards)` — the training-writer
+    * counterpart of [[epochShuffle]] (which balances ROWS; dataloader
+    * throughput follows tokens, so equal-row shards of mixed-length
+    * documents are unbalanced exactly where it hurts).
+    *
+    * Law (integer-exact, engine-portable): rows are laid out in the
+    * deterministic (hash bucket, key) order the whole sampling family
+    * shares; `shard = min(numShards − 1, cum_excl DIV width)` where
+    * `cum_excl` is the exclusive running token total in that order and
+    * `width = max(1, ceil(total / numShards))` — contiguous cuts of the
+    * prefix sum, so each shard overshoots its quota by at most one
+    * document. A NULL token cost rides along at cost 0 (the
+    * [[graft.ext.Packing.selectByBudget]] law); `DIV` keeps the
+    * division integral (a double divide could misround an exact
+    * boundary at corpus scale).
+    *
+    * Scale shape: the global prefix sum is DECOMPOSED — a per-group
+    * running window (groups = `groupWidth`-wide bucket ranges, each a
+    * parallel task) plus a broadcast offsets relation of ≤
+    * Grain/groupWidth ≤ 10⁴ rows whose own window is single-task but
+    * bounded by construction. One scalar aggregate (the grand total)
+    * comes to the driver; no corpus-sized sort or single-task window
+    * ever runs.
+    */
+  def planShards(df: DataFrame, keyCol: Column, tokensCol: Column,
+                 numShards: Int, groupWidth: Int = 16): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive, got $numShards")
+    require(groupWidth > 0 && groupWidth <= Grain,
+      s"groupWidth must be in [1, $Grain], got $groupWidth")
+    import org.apache.spark.sql.expressions.Window
+    val bkt = bucket(keyCol)
+    val base = df
+      .withColumn("__ps_tok", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__ps_bkt", bkt)
+      .withColumn("__ps_grp", (bkt / groupWidth).cast("long"))
+    val inGrp = Window.partitionBy("__ps_grp")
+      .orderBy(col("__ps_bkt"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = base.withColumn("__ps_cum", sum("__ps_tok").over(inGrp))
+    val totals = base.groupBy("__ps_grp").agg(sum("__ps_tok").as("__ps_total"))
+      .localCheckpoint()
+    val offsets = totals
+      .withColumn("__ps_off",
+        coalesce(sum("__ps_total").over(
+          Window.orderBy(col("__ps_grp"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__ps_grp", "__ps_off")
+    val total = totals.agg(coalesce(sum("__ps_total"), lit(0L)).as("t"))
+      .head.getLong(0)
+    val width = math.max(1L, (total + numShards - 1) / numShards)
+    withCum.join(broadcast(offsets), Seq("__ps_grp"))
+      .withColumn("shard",
+        least(lit((numShards - 1).toLong),
+          expr(s"(__ps_off + __ps_cum - __ps_tok) div $width")))
+      .drop("__ps_tok", "__ps_bkt", "__ps_grp", "__ps_cum", "__ps_off")
+  }
+
   /** Floor integer `den`-th root of a non-negative BigInt, by binary
     * search over BigInt powers — exact at any magnitude (a double
     * `pow(x, 1/den)` would misround past 2⁵³, silently shifting a
@@ -264,6 +323,52 @@ object Sampling {
     require(den > 0, s"den must be positive, got $den")
     df.filter(bucket(keyCol) * lit(den) <
       lit(Grain) * coalesce(numCol.cast("long"), lit(0L)))
+  }
+
+  /** Deterministic UPSAMPLING by rational per-domain repeat factors —
+    * the "epochs per domain" knob of published pre-training recipes
+    * (e.g. repeat Wikipedia 2.5×, books 1.2×, keep web at 1×): every
+    * row of domain d with factor num/den ≥ 0 is emitted
+    * `floor(num/den)` times, plus once more iff its key's hash bucket
+    * falls under the fractional remainder (`bucket · den < Grain ·
+    * (num mod den)` — the [[sampleByRate]] cut, so the extra-copy
+    * population is the same deterministic, engine-portable subset
+    * every fractional sampler in this family selects). Domains absent
+    * from `factors` pass through at 1×.
+    *
+    * Output: the input columns plus `copy` (0-based repeat index) —
+    * (key, copy) is a complete, collision-free training identity for
+    * downstream shuffling ([[epochShuffle]] keyed on a (key, copy)
+    * concat gives each copy an independent position, which is exactly
+    * what repeated-data training wants).
+    *
+    * Scale shape: one broadcast factor join + a ROW-LOCAL
+    * `explode(sequence(...))` — no shuffle at all; the expansion
+    * happens inside the scan's stage and composes with pushdown. The
+    * blow-up is bounded by max factor (a recipe constant): no skew
+    * surface beyond the input's own.
+    */
+  def upsampleByFactor(df: DataFrame, domainCol: String, keyCol: Column,
+                       factors: Seq[(String, (Long, Long))]): DataFrame = {
+    factors.foreach { case (d, (num, den)) =>
+      require(num >= 0 && den > 0,
+        s"factor for '$d' must be non-negative with positive denominator, got $num/$den")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fdf = factors.map { case (d, (num, den)) => (d, num, den) }
+      .toDF(domainCol, "__uf_num", "__uf_den")
+    val num = coalesce(col("__uf_num"), lit(1L))
+    val den = coalesce(col("__uf_den"), lit(1L))
+    val whole = (num - pmod(num, den)) / den // exact: num mod den subtracted first
+    val extra = when(
+      bucket(keyCol) * den < lit(Grain) * pmod(num, den), 1L).otherwise(0L)
+    df.join(broadcast(fdf), Seq(domainCol), "left")
+      .withColumn("__uf_n", (whole.cast("long") + extra))
+      .filter(col("__uf_n") > 0L)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__uf_n") - 1L)))
+      .drop("__uf_num", "__uf_den", "__uf_n")
   }
 
   /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection

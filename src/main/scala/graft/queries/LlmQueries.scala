@@ -4542,6 +4542,67 @@ object LlmQueries {
           .select("doc_id", "source", "toks", "quota")
     }.sortedBy(col("doc_id")),
 
+    // ── Token-balanced shard plan ─────────────────────────────────
+    // Contiguous cuts of the exclusive token prefix sum in (hash
+    // bucket, key) order: shard = min(6, cum_excl DIV ceil(total/7)).
+    // Integer division on BOTH engines (DuckDB // = Spark DIV), so an
+    // exact boundary can never misround.
+    QueryDef("t_shard_plan",
+      s"""WITH b AS (
+         |  SELECT doc_id, coalesce(n_chars, 0) AS tok,
+         |         ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |         coalesce(sum(tok) OVER (ORDER BY bkt, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum_excl
+         |  FROM b),
+         |t AS (SELECT coalesce(sum(tok), 0) AS total FROM b)
+         |SELECT c.doc_id,
+         |       CAST(least(6, c.cum_excl
+         |            // greatest(1, (t.total + 6) // 7)) AS BIGINT)
+         |         AS shard
+         |FROM c CROSS JOIN t
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.planShards(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), numShards = 7)
+        .select("doc_id", "shard")
+    }.sortedBy(col("doc_id")),
+
+    // ── Deterministic upsampling (epochs-per-domain repeat) ───────
+    // src0 repeats 2.5× (2 copies each + hash-selected half get a 3rd),
+    // src1 drops to 0×, src2 stays integral 3×, everything else passes
+    // through at 1×. copy is the 0-based repeat index.
+    QueryDef("t_upsample",
+      s"""WITH f(source, num, den) AS (VALUES
+         |    ('src0', CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+         |    ('src1', CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+         |    ('src2', CAST(3 AS BIGINT), CAST(1 AS BIGINT))),
+         |b AS (
+         |  SELECT d.doc_id, d.source,
+         |         coalesce(f.num, 1) AS num, coalesce(f.den, 1) AS den,
+         |         ${polyhash("CAST(d.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM documents d LEFT JOIN f USING (source)),
+         |n AS (
+         |  SELECT doc_id, source,
+         |         (num - num % den) // den
+         |         + CASE WHEN bkt * den < 10000 * (num % den)
+         |                THEN 1 ELSE 0 END AS nc
+         |  FROM b)
+         |SELECT doc_id, source,
+         |       CAST(unnest(generate_series(0, CAST(nc - 1 AS BIGINT)))
+         |         AS BIGINT) AS copy
+         |FROM n WHERE nc > 0
+         |ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.upsampleByFactor(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "source", col("doc_id"),
+        Seq("src0" -> (5L, 2L), "src1" -> (0L, 1L), "src2" -> (3L, 1L)))
+        .select("doc_id", "source", "copy")
+    }.sortedBy(col("doc_id"), col("copy")),
+
     // ── Temperature-smoothed domain resampling (alpha = 1/2) ──────
     // keep_d = floor(sqrt(c_d · c_min)) — the geometric interpolation
     // between natural mixture and uniform; threshold math then mirrors

@@ -248,6 +248,87 @@ class OpsPropertySpec extends SparkSuite {
     assert(absent.count() == 0)
   }
 
+  test("upsampleByFactor: rational repeats, fractional copies = sampleByRate population, pass-through at 1x") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i <= 100) "a" else "b")).toDF("doc_id", "source")
+    val out = graft.ext.Sampling.upsampleByFactor(df, "source",
+      col("doc_id"), Seq("a" -> (5L, 2L)))
+    // every 'a' doc appears 2 or 3 times with dense copy indices
+    val aCounts = out.filter(col("source") === "a")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(aCounts.forall(r => r._2 == 2L || r._2 == 3L), aCounts.toSeq)
+    assert(aCounts.forall(r => r._3 == r._2 - 1), "copy indices not dense")
+    // the third-copy population is EXACTLY the sampleByRate(1/2) subset
+    val third = out.filter(col("source") === "a" && col("copy") === 2L)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = graft.ext.Sampling.sampleByRate(
+      df.filter(col("source") === "a"), col("doc_id"), lit(1L), 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(third == expect)
+    // unlisted domain passes through exactly once, copy 0
+    val b = out.filter(col("source") === "b")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(b.length == 100 && b.forall(r => r._2 == 1L && r._3 == 0L))
+    // zero factor removes the domain entirely
+    val z = graft.ext.Sampling.upsampleByFactor(df, "source", col("doc_id"),
+      Seq("a" -> (0L, 1L)))
+    assert(z.filter(col("source") === "a").count() == 0)
+    assert(z.filter(col("source") === "b").count() == 100)
+    // deterministic under repartitioning
+    val out2 = graft.ext.Sampling.upsampleByFactor(df.repartition(7),
+      "source", col("doc_id"), Seq("a" -> (5L, 2L)))
+    assert(out.select("doc_id", "copy").as[(Long, Long)].collect().toSet ==
+      out2.select("doc_id", "copy").as[(Long, Long)].collect().toSet)
+  }
+
+  test("planShards: token-balanced contiguous cuts, null cost 0, repartition-stable") {
+    import spark.implicits._
+    // 100 docs x 10 tokens, 4 shards -> width 250, doc boundaries at
+    // multiples of 10: every shard gets EXACTLY 25 docs / 250 tokens
+    val df = (1 to 100).map(i => (i.toLong, 10L)).toDF("doc_id", "toks")
+    val out = graft.ext.Sampling.planShards(df, col("doc_id"), col("toks"),
+      numShards = 4)
+    val perShard = out.groupBy("shard").agg(count(lit(1)).as("n"),
+      sum("toks").as("t")).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(perShard.keySet == Set(0L, 1L, 2L, 3L), perShard)
+    assert(perShard.values.forall(_ == (25L, 250L)), perShard)
+    // contiguity: shard is monotone in the (bucket, key) layout order
+    val laid = out.withColumn("b", graft.ext.Sampling.bucket(col("doc_id")))
+      .orderBy("b", "doc_id").select("shard").as[Long].collect()
+    assert(laid.zip(laid.tail).forall { case (a, b) => a <= b }, laid.toSeq)
+    // uneven sizes: each shard overshoots width by at most one doc
+    val jag = (1 to 50).map(i => (i.toLong, (i % 13 + 1).toLong))
+      .toDF("doc_id", "toks")
+    val total = jag.agg(sum("toks")).as[Long].head()
+    val width = (total + 2) / 3
+    val jperf = graft.ext.Sampling.planShards(jag, col("doc_id"),
+      col("toks"), numShards = 3)
+      .groupBy("shard").agg(sum("toks").as("t")).as[(Long, Long)].collect()
+    jperf.foreach { case (sh, t) =>
+      assert(t <= width + 13, s"shard $sh overshoots: $t vs width $width")
+    }
+    // null token cost rides along at 0 and keeps its deterministic slot
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(10L)))
+      .toDF("doc_id", "toks")
+    val n = graft.ext.Sampling.planShards(withNull, col("doc_id"),
+      col("toks"), numShards = 2)
+    assert(n.count() == 3)
+    // all-zero corpus: everything lands in shard 0, no divide-by-zero
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "toks")
+    val z = graft.ext.Sampling.planShards(zeros, col("doc_id"), col("toks"),
+      numShards = 5).select("shard").as[Long].collect().toSet
+    assert(z == Set(0L), z)
+    // deterministic under repartitioning
+    val out2 = graft.ext.Sampling.planShards(df.repartition(7), col("doc_id"),
+      col("toks"), numShards = 4)
+    assert(out.select("doc_id", "shard").as[(Long, Long)].collect().toSet ==
+      out2.select("doc_id", "shard").as[(Long, Long)].collect().toSet)
+  }
+
   test("corpusReport: hand-computed golden on a tiny corpus") {
     import spark.implicits._
     val docs = Seq(
