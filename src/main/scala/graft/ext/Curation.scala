@@ -316,6 +316,50 @@ object Curation {
       .agg(max(col("n")).as("n"), cuts: _*)
   }
 
+  /** TOP-SHARE quality rejection — the FineWeb-Edu cut ("keep the top
+    * X% by classifier score, per dump"): within each `groupCol`, keep
+    * every row whose integral `scoreCol` clears the group's k-th
+    * largest score, k = ceil(n · keepPct / 100). Threshold semantics:
+    * ALL ties at the threshold survive, so the realized share can
+    * exceed the request by the tie mass — disclosed by the attached
+    * `threshold` column (an exact-count cut would need a per-document
+    * global rank inside each group, the formulation that dies at
+    * corpus scale; production quality cuts are threshold cuts for the
+    * same reason). NULL scores are outside the distribution and are
+    * never kept; a group with fewer rows than k keeps everything
+    * non-null.
+    *
+    * Scale shape ([[groupPercentiles]]' histogram law from the TOP):
+    * the only corpus-sized step is the (group, score) partial-agg
+    * histogram; the descending cumulative window and the per-group
+    * max-threshold aggregation run on the histogram (groups × distinct
+    * integral scores), and the thresholds broadcast back onto the
+    * corpus — no global sort, no per-group rank.
+    */
+  def keepTopShare(df: DataFrame, groupCol: String, scoreCol: String,
+                   keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100,
+      s"keepPct must be in [1, 100], got $keepPct")
+    val hist = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast("long").as("__ts_v"))
+      .agg(count(lit(1)).as("__ts_c"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__ts_v").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist
+      .withColumn("__ts_ct", sum("__ts_c").over(wTop))
+      .withColumn("__ts_n", sum("__ts_c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val thr = cum
+      .filter(col("__ts_ct") >= expr(s"(__ts_n * $keepPct + 99) div 100"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ts_v")).as("threshold"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol).cast("long") >= col("threshold"))
+  }
+
   /** CCNet-style per-domain perplexity bucketing: each document lands in
     * `head` / `middle` / `tail` by where its unigram-surprisal score
     * ([[TextAnalysis.unigramSurprisal]] `mean_bits_x100` — lower = more

@@ -3198,6 +3198,36 @@ object LlmQueries {
         .drop("approx_distinct_tokens")
     }.sortedBy(col("source")),
 
+    // ── Top-share quality rejection (FineWeb-Edu cut) ─────────────
+    // Keep each domain's top 30% by integral quality score: threshold
+    // = the domain's k-th largest score (k = ceil(n·30/100)) from the
+    // descending histogram cumulative — all ties at the threshold
+    // survive, and the threshold itself is disclosed per kept row.
+    QueryDef("t_keep_top_share",
+      s"""WITH ${qualityCtes("documents")},
+         |d AS (SELECT q.doc_id, dd.source,
+         |        CAST(q.quality AS BIGINT) AS score
+         |      FROM qscored q JOIN documents dd USING (doc_id)
+         |      WHERE q.quality IS NOT NULL),
+         |h AS (SELECT source, score, count(*) AS c FROM d GROUP BY 1, 2),
+         |cum AS (SELECT source, score,
+         |        sum(c) OVER (PARTITION BY source ORDER BY score DESC
+         |          ROWS UNBOUNDED PRECEDING) AS ct,
+         |        sum(c) OVER (PARTITION BY source) AS n
+         |        FROM h),
+         |thr AS (SELECT source, max(score) AS threshold FROM cum
+         |        WHERE ct >= (n * 30 + 99) // 100 GROUP BY source)
+         |SELECT d.doc_id, d.source, d.score, t.threshold
+         |FROM d JOIN thr t USING (source)
+         |WHERE d.score >= t.threshold
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).cast("long").as("score"))
+      graft.ext.Curation.keepTopShare(scored, "source", "score", 30)
+        .select("doc_id", "source", "score", "threshold")
+    }.sortedBy(col("doc_id")),
+
     // ── One-row corpus health report (dataset-card headline) ───────
     // Totals + exact-dup count (distinct polyhash fingerprints) +
     // quality-pass count + language spread with dominant share — the

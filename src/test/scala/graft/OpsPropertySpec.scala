@@ -248,6 +248,38 @@ class OpsPropertySpec extends SparkSuite {
     assert(absent.count() == 0)
   }
 
+  test("keepTopShare: k-th-largest threshold, tie survival disclosed, null scores never kept") {
+    import spark.implicits._
+    val rows =
+      (1 to 10).map(i => (i.toLong, "a", Some(i.toLong))) ++ // distinct 1..10
+      Seq((21L, "b", Some(5L)), (22L, "b", Some(5L)),        // tie mass at 5
+          (23L, "b", Some(5L)), (24L, "b", Some(1L)),
+          (25L, "b", None: Option[Long]),                    // null: never kept
+          (31L, "c", Some(7L)), (32L, "c", Some(2L)))        // tiny group
+    val df = rows.toDF("doc_id", "source", "score")
+    // a: n=10, k=3 -> threshold 8, keep {8,9,10}
+    val out30 = graft.ext.Curation.keepTopShare(df, "source", "score", 30)
+    val a = out30.filter(col("source") === "a")
+      .select("doc_id", "threshold").as[(Long, Long)].collect()
+    assert(a.map(_._1).toSet == Set(8L, 9L, 10L) &&
+      a.forall(_._2 == 8L), a.toSeq)
+    // b: n=4 non-null, k=2 -> threshold 5; ALL three 5s survive (tie
+    // overshoot disclosed by the threshold column), null doc 25 never
+    val b = out30.filter(col("source") === "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b == Set(21L, 22L, 23L), b)
+    // c: n=2, 90% -> k=2 -> threshold 2, keep both
+    val c = graft.ext.Curation.keepTopShare(df, "source", "score", 90)
+      .filter(col("source") === "c").select("doc_id").as[Long].collect().toSet
+    assert(c == Set(31L, 32L), c)
+    // keepPct=100 keeps every non-null row
+    assert(graft.ext.Curation.keepTopShare(df, "source", "score", 100)
+      .count() == 16)
+    intercept[IllegalArgumentException] {
+      graft.ext.Curation.keepTopShare(df, "source", "score", 0)
+    }
+  }
+
   test("upsampleByFactor: rational repeats, fractional copies = sampleByRate population, pass-through at 1x") {
     import spark.implicits._
     val df = (1 to 200).map(i =>
