@@ -62,7 +62,8 @@ object ScaleCheck {
       when(col("k") === 0 || col("vec_id") % 10 === 3, col("embedding"))
         .otherwise(transform(col("embedding"),
           (x, i) => x + ((col("k") * 31 + i) % 7 - 3).cast("float") * lit(0.05f)))
-        .as("embedding"))
+        .as("embedding"),
+      col("label"))
   }
 
   /** The t_training_prep composition with the token budget scaled ×m
@@ -147,6 +148,19 @@ object ScaleCheck {
       record("ann_search", nVecs,
         timeIt(reps, warm = m == mults.head)(noop(graft.ext.Similarity.annTopKIndexed(
           spark, s"scale_lsh_$m", Seq(0L, 1L, 2L, 3L, 4L), 10))))
+      // full transitive-closure clustering via the alternating
+      // large-star/small-star rewriting: the planted 10% verbatim
+      // duplicates give a dup graph whose edge count scales with the
+      // corpus, and round count must stay O(log n) flat
+      record("neardup_clusters", nDocs,
+        timeIt(reps, warm = m == mults.head)(
+          noop(graft.ext.Dedup.nearDupClustersStar(docs))))
+      // IVF-probed hard-negative mining: per-anchor cost must track the
+      // probed-list fraction, not the corpus
+      record("hard_negs_ivf", nVecs,
+        timeIt(reps, warm = m == mults.head)(
+          noop(graft.ext.Similarity.hardNegativesIvf(emb,
+            Seq(0L, 1L, 2L, 3L, 4L), 10, centroids = 16, nProbe = 6))))
     }
 
     // SCALE.md: per-flagship rows × median seconds, plus the

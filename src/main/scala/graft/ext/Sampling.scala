@@ -536,6 +536,56 @@ object Sampling {
       .sortBy(_._1)
   }
 
+  /** CURRICULUM MIXING SCHEDULE: interpolate per-domain token budgets
+    * from `startWeights` to `endWeights` over `steps` training phases
+    * of `tokensPerStep` tokens each — the staged-mixture recipe
+    * (open with web-heavy, close code/quality-heavy) as one exact plan
+    * table `(step, domain, tokens)` a trainer (or a per-step
+    * [[takeTokenApportioned]]) consumes directly.
+    *
+    * Integer-exact law: at step s the domain weight is the linear
+    * lattice interpolation `start_d·(steps−1−s) + end_d·s` (pure
+    * endpoint weights at the first and last step — no float ever
+    * enters), and each step's `tokensPerStep` splits across those
+    * weights by the same largest-remainder [[apportion]] every mixer
+    * here uses, so every step's budgets sum to EXACTLY tokensPerStep.
+    * A domain missing from one endpoint carries weight 0 there (it
+    * fades in/out linearly); domains at weight 0 for a step emit a
+    * 0-token row (the schedule discloses the fade, not just the
+    * presence). `steps = 1` is the degenerate single-phase schedule
+    * and uses `endWeights` (where training ends up).
+    *
+    * Driver-side arithmetic over steps × domains (a recipe constant,
+    * loudly capped), returned as a DataFrame for joins against
+    * realized per-step consumption.
+    */
+  def mixSchedule(spark: org.apache.spark.sql.SparkSession,
+                  startWeights: Seq[(String, Long)],
+                  endWeights: Seq[(String, Long)],
+                  steps: Int, tokensPerStep: Long): DataFrame = {
+    require(steps >= 1, s"steps must be positive, got $steps")
+    require(steps <= 100000, s"steps must be a recipe-sized constant, got $steps")
+    require(tokensPerStep >= 0, s"tokensPerStep must be non-negative")
+    val domains = (startWeights.map(_._1) ++ endWeights.map(_._1)).distinct.sorted
+    val sw = startWeights.toMap
+    val ew = endWeights.toMap
+    val rows = (0 until steps).flatMap { s =>
+      val interp = domains.map { d =>
+        val w =
+          if (steps == 1) ew.getOrElse(d, 0L)
+          else sw.getOrElse(d, 0L) * (steps - 1 - s) + ew.getOrElse(d, 0L) * s
+        d -> w
+      }
+      val q =
+        if (interp.forall(_._2 == 0L) || tokensPerStep == 0L)
+          interp.map { case (d, _) => d -> 0L }.toMap
+        else apportion(interp, tokensPerStep).toMap
+      domains.map(d => (s.toLong, d, q(d)))
+    }
+    import spark.implicits._
+    rows.toDF("step", "domain", "tokens")
+  }
+
   /** Take EXACTLY the apportioned quota of documents per domain (hash
     * order, deterministic): [[apportion]] fixes per-domain quotas, then
     * one [[stratifiedTake]] at the max quota bounds the exchange

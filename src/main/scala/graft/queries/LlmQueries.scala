@@ -4633,6 +4633,47 @@ object LlmQueries {
         .select("doc_id", "source", "copy")
     }.sortedBy(col("doc_id"), col("copy")),
 
+    // ── Curriculum mixing schedule ────────────────────────────────
+    // Interpolated per-step domain token budgets: lattice-linear
+    // weights start→end over 4 steps (pure endpoints at steps 0/3,
+    // news fades out, code fades in), each step Hamilton-apportioned
+    // to exactly 1000 tokens. Pure plan arithmetic — no table read.
+    QueryDef("t_mix_schedule",
+      s"""WITH sw(domain, s) AS (VALUES
+         |    ('web', CAST(6 AS BIGINT)), ('books', CAST(3 AS BIGINT)),
+         |    ('news', CAST(1 AS BIGINT))),
+         |ewt(domain, e) AS (VALUES
+         |    ('web', CAST(2 AS BIGINT)), ('books', CAST(3 AS BIGINT)),
+         |    ('code', CAST(5 AS BIGINT))),
+         |doms AS (SELECT d.domain, coalesce(s.s, 0) AS s,
+         |               coalesce(e.e, 0) AS e
+         |         FROM (SELECT domain FROM sw
+         |               UNION SELECT domain FROM ewt) d
+         |         LEFT JOIN sw s USING (domain)
+         |         LEFT JOIN ewt e USING (domain)),
+         |steps AS (SELECT unnest(generate_series(0, 3)) AS st),
+         |iw AS (SELECT st, domain, s * (3 - st) + e * st AS w
+         |       FROM doms CROSS JOIN steps),
+         |tw AS (SELECT st, sum(w) AS tot FROM iw GROUP BY 1),
+         |qb AS (SELECT iw.st, domain, w, 1000 * w // tot AS q,
+         |              (1000 * w) % tot AS r
+         |       FROM iw JOIN tw USING (st)),
+         |rem AS (SELECT st, 1000 - sum(q) AS rem FROM qb GROUP BY 1),
+         |bump AS (SELECT st, domain, q,
+         |    row_number() OVER (PARTITION BY st
+         |      ORDER BY r DESC, w DESC, domain) AS rn
+         |  FROM qb)
+         |SELECT CAST(b.st AS BIGINT) AS step, b.domain,
+         |       CAST(q + CASE WHEN rn <= rem THEN 1 ELSE 0 END
+         |         AS BIGINT) AS tokens
+         |FROM bump b JOIN rem USING (st)
+         |ORDER BY step, domain""".stripMargin) { (s, d) =>
+      graft.ext.Sampling.mixSchedule(s,
+        Seq("web" -> 6L, "books" -> 3L, "news" -> 1L),
+        Seq("web" -> 2L, "books" -> 3L, "code" -> 5L),
+        steps = 4, tokensPerStep = 1000L)
+    }.sortedBy(col("step"), col("domain")),
+
     // ── Temperature-smoothed domain resampling (alpha = 1/2) ──────
     // keep_d = floor(sqrt(c_d · c_min)) — the geometric interpolation
     // between natural mixture and uniform; threshold math then mirrors

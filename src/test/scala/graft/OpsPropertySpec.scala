@@ -248,6 +248,66 @@ class OpsPropertySpec extends SparkSuite {
     assert(absent.count() == 0)
   }
 
+  test("new sampling-op plan shapes: upsample shuffle-free; shard/top-share broadcast their bounded relations") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"src${i % 4}", 10L))
+      .toDF("doc_id", "source", "toks")
+    // upsampleByFactor: broadcast factor join + row-local explode —
+    // NO shuffle may appear (the op must stay inside the scan's stage)
+    val up = graft.ext.Sampling.upsampleByFactor(df, "source",
+      col("doc_id"), Seq("src0" -> (5L, 2L)))
+    val upPlan = up.queryExecution.executedPlan.toString
+    assert(!upPlan.contains("Exchange hashpartitioning") &&
+      !upPlan.contains("Exchange rangepartitioning") &&
+      !upPlan.contains("SortMergeJoin") &&
+      !upPlan.contains("CartesianProduct"), upPlan)
+    // planShards / keepTopShare: the corpus-facing join must be a
+    // broadcast of the bounded offsets/threshold relation, never a
+    // sort-merge shuffle of the corpus against it
+    val sh = graft.ext.Sampling.planShards(df, col("doc_id"), col("toks"), 4)
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("BroadcastHashJoin") &&
+      !shPlan.contains("SortMergeJoin") &&
+      !shPlan.contains("CartesianProduct"), shPlan)
+    val ts = graft.ext.Curation.keepTopShare(df, "source", "toks", 50)
+    val tsPlan = ts.queryExecution.executedPlan.toString
+    assert(tsPlan.contains("BroadcastHashJoin") &&
+      !tsPlan.contains("SortMergeJoin") &&
+      !tsPlan.contains("CartesianProduct"), tsPlan)
+  }
+
+  test("mixSchedule: pure endpoints, exact per-step totals, linear fades, degenerate single step") {
+    import spark.implicits._
+    val start = Seq("web" -> 6L, "books" -> 3L, "news" -> 1L)
+    val end = Seq("web" -> 2L, "books" -> 3L, "code" -> 5L)
+    val plan = graft.ext.Sampling.mixSchedule(spark, start, end,
+      steps = 4, tokensPerStep = 1000L)
+      .as[(Long, String, Long)].collect()
+    // 4 steps x 4 domains, every step sums to exactly 1000
+    assert(plan.length == 16)
+    plan.groupBy(_._1).foreach { case (st, g) =>
+      assert(g.map(_._3).sum == 1000L, s"step $st: ${g.toSeq}")
+    }
+    // pure endpoints: step 0 = apportion(start), step 3 = apportion(end)
+    val s0 = plan.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    val s3 = plan.filter(_._1 == 3L).map(r => r._2 -> r._3).toMap
+    val a0 = graft.ext.Sampling.apportion(start, 1000L).toMap
+    val a3 = graft.ext.Sampling.apportion(end, 1000L).toMap
+    assert(s0.filter(_._2 > 0) == a0.filter(_._2 > 0), s"$s0 vs $a0")
+    assert(s3.filter(_._2 > 0) == a3.filter(_._2 > 0), s"$s3 vs $a3")
+    // fades are monotone: news only shrinks, code only grows
+    def series(d: String) = plan.filter(_._2 == d).sortBy(_._1).map(_._3)
+    val news = series("news"); val code = series("code")
+    assert(news.zip(news.tail).forall { case (a, b) => a >= b }, news.toSeq)
+    assert(code.zip(code.tail).forall { case (a, b) => a <= b }, code.toSeq)
+    assert(news.last == 0L && code.head == 0L)
+    // steps = 1 degenerates to the end mixture
+    val one = graft.ext.Sampling.mixSchedule(spark, start, end, 1, 1000L)
+      .as[(Long, String, Long)].collect()
+    assert(one.map(r => r._2 -> r._3).toMap.filter(_._2 > 0) ==
+      a3.filter(_._2 > 0))
+  }
+
   test("keepTopShare: k-th-largest threshold, tie survival disclosed, null scores never kept") {
     import spark.implicits._
     val rows =
