@@ -217,6 +217,113 @@ object Packing {
       .withColumn("fill_x100", expr(s"n_tokens * 100 div $budget"))
   }
 
+  /** Fill-in-the-middle (FIM) transformation (Bavarian et al. 2022):
+    * rewrite a deterministic `rate`% of documents into the PSM
+    * (prefix–suffix–middle) layout
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` so an
+    * autoregressive model learns infilling "for free"; the rest pass
+    * through untouched (the paper's AR/FIM data mixture).
+    *
+    * Everything is RNG-free and engine-reproducible: selection is
+    * polyhash(docId:fim) mod 100 < rate, and the two token cut points
+    * are independent polyhashes mod (n+1) — lo = min, hi = max, so
+    * prefix = tokens[1..lo], middle = (lo..hi], suffix = (hi..n].
+    * Degenerate cuts are kept, not resampled (an empty middle is a
+    * valid — and useful — training case per the paper), and the
+    * sentinels are always emitted for a selected doc so the format is
+    * positionally fixed.
+    *
+    * 100 TB posture: row-local array slicing in one codegen'd map
+    * stage — zero shuffles, no UDFs. Null text → null output, zero
+    * counts, never selected.
+    */
+  def fimTransform(docs: DataFrame, rate: Int = 50,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(rate >= 0 && rate <= 100, s"rate must be in [0,100], got $rate")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val idStr = col(idCol).cast("string")
+    def h(tag: String) =
+      graft.functions.polyFingerprint(concat(idStr, lit(tag)))
+    val pick = pmod(h(":fim"), lit(100L)) < rate.toLong
+    val c1 = pmod(h(":fimA"), (n + 1).cast("long"))
+    val c2 = pmod(h(":fimB"), (n + 1).cast("long"))
+    val lo = least(c1, c2).cast("int")
+    val hi = greatest(c1, c2).cast("int")
+    val psm = array_join(concat(
+      array(lit("<fim_prefix>")), slice(toks, lit(1), lo),
+      array(lit("<fim_suffix>")), slice(toks, hi + 1, n - hi),
+      array(lit("<fim_middle>")), slice(toks, lo + 1, hi - lo)), " ")
+    val present = col(textCol).isNotNull
+    docs.select(col(idCol),
+      (present && pick).as("fim"),
+      when(!present, lit(null).cast("string"))
+        .when(pick, psm).otherwise(col(textCol)).as("text_out"),
+      when(present, n.cast("long")).otherwise(0L).as("n_tokens"),
+      when(present && pick, (hi - lo).cast("long")).otherwise(0L)
+        .as("n_middle"))
+  }
+
+  /** Loss-masked SFT packing: lay (prompt, response) examples onto the
+    * packing tape and emit, per example, WHERE its loss-bearing tokens
+    * land — the piece a supervised-fine-tuning trainer needs beyond
+    * [[packSequences]] (prompt tokens are context only; the loss mask
+    * covers exactly the response span).
+    *
+    * Tape law (identical to [[packSequences]] — same hash order, same
+    * contiguous fill): an example's tape position is the running token
+    * total before it; then
+    *   - `pack`       = pos div budget,
+    *   - `seq_off`    = pos mod budget (start slot inside the pack),
+    *   - `loss_start` = seq_off + prompt tokens,
+    *   - `loss_end`   = loss_start + response tokens (exclusive),
+    *   - `spans_packs`= the example crosses a pack boundary (its tail
+    *     overflows into the next budget window) — DISCLOSED, not
+    *     silently wrapped, because the trainer must decide (truncate,
+    *     or mask the wrapped head).
+    * NULL token counts cost 0 (the row still packs, occupying no
+    * budget). Same decomposed prefix-sum as [[packSequences]]: one
+    * shuffle by bucket-range group, group offsets broadcast back —
+    * never a single-task global window.
+    */
+  def sftPack(pairs: DataFrame, keyCol: Column, promptToksCol: Column,
+              responseToksCol: Column, budget: Long,
+              groupWidth: Int = 16): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupWidth > 0 && groupWidth <= Sampling.Grain,
+      s"groupWidth must be in [1, ${Sampling.Grain}], got $groupWidth")
+    val bkt = Sampling.bucket(keyCol)
+    val base = pairs
+      .withColumn("__sf_p", coalesce(promptToksCol.cast("long"), lit(0L)))
+      .withColumn("__sf_r", coalesce(responseToksCol.cast("long"), lit(0L)))
+      .withColumn("__sf_tok", col("__sf_p") + col("__sf_r"))
+      .withColumn("__sf_bkt", bkt)
+      .withColumn("__sf_grp", (bkt / groupWidth).cast("long"))
+    val inGrp = Window.partitionBy("__sf_grp")
+      .orderBy(col("__sf_bkt"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = base.withColumn("__sf_cum", sum("__sf_tok").over(inGrp))
+    val offsets = base.groupBy("__sf_grp")
+      .agg(sum("__sf_tok").as("__sf_total"))
+      .withColumn("__sf_off",
+        coalesce(sum("__sf_total").over(
+          Window.orderBy("__sf_grp")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__sf_grp", "__sf_off")
+    withCum.join(broadcast(offsets), "__sf_grp")
+      .withColumn("__sf_pos", col("__sf_off") + col("__sf_cum") - col("__sf_tok"))
+      .withColumn("pack", expr(s"__sf_pos div $budget"))
+      .withColumn("seq_off", expr(s"__sf_pos % $budget"))
+      .withColumn("loss_start", col("seq_off") + col("__sf_p"))
+      .withColumn("loss_end", col("loss_start") + col("__sf_r"))
+      .withColumn("spans_packs", col("__sf_tok") > 0 &&
+        expr(s"__sf_pos div $budget") =!=
+          expr(s"(__sf_pos + __sf_tok - 1) div $budget"))
+      .drop("__sf_p", "__sf_r", "__sf_tok", "__sf_bkt", "__sf_grp",
+        "__sf_cum", "__sf_off", "__sf_pos")
+  }
+
   /** T5/UL2-style span-corruption preparation: deterministically mask
     * token spans of each document and emit the (inputs, targets) pair a
     * denoising objective trains on — inputs = the document with each

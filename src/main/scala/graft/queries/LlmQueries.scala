@@ -4281,6 +4281,76 @@ object LlmQueries {
       graft.ext.Packing.packStats(packed, col("toks"), 512L)
     }.sortedBy(col("pack")),
 
+    // ── Fill-in-the-middle (FIM) transform ─────────────────────────
+    // Rewrite polyhash-selected 50% of docs into the PSM layout
+    // `<fim_prefix> P <fim_suffix> S <fim_middle> M`; cuts are two
+    // independent polyhashes mod (n+1). Degenerate cuts kept (empty
+    // middle is a valid training case). Row-local slicing only.
+    QueryDef("t_fim_transform",
+      s"""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+         |                  len(string_split(text, ' ')) AS n
+         |           FROM documents WHERE text IS NOT NULL),
+         |cuts AS (SELECT doc_id, text, ws, n,
+         |  (${polyhash("CAST(doc_id AS VARCHAR) || ':fim'")} % 100) < 50
+         |    AS pick,
+         |  ${polyhash("CAST(doc_id AS VARCHAR) || ':fimA'")} % (n + 1)
+         |    AS c1,
+         |  ${polyhash("CAST(doc_id AS VARCHAR) || ':fimB'")} % (n + 1)
+         |    AS c2
+         |  FROM b),
+         |f AS (SELECT doc_id, text, ws, n, pick,
+         |             least(c1, c2) AS lo, greatest(c1, c2) AS hi
+         |      FROM cuts)
+         |SELECT d.doc_id, coalesce(f.pick, FALSE) AS fim,
+         |  CASE WHEN f.doc_id IS NULL THEN NULL
+         |       WHEN NOT f.pick THEN f.text
+         |       ELSE array_to_string(
+         |         list_concat(list_concat(list_concat(list_concat(
+         |           list_concat(['<fim_prefix>'], f.ws[1:f.lo]),
+         |           ['<fim_suffix>']), f.ws[f.hi+1:f.n]),
+         |           ['<fim_middle>']), f.ws[f.lo+1:f.hi]), ' ')
+         |  END AS text_out,
+         |  CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN coalesce(f.pick, FALSE) THEN f.hi - f.lo
+         |       ELSE 0 END AS BIGINT) AS n_middle
+         |FROM documents d LEFT JOIN f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Packing.fimTransform(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // ── Loss-masked SFT packing ────────────────────────────────────
+    // (prompt, response) pairs on the packing tape with per-example
+    // loss-span coordinates: prompt = first min(4, n) tokens, response
+    // = the rest. The oracle replays the tape with one global window
+    // cumsum; Spark runs the decomposed prefix-sum. spans_packs
+    // discloses examples crossing a pack boundary.
+    QueryDef("t_sft_pack",
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN 0 ELSE len(string_split(text, ' ')) END AS n,
+         |  ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 AS bkt FROM documents),
+         |s AS (SELECT doc_id, least(n, 4) AS p, n - least(n, 4) AS r, n, bkt
+         |      FROM t),
+         |c AS (SELECT doc_id, p, r, n,
+         |  sum(n) OVER (ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING) - n AS pos
+         |  FROM s)
+         |SELECT doc_id,
+         |  CAST(pos // 512 AS BIGINT) AS pack,
+         |  CAST(pos % 512 AS BIGINT) AS seq_off,
+         |  CAST(pos % 512 + p AS BIGINT) AS loss_start,
+         |  CAST(pos % 512 + p + r AS BIGINT) AS loss_end,
+         |  (n > 0 AND pos // 512 != (pos + n - 1) // 512) AS spans_packs
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = Tables.documents(s, d).select(col("doc_id"),
+          when(col("text").isNull, 0)
+            .otherwise(size(split(col("text"), " "))).as("n"))
+        .select(col("doc_id"), least(col("n"), lit(4)).as("p"),
+          (col("n") - least(col("n"), lit(4))).as("r"))
+      graft.ext.Packing.sftPack(pairs, col("doc_id"), col("p"), col("r"),
+          512L)
+        .select(col("doc_id"), col("pack"), col("seq_off"),
+          col("loss_start"), col("loss_end"), col("spans_packs"))
+    }.sortedBy(col("doc_id")),
+
     // ── Budget-capped best-first selection ─────────────────────────
     // Fill a 12k-token budget with the highest-quality docs first
     // (quality DESC, then hash order — deterministic cut). The oracle

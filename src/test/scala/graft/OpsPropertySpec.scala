@@ -680,4 +680,77 @@ class OpsPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("FIM transform: PSM reassembles the original text, AR rows pass through, rate law holds") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val out = graft.ext.Packing.fimTransform(docs).join(docs, "doc_id")
+      .select("doc_id", "fim", "text_out", "n_tokens", "n_middle", "text")
+      .collect()
+    assert(out.nonEmpty)
+    var nText = 0; var nFim = 0
+    out.foreach { r =>
+      val fim = r.getBoolean(1)
+      val to = r.getString(2); val text = r.getString(5)
+      if (text == null) {
+        assert(!fim && to == null && r.getLong(3) == 0L && r.getLong(4) == 0L)
+      } else {
+        nText += 1
+        if (!fim) { assert(to == text && r.getLong(4) == 0L) }
+        else {
+          nFim += 1
+          val ts = to.split(" ", -1)
+          assert(ts.head == "<fim_prefix>", to)
+          val iSuf = ts.indexOf("<fim_suffix>")
+          val iMid = ts.indexOf("<fim_middle>")
+          assert(iSuf > 0 && iMid > iSuf, to)
+          val p = ts.slice(1, iSuf)
+          val s2 = ts.slice(iSuf + 1, iMid)
+          val m = ts.drop(iMid + 1)
+          // PSM carries every original token exactly once: P + M + S
+          // in document order restores the text
+          assert((p ++ m ++ s2).mkString(" ") == text,
+            s"doc ${r.getLong(0)}: FIM round-trip mismatch")
+          assert(m.length.toLong == r.getLong(4))
+        }
+      }
+    }
+    // selection is polyhash mod 100 < 50 — a fair-coin band, not exact
+    assert(nFim > nText * 3 / 10 && nFim < nText * 7 / 10,
+      s"$nFim of $nText FIM-selected")
+  }
+
+  test("sftPack: tape tiles exactly, loss spans sit after the prompt, boundary crossing disclosed") {
+    import spark.implicits._
+    val pairs = (1 to 300).map(i =>
+      (i.toLong, (i % 7).toLong, (i % 13).toLong)).toDF("id", "p", "r")
+    val out = graft.ext.Packing.sftPack(pairs, col("id"), col("p"),
+        col("r"), 64L)
+      .select("id", "p", "r", "pack", "seq_off", "loss_start", "loss_end",
+        "spans_packs")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(out.length == 300)
+    // tape law: positions pack*64+seq_off tile the tape — each
+    // example's span abuts the next (zero-token examples share a slot)
+    val sorted = out.map(t => (t._4 * 64 + t._5, t._2 + t._3))
+      .sortBy(t => (t._1, t._2))
+    assert(sorted.head._1 == 0L)
+    sorted.sliding(2).foreach {
+      case Array((pos1, tok1), (pos2, _)) => assert(pos2 == pos1 + tok1)
+      case _ =>
+    }
+    out.foreach { t =>
+      assert(t._6 == t._5 + t._2 && t._7 == t._6 + t._3)
+      val pos = t._4 * 64 + t._5; val tok = t._2 + t._3
+      val crosses = tok > 0 && pos / 64 != (pos + tok - 1) / 64
+      assert(t._8 == crosses, t)
+    }
+    // a NULL token count costs 0 but the row still packs
+    val nulls = graft.ext.Packing.sftPack(
+        Seq((1L, Option(3L), Option.empty[Long])).toDF("id", "p", "r"),
+        col("id"), col("p"), col("r"), 64L)
+      .select("seq_off", "loss_start", "loss_end")
+      .as[(Long, Long, Long)].head()
+    assert(nulls == ((0L, 3L, 3L)))
+  }
 }
