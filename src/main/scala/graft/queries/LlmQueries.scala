@@ -2608,6 +2608,64 @@ object LlmQueries {
       Dedup.nearDupClustersStar(Tables.documents(s, d))
     }.sortedBy(col("doc_id")),
 
+    // ── Label propagation over the near-dup graph ──────────────────
+    // Trusted lang labels (seed = every 10th doc) spread across
+    // jaccard ≥ 0.8 near-dup edges in 2 synchronized sweeps: majority
+    // label among labeled neighbors, smallest label on ties, earlier
+    // labels frozen. `round` = propagation distance (0 = seed).
+    QueryDef("t_label_prop", {
+      def sweep(i: Int, prev: String) =
+        s"""v$i AS (SELECT u.b AS node, l.label, count(*) AS n
+           |  FROM und u JOIN $prev l ON u.a = l.node GROUP BY 1, 2),
+           |w$i AS (SELECT node, label,
+           |    row_number() OVER (PARTITION BY node
+           |      ORDER BY n DESC, label) AS rk
+           |  FROM v$i),
+           |f$i AS (SELECT w.node, w.label, $i AS round FROM w$i w
+           |  WHERE rk = 1 AND NOT EXISTS
+           |    (SELECT 1 FROM $prev p WHERE p.node = w.node)),
+           |l$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM f$i)""".stripMargin
+      s"""WITH $hashesCte, $sigCte,
+         |$repCollapseCtes,
+         |${bandCandidatesCte()},
+         |rpairs AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(ha.hs, hb.hs)) AS inter,
+         |         len(ha.hs) + len(hb.hs)
+         |           - len(list_intersect(ha.hs, hb.hs)) AS uni
+         |  FROM cand
+         |  JOIN hashes ha ON ha.doc_id = cand.doc_a
+         |  JOIN hashes hb ON hb.doc_id = cand.doc_b),
+         |pairs AS (
+         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |         greatest(ma.doc_id, mb.doc_id) AS doc_b, p.inter, p.uni
+         |  FROM rpairs p
+         |  JOIN mem ma ON ma.rep = p.doc_a
+         |  JOIN mem mb ON mb.rep = p.doc_b
+         |  UNION ALL
+         |  SELECT ma.doc_id, mb.doc_id, len(h.hs), len(h.hs)
+         |  FROM mem ma JOIN mem mb ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+         |  JOIN hashes h ON h.doc_id = ma.rep),
+         |eg AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       WHERE inter * 10 >= uni * 8 AND doc_a <> doc_b),
+         |und AS (SELECT a, b FROM eg UNION SELECT b, a FROM eg),
+         |l0 AS (SELECT doc_id AS node, lang AS label, 0 AS round
+         |       FROM documents WHERE doc_id % 10 = 0 AND lang IS NOT NULL),
+         |${sweep(1, "l0")},
+         |${sweep(2, "l1")}
+         |SELECT CAST(node AS VARCHAR) AS node, label,
+         |       CAST(round AS BIGINT) AS round
+         |FROM l2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.nearDupPairs(docs)
+        .filter(col("inter") * 10 >= col("uni") * 8)
+      val seeds = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"))
+      graft.ext.Graph.labelPropagation(edges, "doc_a", "doc_b",
+        seeds, "doc_id", "lang")
+    }.sortedBy(col("node"), col("label")),
+
     // Canonical keep-list: the consumable dedup artifact — one
     // representative per cluster with its member count.
     QueryDef("t_dedup_keep",

@@ -692,6 +692,44 @@ object RelationalQueries {
         "event_type", "v", Seq(50, 90))
     }.sortedBy(col("event_type")),
 
+    // PageRank over the behavior-flow graph: 3 integer-exact power
+    //-iteration rounds (damping 0.85, ranks in parts-per-billion)
+    // on the transition-count edges — the authority prior, unrolled
+    // in SQL with the same floor-division arithmetic. Dangling mass
+    // drops (disclosed in Graph.pageRank).
+    QueryDef("w_pagerank_flow", {
+      def iter(i: Int, prev: String) =
+        s"""s$i AS (SELECT e.dst AS node, sum($prev.r * e.w // ow.ow) AS contrib
+           |  FROM e JOIN $prev ON e.src = $prev.node
+           |  JOIN ow ON ow.src = e.src GROUP BY 1),
+           |r$i AS (SELECT n.node,
+           |    (15 * (1000000000 // c.nn) + 85 * coalesce(s$i.contrib, 0)) // 100 AS r
+           |  FROM n CROSS JOIN c LEFT JOIN s$i USING (node))""".stripMargin
+      s"""WITH tt AS (
+         |  SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |e AS (SELECT prev_type AS src, event_type AS dst,
+         |        count(*) AS w
+         |      FROM tt WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |c AS (SELECT count(*) AS nn FROM n),
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000000 // nn AS r FROM n CROSS JOIN c),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3
+         |ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      graft.ext.Graph.pageRank(
+        graft.ops.EventAnalytics.transitionCounts(Tables.events(s, d)),
+        "type_from", "type_to", "n_transitions")
+    }.sortedBy(col("node")),
+
     // Behavior-flow transition counts: consecutive event-type pairs
     // per user in (ts, id) order, counted corpus-wide — the Markov
     // edges of the product flow chart.
