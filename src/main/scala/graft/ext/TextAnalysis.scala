@@ -899,6 +899,39 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** Per-domain PII audit — the readout a compliance pass reads BEFORE
+    * redaction ships: for each domain, how many matches of each
+    * [[PiiPatterns]] type exist and how many documents carry any.
+    * Counts follow the chain ORDER exactly (each pattern is counted in
+    * the text AFTER its predecessors were replaced — so an IP's octets
+    * are never double-counted as digit runs): the numbers are the
+    * replacements [[redactPii]] actually performs, not naive
+    * independent scans. One codegen'd map over the scan + one
+    * partial-agg groupBy; null text/domain rows are excluded.
+    *
+    * Output: (domain, n_docs, n_email, n_ip, n_num, docs_with_pii).
+    */
+  def piiReport(docs: DataFrame, domainCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val names = Seq("email", "ip", "num")
+    val staged = PiiPatterns.zip(names).zipWithIndex.foldLeft(
+      docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+        .withColumn("__pii_t0", col(textCol))) {
+      case (df, (((pat, rep), nm), i)) =>
+        df.withColumn(s"__pii_c_$nm",
+            regexp_count(col(s"__pii_t$i"), lit(pat)).cast("long"))
+          .withColumn(s"__pii_t${i + 1}",
+            regexp_replace(col(s"__pii_t$i"), pat, rep))
+    }
+    val anyPii = names.map(nm => col(s"__pii_c_$nm")).reduce(_ + _) > 0
+    staged.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__pii_c_email").as("n_email"),
+        sum("__pii_c_ip").as("n_ip"),
+        sum("__pii_c_num").as("n_num"),
+        sum(when(anyPii, 1L).otherwise(0L)).as("docs_with_pii"))
+  }
+
   /** Canonical text normalization for robust dedup/matching — the
     * preprocessing every C4/RefinedWeb-style pipeline applies before
     * shingling: lowercase, non-alphanumerics to spaces, runs of spaces

@@ -3232,6 +3232,45 @@ object LlmQueries {
         TextAnalysis.redactPii(col("text")).as("text"))
     }.sortedBy(col("doc_id")),
 
+    // ── Per-domain PII audit ───────────────────────────────────────
+    // Counts per PII type under the CHAIN order (each pattern counted
+    // after its predecessors replaced — IP octets never double-count
+    // as digit runs) over the same planted PII as t_redact_pii.
+    QueryDef("t_pii_report", {
+      val planted =
+        """text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+          |  '@ex.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          |  '.7 acct 9001234' || CAST(doc_id + 100 AS VARCHAR)""".stripMargin
+      val Seq((ePat, eRep), (iPat, iRep), (nPat, _)) =
+        TextAnalysis.PiiPatterns
+      s"""WITH planted AS (
+         |  SELECT doc_id, source, $planted AS t0 FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL),
+         |s1 AS (SELECT source,
+         |    len(regexp_extract_all(t0, '$ePat')) AS c_email,
+         |    regexp_replace(t0, '$ePat', '$eRep', 'g') AS t1 FROM planted),
+         |s2 AS (SELECT source, c_email,
+         |    len(regexp_extract_all(t1, '$iPat')) AS c_ip,
+         |    regexp_replace(t1, '$iPat', '$iRep', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT source, c_email, c_ip,
+         |    len(regexp_extract_all(t2, '$nPat')) AS c_num FROM s2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(c_email) AS BIGINT) AS n_email,
+         |  CAST(sum(c_ip) AS BIGINT) AS n_ip,
+         |  CAST(sum(c_num) AS BIGINT) AS n_num,
+         |  CAST(sum(CASE WHEN c_email + c_ip + c_num > 0 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS docs_with_pii
+         |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@ex.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 acct 9001234"),
+          (col("doc_id") + 100).cast("string")).as("text"))
+      TextAnalysis.piiReport(planted)
+    }.sortedBy(col("source")),
+
     // ── Per-domain corpus profile (mixture report) ─────────────────
     // One row per source: doc count, token/char totals, integer
     // quality-score sum — the read-before/verify-after companion to

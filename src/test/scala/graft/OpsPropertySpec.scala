@@ -681,6 +681,21 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("piiReport: chain-order counts — IP octets never counted as digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "mail x@y.com or 10.1.2.3 acct 123456789"),
+      (2L, "a", "clean text with 1234 small numbers"),
+      (3L, "b", "192.168.101.107 then 987654321012"),
+      (4L, null.asInstanceOf[String], "x@y.com")).toDF("doc_id", "source", "text")
+    val got = graft.ext.TextAnalysis.piiReport(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("a") == (("a", 2L, 1L, 1L, 1L, 1L)), got("a"))
+    assert(got("b") == (("b", 1L, 0L, 1L, 1L, 1L)), got("b"))
+    assert(!got.contains(null), got) // null domain excluded
+  }
+
   test("FIM transform: PSM reassembles the original text, AR rows pass through, rate law holds") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
