@@ -398,6 +398,38 @@ object TextAnalysis {
         maxPieceLen, UnigramBlockLen, pattern = Some(BpePattern)))
   }
 
+  /** Per-domain tokenizer coverage under a TRAINED unigram inventory:
+    * how many pieces the tokenizer emits per domain and how many of
+    * them are OUT-OF-VOCABULARY single-char fallbacks (the smoothed
+    * unknown path of [[unigramTokensWith]]) — the "which domain breaks
+    * my tokenizer" readout that decides a retrain before token counts,
+    * packing and budgets silently skew. `oov_ppm` is integer-exact
+    * (parts per million, floor).
+    *
+    * Scale shape: one codegen'd tokenize+explode map over the scan,
+    * one BROADCAST join against the inventory (vocab is bounded by the
+    * trainer's cap), one partial-agg groupBy — the corpus never
+    * shuffles by piece.
+    */
+  def tokenizerCoverage(docs: DataFrame, inv: Seq[(String, Long, Long)],
+                        domainCol: String = "source",
+                        textCol: String = "text",
+                        maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = inv.map(_._1).distinct.toDF("piece")
+      .withColumn("__tc_known", lit(1))
+    docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(domainCol),
+        explode(unigramTokensWith(col(textCol), inv, maxPieceLen))
+          .as("piece"))
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(when(col("__tc_known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_pieces"))
+  }
+
   // ── Persisted tokenizer bundles ────────────────────────────────────
 
   /** A loaded tokenizer artifact: `kind` ∈ {bpe, wordpiece, unigram}

@@ -1135,6 +1135,57 @@ object LlmQueries {
     * the FINAL bits and emits `usegF(block, pos, piece)` — the
     * tokenize oracle's per-block segmentation relation.
     */
+  /** Exact suffix-distance Viterbi DP + walk under tag `t`'s bits
+    * relations (`ubits$t`/`uunk$t`) over `blocksRel` (a relation with a
+    * block column `b`) → `useg$t(block, pos, piece)`. Extracted from
+    * [[unigramCtes]] so inference can run over blocks BEYOND the
+    * training corpus (the t_tokenizer_coverage planted-OOV corpus).
+    */
+  private def unigramDpCtes(t: String,
+                            blocksRel: String = "ublocks"): String = {
+    val L = 4
+    val K = TextAnalysis.UnigramBlockLen
+    val levels = (1 to K).map { d =>
+      val branches = (1 to math.min(L, d)).map { l =>
+        val pieceExpr = s"substr(bl.b, length(bl.b) - $d + 1, $l)"
+        if (l == 1)
+          s"""      SELECT bl.b AS block, coalesce(bb.bits, uu.bits) + pv.cost AS cost,
+             |             1 AS l, $pieceExpr AS piece
+             |      FROM $blocksRel bl CROSS JOIN uunk$t uu
+             |      LEFT JOIN ubits$t bb ON bb.piece = $pieceExpr
+             |      JOIN udp${t}_${d - 1} pv ON pv.block = bl.b
+             |      WHERE length(bl.b) >= $d""".stripMargin
+        else
+          s"""      SELECT bl.b AS block, bb.bits + pv.cost AS cost,
+             |             $l AS l, $pieceExpr AS piece
+             |      FROM $blocksRel bl
+             |      JOIN ubits$t bb ON bb.piece = $pieceExpr
+             |      JOIN udp${t}_${d - l} pv ON pv.block = bl.b
+             |      WHERE length(bl.b) >= $d""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""udp${t}_$d AS MATERIALIZED (
+         |  SELECT block, cost, l, piece FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY q.block
+         |             ORDER BY q.cost ASC, q.l DESC) AS rn FROM (
+         |$branches
+         |    ) q) z WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""udp${t}_0 AS (SELECT b AS block, CAST(0 AS BIGINT) AS cost FROM $blocksRel),
+       |$levels,
+       |udpall$t AS MATERIALIZED (
+       |${(1 to K).map(d => s"  SELECT block, $d AS d, l, piece FROM udp${t}_$d")
+           .mkString("\n  UNION ALL\n")}),
+       |uwalk$t(block, d, piece, pos) AS (
+       |  SELECT b, length(b), CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) FROM $blocksRel
+       |  UNION ALL
+       |  SELECT w.block, w.d - a.l, a.piece,
+       |         CAST(length(w.block) - w.d AS BIGINT)
+       |  FROM uwalk$t w JOIN udpall$t a ON a.block = w.block AND a.d = w.d
+       |  WHERE w.d > 0),
+       |useg$t AS MATERIALIZED (
+       |  SELECT block, pos, piece FROM uwalk$t WHERE piece IS NOT NULL)""".stripMargin
+  }
+
   private def unigramCtes(seeds: Int, vocab: Int, withFinalSeg: Boolean): String = {
     val pat = TextAnalysis.BpePattern.replace("'", "''")
     val L = 4
@@ -1169,48 +1220,7 @@ object LlmQueries {
          |  FROM $invRel CROSS JOIN utot$t tt),
          |uunk$t AS (SELECT CAST(length(bin(t)) AS BIGINT) AS bits FROM utot$t)""".stripMargin
 
-    // exact suffix-distance DP + walk under tag `t`'s bits → useg$t
-    def dpCtes(t: String): String = {
-      val levels = (1 to K).map { d =>
-        val branches = (1 to math.min(L, d)).map { l =>
-          val pieceExpr = s"substr(bl.b, length(bl.b) - $d + 1, $l)"
-          if (l == 1)
-            s"""      SELECT bl.b AS block, coalesce(bb.bits, uu.bits) + pv.cost AS cost,
-               |             1 AS l, $pieceExpr AS piece
-               |      FROM ublocks bl CROSS JOIN uunk$t uu
-               |      LEFT JOIN ubits$t bb ON bb.piece = $pieceExpr
-               |      JOIN udp${t}_${d - 1} pv ON pv.block = bl.b
-               |      WHERE length(bl.b) >= $d""".stripMargin
-          else
-            s"""      SELECT bl.b AS block, bb.bits + pv.cost AS cost,
-               |             $l AS l, $pieceExpr AS piece
-               |      FROM ublocks bl
-               |      JOIN ubits$t bb ON bb.piece = $pieceExpr
-               |      JOIN udp${t}_${d - l} pv ON pv.block = bl.b
-               |      WHERE length(bl.b) >= $d""".stripMargin
-        }.mkString("\n      UNION ALL\n")
-        s"""udp${t}_$d AS MATERIALIZED (
-           |  SELECT block, cost, l, piece FROM (
-           |    SELECT q.*, row_number() OVER (PARTITION BY q.block
-           |             ORDER BY q.cost ASC, q.l DESC) AS rn FROM (
-           |$branches
-           |    ) q) z WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""udp${t}_0 AS (SELECT b AS block, CAST(0 AS BIGINT) AS cost FROM ublocks),
-         |$levels,
-         |udpall$t AS MATERIALIZED (
-         |${(1 to K).map(d => s"  SELECT block, $d AS d, l, piece FROM udp${t}_$d")
-             .mkString("\n  UNION ALL\n")}),
-         |uwalk$t(block, d, piece, pos) AS (
-         |  SELECT b, length(b), CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) FROM ublocks
-         |  UNION ALL
-         |  SELECT w.block, w.d - a.l, a.piece,
-         |         CAST(length(w.block) - w.d AS BIGINT)
-         |  FROM uwalk$t w JOIN udpall$t a ON a.block = w.block AND a.d = w.d
-         |  WHERE w.d > 0),
-         |useg$t AS MATERIALIZED (
-         |  SELECT block, pos, piece FROM uwalk$t WHERE piece IS NOT NULL)""".stripMargin
-    }
+    def dpCtes(t: String): String = unigramDpCtes(t)
 
     def countCtes(t: String): String =
       s"""ucnt$t AS (SELECT s.piece, CAST(sum(bl.w) AS BIGINT) AS cnt
@@ -1288,6 +1298,40 @@ object LlmQueries {
        |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_learned_tokens
        |FROM documents d LEFT JOIN uper_doc p ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Per-domain OOV coverage under the learned unigram inventory, over
+    * a corpus with PLANTED out-of-alphabet chars (' ~~~' appended to
+    * every 5th doc — '~' never occurs in the corpus, so each planted
+    * doc yields exactly 3 unknown-fallback pieces). The final-bits
+    * Viterbi DP runs over the MEASURED corpus's distinct blocks
+    * (unigramDpCtes with a custom blocks relation), not the training
+    * blocks — inference and training corpora differ here by design.
+    */
+  private def tokenizerCoverageSql: String = {
+    val pat = TextAnalysis.BpePattern.replace("'", "''")
+    val K = TextAnalysis.UnigramBlockLen
+    s"""WITH RECURSIVE ${unigramCtes(UnigramSeeds, UnigramVocab, withFinalSeg = false)},
+       |cvdocs AS (SELECT source,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' ~~~' ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+       |cvblk AS (
+       |  SELECT source, substr(pt, bi * $K + 1, $K) AS b
+       |  FROM (SELECT source, pt,
+       |          unnest(generate_series(0, (length(pt) - 1) // $K)) AS bi
+       |        FROM (SELECT source,
+       |                unnest(regexp_extract_all(text, '$pat')) AS pt
+       |              FROM cvdocs) p) t),
+       |cvball AS (SELECT DISTINCT b FROM cvblk),
+       |${unigramDpCtes("F", "cvball")},
+       |cvo AS (SELECT c.source,
+       |    CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM cvblk c JOIN usegF s ON s.block = c.b
+       |  LEFT JOIN uinv2 v ON v.piece = s.piece)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_pieces,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+       |FROM cvo GROUP BY source ORDER BY source""".stripMargin
   }
 
   private def bpeTrainSql(n: Int): String = {
@@ -1983,6 +2027,18 @@ object LlmQueries {
         coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
         coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
     }.sortedBy(col("doc_id")),
+
+    // Per-domain tokenizer coverage: planted '~' runs (absent from the
+    // training corpus, hence from every vocab piece) must surface as
+    // unknown-fallback pieces — the which-domain-breaks-my-tokenizer
+    // readout, counted identically by the SQL Viterbi replay.
+    QueryDef("t_tokenizer_coverage", tokenizerCoverageSql) { (s, d) =>
+      val inv = learnedUnigramFor(s, d)
+      val planted = Tables.documents(s, d).select(col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" ~~~")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.tokenizerCoverage(planted, inv)
+    }.sortedBy(col("source")),
 
     QueryDef("t_bpe_train", bpeTrainSql(BpeTrainMerges)) { (s, d) =>
       import s.implicits._

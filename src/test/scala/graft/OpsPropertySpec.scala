@@ -681,6 +681,26 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("tokenizerCoverage: planted OOV chars count exactly; vocab join broadcasts") {
+    import spark.implicits._
+    val train = Seq((1L, "s", "aa bb aa bb cc"), (2L, "s", "aa cc"))
+      .toDF("doc_id", "source", "text")
+    val inv = graft.ext.TextAnalysis.learnUnigramLm(train, vocabSize = 16,
+      seedSize = 32)
+    val measured = Seq(("s1", "aa bb"), ("s2", "aa ~~~"))
+      .toDF("source", "text")
+    val cov = graft.ext.TextAnalysis.tokenizerCoverage(measured, inv)
+    val got = cov.as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // '~' is not in the training alphabet: each '~' is one OOV piece
+    assert(got("s1")._3 == 0L, got("s1"))
+    assert(got("s2")._3 == 3L, got("s2"))
+    assert(got("s2")._4 == 3000000L / got("s2")._2, got("s2"))
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("piiReport: chain-order counts — IP octets never counted as digit runs") {
     import spark.implicits._
     val df = Seq(
