@@ -692,6 +692,55 @@ object RelationalQueries {
         "event_type", "v", Seq(50, 90))
     }.sortedBy(col("event_type")),
 
+    // Bradley-Terry strengths from pairwise comparison counts (the
+    // RLHF preference-data model): 3 integer MM sweeps from the
+    // uniform start, zero-win items disclosed at rank 0, winners
+    // floored at 1 unit. Comparison relation: the behavior-flow edges
+    // read as "from preferred over to" (a deterministic stand-in for
+    // an annotator-preference table).
+    QueryDef("w_bradley_terry", {
+      val s2 = graft.ext.Preference.Scale * graft.ext.Preference.Scale
+      def sweep(i: Int, prev: String) =
+        s"""d$i AS (SELECT m.a AS item, sum(m.n * $s2 // (sa.s + sb.s)) AS d
+           |  FROM m JOIN $prev sa ON sa.item = m.a
+           |  JOIN $prev sb ON sb.item = m.b GROUP BY 1),
+           |s$i AS (SELECT it.item,
+           |    CASE WHEN coalesce(wi.n_wins, 0) > 0
+           |         THEN greatest(coalesce(wi.n_wins, 0) * $s2 // d$i.d, 1)
+           |         ELSE 0 END AS s
+           |  FROM it LEFT JOIN wi USING (item) JOIN d$i USING (item))""".stripMargin
+      s"""WITH tt AS (
+         |  SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |e AS (SELECT prev_type AS w, event_type AS l, count(*) AS n
+         |      FROM tt WHERE prev_type IS NOT NULL
+         |        AND prev_type <> event_type GROUP BY 1, 2),
+         |m AS (SELECT a, b, sum(n) AS n FROM (
+         |        SELECT w AS a, l AS b, n FROM e
+         |        UNION ALL SELECT l, w, n FROM e) u GROUP BY 1, 2),
+         |it AS (SELECT DISTINCT a AS item FROM m),
+         |wi AS (SELECT w AS item, sum(n) AS n_wins FROM e GROUP BY 1),
+         |pl AS (SELECT a AS item, sum(n) AS n_comparisons FROM m GROUP BY 1),
+         |s0 AS (SELECT item, CAST(${graft.ext.Preference.Scale} AS BIGINT) AS s
+         |       FROM it),
+         |${sweep(1, "s0")},
+         |${sweep(2, "s1")},
+         |${sweep(3, "s2")}
+         |SELECT f.item, CAST(f.s AS BIGINT) AS strength_x1e4,
+         |  CAST(coalesce(wi.n_wins, 0) AS BIGINT) AS n_wins,
+         |  CAST(pl.n_comparisons AS BIGINT) AS n_comparisons
+         |FROM s3 f LEFT JOIN wi USING (item) JOIN pl USING (item)
+         |ORDER BY item""".stripMargin
+    }) { (s, d) =>
+      graft.ext.Preference.bradleyTerryScores(
+        graft.ops.EventAnalytics.transitionCounts(Tables.events(s, d)),
+        "type_from", "type_to", "n_transitions")
+    }.sortedBy(col("item")),
+
     // PageRank over the behavior-flow graph: 3 integer-exact power
     //-iteration rounds (damping 0.85, ranks in parts-per-billion)
     // on the transition-count edges — the authority prior, unrolled

@@ -69,6 +69,26 @@ class GraphSpec extends SparkSuite {
     assert(frozen("1") == "x" && frozen("2") == "y", frozen)
   }
 
+  test("bradleyTerry: symmetric records tie at uniform, dominance orders strengths, zero-win tail disclosed at 0") {
+    import graft.ext.Preference
+    def bt(c: Seq[(String, String, Long)]) =
+      Preference.bradleyTerryScores(c.toDF("w", "l", "n"), "w", "l", "n")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // perfectly balanced head-to-head: both stay at the uniform start
+    val even = bt(Seq(("a", "b", 5L), ("b", "a", 5L)))
+    assert(even("a")._1 == Preference.Scale &&
+      even("b")._1 == Preference.Scale, even)
+    // a dominates b dominates c: strengths must order a > b > c, and
+    // c (zero wins) is disclosed at exactly 0 with its matches counted
+    val dom = bt(Seq(("a", "b", 9L), ("b", "a", 1L), ("b", "c", 6L)))
+    assert(dom("a")._1 > dom("b")._1 && dom("b")._1 > dom("c")._1, dom)
+    assert(dom("c") == ((0L, 0L, 6L)), dom)
+    // self-comparisons and non-positive counts are excluded
+    val selfy = bt(Seq(("a", "a", 7L), ("a", "b", 2L), ("b", "a", 0L)))
+    assert(selfy("a")._3 == 2L && selfy("b") == ((0L, 0L, 2L)), selfy)
+  }
+
   test("labelPropagation: majority wins, ties take the smallest label") {
     // node 9 has neighbors: two labeled "b", one labeled "a" -> "b";
     // node 10 has one "a" and one "b" neighbor -> tie -> "a"
