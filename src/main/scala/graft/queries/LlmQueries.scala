@@ -337,6 +337,39 @@ object LlmOracle {
     * NULL-for-empty-list vs Spark's ''-for-empty-array). Shared by
     * t_span_corruption and the denoising-prep flagship.
     */
+  /** CTEs: FIM PSM transform per (doc_id, text) of `rel` →
+    * `fimc(doc_id, pick, text_out, n_tokens, n_middle, n_out)` with
+    * `n_out` = the output token count (n + 3 sentinels when picked).
+    * Mirrors Packing.fimTransform; null-text rows are absent (join
+    * LEFT and coalesce).
+    */
+  def fimCtes(rel: String, rate: Int = 50): String =
+    s"""fb AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+       |           len(string_split(text, ' ')) AS n
+       |    FROM $rel WHERE text IS NOT NULL),
+       |fcut AS (SELECT doc_id, text, ws, n,
+       |  (${polyhash("CAST(doc_id AS VARCHAR) || ':fim'")} % 100) < $rate
+       |    AS pick,
+       |  ${polyhash("CAST(doc_id AS VARCHAR) || ':fimA'")} % (n + 1) AS c1,
+       |  ${polyhash("CAST(doc_id AS VARCHAR) || ':fimB'")} % (n + 1) AS c2
+       |  FROM fb),
+       |fhl AS (SELECT doc_id, text, ws, n, pick,
+       |             least(c1, c2) AS lo, greatest(c1, c2) AS hi
+       |      FROM fcut),
+       |fimc AS (SELECT doc_id, pick,
+       |    CASE WHEN NOT pick THEN text
+       |         ELSE array_to_string(
+       |           list_concat(list_concat(list_concat(list_concat(
+       |             list_concat(['<fim_prefix>'], ws[1:lo]),
+       |             ['<fim_suffix>']), ws[hi+1:n]),
+       |             ['<fim_middle>']), ws[lo+1:hi]), ' ')
+       |    END AS text_out,
+       |    CAST(n AS BIGINT) AS n_tokens,
+       |    CAST(CASE WHEN pick THEN hi - lo ELSE 0 END AS BIGINT)
+       |      AS n_middle,
+       |    CAST(CASE WHEN pick THEN n + 3 ELSE n END AS BIGINT) AS n_out
+       |  FROM fhl)""".stripMargin
+
   def spanCorruptionCtes(rel: String): String = {
     val blk = "((i-1)//20)"
     val off = s"o.offs[$blk + 1]"
@@ -4440,35 +4473,64 @@ object LlmQueries {
     // independent polyhashes mod (n+1). Degenerate cuts kept (empty
     // middle is a valid training case). Row-local slicing only.
     QueryDef("t_fim_transform",
-      s"""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
-         |                  len(string_split(text, ' ')) AS n
-         |           FROM documents WHERE text IS NOT NULL),
-         |cuts AS (SELECT doc_id, text, ws, n,
-         |  (${polyhash("CAST(doc_id AS VARCHAR) || ':fim'")} % 100) < 50
-         |    AS pick,
-         |  ${polyhash("CAST(doc_id AS VARCHAR) || ':fimA'")} % (n + 1)
-         |    AS c1,
-         |  ${polyhash("CAST(doc_id AS VARCHAR) || ':fimB'")} % (n + 1)
-         |    AS c2
-         |  FROM b),
-         |f AS (SELECT doc_id, text, ws, n, pick,
-         |             least(c1, c2) AS lo, greatest(c1, c2) AS hi
-         |      FROM cuts)
-         |SELECT d.doc_id, coalesce(f.pick, FALSE) AS fim,
-         |  CASE WHEN f.doc_id IS NULL THEN NULL
-         |       WHEN NOT f.pick THEN f.text
-         |       ELSE array_to_string(
-         |         list_concat(list_concat(list_concat(list_concat(
-         |           list_concat(['<fim_prefix>'], f.ws[1:f.lo]),
-         |           ['<fim_suffix>']), f.ws[f.hi+1:f.n]),
-         |           ['<fim_middle>']), f.ws[f.lo+1:f.hi]), ' ')
-         |  END AS text_out,
-         |  CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
-         |  CAST(CASE WHEN coalesce(f.pick, FALSE) THEN f.hi - f.lo
-         |       ELSE 0 END AS BIGINT) AS n_middle
-         |FROM documents d LEFT JOIN f USING (doc_id)
+      s"""WITH ${fimCtes("documents")}
+         |SELECT d.doc_id, coalesce(f.pick, FALSE) AS fim, f.text_out,
+         |  CAST(coalesce(f.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(f.n_middle, 0) AS BIGINT) AS n_middle
+         |FROM documents d LEFT JOIN fimc f USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.ext.Packing.fimTransform(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // ── Code-training prep flagship (round-16 composition) ─────────
+    // Near-dup clusters keep their BEST-quality member → survivors go
+    // through the FIM transform (50% PSM, the paper's AR/FIM mix) →
+    // the transformed corpus packs into 512-token sequences (FIM'd
+    // docs cost their 3 sentinels). One consumable relation; every
+    // stage an already-proven CTE family.
+    QueryDef("t_fim_prep",
+      s"""WITH RECURSIVE $hashesCte, $sigCte,
+         |${clusterCtes("documents", jNum = 8, jDen = 10)},
+         |${qualityCtes("documents")},
+         |fpkb AS (SELECT c.cluster_id, c.doc_id, q.quality
+         |  FROM clusters c JOIN qscored q USING (doc_id)),
+         |fpkr AS (SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM fpkb),
+         |fpkept AS (SELECT d.doc_id, d.text
+         |  FROM (SELECT doc_id FROM fpkr WHERE rn = 1) k
+         |  JOIN documents d USING (doc_id)),
+         |${fimCtes("fpkept")},
+         |fpt AS (SELECT k.doc_id, coalesce(f.n_out, 0) AS toks,
+         |  ${polyhash("CAST(k.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM fpkept k LEFT JOIN fimc f USING (doc_id)),
+         |fpc AS (SELECT doc_id, toks,
+         |  sum(toks) OVER (ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING)
+         |    AS cum FROM fpt)
+         |SELECT c.doc_id, coalesce(f.pick, FALSE) AS fim, f.text_out,
+         |  CAST(coalesce(f.n_middle, 0) AS BIGINT) AS n_middle,
+         |  CAST((c.cum - c.toks) // 512 AS BIGINT) AS pack
+         |FROM fpc c LEFT JOIN fimc f USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("long").as("quality"))
+      val best = Dedup.keepBest(Dedup.nearDupClusters(docs), scored)
+        .select(col("keep_id").as("doc_id"))
+      // pin + restore parallelism: the t_denoising_prep rationale —
+      // AQE coalesces the small survivor join to one partition, which
+      // would serialize the FIM stage's per-row slicing onto one task
+      val kept = docs.select("doc_id", "text").join(best, "doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val fimmed = graft.ext.Packing.fimTransform(kept)
+        .withColumn("toks",
+          col("n_tokens") + when(col("fim"), 3L).otherwise(0L))
+      graft.ext.Packing.packSequences(fimmed, col("doc_id"), col("toks"),
+          512L)
+        .select(col("doc_id"), col("fim"), col("text_out"),
+          col("n_middle"), col("pack"))
     }.sortedBy(col("doc_id")),
 
     // ── Loss-masked SFT packing ────────────────────────────────────
