@@ -63,13 +63,20 @@ object Graph {
       s"iterations must be in [1, $MaxIterations], got $iterations")
     require(dampX100 >= 0 && dampX100 <= 100,
       s"dampX100 must be in [0, 100], got $dampX100")
+    // PIN the edge relation once: every iteration (and the node/out-
+    // weight derivations) reference it — unpinned, each reference
+    // re-runs the caller's edge derivation (e.g. the corpus-sized lag
+    // window behind transitionCounts) per round. The GraphX posture:
+    // iterative graph algorithms materialize their edges up front.
     val e = edges.select(col(srcCol).cast("string").as("__pr_src"),
         col(dstCol).cast("string").as("__pr_dst"),
         col(weightCol).cast("long").as("__pr_w"))
       .filter(col("__pr_src").isNotNull && col("__pr_dst").isNotNull &&
         col("__pr_w") > 0)
+      .localCheckpoint()
     val nodes = e.select(col("__pr_src").as("node"))
       .union(e.select(col("__pr_dst").as("node"))).distinct()
+      .localCheckpoint()
     val nn = nodes.agg(count(lit(1)).as("__pr_n"))
     val outW = e.groupBy("__pr_src").agg(sum("__pr_w").as("__pr_ow"))
     val teleport = expr(s"$RankScale div __pr_n")
@@ -89,6 +96,9 @@ object Graph {
           expr(s"(${100L - dampX100} * ($RankScale div __pr_n) + " +
             s"$dampX100 * coalesce(__pr_contrib, CAST(0 AS BIGINT))) " +
             "div 100").as("rank_ppb"))
+        // truncate the per-round lineage: ranks is |V|-bounded, and an
+        // unpinned chain re-plans (and re-runs) every prior round
+        .localCheckpoint()
     }
     ranks
   }
@@ -127,13 +137,17 @@ object Graph {
         col(bCol).cast("string").as("__lp_b"))
       .filter(col("__lp_a").isNotNull && col("__lp_b").isNotNull &&
         col("__lp_a") =!= col("__lp_b"))
+    // pinned once — each sweep joins it, and the caller's edge
+    // derivation (a banding pipeline, a similarity join) must not
+    // re-run per round (the pageRank edge-pinning posture)
     val und = half.union(half.select(col("__lp_b").as("__lp_a"),
-      col("__lp_a").as("__lp_b"))).distinct()
+      col("__lp_a").as("__lp_b"))).distinct().localCheckpoint()
     var labeled = seeds
       .filter(col(nodeCol).isNotNull && col(labelCol).isNotNull)
       .select(col(nodeCol).cast("string").as("node"),
         col(labelCol).cast("string").as("label"), lit(0L).as("round"))
       .dropDuplicates("node")
+      .localCheckpoint()
     for (r <- 1 to rounds) {
       // majority label among labeled neighbors, smallest label on ties
       val votes = und
@@ -149,7 +163,7 @@ object Graph {
         .select(col("node"), col("label"), lit(r.toLong).as("round"))
       val fresh = winners.join(labeled.select("node"), Seq("node"),
         "left_anti")
-      labeled = labeled.union(fresh)
+      labeled = labeled.union(fresh).localCheckpoint()
     }
     labeled
   }

@@ -53,18 +53,23 @@ object Preference {
                          rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= MaxRounds,
       s"rounds must be in [1, $MaxRounds], got $rounds")
+    // pinned once — every MM round (and wins/played/items) references
+    // the comparison relation; unpinned, the caller's derivation would
+    // re-run per round (the Graph.pageRank edge-pinning posture)
     val c = comparisons.select(
         col(winnerCol).cast("string").as("__bt_w"),
         col(loserCol).cast("string").as("__bt_l"),
         col(nCol).cast("long").as("__bt_n"))
       .filter(col("__bt_w").isNotNull && col("__bt_l").isNotNull &&
         col("__bt_n") > 0 && col("__bt_w") =!= col("__bt_l"))
+      .localCheckpoint()
     // the undirected match matrix both MM sums range over
     val matches = c.select(col("__bt_w").as("a"), col("__bt_l").as("b"),
         col("__bt_n"))
       .union(c.select(col("__bt_l").as("a"), col("__bt_w").as("b"),
         col("__bt_n")))
       .groupBy("a", "b").agg(sum("__bt_n").as("n"))
+      .localCheckpoint()
     val items = matches.select(col("a").as("item")).distinct()
     val wins = c.groupBy(col("__bt_w").as("item"))
       .agg(sum("__bt_n").as("n_wins"))
@@ -89,6 +94,8 @@ object Preference {
             greatest(expr(s"coalesce(n_wins, 0) * ${Scale * Scale} div d"),
               lit(1L)))
             .otherwise(lit(0L)).as("s"))
+        // |V|-bounded; truncates the per-round lineage
+        .localCheckpoint()
     }
     s.join(wins, Seq("item"), "left")
       .join(played, Seq("item"))

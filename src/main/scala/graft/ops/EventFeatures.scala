@@ -183,6 +183,42 @@ object EventFeatures {
     * Scale shape: the lagFeatures single exchange + one (key, session)
     * partial-agg shuffle of the enriched rows.
     */
+  /** Per-SESSION ordered transcripts — the conversation-assembly shape
+    * an SFT pipeline needs (group an interaction stream into dialogs):
+    * one row per (key, session) carrying the session's event types in
+    * exact (time, id) order as one space-joined string plus the turn
+    * count. Sessionization is [[lagFeatures]]' gap rule over TYPED
+    * events only (a null-type event is not a turn and does not split
+    * or extend a session — disclosed, and replayed identically by the
+    * oracle); null key/time rows have no timeline and are excluded.
+    *
+    * Scale shape: the lagFeatures single exchange, then ONE (key,
+    * session) partial-agg shuffle; each group's sort is row-local
+    * (array_sort over the collected turns — sessions are gap-bounded,
+    * never corpus-sized).
+    */
+  def sessionTranscripts(events: DataFrame,
+                         keys: Seq[String] = Seq("user_id"),
+                         timeCol: String = "ts", idCol: String = "event_id",
+                         typeCol: String = "event_type",
+                         sessionGap: Long = 300L * 1000000L): DataFrame = {
+    val typed = events.filter(col(typeCol).isNotNull)
+    val t: Column = events.schema(timeCol).dataType match {
+      case TimestampType    => unix_micros(col(timeCol))
+      case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
+      case _                => col(timeCol).cast("long")
+    }
+    lagFeatures(typed, keys, timeCol, idCol, typeCol, sessionGap)
+      .filter(col("session_idx").isNotNull)
+      .withColumn("__st_turn",
+        struct(t.as("t"), col(idCol).as("id"), col(typeCol).as("tp")))
+      .groupBy((keys.map(col) :+ col("session_idx")): _*)
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(array_sort(collect_list(col("__st_turn"))),
+            s => s.getField("tp")), " ").as("transcript"))
+  }
+
   def sessionStats(events: DataFrame, keys: Seq[String] = Seq("user_id"),
                    timeCol: String = "ts", idCol: String = "event_id",
                    valueCol: String = "value",

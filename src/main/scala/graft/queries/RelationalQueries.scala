@@ -692,6 +692,27 @@ object RelationalQueries {
         "event_type", "v", Seq(50, 90))
     }.sortedBy(col("event_type")),
 
+    // Session transcripts: per (user, gap-session) the ordered
+    // event-type sequence as one string — the conversation-assembly
+    // shape of SFT data prep. Typed events only; gap rule 5 min.
+    QueryDef("w_session_transcripts",
+      """WITH te AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT *, t - lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS gap FROM te),
+        |s AS (SELECT *, sum(CASE WHEN gap IS NULL OR gap > 300000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  string_agg(event_type, ' ' ORDER BY t, event_id) AS transcript
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.EventFeatures.sessionTranscripts(Tables.events(s, d))
+    }.sortedBy(col("user_id"), col("session_idx")),
+
     // Bradley-Terry strengths from pairwise comparison counts (the
     // RLHF preference-data model): 3 integer MM sweeps from the
     // uniform start, zero-win items disclosed at rank 0, winners
