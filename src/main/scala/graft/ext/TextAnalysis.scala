@@ -931,6 +931,34 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** Mojibake repair pairs — the highest-frequency UTF-8-read-as-
+    * Latin-1 double-encoding artifacts of web crawls (the ftfy top of
+    * the distribution): smart quotes/dashes ("â€™" → "'"), accented
+    * Latin letters ("Ã©" → "é"), and non-breaking-space artifacts
+    * ("Â " → " "). LITERAL replacements in longest-first order (every
+    * 3-byte artifact repairs before any 2-byte prefix of it could),
+    * deliberately conservative: ambiguous tails (a bare "â€" with its
+    * final byte mangled) are NOT repaired — a wrong guess corrupts
+    * clean text, a skipped repair only leaves mojibake.
+    */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "â€™" -> "'", "â€˜" -> "'", "â€œ" -> "\"",
+    "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó",
+    "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä",
+    "Ã§" -> "ç", "Â°" -> "°", "Â·" -> "·", "Â " -> " ")
+
+  /** Apply the [[MojibakePairs]] chain in order — the encoding-repair
+    * rung of text cleaning (run BEFORE [[normalizeText]]: mojibake
+    * survives normalization as spurious tokens and poisons dedup
+    * shingles). Pure literal `replace`, no regex engine: one codegen'd
+    * map over the scan, identical in any engine. Null stays null.
+    */
+  def fixMojibake(text: Column): Column =
+    MojibakePairs.foldLeft(text) { case (c, (pat, rep)) =>
+      replace(c, lit(pat), lit(rep))
+    }
+
   /** Per-domain PII audit — the readout a compliance pass reads BEFORE
     * redaction ships: for each domain, how many matches of each
     * [[PiiPatterns]] type exist and how many documents carry any.

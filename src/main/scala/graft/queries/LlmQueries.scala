@@ -2420,6 +2420,31 @@ object LlmQueries {
     // both sides (upper-cased text + punctuation tail for doc_id < 20
     // under shifted ids) so the grouping provably collapses what
     // byte-exact dedup misses.
+    // Mojibake repair: UTF-8-as-Latin-1 artifacts PLANTED in SQL on
+    // both sides (every 7th doc gains smart-quote/accent mojibake)
+    // must repair to the intended characters; clean docs untouched.
+    QueryDef("t_fix_mojibake", {
+      val planted =
+        """CASE WHEN doc_id % 7 = 0
+          |  THEN text || ' cafÃ© â€œquotedâ€™ naÃ¯ve' END""".stripMargin
+      val chain = TextAnalysis.MojibakePairs.foldLeft(
+        "coalesce(p.planted, p.text)") { case (inner, (pat, rep)) =>
+        s"replace($inner, '${pat.replace("'", "''")}', " +
+          s"'${rep.replace("'", "''")}')"
+      }
+      s"""WITH p AS (SELECT doc_id, text, $planted AS planted
+         |           FROM documents)
+         |SELECT doc_id, $chain AS text FROM p
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        coalesce(when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" cafÃ© â€œquotedâ€™ naÃ¯ve"))),
+          col("text")).as("text"))
+      planted.select(col("doc_id"),
+        TextAnalysis.fixMojibake(col("text")).as("text"))
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_normalize_text",
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),

@@ -681,6 +681,20 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("fixMojibake: artifacts repair longest-first, ambiguous tails stay untouched, null passes") {
+    import spark.implicits._
+    val got = Seq(
+        "cafÃ© â€œquotedâ€™ â€” dash",
+        "ambiguous tail â€ stays", // bare 2-char prefix: NOT repaired
+        null.asInstanceOf[String])
+      .toDF("text")
+      .select(graft.ext.TextAnalysis.fixMojibake(col("text")))
+      .as[String].collect()
+    assert(got(0) == "café \"quoted' — dash", got(0))
+    assert(got(1) == "ambiguous tail â€ stays", got(1))
+    assert(got(2) == null)
+  }
+
   test("tokenizerCoverage: planted OOV chars count exactly; vocab join broadcasts") {
     import spark.implicits._
     val train = Seq((1L, "s", "aa bb aa bb cc"), (2L, "s", "aa cc"))
