@@ -82,6 +82,26 @@ object ScaleCheck {
       .select(col("doc_id"), col("quality"), col("pack"))
   }
 
+  /** The t_fim_prep composition: keep-best near-dup survivors → FIM
+    * transform → 512-token packing.
+    */
+  private def fimPrep(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.qualityScore(col("text")).cast("long")
+        .as("quality"))
+    val best = graft.ext.Dedup.keepBest(
+        graft.ext.Dedup.nearDupClusters(docs), scored)
+      .select(col("keep_id").as("doc_id"))
+    val kept = docs.select("doc_id", "text").join(best, "doc_id")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val fimmed = graft.ext.Packing.fimTransform(kept)
+      .withColumn("toks",
+        col("n_tokens") + when(col("fim"), 3L).otherwise(0L))
+    graft.ext.Packing.packSequences(fimmed, col("doc_id"), col("toks"),
+      512L)
+  }
+
   /** Median of `reps` timed runs; `warm` runs one UNTIMED pass first
     * (codegen + parquet-footer warm-up, used at the first multiplier so
     * the 1× cell doesn't absorb session start-up and skew every ratio).
@@ -161,6 +181,22 @@ object ScaleCheck {
         timeIt(reps, warm = m == mults.head)(
           noop(graft.ext.Similarity.hardNegativesIvf(emb,
             Seq(0L, 1L, 2L, 3L, 4L), 10, centroids = 16, nProbe = 6))))
+      // keep-best dedup → FIM transform → packing: the t_fim_prep
+      // composition; the planted dup graph scales with the corpus and
+      // the FIM/pack stages are row-local + one cumsum exchange
+      record("fim_prep", nDocs,
+        timeIt(reps, warm = m == mults.head)(noop(fimPrep(docs))))
+      // 2-sweep label propagation over the planted near-dup edges:
+      // per-sweep cost must track |E| (the dup-pair relation), with
+      // the edge derivation pinned once, never per sweep
+      record("label_prop", nDocs,
+        timeIt(reps, warm = m == mults.head)(noop {
+          val edges = graft.ext.Dedup.nearDupPairs(docs)
+            .filter(col("inter") * 10 >= col("uni") * 8)
+          graft.ext.Graph.labelPropagation(edges, "doc_a", "doc_b",
+            docs.filter(col("doc_id") % 10 === 0)
+              .select(col("doc_id"), col("lang")), "doc_id", "lang")
+        }))
     }
 
     // SCALE.md: per-flagship rows × median seconds, plus the
