@@ -570,4 +570,53 @@ object Curation {
       docs.select(col(idCol)).join(pred, Seq(idCol)),
       col("lang_pred"), col(idCol), alphaNum, alphaDen)
   }
+
+  /** DATASHEET — the per-domain data card a corpus release ships: one
+    * wide row per domain joining the engine's audit families (size,
+    * language spread, exact-dup rate, quality pass rate, PII match
+    * count) — the single consumable a reviewer reads before a corpus
+    * goes anywhere near a trainer. Laws, each inherited from its
+    * oracle-gated component:
+    *
+    *  - `n_docs`/`n_tokens`: all docs with a domain (null text = 0
+    *    tokens); `n_langs`: distinct non-null langs;
+    *  - `n_dups`/`dup_x100`: [[Dedup.domainDupRates]]' exact-text
+    *    collapse (non-null text only; 0 for a domain with none);
+    *  - `n_pass`/`pass_x100`: quality score ≥ `qualityFloor`, null
+    *    text fails (the t_domain_quality_rate rule);
+    *  - `n_pii`: total chain-ordered [[TextAnalysis.piiReport]]
+    *    matches across types.
+    *
+    * Scale shape: each component is one partial-agg pass over the
+    * scan; the final joins are on the BOUNDED domain key (broadcast-
+    * sized relations by construction).
+    */
+  def dataSheet(docs: DataFrame, domainCol: String = "source",
+                textCol: String = "text", langCol: String = "lang",
+                qualityFloor: Long = 3L): DataFrame = {
+    val base = docs.filter(col(domainCol).isNotNull)
+    val core = base.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(textCol).isNull, 0)
+          .otherwise(size(split(col(textCol), " ")))).cast("long")
+          .as("n_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(when(col(textCol).isNotNull &&
+            TextAnalysis.qualityScore(col(textCol)) >= qualityFloor, 1L)
+          .otherwise(0L)).as("n_pass"))
+      .withColumn("pass_x100", expr("n_pass * 100 div n_docs"))
+    val dups = Dedup.domainDupRates(base, domainCol, textCol)
+      .select(col(domainCol), col("n_dups"), col("dup_x100"))
+    val pii = TextAnalysis.piiReport(base, domainCol, textCol)
+      .select(col(domainCol),
+        (col("n_email") + col("n_ip") + col("n_num")).as("n_pii"))
+    core.join(dups, Seq(domainCol), "left")
+      .join(pii, Seq(domainCol), "left")
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("n_langs"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("dup_x100"), lit(0L)).as("dup_x100"),
+        col("n_pass"), col("pass_x100"),
+        coalesce(col("n_pii"), lit(0L)).as("n_pii"))
+  }
 }

@@ -3385,6 +3385,59 @@ object LlmQueries {
       TextAnalysis.piiReport(planted)
     }.sortedBy(col("source")),
 
+    // ── Per-domain DATASHEET (the data card) ───────────────────────
+    // One wide row per domain joining the audit families: size +
+    // language spread + exact-dup rate + quality pass rate + PII
+    // matches — every column inherits its law from an already-gated
+    // component query.
+    QueryDef("t_datasheet", {
+      val Seq((ePat, eRep), (iPat, iRep), (nPat, _)) =
+        TextAnalysis.PiiPatterns
+      s"""WITH ${qualityCtes("documents")},
+         |db AS (SELECT * FROM documents WHERE source IS NOT NULL),
+         |dcore AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN text IS NULL THEN 0
+         |       ELSE len(string_split(text, ' ')) END) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM db GROUP BY 1),
+         |dqr AS (SELECT d.source,
+         |  CAST(sum(CASE WHEN d.text IS NULL THEN 0
+         |       WHEN q.quality >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass
+         |  FROM db d JOIN qscored q USING (doc_id) GROUP BY 1),
+         |dfp AS (SELECT source, ${polyhash("text")} AS fp,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM db WHERE text IS NOT NULL GROUP BY 1, 2),
+         |ddup AS (SELECT source,
+         |  CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
+         |  CAST((CAST(sum(c) AS BIGINT) - count(*)) * 100
+         |    // CAST(sum(c) AS BIGINT) AS BIGINT) AS dup_x100
+         |  FROM dfp GROUP BY 1),
+         |dp1 AS (SELECT source,
+         |    len(regexp_extract_all(text, '$ePat')) AS ce,
+         |    regexp_replace(text, '$ePat', '$eRep', 'g') AS t1
+         |  FROM db WHERE text IS NOT NULL),
+         |dp2 AS (SELECT source, ce,
+         |    len(regexp_extract_all(t1, '$iPat')) AS ci,
+         |    regexp_replace(t1, '$iPat', '$iRep', 'g') AS t2 FROM dp1),
+         |dpii AS (SELECT source,
+         |  CAST(sum(ce + ci + len(regexp_extract_all(t2, '$nPat')))
+         |    AS BIGINT) AS n_pii
+         |  FROM dp2 GROUP BY 1)
+         |SELECT c.source, c.n_docs, c.n_tokens, c.n_langs,
+         |  coalesce(d.n_dups, 0) AS n_dups,
+         |  coalesce(d.dup_x100, 0) AS dup_x100,
+         |  q.n_pass, q.n_pass * 100 // c.n_docs AS pass_x100,
+         |  coalesce(p.n_pii, 0) AS n_pii
+         |FROM dcore c JOIN dqr q USING (source)
+         |LEFT JOIN ddup d USING (source)
+         |LEFT JOIN dpii p USING (source)
+         |ORDER BY c.source""".stripMargin
+    }) { (s, d) =>
+      graft.ext.Curation.dataSheet(Tables.documents(s, d))
+    }.sortedBy(col("source")),
+
     // ── Per-domain corpus profile (mixture report) ─────────────────
     // One row per source: doc count, token/char totals, integer
     // quality-score sum — the read-before/verify-after companion to
