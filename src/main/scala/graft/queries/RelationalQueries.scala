@@ -713,6 +713,34 @@ object RelationalQueries {
       graft.ops.EventFeatures.sessionTranscripts(Tables.events(s, d))
     }.sortedBy(col("user_id"), col("session_idx")),
 
+    // Top behavior paths: the most common whole-session event-type
+    // sequences (the flow-analysis "top paths" readout) — counted
+    // over w_session_transcripts' sessions, top 20 deterministic
+    // (count DESC, path ASC).
+    QueryDef("w_top_paths",
+      """WITH te AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT *, t - lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS gap FROM te),
+        |s AS (SELECT *, sum(CASE WHEN gap IS NULL OR gap > 300000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+        |tr AS (SELECT user_id, session_idx,
+        |    string_agg(event_type, ' ' ORDER BY t, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM tr GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      graft.ops.EventFeatures.sessionTranscripts(Tables.events(s, d))
+        .groupBy(col("transcript").as("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }.sortedBy(col("n_sessions").desc, col("path")),
+
     // Bradley-Terry strengths from pairwise comparison counts (the
     // RLHF preference-data model): 3 integer MM sweeps from the
     // uniform start, zero-win items disclosed at rank 0, winners

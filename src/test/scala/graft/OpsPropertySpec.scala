@@ -681,6 +681,28 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("dataSheet: one row per domain, component laws agree, domain joins never cartesian") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "en", "good solid text with words and more words here now"),
+      (2L, "a", "en", "good solid text with words and more words here now"),
+      (3L, "a", "de", "tiny"),
+      (4L, "b", "en", null.asInstanceOf[String])).toDF(
+      "doc_id", "source", "lang", "text")
+    val ds = graft.ext.Curation.dataSheet(df)
+    val got = ds.collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 2)
+    val a = got("a")
+    assert(a.getLong(1) == 3L) // n_docs
+    assert(a.getLong(3) == 2L) // n_langs
+    assert(a.getLong(4) == 1L) // n_dups: the verbatim pair collapses
+    val b = got("b")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 0L, b) // null text = 0 toks
+    assert(b.getLong(4) == 0L && b.getLong(6) == 0L, b) // no dups, no pass
+    assert(!ds.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
   test("fixMojibake: artifacts repair longest-first, ambiguous tails stay untouched, null passes") {
     import spark.implicits._
     val got = Seq(
