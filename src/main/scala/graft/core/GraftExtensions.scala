@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeMergeTokens, CosineSim, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash, VocabTokenCount, WordTfs}
+import graft.functions.{BpeMergeTokens, CosineSim, DeflateLen, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash, VocabTokenCount, WordTfs}
 
 /** SparkSessionExtensions hook registering the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT polyhash(text),
@@ -134,6 +134,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
         graft.ext.TextAnalysis.PiiPatterns.foldLeft(children.head) {
           case (e, (pat, rep)) => RegExpReplace(e, Literal(pat), Literal(rep))
+        }
+      }))
+    // deflate_len(text|binary): the compression-ratio signal's kernel
+    ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "deflate_len(text) takes 1 argument")
+        DeflateLen(children.head)
+      }))
+    // fix_mojibake(text): the same longest-first literal StringReplace
+    // fold as TextAnalysis.fixMojibake, from the same MojibakePairs
+    ext.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.StringReplace].getName,
+        "fix_mojibake"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "fix_mojibake(text) takes 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{Literal, StringReplace}
+        graft.ext.TextAnalysis.MojibakePairs.foldLeft(children.head) {
+          case (e, (pat, rep)) => StringReplace(e, Literal(pat), Literal(rep))
         }
       }))
   }

@@ -931,6 +931,44 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** Per-document compression stats — the Gopher/Dolma compression-
+    * ratio quality signal: boilerplate/template spam compresses far
+    * harder than natural prose. Output: (idCol, n_bytes, deflate_len,
+    * ratio_x1000) with `ratio_x1000 = deflate_len · 1000 div n_bytes`
+    * (lower = more repetitive). Null/empty text → 0 bytes, null ratio.
+    * One codegen'd map over the scan ([[graft.functions.DeflateLen]]).
+    * SPEC-gated, not oracle-gated: no SQL engine replays zlib — the
+    * gated laws are ratio ORDERING (repetitive ≪ diverse) and
+    * run-to-run determinism.
+    */
+  def compressionStats(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val nBytes = octet_length(col(textCol)).cast("long")
+    docs.select(col(idCol), coalesce(nBytes, lit(0L)).as("n_bytes"),
+        coalesce(graft.functions.deflateLen(col(textCol)), lit(0L))
+          .as("deflate_len"))
+      .withColumn("ratio_x1000",
+        when(col("n_bytes") > 0,
+          expr("deflate_len * 1000 div n_bytes")))
+  }
+
+  /** Per-domain rollup of [[compressionStats]]: corpus-mass ratio per
+    * domain (total deflate bytes ×1000 div total bytes) — the one-row-
+    * per-domain readout a curation pass thresholds on.
+    */
+  def compressionReport(docs: DataFrame, domainCol: String = "source",
+                        textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+      .select(col(domainCol),
+        octet_length(col(textCol)).cast("long").as("__cr_b"),
+        graft.functions.deflateLen(col(textCol)).as("__cr_d"))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum("__cr_b").as("n_bytes"),
+        sum("__cr_d").as("deflate_bytes"))
+      .withColumn("ratio_x1000",
+        when(col("n_bytes") > 0,
+          expr("deflate_bytes * 1000 div n_bytes")))
+
   /** Mojibake repair pairs — the highest-frequency UTF-8-read-as-
     * Latin-1 double-encoding artifacts of web crawls (the ftfy top of
     * the distribution): smart quotes/dashes ("â€™" → "'"), accented

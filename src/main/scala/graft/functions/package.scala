@@ -53,6 +53,13 @@ package object functions {
   def pcmFingerprint(c: Column): Column =
     Bridge.column(PcmFingerprint(Bridge.expression(c)))
 
+  /** DEFLATE-compressed byte length (custom codegen'd Catalyst
+    * expression, see [[graft.functions.DeflateLen]]) — the
+    * compression-ratio quality signal.
+    */
+  def deflateLen(c: Column): Column =
+    Bridge.column(DeflateLen(Bridge.expression(c)))
+
   /** Cosine similarity of two float/double vectors (custom codegen'd
     * Catalyst expression, see [[graft.functions.CosineSim]]) — the
     * fused-loop hot path for similarity search.

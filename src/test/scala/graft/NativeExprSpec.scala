@@ -435,4 +435,44 @@ class NativeExprSpec extends SparkSuite {
     val edited = base ++ Array.fill(4)(122.toByte)
     assert(java.lang.Long.bitCount(ref(base) ^ ref(edited)) <= 2)
   }
+
+  test("deflateLen: repetitive text compresses far below diverse text; deterministic; codegen matches eval") {
+    import spark.implicits._
+    val rep = "spam template spam template " * 200
+    val div = (1 to 800).map(i => (i * 2654435761L % 99991).toString)
+      .mkString(" ")
+    val df = Seq((1L, rep), (2L, div), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val stats = snap(graft.ext.TextAnalysis.compressionStats(df))
+    val (repB, repD, repR) = stats(1L)
+    val (divB, divD, divR) = stats(2L)
+    // ordering law: boilerplate ratio is a small fraction of diverse's
+    assert(repR > 0 && repR * 5 < divR, s"rep=$repR div=$divR")
+    assert(repD < repB && divD < divB)
+    // null text: 0 bytes, 0 deflate, null ratio — and the row survives
+    assert(stats(3L) == ((0L, 0L, -1L)), stats(3L))
+    // determinism: a second evaluation is bit-identical
+    assert(snap(graft.ext.TextAnalysis.compressionStats(df)) == stats)
+    // interpreted eval (no codegen path) agrees with the codegen'd run
+    val evalLen = graft.functions.DeflateLen(
+      org.apache.spark.sql.catalyst.expressions.Literal(rep))
+      .eval(null).asInstanceOf[Long]
+    assert(evalLen == repD, s"$evalLen vs $repD")
+    // SQL surface
+    val sql = spark.sql("SELECT deflate_len('aaaaaaaaaaaaaaaaaaaa') AS d")
+      .collect().head.getLong(0)
+    assert(sql > 0 && sql < 20, sql)
+    // per-domain rollup law: totals are exact sums of the per-doc stats
+    val dom = Seq(("a", rep), ("a", div), ("b", div))
+      .toDF("source", "text")
+    val rpt = graft.ext.TextAnalysis.compressionReport(dom)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rpt("a") == ((2L, repB + divB, repD + divD)), rpt("a"))
+    assert(rpt("b") == ((1L, divB, divD)), rpt("b"))
+  }
 }

@@ -96,6 +96,12 @@ class SqlSurfaceSpec extends SparkSuite {
       .collect().head.getString(0)
     assert(redSql == "<EMAIL> then <IP> then <NUM>", redSql)
 
+    // mojibake repair via SQL matches the Column API fold
+    val mjSql = spark.sql(
+      "SELECT fix_mojibake('cafÃ© â€œquotedâ€™') AS m")
+      .collect().head.getString(0)
+    assert(mjSql == "café \"quoted'", mjSql)
+
     // integral literal knobs of any width resolve (SQL generators emit
     // typed literals); non-literal knobs are analysis-time errors
     val wide = spark.sql(
