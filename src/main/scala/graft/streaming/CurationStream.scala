@@ -190,6 +190,7 @@ object CurationStream {
           benchmark: Option[DataFrame] = None, minOverlap: Int = 1,
           broadcastDim: Boolean = true, redactPii: Boolean = false,
           gopherGate: Boolean = false,
+          minCompressionX1000: Int = 0,
           features: Option[FeatureAsOf] = None,
           langGate: Option[LangGate] = None,
           qualityGate: Option[QualityGate] = None,
@@ -272,11 +273,19 @@ object CurationStream {
       // still a pure codegen'd per-row map (one native expression, zero
       // extra shuffle), so spam that repeats itself past the 2-gram
       // signal's reach is dropped in-stream too
+      // `minCompressionX1000` (0 = off) adds the deflate boilerplate
+      // cut: drop docs whose per-mille compression ratio falls below
+      // the floor (template spam compresses far harder than prose) —
+      // another pure per-row native expression, zero extra shuffle
       val gated = admitted
         .withColumn("quality",
           TextAnalysis.qualityScore(col(textCol)).cast("long"))
         .filter(col("quality") >= minQuality &&
           (if (gopherGate) TextAnalysis.gopherPass(col(textCol))
+           else lit(true)) &&
+          (if (minCompressionX1000 > 0)
+            expr(s"deflate_len(`$textCol`) * 1000 div " +
+              s"octet_length(`$textCol`)") >= minCompressionX1000.toLong
            else lit(true)))
       // model quality gate: score the rule-passing batch under the
       // PINNED persisted classifier, keep only `keep`-labeled docs

@@ -372,6 +372,41 @@ class IngestGateSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("composed curation stream compression gate drops boilerplate the n-gram cuts pass") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    val clean = ((1 to 40).map(i => s"cz${i}w${i * 7 % 13}") :+ "the")
+      .mkString(" ")
+    // distinct words everywhere (2-gram and Gopher dup-gram signals
+    // both pass) but a tiny underlying alphabet repeated — deflate is
+    // the only signal that sees it
+    val boiler = "the " + Seq.fill(60)("aaaa bbbb").mkString(" ")
+    val name = "t_cur_deflate"
+    val dimDir = java.nio.file.Files.createTempDirectory("df-dim").toString
+    ManifestStore.seed(
+      Seq((0, "crawlA")).toDF("source_id", "source"), "source_id", dimDir)
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("df-ckpt").toString,
+      minQuality = 0, minCompressionX1000 = 100) { (out, _) =>
+      out.select("doc_id", "quality").collect().foreach(r =>
+        IngestGateSpec.curated.add((r.getLong(0), r.getLong(1), "")))
+    }
+    try {
+      ms.addData((1L, clean, 0), (2L, boiler, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(IngestGateSpec.curated.asScala.toSet
+      .map((t: (Long, Long, String)) => t._1) == Set(1L),
+      s"curated: ${IngestGateSpec.curated.asScala.toSet}")
+    // layering unchanged: the gate admitted both upstream of the cut
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("composed curation stream redacts PII in-stream before the sink; raw text still keys dedup") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
