@@ -3037,6 +3037,40 @@ object LlmQueries {
         Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 6)
     }.sortedBy(col("query_id"), col("rank")),
 
+    // ── Semantic packing (in-context-pretraining layout) ───────────
+    // Related documents land in the same training pack: docs take
+    // their embedding's IVF cell (trainCentroids + assignCells — the
+    // proven quantizer CTEs) and pack cell-ordered (curriculumPack
+    // with stage = cell), so a context window reads topically related
+    // neighbors instead of random crawl order.
+    QueryDef("t_semantic_pack",
+      s"""WITH ${ivfCtes(k = 16, nProbe = 1, queryPred = "FALSE",
+              "embeddings")},
+         |spt AS (SELECT d.doc_id, a.cell,
+         |  CASE WHEN d.text IS NULL THEN 0
+         |       ELSE len(string_split(d.text, ' ')) END AS toks,
+         |  ${polyhash("CAST(d.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM documents d JOIN assigned a ON a.vec_id = d.doc_id),
+         |spc AS (SELECT doc_id, cell, toks,
+         |  sum(toks) OVER (ORDER BY cell, bkt, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM spt)
+         |SELECT doc_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST((cum - toks) // 512 AS BIGINT) AS pack
+         |FROM spc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, k = 16)
+      val cells = Similarity.assignCells(emb, cents)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("text").isNull, 0)
+            .otherwise(size(split(col("text"), " "))).as("toks"))
+        .join(cells, "doc_id")
+      graft.ext.Packing.curriculumPack(staged, col("doc_id"),
+          col("toks"), col("cell"), 512L)
+        .select(col("doc_id"), col("cell"), col("pack"))
+    }.sortedBy(col("doc_id")),
+
     // ── Hard-negative mining ───────────────────────────────────────
     // Exact rung: per anchor, the 10 highest-cosine DIFFERENT-label
     // vectors (the negatives a contrastive loss actually learns from).
