@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeMergeTokens, CosineSim, DeflateLen, LshBuckets, MinHashSig, PolyHash, ShingleHashes, SimHash, VocabTokenCount, WordTfs}
+import graft.functions.{BpeMergeTokens, CosineSim, DeflateLen, LshBuckets, MinHashSig, PolyHash, PolyHash64, ShingleHashes, SimHash, VocabTokenCount, WordTfs}
 
 /** SparkSessionExtensions hook registering the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT polyhash(text),
@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "polyhash(str) takes 1 argument")
         PolyHash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("polyhash64"),
+      new ExpressionInfo(classOf[PolyHash64].getName, "polyhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "polyhash64(str) takes 1 argument")
+        PolyHash64(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

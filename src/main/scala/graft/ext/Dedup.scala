@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.polyFingerprint
+import graft.functions.{polyFingerprint, polyFingerprint64}
 
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH
   * near-dup, SimHash, and n-gram Jaccard — designed for the 100 TB
@@ -871,10 +871,11 @@ object Dedup {
     * document — null text stays null, a fully-deduplicated document
     * becomes the empty string, so corpus row count is preserved.
     *
-    * Dedup is by PolyHash of the passage text (the engine-portable
-    * integer hash the whole dedup family shares); as with any
-    * hash-keyed dedup, a 31-bit collision merges unrelated passages —
-    * the standard trade the reference family makes, disclosed here.
+    * Dedup is by the 62-bit packed double PolyHash of the passage
+    * text ([[graft.functions.PolyHash64]]): content-keyed collapse
+    * must survive corpus scale, and a 31-bit key space birthday-
+    * collides around 2¹⁶ distinct passages — 62 bits pushes the bound
+    * past 2³¹ (collisions remain possible in principle, disclosed).
     *
     * `perDocument = true` scopes duplication to WITHIN each document —
     * the intra-doc repeated-span trim (choruses, templated
@@ -1026,7 +1027,7 @@ object Dedup {
     val keyOk = idL.isNotNull && idL >= 0 && idL < MaxPassageDocId &&
       col("chunk_id") < PassageKeyBase
     val p = chunksRel
-      .withColumn("__pd_h", polyFingerprint(col("chunk_text")))
+      .withColumn("__pd_h", polyFingerprint64(col("chunk_text")))
       .withColumn("__pd_k",
         when(keyOk, idL * PassageKeyBase + col("chunk_id"))
           .otherwise(raise_error(concat(
@@ -1299,7 +1300,7 @@ object Dedup {
           sequence(lit(0), size(col("__ds_ws")) - minLen))
           .otherwise(array().cast("array<int>"))).as("__ds_i"))
     val p = wins.select(col(idCol), col("__ds_i"),
-      polyFingerprint(concat_ws(" ",
+      polyFingerprint64(concat_ws(" ",
         slice(col("__ds_ws"), col("__ds_i") + 1, lit(minLen)))).as("__ds_h"),
       when(keyOk, idL * PassageKeyBase + col("__ds_i"))
         .otherwise(raise_error(concat(
@@ -1447,7 +1448,7 @@ object Dedup {
                           textCol: String = "text"): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        polyFingerprint(TextAnalysis.normalizeText(col(textCol)))
+        polyFingerprint64(TextAnalysis.normalizeText(col(textCol)))
           .as("norm_fp"))
       .groupBy("norm_fp")
       .agg(min(col(idCol)).as("keep_id"),
@@ -1500,7 +1501,7 @@ object Dedup {
                      textCol: String = "text"): DataFrame =
     docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
       .groupBy(col(domainCol),
-        polyFingerprint(col(textCol)).as("__dr_fp"))
+        polyFingerprint64(col(textCol)).as("__dr_fp"))
       .agg(count(lit(1)).as("__dr_c"))
       .groupBy(domainCol)
       .agg(sum("__dr_c").as("n_docs"),
@@ -1521,7 +1522,7 @@ object Dedup {
                  textCol: String = "text"): DataFrame =
     docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
       .select(col(idCol), col(domainCol),
-        polyFingerprint(col(textCol)).as("content_fp"))
+        polyFingerprint64(col(textCol)).as("content_fp"))
       .groupBy("content_fp")
       .agg(countDistinct(col(domainCol)).as("n_sources"),
         count(lit(1)).as("n_copies"),

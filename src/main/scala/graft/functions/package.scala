@@ -46,6 +46,13 @@ package object functions {
   def polyFingerprint(c: Column): Column =
     Bridge.column(PolyHash(Bridge.expression(c)))
 
+  /** 62-bit packed double polynomial fingerprint (see
+    * [[graft.functions.PolyHash64]]) — the content-dedup key whose
+    * birthday bound survives corpus scale.
+    */
+  def polyFingerprint64(c: Column): Column =
+    Bridge.column(PolyHash64(Bridge.expression(c)))
+
   /** Energy-delta acoustic fingerprint of an 8-bit PCM buffer (custom
     * codegen'd Catalyst expression, see
     * [[graft.functions.PcmFingerprint]]).

@@ -22,6 +22,17 @@ object LlmOracle {
        |      i -> CAST(ord(substring($expr, i, 1)) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
 
+  /** 62-bit packed double PolyHash (mirrors functions.PolyHash64):
+    * h31 · (2³¹−19) + h37, the content-dedup key whose birthday bound
+    * survives corpus scale.
+    */
+  def polyhash64(expr: String): String =
+    s"""(${polyhash(expr)} * 2147483629 + list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length($expr)),
+       |      i -> CAST(ord(substring($expr, i, 1)) AS BIGINT))),
+       |  (acc, c) -> (acc * 37 + c) % 2147483629))""".stripMargin
+
   /** CTE: doc_id + distinct 3-word-shingle hash set per document of
     * `rel` (any relation exposing doc_id + text). `prefix` renames the
     * chain (`<p>words`/`<p>shing`/`<p>hashes`) so a query can carry two
@@ -2281,7 +2292,7 @@ object LlmQueries {
          |    i -> struct_pack(cid := CAST(i - 1 AS BIGINT), ct := ls[i])))
          |    AS u FROM gls),
          |ph AS (SELECT doc_id, u.cid AS cid, u.ct AS ct,
-         |  ${polyhash("u.ct")} AS h,
+         |  ${polyhash64("u.ct")} AS h,
          |  doc_id * ${Dedup.PassageKeyBase} + u.cid AS k FROM lp),
          |f AS (SELECT h, min(k) AS mk FROM ph GROUP BY h),
          |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
@@ -2341,6 +2352,16 @@ object LlmQueries {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }.sortedBy(col("doc_id")),
+
+    // 62-bit packed double fingerprint — the content-dedup key whose
+    // birthday bound survives corpus scale (the passage/line/mirror
+    // exact-collapse families key on THIS).
+    QueryDef("t_fingerprint64",
+      s"""SELECT doc_id, ${polyhash64("text")} AS fingerprint64
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.polyFingerprint64(col("text")).as("fingerprint64"))
     }.sortedBy(col("doc_id")),
 
     // Same fingerprint through the SQL surface: GraftExtensions
@@ -2495,7 +2516,7 @@ object LlmQueries {
     // Per-domain exact-dup rates: which feed ships dupes — the triage
     // number deciding where dedup effort goes.
     QueryDef("t_domain_dup_rate",
-      s"""WITH ddr AS (SELECT source, ${polyhash("text")} AS fp,
+      s"""WITH ddr AS (SELECT source, ${polyhash64("text")} AS fp,
          |    CAST(count(*) AS BIGINT) AS c
          |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
          |  GROUP BY 1, 2)
@@ -2519,7 +2540,7 @@ object LlmQueries {
          |  SELECT doc_id + 100000,
          |         'src' || CAST((doc_id + 1) % 20 AS VARCHAR), text
          |  FROM documents WHERE doc_id < 15),
-         |mg AS (SELECT ${polyhash("text")} AS content_fp,
+         |mg AS (SELECT ${polyhash64("text")} AS content_fp,
          |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |    CAST(count(*) AS BIGINT) AS n_copies,
          |    min(doc_id) AS keep_id
@@ -2545,7 +2566,7 @@ object LlmQueries {
          |  UNION ALL
          |  SELECT doc_id + 100000, upper(text) || ' !!'
          |  FROM documents WHERE doc_id < 20),
-         |ng AS (SELECT ${polyhash(norm("text"))} AS norm_fp,
+         |ng AS (SELECT ${polyhash64(norm("text"))} AS norm_fp,
          |         min(doc_id) AS keep_id,
          |         CAST(count(*) AS BIGINT) AS n_copies
          |       FROM nm WHERE text IS NOT NULL GROUP BY 1)
@@ -3440,7 +3461,7 @@ object LlmQueries {
          |       WHEN q.quality >= 3 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_pass
          |  FROM db d JOIN qscored q USING (doc_id) GROUP BY 1),
-         |dfp AS (SELECT source, ${polyhash("text")} AS fp,
+         |dfp AS (SELECT source, ${polyhash64("text")} AS fp,
          |    CAST(count(*) AS BIGINT) AS c
          |  FROM db WHERE text IS NOT NULL GROUP BY 1, 2),
          |ddup AS (SELECT source,
@@ -5426,7 +5447,7 @@ object LlmQueries {
          |         ELSE [] END) AS st FROM w),
          |p AS (SELECT doc_id, CAST(st // 8 AS BIGINT) AS cid,
          |  array_to_string(ws[st+1:st+8], ' ') AS ct FROM s),
-         |ph AS (SELECT doc_id, cid, ct, ${polyhash("ct")} AS h,
+         |ph AS (SELECT doc_id, cid, ct, ${polyhash64("ct")} AS h,
          |  doc_id * ${Dedup.PassageKeyBase} + cid AS k FROM p),
          |f AS (SELECT h, min(k) AS mk FROM ph GROUP BY h),
          |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
@@ -5464,7 +5485,7 @@ object LlmQueries {
          |         ELSE [] END) AS st FROM w),
          |p AS (SELECT doc_id, CAST(st // 8 AS BIGINT) AS cid,
          |  array_to_string(ws[st+1:st+8], ' ') AS ct FROM s),
-         |ph AS (SELECT doc_id, cid, ct, ${polyhash("ct")} AS h,
+         |ph AS (SELECT doc_id, cid, ct, ${polyhash64("ct")} AS h,
          |  doc_id * ${Dedup.PassageKeyBase} + cid AS k FROM p),
          |f AS (SELECT doc_id, h, min(k) AS mk FROM ph GROUP BY 1, 2),
          |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
@@ -5523,7 +5544,7 @@ object LlmQueries {
          |p AS (SELECT doc_id, CAST(j - 2 AS BIGINT) AS cid,
          |    array_to_string(ws[bounds[j-1]+1 : bounds[j]], ' ') AS ct
          |  FROM cch),
-         |ph AS (SELECT doc_id, cid, ct, ${polyhash("ct")} AS h,
+         |ph AS (SELECT doc_id, cid, ct, ${polyhash64("ct")} AS h,
          |  doc_id * ${Dedup.PassageKeyBase} + cid AS k FROM p),
          |f AS (SELECT h, min(k) AS mk FROM ph GROUP BY h),
          |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
@@ -5569,7 +5590,7 @@ object LlmQueries {
          |         ELSE [] END) AS wi FROM w),
          |wt AS (SELECT doc_id, wi,
          |  array_to_string(ws[wi+1:wi+10], ' ') AS t10 FROM wins),
-         |h AS (SELECT doc_id, wi, ${polyhash("t10")} AS h,
+         |h AS (SELECT doc_id, wi, ${polyhash64("t10")} AS h,
          |  doc_id * ${Dedup.PassageKeyBase} + wi AS k FROM wt),
          |f AS (SELECT h, count(*) AS c, min(k) AS mk FROM h GROUP BY h),
          |fl AS (SELECT h.doc_id, h.wi FROM h JOIN f ON f.h = h.h
@@ -5618,7 +5639,7 @@ object LlmQueries {
          |         ELSE [] END) AS wi FROM w),
          |wt AS (SELECT doc_id, wi,
          |  array_to_string(ws[wi+1:wi+10], ' ') AS t10 FROM wins),
-         |h AS (SELECT doc_id, wi, ${polyhash("t10")} AS h,
+         |h AS (SELECT doc_id, wi, ${polyhash64("t10")} AS h,
          |  doc_id * ${Dedup.PassageKeyBase} + wi AS k FROM wt),
          |f AS (SELECT h, count(*) AS c, min(k) AS mk FROM h GROUP BY h),
          |fl AS (SELECT h.doc_id, h.wi FROM h JOIN f ON f.h = h.h

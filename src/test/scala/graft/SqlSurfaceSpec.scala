@@ -96,6 +96,13 @@ class SqlSurfaceSpec extends SparkSuite {
       .collect().head.getString(0)
     assert(redSql == "<EMAIL> then <IP> then <NUM>", redSql)
 
+    // the 62-bit packed fingerprint: SQL matches the Column API and
+    // the packing law (h64 divmod 2147483629 recovers h31)
+    val fp = spark.sql("SELECT polyhash64('abc') AS h64, " +
+      "polyhash('abc') AS h31").collect().head
+    assert(fp.getLong(0) / 2147483629L == fp.getLong(1),
+      s"${fp.getLong(0)} vs ${fp.getLong(1)}")
+
     // mojibake repair via SQL matches the Column API fold
     val mjSql = spark.sql(
       "SELECT fix_mojibake('cafÃ© â€œquotedâ€™') AS m")
