@@ -173,7 +173,7 @@ object Multimodal {
   def exactDupGroups(media: DataFrame): DataFrame = {
     val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
     media.select(col("media_id"),
-        graft.functions.polyFingerprint(payload).as("content_fp"))
+        graft.functions.polyFingerprint64(payload).as("content_fp"))
       .groupBy("content_fp")
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }

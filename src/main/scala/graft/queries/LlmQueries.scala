@@ -5981,15 +5981,15 @@ object LlmQueries {
     // Duplicate payloads are PLANTED in SQL on both sides (a re-crawl
     // copy of every doc_id < 20 under a shifted media id), so the
     // grouping is exercised on real collisions; only multi-copy groups
-    // are emitted. The fingerprint is the binary PolyHash — equal to
-    // the string PolyHash on UTF-8 text (NativeExprSpec), which is
-    // what the oracle computes.
+    // are emitted. The fingerprint is the binary PolyHash64 — equal
+    // to the string PolyHash64 on UTF-8 text (NativeExprSpec), which
+    // is what the oracle computes.
     QueryDef("t_media_dup_groups",
       s"""WITH m AS (
          |  SELECT doc_id AS media_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
-         |g AS (SELECT ${polyhash("coalesce(text, '')")} AS content_fp,
+         |g AS (SELECT ${polyhash64("coalesce(text, '')")} AS content_fp,
          |        min(media_id) AS keep_id,
          |        CAST(count(*) AS BIGINT) AS n_copies
          |      FROM m GROUP BY 1)

@@ -436,6 +436,21 @@ class NativeExprSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(ref(base) ^ ref(edited)) <= 2)
   }
 
+  test("polyhash64: binary overload equals the string path on UTF-8 text; packing recovers both halves") {
+    import spark.implicits._
+    val df = Seq("alpha beta", "", "zz").toDF("t")
+    val got = df.select(
+        graft.functions.polyFingerprint64(col("t")).as("s64"),
+        graft.functions.polyFingerprint64(col("t").cast("binary")).as("b64"),
+        graft.functions.polyFingerprint(col("t")).as("h31"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (s64, b64, h31) =>
+      assert(s64 == b64)
+      assert(s64 / 2147483629L == h31) // packing law: high half = h31
+      assert(s64 >= 0L)
+    }
+  }
+
   test("deflateLen: repetitive text compresses far below diverse text; deterministic; codegen matches eval") {
     import spark.implicits._
     val rep = "spam template spam template " * 200
