@@ -251,6 +251,122 @@ object EventFeatureStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout())(fn _)(stateEnc, outEnc)
   }
 
+  /** STREAMING session transcripts — the incremental complement of
+    * [[graft.ops.EventFeatures.sessionTranscripts]]: per-key state
+    * buffers the OPEN session's ordered turn types; a session row
+    * (keys..., session_idx, n_turns, transcript) is emitted exactly
+    * when the session CLOSES — a later event arrives past the gap, or
+    * (with `timeoutMs` > 0) the key goes idle for that long in
+    * processing time (the idle-flush every session-window system
+    * ships). Closed-session rows equal the batch operator's over a
+    * closed per-key-ordered log (spec-gated); the same arrival-order
+    * contract as [[lagFeatures]] applies across batches.
+    *
+    * Scale shape: ONE stateful key exchange; per-key state is the open
+    * session's turn list — GAP-BOUNDED (a session ends after
+    * `sessionGap` of silence), never history-sized, the exact bound
+    * the batch operator's per-session collect relies on. Null
+    * key/time/type events are not turns and are skipped (the batch
+    * contract).
+    */
+  def sessionTranscripts(events: DataFrame,
+                         keys: Seq[String] = Seq("user_id"),
+                         timeCol: String = "ts", idCol: String = "event_id",
+                         typeCol: String = "event_type",
+                         sessionGap: Long = 300L * 1000000L,
+                         timeoutMs: Long = -1L): DataFrame = {
+    require(keys.nonEmpty, "sessionTranscripts needs at least one key column")
+    require(sessionGap > 0, s"sessionGap must be positive, got $sessionGap")
+    val t: Column = events.schema(timeCol).dataType match {
+      case TimestampType    => unix_micros(col(timeCol))
+      case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
+      case _                => col(timeCol).cast("long")
+    }
+    val withT = events.withColumn("__ef_t", t)
+    val inSchema = withT.schema
+    val tIdx = inSchema.fieldIndex("__ef_t")
+    val idIdx = inSchema.fieldIndex(idCol)
+    val typeIdx = inSchema.fieldIndex(typeCol)
+    val keyIdxs = keys.map(inSchema.fieldIndex)
+
+    val keySchema = StructType(keys.map(kc => inSchema(inSchema.fieldIndex(kc))))
+    val stateSchema = StructType(Seq(
+      StructField("last_t", LongType, nullable = false),
+      StructField("session_idx", LongType, nullable = false),
+      StructField("turns", ArrayType(StringType), nullable = false)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("session_idx", LongType, nullable = false),
+      StructField("n_turns", LongType, nullable = false),
+      StructField("transcript", StringType, nullable = false)))
+    val keyEnc = Encoders.row(keySchema)
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+
+    def cmpId(a: Any, b: Any): Int = (a, b) match {
+      case (null, null)           => 0
+      case (null, _)              => -1
+      case (_, null)              => 1
+      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x, y)                 => x.toString.compareTo(y.toString)
+    }
+
+    def sessionRow(key: Row, sess: Long, turns: Seq[String]): Row =
+      Row.fromSeq((0 until key.size).map(key.get) ++
+        Seq(sess, turns.size.toLong, turns.mkString(" ")))
+
+    def fn(key: Row, it: Iterator[Row], state: GroupState[Row]): Iterator[Row] = {
+      if (state.hasTimedOut) {
+        // idle flush: the open session closes by silence
+        val s = state.get
+        state.remove()
+        val turns = s.getSeq[String](2)
+        if (turns.nonEmpty)
+          Iterator.single(sessionRow(key, s.getLong(1), turns))
+        else Iterator.empty
+      } else {
+        val keyNull = (0 until key.size).exists(key.isNullAt)
+        val valid = it.toVector.filter(r =>
+          !keyNull && !r.isNullAt(tIdx) && !r.isNullAt(typeIdx))
+        if (valid.isEmpty) Iterator.empty
+        else {
+          val ordered = valid.sortWith { (a, b) =>
+            val c = java.lang.Long.compare(a.getLong(tIdx), b.getLong(tIdx))
+            if (c != 0) c < 0 else cmpId(a.get(idIdx), b.get(idIdx)) < 0
+          }
+          var (lastT, sess, turns) = state.getOption match {
+            case Some(s) =>
+              (Some(s.getLong(0)), s.getLong(1),
+                s.getSeq[String](2).toVector)
+            case None => (None: Option[Long], 1L, Vector.empty[String])
+          }
+          val closed = Vector.newBuilder[Row]
+          ordered.foreach { r =>
+            val tv = r.getLong(tIdx)
+            if (lastT.exists(p => tv - p > sessionGap)) {
+              if (turns.nonEmpty) closed += sessionRow(key, sess, turns)
+              turns = Vector.empty
+              sess += 1
+            }
+            turns :+= r.getString(typeIdx)
+            lastT = Some(tv)
+          }
+          state.update(Row(lastT.get, sess, turns))
+          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+          closed.result().iterator
+        }
+      }
+    }
+
+    withT
+      .groupByKey((r: Row) => Row.fromSeq(keyIdxs.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append,
+        if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fn _)(stateEnc, outEnc)
+  }
+
   /** Streaming per-key event-rate anomaly flags: each micro-batch's
     * events bin exactly as [[graft.ops.EventFeatures.rateAnomalies]]
     * does, the counts ACCUMULATE in a [[ManifestStore]] under

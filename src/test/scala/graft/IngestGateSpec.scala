@@ -959,6 +959,90 @@ class IngestGateSpec extends SparkSuite {
     assert(byId(99L) == ((99L, None, None, None, None)), byId(99L))
   }
 
+  test("streaming session transcripts emit closed sessions equal to the batch operator; restart carries the open tail; idle timeout flushes") {
+    import spark.implicits._
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, String)]()
+    val srcDir = java.nio.file.Files.createTempDirectory("sts-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sts-ckpt").toString
+    val schema = Seq((0L, 0L, 0L, "x"))
+      .toDF("event_id", "user_id", "ts", "event_type").schema
+    def start(timeoutMs: Long = -1L) =
+      graft.streaming.EventFeatureStream.sessionTranscripts(
+          spark.readStream.schema(schema).parquet(srcDir),
+          keys = Seq("user_id"), timeCol = "ts", idCol = "event_id",
+          typeCol = "event_type", sessionGap = 1000L,
+          timeoutMs = timeoutMs)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (out: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          out.collect().foreach(r => got.add(
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))))
+        }.start()
+    // batch 1: user 1 session A (2 turns); a null-type event is not a
+    // turn; nothing closes yet
+    Seq((1L, 1L, 10L, "view"), (2L, 1L, 110L, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .unionByName(Seq((98L, 1L, 120L)).toDF("event_id", "user_id", "ts")
+        .withColumn("event_type", lit(null).cast("string")))
+      .write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(got.isEmpty, s"no session closed yet: ${got.asScala.toSet}")
+    // RESTART; batch 2: user 1 jumps the gap twice — closes session 1,
+    // then session 2 — leaving session 3 open
+    Seq((3L, 1L, 2000L, "buy"), (4L, 1L, 4000L, "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(got.asScala.toSet == Set(
+      (1L, 1L, 2L, "view click"), (1L, 2L, 1L, "buy")),
+      s"closed sessions: ${got.asScala.toSet}")
+    // the closed rows equal the batch operator's rows for them
+    val batch = graft.ops.EventFeatures.sessionTranscripts(
+        Seq((1L, 1L, 10L, "view"), (2L, 1L, 110L, "click"),
+          (3L, 1L, 2000L, "buy"), (4L, 1L, 4000L, "view"))
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        keys = Seq("user_id"), timeCol = "ts", idCol = "event_id",
+        typeCol = "event_type", sessionGap = 1000L)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got.asScala.toSet.subsetOf(batch), s"$batch")
+    // idle-timeout flush: a FRESH stream (timeout mode changes the
+    // state-store schema, so it owns its checkpoint) with a short
+    // processing-time timeout; other-key pings keep micro-batches
+    // running so the expired timer fires
+    got.clear()
+    val srcDir2 = java.nio.file.Files.createTempDirectory("sts-src2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("sts-ckpt2").toString
+    Seq((10L, 1L, 10L, "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.mode("append").parquet(srcDir2)
+    val q3 = graft.streaming.EventFeatureStream.sessionTranscripts(
+        spark.readStream.schema(schema).parquet(srcDir2),
+        keys = Seq("user_id"), timeCol = "ts", idCol = "event_id",
+        typeCol = "event_type", sessionGap = 1000L, timeoutMs = 600L)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (out: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out.collect().foreach(r => got.add(
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))))
+      }.start()
+    try {
+      q3.processAllAvailable()
+      Thread.sleep(1200)
+      var ping = 50L
+      val deadline = System.currentTimeMillis() + 20000
+      while (!got.asScala.exists(_._1 == 1L) &&
+             System.currentTimeMillis() < deadline) {
+        Seq((ping, 2L, 9000L + ping, "ping"))
+          .toDF("event_id", "user_id", "ts", "event_type")
+          .write.mode("append").parquet(srcDir2)
+        ping += 1
+        q3.processAllAvailable()
+        Thread.sleep(600)
+      }
+    } finally q3.stop()
+    assert(got.asScala.toSet.contains((1L, 1L, 1L, "view")),
+      s"idle session must flush: ${got.asScala.toSet}")
+  }
+
   test("streaming rate anomalies accumulate bin history in the store and match the batch operator") {
     import spark.implicits._
     val got = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long)]()
