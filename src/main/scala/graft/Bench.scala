@@ -3,16 +3,36 @@ package graft
 import graft.core.Sessions
 
 /** Throughput benchmark over the headline queries (driver-run per round →
-  * BENCH_r{N}.json). Design notes (round-1 + round-2 verdict fixes):
+  * BENCH_r{N}.json). Design notes (round-1 + round-2 verdict fixes;
+  * restructured round 17 after the r16 driver run was SIGTERM-killed):
   *
-  *  - one *warm-up* pass (untimed) so JIT/parquet-footer/session warm-up
+  *  - one *warm-up* pass (untimed for the medians, but recorded as a
+  *    COLD fallback sample) so JIT/parquet-footer/session warm-up
   *    doesn't land on whichever query happens to run first;
-  *  - `iters` TIMED SWEEPS (default 3) in deterministic (name-sorted)
-  *    order, reporting the per-query MEDIAN: single-pass times carried
-  *    ±2 s run-to-run variance under system contention — comparable to
-  *    the per-query times themselves. Sweeps interleave queries rather
-  *    than back-to-back repeating one, so a contention spike degrades one
-  *    sample of many queries instead of all samples of one;
+  *  - up to `iters` TIMED SWEEPS (default 5) in deterministic
+  *    (name-sorted) order, reporting the per-query MEDIAN: single-pass
+  *    times carried ±2 s run-to-run variance under system contention.
+  *    Sweeps interleave queries rather than back-to-back repeating one,
+  *    so a contention spike degrades one sample of many queries instead
+  *    of all samples of one;
+  *  - WALL-CLOCK BUDGET (round-17 fix): `SPARK_GRAFT_BENCH_BUDGET_SECS`
+  *    (default 1400) bounds the whole run. The r16 driver run overran
+  *    its harness timeout on a load-12 box (222 queries × 6 passes),
+  *    took a SIGTERM, and Spark's shutdown hook stopped the context
+  *    while the sweep loop was still running — every remaining query
+  *    recorded a bogus "stopped SparkContext"/INTERNAL_ERROR failure
+  *    and the artifact carried 0 samples. Now: the streaming anchors
+  *    run FIRST (fixed ~3-rep cost), the warm-up always completes, and
+  *    additional sweeps run only while the remaining budget fits
+  *    another pass (estimated from the last pass's duration). At least
+  *    one timed sweep always runs;
+  *  - KILL INSURANCE: a JVM shutdown hook emits the artifact + trailer
+  *    from whatever samples exist (marked `"partial":true`; queries
+  *    with only the warm-up sample fall back to it, counted in
+  *    `cold_n`), so even a harness SIGTERM leaves a complete parseable
+  *    record instead of rc-124 silence. A stopped SparkContext mid-run
+  *    aborts the loops with ONE `context_stopped` entry instead of
+  *    per-query junk;
   *  - the timed action is a `noop`-format write — materializes every row
   *    and column (unlike `count()`, which lets Catalyst prune columns and
   *    eliminate sorts, under-measuring the plan);
@@ -20,11 +40,9 @@ import graft.core.Sessions
   *    and is listed in `failed`, never silently contributing a fake time;
   *  - bench plans exclude verification-only output sorts
   *    (SparkEntry.benchQueries vs .queries);
-  *  - `iters` defaults to 5 and `queries_stats` carries a TRIMMED mean
-  *    (drop one min + one max) beside the median: 3 samples under
-  *    system contention skewed round-over-round reads (a 17.99 s max on
-  *    a 3 s-median query); n=5 with a trimmed mean absorbs one outlier
-  *    completely;
+  *  - `queries_stats` carries a TRIMMED mean (drop one min + one max)
+  *    beside the median: n≥3 with a trimmed mean absorbs one
+  *    contention outlier completely;
   *  - the two STREAMING anchors (composed curation flagship docs/s,
   *    ratings-topology ev/s) run `SPARK_GRAFT_BENCH_STREAM_REPS`
   *    (default 3) times each, untimed-warm-up included per rep, and
@@ -60,10 +78,21 @@ import graft.core.Sessions
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsedSecs: Double = (System.nanoTime() - wallStart) / 1e9
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "1400")
+      .toDouble.max(60.0)
+    def remainingSecs: Double = budgetSecs - elapsedSecs
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = Sessions.build("graft-bench", cpus)
+    // ERROR, not WARN: the r16 driver tail was 100% WindowExec-warning
+    // spam (the deliberate tiny-table global windows), which crowded the
+    // useful bytes out of the driver's kept-tail window
+    spark.sparkContext.setLogLevel("ERROR")
+    def stopped: Boolean = spark.sparkContext.isStopped
 
     // Ambient-load context (round-14 verdict ask #3): this sandbox's
     // totals swing ±15% with NEIGHBOR contention (five same-code full
@@ -91,32 +120,16 @@ object Bench {
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warm-up: run everything once, untimed; a warm-up failure is recorded
-    // and the query skipped in the timed sweeps.
-    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    ordered.foreach { case (name, fn) =>
-      try runOnce(fn)
-      catch { case e: Throwable =>
-        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-      }
-    }
-
-    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    (1 to iters).foreach { _ =>
-      ordered.foreach { case (name, fn) =>
-        if (!failed.contains(name)) {
-          val t0 = System.nanoTime()
-          try {
-            runOnce(fn)
-            samples(name) = samples.getOrElse(name, Nil) :+
-              (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            samples.remove(name)
-          }
-        }
-      }
-    }
+    // Shared mutable run state. TrieMaps: the shutdown-hook emitter
+    // snapshots these WHILE the main thread may still be appending — a
+    // LinkedHashMap iteration would risk a ConcurrentModificationException
+    // exactly on the kill path the hook exists for.
+    val failed = scala.collection.concurrent.TrieMap[String, String]()
+    val samples = scala.collection.concurrent.TrieMap[String, List[Double]]()
+    val coldSamples = scala.collection.concurrent.TrieMap[String, Double]()
+    @volatile var streamStanza: Option[String] = None
+    @volatile var storeStanza: Option[String] = None
+    @volatile var sweepsDone = 0
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -130,71 +143,6 @@ object Bench {
       val kept = if (s.size >= 3) s.slice(1, s.size - 1) else s
       kept.sum / kept.size
     }
-    val results = ordered.map { case (name, _) =>
-      samples.get(name).filter(_.nonEmpty) match {
-        case Some(xs) => (name, median(xs), xs)
-        case None     => (name, -1.0, Nil)
-      }
-    }
-
-    // streaming anchors (MEDIAN of `streamReps` runs each, in-session):
-    // composed curation flagship + ratings topology — the durable
-    // per-round record of the numbers StreamBench's mains otherwise
-    // print into the void. Single runs carried ±2× run-to-run variance
-    // under sandbox contention (r11 verdict), too noisy to detect a
-    // real streaming regression; the median of 3 is the stable signal.
-    // `streamStanza` is the bare `{...}` object so it can be embedded in
-    // BOTH the big line and the trailer line.
-    val streamReps =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "3").toInt.max(1)
-    val streamStanza: Option[String] =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "0") None
-      else try {
-        // median rep by throughput (odd reps → true median); each rep
-        // gets its OWN gate store + sink tag — a shared store would make
-        // later reps see rep 1's docs as redeliveries and gate them all
-        def med(xs: Seq[(Double, Double, Long)]): (Double, Double, Long) =
-          xs.sortBy(_._1).apply(xs.size / 2)
-        // 4000-doc micro-batches — the batch size the flagship's
-        // published docs/s uses; StreamBench pins shuffle partitioning
-        // to the published 8-partition shape (thread count still
-        // follows SPARK_GRAFT_CPUS — compare like-configured rounds)
-        val (dps, dSecs, admitted) = med((1 to streamReps).map(r =>
-          StreamBench.pipelineRun(spark, 8000, 2,
-            storeName = s"bench_curation_$r")))
-        val (eps, eSecs, aggRows) = med((1 to streamReps).map(r =>
-          StreamBench.ratingsRun(spark, 60000, 6, tag = s"sbr$r")))
-        // round-14 anchor: the incremental flatMapGroupsWithState
-        // feature stage (EventFeatureStream.lagFeatures) — ev/s through
-        // per-key seq/lag/gap/session derivation
-        val (fps, fSecs, fRows) = med((1 to streamReps).map(r =>
-          StreamBench.featuresRun(spark, 60000, 6, tag = s"sbf$r")))
-        Some(f"""{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows,"features_events_per_sec":$fps%.0f,"features_secs":$fSecs%.2f,"features_rows":$fRows,"stream_reps":$streamReps}""")
-      } catch { case e: Throwable =>
-        // a streaming-anchor failure must cost the stream section, not
-        // the 5×62 batch samples already collected in this run
-        failed("stream") = Option(e.getMessage).getOrElse(e.getClass.getName)
-        None
-      }
-    val streamJson = streamStanza.map(s => s""""stream":$s,""").getOrElse("")
-
-    // gate-store operational snapshot (listing-only probe) — lets each
-    // round's artifact show whether the maintenance cadence is keeping
-    // version/file growth bounded; piggybacks on the store the curation
-    // anchor just wrote
-    val storeStanza: Option[String] = streamStanza.flatMap { _ =>
-      try {
-        val r = graft.streaming.IngestDedupGate
-          .storeStats(spark, s"bench_curation_$streamReps").collect().head
-        Some(s"""{"version":${r.getLong(0)},"dirs":${r.getLong(1)},"band_files":${r.getLong(2)},"band_bytes":${r.getLong(3)},"feat_files":${r.getLong(4)},"feat_bytes":${r.getLong(5)}}""")
-      } catch { case e: Throwable =>
-        // disclose, don't swallow: a corrupt store should show up as
-        // failed("store") in the artifact, not as a silently absent key
-        failed("store") = Option(e.getMessage).getOrElse(e.getClass.getName)
-        None
-      }
-    }
-
     def jstr(s: String): String = graft.core.Json.str(s)
 
     // Current ROUND number: env override, else (newest DRIVER-written
@@ -211,19 +159,9 @@ object Bench {
         .sortBy(identity).lastOption.map(_ + 1).getOrElse(1)
     }
 
-    // in-process regression check vs a prior artifact: point
-    // SPARK_GRAFT_BENCH_PREV at the previous round's artifact (or raw
-    // Bench stdout) and the trailer carries its own round-over-round
-    // verdict — shared queries slower than 1.3×, worst first — instead
-    // of leaving ratio reconstruction to a later BenchDiff run against a
-    // possibly-truncated tail.
-    // Default resolution (driver sets no env): the engine's own complete
-    // bench_full_r{M}.json for the newest round M < current round, else
-    // the driver's (tail-truncated) BENCH_r{M}.json, M < current round.
-    // The strict M < round guard is the round-13 advice fix: a re-run
-    // inside a round whose own artifact already landed must not produce
-    // a vacuous self-comparison.
-    // A default-resolved candidate must also MATCH the current sf: a
+    // Regression baseline resolution (all file I/O — done up front so the
+    // shutdown-hook emitter never touches the filesystem search path).
+    // A default-resolved candidate must MATCH the current sf: a
     // bench_full written by a local sf0.001 iteration must never serve
     // as the regression baseline for the driver's sf0.1 run (every
     // ratio would read ~100× slower). An explicit SPARK_GRAFT_BENCH_PREV
@@ -244,102 +182,261 @@ object Bench {
           .filter(sfMatches))
         .orElse(BenchDiff.newestArtifactBelow(cwd, """BENCH_r\d+\.json""", round)
           .filter(sfMatches))
-    val cur = results.collect {
-      case (k, m, xs) if xs.nonEmpty => k -> m
-    }.toMap
     val prevMedians: Option[(String, Map[String, Double])] =
       prevArtifact.flatMap { p =>
         try Some((new java.io.File(p).getName, BenchDiff.loadFile(p)._1))
         catch { case e: Throwable =>
           // disclose an unreadable prev artifact, don't fail the bench
-          failed("bench_prev") =
-            Option(e.getMessage).getOrElse(e.getClass.getName)
+          failed.putIfAbsent("bench_prev",
+            Option(e.getMessage).getOrElse(e.getClass.getName))
           None
         }
       }
-    // Bench tiers (round-15 verdict ask #6, rule recorded in BASELINE.md
-    // §Bench tiers): a query's tier follows its BASELINE median when a
-    // prev artifact covers it (so a query can't switch tiers by merely
-    // regressing), else its current median. `flagship` = train-per-query
-    // compositions (≥ 2 s); `core` = simple relational/windowed plans.
-    // One 1.3× gate over both kept drowning the signal: 1.35× on a 0.4 s
-    // core query is sandbox noise, the same ratio on a 5 s flagship is
-    // ~2 s of real work — so core regressions additionally need a ≥0.3 s
-    // absolute delta and a higher 1.5× ratio before they're flagged.
-    val TierCutSecs = 2.0
-    def tierOf(q: String): String = {
-      val base = prevMedians.flatMap(_._2.get(q)).orElse(cur.get(q)).getOrElse(0.0)
-      if (base >= TierCutSecs) "flagship" else "core"
-    }
-    val tiersJson: String = {
-      val byTier = cur.keys.toSeq.groupBy(tierOf)
-      Seq("core", "flagship").map { t =>
-        val qs = byTier.getOrElse(t, Nil)
-        val tot = qs.map(cur).sum
-        f""""$t%s":{"n":${qs.size}%d,"total":$tot%.2f}"""
-      }.mkString(""","tiers":{""", ",", "}")
-    }
-    val regressionJson: String = prevMedians match {
-      case None => ""
-      case Some((prevName, prev)) =>
-        val sharedN = (prev.keySet & cur.keySet).size
-        val all = BenchDiff.regressions(prev, cur, threshold = 1.3)
-        def item(e: (String, Double, Double, Double)): String = {
-          val (k, pv, cv, r) = e
-          f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f}"""
+
+    /** Emit the full artifact + the two stdout JSON lines from the
+      * CURRENT run state. Idempotent (first caller wins): invoked once
+      * at normal completion, or by the shutdown hook on a kill. Queries
+      * with no timed sample fall back to their warm-up (cold) sample,
+      * disclosed via `cold_n` + per-query `"cold":true`.
+      */
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(partial: Boolean): Unit = {
+      if (!emitted.compareAndSet(false, true)) return
+      val samp = samples.readOnlySnapshot().toMap
+      val cold = coldSamples.readOnlySnapshot().toMap
+      val fsnap = failed.readOnlySnapshot().toMap
+      // (name, median, samples, isCold) — cold fallback only when a
+      // query has zero timed samples
+      val results: Seq[(String, Double, List[Double], Boolean)] =
+        ordered.map { case (name, _) =>
+          samp.get(name).filter(_.nonEmpty) match {
+            case Some(xs) => (name, median(xs), xs, false)
+            case None => cold.get(name) match {
+              case Some(c) => (name, c, List(c), true)
+              case None    => (name, -1.0, Nil, false)
+            }
+          }
         }
-        val (flag, coreAll) = all.partition { case (k, _, _, _) => tierOf(k) == "flagship" }
-        val core = coreAll.filter { case (_, pv, cv, r) => r >= 1.5 && cv - pv >= 0.3 }
-        s""","shared_n":$sharedN,"prev_artifact":${jstr(prevName)},"regressions_n":${all.size},"regressions":[${all.take(10).map(item).mkString(",")}],"regressions_flagship":[${flag.take(10).map(item).mkString(",")}],"regressions_core":[${core.take(10).map(item).mkString(",")}]"""
+      val coldN = results.count(_._4)
+      val cur = results.collect {
+        case (k, m, xs, _) if xs.nonEmpty => k -> m
+      }.toMap
+
+      // Bench tiers (round-15 verdict ask #6, rule recorded in
+      // BASELINE.md §Bench tiers): a query's tier follows its BASELINE
+      // median when a prev artifact covers it (so a query can't switch
+      // tiers by merely regressing), else its current median.
+      // `flagship` = train-per-query compositions (≥ 2 s); `core` =
+      // simple relational/windowed plans. One 1.3× gate over both kept
+      // drowning the signal: 1.35× on a 0.4 s core query is sandbox
+      // noise, the same ratio on a 5 s flagship is ~2 s of real work —
+      // so core regressions additionally need a ≥0.3 s absolute delta
+      // and a higher 1.5× ratio before they're flagged.
+      val TierCutSecs = 2.0
+      def tierOf(q: String): String = {
+        val base = prevMedians.flatMap(_._2.get(q)).orElse(cur.get(q)).getOrElse(0.0)
+        if (base >= TierCutSecs) "flagship" else "core"
+      }
+      val tiersJson: String = {
+        val byTier = cur.keys.toSeq.groupBy(tierOf)
+        Seq("core", "flagship").map { t =>
+          val qs = byTier.getOrElse(t, Nil)
+          val tot = qs.map(cur).sum
+          f""""$t%s":{"n":${qs.size}%d,"total":$tot%.2f}"""
+        }.mkString(""","tiers":{""", ",", "}")
+      }
+      val regressionJson: String = prevMedians match {
+        case None => ""
+        case Some((prevName, prev)) =>
+          val sharedN = (prev.keySet & cur.keySet).size
+          val all = BenchDiff.regressions(prev, cur, threshold = 1.3)
+          def item(e: (String, Double, Double, Double)): String = {
+            val (k, pv, cv, r) = e
+            f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f}"""
+          }
+          val (flag, coreAll) = all.partition { case (k, _, _, _) => tierOf(k) == "flagship" }
+          val coreReg = coreAll.filter { case (_, pv, cv, r) => r >= 1.5 && cv - pv >= 0.3 }
+          s""","shared_n":$sharedN,"prev_artifact":${jstr(prevName)},"regressions_n":${all.size},"regressions":[${all.take(10).map(item).mkString(",")}],"regressions_flagship":[${flag.take(10).map(item).mkString(",")}],"regressions_core":[${coreReg.take(10).map(item).mkString(",")}]"""
+      }
+
+      val qs = results.map { case (k, m, _, _) => s"${jstr(k)}:$m" }
+        .mkString("{", ",", "}")
+      val stats = results.collect { case (k, m, xs, isCold) if xs.nonEmpty =>
+        val coldKey = if (isCold) ""","cold":true""" else ""
+        s"${jstr(k)}:{\"median\":$m,\"tmean\":${tmean(xs)},\"n\":${xs.size},\"min\":${xs.min},\"max\":${xs.max}$coldKey}"
+      }.mkString("{", ",", "}")
+      val fails = fsnap.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, m, xs, _) if xs.nonEmpty => m }.sum
+      val streamJson = streamStanza.map(s => s""""stream":$s,""").getOrElse("")
+      val partialJson = if (partial) s""""partial":true,"cold_n":$coldN,""" else ""
+      val sweepsJson = s""""sweeps":$sweepsDone,"""
+
+      // Self-contained per-round artifact (round-13 verdict ask #1): the
+      // driver keeps only the TAIL of stdout, so BENCH_r{N}.json carries
+      // per-query stats for however few queries survive truncation. This
+      // file is the COMPLETE record, written to cwd where
+      // BenchDiff.resolvePreferFull and next round's prev-resolution find
+      // it. Skipped on subset runs (SPARK_GRAFT_BENCH_ONLY): a 3-query
+      // local iteration must not poison the next round's regression
+      // baseline.
+      if (only.isEmpty) {
+        val storeJson = storeStanza.map(s => s""","store":$s""").getOrElse("")
+        val fullLine =
+          s"""{"metric":"bench_full","round":$round,$partialJson$sweepsJson"total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)},$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails$storeJson$tiersJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}"""
+        try
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"bench_full_r$round.json"),
+            (fullLine + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      }
+
+      println(s"""{"metric":"total","value":$total,"unit":"sec",$partialJson$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails,"iters":$iters,"sf":${jstr(sfDir)}}""")
+      // Compact TRAILER line, printed LAST: the driver's artifact keeps
+      // the tail (end) of stdout, so the headline numbers must be in the
+      // final bytes — small enough (~400 B) to always survive truncation.
+      val streamTrail = streamStanza.map(s => s""","stream":$s""").getOrElse("")
+      val storeTrail = storeStanza.map(s => s""","store":$s""").getOrElse("")
+      // the trailer must stay small even on a MASS-failure run (84 ×
+      // 200-char messages ≈ 18 KB would push "total" past the kept-tail
+      // window — the exact r09/r10 truncation this line exists to
+      // survive): the trailer carries only a failure COUNT + up to 10
+      // names; full messages live in the big line's "failed" map
+      val failTrail =
+        if (fsnap.isEmpty) ""","failed_n":0"""
+        else s""","failed_n":${fsnap.size},"failed_names":${fsnap.keys.take(10).map(jstr).mkString("[", ",", "]")}"""
+      val partialTrail = if (partial) s""","partial":true,"cold_n":$coldN""" else ""
+      println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$partialTrail,"sweeps":$sweepsDone$streamTrail$storeTrail$failTrail$tiersJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}""")
+      System.out.flush()
     }
 
-    val qs = results.map { case (k, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
-    val stats = results.collect { case (k, m, xs) if xs.nonEmpty =>
-      s"${jstr(k)}:{\"median\":$m,\"tmean\":${tmean(xs)},\"n\":${xs.size},\"min\":${xs.min},\"max\":${xs.max}}"
-    }.mkString("{", ",", "}")
-    val fails = failed.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, m, xs) if xs.nonEmpty => m }.sum
+    // Kill insurance: the harness `timeout` sends SIGTERM; Spark's own
+    // shutdown hook stops the context while this main thread is still in
+    // the sweep loop. Emitting here turns an rc-124 zero-artifact run
+    // (the r16 failure mode) into a partial-but-parseable record.
+    val hook = new Thread(() => try emit(partial = true) catch { case _: Throwable => () })
+    Runtime.getRuntime.addShutdownHook(hook)
 
-    // Self-contained per-round artifact (round-13 verdict ask #1): the
-    // driver keeps only the TAIL of stdout, so BENCH_r{N}.json carries
-    // per-query stats for however few queries survive truncation — r12's
-    // regressions_n was computed over ~1 shared query. This file is the
-    // COMPLETE record, written to cwd where BenchDiff.resolvePreferFull
-    // and next round's prev-resolution find it. Skipped on subset runs
-    // (SPARK_GRAFT_BENCH_ONLY): a 3-query local iteration must not
-    // poison the next round's 118-query regression baseline.
-    if (only.isEmpty) {
-      val storeJson = storeStanza.map(s => s""","store":$s""").getOrElse("")
-      val fullLine =
-        s"""{"metric":"bench_full","round":$round,"total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)},$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails$storeJson$tiersJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}"""
-      try
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"bench_full_r$round.json"),
-          (fullLine + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        failed("bench_full_write") =
-          Option(e.getMessage).getOrElse(e.getClass.getName)
+    // ── 1. Streaming anchors FIRST (fixed ~3-rep cost, so a budget
+    // squeeze lands on extra batch sweeps, not on the cross-round
+    // streaming regression gate). MEDIAN of `streamReps` runs each,
+    // in-session: composed curation flagship + ratings topology +
+    // incremental feature stage. Single runs carried ±2× run-to-run
+    // variance under sandbox contention (r11 verdict); the median of 3
+    // is the stable signal.
+    val streamReps =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "3").toInt.max(1)
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") != "0" && !stopped) {
+      try {
+        // a user-set tiny budget (local iteration) shrinks to one rep
+        val reps = if (remainingSecs < 240) 1 else streamReps
+        def med(xs: Seq[(Double, Double, Long)]): (Double, Double, Long) =
+          xs.sortBy(_._1).apply(xs.size / 2)
+        // 4000-doc micro-batches — the batch size the flagship's
+        // published docs/s uses; StreamBench pins shuffle partitioning
+        // to the published 8-partition shape (thread count still
+        // follows SPARK_GRAFT_CPUS — compare like-configured rounds)
+        val (dps, dSecs, admitted) = med((1 to reps).map(r =>
+          StreamBench.pipelineRun(spark, 8000, 2,
+            storeName = s"bench_curation_$r")))
+        val (eps, eSecs, aggRows) = med((1 to reps).map(r =>
+          StreamBench.ratingsRun(spark, 60000, 6, tag = s"sbr$r")))
+        // round-14 anchor: the incremental flatMapGroupsWithState
+        // feature stage (EventFeatureStream.lagFeatures) — ev/s through
+        // per-key seq/lag/gap/session derivation
+        val (fps, fSecs, fRows) = med((1 to reps).map(r =>
+          StreamBench.featuresRun(spark, 60000, 6, tag = s"sbf$r")))
+        streamStanza = Some(f"""{"curation_docs_per_sec":$dps%.0f,"curation_secs":$dSecs%.2f,"curation_admitted":$admitted,"ratings_events_per_sec":$eps%.0f,"ratings_secs":$eSecs%.2f,"ratings_agg_rows":$aggRows,"features_events_per_sec":$fps%.0f,"features_secs":$fSecs%.2f,"features_rows":$fRows,"stream_reps":$reps}""")
+        // gate-store operational snapshot (listing-only probe) — lets
+        // each round's artifact show whether the maintenance cadence is
+        // keeping version/file growth bounded; piggybacks on the store
+        // the curation anchor just wrote
+        try {
+          val r = graft.streaming.IngestDedupGate
+            .storeStats(spark, s"bench_curation_$reps").collect().head
+          storeStanza = Some(s"""{"version":${r.getLong(0)},"dirs":${r.getLong(1)},"band_files":${r.getLong(2)},"band_bytes":${r.getLong(3)},"feat_files":${r.getLong(4)},"feat_bytes":${r.getLong(5)}}""")
+        } catch { case e: Throwable =>
+          // disclose, don't swallow: a corrupt store should show up as
+          // failed("store") in the artifact, not a silently absent key
+          failed.putIfAbsent("store",
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      } catch { case e: Throwable =>
+        // a streaming-anchor failure must cost the stream section, not
+        // the batch samples
+        failed.putIfAbsent("stream",
+          Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$streamJson"queries":$qs,"queries_stats":$stats,"failed":$fails,"iters":$iters,"sf":${jstr(sfDir)}}""")
-    // Compact TRAILER line, printed LAST: the driver's artifact keeps the
-    // tail (end) of stdout, so the headline numbers must be in the final
-    // bytes — small enough (~400 B) to always survive truncation.
-    val streamTrail = streamStanza.map(s => s""","stream":$s""").getOrElse("")
-    val storeTrail = storeStanza.map(s => s""","store":$s""").getOrElse("")
-    // the trailer must stay small even on a MASS-failure run (84 × 200-char
-    // messages ≈ 18 KB would push "total" past the kept-tail window — the
-    // exact r09/r10 truncation this line exists to survive): the trailer
-    // carries only a failure COUNT + up to 10 names; full messages live in
-    // the big line's "failed" map
-    val failTrail =
-      if (failed.isEmpty) ""","failed_n":0"""
-      else s""","failed_n":${failed.size},"failed_names":${failed.keys.take(10).map(jstr).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","n_queries":${results.count(_._3.nonEmpty)}$streamTrail$storeTrail$failTrail$tiersJson$regressionJson,"load_start":$loadStart,"load_end":${loadAvg()},"iters":$iters,"sf":${jstr(sfDir)}}""")
-    if (failed.nonEmpty)
-      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+    // ── 2. Warm-up: run everything once; timings recorded as COLD
+    // fallback samples (used only if a kill prevents any timed sweep for
+    // a query). A warm-up failure is recorded and the query skipped in
+    // the timed sweeps.
+    var abort = false
+    ordered.foreach { case (name, fn) =>
+      if (!abort) {
+        if (stopped) {
+          failed.putIfAbsent("context_stopped",
+            s"SparkContext stopped during warm-up before $name")
+          abort = true
+        } else {
+          val t0 = System.nanoTime()
+          try {
+            runOnce(fn)
+            coldSamples(name) = (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            if (stopped) {
+              failed.putIfAbsent("context_stopped",
+                s"SparkContext stopped during warm-up at $name")
+              abort = true
+            } else failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          }
+        }
+      }
+    }
+    val warmupSecs = elapsedSecs
+
+    // ── 3. Timed sweeps under the wall budget: sweep 1 always runs
+    // (one timed sample per query is the artifact's floor); each further
+    // sweep runs only if the remaining budget fits another pass,
+    // estimated from the last pass's measured duration.
+    var lastPassSecs = warmupSecs
+    while (!abort && sweepsDone < iters &&
+           (sweepsDone == 0 || remainingSecs > lastPassSecs * 1.15)) {
+      val passStart = System.nanoTime()
+      ordered.foreach { case (name, fn) =>
+        if (!abort && !failed.contains(name)) {
+          if (stopped) {
+            failed.putIfAbsent("context_stopped",
+              s"SparkContext stopped during sweep ${sweepsDone + 1} before $name")
+            abort = true
+          } else {
+            val t0 = System.nanoTime()
+            try {
+              runOnce(fn)
+              samples(name) = samples.getOrElse(name, Nil) :+
+                (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              if (stopped) {
+                failed.putIfAbsent("context_stopped",
+                  s"SparkContext stopped during sweep ${sweepsDone + 1} at $name")
+                abort = true
+              } else {
+                failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                samples.remove(name)
+              }
+            }
+          }
+        }
+      }
+      if (!abort) sweepsDone += 1
+      lastPassSecs = (System.nanoTime() - passStart) / 1e9
+    }
+
+    emit(partial = abort)
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: Throwable => () } // already shutting down
     spark.stop()
   }
 }

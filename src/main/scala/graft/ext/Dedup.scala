@@ -572,9 +572,6 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     // candidate generation must not rerun per round (hence the pin above)
     var labels = pin(nodes.select(col("id"), col("id").as("label")))
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prev = checksum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -582,9 +579,13 @@ object Dedup {
         .select(sym("dst").as("id"), col("label"))
       val next = pin(labels.union(viaNeighbour)
         .groupBy("id").agg(min("label").as("label")))
-      val cur = checksum(next)
-      converged = cur == prev
-      prev = cur
+      // Exact fixpoint probe: one row per id on both sides, so an empty
+      // difference ⟺ identical label assignment. A sum-of-labels
+      // checksum is NOT exact: string ids null the sum (every round
+      // would compare NULL == NULL — instant false convergence with
+      // split labels) and numeric label swaps can preserve it. Both
+      // sides are pinned, so the probe re-reads checkpointed rows.
+      converged = next.exceptAll(labels).isEmpty
       labels = next
       rounds += 1
     }
@@ -623,10 +624,13 @@ object Dedup {
     * shuffles on node ids; the edge set never grows past the input
     * size (every rewrite maps an existing edge to one output edge,
     * deduplicated), and nothing is collected to the driver. The
-    * convergence probe is an exact (count, Σsrc, Σdst) signature over
-    * the CANONICALIZED edge set in DECIMAL(38): the round map is a
-    * deterministic function of the edge set, so an unchanged canonical
-    * set IS the fixpoint (the triple is compared exactly, not hashed).
+    * convergence probe is an EXACT set comparison over the
+    * CANONICALIZED edge set (equal counts + empty difference — both
+    * sides are distinct sets, so that is set equality): the round map
+    * is a deterministic function of the edge set, so an unchanged
+    * canonical set IS the fixpoint. Works for any id type — string
+    * ids and sum-colliding numeric rewrites alike (a lossy id-sum
+    * signature handled neither).
     *
     * Same contract as [[clusterLabels]]: `nodes` exposes `id`, `edges`
     * exposes (`src`, `dst`) undirected; returns (id, cluster_id) with
@@ -671,22 +675,26 @@ object Dedup {
         .select(dir("dst").as("src"), col("m").as("dst"))
         .union(mins.select(col("u").as("src"), col("m").as("dst")))
     }
-    def signature(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(col("src").cast("decimal(38,0)")),
-        sum(col("dst").cast("decimal(38,0)"))).head
-      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
-    }
+    // Exact fixpoint probe: both sides are canonical DISTINCT edge
+    // sets, so equal counts + empty difference ⟺ set equality. A
+    // lossy signature (count + id sums) is NOT enough: string ids
+    // null the sums (degenerating to count equality — a 5-node chain
+    // would be declared converged after one round with split labels),
+    // and numeric ids can collide (swapping (3,1),(4,2)→(4,1),(3,2)
+    // preserves count and both sums). Both sides are pinned, so the
+    // difference probe re-reads checkpointed rows, not the lineage.
+    def sameEdges(a: DataFrame, aCnt: Long, b: DataFrame, bCnt: Long): Boolean =
+      aCnt == bCnt && b.exceptAll(a).isEmpty
     var cur = pin(canon(edges))
-    var prevSig = signature(cur)
+    var curCnt = cur.count()
     var rounds = 0
-    var converged = cur.isEmpty // edge-free graph: all singletons
+    var converged = curCnt == 0L // edge-free graph: all singletons
     while (!converged && rounds < maxRounds) {
       val next = pin(canon(smallStar(largeStar(cur))))
-      val sig = signature(next)
-      converged = sig == prevSig
-      prevSig = sig
+      val nextCnt = next.count()
+      converged = sameEdges(cur, curCnt, next, nextCnt)
       cur = next
+      curCnt = nextCnt
       rounds += 1
     }
     if (!converged) {
@@ -962,6 +970,64 @@ object Dedup {
         col("chunk_text"))
   }
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-word gram, slide a w-wide
+    * window over the hash sequence, and keep each window's MINIMUM
+    * (ties → RIGHTMOST, the paper's rule), deduplicating consecutive
+    * windows that select the same gram. The guarantee the shingle/
+    * minhash family can't give: any match of at least w+k−1 words
+    * between two documents is CAUGHT by at least one shared selected
+    * fingerprint, while only ~2/(w+1) of all gram hashes are kept —
+    * position-aware plagiarism/code-clone detection at a fraction of
+    * the full shingle relation's size.
+    *
+    * Output: (idCol, pos, fp) — pos is the selected gram's 1-based
+    * word index, fp its 62-bit [[graft.functions.PolyFingerprint64]]
+    * hash; docs with fewer than k words emit nothing, docs with fewer
+    * than w grams emit their global minimum (one window over what
+    * exists). Entirely ROW-LOCAL: the gram-hash array and the
+    * window-min scan are codegen'd HOFs inside the scan's map stage —
+    * zero shuffle, zero UDF; both arrays are STAGED through
+    * materialized columns (the cdcChunks lesson: inlined, every
+    * element_at re-evaluates the whole gram scan). The DuckDB oracle
+    * (t_winnow) replays window/min/rightmost-tie relationally.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k (gram width) must be >= 1, got $k")
+    require(w >= 1, s"w (window width) must be >= 1, got $w")
+    val reserved = docs.columns.filter(_.startsWith("__wn_"))
+    require(reserved.isEmpty,
+      s"column(s) ${reserved.mkString(", ")} collide with " +
+        "winnowFingerprints' reserved prefix '__wn_'")
+    val ws = col("__wn_ws")
+    val n = size(ws)
+    def gram(i: Column): Column =
+      concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)
+    // size guard: Spark's sequence(a, b) DESCENDS when b < a
+    val grams = when(n - (k - 1) >= 1,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => polyFingerprint64(gram(i))))
+      .otherwise(expr("cast(array() AS array<bigint>)"))
+    val g = col("__wn_g")
+    val m = size(g)
+    val sel = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
+      j => aggregate(sequence(j, least(j + lit(w - 1), m)),
+        struct(lit(0L).as("pos"), lit(Long.MaxValue).as("fp")),
+        (acc, i) => when(element_at(g, i) <= acc("fp"),
+            struct(i.cast("long").as("pos"),
+              element_at(g, i).as("fp")))
+          .otherwise(acc)))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("__wn_ws", split(col(textCol), " "))
+      .withColumn("__wn_g", grams)
+      .filter(m >= 1)
+      .select(col(idCol), explode(array_distinct(sel)).as("__wn_s"))
+      .select(col(idCol), col("__wn_s.pos").as("pos"),
+        col("__wn_s.fp").as("fp"))
+  }
+
   /** [[dedupPassages]] over CONTENT-DEFINED chunks ([[cdcChunks]])
     * instead of fixed windows — the edit-robust passage dedup: a
     * near-copy with a word inserted or dropped still shares every
@@ -1004,6 +1070,165 @@ object Dedup {
         col("chunk_text"))
     dedupChunked(docs, lines, idCol, textCol, keepFirst, perDocument,
       "dedupLines", "\n")
+  }
+
+  /** Boilerplate-line STRIP by per-domain DOCUMENT FREQUENCY — the
+    * CCNet/Dolma refinement of line dedup: drop EVERY copy of any line
+    * that appears in more than `maxDfPermille`‰ of its domain's
+    * documents (nav bars, cookie banners, footers — the first copy is
+    * exactly as boilerplate as the last, so [[dedupLines]]'
+    * first-occurrence law is the wrong tool), while a line merely
+    * quoted by a couple of documents survives in all of them (its DF
+    * is far below any sane threshold; dedupLines would strip its
+    * second copy). Domains with fewer than `minDomainDocs` documents
+    * are exempt — in a 3-doc domain one shared line is already 333‰,
+    * and a DF signal over so few documents is noise, not boilerplate.
+    *
+    * The cut is integer CROSS-MULTIPLIED (`df·1000 > t·n_docs`), never
+    * a float ratio, so the DuckDB oracle replays it exactly
+    * (t_strip_boilerplate). Output: (idCol, domainCol, clean_text,
+    * n_lines, n_kept) for every non-null-text, non-null-domain doc;
+    * line order is preserved, all-boilerplate docs keep an empty
+    * clean_text rather than vanishing.
+    *
+    * Scale shape: one distinct pass over (domain, line-hash, doc) +
+    * one (domain, hash) count build the DF relation (both partial-agg
+    * key shuffles — the empty-line group every multiline doc
+    * contributes combines map-side); domain doc-counts are a
+    * |domains|-row aggregate joined in (AQE broadcasts it); the
+    * flagging join back onto the line relation keys on (domain, hash)
+    * against the boilerplate-only side, which is small by construction
+    * (lines OVER the DF threshold), so AQE broadcasts that too; one
+    * doc-keyed rebuild. Nothing is ever collected to the driver.
+    */
+  def stripBoilerplateLines(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            domainCol: String = "source",
+                            maxDfPermille: Int = 500,
+                            minDomainDocs: Int = 4): DataFrame = {
+    require(maxDfPermille > 0 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in (0, 1000], got $maxDfPermille")
+    require(minDomainDocs >= 1,
+      s"minDomainDocs must be >= 1, got $minDomainDocs")
+    val base = docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+    val lines = base.select(col(idCol), col(domainCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("__bp_h", polyFingerprint64(col("chunk_text")))
+    val boiler = boilerLineSet(base, lines, idCol, domainCol,
+        maxDfPermille, minDomainDocs)
+      .select(col(domainCol), col("line_hash").as("__bp_h"),
+        lit(true).as("__bp_drop"))
+    lines.join(boiler, Seq(domainCol, "__bp_h"), "left")
+      .groupBy(col(idCol), col(domainCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__bp_drop").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__bp_drop").isNull,
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s("chunk_text")), "\n").as("clean_text"))
+      .select(col(idCol), col(domainCol), col("clean_text"),
+        col("n_lines"), col("n_kept"))
+  }
+
+  /** Shared DF computation of the boilerplate family: the
+    * (domainCol, line_hash, df, domain_docs) relation of lines OVER
+    * the per-domain document-frequency threshold. `base` = non-null
+    * text/domain docs, `lines` their exploded hashed line relation.
+    */
+  private def boilerLineSet(base: DataFrame, lines: DataFrame,
+                            idCol: String, domainCol: String,
+                            maxDfPermille: Int,
+                            minDomainDocs: Int): DataFrame = {
+    val domDocs = base.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("domain_docs"))
+    lines.select(col(domainCol), col("__bp_h"), col(idCol))
+      .distinct()
+      .groupBy(col(domainCol), col("__bp_h"))
+      .agg(count(lit(1)).as("df"))
+      .join(domDocs, domainCol)
+      .filter(col("domain_docs") >= minDomainDocs.toLong &&
+        col("df") * 1000L > col("domain_docs") * maxDfPermille.toLong)
+      .select(col(domainCol), col("__bp_h").as("line_hash"),
+        col("df"), col("domain_docs"))
+  }
+
+  /** Persist the boilerplate line-hash ARTIFACT a stream gate (or a
+    * later batch job) strips against — the production lifecycle shape
+    * shared with the NB/LM bundles: the DF relation is computed ONCE
+    * from a trusted corpus snapshot, audited, and every consumer
+    * (including stream restarts) loads the same table. Writes
+    * `<name>_lines` (domainCol, line_hash, df, domain_docs) bucketed
+    * on line_hash, and `<name>_meta` recording the threshold knobs the
+    * artifact was built under.
+    */
+  def writeBoilerplateLines(docs: DataFrame, name: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            domainCol: String = "source",
+                            maxDfPermille: Int = 500,
+                            minDomainDocs: Int = 4,
+                            buckets: Int = 8): Unit = {
+    require(maxDfPermille > 0 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in (0, 1000], got $maxDfPermille")
+    val base = docs.filter(col(textCol).isNotNull && col(domainCol).isNotNull)
+    val lines = base.select(col(idCol), col(domainCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("__bp_h", polyFingerprint64(col("chunk_text")))
+    graft.core.Layout.writeBucketed(
+      boilerLineSet(base, lines, idCol, domainCol, maxDfPermille,
+        minDomainDocs),
+      s"${name}_lines", "line_hash", buckets)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Layout.writeBucketed(
+      Seq((domainCol, maxDfPermille, minDomainDocs))
+        .toDF("domain_col", "max_df_permille", "min_domain_docs"),
+      s"${name}_meta", "domain_col", 1)
+  }
+
+  /** Load a persisted boilerplate artifact written by
+    * [[writeBoilerplateLines]]: the (domain, line_hash, df,
+    * domain_docs) table, no recomputation.
+    */
+  def loadBoilerplateLines(spark: org.apache.spark.sql.SparkSession,
+                           name: String): DataFrame =
+    spark.table(s"${name}_lines")
+
+  /** Strip every line whose hash is in `lineHashes` (one `line_hash`
+    * column; duplicates fine) — the CONSUMER side of the boilerplate
+    * artifact, domain-agnostic by design: a stream batch usually
+    * carries no trusted domain column, so the gate strips the UNION of
+    * all domains' boilerplate. Rewrites `textCol` in place (line order
+    * preserved, all-boilerplate docs keep empty text), leaving every
+    * other column untouched; null-text docs pass through unchanged.
+    *
+    * Scale shape: row-local line explode, one broadcast join against
+    * the (small by construction) hash set, one doc-keyed rebuild + one
+    * id join back — batch-sized work, nothing scales with the corpus
+    * the artifact was trained on.
+    */
+  def stripLinesByHashSet(docs: DataFrame, lineHashes: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("__bs_h", polyFingerprint64(col("chunk_text")))
+    val set = broadcast(lineHashes
+      .select(col("line_hash").as("__bs_h")).distinct()
+      .withColumn("__bs_drop", lit(true)))
+    val clean = lines.join(set, Seq("__bs_h"), "left")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(when(col("__bs_drop").isNull,
+          struct(col("chunk_id"), col("chunk_text"))))),
+        s => s("chunk_text")), "\n").as("__bs_clean"))
+    docs.join(clean, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col(textCol).isNotNull, coalesce(col("__bs_clean"), lit("")))
+          .otherwise(col(textCol)))
+      .drop("__bs_clean")
   }
 
   /** Shared tail of the passage-dedup family: hash + pack + flag +

@@ -99,11 +99,22 @@ object FreqSketch {
     */
   def hllRegisters(items: DataFrame, groupCol: Column,
                    hashCol: Column): DataFrame = {
-    val w = shiftright(hashCol.cast("long"), 6)
+    // Range guard (r16 advice): the register/rank split assumes the
+    // 31-bit polyhash (values in [0, 2^31−1), 25 payload bits). A wider
+    // hash — e.g. the 62-bit polyFingerprint64 — would yield
+    // rank = 26 − bitlength(w) ≤ 0 and corrupt registers/estimates
+    // SILENTLY; fail loud at the first out-of-range row instead.
+    val h = when(hashCol.cast("long") < 0L ||
+        hashCol.cast("long") >= 2147483647L,
+      raise_error(concat(
+        lit("hllRegisters expects the 31-bit polyhash in [0, 2^31-1); got "),
+        hashCol.cast("string"))).cast("long"))
+      .otherwise(hashCol.cast("long"))
+    val w = shiftright(h, 6)
     val rank = when(w === 0L, lit(HllMaxRank.toLong))
       .otherwise(lit(HllMaxRank.toLong) - length(bin(w)).cast("long"))
     items.groupBy(groupCol.as("group"),
-        pmod(hashCol.cast("long"), lit(HllRegisters.toLong)).as("reg"))
+        pmod(h, lit(HllRegisters.toLong)).as("reg"))
       .agg(max(rank).as("rank"))
   }
 

@@ -973,7 +973,11 @@ object TextAnalysis {
     * Latin-1 double-encoding artifacts of web crawls (the ftfy top of
     * the distribution): smart quotes/dashes ("â€™" → "'"), accented
     * Latin letters ("Ã©" → "é"), and non-breaking-space artifacts
-    * ("Â " → " "). LITERAL replacements in longest-first order (every
+    * ("Â"+U+00A0 → " " — U+00A0 read as Latin-1 renders as Â followed
+    * by a REAL NBSP, not an ASCII space; the r16 advice fix — the old
+    * "Â "+space pair never fired on real NBSP mojibake and instead
+    * rewrote legitimate Â+space sequences). LITERAL replacements in
+    * longest-first order (every
     * 3-byte artifact repairs before any 2-byte prefix of it could),
     * deliberately conservative: ambiguous tails (a bare "â€" with its
     * final byte mangled) are NOT repaired — a wrong guess corrupts
@@ -984,7 +988,7 @@ object TextAnalysis {
     "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
     "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó",
     "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä",
-    "Ã§" -> "ç", "Â°" -> "°", "Â·" -> "·", "Â " -> " ")
+    "Ã§" -> "ç", "Â°" -> "°", "Â·" -> "·", "Â " -> " ")
 
   /** Apply the [[MojibakePairs]] chain in order — the encoding-repair
     * rung of text cleaning (run BEFORE [[normalizeText]]: mojibake
@@ -1042,6 +1046,116 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       " +", " "))
+
+  /** URL canonicalization — the dedup-key normalizer every crawl
+    * pipeline runs before URL-level dedup and blocklist joins (the
+    * same page arrives as `HTTP://Site.com:80/a?utm_source=x` and
+    * `http://site.com/a` across snapshots). The law, chosen to be
+    * deterministic and replayable in any engine (no URL library):
+    *
+    *  1. drop the fragment (`#...` never reaches the server);
+    *  2. lowercase scheme and host (RFC 3986 §6.2.2.1) — path and
+    *     query stay case-sensitive;
+    *  3. strip the scheme's DEFAULT port (`:80` http, `:443` https);
+    *  4. empty path → `/`;
+    *  5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) and
+    *     sort the rest byte-lexicographically (param order is
+    *     semantically irrelevant but breaks byte-equal dedup).
+    *
+    * A value with no `scheme://` prefix is returned UNCHANGED — a
+    * canonicalizer must never corrupt a non-URL; null stays null.
+    * Pure codegen'd string/HOF expressions over the scan — zero
+    * shuffle, zero UDF.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*", "")
+    val scheme = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val ls = lower(scheme)
+    val host0 = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(ls === "http", regexp_replace(host0, ":80$", ""))
+      .when(ls === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(u, "^[^?]*\\?(.*)", 1)
+    val params = array_sort(filter(split(q, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$")))
+    val qpart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(scheme === "", url)
+      .otherwise(concat(ls, lit("://"), host, path, qpart))
+  }
+
+  /** Weighted-lexicon hit relation — the list-based safety/NSFW screen
+    * every major corpus release runs before model-based filters (C4's
+    * blocklist cut; Dolma layers lists under fasttext): tokens
+    * ([[normalizeText]] law, so "BAD!" matches "bad") are joined
+    * against a user-supplied lexicon `(term, category, weight_x100)`
+    * and summed per (document, category). Weights are ×100 integers —
+    * severity grading ("damn" 25, slurs 400) with NO float anywhere,
+    * so the DuckDB oracle replays the arithmetic exactly.
+    *
+    * Output: (idCol, category, hits, score_x100), one row per (doc,
+    * category) with ≥ 1 matched occurrence — the tall audit relation a
+    * reviewer reads; [[lexiconScreen]] folds it into a verdict.
+    *
+    * Scale shape: the lexicon is broadcast (a word list is KBs); the
+    * token explode is row-local inside the scan; one (doc, category)
+    * partial-agg shuffle. The corpus is read once, map-only until the
+    * final aggregation.
+    */
+  def lexiconHits(docs: DataFrame, lexicon: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(split(normalizeText(col(textCol)), " ")).as("__lx_w"))
+      .filter(col("__lx_w") =!= "")
+    toks.join(
+        broadcast(lexicon.select(col("term").as("__lx_w"),
+          col("category"), col("weight_x100"))),
+        "__lx_w")
+      .groupBy(col(idCol), col("category"))
+      .agg(count(lit(1)).as("hits"),
+        sum(col("weight_x100").cast("long")).as("score_x100"))
+  }
+
+  /** Per-document lexicon screen VERDICT over [[lexiconHits]]: a
+    * category flags when its weighted score exceeds the per-mille
+    * token budget — `score_x100 · 1000 > maxScoreX100PerKtok ·
+    * n_tokens`, integer cross-multiplied (a 10-token comment and a
+    * 10k-token article get the same DENSITY bar, not the same raw
+    * count — raw-count screens systematically over-drop long
+    * documents). Docs with zero tokens have nothing to screen and
+    * pass.
+    *
+    * Output: (idCol, n_tokens, n_flagged, screen_pass) for EVERY
+    * non-null-text document — the gate relation a curation pipeline
+    * joins on, with the flag count kept for audit (which docs were
+    * borderline vs saturated).
+    */
+  def lexiconScreen(docs: DataFrame, lexicon: DataFrame,
+                    maxScoreX100PerKtok: Long,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(maxScoreX100PerKtok >= 0,
+      s"maxScoreX100PerKtok must be >= 0, got $maxScoreX100PerKtok")
+    val norm = normalizeText(col(textCol))
+    val nTok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        when(norm === "", lit(0L))
+          .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"))
+    val flagged = lexiconHits(docs, lexicon, idCol, textCol)
+      .join(nTok, idCol)
+      .filter(col("score_x100") * 1000L >
+        col("n_tokens") * maxScoreX100PerKtok)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_flagged"))
+    nTok.join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (coalesce(col("n_flagged"), lit(0L)) === 0L).as("screen_pass"))
+  }
 
   /** Per-document term frequencies `(idCol, word, tf)` — the shared
     * zero-shuffle base of the keywords / surprisal / retrieval family:

@@ -2322,6 +2322,58 @@ object LlmQueries {
       Dedup.dedupLines(planted)
     }.sortedBy(col("doc_id")),
 
+    // ── Per-domain DF boilerplate strip (the CCNet/Dolma stage line
+    // DEDUP cannot express): every doc gains its domain's banner line
+    // (DF 1000‰ → stripped from EVERY doc, first copy included) and %5
+    // docs share a quote line (DF ~200‰ → kept everywhere — the case
+    // first-occurrence dedup gets wrong in both directions). The replay
+    // is the full integer law: distinct-doc DF per (domain, line-hash),
+    // cross-multiplied threshold, chr(10) rebuild.
+    QueryDef("t_strip_boilerplate",
+      s"""WITH p AS (SELECT doc_id, source,
+         |    'BANNER ' || source || chr(10) ||
+         |    coalesce(array_to_string(string_split(text, ' ')[1:8], ' '), '') ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN chr(10) || 'QUOTE shared wisdom' ELSE '' END AS text
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |gls AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+         |  FROM p),
+         |lp AS (SELECT doc_id, source, unnest(list_transform(
+         |    generate_series(1, len(ls)),
+         |    i -> struct_pack(cid := CAST(i - 1 AS BIGINT), ct := ls[i])))
+         |    AS u FROM gls),
+         |ph AS (SELECT doc_id, source, u.cid AS cid, u.ct AS ct,
+         |  ${polyhash64("u.ct")} AS h FROM lp),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS ndd
+         |  FROM p GROUP BY source),
+         |dfr AS (SELECT source, h,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM ph GROUP BY source, h),
+         |boiler AS (SELECT dfr.source, dfr.h
+         |  FROM dfr JOIN nd ON nd.source = dfr.source
+         |  WHERE nd.ndd >= 4 AND dfr.df * 1000 > 500 * nd.ndd),
+         |fl AS (SELECT ph.doc_id, ph.source, ph.cid, ph.ct,
+         |    b.h IS NOT NULL AS dropped
+         |  FROM ph LEFT JOIN boiler b
+         |    ON b.source = ph.source AND b.h = ph.h)
+         |SELECT doc_id, source,
+         |  coalesce(string_agg(CASE WHEN NOT dropped THEN ct END,
+         |    chr(10) ORDER BY cid), '') AS clean_text,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_kept
+         |FROM fl GROUP BY doc_id, source
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val own = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+      val planted = docs.select(col("doc_id"), col("source"),
+        concat(lit("BANNER "), col("source"), lit("\n"), own,
+          when(col("doc_id") % 5 === 0, lit("\nQUOTE shared wisdom"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.stripBoilerplateLines(planted)
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_text_repetition",
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |grams AS (
@@ -2445,9 +2497,12 @@ object LlmQueries {
     // both sides (every 7th doc gains smart-quote/accent mojibake)
     // must repair to the intended characters; clean docs untouched.
     QueryDef("t_fix_mojibake", {
+      // the NBSP artifact is Â + a REAL U+00A0 (r16 advice fix): the
+      // char after Â below is 0xC2 0xA0, not an ASCII space
+      val nbsp = "Â "
       val planted =
-        """CASE WHEN doc_id % 7 = 0
-          |  THEN text || ' cafÃ© â€œquotedâ€™ naÃ¯ve' END""".stripMargin
+        s"""CASE WHEN doc_id % 7 = 0
+           |  THEN text || ' cafÃ© â€œquotedâ€™ naÃ¯ve A${nbsp}B' END""".stripMargin
       val chain = TextAnalysis.MojibakePairs.foldLeft(
         "coalesce(p.planted, p.text)") { case (inner, (pat, rep)) =>
         s"replace($inner, '${pat.replace("'", "''")}', " +
@@ -2460,7 +2515,8 @@ object LlmQueries {
     }) { (s, d) =>
       val planted = Tables.documents(s, d).select(col("doc_id"),
         coalesce(when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" cafÃ© â€œquotedâ€™ naÃ¯ve"))),
+            concat(col("text"),
+              lit(" cafÃ© â€œquotedâ€™ naÃ¯ve AÂ B"))),
           col("text")).as("text"))
       planted.select(col("doc_id"),
         TextAnalysis.fixMojibake(col("text")).as("text"))
@@ -2474,6 +2530,151 @@ object LlmQueries {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
     }.sortedBy(col("doc_id")),
+
+    // ── Weighted-lexicon safety screen (C4 blocklist / Dolma list
+    // layer): a severity-graded term lexicon planted as VALUES on both
+    // sides; hits = the tall per-(doc, category) audit relation,
+    // screen = the per-doc verdict under an integer per-mille-of-tokens
+    // density budget (cross-multiplied — long docs aren't over-dropped
+    // by raw counts).
+    QueryDef("t_lexicon_hits",
+      s"""WITH lex(term, category, weight_x100) AS (VALUES
+         |    ('slow','perf',100),('merge','perf',150),
+         |    ('hash','risky',250),('big','risky',50),('the','noise',10)),
+         |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(string_split(n, ' ')) AS w
+         |  FROM norm WHERE n <> '')
+         |SELECT doc_id, category, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(sum(weight_x100) AS BIGINT) AS score_x100
+         |FROM tok JOIN lex ON lex.term = tok.w
+         |GROUP BY doc_id, category
+         |ORDER BY doc_id, category""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lex = Seq(("slow", "perf", 100), ("merge", "perf", 150),
+        ("hash", "risky", 250), ("big", "risky", 50), ("the", "noise", 10))
+        .toDF("term", "category", "weight_x100")
+      TextAnalysis.lexiconHits(Tables.documents(s, d), lex)
+    }.sortedBy(col("doc_id"), col("category")),
+
+    QueryDef("t_lexicon_screen",
+      s"""WITH lex(term, category, weight_x100) AS (VALUES
+         |    ('slow','perf',100),('merge','perf',150),
+         |    ('hash','risky',250),('big','risky',50),('the','noise',10)),
+         |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |nt AS (SELECT doc_id, CASE WHEN n = '' THEN 0
+         |    ELSE len(string_split(n, ' ')) END AS n_tokens FROM norm),
+         |tok AS (SELECT doc_id, unnest(string_split(n, ' ')) AS w
+         |  FROM norm WHERE n <> ''),
+         |hits AS (SELECT doc_id, category,
+         |    CAST(sum(weight_x100) AS BIGINT) AS score_x100
+         |  FROM tok JOIN lex ON lex.term = tok.w GROUP BY doc_id, category),
+         |fl AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+         |  FROM hits h JOIN nt ON nt.doc_id = h.doc_id
+         |  WHERE h.score_x100 * 1000 > nt.n_tokens * 2500
+         |  GROUP BY h.doc_id)
+         |SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
+         |  coalesce(fl.n_flagged, 0) = 0 AS screen_pass
+         |FROM nt LEFT JOIN fl ON fl.doc_id = nt.doc_id
+         |ORDER BY nt.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lex = Seq(("slow", "perf", 100), ("merge", "perf", 150),
+        ("hash", "risky", 250), ("big", "risky", 50), ("the", "noise", 10))
+        .toDF("term", "category", "weight_x100")
+      TextAnalysis.lexiconScreen(Tables.documents(s, d), lex,
+        maxScoreX100PerKtok = 2500L)
+    }.sortedBy(col("doc_id")),
+
+    // ── URL canonicalization (crawl dedup-key normalizer): four URL
+    // shapes planted per doc_id — mixed-case scheme/host + default port
+    // + tracking params + fragment, bare default-port host, a non-URL
+    // (must pass through UNCHANGED), and unsorted params with tracking
+    // interleaved. The replay is the full 5-step law: fragment strip,
+    // scheme/host lowering, default-port strip, '/' path, filtered +
+    // sorted params.
+    QueryDef("t_canonical_url",
+      s"""WITH p AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN 'HTTPS://Example.COM:443/Path/' ||
+         |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1&fbclid=zz#frag'
+         |    WHEN 1 THEN 'http://site.org:80'
+         |    WHEN 2 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+         |    ELSE 'http://Host.net/a?ref=h&z=1&utm_campaign=c&b=' ||
+         |      CAST(doc_id % 7 AS VARCHAR) END AS url
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u
+         |  FROM p),
+         |s2 AS (SELECT doc_id, url, u,
+         |  regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+         |  lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS host0,
+         |  regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+         |  regexp_extract(u, '^[^?]*\\?(.*)', 1) AS q FROM s1),
+         |s3 AS (SELECT doc_id, url, scheme, lower(scheme) AS ls,
+         |  CASE WHEN lower(scheme)='http'
+         |         THEN regexp_replace(host0, ':80$$', '')
+         |       WHEN lower(scheme)='https'
+         |         THEN regexp_replace(host0, ':443$$', '')
+         |       ELSE host0 END AS host,
+         |  CASE WHEN path0='' THEN '/' ELSE path0 END AS path,
+         |  list_sort(list_filter(string_split(q, '&'),
+         |    pp -> pp <> '' AND NOT regexp_matches(pp,
+         |      '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$$'))) AS params
+         |  FROM s2)
+         |SELECT doc_id, url, CASE WHEN scheme='' THEN url
+         |  ELSE ls || '://' || host || path ||
+         |    CASE WHEN len(params) > 0
+         |      THEN '?' || array_to_string(params, '&') ELSE '' END
+         |  END AS canon_url FROM s3
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://Example.COM:443/Path/"),
+            col("doc_id").cast("string"),
+            lit("?utm_source=x&b=2&a=1&fbclid=zz#frag")))
+        .when(col("doc_id") % 4 === 1, lit("http://site.org:80"))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("http://Host.net/a?ref=h&z=1&utm_campaign=c&b="),
+          (col("doc_id") % 7).cast("string"))).as("url"))
+      planted.select(col("doc_id"), col("url"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+    }.sortedBy(col("doc_id")),
+
+    // ── Winnowing fingerprints (MOSS): 4-gram hashes, 5-hash windows,
+    // rightmost-tie minimum per window, consecutive duplicates
+    // collapsed. The replay is RELATIONAL (window × gram join, min per
+    // window, max(i) at the min = the rightmost-tie law) against the
+    // engine's row-local HOF scan — two independent formulations of
+    // the same integer law.
+    QueryDef("t_winnow",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |gr AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(w) - 3, 0)),
+         |    i -> struct_pack(i := CAST(i AS BIGINT),
+         |      t := array_to_string(w[i:i+3], ' ')))) AS u FROM ws),
+         |g AS (SELECT doc_id, u.i AS i, ${polyhash64("u.t")} AS h FROM gr),
+         |mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+         |  FROM g GROUP BY doc_id),
+         |wins AS (SELECT doc_id, m, unnest(generate_series(1,
+         |    greatest(m - 4, 1))) AS j FROM mm),
+         |wg AS (SELECT wn.doc_id, wn.j, g.i, g.h
+         |  FROM wins wn JOIN g ON g.doc_id = wn.doc_id
+         |    AND g.i >= wn.j AND g.i <= least(wn.j + 4, wn.m)),
+         |mh AS (SELECT doc_id, j, min(h) AS fp FROM wg
+         |  GROUP BY doc_id, j),
+         |sel AS (SELECT wg.doc_id, wg.j, max(wg.i) AS pos, mh.fp
+         |  FROM wg JOIN mh ON mh.doc_id = wg.doc_id AND mh.j = wg.j
+         |    AND wg.h = mh.fp
+         |  GROUP BY wg.doc_id, wg.j, mh.fp)
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+         |FROM sel ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d), k = 4, w = 5)
+    }.sortedBy(col("doc_id"), col("pos")),
 
     // Continuation pairs (pagination splits): docs whose first 8 words
     // equal another doc's last 8 — page-two fragments PLANTED in SQL

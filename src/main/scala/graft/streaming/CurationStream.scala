@@ -138,6 +138,23 @@ object CurationStream {
     */
   final case class PerplexityGate(bundleName: String, maxMeanBitsX100: Long)
 
+  /** In-stream BOILERPLATE-LINE strip for [[run]] — the streaming face
+    * of [[graft.ext.Dedup.writeBoilerplateLines]]: the per-domain
+    * document-frequency line set (nav bars, cookie banners, footers)
+    * is computed/audited ONCE from a trusted corpus snapshot in a
+    * batch job; the stream (and every restart) loads the artifact at
+    * start and strips the UNION of all domains' boilerplate hashes
+    * from each admitted batch's text BEFORE the quality signals read
+    * it (CCNet's ordering — boilerplate inflates repetition and
+    * deflates quality scores if left in). Novelty signatures stay on
+    * the RAW text (the dedup contract, same as `redactPii`).
+    *
+    * Per-batch cost: row-local line explode + one broadcast join
+    * against the (small by construction) hash set + one batch-keyed
+    * rebuild — nothing scales with the training corpus.
+    */
+  final case class BoilerplateStrip(artifactName: String)
+
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
     * `sink` enriched (left outer — a doc with no dim row survives with
@@ -194,8 +211,15 @@ object CurationStream {
           features: Option[FeatureAsOf] = None,
           langGate: Option[LangGate] = None,
           qualityGate: Option[QualityGate] = None,
-          perplexityGate: Option[PerplexityGate] = None)
+          perplexityGate: Option[PerplexityGate] = None,
+          boilerplateStrip: Option[BoilerplateStrip] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // boilerplate strip loads its persisted artifact ONCE, here — a
+    // missing table dies at start, not on batch 0; the hash set is
+    // pinned so per-batch broadcasts never re-read the table
+    val boilerHashes = boilerplateStrip.map(b =>
+      graft.ext.Dedup.loadBoilerplateLines(docs.sparkSession,
+        b.artifactName).select("line_hash").localCheckpoint())
     // model quality gate loads its persisted bundle ONCE, here — a
     // missing/foreign-tokenizer artifact dies at start, not on batch 0
     val qualityBundle = qualityGate.map(qg =>
@@ -264,10 +288,15 @@ object CurationStream {
       rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,
       jaccardDen = jaccardDen, compactEvery = compactEvery,
       vacuumAfterCompact = vacuumAfterCompact) { (novel, epoch) =>
-      val admitted =
+      val redacted =
         if (redactPii)
           novel.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
         else novel
+      // boilerplate strip rewrites textCol BEFORE the quality signals
+      // read it (CCNet ordering); novelty signatures upstream stay on
+      // the raw text
+      val admitted = boilerHashes.fold(redacted)(hs =>
+        graft.ext.Dedup.stripLinesByHashSet(redacted, hs, idCol, textCol))
       // `gopherGate` adds the full Rae et al. repetition rule set
       // ([[TextAnalysis.gopherPass]]) beside the 4-signal quality cut —
       // still a pure codegen'd per-row map (one native expression, zero
@@ -284,8 +313,14 @@ object CurationStream {
           (if (gopherGate) TextAnalysis.gopherPass(col(textCol))
            else lit(true)) &&
           (if (minCompressionX1000 > 0)
-            expr(s"deflate_len(`$textCol`) * 1000 div " +
-              s"octet_length(`$textCol`)") >= minCompressionX1000.toLong
+            // empty text → octet_length 0 → integer div NULL, which a
+            // bare >= filter would SILENTLY drop regardless of the
+            // configured floor (r16 advice). Decision: empty docs pass
+            // this gate — they carry no boilerplate signal; the
+            // quality floor above already owns the too-short cut.
+            octet_length(col(textCol)) === 0 ||
+              expr(s"deflate_len(`$textCol`) * 1000 div " +
+                s"octet_length(`$textCol`)") >= minCompressionX1000.toLong
            else lit(true)))
       // model quality gate: score the rule-passing batch under the
       // PINNED persisted classifier, keep only `keep`-labeled docs

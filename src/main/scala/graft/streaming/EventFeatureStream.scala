@@ -268,6 +268,15 @@ object EventFeatureStream {
     * the batch operator's per-session collect relies on. Null
     * key/time/type events are not turns and are skipped (the batch
     * contract).
+    *
+    * OPERATIONAL NOTE for `timeoutMs > 0`: with ProcessingTimeTimeout
+    * registered, Spark considers every trigger worth running (timers
+    * may fire), so the DEFAULT trigger(0) runs empty timer-check
+    * micro-batches BACK-TO-BACK — a busy loop that burns a core and
+    * starves `processAllAvailable`'s no-new-data window under load.
+    * Give the writeStream an explicit
+    * `Trigger.ProcessingTime(...)` of the same order as `timeoutMs`,
+    * and in tests bound any `processAllAvailable` wait.
     */
   def sessionTranscripts(events: DataFrame,
                          keys: Seq[String] = Seq("user_id"),
@@ -293,7 +302,8 @@ object EventFeatureStream {
     val stateSchema = StructType(Seq(
       StructField("last_t", LongType, nullable = false),
       StructField("session_idx", LongType, nullable = false),
-      StructField("turns", ArrayType(StringType), nullable = false)))
+      StructField("turns", ArrayType(StringType), nullable = false),
+      StructField("flushed", BooleanType, nullable = false)))
     val outSchema = StructType(keySchema.fields ++ Seq(
       StructField("session_idx", LongType, nullable = false),
       StructField("n_turns", LongType, nullable = false),
@@ -318,10 +328,19 @@ object EventFeatureStream {
 
     def fn(key: Row, it: Iterator[Row], state: GroupState[Row]): Iterator[Row] = {
       if (state.hasTimedOut) {
-        // idle flush: the open session closes by silence
+        // idle flush: the open session closes by silence. Keep a
+        // TOMBSTONE (same session_idx, flushed=true, empty turns)
+        // instead of state.remove(): removal forgot the per-key
+        // counter, so the key's next event restarted at session_idx=1
+        // and the stream emitted DUPLICATE (key, session_idx)
+        // coordinates after any idle flush (r16 advice). The tombstone
+        // keeps numbering monotone and dense — the next event opens
+        // session_idx + 1. No further timeout is armed: the tombstone
+        // is one tiny row per idle key, inert until the key returns.
         val s = state.get
-        state.remove()
         val turns = s.getSeq[String](2)
+        state.update(Row(s.getLong(0), s.getLong(1),
+          Seq.empty[String], true))
         if (turns.nonEmpty)
           Iterator.single(sessionRow(key, s.getLong(1), turns))
         else Iterator.empty
@@ -336,6 +355,13 @@ object EventFeatureStream {
             if (c != 0) c < 0 else cmpId(a.get(idIdx), b.get(idIdx)) < 0
           }
           var (lastT, sess, turns) = state.getOption match {
+            case Some(s) if s.getBoolean(3) =>
+              // post-flush resume: session s(1) was already emitted by
+              // the idle flush, so new events open the NEXT session
+              // regardless of event-time gap; lastT = None keeps the
+              // gap check from bumping the index a second time
+              (None: Option[Long], s.getLong(1) + 1L,
+                Vector.empty[String])
             case Some(s) =>
               (Some(s.getLong(0)), s.getLong(1),
                 s.getSeq[String](2).toVector)
@@ -352,7 +378,7 @@ object EventFeatureStream {
             turns :+= r.getString(typeIdx)
             lastT = Some(tv)
           }
-          state.update(Row(lastT.get, sess, turns))
+          state.update(Row(lastT.get, sess, turns, false))
           if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
           closed.result().iterator
         }

@@ -105,5 +105,23 @@ class CurationSketchSpec extends SparkSuite {
       FreqSketch.hllRegisters(items, col("group"), col("h")))
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan)
+    // range guard (r16 advice): a hash wider than the 31-bit polyhash
+    // (e.g. the 62-bit polyFingerprint64) must FAIL LOUD, not corrupt
+    // registers silently with rank ≤ 0
+    val wide = Seq(("g", (1L << 40) + 5L), ("g", 7L)).toDF("group", "h")
+    val ex = intercept[Exception] {
+      FreqSketch.hllRegisters(wide, col("group"), col("h")).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ causes(e.getCause))
+    assert(causes(ex).exists(_.contains("31-bit polyhash")), ex.toString)
+    // negative hashes are out of range too
+    val exNeg = intercept[Exception] {
+      FreqSketch.hllRegisters(Seq(("g", -3L)).toDF("group", "h"),
+        col("group"), col("h")).collect()
+    }
+    assert(causes(exNeg).exists(_.contains("31-bit polyhash")),
+      exNeg.toString)
   }
 }

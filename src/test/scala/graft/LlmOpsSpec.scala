@@ -831,6 +831,100 @@ class LlmOpsSpec extends SparkSuite {
     assert(ex.getMessage.contains("UNCONVERGED"), ex.getMessage)
   }
 
+  test("cluster convergence probes are exact: string-id chains reach the full closure in both algorithms") {
+    import spark.implicits._
+    // ADVICE r16 (high): the old convergence probes summed ids/labels
+    // as decimal(38,0) — for STRING ids the casts null out, every round
+    // compared NULL == NULL (star: count-only), and a 5-node chain was
+    // declared converged after one round with SPLIT labels. The probes
+    // are now exact set comparisons; both algorithms must reach the
+    // true component minimum on a string-keyed chain.
+    val sids = Seq("e", "d", "c", "b", "a") // chain e–d–c–b–a, min "a"
+    val snodes = (sids :+ "zz").toDF("id") // plus one isolated node
+    val sedges = sids.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    val star = Dedup.clusterLabelsStar(snodes, sedges, maxRounds = 10,
+      strict = true).as[(String, String)].collect().toMap
+    assert(star("zz") == "zz", s"isolated node must self-label: $star")
+    assert((star - "zz").values.toSet == Set("a"),
+      s"string chain must collapse to 'a': $star")
+    val plain = Dedup.clusterLabels(snodes, sedges, maxRounds = 10,
+      strict = true).as[(String, String)].collect().toMap
+    assert(star == plain, s"star $star != plain $plain")
+  }
+
+  test("stripBoilerplateLines: DF threshold drops every banner copy, keeps low-DF quotes, exempts small domains") {
+    import spark.implicits._
+    // domain A (5 docs ≥ minDomainDocs): 'NAV BAR' in all 5 (1000‰ →
+    // stripped everywhere, FIRST copy included — the case dedupLines
+    // gets wrong), 'a quote' in 2 of 5 (400‰ < 500 → kept in both);
+    // domain B (3 docs < minDomainDocs): its universal line is EXEMPT.
+    val a = (1 to 5).map(i =>
+      (i.toLong, s"NAV BAR\nbody $i" +
+        (if (i <= 2) "\na quote" else ""), "A"))
+    val b = (6 to 8).map(i => (i.toLong, s"FOOTER B\nown $i", "B"))
+    val out = Dedup.stripBoilerplateLines(
+        (a ++ b).toDF("doc_id", "text", "source"),
+        maxDfPermille = 500, minDomainDocs = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("body 1\na quote", 3L, 2L)), out(1L))
+    assert(out(3L) == (("body 3", 2L, 1L)), out(3L))
+    assert(out(7L) == (("FOOTER B\nown 7", 2L, 2L)), out(7L))
+    // an all-boilerplate doc keeps an empty clean_text, never vanishes
+    val solo = Dedup.stripBoilerplateLines(
+        ((1 to 4).map(i => (i.toLong, "ONLY BANNER", "C")) :+
+          ((5L, "ONLY BANNER\nreal", "C"))).toDF("doc_id", "text", "source"),
+        maxDfPermille = 500, minDomainDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(solo(1L) == "" && solo(5L) == "real", solo)
+  }
+
+  test("winnowFingerprints: match guarantee, small-doc window, rightmost tie, density") {
+    import spark.implicits._
+    val k = 4; val w = 5
+    // (1) GUARANTEE: two docs sharing a (w+k-1)=8-word run share at
+    // least one fingerprint, whatever their surroundings
+    val shared = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared eps zeta"),
+      (2L, s"$shared omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val common = fps.collect { case (1L, f) => f } intersect
+      fps.collect { case (2L, f) => f }
+    assert(common.nonEmpty, s"8-word match must share a fingerprint: $fps")
+    // (2) fewer than k words → nothing; k..k+w-2 words → exactly the
+    // global minimum gram (one window over what exists)
+    val tiny = Seq((3L, "only two words here map"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val tf = Dedup.winnowFingerprints(tiny, k, w).collect()
+    assert(tf.count(_.getLong(0) == 4L) == 0, tf.mkString(","))
+    assert(tf.count(_.getLong(0) == 3L) == 1,
+      s"5 words = 2 grams < w → one global-min fp: ${tf.mkString(",")}")
+    // (3) RIGHTMOST tie: 'x y x y x y x y x y' with k=4 gives grams
+    // 'x y x y'/'y x y x' alternating at positions 1..7; one w=7
+    // window → the selected position must be the LAST position of
+    // whichever gram hashes lower
+    val alt = Seq((5L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    val sel = Dedup.winnowFingerprints(alt, k = 4, w = 7).collect()
+    assert(sel.length == 1, sel.mkString(","))
+    val hx = spark.range(1).select(
+        graft.functions.polyFingerprint64(lit("x y x y")),
+        graft.functions.polyFingerprint64(lit("y x y x")))
+      .head
+    val expectedPos = if (hx.getLong(0) <= hx.getLong(1)) 7L else 6L
+    assert(sel.head.getLong(1) == expectedPos,
+      s"tie must pick the rightmost min: ${sel.head} (hashes $hx)")
+    // (4) density: selected fingerprints are a strict subset of grams
+    val big = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val nGrams = big.select(greatest(size(split(col("text"), " ")) - (k - 1),
+      lit(0)).cast("long").as("g")).agg(sum("g")).head.getLong(0)
+    val nSel = Dedup.winnowFingerprints(big, k, w).count()
+    assert(nSel > 0 && nSel < nGrams,
+      s"winnowing must thin the gram set: $nSel of $nGrams")
+  }
+
   test("dedup chain degrades cleanly: null-text docs are singletons, empty corpus yields empty results") {
     import spark.implicits._
     // null texts: own representative, no band rows, never paired — but
