@@ -1028,6 +1028,53 @@ object Dedup {
         col("__wn_s.fp").as("fp"))
   }
 
+  /** Document-pair OVERLAP via shared [[winnowFingerprints]] — the
+    * MOSS pair report: docs sharing at least `minShared` selected
+    * fingerprints, with the shared count as the overlap strength. The
+    * winnowing guarantee makes this a complete detector for matches of
+    * w+k−1 words or longer at a fraction of a full shingle self-join's
+    * cost (only ~2/(w+1) of grams are fingerprints, and only SELECTED
+    * fingerprints join).
+    *
+    * Scale shape: (doc, fp) distinct → fp-keyed equi-join (never a
+    * cross join); any fingerprint shared by more than `maxBucket`
+    * documents (the m²/2 skew cliff — template spam selecting the same
+    * gram corpus-wide) is EXCLUDED from pair generation and disclosed
+    * with a WARN, the established cap-and-disclose guard. Output:
+    * (doc_a, doc_b, shared), doc_a < doc_b.
+    */
+  def winnowOverlap(docs: DataFrame, k: Int = 4, w: Int = 5,
+                    minShared: Int = 2,
+                    maxBucket: Int = DefaultMaxBucketWidth,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol), col("fp")).distinct()
+    val width = fps.groupBy("fp").agg(count(lit(1)).as("__wo_n"))
+      .localCheckpoint()
+    val over = width.filter(col("__wo_n") > maxBucket)
+      .limit(21).collect()
+    if (over.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"winnowOverlap: ${over.length}${if (over.length > 20) "+" else ""} " +
+          s"fingerprint bucket(s) wider than $maxBucket documents excluded " +
+          s"from pair generation (recall loss on corpus-wide template " +
+          s"grams, not a failure): " +
+          over.take(20).map(r => s"(fp=${r.get(0)}, n=${r.get(1)})")
+            .mkString(", "))
+    val keep = fps.join(width.filter(col("__wo_n") <= maxBucket), "fp")
+      .select(col(idCol), col("fp"))
+    val a = keep.select(col(idCol).as("doc_a"), col("fp"))
+    val b = keep.select(col(idCol).as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared.toLong)
+  }
+
   /** [[dedupPassages]] over CONTENT-DEFINED chunks ([[cdcChunks]])
     * instead of fixed windows — the edit-robust passage dedup: a
     * near-copy with a word inserted or dropped still shares every
@@ -1070,6 +1117,27 @@ object Dedup {
         col("chunk_text"))
     dedupChunked(docs, lines, idCol, textCol, keepFirst, perDocument,
       "dedupLines", "\n")
+  }
+
+  /** Corpus-level PARAGRAPH dedup — [[dedupLines]] at blank-line
+    * granularity (split on `\n\n`), the Dolma/C4 paragraph rung
+    * between line dedup and whole-document dedup: repeated paragraphs
+    * (syndicated boilerplate blocks, quoted headers) collapse under
+    * the same packed-key first-occurrence law, survivors re-joined
+    * with `\n\n` so paragraph structure is preserved. Same output
+    * contract ((idCol, clean_text, n_passages, n_kept)) and the same
+    * skew-safe min-aggregation scale shape.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", keepFirst: Boolean = true,
+                      perDocument: Boolean = false): DataFrame = {
+    val paras = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"))
+    dedupChunked(docs, paras, idCol, textCol, keepFirst, perDocument,
+      "dedupParagraphs", "\n\n")
   }
 
   /** Boilerplate-line STRIP by per-domain DOCUMENT FREQUENCY — the

@@ -2676,6 +2676,112 @@ object LlmQueries {
       Dedup.winnowFingerprints(Tables.documents(s, d), k = 4, w = 5)
     }.sortedBy(col("doc_id"), col("pos")),
 
+    // ── Winnow overlap pairs (the MOSS pair report): docs 10m/10m+1
+    // (m ≡ 2 mod 5) gain a shared 8-word tail — exactly w+k−1, the
+    // guarantee threshold, so every planted pair MUST share a selected
+    // fingerprint; incidental same-4-gram collisions across the
+    // 31-word corpus vocabulary surface identically in both engines.
+    QueryDef("t_winnow_pairs", {
+      val sharedSql = ('a' to 'h').map(c =>
+        s"' shr' || CAST(doc_id // 10 AS VARCHAR) || '$c'").mkString(" || ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 <= 1 AND (doc_id // 10) % 5 = 2
+         |      THEN text || $sharedSql ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM p),
+         |gr AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(w) - 3, 0)),
+         |    i -> struct_pack(i := CAST(i AS BIGINT),
+         |      t := array_to_string(w[i:i+3], ' ')))) AS u FROM ws),
+         |g AS (SELECT doc_id, u.i AS i, ${polyhash64("u.t")} AS h FROM gr),
+         |mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+         |  FROM g GROUP BY doc_id),
+         |wins AS (SELECT doc_id, m, unnest(generate_series(1,
+         |    greatest(m - 4, 1))) AS j FROM mm),
+         |wg AS (SELECT wn.doc_id, wn.j, g.i, g.h
+         |  FROM wins wn JOIN g ON g.doc_id = wn.doc_id
+         |    AND g.i >= wn.j AND g.i <= least(wn.j + 4, wn.m)),
+         |mh AS (SELECT doc_id, j, min(h) AS fp FROM wg
+         |  GROUP BY doc_id, j),
+         |wf AS (SELECT DISTINCT doc_id, fp FROM mh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM wf a JOIN wf b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      val m = expr("doc_id div 10")
+      val tail = concat(('a' to 'h').map(c =>
+        concat(lit(" shr"), m.cast("string"), lit(c.toString))): _*)
+      val planted = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 <= 1 && m % 5 === 2,
+            concat(col("text"), tail)).otherwise(col("text")).as("text"))
+      Dedup.winnowOverlap(planted, k = 4, w = 5, minShared = 1,
+        maxBucket = 1 << 20)
+    }.sortedBy(col("doc_a"), col("doc_b")),
+
+    // ── Paragraph dedup over the same planted multiline fixture as
+    // t_dedup_lines: the %5 docs' mirrored second paragraph collapses
+    // to its first occurrence; the replay is the packed-key law at
+    // blank-line granularity with a chr(10)||chr(10) rebuild.
+    QueryDef("t_dedup_paragraphs",
+      s"""WITH mlv AS (
+         |  SELECT doc_id,
+         |    coalesce(array_to_string(ws[1:4], ' '), '') AS l1,
+         |    coalesce(array_to_string(ws[5:8], ' '), '') AS l2,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN coalesce(array_to_string(ws[1:4], ' '), '')
+         |         ELSE coalesce(array_to_string(ws[9:12], ' '), '')
+         |    END AS l3,
+         |    coalesce(array_to_string(ws[13:20], ' '), '') AS tl
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents WHERE text IS NOT NULL)),
+         |mlt AS (
+         |  SELECT doc_id,
+         |    l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || chr(10) ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN l1 || chr(10) || l2 || chr(10) || l3
+         |         ELSE tl END AS text
+         |  FROM mlv),
+         |gls AS (SELECT doc_id,
+         |  string_split(text, chr(10) || chr(10)) AS ls FROM mlt),
+         |lp AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ls)),
+         |    i -> struct_pack(cid := CAST(i - 1 AS BIGINT), ct := ls[i])))
+         |    AS u FROM gls),
+         |ph AS (SELECT doc_id, u.cid AS cid, u.ct AS ct,
+         |  ${polyhash64("u.ct")} AS h,
+         |  doc_id * ${Dedup.PassageKeyBase} + u.cid AS k FROM lp),
+         |f AS (SELECT h, min(k) AS mk FROM ph GROUP BY h),
+         |fl AS (SELECT ph.doc_id, ph.cid, ph.ct, ph.k = f.mk AS keep
+         |  FROM ph JOIN f ON f.h = ph.h),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+         |  string_agg(CASE WHEN keep THEN ct END,
+         |    chr(10) || chr(10) ORDER BY cid) AS ctext
+         |  FROM fl GROUP BY doc_id)
+         |SELECT m.doc_id, coalesce(a.ctext, '') AS clean_text,
+         |  CAST(coalesce(a.np, 0) AS BIGINT) AS n_passages,
+         |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
+         |FROM mlt m LEFT JOIN agg a ON a.doc_id = m.doc_id
+         |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val ws = split(col("text"), " ")
+      def seg(st: Int, len: Int) = concat_ws(" ", slice(ws, st, len))
+      val l1 = seg(1, 4)
+      val l2 = seg(5, 4)
+      val l3 = when(col("doc_id") % 3 === 0, seg(1, 4)).otherwise(seg(9, 4))
+      val p1 = concat(l1, lit("\n"), l2, lit("\n"), l3)
+      val planted = docs.select(col("doc_id"),
+        concat(p1, lit("\n\n"),
+          when(col("doc_id") % 5 === 0, p1).otherwise(seg(13, 8)))
+          .as("text"))
+      Dedup.dedupParagraphs(planted)
+    }.sortedBy(col("doc_id")),
+
     // Continuation pairs (pagination splits): docs whose first 8 words
     // equal another doc's last 8 — page-two fragments PLANTED in SQL
     // both sides (doc_id < 12 gains a continuation page under a

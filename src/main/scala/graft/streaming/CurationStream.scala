@@ -155,6 +155,20 @@ object CurationStream {
     */
   final case class BoilerplateStrip(artifactName: String)
 
+  /** In-stream weighted-lexicon safety screen for [[run]] — the
+    * streaming face of [[TextAnalysis.lexiconScreen]] (the C4/Dolma
+    * list layer): the lexicon (term, category, weight_x100) pins at
+    * stream start; each micro-batch's admitted docs are screened under
+    * the integer per-mille-of-tokens density budget and only
+    * `screen_pass` docs continue. Runs AFTER the boilerplate strip and
+    * PII redaction rewrite textCol (the screen reads what ships), and
+    * BEFORE the quality gates. Per-batch cost: the row-local token
+    * explode + one broadcast lexicon join + one batch-keyed agg —
+    * nothing scales with anything but the batch.
+    */
+  final case class LexiconScreenGate(lexicon: DataFrame,
+                                     maxScoreX100PerKtok: Long)
+
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
     * `sink` enriched (left outer — a doc with no dim row survives with
@@ -212,7 +226,8 @@ object CurationStream {
           langGate: Option[LangGate] = None,
           qualityGate: Option[QualityGate] = None,
           perplexityGate: Option[PerplexityGate] = None,
-          boilerplateStrip: Option[BoilerplateStrip] = None)
+          boilerplateStrip: Option[BoilerplateStrip] = None,
+          lexiconGate: Option[LexiconScreenGate] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // boilerplate strip loads its persisted artifact ONCE, here — a
     // missing table dies at start, not on batch 0; the hash set is
@@ -220,6 +235,17 @@ object CurationStream {
     val boilerHashes = boilerplateStrip.map(b =>
       graft.ext.Dedup.loadBoilerplateLines(docs.sparkSession,
         b.artifactName).select("line_hash").localCheckpoint())
+    // lexicon pins once at start — a malformed lexicon (missing
+    // columns) dies here, not on batch 0
+    val lexPinned = lexiconGate.map { lx =>
+      require(lx.maxScoreX100PerKtok >= 0,
+        "LexiconScreenGate.maxScoreX100PerKtok must be >= 0")
+      val cols = lx.lexicon.columns.toSet
+      require(Set("term", "category", "weight_x100").subsetOf(cols),
+        s"LexiconScreenGate lexicon needs (term, category, weight_x100), " +
+          s"got ${cols.toSeq.sorted.mkString(", ")}")
+      lx.lexicon.localCheckpoint()
+    }
     // model quality gate loads its persisted bundle ONCE, here — a
     // missing/foreign-tokenizer artifact dies at start, not on batch 0
     val qualityBundle = qualityGate.map(qg =>
@@ -295,8 +321,19 @@ object CurationStream {
       // boilerplate strip rewrites textCol BEFORE the quality signals
       // read it (CCNet ordering); novelty signatures upstream stay on
       // the raw text
-      val admitted = boilerHashes.fold(redacted)(hs =>
+      val stripped = boilerHashes.fold(redacted)(hs =>
         graft.ext.Dedup.stripLinesByHashSet(redacted, hs, idCol, textCol))
+      // lexicon screen drops over-budget docs on the SHIPPED text
+      // (post-redaction/strip), before the quality gates
+      val admitted = (lexPinned, lexiconGate) match {
+        case (Some(lex), Some(lx)) =>
+          val pass = TextAnalysis.lexiconScreen(stripped, lex,
+              lx.maxScoreX100PerKtok, idCol, textCol)
+            .filter(col("screen_pass"))
+            .select(col(idCol))
+          stripped.join(pass, idCol)
+        case _ => stripped
+      }
       // `gopherGate` adds the full Rae et al. repetition rule set
       // ([[TextAnalysis.gopherPass]]) beside the 4-signal quality cut —
       // still a pure codegen'd per-row map (one native expression, zero

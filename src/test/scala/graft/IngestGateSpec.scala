@@ -495,6 +495,50 @@ class IngestGateSpec extends SparkSuite {
       s"restart strips via the artifact: ${sunk.asScala.toMap.get(3L)}")
   }
 
+  test("composed curation stream lexicon screen drops over-budget docs, passes clean and diluted ones") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    IngestGateSpec.curated.clear()
+    // doc 1: clean. doc 2: the flagged term at high density (every 4th
+    // word) — over any sane per-mille budget. doc 3: the SAME term
+    // count diluted into a much longer doc — density budget passes it
+    // (the case a raw-count screen gets wrong).
+    val clean = ((1 to 40).map(i => s"lg${i}a${i * 3 % 7}") :+ "the")
+      .mkString(" ")
+    val dense = (1 to 40).map(i =>
+      if (i % 4 == 0) "badword" else s"lh${i}b${i * 5 % 11}").mkString(" ")
+    val diluted = ((1 to 200).map(i => s"lk${i}c${i * 7 % 13}") ++
+      Seq.fill(2)("badword")).mkString(" ")
+    val lex = Seq(("badword", "tox", 100)).toDF("term", "category", "weight_x100")
+    val name = "t_cur_lex"
+    val dimDir = java.nio.file.Files.createTempDirectory("lx-dim").toString
+    ManifestStore.seed(Seq((0, "crawlA")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val ms = MemoryStream[(Long, String, Int)]
+    // budget: 2000 x100-points per 1000 tokens. dense: 10 hits × 100 =
+    // 1000 over 40 tokens → 25000‰ > 2000 → dropped; diluted: 200 over
+    // 202 tokens → ~990‰ → passes
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), name, dimDir,
+      "source_id",
+      java.nio.file.Files.createTempDirectory("lx-ckpt").toString,
+      minQuality = 0,
+      lexiconGate = Some(CurationStream.LexiconScreenGate(lex, 2000L))) {
+      (out, _) =>
+        out.select("doc_id").collect().foreach(r =>
+          IngestGateSpec.curated.add((r.getLong(0), 0L, "")))
+    }
+    try {
+      ms.addData((1L, clean, 0), (2L, dense, 0), (3L, diluted, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = IngestGateSpec.curated.asScala.map(_._1).toSet
+    assert(ids == Set(1L, 3L), s"curated: $ids")
+    // the dedup gate still admitted all three (screen is downstream)
+    assert(IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("composed curation stream redacts PII in-stream before the sink; raw text still keys dedup") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
