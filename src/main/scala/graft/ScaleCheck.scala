@@ -197,11 +197,23 @@ object ScaleCheck {
             docs.filter(col("doc_id") % 10 === 0)
               .select(col("doc_id"), col("lang")), "doc_id", "lang")
         }))
+      // per-domain DF boilerplate strip (round 17): two line-keyed
+      // partial-aggs + one doc-keyed rebuild — cost must track the
+      // LINE relation (corpus-linear), never pairwise
+      record("strip_boilerplate", nDocs,
+        timeIt(reps, warm = m == mults.head)(
+          noop(graft.ext.Dedup.stripBoilerplateLines(docs))))
+      // winnowing pair report (round 17): fp-keyed equi-join under the
+      // bucket cap — the planted verbatim dups grow bucket widths with
+      // m, and pair volume must stay group-local, never corpus²
+      record("winnow_overlap", nDocs,
+        timeIt(reps, warm = m == mults.head)(
+          noop(graft.ext.Dedup.winnowOverlap(docs, minShared = 2))))
     }
 
     // SCALE.md: per-flagship rows × median seconds, plus the
     // time-ratio-per-row-ratio column that makes sublinearity visible
-    out.append("# SCALE — measured flagship scaling curves (round 16)\n\n")
+    out.append("# SCALE — measured flagship scaling curves (round 17)\n\n")
     out.append(s"Derived corpora: deterministic replication of `$sfDir` ")
     out.append("(ScaleCheck.scala — 10% planted verbatim duplicates, the rest " +
       "token-rotated novel; embeddings 10% verbatim, the rest shifted). " +

@@ -162,6 +162,80 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  // ── BINARY (1-bit) quantized path ──────────────────────────────────
+
+  /** 1-bit SIGN quantization: bit i of the packed vector is
+    * `x_i > 0`, packed 32 bits per long word by the shift-free
+    * positional fold `word = Σ b(i)·2^(i−lo)` (the word's dims
+    * iterated high→low with `acc·2 + b` — a fold both engines replay
+    * exactly, and a 32-bit word never touches the sign bit, the
+    * cross-engine `1 << 63` overflow trap). 32× less memory traffic
+    * than float32 — the coarsest rung of the quantization family
+    * (float → int8 → binary); Hamming distance on the packed words
+    * approximates angular distance (Charikar 2002 — the same sign-
+    * projection idea as the LSH buckets, at full dimensionality).
+    *
+    * Output: (idCol, bvec array<long>, dims). Null vectors are
+    * excluded (no deterministic rank downstream); an EMPTY vector
+    * packs to an empty word array with dims 0. Row-local map — no
+    * shuffle, pushes down the scan.
+    */
+  def quantizeBinary(corpus: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol)
+    val n = size(x)
+    val words = transform(
+      sequence(lit(0), floor((n - lit(1)) / lit(32.0)).cast("int")),
+      w => aggregate(
+        sequence(least((w + lit(1)) * lit(32), n), w * lit(32) + lit(1)),
+        lit(0L),
+        (acc, i) => acc * lit(2L) +
+          when(element_at(x, i) > lit(0f), lit(1L)).otherwise(lit(0L))))
+    corpus.filter(x.isNotNull)
+      .select(col(idCol),
+        when(n > 0, words)
+          .otherwise(expr("cast(array() AS array<bigint>)")).as("bvec"),
+        n.cast("long").as("dims"))
+  }
+
+  /** Exact top-k by HAMMING distance over [[quantizeBinary]] packed
+    * vectors: per word `bit_count(xor(a, b))`, summed — pure integer,
+    * bit-reproducible in any engine, and the cheapest full-scan
+    * ranking there is (two instructions per 32 dims). Ranking
+    * (hamming ASC, id ASC) through the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator; ≤ k rows per (task, query)
+    * cross the exchange. The binary rung's role at 100 TB: the packed
+    * relation is 1/32 the scan of the float vectors — shortlist here,
+    * rerank the shortlist under int8 or float where precision
+    * matters.
+    */
+  def hammingTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val b = quantizeBinary(corpus.filter(col(vecCol).isNotNull), idCol, vecCol)
+    val queries = b.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("bvec").as("query_bvec"))
+    val scored = b
+      .join(broadcast(queries), col("query_id") =!= col(idCol))
+      .withColumn("hamming", aggregate(
+        zip_with(col("query_bvec"), col("bvec"),
+          (qa, ca) => bit_count(qa.bitwiseXOR(ca)).cast("long")),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("hamming"))
+    val plan = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("hamming"), Ascending),
+        SortOrder(UnresolvedAttribute("neighbor_id"), Ascending)),
+      k, Bridge.logicalPlan(scored))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    Bridge.ofRows(corpus.sparkSession, plan)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   // ── LSH scale path ─────────────────────────────────────────────────
 
   /** All (table, plane) sign-buckets of a vector in one fused native

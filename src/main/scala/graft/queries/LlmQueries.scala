@@ -3250,6 +3250,70 @@ object LlmQueries {
       Similarity.int8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), 8)
     }.sortedBy(col("query_id"), col("rank")),
 
+    // ── BINARY (1-bit) quantization: sign bits packed 32/long word by
+    // the positional fold acc·2+b (shift-free — both engines replay it
+    // exactly, no 1<<63 overflow divergence). Report: word count,
+    // first word, total popcount — the packed array replayed as
+    // scalars both engines hash identically.
+    QueryDef("t_embed_binary",
+      s"""WITH bq AS (SELECT vec_id,
+         |  CAST(len(embedding) AS BIGINT) AS dims,
+         |  CASE WHEN len(embedding) = 0 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(
+         |      generate_series(0, (len(embedding) - 1) // 32),
+         |      w -> list_reduce(list_prepend(0::BIGINT, list_transform(
+         |        generate_series(least((w + 1) * 32, len(embedding)),
+         |          w * 32 + 1, -1),
+         |        i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT
+         |             ELSE 0::BIGINT END)),
+         |        (acc, b) -> acc * 2 + b))
+         |  END AS bv
+         |  FROM embeddings WHERE embedding IS NOT NULL)
+         |SELECT vec_id, dims, CAST(len(bv) AS BIGINT) AS n_words,
+         |  CASE WHEN len(bv) >= 1 THEN bv[1] ELSE 0 END AS word0,
+         |  CAST(coalesce(list_sum(list_transform(bv,
+         |    v -> CAST(bit_count(v) AS BIGINT))), 0) AS BIGINT)
+         |    AS popcount
+         |FROM bq ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.quantizeBinary(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("dims"),
+          size(col("bvec")).cast("long").as("n_words"),
+          coalesce(element_at(col("bvec"), 1), lit(0L)).as("word0"),
+          coalesce(aggregate(col("bvec"), lit(0L),
+            (a, v) => a + bit_count(v).cast("long")), lit(0L))
+            .as("popcount"))
+    }.sortedBy(col("vec_id")),
+
+    // Top-8 neighbours for 3 queries by HAMMING distance over the
+    // packed sign bits — the 1/32-scan shortlist rung; ranking
+    // (hamming ASC, id ASC) is pure integer.
+    QueryDef("t_ann_hamming",
+      s"""WITH bq AS (SELECT vec_id,
+         |  list_transform(generate_series(0, (len(embedding) - 1) // 32),
+         |    w -> list_reduce(list_prepend(0::BIGINT, list_transform(
+         |      generate_series(least((w + 1) * 32, len(embedding)),
+         |        w * 32 + 1, -1),
+         |      i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT
+         |           ELSE 0::BIGINT END)),
+         |      (acc, b) -> acc * 2 + b)) AS bv
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         |qq AS (SELECT vec_id AS query_id, bv AS qbv FROM bq
+         |       WHERE vec_id < 3),
+         |scored AS (SELECT qq.query_id, e.vec_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(generate_series(1, len(e.bv)),
+         |    i -> CAST(bit_count(xor(qq.qbv[i], e.bv[i])) AS BIGINT)))
+         |    AS BIGINT) AS hamming
+         |  FROM qq JOIN bq e ON e.vec_id <> qq.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, hamming,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 8
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.hammingTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), 8)
+    }.sortedBy(col("query_id"), col("rank")),
+
     // ANN (LSH-bucketed) variant, fully oracle-checked: the DuckDB side
     // reproduces the sign buckets from the same planeWeight constants
     // (lshBucketsCte), then the same candidate join + exact rerank.

@@ -925,6 +925,35 @@ class LlmOpsSpec extends SparkSuite {
       s"winnowing must thin the gram set: $nSel of $nGrams")
   }
 
+  test("binary quantization: sign-copy ranks first at hamming 0, packing law, k rows per query") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact copy of vector 0 under a fresh id: it must be
+    // query 0's rank-1 neighbor at hamming 0 (identical sign pattern)
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val planted = emb.unionByName(
+      Seq((990001L, v0, -1)).toDF("vec_id", "embedding", "label"))
+    val top = Similarity.hammingTopK(planted, Seq(0L), 5).collect()
+    assert(top.length == 5)
+    val first = top.minBy(_.getLong(3))
+    assert(first.getLong(1) == 990001L && first.getLong(2) == 0L,
+      s"sign-copy must rank first at hamming 0: ${top.mkString(",")}")
+    // packing law on a hand vector: 33 dims, bit i set iff x_i > 0 —
+    // word 0 covers dims 1..32, word 1 the 33rd dim
+    val hand = Seq((1L, (1 to 33).map(i =>
+        if (i == 1 || i == 33) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.quantizeBinary(hand).head
+    assert(b.getLong(2) == 33L)
+    val words = b.getSeq[Long](1)
+    assert(words == Seq(1L, 1L), s"dims 1 and 33 set: $words")
+    // zero-dim vector packs to an empty word array, never errors
+    val empty = Similarity.quantizeBinary(
+      Seq((2L, Seq.empty[Float])).toDF("vec_id", "embedding")).head
+    assert(empty.getSeq[Long](1).isEmpty && empty.getLong(2) == 0L)
+  }
+
   test("dedup chain degrades cleanly: null-text docs are singletons, empty corpus yields empty results") {
     import spark.implicits._
     // null texts: own representative, no band rows, never paired — but
