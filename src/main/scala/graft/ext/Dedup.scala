@@ -985,16 +985,39 @@ object Dedup {
     * word index, fp its 62-bit [[graft.functions.PolyFingerprint64]]
     * hash; docs with fewer than k words emit nothing, docs with fewer
     * than w grams emit their global minimum (one window over what
-    * exists). Entirely ROW-LOCAL: the gram-hash array and the
-    * window-min scan are codegen'd HOFs inside the scan's map stage —
-    * zero shuffle, zero UDF; both arrays are STAGED through
-    * materialized columns (the cdcChunks lesson: inlined, every
-    * element_at re-evaluates the whole gram scan). The DuckDB oracle
-    * (t_winnow) replays window/min/rightmost-tie relationally.
+    * exists). Entirely ROW-LOCAL, zero shuffle: the whole selection is
+    * ONE fused native pass over the text bytes
+    * ([[graft.functions.WinnowFps]] — gram hashes fold directly over
+    * byte spans, no per-gram allocation; the interpreted HOF chain it
+    * replaced measured 5.5 s at sf0.1). [[winnowFingerprintsHof]] is
+    * the declarative executable spec it is tested against; the DuckDB
+    * oracle (t_winnow) replays window/min/rightmost-tie relationally.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k (gram width) must be >= 1, got $k")
+    require(w >= 1, s"w (window width) must be >= 1, got $w")
+    import org.apache.spark.sql.graft.Bridge
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(Bridge.column(graft.functions.WinnowFps(
+          Bridge.expression(col(textCol)), k, w))).as("__wn_s"))
+      .select(col(idCol), col("__wn_s.pos").as("pos"),
+        col("__wn_s.fp").as("fp"))
+  }
+
+  /** The declarative HOF formulation of [[winnowFingerprints]] — kept
+    * as the EXECUTABLE SPEC the fused native expression
+    * ([[graft.functions.WinnowFps]]) is tested against (the
+    * LshBuckets/lshBucketHof precedent): staged gram-hash array, a
+    * window-min aggregate with the rightmost-tie `<=`, array_distinct.
+    * Interpreted HOFs per row — ~an order of magnitude slower than the
+    * native byte pass; never on the hot path.
+    */
+  private[graft] def winnowFingerprintsHof(
+      docs: DataFrame, k: Int = 4, w: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k (gram width) must be >= 1, got $k")
     require(w >= 1, s"w (window width) must be >= 1, got $w")
     val reserved = docs.columns.filter(_.startsWith("__wn_"))
@@ -1050,8 +1073,12 @@ object Dedup {
                     textCol: String = "text"): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // pin the fingerprint relation: it feeds the width table AND both
+    // sides of the pair join — unpinned, the interpreted HOF window
+    // scan re-runs three times (measured 14.6 s → ~5 s at sf0.1)
     val fps = winnowFingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol), col("fp")).distinct()
+      .localCheckpoint()
     val width = fps.groupBy("fp").agg(count(lit(1)).as("__wo_n"))
       .localCheckpoint()
     val over = width.filter(col("__wo_n") > maxBucket)

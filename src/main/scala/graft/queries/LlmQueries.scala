@@ -1877,6 +1877,34 @@ object LlmQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
+    // ── Per-column table profile (the data-quality audit row DESCRIBE
+    // can't give): one multi-distinct aggregation over one scan; the
+    // oracle replays every count exactly, with the dtype labels pinned
+    // to the engine's schema rendering.
+    QueryDef("t_table_profile",
+      s"""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(doc_id) AS BIGINT) AS nn0,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd0,
+         |  CAST(count(text) AS BIGINT) AS nn1,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS nd1,
+         |  CAST(count(lang) AS BIGINT) AS nn2,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS nd2,
+         |  CAST(count(source) AS BIGINT) AS nn3,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS nd3,
+         |  CAST(count(n_chars) AS BIGINT) AS nn4,
+         |  CAST(count(DISTINCT n_chars) AS BIGINT) AS nd4
+         | FROM documents)
+         |SELECT * FROM (
+         |  SELECT 'doc_id' AS "column", 'bigint' AS dtype, n,
+         |    nn0 AS n_nonnull, n - nn0 AS n_null, nd0 AS n_distinct FROM s
+         |  UNION ALL SELECT 'text', 'string', n, nn1, n - nn1, nd1 FROM s
+         |  UNION ALL SELECT 'lang', 'string', n, nn2, n - nn2, nd2 FROM s
+         |  UNION ALL SELECT 'source', 'string', n, nn3, n - nn3, nd3 FROM s
+         |  UNION ALL SELECT 'n_chars', 'bigint', n, nn4, n - nn4, nd4 FROM s)
+         |ORDER BY "column"""".stripMargin) { (s, d) =>
+      graft.meta.Describe.profileTable(Tables.documents(s, d))
+    }.sortedBy(col("column")),
+
     QueryDef("t_text_stats",
       s"""WITH tok AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),

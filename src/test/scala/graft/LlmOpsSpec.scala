@@ -923,6 +923,17 @@ class LlmOpsSpec extends SparkSuite {
     val nSel = Dedup.winnowFingerprints(big, k, w).count()
     assert(nSel > 0 && nSel < nGrams,
       s"winnowing must thin the gram set: $nSel of $nGrams")
+    // (5) the fused native pass ≡ the declarative HOF spec — on the
+    // whole corpus AND the edge fixtures (multi-space empty words,
+    // sub-window docs, the tie fixture)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Dedup.winnowFingerprints(big, k, w)) ==
+      rows(Dedup.winnowFingerprintsHof(big, k, w)))
+    val edges = Seq((1L, "a  b c  d e f"), (2L, "x y"), (3L, ""),
+      (4L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    assert(rows(Dedup.winnowFingerprints(edges, k, w)) ==
+      rows(Dedup.winnowFingerprintsHof(edges, k, w)))
   }
 
   test("binary quantization: sign-copy ranks first at hamming 0, packing law, k rows per query") {
