@@ -165,5 +165,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case (e, (pat, rep)) => StringReplace(e, Literal(pat), Literal(rep))
         }
       }))
+    // winnow_fps(text[, k, w]): the fused MOSS fingerprint selection
+    // (defaults k=4, w=5 — the t_winnow law)
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFps].getName,
+        "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 3,
+          "winnow_fps(text[, k, w]) takes 1 or 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps: $what must be an integer literal, got $other")
+        }
+        if (children.length == 1) graft.functions.WinnowFps(children.head, 4, 5)
+        else graft.functions.WinnowFps(children.head,
+          intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
+    // canonical_url(text): the fused native form of the 5-step URL
+    // normalization law (TextAnalysis.canonicalizeUrl is the
+    // executable spec it is tested against)
+    ext.injectFunction((
+      FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(classOf[graft.functions.CanonicalUrl].getName,
+        "canonical_url"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "canonical_url(url) takes 1 argument")
+        graft.functions.CanonicalUrl(children.head)
+      }))
   }
 }

@@ -109,6 +109,44 @@ class SqlSurfaceSpec extends SparkSuite {
       .collect().head.getString(0)
     assert(mjSql == "café \"quoted'", mjSql)
 
+    // winnow fingerprints via SQL match the Column API (defaults AND
+    // explicit literal knobs); non-literal knobs fail at analysis
+    val wnSql = spark.sql(
+      "SELECT doc_id, explode(winnow_fps(text)) AS s FROM documents")
+      .select(col("doc_id"), col("s.pos"), col("s.fp"))
+    val wnApi = graft.ext.Dedup.winnowFingerprints(
+      Tables.documents(spark, sf))
+    assert(rows(wnSql.orderBy(col("doc_id"), col("pos"))) ==
+      rows(wnApi.orderBy(col("doc_id"), col("pos"))))
+    assert(spark.sql(
+      "SELECT winnow_fps(text, 4, 5) FROM documents LIMIT 1").count() == 1)
+    intercept[Exception](
+      spark.sql("SELECT winnow_fps(text, doc_id, 5) FROM documents")
+        .collect())
+
+    // URL canonicalization: the fused native SQL function matches the
+    // declarative Column chain (its executable spec) on the tricky
+    // shapes — mixed case, default ports, tracking params, bare host,
+    // non-URLs, empty query, scheme-less colons
+    import spark.implicits._
+    val fixtures = Seq(
+      "HTTPS://Ex.COM:443/P?utm_source=x&b=2&a=1#f",
+      "http://site.org:80", "not a url 5", "HTTP://H.io:80/a?ref=h&z=1",
+      "https://h.io:8443/x", "ftp://Case.Host/Q?b=1&a=2",
+      "http://h/?", "weird://:80", "a b://c", "http://h/p#x#y",
+      "http://h/p?utm_a=1&utm_b=2").toDF("url")
+    fixtures.createOrReplaceTempView("url_fixtures")
+    val viaSqlUrl = spark.sql(
+      "SELECT url, canonical_url(url) AS u FROM url_fixtures")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaApiUrl = fixtures.select(col("url"),
+        graft.ext.TextAnalysis.canonicalizeUrl(col("url")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaSqlUrl == viaApiUrl,
+      s"native vs chain: ${viaSqlUrl.toSet.diff(viaApiUrl.toSet)}")
+    assert(viaSqlUrl("HTTPS://Ex.COM:443/P?utm_source=x&b=2&a=1#f") ==
+      "https://ex.com/P?a=1&b=2")
+
     // integral literal knobs of any width resolve (SQL generators emit
     // typed literals); non-literal knobs are analysis-time errors
     val wide = spark.sql(
