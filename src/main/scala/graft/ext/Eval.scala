@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluation & annotation analytics — the scoring rungs a training-data
+  * platform runs AFTER the model: eval-set scoring (exact match, token
+  * F1 — the SQuAD-lineage pair every QA/extraction eval reports) and
+  * annotation aggregation (majority vote, Cohen's κ) over human or
+  * model-judge labels. Every law is INTEGER-exact (cross-multiplied
+  * ratios, explicit floor division) so the DuckDB oracles replay the
+  * scores bit-for-bit — an eval number that can't be reproduced in a
+  * second engine is a number nobody should ship.
+  */
+object Eval {
+
+  /** Per-item exact-match + bag-of-tokens F1 between a prediction and
+    * a reference relation (joined on `idCol`; items present on only
+    * one side are dropped — they have no score). Tokens follow the
+    * [[TextAnalysis.normalizeText]] law, so "The cat." matches
+    * "the cat"; overlap = Σ_w min(tf_pred(w), tf_ref(w)) — the bag
+    * (clipped-count) formulation SQuAD uses, not set intersection.
+    *
+    *   f1_x100 = (2 · overlap · 100) div (n_pred + n_ref)
+    *
+    * with the empty-vs-empty convention: two empty token bags are a
+    * PERFECT match (em=true, f1=100) — the SQuAD null-answer rule.
+    * Output: (idCol, n_pred, n_ref, overlap, em, f1_x100).
+    *
+    * Scale shape: one row-local tokenize/explode per side, one
+    * (id, word) partial-agg join, one id-keyed rollup — eval sets are
+    * small next to corpora, but nothing here collects or crosses.
+    */
+  def tokenF1(preds: DataFrame, refs: DataFrame,
+              idCol: String = "doc_id", predCol: String = "pred",
+              refCol: String = "ref"): DataFrame = {
+    def bag(df: DataFrame, c: String, side: String): DataFrame = {
+      val norm = TextAnalysis.normalizeText(col(c))
+      df.filter(col(c).isNotNull)
+        .select(col(idCol), explode(
+          when(norm === "", expr("cast(array() AS array<string>)"))
+            .otherwise(split(norm, " "))).as("__ev_w"))
+        .groupBy(col(idCol), col("__ev_w"))
+        .agg(count(lit(1)).as(s"__ev_tf_$side"))
+    }
+    val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
+      TextAnalysis.normalizeText(col(predCol)).as("__ev_np"))
+    val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
+      TextAnalysis.normalizeText(col(refCol)).as("__ev_nr"))
+    val joined = nP.join(nR, idCol)
+    val ov = bag(preds, predCol, "p")
+      .join(bag(refs, refCol, "r"), Seq(idCol, "__ev_w"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("__ev_tf_p"), col("__ev_tf_r"))).as("__ev_ov"))
+    val counts = joined
+      .withColumn("n_pred", when(col("__ev_np") === "", lit(0L))
+        .otherwise(size(split(col("__ev_np"), " ")).cast("long")))
+      .withColumn("n_ref", when(col("__ev_nr") === "", lit(0L))
+        .otherwise(size(split(col("__ev_nr"), " ")).cast("long")))
+    counts.join(ov, Seq(idCol), "left")
+      .select(col(idCol), col("n_pred"), col("n_ref"),
+        coalesce(col("__ev_ov"), lit(0L)).as("overlap"),
+        (col("__ev_np") === col("__ev_nr")).as("em"),
+        when(col("n_pred") + col("n_ref") === 0L, lit(100L))
+          .otherwise(expr("(2 * coalesce(__ev_ov, 0) * 100) div " +
+            "(n_pred + n_ref)")).as("f1_x100"))
+  }
+
+  /** Majority-vote label aggregation over an annotation relation
+    * (`itemCol`, `annotatorCol`, `labelCol`) — the consensus step of
+    * every labeling pipeline. Per item: the label with the most votes;
+    * ties break to the LEXICOGRAPHICALLY SMALLEST label (a stated,
+    * engine-independent rule — "first annotator wins" depends on row
+    * order, which a distributed engine does not have). Null labels are
+    * abstentions and don't vote; items where every annotator abstained
+    * are absent. Output: (itemCol, label, votes, n_votes, unanimous).
+    *
+    * Scale shape: two partial-agg shuffles (item×label counts, then
+    * per-item max via a bounded struct-max — never a window sort over
+    * the corpus).
+    */
+  def majorityVote(labels: DataFrame, itemCol: String = "item_id",
+                   annotatorCol: String = "annotator",
+                   labelCol: String = "label"): DataFrame = {
+    val votes = labels.filter(col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    // per-item argmax with smallest-label tie: max over
+    // struct(votes, NEGATED label order) is wrong for strings — use
+    // min over struct(-votes, label) instead: most votes first, then
+    // smallest label
+    votes.groupBy(col(itemCol))
+      .agg(min(struct((-col("votes")).as("nv"), col(labelCol).as("l")))
+          .as("__mv_top"),
+        sum(col("votes")).as("n_votes"))
+      .select(col(itemCol), col("__mv_top.l").as("label"),
+        (-col("__mv_top.nv")).as("votes"), col("n_votes"),
+        (col("__mv_top.nv") === -col("n_votes")).as("unanimous"))
+  }
+
+  /** Cohen's κ between every PAIR of annotators sharing items, scaled
+    * ×10⁴ and floor-divided so both engines render the same integer:
+    *
+    *   κ·10⁴ = floor( (agree·n − Σ_l cntA(l)·cntB(l)) · 10⁴
+    *                  / (n² − Σ_l cntA(l)·cntB(l)) )
+    *
+    * (the usual (p_o − p_e)/(1 − p_e) with every term multiplied by
+    * n², divided with the TRUNCATING integer division BOTH engines
+    * natively share — Spark `div` and DuckDB `//` each round toward
+    * zero, verified on negative κ, which worse-than-chance annotators
+    * legitimately produce.) Pairs ordered a < b; the degenerate n² = Σ
+    * case (both
+    * annotators constant and identical — p_e = 1) yields null κ,
+    * disclosed rather than invented. Null labels are abstentions; a
+    * pair's universe is the items BOTH labeled.
+    *
+    * Output: (ann_a, ann_b, n, agree, kappa_x10000).
+    */
+  def cohenKappa(labels: DataFrame, itemCol: String = "item_id",
+                 annotatorCol: String = "annotator",
+                 labelCol: String = "label"): DataFrame = {
+    val l = labels.filter(col(labelCol).isNotNull)
+      .select(col(itemCol), col(annotatorCol), col(labelCol))
+    val a = l.select(col(itemCol), col(annotatorCol).as("ann_a"),
+      col(labelCol).as("__ck_la"))
+    val b = l.select(col(itemCol), col(annotatorCol).as("ann_b"),
+      col(labelCol).as("__ck_lb"))
+    val pairs = a.join(b, Seq(itemCol))
+      .filter(col("ann_a") < col("ann_b"))
+    val agg = pairs.groupBy(col("ann_a"), col("ann_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ck_la") === col("__ck_lb"), 1L).otherwise(0L))
+          .as("agree"))
+    // per-pair marginal products: Σ_label cntA(label) · cntB(label)
+    val margA = pairs.groupBy(col("ann_a"), col("ann_b"),
+        col("__ck_la").as("__ck_l"))
+      .agg(count(lit(1)).as("__ck_ca"))
+    val margB = pairs.groupBy(col("ann_a"), col("ann_b"),
+        col("__ck_lb").as("__ck_l"))
+      .agg(count(lit(1)).as("__ck_cb"))
+    val pe = margA.join(margB, Seq("ann_a", "ann_b", "__ck_l"))
+      .groupBy(col("ann_a"), col("ann_b"))
+      .agg(sum(col("__ck_ca") * col("__ck_cb")).as("__ck_pe"))
+    agg.join(pe, Seq("ann_a", "ann_b"))
+      .select(col("ann_a"), col("ann_b"), col("n"), col("agree"),
+        when(col("n") * col("n") === col("__ck_pe"), lit(null))
+          .otherwise(expr(
+            "((agree * n - __ck_pe) * 10000) div (n * n - __ck_pe)"))
+          .cast("long").as("kappa_x10000"))
+  }
+}

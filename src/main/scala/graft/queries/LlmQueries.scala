@@ -597,6 +597,38 @@ object LlmOracle {
 object LlmQueries {
   import LlmOracle._
 
+  /** The planted annotation panel shared by the majority-vote and κ
+    * oracles: a1 = lang; a2 mislabels %4 as 'xx'; a3 abstains (null)
+    * on %5 and labels %3 'yy'; a4 (κ only) rotates every lang — the
+    * below-chance annotator whose κ is negative, exercising the
+    * floor-division law where trunc-vs-floor engines diverge.
+    */
+  private def annotationPanel(s: org.apache.spark.sql.SparkSession,
+                              d: String, withRotator: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d).filter(col("lang").isNotNull)
+    val a1 = base.select(col("doc_id").as("item_id"),
+      lit("a1").as("annotator"), col("lang").as("label"))
+    val a2 = base.select(col("doc_id").as("item_id"),
+      lit("a2").as("annotator"),
+      when(col("doc_id") % 4 === 0, lit("xx")).otherwise(col("lang"))
+        .as("label"))
+    val a3 = base.select(col("doc_id").as("item_id"),
+      lit("a3").as("annotator"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 3 === 0, lit("yy"))
+        .otherwise(col("lang")).as("label"))
+    val three = a1.unionByName(a2).unionByName(a3)
+    if (!withRotator) three
+    else three.unionByName(base.select(col("doc_id").as("item_id"),
+      lit("a4").as("annotator"),
+      when(col("lang") === "en", lit("zh"))
+        .when(col("lang") === "zh", lit("es"))
+        .when(col("lang") === "es", lit("de"))
+        .when(col("lang") === "de", lit("fr"))
+        .otherwise(lit("en")).as("label")))
+  }
+
   /** Build the persisted ANN index artifacts once per (JVM, sf dir) —
     * the warehouse is per-JVM (Sessions), so a JVM-local lock closes the
     * check-then-write race. Queries then exercise the SEARCH-ONLY hot
@@ -1877,6 +1909,139 @@ object LlmQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
+    // ── Eval scoring: SQuAD-style exact match + bag-of-tokens F1 over
+    // planted predictions (perfect / truncated / padded / unrelated per
+    // doc_id % 4); every score integer cross-multiplied, the
+    // empty-vs-empty null-answer rule included.
+    QueryDef("t_eval_f1",
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM preds),
+         |nr AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM base),
+         |tp AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(n, ' ')) AS w
+         |        FROM np WHERE n <> '') GROUP BY doc_id, w),
+         |tr AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(n, ' ')) AS w
+         |        FROM nr WHERE n <> '') GROUP BY doc_id, w),
+         |ov AS (SELECT tp.doc_id,
+         |    CAST(sum(least(tp.tf, tr.tf)) AS BIGINT) AS ov
+         |  FROM tp JOIN tr ON tr.doc_id = tp.doc_id AND tr.w = tp.w
+         |  GROUP BY tp.doc_id),
+         |cts AS (SELECT np.doc_id, np.n AS pn, nr.n AS rn,
+         |  CASE WHEN np.n = '' THEN 0
+         |       ELSE len(string_split(np.n, ' ')) END AS n_pred,
+         |  CASE WHEN nr.n = '' THEN 0
+         |       ELSE len(string_split(nr.n, ' ')) END AS n_ref
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id)
+         |SELECT c.doc_id, CAST(c.n_pred AS BIGINT) AS n_pred,
+         |  CAST(c.n_ref AS BIGINT) AS n_ref,
+         |  CAST(coalesce(o.ov, 0) AS BIGINT) AS overlap,
+         |  c.pn = c.rn AS em,
+         |  CAST(CASE WHEN c.n_pred + c.n_ref = 0 THEN 100
+         |    ELSE (2 * coalesce(o.ov, 0) * 100) // (c.n_pred + c.n_ref)
+         |  END AS BIGINT) AS f1_x100
+         |FROM cts c LEFT JOIN ov o ON o.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.tokenF1(preds,
+        base.select(col("doc_id"), col("text").as("ref")))
+    }.sortedBy(col("doc_id")),
+
+    // ── Annotation aggregation over a planted 4-annotator panel
+    // (a1 = lang; a2 mislabels %4 as 'xx'; a3 abstains on %5, labels
+    // %3 'yy'; a4 rotates every lang — the below-chance annotator that
+    // forces κ NEGATIVE, exactly where trunc-vs-floor division
+    // diverges between engines).
+    QueryDef("t_majority_vote",
+      s"""WITH ann AS (
+         |  SELECT doc_id AS item_id, 'a1' AS annotator, lang AS label
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a2',
+         |    CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a3',
+         |    CASE WHEN doc_id % 5 = 0 THEN NULL
+         |         WHEN doc_id % 3 = 0 THEN 'yy' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL),
+         |votes AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS v
+         |  FROM ann WHERE label IS NOT NULL GROUP BY item_id, label),
+         |tot AS (SELECT item_id, CAST(sum(v) AS BIGINT) AS n_votes
+         |  FROM votes GROUP BY item_id),
+         |top AS (SELECT item_id, label, v FROM (
+         |    SELECT item_id, label, v, row_number() OVER (
+         |      PARTITION BY item_id ORDER BY v DESC, label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT t.item_id, t.label, t.v AS votes, o.n_votes,
+         |  t.v = o.n_votes AS unanimous
+         |FROM top t JOIN tot o ON o.item_id = t.item_id
+         |ORDER BY t.item_id""".stripMargin) { (s, d) =>
+      graft.ext.Eval.majorityVote(annotationPanel(s, d))
+    }.sortedBy(col("item_id")),
+
+    QueryDef("t_kappa",
+      s"""WITH ann AS (
+         |  SELECT doc_id AS item_id, 'a1' AS annotator, lang AS label
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a2',
+         |    CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a3',
+         |    CASE WHEN doc_id % 5 = 0 THEN NULL
+         |         WHEN doc_id % 3 = 0 THEN 'yy' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a4',
+         |    CASE lang WHEN 'en' THEN 'zh' WHEN 'zh' THEN 'es'
+         |      WHEN 'es' THEN 'de' WHEN 'de' THEN 'fr' ELSE 'en' END
+         |    FROM documents WHERE lang IS NOT NULL),
+         |l AS (SELECT * FROM ann WHERE label IS NOT NULL),
+         |pairs AS (SELECT a.item_id, a.annotator AS ann_a,
+         |    b.annotator AS ann_b, a.label AS la, b.label AS lb
+         |  FROM l a JOIN l b ON b.item_id = a.item_id
+         |    AND a.annotator < b.annotator),
+         |agg AS (SELECT ann_a, ann_b, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS agree
+         |  FROM pairs GROUP BY 1, 2),
+         |ma AS (SELECT ann_a, ann_b, la AS lab,
+         |    CAST(count(*) AS BIGINT) AS ca
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |mb AS (SELECT ann_a, ann_b, lb AS lab,
+         |    CAST(count(*) AS BIGINT) AS cb
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |pe AS (SELECT ma.ann_a, ma.ann_b,
+         |    CAST(sum(ma.ca * mb.cb) AS BIGINT) AS pe
+         |  FROM ma JOIN mb ON mb.ann_a = ma.ann_a
+         |    AND mb.ann_b = ma.ann_b AND mb.lab = ma.lab
+         |  GROUP BY 1, 2)
+         |SELECT g.ann_a, g.ann_b, g.n, g.agree,
+         |  CAST(CASE WHEN g.n * g.n = p.pe THEN NULL
+         |    ELSE ((g.agree * g.n - p.pe) * 10000)
+         |         // (g.n * g.n - p.pe) END AS BIGINT) AS kappa_x10000
+         |FROM agg g JOIN pe p
+         |  ON p.ann_a = g.ann_a AND p.ann_b = g.ann_b
+         |ORDER BY g.ann_a, g.ann_b""".stripMargin) { (s, d) =>
+      graft.ext.Eval.cohenKappa(annotationPanel(s, d, withRotator = true))
+    }.sortedBy(col("ann_a"), col("ann_b")),
+
     // ── Per-column table profile (the data-quality audit row DESCRIBE
     // can't give): one multi-distinct aggregation over one scan; the
     // oracle replays every count exactly, with the dtype labels pinned
