@@ -48,6 +48,52 @@ object Preference {
     * — never a cartesian, never a driver collect; `rounds` is a
     * recipe constant.
     */
+  /** PREFERENCE-PAIR construction from per-user item ratings — the
+    * step BEFORE [[bradleyTerryScores]] in an RLHF/reward-model
+    * pipeline: each rater's scores become pairwise verdicts ("this
+    * rater scored a above b"), aggregated into the (winner, loser, n)
+    * comparison relation the strength model consumes. Per (user,
+    * item): n ratings and Σ floor(value·100) (the int8-grid floor
+    * convention — one IEEE double op, no rounding tie rule to
+    * disagree on cross-engine); user prefers a over b iff
+    * `sum_a · n_b > sum_b · n_a` (mean comparison, integer
+    * cross-multiplied). Exact mean TIES are undecided — no pair, the
+    * honest reading of equal scores. Null user/item/value rows don't
+    * vote.
+    *
+    * Output: (winner, loser, n_pairs), n_pairs = raters preferring
+    * winner. Scale shape: one (user, item) partial-agg, one
+    * USER-KEYED self-join whose width is the rater's own item count
+    * (bounded by the item vocabulary, never the corpus), one
+    * (winner, loser) partial-agg.
+    */
+  def preferencePairs(ratings: DataFrame, userCol: String = "user_id",
+                      itemCol: String = "event_type",
+                      valueCol: String = "value"): DataFrame = {
+    val per = ratings
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(userCol), col(itemCol))
+      .agg(count(lit(1)).as("__pp_n"),
+        sum(floor(col(valueCol).cast("double") * 100.0).cast("long"))
+          .as("__pp_s"))
+    val a = per.select(col(userCol), col(itemCol).as("__pp_ia"),
+      col("__pp_n").as("__pp_na"), col("__pp_s").as("__pp_sa"))
+    val b = per.select(col(userCol), col(itemCol).as("__pp_ib"),
+      col("__pp_n").as("__pp_nb"), col("__pp_s").as("__pp_sb"))
+    a.join(b, Seq(userCol))
+      .filter(col("__pp_ia") < col("__pp_ib"))
+      .filter(col("__pp_sa") * col("__pp_nb") =!=
+        col("__pp_sb") * col("__pp_na"))
+      .select(
+        when(col("__pp_sa") * col("__pp_nb") > col("__pp_sb") * col("__pp_na"),
+          col("__pp_ia")).otherwise(col("__pp_ib")).as("winner"),
+        when(col("__pp_sa") * col("__pp_nb") > col("__pp_sb") * col("__pp_na"),
+          col("__pp_ib")).otherwise(col("__pp_ia")).as("loser"))
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def bradleyTerryScores(comparisons: DataFrame, winnerCol: String,
                          loserCol: String, nCol: String,
                          rounds: Int = 3): DataFrame = {

@@ -741,6 +741,34 @@ object RelationalQueries {
         .limit(20)
     }.sortedBy(col("n_sessions").desc, col("path")),
 
+    // Preference-pair construction (the step BEFORE Bradley-Terry in
+    // an RLHF pipeline): each user's per-item mean values become
+    // pairwise verdicts, integer cross-multiplied (sum_a·n_b vs
+    // sum_b·n_a) over the floor(value·100) grid; exact ties are
+    // undecided and emit no pair.
+    QueryDef("w_preference_pairs",
+      s"""WITH per AS (SELECT user_id, event_type AS item,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100)
+         |      AS BIGINT)) AS BIGINT) AS s
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT
+         |    CASE WHEN a.s * b.n > b.s * a.n THEN a.item ELSE b.item END
+         |      AS winner,
+         |    CASE WHEN a.s * b.n > b.s * a.n THEN b.item ELSE a.item END
+         |      AS loser
+         |  FROM per a JOIN per b ON b.user_id = a.user_id
+         |    AND a.item < b.item
+         |  WHERE a.s * b.n <> b.s * a.n)
+         |SELECT winner, loser, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr GROUP BY 1, 2
+         |ORDER BY winner, loser""".stripMargin) { (s, d) =>
+      graft.ext.Preference.preferencePairs(Tables.events(s, d))
+    }.sortedBy(col("winner"), col("loser")),
+
     // Bradley-Terry strengths from pairwise comparison counts (the
     // RLHF preference-data model): 3 integer MM sweeps from the
     // uniform start, zero-win items disclosed at rank 0, winners

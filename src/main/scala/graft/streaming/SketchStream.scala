@@ -63,6 +63,130 @@ object SketchStream {
   def distinctEstimate(spark: SparkSession, name: String): DataFrame =
     FreqSketch.hllEstimate(spark.table(registersTable(name)))
 
+  /** The maintained CMS table's name for a sketch `name`. One relation
+    * carries BOTH the cell counts (kind='c': k=pos, v=cnt) and the
+    * applied-epoch markers (kind='e': k=epoch) — CMS is a SUM
+    * structure, NOT redelivery-idempotent like the HLL's max-merge, so
+    * replay safety needs epoch dedup, and keeping markers and cells in
+    * ONE table makes each batch's (skip | merge+mark) decision a
+    * single atomic scratch-swap: no crash window where the cells
+    * applied but the marker didn't.
+    */
+  def cmsTable(name: String): String = s"${name}_cms"
+
+  private def cmsScratch(name: String): String = s"${name}_cms__merge"
+
+  /** Finish an interrupted CMS swap (the [[recoverRegisters]] law):
+    * live missing + scratch present (crash between DROP and RENAME) →
+    * republish the scratch, which holds the complete merged state
+    * INCLUDING the batch's epoch marker. Both present = the crash
+    * preceded the DROP; the live copy is complete and the scratch's
+    * epoch was never published, so dropping the scratch lets the
+    * replayed batch re-merge cleanly.
+    */
+  def recoverCms(spark: SparkSession, name: String): Boolean = {
+    val live = cmsTable(name)
+    if (!spark.catalog.tableExists(live) &&
+        spark.catalog.tableExists(cmsScratch(name))) {
+      spark.sql(s"ALTER TABLE ${cmsScratch(name)} RENAME TO $live")
+      true
+    } else {
+      if (spark.catalog.tableExists(live) &&
+          spark.catalog.tableExists(cmsScratch(name)))
+        spark.sql(s"DROP TABLE ${cmsScratch(name)}")
+      false
+    }
+  }
+
+  /** Maintain a count-min sketch of corpus WORD frequencies over a
+    * document stream — the streaming face of [[FreqSketch.buildCms]]:
+    * each batch folds its own tokens into d×w cells (one
+    * partial-aggregated pass over the batch), SUM-merges them with the
+    * persisted table, and publishes cells + the batch's epoch marker
+    * in one scratch-swap. A REDELIVERED epoch (its marker already in
+    * the table) moves nothing — the sum algebra would double-count,
+    * so idempotence is enforced by the marker where the HLL stream
+    * gets it free from max.
+    *
+    * The maintained table is what a trending-terms monitor probes:
+    * [[cmsEstimates]] scores any candidate relation against the
+    * current cells map-side. Count-min never undercounts, so no true
+    * heavy hitter is missed; estimates carry collision inflation
+    * bounded by the d×w config exactly as in the batch two-pass path.
+    *
+    * CONTRACT: epoch markers identify batches of ONE checkpoint
+    * lineage. Restarting against an existing table with a FRESH
+    * checkpoint restarts epoch numbering at 0 and the markers will
+    * read re-batched history as replays — point a new checkpoint at a
+    * new sketch `name` (the gate stores' table-per-topology
+    * discipline).
+    */
+  def maintainCms(docs: DataFrame, name: String, checkpointDir: String,
+                  textCol: String = "text",
+                  d: Int = FreqSketch.DefaultDepth,
+                  w: Int = FreqSketch.DefaultWidth,
+                  onBatch: SketchEvent => Unit = _ => ()): StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        val spark = batch.sparkSession
+        recoverCms(spark, name)
+        val live = cmsTable(name)
+        val liveDf =
+          if (spark.catalog.tableExists(live)) Some(spark.table(live))
+          else None
+        val applied = liveDf.exists(
+          _.filter(col("kind") === "e" && col("k") === epoch)
+            .limit(1).count() > 0)
+        if (!applied) {
+          val toks = batch.toDF().filter(col(textCol).isNotNull)
+            .select(explode(graft.functions.wordTfs(col(textCol)))
+              .as("wt"))
+            .select(col("wt.word").as("word"),
+              col("wt.tf").cast("long").as("tf"))
+          val batchCells = toks
+            .select(explode(FreqSketch.cmsPositions(col("word"), d, w))
+              .as("k"), col("tf").as("v"))
+            .groupBy("k").agg(sum("v").as("v"))
+            .select(lit("c").as("kind"), col("k"), col("v"))
+          val marker = spark.range(1)
+            .select(lit("e").as("kind"), lit(epoch).as("k"),
+              lit(0L).as("v"))
+          val merged = (liveDf.fold(batchCells.unionByName(marker)) { lv =>
+              lv.unionByName(batchCells).unionByName(marker)
+            })
+            .groupBy("kind", "k").agg(sum("v").as("v"))
+            .localCheckpoint()
+          graft.core.Layout.writeBucketed(merged, cmsScratch(name), "kind", 1)
+          spark.sql(s"DROP TABLE IF EXISTS $live")
+          spark.sql(s"ALTER TABLE ${cmsScratch(name)} RENAME TO $live")
+          if (owner.catalog.tableExists(live)) owner.catalog.refreshTable(live)
+          val cells = merged.filter(col("kind") === "c").count()
+          onBatch(SketchEvent(epoch, "merged", 1L, cells))
+        } else onBatch(SketchEvent(epoch, "skipped_replay", 1L, 0L))
+      }
+      .start()
+  }
+
+  /** Estimate candidate-term frequencies against the maintained CMS:
+    * the cells load once into the config-bounded d×w array (≤ 64k
+    * longs at the default — the same driver-side bound as
+    * [[FreqSketch.buildCms]]) and every candidate scores map-side via
+    * the codegen'd min-of-d-cells probe. Output: (word, est).
+    */
+  def cmsEstimates(spark: SparkSession, name: String, words: DataFrame,
+                   wordCol: String = "word",
+                   d: Int = FreqSketch.DefaultDepth,
+                   w: Int = FreqSketch.DefaultWidth): DataFrame = {
+    val table = new Array[Long](d * w)
+    spark.table(cmsTable(name)).filter(col("kind") === "c")
+      .select(col("k"), col("v")).collect()
+      .foreach(r => table(r.getLong(0).toInt) = r.getLong(1))
+    words.select(col(wordCol).as("word"),
+      FreqSketch.cmsEstimate(col(wordCol), table, d, w).as("est"))
+  }
+
   /** Maintain per-`groupCol` HLL registers of distinct `n`-shingles
     * over a document stream. Each batch: build the batch's registers
     * (one partial-aggregated pass over the batch only), max-merge with

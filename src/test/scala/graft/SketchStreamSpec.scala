@@ -64,6 +64,63 @@ class SketchStreamSpec extends SparkSuite {
     assert(after == reference, "replayed data must not move any register")
   }
 
+  test("streaming CMS: maintained cells equal a batch build; replayed epochs are marker-skipped; estimates never undercount") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").localCheckpoint()
+    val events = new ConcurrentLinkedQueue[SketchStream.SketchEvent]()
+    val srcDir = java.nio.file.Files.createTempDirectory("cms-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cms-ckpt").toString
+    def start() = SketchStream.maintainCms(
+      spark.readStream.schema(docs.schema).parquet(srcDir), "t_cms_stream",
+      ckpt, onBatch = events.add(_))
+    docs.filter(col("doc_id") < 120).write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    docs.filter(col("doc_id") >= 120).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(events.asScala.map(_.action).toSeq == Seq("merged", "merged"))
+    // cells equal the one-shot batch CMS over everything ingested
+    val toks = docs.filter(col("text").isNotNull)
+      .select(explode(graft.functions.wordTfs(col("text"))).as("wt"))
+      .select(col("wt.word").as("word"), col("wt.tf").cast("long").as("tf"))
+    val refCells = toks.select(
+        explode(FreqSketch.cmsPositions(col("word"))).as("k"),
+        col("tf").as("v"))
+      .groupBy("k").agg(sum("v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def liveCells() = spark.table(SketchStream.cmsTable("t_cms_stream"))
+      .filter(col("kind") === "c")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(liveCells() == refCells,
+      "maintained cells must equal a single batch build")
+    // estimates never undercount the exact frequency (count-min law)
+    val exact = toks.groupBy("word").agg(sum("tf").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SketchStream.cmsEstimates(spark, "t_cms_stream",
+        exact.keys.toSeq.toDF("word"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (wd, n) =>
+      assert(est(wd) >= n, s"'$wd': est ${est(wd)} < exact $n") }
+    // REDELIVERY: a checkpoint-less restart replays epoch 0 — the
+    // marker skips it, no cell moves (sum algebra WOULD double-count)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("cms-ck2").toString
+    val q3 = SketchStream.maintainCms(
+      spark.readStream.schema(docs.schema).parquet(srcDir), "t_cms_stream",
+      ckpt2, onBatch = events.add(_))
+    q3.processAllAvailable(); q3.stop()
+    assert(events.asScala.map(_.action).toSeq.contains("skipped_replay"),
+      events.asScala.toSeq.toString)
+    assert(liveCells() == refCells, "replayed epoch must move no cell")
+    // interrupted swap recovery (both crash windows)
+    val live = SketchStream.cmsTable("t_cms_stream")
+    val before = spark.table(live).collect().map(_.toSeq).toSet
+    spark.sql(s"ALTER TABLE $live RENAME TO ${live}__merge")
+    assert(SketchStream.recoverCms(spark, "t_cms_stream"))
+    assert(spark.table(live).collect().map(_.toSeq).toSet == before)
+    assert(!SketchStream.recoverCms(spark, "t_cms_stream"))
+  }
+
   test("streaming HLL: an interrupted scratch-swap recovers (crash between DROP and RENAME)") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta", "s1"),
