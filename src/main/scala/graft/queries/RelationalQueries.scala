@@ -769,6 +769,62 @@ object RelationalQueries {
       graft.ext.Preference.preferencePairs(Tables.events(s, d))
     }.sortedBy(col("winner"), col("loser")),
 
+    // RLHF-prep FLAGSHIP: ratings → preference pairs → Bradley-Terry
+    // strengths, the full reward-model data chain composed end to end
+    // (both stages' laws already gated standalone; the composition is
+    // replayed whole so a seam bug can't hide between them).
+    QueryDef("w_rlhf_prep", {
+      val s2 = graft.ext.Preference.Scale * graft.ext.Preference.Scale
+      def sweep(i: Int, prev: String) =
+        s"""d$i AS (SELECT m.a AS item, sum(m.n * $s2 // (sa.s + sb.s)) AS d
+           |  FROM m JOIN $prev sa ON sa.item = m.a
+           |  JOIN $prev sb ON sb.item = m.b GROUP BY 1),
+           |s$i AS (SELECT it.item,
+           |    CASE WHEN coalesce(wi.n_wins, 0) > 0
+           |         THEN greatest(coalesce(wi.n_wins, 0) * $s2 // d$i.d, 1)
+           |         ELSE 0 END AS s
+           |  FROM it LEFT JOIN wi USING (item) JOIN d$i USING (item))""".stripMargin
+      s"""WITH per AS (SELECT user_id, event_type AS item,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100)
+         |      AS BIGINT)) AS BIGINT) AS s
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT
+         |    CASE WHEN a.s * b.n > b.s * a.n THEN a.item ELSE b.item END
+         |      AS winner,
+         |    CASE WHEN a.s * b.n > b.s * a.n THEN b.item ELSE a.item END
+         |      AS loser
+         |  FROM per a JOIN per b ON b.user_id = a.user_id
+         |    AND a.item < b.item
+         |  WHERE a.s * b.n <> b.s * a.n),
+         |e AS (SELECT winner AS w, loser AS l,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pr GROUP BY 1, 2),
+         |m AS (SELECT a, b, sum(n) AS n FROM (
+         |        SELECT w AS a, l AS b, n FROM e
+         |        UNION ALL SELECT l, w, n FROM e) u GROUP BY 1, 2),
+         |it AS (SELECT DISTINCT a AS item FROM m),
+         |wi AS (SELECT w AS item, sum(n) AS n_wins FROM e GROUP BY 1),
+         |pl AS (SELECT a AS item, sum(n) AS n_comparisons FROM m GROUP BY 1),
+         |s0 AS (SELECT item, CAST(${graft.ext.Preference.Scale} AS BIGINT) AS s
+         |       FROM it),
+         |${sweep(1, "s0")},
+         |${sweep(2, "s1")},
+         |${sweep(3, "s2")}
+         |SELECT f.item, CAST(f.s AS BIGINT) AS strength_x1e4,
+         |  CAST(coalesce(wi.n_wins, 0) AS BIGINT) AS n_wins,
+         |  CAST(pl.n_comparisons AS BIGINT) AS n_comparisons
+         |FROM s3 f LEFT JOIN wi USING (item) JOIN pl USING (item)
+         |ORDER BY item""".stripMargin
+    }) { (s, d) =>
+      graft.ext.Preference.bradleyTerryScores(
+        graft.ext.Preference.preferencePairs(Tables.events(s, d)),
+        "winner", "loser", "n_pairs")
+    }.sortedBy(col("item")),
+
     // Bradley-Terry strengths from pairwise comparison counts (the
     // RLHF preference-data model): 3 integer MM sweeps from the
     // uniform start, zero-win items disclosed at rank 0, winners
