@@ -1464,6 +1464,56 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** CODE-file screening statistics (The Stack / StarCoder lineage,
+    * Kocetkov et al. 2022): the rule set code corpora apply where
+    * prose corpora apply C4/Gopher — minified bundles and data blobs
+    * have enormous lines and near-zero alphabetic share, while real
+    * source has short lines and a steady comment presence. Per doc:
+    *
+    *  - `n_lines`, `max_line_len`,
+    *    `avg_line_len_x100` = Σ len(line)·100 div n_lines,
+    *  - `alpha_frac_x1000` = alphabetic chars ·1000 div chars,
+    *  - `comment_frac_x1000` = lines whose first non-space chars open
+    *    a comment (hash, double-slash, double-dash, slash-star or a
+    *    block-continuation star) ·1000 div n_lines,
+    *  - `code_pass` under the StarCoder defaults: avg line ≤ 100,
+    *    max line ≤ 1000, alphabetic share ≥ 25%.
+    *
+    * Entirely row-local codegen'd HOFs over the line array — zero
+    * shuffle; every ratio integer cross-multiplied (the DuckDB oracle
+    * replays each). Empty text: zero lines of zero length — fails the
+    * alpha floor, as an empty file should. Null text excluded.
+    */
+  def codeStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val lens = transform(lines, l => length(l).cast("long"))
+    val sumLen = aggregate(lens, lit(0L), (a, v) => a + v)
+    val maxLen = coalesce(array_max(lens), lit(0L))
+    val nAlpha = length(regexp_replace(col(textCol), "[^A-Za-z]", ""))
+      .cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val nComment = size(filter(lines,
+      l => ltrim(l).rlike("^(#|//|--|/\\*|\\*)"))).cast("long")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), nLines.as("n_lines"), maxLen.as("max_line_len"),
+        sumLen.as("__cs_sum"),
+        nAlpha.as("__cs_alpha"), nChars.as("__cs_chars"),
+        nComment.as("__cs_comment"))
+      .select(col(idCol), col("n_lines"), col("max_line_len"),
+        expr("(__cs_sum * 100) div n_lines").as("avg_line_len_x100"),
+        when(col("__cs_chars") > 0L,
+          expr("(__cs_alpha * 1000) div __cs_chars")).otherwise(lit(0L))
+          .as("alpha_frac_x1000"),
+        expr("(__cs_comment * 1000) div n_lines")
+          .as("comment_frac_x1000"))
+      .withColumn("code_pass",
+        when(col("avg_line_len_x100") <= 10000L &&
+          col("max_line_len") <= 1000L &&
+          col("alpha_frac_x1000") >= 250L, 1L).otherwise(0L))
+  }
+
   /** C4 page-cleaning statistics (Raffel et al. 2020 §2.2) per
     * document: line-filter results (`clean_text`, `n_lines`, `n_kept`,
     * `n_sentences`) plus the page flags (`has_lorem`, `has_brace`,

@@ -1909,6 +1909,48 @@ object LlmQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
+    // ── Code-file screen (The Stack/StarCoder rules): planted code
+    // (short lines, comments — passes), a minified blob (one 1200-char
+    // line — fails max_line_len), and raw prose (single ~300-char line
+    // — fails the avg-line rule); every ratio integer cross-multiplied.
+    QueryDef("t_code_stats",
+      s"""WITH p AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN 'def f():' || chr(10) || '# comment line' ||
+         |      chr(10) || '  return ' || CAST(doc_id AS VARCHAR) ||
+         |      chr(10) || '// done'
+         |    WHEN 1 THEN repeat('x7', 600)
+         |    ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS l
+         |  FROM p),
+         |st AS (SELECT doc_id,
+         |  CAST(len(l) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(list_max(list_transform(l, x -> length(x))), 0)
+         |    AS BIGINT) AS max_line_len,
+         |  CAST((coalesce(list_sum(list_transform(l, x -> length(x))), 0)
+         |    * 100) // len(l) AS BIGINT) AS avg_line_len_x100,
+         |  CAST(CASE WHEN length(text) > 0
+         |    THEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      * 1000) // length(text) ELSE 0 END AS BIGINT)
+         |    AS alpha_frac_x1000,
+         |  CAST((len(list_filter(l, x -> regexp_matches(ltrim(x),
+         |    '^(#|//|--|/\\*|\\*)'))) * 1000) // len(l) AS BIGINT)
+         |    AS comment_frac_x1000
+         |  FROM ls)
+         |SELECT *, CAST(CASE WHEN avg_line_len_x100 <= 10000
+         |    AND max_line_len <= 1000 AND alpha_frac_x1000 >= 250
+         |  THEN 1 ELSE 0 END AS BIGINT) AS code_pass
+         |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("def f():\n# comment line\n  return "),
+              col("doc_id").cast("string"), lit("\n// done")))
+          .when(col("doc_id") % 4 === 1, lit("x7" * 600))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.codeStats(planted)
+    }.sortedBy(col("doc_id")),
+
     // ── Eval scoring: SQuAD-style exact match + bag-of-tokens F1 over
     // planted predictions (perfect / truncated / padded / unrelated per
     // doc_id % 4); every score integer cross-multiplied, the
