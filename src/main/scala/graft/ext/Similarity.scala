@@ -236,6 +236,27 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Hamming shortlist + EXACT cosine rerank — the binary rung's
+    * recall repair, i.e. the production pattern the packed scan exists
+    * for: the 1/32-width [[hammingTopK]] pass prunes the corpus to a
+    * `rerank`-candidate window per query (zero corpus floats read),
+    * then ONLY rerank·|Q| vectors are read back and scored by the
+    * shared round-6 exact-cosine tail (same tie-break law as every
+    * other rerank composite). At 100 TB the scan is packed-words-
+    * shaped; float reads are candidate-bound, never corpus-bound.
+    */
+  def hammingTopKReranked(corpus: DataFrame, queryIds: Seq[Long],
+                          kNn: Int, rerank: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNn, s"rerank window $rerank must cover kNn=$kNn")
+    val cand = hammingTopK(corpus, queryIds, rerank, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    rerankExact(corpus, cand, queries, kNn, idCol, vecCol)
+  }
+
   // ── LSH scale path ─────────────────────────────────────────────────
 
   /** All (table, plane) sign-buckets of a vector in one fused native

@@ -3549,6 +3549,47 @@ object LlmQueries {
       Similarity.hammingTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), 8)
     }.sortedBy(col("query_id"), col("rank")),
 
+    // Hamming shortlist (20) + exact round-6 cosine rerank to top-8 —
+    // the binary rung's production recipe, both stages' tie laws
+    // replayed whole.
+    QueryDef("t_ann_hamming_rerank",
+      s"""WITH bq AS (SELECT vec_id,
+         |  list_transform(generate_series(0, (len(embedding) - 1) // 32),
+         |    w -> list_reduce(list_prepend(0::BIGINT, list_transform(
+         |      generate_series(least((w + 1) * 32, len(embedding)),
+         |        w * 32 + 1, -1),
+         |      i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT
+         |           ELSE 0::BIGINT END)),
+         |      (acc, b) -> acc * 2 + b)) AS bv
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         |qq AS (SELECT vec_id AS query_id, bv AS qbv FROM bq
+         |       WHERE vec_id < 3),
+         |hs AS (SELECT qq.query_id, e.vec_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(generate_series(1, len(e.bv)),
+         |    i -> CAST(bit_count(xor(qq.qbv[i], e.bv[i])) AS BIGINT)))
+         |    AS BIGINT) AS hamming
+         |  FROM qq JOIN bq e ON e.vec_id <> qq.query_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+         |    FROM hs) WHERE rn <= 20),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qvv
+         |  FROM embeddings WHERE vec_id < 3),
+         |rer AS (SELECT s.query_id, s.neighbor_id,
+         |    round(${cosine("q.qvv", "e.embedding")}, 6) AS cos
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id
+         |  JOIN qv q ON q.query_id = s.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rer)
+         |SELECT * FROM ranked WHERE rank <= 8
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.hammingTopKReranked(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L), kNn = 8, rerank = 20)
+    }.sortedBy(col("query_id"), col("rank")),
+
     // ANN (LSH-bucketed) variant, fully oracle-checked: the DuckDB side
     // reproduces the sign buckets from the same planeWeight constants
     // (lshBucketsCte), then the same candidate join + exact rerank.
