@@ -165,6 +165,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case (e, (pat, rep)) => StringReplace(e, Literal(pat), Literal(rep))
         }
       }))
+    // html_to_text(html): the same 6-step extraction chain as
+    // TextAnalysis.htmlToText, via the Column API bridge at plan time
+    // is unavailable here — rebuilt from the same regex/entity
+    // constants as a catalyst fold
+    ext.injectFunction((
+      FunctionIdentifier("html_to_text"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "html_to_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "html_to_text(html) takes 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace, StringReplace, StringTrim}
+        def re(e: Expression, pat: String, rep: String): Expression =
+          RegExpReplace(e, Literal(pat), Literal(rep))
+        val noScript = re(children.head,
+          "(?is)<script[^>]*>.*?</script>", " ")
+        val noStyle = re(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+        val blocks = re(noStyle,
+          "(?i)</?(p|br|div|li|h[1-6]|tr)[^>]*>", "\n")
+        val noTags = re(blocks, "<[^>]*>", " ")
+        val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+          .foldLeft(noTags) { case (e, (pat, rep)) =>
+            StringReplace(e, Literal(pat), Literal(rep))
+          }
+        StringTrim(re(re(re(decoded, "[ \t]+", " "),
+          " ?\n[ \n]*", "\n"), "^\n+|\n+$", ""))
+      }))
     // winnow_fps(text[, k, w]): the fused MOSS fingerprint selection
     // (defaults k=4, w=5 — the t_winnow law)
     ext.injectFunction((

@@ -1464,6 +1464,44 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** HTML → text extraction — the FIRST stage of every crawl pipeline
+    * (everything downstream, dedup shingles included, sees what this
+    * emits). A deterministic ordered regex/literal chain, chosen so
+    * BOTH engines replay it byte-for-byte (no lookahead, no
+    * backreferences — the RE2 subset):
+    *
+    *  1. script blocks out, 2. style blocks out (non-greedy,
+    *     case-insensitive, dot-matches-newline),
+    *  3. block-level tags (p/br/div/li/h1–6/tr) → newline (paragraph
+    *     structure survives for the line/paragraph dedup stages),
+    *  4. every remaining tag → space,
+    *  5. the six highest-frequency entities decoded literally —
+    *     `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;` the
+    *     author wrote, never double-decodes,
+    *  6. horizontal whitespace collapsed, blank-ish line runs → one
+    *     newline, trimmed.
+    *
+    * Deliberately a BASELINE extractor (the readability/trafilatura
+    * class of content pickers is a model, not a law); conservative on
+    * anything it doesn't recognize. Null stays null.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks = regexp_replace(noStyle,
+      "(?i)</?(p|br|div|li|h[1-6]|tr)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (pat, rep)) =>
+      replace(c, lit(pat), lit(rep))
+    }
+    trim(regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \t]+", " "), " ?\n[ \n]*", "\n"), "^\n+|\n+$", ""))
+  }
+
   /** CODE-file screening statistics (The Stack / StarCoder lineage,
     * Kocetkov et al. 2022): the rule set code corpora apply where
     * prose corpora apply C4/Gopher — minified bundles and data blobs

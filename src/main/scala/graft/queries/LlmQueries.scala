@@ -1909,6 +1909,51 @@ object LlmQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis ──────────────────────────────────────────────
+    // ── HTML → text extraction (the crawl pipeline's stage zero):
+    // planted pages wrap each doc's words in script/style/heading/
+    // paragraph markup with entities; the 6-step chain (script, style,
+    // block tags → newline, tags → space, entity decode with &amp;
+    // LAST, whitespace law) replays regex-for-regex — every construct
+    // in the common Java/RE2 subset.
+    QueryDef("t_html_extract",
+      s"""WITH p AS (SELECT doc_id,
+         |  '<html><head><script type="x">var a = 1 < 2;</script>' ||
+         |  '<style>.c { color: red }</style></head><body><h1>Title ' ||
+         |  CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+         |  coalesce(array_to_string(string_split(text, ' ')[1:8], ' '), '')
+         |  || '</p><p>more &amp; stuff&nbsp;&lt;kept&gt;</p></body></html>'
+         |  AS html FROM documents WHERE text IS NOT NULL),
+         |s1 AS (SELECT doc_id, regexp_replace(html,
+         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM p),
+         |s2 AS (SELECT doc_id, regexp_replace(h,
+         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(h,
+         |  '(?i)</?(p|br|div|li|h[1-6]|tr)[^>]*>', chr(10), 'g') AS h
+         |  FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', ' ', 'g')
+         |  AS h FROM s3),
+         |s5 AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(h,
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS h
+         |  FROM s4),
+         |s6 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |  regexp_replace(h, '[ ' || chr(9) || ']+', ' ', 'g'),
+         |  ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10), 'g'),
+         |  '^' || chr(10) || '+|' || chr(10) || '+$$', '', 'g'))
+         |  AS text FROM s5)
+         |SELECT doc_id, text FROM s6 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val html = concat(
+        lit("<html><head><script type=\"x\">var a = 1 < 2;</script>" +
+          "<style>.c { color: red }</style></head><body><h1>Title "),
+        col("doc_id").cast("string"), lit("</h1><p>"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)),
+        lit("</p><p>more &amp; stuff&nbsp;&lt;kept&gt;</p></body></html>"))
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(html).as("text"))
+    }.sortedBy(col("doc_id")),
+
     // ── Code-file screen (The Stack/StarCoder rules): planted code
     // (short lines, comments — passes), a minified blob (one 1200-char
     // line — fails max_line_len), and raw prose (single ~300-char line

@@ -147,6 +147,22 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(viaSqlUrl("HTTPS://Ex.COM:443/P?utm_source=x&b=2&a=1#f") ==
       "https://ex.com/P?a=1&b=2")
 
+    // HTML extraction via SQL matches the Column API chain
+    val htmlFix = Seq(
+      "<html><script>var a=1;</script><p>Hello &amp; bye</p></html>",
+      "<h1>T</h1><style>.x{}</style><p>a&nbsp;b &lt;c&gt;</p>")
+      .toDF("h")
+    htmlFix.createOrReplaceTempView("html_fixtures")
+    val htmlSql = spark.sql(
+      "SELECT h, html_to_text(h) AS t FROM html_fixtures")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val htmlApi = htmlFix.select(col("h"),
+        graft.ext.TextAnalysis.htmlToText(col("h")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(htmlSql == htmlApi, s"$htmlSql vs $htmlApi")
+    assert(htmlApi.values.toSet ==
+      Set("Hello & bye", "T\na b <c>"), htmlApi)
+
     // integral literal knobs of any width resolve (SQL generators emit
     // typed literals); non-literal knobs are analysis-time errors
     val wide = spark.sql(
