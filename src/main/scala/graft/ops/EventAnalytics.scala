@@ -96,6 +96,63 @@ object EventAnalytics {
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
 
+  /** TOUCH ATTRIBUTION — for every conversion event, the LAST and
+    * FIRST non-conversion events of the same key inside a trailing
+    * event-time horizon (the last-touch/first-touch pair marketing
+    * attribution reports, and the "what preceded this outcome" probe
+    * any funnel owner asks): one RANGE-framed window per side over
+    * (key, time) — `[t − horizonMicros, t)`, so an event at EXACTLY
+    * the conversion's timestamp never attributes to it (simultaneity
+    * is not precedence) — with struct min/max picking the
+    * (time, id)-extreme touch deterministically. Conversions with no
+    * in-horizon touch keep null touch columns (disclosed, not
+    * dropped: an unattributed conversion is a finding). Null
+    * key/time/type events have no timeline position and are excluded.
+    *
+    * Output: (keys..., conv_id, conv_t, last_touch_type,
+    * last_touch_id, last_touch_t, first_touch_type, first_touch_id,
+    * first_touch_t); `*_t` in epoch micros.
+    *
+    * Scale shape: ONE key exchange shared by both window frames —
+    * the [[transitionCounts]] posture; the horizon bounds the frame,
+    * never a self-join.
+    */
+  def touchAttribution(events: DataFrame, convType: String,
+                       horizonMicros: Long = 3600L * 1000000L,
+                       keyCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    require(horizonMicros > 0,
+      s"horizonMicros must be positive, got $horizonMicros")
+    val t: Column = events.schema(tsCol).dataType match {
+      case TimestampType    => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _                => col(tsCol).cast("long")
+    }
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__ta_t", t)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ta_t"))
+      .rangeBetween(-horizonMicros, -1)
+    val touch = when(col(typeCol) =!= convType,
+      struct(col("__ta_t").as("t"), col(idCol).as("id"),
+        col(typeCol).as("tp")))
+    base
+      .withColumn("__ta_last", max(touch).over(w))
+      .withColumn("__ta_first", min(touch).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(keyCol), col(idCol).as("conv_id"),
+        col("__ta_t").as("conv_t"),
+        col("__ta_last.tp").as("last_touch_type"),
+        col("__ta_last.id").as("last_touch_id"),
+        col("__ta_last.t").as("last_touch_t"),
+        col("__ta_first.tp").as("first_touch_type"),
+        col("__ta_first.id").as("first_touch_id"),
+        col("__ta_first.t").as("first_touch_t"))
+  }
+
   /** Behavior-flow TRANSITION counts (the Markov-edge view product
     * analytics calls a flow chart): per key, consecutive event-type
     * pairs in (time, id) order, counted corpus-wide — (type_from,

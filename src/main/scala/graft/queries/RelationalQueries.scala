@@ -769,6 +769,39 @@ object RelationalQueries {
       graft.ext.Preference.preferencePairs(Tables.events(s, d))
     }.sortedBy(col("winner"), col("loser")),
 
+    // Touch attribution: per purchase, the last/first non-conversion
+    // touch within a 1-hour event-time horizon — RANGE-framed struct
+    // extremes, the [t−h, t) bound excluding simultaneous events,
+    // unattributed conversions kept with null touches.
+    QueryDef("w_attribution",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    CAST(epoch_us(ts) AS BIGINT) AS t
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |wn AS (SELECT user_id, event_id, event_type, t,
+         |  max(CASE WHEN event_type <> 'purchase'
+         |      THEN struct_pack(t := t, id := event_id, tp := event_type)
+         |      END) OVER (PARTITION BY user_id ORDER BY t
+         |        RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+         |    AS lt,
+         |  min(CASE WHEN event_type <> 'purchase'
+         |      THEN struct_pack(t := t, id := event_id, tp := event_type)
+         |      END) OVER (PARTITION BY user_id ORDER BY t
+         |        RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+         |    AS ft
+         |  FROM e)
+         |SELECT user_id, event_id AS conv_id, t AS conv_t,
+         |  lt.tp AS last_touch_type, lt.id AS last_touch_id,
+         |  lt.t AS last_touch_t,
+         |  ft.tp AS first_touch_type, ft.id AS first_touch_id,
+         |  ft.t AS first_touch_t
+         |FROM wn WHERE event_type = 'purchase'
+         |ORDER BY conv_id""".stripMargin) { (s, d) =>
+      graft.ops.EventAnalytics.touchAttribution(Tables.events(s, d),
+        convType = "purchase", horizonMicros = 3600000000L)
+    }.sortedBy(col("conv_id")),
+
     // RLHF-prep FLAGSHIP: ratings → preference pairs → Bradley-Terry
     // strengths, the full reward-model data chain composed end to end
     // (both stages' laws already gated standalone; the composition is
