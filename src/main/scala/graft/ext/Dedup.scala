@@ -557,6 +557,20 @@ object Dedup {
     * files persist after the job (`cleanCheckpoints` is off by
     * default) — the caller owns deleting the directory when done.
     */
+  /** Cheap per-round fixpoint signature shared by the clustering
+    * loops: (row count, exact DECIMAL sum of the rows' xxhash64) over
+    * ALL columns — type-agnostic (string ids hash like longs; the old
+    * raw value sums nulled out on strings), order-independent, and
+    * exact integer arithmetic so two equal sets can never disagree.
+    * Equality is NECESSARY for set equality, not sufficient — callers
+    * confirm a reported fixpoint with one exact set-difference.
+    */
+  private def labelSig(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head
+    (r.getLong(0), r.getDecimal(1))
+  }
+
   def clusterLabels(nodes: DataFrame, edges: DataFrame,
                     maxRounds: Int = 50, strict: Boolean = false,
                     checkpointDir: Option[String] = None): DataFrame = {
@@ -579,13 +593,16 @@ object Dedup {
         .select(sym("dst").as("id"), col("label"))
       val next = pin(labels.union(viaNeighbour)
         .groupBy("id").agg(min("label").as("label")))
-      // Exact fixpoint probe: one row per id on both sides, so an empty
-      // difference ⟺ identical label assignment. A sum-of-labels
-      // checksum is NOT exact: string ids null the sum (every round
-      // would compare NULL == NULL — instant false convergence with
-      // split labels) and numeric label swaps can preserve it. Both
-      // sides are pinned, so the probe re-reads checkpointed rows.
-      converged = next.exceptAll(labels).isEmpty
+      // Fixpoint probe, exact in two stages: per round a CHEAP
+      // partial-agg signature (row count + exact DECIMAL sum of the
+      // rows' 64-bit hashes — type-agnostic, so string ids can never
+      // null it the way the old raw label sum did), and when the
+      // signature first reports a fixpoint, ONE exact set-difference
+      // confirms it — the declared convergence never rests on a hash,
+      // but the per-round cost is an aggregation, not a join (the
+      // 100 TB difference for O(diameter) rounds).
+      converged = labelSig(next) == labelSig(labels) &&
+        next.exceptAll(labels).isEmpty
       labels = next
       rounds += 1
     }
@@ -624,13 +641,14 @@ object Dedup {
     * shuffles on node ids; the edge set never grows past the input
     * size (every rewrite maps an existing edge to one output edge,
     * deduplicated), and nothing is collected to the driver. The
-    * convergence probe is an EXACT set comparison over the
-    * CANONICALIZED edge set (equal counts + empty difference — both
-    * sides are distinct sets, so that is set equality): the round map
-    * is a deterministic function of the edge set, so an unchanged
-    * canonical set IS the fixpoint. Works for any id type — string
-    * ids and sum-colliding numeric rewrites alike (a lossy id-sum
-    * signature handled neither).
+    * convergence probe is two-stage and EXACT: a cheap per-round
+    * (count, Σ xxhash64(src, dst)) signature in exact DECIMAL — works
+    * for any id type, unlike the lossy raw id sums it replaced — and
+    * ONE set-difference confirming the first reported fixpoint (both
+    * sides are canonical distinct sets, so equal counts + empty
+    * difference ⟺ set equality): the round map is a deterministic
+    * function of the edge set, so an unchanged canonical set IS the
+    * fixpoint, and the declared convergence never rests on a hash.
     *
     * Same contract as [[clusterLabels]]: `nodes` exposes `id`, `edges`
     * exposes (`src`, `dst`) undirected; returns (id, cluster_id) with
@@ -675,26 +693,27 @@ object Dedup {
         .select(dir("dst").as("src"), col("m").as("dst"))
         .union(mins.select(col("u").as("src"), col("m").as("dst")))
     }
-    // Exact fixpoint probe: both sides are canonical DISTINCT edge
-    // sets, so equal counts + empty difference ⟺ set equality. A
-    // lossy signature (count + id sums) is NOT enough: string ids
-    // null the sums (degenerating to count equality — a 5-node chain
-    // would be declared converged after one round with split labels),
-    // and numeric ids can collide (swapping (3,1),(4,2)→(4,1),(3,2)
-    // preserves count and both sums). Both sides are pinned, so the
-    // difference probe re-reads checkpointed rows, not the lineage.
-    def sameEdges(a: DataFrame, aCnt: Long, b: DataFrame, bCnt: Long): Boolean =
-      aCnt == bCnt && b.exceptAll(a).isEmpty
+    // Fixpoint probe, exact in two stages (see clusterLabels): a cheap
+    // per-round signature (count + exact DECIMAL sum of 64-bit row
+    // hashes — type-agnostic, immune to the string-id NULL degeneration
+    // and the numeric swap collisions of the old raw id sums), then ONE
+    // exact set-difference confirming the first reported fixpoint —
+    // both sides are canonical DISTINCT sets, so equal counts + empty
+    // difference ⟺ set equality. Declared convergence never rests on
+    // a hash; the per-round cost stays an aggregation, not a join.
+    def sameEdges(a: DataFrame, aSig: (Long, java.math.BigDecimal),
+                  b: DataFrame, bSig: (Long, java.math.BigDecimal)): Boolean =
+      aSig == bSig && b.exceptAll(a).isEmpty
     var cur = pin(canon(edges))
-    var curCnt = cur.count()
+    var curSig = labelSig(cur)
     var rounds = 0
-    var converged = curCnt == 0L // edge-free graph: all singletons
+    var converged = curSig._1 == 0L // edge-free graph: all singletons
     while (!converged && rounds < maxRounds) {
       val next = pin(canon(smallStar(largeStar(cur))))
-      val nextCnt = next.count()
-      converged = sameEdges(cur, curCnt, next, nextCnt)
+      val nextSig = labelSig(next)
+      converged = sameEdges(cur, curSig, next, nextSig)
       cur = next
-      curCnt = nextCnt
+      curSig = nextSig
       rounds += 1
     }
     if (!converged) {
