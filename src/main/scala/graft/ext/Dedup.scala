@@ -1245,6 +1245,34 @@ object Dedup {
         col("n_lines"), col("n_kept"))
   }
 
+  /** URL-level dedup — the crawl-frontier stage
+    * [[graft.ext.TextAnalysis.canonicalizeUrl]] exists for: the same
+    * page arrives under tracking-param/case/port variants across
+    * snapshots, and byte-exact URL dedup misses all of them. Every row
+    * keeps its canonical key; the FIRST occurrence per canonical URL
+    * (smallest `idCol` — the engine-independent tie rule) is flagged
+    * `url_keep`, so the caller filters or audits. Null-URL rows are
+    * their own occurrence (kept — no URL is not a duplicate of no
+    * URL).
+    *
+    * Output: input columns + (canon_url, url_keep). Scale shape: one
+    * row-local canonicalization map + one (canon_url)-keyed min
+    * partial-agg + one equi-join back — the exactByKey posture on the
+    * canonical key.
+    */
+  def dedupByUrl(docs: DataFrame, idCol: String = "doc_id",
+                 urlCol: String = "url"): DataFrame = {
+    val withCanon = docs.withColumn("canon_url",
+      TextAnalysis.canonicalizeUrl(col(urlCol)))
+    val firsts = withCanon.filter(col("canon_url").isNotNull)
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("__ud_first"))
+    withCanon.join(firsts, Seq("canon_url"), "left")
+      .withColumn("url_keep",
+        col("canon_url").isNull || col(idCol) === col("__ud_first"))
+      .drop("__ud_first")
+  }
+
   /** Shared DF computation of the boilerplate family: the
     * (domainCol, line_hash, df, domain_docs) relation of lines OVER
     * the per-domain document-frequency threshold. `base` = non-null

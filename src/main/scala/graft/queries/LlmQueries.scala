@@ -2924,6 +2924,65 @@ object LlmQueries {
         TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
     }.sortedBy(col("doc_id")),
 
+    // ── URL-level dedup over the same planted shapes: every %4=1 doc
+    // canonicalizes to the SAME 'http://site.org/' (only the smallest
+    // doc_id keeps), the Host.net variants collide within their
+    // doc_id%7 class — the cross-snapshot crawl dedup byte-exact URL
+    // keys miss entirely.
+    QueryDef("t_url_dedup",
+      s"""WITH p AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN 'HTTPS://Example.COM:443/Path/' ||
+         |      CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1&fbclid=zz#frag'
+         |    WHEN 1 THEN 'http://site.org:80'
+         |    WHEN 2 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+         |    ELSE 'http://Host.net/a?ref=h&z=1&utm_campaign=c&b=' ||
+         |      CAST(doc_id % 7 AS VARCHAR) END AS url
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u
+         |  FROM p),
+         |s2 AS (SELECT doc_id, url, u,
+         |  regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+         |  lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS host0,
+         |  regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+         |  regexp_extract(u, '^[^?]*\\?(.*)', 1) AS q FROM s1),
+         |s3 AS (SELECT doc_id, url, scheme, lower(scheme) AS ls,
+         |  CASE WHEN lower(scheme)='http'
+         |         THEN regexp_replace(host0, ':80$$', '')
+         |       WHEN lower(scheme)='https'
+         |         THEN regexp_replace(host0, ':443$$', '')
+         |       ELSE host0 END AS host,
+         |  CASE WHEN path0='' THEN '/' ELSE path0 END AS path,
+         |  list_sort(list_filter(string_split(q, '&'),
+         |    pp -> pp <> '' AND NOT regexp_matches(pp,
+         |      '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$$'))) AS params
+         |  FROM s2),
+         |canon AS (SELECT doc_id, url, CASE WHEN scheme='' THEN url
+         |  ELSE ls || '://' || host || path ||
+         |    CASE WHEN len(params) > 0
+         |      THEN '?' || array_to_string(params, '&') ELSE '' END
+         |  END AS canon_url FROM s3),
+         |f AS (SELECT canon_url, min(doc_id) AS fid FROM canon
+         |  WHERE canon_url IS NOT NULL GROUP BY 1)
+         |SELECT c.doc_id, c.url, c.canon_url,
+         |  c.canon_url IS NULL OR c.doc_id = f.fid AS url_keep
+         |FROM canon c LEFT JOIN f ON f.canon_url = c.canon_url
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://Example.COM:443/Path/"),
+            col("doc_id").cast("string"),
+            lit("?utm_source=x&b=2&a=1&fbclid=zz#frag")))
+        .when(col("doc_id") % 4 === 1, lit("http://site.org:80"))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("http://Host.net/a?ref=h&z=1&utm_campaign=c&b="),
+          (col("doc_id") % 7).cast("string"))).as("url"))
+      Dedup.dedupByUrl(planted)
+        .select(col("doc_id"), col("url"), col("canon_url"),
+          col("url_keep"))
+    }.sortedBy(col("doc_id")),
+
     // ── Winnowing fingerprints (MOSS): 4-gram hashes, 5-hash windows,
     // rightmost-tie minimum per window, consecutive duplicates
     // collapsed. The replay is RELATIONAL (window × gram join, min per
