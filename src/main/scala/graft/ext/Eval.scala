@@ -70,6 +70,40 @@ object Eval {
             "(n_pred + n_ref)")).as("f1_x100"))
   }
 
+  /** Classification CONFUSION MATRIX + per-class precision/recall —
+    * the readout every classifier gate (language ID, quality, safety)
+    * ships with: predictions joined to references on `idCol`, one row
+    * per observed (ref, pred) cell with the count, plus the cell's
+    * share of its reference row (recall direction) and its prediction
+    * column (precision direction), both ×100 integer-truncating —
+    * replayed exactly by the oracle. Items present on only one side
+    * or with a null label have no verdict and are dropped.
+    *
+    * Output: (ref, pred, n, recall_x100, precision_x100) — the
+    * diagonal rows carry the per-class recall/precision; off-diagonal
+    * rows show where the mass leaks. Scale shape: one id join + one
+    * (ref, pred) partial-agg + two label-keyed marginal joins, all
+    * bounded by the label vocabulary.
+    */
+  def confusionMatrix(preds: DataFrame, refs: DataFrame,
+                      idCol: String = "doc_id", predCol: String = "pred",
+                      refCol: String = "ref"): DataFrame = {
+    val cells = preds.filter(col(predCol).isNotNull)
+      .select(col(idCol), col(predCol))
+      .join(refs.filter(col(refCol).isNotNull)
+        .select(col(idCol), col(refCol)), idCol)
+      .groupBy(col(refCol).as("ref"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val refTot = cells.groupBy(col("ref"))
+      .agg(sum(col("n")).as("__cm_rn"))
+    val predTot = cells.groupBy(col("pred"))
+      .agg(sum(col("n")).as("__cm_pn"))
+    cells.join(refTot, "ref").join(predTot, "pred")
+      .select(col("ref"), col("pred"), col("n"),
+        expr("(n * 100) div __cm_rn").as("recall_x100"),
+        expr("(n * 100) div __cm_pn").as("precision_x100"))
+  }
+
   /** Majority-vote label aggregation over an annotation relation
     * (`itemCol`, `annotatorCol`, `labelCol`) — the consensus step of
     * every labeling pipeline. Per item: the label with the most votes;

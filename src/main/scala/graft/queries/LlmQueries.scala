@@ -2084,6 +2084,36 @@ object LlmQueries {
       graft.ext.Eval.majorityVote(annotationPanel(s, d))
     }.sortedBy(col("item_id")),
 
+    // Confusion matrix: annotator a1 (truth) vs a2 (the %4='xx'
+    // mislabeler) — diagonal rows carry per-class recall/precision,
+    // the 'xx' column shows exactly where the mass leaks.
+    QueryDef("t_confusion",
+      s"""WITH refs AS (SELECT doc_id, lang AS ref FROM documents
+         |  WHERE lang IS NOT NULL),
+         |preds AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END AS pred
+         |  FROM documents WHERE lang IS NOT NULL),
+         |cells AS (SELECT r.ref, p.pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM preds p JOIN refs r ON r.doc_id = p.doc_id
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT ref, CAST(sum(n) AS BIGINT) AS rn
+         |  FROM cells GROUP BY 1),
+         |pt AS (SELECT pred, CAST(sum(n) AS BIGINT) AS pn
+         |  FROM cells GROUP BY 1)
+         |SELECT c.ref, c.pred, c.n,
+         |  CAST((c.n * 100) // rt.rn AS BIGINT) AS recall_x100,
+         |  CAST((c.n * 100) // pt.pn AS BIGINT) AS precision_x100
+         |FROM cells c JOIN rt ON rt.ref = c.ref
+         |JOIN pt ON pt.pred = c.pred
+         |ORDER BY c.ref, c.pred""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("lang").isNotNull)
+      graft.ext.Eval.confusionMatrix(
+        base.select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, lit("xx"))
+            .otherwise(col("lang")).as("pred")),
+        base.select(col("doc_id"), col("lang").as("ref")))
+    }.sortedBy(col("ref"), col("pred")),
+
     QueryDef("t_kappa",
       s"""WITH ann AS (
          |  SELECT doc_id AS item_id, 'a1' AS annotator, lang AS label
