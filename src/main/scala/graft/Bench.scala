@@ -52,7 +52,15 @@ import graft.core.Sessions
   *  - `SPARK_GRAFT_BENCH_PREV=<prior BENCH artifact or raw stdout>`
   *    appends an in-process regression verdict to the trailer
   *    (`shared_n` + `regressions_n` + the worst ≤10 shared queries past
-  *    1.3×, via BenchDiff's truncation-tolerant parser). Unset, it
+  *    1.3×, via BenchDiff's truncation-tolerant parser). N-GUARD
+  *    (round-18 fix for r17's 127 phantom flags on n=1 medians): a
+  *    query with < 3 timed samples folds its warm-up sample into the
+  *    sample set; a query is regression-ELIGIBLE only at effective
+  *    n ≥ 2; each regression entry carries its `n`; the stanza carries
+  *    `regressions_unreliable: true` whenever any shared query sits
+  *    below the protocol's n ≥ 3, plus `regressions_suppressed_n` for
+  *    ineligible shared queries — the gate now enforces BASELINE.md's
+  *    "compare medians only where n ≥ 3" instead of merely stating it. Unset, it
   *    DEFAULTS to the newest `bench_full_r{M}.json` (else
   *    `BENCH_r{M}.json`) in the working directory with M STRICTLY below
   *    the current round — never this round's own output (the round-13
@@ -206,17 +214,33 @@ object Bench {
       val cold = coldSamples.readOnlySnapshot().toMap
       val fsnap = failed.readOnlySnapshot().toMap
       // (name, median, samples, isCold) — cold fallback only when a
-      // query has zero timed samples
+      // query has zero timed samples. N-GUARD (r17 verdict: the
+      // budget-clamped driver run shipped n=1 medians and the gate
+      // cried 127 phantom regressions): below 3 timed samples the
+      // warm-up sample the query ALREADY PAID is folded into the
+      // sample set — at n=1 the "median" was one contention-exposed
+      // shot; median-of-2 with the warm-up at least averages it
+      // against an independent pass. Disclosed per query via
+      // queries_stats' n (which counts the merged sample).
       val results: Seq[(String, Double, List[Double], Boolean)] =
         ordered.map { case (name, _) =>
           samp.get(name).filter(_.nonEmpty) match {
-            case Some(xs) => (name, median(xs), xs, false)
+            case Some(xs0) =>
+              val xs = if (xs0.size < 3) cold.get(name).fold(xs0)(xs0 :+ _)
+                       else xs0
+              (name, median(xs), xs, false)
             case None => cold.get(name) match {
               case Some(c) => (name, c, List(c), true)
               case None    => (name, -1.0, Nil, false)
             }
           }
         }
+      // per-query effective sample count — the regression gate guards
+      // on this (BASELINE.md protocol: "compare medians only where
+      // n ≥ 3"; the artifact now enforces what the prose promised)
+      val curN: Map[String, Int] =
+        results.collect { case (k, _, xs, _) if xs.nonEmpty => k -> xs.size }
+          .toMap
       val coldN = results.count(_._4)
       val cur = results.collect {
         case (k, m, xs, _) if xs.nonEmpty => k -> m
@@ -248,15 +272,29 @@ object Bench {
       val regressionJson: String = prevMedians match {
         case None => ""
         case Some((prevName, prev)) =>
-          val sharedN = (prev.keySet & cur.keySet).size
-          val all = BenchDiff.regressions(prev, cur, threshold = 1.3)
+          val shared = prev.keySet & cur.keySet
+          val sharedN = shared.size
+          // n-guard (r17 verdict fix): a query is ELIGIBLE for a
+          // regression flag only at effective n ≥ 2 — an n=1 median is
+          // a single sample and flagging on it is exactly the 127-
+          // phantom-regression artifact r17 shipped. Suppression is
+          // disclosed (suppressed count + unreliable marker whenever
+          // ANY shared query sits below the protocol's n ≥ 3).
+          val eligible = cur.filter { case (k, _) => curN.getOrElse(k, 0) >= 2 }
+          val suppressedN = shared.count(k => curN.getOrElse(k, 0) < 2)
+          val unreliable = shared.exists(k => curN.getOrElse(k, 0) < 3)
+          val all = BenchDiff.regressions(prev, eligible, threshold = 1.3)
           def item(e: (String, Double, Double, Double)): String = {
             val (k, pv, cv, r) = e
-            f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f}"""
+            f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f,"n":${curN.getOrElse(k, 0)}%d}"""
           }
           val (flag, coreAll) = all.partition { case (k, _, _, _) => tierOf(k) == "flagship" }
           val coreReg = coreAll.filter { case (_, pv, cv, r) => r >= 1.5 && cv - pv >= 0.3 }
-          s""","shared_n":$sharedN,"prev_artifact":${jstr(prevName)},"regressions_n":${all.size},"regressions":[${all.take(10).map(item).mkString(",")}],"regressions_flagship":[${flag.take(10).map(item).mkString(",")}],"regressions_core":[${coreReg.take(10).map(item).mkString(",")}]"""
+          val unreliableJson =
+            if (unreliable) s""","regressions_unreliable":true""" else ""
+          val suppressedJson =
+            if (suppressedN > 0) s""","regressions_suppressed_n":$suppressedN""" else ""
+          s""","shared_n":$sharedN,"prev_artifact":${jstr(prevName)}$unreliableJson$suppressedJson,"regressions_n":${all.size},"regressions":[${all.take(10).map(item).mkString(",")}],"regressions_flagship":[${flag.take(10).map(item).mkString(",")}],"regressions_core":[${coreReg.take(10).map(item).mkString(",")}]"""
       }
 
       val qs = results.map { case (k, m, _, _) => s"${jstr(k)}:$m" }

@@ -202,14 +202,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1 || children.length == 3,
           "winnow_fps(text[, k, w]) takes 1 or 3 arguments")
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow_fps: $what must be an integer literal, got $other")
-        }
         if (children.length == 1) graft.functions.WinnowFps(children.head, 4, 5)
         else graft.functions.WinnowFps(children.head,
-          intLit(children(1), "k"), intLit(children(2), "w"))
+          intArg(children(1), "winnow_fps: k"),
+          intArg(children(2), "winnow_fps: w"))
       }))
     // canonical_url(text): the fused native form of the 5-step URL
     // normalization law (TextAnalysis.canonicalizeUrl is the

@@ -535,6 +535,54 @@ object Curation {
         "excess_x100", "weight")
   }
 
+  /** [[ccnetCurate]] under a PERSISTED perplexity model — the CCNet
+    * production posture made first-class (round-17 advice): the
+    * reference LM trains ONCE on the trusted corpus
+    * ([[TextAnalysis.writeLmModel]]), and every crawl snapshot curates
+    * against the SAME pinned artifact via
+    * [[TextAnalysis.loadLmModel]] — retraining per crawl would move
+    * every per-domain perplexity threshold between snapshots (the
+    * ANN `*Indexed` discipline applied to the curation flagship).
+    * Same output contract as [[ccnetCurate]]; only the scorer's
+    * provenance changes. Oracle-gated (t_ccnet_curate_persisted).
+    *
+    * Scale shape: DROPS one of [[ccnetCurate]]'s two corpus-sized
+    * model aggregations — scoring reads the gram-bucketed model table
+    * (the join co-locates with the bucketed layout) instead of
+    * training it, which at 100 TB is the difference between one and
+    * two full-corpus vocab shuffles per curation run.
+    */
+  def ccnetCurateWith(docs: DataFrame, lm: TextAnalysis.LmBundle,
+                      domainCol: String = "source",
+                      idCol: String = "doc_id", textCol: String = "text",
+                      keepBuckets: Seq[String] = Seq("head", "middle"),
+                      minQuality: Int = 3,
+                      splits: Seq[(String, Double)] =
+                        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    ccnetCurate(docs, domainCol, idCol, textCol, keepBuckets, minQuality,
+      splits, scorer = (d, i, t) => lm.score(d, i, t))
+
+  /** [[domainReweight]] under PERSISTED proxy/reference models — the
+    * DoReMi production posture (round-17 advice): both scorer models
+    * are pinned disk artifacts ([[TextAnalysis.LmBundle]]), so a
+    * 100 TB reweighting run pays two SCORING passes (each a
+    * gram-bucketed model join) and ZERO training aggregations — and
+    * two runs over the same corpus give identical weights, which the
+    * inline-training default cannot promise across snapshots. The
+    * weak-proxy/strong-reference pair maps naturally onto the
+    * persisted rungs: `proxy` = stupid-backoff trigram bundle,
+    * `ref` = the Kneser–Ney bundle. Same output contract as
+    * [[domainReweight]]. Oracle-gated (t_domain_reweight_persisted).
+    */
+  def domainReweightWith(docs: DataFrame, proxy: TextAnalysis.LmBundle,
+                         ref: TextAnalysis.LmBundle,
+                         domainCol: String = "source",
+                         idCol: String = "doc_id", textCol: String = "text",
+                         scaleTo: Long = 10000L): DataFrame =
+    domainReweight(docs, domainCol, idCol, textCol, scaleTo,
+      proxyScorer = (d, i, t) => proxy.score(d, i, t),
+      refScorer = (d, i, t) => ref.score(d, i, t))
+
   /** Language-BALANCED corpus mix: classify every document's language
     * with the char-trigram Naive Bayes model ([[TextAnalysis
     * .classifyLangId]] — trained on `labeled`, so docs with a NULL or

@@ -588,6 +588,11 @@ object Dedup {
     var labels = pin(nodes.select(col("id"), col("id").as("label")))
     var rounds = 0
     var converged = false
+    // carry the previous round's signature forward: labelSig(labels)
+    // this round IS labelSig(next) of the last one — recomputing it
+    // would double the per-round signature cost (clusterEdges' curSig
+    // pattern)
+    var curSig = labelSig(labels)
     while (!converged && rounds < maxRounds) {
       val viaNeighbour = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
@@ -601,8 +606,9 @@ object Dedup {
       // confirms it — the declared convergence never rests on a hash,
       // but the per-round cost is an aggregation, not a join (the
       // 100 TB difference for O(diameter) rounds).
-      converged = labelSig(next) == labelSig(labels) &&
-        next.exceptAll(labels).isEmpty
+      val nextSig = labelSig(next)
+      converged = nextSig == curSig && next.exceptAll(labels).isEmpty
+      curSig = nextSig
       labels = next
       rounds += 1
     }

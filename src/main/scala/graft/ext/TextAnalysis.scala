@@ -1077,7 +1077,11 @@ object TextAnalysis {
       .otherwise(host0)
     val path0 = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val q = regexp_extract(u, "^[^?]*\\?(.*)", 1)
+    // (?s): the query runs to END-OF-STRING, not end-of-line — the
+    // native fused pass (functions/CanonicalUrl.scala) takes the
+    // substring after '?', so a newline-bearing query must canonicalize
+    // identically in both formulations
+    val q = regexp_extract(u, "(?s)^[^?]*\\?(.*)", 1)
     val params = array_sort(filter(split(q, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$")))
     val qpart = when(size(params) > 0,

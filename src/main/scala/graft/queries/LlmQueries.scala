@@ -2921,7 +2921,7 @@ object LlmQueries {
          |  regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
          |  lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS host0,
          |  regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
-         |  regexp_extract(u, '^[^?]*\\?(.*)', 1) AS q FROM s1),
+         |  regexp_extract(u, '(?s)^[^?]*\\?(.*)', 1) AS q FROM s1),
          |s3 AS (SELECT doc_id, url, scheme, lower(scheme) AS ls,
          |  CASE WHEN lower(scheme)='http'
          |         THEN regexp_replace(host0, ':80$$', '')
@@ -2974,7 +2974,7 @@ object LlmQueries {
          |  regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
          |  lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS host0,
          |  regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
-         |  regexp_extract(u, '^[^?]*\\?(.*)', 1) AS q FROM s1),
+         |  regexp_extract(u, '(?s)^[^?]*\\?(.*)', 1) AS q FROM s1),
          |s3 AS (SELECT doc_id, url, scheme, lower(scheme) AS ls,
          |  CASE WHEN lower(scheme)='http'
          |         THEN regexp_replace(host0, ':80$$', '')
@@ -5671,6 +5671,141 @@ object LlmQueries {
       graft.ext.Curation.domainReweight(Tables.documents(s, d))
     }.sortedBy(col("domain")),
 
+    // DoReMi reweighting under PERSISTED models — the production
+    // posture (train once, reweight every snapshot against the SAME
+    // pinned artifacts): proxy = the disk-round-tripped stupid-backoff
+    // trigram bundle, reference = the Kneser–Ney bundle, both trained
+    // on the even-id half (the t_trigram_persisted/t_kn_persisted
+    // lifecycle). The oracle chains the two PROVEN persisted-rung
+    // scoring CTE families over one shared even-half model and replays
+    // the same domain rollup + Hamilton allocation as
+    // t_domain_reweight.
+    QueryDef("t_domain_reweight_persisted",
+      s"""WITH tw AS (SELECT string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
+         |nv AS (SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS nv FROM uni),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
+         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
+         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
+         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+         |    FROM tw) GROUP BY 1),
+         |kn12 AS (SELECT string_split(gram, ' ')[1] || ' ' ||
+         |      string_split(gram, ' ')[2] AS g,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY 1),
+         |kn23 AS (SELECT string_split(gram, ' ')[2] || ' ' ||
+         |      string_split(gram, ' ')[3] AS g,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY 1),
+         |knd2 AS (SELECT string_split(g, ' ')[1] AS g2,
+         |    CAST(sum(cnt) AS BIGINT) AS cnt FROM kn23 GROUP BY 1),
+         |knn2 AS (SELECT string_split(g, ' ')[1] AS g2,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM kn23 GROUP BY 1),
+         |kn1 AS (SELECT string_split(gram, ' ')[2] AS g1,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY 1),
+         |knbu AS (SELECT CAST((SELECT count(*) FROM bi) +
+         |    (SELECT count(*) FROM uni) AS BIGINT) AS bu),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(3, len(ws)),
+         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
+         |  FROM dw),
+         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY 1, 2),
+         |ox AS (SELECT doc_id, g123, tf,
+         |    string_split(g123, ' ')[1] AS w1,
+         |    string_split(g123, ' ')[2] AS w2,
+         |    string_split(g123, ' ')[3] AS w3 FROM otf),
+         |psc AS (SELECT o.doc_id, o.tf,
+         |    CAST(CASE
+         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
+         |        THEN length(bin(b12.cnt)) - length(bin(t.cnt))
+         |      WHEN b23.cnt IS NOT NULL AND u2.cnt IS NOT NULL
+         |        THEN length(bin(u2.cnt * 5)) - length(bin(b23.cnt * 2))
+         |      ELSE length(bin(n.nv * 25)) -
+         |           length(bin((coalesce(u3.cnt, 0) + 1) * 4))
+         |    END AS BIGINT) AS bits
+         |  FROM ox o
+         |  LEFT JOIN tri t ON t.gram = o.g123
+         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
+         |  LEFT JOIN bi b23 ON b23.gram = o.w2 || ' ' || o.w3
+         |  LEFT JOIN uni u2 ON u2.gram = o.w2
+         |  LEFT JOIN uni u3 ON u3.gram = o.w3
+         |  CROSS JOIN nv n),
+         |pagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n FROM psc GROUP BY 1),
+         |rsc AS (SELECT o.doc_id, o.tf,
+         |    CAST(CASE
+         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
+         |        THEN length(bin(b12.cnt * 4)) - length(bin(t.cnt * 4 - 3))
+         |      WHEN k23.cnt IS NOT NULL AND kd.cnt IS NOT NULL
+         |        THEN (CASE WHEN b12.cnt IS NOT NULL AND n12.cnt IS NOT NULL
+         |                THEN length(bin(b12.cnt * 4)) -
+         |                     length(bin(n12.cnt * 3)) ELSE 0 END)
+         |          + length(bin(kd.cnt * 4)) - length(bin(k23.cnt * 4 - 3))
+         |      ELSE (CASE WHEN b12.cnt IS NOT NULL AND n12.cnt IS NOT NULL
+         |              THEN length(bin(b12.cnt * 4)) -
+         |                   length(bin(n12.cnt * 3)) ELSE 0 END)
+         |        + (CASE WHEN kd.cnt IS NOT NULL AND nk.cnt IS NOT NULL
+         |             THEN length(bin(kd.cnt * 4)) -
+         |                  length(bin(nk.cnt * 3)) ELSE 0 END)
+         |        + length(bin(n.bu)) - length(bin(coalesce(k1.cnt, 0) + 1))
+         |    END AS BIGINT) AS bits
+         |  FROM ox o
+         |  LEFT JOIN tri t ON t.gram = o.g123
+         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
+         |  LEFT JOIN kn12 n12 ON n12.g = o.w1 || ' ' || o.w2
+         |  LEFT JOIN kn23 k23 ON k23.g = o.w2 || ' ' || o.w3
+         |  LEFT JOIN knd2 kd ON kd.g2 = o.w2
+         |  LEFT JOIN knn2 nk ON nk.g2 = o.w2
+         |  LEFT JOIN kn1 k1 ON k1.g1 = o.w3
+         |  CROSS JOIN knbu n),
+         |ragg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n FROM rsc GROUP BY 1),
+         |drdom AS (SELECT doc_id, source AS domain FROM documents
+         |  WHERE source IS NOT NULL),
+         |dragg AS (SELECT d.domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(coalesce(p.surprisal, 0)) AS BIGINT) AS psur,
+         |    CAST(sum(coalesce(p.n, 0)) AS BIGINT) AS pn,
+         |    CAST(sum(coalesce(r.surprisal, 0)) AS BIGINT) AS rsur,
+         |    CAST(sum(coalesce(r.n, 0)) AS BIGINT) AS rn
+         |  FROM drdom d
+         |  LEFT JOIN pagg p USING (doc_id)
+         |  LEFT JOIN ragg r USING (doc_id)
+         |  GROUP BY 1),
+         |drm AS (SELECT domain, n_docs,
+         |   CASE WHEN pn > 0 THEN CAST((psur * 100) // pn AS BIGINT)
+         |        ELSE CAST(0 AS BIGINT) END AS proxy_bits_x100,
+         |   CASE WHEN rn > 0 THEN CAST((rsur * 100) // rn AS BIGINT)
+         |        ELSE CAST(0 AS BIGINT) END AS ref_bits_x100
+         |  FROM dragg),
+         |dre AS (SELECT *, CAST(greatest(proxy_bits_x100 - ref_bits_x100, 0)
+         |    AS BIGINT) AS excess_x100 FROM drm),
+         |drwts AS (SELECT domain,
+         |    CASE WHEN (SELECT max(excess_x100) FROM dre) > 0
+         |         THEN excess_x100 ELSE CAST(1 AS BIGINT) END AS wt
+         |  FROM dre),
+         |drtot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM drwts),
+         |drbase AS (SELECT domain, wt, (10000 * wt) // w.tw AS q,
+         |    (10000 * wt) % w.tw AS r FROM drwts CROSS JOIN drtot w),
+         |drrem AS (SELECT 10000 - CAST(sum(q) AS BIGINT) AS rem FROM drbase),
+         |drrank AS (SELECT *, row_number() OVER
+         |    (ORDER BY r DESC, wt DESC, domain) AS rnk FROM drbase),
+         |drfin AS (SELECT domain, CAST(q + CASE
+         |    WHEN rnk <= (SELECT rem FROM drrem) THEN 1 ELSE 0 END AS BIGINT)
+         |  AS weight FROM drrank)
+         |SELECT e.domain, e.n_docs, e.proxy_bits_x100, e.ref_bits_x100,
+         |       e.excess_x100, f.weight
+         |FROM dre e JOIN drfin f USING (domain)
+         |ORDER BY e.domain""".stripMargin) { (s, d) =>
+      graft.ext.Curation.domainReweightWith(Tables.documents(s, d),
+        TextAnalysis.loadLmModel(s, trigramLmFor(s, d)),
+        TextAnalysis.loadLmModel(s, knLmFor(s, d)))
+    }.sortedBy(col("domain")),
+
     QueryDef("t_domain_mix",
       s"""WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
          |w(source, wt) AS (VALUES ('src0', CAST(3 AS BIGINT)),
@@ -6156,6 +6291,105 @@ object LlmQueries {
          |FROM withb w JOIN cbuck b ON b.doc_id = w.doc_id
          |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
       graft.ext.Curation.ccnetCurate(Tables.documents(s, d))
+    }.sortedBy(col("doc_id")),
+
+    // The CCNet flagship under a PERSISTED perplexity model — the
+    // production posture (train once on the trusted half, curate every
+    // snapshot against the SAME pinned artifact): the proxy scorer is
+    // the disk-round-tripped stupid-backoff trigram bundle
+    // (t_trigram_persisted's lifecycle), swapped into the identical
+    // bucket → keep → curate → split chain. The oracle is
+    // t_ccnet_curate with its unigram scoring CTEs replaced by the
+    // proven even-half trigram scoring CTEs.
+    QueryDef("t_ccnet_curate_persisted",
+      s"""WITH RECURSIVE tw AS (SELECT string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(ws) AS gram FROM tw) GROUP BY 1),
+         |nv AS (SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS nv FROM uni),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(ws)),
+         |      i -> ws[i-1] || ' ' || ws[i])) AS gram FROM tw) GROUP BY 1),
+         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(3, len(ws)),
+         |      i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+         |    FROM tw) GROUP BY 1),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(3, len(ws)),
+         |    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS g123
+         |  FROM dw),
+         |otf AS (SELECT doc_id, g123, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY 1, 2),
+         |ox AS (SELECT doc_id, g123, tf,
+         |    string_split(g123, ' ')[1] AS w1,
+         |    string_split(g123, ' ')[2] AS w2,
+         |    string_split(g123, ' ')[3] AS w3 FROM otf),
+         |tsc AS (SELECT o.doc_id, o.tf,
+         |    CAST(CASE
+         |      WHEN t.cnt IS NOT NULL AND b12.cnt IS NOT NULL
+         |        THEN length(bin(b12.cnt)) - length(bin(t.cnt))
+         |      WHEN b23.cnt IS NOT NULL AND u2.cnt IS NOT NULL
+         |        THEN length(bin(u2.cnt * 5)) - length(bin(b23.cnt * 2))
+         |      ELSE length(bin(n.nv * 25)) -
+         |           length(bin((coalesce(u3.cnt, 0) + 1) * 4))
+         |    END AS BIGINT) AS bits
+         |  FROM ox o
+         |  LEFT JOIN tri t ON t.gram = o.g123
+         |  LEFT JOIN bi b12 ON b12.gram = o.w1 || ' ' || o.w2
+         |  LEFT JOIN bi b23 ON b23.gram = o.w2 || ' ' || o.w3
+         |  LEFT JOIN uni u2 ON u2.gram = o.w2
+         |  LEFT JOIN uni u3 ON u3.gram = o.w3
+         |  CROSS JOIN nv n),
+         |tagg AS (SELECT doc_id, CAST(sum(tf * bits) AS BIGINT) AS surprisal,
+         |    CAST(sum(tf) AS BIGINT) AS n FROM tsc GROUP BY 1),
+         |psc AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN coalesce(a.n, 0) > 0
+         |         THEN CAST((a.surprisal * 100) // a.n AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS m
+         |  FROM documents d LEFT JOIN tagg a USING (doc_id)),
+         |phist AS (SELECT source, m AS v, count(*) AS c FROM psc GROUP BY 1, 2),
+         |pcum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |        ROWS UNBOUNDED PRECEDING) AS cumc FROM phist),
+         |ptot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |         FROM phist GROUP BY 1),
+         |p33 AS (SELECT c.source, min(v) AS p33 FROM pcum c
+         |  JOIN ptot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 33 + 99) // 100 GROUP BY 1),
+         |p67 AS (SELECT c.source, min(v) AS p67 FROM pcum c
+         |  JOIN ptot t ON t.source = c.source
+         |  WHERE c.cumc >= (t.n * 67 + 99) // 100 GROUP BY 1),
+         |cbuck AS (SELECT s.doc_id, s.m,
+         |    CASE WHEN p33.p33 IS NULL THEN NULL
+         |         WHEN s.m <= p33.p33 THEN 'head'
+         |         WHEN s.m <= p67.p67 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM psc s
+         |  LEFT JOIN p33 ON p33.source = s.source
+         |  LEFT JOIN p67 ON p67.source = s.source),
+         |ckept AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN cbuck b ON b.doc_id = d.doc_id
+         |  WHERE b.bucket IN ('head', 'middle')),
+         |${qualityCtes("ckept")},
+         |curated AS (SELECT doc_id, text FROM qscored WHERE quality >= 3),
+         |${hashesCteFrom("curated")},
+         |$sigCte,
+         |${clusterCtes("curated", jNum = 8, jDen = 10)},
+         |keeps AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+         |withb AS (
+         |  SELECT q.doc_id, q.quality,
+         |         ${polyhash("CAST(q.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM qscored q JOIN keeps k ON k.doc_id = q.doc_id)
+         |SELECT w.doc_id, b.m AS mean_bits_x100, b.bucket,
+         |       CAST(w.quality AS BIGINT) AS quality,
+         |       CASE WHEN w.bkt < 8000 THEN 'train'
+         |            WHEN w.bkt < 9000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM withb w JOIN cbuck b ON b.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Curation.ccnetCurateWith(Tables.documents(s, d),
+        TextAnalysis.loadLmModel(s, trigramLmFor(s, d)))
     }.sortedBy(col("doc_id")),
 
     QueryDef("t_curate_corpus",

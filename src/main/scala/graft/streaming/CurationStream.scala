@@ -324,14 +324,19 @@ object CurationStream {
       val stripped = boilerHashes.fold(redacted)(hs =>
         graft.ext.Dedup.stripLinesByHashSet(redacted, hs, idCol, textCol))
       // lexicon screen drops over-budget docs on the SHIPPED text
-      // (post-redaction/strip), before the quality gates
+      // (post-redaction/strip), before the quality gates. LEFT join:
+      // lexiconScreen only emits rows for non-null-text docs, and the
+      // pipeline convention (stripLinesByHashSet, redactPii) is that
+      // null-text docs pass through unchanged — a missing screen row
+      // means "nothing to screen", i.e. pass, NOT drop.
       val admitted = (lexPinned, lexiconGate) match {
         case (Some(lex), Some(lx)) =>
-          val pass = TextAnalysis.lexiconScreen(stripped, lex,
+          val screen = TextAnalysis.lexiconScreen(stripped, lex,
               lx.maxScoreX100PerKtok, idCol, textCol)
-            .filter(col("screen_pass"))
-            .select(col(idCol))
-          stripped.join(pass, idCol)
+            .select(col(idCol), col("screen_pass"))
+          stripped.join(screen, Seq(idCol), "left")
+            .filter(coalesce(col("screen_pass"), lit(true)))
+            .drop("screen_pass")
         case _ => stripped
       }
       // `gopherGate` adds the full Rae et al. repetition rule set

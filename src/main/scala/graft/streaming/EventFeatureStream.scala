@@ -277,15 +277,40 @@ object EventFeatureStream {
     * Give the writeStream an explicit
     * `Trigger.ProcessingTime(...)` of the same order as `timeoutMs`,
     * and in tests bound any `processAllAvailable` wait.
+    *
+    * CHECKPOINT COMPATIBILITY: the idle-flush tombstone (round 17)
+    * widened the per-key state from 3 to 4 fields — a query CANNOT
+    * resume from a pre-tombstone checkpoint (Spark fails the state
+    * schema check at restore). Restart such a pipeline from a fresh
+    * checkpoint directory.
+    *
+    * STATE GROWTH: the tombstone keeps (key, session_idx) coordinates
+    * unique after an idle flush, but it means keyed state grows with
+    * ALL-TIME key cardinality (pre-r17 `state.remove()` bounded it by
+    * active keys). For high-cardinality key spaces set
+    * `tombstoneTtlMs` > 0 (sensible: ≫ `timeoutMs`, e.g. 100× the
+    * session gap): a tombstone that stays idle that long is DROPPED —
+    * state returns to active-key-bounded, at the documented cost that
+    * a key returning after the TTL restarts at session_idx = 1 (the
+    * duplicate-coordinate window shrinks from "any idle flush" to
+    * "idle flush + return after TTL", and downstream consumers keyed
+    * on (key, session_idx, first-turn time) are unaffected).
     */
   def sessionTranscripts(events: DataFrame,
                          keys: Seq[String] = Seq("user_id"),
                          timeCol: String = "ts", idCol: String = "event_id",
                          typeCol: String = "event_type",
                          sessionGap: Long = 300L * 1000000L,
-                         timeoutMs: Long = -1L): DataFrame = {
+                         timeoutMs: Long = -1L,
+                         tombstoneTtlMs: Long = -1L): DataFrame = {
     require(keys.nonEmpty, "sessionTranscripts needs at least one key column")
     require(sessionGap > 0, s"sessionGap must be positive, got $sessionGap")
+    require(tombstoneTtlMs <= 0 || timeoutMs > 0,
+      "tombstoneTtlMs needs the idle flush (timeoutMs > 0) — tombstones " +
+        "only exist on the idle-flush path")
+    require(tombstoneTtlMs <= 0 || tombstoneTtlMs >= timeoutMs,
+      s"tombstoneTtlMs ($tombstoneTtlMs) must be >= timeoutMs ($timeoutMs): " +
+        "a tombstone outliving its session's idle window is the point")
     val t: Column = events.schema(timeCol).dataType match {
       case TimestampType    => unix_micros(col(timeCol))
       case TimestampNTZType => unix_micros(col(timeCol).cast(TimestampType))
@@ -328,22 +353,36 @@ object EventFeatureStream {
 
     def fn(key: Row, it: Iterator[Row], state: GroupState[Row]): Iterator[Row] = {
       if (state.hasTimedOut) {
-        // idle flush: the open session closes by silence. Keep a
-        // TOMBSTONE (same session_idx, flushed=true, empty turns)
-        // instead of state.remove(): removal forgot the per-key
-        // counter, so the key's next event restarted at session_idx=1
-        // and the stream emitted DUPLICATE (key, session_idx)
-        // coordinates after any idle flush (r16 advice). The tombstone
-        // keeps numbering monotone and dense — the next event opens
-        // session_idx + 1. No further timeout is armed: the tombstone
-        // is one tiny row per idle key, inert until the key returns.
         val s = state.get
-        val turns = s.getSeq[String](2)
-        state.update(Row(s.getLong(0), s.getLong(1),
-          Seq.empty[String], true))
-        if (turns.nonEmpty)
-          Iterator.single(sessionRow(key, s.getLong(1), turns))
-        else Iterator.empty
+        if (s.getBoolean(3)) {
+          // a TOMBSTONE timed out — only reachable with
+          // tombstoneTtlMs > 0 (the flush below is the only place that
+          // arms a tombstone timer). The key has been silent for the
+          // whole TTL: drop its state so the store stays bounded by
+          // ACTIVE keys, accepting the documented session_idx reset if
+          // the key ever returns.
+          state.remove()
+          Iterator.empty
+        } else {
+          // idle flush: the open session closes by silence. Keep a
+          // TOMBSTONE (same session_idx, flushed=true, empty turns)
+          // instead of state.remove(): removal forgot the per-key
+          // counter, so the key's next event restarted at session_idx=1
+          // and the stream emitted DUPLICATE (key, session_idx)
+          // coordinates after any idle flush (r16 advice). The
+          // tombstone keeps numbering monotone and dense — the next
+          // event opens session_idx + 1. With tombstoneTtlMs > 0 a
+          // long timer is re-armed so an abandoned key's tombstone is
+          // eventually dropped; otherwise it stays, one tiny row per
+          // idle key, inert until the key returns.
+          val turns = s.getSeq[String](2)
+          state.update(Row(s.getLong(0), s.getLong(1),
+            Seq.empty[String], true))
+          if (tombstoneTtlMs > 0) state.setTimeoutDuration(tombstoneTtlMs)
+          if (turns.nonEmpty)
+            Iterator.single(sessionRow(key, s.getLong(1), turns))
+          else Iterator.empty
+        }
       } else {
         val keyNull = (0 until key.size).exists(key.isNullAt)
         val valid = it.toVector.filter(r =>

@@ -120,6 +120,11 @@ class SqlSurfaceSpec extends SparkSuite {
       rows(wnApi.orderBy(col("doc_id"), col("pos"))))
     assert(spark.sql(
       "SELECT winnow_fps(text, 4, 5) FROM documents LIMIT 1").count() == 1)
+    // wide integral literals resolve too (SQL generators emit typed
+    // literals — the same width tolerance the other injected knobs get)
+    assert(spark.sql(
+      "SELECT winnow_fps(text, CAST(4 AS BIGINT), CAST(5 AS BIGINT)) " +
+        "FROM documents LIMIT 1").count() == 1)
     intercept[Exception](
       spark.sql("SELECT winnow_fps(text, doc_id, 5) FROM documents")
         .collect())
@@ -134,7 +139,10 @@ class SqlSurfaceSpec extends SparkSuite {
       "http://site.org:80", "not a url 5", "HTTP://H.io:80/a?ref=h&z=1",
       "https://h.io:8443/x", "ftp://Case.Host/Q?b=1&a=2",
       "http://h/?", "weird://:80", "a b://c", "http://h/p#x#y",
-      "http://h/p?utm_a=1&utm_b=2").toDF("url")
+      "http://h/p?utm_a=1&utm_b=2",
+      // newline-bearing query: the spec's (?s) and the native
+      // substring-after-'?' must keep the SAME full query
+      "http://h/p?b=2\nmore&a=1", "http://h/p#f\nrag?z=1").toDF("url")
     fixtures.createOrReplaceTempView("url_fixtures")
     val viaSqlUrl = spark.sql(
       "SELECT url, canonical_url(url) AS u FROM url_fixtures")
