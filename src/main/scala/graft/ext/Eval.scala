@@ -136,6 +136,234 @@ object Eval {
         (col("__mv_top.nv") === -col("n_votes")).as("unanimous"))
   }
 
+  /** Corpus-level BLEU-4 sufficient statistics (Papineni et al. 2002)
+    * between a prediction and a single-reference relation, every column
+    * ENGINE-EXACT: per order n = 1..4, the clipped n-gram match count
+    * `m_n = Σ_item Σ_g min(tf_pred(g), tf_ref(g))` (the tokenF1 bag law
+    * generalized to n-grams), the candidate n-gram total `t_n`, and the
+    * integer precision `p_n·10⁴ = (m_n·10⁴) div t_n`; plus the corpus
+    * candidate/reference lengths and the geometric-mean precision
+    *
+    *   gm_x10000 = floor(10⁴ · √√( (m₁/t₁ · m₂/t₂) · (m₃/t₃ · m₄/t₄) ))
+    *
+    * which is bit-deterministic across engines because IEEE-754
+    * REQUIRES division, multiplication and sqrt to be exactly rounded —
+    * the same parenthesization yields the same double everywhere (no
+    * exp/log appears anywhere in this relation). The brevity penalty's
+    * transcendental factor e^(1−r/c) is NOT baked into a gated column:
+    * `bp_applies` discloses the c < r case and [[bleu]] layers the
+    * floating-point headline number above this exact relation.
+    * Tokens follow [[TextAnalysis.normalizeText]]; items null on either
+    * side are dropped (no score). One row out.
+    *
+    * Scale shape: two row-local tokenize/explode passes (×4 orders),
+    * one (id, n, gram) partial-agg join, then an all-corpus rollup —
+    * nothing collects, nothing crosses.
+    */
+  def bleuStats(preds: DataFrame, refs: DataFrame,
+                idCol: String = "doc_id", predCol: String = "pred",
+                refCol: String = "ref"): DataFrame = {
+    val emptyArr = expr("cast(array() AS array<string>)")
+    def toksOf(c: Column): Column =
+      when(c === "", emptyArr).otherwise(split(c, " "))
+    val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(predCol))).as("__bl_pt"))
+      .localCheckpoint()
+    val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(refCol))).as("__bl_rt"))
+      .localCheckpoint()
+    // only items present on BOTH sides score (same rule as tokenF1)
+    val both = nP.join(nR, idCol).localCheckpoint()
+    def grams(tc: String, side: String): DataFrame = both
+      .select(col(idCol), explode(lit(Array(1, 2, 3, 4))).as("__bl_n"),
+        col(tc).as("__bl_t"))
+      .select(col(idCol), col("__bl_n"), explode(
+          when(size(col("__bl_t")) >= col("__bl_n"),
+            transform(
+              sequence(lit(1), size(col("__bl_t")) - col("__bl_n") + 1),
+              i => array_join(slice(col("__bl_t"), i, col("__bl_n")), " ")))
+            .otherwise(emptyArr)).as("__bl_g"))
+      .groupBy(col(idCol), col("__bl_n"), col("__bl_g"))
+      .agg(count(lit(1)).as(s"__bl_tf_$side"))
+    val perN = grams("__bl_pt", "p")
+      .join(grams("__bl_rt", "r"), Seq(idCol, "__bl_n", "__bl_g"))
+      .groupBy(col("__bl_n"))
+      .agg(sum(least(col("__bl_tf_p"), col("__bl_tf_r"))).as("__bl_m"))
+    val totsPerN = both
+      .select(explode(lit(Array(1, 2, 3, 4))).as("__bl_n"),
+        size(col("__bl_pt")).cast("long").as("__bl_c"))
+      .groupBy(col("__bl_n"))
+      .agg(sum(greatest(lit(0L), col("__bl_c") - col("__bl_n") + 1L))
+        .as("__bl_t"))
+    val lens = both.agg(
+      sum(size(col("__bl_pt"))).cast("long").as("pred_len"),
+      sum(size(col("__bl_rt"))).cast("long").as("ref_len"))
+    val wideCols = (1 to 4).flatMap { n =>
+      Seq(sum(when(col("__bl_n") === n,
+            coalesce(col("__bl_m"), lit(0L)))).as(s"m$n"),
+        sum(when(col("__bl_n") === n, col("__bl_t"))).as(s"t$n"))
+    }
+    val wide = totsPerN.join(perN, Seq("__bl_n"), "left")
+      .agg(wideCols.head, wideCols.tail: _*)
+    def dd(m: String, t: String): Column =
+      col(m).cast("double") / col(t).cast("double")
+    val allT = (1 to 4).map(n => col(s"t$n") > 0L).reduce(_ && _)
+    wide.crossJoin(lens).select(
+      Seq(col("pred_len"), col("ref_len")) ++
+        (1 to 4).flatMap { n =>
+          Seq(col(s"m$n"), col(s"t$n"),
+            when(col(s"t$n") > 0L,
+              expr(s"(m$n * 10000) div t$n")).as(s"p${n}_x10000"))
+        } ++ Seq(
+          when(allT, floor(lit(10000.0) * sqrt(sqrt(
+            (dd("m1", "t1") * dd("m2", "t2")) *
+              (dd("m3", "t3") * dd("m4", "t4"))))).cast("long"))
+            .as("gm_x10000"),
+          (col("pred_len") < col("ref_len")).as("bp_applies")): _*)
+  }
+
+  /** The headline corpus BLEU-4 number over [[bleuStats]]: the exact
+    * geometric-mean precision with the standard brevity penalty
+    * `min(1, e^(1−r/c))` applied. The `bleu` column is DOUBLE — e^x is
+    * not exactly-rounded-mandated by IEEE-754, so this one column is a
+    * presentation-layer value (NOT oracle-gated); every input to it
+    * sits in the same row as an exact integer.
+    */
+  def bleu(preds: DataFrame, refs: DataFrame, idCol: String = "doc_id",
+           predCol: String = "pred", refCol: String = "ref"): DataFrame =
+    bleuStats(preds, refs, idCol, predCol, refCol).withColumn("bleu",
+      when(col("gm_x10000").isNull, lit(null).cast("double"))
+        .otherwise((col("gm_x10000").cast("double") / 10000.0) *
+          when(!col("bp_applies"), lit(1.0))
+            .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
+              col("pred_len").cast("double")))))
+
+  /** Per-item ROUGE-L (Lin 2004): the longest common subsequence of
+    * the normalized token arrays, with the F-measure collapsed to its
+    * exact integer form — for β = 1,
+    *
+    *   F = 2PR/(P+R) = 2·LCS/(n_pred + n_ref)
+    *
+    * so `f_x100 = (2·lcs·100) div (n_pred + n_ref)`, and precision /
+    * recall are `(lcs·100) div n` — all integer floor-divided, all
+    * replayed exactly by the oracle's recursive-CTE DP. Two empty
+    * token bags are a PERFECT match (the SQuAD null-answer rule,
+    * matching [[tokenF1]]); one-sided-empty scores 0.
+    *
+    * Both sides are truncated to their first `maxTokens` tokens — the
+    * disclosed cap that bounds the row-local O(n·m) DP
+    * ([[graft.functions.LcsLen]], one codegen'd pass, no shuffle
+    * beyond the id join) AND the oracle's recursion depth. Eval
+    * answers are short; corpora are not the input here.
+    */
+  def rougeL(preds: DataFrame, refs: DataFrame,
+             idCol: String = "doc_id", predCol: String = "pred",
+             refCol: String = "ref", maxTokens: Int = 32): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 256,
+      s"maxTokens must be in [1, 256], got $maxTokens")
+    val emptyArr = expr("cast(array() AS array<string>)")
+    def toksOf(c: Column): Column = slice(
+      when(c === "", emptyArr).otherwise(split(c, " ")), 1, maxTokens)
+    val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(predCol))).as("__rg_pt"))
+    val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(refCol))).as("__rg_rt"))
+    nP.join(nR, idCol)
+      .withColumn("n_pred", size(col("__rg_pt")).cast("long"))
+      .withColumn("n_ref", size(col("__rg_rt")).cast("long"))
+      .withColumn("lcs", org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.LcsLen(
+          org.apache.spark.sql.graft.Bridge.expression(col("__rg_pt")),
+          org.apache.spark.sql.graft.Bridge.expression(col("__rg_rt")))))
+      .select(col(idCol), col("n_pred"), col("n_ref"), col("lcs"),
+        when(col("n_pred") + col("n_ref") === 0L, lit(100L))
+          .when(col("n_pred") === 0L, lit(0L))
+          .otherwise(expr("(lcs * 100) div n_pred")).as("p_x100"),
+        when(col("n_pred") + col("n_ref") === 0L, lit(100L))
+          .when(col("n_ref") === 0L, lit(0L))
+          .otherwise(expr("(lcs * 100) div n_ref")).as("r_x100"),
+        when(col("n_pred") + col("n_ref") === 0L, lit(100L))
+          .otherwise(expr("(2 * lcs * 100) div (n_pred + n_ref)"))
+          .as("f_x100"))
+  }
+
+  /** Fleiss' κ over the whole annotation panel (Fleiss 1971,
+    * generalized to a varying rater count per item): items with ≥ 2
+    * non-null ratings contribute
+    *
+    *   P_i = (Σ_j n_ij² − r_i) / (r_i (r_i − 1))
+    *
+    * and because r_i varies, the mean P̄ is carried as the EXACT
+    * rational S / (L·N): L = lcm of the distinct r_i(r_i−1) values
+    * (collected — bounded by the annotator count) and
+    * S = Σ_i (Σ_j n_ij² − r_i) · (L div r_i(r_i−1)). Chance agreement
+    * P̄ₑ = Σ_j c_j² / T² over the kept items' category totals. Then
+    *
+    *   κ·10⁴ = (S·T² − L·N·Q) · 10⁴  tdiv  L·N·(T² − Q),   Q = Σ_j c_j²
+    *
+    * with every cross-multiplication in DECIMAL(38,0) (S·T²·10⁴
+    * overflows int64 on ~10⁶-item panels) and tdiv the TRUNCATING
+    * division both engines share (`(a − a % b) / b` here — decimal %
+    * truncates like BigDecimal; DuckDB HUGEINT `//` likewise). The
+    * output columns are L-INVARIANT (P̄ and P̄ₑ ship ×10⁶, κ ×10⁴), so
+    * the oracle may fix L at generation time while the engine derives
+    * it from data. Degenerate P̄ₑ = 1 (T² = Q) yields null κ,
+    * disclosed — the [[cohenKappa]] rule. One row out.
+    *
+    * Scale shape: one (item, label) partial agg, one item-keyed
+    * rollup, one label-keyed rollup (category-vocabulary-bounded), a
+    * distinct-r collect bounded by the annotator count. Negative κ
+    * (worse than chance) is exercised by the rotating annotator in the
+    * oracle fixture — exactly where trunc-vs-floor engines diverge.
+    */
+  def fleissKappa(labels: DataFrame, itemCol: String = "item_id",
+                  annotatorCol: String = "annotator",
+                  labelCol: String = "label"): DataFrame = {
+    val cells = labels.filter(col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("__fk_nij"))
+      .localCheckpoint()
+    val items = cells.groupBy(col(itemCol))
+      .agg(sum(col("__fk_nij")).as("__fk_ri"),
+        sum(col("__fk_nij") * col("__fk_nij")).as("__fk_sq"))
+      .filter(col("__fk_ri") >= 2L)
+      .localCheckpoint()
+    // lcm of the distinct per-item denominators r(r−1): the distinct-r
+    // set is bounded by the annotator count — a config-sized collect
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    val rs = items.select(col("__fk_ri")).distinct().collect()
+      .map(_.getLong(0))
+    val L = if (rs.isEmpty) 2L
+      else rs.map(r => r * (r - 1)).reduce((a, b) => a / gcd(a, b) * b)
+    val itemAgg = items.agg(
+      count(lit(1)).as("n_items"),
+      sum((col("__fk_sq") - col("__fk_ri")) *
+        expr(s"${L}L div (__fk_ri * (__fk_ri - 1))")).as("__fk_s"))
+    val catAgg = cells
+      .join(items.select(col(itemCol)), Seq(itemCol), "left_semi")
+      .groupBy(col(labelCol)).agg(sum(col("__fk_nij")).as("__fk_cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__fk_cj")).as("n_ratings"),
+        sum(col("__fk_cj") * col("__fk_cj")).as("__fk_q"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val ln = dec(lit(L)) * dec(col("n_items"))
+    val t2 = dec(col("n_ratings")) * dec(col("n_ratings"))
+    val q = dec(col("__fk_q"))
+    val s = dec(col("__fk_s"))
+    itemAgg.crossJoin(catAgg).select(
+      col("n_items"),
+      coalesce(col("n_ratings"), lit(0L)).as("n_ratings"),
+      col("n_categories"),
+      when(col("n_items") > 0L,
+        tdiv(s * dec(lit(1000000L)), ln)).as("p_bar_x106"),
+      when(coalesce(col("n_ratings"), lit(0L)) > 0L,
+        tdiv(q * dec(lit(1000000L)), t2)).as("p_e_x106"),
+      when(col("n_items") > 0L && t2 =!= q,
+        tdiv((s * t2 - ln * q) * dec(lit(10000L)), ln * (t2 - q)))
+        .as("kappa_x10000"))
+  }
+
   /** Cohen's κ between every PAIR of annotators sharing items, scaled
     * ×10⁴ and floor-divided so both engines render the same integer:
     *

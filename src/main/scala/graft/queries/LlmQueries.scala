@@ -2159,6 +2159,216 @@ object LlmQueries {
       graft.ext.Eval.cohenKappa(annotationPanel(s, d, withRotator = true))
     }.sortedBy(col("ann_a"), col("ann_b")),
 
+    // Fleiss' κ over the SAME 4-annotator panel (generalized to the
+    // varying rater count a3's abstentions create: r_i ∈ {3,4}, so the
+    // oracle's generation-time L = lcm(6,12) = 12; the engine derives L
+    // from data — the output columns are L-invariant by construction).
+    // All cross-multiplications HUGEINT/DECIMAL(38,0); the rotating
+    // annotator keeps overall agreement below chance territory.
+    QueryDef("t_fleiss_kappa",
+      s"""WITH ann AS (
+         |  SELECT doc_id AS item_id, 'a1' AS annotator, lang AS label
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a2',
+         |    CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a3',
+         |    CASE WHEN doc_id % 5 = 0 THEN NULL
+         |         WHEN doc_id % 3 = 0 THEN 'yy' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a4',
+         |    CASE lang WHEN 'en' THEN 'zh' WHEN 'zh' THEN 'es'
+         |      WHEN 'es' THEN 'de' WHEN 'de' THEN 'fr' ELSE 'en' END
+         |    FROM documents WHERE lang IS NOT NULL),
+         |cells AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS nij
+         |  FROM ann WHERE label IS NOT NULL GROUP BY 1, 2),
+         |items AS (SELECT item_id, CAST(sum(nij) AS BIGINT) AS ri,
+         |    CAST(sum(nij * nij) AS BIGINT) AS sq
+         |  FROM cells GROUP BY 1 HAVING sum(nij) >= 2),
+         |iagg AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(sum((sq - ri) * (12 // (ri * (ri - 1)))) AS BIGINT) AS s
+         |  FROM items),
+         |cats AS (SELECT label, CAST(sum(nij) AS BIGINT) AS cj FROM cells
+         |  WHERE item_id IN (SELECT item_id FROM items) GROUP BY 1),
+         |cagg AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+         |    CAST(coalesce(sum(cj), 0) AS BIGINT) AS n_ratings,
+         |    CAST(sum(cj * cj) AS BIGINT) AS q FROM cats)
+         |SELECT i.n_items, c.n_ratings, c.n_categories,
+         |  CAST(CASE WHEN i.n_items > 0 THEN
+         |    (i.s::HUGEINT * 1000000) // (12::HUGEINT * i.n_items)
+         |  END AS BIGINT) AS p_bar_x106,
+         |  CAST(CASE WHEN c.n_ratings > 0 THEN
+         |    (c.q::HUGEINT * 1000000)
+         |      // (c.n_ratings::HUGEINT * c.n_ratings)
+         |  END AS BIGINT) AS p_e_x106,
+         |  CAST(CASE WHEN i.n_items > 0
+         |      AND c.n_ratings::HUGEINT * c.n_ratings <> c.q::HUGEINT THEN
+         |    ((i.s::HUGEINT * c.n_ratings * c.n_ratings
+         |        - 12::HUGEINT * i.n_items * c.q) * 10000)
+         |      // (12::HUGEINT * i.n_items
+         |         * (c.n_ratings::HUGEINT * c.n_ratings - c.q))
+         |  END AS BIGINT) AS kappa_x10000
+         |FROM iagg i CROSS JOIN cagg c""".stripMargin) { (s, d) =>
+      graft.ext.Eval.fleissKappa(annotationPanel(s, d, withRotator = true))
+    },
+
+    // ── Corpus BLEU-4 sufficient statistics over the planted eval
+    // predictions (the t_eval_f1 fixture: perfect / truncated / padded
+    // / unrelated by doc_id % 4). Clipped n-gram matches, totals and
+    // ×10⁴ precisions are integer-exact; the geometric mean rides only
+    // IEEE-mandated exactly-rounded ops (÷, ×, √) with the SAME
+    // parenthesization both sides, so the double is bit-identical. The
+    // exp-based brevity penalty stays out of the gated columns
+    // (bp_applies discloses c < r; Eval.bleu layers the FP headline).
+    QueryDef("t_eval_bleu",
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM preds),
+         |nr AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM base),
+         |bt AS (SELECT np.doc_id,
+         |    CASE WHEN np.n = '' THEN [] ELSE string_split(np.n, ' ')
+         |    END AS pt,
+         |    CASE WHEN nr.n = '' THEN [] ELSE string_split(nr.n, ' ')
+         |    END AS rt
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id),
+         |lens AS (SELECT CAST(sum(len(pt)) AS BIGINT) AS pred_len,
+         |    CAST(sum(len(rt)) AS BIGINT) AS ref_len FROM bt),
+         |pg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tfp
+         |  FROM (SELECT doc_id, o.n AS n,
+         |      unnest(CASE WHEN len(pt) >= o.n THEN
+         |        list_transform(generate_series(1, len(pt) - o.n + 1),
+         |          i -> array_to_string(pt[i:i+o.n-1], ' '))
+         |        ELSE [] END) AS g
+         |    FROM bt CROSS JOIN (VALUES (1),(2),(3),(4)) o(n))
+         |  GROUP BY 1, 2, 3),
+         |rg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tfr
+         |  FROM (SELECT doc_id, o.n AS n,
+         |      unnest(CASE WHEN len(rt) >= o.n THEN
+         |        list_transform(generate_series(1, len(rt) - o.n + 1),
+         |          i -> array_to_string(rt[i:i+o.n-1], ' '))
+         |        ELSE [] END) AS g
+         |    FROM bt CROSS JOIN (VALUES (1),(2),(3),(4)) o(n))
+         |  GROUP BY 1, 2, 3),
+         |ov AS (SELECT n, CAST(sum(least(tfp, tfr)) AS BIGINT) AS m
+         |  FROM pg JOIN rg USING (doc_id, n, g) GROUP BY 1),
+         |tot AS (SELECT o.n AS n,
+         |    CAST(sum(greatest(0, len(pt) - o.n + 1)) AS BIGINT) AS t
+         |  FROM bt CROSS JOIN (VALUES (1),(2),(3),(4)) o(n) GROUP BY 1),
+         |wide AS (SELECT
+         |${(1 to 4).map(n =>
+            s"""  CAST(sum(CASE WHEN t.n = $n THEN coalesce(o.m, 0) END) AS BIGINT) AS m$n,
+               |  CAST(sum(CASE WHEN t.n = $n THEN t.t END) AS BIGINT) AS t$n"""
+              .stripMargin).mkString(",\n")}
+         |  FROM tot t LEFT JOIN ov o ON o.n = t.n)
+         |SELECT l.pred_len, l.ref_len,
+         |${(1 to 4).map(n =>
+            s"""  m$n, t$n, CAST(CASE WHEN t$n > 0 THEN (m$n * 10000) // t$n
+               |  END AS BIGINT) AS p${n}_x10000""".stripMargin).mkString(",\n")},
+         |  CAST(CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN
+         |    floor(10000 * sqrt(sqrt(
+         |      ((CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+         |        * (CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+         |      * ((CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE))
+         |        * (CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE))))))
+         |  END AS BIGINT) AS gm_x10000,
+         |  l.pred_len < l.ref_len AS bp_applies
+         |FROM wide CROSS JOIN lens l""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.bleuStats(preds,
+        base.select(col("doc_id"), col("text").as("ref")))
+    },
+
+    // ── Per-item ROUGE-L over the same planted predictions: the LCS
+    // runs as ONE codegen'd row-local DP (graft.functions.LcsLen); the
+    // oracle replays it as a recursive-CTE row carry — per pred token,
+    // cvals once in a subquery, then the running-max expansion of the
+    // relaxed max-of-three recurrence. Both sides capped at 16 tokens
+    // (the operator's disclosed maxTokens), bounding engine DP and
+    // oracle recursion alike.
+    QueryDef("t_eval_rouge_l",
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM preds),
+         |nr AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM base),
+         |rtoks AS MATERIALIZED (SELECT np.doc_id,
+         |    list_slice(CASE WHEN np.n = '' THEN []
+         |      ELSE string_split(np.n, ' ') END, 1, 16) AS pt,
+         |    list_slice(CASE WHEN nr.n = '' THEN []
+         |      ELSE string_split(nr.n, ' ') END, 1, 16) AS rt
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id),
+         |walk(doc_id, i, dp) AS (
+         |  SELECT doc_id, 0,
+         |    list_transform(range(len(rt) + 1), x -> CAST(0 AS BIGINT))
+         |  FROM rtoks
+         |  UNION ALL
+         |  SELECT doc_id, i + 1,
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, m + 1), j -> list_max(cv[1:j])))
+         |  FROM (SELECT w.doc_id, w.i AS i, len(r.rt) AS m,
+         |      list_transform(range(1, len(r.rt) + 1),
+         |        j2 -> greatest(w.dp[j2 + 1], w.dp[j2]
+         |          + CASE WHEN r.rt[j2] = r.pt[w.i + 1]
+         |                 THEN 1 ELSE 0 END)) AS cv
+         |    FROM walk w JOIN rtoks r ON r.doc_id = w.doc_id
+         |    WHERE w.i < len(r.pt)) q),
+         |fin AS (SELECT w.doc_id, w.dp[len(r.rt) + 1] AS lcs
+         |  FROM walk w JOIN rtoks r ON r.doc_id = w.doc_id
+         |  WHERE w.i = len(r.pt))
+         |SELECT t.doc_id, CAST(len(t.pt) AS BIGINT) AS n_pred,
+         |  CAST(len(t.rt) AS BIGINT) AS n_ref,
+         |  CAST(f.lcs AS BIGINT) AS lcs,
+         |  CAST(CASE WHEN len(t.pt) + len(t.rt) = 0 THEN 100
+         |    WHEN len(t.pt) = 0 THEN 0
+         |    ELSE (f.lcs * 100) // len(t.pt) END AS BIGINT) AS p_x100,
+         |  CAST(CASE WHEN len(t.pt) + len(t.rt) = 0 THEN 100
+         |    WHEN len(t.rt) = 0 THEN 0
+         |    ELSE (f.lcs * 100) // len(t.rt) END AS BIGINT) AS r_x100,
+         |  CAST(CASE WHEN len(t.pt) + len(t.rt) = 0 THEN 100
+         |    ELSE (2 * f.lcs * 100) // (len(t.pt) + len(t.rt))
+         |  END AS BIGINT) AS f_x100
+         |FROM rtoks t JOIN fin f ON f.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.rougeL(preds,
+        base.select(col("doc_id"), col("text").as("ref")), maxTokens = 16)
+    }.sortedBy(col("doc_id")),
+
     // ── Per-column table profile (the data-quality audit row DESCRIBE
     // can't give): one multi-distinct aggregation over one scan; the
     // oracle replays every count exactly, with the dtype labels pinned
@@ -6446,6 +6656,52 @@ object LlmQueries {
       val batch = Tables.documents(s, d).filter(expr(GateBatchPred))
       graft.streaming.IngestDedupGate.filterNovel(batch, gateStoreFor(s, d))
         .select(col("doc_id"))
+    }.sortedBy(col("doc_id")),
+
+    // The BATCH PROBE against the same pre-committed store: every doc
+    // of the offline drop gets the stage that decided it (exact copy in
+    // the drop / id already stored / near-dup of stored content /
+    // near-dup of a smaller-id drop survivor / admit) — the read-only
+    // "backfill arrives as files" screen. The oracle replays all four
+    // stages with the verdict CASE in filterNovel's stage order; the
+    // admit set is definitionally t_ingest_gate's output (and
+    // IngestGateSpec asserts probe ≡ filterNovel on a live store).
+    QueryDef("t_gate_probe_batch",
+      s"""WITH $hashesCte, $sigCte,
+         |${collapseCtes(GateStorePred, "s")},
+         |${bandsOverCte("sreps", "sbands", Dedup.DefaultMaxBucketWidth)},
+         |${selfCandCte("sbands", "scand")},
+         |${jaccardDropCte("scand", "sdrop", 8, 10)},
+         |store AS (SELECT doc_id FROM sreps
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)),
+         |${collapseCtes(GateBatchPred, "b")},
+         |bmem AS (SELECT h.doc_id, coalesce(g.rep, h.doc_id) AS rep
+         |  FROM hashes h LEFT JOIN bgrp g ON h.hs = g.hs
+         |  WHERE ($GateBatchPred)),
+         |unknown AS (SELECT doc_id FROM breps
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM store)),
+         |${bandsOverCte("unknown", "ubands", 0)},
+         |${bandsOverCte("store", "stbands", 0)},
+         |ncand AS (SELECT DISTINCT t.doc_id AS doc_a, u.doc_id AS doc_b
+         |  FROM ubands u JOIN stbands t
+         |    ON u.band = t.band AND u.bkey = t.bkey),
+         |${jaccardDropCte("ncand", "ndrop", 8, 10)},
+         |surv AS (SELECT doc_id FROM unknown
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+         |${bandsOverCte("surv", "wbands", Dedup.DefaultMaxBucketWidth)},
+         |${selfCandCte("wbands", "wcand")},
+         |${jaccardDropCte("wcand", "wdrop", 8, 10)}
+         |SELECT m.doc_id,
+         |  CASE WHEN m.doc_id <> m.rep THEN 'exact_dup_batch'
+         |       WHEN m.doc_id IN (SELECT doc_id FROM store) THEN 'known_id'
+         |       WHEN m.doc_id IN (SELECT doc_id FROM ndrop)
+         |         THEN 'store_near_dup'
+         |       WHEN m.doc_id IN (SELECT doc_id FROM wdrop)
+         |         THEN 'batch_near_dup'
+         |       ELSE 'admit' END AS verdict
+         |FROM bmem m ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      val drop = Tables.documents(s, d).filter(expr(GateBatchPred))
+      graft.streaming.IngestDedupGate.probeBatch(drop, gateStoreFor(s, d))
     }.sortedBy(col("doc_id")),
 
     // ── Passage-level exact dedup (CCNet/RefinedWeb line dedup) ────

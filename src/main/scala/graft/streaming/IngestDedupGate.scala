@@ -222,6 +222,132 @@ object IngestDedupGate {
     }
   }
 
+  /** Batch VERDICT screen of an offline corpus drop against an EXISTING
+    * gate store — the "backfill arrives as files" entry point: the same
+    * four-stage admit decision [[filterNovel]] makes per micro-batch,
+    * run once over a static corpus, READ-ONLY on the store (nothing is
+    * committed — the caller decides what to do with the verdicts), and
+    * returning every document with the stage that decided it:
+    *
+    *   - `exact_dup_batch`  — a bit-identical smaller-id copy exists in
+    *                          the drop itself (the within-drop exact
+    *                          collapse, stage 0);
+    *   - `known_id`         — the id is already in the store (stage 1);
+    *   - `store_near_dup`   — Jaccard ≥ num/den against stored content
+    *                          (stage 2);
+    *   - `batch_near_dup`   — a smaller-id near-dup among the drop's own
+    *                          survivors (the pairwise rule, stage 3);
+    *   - `admit`            — novel; what [[gate]] would have sunk and
+    *                          committed.
+    *
+    * Stage order matches [[filterNovel]] exactly (a doc dropped at
+    * stage k never reaches stage k+1), and IngestGateSpec asserts the
+    * equivalence `admit ≡ filterNovel's survivors` on a shared store.
+    *
+    * Scale shape — the one place this DIFFERS from the micro-batch
+    * path: a batch's keys are driver-collected and pushed as chunked IN
+    * scans ([[prunedByKeys]]), which is right when the drop is small
+    * next to the store but wrong for a corpus-sized backfill. So the
+    * probe samples `pushdownKeyLimit + 1` rep ids first (a bounded
+    * collect, never corpus-sized): within the limit it keeps the
+    * pruned-scan plan; above it, it switches to plain distributed
+    * equi-joins against the store relations — id semi-join for stage 1,
+    * (band, bkey) shuffle join for stage 2 (the store side is never
+    * broadcast: one popular band key can match millions of stored
+    * rows). Work then scales with |drop| + collisions either way.
+    */
+  def probeBatch(corpus: DataFrame, name: String, idCol: String = "doc_id",
+                 textCol: String = "text", n: Int = 3, numBands: Int = 4,
+                 rowsPerBand: Int = 2, jaccardNum: Int = 8,
+                 jaccardDen: Int = 10, isinChunk: Int = 10000,
+                 pushdownKeyLimit: Int = 200000): DataFrame = {
+    val spark = corpus.sparkSession
+    require(storeExists(spark, name),
+      s"probeBatch screens against an EXISTING store; no committed " +
+        s"version under ${storeDir(spark, name)} — run the gate (or " +
+        "appendToStore) first")
+    val feats0 = Dedup.withExactReps(
+      Dedup.features(corpus, idCol, textCol, n), idCol).localCheckpoint()
+    val exactDup = feats0.filter(col(idCol) =!= col("rep"))
+      .select(col(idCol), lit("exact_dup_batch").as("verdict"))
+    val batchReps = feats0.filter(col(idCol) === col("rep")).drop("rep")
+    // bounded probe of the drop's size decides pruned-IN vs full join
+    val sampled = batchReps.select(col(idCol))
+      .limit(pushdownKeyLimit + 1).collect().map(_.get(0)).toSeq
+    val prune = sampled.length <= pushdownKeyLimit
+    // stage 1: redelivered ids
+    val storeIds =
+      if (prune) prunedByKeys(feats(spark, name).select(col(idCol)), idCol,
+        sampled, isinChunk)
+      else feats(spark, name).select(col(idCol))
+    val knownIds = batchReps.select(col(idCol))
+      .join(storeIds, Seq(idCol), "left_semi")
+      .select(col(idCol), lit("known_id").as("verdict"))
+    val unknown = batchReps.join(storeIds, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    // stage 2: near-dups of stored content — stored hashes ride the
+    // band rows (one store scan feeds the Jaccard check, as in the gate)
+    val bb = Dedup.bands(unknown, idCol, numBands, rowsPerBand)
+      .filter(col("bkey").isNotNull)
+    val storeBands = {
+      val base = bands(spark, name)
+      if (prune) {
+        val batchKeys = bb.select("bkey").distinct().collect()
+          .map(_.get(0): Any).toSeq
+        prunedByKeys(base, "bkey", batchKeys, isinChunk)
+      } else base
+    }
+    val cand = (if (prune) broadcast(bb) else bb)
+      .join(storeBands.select(col("band"), col("bkey"),
+          col(idCol).as("__sid"), col("hashes").as("__hb")),
+        Seq("band", "bkey"))
+      .select(col(idCol), col("__sid"), col("__hb"))
+      .dropDuplicates(idCol, "__sid")
+    val batchHashes = unknown.select(col(idCol), col("hashes").as("__ha"))
+    val storeDup = Dedup.withJaccardCols(cand.join(
+        if (prune) broadcast(batchHashes) else batchHashes, Seq(idCol)))
+      .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
+      .select(col(idCol)).distinct()
+      .select(col(idCol), lit("store_near_dup").as("verdict"))
+    // stage 3: within-drop pairwise near-dups over the survivors — the
+    // same capped candidate generation + disclosure as filterNovel
+    val survivors = unknown.join(storeDup.select(col(idCol)),
+      Seq(idCol), "left_anti").localCheckpoint()
+    val over = Dedup.bandOverflow(survivors, idCol, numBands, rowsPerBand)
+      .limit(21).collect()
+    if (over.nonEmpty)
+      log.warn(
+        s"gate probe: ${over.length}${if (over.length > 20) "+" else ""} within-drop " +
+          s"band bucket(s) over the width cap excluded from near-dup checking " +
+          s"(recall loss, not a failure): " +
+          over.take(20).map(r => s"(band=${r.get(0)}, bkey=${r.get(1)}, n=${r.get(2)})").mkString(", "))
+    val passing = Dedup.withJaccard(
+        Dedup.lshCandidates(survivors, idCol, numBands, rowsPerBand),
+        "doc_a", "doc_b", survivors, survivors, idCol)
+      .filter(Dedup.jaccardAtLeast(jaccardNum, jaccardDen))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val batchDup = passing.select(col("doc_b").as(idCol)).distinct()
+      .select(col(idCol), lit("batch_near_dup").as("verdict"))
+    if (!passing.isEmpty) {
+      val dropsAsA = passing.select(col("doc_b").as("doc_a")).distinct()
+      val withAliveKeeper = passing.join(dropsAsA, Seq("doc_a"), "left_anti")
+        .select(col("doc_b")).distinct()
+      val orphaned = passing.select(col("doc_b")).distinct()
+        .join(withAliveKeeper, Seq("doc_b"), "left_anti").count()
+      if (orphaned > 0)
+        log.warn(s"gate probe: $orphaned within-drop doc(s) would drop although " +
+          "every admitted-keeper candidate was itself dropped (chained " +
+          "near-dups) — their content has no admitted representative in this " +
+          "drop; run a corpus-level dedupedCorpus pass if that matters")
+    }
+    // stages are disjoint by construction — one labeled union, then the
+    // left join back to the drop; unlabeled = admitted
+    val labeled = exactDup.unionByName(knownIds).unionByName(storeDup)
+      .unionByName(batchDup)
+    corpus.select(col(idCol)).join(labeled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("verdict"), lit("admit")).as("verdict"))
+  }
+
   private def writeSorted(df: DataFrame, path: String, key: String,
                           buckets: Int): Unit =
     df.repartition(buckets, col(key)).sortWithinPartitions(key)

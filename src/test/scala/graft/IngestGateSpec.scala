@@ -86,6 +86,52 @@ class IngestGateSpec extends SparkSuite {
     assert(replay.count() == 0, "replayed batch must admit nothing")
   }
 
+  test("probeBatch: per-doc verdicts match filterNovel's admit set on both scan plans") {
+    import spark.implicits._
+    val name = "t_gate_probe"
+    // seed the store with two docs through the gate's own pipeline
+    val seed = Seq((1L, docA), (2L, docC)).toDF("doc_id", "text")
+    IngestDedupGate.appendToStore(
+      IngestDedupGate.filterNovel(seed, name), name)
+    // the drop: every verdict class at least once
+    val drop = Seq(
+      (1L, docA),   // known_id (redelivered)
+      (3L, nearA),  // store_near_dup (near docA=1)
+      (4L, docD),   // admit
+      (5L, docD),   // exact_dup_batch (copy of 4 in the drop)
+      (6L, { val w = docD.split(" "); w(2) = "qq"  // batch_near_dup of 4
+             w.mkString(" ") + " " + docD }),
+      (7L, "entirely novel content with rowgroup pruning and manifest commits")
+    ).toDF("doc_id", "text")
+    def verdicts(limit: Int): Map[Long, String] =
+      IngestDedupGate.probeBatch(drop, name, pushdownKeyLimit = limit)
+        .as[(Long, String)].collect().toMap
+    val v = verdicts(200000) // pruned-IN plan
+    assert(v(1L) == "known_id", v)
+    assert(v(3L) == "store_near_dup", v)
+    assert(v(4L) == "admit", v)
+    assert(v(5L) == "exact_dup_batch", v)
+    assert(v(7L) == "admit", v)
+    // doc 6: near-dup of 4 within the drop (if the 8/10 cut catches it)
+    // — whatever the cut says, the ADMIT SET must equal filterNovel's
+    val novel = IngestDedupGate.filterNovel(drop, name)
+      .select("doc_id").as[Long].collect().toSet
+    assert(v.filter(_._2 == "admit").keySet == novel,
+      s"probe admit ${v.filter(_._2 == "admit").keySet} != filterNovel $novel")
+    // the corpus-sized path (pushdownKeyLimit forced below the drop
+    // size → plain equi-joins, no driver key collect) is verdict-
+    // identical to the pruned plan
+    assert(verdicts(1) == v, "full-join plan diverged from pruned plan")
+    // read-only: the store is unchanged by probing
+    val stored = IngestDedupGate.feats(spark, name)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == Set(1L, 2L), s"probe mutated the store: $stored")
+    // probing an absent store is a contract error, not a silent pass
+    intercept[IllegalArgumentException] {
+      IngestDedupGate.probeBatch(drop, "t_gate_probe_missing")
+    }
+  }
+
   test("store commits are atomic, compaction folds versions, vacuum spares the in-flight dir") {
     import spark.implicits._
     val name = "t_gate_v2"

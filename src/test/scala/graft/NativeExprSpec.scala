@@ -490,4 +490,104 @@ class NativeExprSpec extends SparkSuite {
     assert(rpt("a") == ((2L, repB + divB, repD + divD)), rpt("a"))
     assert(rpt("b") == ((1L, divB, divD)), rpt("b"))
   }
+
+  test("LcsLen matches a naive exponential-free reference DP; edges; codegen path") {
+    import spark.implicits._
+    // independent reference: the textbook case-split recurrence (the
+    // expression uses the relaxed max-of-three form — equivalence is
+    // exactly what this asserts)
+    def ref(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Long](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "e")
+    val cases: Seq[(Seq[String], Seq[String])] =
+      Seq(
+        (Nil, Nil), (Seq("a"), Nil), (Nil, Seq("a")),
+        (Seq("a", "b", "c"), Seq("a", "b", "c")),
+        (Seq("a", "b", "c"), Seq("c", "b", "a")),
+        (Seq("x"), Seq("y"))) ++
+        (1 to 40).map(_ => (
+          Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))),
+          Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))))
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("i", "a", "b")
+    val got = df.select(col("i"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.LcsLen(
+          org.apache.spark.sql.graft.Bridge.expression(col("a")),
+          org.apache.spark.sql.graft.Bridge.expression(col("b")))).as("l"))
+      .as[(Long, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i.toLong) == ref(a, b), s"case $i: $a vs $b")
+    }
+    // null array → null result
+    val nullGot = Seq((Seq("a"), null.asInstanceOf[Seq[String]]))
+      .toDF("a", "b")
+      .select(org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.LcsLen(
+          org.apache.spark.sql.graft.Bridge.expression(col("a")),
+          org.apache.spark.sql.graft.Bridge.expression(col("b")))))
+      .collect()
+    assert(nullGot.head.isNullAt(0))
+  }
+
+  test("eval family laws: rougeL identity/disjoint/null-answer; bleu perfect corpus and FP headline; fleiss sign") {
+    import spark.implicits._
+    val refs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "")).toDF("doc_id", "ref")
+    val predsPerfect = refs.select(col("doc_id"), col("ref").as("pred"))
+    // identity: P = R = F = 100, lcs = n_ref, on every row incl. the
+    // empty-vs-empty null-answer rule
+    graft.ext.Eval.rougeL(predsPerfect, refs).collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("f_x100")) == 100L, r)
+      assert(r.getLong(r.fieldIndex("p_x100")) == 100L, r)
+    }
+    // disjoint: zero everywhere (but the empty ref row stays perfect)
+    val predsBad = refs.select(col("doc_id"),
+      when(col("ref") === "", lit("x")).otherwise(lit("zz ww")).as("pred"))
+    val bad = graft.ext.Eval.rougeL(predsBad, refs).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("f_x100"))).toMap
+    assert(bad(1L) == 0L && bad(2L) == 0L && bad(3L) == 0L)
+    // bleu on a perfect corpus: every precision 10⁴, gm 10⁴, bp off,
+    // and the FP headline (Eval.bleu) is exactly 1.0
+    val st = graft.ext.Eval.bleu(predsPerfect, refs).collect().head
+    (1 to 4).foreach { n =>
+      assert(st.getLong(st.fieldIndex(s"p${n}_x10000")) == 10000L) }
+    assert(st.getLong(st.fieldIndex("gm_x10000")) == 10000L)
+    assert(!st.getBoolean(st.fieldIndex("bp_applies")))
+    assert(st.getDouble(st.fieldIndex("bleu")) == 1.0)
+    // truncated preds: bp_applies discloses c < r
+    val stTrunc = graft.ext.Eval.bleuStats(
+      refs.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("ref"), " "), 1, 2)).as("pred")),
+      refs).collect().head
+    assert(stTrunc.getBoolean(stTrunc.fieldIndex("bp_applies")))
+    // fleiss: unanimous panel → κ·10⁴ = 10⁴; anti-correlated 2-rater
+    // panel over 2 balanced categories → κ negative
+    val unanimous = (1L to 10L).flatMap(i => Seq(
+      (i, "a1", if (i % 2 == 0) "x" else "y"),
+      (i, "a2", if (i % 2 == 0) "x" else "y"),
+      (i, "a3", if (i % 2 == 0) "x" else "y")))
+      .toDF("item_id", "annotator", "label")
+    val fu = graft.ext.Eval.fleissKappa(unanimous).collect().head
+    assert(fu.getLong(fu.fieldIndex("kappa_x10000")) == 10000L, fu)
+    assert(fu.getLong(fu.fieldIndex("p_bar_x106")) == 1000000L, fu)
+    val opposed = (1L to 10L).flatMap(i => Seq(
+      (i, "a1", if (i % 2 == 0) "x" else "y"),
+      (i, "a2", if (i % 2 == 0) "y" else "x")))
+      .toDF("item_id", "annotator", "label")
+    val fo = graft.ext.Eval.fleissKappa(opposed).collect().head
+    assert(fo.getLong(fo.fieldIndex("kappa_x10000")) < 0L, fo)
+    // single-rated items are dropped (no agreement information)
+    val thin = Seq((1L, "a1", "x"), (2L, "a1", "x"), (3L, "a1", "y"),
+      (3L, "a2", "y")).toDF("item_id", "annotator", "label")
+    val ft = graft.ext.Eval.fleissKappa(thin).collect().head
+    assert(ft.getLong(ft.fieldIndex("n_items")) == 1L, ft)
+  }
 }
