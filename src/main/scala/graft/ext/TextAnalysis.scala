@@ -117,13 +117,17 @@ object TextAnalysis {
 
   /** [[bpeMergeTokens]] under a CALLER-SUPPLIED merge table — the
     * companion of [[learnBpeMerges]]: tokenize with the table you just
-    * trained (or loaded from config).
+    * trained (or loaded from config). `byteLevel = true` starts each
+    * pre-token from its GPT-2-mapped UTF-8 bytes instead of code points
+    * ([[graft.functions.ByteLevel]]) — use with a table learned under
+    * the same mode.
     */
-  def bpeMergeTokensWith(text: Column,
-                         merges: Seq[(String, String)]): Column =
+  def bpeMergeTokensWith(text: Column, merges: Seq[(String, String)],
+                         byteLevel: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.BpeMergeTokens(
-        org.apache.spark.sql.graft.Bridge.expression(text), merges, BpePattern))
+        org.apache.spark.sql.graft.Bridge.expression(text), merges,
+        BpePattern, byteLevel))
 
   /** TRAIN a BPE merge table on a corpus — the Sennrich/GPT-2 learning
     * loop, distributed: pre-tokenize, collapse to DISTINCT pre-tokens
@@ -151,10 +155,20 @@ object TextAnalysis {
     * as a symbol when its merge is learned), so it satisfies
     * [[graft.functions.BpeMergeTokens]]'s construction check and the
     * rank-order-replay oracle equivalence.
+    *
+    * `byteLevel = true` trains over UTF-8 byte symbols (the GPT-2
+    * bytes_to_unicode rendering, [[graft.functions.ByteLevel]]) instead
+    * of code points: the weighted pre-token vocabulary is built from the
+    * SAME raw pre-tokens (the byte mapping is injective, so the distinct
+    * collapse is identical), only the iteration's symbol split changes —
+    * merges can then join the bytes of a multibyte character, which the
+    * code-point mode structurally cannot. Tokenize the result with
+    * `bpeMergeTokensWith(_, table, byteLevel = true)`.
     */
   def learnBpeMerges(docs: DataFrame, nMerges: Int,
                      textCol: String = "text",
-                     minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+                     minPairCount: Long = 2L,
+                     byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     require(nMerges >= 1 && nMerges <= 4096,
       s"nMerges must be in [1, 4096], got $nMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
@@ -166,7 +180,8 @@ object TextAnalysis {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var go = true
     while (go && learned.size < nMerges) {
-      val toks = bpeMergeTokensWith(col("pt"), learned.toSeq.map(m => (m._1, m._2)))
+      val toks = bpeMergeTokensWith(col("pt"),
+        learned.toSeq.map(m => (m._1, m._2)), byteLevel)
       val top = vocabPt
         .select(toks.as("t"), col("w"))
         .filter(size(col("t")) >= 2)

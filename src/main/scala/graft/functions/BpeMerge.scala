@@ -35,9 +35,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * starts as one intact symbol, never a lone surrogate (which
   * UTF8String would encode as '?', collapsing distinct astral chars
   * into identical tokens). Null text → null.
+  *
+  * `byteLevel = true` switches the starting symbols from code points to
+  * the pre-token's UTF-8 BYTES rendered through the GPT-2
+  * bytes_to_unicode table ([[ByteLevel]]): pre-tokenization still runs
+  * on the RAW text (the Unicode-category regex must see real letters,
+  * not byte symbols — re-splitting an encoded pre-token would cut
+  * "Ġ123" at the letter/digit boundary), then each pre-token's bytes
+  * become one single-char symbol each. Merges can then cross multibyte
+  * characters — the GPT-2/Llama-lineage behavior the code-point walk
+  * cannot express, and where the two modes provably diverge on
+  * multilingual text.
   */
 case class BpeMergeTokens(child: Expression, merges: Seq[(String, String)],
-                          pattern: String) extends UnaryExpression {
+                          pattern: String, byteLevel: Boolean = false)
+  extends UnaryExpression {
 
   // an EMPTY table is legal — tokenization degenerates to one symbol
   // per character, the starting state of BPE training
@@ -87,11 +99,20 @@ case class BpeMergeTokens(child: Expression, merges: Seq[(String, String)],
     while (m.find()) {
       val pt = m.group()
       var syms = new java.util.ArrayList[String](pt.length)
-      var c = 0
-      while (c < pt.length) {
-        val cp = pt.codePointAt(c)
-        syms.add(new String(Character.toChars(cp)))
-        c += Character.charCount(cp)
+      if (byteLevel) {
+        val bytes = pt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var bi = 0
+        while (bi < bytes.length) {
+          syms.add(String.valueOf(ByteLevel.byteToChar(bytes(bi) & 0xff)))
+          bi += 1
+        }
+      } else {
+        var c = 0
+        while (c < pt.length) {
+          val cp = pt.codePointAt(c)
+          syms.add(new String(Character.toChars(cp)))
+          c += Character.charCount(cp)
+        }
       }
       var go = syms.size >= 2
       while (go) {

@@ -756,6 +756,38 @@ object LlmQueries {
     */
   val BpeTrainMerges = 8
 
+  /** Multibyte tail planted on every document for the BYTE-LEVEL
+    * tokenizer oracles: 2-byte Latin accents (é, è) and 3-byte CJK —
+    * exactly where the code-point walk and the byte walk provably
+    * diverge (é is one atomic symbol there, two mergeable byte symbols
+    * here). Shared verbatim with the SQL fixture.
+    */
+  val MultiByteTail = "café résumé 中文 élève"
+
+  private val PlantedMbCte =
+    s"""plantedmb AS (SELECT doc_id, text || ' $MultiByteTail' AS text
+       |  FROM documents),
+       |""".stripMargin
+
+  def plantedMbDocs(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" " + MultiByteTail)).as("text"))
+
+  /** The learned-once BYTE-LEVEL merge table per (JVM, sf dir, n) —
+    * trained on the multibyte-planted corpus.
+    */
+  private val learnedByteTables =
+    scala.collection.mutable.Map[String, Seq[(String, String, Long)]]()
+
+  def learnedByteMergesFor(s: org.apache.spark.sql.SparkSession, d: String,
+                           n: Int): Seq[(String, String, Long)] =
+    synchronized {
+      learnedByteTables.getOrElseUpdate(dirStem(d) + "#b" + n,
+        TextAnalysis.learnBpeMerges(plantedMbDocs(s, d), n,
+          byteLevel = true))
+    }
+
   /** The trigram stupid-backoff scoring oracle — shared verbatim by
     * t_trigram_surprisal (in-session model) and t_trigram_persisted
     * (model round-tripped through disk): one SQL gating that both
@@ -1142,18 +1174,53 @@ object LlmQueries {
     * `n·10¹² // (cₐ·c_b)` over the iteration's symbol counts
     * (WordPiece, `scored = true`).
     */
-  private def bpeTrainCtes(n: Int, scored: Boolean = false): String = {
-    val pat = TextAnalysis.BpePattern.replace("'", "''")
+  /** DuckDB replay of [[graft.functions.ByteLevel]]: the symbol LIST of
+    * an expression's UTF-8 bytes under the GPT-2 bytes_to_unicode table
+    * — ord() per code point, the arithmetic UTF-8 byte expansion, then
+    * the three printable-range CASEs (non-printables 0–32 → 256+b,
+    * 127–160 → b+162, 173 → 323: the same increasing-byte-order
+    * assignment the Scala table builds).
+    */
+  private def byteSymSql(e: String): String =
+    s"""list_transform(flatten(list_transform(
+       |    regexp_extract_all($e, '[\\s\\S]'),
+       |    gch -> CASE WHEN ord(gch) < 128 THEN [ord(gch)]
+       |      WHEN ord(gch) < 2048
+       |        THEN [192 + ord(gch) // 64, 128 + ord(gch) % 64]
+       |      WHEN ord(gch) < 65536 THEN [224 + ord(gch) // 4096,
+       |        128 + (ord(gch) // 64) % 64, 128 + ord(gch) % 64]
+       |      ELSE [240 + ord(gch) // 262144, 128 + (ord(gch) // 4096) % 64,
+       |        128 + (ord(gch) // 64) % 64, 128 + ord(gch) % 64] END)),
+       |  gb -> CASE WHEN (gb BETWEEN 33 AND 126) OR (gb BETWEEN 161 AND 172)
+       |      OR (gb BETWEEN 174 AND 255) THEN chr(gb)
+       |    WHEN gb <= 32 THEN chr(256 + gb)
+       |    WHEN gb = 173 THEN chr(323)
+       |    ELSE chr(gb + 162) END)""".stripMargin
+
+  /** The delimited starting-symbol string of a pre-token expression:
+    * per code point (the engine's default walk) or per GPT-2-mapped
+    * UTF-8 byte (`byteLevel`).
+    */
+  private def symStringSql(e: String, byteLevel: Boolean): String = {
     val anyChar = "[\\s\\S]"
+    val lst = if (byteLevel) byteSymSql(e)
+              else s"regexp_extract_all($e, '$anyChar')"
+    s"chr(1) || array_to_string($lst, chr(1)) || chr(1)"
+  }
+
+  private def bpeTrainCtes(n: Int, scored: Boolean = false,
+                           rel: String = "documents",
+                           byteLevel: Boolean = false): String = {
+    val pat = TextAnalysis.BpePattern.replace("'", "''")
     val sb = new StringBuilder
     sb.append(
       s"""vocabpt AS MATERIALIZED (
          |  SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
          |    SELECT unnest(regexp_extract_all(text, '$pat')) AS pt
-         |    FROM documents WHERE text IS NOT NULL) u GROUP BY pt),
+         |    FROM $rel WHERE text IS NOT NULL) u GROUP BY pt),
          |tbase AS MATERIALIZED (
          |  SELECT pt, w,
-         |         chr(1) || array_to_string(regexp_extract_all(pt, '$anyChar'), chr(1)) || chr(1) AS s
+         |         ${symStringSql("pt", byteLevel)} AS s
          |  FROM vocabpt),
          |mg0(rank, a, b) AS MATERIALIZED (SELECT 0, '', '' WHERE 1 = 0)""".stripMargin)
     for (k <- 0 until n) {
@@ -1410,11 +1477,13 @@ object LlmQueries {
        |FROM cvo GROUP BY source ORDER BY source""".stripMargin
   }
 
-  private def bpeTrainSql(n: Int): String = {
+  private def bpeTrainSql(n: Int, rel: String = "documents",
+                          byteLevel: Boolean = false,
+                          prefixCtes: String = ""): String = {
     val learned = (0 until n).map(k =>
       s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, n FROM best$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE ${bpeTrainCtes(n)}
+    s"""WITH RECURSIVE $prefixCtes${bpeTrainCtes(n, scored = false, rel, byteLevel)}
        |SELECT * FROM (
        |$learned
        |) ORDER BY rank""".stripMargin
@@ -1434,19 +1503,21 @@ object LlmQueries {
     * merge relation over full documents) — proves the learn → tokenize
     * composition end to end, the full tokenizer lifecycle.
     */
-  private def bpeTrainTokenizeSql(n: Int, scored: Boolean = false): String = {
+  private def bpeTrainTokenizeSql(n: Int, scored: Boolean = false,
+                                  rel: String = "documents",
+                                  byteLevel: Boolean = false,
+                                  prefixCtes: String = ""): String = {
     val pat = TextAnalysis.BpePattern.replace("'", "''")
-    val anyChar = "[\\s\\S]"
-    s"""WITH RECURSIVE ${bpeTrainCtes(n, scored)},
+    s"""WITH RECURSIVE $prefixCtes${bpeTrainCtes(n, scored, rel, byteLevel)},
        |dpts AS (
        |  SELECT doc_id, x.i AS i, x.pt AS pt
        |  FROM (SELECT doc_id,
        |          unnest(list_transform(regexp_extract_all(text, '$pat'),
        |                 (y, ii) -> struct_pack(pt := y, i := ii))) AS x
-       |        FROM documents) s),
+       |        FROM $rel) s),
        |dwalk(doc_id, i, s, rank) AS (
        |  SELECT doc_id, i,
-       |         chr(1) || array_to_string(regexp_extract_all(pt, '$anyChar'), chr(1)) || chr(1),
+       |         ${symStringSql("pt", byteLevel)},
        |         0
        |  FROM dpts
        |  UNION ALL
@@ -1467,7 +1538,7 @@ object LlmQueries {
        |SELECT d.doc_id,
        |       coalesce(p.learned_tokens, '') AS learned_tokens,
        |       CAST(coalesce(p.n_learned_tokens, 0) AS BIGINT) AS n_learned_tokens
-       |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+       |FROM $rel d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
 
@@ -2617,6 +2688,39 @@ object LlmQueries {
       val learned = learnedMergesFor(s, d, BpeTrainMerges).map(m => (m._1, m._2))
       val toks = TextAnalysis.bpeMergeTokensWith(col("text"), learned)
       Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
+    }.sortedBy(col("doc_id")),
+
+    // ── BYTE-LEVEL BPE training (the GPT-2/Llama-lineage byte walk) ──
+    // Same Sennrich loop, starting symbols = each pre-token's UTF-8
+    // bytes through the bytes_to_unicode table instead of code points,
+    // on a corpus with a planted multibyte tail (é/è/CJK) where the two
+    // modes provably diverge — merges here can and do join the bytes of
+    // one multibyte character. The oracle replays the byte expansion
+    // arithmetically (ord → UTF-8 bytes → the three CASE ranges) and
+    // must produce the identical (rank, lhs, rhs, count) table.
+    QueryDef("t_bpe_train_bytes",
+      bpeTrainSql(BpeTrainMerges, rel = "plantedmb", byteLevel = true,
+        prefixCtes = PlantedMbCte)) { (s, d) =>
+      import s.implicits._
+      learnedByteMergesFor(s, d, BpeTrainMerges).zipWithIndex
+        .map { case ((a, b, n), i) => (i.toLong, a, b, n) }
+        .toDF("rank", "lhs", "rhs", "n")
+    }.sortedBy(col("rank")),
+
+    // ... and tokenize the planted corpus under the byte-level table —
+    // tokens are byte symbols (Ġ-prefixed words, split multibyte
+    // chars), compared token-for-token against the SQL replay.
+    QueryDef("t_bpe_bytes_tokenize",
+      bpeTrainTokenizeSql(BpeTrainMerges, scored = false,
+        rel = "plantedmb", byteLevel = true,
+        prefixCtes = PlantedMbCte)) { (s, d) =>
+      val learned = learnedByteMergesFor(s, d, BpeTrainMerges)
+        .map(m => (m._1, m._2))
+      val toks = TextAnalysis.bpeMergeTokensWith(col("text"), learned,
+        byteLevel = true)
+      plantedMbDocs(s, d).select(col("doc_id"),
         coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
         coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
     }.sortedBy(col("doc_id")),

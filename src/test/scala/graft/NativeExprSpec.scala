@@ -535,6 +535,47 @@ class NativeExprSpec extends SparkSuite {
     assert(nullGot.head.isNullAt(0))
   }
 
+  test("byte-level BPE: GPT-2 table law, round-trip decode, provable divergence from the code-point walk") {
+    import spark.implicits._
+    import graft.functions.ByteLevel
+    // table spot values pinned to the published bytes_to_unicode:
+    // printables map to themselves; space → Ġ (U+0120); byte 0 → U+0100;
+    // soft hyphen (173) → U+0143; the map is a bijection
+    assert(ByteLevel.byteToChar('A'.toInt) == 'A')
+    assert(ByteLevel.byteToChar(32) == 'Ġ') // Ġ
+    assert(ByteLevel.byteToChar(0) == 'Ā')
+    assert(ByteLevel.byteToChar(173) == 'Ń')
+    assert(ByteLevel.byteToChar.distinct.length == 256)
+    // round trip on multibyte text (2-, 3- and 4-byte UTF-8)
+    val s = " café 中文 😀 plain"
+    assert(ByteLevel.decode(ByteLevel.encode(s)) == s)
+    intercept[IllegalArgumentException] { ByteLevel.decode("中") }
+    // tokenization: byte mode splits é into two mergeable symbols; the
+    // code-point mode keeps it atomic — and a byte-level merge table
+    // can join them back, which the char walk can never express
+    val df = Seq("café").toDF("text")
+    def toks(byteLevel: Boolean, merges: Seq[(String, String)]) =
+      df.select(graft.ext.TextAnalysis
+          .bpeMergeTokensWith(col("text"), merges, byteLevel).as("t"))
+        .as[Seq[String]].collect().head
+    assert(toks(byteLevel = false, Nil) == Seq("c", "a", "f", "é"))
+    assert(toks(byteLevel = true, Nil) == Seq("c", "a", "f", "Ã", "©"))
+    val merged = toks(byteLevel = true, Seq("Ã" -> "©"))
+    assert(merged == Seq("c", "a", "f", "Ã©"))
+    // the merged token decodes back to the original character
+    assert(ByteLevel.decode("Ã©") == "é")
+    // the trained byte-level table on a planted multibyte corpus learns
+    // a cross-byte merge and is well-formed with no lhs == rhs rank
+    // (the replace-walk oracle's precondition)
+    val corpus = (1 to 50).map(i => (i.toLong, s"doc $i café résumé"))
+      .toDF("doc_id", "text")
+    val t = graft.ext.TextAnalysis.learnBpeMerges(corpus, 4,
+      byteLevel = true)
+    assert(t.exists { case (a, b, _) => (a + b).contains("Ã©") },
+      s"no cross-byte merge learned: $t")
+    assert(t.forall { case (a, b, _) => a != b }, s"lhs==rhs rank: $t")
+  }
+
   test("eval family laws: rougeL identity/disjoint/null-answer; bleu perfect corpus and FP headline; fleiss sign") {
     import spark.implicits._
     val refs = Seq(
