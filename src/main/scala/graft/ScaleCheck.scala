@@ -209,6 +209,35 @@ object ScaleCheck {
       record("winnow_overlap", nDocs,
         timeIt(reps, warm = m == mults.head)(
           noop(graft.ext.Dedup.winnowOverlap(docs, minShared = 2))))
+      // code-prep composition (round 18, the t_code_prep chain):
+      // codeStats gate → winnow pair report → star components →
+      // keep-best → FIM → pack. Every stage corpus-linear or
+      // group-local; components via the O(log n) star rewriting (the
+      // planted verbatim-dup graph deepens with m)
+      record("code_prep", nDocs,
+        timeIt(reps, warm = m == mults.head)(noop {
+          val st = graft.ext.TextAnalysis.codeStats(docs).localCheckpoint()
+          val gated = docs.select("doc_id", "text")
+            .join(st.filter(col("code_pass") === 1L).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .localCheckpoint()
+          val pairs = graft.ext.Dedup.winnowOverlap(gated, minShared = 2)
+          val clusters = graft.ext.Dedup.clusterLabelsStar(
+              gated.select(col("doc_id").as("id")),
+              pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            .select(col("id").as("doc_id"), col("cluster_id"))
+          val best = graft.ext.Dedup.keepBest(clusters,
+              st.select(col("doc_id"), col("alpha_frac_x1000").as("quality")))
+            .select(col("keep_id").as("doc_id"))
+          val kept = gated.join(best, "doc_id")
+            .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+            .localCheckpoint()
+          val fimmed = graft.ext.Packing.fimTransform(kept)
+            .withColumn("toks",
+              col("n_tokens") + when(col("fim"), 3L).otherwise(0L))
+          graft.ext.Packing.packSequences(fimmed, col("doc_id"),
+            col("toks"), 512L)
+        }))
     }
 
     // SCALE.md: per-flagship rows × median seconds, plus the

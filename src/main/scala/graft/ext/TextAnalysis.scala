@@ -313,11 +313,20 @@ object TextAnalysis {
     * aggregated piece-count shuffle; every driver materialization is
     * inventory-sized (the tokenizer config itself), never corpus-sized.
     * Real pipelines train on a bounded sample — pass it as `docs`.
+    *
+    * `byteLevel = true` trains over UTF-8 byte symbols: pre-tokens are
+    * [[byteLevelEncode]]d before block-cutting, so blocks, substring
+    * pieces and the Viterbi DP all count byte symbols (each encoded
+    * char IS one byte) — pieces can then span a multibyte character's
+    * bytes, the SentencePiece byte_fallback-adjacent behavior the
+    * code-point walk cannot learn. Tokenize the result with
+    * `unigramTokensWith(_, inv, byteLevel = true)`.
     */
   def learnUnigramLm(docs: DataFrame, vocabSize: Int = 200,
                      seedSize: Int = 400, maxPieceLen: Int = 4,
                      emRounds: Int = 2,
-                     textCol: String = "text"): Seq[(String, Long, Long)] = {
+                     textCol: String = "text",
+                     byteLevel: Boolean = false): Seq[(String, Long, Long)] = {
     require(vocabSize >= 1 && vocabSize <= 8192,
       s"vocabSize must be in [1, 8192], got $vocabSize")
     require(seedSize >= vocabSize,
@@ -329,9 +338,12 @@ object TextAnalysis {
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
     def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
-    val vocabPt = docs.filter(col(textCol).isNotNull)
+    val rawPts = docs.filter(col(textCol).isNotNull)
       .select(explode(regexp_extract_all(col(textCol), lit(BpePattern),
         lit(0))).as("pt"))
+    val vocabPt = (if (byteLevel)
+        rawPts.select(byteLevelEncode(col("pt")).as("pt"))
+      else rawPts)
       .groupBy("pt").agg(count(lit(1)).as("w"))
       .localCheckpoint()
     val blocks = vocabPt.select(
@@ -403,15 +415,25 @@ object TextAnalysis {
     * input.
     */
   def unigramTokensWith(text: Column, inv: Seq[(String, Long, Long)],
-                        maxPieceLen: Int = 4): Column = {
+                        maxPieceLen: Int = 4,
+                        byteLevel: Boolean = false): Column = {
     val total = inv.map(_._2).sum + inv.size
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.UnigramLmTokens(
         org.apache.spark.sql.graft.Bridge.expression(text),
         inv.map(t => (t._1, t._3)),
         unkBits = 64L - java.lang.Long.numberOfLeadingZeros(total),
-        maxPieceLen, UnigramBlockLen, pattern = Some(BpePattern)))
+        maxPieceLen, UnigramBlockLen, pattern = Some(BpePattern),
+        byteLevel))
   }
+
+  /** [[graft.functions.ByteLevelEncode]] as a Column — each UTF-8 byte
+    * of the input becomes one GPT-2-mapped char.
+    */
+  def byteLevelEncode(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.ByteLevelEncode(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
 
   /** Per-domain tokenizer coverage under a TRAINED unigram inventory:
     * how many pieces the tokenizer emits per domain and how many of

@@ -32,10 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * and piece slices align cross-engine. Null text → null. One native
   * expression on the reference-object pattern: the whole tokenization
   * is a map over the scan — no shuffle, no UDF, whole-stage codegen.
+  *
+  * `byteLevel = true` switches the symbols to the pre-token's UTF-8
+  * bytes rendered through [[ByteLevel]] (the [[BpeMergeTokens]] byte
+  * mode): block cuts, piece slices and the DP then count BYTE symbols.
+  * Only meaningful with `pattern = Some(...)` (inference over raw
+  * text) — the trainer's block path (`pattern = None`) receives
+  * already-encoded blocks and keeps the default walk, where encoded
+  * symbols ARE single code points anyway.
   */
 case class UnigramLmTokens(child: Expression, pieces: Seq[(String, Long)],
                            unkBits: Long, maxPieceLen: Int, blockLen: Int,
-                           pattern: Option[String])
+                           pattern: Option[String],
+                           byteLevel: Boolean = false)
     extends UnaryExpression {
 
   locally {
@@ -86,11 +95,17 @@ case class UnigramLmTokens(child: Expression, pieces: Seq[(String, Long)],
   private def segmentBlocks(pt: String,
                             out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
     val cps = scala.collection.mutable.ArrayBuffer.empty[String]
-    var c = 0
-    while (c < pt.length) {
-      val cp = pt.codePointAt(c)
-      cps += new String(Character.toChars(cp))
-      c += Character.charCount(cp)
+    if (byteLevel) {
+      val enc = ByteLevel.encode(pt)
+      var c = 0
+      while (c < enc.length) { cps += String.valueOf(enc.charAt(c)); c += 1 }
+    } else {
+      var c = 0
+      while (c < pt.length) {
+        val cp = pt.codePointAt(c)
+        cps += new String(Character.toChars(cp))
+        c += Character.charCount(cp)
+      }
     }
     var off = 0
     while (off < cps.length) {

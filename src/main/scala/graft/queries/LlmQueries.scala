@@ -788,6 +788,21 @@ object LlmQueries {
           byteLevel = true))
     }
 
+  /** The learned-once BYTE-LEVEL unigram inventory per (JVM, sf dir) —
+    * trained on the same multibyte-planted corpus.
+    */
+  private val learnedByteUnigramInvs =
+    scala.collection.mutable.Map[String, Seq[(String, Long, Long)]]()
+
+  def learnedByteUnigramFor(s: org.apache.spark.sql.SparkSession,
+                            d: String): Seq[(String, Long, Long)] =
+    synchronized {
+      learnedByteUnigramInvs.getOrElseUpdate(dirStem(d),
+        TextAnalysis.learnUnigramLm(plantedMbDocs(s, d),
+          vocabSize = UnigramVocab, seedSize = UnigramSeeds,
+          byteLevel = true))
+    }
+
   /** The trigram stupid-backoff scoring oracle — shared verbatim by
     * t_trigram_surprisal (in-session model) and t_trigram_persisted
     * (model round-tripped through disk): one SQL gating that both
@@ -1329,7 +1344,17 @@ object LlmQueries {
        |  SELECT block, pos, piece FROM uwalk$t WHERE piece IS NOT NULL)""".stripMargin
   }
 
-  private def unigramCtes(seeds: Int, vocab: Int, withFinalSeg: Boolean): String = {
+  /** The pre-token expression of the unigram chain: raw, or GPT-2
+    * byte-encoded (each UTF-8 byte one mapped char, [[byteSymSql]]
+    * joined back to a string) so every downstream substr/length counts
+    * byte symbols.
+    */
+  private def uniPtExpr(e: String, byteLevel: Boolean): String =
+    if (byteLevel) s"array_to_string(${byteSymSql(e)}, '')" else e
+
+  private def unigramCtes(seeds: Int, vocab: Int, withFinalSeg: Boolean,
+                          rel: String = "documents",
+                          byteLevel: Boolean = false): String = {
     val pat = TextAnalysis.BpePattern.replace("'", "''")
     val L = 4
     val K = TextAnalysis.UnigramBlockLen
@@ -1337,8 +1362,9 @@ object LlmQueries {
     sb.append(
       s"""vocabpt AS MATERIALIZED (
          |  SELECT pt, CAST(count(*) AS BIGINT) AS w FROM (
-         |    SELECT unnest(regexp_extract_all(text, '$pat')) AS pt
-         |    FROM documents WHERE text IS NOT NULL) u GROUP BY pt),
+         |    SELECT ${uniPtExpr("pt0", byteLevel)} AS pt FROM (
+         |      SELECT unnest(regexp_extract_all(text, '$pat')) AS pt0
+         |      FROM $rel WHERE text IS NOT NULL) u0) u GROUP BY pt),
          |ublocks AS MATERIALIZED (
          |  SELECT b, CAST(sum(w) AS BIGINT) AS w FROM (
          |    SELECT unnest(list_transform(generate_series(0, (length(pt) - 1) // $K),
@@ -1407,23 +1433,29 @@ object LlmQueries {
     sb.toString
   }
 
-  private def unigramTrainSql: String =
-    s"""WITH RECURSIVE ${unigramCtes(UnigramSeeds, UnigramVocab, withFinalSeg = false)}
+  private def unigramTrainSql(rel: String = "documents",
+                              byteLevel: Boolean = false,
+                              prefixCtes: String = ""): String =
+    s"""WITH RECURSIVE $prefixCtes${unigramCtes(UnigramSeeds, UnigramVocab,
+           withFinalSeg = false, rel, byteLevel)}
        |SELECT CAST(row_number() OVER (ORDER BY f.cnt DESC, f.piece) - 1 AS BIGINT) AS rank,
        |       f.piece, f.cnt, b.bits
        |FROM uinv2 f JOIN ubitsF b USING (piece)
        |ORDER BY rank""".stripMargin
 
-  private def unigramTokenizeSql: String = {
+  private def unigramTokenizeSql(rel: String = "documents",
+                                 byteLevel: Boolean = false,
+                                 prefixCtes: String = ""): String = {
     val pat = TextAnalysis.BpePattern.replace("'", "''")
     val K = TextAnalysis.UnigramBlockLen
-    s"""WITH RECURSIVE ${unigramCtes(UnigramSeeds, UnigramVocab, withFinalSeg = true)},
+    s"""WITH RECURSIVE $prefixCtes${unigramCtes(UnigramSeeds, UnigramVocab,
+           withFinalSeg = true, rel, byteLevel)},
        |udpts AS (
-       |  SELECT doc_id, x.i AS i, x.pt AS pt
+       |  SELECT doc_id, x.i AS i, ${uniPtExpr("x.pt", byteLevel)} AS pt
        |  FROM (SELECT doc_id,
        |          unnest(list_transform(regexp_extract_all(text, '$pat'),
        |                 (y, ii) -> struct_pack(pt := y, i := ii))) AS x
-       |        FROM documents) s),
+       |        FROM $rel) s),
        |udblk AS (
        |  SELECT doc_id, i, bi, substr(pt, bi * $K + 1, $K) AS b
        |  FROM (SELECT doc_id, i, pt,
@@ -2645,7 +2677,7 @@ object LlmQueries {
     // char-fallback likelihood-loss prune between rounds. The oracle
     // replays every stage unrolled — seeds, both EM rounds' DP levels,
     // the recursive chosen-piece walk, and the prune ranking.
-    QueryDef("t_unigram_lm_train", unigramTrainSql) { (s, d) =>
+    QueryDef("t_unigram_lm_train", unigramTrainSql()) { (s, d) =>
       import s.implicits._
       learnedUnigramFor(s, d).zipWithIndex
         .map { case ((p, c, b), i) => (i.toLong, p, c, b) }
@@ -2655,7 +2687,7 @@ object LlmQueries {
     // ... and Viterbi-tokenize the corpus under the inventory just
     // learned (final smoothed bits) — the full train → tokenize
     // lifecycle, compared token-for-token like t_bpe_train_tokenize.
-    QueryDef("t_unigram_lm_tokenize", unigramTokenizeSql) { (s, d) =>
+    QueryDef("t_unigram_lm_tokenize", unigramTokenizeSql()) { (s, d) =>
       val inv = learnedUnigramFor(s, d)
       val toks = TextAnalysis.unigramTokensWith(col("text"), inv)
       Tables.documents(s, d).select(col("doc_id"),
@@ -2725,6 +2757,31 @@ object LlmQueries {
         coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
     }.sortedBy(col("doc_id")),
 
+    // ── BYTE-LEVEL unigram-LM training + tokenize: the SentencePiece
+    // lifecycle over byte symbols — pre-tokens byte-encoded before
+    // block-cutting, so seeds, Viterbi pieces and the prune all count
+    // bytes; learned pieces can span a multibyte character's bytes.
+    // Same planted corpus and unrolled replay as the BPE byte pair.
+    QueryDef("t_unigram_bytes_train",
+      unigramTrainSql(rel = "plantedmb", byteLevel = true,
+        prefixCtes = PlantedMbCte)) { (s, d) =>
+      import s.implicits._
+      learnedByteUnigramFor(s, d).zipWithIndex
+        .map { case ((p, c, b), i) => (i.toLong, p, c, b) }
+        .toDF("rank", "piece", "cnt", "bits")
+    }.sortedBy(col("rank")),
+
+    QueryDef("t_unigram_bytes_tokenize",
+      unigramTokenizeSql(rel = "plantedmb", byteLevel = true,
+        prefixCtes = PlantedMbCte)) { (s, d) =>
+      val inv = learnedByteUnigramFor(s, d)
+      val toks = TextAnalysis.unigramTokensWith(col("text"), inv,
+        byteLevel = true)
+      plantedMbDocs(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
+    }.sortedBy(col("doc_id")),
+
     // The SAME chain with the tokenizer ROUND-TRIPPED THROUGH DISK
     // (writeMergeTokenizer → rank-ordered vocab table + _meta →
     // loadTokenizer) — the t_nb_classify_persisted lifecycle for
@@ -2744,7 +2801,7 @@ object LlmQueries {
     // ... and the unigram-LM family through the same disk round-trip
     // (counts persist so the loaded artifact re-derives the smoothing
     // denominator exactly; max_piece_len pins in _meta).
-    QueryDef("t_unigram_persisted_tokenize", unigramTokenizeSql) { (s, d) =>
+    QueryDef("t_unigram_persisted_tokenize", unigramTokenizeSql()) { (s, d) =>
       val bundle = TextAnalysis.loadTokenizer(s, unigramTokenizerFor(s, d))
       val toks = bundle.tokens(col("text"))
       Tables.documents(s, d).select(col("doc_id"),
@@ -5750,6 +5807,143 @@ object LlmQueries {
       // AQE coalesces the small survivor join to one partition, which
       // would serialize the FIM stage's per-row slicing onto one task
       val kept = docs.select("doc_id", "text").join(best, "doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val fimmed = graft.ext.Packing.fimTransform(kept)
+        .withColumn("toks",
+          col("n_tokens") + when(col("fim"), 3L).otherwise(0L))
+      graft.ext.Packing.packSequences(fimmed, col("doc_id"), col("toks"),
+          512L)
+        .select(col("doc_id"), col("fim"), col("text_out"),
+          col("n_middle"), col("pack"))
+    }.sortedBy(col("doc_id")),
+
+    // ── Code-corpus prep flagship: the end-to-end chain a StarCoder-
+    // style pipeline runs, composed entirely from proven stages —
+    // codeStats gate (drops the minified-spam plant) → winnowing (MOSS)
+    // overlap pairs under a tuned bucket cap (corpus-wide template
+    // grams excluded, disclosed) → min-label connected components →
+    // keepBest on the alpha score → FIM transform → sequence packing.
+    // The plant: %4==1 minified spam (fails max_line_len); evens get a
+    // 4-line loader template parameterized by doc_id div 40 (blocks of
+    // 20 near-identical files — the vendored-copy case MOSS groups);
+    // remaining odds get a unique 3-line file (no near-dups — their one
+    // corpus-wide shared gram lands in an over-cap bucket and is
+    // correctly excluded).
+    QueryDef("t_code_prep",
+      s"""WITH RECURSIVE cdocs AS (SELECT doc_id, CASE
+         |    WHEN doc_id % 4 = 1 THEN repeat('x7', 600)
+         |    WHEN doc_id % 2 = 0 THEN
+         |      'def load' || CAST(doc_id // 40 AS VARCHAR) || '(path):'
+         |      || chr(10) || '# parse the '
+         |      || CAST(doc_id // 40 AS VARCHAR) || ' records' || chr(10)
+         |      || 'rows = read(path)' || chr(10)
+         |      || 'return rows + ' || CAST(doc_id AS VARCHAR)
+         |    ELSE 'def main' || CAST(doc_id AS VARCHAR) || '():'
+         |      || chr(10) || 'value = ' || CAST(doc_id AS VARCHAR)
+         |      || ' * 31' || chr(10) || 'return value' END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |cls AS (SELECT doc_id, text, string_split(text, chr(10)) AS l
+         |  FROM cdocs),
+         |cst AS (SELECT doc_id,
+         |  CAST(len(l) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(list_max(list_transform(l, x -> length(x))), 0)
+         |    AS BIGINT) AS max_line_len,
+         |  CAST((coalesce(list_sum(list_transform(l, x -> length(x))), 0)
+         |    * 100) // len(l) AS BIGINT) AS avg_line_len_x100,
+         |  CAST(CASE WHEN length(text) > 0
+         |    THEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      * 1000) // length(text) ELSE 0 END AS BIGINT)
+         |    AS alpha_frac_x1000
+         |  FROM cls),
+         |cgate AS (SELECT doc_id, alpha_frac_x1000 FROM cst
+         |  WHERE avg_line_len_x100 <= 10000 AND max_line_len <= 1000
+         |    AND alpha_frac_x1000 >= 250),
+         |gated AS (SELECT c.doc_id, c.text
+         |  FROM cdocs c JOIN cgate USING (doc_id)),
+         |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM gated),
+         |gr AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(w) - 3, 0)),
+         |    i -> struct_pack(i := CAST(i AS BIGINT),
+         |      t := array_to_string(w[i:i+3], ' ')))) AS u FROM ws),
+         |g AS (SELECT doc_id, u.i AS i, ${polyhash64("u.t")} AS h FROM gr),
+         |mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+         |  FROM g GROUP BY doc_id),
+         |wins AS (SELECT doc_id, m, unnest(generate_series(1,
+         |    greatest(m - 4, 1))) AS j FROM mm),
+         |wg AS (SELECT wn.doc_id, wn.j, g.i, g.h
+         |  FROM wins wn JOIN g ON g.doc_id = wn.doc_id
+         |    AND g.i >= wn.j AND g.i <= least(wn.j + 4, wn.m)),
+         |mh AS (SELECT doc_id, j, min(h) AS fp FROM wg
+         |  GROUP BY doc_id, j),
+         |wf AS (SELECT DISTINCT doc_id, fp FROM mh),
+         |wwidth AS (SELECT fp, count(*) AS wn FROM wf GROUP BY fp),
+         |wkeep AS (SELECT wf.doc_id, wf.fp FROM wf
+         |  JOIN wwidth USING (fp) WHERE wn <= 24),
+         |wpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM wkeep a JOIN wkeep b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cedges AS (SELECT doc_a AS src, doc_b AS dst FROM wpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM wpairs),
+         |cwalk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM gated
+         |  UNION
+         |  SELECT w.id, e.dst FROM cwalk w JOIN cedges e ON e.src = w.r),
+         |cclust AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |  FROM cwalk GROUP BY id),
+         |ckb AS (SELECT c.cluster_id, c.doc_id, q.alpha_frac_x1000 AS q
+         |  FROM cclust c JOIN cgate q USING (doc_id)),
+         |ckr AS (SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+         |  FROM ckb),
+         |ckept AS (SELECT d.doc_id, d.text
+         |  FROM (SELECT doc_id FROM ckr WHERE rn = 1) k
+         |  JOIN gated d USING (doc_id)),
+         |${fimCtes("ckept")},
+         |cpt AS (SELECT k.doc_id, coalesce(f.n_out, 0) AS toks,
+         |  ${polyhash("CAST(k.doc_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM ckept k LEFT JOIN fimc f USING (doc_id)),
+         |cpc AS (SELECT doc_id, toks,
+         |  sum(toks) OVER (ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING)
+         |    AS cum FROM cpt)
+         |SELECT c.doc_id, coalesce(f.pick, FALSE) AS fim, f.text_out,
+         |  CAST(coalesce(f.n_middle, 0) AS BIGINT) AS n_middle,
+         |  CAST((c.cum - c.toks) // 512 AS BIGINT) AS pack
+         |FROM cpc c LEFT JOIN fimc f USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val g = expr("doc_id div 40").cast("string")
+      val planted = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, lit("x7" * 600))
+          .when(col("doc_id") % 2 === 0, concat(
+            lit("def load"), g, lit("(path):\n# parse the "), g,
+            lit(" records\nrows = read(path)\nreturn rows + "),
+            col("doc_id").cast("string")))
+          .otherwise(concat(
+            lit("def main"), col("doc_id").cast("string"),
+            lit("():\nvalue = "), col("doc_id").cast("string"),
+            lit(" * 31\nreturn value"))).as("text"))
+        .localCheckpoint()
+      val st = TextAnalysis.codeStats(planted).localCheckpoint()
+      val gated = planted.join(st.filter(col("code_pass") === 1L)
+        .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint()
+      // bucket cap 24: wider than any planted 20-member vendored-copy
+      // block, narrower than the evens-wide template grams at EVERY sf
+      // (>= 25 even docs at sf0.001) — the corpus-wide grams are
+      // excluded (disclosed recall loss), the block grams survive
+      val pairs = Dedup.winnowOverlap(gated, k = 4, w = 5, minShared = 1,
+        maxBucket = 24)
+      val clusters = Dedup.clusterLabels(
+          gated.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val best = Dedup.keepBest(clusters,
+          st.select(col("doc_id"), col("alpha_frac_x1000").as("quality")))
+        .select(col("keep_id").as("doc_id"))
+      // pin + restore parallelism: the t_fim_prep rationale — AQE
+      // coalesces the small survivor join to one partition, which would
+      // serialize the FIM stage's per-row slicing onto one task
+      val kept = gated.join(best, "doc_id")
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint()
       val fimmed = graft.ext.Packing.fimTransform(kept)

@@ -574,6 +574,16 @@ class NativeExprSpec extends SparkSuite {
     assert(t.exists { case (a, b, _) => (a + b).contains("Ã©") },
       s"no cross-byte merge learned: $t")
     assert(t.forall { case (a, b, _) => a != b }, s"lhs==rhs rank: $t")
+    // unigram byte mode: the trained inventory carries byte pieces
+    // (é's two bytes as one piece), and tokenization concatenates back
+    // to the full byte-encoded text (coverage law: Viterbi is total)
+    val inv = graft.ext.TextAnalysis.learnUnigramLm(corpus,
+      vocabSize = 40, seedSize = 80, byteLevel = true)
+    assert(inv.exists(_._1.contains("Ã©")), s"no byte piece: ${inv.take(10)}")
+    val utoks = df.select(graft.ext.TextAnalysis
+        .unigramTokensWith(col("text"), inv, byteLevel = true).as("t"))
+      .as[Seq[String]].collect().head
+    assert(utoks.mkString == ByteLevel.encode("café"), utoks)
   }
 
   test("eval family laws: rougeL identity/disjoint/null-answer; bleu perfect corpus and FP headline; fleiss sign") {
