@@ -218,5 +218,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "canonical_url(url) takes 1 argument")
         graft.functions.CanonicalUrl(children.head)
       }))
+    // byte_level_encode(text): the GPT-2 bytes_to_unicode rendering —
+    // each UTF-8 byte one mapped char (the byteLevel tokenizer modes'
+    // encode, exposed for SQL-side inspection and dedup keys)
+    ext.injectFunction((
+      FunctionIdentifier("byte_level_encode"),
+      new ExpressionInfo(classOf[graft.functions.ByteLevelEncode].getName,
+        "byte_level_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "byte_level_encode(text) takes 1 argument")
+        graft.functions.ByteLevelEncode(children.head)
+      }))
+    // lcs_len(a, b): longest-common-subsequence length of two string
+    // arrays (the ROUGE-L kernel)
+    ext.injectFunction((
+      FunctionIdentifier("lcs_len"),
+      new ExpressionInfo(classOf[graft.functions.LcsLen].getName,
+        "lcs_len"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "lcs_len(a, b) takes 2 arguments")
+        graft.functions.LcsLen(children.head, children(1))
+      }))
   }
 }

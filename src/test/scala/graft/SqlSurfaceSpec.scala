@@ -180,6 +180,21 @@ class SqlSurfaceSpec extends SparkSuite {
     intercept[Exception](
       spark.sql("SELECT simhash(shingle_hashes(text), doc_id) FROM documents")
         .collect())
+
+    // byte-level encode via SQL matches the table object (and the
+    // space → Ġ law every GPT-lineage vocab shows)
+    val blSql = spark.sql("SELECT byte_level_encode(' café 中') AS e")
+      .collect().head.getString(0)
+    assert(blSql == graft.functions.ByteLevel.encode(" café 中"), blSql)
+    assert(blSql.startsWith("Ġ"), blSql)
+
+    // lcs_len via SQL: the ROUGE-L kernel; wrong arity/type is an
+    // analysis-time error
+    assert(spark.sql(
+      "SELECT lcs_len(array('a','b','c'), array('x','a','c')) AS l")
+      .collect().head.getLong(0) == 2L)
+    intercept[Exception](
+      spark.sql("SELECT lcs_len(array('a'), 5)").collect())
   }
 
   test("hot paths stay inside whole-stage codegen") {
