@@ -242,7 +242,7 @@ object ScaleCheck {
 
     // SCALE.md: per-flagship rows × median seconds, plus the
     // time-ratio-per-row-ratio column that makes sublinearity visible
-    out.append("# SCALE — measured flagship scaling curves (round 17)\n\n")
+    out.append("# SCALE — measured flagship scaling curves (round 18)\n\n")
     out.append(s"Derived corpora: deterministic replication of `$sfDir` ")
     out.append("(ScaleCheck.scala — 10% planted verbatim duplicates, the rest " +
       "token-rotated novel; embeddings 10% verbatim, the rest shifted). " +

@@ -364,6 +364,76 @@ object Eval {
         .as("kappa_x10000"))
   }
 
+  /** Krippendorff's α (nominal metric) over the whole panel — the
+    * agreement coefficient built for MISSING ratings (Krippendorff
+    * 2004), completing the family past [[cohenKappa]] (pairs) and
+    * [[fleissKappa]] (varying-but-counted raters): units with ≥ 2
+    * non-null ratings contribute their within-unit ordered rating
+    * pairs, weighted 1/(r_u − 1). With the disagreeing ordered pairs
+    * per unit collapsing to r_u² − Σ_c n_uc² and the coincidence row
+    * totals n_c = Σ_u n_uc needing NO weighting, the whole law is
+    * three integers:
+    *
+    *   Do' = Σ_u (r_u² − Σ_c n_uc²) · (L div (r_u − 1)),   L = lcm(r_u − 1)
+    *   A   = T² − Q               (T = Σ n_c, Q = Σ n_c²)
+    *   α·10⁴ = (L·A − Do'·(T−1)) · 10⁴  tdiv  L·A
+    *
+    * exact in DECIMAL(38,0)/HUGEINT with the shared trunc-division law;
+    * outputs are L-INVARIANT (both α terms scale with L), so the
+    * oracle fixes L at generation time while the engine derives it
+    * from data. Observed/expected disagreement ship ×10⁶
+    * (`do_x106 = Do'·10⁶ tdiv L·T`, `de_x106 = A·10⁶ tdiv T(T−1)`).
+    * A single observed category (A = 0) yields null α, disclosed.
+    * Same scale shape as [[fleissKappa]]: one (unit, label) partial
+    * agg, unit/label rollups, an annotator-bounded distinct-r collect.
+    */
+  def krippendorffAlpha(labels: DataFrame, itemCol: String = "item_id",
+                        annotatorCol: String = "annotator",
+                        labelCol: String = "label"): DataFrame = {
+    val cells = labels.filter(col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("__ka_nij"))
+      .localCheckpoint()
+    val items = cells.groupBy(col(itemCol))
+      .agg(sum(col("__ka_nij")).as("__ka_ri"),
+        sum(col("__ka_nij") * col("__ka_nij")).as("__ka_sq"))
+      .filter(col("__ka_ri") >= 2L)
+      .localCheckpoint()
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    val rs = items.select(col("__ka_ri")).distinct().collect()
+      .map(_.getLong(0))
+    val L = if (rs.isEmpty) 1L
+      else rs.map(_ - 1).reduce((a, b) => a / gcd(a, b) * b)
+    val itemAgg = items.agg(
+      count(lit(1)).as("n_units"),
+      sum((col("__ka_ri") * col("__ka_ri") - col("__ka_sq")) *
+        expr(s"${L}L div (__ka_ri - 1)")).as("__ka_do"))
+    val catAgg = cells
+      .join(items.select(col(itemCol)), Seq(itemCol), "left_semi")
+      .groupBy(col(labelCol)).agg(sum(col("__ka_nij")).as("__ka_cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__ka_cj")).as("n_ratings"),
+        sum(col("__ka_cj") * col("__ka_cj")).as("__ka_q"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val t = dec(coalesce(col("n_ratings"), lit(0L)))
+    val a = t * t - dec(col("__ka_q"))
+    val ld = dec(lit(L))
+    val dop = dec(col("__ka_do"))
+    itemAgg.crossJoin(catAgg).select(
+      col("n_units"),
+      coalesce(col("n_ratings"), lit(0L)).as("n_ratings"),
+      col("n_categories"),
+      when(col("n_units") > 0L,
+        tdiv(dop * dec(lit(1000000L)), ld * t)).as("do_x106"),
+      when(col("n_units") > 0L && t > dec(lit(1L)),
+        tdiv(a * dec(lit(1000000L)), t * (t - dec(lit(1L)))))
+        .as("de_x106"),
+      when(col("n_units") > 0L && a =!= dec(lit(0L)),
+        tdiv((ld * a - dop * (t - dec(lit(1L)))) * dec(lit(10000L)),
+          ld * a)).as("alpha_x10000"))
+  }
+
   /** Cohen's κ between every PAIR of annotators sharing items, scaled
     * ×10⁴ and floor-divided so both engines render the same integer:
     *

@@ -2315,6 +2315,60 @@ object LlmQueries {
       graft.ext.Eval.fleissKappa(annotationPanel(s, d, withRotator = true))
     },
 
+    // Krippendorff's α (nominal) over the same panel — the
+    // missing-data agreement coefficient: a3's abstentions are simply
+    // absent pairs (r_u ∈ {3,4} → generation-time L = lcm(2,3) = 6;
+    // outputs L-invariant). The disagreeing-pair collapse
+    // r² − Σ n_c² and the unweighted coincidence totals make the law
+    // three integers; everything HUGEINT/DECIMAL(38,0).
+    QueryDef("t_krippendorff_alpha",
+      s"""WITH ann AS (
+         |  SELECT doc_id AS item_id, 'a1' AS annotator, lang AS label
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a2',
+         |    CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a3',
+         |    CASE WHEN doc_id % 5 = 0 THEN NULL
+         |         WHEN doc_id % 3 = 0 THEN 'yy' ELSE lang END
+         |    FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, 'a4',
+         |    CASE lang WHEN 'en' THEN 'zh' WHEN 'zh' THEN 'es'
+         |      WHEN 'es' THEN 'de' WHEN 'de' THEN 'fr' ELSE 'en' END
+         |    FROM documents WHERE lang IS NOT NULL),
+         |cells AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS nij
+         |  FROM ann WHERE label IS NOT NULL GROUP BY 1, 2),
+         |items AS (SELECT item_id, CAST(sum(nij) AS BIGINT) AS ri,
+         |    CAST(sum(nij * nij) AS BIGINT) AS sq
+         |  FROM cells GROUP BY 1 HAVING sum(nij) >= 2),
+         |iagg AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |    CAST(sum((ri * ri - sq) * (6 // (ri - 1))) AS BIGINT) AS dop
+         |  FROM items),
+         |cats AS (SELECT label, CAST(sum(nij) AS BIGINT) AS cj FROM cells
+         |  WHERE item_id IN (SELECT item_id FROM items) GROUP BY 1),
+         |cagg AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+         |    CAST(coalesce(sum(cj), 0) AS BIGINT) AS n_ratings,
+         |    CAST(sum(cj * cj) AS BIGINT) AS q FROM cats)
+         |SELECT i.n_units, c.n_ratings, c.n_categories,
+         |  CAST(CASE WHEN i.n_units > 0 THEN
+         |    (i.dop::HUGEINT * 1000000) // (6::HUGEINT * c.n_ratings)
+         |  END AS BIGINT) AS do_x106,
+         |  CAST(CASE WHEN i.n_units > 0 AND c.n_ratings > 1 THEN
+         |    ((c.n_ratings::HUGEINT * c.n_ratings - c.q) * 1000000)
+         |      // (c.n_ratings::HUGEINT * (c.n_ratings - 1))
+         |  END AS BIGINT) AS de_x106,
+         |  CAST(CASE WHEN i.n_units > 0
+         |      AND c.n_ratings::HUGEINT * c.n_ratings - c.q <> 0 THEN
+         |    ((6::HUGEINT * (c.n_ratings::HUGEINT * c.n_ratings - c.q)
+         |        - i.dop::HUGEINT * (c.n_ratings - 1)) * 10000)
+         |      // (6::HUGEINT
+         |         * (c.n_ratings::HUGEINT * c.n_ratings - c.q))
+         |  END AS BIGINT) AS alpha_x10000
+         |FROM iagg i CROSS JOIN cagg c""".stripMargin) { (s, d) =>
+      graft.ext.Eval.krippendorffAlpha(
+        annotationPanel(s, d, withRotator = true))
+    },
+
     // ── Corpus BLEU-4 sufficient statistics over the planted eval
     // predictions (the t_eval_f1 fixture: perfect / truncated / padded
     // / unrelated by doc_id % 4). Clipped n-gram matches, totals and

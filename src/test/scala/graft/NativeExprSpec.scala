@@ -640,5 +640,17 @@ class NativeExprSpec extends SparkSuite {
       (3L, "a2", "y")).toDF("item_id", "annotator", "label")
     val ft = graft.ext.Eval.fleissKappa(thin).collect().head
     assert(ft.getLong(ft.fieldIndex("n_items")) == 1L, ft)
+    // krippendorff: unanimous → α = 1; opposed pairs → negative;
+    // single observed category (D_e = 0) → null, disclosed
+    val ku = graft.ext.Eval.krippendorffAlpha(unanimous).collect().head
+    assert(ku.getLong(ku.fieldIndex("alpha_x10000")) == 10000L, ku)
+    assert(ku.getLong(ku.fieldIndex("do_x106")) == 0L, ku)
+    val ko = graft.ext.Eval.krippendorffAlpha(opposed).collect().head
+    assert(ko.getLong(ko.fieldIndex("alpha_x10000")) < 0L, ko)
+    val kd = graft.ext.Eval.krippendorffAlpha(
+      Seq((1L, "a1", "x"), (1L, "a2", "x"), (2L, "a1", "x"),
+        (2L, "a2", "x")).toDF("item_id", "annotator", "label"))
+      .collect().head
+    assert(kd.isNullAt(kd.fieldIndex("alpha_x10000")), kd)
   }
 }
