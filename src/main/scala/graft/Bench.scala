@@ -280,10 +280,8 @@ object Bench {
           // phantom-regression artifact r17 shipped. Suppression is
           // disclosed (suppressed count + unreliable marker whenever
           // ANY shared query sits below the protocol's n ≥ 3).
-          val eligible = cur.filter { case (k, _) => curN.getOrElse(k, 0) >= 2 }
-          val suppressedN = shared.count(k => curN.getOrElse(k, 0) < 2)
-          val unreliable = shared.exists(k => curN.getOrElse(k, 0) < 3)
-          val all = BenchDiff.regressions(prev, eligible, threshold = 1.3)
+          val (all, suppressedN, unreliable) =
+            BenchDiff.guardedRegressions(prev, cur, curN, threshold = 1.3)
           def item(e: (String, Double, Double, Double)): String = {
             val (k, pv, cv, r) = e
             f"""{"q":${jstr(k)},"prev":$pv%.3f,"cur":$cv%.3f,"ratio":$r%.2f,"n":${curN.getOrElse(k, 0)}%d}"""

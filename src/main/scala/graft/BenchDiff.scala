@@ -97,6 +97,28 @@ object BenchDiff {
         .map(p => (k, p, c, c / p))
     }.sortBy(-_._4)
 
+  /** [[regressions]] under the SAMPLE-COUNT GUARD (the r17-verdict fix,
+    * rule recorded in BASELINE.md §Regression gate): a query is
+    * ELIGIBLE for a regression flag only at effective n ≥ 2 — an n=1
+    * median is a single sample, and flagging on it is exactly the
+    * 127-phantom-regression artifact r17 shipped. Returns
+    * (flagged, suppressedN, unreliable): `suppressedN` = shared queries
+    * excluded by the n-guard (disclosed in the trailer), `unreliable` =
+    * ANY shared query sits below the protocol's n ≥ 3 (the whole
+    * verdict is marked, not silently trusted).
+    */
+  private[graft] def guardedRegressions(prev: Map[String, Double],
+                                        cur: Map[String, Double],
+                                        curN: Map[String, Int],
+                                        threshold: Double = 1.3)
+      : (Seq[(String, Double, Double, Double)], Int, Boolean) = {
+    val shared = prev.keySet & cur.keySet
+    val eligible = cur.filter { case (k, _) => curN.getOrElse(k, 0) >= 2 }
+    val suppressedN = shared.count(k => curN.getOrElse(k, 0) < 2)
+    val unreliable = shared.exists(k => curN.getOrElse(k, 0) < 3)
+    (regressions(prev, eligible, threshold), suppressedN, unreliable)
+  }
+
   /** Round number embedded in a bench artifact file name
     * (`BENCH_r13.json` / `bench_full_r13.json` → 13).
     */

@@ -96,4 +96,25 @@ class BenchDiffSpec extends AnyFunSuite {
     // a zero/negative prev never divides
     assert(BenchDiff.regressions(Map("q" -> 0.0), Map("q" -> 9.0)).isEmpty)
   }
+
+  test("n-guard: n=1 medians never flag (suppressed + disclosed), n<3 marks the verdict unreliable") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0)
+    val cur = Map("q_a" -> 20.0, "q_b" -> 2.0, "q_c" -> 1.05)
+    // q_a regressed 20x but has ONE sample → suppressed, not flagged
+    // (the r17 artifact's 127-phantom failure mode); q_b at n=2 flags
+    val (regs, suppressed, unreliable) = BenchDiff.guardedRegressions(
+      prev, cur, Map("q_a" -> 1, "q_b" -> 2, "q_c" -> 5))
+    assert(regs.map(_._1) == Seq("q_b"), regs)
+    assert(suppressed == 1)
+    assert(unreliable) // q_a and q_b sit below the n >= 3 protocol
+    // all-n>=3 run: no suppression, verdict trustworthy
+    val (regs2, sup2, unrel2) = BenchDiff.guardedRegressions(
+      prev, cur, Map("q_a" -> 5, "q_b" -> 5, "q_c" -> 5))
+    assert(regs2.map(_._1) == Seq("q_a", "q_b"), regs2)
+    assert(sup2 == 0 && !unrel2)
+    // a query MISSING from curN counts as n=0: suppressed + unreliable
+    val (regs3, sup3, unrel3) =
+      BenchDiff.guardedRegressions(prev, cur, Map("q_b" -> 5, "q_c" -> 5))
+    assert(regs3.map(_._1) == Seq("q_b") && sup3 == 1 && unrel3)
+  }
 }
