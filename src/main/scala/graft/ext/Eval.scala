@@ -238,6 +238,85 @@ object Eval {
             .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
               col("pred_len").cast("double")))))
 
+  /** Corpus chrF2 (Popović 2015) — the character-n-gram F-score that
+    * completes the BLEU/ROUGE generation-metric trio, EXACT in integer
+    * arithmetic because the β = 2 F-measure collapses: with clipped
+    * common count m and pred/ref n-gram totals tp, tr,
+    *
+    *   F₂ = 5PR/(4P + R) = 5m / (4·tr + tp)
+    *
+    * so per order n = 1..6 (the sacrebleu default), `f_n·10⁴ =
+    * (5·m_n·10⁴) div (4·tr_n + tp_n)`, and the headline
+    * `chrf2_x10000 = (Σ_n f_n·10⁴) div n_orders` — the DOCUMENTED law:
+    * the mean of the floored per-order scores (floor-of-mean and
+    * mean-of-floor differ below the 10⁻⁴ grain; picking one makes the
+    * number engine-exact). Characters follow sacrebleu's default:
+    * [[TextAnalysis.normalizeText]], then whitespace REMOVED, n-grams
+    * over the remaining code points. Orders with zero grams on both
+    * sides are skipped (short corpora); zero on one side scores 0.
+    * Output: one row — per-order (m_n, tp_n, tr_n, f_n_x10000) and
+    * chrf2_x10000.
+    *
+    * Scale shape: identical to [[bleuStats]] — two row-local explode
+    * passes (×6 orders), one (id, n, gram) partial-agg join, one
+    * corpus rollup.
+    */
+  def chrF(preds: DataFrame, refs: DataFrame,
+           idCol: String = "doc_id", predCol: String = "pred",
+           refCol: String = "ref"): DataFrame = {
+    val orders = 1 to 6
+    def chars(c: Column): Column =
+      regexp_replace(TextAnalysis.normalizeText(c), " ", "")
+    val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
+      chars(col(predCol)).as("__cf_p")).localCheckpoint()
+    val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
+      chars(col(refCol)).as("__cf_r")).localCheckpoint()
+    val both = nP.join(nR, idCol).localCheckpoint()
+    def grams(c: String, side: String): DataFrame = both
+      .select(col(idCol), explode(lit(orders.toArray)).as("__cf_n"),
+        col(c).as("__cf_t"))
+      .select(col(idCol), col("__cf_n"), explode(
+          when(length(col("__cf_t")) >= col("__cf_n"),
+            transform(
+              sequence(lit(1), length(col("__cf_t")) - col("__cf_n") + 1),
+              i => col("__cf_t").substr(i, col("__cf_n"))))
+            .otherwise(expr("cast(array() AS array<string>)")))
+          .as("__cf_g"))
+      .groupBy(col(idCol), col("__cf_n"), col("__cf_g"))
+      .agg(count(lit(1)).as(s"__cf_tf_$side"))
+    val m = grams("__cf_p", "p")
+      .join(grams("__cf_r", "r"), Seq(idCol, "__cf_n", "__cf_g"))
+      .groupBy(col("__cf_n"))
+      .agg(sum(least(col("__cf_tf_p"), col("__cf_tf_r"))).as("__cf_m"))
+    val tots = both
+      .select(explode(lit(orders.toArray)).as("__cf_n"),
+        length(col("__cf_p")).cast("long").as("__cf_lp"),
+        length(col("__cf_r")).cast("long").as("__cf_lr"))
+      .groupBy(col("__cf_n"))
+      .agg(sum(greatest(lit(0L), col("__cf_lp") - col("__cf_n") + 1L))
+          .as("__cf_tp"),
+        sum(greatest(lit(0L), col("__cf_lr") - col("__cf_n") + 1L))
+          .as("__cf_tr"))
+    val perN = tots.join(m, Seq("__cf_n"), "left")
+      .select(col("__cf_n"),
+        coalesce(col("__cf_m"), lit(0L)).as("__cf_m"),
+        col("__cf_tp"), col("__cf_tr"),
+        when(col("__cf_tp") + col("__cf_tr") > 0L,
+          expr("(5 * coalesce(__cf_m, 0) * 10000) div " +
+            "(4 * __cf_tr + __cf_tp)")).as("__cf_f"))
+    val aggCols = orders.flatMap { n =>
+      Seq(sum(when(col("__cf_n") === n, col("__cf_m"))).as(s"m$n"),
+        sum(when(col("__cf_n") === n, col("__cf_tp"))).as(s"tp$n"),
+        sum(when(col("__cf_n") === n, col("__cf_tr"))).as(s"tr$n"),
+        sum(when(col("__cf_n") === n, col("__cf_f"))).as(s"f${n}_x10000"))
+    } ++ Seq(sum(when(col("__cf_f").isNotNull, col("__cf_f"))).as("__cf_fsum"),
+      count(when(col("__cf_f").isNotNull, lit(1))).as("__cf_fn"))
+    perN.agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("chrf2_x10000",
+        when(col("__cf_fn") > 0L, expr("__cf_fsum div __cf_fn")))
+      .drop("__cf_fsum", "__cf_fn")
+  }
+
   /** Per-item ROUGE-L (Lin 2004): the longest common subsequence of
     * the normalized token arrays, with the F-measure collapsed to its
     * exact integer form — for β = 1,
@@ -285,6 +364,41 @@ object Eval {
         when(col("n_pred") + col("n_ref") === 0L, lit(100L))
           .otherwise(expr("(2 * lcs * 100) div (n_pred + n_ref)"))
           .as("f_x100"))
+  }
+
+  /** Per-GROUP eval report — the leaderboard row an eval platform
+    * actually renders: [[tokenF1]] and [[rougeL]] composed per item,
+    * joined to a grouping relation (domain, language, task…), rolled
+    * up to (group, n_items, n_em, em_x10000, f1_mean_x100,
+    * rouge_mean_x100) with every mean the DOCUMENTED
+    * sum-div-count integer law (exact in both engines; the 10⁻²/10⁻⁴
+    * grains are the metrics' own). Items scored are those present on
+    * both pred and ref sides; groups keyed by `groupCol` (a null group
+    * is a group — disclosed, not dropped).
+    *
+    * Scale shape: the two per-item relations' shapes plus one id join
+    * and one group rollup — group cardinality bounded by the domain
+    * vocabulary.
+    */
+  def evalReport(preds: DataFrame, refs: DataFrame, groups: DataFrame,
+                 idCol: String = "doc_id", predCol: String = "pred",
+                 refCol: String = "ref", groupCol: String = "source",
+                 maxTokens: Int = 32): DataFrame = {
+    val f1 = tokenF1(preds, refs, idCol, predCol, refCol)
+      .select(col(idCol), col("em"), col("f1_x100"))
+    val rl = rougeL(preds, refs, idCol, predCol, refCol, maxTokens)
+      .select(col(idCol), col("f_x100").as("__er_rf"))
+    f1.join(rl, idCol)
+      .join(groups.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("em"), 1L).otherwise(0L)).as("n_em"),
+        sum(col("f1_x100")).as("__er_f1s"),
+        sum(col("__er_rf")).as("__er_rfs"))
+      .select(col(groupCol), col("n_items"), col("n_em"),
+        expr("(n_em * 10000) div n_items").as("em_x10000"),
+        expr("__er_f1s div n_items").as("f1_mean_x100"),
+        expr("__er_rfs div n_items").as("rouge_mean_x100"))
   }
 
   /** Fleiss' κ over the whole annotation panel (Fleiss 1971,

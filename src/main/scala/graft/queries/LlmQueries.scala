@@ -2453,6 +2453,173 @@ object LlmQueries {
         base.select(col("doc_id"), col("text").as("ref")))
     },
 
+    // ── Per-domain eval report flagship: tokenF1 + ROUGE-L composed
+    // per item over the planted predictions, rolled up per SOURCE —
+    // the leaderboard row an eval platform renders (exact-match rate
+    // ×10⁴, mean F1/ROUGE ×10² under the documented sum-div-count
+    // law). One chained replay of both proven per-item CTE families.
+    QueryDef("w_eval_report",
+      s"""WITH RECURSIVE base AS (SELECT doc_id, source, text
+         |  FROM documents WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM preds),
+         |nr AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM base),
+         |tp AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(n, ' ')) AS w
+         |        FROM np WHERE n <> '') GROUP BY doc_id, w),
+         |tr AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(n, ' ')) AS w
+         |        FROM nr WHERE n <> '') GROUP BY doc_id, w),
+         |ovl AS (SELECT tp.doc_id,
+         |    CAST(sum(least(tp.tf, tr.tf)) AS BIGINT) AS ov
+         |  FROM tp JOIN tr ON tr.doc_id = tp.doc_id AND tr.w = tp.w
+         |  GROUP BY tp.doc_id),
+         |f1 AS (SELECT np.doc_id, np.n = nr.n AS em,
+         |  CAST(CASE WHEN (CASE WHEN np.n = '' THEN 0
+         |        ELSE len(string_split(np.n, ' ')) END)
+         |      + (CASE WHEN nr.n = '' THEN 0
+         |        ELSE len(string_split(nr.n, ' ')) END) = 0 THEN 100
+         |    ELSE (2 * coalesce(o.ov, 0) * 100)
+         |      // ((CASE WHEN np.n = '' THEN 0
+         |           ELSE len(string_split(np.n, ' ')) END)
+         |        + (CASE WHEN nr.n = '' THEN 0
+         |           ELSE len(string_split(nr.n, ' ')) END))
+         |  END AS BIGINT) AS f1_x100
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id
+         |  LEFT JOIN ovl o ON o.doc_id = np.doc_id),
+         |rtoks AS MATERIALIZED (SELECT np.doc_id,
+         |    list_slice(CASE WHEN np.n = '' THEN []
+         |      ELSE string_split(np.n, ' ') END, 1, 16) AS pt,
+         |    list_slice(CASE WHEN nr.n = '' THEN []
+         |      ELSE string_split(nr.n, ' ') END, 1, 16) AS rt
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id),
+         |walk(doc_id, i, dp) AS (
+         |  SELECT doc_id, 0,
+         |    list_transform(range(len(rt) + 1), x -> CAST(0 AS BIGINT))
+         |  FROM rtoks
+         |  UNION ALL
+         |  SELECT doc_id, i + 1,
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, m + 1), j -> list_max(cv[1:j])))
+         |  FROM (SELECT w.doc_id, w.i AS i, len(r.rt) AS m,
+         |      list_transform(range(1, len(r.rt) + 1),
+         |        j2 -> greatest(w.dp[j2 + 1], w.dp[j2]
+         |          + CASE WHEN r.rt[j2] = r.pt[w.i + 1]
+         |                 THEN 1 ELSE 0 END)) AS cv
+         |    FROM walk w JOIN rtoks r ON r.doc_id = w.doc_id
+         |    WHERE w.i < len(r.pt)) q),
+         |rl AS (SELECT t.doc_id,
+         |  CAST(CASE WHEN len(t.pt) + len(t.rt) = 0 THEN 100
+         |    ELSE (2 * f.dp[len(t.rt) + 1] * 100)
+         |      // (len(t.pt) + len(t.rt)) END AS BIGINT) AS rf
+         |  FROM rtoks t JOIN (SELECT w.doc_id, w.dp
+         |    FROM walk w JOIN rtoks r ON r.doc_id = w.doc_id
+         |    WHERE w.i = len(r.pt)) f ON f.doc_id = t.doc_id)
+         |SELECT b.source, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CASE WHEN f1.em THEN 1 ELSE 0 END) AS BIGINT) AS n_em,
+         |  CAST((sum(CASE WHEN f1.em THEN 1 ELSE 0 END) * 10000)
+         |    // count(*) AS BIGINT) AS em_x10000,
+         |  CAST(sum(f1.f1_x100) // count(*) AS BIGINT) AS f1_mean_x100,
+         |  CAST(sum(rl.rf) // count(*) AS BIGINT) AS rouge_mean_x100
+         |FROM f1 JOIN rl ON rl.doc_id = f1.doc_id
+         |JOIN base b ON b.doc_id = f1.doc_id
+         |GROUP BY b.source ORDER BY b.source""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.evalReport(preds,
+        base.select(col("doc_id"), col("text").as("ref")),
+        base.select(col("doc_id"), col("source")), maxTokens = 16)
+    }.sortedBy(col("source")),
+
+    // Corpus chrF2 over the same planted predictions — the character
+    // n-gram F completing the generation-metric trio: per order 1..6
+    // the β=2 F collapses to the integer form 5m/(4·tr+tp) ×10⁴, and
+    // the headline is the documented mean-of-floored-orders law.
+    QueryDef("t_eval_chrf",
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, replace(trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+         |    ' ', '') AS t FROM preds),
+         |nr AS (SELECT doc_id, replace(trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+         |    ' ', '') AS t FROM base),
+         |bt AS (SELECT np.doc_id, np.t AS pt, nr.t AS rt
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id),
+         |pg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tfp
+         |  FROM (SELECT doc_id, o.n AS n,
+         |      unnest(CASE WHEN length(pt) >= o.n THEN
+         |        list_transform(generate_series(1, length(pt) - o.n + 1),
+         |          i -> substring(pt, i, o.n))
+         |        ELSE [] END) AS g
+         |    FROM bt CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) o(n))
+         |  GROUP BY 1, 2, 3),
+         |rg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tfr
+         |  FROM (SELECT doc_id, o.n AS n,
+         |      unnest(CASE WHEN length(rt) >= o.n THEN
+         |        list_transform(generate_series(1, length(rt) - o.n + 1),
+         |          i -> substring(rt, i, o.n))
+         |        ELSE [] END) AS g
+         |    FROM bt CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) o(n))
+         |  GROUP BY 1, 2, 3),
+         |ov AS (SELECT n, CAST(sum(least(tfp, tfr)) AS BIGINT) AS m
+         |  FROM pg JOIN rg USING (doc_id, n, g) GROUP BY 1),
+         |tot AS (SELECT o.n AS n,
+         |    CAST(sum(greatest(0, length(pt) - o.n + 1)) AS BIGINT) AS tp,
+         |    CAST(sum(greatest(0, length(rt) - o.n + 1)) AS BIGINT) AS tr
+         |  FROM bt CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) o(n)
+         |  GROUP BY 1),
+         |pern AS (SELECT t.n, CAST(coalesce(o.m, 0) AS BIGINT) AS m,
+         |    t.tp, t.tr,
+         |    CAST(CASE WHEN t.tp + t.tr > 0 THEN
+         |      (5 * coalesce(o.m, 0) * 10000) // (4 * t.tr + t.tp)
+         |    END AS BIGINT) AS f
+         |  FROM tot t LEFT JOIN ov o ON o.n = t.n)
+         |SELECT
+         |${(1 to 6).map(n =>
+            s"""  CAST(sum(CASE WHEN n = $n THEN m END) AS BIGINT) AS m$n,
+               |  CAST(sum(CASE WHEN n = $n THEN tp END) AS BIGINT) AS tp$n,
+               |  CAST(sum(CASE WHEN n = $n THEN tr END) AS BIGINT) AS tr$n,
+               |  CAST(sum(CASE WHEN n = $n THEN f END) AS BIGINT) AS f${n}_x10000"""
+              .stripMargin).mkString(",\n")},
+         |  CAST(CASE WHEN count(f) > 0 THEN sum(f) // count(f)
+         |  END AS BIGINT) AS chrf2_x10000
+         |FROM pern""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.chrF(preds,
+        base.select(col("doc_id"), col("text").as("ref")))
+    },
+
     // ── Per-item ROUGE-L over the same planted predictions: the LCS
     // runs as ONE codegen'd row-local DP (graft.functions.LcsLen); the
     // oracle replays it as a recursive-CTE row carry — per pred token,

@@ -652,5 +652,19 @@ class NativeExprSpec extends SparkSuite {
         (2L, "a2", "x")).toDF("item_id", "annotator", "label"))
       .collect().head
     assert(kd.isNullAt(kd.fieldIndex("alpha_x10000")), kd)
+    // chrF: perfect corpus → every order F = 10⁴ and chrf2 = 10⁴
+    val cf = graft.ext.Eval.chrF(predsPerfect, refs).collect().head
+    assert(cf.getLong(cf.fieldIndex("chrf2_x10000")) == 10000L, cf)
+    assert(cf.getLong(cf.fieldIndex("f6_x10000")) == 10000L, cf)
+    // evalReport: perfect predictions → em rate 10⁴ and both means 100
+    // in every group
+    val groups = refs.select(col("doc_id"),
+      (col("doc_id") % 2).cast("string").as("source"))
+    graft.ext.Eval.evalReport(predsPerfect, refs, groups)
+      .collect().foreach { r =>
+        assert(r.getLong(r.fieldIndex("em_x10000")) == 10000L, r)
+        assert(r.getLong(r.fieldIndex("f1_mean_x100")) == 100L, r)
+        assert(r.getLong(r.fieldIndex("rouge_mean_x100")) == 100L, r)
+      }
   }
 }
