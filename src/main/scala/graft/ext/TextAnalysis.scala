@@ -2481,15 +2481,25 @@ object TextAnalysis {
     */
   def codeSwitch(docs: DataFrame, labeled: DataFrame, window: Int = 30,
                  labelCol: String = "lang", idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text"): DataFrame =
+    codeSwitchRollup(docs, window, idCol, textCol,
+      classifyLangId(_, labeled, labelCol, "__cs_key", textCol))
+
+  /** The chunk → per-chunk prediction → per-doc vote/rollup core shared
+    * by [[codeSwitch]] and [[codeSwitchWith]] — ONE definition of the
+    * chunk keying, the (count DESC, label ASC) dominant-language law
+    * and the switched flag, so the two paths can never drift.
+    */
+  private def codeSwitchRollup(docs: DataFrame, window: Int, idCol: String,
+                               textCol: String,
+                               classify: DataFrame => DataFrame): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val chunks = chunkDocuments(docs.filter(col(textCol).isNotNull),
         window, window, idCol, textCol)
       .select(concat(col(idCol).cast("string"), lit(":"),
         col("chunk_id").cast("string")).as("__cs_key"),
         col("chunk_text").as(textCol))
-    val preds = classifyLangId(chunks, labeled, labelCol, "__cs_key",
-      textCol)
+    val preds = classify(chunks)
     val votes = preds
       .select(substring_index(col("__cs_key"), ":", 1).cast("long")
         .as(idCol), col("pred"))
@@ -2509,6 +2519,18 @@ object TextAnalysis {
         when(coalesce(col("n_langs"), lit(0L)) > 1, 1L).otherwise(0L)
           .as("switched"))
   }
+
+  /** [[codeSwitch]] under a PINNED/PERSISTED model — the train-once
+    * production path (the ANN `*Indexed` / classifyWith precedent):
+    * identical chunk/vote/rollup semantics, zero training work; the
+    * bundle must be char-trigram (`char3`) trained, which the bundle's
+    * own tokenizer field guarantees when loaded via [[loadNbBundle]].
+    */
+  def codeSwitchWith(docs: DataFrame, bundle: NbBundle, window: Int = 30,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    codeSwitchRollup(docs, window, idCol, textCol,
+      classifyWith(_, bundle, "__cs_key", textCol))
 
   /** Model-based QUALITY classifier — the GPT-3/LLaMA-pipeline "quality
     * classifier" stage (a learned filter distilled from a trusted

@@ -685,6 +685,24 @@ object LlmQueries {
       name
     }
 
+  /** The persisted CHAR-TRIGRAM language-ID bundle per (JVM, sf dir) —
+    * the write-once half of t_nb_langid_persisted /
+    * t_code_switch_persisted ([[nbBundleFor]] with tokenizer `char3`).
+    */
+  def langIdBundleFor(s: org.apache.spark.sql.SparkSession,
+                      d: String): String =
+    synchronized {
+      val name = "graft_nbl_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val lab = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang").as("label"), col("text"))
+        TextAnalysis.writeNbBundle(lab, name, labelCol = "label",
+          tokenizer = "char3")
+        builtIndexes += name
+      }
+      name
+    }
+
   /** The persisted QUALITY-classifier bundle per (JVM, sf dir) — the
     * write-once half of t_quality_classifier_persisted, same memo
     * discipline as [[nbBundleFor]].
@@ -1837,6 +1855,65 @@ object LlmQueries {
     * prior-only ranking `npk` for the null-text fallback.
     */
   private def nbLangIdCtes: String = nbLangIdCtesFor("documents", "doc_id")
+
+  /** Shared verbatim by t_nb_langid (in-session training) and
+    * t_nb_langid_persisted (char3 bundle round-tripped through disk) —
+    * one SQL gating that both paths classify identically, the
+    * nbClassifyLangSql pattern for the char-trigram space.
+    */
+  private lazy val nbLangIdSql: String =
+    s"""WITH $nbLangIdCtes
+       |SELECT d.doc_id,
+       |  coalesce(r.label, p.label) AS pred,
+       |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL
+       |            THEN coalesce(r.nxt - r.bits, 0)
+       |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
+       |    AS margin,
+       |  coalesce(r.n_tokens, 0) AS n_tokens
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+       |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Ditto for t_code_switch / t_code_switch_persisted. */
+  private lazy val codeSwitchSql: String =
+    s"""WITH cch AS (
+       |  SELECT CAST(doc_id AS VARCHAR) || ':' ||
+       |         CAST(st // 30 AS VARCHAR) AS ckey,
+       |         array_to_string(ws[st+1:st+30], ' ') AS text
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(CASE WHEN len(ws) > 0 THEN range(0, len(ws), 30)
+       |                 ELSE [] END) AS st
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |              FROM documents WHERE text IS NOT NULL) w) s),
+       |${nbLangIdCtesFor("cch", "ckey")},
+       |cpred AS (SELECT c.ckey, coalesce(r.label, p.label) AS pred
+       |  FROM cch c
+       |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r
+       |    ON r.doc_id = c.ckey
+       |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p),
+       |cvotes AS (SELECT CAST(split_part(ckey, ':', 1) AS BIGINT)
+       |    AS doc_id, pred, CAST(count(*) AS BIGINT) AS c
+       |  FROM cpred GROUP BY 1, 2),
+       |crk AS (SELECT doc_id, pred, c,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY c DESC, pred) AS rn
+       |  FROM cvotes),
+       |cagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+       |    CAST(count(*) AS BIGINT) AS n_langs
+       |  FROM cvotes GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_chunks, 0) AS n_chunks,
+       |  coalesce(a.n_langs, 0) AS n_langs,
+       |  k.pred AS dom_lang,
+       |  coalesce(k.c * 100 // a.n_chunks, 0) AS dom_share_x100,
+       |  CAST(CASE WHEN coalesce(a.n_langs, 0) > 1 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS switched
+       |FROM documents d
+       |LEFT JOIN cagg a USING (doc_id)
+       |LEFT JOIN (SELECT * FROM crk WHERE rn = 1) k USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The char-trigram NB language-ID chain with a parameterized SCORING
     * relation: training always reads `documents.lang`, but the rows
@@ -5443,22 +5520,18 @@ object LlmQueries {
     // (spaces → '_', every 3-char substring; short texts survive as
     // their collapsed form) — orthographic evidence instead of word
     // unigrams, the upgrade that classifies text whose words are OOV.
-    QueryDef("t_nb_langid",
-      s"""WITH $nbLangIdCtes
-         |SELECT d.doc_id,
-         |  coalesce(r.label, p.label) AS pred,
-         |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
-         |  CAST(CASE WHEN r.doc_id IS NOT NULL
-         |            THEN coalesce(r.nxt - r.bits, 0)
-         |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
-         |    AS margin,
-         |  coalesce(r.n_tokens, 0) AS n_tokens
-         |FROM documents d
-         |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
-         |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    QueryDef("t_nb_langid", nbLangIdSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.classifyLangId(docs, docs)
+    }.sortedBy(col("doc_id")),
+
+    // The SAME chain under the char-trigram bundle ROUND-TRIPPED
+    // THROUGH DISK (writeNbBundle tokenizer='char3' → loadNbBundle →
+    // classifyWith) — the t_nb_classify_persisted lifecycle for the
+    // language-ID space: train once, score everywhere, bit-identical.
+    QueryDef("t_nb_langid_persisted", nbLangIdSql) { (s, d) =>
+      val bundle = TextAnalysis.loadNbBundle(s, langIdBundleFor(s, d))
+      TextAnalysis.classifyWith(Tables.documents(s, d), bundle)
     }.sortedBy(col("doc_id")),
 
     // ── Code-switch detection (per-chunk language mixture) ─────────
@@ -5466,45 +5539,18 @@ object LlmQueries {
     // char-trigram NB chain (nbLangIdCtesFor with the chunk relation as
     // the scoring side), rolled up per doc: chunk count, distinct
     // predicted languages, dominant language + share, switched flag.
-    QueryDef("t_code_switch",
-      s"""WITH cch AS (
-         |  SELECT CAST(doc_id AS VARCHAR) || ':' ||
-         |         CAST(st // 30 AS VARCHAR) AS ckey,
-         |         array_to_string(ws[st+1:st+30], ' ') AS text
-         |  FROM (SELECT doc_id, ws,
-         |          unnest(CASE WHEN len(ws) > 0 THEN range(0, len(ws), 30)
-         |                 ELSE [] END) AS st
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
-         |              FROM documents WHERE text IS NOT NULL) w) s),
-         |${nbLangIdCtesFor("cch", "ckey")},
-         |cpred AS (SELECT c.ckey, coalesce(r.label, p.label) AS pred
-         |  FROM cch c
-         |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r
-         |    ON r.doc_id = c.ckey
-         |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p),
-         |cvotes AS (SELECT CAST(split_part(ckey, ':', 1) AS BIGINT)
-         |    AS doc_id, pred, CAST(count(*) AS BIGINT) AS c
-         |  FROM cpred GROUP BY 1, 2),
-         |crk AS (SELECT doc_id, pred, c,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY c DESC, pred) AS rn
-         |  FROM cvotes),
-         |cagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
-         |    CAST(count(*) AS BIGINT) AS n_langs
-         |  FROM cvotes GROUP BY 1)
-         |SELECT d.doc_id,
-         |  coalesce(a.n_chunks, 0) AS n_chunks,
-         |  coalesce(a.n_langs, 0) AS n_langs,
-         |  k.pred AS dom_lang,
-         |  coalesce(k.c * 100 // a.n_chunks, 0) AS dom_share_x100,
-         |  CAST(CASE WHEN coalesce(a.n_langs, 0) > 1 THEN 1 ELSE 0 END
-         |    AS BIGINT) AS switched
-         |FROM documents d
-         |LEFT JOIN cagg a USING (doc_id)
-         |LEFT JOIN (SELECT * FROM crk WHERE rn = 1) k USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    QueryDef("t_code_switch", codeSwitchSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.codeSwitch(docs, docs)
+    }.sortedBy(col("doc_id")),
+
+    // ... and per-chunk language ID under the PERSISTED char-trigram
+    // bundle (codeSwitchWith) — the round's heaviest inline-training
+    // flagship on its train-once path, gated bit-identical by the same
+    // SQL.
+    QueryDef("t_code_switch_persisted", codeSwitchSql) { (s, d) =>
+      val bundle = TextAnalysis.loadNbBundle(s, langIdBundleFor(s, d))
+      TextAnalysis.codeSwitchWith(Tables.documents(s, d), bundle)
     }.sortedBy(col("doc_id")),
 
     // Per-domain quality pass rates: the gate dashboard per source.
