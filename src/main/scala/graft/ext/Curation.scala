@@ -162,10 +162,30 @@ object Curation {
                         domainCol: String = "source",
                         labelCol: String = "lang",
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val pred = TextAnalysis
-      .classifyLangId(docs, labeled, labelCol, idCol, textCol)
-      .select(col(idCol), col("pred"))
+                        textCol: String = "text"): DataFrame =
+    domainLangRollup(docs, TextAnalysis
+      .classifyLangId(docs, labeled, labelCol, idCol, textCol),
+      domainCol, idCol)
+
+  /** [[domainLangProfile]] under a PERSISTED char-trigram bundle — the
+    * train-once rung ([[langBalancedMixWith]]'s precedent).
+    */
+  def domainLangProfileWith(docs: DataFrame, bundle: TextAnalysis.NbBundle,
+                            domainCol: String = "source",
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    domainLangRollup(docs,
+      TextAnalysis.classifyWith(docs, bundle, idCol, textCol),
+      domainCol, idCol)
+
+  /** The per-domain prediction rollup shared by both profile paths —
+    * one definition of the (count DESC, label ASC) dominant-language
+    * law, so inline and persisted scoring can never drift.
+    */
+  private def domainLangRollup(docs: DataFrame, preds: DataFrame,
+                               domainCol: String,
+                               idCol: String): DataFrame = {
+    val pred = preds.select(col(idCol), col("pred"))
     val byLang = docs.select(col(idCol), col(domainCol))
       .filter(col(domainCol).isNotNull)
       .join(pred, Seq(idCol))
@@ -612,6 +632,23 @@ object Curation {
     // relation is (id, label) — ~16 bytes/doc, executor-local blocks.
     val pred = TextAnalysis
       .classifyLangId(docs, labeled, labelCol, idCol, textCol)
+      .select(col(idCol), col("pred").as("lang_pred"))
+      .localCheckpoint()
+    Sampling.temperatureMix(
+      docs.select(col(idCol)).join(pred, Seq(idCol)),
+      col("lang_pred"), col(idCol), alphaNum, alphaDen)
+  }
+
+  /** [[langBalancedMix]] under a PERSISTED char-trigram bundle
+    * ([[TextAnalysis.loadNbBundle]]) — the train-once production rung
+    * (the domainReweightWith / codeSwitchWith precedent): identical
+    * pin + temperature-mix shape, scoring-only cost.
+    */
+  def langBalancedMixWith(docs: DataFrame, bundle: TextAnalysis.NbBundle,
+                          alphaNum: Int = 1, alphaDen: Int = 2,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val pred = TextAnalysis.classifyWith(docs, bundle, idCol, textCol)
       .select(col(idCol), col("pred").as("lang_pred"))
       .localCheckpoint()
     Sampling.temperatureMix(

@@ -1876,6 +1876,44 @@ object LlmQueries {
        |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared by t_domain_lang_mix and its persisted-bundle twin. */
+  private lazy val domainLangMixSql: String =
+    s"""WITH $nbLangIdCtes,
+       |dlp AS (SELECT d.doc_id, d.source,
+       |    coalesce(r.label, p.label) AS pred
+       |  FROM documents d
+       |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+       |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
+       |  WHERE d.source IS NOT NULL),
+       |dlc AS (SELECT source, pred, CAST(count(*) AS BIGINT) AS c
+       |  FROM dlp GROUP BY 1, 2),
+       |dlr AS (SELECT source, pred, c,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY c DESC, pred) AS rn FROM dlc),
+       |dla AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_langs FROM dlc GROUP BY 1)
+       |SELECT a.source, a.n_docs, a.n_langs, t.pred AS dom_lang,
+       |  (t.c * 100 // a.n_docs) AS dom_share_x100
+       |FROM dla a JOIN (SELECT * FROM dlr WHERE rn = 1) t USING (source)
+       |ORDER BY a.source""".stripMargin
+
+  /** Shared by t_lang_mix and its persisted-bundle twin. */
+  private lazy val langMixSql: String =
+    s"""WITH $nbLangIdCtes,
+       |lmp AS (SELECT d.doc_id, coalesce(r.label, p.label) AS lang_pred
+       |  FROM documents d
+       |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+       |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p),
+       |lmc AS (SELECT lang_pred, count(*) AS c FROM lmp GROUP BY 1),
+       |lmm AS (SELECT min(c) AS cm FROM lmc),
+       |lmt AS (SELECT lang_pred,
+       |          (CAST(floor(sqrt(CAST(c * cm AS DOUBLE))) AS BIGINT)
+       |             * 10000 // c) AS keep_thr
+       |        FROM lmc CROSS JOIN lmm)
+       |SELECT p.doc_id, p.lang_pred FROM lmp p JOIN lmt USING (lang_pred)
+       |WHERE ${polyhash("CAST(p.doc_id AS VARCHAR)")} % 10000 < keep_thr
+       |ORDER BY p.doc_id""".stripMargin
+
   /** Ditto for t_code_switch / t_code_switch_persisted. */
   private lazy val codeSwitchSql: String =
     s"""WITH cch AS (
@@ -5668,27 +5706,17 @@ object LlmQueries {
     // Every doc language-ID'd by the shared NB chain, rolled up per
     // source: doc/language counts, dominant predicted language + x100
     // share — the routing report for a mixed crawl.
-    QueryDef("t_domain_lang_mix",
-      s"""WITH $nbLangIdCtes,
-         |dlp AS (SELECT d.doc_id, d.source,
-         |    coalesce(r.label, p.label) AS pred
-         |  FROM documents d
-         |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
-         |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
-         |  WHERE d.source IS NOT NULL),
-         |dlc AS (SELECT source, pred, CAST(count(*) AS BIGINT) AS c
-         |  FROM dlp GROUP BY 1, 2),
-         |dlr AS (SELECT source, pred, c,
-         |    row_number() OVER (PARTITION BY source
-         |      ORDER BY c DESC, pred) AS rn FROM dlc),
-         |dla AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
-         |    CAST(count(*) AS BIGINT) AS n_langs FROM dlc GROUP BY 1)
-         |SELECT a.source, a.n_docs, a.n_langs, t.pred AS dom_lang,
-         |  (t.c * 100 // a.n_docs) AS dom_share_x100
-         |FROM dla a JOIN (SELECT * FROM dlr WHERE rn = 1) t USING (source)
-         |ORDER BY a.source""".stripMargin) { (s, d) =>
+    QueryDef("t_domain_lang_mix", domainLangMixSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       graft.ext.Curation.domainLangProfile(docs, docs)
+    }.sortedBy(col("source")),
+
+    // ... and the SAME profile under the persisted char-trigram bundle
+    // (domainLangProfileWith) — scoring-only cost, same gating SQL.
+    QueryDef("t_domain_lang_mix_persisted", domainLangMixSql) { (s, d) =>
+      val bundle = TextAnalysis.loadNbBundle(s, langIdBundleFor(s, d))
+      graft.ext.Curation.domainLangProfileWith(Tables.documents(s, d),
+        bundle)
     }.sortedBy(col("source")),
 
     // ── Language-balanced mix (α-temperature over PREDICTED lang) ──
@@ -5696,23 +5724,17 @@ object LlmQueries {
     // NB classifier's output instead of self-reported metadata: the
     // shared nbLangIdCtes chain predicts, then the t_temperature_mix
     // threshold law resamples per predicted language (α = 1/2).
-    QueryDef("t_lang_mix",
-      s"""WITH $nbLangIdCtes,
-         |lmp AS (SELECT d.doc_id, coalesce(r.label, p.label) AS lang_pred
-         |  FROM documents d
-         |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
-         |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p),
-         |lmc AS (SELECT lang_pred, count(*) AS c FROM lmp GROUP BY 1),
-         |lmm AS (SELECT min(c) AS cm FROM lmc),
-         |lmt AS (SELECT lang_pred,
-         |          (CAST(floor(sqrt(CAST(c * cm AS DOUBLE))) AS BIGINT)
-         |             * 10000 // c) AS keep_thr
-         |        FROM lmc CROSS JOIN lmm)
-         |SELECT p.doc_id, p.lang_pred FROM lmp p JOIN lmt USING (lang_pred)
-         |WHERE ${polyhash("CAST(p.doc_id AS VARCHAR)")} % 10000 < keep_thr
-         |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    QueryDef("t_lang_mix", langMixSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       graft.ext.Curation.langBalancedMix(docs, docs)
+    }.sortedBy(col("doc_id")),
+
+    // ... and the SAME α-mix under the persisted char-trigram bundle
+    // (langBalancedMixWith) — the train-once path, same gating SQL.
+    QueryDef("t_lang_mix_persisted", langMixSql) { (s, d) =>
+      val bundle = TextAnalysis.loadNbBundle(s, langIdBundleFor(s, d))
+      graft.ext.Curation.langBalancedMixWith(Tables.documents(s, d),
+        bundle)
     }.sortedBy(col("doc_id")),
 
     // ── Sparse keyword retrieval (search, not extraction) ──────────
