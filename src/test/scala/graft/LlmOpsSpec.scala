@@ -1052,6 +1052,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(hasData(new java.io.File(ckpt)), "no reliable checkpoint written")
   }
 
+  test("scale guard: no cartesian product in the round-18 corpus-join plans") {
+    // the eval/gate/code-prep additions whose joins are corpus-sized
+    // (the BLEU/chrF/κ/α stat-attachment crossJoins are 1-row
+    // aggregates by construction and are not in scope here)
+    val qs = Seq("w_eval_report", "t_eval_rouge_l", "t_gate_probe_batch",
+      "t_code_prep", "t_bpe_bytes_tokenize", "t_unigram_bytes_tokenize",
+      "t_nb_langid_persisted", "t_code_switch_persisted",
+      "t_lang_mix_persisted", "t_domain_lang_mix_persisted")
+    qs.foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("scale guard: no cartesian product in LSH candidate plans") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.lshCandidates(Dedup.features(docs))
