@@ -2078,6 +2078,85 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Pseudo-relevance-feedback EXPANSION (the RM1/Rocchio-shaped
+    * second-stage every lexical retrieval stack grows): run
+    * [[searchDocs]] once, treat each query's top-`kFirst` documents as
+    * relevance feedback, and score every term of those documents by
+    * the exact integer weight
+    *
+    *   weight(q, t) = Σ_{d ∈ top(q)} tf(t, d) · score(q, d)
+    *
+    * (term mass weighted by how relevant its document ranked — RM1's
+    * P(t|d)·P(d|q) with both factors in the engine's own integer
+    * forms). Terms already in the query are excluded; per query the
+    * top `nExpand` by (weight DESC, term ASC) come back as
+    * (query_id, term, weight, rank) — feed them to [[searchDocsPrf]]
+    * or inspect them (the "what does the corpus think this query
+    * means" audit).
+    *
+    * Scale shape: the first pass is [[searchDocs]]'s broadcast-cut
+    * scan; the feedback relation (kFirst × |queries| rows) broadcasts
+    * against the corpus tf map — one more corpus scan, matched-sized
+    * aggregation keyed by (query, term), bounded-heap top-k. Weights
+    * stay in Long for feedback sets up to ~10⁷ term occurrences per
+    * query (score ≤ |terms|·10⁶·max tf).
+    */
+  def prfExpandTerms(docs: DataFrame, queries: DataFrame,
+                     kFirst: Int = 10, nExpand: Int = 5,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     queryIdCol: String = "query_id",
+                     termCol: String = "term"): DataFrame = {
+    require(kFirst > 0, s"kFirst must be positive, got $kFirst")
+    require(nExpand > 0, s"nExpand must be positive, got $nExpand")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    // query-bounded feedback: kFirst × |queries| (id, score) rows
+    val top = searchDocs(docs, queries, kFirst, idCol, textCol,
+        queryIdCol, termCol)
+      .select(col("query_id"), col(idCol), col("score"))
+      .localCheckpoint()
+    val fb = tfRelation(docs, idCol, textCol)
+      .join(broadcast(top), Seq(idCol))
+      .groupBy(col("query_id"), col("word"))
+      .agg(sum(col("tf") * col("score")).as("weight"))
+    val orig = queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("word")).distinct()
+    val cand = fb.join(orig, Seq("query_id", "word"), "left_anti")
+    val topTerms = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute("query_id")),
+      Seq(SortOrder(UnresolvedAttribute("weight"), Descending),
+        SortOrder(UnresolvedAttribute("word"), Ascending)),
+      nExpand, Bridge.logicalPlan(cand))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("weight").desc, col("word"))
+    Bridge.ofRows(docs.sparkSession, topTerms)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("word").as("term"), col("weight"),
+        col("rank"))
+  }
+
+  /** [[searchDocs]] with PRF expansion folded in: first pass, expand
+    * ([[prfExpandTerms]]), then ONE second pass over the union of
+    * original + expansion terms — same ranked output shape, recall
+    * widened by what the feedback documents talk about. The df side of
+    * the second pass is computed over the expanded term set (the
+    * engine's own searchDocs law, replayed verbatim by the oracle).
+    */
+  def searchDocsPrf(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                    kFirst: Int = 10, nExpand: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    queryIdCol: String = "query_id",
+                    termCol: String = "term"): DataFrame = {
+    val exp = prfExpandTerms(docs, queries, kFirst, nExpand, idCol,
+        textCol, queryIdCol, termCol)
+      .select(col("query_id").as(queryIdCol), col("term").as(termCol))
+    val expanded = queries.select(col(queryIdCol), col(termCol))
+      .unionByName(exp).distinct()
+    searchDocs(docs, expanded, k, idCol, textCol, queryIdCol, termCol)
+  }
+
   /** BM25-SHAPED ranked retrieval — [[searchDocs]]'s raw tf·idf scoring
     * upgraded with the three BM25 ingredients: tf SATURATION
     * (`tf·(k1+1)/(tf + k1·…)` — the 100th occurrence of a term adds

@@ -54,7 +54,11 @@ object ByteLevel {
 
   /** Recover the original string from encoded symbols (token table
     * inspection / detokenization). Throws on a char outside the table —
-    * that input was never byte-level-encoded.
+    * that input was never byte-level-encoded. Note a SINGLE token may
+    * end mid-multibyte-sequence (byte-level merges don't respect
+    * character boundaries); its stray bytes decode to U+FFFD, the
+    * GPT-2 `errors='replace'` behavior — decode CONCATENATIONS for
+    * exact round-trips (NativeExprSpec pins that law).
     */
   def decode(s: String): String = {
     val bytes = new Array[Byte](s.length)

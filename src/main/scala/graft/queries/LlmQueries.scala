@@ -1033,6 +1033,29 @@ object LlmQueries {
     * scoring of documents against the [[SearchQueries]] term bags,
     * ending in `sranked` (query_id, doc_id, score, n_terms, rank).
     */
+  /** The tf-idf scoring half of the sparse chain, parameterized by the
+    * query relation and prefix — shared by the first-pass oracle
+    * (prefix `s` over `sq`) and the PRF second pass (prefix `x` over
+    * the expanded term relation), both reading the one corpus tf CTE.
+    */
+  private def searchScoreCtes(p: String, queryRel: String,
+                              tfRel: String): String =
+    s"""${p}mt AS (SELECT t0.doc_id, t0.word, t0.tf FROM $tfRel t0
+       |  JOIN (SELECT DISTINCT term FROM $queryRel) t ON t0.word = t.term),
+       |${p}df AS (SELECT word, count(*) AS df FROM ${p}mt GROUP BY 1),
+       |${p}sc AS (SELECT m.doc_id, m.word, (m.tf * 1000000) // d.df AS tscore
+       |  FROM ${p}mt m JOIN ${p}df d USING (word)),
+       |${p}pq AS (SELECT q.query_id, s.doc_id,
+       |  CAST(sum(s.tscore) AS BIGINT) AS score,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM ${p}sc s
+       |  JOIN (SELECT DISTINCT query_id, term FROM $queryRel) q
+       |    ON q.term = s.word GROUP BY 1, 2),
+       |${p}ranked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  score, n_terms,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM ${p}pq)""".stripMargin
+
   private def searchDocsCtes: String = {
     val qRows = SearchQueries
       .map { case (q, t) => s"($q, '${t.replace("'", "''")}')" }
@@ -1041,22 +1064,27 @@ object LlmQueries {
        |sterms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents WHERE text IS NOT NULL),
        |stf AS (SELECT doc_id, word, count(*) AS tf FROM sterms GROUP BY 1, 2),
-       |smt AS (SELECT stf.doc_id, stf.word, stf.tf FROM stf
-       |  JOIN (SELECT DISTINCT term FROM sq) t ON stf.word = t.term),
-       |sdf AS (SELECT word, count(*) AS df FROM smt GROUP BY 1),
-       |ssc AS (SELECT m.doc_id, m.word, (m.tf * 1000000) // d.df AS tscore
-       |  FROM smt m JOIN sdf d USING (word)),
-       |spq AS (SELECT q.query_id, s.doc_id,
-       |  CAST(sum(s.tscore) AS BIGINT) AS score,
-       |  CAST(count(*) AS BIGINT) AS n_terms
-       |  FROM ssc s
-       |  JOIN (SELECT DISTINCT query_id, term FROM sq) q
-       |    ON q.term = s.word GROUP BY 1, 2),
-       |sranked AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-       |  score, n_terms,
-       |  CAST(row_number() OVER (PARTITION BY query_id
-       |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM spq)""".stripMargin
+       |${searchScoreCtes("s", "sq", "stf")}""".stripMargin
   }
+
+  /** The PRF feedback/expansion CTEs over the first-pass chain:
+    * per-query top-`kFirst` docs → tf·score term weights → original
+    * terms excluded → top-`nExpand` per query as `pexp`.
+    */
+  private def prfCtes(kFirst: Int, nExpand: Int): String =
+    s"""ptop AS (SELECT query_id, doc_id, score FROM sranked
+       |  WHERE rank <= $kFirst),
+       |pfb AS (SELECT t.query_id, s.word,
+       |    CAST(sum(s.tf * t.score) AS BIGINT) AS weight
+       |  FROM stf s JOIN ptop t USING (doc_id) GROUP BY 1, 2),
+       |pcand AS (SELECT f.query_id, f.word, f.weight FROM pfb f
+       |  LEFT JOIN (SELECT DISTINCT query_id, term FROM sq) q
+       |    ON q.query_id = f.query_id AND q.term = f.word
+       |  WHERE q.term IS NULL),
+       |pexp AS (SELECT query_id, word AS term, weight,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY weight DESC, word) AS BIGINT) AS rank
+       |  FROM pcand)""".stripMargin
 
   /** BM25 replay: the same integer arithmetic as
     * [[graft.ext.TextAnalysis.searchDocsBm25]] — floor-log2 idf via
@@ -5744,6 +5772,36 @@ object LlmQueries {
     // map with a broadcast term join and runs per-query top-k on
     // TopKPerKey; the oracle replays the identical integer scoring
     // with a window.
+    // ── PRF query expansion (RM1/Rocchio-shaped second stage) ──────
+    // The top-10 first-pass docs are the feedback set; every term of
+    // theirs weighs in at Σ tf·score (exact integers), original terms
+    // excluded, top-5 per query. The companion t_search_docs_prf runs
+    // the SECOND PASS over original ∪ expansion terms — the x-chain is
+    // the same scoring CTE family over the expanded query relation.
+    QueryDef("t_prf_expand",
+      s"""WITH $searchDocsCtes,
+         |${prfCtes(10, 5)}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, term, weight, rank
+         |FROM pexp WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      TextAnalysis.prfExpandTerms(Tables.documents(s, d),
+        SearchQueries.toDF("query_id", "term"))
+    }.sortedBy(col("query_id"), col("rank")),
+
+    QueryDef("t_search_docs_prf",
+      s"""WITH $searchDocsCtes,
+         |${prfCtes(10, 5)},
+         |pq AS (SELECT query_id, term FROM sq
+         |  UNION SELECT query_id, term FROM pexp WHERE rank <= 5),
+         |${searchScoreCtes("x", "pq", "stf")}
+         |SELECT * FROM xranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      TextAnalysis.searchDocsPrf(Tables.documents(s, d),
+        SearchQueries.toDF("query_id", "term"))
+    }.sortedBy(col("query_id"), col("rank")),
+
     QueryDef("t_search_docs",
       s"""WITH $searchDocsCtes
          |SELECT * FROM sranked WHERE rank <= 10
