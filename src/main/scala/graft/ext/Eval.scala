@@ -548,6 +548,206 @@ object Eval {
           ld * a)).as("alpha_x10000"))
   }
 
+  /** Per-query IR RANKING metrics over a retrieval run — the trec_eval
+    * readout (reciprocal rank, precision@k, recall@k, average
+    * precision, nDCG@k) every retrieval stack reports, each one
+    * INTEGER-EXACT so a second engine replays it bit-for-bit. The
+    * rational sums over harmonic denominators are carried lcm-scaled:
+    * with `L = lcm(1..k+1)` (a compile-time constant of k — both
+    * engines inline the same literal),
+    *
+    *   RR    : rr_x10000 = 10000 div r₁           (r₁ = first relevant rank; 0 if none)
+    *   P@k   : (n_rel_ret · 10⁴) div k            (trec cut convention: denominator k, not n_ret)
+    *   R@k   : (n_rel_ret · 10⁴) div n_rel
+    *   AP    : apn = Σ_{r: rel} hits(r)·(L div r) →  (apn·10⁴) tdiv (L·n_rel)
+    *   nDCG@k: dcgn = Σ_r gain_r·(L div (r+1)), idcgn likewise over the
+    *           ideal (qrels sorted rel DESC, doc ASC, top k) →
+    *           (dcgn·10⁴) div idcgn — L cancels
+    *
+    * where the DCG discount is the HARMONIC 1/(rank+1) — the documented
+    * engine-exact variant (the log₂ discount is transcendental; its
+    * value is not IEEE-exactly-rounded-mandated, so a gated column
+    * cannot carry it — same posture as [[bleuStats]]' brevity penalty).
+    * AP divides by n_rel (all relevant, trec_eval), not min(n_rel, k).
+    *
+    * `run` is (queryCol, docCol, rankCol) with rank 1-based and unique
+    * per query (every `searchDocs`-family output satisfies this);
+    * `qrels` is (queryCol, docCol, relCol) with positive integer
+    * grades — non-positive/null grades mean NOT relevant and are
+    * dropped. The run defines the evaluated query set; a query with no
+    * qrels reports n_rel = 0 and null recall/AP/nDCG (disclosed, not
+    * zero-invented). Queries present only in qrels are absent.
+    *
+    * Scale shape: the run is |Q|·k rows by construction; one
+    * (query, doc) join against qrels, per-query windows over ≤ k rows,
+    * one query-keyed rollup, plus a qrels-side rollup and an
+    * ideal-ranking window bounded by the qrels relation. Nothing is
+    * corpus-sized. Overflow: apn/dcgn ≤ k·maxGain·L — with k ≤ 25
+    * (L ≤ 2.7·10¹⁰) and gains ≤ 10³ that is < 7·10¹⁴; the ×10⁴
+    * divisions run in DECIMAL(38,0) so even those bounds never
+    * overflow a gated column.
+    */
+  def rankEval(run: DataFrame, qrels: DataFrame, k: Int = 10,
+               queryCol: String = "query_id", docCol: String = "doc_id",
+               rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    require(k >= 1 && k <= 25, s"k must be in [1, 25], got $k")
+    val L = lcmTo(k + 1)
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val qr = qrels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(docCol), col(relCol).cast("long").as("__ir_rel"))
+    val rj = run.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol).cast("long").as("__ir_r"))
+      .join(qr, Seq(queryCol, docCol), "left")
+      .withColumn("__ir_g", coalesce(col("__ir_rel"), lit(0L)))
+    // running relevant-hit count at each rank: a per-query window over
+    // ≤ k rows (rank is unique per query, so the default RANGE frame
+    // and a ROWS frame agree — both engines see the same h)
+    val wh = Window.partitionBy(col(queryCol)).orderBy(col("__ir_r"))
+    val rh = rj.withColumn("__ir_h",
+      sum(when(col("__ir_g") > 0L, 1L).otherwise(0L)).over(wh))
+    val perQ = rh.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("n_ret"),
+      sum(when(col("__ir_g") > 0L, 1L).otherwise(0L)).as("n_rel_ret"),
+      min(when(col("__ir_g") > 0L, col("__ir_r"))).as("first_rel_rank"),
+      sum(when(col("__ir_g") > 0L,
+        col("__ir_h") * expr(s"${L}L div __ir_r")).otherwise(0L)).as("__ir_apn"),
+      sum(col("__ir_g") * expr(s"${L}L div (__ir_r + 1)")).as("__ir_dcgn"))
+    val nRel = qr.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("__ir_nrel"))
+    val wi = Window.partitionBy(col(queryCol))
+      .orderBy(col("__ir_rel").desc, col(docCol))
+    val ideal = qr.withColumn("__ir_i", row_number().over(wi).cast("long"))
+      .filter(col("__ir_i") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(col("__ir_rel") * expr(s"${L}L div (__ir_i + 1)"))
+        .as("__ir_idcgn"))
+    perQ.join(nRel, Seq(queryCol), "left")
+      .join(ideal, Seq(queryCol), "left")
+      .select(col(queryCol),
+        col("n_ret"),
+        coalesce(col("__ir_nrel"), lit(0L)).as("n_rel"),
+        col("n_rel_ret"),
+        col("first_rel_rank"),
+        coalesce(expr("10000 div first_rel_rank"), lit(0L)).as("rr_x10000"),
+        expr(s"(n_rel_ret * 10000) div $k").as("precision_x10000"),
+        when(coalesce(col("__ir_nrel"), lit(0L)) > 0L,
+          expr("(n_rel_ret * 10000) div __ir_nrel")).as("recall_x10000"),
+        when(coalesce(col("__ir_nrel"), lit(0L)) > 0L,
+          tdiv(dec(col("__ir_apn")) * dec(lit(10000L)),
+            dec(lit(L)) * dec(col("__ir_nrel")))).as("ap_x10000"),
+        when(coalesce(col("__ir_idcgn"), lit(0L)) > 0L,
+          tdiv(dec(col("__ir_dcgn")) * dec(lit(10000L)),
+            dec(col("__ir_idcgn")))).as("ndcg_x10000"))
+  }
+
+  /** The one-row corpus IR report over [[rankEval]] — the leaderboard
+    * line a retrieval eval renders: MRR exact via the same lcm law
+    * (`mrr_x10000 = (Σ_q (L div r₁(q)))·10⁴ tdiv (L·|Q|)`, a miss
+    * contributing 0 — the standard convention), and MAP / mean-nDCG /
+    * mean-recall as the DOCUMENTED mean-of-floors over the per-query
+    * ×10⁴ integers ([[chrF]]'s precedent: floor-of-mean vs
+    * mean-of-floor differ below the metric's own grain; picking one
+    * makes the number engine-exact), each averaged over the queries
+    * where the metric is DEFINED (n_rel > 0), with that count
+    * disclosed as `n_with_rel`. Mean precision averages over ALL
+    * queries (defined everywhere). One row out; scale shape is
+    * [[rankEval]]'s plus a single-row rollup.
+    */
+  def irReport(run: DataFrame, qrels: DataFrame, k: Int = 10,
+               queryCol: String = "query_id", docCol: String = "doc_id",
+               rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    val L = lcmTo(k + 1)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    rankEval(run, qrels, k, queryCol, docCol, rankCol, relCol).agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("n_rel") > 0L, 1L).otherwise(0L)).as("n_with_rel"),
+        sum(coalesce(expr(s"${L}L div first_rel_rank"), lit(0L)))
+          .as("__ir_mrrn"),
+        sum(col("ap_x10000")).as("__ir_aps"),
+        count(col("ap_x10000")).as("__ir_apc"),
+        sum(col("ndcg_x10000")).as("__ir_nds"),
+        count(col("ndcg_x10000")).as("__ir_ndc"),
+        sum(col("recall_x10000")).as("__ir_rcs"),
+        count(col("recall_x10000")).as("__ir_rcc"),
+        sum(col("precision_x10000")).as("__ir_pcs"))
+      .select(col("n_queries"), col("n_with_rel"),
+        when(col("n_queries") > 0L,
+          tdiv(dec(col("__ir_mrrn")) * dec(lit(10000L)),
+            dec(lit(L)) * dec(col("n_queries")))).as("mrr_x10000"),
+        when(col("__ir_apc") > 0L,
+          expr("__ir_aps div __ir_apc")).as("map_x10000"),
+        when(col("__ir_ndc") > 0L,
+          expr("__ir_nds div __ir_ndc")).as("ndcg_mean_x10000"),
+        when(col("__ir_rcc") > 0L,
+          expr("__ir_rcs div __ir_rcc")).as("recall_mean_x10000"),
+        when(col("n_queries") > 0L,
+          expr("__ir_pcs div n_queries")).as("precision_mean_x10000"))
+  }
+
+  /** `lcm(1..n)` — the shared harmonic-denominator scale of
+    * [[rankEval]]/[[irReport]]; n ≤ 26 keeps it (2.7·10¹⁰) far inside
+    * Long.
+    */
+  private def lcmTo(n: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    (1L to n.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** Exact ROC-AUC of a score against a boolean label — the
+    * Mann–Whitney rank-sum form with the standard half-credit for
+    * ties, which keeps the whole law in integers: grouping rows by
+    * DISTINCT score with p/n = positive/negative counts at that score
+    * and nb = negatives at strictly lower scores,
+    *
+    *   2U = Σ_scores p·(2·nb + n)     (concordant ×2 + tied ×1)
+    *   auc_x10000 = (2U · 10⁴) tdiv (2 · n_pos · n_neg)
+    *
+    * — perfect separation scores 10000, a constant score 5000,
+    * perfectly inverted 0. Null scores/labels are dropped; n_pos = 0
+    * or n_neg = 0 yields null AUC (disclosed — AUC is undefined on a
+    * one-class set). Output one row: (n_pos, n_neg, u2, auc_x10000).
+    *
+    * Scale shape: one score-keyed partial-aggregated exchange
+    * (cardinality = distinct scores), then ONE global prefix-sum
+    * window over that distinct-score relation — the inherent sorted
+    * pass of an exact AUC, bounded by score cardinality, never by the
+    * row count (the engine's integer NB/quality scores keep that
+    * cardinality far below the corpus); ×10⁴ in DECIMAL(38,0) so
+    * 2·P·N never overflows.
+    */
+  def rocAuc(scored: DataFrame, labelCol: String = "label",
+             scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val byScore = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__ra_s"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__ra_p"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L))
+          .as("__ra_n"))
+    val w = Window.orderBy(col("__ra_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__ra_nb", coalesce(sum(col("__ra_n")).over(w), lit(0L)))
+      .agg(sum(col("__ra_p")).as("n_pos"),
+        sum(col("__ra_n")).as("n_neg"),
+        sum(col("__ra_p") * (lit(2L) * col("__ra_nb") + col("__ra_n")))
+          .as("u2"))
+      .select(
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        coalesce(col("u2"), lit(0L)).as("u2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          tdiv(dec(col("u2")) * dec(lit(10000L)),
+            dec(lit(2L)) * dec(col("n_pos")) * dec(col("n_neg"))))
+          .as("auc_x10000"))
+  }
+
   /** Cohen's κ between every PAIR of annotators sharing items, scaled
     * ×10⁴ and floor-divided so both engines render the same integer:
     *

@@ -169,4 +169,41 @@ object Retrieval {
       .select(Seq(col("query_id"), col("doc_id"), col("rrf")) ++
         ranks.map(n => col(bq(n))) :+ col("rank"): _*)
   }
+
+  /** Deterministic GRADED relevance judgments (qrels) from term
+    * coverage — the synthetic-qrels rule that lets the IR metrics
+    * ([[Eval.rankEval]]) run without human judgments: a document is
+    * relevant to a query iff it contains at least HALF of the query's
+    * distinct terms (`2·m ≥ n_q`), graded `rel = 2` when it contains
+    * ALL of them and `rel = 1` otherwise. Coverage counts distinct
+    * terms PRESENT (tf ≥ 1) — term frequency does not raise the grade,
+    * so the judgment is not an alias of the tf-idf run it evaluates.
+    * Output: (query_id, idCol, rel) — only relevant pairs.
+    *
+    * Scale shape: the corpus tf map ([[TextAnalysis.tfRelation]]'s
+    * zero-shuffle WordTfs explode) cut by a BROADCAST of the query
+    * terms, then ONE (query, doc) partial-aggregated exchange bounded
+    * by matched documents — never corpus × queries.
+    */
+  def termCoverageQrels(docs: DataFrame, queries: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        queryIdCol: String = "query_id",
+                        termCol: String = "term"): DataFrame = {
+    val terms = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("word"))
+      .distinct()
+    val nq = terms.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__tq_nq"))
+    // tfRelation emits one row per (doc, word): count(*) per
+    // (query, doc) below IS the distinct-matched-term count
+    val matched = TextAnalysis.tfRelation(docs, idCol, textCol)
+      .join(broadcast(terms), "word")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("__tq_m"))
+    matched.join(broadcast(nq), "query_id")
+      .filter(col("__tq_m") * 2 >= col("__tq_nq"))
+      .select(col("query_id"), col(idCol),
+        when(col("__tq_m") === col("__tq_nq"), lit(2L))
+          .otherwise(lit(1L)).as("rel"))
+  }
 }

@@ -1205,9 +1205,9 @@ object TextAnalysis {
     * it row-locally. One definition so the tokenization and null
     * contracts of the whole family move together.
     */
-  private def tfRelation(docs: DataFrame, idCol: String, textCol: String,
-                         tfs: Column => Column =
-                           graft.functions.wordTfs): DataFrame =
+  private[ext] def tfRelation(docs: DataFrame, idCol: String, textCol: String,
+                              tfs: Column => Column =
+                                graft.functions.wordTfs): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tfs(col(textCol))).as("wt"))
       .select(col(idCol), col("wt.word").as("word"), col("wt.tf").as("tf"))

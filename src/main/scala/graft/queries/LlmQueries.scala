@@ -1086,6 +1086,74 @@ object LlmQueries {
        |      ORDER BY weight DESC, word) AS BIGINT) AS rank
        |  FROM pcand)""".stripMargin
 
+  /** Term-coverage qrels replay
+    * ([[graft.ext.Retrieval.termCoverageQrels]]): distinct query terms
+    * present per doc (stf is one row per (doc, word), so count(*) IS
+    * the distinct-match count), rel = 2 on full coverage, 1 on ≥ half.
+    * Composes after [[searchDocsCtes]]; yields `qrels`.
+    */
+  private val qrelsCtes: String =
+    s"""qn AS (SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS nq
+       |  FROM sq GROUP BY 1),
+       |qm AS (SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS m
+       |  FROM stf t JOIN (SELECT DISTINCT query_id, term FROM sq) q
+       |    ON t.word = q.term GROUP BY 1, 2),
+       |qrels AS (SELECT qm.query_id, qm.doc_id,
+       |    CAST(CASE WHEN m = nq THEN 2 ELSE 1 END AS BIGINT) AS rel
+       |  FROM qm JOIN qn USING (query_id) WHERE 2 * m >= nq)""".stripMargin
+
+  /** The [[graft.ext.Eval.rankEval]] replay over run relation `runRel`
+    * (query_id, doc_id, rank) cut at `k`, against `qrels`: lcm-scaled
+    * harmonic sums (`L = lcm(1..k+1)` inlined as a literal — the same
+    * constant the engine derives), trec P@k / R@k / AP / RR and the
+    * harmonic-discount nDCG@k. Yields `${p}metrics`, one row per run
+    * query.
+    */
+  private def rankEvalCtes(p: String, runRel: String, k: Int,
+                           L: Long): String =
+    s"""${p}run AS (SELECT query_id, doc_id, rank FROM $runRel
+       |  WHERE rank <= $k),
+       |${p}rj AS (SELECT r.query_id, r.doc_id, r.rank,
+       |    coalesce(q.rel, 0) AS g
+       |  FROM ${p}run r LEFT JOIN qrels q USING (query_id, doc_id)),
+       |${p}rh AS (SELECT query_id, rank, g,
+       |    sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query_id ORDER BY rank) AS h
+       |  FROM ${p}rj),
+       |${p}pq AS (SELECT query_id,
+       |    CAST(count(*) AS BIGINT) AS n_ret,
+       |    CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel_ret,
+       |    min(CASE WHEN g > 0 THEN rank END) AS frr,
+       |    CAST(sum(CASE WHEN g > 0 THEN h * ($L // rank) ELSE 0 END)
+       |      AS BIGINT) AS apn,
+       |    CAST(sum(g * ($L // (rank + 1))) AS BIGINT) AS dcgn
+       |  FROM ${p}rh GROUP BY 1),
+       |${p}nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM qrels GROUP BY 1),
+       |${p}id AS (SELECT query_id,
+       |    CAST(sum(rel * ($L // (i + 1))) AS BIGINT) AS idcgn
+       |  FROM (SELECT query_id, rel, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY rel DESC, doc_id) AS i
+       |        FROM qrels) x
+       |  WHERE i <= $k GROUP BY 1),
+       |${p}metrics AS (SELECT q.query_id,
+       |    q.n_ret, coalesce(n.n_rel, 0) AS n_rel, q.n_rel_ret,
+       |    CAST(q.frr AS BIGINT) AS first_rel_rank,
+       |    CAST(coalesce(10000 // q.frr, 0) AS BIGINT) AS rr_x10000,
+       |    CAST((q.n_rel_ret * 10000) // $k AS BIGINT) AS precision_x10000,
+       |    CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
+       |         THEN (q.n_rel_ret * 10000) // n.n_rel END AS BIGINT)
+       |      AS recall_x10000,
+       |    CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
+       |         THEN (q.apn * 10000) // ($L * n.n_rel) END AS BIGINT)
+       |      AS ap_x10000,
+       |    CAST(CASE WHEN coalesce(i.idcgn, 0) > 0
+       |         THEN (q.dcgn * 10000) // i.idcgn END AS BIGINT)
+       |      AS ndcg_x10000
+       |  FROM ${p}pq q LEFT JOIN ${p}nr n USING (query_id)
+       |  LEFT JOIN ${p}id i USING (query_id))""".stripMargin
+
   /** BM25 replay: the same integer arithmetic as
     * [[graft.ext.TextAnalysis.searchDocsBm25]] — floor-log2 idf via
     * length(bin(x)), ×100 fixed-point k1/b, cross-multiplied length
@@ -2077,24 +2145,28 @@ object LlmQueries {
     * disk): one SQL gating that both paths produce the identical
     * result, the [[nbClassifyLangSql]] pattern for the quality teacher.
     */
-  private lazy val qualityClassifySql: String =
-    s"""WITH ${qualityCtes("documents")},
+  private lazy val qualityNbCtes: String =
+    s"""${qualityCtes("documents")},
        |nblab AS (SELECT doc_id,
        |    CASE WHEN quality >= 3 THEN 'good' ELSE 'bad' END AS label,
        |    text FROM qscored WHERE text IS NOT NULL),
-       |${nbWordCtes("nblab")}
-       |SELECT d.doc_id,
-       |  coalesce(r.label, p.label) AS pred,
-       |  CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
-       |  CAST(CASE WHEN r.doc_id IS NOT NULL
-       |            THEN coalesce(r.nxt - r.bits, 0)
-       |            ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
-       |    AS margin,
-       |  coalesce(r.n_tokens, 0) AS n_tokens
-       |FROM documents d
-       |LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
-       |CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p
-       |ORDER BY d.doc_id""".stripMargin
+       |${nbWordCtes("nblab")},
+       |qcls AS (SELECT d.doc_id,
+       |    coalesce(r.label, p.label) AS pred,
+       |    CAST(coalesce(r.bits, p.prior_bits) AS BIGINT) AS bits,
+       |    CAST(CASE WHEN r.doc_id IS NOT NULL
+       |              THEN coalesce(r.nxt - r.bits, 0)
+       |              ELSE coalesce(p.nxt - p.prior_bits, 0) END AS BIGINT)
+       |      AS margin,
+       |    coalesce(r.n_tokens, 0) AS n_tokens
+       |  FROM documents d
+       |  LEFT JOIN (SELECT * FROM nrk WHERE rn = 1) r USING (doc_id)
+       |  CROSS JOIN (SELECT * FROM npk WHERE rn = 1) p)""".stripMargin
+
+  private lazy val qualityClassifySql: String =
+    s"""WITH $qualityNbCtes
+       |SELECT doc_id, pred, bits, margin, n_tokens
+       |FROM qcls ORDER BY doc_id""".stripMargin
 
   /** CTE chain of the word-unigram NB classifier: trained on
     * `labeledRel` (must expose doc_id, label, text), scoring every
@@ -5580,6 +5652,51 @@ object LlmQueries {
       TextAnalysis.classifyWith(Tables.documents(s, d), bundle)
     }.sortedBy(col("doc_id")),
 
+    // ── Exact ROC-AUC of the learned quality classifier against its
+    // rule teacher: score = signed NB margin toward 'good' (margin if
+    // pred good, −margin otherwise — integer), label = the teacher
+    // rule (quality ≥ 3); Mann–Whitney rank-sum with half-credit ties,
+    // the whole law three integers — the calibration number that says
+    // whether the student's CONFIDENCE actually ranks the teacher's
+    // verdicts.
+    QueryDef("t_roc_auc",
+      s"""WITH $qualityNbCtes,
+         |rlab AS (SELECT doc_id, quality >= 3 AS lab FROM qscored
+         |  WHERE text IS NOT NULL),
+         |rsc AS (SELECT c.doc_id,
+         |    CASE WHEN c.pred = 'good' THEN c.margin
+         |         ELSE -c.margin END AS score, l.lab
+         |  FROM qcls c JOIN rlab l USING (doc_id)),
+         |rby AS (SELECT score,
+         |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |    CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n
+         |  FROM rsc GROUP BY 1),
+         |rpre AS (SELECT score, p, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nb
+         |  FROM rby),
+         |ragg AS (SELECT
+         |    CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos,
+         |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_neg,
+         |    CAST(coalesce(sum(p * (2 * nb + n)), 0) AS BIGINT) AS u2
+         |  FROM rpre)
+         |SELECT n_pos, n_neg, u2,
+         |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN (u2 * 10000) // (2 * n_pos * n_neg) END AS BIGINT)
+         |    AS auc_x10000
+         |FROM ragg""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cls = TextAnalysis.qualityClassifier(docs)
+      val lab = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          (TextAnalysis.qualityScore(col("text")) >= 3).as("label"))
+      val scored = cls.join(lab, "doc_id")
+        .select(when(col("pred") === "good", col("margin"))
+          .otherwise(-col("margin")).as("score"), col("label"))
+      graft.ext.Eval.rocAuc(scored)
+    },
+
     // ── Char-trigram NB language ID (fastText analog) ──────────────
     // The t_nb_classify chain with ONE substitution: both training and
     // classified text pass through the char-trigram re-encoding
@@ -5825,6 +5942,74 @@ object LlmQueries {
         .select(col("query_id"), col("doc_id"), col("score"),
           col("n_terms"), col("rank"))
     }.sortedBy(col("query_id"), col("rank")),
+
+    // ── IR ranking eval: qrels + trec metrics + corpus report ──────
+    // Deterministic graded qrels by term coverage (rel 2 = all query
+    // terms present, 1 = at least half) — judgment counts PRESENCE,
+    // not tf, so it is not an alias of the tf-idf run it evaluates.
+    QueryDef("t_qrels",
+      s"""WITH $searchDocsCtes,
+         |$qrelsCtes
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rel
+         |FROM qrels ORDER BY query_id, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.ext.Retrieval.termCoverageQrels(Tables.documents(s, d),
+        SearchQueries.toDF("query_id", "term"))
+    }.sortedBy(col("query_id"), col("doc_id")),
+
+    // Per-query trec readout of the tf-idf run at k = 10: RR, P@k,
+    // R@k, AP and harmonic-discount nDCG@k, every column an lcm-scaled
+    // exact integer (L = lcm(1..11) = 27720 inlined on both sides).
+    QueryDef("t_rank_eval",
+      s"""WITH $searchDocsCtes,
+         |$qrelsCtes,
+         |${rankEvalCtes("e", "sranked", 10, 27720L)}
+         |SELECT * FROM emetrics ORDER BY query_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val run = TextAnalysis.searchDocs(docs, queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.ext.Eval.rankEval(run,
+        graft.ext.Retrieval.termCoverageQrels(docs, queries))
+    }.sortedBy(col("query_id")),
+
+    // One-row corpus IR report over the BM25 arm — MRR exact via the
+    // same lcm law, MAP / mean-nDCG / mean-recall as the documented
+    // mean-of-floors over queries where defined (n_with_rel
+    // disclosed), mean precision over all queries.
+    QueryDef("t_ir_report",
+      s"""WITH $searchDocsCtes,
+         |${bm25Ctes(k1X100 = 120, bX100 = 75)},
+         |$qrelsCtes,
+         |${rankEvalCtes("e", "branked", 10, 27720L)}
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_with_rel,
+         |  CAST(CASE WHEN count(*) > 0 THEN
+         |    (sum(coalesce(27720 // first_rel_rank, 0)) * 10000)
+         |      // (27720 * count(*)) END AS BIGINT) AS mrr_x10000,
+         |  CAST(CASE WHEN count(ap_x10000) > 0
+         |    THEN sum(ap_x10000) // count(ap_x10000) END AS BIGINT)
+         |    AS map_x10000,
+         |  CAST(CASE WHEN count(ndcg_x10000) > 0
+         |    THEN sum(ndcg_x10000) // count(ndcg_x10000) END AS BIGINT)
+         |    AS ndcg_mean_x10000,
+         |  CAST(CASE WHEN count(recall_x10000) > 0
+         |    THEN sum(recall_x10000) // count(recall_x10000) END AS BIGINT)
+         |    AS recall_mean_x10000,
+         |  CAST(CASE WHEN count(*) > 0
+         |    THEN sum(precision_x10000) // count(*) END AS BIGINT)
+         |    AS precision_mean_x10000
+         |FROM emetrics""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val run = TextAnalysis.searchDocsBm25(docs, queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.ext.Eval.irReport(run,
+        graft.ext.Retrieval.termCoverageQrels(docs, queries))
+    },
 
     // ── Hybrid retrieval: reciprocal-rank fusion ───────────────────
     // Sparse (integer tf-idf) top-20 fused with dense (exact cosine)

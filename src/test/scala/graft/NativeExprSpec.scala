@@ -667,4 +667,74 @@ class NativeExprSpec extends SparkSuite {
         assert(r.getLong(r.fieldIndex("rouge_mean_x100")) == 100L, r)
       }
   }
+
+  test("IR rank eval: closed-form trec metrics, lcm law, report rollup; exact AUC with ties") {
+    import spark.implicits._
+    // hand-checked fixture at k = 5 (L = lcm(1..6) = 60):
+    //  q1: qrels {10→2, 11→1, 12→1}; run [10, 99, 11]
+    //  q2: no qrels; run [50]
+    //  q3: qrels {70→1}; run [71, 70]
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L),
+      (2L, 50L, 1L),
+      (3L, 71L, 1L), (3L, 70L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, 2L), (1L, 11L, 1L), (1L, 12L, 1L),
+      (3L, 70L, 1L)).toDF("query_id", "doc_id", "rel")
+    val m = graft.ext.Eval.rankEval(run, qrels, k = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def lv(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getLong(r.fieldIndex(c))
+    val q1 = m(1L)
+    assert(lv(q1, "n_rel") == 3L && lv(q1, "n_rel_ret") == 2L, q1)
+    assert(lv(q1, "rr_x10000") == 10000L, q1)
+    assert(lv(q1, "precision_x10000") == 4000L, q1)
+    assert(lv(q1, "recall_x10000") == 6666L, q1)
+    // AP = (1/1 + 2/3)/3 = 5/9; apn = 1·60 + 2·20 = 100 → 5555
+    assert(lv(q1, "ap_x10000") == 5555L, q1)
+    // dcgn = 2·30 + 1·15 = 75; ideal (2,1,1) → 95 → 7894
+    assert(lv(q1, "ndcg_x10000") == 7894L, q1)
+    val q2 = m(2L)
+    assert(lv(q2, "n_rel") == 0L && lv(q2, "rr_x10000") == 0L, q2)
+    assert(q2.isNullAt(q2.fieldIndex("recall_x10000")), q2)
+    assert(q2.isNullAt(q2.fieldIndex("ap_x10000")), q2)
+    assert(q2.isNullAt(q2.fieldIndex("ndcg_x10000")), q2)
+    val q3 = m(3L)
+    assert(lv(q3, "rr_x10000") == 5000L, q3)
+    assert(lv(q3, "ap_x10000") == 5000L, q3)
+    assert(lv(q3, "ndcg_x10000") == 6666L, q3)
+    // report rollup: mrr = (60+0+30)·10⁴ / (60·3) = 5000, means of
+    // floors over defined queries, precision over all
+    val rep = graft.ext.Eval.irReport(run, qrels, k = 5).collect().head
+    assert(lv(rep, "n_queries") == 3L && lv(rep, "n_with_rel") == 2L, rep)
+    assert(lv(rep, "mrr_x10000") == 5000L, rep)
+    assert(lv(rep, "map_x10000") == (5555L + 5000L) / 2, rep)
+    assert(lv(rep, "ndcg_mean_x10000") == (7894L + 6666L) / 2, rep)
+    assert(lv(rep, "recall_mean_x10000") == (6666L + 10000L) / 2, rep)
+    assert(lv(rep, "precision_mean_x10000") == 2000L, rep)
+    // term-coverage qrels: all-terms → 2, half → 1, none → absent
+    val docs = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val queries = Seq((7L, "apple"), (7L, "banana"), (8L, "durian"))
+      .toDF("query_id", "term")
+    val qr = graft.ext.Retrieval.termCoverageQrels(docs, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(qr == Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 3L) -> 2L), qr)
+    // AUC: perfect separation, all-tied, inverted, one-class, and the
+    // hand-checked tie case AUC = 2.5/4 = 0.625
+    def auc(rows: Seq[(Long, Boolean)]): org.apache.spark.sql.Row =
+      graft.ext.Eval.rocAuc(rows.toDF("score", "label")).collect().head
+    val perfect = auc(Seq(3L -> true, 4L -> true, 1L -> false, 2L -> false))
+    assert(lv(perfect, "auc_x10000") == 10000L, perfect)
+    val tied = auc(Seq(5L -> true, 5L -> true, 5L -> false, 5L -> false))
+    assert(lv(tied, "auc_x10000") == 5000L, tied)
+    val inv = auc(Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    assert(lv(inv, "auc_x10000") == 0L, inv)
+    val oneClass = auc(Seq(1L -> true, 2L -> true))
+    assert(oneClass.isNullAt(oneClass.fieldIndex("auc_x10000")), oneClass)
+    val ties = auc(Seq(2L -> true, 3L -> true, 1L -> false, 3L -> false))
+    assert(lv(ties, "u2") == 5L, ties)
+    assert(lv(ties, "auc_x10000") == 6250L, ties)
+  }
 }
