@@ -317,6 +317,117 @@ object Eval {
       .drop("__cf_fsum", "__cf_fn")
   }
 
+  /** Corpus ROUGE-N (Lin 2004) for orders 1..2 — the RECALL-oriented
+    * n-gram readout that completes [[bleuStats]] (precision) and
+    * [[rougeL]] (subsequence): per order, the clipped match count
+    * `m_n` (the same bag law), the pred/ref gram totals `tp_n`/`tr_n`,
+    * and the exact integer scores
+    *
+    *   r_n·10⁴ = (m_n·10⁴) div tr_n          (the headline ROUGE-N)
+    *   p_n·10⁴ = (m_n·10⁴) div tp_n
+    *   f_n·10⁴ = (2·m_n·10⁴) div (tp_n + tr_n)   (β = 1 collapse)
+    *
+    * Tokens follow [[TextAnalysis.normalizeText]]; items null on either
+    * side are dropped. One row out; same scale shape as [[bleuStats]]
+    * (two row-local explode passes ×2 orders, one (id, n, gram)
+    * partial-agg join, one corpus rollup).
+    */
+  def rougeN(preds: DataFrame, refs: DataFrame,
+             idCol: String = "doc_id", predCol: String = "pred",
+             refCol: String = "ref"): DataFrame = {
+    val orders = 1 to 2
+    val emptyArr = expr("cast(array() AS array<string>)")
+    def toksOf(c: Column): Column =
+      when(c === "", emptyArr).otherwise(split(c, " "))
+    val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(predCol))).as("__rn_pt"))
+      .localCheckpoint()
+    val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(refCol))).as("__rn_rt"))
+      .localCheckpoint()
+    val both = nP.join(nR, idCol).localCheckpoint()
+    def grams(tc: String, side: String): DataFrame = both
+      .select(col(idCol), explode(lit(orders.toArray)).as("__rn_n"),
+        col(tc).as("__rn_t"))
+      .select(col(idCol), col("__rn_n"), explode(
+          when(size(col("__rn_t")) >= col("__rn_n"),
+            transform(
+              sequence(lit(1), size(col("__rn_t")) - col("__rn_n") + 1),
+              i => array_join(slice(col("__rn_t"), i, col("__rn_n")), " ")))
+            .otherwise(emptyArr)).as("__rn_g"))
+      .groupBy(col(idCol), col("__rn_n"), col("__rn_g"))
+      .agg(count(lit(1)).as(s"__rn_tf_$side"))
+    val m = grams("__rn_pt", "p")
+      .join(grams("__rn_rt", "r"), Seq(idCol, "__rn_n", "__rn_g"))
+      .groupBy(col("__rn_n"))
+      .agg(sum(least(col("__rn_tf_p"), col("__rn_tf_r"))).as("__rn_m"))
+    val tots = both
+      .select(explode(lit(orders.toArray)).as("__rn_n"),
+        size(col("__rn_pt")).cast("long").as("__rn_lp"),
+        size(col("__rn_rt")).cast("long").as("__rn_lr"))
+      .groupBy(col("__rn_n"))
+      .agg(sum(greatest(lit(0L), col("__rn_lp") - col("__rn_n") + 1L))
+          .as("__rn_tp"),
+        sum(greatest(lit(0L), col("__rn_lr") - col("__rn_n") + 1L))
+          .as("__rn_tr"))
+    val perN = tots.join(m, Seq("__rn_n"), "left")
+      .select(col("__rn_n"),
+        coalesce(col("__rn_m"), lit(0L)).as("__rn_m"),
+        col("__rn_tp"), col("__rn_tr"))
+    val aggCols = orders.flatMap { n =>
+      Seq(sum(when(col("__rn_n") === n, col("__rn_m"))).as(s"m$n"),
+        sum(when(col("__rn_n") === n, col("__rn_tp"))).as(s"tp$n"),
+        sum(when(col("__rn_n") === n, col("__rn_tr"))).as(s"tr$n"))
+    }
+    val wide = perN.agg(aggCols.head, aggCols.tail: _*)
+    wide.select(
+      orders.flatMap { n =>
+        Seq(col(s"m$n"), col(s"tp$n"), col(s"tr$n"),
+          when(col(s"tr$n") > 0L, expr(s"(m$n * 10000) div tr$n"))
+            .as(s"r${n}_x10000"),
+          when(col(s"tp$n") > 0L, expr(s"(m$n * 10000) div tp$n"))
+            .as(s"p${n}_x10000"),
+          when(col(s"tp$n") + col(s"tr$n") > 0L,
+            expr(s"(2 * m$n * 10000) div (tp$n + tr$n)"))
+            .as(s"f${n}_x10000"))
+      }: _*)
+  }
+
+  /** Margin-bucket RELIABILITY of a classifier against reference
+    * labels — the integer-exact calibration readout (the reliability
+    * diagram's table): rows joined on `idCol`, correctness =
+    * (pred = ref), confidence bucket = `margin div bucketWidth`
+    * (integer floor — margins are the engine's NB bit-margins, already
+    * integers). Per bucket: n, n_correct, and `acc_x10000 =
+    * (n_correct·10⁴) div n`. A classifier whose accuracy does not rise
+    * with its margin is mis-calibrated — this is the gate-threshold
+    * audit ([[TextAnalysis.classifyNaiveBayes]]'s `margin` doc points
+    * at thresholding; this says WHERE the threshold earns its keep).
+    * Output: (bucket, n, n_correct, acc_x10000), bucket ascending.
+    *
+    * Scale shape: one id join + one bucket-keyed partial agg —
+    * bucket cardinality bounded by max-margin/width.
+    */
+  def marginReliability(preds: DataFrame, refs: DataFrame,
+                        bucketWidth: Long = 16L,
+                        idCol: String = "doc_id",
+                        predCol: String = "pred",
+                        marginCol: String = "margin",
+                        refCol: String = "ref"): DataFrame = {
+    require(bucketWidth >= 1L,
+      s"bucketWidth must be >= 1, got $bucketWidth")
+    preds.filter(col(predCol).isNotNull && col(marginCol).isNotNull)
+      .select(col(idCol), col(predCol),
+        col(marginCol).cast("long").as("__mr_m"))
+      .join(refs.filter(col(refCol).isNotNull)
+        .select(col(idCol), col(refCol)), idCol)
+      .groupBy(expr(s"__mr_m div ${bucketWidth}L").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(predCol) === col(refCol), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_x10000", expr("(n_correct * 10000) div n"))
+  }
+
   /** Per-item ROUGE-L (Lin 2004): the longest common subsequence of
     * the normalized token arrays, with the F-measure collapsed to its
     * exact integer form — for β = 1,

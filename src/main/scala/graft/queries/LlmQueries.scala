@@ -2668,6 +2668,85 @@ object LlmQueries {
         base.select(col("doc_id"), col("text").as("ref")))
     },
 
+    // ── Corpus ROUGE-1/2: the recall-oriented n-gram readout over the
+    // same planted predictions — per order the clipped match count,
+    // pred/ref totals, and exact ×10⁴ recall/precision/F (β = 1
+    // collapse), completing BLEU (precision) and ROUGE-L (subsequence).
+    QueryDef("t_eval_rouge_n",
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM preds),
+         |nr AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM base),
+         |bt AS (SELECT np.doc_id,
+         |    CASE WHEN np.n = '' THEN [] ELSE string_split(np.n, ' ')
+         |    END AS pt,
+         |    CASE WHEN nr.n = '' THEN [] ELSE string_split(nr.n, ' ')
+         |    END AS rt
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id),
+         |pg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tfp
+         |  FROM (SELECT doc_id, o.n AS n,
+         |      unnest(CASE WHEN len(pt) >= o.n THEN
+         |        list_transform(generate_series(1, len(pt) - o.n + 1),
+         |          i -> array_to_string(pt[i:i+o.n-1], ' '))
+         |        ELSE [] END) AS g
+         |    FROM bt CROSS JOIN (VALUES (1),(2)) o(n))
+         |  GROUP BY 1, 2, 3),
+         |rg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tfr
+         |  FROM (SELECT doc_id, o.n AS n,
+         |      unnest(CASE WHEN len(rt) >= o.n THEN
+         |        list_transform(generate_series(1, len(rt) - o.n + 1),
+         |          i -> array_to_string(rt[i:i+o.n-1], ' '))
+         |        ELSE [] END) AS g
+         |    FROM bt CROSS JOIN (VALUES (1),(2)) o(n))
+         |  GROUP BY 1, 2, 3),
+         |ov AS (SELECT n, CAST(sum(least(tfp, tfr)) AS BIGINT) AS m
+         |  FROM pg JOIN rg USING (doc_id, n, g) GROUP BY 1),
+         |tot AS (SELECT o.n AS n,
+         |    CAST(sum(greatest(0, len(pt) - o.n + 1)) AS BIGINT) AS tp,
+         |    CAST(sum(greatest(0, len(rt) - o.n + 1)) AS BIGINT) AS tr
+         |  FROM bt CROSS JOIN (VALUES (1),(2)) o(n) GROUP BY 1),
+         |wide AS (SELECT
+         |${(1 to 2).map(n =>
+            s"""  CAST(sum(CASE WHEN t.n = $n THEN coalesce(o.m, 0) END) AS BIGINT) AS m$n,
+               |  CAST(sum(CASE WHEN t.n = $n THEN t.tp END) AS BIGINT) AS tp$n,
+               |  CAST(sum(CASE WHEN t.n = $n THEN t.tr END) AS BIGINT) AS tr$n"""
+              .stripMargin).mkString(",\n")}
+         |  FROM tot t LEFT JOIN ov o ON o.n = t.n)
+         |SELECT
+         |${(1 to 2).map(n =>
+            s"""  m$n, tp$n, tr$n,
+               |  CAST(CASE WHEN tr$n > 0 THEN (m$n * 10000) // tr$n
+               |    END AS BIGINT) AS r${n}_x10000,
+               |  CAST(CASE WHEN tp$n > 0 THEN (m$n * 10000) // tp$n
+               |    END AS BIGINT) AS p${n}_x10000,
+               |  CAST(CASE WHEN tp$n + tr$n > 0
+               |    THEN (2 * m$n * 10000) // (tp$n + tr$n)
+               |    END AS BIGINT) AS f${n}_x10000""".stripMargin)
+              .mkString(",\n")}
+         |FROM wide""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.rougeN(preds,
+        base.select(col("doc_id"), col("text").as("ref")))
+    },
+
     // ── Per-domain eval report flagship: tokenF1 + ROUGE-L composed
     // per item over the planted predictions, rolled up per SOURCE —
     // the leaderboard row an eval platform renders (exact-match rate
@@ -5696,6 +5775,34 @@ object LlmQueries {
           .otherwise(-col("margin")).as("score"), col("label"))
       graft.ext.Eval.rocAuc(scored)
     },
+
+    // ── Margin-bucket reliability of the quality classifier: per
+    // 16-bit margin bucket, how often the NB prediction agrees with
+    // its rule teacher — the calibration table that says WHERE a
+    // margin threshold earns its keep (t_roc_auc's ranking number,
+    // resolved along the confidence axis).
+    QueryDef("t_margin_reliability",
+      s"""WITH $qualityNbCtes,
+         |mlab AS (SELECT doc_id,
+         |    CASE WHEN quality >= 3 THEN 'good' ELSE 'bad' END AS ref
+         |  FROM qscored WHERE text IS NOT NULL),
+         |mj AS (SELECT c.margin // 16 AS bucket,
+         |    CASE WHEN c.pred = l.ref THEN 1 ELSE 0 END AS ok
+         |  FROM qcls c JOIN mlab l USING (doc_id)),
+         |mb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ok) AS BIGINT) AS n_correct
+         |  FROM mj GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_correct,
+         |  CAST((n_correct * 10000) // n AS BIGINT) AS acc_x10000
+         |FROM mb ORDER BY bucket""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cls = TextAnalysis.qualityClassifier(docs)
+      val refs = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(TextAnalysis.qualityScore(col("text")) >= 3, lit("good"))
+            .otherwise(lit("bad")).as("ref"))
+      graft.ext.Eval.marginReliability(cls, refs, bucketWidth = 16L)
+    }.sortedBy(col("bucket")),
 
     // ── Char-trigram NB language ID (fastText analog) ──────────────
     // The t_nb_classify chain with ONE substitution: both training and

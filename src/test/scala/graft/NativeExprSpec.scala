@@ -736,5 +736,33 @@ class NativeExprSpec extends SparkSuite {
     val ties = auc(Seq(2L -> true, 3L -> true, 1L -> false, 3L -> false))
     assert(lv(ties, "u2") == 5L, ties)
     assert(lv(ties, "auc_x10000") == 6250L, ties)
+    // rougeN: perfect corpus → r = p = f = 10⁴ both orders; prefix
+    // preds → precision stays 10⁴ (every pred gram matches), recall
+    // drops
+    val refs2 = Seq((1L, "the quick brown fox jumps over"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "ref")
+    val rnPerfect = graft.ext.Eval.rougeN(
+      refs2.select(col("doc_id"), col("ref").as("pred")), refs2)
+      .collect().head
+    (1 to 2).foreach { n =>
+      assert(lv(rnPerfect, s"r${n}_x10000") == 10000L, rnPerfect)
+      assert(lv(rnPerfect, s"f${n}_x10000") == 10000L, rnPerfect) }
+    val rnPrefix = graft.ext.Eval.rougeN(
+      refs2.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("ref"), " "), 1, 2)).as("pred")),
+      refs2).collect().head
+    (1 to 2).foreach { n =>
+      assert(lv(rnPrefix, s"p${n}_x10000") == 10000L, rnPrefix)
+      assert(lv(rnPrefix, s"r${n}_x10000") < 10000L, rnPrefix) }
+    // marginReliability: hand-checked buckets at width 16
+    val mrPreds = Seq((1L, "a", 5L), (2L, "a", 20L), (3L, "b", 21L))
+      .toDF("doc_id", "pred", "margin")
+    val mrRefs = Seq((1L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "ref")
+    val mr = graft.ext.Eval.marginReliability(mrPreds, mrRefs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(lv(mr(0L), "n") == 1L && lv(mr(0L), "acc_x10000") == 10000L)
+    assert(lv(mr(1L), "n") == 2L && lv(mr(1L), "n_correct") == 1L)
+    assert(lv(mr(1L), "acc_x10000") == 5000L)
   }
 }
