@@ -307,6 +307,86 @@ object Dedup {
     nearDupPairsFromFeatures(features(docs, idCol, textCol, n),
       idCol, numBands, rowsPerBand, maxBucket)
 
+  /** LSH CONFIG RECALL AUDIT — the eval of the dedup configuration
+    * itself: on a deterministic key-hash sample
+    * ([[Sampling.sampleByKey]]'s shuffle-free law), compare the banding
+    * layout's candidate pairs against EXACT ground truth and report
+    *
+    *   recall_x10000    = |truth ∩ candidates|·10⁴ div |truth|
+    *   precision_x10000 = |candidates verified ≥ threshold|·10⁴ div |candidates|
+    *
+    * Ground truth = every sample pair sharing ≥ 1 shingle whose
+    * sample-wide document frequency is ≤ `maxShingleDf` (the disclosed
+    * df cut that keeps the inverted-index pair generation bounded —
+    * the [[winnowOverlap]] posture: corpus-wide template shingles
+    * can't explode the audit, and a true pair at J ≥ num/den shares
+    * ~half its shingles, so losing only the template ones from the
+    * INDEX almost never loses the pair), verified by exact integer
+    * Jaccard at `jaccardNum/jaccardDen`. Candidates = the plain
+    * [[lshCandidates]] of the SAME banding layout the production run
+    * uses, including its hot-bucket cap — the cap's recall cost is
+    * exactly what this audit makes visible. One row out:
+    * (n_sampled, n_truth_pairs, n_candidates, n_verified, n_hits,
+    * recall_x10000, precision_x10000).
+    *
+    * Scale shape: everything downstream of the sample cut is
+    * sample-sized — at 100 TB the audit runs on a 10⁻³ fraction and
+    * stays a small job; the df-capped inverted index bounds pair
+    * generation at Σ_shingle df² ≤ maxShingleDf · Σ df. Null-text docs
+    * are excluded up front (they can never pair on either side).
+    */
+  def lshRecallAudit(docs: DataFrame, sampleFraction: Double = 0.25,
+                     jaccardNum: Int = 1, jaccardDen: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     n: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,
+                     maxBucket: Int = DefaultMaxBucketWidth,
+                     maxShingleDf: Int = 200): DataFrame = {
+    require(jaccardDen >= 1 && jaccardNum >= 0 && jaccardNum <= jaccardDen,
+      s"jaccard threshold must be 0 <= num <= den, got $jaccardNum/$jaccardDen")
+    require(maxShingleDf >= 1,
+      s"maxShingleDf must be >= 1, got $maxShingleDf")
+    val samp = Sampling.sampleByKey(
+      docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
+    val feats = features(samp, idCol, textCol, n).localCheckpoint()
+    // ground-truth inverted index, df-capped and disclosed
+    val post = feats.select(col(idCol), explode(col("hashes")).as("__la_h"))
+      .withColumn("__la_df",
+        count(lit(1)).over(Window.partitionBy(col("__la_h"))))
+    val dropped = post.filter(col("__la_df") > maxShingleDf)
+      .select(col("__la_h"), col("__la_df")).distinct().limit(21).collect()
+    if (dropped.nonEmpty)
+      log.warn(s"lshRecallAudit: ${dropped.length}${if (dropped.length > 20) "+" else ""} " +
+        s"shingle(s) wider than $maxShingleDf sampled docs excluded from the " +
+        s"ground-truth index (truth pairs sharing ONLY those shingles are " +
+        s"not counted): " + dropped.take(20)
+          .map(r => s"(h=${r.get(0)}, df=${r.get(1)})").mkString(", "))
+    val keep = post.filter(col("__la_df") <= maxShingleDf)
+    val truthCand = keep.select(col("__la_h"), col(idCol).as("doc_a"))
+      .join(keep.select(col("__la_h"), col(idCol).as("doc_b")), "__la_h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val truth = withJaccard(truthCand, "doc_a", "doc_b", feats, feats, idCol)
+      .filter(jaccardAtLeast(jaccardNum, jaccardDen))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val cands = lshCandidates(feats, idCol, numBands, rowsPerBand, maxBucket)
+      .localCheckpoint()
+    val verified = withJaccard(cands, "doc_a", "doc_b", feats, feats, idCol)
+      .filter(jaccardAtLeast(jaccardNum, jaccardDen))
+    val hits = truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    feats.agg(count(lit(1)).as("n_sampled"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth_pairs")))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_sampled"), col("n_truth_pairs"), col("n_candidates"),
+        col("n_verified"), col("n_hits"),
+        when(col("n_truth_pairs") > 0L,
+          expr("(n_hits * 10000) div n_truth_pairs")).as("recall_x10000"),
+        when(col("n_candidates") > 0L,
+          expr("(n_verified * 10000) div n_candidates"))
+          .as("precision_x10000"))
+  }
+
   /** Asymmetric CONTAINMENT detection — quotes, boilerplate, a short
     * doc embedded in a long one: directed pairs where ≥ `num/den` of
     * the CONTAINED document's distinct shingle hashes also appear in

@@ -3682,6 +3682,69 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d))
     }.sortedBy(col("doc_a"), col("doc_b")),
 
+    // ── LSH config recall audit: on a deterministic 25% key-hash
+    // sample, the banding layout's candidates vs exact df-capped
+    // inverted-index ground truth at J ≥ 1/2 — recall says what the
+    // 4×2 banding + hot-bucket cap MISS, precision what the band join
+    // wastes. The dedup config's own eval row, replayed end-to-end.
+    QueryDef("t_lsh_recall_audit", {
+      val jNum = 1; val jDen = 2
+      def jcut(rel: String) =
+        s"""(SELECT doc_a, doc_b FROM (
+           |    SELECT c.doc_a, c.doc_b,
+           |      len(list_intersect(ha.hs, hb.hs)) AS inter,
+           |      len(ha.hs) + len(hb.hs)
+           |        - len(list_intersect(ha.hs, hb.hs)) AS uni
+           |    FROM $rel c
+           |    JOIN lahashes ha ON ha.doc_id = c.doc_a
+           |    JOIN lahashes hb ON hb.doc_id = c.doc_b)
+           |  WHERE inter * $jDen >= uni * $jNum)""".stripMargin
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 < 2500),
+         |${hashesCteFrom("samp", "la")},
+         |lasig AS (SELECT doc_id,
+         |  [${minhashExprs.mkString(",\n  ")}] AS sig FROM lahashes),
+         |lapost AS (SELECT doc_id, unnest(hs) AS h FROM lahashes),
+         |ladf AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+         |    FROM lapost)
+         |  WHERE df <= 200),
+         |latc AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM ladf l JOIN ladf r ON l.h = r.h AND l.doc_id < r.doc_id),
+         |latruth AS ${jcut("latc")},
+         |labands AS (SELECT s.doc_id, b.band,
+         |    CAST(sig[b.band * 2 + 1] AS VARCHAR) || '_' ||
+         |    CAST(sig[b.band * 2 + 2] AS VARCHAR) AS bkey
+         |  FROM lasig s CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)
+         |  QUALIFY count(*) OVER (PARTITION BY b.band, bkey)
+         |    <= ${Dedup.DefaultMaxBucketWidth}),
+         |lacand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM labands l JOIN labands r
+         |    ON l.band = r.band AND l.bkey = r.bkey
+         |    AND l.doc_id < r.doc_id),
+         |laver AS ${jcut("lacand")},
+         |lahit AS (SELECT t.doc_a, t.doc_b FROM latruth t
+         |  JOIN lacand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT n_sampled, n_truth_pairs, n_candidates, n_verified,
+         |  n_hits,
+         |  CAST(CASE WHEN n_truth_pairs > 0
+         |    THEN (n_hits * 10000) // n_truth_pairs END AS BIGINT)
+         |    AS recall_x10000,
+         |  CAST(CASE WHEN n_candidates > 0
+         |    THEN (n_verified * 10000) // n_candidates END AS BIGINT)
+         |    AS precision_x10000
+         |FROM (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lahashes) AS n_sampled,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM latruth) AS n_truth_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lacand) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM laver) AS n_verified,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lahit) AS n_hits)""".stripMargin
+    }) { (s, d) =>
+      Dedup.lshRecallAudit(Tables.documents(s, d))
+    },
+
     // ── Normalization + normalization-robust dedup ─────────────────
     // Canonical lowercase/strip-punct/collapse-space normalization
     // (the C4/RefinedWeb preprocessing), then exact grouping over the
@@ -5738,6 +5801,11 @@ object LlmQueries {
     // the whole law three integers — the calibration number that says
     // whether the student's CONFIDENCE actually ranks the teacher's
     // verdicts.
+    // Both calibration gates score under the PERSISTED quality bundle
+    // (bit-identical to inline training by the
+    // t_quality_classifier_persisted gate) — the train-once shape, so
+    // the bench pays scoring-only cost, not a third and fourth NB
+    // training.
     QueryDef("t_roc_auc",
       s"""WITH $qualityNbCtes,
          |rlab AS (SELECT doc_id, quality >= 3 AS lab FROM qscored
@@ -5766,7 +5834,8 @@ object LlmQueries {
          |    AS auc_x10000
          |FROM ragg""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val cls = TextAnalysis.qualityClassifier(docs)
+      val cls = TextAnalysis.classifyWith(docs,
+        TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d)))
       val lab = docs.filter(col("text").isNotNull)
         .select(col("doc_id"),
           (TextAnalysis.qualityScore(col("text")) >= 3).as("label"))
@@ -5796,7 +5865,8 @@ object LlmQueries {
          |  CAST((n_correct * 10000) // n AS BIGINT) AS acc_x10000
          |FROM mb ORDER BY bucket""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val cls = TextAnalysis.qualityClassifier(docs)
+      val cls = TextAnalysis.classifyWith(docs,
+        TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d)))
       val refs = docs.filter(col("text").isNotNull)
         .select(col("doc_id"),
           when(TextAnalysis.qualityScore(col("text")) >= 3, lit("good"))

@@ -33,6 +33,38 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.contains((1L, 90002L)), s"planted exact dup not found: $pairs")
   }
 
+  test("lsh recall audit: exact-dup truth fully recalled, df-cap disclosure, consistency laws") {
+    import spark.implicits._
+    // three exact copies (one truth triangle) + unrelated docs; full
+    // sample so the fixture controls the pair universe
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (10L to 29L).map(i => (i, s"unique$i words body$i tail$i " +
+        s"filler${i * 7} mid${i * 3} end${i * 11}")))
+      .toDF("doc_id", "text")
+    val a = Dedup.lshRecallAudit(docs, sampleFraction = 1.0)
+      .collect().head
+    def lv(c: String): Long = a.getLong(a.fieldIndex(c))
+    assert(lv("n_sampled") == 23L, a)
+    // identical hash sets share every band key → all 3 truth pairs hit
+    assert(lv("n_truth_pairs") == 3L, a)
+    assert(lv("n_hits") == 3L && lv("recall_x10000") == 10000L, a)
+    assert(lv("n_verified") <= lv("n_candidates"), a)
+    assert(lv("n_hits") <= lv("n_truth_pairs"), a)
+    // df cap at 1: every shared shingle (df = 3) leaves the truth
+    // index → zero truth pairs, null recall — disclosed, not invented
+    val capped = Dedup.lshRecallAudit(docs, sampleFraction = 1.0,
+      maxShingleDf = 1).collect().head
+    assert(capped.getLong(capped.fieldIndex("n_truth_pairs")) == 0L, capped)
+    assert(capped.isNullAt(capped.fieldIndex("recall_x10000")), capped)
+    // invalid thresholds rejected
+    intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, jaccardNum = 3, jaccardDen = 2)
+    }
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val docs = Seq(
