@@ -859,6 +859,44 @@ object Eval {
           .as("auc_x10000"))
   }
 
+  /** [[rocAuc]] resolved PER GROUP (domain, language, task…) — the
+    * same exact Mann–Whitney law with every relation keyed by
+    * `groupCol`: one (group, score) partial agg, a prefix window
+    * PARTITIONED BY GROUP (so unlike the corpus-level readout, no
+    * global single-partition sort exists anywhere), one group rollup.
+    * Output: (groupCol, n_pos, n_neg, u2, auc_x10000) — null AUC for
+    * one-class groups, disclosed. Rows with a null group form their
+    * own group (disclosed, not dropped).
+    */
+  def rocAucBy(scored: DataFrame, groupCol: String = "source",
+               labelCol: String = "label",
+               scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val byScore = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).as("__ra_s"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__ra_p"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L))
+          .as("__ra_n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__ra_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__ra_nb", coalesce(sum(col("__ra_n")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__ra_p")).as("n_pos"),
+        sum(col("__ra_n")).as("n_neg"),
+        sum(col("__ra_p") * (lit(2L) * col("__ra_nb") + col("__ra_n")))
+          .as("u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          tdiv(dec(col("u2")) * dec(lit(10000L)),
+            dec(lit(2L)) * dec(col("n_pos")) * dec(col("n_neg"))))
+          .as("auc_x10000"))
+  }
+
   /** Cohen's κ between every PAIR of annotators sharing items, scaled
     * ×10⁴ and floor-divided so both engines render the same integer:
     *

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Preference-data machinery: fit Bradley–Terry strengths from
@@ -148,5 +148,67 @@ object Preference {
       .select(col("item"), col("s").as("strength_x1e4"),
         coalesce(col("n_wins"), lit(0L)).as("n_wins"),
         col("n_comparisons"))
+  }
+
+  /** Head-to-head WIN-RATE report with a 95% WILSON score interval —
+    * the readout a model-comparison eval renders next to
+    * [[bradleyTerryScores]]' global strengths: per unordered item pair
+    * (a < b), a's wins/losses, the ×10⁴ win rate, and the Wilson
+    * bounds, ENGINE-EXACT because every float op in
+    *
+    *   lo/hi = (w + z²/2 ∓ z·√(w·(n−w)/n + z²/4)) / (n + z²)
+    *
+    * is IEEE-exactly-rounded (×, /, √ — no exp/log anywhere) and the
+    * z-constants are fixed DECIMAL LITERALS both engines parse to the
+    * same double (z = 1.96: z² = 3.8416, z²/2 = 1.9208, z²/4 =
+    * 0.9604 — the documented constants of the law, not recomputed).
+    * The same parenthesization on both sides yields the same double,
+    * floored ×10⁴ into the gated columns ([[graft.ext.Eval.bleuStats]]'
+    * gm posture). `decisive` = the interval excludes 5000 (a coin
+    * flip) — the pairs where the verdict count actually supports a
+    * preference claim.
+    *
+    * Output: (item_a, item_b, wins_a, wins_b, n, win_rate_x10000,
+    * wilson_lo_x10000, wilson_hi_x10000, decisive), win rate and
+    * bounds for item_a. Scale shape: one (pair)-keyed partial agg over
+    * the comparison relation — item-vocabulary-bounded, row-local
+    * arithmetic after it.
+    */
+  def winRateReport(comparisons: DataFrame, winnerCol: String = "winner",
+                    loserCol: String = "loser",
+                    nCol: String = "n_pairs"): DataFrame = {
+    val c = comparisons.select(
+        col(winnerCol).cast("string").as("__wr_w"),
+        col(loserCol).cast("string").as("__wr_l"),
+        col(nCol).cast("long").as("__wr_n"))
+      .filter(col("__wr_w").isNotNull && col("__wr_l").isNotNull &&
+        col("__wr_n") > 0 && col("__wr_w") =!= col("__wr_l"))
+    val agg = c.select(
+        least(col("__wr_w"), col("__wr_l")).as("item_a"),
+        greatest(col("__wr_w"), col("__wr_l")).as("item_b"),
+        when(col("__wr_w") < col("__wr_l"), col("__wr_n"))
+          .otherwise(lit(0L)).as("__wr_wa"),
+        when(col("__wr_w") < col("__wr_l"), lit(0L))
+          .otherwise(col("__wr_n")).as("__wr_wb"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("__wr_wa")).as("wins_a"),
+        sum(col("__wr_wb")).as("wins_b"))
+      .withColumn("n", col("wins_a") + col("wins_b"))
+    // Wilson bounds: fixed parenthesization, documented z literals
+    val wD = col("wins_a").cast("double")
+    val nD = col("n").cast("double")
+    val half = lit(1.96) * sqrt(
+      (col("wins_a") * (col("n") - col("wins_a"))).cast("double") / nD
+        + lit(0.9604))
+    def x1e4(c: Column): Column = floor(lit(10000.0) * c).cast("long")
+    agg.select(col("item_a"), col("item_b"), col("wins_a"),
+        col("wins_b"), col("n"),
+        expr("(wins_a * 10000) div n").as("win_rate_x10000"),
+        x1e4(((wD + lit(1.9208)) - half) / (nD + lit(3.8416)))
+          .as("wilson_lo_x10000"),
+        x1e4(((wD + lit(1.9208)) + half) / (nD + lit(3.8416)))
+          .as("wilson_hi_x10000"))
+      .withColumn("decisive",
+        col("wilson_lo_x10000") > 5000L || col("wilson_hi_x10000") < 5000L)
   }
 }

@@ -5874,6 +5874,51 @@ object LlmQueries {
       graft.ext.Eval.marginReliability(cls, refs, bucketWidth = 16L)
     }.sortedBy(col("bucket")),
 
+    // ── Per-domain AUC: the same signed-margin ranking law resolved
+    // per source — the readout that says WHICH corpus slice the
+    // learned gate actually ranks well (a per-group prefix window, so
+    // no global sort exists anywhere in this variant).
+    QueryDef("t_roc_auc_by",
+      s"""WITH $qualityNbCtes,
+         |rlab AS (SELECT doc_id, quality >= 3 AS lab FROM qscored
+         |  WHERE text IS NOT NULL),
+         |rsc AS (SELECT d.source, c.doc_id,
+         |    CASE WHEN c.pred = 'good' THEN c.margin
+         |         ELSE -c.margin END AS score, l.lab
+         |  FROM qcls c JOIN rlab l USING (doc_id)
+         |  JOIN documents d USING (doc_id)),
+         |rby AS (SELECT source, score,
+         |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |    CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n
+         |  FROM rsc GROUP BY 1, 2),
+         |rpre AS (SELECT source, score, p, n,
+         |    CAST(coalesce(sum(n) OVER (PARTITION BY source
+         |      ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nb
+         |  FROM rby)
+         |SELECT source,
+         |  CAST(sum(p) AS BIGINT) AS n_pos,
+         |  CAST(sum(n) AS BIGINT) AS n_neg,
+         |  CAST(sum(p * (2 * nb + n)) AS BIGINT) AS u2,
+         |  CAST(CASE WHEN sum(p) > 0 AND sum(n) > 0
+         |    THEN (sum(p * (2 * nb + n)) * 10000)
+         |      // (2 * sum(p) * sum(n)) END AS BIGINT) AS auc_x10000
+         |FROM rpre GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cls = TextAnalysis.classifyWith(docs,
+        TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d)))
+      val lab = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          (TextAnalysis.qualityScore(col("text")) >= 3).as("label"))
+      val scored = cls.join(lab, "doc_id")
+        .select(col("source"),
+          when(col("pred") === "good", col("margin"))
+            .otherwise(-col("margin")).as("score"), col("label"))
+      graft.ext.Eval.rocAucBy(scored)
+    }.sortedBy(col("source")),
+
     // ── Char-trigram NB language ID (fastText analog) ──────────────
     // The t_nb_classify chain with ONE substitution: both training and
     // classified text pass through the char-trigram re-encoding

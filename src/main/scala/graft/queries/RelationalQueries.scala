@@ -769,6 +769,60 @@ object RelationalQueries {
       graft.ext.Preference.preferencePairs(Tables.events(s, d))
     }.sortedBy(col("winner"), col("loser")),
 
+    // Head-to-head win rates over the preference pairs with a 95%
+    // Wilson score interval — engine-exact floats (only ×, /, √ —
+    // IEEE-exactly-rounded — over fixed documented z literals, same
+    // parenthesization both engines), floored ×10⁴; `decisive` marks
+    // pairs whose interval excludes the coin flip.
+    QueryDef("w_win_rates",
+      s"""WITH per AS (SELECT user_id, event_type AS item,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100)
+         |      AS BIGINT)) AS BIGINT) AS s
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT
+         |    CASE WHEN a.s * b.n > b.s * a.n THEN a.item ELSE b.item END
+         |      AS winner,
+         |    CASE WHEN a.s * b.n > b.s * a.n THEN b.item ELSE a.item END
+         |      AS loser
+         |  FROM per a JOIN per b ON b.user_id = a.user_id
+         |    AND a.item < b.item
+         |  WHERE a.s * b.n <> b.s * a.n),
+         |cmp AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS np
+         |  FROM pr GROUP BY 1, 2),
+         |und AS (SELECT least(winner, loser) AS item_a,
+         |    greatest(winner, loser) AS item_b,
+         |    CAST(sum(CASE WHEN winner < loser THEN np ELSE 0 END)
+         |      AS BIGINT) AS wins_a,
+         |    CAST(sum(CASE WHEN winner < loser THEN 0 ELSE np END)
+         |      AS BIGINT) AS wins_b
+         |  FROM cmp GROUP BY 1, 2),
+         |wr AS (SELECT item_a, item_b, wins_a, wins_b,
+         |    wins_a + wins_b AS n,
+         |    CAST((wins_a * 10000) // (wins_a + wins_b) AS BIGINT)
+         |      AS win_rate_x10000,
+         |    CAST(floor(10000.0 * (((wins_a + 1.9208)
+         |      - 1.96 * sqrt(CAST(wins_a * (wins_a + wins_b - wins_a)
+         |          AS DOUBLE) / CAST(wins_a + wins_b AS DOUBLE) + 0.9604))
+         |      / (CAST(wins_a + wins_b AS DOUBLE) + 3.8416)))
+         |      AS BIGINT) AS wilson_lo_x10000,
+         |    CAST(floor(10000.0 * (((wins_a + 1.9208)
+         |      + 1.96 * sqrt(CAST(wins_a * (wins_a + wins_b - wins_a)
+         |          AS DOUBLE) / CAST(wins_a + wins_b AS DOUBLE) + 0.9604))
+         |      / (CAST(wins_a + wins_b AS DOUBLE) + 3.8416)))
+         |      AS BIGINT) AS wilson_hi_x10000
+         |  FROM und)
+         |SELECT item_a, item_b, wins_a, wins_b, n, win_rate_x10000,
+         |  wilson_lo_x10000, wilson_hi_x10000,
+         |  wilson_lo_x10000 > 5000 OR wilson_hi_x10000 < 5000 AS decisive
+         |FROM wr ORDER BY item_a, item_b""".stripMargin) { (s, d) =>
+      graft.ext.Preference.winRateReport(
+        graft.ext.Preference.preferencePairs(Tables.events(s, d)))
+    }.sortedBy(col("item_a"), col("item_b")),
+
     // Touch attribution: per purchase, the last/first non-conversion
     // touch within a 1-hour event-time horizon — RANGE-framed struct
     // extremes, the [t−h, t) bound excluding simultaneous events,

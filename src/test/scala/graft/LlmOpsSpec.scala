@@ -1091,7 +1091,11 @@ class LlmOpsSpec extends SparkSuite {
     val qs = Seq("w_eval_report", "t_eval_rouge_l", "t_gate_probe_batch",
       "t_code_prep", "t_bpe_bytes_tokenize", "t_unigram_bytes_tokenize",
       "t_nb_langid_persisted", "t_code_switch_persisted",
-      "t_lang_mix_persisted", "t_domain_lang_mix_persisted")
+      "t_lang_mix_persisted", "t_domain_lang_mix_persisted",
+      // the IR-eval/calibration wave (t_lsh_recall_audit's 1-row stat
+      // crossJoins are out of scope by the same convention)
+      "t_qrels", "t_rank_eval", "t_ir_report", "t_eval_rouge_n",
+      "t_roc_auc", "t_roc_auc_by", "t_margin_reliability")
     qs.foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -736,6 +736,34 @@ class NativeExprSpec extends SparkSuite {
     val ties = auc(Seq(2L -> true, 3L -> true, 1L -> false, 3L -> false))
     assert(lv(ties, "u2") == 5L, ties)
     assert(lv(ties, "auc_x10000") == 6250L, ties)
+    // per-group AUC: perfect / all-tied / one-class groups in one pass
+    val grouped = (Seq(3L -> true, 4L -> true, 1L -> false, 2L -> false)
+      .map { case (s2, l2) => ("g1", s2, l2) } ++
+      Seq(("g2", 5L, true), ("g2", 5L, true), ("g2", 5L, false),
+        ("g2", 5L, false)) ++
+      Seq(("g3", 1L, true), ("g3", 2L, true)))
+      .toDF("source", "score", "label")
+    val byG = graft.ext.Eval.rocAucBy(grouped).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(lv(byG("g1"), "auc_x10000") == 10000L, byG("g1"))
+    assert(lv(byG("g2"), "auc_x10000") == 5000L, byG("g2"))
+    assert(byG("g3").isNullAt(byG("g3").fieldIndex("auc_x10000")), byG("g3"))
+    // win-rate Wilson report: pinned IEEE values (w=3/n=10 → [1077,
+    // 6032], not decisive; w=50/n=50 → [9286, 10000], decisive)
+    val cmp = Seq(("a", "b", 3L), ("b", "a", 7L), ("c", "d", 50L))
+      .toDF("winner", "loser", "n_pairs")
+    val wrs = graft.ext.Preference.winRateReport(cmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = wrs(("a", "b"))
+    assert(lv(ab, "wins_a") == 3L && lv(ab, "n") == 10L, ab)
+    assert(lv(ab, "win_rate_x10000") == 3000L, ab)
+    assert(lv(ab, "wilson_lo_x10000") == 1077L, ab)
+    assert(lv(ab, "wilson_hi_x10000") == 6032L, ab)
+    assert(!ab.getBoolean(ab.fieldIndex("decisive")), ab)
+    val cd = wrs(("c", "d"))
+    assert(lv(cd, "wilson_lo_x10000") == 9286L, cd)
+    assert(lv(cd, "wilson_hi_x10000") == 10000L, cd)
+    assert(cd.getBoolean(cd.fieldIndex("decisive")), cd)
     // rougeN: perfect corpus → r = p = f = 10⁴ both orders; prefix
     // preds → precision stays 10⁴ (every pred gram matches), recall
     // drops
