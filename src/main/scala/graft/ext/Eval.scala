@@ -897,6 +897,59 @@ object Eval {
           .as("auc_x10000"))
   }
 
+  /** McNemar's PAIRED significance test between two classifiers on the
+    * same reference — the "is A actually better than B, or did it win
+    * on noise" readout every model-comparison eval needs: over items
+    * scored by BOTH systems, the discordant counts b (A right, B
+    * wrong) and c (A wrong, B right) carry all the evidence, and the
+    * test statistic is EXACT in integers:
+    *
+    *   chi2_x10000 = ((b − c)² · 10⁴) div (b + c)
+    *
+    * (the uncorrected McNemar χ² with 1 df; null when b = c = 0 — no
+    * disagreement, no evidence). `significant_05` compares against the
+    * DOCUMENTED critical-value literal 3.8415 (χ²₁ at α = 0.05) as the
+    * integer 38415 — a constant of the law, not a computed quantile —
+    * and is FALSE when χ² is null (zero discordance cannot reject the
+    * null hypothesis; the χ² column's own null discloses the case).
+    * All four agreement cells ship (n11/n10/n01/n00), so the direction
+    * (b vs c) and accuracies are readable from the same row. One row
+    * out.
+    *
+    * Scale shape: two id-keyed joins + one corpus rollup — nothing
+    * beyond the relations' own sizes.
+    */
+  def mcnemar(predsA: DataFrame, predsB: DataFrame, refs: DataFrame,
+              idCol: String = "doc_id", predCol: String = "pred",
+              refCol: String = "ref"): DataFrame = {
+    val a = predsA.filter(col(predCol).isNotNull)
+      .select(col(idCol), col(predCol).as("__mn_a"))
+    val b = predsB.filter(col(predCol).isNotNull)
+      .select(col(idCol), col(predCol).as("__mn_b"))
+    val r = refs.filter(col(refCol).isNotNull)
+      .select(col(idCol), col(refCol).as("__mn_r"))
+    a.join(b, idCol).join(r, idCol)
+      .select((col("__mn_a") === col("__mn_r")).as("__mn_ra"),
+        (col("__mn_b") === col("__mn_r")).as("__mn_rb"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__mn_ra") && col("__mn_rb"), 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("__mn_ra") && !col("__mn_rb"), 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(!col("__mn_ra") && col("__mn_rb"), 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(!col("__mn_ra") && !col("__mn_rb"), 1L).otherwise(0L))
+          .as("n00"))
+      .select(col("n_items"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        when(col("n10") + col("n01") > 0L,
+          expr("((n10 - n01) * (n10 - n01) * 10000) div (n10 + n01)"))
+          .as("chi2_x10000"))
+      .withColumn("significant_05",
+        when(col("chi2_x10000").isNull, lit(false))
+          .otherwise(col("chi2_x10000") > 38415L))
+  }
+
   /** Cohen's κ between every PAIR of annotators sharing items, scaled
     * ×10⁴ and floor-divided so both engines render the same integer:
     *

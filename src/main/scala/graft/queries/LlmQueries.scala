@@ -5919,6 +5919,53 @@ object LlmQueries {
       graft.ext.Eval.rocAucBy(scored)
     }.sortedBy(col("source")),
 
+    // ── McNemar paired test: does the LEARNED quality gate beat the
+    // single-feature length baseline on rule-teacher agreement, with
+    // statistical support? Discordant counts only, exact integer χ²,
+    // significance against the documented 3.8415 critical literal.
+    QueryDef("t_mcnemar",
+      s"""WITH $qualityNbCtes,
+         |nref AS (SELECT doc_id,
+         |    CASE WHEN quality >= 3 THEN 'good' ELSE 'bad' END AS r
+         |  FROM qscored WHERE text IS NOT NULL),
+         |nbase AS (SELECT doc_id,
+         |    CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 'good'
+         |         ELSE 'bad' END AS pb
+         |  FROM qbase WHERE text IS NOT NULL),
+         |ncell AS (SELECT (c.pred = r.r) AS ra, (b.pb = r.r) AS rb
+         |  FROM qcls c JOIN nbase b USING (doc_id)
+         |  JOIN nref r USING (doc_id)),
+         |nagg AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n11,
+         |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n00
+         |  FROM ncell)
+         |SELECT n_items, n11, n10, n01, n00,
+         |  CAST(CASE WHEN n10 + n01 > 0
+         |    THEN ((n10 - n01) * (n10 - n01) * 10000) // (n10 + n01)
+         |    END AS BIGINT) AS chi2_x10000,
+         |  coalesce(CASE WHEN n10 + n01 > 0
+         |    THEN ((n10 - n01) * (n10 - n01) * 10000) // (n10 + n01)
+         |      > 38415 END, FALSE) AS significant_05
+         |FROM nagg""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val nb = TextAnalysis.classifyWith(docs,
+        TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d)))
+        .select(col("doc_id"), col("pred"))
+      val baseline = docs.select(col("doc_id"),
+        when(TextAnalysis.tokenCount(col("text")).between(10, 1000),
+          lit("good")).otherwise(lit("bad")).as("pred"))
+      val teacher = docs.select(col("doc_id"),
+        when(TextAnalysis.qualityScore(col("text")) >= 3, lit("good"))
+          .otherwise(lit("bad")).as("ref"))
+      graft.ext.Eval.mcnemar(nb, baseline, teacher)
+    },
+
     // ── Char-trigram NB language ID (fastText analog) ──────────────
     // The t_nb_classify chain with ONE substitution: both training and
     // classified text pass through the char-trigram re-encoding

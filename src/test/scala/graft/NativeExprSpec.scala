@@ -764,6 +764,22 @@ class NativeExprSpec extends SparkSuite {
     assert(lv(cd, "wilson_lo_x10000") == 9286L, cd)
     assert(lv(cd, "wilson_hi_x10000") == 10000L, cd)
     assert(cd.getBoolean(cd.fieldIndex("decisive")), cd)
+    // mcnemar: hand-checked cells (A right 1–9, B right 1–6, ref all
+    // 'x') → n10 = 3, n01 = 0, χ²·10⁴ = 30000, below the 38415 cut;
+    // zero-discordance → null, disclosed
+    val mcRefs = (1L to 10L).map(i => (i, "x")).toDF("doc_id", "ref")
+    val mcA = (1L to 10L).map(i => (i, if (i <= 9) "x" else "y"))
+      .toDF("doc_id", "pred")
+    val mcB = (1L to 10L).map(i => (i, if (i <= 6) "x" else "y"))
+      .toDF("doc_id", "pred")
+    val mc = graft.ext.Eval.mcnemar(mcA, mcB, mcRefs).collect().head
+    assert(lv(mc, "n11") == 6L && lv(mc, "n10") == 3L &&
+      lv(mc, "n01") == 0L && lv(mc, "n00") == 1L, mc)
+    assert(lv(mc, "chi2_x10000") == 30000L, mc)
+    assert(!mc.getBoolean(mc.fieldIndex("significant_05")), mc)
+    val mcSame = graft.ext.Eval.mcnemar(mcA, mcA, mcRefs).collect().head
+    assert(mcSame.isNullAt(mcSame.fieldIndex("chi2_x10000")), mcSame)
+    assert(!mcSame.getBoolean(mcSame.fieldIndex("significant_05")), mcSame)
     // rougeN: perfect corpus → r = p = f = 10⁴ both orders; prefix
     // preds → precision stays 10⁴ (every pred gram matches), recall
     // drops
