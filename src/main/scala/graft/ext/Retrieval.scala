@@ -170,6 +170,90 @@ object Retrieval {
         ranks.map(n => col(bq(n))) :+ col("rank"): _*)
   }
 
+  /** MAXIMAL-MARGINAL-RELEVANCE diversified re-ranking (Carbonell &
+    * Goldstein 1998) over the dense arm — the standard fix for a
+    * top-k full of near-identical passages when sourcing by topic:
+    * greedily select `k` of the top-`kCand` cosine candidates, each
+    * step taking the argmax of
+    *
+    *   mmr = λ·rel − (100 − λ)·maxSim(selected)     (λ = `lambdaX100`)
+    *
+    * with rel and sim BOTH on the engine's exact integer cosine grain
+    * (`round(round(cos, 6)·10⁶)` — the 6-dp cosine every dense oracle
+    * already gates, lifted to ×10⁶ integers, so the whole greedy
+    * trajectory is integer arithmetic and a second engine replays
+    * every selection bit-for-bit; the first pick's penalty term is 0).
+    * Ties break (score DESC, id ASC) — a total order.
+    *
+    * Output: (query_id, neighbor_id, mmr_rank 1..k, mmr_score). A
+    * query with fewer than k candidates yields fewer rows (disclosed
+    * by shape, not padded).
+    *
+    * Scale shape: candidates come from the existing bounded-heap
+    * top-k scan; everything after is QUERY-BOUNDED — the pairwise sim
+    * relation is |Q|·kCand² rows (kCand ≤ 64 enforced), and each of
+    * the k greedy rounds is one anti-join + one partial-agg argmax
+    * over it, with the selected set localCheckpoint-pinned per round
+    * (|Q|·t rows) so the plan does not re-derive the trajectory.
+    */
+  def mmrRerank(emb: DataFrame, queryIds: Seq[Long], kCand: Int = 20,
+                k: Int = 5, lambdaX100: Int = 70,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(kCand >= 1 && kCand <= 64,
+      s"kCand must be in [1, 64], got $kCand")
+    require(k >= 1 && k <= kCand, s"k must be in [1, kCand=$kCand], got $k")
+    require(lambdaX100 >= 0 && lambdaX100 <= 100,
+      s"lambdaX100 must be in [0, 100], got $lambdaX100")
+    val lam = lambdaX100.toLong
+    val cand = Similarity.topKByIdsNative(emb, queryIds, kCand, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos") * 1e6, 0).cast("long").as("__mm_rel"))
+      .localCheckpoint()
+    val cv = cand.join(
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__mm_v")),
+      "neighbor_id")
+    val aSide = cv.select(col("query_id"), col("neighbor_id").as("__mm_ia"),
+      col("__mm_v").as("__mm_va"))
+    val bSide = cv.select(col("query_id"), col("neighbor_id").as("__mm_ib"),
+      col("__mm_v").as("__mm_vb"))
+    val sims = aSide.join(bSide, Seq("query_id"))
+      .filter(col("__mm_ia") =!= col("__mm_ib"))
+      .select(col("query_id"), col("__mm_ia"), col("__mm_ib"),
+        round(round(Similarity.cosine(col("__mm_va"), col("__mm_vb")), 6)
+          * 1e6, 0).cast("long").as("__mm_sim"))
+      .localCheckpoint()
+    def pick(scored: DataFrame): DataFrame = scored
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("__mm_mmr")).as("nm"),
+        col("neighbor_id").as("id"))).as("__mm_t"))
+      .select(col("query_id"), col("__mm_t.id").as("neighbor_id"),
+        (-col("__mm_t.nm")).as("mmr_score"))
+    var selected = pick(cand
+        .withColumn("__mm_mmr", lit(lam) * col("__mm_rel")))
+      .withColumn("mmr_rank", lit(1L))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val remaining = cand.join(
+        selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val maxSim = sims.join(
+          selected.select(col("query_id"),
+            col("neighbor_id").as("__mm_ib")),
+          Seq("query_id", "__mm_ib"))
+        .groupBy(col("query_id"), col("__mm_ia").as("neighbor_id"))
+        .agg(max(col("__mm_sim")).as("__mm_ms"))
+      val scored = remaining.join(maxSim, Seq("query_id", "neighbor_id"))
+        .withColumn("__mm_mmr",
+          lit(lam) * col("__mm_rel") - lit(100L - lam) * col("__mm_ms"))
+      selected = selected.union(
+          pick(scored).withColumn("mmr_rank", lit(t.toLong)))
+        .localCheckpoint()
+    }
+    selected.select(col("query_id"), col("neighbor_id"),
+      col("mmr_rank"), col("mmr_score"))
+  }
+
   /** Deterministic GRADED relevance judgments (qrels) from term
     * coverage — the synthetic-qrels rule that lets the IR metrics
     * ([[Eval.rankEval]]) run without human judgments: a document is

@@ -6354,6 +6354,60 @@ object LlmQueries {
       graft.ext.Retrieval.rrfFuseAll(Seq(sparse, bm25, dense), k = 10)
     }.sortedBy(col("query_id"), col("rank")),
 
+    // ── MMR diversified re-ranking: greedy λ-tradeoff between dense
+    // relevance and max-similarity-to-already-selected, the WHOLE
+    // trajectory on the exact ×10⁶ integer cosine grain — the oracle
+    // replays every greedy pick as a recursive CTE carrying the
+    // selected list (1 row per query per step, argmax by window).
+    QueryDef("t_mmr_rerank",
+      s"""WITH RECURSIVE mq AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |mscored AS (
+         |  SELECT mq.query_id, e.vec_id AS nid,
+         |         round(${cosine("mq.qv", "e.embedding")}, 6) AS cos
+         |  FROM mq JOIN embeddings e ON e.vec_id <> mq.query_id),
+         |mcand AS (SELECT query_id, nid,
+         |    CAST(round(cos * 1000000, 0) AS BIGINT) AS rel
+         |  FROM (SELECT query_id, nid, cos, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, nid) AS rnk
+         |    FROM mscored)
+         |  WHERE rnk <= 20),
+         |msim AS (SELECT a.query_id, a.nid AS ia, b.nid AS ib,
+         |    CAST(round(round(${cosine("ea.embedding", "eb.embedding")},
+         |      6) * 1000000, 0) AS BIGINT) AS sim
+         |  FROM mcand a JOIN mcand b ON b.query_id = a.query_id
+         |    AND b.nid <> a.nid
+         |  JOIN embeddings ea ON ea.vec_id = a.nid
+         |  JOIN embeddings eb ON eb.vec_id = b.nid),
+         |mmr(query_id, step, nid, score, sel) AS (
+         |  SELECT query_id, CAST(1 AS BIGINT), nid,
+         |    CAST(70 * rel AS BIGINT), [nid]
+         |  FROM (SELECT query_id, nid, rel, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY 70 * rel DESC, nid) AS rn
+         |    FROM mcand)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT query_id, step + 1, nid, score, list_append(sel, nid)
+         |  FROM (
+         |    SELECT query_id, step, sel, nid, score, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, nid) AS rn
+         |    FROM (
+         |      SELECT m.query_id, m.step, m.sel, c.nid,
+         |        CAST(70 * c.rel - 30 * (SELECT max(s.sim) FROM msim s
+         |          WHERE s.query_id = m.query_id AND s.ia = c.nid
+         |            AND list_contains(m.sel, s.ib)) AS BIGINT) AS score
+         |      FROM mmr m JOIN mcand c ON c.query_id = m.query_id
+         |        AND NOT list_contains(m.sel, c.nid)
+         |      WHERE m.step < 5))
+         |  WHERE rn = 1)
+         |SELECT query_id, nid AS neighbor_id, step AS mmr_rank,
+         |  score AS mmr_score
+         |FROM mmr ORDER BY query_id, mmr_rank""".stripMargin) { (s, d) =>
+      graft.ext.Retrieval.mmrRerank(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), kCand = 20, k = 5, lambdaX100 = 70)
+    }.sortedBy(col("query_id"), col("mmr_rank")),
+
     QueryDef("t_hybrid_search", {
       val qIds = SearchQueries.map(_._1).distinct.sorted.mkString(", ")
       s"""WITH $searchDocsCtes,

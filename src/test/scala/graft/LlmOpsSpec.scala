@@ -65,6 +65,37 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("mmr rerank: greedy diversity law, first pick is top-cos, parameters validated") {
+    import spark.implicits._
+    // q = e1; a/b nearly collinear with q (and with each other);
+    // c half-angle diverse. λ = 30 weights diversity enough that the
+    // second pick must jump to c even though b has higher relevance.
+    def v(x: Float, y: Float): Array[Float] =
+      Array(x, y) ++ Array.fill(62)(0f)
+    val emb = Seq(
+      (0L, v(1f, 0f)), (1L, v(1f, 0.01f)), (2L, v(1f, 0.02f)),
+      (3L, v(0.5f, 0.866f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Retrieval.mmrRerank(emb, Seq(0L), kCand = 3,
+      k = 3, lambdaX100 = 30)
+      .orderBy(col("mmr_rank")).collect()
+      .map(r => r.getLong(r.fieldIndex("mmr_rank")) ->
+        r.getLong(r.fieldIndex("neighbor_id")))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 3L, 3L -> 2L), out.toSeq)
+    // λ = 100 ignores diversity: pure cosine order a, b, c
+    val pure = graft.ext.Retrieval.mmrRerank(emb, Seq(0L), kCand = 3,
+      k = 3, lambdaX100 = 100)
+      .orderBy(col("mmr_rank")).collect()
+      .map(r => r.getLong(r.fieldIndex("neighbor_id")))
+    assert(pure.toSeq == Seq(1L, 2L, 3L), pure.toSeq)
+    intercept[IllegalArgumentException] {
+      graft.ext.Retrieval.mmrRerank(emb, Seq(0L), kCand = 3, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Retrieval.mmrRerank(emb, Seq(0L), lambdaX100 = 101)
+    }
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val docs = Seq(
