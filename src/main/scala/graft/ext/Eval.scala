@@ -897,6 +897,46 @@ object Eval {
           .as("auc_x10000"))
   }
 
+  /** Per-group classifier ACCURACY with a 95% Wilson score interval —
+    * the "84% ± how much" readout that turns an accuracy table into an
+    * evidence table: per group, n / n_correct / exact ×10⁴ accuracy
+    * plus Wilson bounds under the same engine-exact float law as
+    * [[Preference.winRateReport]] (only IEEE exactly-rounded ops over
+    * the documented z = 1.96 literals — z² = 3.8416, z²/2 = 1.9208,
+    * z²/4 = 0.9604 — same parenthesization both engines, floored ×10⁴).
+    * Rows joined on `idCol`; a null group is a group (disclosed).
+    * Output: (groupCol, n, n_correct, acc_x10000, wilson_lo_x10000,
+    * wilson_hi_x10000).
+    *
+    * Scale shape: one id join + one group-keyed partial agg; the
+    * Wilson arithmetic is row-local on the group-bounded result.
+    */
+  def accuracyCi(preds: DataFrame, refs: DataFrame,
+                 groupCol: String = "source", idCol: String = "doc_id",
+                 predCol: String = "pred",
+                 refCol: String = "ref"): DataFrame = {
+    val agg = preds.filter(col(predCol).isNotNull)
+      .select(col(idCol), col(predCol))
+      .join(refs.filter(col(refCol).isNotNull)
+        .select(col(idCol), col(groupCol), col(refCol)), idCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(predCol) === col(refCol), 1L).otherwise(0L))
+          .as("n_correct"))
+    val wD = col("n_correct").cast("double")
+    val nD = col("n").cast("double")
+    val half = lit(1.96) * sqrt(
+      (col("n_correct") * (col("n") - col("n_correct"))).cast("double")
+        / nD + lit(0.9604))
+    def x1e4(c: Column): Column = floor(lit(10000.0) * c).cast("long")
+    agg.select(col(groupCol), col("n"), col("n_correct"),
+      expr("(n_correct * 10000) div n").as("acc_x10000"),
+      x1e4(((wD + lit(1.9208)) - half) / (nD + lit(3.8416)))
+        .as("wilson_lo_x10000"),
+      x1e4(((wD + lit(1.9208)) + half) / (nD + lit(3.8416)))
+        .as("wilson_hi_x10000"))
+  }
+
   /** McNemar's PAIRED significance test between two classifiers on the
     * same reference — the "is A actually better than B, or did it win
     * on noise" readout every model-comparison eval needs: over items

@@ -5919,6 +5919,44 @@ object LlmQueries {
       graft.ext.Eval.rocAucBy(scored)
     }.sortedBy(col("source")),
 
+    // ── Per-domain accuracy of the learned quality gate vs its rule
+    // teacher, with 95% Wilson bounds — the evidence-bearing accuracy
+    // table (same engine-exact float law as w_win_rates).
+    QueryDef("t_accuracy_ci",
+      s"""WITH $qualityNbCtes,
+         |alab AS (SELECT q.doc_id, d.source,
+         |    CASE WHEN q.quality >= 3 THEN 'good' ELSE 'bad' END AS r
+         |  FROM qscored q JOIN documents d USING (doc_id)
+         |  WHERE q.text IS NOT NULL),
+         |aagg AS (SELECT l.source,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN c.pred = l.r THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM qcls c JOIN alab l USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT source, n, n_correct,
+         |  CAST((n_correct * 10000) // n AS BIGINT) AS acc_x10000,
+         |  CAST(floor(10000.0 * (((n_correct + 1.9208)
+         |    - 1.96 * sqrt(CAST(n_correct * (n - n_correct) AS DOUBLE)
+         |        / CAST(n AS DOUBLE) + 0.9604))
+         |    / (CAST(n AS DOUBLE) + 3.8416))) AS BIGINT)
+         |    AS wilson_lo_x10000,
+         |  CAST(floor(10000.0 * (((n_correct + 1.9208)
+         |    + 1.96 * sqrt(CAST(n_correct * (n - n_correct) AS DOUBLE)
+         |        / CAST(n AS DOUBLE) + 0.9604))
+         |    / (CAST(n AS DOUBLE) + 3.8416))) AS BIGINT)
+         |    AS wilson_hi_x10000
+         |FROM aagg ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val nb = TextAnalysis.classifyWith(docs,
+        TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d)))
+        .select(col("doc_id"), col("pred"))
+      val teacher = docs.select(col("doc_id"), col("source"),
+        when(TextAnalysis.qualityScore(col("text")) >= 3, lit("good"))
+          .otherwise(lit("bad")).as("ref"))
+      graft.ext.Eval.accuracyCi(nb, teacher)
+    }.sortedBy(col("source")),
+
     // ── McNemar paired test: does the LEARNED quality gate beat the
     // single-feature length baseline on rule-teacher agreement, with
     // statistical support? Discordant counts only, exact integer χ²,

@@ -1126,7 +1126,8 @@ class LlmOpsSpec extends SparkSuite {
       // the IR-eval/calibration wave (t_lsh_recall_audit's 1-row stat
       // crossJoins are out of scope by the same convention)
       "t_qrels", "t_rank_eval", "t_ir_report", "t_eval_rouge_n",
-      "t_roc_auc", "t_roc_auc_by", "t_margin_reliability", "t_mcnemar")
+      "t_roc_auc", "t_roc_auc_by", "t_margin_reliability", "t_mcnemar",
+      "t_accuracy_ci")
     qs.foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString

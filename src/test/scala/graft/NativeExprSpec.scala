@@ -780,6 +780,19 @@ class NativeExprSpec extends SparkSuite {
     val mcSame = graft.ext.Eval.mcnemar(mcA, mcA, mcRefs).collect().head
     assert(mcSame.isNullAt(mcSame.fieldIndex("chi2_x10000")), mcSame)
     assert(!mcSame.getBoolean(mcSame.fieldIndex("significant_05")), mcSame)
+    // accuracyCi: pinned Wilson values (5/10 → [2365, 7634]; 10/10 in
+    // a second group → acc 10000 with lo 9286-analog law at n=10)
+    val acRefs = ((1L to 10L).map(i => (i, "g", "x")) ++
+      (11L to 20L).map(i => (i, "h", "x")))
+      .toDF("doc_id", "source", "ref")
+    val acPreds = ((1L to 10L).map(i => (i, if (i <= 5) "x" else "y")) ++
+      (11L to 20L).map(i => (i, "x"))).toDF("doc_id", "pred")
+    val ac = graft.ext.Eval.accuracyCi(acPreds, acRefs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(lv(ac("g"), "acc_x10000") == 5000L, ac("g"))
+    assert(lv(ac("g"), "wilson_lo_x10000") == 2365L, ac("g"))
+    assert(lv(ac("g"), "wilson_hi_x10000") == 7634L, ac("g"))
+    assert(lv(ac("h"), "acc_x10000") == 10000L, ac("h"))
     // rougeN: perfect corpus → r = p = f = 10⁴ both orders; prefix
     // preds → precision stays 10⁴ (every pred gram matches), recall
     // drops
