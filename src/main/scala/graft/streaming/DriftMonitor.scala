@@ -1,0 +1,226 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ext.TextAnalysis
+
+/** STREAMING corpus-drift monitor: per micro-batch, the ingest's
+  * quality-shape rates are compared against a PINNED baseline profile
+  * (trained once from a trusted snapshot — the NbBundle/LmBundle
+  * discipline applied to monitoring) and folded into a persisted
+  * integer CUSUM per metric, the classic sequential change detector:
+  *
+  *   s_up'  = max(0, s_up + (x − μ − slack))      (upward page)
+  *   s_dn'  = max(0, s_dn + (μ − x − slack))      (downward page)
+  *   alarm  = s_up' > threshold ∨ s_dn' > threshold
+  *
+  * — a one-batch blip within `slack` of baseline decays to nothing,
+  * while a SUSTAINED shift accumulates and alarms even when each
+  * individual batch looks unremarkable. That is the monitoring gap the
+  * per-batch gates (quality cut, lexicon screen) cannot see: each
+  * batch passes its own bar while the corpus quietly shifts.
+  *
+  * All three metrics are ×10⁴ RATES over the batch (one shared grain,
+  * so one slack/threshold pair means the same thing for each):
+  * `quality_rate` (share of non-null-text docs passing
+  * [[TextAnalysis.qualityScore]] ≥ minQuality), `null_text_rate`
+  * (share of ALL rows with null text), `short_doc_rate` (share of
+  * non-null-text docs under 10 tokens). Every update is exact integer
+  * arithmetic.
+  *
+  * REPLAY SAFETY: CUSUM is a running sum — not redelivery-idempotent —
+  * so each batch's epoch marker rides in the SAME state table and the
+  * (skip | update+mark) decision publishes as ONE atomic scratch-swap
+  * ([[SketchStream.maintainCms]]'s law, same crash-window recovery).
+  * Epoch markers identify batches of one checkpoint lineage; a fresh
+  * checkpoint against an existing monitor table reads re-batched
+  * history as replays — new checkpoint, new monitor `name`.
+  *
+  * Scale shape: per batch, ONE aggregation over the batch itself (a
+  * handful of counters), joined against the metric-bounded profile and
+  * state tables — per-batch cost never grows with history, state is
+  * |metrics| rows + one marker per applied epoch.
+  */
+object DriftMonitor {
+
+  /** One monitor decision, reported per batch via `onBatch`: `alarms`
+    * = metrics whose CUSUM crossed the threshold AFTER this update
+    * (empty when quiet); `action` ∈ merged | skipped_replay |
+    * empty_batch.
+    */
+  final case class DriftEvent(epoch: Long, action: String,
+                              alarms: Seq[String])
+
+  /** The pinned baseline-profile table for monitor `name`. */
+  def profileTable(name: String): String = s"${name}_profile"
+
+  /** The maintained CUSUM state table for monitor `name` (kind='s'
+    * metric rows + kind='e' epoch markers — one table so the update
+    * and its marker commit atomically).
+    */
+  def stateTable(name: String): String = s"${name}_state"
+
+  private def scratch(name: String): String = s"${name}_state__merge"
+
+  /** The shared metric law: (metric, x) ×10⁴ rates over `df`. A batch
+    * (or snapshot) with zero rows yields zero metric rows; rates over
+    * non-null-text docs are absent when no such doc exists (no signal,
+    * not a zero — an all-null batch should not read as "quality went
+    * to 0").
+    */
+  def metrics(df: DataFrame, textCol: String = "text",
+              minQuality: Int = 3): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("__dm_rows"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("__dm_nulls"),
+      sum(when(col(textCol).isNotNull, 1L)).as("__dm_docs"),
+      sum(when(col(textCol).isNotNull &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality, 1L)
+        .otherwise(0L)).as("__dm_good"),
+      sum(when(col(textCol).isNotNull &&
+        TextAnalysis.tokenCount(col(textCol)) < 10, 1L)
+        .otherwise(0L)).as("__dm_short"))
+    agg.select(explode(array(
+        struct(lit("quality_rate").as("metric"),
+          when(col("__dm_docs") > 0L,
+            expr("(__dm_good * 10000) div __dm_docs")).as("x")),
+        struct(lit("null_text_rate").as("metric"),
+          when(col("__dm_rows") > 0L,
+            expr("(__dm_nulls * 10000) div __dm_rows")).as("x")),
+        struct(lit("short_doc_rate").as("metric"),
+          when(col("__dm_docs") > 0L,
+            expr("(__dm_short * 10000) div __dm_docs")).as("x"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.x").as("x"))
+      .filter(col("x").isNotNull)
+  }
+
+  /** Train-once: pin the baseline profile (metric, mu) from a trusted
+    * snapshot. Overwrites an existing profile of the same name — the
+    * deliberate re-baseline operation.
+    */
+  def writeProfile(docs: DataFrame, name: String, textCol: String = "text",
+                   minQuality: Int = 3): Unit = {
+    val mu = metrics(docs, textCol, minQuality)
+      .select(col("metric"), col("x").as("mu"))
+    graft.core.Layout.writeBucketed(mu, profileTable(name), "metric", 1)
+  }
+
+  /** Finish an interrupted scratch-swap ([[SketchStream.recoverCms]]'s
+    * law): live missing + scratch present → republish the scratch.
+    * Every batch calls it first; safe any time.
+    */
+  def recover(spark: SparkSession, name: String): Boolean = {
+    val live = stateTable(name)
+    if (!spark.catalog.tableExists(live) &&
+        spark.catalog.tableExists(scratch(name))) {
+      spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
+      true
+    } else {
+      if (spark.catalog.tableExists(live) &&
+          spark.catalog.tableExists(scratch(name)))
+        spark.sql(s"DROP TABLE ${scratch(name)}")
+      false
+    }
+  }
+
+  /** Current per-metric monitor state: (metric, mu, s_up, s_dn,
+    * n_batches, last_x, alarmed) — `alarmed` is the live verdict
+    * against `threshold`.
+    */
+  def currentState(spark: SparkSession, name: String,
+                   threshold: Long = 1000L): DataFrame =
+    spark.table(stateTable(name))
+      .filter(col("kind") === "s")
+      .join(spark.table(profileTable(name)), "metric")
+      .select(col("metric"), col("mu"), col("s_up"), col("s_dn"),
+        col("n_batches"), col("last_x"),
+        (col("s_up") > threshold || col("s_dn") > threshold)
+          .as("alarmed"))
+
+  /** Maintain the drift monitor over a document stream. `slack` and
+    * `threshold` are in the shared ×10⁴ rate grain (defaults: ignore
+    * per-batch wobble under 2 percentage points; alarm once sustained
+    * excess accumulates to 10 rate-points — e.g. five consecutive
+    * batches each 4 points beyond slack).
+    */
+  def maintain(docs: DataFrame, name: String, checkpointDir: String,
+               textCol: String = "text", minQuality: Int = 3,
+               slack: Long = 200L, threshold: Long = 1000L,
+               onBatch: DriftEvent => Unit = _ => ()): StreamingQuery = {
+    require(slack >= 0L, s"slack must be >= 0, got $slack")
+    require(threshold > 0L, s"threshold must be positive, got $threshold")
+    require(docs.sparkSession.catalog.tableExists(profileTable(name)),
+      s"no baseline profile '${profileTable(name)}' — writeProfile first")
+    val owner = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        val spark = batch.sparkSession
+        recover(spark, name)
+        val live = stateTable(name)
+        val liveDf =
+          if (spark.catalog.tableExists(live)) Some(spark.table(live))
+          else None
+        val applied = liveDf.exists(
+          _.filter(col("kind") === "e" && col("epoch") === epoch)
+            .limit(1).count() > 0)
+        if (applied) { onBatch(DriftEvent(epoch, "skipped_replay", Nil)) }
+        else {
+          val xs = metrics(batch.toDF(), textCol, minQuality)
+            .localCheckpoint()
+          if (xs.isEmpty) onBatch(DriftEvent(epoch, "empty_batch", Nil))
+          else {
+            val prof = spark.table(profileTable(name))
+            val prev = liveDf.map(_.filter(col("kind") === "s"))
+              .getOrElse(spark.emptyDataFrame
+                .select(lit("").as("kind"), lit("").as("metric"),
+                  lit(0L).as("epoch"), lit(0L).as("s_up"),
+                  lit(0L).as("s_dn"), lit(0L).as("n_batches"),
+                  lit(0L).as("last_x")).limit(0))
+              .select(col("metric"), col("s_up").as("__dm_pu"),
+                col("s_dn").as("__dm_pd"),
+                col("n_batches").as("__dm_pn"))
+            val upd = xs.join(broadcast(prof), "metric")
+              .join(prev, Seq("metric"), "left")
+              .select(lit("s").as("kind"), col("metric"),
+                lit(0L).as("epoch"),
+                greatest(lit(0L), coalesce(col("__dm_pu"), lit(0L))
+                  + (col("x") - col("mu") - lit(slack))).as("s_up"),
+                greatest(lit(0L), coalesce(col("__dm_pd"), lit(0L))
+                  + (col("mu") - col("x") - lit(slack))).as("s_dn"),
+                (coalesce(col("__dm_pn"), lit(0L)) + 1L).as("n_batches"),
+                col("x").as("last_x"))
+            // metrics absent from THIS batch (e.g. all-null batch has
+            // no quality signal) carry their state forward unchanged
+            val carried = prev.join(xs, Seq("metric"), "left_anti")
+              .select(lit("s").as("kind"), col("metric"),
+                lit(0L).as("epoch"), col("__dm_pu").as("s_up"),
+                col("__dm_pd").as("s_dn"), col("__dm_pn").as("n_batches"),
+                lit(null).cast("long").as("last_x"))
+            val marker = spark.range(1).select(lit("e").as("kind"),
+              lit("").as("metric"), lit(epoch).as("epoch"),
+              lit(0L).as("s_up"), lit(0L).as("s_dn"),
+              lit(0L).as("n_batches"), lit(0L).as("last_x"))
+            val oldMarkers = liveDf.map(_.filter(col("kind") === "e"))
+              .toSeq
+            val merged = (Seq(upd, carried, marker) ++ oldMarkers)
+              .reduce(_ unionByName _)
+              .localCheckpoint()
+            graft.core.Layout.writeBucketed(merged, scratch(name),
+              "kind", 1)
+            spark.sql(s"DROP TABLE IF EXISTS $live")
+            spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
+            if (owner.catalog.tableExists(live))
+              owner.catalog.refreshTable(live)
+            val alarms = merged.filter(col("kind") === "s" &&
+                (col("s_up") > threshold || col("s_dn") > threshold))
+              .select("metric").collect().map(_.getString(0)).sorted
+            onBatch(DriftEvent(epoch, "merged", alarms.toSeq))
+          }
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.DriftMonitor
+
+/** The streaming corpus-drift monitor: a quiet stream accumulates
+  * nothing, a SUSTAINED shift (each batch individually within one
+  * slack-and-a-bit of baseline) accumulates to an alarm, replayed
+  * epochs are marker-skipped (CUSUM is a sum — not redelivery-
+  * idempotent), and the scratch-swap recovers from its crash window.
+  */
+class DriftMonitorSpec extends SparkSuite {
+  import spark.implicits._
+
+  // quality ≥ 3 by construction: 14 tokens, stopwords, sane shape
+  private def good(i: Long): (Long, String) =
+    (i, s"the quick brown fox jumps over a lazy dog near the old barn w$i")
+  // quality < 3 and short: 1 opaque token
+  private def bad(i: Long): (Long, String) = (i, "zz")
+
+  private def mix(nGood: Int, nBad: Int, base: Long): DataFrame =
+    ((0 until nGood).map(i => good(base + i)) ++
+      (0 until nBad).map(i => bad(base + 1000 + i)))
+      .toDF("doc_id", "text")
+
+  test("drift monitor: quiet → quiet, sustained shift accumulates to alarm, replay skipped, swap recovers") {
+    val name = "t_drift_mon"
+    // baseline: 80% good → quality_rate 8000, short_doc_rate 2000
+    DriftMonitor.writeProfile(mix(80, 20, 0L), name)
+    val prof = spark.table(DriftMonitor.profileTable(name)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof("quality_rate") == 8000L, prof)
+    assert(prof("short_doc_rate") == 2000L, prof)
+    assert(prof("null_text_rate") == 0L, prof)
+
+    val events = new ConcurrentLinkedQueue[DriftMonitor.DriftEvent]()
+    val srcDir = java.nio.file.Files.createTempDirectory("drift-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("drift-ckpt").toString
+    val docsSchema = mix(1, 0, 0L).schema
+    def start(ck: String = ckpt) = DriftMonitor.maintain(
+      spark.readStream.schema(docsSchema).parquet(srcDir), name, ck,
+      slack = 200L, threshold = 2000L, onBatch = events.add(_))
+    def feed(df: DataFrame): Unit =
+      df.write.mode("append").parquet(srcDir)
+
+    // batch 0: on-profile mix → deviations 0, nothing accumulates
+    feed(mix(40, 10, 100L))
+    val q0 = start(); q0.processAllAvailable(); q0.stop()
+    // batches 1–3: sustained mild shift (quality 8000 → 7000, short
+    // 2000 → 3000): each batch adds 800 past slack; threshold 2000
+    // crosses on the THIRD shifted batch, not before
+    feed(mix(35, 15, 200L))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    feed(mix(35, 15, 300L))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    feed(mix(35, 15, 400L))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+
+    val evs = events.asScala.toSeq
+    assert(evs.map(_.action) == Seq.fill(4)("merged"), evs)
+    assert(evs(0).alarms.isEmpty && evs(1).alarms.isEmpty &&
+      evs(2).alarms.isEmpty, evs)
+    assert(evs(3).alarms == Seq("quality_rate", "short_doc_rate"), evs)
+
+    val st = DriftMonitor.currentState(spark, name, threshold = 2000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val qr = st("quality_rate")
+    assert(qr.getLong(qr.fieldIndex("s_dn")) == 2400L, qr)
+    assert(qr.getLong(qr.fieldIndex("s_up")) == 0L, qr)
+    assert(qr.getBoolean(qr.fieldIndex("alarmed")), qr)
+    assert(qr.getLong(qr.fieldIndex("n_batches")) == 4L, qr)
+    val sr = st("short_doc_rate")
+    assert(sr.getLong(sr.fieldIndex("s_up")) == 2400L, sr)
+    assert(sr.getBoolean(sr.fieldIndex("alarmed")), sr)
+    val nr = st("null_text_rate")
+    assert(!nr.getBoolean(nr.fieldIndex("alarmed")), nr)
+
+    // REDELIVERY: fresh checkpoint re-batches history as epoch 0 —
+    // the marker skips it, no CUSUM moves (a sum WOULD double-count)
+    val before = spark.table(DriftMonitor.stateTable(name))
+      .collect().map(_.toSeq).toSet
+    val ck2 = java.nio.file.Files.createTempDirectory("drift-ck2").toString
+    val q4 = start(ck2); q4.processAllAvailable(); q4.stop()
+    assert(events.asScala.toSeq.map(_.action).contains("skipped_replay"),
+      events.asScala.toSeq.toString)
+    assert(spark.table(DriftMonitor.stateTable(name))
+      .collect().map(_.toSeq).toSet == before,
+      "replayed epoch must move no state")
+
+    // interrupted swap: crash landed between DROP and RENAME
+    val live = DriftMonitor.stateTable(name)
+    spark.sql(s"ALTER TABLE $live RENAME TO ${live}__merge")
+    assert(DriftMonitor.recover(spark, name))
+    assert(spark.table(live).collect().map(_.toSeq).toSet == before)
+    assert(!DriftMonitor.recover(spark, name))
+
+    // no profile → loud failure, not a silently unmonitored stream
+    intercept[IllegalArgumentException] {
+      DriftMonitor.maintain(
+        spark.readStream.schema(docsSchema).parquet(srcDir),
+        "t_drift_unprofiled", ckpt)
+    }
+  }
+
+  test("drift monitor metrics: all-null batch carries no quality signal; null rate still reads") {
+    val df = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val m = DriftMonitor.metrics(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("null_text_rate" -> 10000L), m)
+  }
+}
