@@ -169,6 +169,22 @@ object CurationStream {
   final case class LexiconScreenGate(lexicon: DataFrame,
                                      maxScoreX100PerKtok: Long)
 
+  /** In-stream corpus-drift monitoring for [[run]] — the composed face
+    * of [[DriftMonitor]] (one stream, not a second reader over the
+    * topic): each micro-batch's NOVEL documents (post-dedup, pre-gate
+    * — drift in what is actually arriving as new content, before any
+    * quality cut masks it) fold into the monitor's persisted CUSUM
+    * state under the gate stream's own epoch lineage; `onDrift` fires
+    * per batch with the alarm list. The baseline profile
+    * ([[DriftMonitor.writeProfile]]) must exist at stream start —
+    * fail loud, not a silently unmonitored stream. Observability only:
+    * the monitor never drops a document.
+    */
+  final case class DriftGate(name: String, slack: Long = 200L,
+                             threshold: Long = 1000L,
+                             onDrift: DriftMonitor.DriftEvent => Unit =
+                               _ => ())
+
   /** Start the composed topology. `docs` must carry (`idCol`,
     * `textCol`, `dimKey`); admitted, quality-passing documents reach
     * `sink` enriched (left outer — a doc with no dim row survives with
@@ -227,8 +243,16 @@ object CurationStream {
           qualityGate: Option[QualityGate] = None,
           perplexityGate: Option[PerplexityGate] = None,
           boilerplateStrip: Option[BoilerplateStrip] = None,
-          lexiconGate: Option[LexiconScreenGate] = None)
+          lexiconGate: Option[LexiconScreenGate] = None,
+          driftGate: Option[DriftGate] = None)
          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // drift monitor: the profile must exist BEFORE the stream starts
+    driftGate.foreach { dg =>
+      require(docs.sparkSession.catalog
+          .tableExists(DriftMonitor.profileTable(dg.name)),
+        s"no baseline profile '${DriftMonitor.profileTable(dg.name)}' — " +
+          "DriftMonitor.writeProfile first")
+    }
     // boilerplate strip loads its persisted artifact ONCE, here — a
     // missing table dies at start, not on batch 0; the hash set is
     // pinned so per-batch broadcasts never re-read the table
@@ -314,6 +338,13 @@ object CurationStream {
       rowsPerBand = rowsPerBand, jaccardNum = jaccardNum,
       jaccardDen = jaccardDen, compactEvery = compactEvery,
       vacuumAfterCompact = vacuumAfterCompact) { (novel, epoch) =>
+      // drift monitoring observes the NOVEL batch before any gate —
+      // the epoch lineage is the gate stream's own checkpoint, so the
+      // monitor's replay markers stay consistent across restarts
+      driftGate.foreach { dg =>
+        dg.onDrift(DriftMonitor.updateBatch(dg.name, novel, epoch,
+          textCol, minQuality, dg.slack, dg.threshold))
+      }
       val redacted =
         if (redactPii)
           novel.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))

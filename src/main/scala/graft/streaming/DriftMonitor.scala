@@ -139,11 +139,85 @@ object DriftMonitor {
         (col("s_up") > threshold || col("s_dn") > threshold)
           .as("alarmed"))
 
-  /** Maintain the drift monitor over a document stream. `slack` and
-    * `threshold` are in the shared ×10⁴ rate grain (defaults: ignore
-    * per-batch wobble under 2 percentage points; alarm once sustained
-    * excess accumulates to 10 rate-points — e.g. five consecutive
-    * batches each 4 points beyond slack).
+  /** ONE batch's monitor update — the reusable core [[maintain]] wraps
+    * and [[CurationStream]] composes into its own topology (one stream,
+    * not a second reader): recover any interrupted swap, skip an
+    * already-marked epoch, otherwise fold the batch's metrics into the
+    * CUSUM state and publish state + marker in one atomic scratch-swap.
+    * Returns the batch's [[DriftEvent]]. Epoch numbers must belong to
+    * ONE checkpoint lineage per monitor `name`.
+    */
+  def updateBatch(name: String, batch: DataFrame, epoch: Long,
+                  textCol: String = "text", minQuality: Int = 3,
+                  slack: Long = 200L, threshold: Long = 1000L): DriftEvent = {
+    val spark = batch.sparkSession
+    recover(spark, name)
+    val live = stateTable(name)
+    val liveDf =
+      if (spark.catalog.tableExists(live)) Some(spark.table(live))
+      else None
+    val applied = liveDf.exists(
+      _.filter(col("kind") === "e" && col("epoch") === epoch)
+        .limit(1).count() > 0)
+    if (applied) DriftEvent(epoch, "skipped_replay", Nil)
+    else {
+      val xs = metrics(batch, textCol, minQuality)
+        .localCheckpoint()
+      if (xs.isEmpty) DriftEvent(epoch, "empty_batch", Nil)
+      else {
+        val prof = spark.table(profileTable(name))
+        val prev = liveDf.map(_.filter(col("kind") === "s"))
+          .getOrElse(spark.emptyDataFrame
+            .select(lit("").as("kind"), lit("").as("metric"),
+              lit(0L).as("epoch"), lit(0L).as("s_up"),
+              lit(0L).as("s_dn"), lit(0L).as("n_batches"),
+              lit(0L).as("last_x")).limit(0))
+          .select(col("metric"), col("s_up").as("__dm_pu"),
+            col("s_dn").as("__dm_pd"),
+            col("n_batches").as("__dm_pn"))
+        val upd = xs.join(broadcast(prof), "metric")
+          .join(prev, Seq("metric"), "left")
+          .select(lit("s").as("kind"), col("metric"),
+            lit(0L).as("epoch"),
+            greatest(lit(0L), coalesce(col("__dm_pu"), lit(0L))
+              + (col("x") - col("mu") - lit(slack))).as("s_up"),
+            greatest(lit(0L), coalesce(col("__dm_pd"), lit(0L))
+              + (col("mu") - col("x") - lit(slack))).as("s_dn"),
+            (coalesce(col("__dm_pn"), lit(0L)) + 1L).as("n_batches"),
+            col("x").as("last_x"))
+        // metrics absent from THIS batch (e.g. all-null batch has no
+        // quality signal) carry their state forward unchanged
+        val carried = prev.join(xs, Seq("metric"), "left_anti")
+          .select(lit("s").as("kind"), col("metric"),
+            lit(0L).as("epoch"), col("__dm_pu").as("s_up"),
+            col("__dm_pd").as("s_dn"), col("__dm_pn").as("n_batches"),
+            lit(null).cast("long").as("last_x"))
+        val marker = spark.range(1).select(lit("e").as("kind"),
+          lit("").as("metric"), lit(epoch).as("epoch"),
+          lit(0L).as("s_up"), lit(0L).as("s_dn"),
+          lit(0L).as("n_batches"), lit(0L).as("last_x"))
+        val oldMarkers = liveDf.map(_.filter(col("kind") === "e")).toSeq
+        val merged = (Seq(upd, carried, marker) ++ oldMarkers)
+          .reduce(_ unionByName _)
+          .localCheckpoint()
+        graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)
+        spark.sql(s"DROP TABLE IF EXISTS $live")
+        spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
+        spark.catalog.refreshTable(live)
+        val alarms = merged.filter(col("kind") === "s" &&
+            (col("s_up") > threshold || col("s_dn") > threshold))
+          .select("metric").collect().map(_.getString(0)).sorted
+        DriftEvent(epoch, "merged", alarms.toSeq)
+      }
+    }
+  }
+
+  /** Maintain the drift monitor over a document stream as its own
+    * topology (the standalone shape; [[updateBatch]] is the composable
+    * core). `slack` and `threshold` are in the shared ×10⁴ rate grain
+    * (defaults: ignore per-batch wobble under 2 percentage points;
+    * alarm once sustained excess accumulates to 10 rate-points — e.g.
+    * five consecutive batches each 4 points beyond slack).
     */
   def maintain(docs: DataFrame, name: String, checkpointDir: String,
                textCol: String = "text", minQuality: Int = 3,
@@ -157,69 +231,13 @@ object DriftMonitor {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-        val spark = batch.sparkSession
-        recover(spark, name)
-        val live = stateTable(name)
-        val liveDf =
-          if (spark.catalog.tableExists(live)) Some(spark.table(live))
-          else None
-        val applied = liveDf.exists(
-          _.filter(col("kind") === "e" && col("epoch") === epoch)
-            .limit(1).count() > 0)
-        if (applied) { onBatch(DriftEvent(epoch, "skipped_replay", Nil)) }
-        else {
-          val xs = metrics(batch.toDF(), textCol, minQuality)
-            .localCheckpoint()
-          if (xs.isEmpty) onBatch(DriftEvent(epoch, "empty_batch", Nil))
-          else {
-            val prof = spark.table(profileTable(name))
-            val prev = liveDf.map(_.filter(col("kind") === "s"))
-              .getOrElse(spark.emptyDataFrame
-                .select(lit("").as("kind"), lit("").as("metric"),
-                  lit(0L).as("epoch"), lit(0L).as("s_up"),
-                  lit(0L).as("s_dn"), lit(0L).as("n_batches"),
-                  lit(0L).as("last_x")).limit(0))
-              .select(col("metric"), col("s_up").as("__dm_pu"),
-                col("s_dn").as("__dm_pd"),
-                col("n_batches").as("__dm_pn"))
-            val upd = xs.join(broadcast(prof), "metric")
-              .join(prev, Seq("metric"), "left")
-              .select(lit("s").as("kind"), col("metric"),
-                lit(0L).as("epoch"),
-                greatest(lit(0L), coalesce(col("__dm_pu"), lit(0L))
-                  + (col("x") - col("mu") - lit(slack))).as("s_up"),
-                greatest(lit(0L), coalesce(col("__dm_pd"), lit(0L))
-                  + (col("mu") - col("x") - lit(slack))).as("s_dn"),
-                (coalesce(col("__dm_pn"), lit(0L)) + 1L).as("n_batches"),
-                col("x").as("last_x"))
-            // metrics absent from THIS batch (e.g. all-null batch has
-            // no quality signal) carry their state forward unchanged
-            val carried = prev.join(xs, Seq("metric"), "left_anti")
-              .select(lit("s").as("kind"), col("metric"),
-                lit(0L).as("epoch"), col("__dm_pu").as("s_up"),
-                col("__dm_pd").as("s_dn"), col("__dm_pn").as("n_batches"),
-                lit(null).cast("long").as("last_x"))
-            val marker = spark.range(1).select(lit("e").as("kind"),
-              lit("").as("metric"), lit(epoch).as("epoch"),
-              lit(0L).as("s_up"), lit(0L).as("s_dn"),
-              lit(0L).as("n_batches"), lit(0L).as("last_x"))
-            val oldMarkers = liveDf.map(_.filter(col("kind") === "e"))
-              .toSeq
-            val merged = (Seq(upd, carried, marker) ++ oldMarkers)
-              .reduce(_ unionByName _)
-              .localCheckpoint()
-            graft.core.Layout.writeBucketed(merged, scratch(name),
-              "kind", 1)
-            spark.sql(s"DROP TABLE IF EXISTS $live")
-            spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
-            if (owner.catalog.tableExists(live))
-              owner.catalog.refreshTable(live)
-            val alarms = merged.filter(col("kind") === "s" &&
-                (col("s_up") > threshold || col("s_dn") > threshold))
-              .select("metric").collect().map(_.getString(0)).sorted
-            onBatch(DriftEvent(epoch, "merged", alarms.toSeq))
-          }
-        }
+        val ev = updateBatch(name, batch.toDF(), epoch, textCol,
+          minQuality, slack, threshold)
+        // the batch session's clone wrote the swap; make sure the
+        // OWNER session's catalog sees the republished table too
+        if (owner.catalog.tableExists(stateTable(name)))
+          owner.catalog.refreshTable(stateTable(name))
+        onBatch(ev)
       }
       .start()
   }

@@ -105,6 +105,66 @@ class DriftMonitorSpec extends SparkSuite {
     }
   }
 
+  test("composed curation stream: drift gate observes novel batches, alarms on sustained shift, drops nothing") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{CurationStream, ManifestStore}
+    val name = "t_cur_drift"
+    // distinct texts throughout, and good docs mutually BELOW the
+    // gate's 0.8 near-dup Jaccard (three unique tail tokens → 11/17
+    // shared shingles ≈ 0.65) — the dedup gate upstream of the monitor
+    // must admit every doc, or the observed rates would be
+    // post-collapse, not the batch's own
+    def cgood(i: Long) = (i,
+      s"the quick brown fox jumps over a lazy dog near the old barn " +
+        s"x$i y$i z$i", 0)
+    def cbad(i: Long) = (i, s"zz$i", 0)
+    def cmix(nGood: Int, nBad: Int, base: Long) =
+      (0 until nGood).map(i => cgood(base + i)) ++
+        (0 until nBad).map(i => cbad(base + 1000 + i))
+    DriftMonitor.writeProfile(
+      cmix(80, 20, 50000L).toDF("doc_id", "text", "source_id")
+        .select(col("doc_id"), col("text")), name)
+    val dimDir = java.nio.file.Files.createTempDirectory("cd-dim").toString
+    ManifestStore.seed(Seq((0, "crawlA")).toDF("source_id", "source"),
+      "source_id", dimDir)
+    val drifts = new ConcurrentLinkedQueue[DriftMonitor.DriftEvent]()
+    val curated = new ConcurrentLinkedQueue[Long]()
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = CurationStream.run(
+      ms.toDF().toDF("doc_id", "text", "source_id"), "t_cur_drift_store",
+      dimDir, "source_id",
+      java.nio.file.Files.createTempDirectory("cd-ckpt").toString,
+      driftGate = Some(CurationStream.DriftGate(name, slack = 200L,
+        threshold = 1500L, onDrift = drifts.add(_)))) { (out, _) =>
+      out.select("doc_id").collect().foreach(r => curated.add(r.getLong(0)))
+    }
+    try {
+      ms.addData(cmix(40, 10, 100L): _*); q.processAllAvailable()
+      ms.addData(cmix(35, 15, 200L): _*); q.processAllAvailable()
+      ms.addData(cmix(35, 15, 300L): _*); q.processAllAvailable()
+    } finally q.stop()
+    val evs = drifts.asScala.toSeq.sortBy(_.epoch)
+    assert(evs.map(_.action) == Seq("merged", "merged", "merged"), evs)
+    assert(evs(0).alarms.isEmpty && evs(1).alarms.isEmpty, evs)
+    // two shifted batches × 800 past slack = 1600 > 1500: both rate
+    // pages alarm on the SECOND shifted batch
+    assert(evs(2).alarms == Seq("quality_rate", "short_doc_rate"), evs)
+    // observability only: every good doc still reached the sink
+    assert(curated.asScala.toSet.count(_ < 1000L) == 110, // 40+35+35
+      s"curated: ${curated.asScala.size}")
+    // unprofiled composed stream fails at START
+    intercept[IllegalArgumentException] {
+      CurationStream.run(
+        ms.toDF().toDF("doc_id", "text", "source_id"), "t_cur_drift_s2",
+        dimDir, "source_id",
+        java.nio.file.Files.createTempDirectory("cd-ck2").toString,
+        driftGate = Some(CurationStream.DriftGate("t_cur_noprofile"))) {
+        (_, _) => ()
+      }
+    }
+  }
+
   test("drift monitor metrics: all-null batch carries no quality signal; null rate still reads") {
     val df = Seq((1L, null: String), (2L, null: String))
       .toDF("doc_id", "text")
