@@ -859,6 +859,57 @@ object Eval {
           .as("auc_x10000"))
   }
 
+  /** Kendall rank correlation (τ-a) between two retrieval runs, per
+    * query — "how differently do these two systems rank": over the
+    * documents BOTH runs retrieved for a query, every unordered doc
+    * pair is concordant (both runs order it the same way) or
+    * discordant, and
+    *
+    *   tau_x10000 = ((C − D) · 10⁴) div (C + D)
+    *
+    * exact integers throughout (ranks are distinct within a run, so
+    * τ-a has no tie term; C + D = n(n−1)/2). Queries sharing < 2 docs
+    * have no pair evidence → null τ, disclosed with n_shared. Output:
+    * (queryCol, n_shared, concordant, discordant, tau_x10000).
+    *
+    * Scale shape: one (query, doc) equi-join of two |Q|·k relations,
+    * then a per-query pair self-join bounded by k² — query-bounded by
+    * construction, never corpus-sized.
+    */
+  def rankCorrelation(runA: DataFrame, runB: DataFrame,
+                      queryCol: String = "query_id",
+                      docCol: String = "doc_id",
+                      rankCol: String = "rank"): DataFrame = {
+    val shared = runA
+      .select(col(queryCol), col(docCol), col(rankCol).cast("long").as("__rc_a"))
+      .join(runB.select(col(queryCol), col(docCol),
+        col(rankCol).cast("long").as("__rc_b")), Seq(queryCol, docCol))
+    val l = shared.select(col(queryCol), col(docCol).as("__rc_d1"),
+      col("__rc_a").as("__rc_a1"), col("__rc_b").as("__rc_b1"))
+    val r = shared.select(col(queryCol), col(docCol).as("__rc_d2"),
+      col("__rc_a").as("__rc_a2"), col("__rc_b").as("__rc_b2"))
+    val pairs = l.join(r, Seq(queryCol))
+      .filter(col("__rc_d1") < col("__rc_d2"))
+      .select(col(queryCol),
+        (((col("__rc_a1") < col("__rc_a2")) &&
+          (col("__rc_b1") < col("__rc_b2"))) ||
+          ((col("__rc_a1") > col("__rc_a2")) &&
+            (col("__rc_b1") > col("__rc_b2")))).as("__rc_con"))
+    val nShared = shared.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_shared"))
+    val agg = pairs.groupBy(col(queryCol))
+      .agg(sum(when(col("__rc_con"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__rc_con"), 0L).otherwise(1L)).as("discordant"))
+    nShared.join(agg, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_shared"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        when(coalesce(col("concordant"), lit(0L)) +
+            coalesce(col("discordant"), lit(0L)) > 0L,
+          expr("((concordant - discordant) * 10000) div " +
+            "(concordant + discordant)")).as("tau_x10000"))
+  }
+
   /** [[rocAuc]] resolved PER GROUP (domain, language, task…) — the
     * same exact Mann–Whitney law with every relation keyed by
     * `groupCol`: one (group, score) partial agg, a prefix window

@@ -6318,6 +6318,47 @@ object LlmQueries {
         graft.ext.Retrieval.termCoverageQrels(docs, queries))
     },
 
+    // Kendall τ-a between the tf-idf and BM25 runs per query — the
+    // "how differently do the two arms rank" readout, exact integers
+    // over shared docs (distinct ranks ⇒ no tie term), < 2 shared
+    // docs → null τ, disclosed.
+    QueryDef("t_rank_tau",
+      s"""WITH $searchDocsCtes,
+         |${bm25Ctes(k1X100 = 120, bX100 = 75)},
+         |tsh AS (SELECT s.query_id, s.doc_id, s.rank AS ra, b.rank AS rb
+         |  FROM (SELECT * FROM sranked WHERE rank <= 10) s
+         |  JOIN (SELECT * FROM branked WHERE rank <= 10) b
+         |    USING (query_id, doc_id)),
+         |tns AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM tsh GROUP BY 1),
+         |tpr AS (SELECT a.query_id,
+         |    CAST(sum(CASE WHEN (a.ra < b.ra AND a.rb < b.rb)
+         |      OR (a.ra > b.ra AND a.rb > b.rb) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN (a.ra < b.ra AND a.rb < b.rb)
+         |      OR (a.ra > b.ra AND a.rb > b.rb) THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS d
+         |  FROM tsh a JOIN tsh b ON b.query_id = a.query_id
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1)
+         |SELECT n.query_id, n.n_shared,
+         |  coalesce(p.c, 0) AS concordant,
+         |  coalesce(p.d, 0) AS discordant,
+         |  CAST(CASE WHEN coalesce(p.c, 0) + coalesce(p.d, 0) > 0
+         |    THEN ((p.c - p.d) * 10000) // (p.c + p.d) END AS BIGINT)
+         |    AS tau_x10000
+         |FROM tns n LEFT JOIN tpr p USING (query_id)
+         |ORDER BY query_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val a = TextAnalysis.searchDocs(docs, queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val b = TextAnalysis.searchDocsBm25(docs, queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.ext.Eval.rankCorrelation(a, b)
+    }.sortedBy(col("query_id")),
+
     // ── Hybrid retrieval: reciprocal-rank fusion ───────────────────
     // Sparse (integer tf-idf) top-20 fused with dense (exact cosine)
     // top-20 by rrf = Σ 10⁶ div (60 + rank) — rank-only, so the fusion

@@ -780,6 +780,21 @@ class NativeExprSpec extends SparkSuite {
     val mcSame = graft.ext.Eval.mcnemar(mcA, mcA, mcRefs).collect().head
     assert(mcSame.isNullAt(mcSame.fieldIndex("chi2_x10000")), mcSame)
     assert(!mcSame.getBoolean(mcSame.fieldIndex("significant_05")), mcSame)
+    // rankCorrelation: identical runs → τ = 10⁴; reversed → −10⁴;
+    // one shared doc → null τ with n_shared disclosed
+    val runX = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 99L, 2L)).toDF("query_id", "doc_id", "rank")
+    val runRev = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L),
+      (2L, 20L, 5L), (2L, 98L, 1L)).toDF("query_id", "doc_id", "rank")
+    val tauSame = graft.ext.Eval.rankCorrelation(runX, runX).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(lv(tauSame(1L), "tau_x10000") == 10000L, tauSame(1L))
+    val tauRev = graft.ext.Eval.rankCorrelation(runX, runRev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(lv(tauRev(1L), "tau_x10000") == -10000L, tauRev(1L))
+    assert(lv(tauRev(2L), "n_shared") == 1L, tauRev(2L))
+    assert(tauRev(2L).isNullAt(tauRev(2L).fieldIndex("tau_x10000")),
+      tauRev(2L))
     // accuracyCi: pinned Wilson values (5/10 → [2365, 7634]; 10/10 in
     // a second group → acc 10000 with lo 9286-analog law at n=10)
     val acRefs = ((1L to 10L).map(i => (i, "g", "x")) ++
