@@ -20,6 +20,87 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("IR metric laws on random runs/qrels: bounds, ideal-run perfection, AUC monotone invariance, tau symmetry, Wilson containment") {
+    import spark.implicits._
+    Seq(3L, 19L, 77L).foreach { seed =>
+      val rnd = new Random(seed)
+      val k = 8
+      val qrels = (1L to 5L).flatMap { q =>
+        rnd.shuffle((1L to 30L).toList).take(rnd.nextInt(12) + 1)
+          .map(doc => (q, doc, rnd.nextInt(3) + 1L))
+      }.toDF("query_id", "doc_id", "rel")
+      val run = (1L to 5L).flatMap { q =>
+        rnd.shuffle((1L to 30L).toList).take(k).zipWithIndex
+          .map { case (doc, i) => (q, doc, i + 1L) }
+      }.toDF("query_id", "doc_id", "rank")
+      val m = graft.ext.Eval.rankEval(run, qrels, k).collect()
+      m.foreach { r =>
+        def o(c: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(c))) None
+          else Some(r.getLong(r.fieldIndex(c)))
+        Seq("rr_x10000", "precision_x10000", "recall_x10000",
+          "ap_x10000", "ndcg_x10000").foreach { c =>
+          o(c).foreach(v => assert(v >= 0L && v <= 10000L,
+            s"seed=$seed $c=$v out of range: $r")) }
+        assert(r.getLong(r.fieldIndex("n_rel_ret")) <=
+          math.min(r.getLong(r.fieldIndex("n_ret")),
+            r.getLong(r.fieldIndex("n_rel"))), s"seed=$seed $r")
+      }
+      // the IDEAL run (qrels sorted rel desc, doc asc, top k) must
+      // score nDCG = 10⁴ and, when n_rel ≤ k, recall = 10⁴ and AP = 10⁴
+      val ideal = qrels.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+      val mi = graft.ext.Eval.rankEval(ideal, qrels, k).collect()
+      mi.foreach { r =>
+        assert(r.getLong(r.fieldIndex("ndcg_x10000")) == 10000L,
+          s"seed=$seed ideal run not nDCG-perfect: $r")
+        if (r.getLong(r.fieldIndex("n_rel")) <= k) {
+          assert(r.getLong(r.fieldIndex("recall_x10000")) == 10000L, r)
+          assert(r.getLong(r.fieldIndex("ap_x10000")) == 10000L, r)
+        }
+      }
+      // AUC is rank-based: any strictly monotone score transform
+      // leaves (n_pos, n_neg, u2, auc) bit-identical
+      val scored = (1 to 60).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextBoolean()))
+        .toDF("score", "label")
+      val a1 = graft.ext.Eval.rocAuc(scored).collect().head.toSeq
+      val a2 = graft.ext.Eval.rocAuc(scored.select(
+        (col("score") * 2 + 7).as("score"), col("label")))
+        .collect().head.toSeq
+      assert(a1 == a2, s"seed=$seed AUC not monotone-invariant")
+      // τ is symmetric, and τ(run, run) = 10⁴ on every query with ≥ 2
+      // shared docs
+      val runB = (1L to 5L).flatMap { q =>
+        rnd.shuffle((1L to 30L).toList).take(k).zipWithIndex
+          .map { case (doc, i) => (q, doc, i + 1L) }
+      }.toDF("query_id", "doc_id", "rank")
+      val tAB = graft.ext.Eval.rankCorrelation(run, runB).collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      val tBA = graft.ext.Eval.rankCorrelation(runB, run).collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(tAB == tBA, s"seed=$seed tau not symmetric")
+      graft.ext.Eval.rankCorrelation(run, run).collect().foreach { r =>
+        if (r.getLong(r.fieldIndex("n_shared")) >= 2L)
+          assert(r.getLong(r.fieldIndex("tau_x10000")) == 10000L, r) }
+      // Wilson interval always contains the point accuracy
+      val preds = (1L to 40L).map(i =>
+        (i, if (rnd.nextBoolean()) "x" else "y")).toDF("doc_id", "pred")
+      val refs = (1L to 40L).map(i =>
+        (i, s"g${i % 3}", "x")).toDF("doc_id", "source", "ref")
+      graft.ext.Eval.accuracyCi(preds, refs).collect().foreach { r =>
+        val acc = r.getLong(r.fieldIndex("acc_x10000"))
+        assert(r.getLong(r.fieldIndex("wilson_lo_x10000")) <= acc &&
+          acc <= r.getLong(r.fieldIndex("wilson_hi_x10000")) + 1,
+          s"seed=$seed Wilson interval excludes the point estimate: $r")
+      }
+    }
+  }
+
   test("live + test is a complete partition of ratings for any corpus") {
     import spark.implicits._
     Seq(1L, 7L, 42L).foreach { seed =>
