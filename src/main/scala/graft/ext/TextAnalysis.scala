@@ -600,6 +600,57 @@ object TextAnalysis {
     * ≥ 3% stopword tokens classifies as english. An n-gram profile model
     * drops into the same column shape.
     */
+  /** The BMP script ranges [[scriptProfile]] counts — (name, regex
+    * character class), every range strictly inside the Basic
+    * Multilingual Plane so Java (UTF-16 code units) and RE2 (code
+    * points) count identically; one definition so the engine and any
+    * SQL replay move together.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "digit" -> "0-9",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "cjk" -> "\\u4E00-\\u9FFF",
+    "hangul" -> "\\uAC00-\\uD7A3")
+
+  /** Per-document Unicode-SCRIPT histogram — the orthographic routing
+    * signal that needs no model at all (the char-trigram NB's
+    * evidence-free complement: a Cyrillic page IS Cyrillic before any
+    * classifier runs): per [[ScriptRanges]] entry the code-point count
+    * via the length delta of a strip-regex (`length(s) −
+    * length(regexp_replace(s, "[range]", ""))` — pure codegen'd string
+    * ops, zero shuffle), total characters, the dominant script
+    * (most-counted, ties to the lexicographically smallest name, zero
+    * counts → 'none'), and its ×100 share. Null text yields zero
+    * counts and 'none' — one output row per input row.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val s = coalesce(col(textCol), lit(""))
+    val counted = docs.select(Seq(col(idCol),
+      length(s).cast("long").as("n_chars")) ++
+      ScriptRanges.map { case (name, range) =>
+        (length(s) - length(regexp_replace(s, s"[$range]", "")))
+          .cast("long").as(s"n_$name")
+      }: _*)
+    // dominant via min over struct(-count, name): most counted first,
+    // smallest name on ties — the majorityVote argmax law
+    val top = ScriptRanges.map { case (name, _) =>
+      struct((-col(s"n_$name")).as("nc"), lit(name).as("nm"))
+    }
+    counted
+      .withColumn("__sp_top", least(top: _*))
+      .select(Seq(col(idCol), col("n_chars")) ++
+        ScriptRanges.map { case (name, _) => col(s"n_$name") } ++ Seq(
+        when(col("__sp_top.nc") === 0L, lit("none"))
+          .otherwise(col("__sp_top.nm")).as("dominant_script"),
+        when(col("__sp_top.nc") === 0L, lit(0L))
+          .otherwise(expr("(-__sp_top.nc * 100) div n_chars"))
+          .as("dominant_share_x100")): _*)
+  }
+
   def langId(text: Column): Column =
     when(stopwordCount(text) * 1000 >= tokenCount(text) * 30, lit("en"))
       .otherwise(lit("und"))

@@ -6010,6 +6010,65 @@ object LlmQueries {
     // (spaces → '_', every 3-char substring; short texts survive as
     // their collapsed form) — orthographic evidence instead of word
     // unigrams, the upgrade that classifies text whose words are OOV.
+    // ── Unicode-script profile: the model-free orthographic routing
+    // signal — per doc, code-point counts per BMP script range (length
+    // delta of a strip-regex — pure codegen'd string ops, zero
+    // shuffle), dominant script + ×100 share. Multibyte fixtures
+    // PLANTED in SQL on both sides (Cyrillic/Greek/CJK+Arabic+Hangul
+    // tails by doc_id % 6); every range strictly inside the BMP so
+    // Java code units and RE2 code points count identically.
+    QueryDef("t_script_profile", {
+      val ranges = Seq("latin" -> "[A-Za-z]", "digit" -> "[0-9]",
+        "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+        "greek" -> "[\\x{0370}-\\x{03FF}]",
+        "arabic" -> "[\\x{0600}-\\x{06FF}]",
+        "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+        "hangul" -> "[\\x{AC00}-\\x{D7A3}]")
+      val cnts = ranges.map { case (nm, re) =>
+        s"""  CAST(length(s) - length(regexp_replace(s, '$re', '', 'g'))
+           |    AS BIGINT) AS n_$nm""".stripMargin
+      }.mkString(",\n")
+      val packs = ranges.map { case (nm, _) =>
+        s"struct_pack(nm := '$nm', c := n_$nm)"
+      }.mkString(",\n    ")
+      s"""WITH sp AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 6 AS INTEGER)
+         |    WHEN 0 THEN coalesce(text, '') || ' привет мир'
+         |    WHEN 1 THEN coalesce(text, '') || ' γεια σου'
+         |    WHEN 2 THEN coalesce(text, '') || ' 你好世界 مرحبا 안녕하세요'
+         |    ELSE coalesce(text, '') END AS s
+         |  FROM documents),
+         |counts AS (SELECT doc_id,
+         |  CAST(length(s) AS BIGINT) AS n_chars,
+         |$cnts
+         |  FROM sp),
+         |tall AS (SELECT doc_id, unnest([
+         |    $packs]) AS t FROM counts),
+         |top AS (SELECT doc_id, t.nm AS nm, t.c AS c,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY t.c DESC, t.nm) AS rn
+         |  FROM tall)
+         |SELECT c.*,
+         |  CASE WHEN t.c = 0 THEN 'none' ELSE t.nm END
+         |    AS dominant_script,
+         |  CAST(CASE WHEN t.c = 0 THEN 0
+         |    ELSE (t.c * 100) // c.n_chars END AS BIGINT)
+         |    AS dominant_share_x100
+         |FROM counts c JOIN top t ON t.doc_id = c.doc_id AND t.rn = 1
+         |ORDER BY c.doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" привет мир")))
+          .when(col("doc_id") % 6 === 1,
+            concat(coalesce(col("text"), lit("")), lit(" γεια σου")))
+          .when(col("doc_id") % 6 === 2,
+            concat(coalesce(col("text"), lit("")),
+              lit(" 你好世界 مرحبا 안녕하세요")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scriptProfile(planted)
+    }.sortedBy(col("doc_id")),
+
     QueryDef("t_nb_langid", nbLangIdSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.classifyLangId(docs, docs)

@@ -668,6 +668,33 @@ class NativeExprSpec extends SparkSuite {
       }
   }
 
+  test("script profile: closed-form counts, dominance ties, null text → none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "привет мир abc 12"),   // cyr 9, latin 3, digit 2
+      (2L, "ab яж"),               // latin 2 vs cyrillic 2: tie → cyrillic (lexicographic)
+      (3L, null: String),
+      (4L, "你好 γειά")             // cjk 2, greek 4
+    ).toDF("doc_id", "text")
+    val m = graft.ext.TextAnalysis.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def lv2(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getLong(r.fieldIndex(c))
+    val d1 = m(1L)
+    assert(lv2(d1, "n_cyrillic") == 9L && lv2(d1, "n_latin") == 3L &&
+      lv2(d1, "n_digit") == 2L, d1)
+    assert(d1.getString(d1.fieldIndex("dominant_script")) == "cyrillic", d1)
+    assert(lv2(d1, "dominant_share_x100") == 9L * 100 / 17, d1)
+    val d2 = m(2L)
+    assert(d2.getString(d2.fieldIndex("dominant_script")) == "cyrillic", d2)
+    val d3 = m(3L)
+    assert(lv2(d3, "n_chars") == 0L &&
+      d3.getString(d3.fieldIndex("dominant_script")) == "none", d3)
+    val d4 = m(4L)
+    assert(lv2(d4, "n_cjk") == 2L && lv2(d4, "n_greek") == 4L, d4)
+    assert(d4.getString(d4.fieldIndex("dominant_script")) == "greek", d4)
+  }
+
   test("IR rank eval: closed-form trec metrics, lcm law, report rollup; exact AUC with ties") {
     import spark.implicits._
     // hand-checked fixture at k = 5 (L = lcm(1..6) = 60):
