@@ -680,4 +680,40 @@ object Sampling {
       df.join(broadcast(qdf), strataCol), strataCol, keyCol, maxQ.toInt)
     taken.filter(col("rank") <= col("quota"))
   }
+
+  /** UNCERTAINTY sampling — the active-learning selection rule ("what
+    * should a human label next"): per group, the `k` rows with the
+    * SMALLEST uncertainty score (for the engine's NB classifiers,
+    * `margin` — runner-up bits minus winner bits, 0 = the model is
+    * torn), ties to the smallest id. A labeling budget pointed at the
+    * decision boundary moves a student classifier most per label —
+    * the standard margin-based AL heuristic, exact here because the
+    * margins are integers.
+    *
+    * Input: any relation carrying (`groupCol`, `idCol`, `scoreCol`).
+    * Output: the selected rows + `rank` (1..k per group, ascending
+    * score). Scale shape: the bounded-heap [[graft.plans.TopKPerKey]]
+    * cut — each map task keeps ≤ k rows per group, the exchange
+    * carries O(groups · k), never a corpus sort.
+    */
+  def uncertaintySample(scored: DataFrame, k: Int,
+                        groupCol: String = "source",
+                        idCol: String = "doc_id",
+                        scoreCol: String = "margin"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    val in = scored.filter(col(scoreCol).isNotNull)
+    val top = graft.plans.TopKPerKey(
+      Seq(UnresolvedAttribute(groupCol)),
+      Seq(SortOrder(UnresolvedAttribute(scoreCol), Ascending),
+        SortOrder(UnresolvedAttribute(idCol), Ascending)),
+      k, Bridge.logicalPlan(in))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    Bridge.ofRows(scored.sparkSession, top)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

@@ -5874,6 +5874,31 @@ object LlmQueries {
       graft.ext.Eval.marginReliability(cls, refs, bucketWidth = 16L)
     }.sortedBy(col("bucket")),
 
+    // ── Uncertainty sampling: per source, the 5 docs the quality
+    // classifier is LEAST sure about (smallest margin) — the
+    // active-learning "label these next" list, bounded-heap cut.
+    QueryDef("t_uncertainty_sample",
+      s"""WITH $qualityNbCtes,
+         |usrc AS (SELECT c.doc_id, d.source, c.pred, c.margin
+         |  FROM qcls c JOIN documents d USING (doc_id)
+         |  WHERE d.text IS NOT NULL),
+         |urk AS (SELECT doc_id, source, pred, margin,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY margin, doc_id) AS rn
+         |  FROM usrc)
+         |SELECT doc_id, source, pred, margin, CAST(rn AS BIGINT) AS rank
+         |FROM urk WHERE rn <= 5
+         |ORDER BY source, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val cls = TextAnalysis.classifyWith(docs,
+        TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d)))
+        .select(col("doc_id"), col("pred"), col("margin"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.ext.Sampling.uncertaintySample(cls, k = 5)
+        .select(col("doc_id"), col("source"), col("pred"),
+          col("margin"), col("rank"))
+    }.sortedBy(col("source"), col("rank")),
+
     // ── Per-domain AUC: the same signed-margin ranking law resolved
     // per source — the readout that says WHICH corpus slice the
     // learned gate actually ranks well (a per-group prefix window, so

@@ -101,6 +101,30 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("uncertaintySample: per-group bottom-k margins, id ties, null scores excluded, bounded-heap plan") {
+    import spark.implicits._
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val scored = Seq[(String, Long, java.lang.Long)](
+      ("a", 1L, jl(5)), ("a", 2L, jl(1)), ("a", 3L, jl(1)),
+      ("a", 4L, jl(9)), ("b", 5L, jl(0)), ("b", 6L, jl(2)),
+      ("c", 7L, null))
+      .toDF("source", "doc_id", "margin")
+    val out = graft.ext.Sampling.uncertaintySample(scored, k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(r.fieldIndex("rank"))))
+      .toSet
+    // group a: margins 1(id2), 1(id3) — tie to smaller id first;
+    // group b: 0 then 2; group c: only a null score → absent
+    assert(out == Set(("a", 2L, 1L), ("a", 3L, 2L),
+      ("b", 5L, 1L), ("b", 6L, 2L)), out)
+    val plan = graft.ext.Sampling.uncertaintySample(scored, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.uncertaintySample(scored, k = 0)
+    }
+  }
+
   test("live + test is a complete partition of ratings for any corpus") {
     import spark.implicits._
     Seq(1L, 7L, 42L).foreach { seed =>
