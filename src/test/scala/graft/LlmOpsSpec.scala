@@ -65,6 +65,42 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("lsh recall audit equals a brute-force recount on planted near-dups") {
+    import spark.implicits._
+    // 12 base docs + a near-dup of each (one word appended → J ≈ 0.85)
+    // + 20 unrelated docs: truth pairs and hits recomputed from first
+    // principles must match the audit's one-row integers exactly
+    val base = (0L until 12L).map(i => (i,
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i " +
+        s"iota$i kappa$i lambda$i mu$i"))
+    val nears = base.map { case (i, t) => (i + 500L, s"$t extra$i") }
+    val noise = (100L until 120L).map(i => (i,
+      s"solo$i words$i that$i share$i nothing$i with$i others$i"))
+    val docs = (base ++ nears ++ noise).toDF("doc_id", "text")
+    val a = Dedup.lshRecallAudit(docs, sampleFraction = 1.0)
+      .collect().head
+    def lv(c: String): Long = a.getLong(a.fieldIndex(c))
+    // brute force: exact Jaccard ≥ 1/2 over ALL pairs (no df cap can
+    // fire here — every shingle is id-suffixed, df ≤ 2)
+    val feats = Dedup.features(docs).select("doc_id", "hashes")
+      .as[(Long, Seq[Long])].collect().toMap
+    val ids = feats.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      hi = feats(i).toSet; hj = feats(j).toSet
+      inter = (hi & hj).size; uni = (hi ++ hj).size
+      if inter * 2 >= uni
+    } yield (i, j)).toSet
+    assert(truth.size == 12, s"fixture: expected 12 truth pairs, got ${truth.size}")
+    assert(lv("n_truth_pairs") == truth.size.toLong, a)
+    val cands = Dedup.lshCandidates(Dedup.features(docs))
+      .as[(Long, Long)].collect().toSet
+    assert(lv("n_candidates") == cands.size.toLong, a)
+    assert(lv("n_hits") == (truth & cands).size.toLong, a)
+    assert(lv("recall_x10000") ==
+      (truth & cands).size.toLong * 10000L / truth.size, a)
+  }
+
   test("mmr rerank: greedy diversity law, first pick is top-cos, parameters validated") {
     import spark.implicits._
     // q = e1; a/b nearly collinear with q (and with each other);
