@@ -1154,6 +1154,82 @@ object LlmQueries {
        |  FROM ${p}pq q LEFT JOIN ${p}nr n USING (query_id)
        |  LEFT JOIN ${p}id i USING (query_id))""".stripMargin
 
+  /** The tri-arm fusion CTE chain (dense cosine arm + the tf-idf/BM25
+    * arms' 20-cuts → integer RRF → `tr3`) — shared by the t_hybrid_tri
+    * oracle and the retrieval leaderboard so the two formulations can
+    * never drift. Requires [[searchDocsCtes]] and [[bm25Ctes]] in
+    * scope.
+    */
+  private lazy val hybridTriCtes: String = {
+    val qIds = SearchQueries.map(_._1).distinct.sorted.mkString(", ")
+    s"""dq AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id IN ($qIds)),
+       |dscored AS (
+       |  SELECT dq.query_id, e.vec_id AS neighbor_id,
+       |         round(${cosine("dq.qv", "e.embedding")}, 6) AS cos
+       |  FROM dq JOIN embeddings e ON e.vec_id <> dq.query_id),
+       |dranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM dscored),
+       |tids AS (
+       |  SELECT DISTINCT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id FROM sranked WHERE rank <= 20
+       |    UNION ALL
+       |    SELECT query_id, doc_id FROM branked WHERE rank <= 20
+       |    UNION ALL
+       |    SELECT query_id, neighbor_id FROM dranked WHERE rank <= 20)),
+       |tf3 AS (
+       |  SELECT i.query_id, i.doc_id,
+       |    CAST(coalesce(1000000 // (60 + s.rank), 0)
+       |       + coalesce(1000000 // (60 + b.rank), 0)
+       |       + coalesce(1000000 // (60 + d.rank), 0) AS BIGINT) AS rrf,
+       |    s.rank AS tfidf_rank, b.rank AS bm25_rank,
+       |    d.rank AS dense_rank
+       |  FROM tids i
+       |  LEFT JOIN (SELECT * FROM sranked WHERE rank <= 20) s
+       |    ON s.query_id = i.query_id AND s.doc_id = i.doc_id
+       |  LEFT JOIN (SELECT * FROM branked WHERE rank <= 20) b
+       |    ON b.query_id = i.query_id AND b.doc_id = i.doc_id
+       |  LEFT JOIN (SELECT * FROM dranked WHERE rank <= 20) d
+       |    ON d.query_id = i.query_id AND d.neighbor_id = i.doc_id),
+       |tr3 AS (
+       |  SELECT query_id, doc_id, rrf,
+       |         tfidf_rank, bm25_rank, dense_rank,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM tf3)""".stripMargin
+  }
+
+  /** One system's leaderboard row over a `${p}metrics` relation
+    * ([[rankEvalCtes]]) — the t_ir_report rollup parameterized so the
+    * retrieval leaderboard can UNION one row per system.
+    */
+  private def irReportSelect(p: String, system: String, k: Int,
+                             L: Long): String =
+    s"""SELECT '$system' AS system,
+       |  CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_with_rel,
+       |  CAST(CASE WHEN count(*) > 0 THEN
+       |    (sum(coalesce($L // first_rel_rank, 0)) * 10000)
+       |      // ($L * count(*)) END AS BIGINT) AS mrr_x10000,
+       |  CAST(CASE WHEN count(ap_x10000) > 0
+       |    THEN sum(ap_x10000) // count(ap_x10000) END AS BIGINT)
+       |    AS map_x10000,
+       |  CAST(CASE WHEN count(ndcg_x10000) > 0
+       |    THEN sum(ndcg_x10000) // count(ndcg_x10000) END AS BIGINT)
+       |    AS ndcg_mean_x10000,
+       |  CAST(CASE WHEN count(recall_x10000) > 0
+       |    THEN sum(recall_x10000) // count(recall_x10000) END AS BIGINT)
+       |    AS recall_mean_x10000,
+       |  CAST(CASE WHEN count(*) > 0
+       |    THEN sum(precision_x10000) // count(*) END AS BIGINT)
+       |    AS precision_mean_x10000
+       |FROM ${p}metrics""".stripMargin
+
   /** BM25 replay: the same integer arithmetic as
     * [[graft.ext.TextAnalysis.searchDocsBm25]] — floor-log2 idf via
     * length(bin(x)), ×100 fixed-point k1/b, cross-multiplied length
@@ -6454,52 +6530,12 @@ object LlmQueries {
     // recall, and semantic match in one integer-exact ranking. The
     // oracle unions the three cut arms' id space and left-joins each
     // (≡ the engine's chained full-outer fusion).
-    QueryDef("t_hybrid_tri", {
-      val qIds = SearchQueries.map(_._1).distinct.sorted.mkString(", ")
+    QueryDef("t_hybrid_tri",
       s"""WITH $searchDocsCtes,
          |${bm25Ctes(k1X100 = 120, bX100 = 75)},
-         |dq AS (
-         |  SELECT vec_id AS query_id, embedding AS qv
-         |  FROM embeddings WHERE vec_id IN ($qIds)),
-         |dscored AS (
-         |  SELECT dq.query_id, e.vec_id AS neighbor_id,
-         |         round(${cosine("dq.qv", "e.embedding")}, 6) AS cos
-         |  FROM dq JOIN embeddings e ON e.vec_id <> dq.query_id),
-         |dranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM dscored),
-         |tids AS (
-         |  SELECT DISTINCT query_id, doc_id FROM (
-         |    SELECT query_id, doc_id FROM sranked WHERE rank <= 20
-         |    UNION ALL
-         |    SELECT query_id, doc_id FROM branked WHERE rank <= 20
-         |    UNION ALL
-         |    SELECT query_id, neighbor_id FROM dranked WHERE rank <= 20)),
-         |tf3 AS (
-         |  SELECT i.query_id, i.doc_id,
-         |    CAST(coalesce(1000000 // (60 + s.rank), 0)
-         |       + coalesce(1000000 // (60 + b.rank), 0)
-         |       + coalesce(1000000 // (60 + d.rank), 0) AS BIGINT) AS rrf,
-         |    s.rank AS tfidf_rank, b.rank AS bm25_rank,
-         |    d.rank AS dense_rank
-         |  FROM tids i
-         |  LEFT JOIN (SELECT * FROM sranked WHERE rank <= 20) s
-         |    ON s.query_id = i.query_id AND s.doc_id = i.doc_id
-         |  LEFT JOIN (SELECT * FROM branked WHERE rank <= 20) b
-         |    ON b.query_id = i.query_id AND b.doc_id = i.doc_id
-         |  LEFT JOIN (SELECT * FROM dranked WHERE rank <= 20) d
-         |    ON d.query_id = i.query_id AND d.neighbor_id = i.doc_id),
-         |tr3 AS (
-         |  SELECT query_id, doc_id, rrf,
-         |         tfidf_rank, bm25_rank, dense_rank,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-         |  FROM tf3)
+         |$hybridTriCtes
          |SELECT * FROM tr3 WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       import s.implicits._
       val queries = SearchQueries.toDF("query_id", "term")
       val docs = Tables.documents(s, d)
@@ -6516,6 +6552,57 @@ object LlmQueries {
           col("rank").as("dense_rank"))
       graft.ext.Retrieval.rrfFuseAll(Seq(sparse, bm25, dense), k = 10)
     }.sortedBy(col("query_id"), col("rank")),
+
+    // ── Retrieval LEADERBOARD: the three lexical/hybrid systems'
+    // irReport rows side by side against the same term-coverage qrels
+    // — one relation answering "which retrieval arm should this corpus
+    // run", every number the proven lcm-exact rollup. One UNION of
+    // three shared CTE chains; the fusion arm is the same tr3 relation
+    // t_hybrid_tri gates.
+    QueryDef("w_retrieval_leaderboard",
+      s"""WITH $searchDocsCtes,
+         |${bm25Ctes(k1X100 = 120, bX100 = 75)},
+         |$hybridTriCtes,
+         |$qrelsCtes,
+         |${rankEvalCtes("ls", "sranked", 10, 27720L)},
+         |${rankEvalCtes("lb", "branked", 10, 27720L)},
+         |${rankEvalCtes("lh", "tr3", 10, 27720L)}
+         |${irReportSelect("ls", "tfidf", 10, 27720L)}
+         |UNION ALL
+         |${irReportSelect("lb", "bm25", 10, 27720L)}
+         |UNION ALL
+         |${irReportSelect("lh", "hybrid_tri", 10, 27720L)}
+         |ORDER BY system""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val qrels = graft.ext.Retrieval.termCoverageQrels(docs, queries)
+        .localCheckpoint()
+      val qIds = SearchQueries.map(_._1).distinct.sorted
+      val sparse20 = TextAnalysis.searchDocs(docs, queries, k = 20)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("tfidf_rank")).localCheckpoint()
+      val bm2520 = TextAnalysis.searchDocsBm25(docs, queries, k = 20)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("bm25_rank")).localCheckpoint()
+      val dense = Similarity
+        .topKByIdsNative(Tables.embeddings(s, d), qIds, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank"))
+      val tri = graft.ext.Retrieval
+        .rrfFuseAll(Seq(sparse20, bm2520, dense), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      def row(system: String, run: org.apache.spark.sql.DataFrame) =
+        graft.ext.Eval.irReport(run.filter(col("rank") <= 10), qrels)
+          .select(Seq(lit(system).as("system")) ++
+            Seq("n_queries", "n_with_rel", "mrr_x10000", "map_x10000",
+              "ndcg_mean_x10000", "recall_mean_x10000",
+              "precision_mean_x10000").map(col): _*)
+      row("tfidf", sparse20.withColumnRenamed("tfidf_rank", "rank"))
+        .unionByName(row("bm25",
+          bm2520.withColumnRenamed("bm25_rank", "rank")))
+        .unionByName(row("hybrid_tri", tri))
+    }.sortedBy(col("system")),
 
     // ── MMR diversified re-ranking: greedy λ-tradeoff between dense
     // relevance and max-similarity-to-already-selected, the WHOLE
