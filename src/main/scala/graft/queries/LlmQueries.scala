@@ -5975,6 +5975,78 @@ object LlmQueries {
           col("margin"), col("rank"))
     }.sortedBy(col("source"), col("rank")),
 
+    // ── Drift-CUSUM trajectory (the pure batch face of the streaming
+    // monitor): doc_id % 4 as four ordered batches, the three ×10⁴
+    // quality-shape rates per batch vs the whole-corpus profile, the
+    // up/down CUSUM pages folded by a recursive CTE — the oracle gate
+    // for the law the stream applies with tables and markers.
+    QueryDef("t_drift_trajectory",
+      s"""WITH RECURSIVE ${qualityCtes("documents")},
+         |ddb AS (SELECT d.doc_id % 4 AS b, d.text IS NULL AS isn,
+         |    q.quality, qb.n_tokens
+         |  FROM documents d
+         |  LEFT JOIN qscored q ON q.doc_id = d.doc_id
+         |  LEFT JOIN qbase qb ON qb.doc_id = d.doc_id),
+         |drates AS (SELECT b,
+         |    CASE WHEN count(*) > 0 THEN
+         |      (sum(CASE WHEN isn THEN 1 ELSE 0 END) * 10000)
+         |        // count(*) END AS nullr,
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND quality >= 3 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END AS qr,
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND n_tokens < 10 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END AS sr
+         |  FROM ddb GROUP BY b),
+         |dtall AS (
+         |  SELECT b, 'null_text_rate' AS metric, nullr AS x FROM drates
+         |    WHERE nullr IS NOT NULL
+         |  UNION ALL SELECT b, 'quality_rate', qr FROM drates
+         |    WHERE qr IS NOT NULL
+         |  UNION ALL SELECT b, 'short_doc_rate', sr FROM drates
+         |    WHERE sr IS NOT NULL),
+         |dmu AS (SELECT metric, x AS mu FROM (
+         |  SELECT 'null_text_rate' AS metric,
+         |    CASE WHEN count(*) > 0 THEN
+         |      (sum(CASE WHEN isn THEN 1 ELSE 0 END) * 10000)
+         |        // count(*) END AS x FROM ddb
+         |  UNION ALL SELECT 'quality_rate',
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND quality >= 3 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END FROM ddb
+         |  UNION ALL SELECT 'short_doc_rate',
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND n_tokens < 10 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END FROM ddb)
+         |  WHERE x IS NOT NULL),
+         |dcus(b, metric, x, s_up, s_dn) AS (
+         |  SELECT t.b, t.metric, t.x,
+         |    greatest(0, t.x - m.mu - 200),
+         |    greatest(0, m.mu - t.x - 200)
+         |  FROM dtall t JOIN dmu m USING (metric) WHERE t.b = 0
+         |  UNION ALL
+         |  SELECT t.b, t.metric, t.x,
+         |    greatest(0, c.s_up + (t.x - m.mu - 200)),
+         |    greatest(0, c.s_dn + (m.mu - t.x - 200))
+         |  FROM dcus c JOIN dtall t ON t.metric = c.metric
+         |    AND t.b = c.b + 1
+         |  JOIN dmu m ON m.metric = t.metric)
+         |SELECT CAST(b AS BIGINT) AS batch_idx, metric,
+         |  CAST(x AS BIGINT) AS x, CAST(s_up AS BIGINT) AS s_up,
+         |  CAST(s_dn AS BIGINT) AS s_dn
+         |FROM dcus ORDER BY batch_idx, metric""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val batches = (0 to 3).map(i =>
+        docs.filter(col("doc_id") % 4 === i))
+      val profile = graft.streaming.DriftMonitor.metrics(docs)
+        .select(col("metric"), col("x").as("mu"))
+      graft.streaming.DriftMonitor.cusumTrajectory(batches, profile)
+    }.sortedBy(col("batch_idx"), col("metric")),
+
     // ── Per-domain AUC: the same signed-margin ranking law resolved
     // per source — the readout that says WHICH corpus slice the
     // learned gate actually ranks well (a per-group prefix window, so

@@ -96,6 +96,45 @@ object DriftMonitor {
       .filter(col("x").isNotNull)
   }
 
+  /** PURE batch replay of the CUSUM law — the oracle-gateable face of
+    * the monitor (the streaming path's state lives in tables; this
+    * folds the identical integer law over an ordered sequence of
+    * batch frames with no side effects): per batch, [[metrics]] rates
+    * against `profile` (metric, mu), pages
+    * `s_up' = max(0, s_up + (x − μ − slack))` /
+    * `s_dn' = max(0, s_dn + (μ − x − slack))`, metrics absent from a
+    * batch carrying state forward. Output one row per (batch, metric)
+    * PRESENT in that batch: (batch_idx, metric, x, s_up, s_dn).
+    *
+    * The per-batch metric relations are METRIC-BOUNDED (≤ 3 rows), so
+    * the driver-side fold collects only configuration-sized data —
+    * the [[graft.ext.Curation.domainReweight]] apportionment posture.
+    */
+  def cusumTrajectory(batches: Seq[DataFrame], profile: DataFrame,
+                      textCol: String = "text", minQuality: Int = 3,
+                      slack: Long = 200L): DataFrame = {
+    require(batches.nonEmpty, "cusumTrajectory needs at least one batch")
+    val spark = batches.head.sparkSession
+    val mu = profile.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var state = Map.empty[String, (Long, Long)]
+    val rows = batches.zipWithIndex.flatMap { case (b, i) =>
+      val xs = metrics(b, textCol, minQuality).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      xs.toSeq.sortBy(_._1).flatMap { case (m, x) =>
+        mu.get(m).map { m0 =>
+          val (pu, pd) = state.getOrElse(m, (0L, 0L))
+          val su = math.max(0L, pu + (x - m0 - slack))
+          val sd = math.max(0L, pd + (m0 - x - slack))
+          state += (m -> (su, sd))
+          (i.toLong, m, x, su, sd)
+        }
+      }
+    }
+    import spark.implicits._
+    rows.toDF("batch_idx", "metric", "x", "s_up", "s_dn")
+  }
+
   /** Train-once: pin the baseline profile (metric, mu) from a trusted
     * snapshot. Overwrites an existing profile of the same name — the
     * deliberate re-baseline operation.

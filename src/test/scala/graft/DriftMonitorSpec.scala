@@ -78,6 +78,19 @@ class DriftMonitorSpec extends SparkSuite {
     val nr = st("null_text_rate")
     assert(!nr.getBoolean(nr.fieldIndex("alarmed")), nr)
 
+    // the PURE batch replay folds to exactly the streamed state
+    // (stream ≡ cusumTrajectory on the same ordered batches)
+    val traj = DriftMonitor.cusumTrajectory(
+      Seq(mix(40, 10, 100L), mix(35, 15, 200L), mix(35, 15, 300L),
+        mix(35, 15, 400L)),
+      spark.table(DriftMonitor.profileTable(name))
+        .select(col("metric"), col("mu")))
+      .filter(col("batch_idx") === 3L).collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(traj("quality_rate") == (0L, 2400L), traj)
+    assert(traj("short_doc_rate") == (2400L, 0L), traj)
+    assert(traj("null_text_rate") == (0L, 0L), traj)
+
     // REDELIVERY: fresh checkpoint re-batches history as epoch 0 —
     // the marker skips it, no CUSUM moves (a sum WOULD double-count)
     val before = spark.table(DriftMonitor.stateTable(name))
