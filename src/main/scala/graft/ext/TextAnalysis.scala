@@ -225,10 +225,17 @@ object TextAnalysis {
     * requires total weighted symbol count ≤ ~9·10⁶ — train on a
     * bounded sample (real pipelines always do; the learned table is
     * the driver-sized tokenizer config).
+    *
+    * `byteLevel = true` trains over UTF-8 byte symbols (the
+    * [[learnBpeMerges]] mode): pre-tokens are byte-encoded before the
+    * merge walk, so likelihood-scored merges can span a multibyte
+    * character's bytes; tokenize-with
+    * `bpeMergeTokensWith(_, table, byteLevel = true)`.
     */
   def learnWordPieceMerges(docs: DataFrame, nMerges: Int,
                            textCol: String = "text",
-                           minPairCount: Long = 2L): Seq[(String, String, Long, Long)] = {
+                           minPairCount: Long = 2L,
+                           byteLevel: Boolean = false): Seq[(String, String, Long, Long)] = {
     require(nMerges >= 1 && nMerges <= 4096,
       s"nMerges must be in [1, 4096], got $nMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
@@ -238,7 +245,10 @@ object TextAnalysis {
         lit(0))).as("pt"))
       .groupBy("pt").agg(count(lit(1)).as("w"))
       .localCheckpoint()
-    val totalSyms = vocabPt.agg(sum(col("w") * length(col("pt"))))
+    // byte-level symbols are UTF-8 bytes, so the fixed-point guard
+    // counts bytes, not code points
+    val symLen = if (byteLevel) octet_length(col("pt")) else length(col("pt"))
+    val totalSyms = vocabPt.agg(sum(col("w") * symLen))
       .head.getLong(0)
     require(totalSyms <= 9000000L,
       s"learnWordPieceMerges: corpus has $totalSyms weighted symbols — the " +
@@ -247,8 +257,8 @@ object TextAnalysis {
       scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     var go = true
     while (go && learned.size < nMerges) {
-      val toks =
-        bpeMergeTokensWith(col("pt"), learned.toSeq.map(m => (m._1, m._2)))
+      val toks = bpeMergeTokensWith(col("pt"),
+        learned.toSeq.map(m => (m._1, m._2)), byteLevel)
       // pinned: the pair-count and symbol-count aggregations both read
       // the tokenized vocabulary — one tokenization pass, not two
       val tokd = vocabPt.select(toks.as("t"), col("w")).localCheckpoint()

@@ -767,6 +767,18 @@ object LlmQueries {
         TextAnalysis.learnWordPieceMerges(Tables.documents(s, d), n))
     }
 
+  /** The learned-once BYTE-LEVEL WordPiece table per (JVM, sf dir, n)
+    * — trained on the multibyte-planted corpus ([[plantedMbDocs]]).
+    */
+  def learnedByteWordPieceFor(s: org.apache.spark.sql.SparkSession,
+                              d: String,
+                              n: Int): Seq[(String, String, Long, Long)] =
+    synchronized {
+      learnedWpTables.getOrElseUpdate(dirStem(d) + "#b" + n,
+        TextAnalysis.learnWordPieceMerges(plantedMbDocs(s, d), n,
+          byteLevel = true))
+    }
+
   /** Stage count for the tokenizer-training oracle pair — small enough
     * that the unrolled DuckDB replay stays cheap, large enough to learn
     * real multi-level merges (outputs of earlier merges appear as sides
@@ -1711,11 +1723,13 @@ object LlmQueries {
        |) ORDER BY rank""".stripMargin
   }
 
-  private def wordPieceTrainSql(n: Int): String = {
+  private def wordPieceTrainSql(n: Int, rel: String = "documents",
+                                byteLevel: Boolean = false,
+                                prefixCtes: String = ""): String = {
     val learned = (0 until n).map(k =>
       s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, n, s AS score_fp FROM best$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE ${bpeTrainCtes(n, scored = true)}
+    s"""WITH RECURSIVE $prefixCtes${bpeTrainCtes(n, scored = true, rel, byteLevel)}
        |SELECT * FROM (
        |$learned
        |) ORDER BY rank""".stripMargin
@@ -3257,6 +3271,32 @@ object LlmQueries {
         .map(m => (m._1, m._2))
       val toks = TextAnalysis.bpeMergeTokensWith(col("text"), learned)
       Tables.documents(s, d).select(col("doc_id"),
+        coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
+    }.sortedBy(col("doc_id")),
+
+    // ── BYTE-LEVEL WordPiece training + tokenize: the likelihood-
+    // scored trainer over byte symbols — completes the byte-level
+    // story across all three tokenizer families (merge-BPE, unigram,
+    // WordPiece), same planted multibyte corpus, same unrolled replay.
+    QueryDef("t_wordpiece_bytes_train",
+      wordPieceTrainSql(BpeTrainMerges, rel = "plantedmb",
+        byteLevel = true, prefixCtes = PlantedMbCte)) { (s, d) =>
+      import s.implicits._
+      learnedByteWordPieceFor(s, d, BpeTrainMerges).zipWithIndex
+        .map { case ((a, b, n, sc), i) => (i.toLong, a, b, n, sc) }
+        .toDF("rank", "lhs", "rhs", "n", "score_fp")
+    }.sortedBy(col("rank")),
+
+    QueryDef("t_wordpiece_bytes_tokenize",
+      bpeTrainTokenizeSql(BpeTrainMerges, scored = true,
+        rel = "plantedmb", byteLevel = true,
+        prefixCtes = PlantedMbCte)) { (s, d) =>
+      val learned = learnedByteWordPieceFor(s, d, BpeTrainMerges)
+        .map(m => (m._1, m._2))
+      val toks = TextAnalysis.bpeMergeTokensWith(col("text"), learned,
+        byteLevel = true)
+      plantedMbDocs(s, d).select(col("doc_id"),
         coalesce(array_join(toks, "\u0001"), lit("")).as("learned_tokens"),
         coalesce(size(toks).cast("long"), lit(0L)).as("n_learned_tokens"))
     }.sortedBy(col("doc_id")),

@@ -584,6 +584,18 @@ class NativeExprSpec extends SparkSuite {
         .unigramTokensWith(col("text"), inv, byteLevel = true).as("t"))
       .as[Seq[String]].collect().head
     assert(utoks.mkString == ByteLevel.encode("café"), utoks)
+    // wordpiece byte mode: the likelihood-scored trainer also learns a
+    // cross-byte merge (the é byte pair co-occurs perfectly — exactly
+    // what the likelihood objective rewards). No unique pre-tokens in
+    // this fixture: a singleton pair would top the likelihood score
+    // and fail the minPairCount stop before anything is learned
+    val wpCorpus = (1 to 50).map(i => (i.toLong, "café"))
+      .toDF("doc_id", "text")
+    val wp = graft.ext.TextAnalysis.learnWordPieceMerges(wpCorpus, 4,
+      byteLevel = true)
+    assert(wp.exists { case (a, b, _, _) => (a + b).contains("Ã©") },
+      s"no cross-byte wordpiece merge: $wp")
+    assert(wp.forall { case (a, b, _, _) => a != b }, s"lhs==rhs: $wp")
   }
 
   test("eval family laws: rougeL identity/disjoint/null-answer; bleu perfect corpus and FP headline; fleiss sign") {
