@@ -753,6 +753,68 @@ object Eval {
             dec(col("__ir_idcgn")))).as("ndcg_x10000"))
   }
 
+  /** Rank-biased precision (Moffat & Zobel 2008) at persistence
+    * p = pNum/pDen — the user-model IR metric ("a reader continues to
+    * the next result with probability p"), EXACT because a rational p
+    * makes every geometric weight rational: with binary relevance
+    * (rel > 0) and k-cut ranks,
+    *
+    *   RBP = (1 − p) · Σ_{r: rel} p^(r−1)
+    *       = Σ_{r: rel} pNum^(r−1) · (pDen − pNum) · pDen^(k−r) / pDen^k
+    *
+    * so `rbp_num = Σ pNum^(r−1)·(pDen−pNum)·pDen^(k−r)` is an integer
+    * and `rbp_x10000 = (rbp_num·10⁴) div pDen^k`. `residual_x10000 =
+    * (pNum^k·10⁴) div pDen^k` is the standard uncertainty bound — the
+    * RBP mass a deeper ranking could still claim (constant in k, p;
+    * disclosed per row so the reader can judge whether the cut
+    * matters). Queries with no qrels report rbp 0 with the same
+    * residual. Output: (queryCol, n_rel_ret, rbp_num, rbp_x10000,
+    * residual_x10000).
+    *
+    * Scale shape: one (query, doc) join + one query-keyed rollup over
+    * the |Q|·k run — the [[rankEval]] posture; the weight table is a
+    * k-row broadcast literal.
+    */
+  def rankBiasedPrecision(run: DataFrame, qrels: DataFrame, k: Int = 10,
+                          pNum: Int = 4, pDen: Int = 5,
+                          queryCol: String = "query_id",
+                          docCol: String = "doc_id",
+                          rankCol: String = "rank",
+                          relCol: String = "rel"): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    require(pDen >= 2 && pNum >= 1 && pNum < pDen,
+      s"persistence must satisfy 1 <= pNum < pDen, got $pNum/$pDen")
+    // pDen^k and every weight inside Long for pDen <= 8, k <= 20
+    require(math.pow(pDen.toDouble, k.toDouble) < 9e17,
+      s"pDen^k overflows Long: $pDen^$k")
+    def ipow(b: Long, e: Int): Long = (1 to e).foldLeft(1L)((a, _) => a * b)
+    val denK = ipow(pDen.toLong, k)
+    val weights = (1 to k).map(r =>
+      (r.toLong, ipow(pNum.toLong, r - 1) * (pDen - pNum).toLong *
+        ipow(pDen.toLong, k - r)))
+    val spark = run.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF("__rb_r", "__rb_w")
+    val resid = ipow(pNum.toLong, k) * 10000L / denK
+    val qr = qrels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(docCol))
+    val hits = run.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol),
+        col(rankCol).cast("long").as("__rb_r"))
+      .join(qr, Seq(queryCol, docCol), "left_semi")
+      .join(broadcast(wdf), "__rb_r")
+    run.filter(col(rankCol) <= k).select(col(queryCol)).distinct()
+      .join(hits.groupBy(col(queryCol))
+        .agg(count(lit(1)).as("n_rel_ret"),
+          sum(col("__rb_w")).as("rbp_num")), Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
+        coalesce(col("rbp_num"), lit(0L)).as("rbp_num"),
+        expr(s"(coalesce(rbp_num, 0) * 10000) div ${denK}L")
+          .as("rbp_x10000"),
+        lit(resid).as("residual_x10000"))
+  }
+
   /** The one-row corpus IR report over [[rankEval]] — the leaderboard
     * line a retrieval eval renders: MRR exact via the same lcm law
     * (`mrr_x10000 = (Σ_q (L div r₁(q)))·10⁴ tdiv (L·|Q|)`, a miss

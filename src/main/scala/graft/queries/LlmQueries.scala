@@ -6631,6 +6631,50 @@ object LlmQueries {
       graft.ext.Eval.rankCorrelation(a, b)
     }.sortedBy(col("query_id")),
 
+    // Rank-biased precision at p = 4/5 over the BM25 run — the
+    // user-persistence metric, exact because the rational p makes every
+    // geometric weight an integer over 5^k; the residual bound (mass a
+    // deeper ranking could still claim) disclosed per row.
+    QueryDef("t_rank_rbp", {
+      def ipow(b: Long, e: Int): Long =
+        (1 to e).foldLeft(1L)((a, _) => a * b)
+      val k = 10; val denK = ipow(5L, k)
+      val wRows = (1 to k)
+        .map(r => s"($r, ${ipow(4L, r - 1) * ipow(5L, k - r)})")
+        .mkString(", ")
+      val resid = ipow(4L, k) * 10000L / denK
+      s"""WITH $searchDocsCtes,
+         |${bm25Ctes(k1X100 = 120, bX100 = 75)},
+         |$qrelsCtes,
+         |rbw(r, w) AS (VALUES $wRows),
+         |rbh AS (SELECT b.query_id,
+         |    CAST(count(*) AS BIGINT) AS n_rel_ret,
+         |    CAST(sum(w.w) AS BIGINT) AS num
+         |  FROM (SELECT query_id, doc_id, rank FROM branked
+         |        WHERE rank <= $k) b
+         |  JOIN qrels q ON q.query_id = b.query_id
+         |    AND q.doc_id = b.doc_id
+         |  JOIN rbw w ON w.r = b.rank
+         |  GROUP BY 1),
+         |rbq AS (SELECT DISTINCT query_id FROM branked WHERE rank <= $k)
+         |SELECT q.query_id,
+         |  coalesce(h.n_rel_ret, 0) AS n_rel_ret,
+         |  coalesce(h.num, 0) AS rbp_num,
+         |  CAST((coalesce(h.num, 0) * 10000) // $denK AS BIGINT)
+         |    AS rbp_x10000,
+         |  CAST($resid AS BIGINT) AS residual_x10000
+         |FROM rbq q LEFT JOIN rbh h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val queries = SearchQueries.toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val run = TextAnalysis.searchDocsBm25(docs, queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.ext.Eval.rankBiasedPrecision(run,
+        graft.ext.Retrieval.termCoverageQrels(docs, queries))
+    }.sortedBy(col("query_id")),
+
     // ── Hybrid retrieval: reciprocal-rank fusion ───────────────────
     // Sparse (integer tf-idf) top-20 fused with dense (exact cosine)
     // top-20 by rrf = Σ 10⁶ div (60 + rank) — rank-only, so the fusion

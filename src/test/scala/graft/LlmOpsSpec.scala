@@ -1163,7 +1163,7 @@ class LlmOpsSpec extends SparkSuite {
       // crossJoins are out of scope by the same convention)
       "t_qrels", "t_rank_eval", "t_ir_report", "t_eval_rouge_n",
       "t_roc_auc", "t_roc_auc_by", "t_margin_reliability", "t_mcnemar",
-      "t_accuracy_ci", "t_rank_tau")
+      "t_accuracy_ci", "t_rank_tau", "t_rank_rbp")
     qs.foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString

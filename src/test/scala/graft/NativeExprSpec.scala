@@ -819,6 +819,27 @@ class NativeExprSpec extends SparkSuite {
     val mcSame = graft.ext.Eval.mcnemar(mcA, mcA, mcRefs).collect().head
     assert(mcSame.isNullAt(mcSame.fieldIndex("chi2_x10000")), mcSame)
     assert(!mcSame.getBoolean(mcSame.fieldIndex("significant_05")), mcSame)
+    // rankBiasedPrecision (p = 4/5, k = 5): all-relevant run → RBP =
+    // 1 − p^k exactly (10⁴ − residual − rounding); rank-1-only →
+    // (1−p)·10⁴ = 2000; no qrels → 0 with the residual disclosed
+    val rbpRun = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (1L, 13L, 4L), (1L, 14L, 5L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L)).toDF("query_id", "doc_id", "rank")
+    val rbpQrels = Seq((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 1L),
+      (1L, 13L, 1L), (1L, 14L, 1L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val rbp = graft.ext.Eval
+      .rankBiasedPrecision(rbpRun, rbpQrels, k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 5^5 = 3125; full weights sum = 3125 − 4^5 = 2101 → 6723; resid
+    // = 4^5·10⁴ div 3125 = 3276 (6723 + 3276 = 9999, floor artifacts)
+    assert(lv(rbp(1L), "rbp_num") == 2101L, rbp(1L))
+    assert(lv(rbp(1L), "rbp_x10000") == 6723L, rbp(1L))
+    assert(lv(rbp(1L), "residual_x10000") == 3276L, rbp(1L))
+    assert(lv(rbp(2L), "rbp_x10000") == 2000L, rbp(2L))
+    assert(lv(rbp(3L), "rbp_x10000") == 0L &&
+      lv(rbp(3L), "n_rel_ret") == 0L, rbp(3L))
     // rankCorrelation: identical runs → τ = 10⁴; reversed → −10⁴;
     // one shared doc → null τ with n_shared disclosed
     val runX = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
