@@ -784,10 +784,14 @@ object Eval {
     require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
     require(pDen >= 2 && pNum >= 1 && pNum < pDen,
       s"persistence must satisfy 1 <= pNum < pDen, got $pNum/$pDen")
-    // pDen^k and every weight inside Long for pDen <= 8, k <= 20
+    // pDen^k (and with it rbp_num <= pDen^k and every weight) must fit
+    // in Long; the x10^4 scaling itself runs in DECIMAL(38,0), so no
+    // tighter pDen^k*10^4 bound is needed here
     require(math.pow(pDen.toDouble, k.toDouble) < 9e17,
       s"pDen^k overflows Long: $pDen^$k")
     def ipow(b: Long, e: Int): Long = (1 to e).foldLeft(1L)((a, _) => a * b)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val denK = ipow(pDen.toLong, k)
     val weights = (1 to k).map(r =>
       (r.toLong, ipow(pNum.toLong, r - 1) * (pDen - pNum).toLong *
@@ -795,7 +799,10 @@ object Eval {
     val spark = run.sparkSession
     import spark.implicits._
     val wdf = weights.toDF("__rb_r", "__rb_w")
-    val resid = ipow(pNum.toLong, k) * 10000L / denK
+    // BigInt keeps pNum^k * 10^4 exact even where the Long product
+    // would wrap (pDen^k up to ~9e17 is admitted above)
+    val resid =
+      ((BigInt(pNum) pow k) * 10000 / BigInt(denK)).toLong
     val qr = qrels.filter(col(relCol) > 0)
       .select(col(queryCol), col(docCol))
     val hits = run.filter(col(rankCol) <= k)
@@ -810,8 +817,8 @@ object Eval {
       .select(col(queryCol),
         coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
         coalesce(col("rbp_num"), lit(0L)).as("rbp_num"),
-        expr(s"(coalesce(rbp_num, 0) * 10000) div ${denK}L")
-          .as("rbp_x10000"),
+        tdiv(dec(coalesce(col("rbp_num"), lit(0L))) * dec(lit(10000L)),
+          dec(lit(denK))).as("rbp_x10000"),
         lit(resid).as("residual_x10000"))
   }
 

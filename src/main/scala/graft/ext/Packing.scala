@@ -384,4 +384,86 @@ object Packing {
       when(present, size(filter(idxs, i => isStart(i))).cast("long"))
         .otherwise(0L).as("n_spans"))
   }
+
+  /** The chat template both chat ops render: each turn contributes
+    * `<|role|>\ncontent\n`, so a turn's rendered length is
+    * `len(role) + len(content) + 6` code points and its content starts
+    * `len(role) + 5` past the turn's own start — closed-form span
+    * arithmetic both engines replay exactly.
+    */
+  private def turnPiece(role: Column, content: Column): Column =
+    concat(lit("<|"), role, lit("|>\n"), content, lit("\n"))
+
+  private def turnLen(role: Column, content: Column): Column =
+    TextAnalysis.codePointLen(role) +
+      TextAnalysis.codePointLen(content) + lit(6L)
+
+  /** CHAT-TEMPLATE rendering — the SFT-prep step that turns a
+    * turn-structured conversation relation (conv, turn_idx, role,
+    * content) into the single training string a tokenizer consumes:
+    * per conversation, turns concatenate in `turn_idx` order as
+    * `<|role|>\ncontent\n`. Output one row per conversation:
+    * (convCol, text, n_turns, n_chars) — `n_chars` in CODE POINTS
+    * ([[TextAnalysis.codePointLen]]'s cross-engine grain).
+    *
+    * Rows with a null role or content are DROPPED (a tag with no body
+    * is not a turn — the null-rows-don't-vote convention); `turn_idx`
+    * must be unique within a conversation (the order key).
+    *
+    * Scale shape: one conv-keyed aggregation (collect + sort + join of
+    * that conversation's own turns — bounded by turns-per-conv, never
+    * the corpus); no window, no driver materialization.
+    */
+  def renderChat(turns: DataFrame, convCol: String = "conv_id",
+                 idxCol: String = "turn_idx", roleCol: String = "role",
+                 contentCol: String = "content"): DataFrame = {
+    val t = turns.filter(col(convCol).isNotNull &&
+      col(idxCol).isNotNull && col(roleCol).isNotNull &&
+      col(contentCol).isNotNull)
+    t.groupBy(col(convCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(
+            col(idxCol).cast("long").as("i"),
+            turnPiece(col(roleCol), col(contentCol)).as("p")))),
+          x => x.getField("p")), "").as("text"),
+        count(lit(1)).as("n_turns"),
+        sum(turnLen(col(roleCol), col(contentCol))).as("n_chars"))
+  }
+
+  /** The LOSS-SPAN face of [[renderChat]]: one row per turn with the
+    * half-open code-point span `[content_start, content_end)` its
+    * content occupies inside the rendered conversation, and `is_loss`
+    * = (role = `lossRole`) — the mask an SFT trainer applies so only
+    * assistant tokens bear loss. Same template, same drop rule, same
+    * code-point grain as [[renderChat]]; spans of the two ops agree by
+    * construction.
+    *
+    * Scale shape: one conv-partitioned running sum over each
+    * conversation's own turns (bounded by turns-per-conv) — the
+    * per-key window posture, not a global window.
+    */
+  def chatSpans(turns: DataFrame, convCol: String = "conv_id",
+                idxCol: String = "turn_idx", roleCol: String = "role",
+                contentCol: String = "content",
+                lossRole: String = "assistant"): DataFrame = {
+    val t = turns.filter(col(convCol).isNotNull &&
+      col(idxCol).isNotNull && col(roleCol).isNotNull &&
+      col(contentCol).isNotNull)
+    val w = Window.partitionBy(col(convCol))
+      .orderBy(col(idxCol).cast("long"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.select(col(convCol), col(idxCol).cast("long").as(idxCol),
+        col(roleCol), col(contentCol))
+      .withColumn("__cs_pre",
+        coalesce(sum(turnLen(col(roleCol), col(contentCol))).over(w),
+          lit(0L)))
+      .select(col(convCol), col(idxCol), col(roleCol),
+        (col("__cs_pre") + TextAnalysis.codePointLen(col(roleCol))
+          + lit(5L)).as("content_start"),
+        (col("__cs_pre") + TextAnalysis.codePointLen(col(roleCol))
+          + lit(5L) + TextAnalysis.codePointLen(col(contentCol)))
+          .as("content_end"),
+        (col(roleCol) === lossRole).as("is_loss"))
+  }
 }

@@ -211,4 +211,55 @@ object Preference {
       .withColumn("decisive",
         col("wilson_lo_x10000") > 5000L || col("wilson_hi_x10000") < 5000L)
   }
+
+  /** DPO/reward-model TRAINING-PAIR construction from per-prompt scored
+    * responses — the step AFTER scoring (a reward model, a quality
+    * rule, [[bradleyTerryScores]] strengths) and BEFORE pair
+    * tokenization: per prompt, `chosen` = the highest-scored response
+    * and `rejected` = the lowest, emitted only when their score gap
+    * clears `minMargin` (a pair the scorer can't separate teaches
+    * nothing and injects label noise — the standard margin floor).
+    *
+    * Tie law (engine-exact, no RNG): highest score ties → smallest
+    * response id is chosen; lowest score ties → smallest id is
+    * rejected. `margin ≥ minMargin ≥ 1` guarantees chosen ≠ rejected.
+    * Null prompt/response/score rows don't participate; prompts with
+    * one response (or an under-margin spread) emit nothing —
+    * `n_responses` is disclosed per surviving pair so the caller sees
+    * the pool each verdict came from.
+    *
+    * Output: (promptCol, chosen_id, chosen_score, rejected_id,
+    * rejected_score, margin, n_responses).
+    *
+    * Scale shape: ONE prompt-keyed partial aggregation — the argmax /
+    * argmin fold as `min` over (±score, id) structs, map-side
+    * combinable, no self-join, no window, no driver materialization;
+    * at 100 TB this is a single shuffle on the prompt key.
+    */
+  def dpoPairs(responses: DataFrame, promptCol: String = "prompt_id",
+               respCol: String = "response_id",
+               scoreCol: String = "score",
+               minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 1L, s"minMargin must be >= 1, got $minMargin")
+    val r = responses
+      .filter(col(promptCol).isNotNull && col(respCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .select(col(promptCol), col(respCol),
+        col(scoreCol).cast("long").as("__dp_s"))
+    r.groupBy(col(promptCol))
+      .agg(
+        min(struct((-col("__dp_s")).as("ns"), col(respCol).as("id")))
+          .as("__dp_c"),
+        min(struct(col("__dp_s").as("s"), col(respCol).as("id")))
+          .as("__dp_r"),
+        count(lit(1)).as("n_responses"))
+      .select(col(promptCol),
+        col("__dp_c.id").as("chosen_id"),
+        (-col("__dp_c.ns")).as("chosen_score"),
+        col("__dp_r.id").as("rejected_id"),
+        col("__dp_r.s").as("rejected_score"),
+        (-col("__dp_c.ns") - col("__dp_r.s")).as("margin"),
+        col("n_responses"))
+      .filter(col("margin") >= minMargin)
+  }
 }

@@ -590,6 +590,20 @@ object TextAnalysis {
 
   def charLen(text: Column): Column = length(text)
 
+  /** CODE-POINT length (the DuckDB/ANSI `length()` convention):
+    * Spark's `length()` counts UTF-16 units, so an astral character
+    * (emoji, supplementary CJK) counts as 2; stripping the astral
+    * class and halving the length delta (exactly 2 units per astral
+    * char) recovers the code-point count — pure codegen'd string ops,
+    * shared by [[scriptProfile]] and [[Packing.renderChat]]'s span
+    * math so every cross-engine character offset means the same thing.
+    */
+  def codePointLen(text: Column): Column = {
+    val d = length(text) -
+      length(regexp_replace(text, "[\\x{10000}-\\x{10FFFF}]", ""))
+    (length(text) - (d - d % 2) / 2).cast("long")
+  }
+
   /** Count of sentence-ish punctuation characters. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
@@ -635,12 +649,19 @@ object TextAnalysis {
     * (most-counted, ties to the lexicographically smallest name, zero
     * counts → 'none'), and its ×100 share. Null text yields zero
     * counts and 'none' — one output row per input row.
+    *
+    * `n_chars` counts CODE POINTS, not UTF-16 units (the DuckDB/ANSI
+    * `length()` convention): Spark's `length()` counts an astral
+    * character (emoji, supplementary CJK) as its surrogate pair, so
+    * the profile strips the astral class `[\x{10000}-\x{10FFFF}]` and
+    * halves the length delta (exactly 2 units per astral char) to
+    * recover the code-point total — still pure codegen'd string ops.
     */
   def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val s = coalesce(col(textCol), lit(""))
     val counted = docs.select(Seq(col(idCol),
-      length(s).cast("long").as("n_chars")) ++
+      codePointLen(s).as("n_chars")) ++
       ScriptRanges.map { case (name, range) =>
         (length(s) - length(regexp_replace(s, s"[$range]", "")))
           .cast("long").as(s"n_$name")

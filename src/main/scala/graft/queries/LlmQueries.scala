@@ -703,6 +703,20 @@ object LlmQueries {
       name
     }
 
+  /** The chat-turn fixture shared by t_chat_render/t_chat_spans:
+    * 4 docs per conversation (conv = doc_id div 4, turn = doc_id mod
+    * 4), roles alternating user/assistant by doc_id parity, content =
+    * the document text (non-null only).
+    */
+  def chatTurns(s: org.apache.spark.sql.SparkSession,
+                d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(expr("doc_id div 4").as("conv_id"),
+        (col("doc_id") % 4).as("turn_idx"),
+        when(col("doc_id") % 2 === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text").as("content"))
+
   /** The persisted QUALITY-classifier bundle per (JVM, sf dir) — the
     * write-once half of t_quality_classifier_persisted, same memo
     * discipline as [[nbBundleFor]].
@@ -6016,13 +6030,19 @@ object LlmQueries {
     }.sortedBy(col("source"), col("rank")),
 
     // ── Drift-CUSUM trajectory (the pure batch face of the streaming
-    // monitor): doc_id % 4 as four ordered batches, the three ×10⁴
-    // quality-shape rates per batch vs the whole-corpus profile, the
-    // up/down CUSUM pages folded by a recursive CTE — the oracle gate
-    // for the law the stream applies with tables and markers.
+    // monitor): doc_id % 4 as four ordered batches — batch 1 PLANTED
+    // all-null-text so quality_rate/short_doc_rate go ABSENT
+    // mid-trajectory and the carry-forward law is actually exercised
+    // — the three ×10⁴ quality-shape rates per batch vs the
+    // whole-corpus profile, the up/down CUSUM pages folded by a
+    // recursive CTE that steps over BATCH INDEX (state carried through
+    // absent batches, rows emitted only where the metric is present,
+    // mirroring cusumTrajectory exactly).
     QueryDef("t_drift_trajectory",
       s"""WITH RECURSIVE ${qualityCtes("documents")},
-         |ddb AS (SELECT d.doc_id % 4 AS b, d.text IS NULL AS isn,
+         |ddb AS (SELECT d.doc_id % 4 AS b,
+         |    (d.text IS NULL OR d.doc_id % 4 = 1) AS isn,
+         |    d.text IS NULL AS isno,
          |    q.quality, qb.n_tokens
          |  FROM documents d
          |  LEFT JOIN qscored q ON q.doc_id = d.doc_id
@@ -6050,38 +6070,46 @@ object LlmQueries {
          |dmu AS (SELECT metric, x AS mu FROM (
          |  SELECT 'null_text_rate' AS metric,
          |    CASE WHEN count(*) > 0 THEN
-         |      (sum(CASE WHEN isn THEN 1 ELSE 0 END) * 10000)
+         |      (sum(CASE WHEN isno THEN 1 ELSE 0 END) * 10000)
          |        // count(*) END AS x FROM ddb
          |  UNION ALL SELECT 'quality_rate',
-         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
-         |      (sum(CASE WHEN NOT isn AND quality >= 3 THEN 1 ELSE 0 END)
+         |    CASE WHEN sum(CASE WHEN NOT isno THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isno AND quality >= 3 THEN 1 ELSE 0 END)
          |        * 10000)
-         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END FROM ddb
+         |        // sum(CASE WHEN NOT isno THEN 1 ELSE 0 END) END FROM ddb
          |  UNION ALL SELECT 'short_doc_rate',
-         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
-         |      (sum(CASE WHEN NOT isn AND n_tokens < 10 THEN 1 ELSE 0 END)
+         |    CASE WHEN sum(CASE WHEN NOT isno THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isno AND n_tokens < 10 THEN 1 ELSE 0 END)
          |        * 10000)
-         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END FROM ddb)
+         |        // sum(CASE WHEN NOT isno THEN 1 ELSE 0 END) END FROM ddb)
          |  WHERE x IS NOT NULL),
          |dcus(b, metric, x, s_up, s_dn) AS (
-         |  SELECT t.b, t.metric, t.x,
-         |    greatest(0, t.x - m.mu - 200),
-         |    greatest(0, m.mu - t.x - 200)
-         |  FROM dtall t JOIN dmu m USING (metric) WHERE t.b = 0
+         |  SELECT 0, m.metric, t.x,
+         |    CASE WHEN t.x IS NULL THEN 0
+         |         ELSE greatest(0, t.x - m.mu - 200) END,
+         |    CASE WHEN t.x IS NULL THEN 0
+         |         ELSE greatest(0, m.mu - t.x - 200) END
+         |  FROM dmu m LEFT JOIN dtall t ON t.metric = m.metric
+         |    AND t.b = 0
          |  UNION ALL
-         |  SELECT t.b, t.metric, t.x,
-         |    greatest(0, c.s_up + (t.x - m.mu - 200)),
-         |    greatest(0, c.s_dn + (m.mu - t.x - 200))
-         |  FROM dcus c JOIN dtall t ON t.metric = c.metric
-         |    AND t.b = c.b + 1
-         |  JOIN dmu m ON m.metric = t.metric)
+         |  SELECT c.b + 1, c.metric, t.x,
+         |    CASE WHEN t.x IS NULL THEN c.s_up
+         |         ELSE greatest(0, c.s_up + (t.x - m.mu - 200)) END,
+         |    CASE WHEN t.x IS NULL THEN c.s_dn
+         |         ELSE greatest(0, c.s_dn + (m.mu - t.x - 200)) END
+         |  FROM dcus c JOIN dmu m ON m.metric = c.metric
+         |  LEFT JOIN dtall t ON t.metric = c.metric AND t.b = c.b + 1
+         |  WHERE c.b < 3)
          |SELECT CAST(b AS BIGINT) AS batch_idx, metric,
          |  CAST(x AS BIGINT) AS x, CAST(s_up AS BIGINT) AS s_up,
          |  CAST(s_dn AS BIGINT) AS s_dn
-         |FROM dcus ORDER BY batch_idx, metric""".stripMargin) { (s, d) =>
+         |FROM dcus WHERE x IS NOT NULL
+         |ORDER BY batch_idx, metric""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val batches = (0 to 3).map(i =>
-        docs.filter(col("doc_id") % 4 === i))
+      val batches = (0 to 3).map { i =>
+        val b = docs.filter(col("doc_id") % 4 === i)
+        if (i == 1) b.withColumn("text", lit(null).cast("string")) else b
+      }
       val profile = graft.streaming.DriftMonitor.metrics(docs)
         .select(col("metric"), col("x").as("mu"))
       graft.streaming.DriftMonitor.cusumTrajectory(batches, profile)
@@ -7248,6 +7276,141 @@ object LlmQueries {
         .select(col("doc_id"), col("pack"), col("seq_off"),
           col("loss_start"), col("loss_end"), col("spans_packs"))
     }.sortedBy(col("doc_id")),
+
+    // ── DPO preference-pair construction ───────────────────────────
+    // Per prompt (source domain), chosen = highest-quality doc,
+    // rejected = lowest, margin floor 1 — the reward-model/DPO
+    // training-pair build from a scored response pool. One prompt-
+    // keyed argmax/argmin fold; ties break to the smallest doc_id on
+    // both sides (engine law = oracle row_number law).
+    QueryDef("t_dpo_pairs",
+      s"""WITH ${qualityCtes("documents")},
+         |resp AS (SELECT d.source, q.doc_id, q.quality
+         |  FROM documents d JOIN qscored q USING (doc_id)
+         |  WHERE d.text IS NOT NULL),
+         |rk AS (SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rc,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality ASC, doc_id) AS rr,
+         |    count(*) OVER (PARTITION BY source) AS nr
+         |  FROM resp)
+         |SELECT c.source AS prompt_id, c.doc_id AS chosen_id,
+         |  CAST(c.quality AS BIGINT) AS chosen_score,
+         |  r.doc_id AS rejected_id,
+         |  CAST(r.quality AS BIGINT) AS rejected_score,
+         |  CAST(c.quality - r.quality AS BIGINT) AS margin,
+         |  CAST(c.nr AS BIGINT) AS n_responses
+         |FROM rk c JOIN rk r ON r.source = c.source
+         |  AND c.rc = 1 AND r.rr = 1
+         |WHERE c.quality - r.quality >= 1
+         |ORDER BY prompt_id""".stripMargin) { (s, d) =>
+      val resp = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("source").as("prompt_id"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).cast("long").as("score"))
+      graft.ext.Preference.dpoPairs(resp, "prompt_id", "doc_id", "score")
+    }.sortedBy(col("prompt_id")),
+
+    // ── DPO pair prep flagship: pairs → texts → packed ─────────────
+    // The composed build a DPO trainer consumes: the preference pairs
+    // above joined back to BOTH texts, whitespace token counts per
+    // side, and the pair laid onto the packing tape by combined
+    // length (packSequences' decomposed prefix sum, keyed by prompt).
+    QueryDef("t_dpo_prep",
+      s"""WITH ${qualityCtes("documents")},
+         |resp AS (SELECT d.source, q.doc_id, q.quality
+         |  FROM documents d JOIN qscored q USING (doc_id)
+         |  WHERE d.text IS NOT NULL),
+         |rk AS (SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rc,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality ASC, doc_id) AS rr
+         |  FROM resp),
+         |dp AS (SELECT c.source AS prompt_id, c.doc_id AS chosen_id,
+         |    r.doc_id AS rejected_id
+         |  FROM rk c JOIN rk r ON r.source = c.source
+         |    AND c.rc = 1 AND r.rr = 1
+         |  WHERE c.quality - r.quality >= 1),
+         |wt AS (SELECT p.prompt_id, p.chosen_id, p.rejected_id,
+         |    CAST(len(string_split(dc.text, ' ')) AS BIGINT) AS chosen_tokens,
+         |    CAST(len(string_split(dr.text, ' ')) AS BIGINT) AS rejected_tokens,
+         |    ${polyhash("prompt_id")} % 10000 AS bkt
+         |  FROM dp p JOIN documents dc ON dc.doc_id = p.chosen_id
+         |  JOIN documents dr ON dr.doc_id = p.rejected_id),
+         |cm AS (SELECT prompt_id, chosen_id, rejected_id,
+         |    chosen_tokens, rejected_tokens,
+         |    sum(chosen_tokens + rejected_tokens) OVER (
+         |      ORDER BY bkt, prompt_id ROWS UNBOUNDED PRECEDING)
+         |      - (chosen_tokens + rejected_tokens) AS pos
+         |  FROM wt)
+         |SELECT prompt_id, chosen_id, rejected_id, chosen_tokens,
+         |  rejected_tokens, CAST(pos // 1024 AS BIGINT) AS pack
+         |FROM cm ORDER BY prompt_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val resp = docs.select(col("source").as("prompt_id"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("long").as("score"))
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("__dq_t"))
+      val pairs = graft.ext.Preference
+        .dpoPairs(resp, "prompt_id", "doc_id", "score")
+        .join(toks.withColumnRenamed("doc_id", "chosen_id")
+          .withColumnRenamed("__dq_t", "chosen_tokens"), "chosen_id")
+        .join(toks.withColumnRenamed("doc_id", "rejected_id")
+          .withColumnRenamed("__dq_t", "rejected_tokens"), "rejected_id")
+      graft.ext.Packing.packSequences(pairs, col("prompt_id"),
+          col("chosen_tokens") + col("rejected_tokens"), 1024L)
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+          col("chosen_tokens"), col("rejected_tokens"), col("pack"))
+    }.sortedBy(col("prompt_id")),
+
+    // ── Chat-template rendering (SFT prep) ─────────────────────────
+    // Turn-structured conversations (4 docs per conversation, roles
+    // alternating user/assistant) rendered to the single training
+    // string `<|role|>\ncontent\n`…, with n_chars in code points —
+    // one conv-keyed fold, turns sorted inside their own conversation.
+    QueryDef("t_chat_render",
+      s"""WITH ct AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'user'
+         |         ELSE 'assistant' END AS role,
+         |    text AS content
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT conv_id,
+         |  string_agg('<|' || role || '|>' || chr(10) || content
+         |      || chr(10), '' ORDER BY turn_idx) AS text,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(sum(length(role) + length(content) + 6) AS BIGINT)
+         |    AS n_chars
+         |FROM ct GROUP BY conv_id ORDER BY conv_id""".stripMargin) {
+      (s, d) =>
+      graft.ext.Packing.renderChat(chatTurns(s, d))
+    }.sortedBy(col("conv_id")),
+
+    // The LOSS-SPAN face of the same template: per turn, the half-open
+    // code-point span its content occupies in the rendered string and
+    // the assistant-only loss flag — what the trainer masks on. Spans
+    // agree with t_chat_render by construction (shared turn-length
+    // law).
+    QueryDef("t_chat_spans",
+      s"""WITH ct AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'user'
+         |         ELSE 'assistant' END AS role,
+         |    text AS content
+         |  FROM documents WHERE text IS NOT NULL),
+         |sp AS (SELECT conv_id, turn_idx, role, content,
+         |    coalesce(sum(length(role) + length(content) + 6) OVER (
+         |      PARTITION BY conv_id ORDER BY turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS pre
+         |  FROM ct)
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+         |  CAST(pre + length(role) + 5 AS BIGINT) AS content_start,
+         |  CAST(pre + length(role) + 5 + length(content) AS BIGINT)
+         |    AS content_end,
+         |  (role = 'assistant') AS is_loss
+         |FROM sp ORDER BY conv_id, turn_idx""".stripMargin) { (s, d) =>
+      graft.ext.Packing.chatSpans(chatTurns(s, d))
+    }.sortedBy(col("conv_id"), col("turn_idx")),
 
     // ── Budget-capped best-first selection ─────────────────────────
     // Fill a 12k-token budget with the highest-quality docs first

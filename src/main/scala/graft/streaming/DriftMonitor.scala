@@ -30,17 +30,19 @@ import graft.ext.TextAnalysis
   * arithmetic.
   *
   * REPLAY SAFETY: CUSUM is a running sum — not redelivery-idempotent —
-  * so each batch's epoch marker rides in the SAME state table and the
+  * so a HIGH-WATER epoch marker rides in the SAME state table and the
   * (skip | update+mark) decision publishes as ONE atomic scratch-swap
   * ([[SketchStream.maintainCms]]'s law, same crash-window recovery).
-  * Epoch markers identify batches of one checkpoint lineage; a fresh
-  * checkpoint against an existing monitor table reads re-batched
+  * Within one checkpoint lineage epochs are monotonically increasing,
+  * so `epoch ≤ high-water` identifies every replay and ONE marker row
+  * suffices — the state table never grows with stream lifetime. A
+  * fresh checkpoint against an existing monitor table reads re-batched
   * history as replays — new checkpoint, new monitor `name`.
   *
   * Scale shape: per batch, ONE aggregation over the batch itself (a
   * handful of counters), joined against the metric-bounded profile and
   * state tables — per-batch cost never grows with history, state is
-  * |metrics| rows + one marker per applied epoch.
+  * |metrics| rows + one high-water marker row.
   */
 object DriftMonitor {
 
@@ -56,8 +58,8 @@ object DriftMonitor {
   def profileTable(name: String): String = s"${name}_profile"
 
   /** The maintained CUSUM state table for monitor `name` (kind='s'
-    * metric rows + kind='e' epoch markers — one table so the update
-    * and its marker commit atomically).
+    * metric rows + ONE kind='e' high-water epoch marker — one table so
+    * the update and its marker commit atomically).
     */
   def stateTable(name: String): String = s"${name}_state"
 
@@ -195,9 +197,15 @@ object DriftMonitor {
     val liveDf =
       if (spark.catalog.tableExists(live)) Some(spark.table(live))
       else None
-    val applied = liveDf.exists(
-      _.filter(col("kind") === "e" && col("epoch") === epoch)
-        .limit(1).count() > 0)
+    // monotone-epoch lineage: anything at or below the high-water
+    // marker has already been folded in (an empty batch leaves no mark
+    // — but an empty epoch can only be re-delivered while it is still
+    // the newest, i.e. above the mark, so it re-reads as empty again)
+    val highWater = liveDf.flatMap(df =>
+      Option(df.filter(col("kind") === "e")
+        .agg(max(col("epoch"))).collect().head.get(0))
+        .map(_.asInstanceOf[Long]))
+    val applied = highWater.exists(epoch <= _)
     if (applied) DriftEvent(epoch, "skipped_replay", Nil)
     else {
       val xs = metrics(batch, textCol, minQuality)
@@ -231,12 +239,13 @@ object DriftMonitor {
             lit(0L).as("epoch"), col("__dm_pu").as("s_up"),
             col("__dm_pd").as("s_dn"), col("__dm_pn").as("n_batches"),
             lit(null).cast("long").as("last_x"))
+        // this epoch is above the mark (skip check passed), so it IS
+        // the new high water — old markers are subsumed, not carried
         val marker = spark.range(1).select(lit("e").as("kind"),
           lit("").as("metric"), lit(epoch).as("epoch"),
           lit(0L).as("s_up"), lit(0L).as("s_dn"),
           lit(0L).as("n_batches"), lit(0L).as("last_x"))
-        val oldMarkers = liveDf.map(_.filter(col("kind") === "e")).toSeq
-        val merged = (Seq(upd, carried, marker) ++ oldMarkers)
+        val merged = Seq(upd, carried, marker)
           .reduce(_ unionByName _)
           .localCheckpoint()
         graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)

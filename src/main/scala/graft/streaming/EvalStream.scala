@@ -13,11 +13,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * is answerable at any moment from a group×label²-bounded relation —
   * cost never grows with history.
   *
-  * Counts are a SUM structure (not replay-idempotent), so epoch
-  * markers ride the same table and each batch's (skip | merge+mark)
-  * decision publishes as ONE atomic scratch-swap —
+  * Counts are a SUM structure (not replay-idempotent), so a HIGH-WATER
+  * epoch marker rides the same table and each batch's (skip |
+  * merge+mark) decision publishes as ONE atomic scratch-swap —
   * [[SketchStream.maintainCms]]'s law verbatim, same crash-window
-  * recovery, same one-checkpoint-lineage contract.
+  * recovery, same one-checkpoint-lineage contract. Epochs within a
+  * lineage are monotone, so `epoch ≤ high-water` identifies every
+  * replay and ONE marker row suffices — the cells table stays
+  * group×label²-bounded regardless of stream lifetime.
   */
 object EvalStream {
 
@@ -102,9 +105,11 @@ object EvalStream {
         val liveDf =
           if (spark.catalog.tableExists(live)) Some(spark.table(live))
           else None
-        val applied = liveDf.exists(
-          _.filter(col("kind") === "e" && col("epoch") === epoch)
-            .limit(1).count() > 0)
+        val highWater = liveDf.flatMap(df =>
+          Option(df.filter(col("kind") === "e")
+            .agg(max(col("epoch"))).collect().head.get(0))
+            .map(_.asInstanceOf[Long]))
+        val applied = highWater.exists(epoch <= _)
         if (!applied) {
           val cells = batch.toDF()
             .filter(col(predCol).isNotNull && col(refCol).isNotNull)
@@ -113,11 +118,14 @@ object EvalStream {
             .agg(count(lit(1)).as("n"))
             .select(lit("c").as("kind"), col("grp"), col("ref"),
               col("pred"), col("n"), lit(0L).as("epoch"))
+          // epoch > high-water (skip check passed): the new marker
+          // subsumes the old one, so only kind='c' cells carry over
           val marker = spark.range(1).select(lit("e").as("kind"),
             lit("").as("grp"), lit("").as("ref"), lit("").as("pred"),
             lit(0L).as("n"), lit(epoch).as("epoch"))
           val merged = liveDf.fold(cells.unionByName(marker)) { lv =>
-              lv.unionByName(cells).unionByName(marker)
+              lv.filter(col("kind") === "c")
+                .unionByName(cells).unionByName(marker)
             }
             .groupBy("kind", "grp", "ref", "pred", "epoch")
             .agg(sum(col("n")).as("n"))

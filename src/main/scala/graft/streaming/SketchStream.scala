@@ -102,11 +102,11 @@ object SketchStream {
     * document stream — the streaming face of [[FreqSketch.buildCms]]:
     * each batch folds its own tokens into d×w cells (one
     * partial-aggregated pass over the batch), SUM-merges them with the
-    * persisted table, and publishes cells + the batch's epoch marker
-    * in one scratch-swap. A REDELIVERED epoch (its marker already in
-    * the table) moves nothing — the sum algebra would double-count,
-    * so idempotence is enforced by the marker where the HLL stream
-    * gets it free from max.
+    * persisted table, and publishes cells + ONE high-water epoch
+    * marker in one scratch-swap. A REDELIVERED epoch (at or below the
+    * mark) moves nothing — the sum algebra would double-count, so
+    * idempotence is enforced by the marker where the HLL stream gets
+    * it free from max.
     *
     * The maintained table is what a trending-terms monitor probes:
     * [[cmsEstimates]] scores any candidate relation against the
@@ -136,9 +136,14 @@ object SketchStream {
         val liveDf =
           if (spark.catalog.tableExists(live)) Some(spark.table(live))
           else None
-        val applied = liveDf.exists(
-          _.filter(col("kind") === "e" && col("k") === epoch)
-            .limit(1).count() > 0)
+        // monotone-epoch lineage: ONE high-water marker row identifies
+        // every replay (epoch <= mark), so the table stays d×w-bounded
+        // for any stream lifetime
+        val highWater = liveDf.flatMap(df =>
+          Option(df.filter(col("kind") === "e")
+            .agg(max(col("k"))).collect().head.get(0))
+            .map(_.asInstanceOf[Long]))
+        val applied = highWater.exists(epoch <= _)
         if (!applied) {
           val toks = batch.toDF().filter(col(textCol).isNotNull)
             .select(explode(graft.functions.wordTfs(col(textCol)))
@@ -153,8 +158,11 @@ object SketchStream {
           val marker = spark.range(1)
             .select(lit("e").as("kind"), lit(epoch).as("k"),
               lit(0L).as("v"))
+          // epoch > high-water: the new marker subsumes the old, so
+          // only kind='c' cells carry through the sum-merge
           val merged = (liveDf.fold(batchCells.unionByName(marker)) { lv =>
-              lv.unionByName(batchCells).unionByName(marker)
+              lv.filter(col("kind") === "c")
+                .unionByName(batchCells).unionByName(marker)
             })
             .groupBy("kind", "k").agg(sum("v").as("v"))
             .localCheckpoint()

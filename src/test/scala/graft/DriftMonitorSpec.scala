@@ -91,6 +91,30 @@ class DriftMonitorSpec extends SparkSuite {
     assert(traj("short_doc_rate") == (2400L, 0L), traj)
     assert(traj("null_text_rate") == (0L, 0L), traj)
 
+    // carry-forward through an ABSENT metric: an all-null batch emits
+    // no quality/short rows (no signal ≠ zero), but their CUSUM state
+    // survives it and resumes at the next present batch
+    val nullBatch = Seq((9000L, null.asInstanceOf[String]),
+      (9001L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val traj2 = DriftMonitor.cusumTrajectory(
+      Seq(mix(35, 15, 500L), nullBatch, mix(35, 15, 600L)),
+      spark.table(DriftMonitor.profileTable(name))
+        .select(col("metric"), col("mu"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(traj2((0L, "quality_rate"))._2 == 800L, traj2)
+    assert(!traj2.contains((1L, "quality_rate")), traj2)
+    assert(traj2((1L, "null_text_rate"))._1 == 9800L, traj2)
+    assert(traj2((2L, "quality_rate"))._2 == 1600L, traj2)
+    assert(traj2((2L, "null_text_rate"))._1 == 9600L, traj2)
+
+    // marker compaction: four applied epochs leave ONE high-water
+    // marker row (state size is lifetime-independent), at epoch 3
+    val markers = spark.table(DriftMonitor.stateTable(name))
+      .filter(col("kind") === "e").select("epoch")
+      .collect().map(_.getLong(0)).toSeq
+    assert(markers == Seq(3L), markers)
+
     // REDELIVERY: fresh checkpoint re-batches history as epoch 0 —
     // the marker skips it, no CUSUM moves (a sum WOULD double-count)
     val before = spark.table(DriftMonitor.stateTable(name))

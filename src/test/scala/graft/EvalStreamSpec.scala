@@ -59,6 +59,13 @@ class EvalStreamSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(got == expected, s"report != accuracyCi:\n$got\n$expected")
 
+    // marker compaction: two applied epochs leave ONE high-water
+    // marker row — the table stays label²-bounded for any lifetime
+    val markers = spark.table(EvalStream.cellsTable(name))
+      .filter(col("kind") === "e").select("epoch")
+      .collect().map(_.getLong(0)).toSeq
+    assert(markers == Seq(1L), markers)
+
     // REDELIVERY: fresh checkpoint re-batches history as epoch 0 —
     // marker-skipped, no cell moves (a sum WOULD double-count)
     val ck2 = java.nio.file.Files.createTempDirectory("ev-ck2").toString

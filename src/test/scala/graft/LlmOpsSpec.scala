@@ -3628,4 +3628,93 @@ class LlmOpsSpec extends SparkSuite {
     assert(qcDirect == qcViaDisk,
       "persisted quality bundle must classify bit-identically")
   }
+
+  test("dpoPairs: best-vs-worst with tie law, margin floor, null hygiene") {
+    import spark.implicits._
+    // prompt A: scores 5, 3, 1 → chosen 10 (5), rejected 12 (1), margin 4
+    // prompt B: top tie (7, 7) → smallest id 20 chosen; low tie (2, 2)
+    //   → smallest id 22 rejected
+    // prompt C: flat scores → margin 0, dropped by the floor
+    // prompt D: single response → margin 0, dropped
+    // null prompt/score rows don't participate
+    val resp = Seq(
+      (Some("A"), 10L, Some(5L)), (Some("A"), 11L, Some(3L)),
+      (Some("A"), 12L, Some(1L)),
+      (Some("B"), 20L, Some(7L)), (Some("B"), 21L, Some(7L)),
+      (Some("B"), 22L, Some(2L)), (Some("B"), 23L, Some(2L)),
+      (Some("C"), 30L, Some(4L)), (Some("C"), 31L, Some(4L)),
+      (Some("D"), 40L, Some(9L)),
+      (None, 50L, Some(8L)), (Some("A"), 13L, None))
+      .toDF("prompt_id", "response_id", "score")
+    val got = graft.ext.Preference
+      .dpoPairs(resp, "prompt_id", "response_id", "score")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("A", "B"), got.keySet)
+    val a = got("A")
+    assert(a.getLong(a.fieldIndex("chosen_id")) == 10L &&
+      a.getLong(a.fieldIndex("rejected_id")) == 12L &&
+      a.getLong(a.fieldIndex("margin")) == 4L &&
+      a.getLong(a.fieldIndex("n_responses")) == 3L, a)
+    val b = got("B")
+    assert(b.getLong(b.fieldIndex("chosen_id")) == 20L &&
+      b.getLong(b.fieldIndex("rejected_id")) == 22L &&
+      b.getLong(b.fieldIndex("margin")) == 5L, b)
+    // a margin floor above the spread drops A too
+    assert(graft.ext.Preference
+      .dpoPairs(resp, "prompt_id", "response_id", "score", minMargin = 5L)
+      .collect().map(_.getString(0)).toSet == Set("B"))
+    intercept[IllegalArgumentException](graft.ext.Preference
+      .dpoPairs(resp, "prompt_id", "response_id", "score", minMargin = 0L))
+  }
+
+  test("chat render + spans: template law, code-point grain, shared offsets") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello 😀"),
+      (1L, 2L, "user", "bye"),
+      (2L, 0L, "system", "be brief"),
+      (3L, 0L, null.asInstanceOf[String], "orphan"),
+      (3L, 1L, "user", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val rendered = graft.ext.Packing.renderChat(turns).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // null role/content turns dropped → conv 3 renders nothing
+    assert(rendered.keySet == Set(1L, 2L), rendered.keySet)
+    val c1 = rendered(1L)
+    assert(c1.getString(c1.fieldIndex("text")) ==
+      "<|user|>\nhi\n<|assistant|>\nhello 😀\n<|user|>\nbye\n", c1)
+    assert(c1.getLong(c1.fieldIndex("n_turns")) == 3L, c1)
+    // n_chars counts the emoji as ONE code point:
+    // (4+2+6) + (9+7+6) + (4+3+6) = 12 + 22 + 13 = 47
+    assert(c1.getLong(c1.fieldIndex("n_chars")) == 47L, c1)
+    val spans = graft.ext.Packing.chatSpans(turns).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // turn 0 content 'hi' starts at len('user')+5 = 9, ends 11
+    val s0 = spans((1L, 0L))
+    assert(s0.getLong(s0.fieldIndex("content_start")) == 9L &&
+      s0.getLong(s0.fieldIndex("content_end")) == 11L &&
+      !s0.getBoolean(s0.fieldIndex("is_loss")), s0)
+    // turn 1 starts after turn 0's 12 chars: 12+len('assistant')+5 =
+    // 26, content 'hello 😀' = 7 code points → end 33, loss-bearing
+    val s1 = spans((1L, 1L))
+    assert(s1.getLong(s1.fieldIndex("content_start")) == 26L &&
+      s1.getLong(s1.fieldIndex("content_end")) == 33L &&
+      s1.getBoolean(s1.fieldIndex("is_loss")), s1)
+    // turn 2 starts after 12+22 = 34: 34+4+5 = 43, ends 46
+    val s2 = spans((1L, 2L))
+    assert(s2.getLong(s2.fieldIndex("content_start")) == 43L &&
+      s2.getLong(s2.fieldIndex("content_end")) == 46L, s2)
+    // spans agree with the rendered string: slicing [start, end) out
+    // of the conv-1 text recovers each content (java substring is
+    // UTF-16-indexed, so recount via code points)
+    val text = c1.getString(c1.fieldIndex("text"))
+    def cpSlice(s: String, a: Long, b: Long): String = {
+      val i = s.offsetByCodePoints(0, a.toInt)
+      val j = s.offsetByCodePoints(0, b.toInt)
+      s.substring(i, j)
+    }
+    assert(cpSlice(text, 9L, 11L) == "hi")
+    assert(cpSlice(text, 26L, 33L) == "hello 😀")
+    assert(cpSlice(text, 43L, 46L) == "bye")
+  }
 }

@@ -686,7 +686,8 @@ class NativeExprSpec extends SparkSuite {
       (1L, "привет мир abc 12"),   // cyr 9, latin 3, digit 2
       (2L, "ab яж"),               // latin 2 vs cyrillic 2: tie → cyrillic (lexicographic)
       (3L, null: String),
-      (4L, "你好 γειά")             // cjk 2, greek 4
+      (4L, "你好 γειά"),            // cjk 2, greek 4
+      (5L, "ab 😀")      // astral emoji: 4 code points, 5 UTF-16 units
     ).toDF("doc_id", "text")
     val m = graft.ext.TextAnalysis.scriptProfile(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -705,6 +706,11 @@ class NativeExprSpec extends SparkSuite {
     val d4 = m(4L)
     assert(lv2(d4, "n_cjk") == 2L && lv2(d4, "n_greek") == 4L, d4)
     assert(d4.getString(d4.fieldIndex("dominant_script")) == "greek", d4)
+    // astral char counts as ONE code point in n_chars (not its
+    // surrogate pair), so latin's share is 2/4 → 50, not 2/5 → 40
+    val d5 = m(5L)
+    assert(lv2(d5, "n_chars") == 4L && lv2(d5, "n_latin") == 2L, d5)
+    assert(lv2(d5, "dominant_share_x100") == 50L, d5)
   }
 
   test("IR rank eval: closed-form trec metrics, lcm law, report rollup; exact AUC with ties") {
@@ -840,6 +846,22 @@ class NativeExprSpec extends SparkSuite {
     assert(lv(rbp(2L), "rbp_x10000") == 2000L, rbp(2L))
     assert(lv(rbp(3L), "rbp_x10000") == 0L &&
       lv(rbp(3L), "n_rel_ret") == 0L, rbp(3L))
+    // the overflow regime: p = 6/7, k = 20 → pDen^k ≈ 7.98·10¹⁶ fits
+    // Long but rbp_num·10⁴ ≈ 7.6·10²⁰ would wrap it — the DECIMAL
+    // path must still land the exact 1 − (6/7)^20 floor (9541) and
+    // the exact residual (458); a rank-1-only query lands (1/7)·10⁴'s
+    // geometric head 7¹⁹·10⁴ div 7²⁰ = 1428
+    val bigRun = ((1 to 20).map(r => (1L, (100 + r).toLong, r.toLong)) :+
+      ((2L, 200L, 1L))).toDF("query_id", "doc_id", "rank")
+    val bigQrels = ((1 to 20).map(r => (1L, (100 + r).toLong, 1L)) :+
+      ((2L, 200L, 1L))).toDF("query_id", "doc_id", "rel")
+    val rbpBig = graft.ext.Eval
+      .rankBiasedPrecision(bigRun, bigQrels, k = 20, pNum = 6, pDen = 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(lv(rbpBig(1L), "rbp_num") == 76136107857549025L, rbpBig(1L))
+    assert(lv(rbpBig(1L), "rbp_x10000") == 9541L, rbpBig(1L))
+    assert(lv(rbpBig(1L), "residual_x10000") == 458L, rbpBig(1L))
+    assert(lv(rbpBig(2L), "rbp_x10000") == 1428L, rbpBig(2L))
     // rankCorrelation: identical runs → τ = 10⁴; reversed → −10⁴;
     // one shared doc → null τ with n_shared disclosed
     val runX = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
