@@ -590,19 +590,18 @@ object TextAnalysis {
 
   def charLen(text: Column): Column = length(text)
 
-  /** CODE-POINT length (the DuckDB/ANSI `length()` convention):
-    * Spark's `length()` counts UTF-16 units, so an astral character
-    * (emoji, supplementary CJK) counts as 2; stripping the astral
-    * class and halving the length delta (exactly 2 units per astral
-    * char) recovers the code-point count — pure codegen'd string ops,
-    * shared by [[scriptProfile]] and [[Packing.renderChat]]'s span
-    * math so every cross-engine character offset means the same thing.
+  /** CODE-POINT length — the named contract shared by
+    * [[scriptProfile]] and [[Packing.renderChat]]'s span math so every
+    * cross-engine character offset means the same thing. Spark SQL
+    * strings are UTF8String and `length()` counts CODE POINTS (an
+    * astral emoji is 1, not its UTF-16 surrogate pair — unlike
+    * `java.lang.String.length`), which is exactly DuckDB/ANSI
+    * `length()` semantics; the multi-astral agreement is PINNED by
+    * spec (NativeExprSpec's script-profile astral case and
+    * OpsPropertySpec's chat-span slices), so a regression in either
+    * engine's convention fails loudly instead of skewing spans.
     */
-  def codePointLen(text: Column): Column = {
-    val d = length(text) -
-      length(regexp_replace(text, "[\\x{10000}-\\x{10FFFF}]", ""))
-    (length(text) - (d - d % 2) / 2).cast("long")
-  }
+  def codePointLen(text: Column): Column = length(text).cast("long")
 
   /** Count of sentence-ish punctuation characters. */
   def punctCount(text: Column): Column =
@@ -650,12 +649,11 @@ object TextAnalysis {
     * counts → 'none'), and its ×100 share. Null text yields zero
     * counts and 'none' — one output row per input row.
     *
-    * `n_chars` counts CODE POINTS, not UTF-16 units (the DuckDB/ANSI
-    * `length()` convention): Spark's `length()` counts an astral
-    * character (emoji, supplementary CJK) as its surrogate pair, so
-    * the profile strips the astral class `[\x{10000}-\x{10FFFF}]` and
-    * halves the length delta (exactly 2 units per astral char) to
-    * recover the code-point total — still pure codegen'd string ops.
+    * `n_chars` counts CODE POINTS (the DuckDB/ANSI `length()`
+    * convention) via [[codePointLen]] — Spark's UTF8String `length()`
+    * already counts code points, and the astral agreement is
+    * spec-pinned there, so emoji and supplementary-CJK text cannot
+    * skew `dominant_share_x100` against the oracle.
     */
   def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {

@@ -6115,6 +6115,94 @@ object LlmQueries {
       graft.streaming.DriftMonitor.cusumTrajectory(batches, profile)
     }.sortedBy(col("batch_idx"), col("metric")),
 
+    // ── PER-DOMAIN drift trajectory: the "WHICH source drifted"
+    // readout — per-source CUSUM pages against per-source baselines
+    // (a one-domain collapse moves the global rate by 1/|domains|,
+    // under slack; it pages its own CUSUM at full strength). Batches
+    // by polyhash(doc_id) % 4 (hash "arrival order" — doc_id % 4 is
+    // perfectly correlated with source in this corpus), carry-forward
+    // through (source, batch) cells the hash leaves empty.
+    QueryDef("t_drift_by_domain", {
+      val b4 = s"${polyhash("CAST(d.doc_id AS VARCHAR)")} % 10000 % 4"
+      s"""WITH RECURSIVE ${qualityCtes("documents")},
+         |ddb AS (SELECT d.source, $b4 AS b, d.text IS NULL AS isn,
+         |    q.quality, qb.n_tokens
+         |  FROM documents d
+         |  LEFT JOIN qscored q ON q.doc_id = d.doc_id
+         |  LEFT JOIN qbase qb ON qb.doc_id = d.doc_id),
+         |drates AS (SELECT source, b,
+         |    CASE WHEN count(*) > 0 THEN
+         |      (sum(CASE WHEN isn THEN 1 ELSE 0 END) * 10000)
+         |        // count(*) END AS nullr,
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND quality >= 3 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END AS qr,
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND n_tokens < 10 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END AS sr
+         |  FROM ddb GROUP BY source, b),
+         |dtall AS (
+         |  SELECT source, b, 'null_text_rate' AS metric, nullr AS x
+         |    FROM drates WHERE nullr IS NOT NULL
+         |  UNION ALL SELECT source, b, 'quality_rate', qr FROM drates
+         |    WHERE qr IS NOT NULL
+         |  UNION ALL SELECT source, b, 'short_doc_rate', sr FROM drates
+         |    WHERE sr IS NOT NULL),
+         |dmug AS (SELECT source, metric, x AS mu FROM (
+         |  SELECT source, 'null_text_rate' AS metric,
+         |    CASE WHEN count(*) > 0 THEN
+         |      (sum(CASE WHEN isn THEN 1 ELSE 0 END) * 10000)
+         |        // count(*) END AS x FROM ddb GROUP BY source
+         |  UNION ALL SELECT source, 'quality_rate',
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND quality >= 3 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END
+         |    FROM ddb GROUP BY source
+         |  UNION ALL SELECT source, 'short_doc_rate',
+         |    CASE WHEN sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) > 0 THEN
+         |      (sum(CASE WHEN NOT isn AND n_tokens < 10 THEN 1 ELSE 0 END)
+         |        * 10000)
+         |        // sum(CASE WHEN NOT isn THEN 1 ELSE 0 END) END
+         |    FROM ddb GROUP BY source)
+         |  WHERE x IS NOT NULL),
+         |dcus(b, source, metric, x, s_up, s_dn) AS (
+         |  SELECT 0, m.source, m.metric, t.x,
+         |    CASE WHEN t.x IS NULL THEN 0
+         |         ELSE greatest(0, t.x - m.mu - 200) END,
+         |    CASE WHEN t.x IS NULL THEN 0
+         |         ELSE greatest(0, m.mu - t.x - 200) END
+         |  FROM dmug m LEFT JOIN dtall t ON t.source = m.source
+         |    AND t.metric = m.metric AND t.b = 0
+         |  UNION ALL
+         |  SELECT c.b + 1, c.source, c.metric, t.x,
+         |    CASE WHEN t.x IS NULL THEN c.s_up
+         |         ELSE greatest(0, c.s_up + (t.x - m.mu - 200)) END,
+         |    CASE WHEN t.x IS NULL THEN c.s_dn
+         |         ELSE greatest(0, c.s_dn + (m.mu - t.x - 200)) END
+         |  FROM dcus c JOIN dmug m ON m.source = c.source
+         |    AND m.metric = c.metric
+         |  LEFT JOIN dtall t ON t.source = c.source
+         |    AND t.metric = c.metric AND t.b = c.b + 1
+         |  WHERE c.b < 3)
+         |SELECT CAST(b AS BIGINT) AS batch_idx, source, metric,
+         |  CAST(x AS BIGINT) AS x, CAST(s_up AS BIGINT) AS s_up,
+         |  CAST(s_dn AS BIGINT) AS s_dn
+         |FROM dcus WHERE x IS NOT NULL
+         |ORDER BY batch_idx, source, metric""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val withB = docs.withColumn("__db_b",
+        graft.ext.Sampling.bucket(col("doc_id")) % 4)
+      val batches = (0 to 3).map(i =>
+        withB.filter(col("__db_b") === i).drop("__db_b"))
+      val profile = graft.streaming.DriftMonitor.metricsBy(docs)
+        .select(col("source"), col("metric"), col("x").as("mu"))
+      graft.streaming.DriftMonitor.cusumTrajectoryBy(batches, profile)
+    }.sortedBy(col("batch_idx"), col("source"), col("metric")),
+
     // ── Per-domain AUC: the same signed-margin ranking law resolved
     // per source — the readout that says WHICH corpus slice the
     // learned gate actually ranks well (a per-group prefix window, so
@@ -7391,6 +7479,45 @@ object LlmQueries {
     // the assistant-only loss flag — what the trainer masks on. Spans
     // agree with t_chat_render by construction (shared turn-length
     // law).
+    // Chat-prep composition: conversations → per-conv token accounting
+    // (content whitespace tokens + one tag token per turn; assistant
+    // share disclosed as loss_tokens) → packSequences tape at 512 —
+    // the render/span/pack chain an SFT data build runs end to end.
+    QueryDef("t_chat_prep",
+      s"""WITH ct AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'user'
+         |         ELSE 'assistant' END AS role,
+         |    text AS content
+         |  FROM documents WHERE text IS NOT NULL),
+         |ag AS (SELECT conv_id,
+         |    CAST(sum(len(string_split(content, ' ')) + 1) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(sum(CASE WHEN role = 'assistant'
+         |      THEN len(string_split(content, ' ')) ELSE 0 END)
+         |      AS BIGINT) AS loss_tokens
+         |  FROM ct GROUP BY conv_id),
+         |wt AS (SELECT conv_id, n_tokens, loss_tokens,
+         |    ${polyhash("CAST(conv_id AS VARCHAR)")} % 10000 AS bkt
+         |  FROM ag),
+         |cm AS (SELECT conv_id, n_tokens, loss_tokens,
+         |    sum(n_tokens) OVER (ORDER BY bkt, conv_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS pos
+         |  FROM wt)
+         |SELECT conv_id, n_tokens, loss_tokens,
+         |  CAST(pos // 512 AS BIGINT) AS pack
+         |FROM cm ORDER BY conv_id""".stripMargin) { (s, d) =>
+      val perConv = chatTurns(s, d).groupBy(col("conv_id")).agg(
+        (sum(size(split(col("content"), " ")).cast("long"))
+          + count(lit(1))).as("n_tokens"),
+        sum(when(col("role") === "assistant",
+          size(split(col("content"), " ")).cast("long")).otherwise(0L))
+          .as("loss_tokens"))
+      graft.ext.Packing.packSequences(perConv, col("conv_id"),
+          col("n_tokens"), 512L)
+        .select(col("conv_id"), col("n_tokens"), col("loss_tokens"),
+          col("pack"))
+    }.sortedBy(col("conv_id")),
+
     QueryDef("t_chat_spans",
       s"""WITH ct AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
          |    CASE WHEN doc_id % 2 = 0 THEN 'user'

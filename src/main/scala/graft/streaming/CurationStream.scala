@@ -180,8 +180,15 @@ object CurationStream {
     * fail loud, not a silently unmonitored stream. Observability only:
     * the monitor never drops a document.
     */
+  /** Drift-monitor attachment for the composed stream. `groupCol =
+    * Some(col)` switches to the PER-GROUP monitor (per-(group, metric)
+    * CUSUMs vs [[DriftMonitor.writeProfileBy]] baselines — the "which
+    * source drifted" readout; alarms report as "group/metric"); None
+    * keeps the global [[DriftMonitor.updateBatch]] law.
+    */
   final case class DriftGate(name: String, slack: Long = 200L,
                              threshold: Long = 1000L,
+                             groupCol: Option[String] = None,
                              onDrift: DriftMonitor.DriftEvent => Unit =
                                _ => ())
 
@@ -251,7 +258,10 @@ object CurationStream {
       require(docs.sparkSession.catalog
           .tableExists(DriftMonitor.profileTable(dg.name)),
         s"no baseline profile '${DriftMonitor.profileTable(dg.name)}' — " +
-          "DriftMonitor.writeProfile first")
+          "DriftMonitor.writeProfile/writeProfileBy first")
+      dg.groupCol.foreach(g => require(docs.columns.contains(g),
+        s"DriftGate.groupCol '$g' is not a stream column " +
+          s"(${docs.columns.sorted.mkString(", ")})"))
     }
     // boilerplate strip loads its persisted artifact ONCE, here — a
     // missing table dies at start, not on batch 0; the hash set is
@@ -342,8 +352,12 @@ object CurationStream {
       // the epoch lineage is the gate stream's own checkpoint, so the
       // monitor's replay markers stay consistent across restarts
       driftGate.foreach { dg =>
-        dg.onDrift(DriftMonitor.updateBatch(dg.name, novel, epoch,
-          textCol, minQuality, dg.slack, dg.threshold))
+        dg.onDrift(dg.groupCol match {
+          case Some(g) => DriftMonitor.updateBatchBy(dg.name, novel,
+            epoch, g, textCol, minQuality, dg.slack, dg.threshold)
+          case None => DriftMonitor.updateBatch(dg.name, novel, epoch,
+            textCol, minQuality, dg.slack, dg.threshold)
+        })
       }
       val redacted =
         if (redactPii)

@@ -98,6 +98,87 @@ object DriftMonitor {
       .filter(col("x").isNotNull)
   }
 
+  /** [[metrics]] resolved PER GROUP (source domain, language, shard):
+    * (groupCol, metric, x) — the same three ×10⁴ rates over each
+    * group's own rows, null-group rows a group of their own (the batch
+    * family's convention), absent signals absent (not zero). One
+    * group-keyed partial aggregation; output is |groups|×3-bounded.
+    */
+  def metricsBy(df: DataFrame, groupCol: String = "source",
+                textCol: String = "text",
+                minQuality: Int = 3): DataFrame = {
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__dm_rows"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("__dm_nulls"),
+      sum(when(col(textCol).isNotNull, 1L)).as("__dm_docs"),
+      sum(when(col(textCol).isNotNull &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality, 1L)
+        .otherwise(0L)).as("__dm_good"),
+      sum(when(col(textCol).isNotNull &&
+        TextAnalysis.tokenCount(col(textCol)) < 10, 1L)
+        .otherwise(0L)).as("__dm_short"))
+    agg.select(col(groupCol), explode(array(
+        struct(lit("quality_rate").as("metric"),
+          when(col("__dm_docs") > 0L,
+            expr("(__dm_good * 10000) div __dm_docs")).as("x")),
+        struct(lit("null_text_rate").as("metric"),
+          when(col("__dm_rows") > 0L,
+            expr("(__dm_nulls * 10000) div __dm_rows")).as("x")),
+        struct(lit("short_doc_rate").as("metric"),
+          when(col("__dm_docs") > 0L,
+            expr("(__dm_short * 10000) div __dm_docs")).as("x"))))
+        .as("m"))
+      .select(col(groupCol), col("m.metric").as("metric"),
+        col("m.x").as("x"))
+      .filter(col("x").isNotNull)
+  }
+
+  /** PER-GROUP pure batch replay of the CUSUM law — the "WHICH source
+    * drifted" face [[cusumTrajectory]]'s global fold cannot answer: a
+    * corpus where one domain collapses while nineteen hold steady
+    * moves the global rate by 1/20th of the shift (under slack,
+    * invisible) but pages that domain's own CUSUM at full strength.
+    * `profile` is (groupCol, metric, mu) — per-group baselines from a
+    * trusted snapshot ([[metricsBy]] over it). Groups/metrics absent
+    * from a batch carry state forward; rows emit only where present;
+    * (group, metric) pairs with no profile baseline don't participate
+    * (a NEW domain has no baseline to drift FROM — profile it first).
+    * Output: (batch_idx, groupCol, metric, x, s_up, s_dn).
+    *
+    * The driver-side fold collects |groups|×|metrics|-bounded
+    * relations per batch — sound exactly when the group key is
+    * configuration-sized (source domains, languages, shards: the
+    * [[graft.ext.Curation.domainReweight]] apportionment posture), NOT
+    * a per-document key.
+    */
+  def cusumTrajectoryBy(batches: Seq[DataFrame], profile: DataFrame,
+                        groupCol: String = "source",
+                        textCol: String = "text", minQuality: Int = 3,
+                        slack: Long = 200L): DataFrame = {
+    require(batches.nonEmpty,
+      "cusumTrajectoryBy needs at least one batch")
+    val spark = batches.head.sparkSession
+    val mu = profile.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    var state = Map.empty[(String, String), (Long, Long)]
+    val rows = batches.zipWithIndex.flatMap { case (b, i) =>
+      val xs = metricsBy(b, groupCol, textCol, minQuality).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      xs.toSeq.sortBy(_._1).flatMap { case (gm @ (g, m), x) =>
+        mu.get(gm).map { m0 =>
+          val (pu, pd) = state.getOrElse(gm, (0L, 0L))
+          val su = math.max(0L, pu + (x - m0 - slack))
+          val sd = math.max(0L, pd + (m0 - x - slack))
+          state += (gm -> (su, sd))
+          (i.toLong, g, m, x, su, sd)
+        }
+      }
+    }
+    import spark.implicits._
+    rows.toDF("batch_idx", groupCol, "metric", "x", "s_up", "s_dn")
+  }
+
   /** PURE batch replay of the CUSUM law — the oracle-gateable face of
     * the monitor (the streaming path's state lives in tables; this
     * folds the identical integer law over an ordered sequence of
@@ -135,6 +216,21 @@ object DriftMonitor {
     }
     import spark.implicits._
     rows.toDF("batch_idx", "metric", "x", "s_up", "s_dn")
+  }
+
+  /** Train-once for the PER-GROUP monitor: pin (grp, metric, mu)
+    * baselines from a trusted snapshot ([[metricsBy]] law). A monitor
+    * `name` is either global or per-group, never both — the two state
+    * schemas differ.
+    */
+  def writeProfileBy(docs: DataFrame, name: String,
+                     groupCol: String = "source",
+                     textCol: String = "text",
+                     minQuality: Int = 3): Unit = {
+    val mu = metricsBy(docs, groupCol, textCol, minQuality)
+      .select(col(groupCol).as("grp"), col("metric"),
+        col("x").as("mu"))
+    graft.core.Layout.writeBucketed(mu, profileTable(name), "metric", 1)
   }
 
   /** Train-once: pin the baseline profile (metric, mu) from a trusted
@@ -179,6 +275,126 @@ object DriftMonitor {
         col("n_batches"), col("last_x"),
         (col("s_up") > threshold || col("s_dn") > threshold)
           .as("alarmed"))
+
+  /** Current PER-GROUP monitor state: (grp, metric, mu, s_up, s_dn,
+    * n_batches, last_x, alarmed) — [[currentState]] with the group
+    * dimension.
+    */
+  def currentStateBy(spark: SparkSession, name: String,
+                     threshold: Long = 1000L): DataFrame =
+    spark.table(stateTable(name))
+      .filter(col("kind") === "s")
+      .join(spark.table(profileTable(name)), Seq("grp", "metric"))
+      .select(col("grp"), col("metric"), col("mu"), col("s_up"),
+        col("s_dn"), col("n_batches"), col("last_x"),
+        (col("s_up") > threshold || col("s_dn") > threshold)
+          .as("alarmed"))
+
+  /** ONE batch's PER-GROUP monitor update — [[updateBatch]]'s law with
+    * the group dimension: per (group, metric) CUSUM pages against the
+    * per-group baselines of [[writeProfileBy]]; (group, metric) cells
+    * absent from the batch carry state forward; pairs with no baseline
+    * don't participate (profile a new domain before monitoring it).
+    * Same high-water marker, same atomic scratch-swap, same monotone-
+    * epoch lineage contract. Alarms report as "group/metric". State is
+    * |groups|×|metrics| rows + one marker — sound when the group key
+    * is configuration-sized (domains, languages, shards).
+    */
+  def updateBatchBy(name: String, batch: DataFrame, epoch: Long,
+                    groupCol: String = "source",
+                    textCol: String = "text", minQuality: Int = 3,
+                    slack: Long = 200L,
+                    threshold: Long = 1000L): DriftEvent = {
+    val spark = batch.sparkSession
+    recover(spark, name)
+    val live = stateTable(name)
+    val liveDf =
+      if (spark.catalog.tableExists(live)) Some(spark.table(live))
+      else None
+    val highWater = liveDf.flatMap(df =>
+      Option(df.filter(col("kind") === "e")
+        .agg(max(col("epoch"))).collect().head.get(0))
+        .map(_.asInstanceOf[Long]))
+    val applied = highWater.exists(epoch <= _)
+    if (applied) DriftEvent(epoch, "skipped_replay", Nil)
+    else {
+      val xs = metricsBy(batch, groupCol, textCol, minQuality)
+        .select(col(groupCol).as("grp"), col("metric"), col("x"))
+        .localCheckpoint()
+      if (xs.isEmpty) DriftEvent(epoch, "empty_batch", Nil)
+      else {
+        val prof = spark.table(profileTable(name))
+        val prev = liveDf.map(_.filter(col("kind") === "s"))
+          .getOrElse(spark.emptyDataFrame
+            .select(lit("").as("kind"), lit("").as("grp"),
+              lit("").as("metric"), lit(0L).as("epoch"),
+              lit(0L).as("s_up"), lit(0L).as("s_dn"),
+              lit(0L).as("n_batches"), lit(0L).as("last_x")).limit(0))
+          .select(col("grp"), col("metric"),
+            col("s_up").as("__dm_pu"), col("s_dn").as("__dm_pd"),
+            col("n_batches").as("__dm_pn"))
+        // inner join against the profile: unprofiled (grp, metric)
+        // pairs drop here, by contract
+        val upd = xs.join(broadcast(prof), Seq("grp", "metric"))
+          .join(prev, Seq("grp", "metric"), "left")
+          .select(lit("s").as("kind"), col("grp"), col("metric"),
+            lit(0L).as("epoch"),
+            greatest(lit(0L), coalesce(col("__dm_pu"), lit(0L))
+              + (col("x") - col("mu") - lit(slack))).as("s_up"),
+            greatest(lit(0L), coalesce(col("__dm_pd"), lit(0L))
+              + (col("mu") - col("x") - lit(slack))).as("s_dn"),
+            (coalesce(col("__dm_pn"), lit(0L)) + 1L).as("n_batches"),
+            col("x").as("last_x"))
+        val carried = prev.join(xs, Seq("grp", "metric"), "left_anti")
+          .select(lit("s").as("kind"), col("grp"), col("metric"),
+            lit(0L).as("epoch"), col("__dm_pu").as("s_up"),
+            col("__dm_pd").as("s_dn"), col("__dm_pn").as("n_batches"),
+            lit(null).cast("long").as("last_x"))
+        val marker = spark.range(1).select(lit("e").as("kind"),
+          lit("").as("grp"), lit("").as("metric"),
+          lit(epoch).as("epoch"), lit(0L).as("s_up"),
+          lit(0L).as("s_dn"), lit(0L).as("n_batches"),
+          lit(0L).as("last_x"))
+        val merged = Seq(upd, carried, marker)
+          .reduce(_ unionByName _)
+          .localCheckpoint()
+        graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)
+        spark.sql(s"DROP TABLE IF EXISTS $live")
+        spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
+        spark.catalog.refreshTable(live)
+        val alarms = merged.filter(col("kind") === "s" &&
+            (col("s_up") > threshold || col("s_dn") > threshold))
+          .select(concat_ws("/", col("grp"), col("metric")))
+          .collect().map(_.getString(0)).sorted
+        DriftEvent(epoch, "merged", alarms.toSeq)
+      }
+    }
+  }
+
+  /** Maintain the PER-GROUP drift monitor over a document stream —
+    * [[maintain]]'s topology over [[updateBatchBy]].
+    */
+  def maintainBy(docs: DataFrame, name: String, checkpointDir: String,
+                 groupCol: String = "source", textCol: String = "text",
+                 minQuality: Int = 3, slack: Long = 200L,
+                 threshold: Long = 1000L,
+                 onBatch: DriftEvent => Unit = _ => ()): StreamingQuery = {
+    require(slack >= 0L, s"slack must be >= 0, got $slack")
+    require(threshold > 0L, s"threshold must be positive, got $threshold")
+    require(docs.sparkSession.catalog.tableExists(profileTable(name)),
+      s"no baseline profile '${profileTable(name)}' — writeProfileBy first")
+    val owner = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        val ev = updateBatchBy(name, batch.toDF(), epoch, groupCol,
+          textCol, minQuality, slack, threshold)
+        if (owner.catalog.tableExists(stateTable(name)))
+          owner.catalog.refreshTable(stateTable(name))
+        onBatch(ev)
+      }
+      .start()
+  }
 
   /** ONE batch's monitor update — the reusable core [[maintain]] wraps
     * and [[CurationStream]] composes into its own topology (one stream,

@@ -108,6 +108,44 @@ class DriftMonitorSpec extends SparkSuite {
     assert(traj2((2L, "quality_rate"))._2 == 1600L, traj2)
     assert(traj2((2L, "null_text_rate"))._1 == 9600L, traj2)
 
+    // PER-DOMAIN: a one-domain collapse is invisible to the global
+    // fold (1/2 of the shift lands under slack here) but pages that
+    // domain's own CUSUM at full strength; the steady domain stays
+    // quiet; a domain absent from the profile doesn't participate
+    def dom(src: String, nGood: Int, nBad: Int, base: Long) =
+      (mix(nGood, nBad, base).withColumn("source", lit(src)))
+    val profBy = Seq(
+      ("a", "quality_rate", 8000L), ("a", "null_text_rate", 0L),
+      ("a", "short_doc_rate", 2000L),
+      ("b", "quality_rate", 8000L), ("b", "null_text_rate", 0L),
+      ("b", "short_doc_rate", 2000L))
+      .toDF("source", "metric", "mu")
+    // batch 0: both on-profile; batch 1: domain b collapses to 40%
+    // good while a holds — b pages 8000−4000−200 = 3800, a stays 0
+    val byBatches = Seq(
+      dom("a", 40, 10, 700L).union(dom("b", 40, 10, 800L)),
+      dom("a", 40, 10, 900L).union(dom("b", 20, 30, 1000L)))
+    val byTraj = DriftMonitor.cusumTrajectoryBy(byBatches, profBy)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(byTraj((1L, "b", "quality_rate"))._2 == 3800L, byTraj)
+    assert(byTraj((1L, "a", "quality_rate"))._2 == 0L, byTraj)
+    assert(byTraj((0L, "b", "quality_rate")) == (0L, 0L), byTraj)
+    // the unprofiled domain emits nothing
+    val cOnly = DriftMonitor.cusumTrajectoryBy(
+      Seq(dom("c", 10, 0, 1100L)), profBy).count()
+    assert(cOnly == 0L, s"unprofiled domain must not emit: $cOnly")
+    // metricsBy ≡ metrics per slice (shared law, resolved per group)
+    val oneBatch = byBatches(1)
+    val byRows = DriftMonitor.metricsBy(oneBatch).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bSlice = DriftMonitor.metrics(
+        oneBatch.filter(col("source") === "b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bSlice.forall { case (m, x) => byRows(("b", m)) == x },
+      s"$byRows vs $bSlice")
+
     // marker compaction: four applied epochs leave ONE high-water
     // marker row (state size is lifetime-independent), at epoch 3
     val markers = spark.table(DriftMonitor.stateTable(name))
@@ -139,6 +177,76 @@ class DriftMonitorSpec extends SparkSuite {
       DriftMonitor.maintain(
         spark.readStream.schema(docsSchema).parquet(srcDir),
         "t_drift_unprofiled", ckpt)
+    }
+  }
+
+  test("per-domain streaming monitor: one domain's collapse pages its own CUSUM, carry-forward, replay, state ≡ pure fold") {
+    import org.apache.spark.sql.DataFrame
+    def dom(src: String, nGood: Int, nBad: Int, base: Long): DataFrame =
+      mix(nGood, nBad, base).withColumn("source", lit(src))
+    val name = "t_drift_mon_by"
+    DriftMonitor.writeProfileBy(
+      dom("a", 80, 20, 20000L).union(dom("b", 80, 20, 21000L)), name)
+    val events = new ConcurrentLinkedQueue[DriftMonitor.DriftEvent]()
+    val srcDir = java.nio.file.Files.createTempDirectory("dby-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dby-ckpt").toString
+    val schema = dom("a", 1, 0, 0L).schema
+    def start(ck: String = ckpt) = DriftMonitor.maintainBy(
+      spark.readStream.schema(schema).parquet(srcDir), name, ck,
+      slack = 200L, threshold = 5000L, onBatch = events.add(_))
+    def feed(df: DataFrame): Unit =
+      df.write.mode("append").parquet(srcDir)
+    // batch 0: both on-profile; batches 1–2: b collapses to 40% good
+    // (−3800/batch past slack) while a holds — threshold 5000 pages
+    // b's quality AND short CUSUMs on the SECOND shifted batch (7600),
+    // not the first (3800); an unprofiled domain c rides along and
+    // must not emit
+    val b0 = dom("a", 40, 10, 100L).union(dom("b", 40, 10, 200L))
+    val b1 = dom("a", 40, 10, 300L).union(dom("b", 20, 30, 400L))
+      .union(dom("c", 5, 0, 500L))
+    val b2 = dom("a", 40, 10, 600L).union(dom("b", 20, 30, 700L))
+    feed(b0); val q0 = start(); q0.processAllAvailable(); q0.stop()
+    feed(b1); val q1 = start(); q1.processAllAvailable(); q1.stop()
+    feed(b2); val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val evs = events.asScala.toSeq.sortBy(_.epoch)
+    assert(evs.map(_.action) == Seq.fill(3)("merged"), evs)
+    assert(evs(0).alarms.isEmpty && evs(1).alarms.isEmpty, evs)
+    assert(evs(2).alarms ==
+      Seq("b/quality_rate", "b/short_doc_rate"), evs)
+    val st = DriftMonitor.currentStateBy(spark, name, threshold = 5000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val bq = st(("b", "quality_rate"))
+    assert(bq.getLong(bq.fieldIndex("s_dn")) == 7600L, bq)
+    assert(bq.getBoolean(bq.fieldIndex("alarmed")), bq)
+    val aq = st(("a", "quality_rate"))
+    assert(aq.getLong(aq.fieldIndex("s_dn")) == 0L &&
+      !aq.getBoolean(aq.fieldIndex("alarmed")), aq)
+    assert(!st.contains(("c", "quality_rate")),
+      "unprofiled domain must not enter state")
+    // streamed state ≡ the pure per-group fold on the same batches
+    val traj = DriftMonitor.cusumTrajectoryBy(Seq(b0, b1, b2),
+        spark.table(DriftMonitor.profileTable(name))
+          .select(col("grp").as("source"), col("metric"), col("mu")))
+      .filter(col("batch_idx") === 2L).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(traj(("b", "quality_rate")) == (0L, 7600L), traj)
+    assert(traj(("a", "quality_rate")) == (0L, 0L), traj)
+    // replay: fresh checkpoint re-batches history as epoch 0 — the
+    // high-water marker skips it, no CUSUM moves
+    val before = spark.table(DriftMonitor.stateTable(name))
+      .collect().map(_.toSeq).toSet
+    val ck2 = java.nio.file.Files.createTempDirectory("dby-ck2").toString
+    val q3 = start(ck2); q3.processAllAvailable(); q3.stop()
+    assert(events.asScala.toSeq.map(_.action).contains("skipped_replay"))
+    assert(spark.table(DriftMonitor.stateTable(name))
+      .collect().map(_.toSeq).toSet == before,
+      "replayed epoch must move no state")
+    // unprofiled monitor fails at START
+    intercept[IllegalArgumentException] {
+      DriftMonitor.maintainBy(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "t_drift_by_unprofiled", ckpt)
     }
   }
 
@@ -199,6 +307,47 @@ class DriftMonitorSpec extends SparkSuite {
         driftGate = Some(CurationStream.DriftGate("t_cur_noprofile"))) {
         (_, _) => ()
       }
+    }
+
+    // PER-DOMAIN gate in the same topology (groupCol = Some): domain
+    // b's collapse alarms as "b/<metric>" while a stays quiet
+    val byName = "t_cur_drift_by"
+    def dmix(src: String, nGood: Int, nBad: Int, base: Long) =
+      cmix(nGood, nBad, base).map(t => (t._1, t._2, src, t._3))
+    DriftMonitor.writeProfileBy(
+      (dmix("a", 80, 20, 60000L) ++ dmix("b", 80, 20, 70000L))
+        .toDF("doc_id", "text", "source", "source_id")
+        .select(col("doc_id"), col("text"), col("source")), byName)
+    val byDrifts = new ConcurrentLinkedQueue[DriftMonitor.DriftEvent]()
+    val ms2 = MemoryStream[(Long, String, String, Int)]
+    val q2 = CurationStream.run(
+      ms2.toDF().toDF("doc_id", "text", "source", "source_id"),
+      "t_cur_drift_by_store", dimDir, "source_id",
+      java.nio.file.Files.createTempDirectory("cdby-ckpt").toString,
+      driftGate = Some(CurationStream.DriftGate(byName, slack = 200L,
+        threshold = 1500L, groupCol = Some("source"),
+        onDrift = byDrifts.add(_)))) { (_, _) => () }
+    try {
+      ms2.addData(
+        (dmix("a", 40, 10, 2100L) ++ dmix("b", 40, 10, 2200L)): _*)
+      q2.processAllAvailable()
+      ms2.addData(
+        (dmix("a", 40, 10, 2300L) ++ dmix("b", 20, 30, 2400L)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val byEvs = byDrifts.asScala.toSeq.sortBy(_.epoch)
+    assert(byEvs.map(_.action) == Seq("merged", "merged"), byEvs)
+    assert(byEvs(0).alarms.isEmpty, byEvs)
+    assert(byEvs(1).alarms ==
+      Seq("b/quality_rate", "b/short_doc_rate"), byEvs)
+    // a groupCol absent from the stream fails at START, not batch 0
+    intercept[IllegalArgumentException] {
+      CurationStream.run(
+        ms.toDF().toDF("doc_id", "text", "source_id"),
+        "t_cur_drift_s3", dimDir, "source_id",
+        java.nio.file.Files.createTempDirectory("cd-ck3").toString,
+        driftGate = Some(CurationStream.DriftGate(byName,
+          groupCol = Some("source")))) { (_, _) => () }
     }
   }
 

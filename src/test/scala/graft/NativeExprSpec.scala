@@ -687,7 +687,8 @@ class NativeExprSpec extends SparkSuite {
       (2L, "ab яж"),               // latin 2 vs cyrillic 2: tie → cyrillic (lexicographic)
       (3L, null: String),
       (4L, "你好 γειά"),            // cjk 2, greek 4
-      (5L, "ab 😀")      // astral emoji: 4 code points, 5 UTF-16 units
+      (5L, "ab 😀"),     // astral emoji: 4 code points, 5 UTF-16 units
+      (6L, "😀😀 ab 😀")  // MULTI-astral: 8 code points, 11 UTF-16 units
     ).toDF("doc_id", "text")
     val m = graft.ext.TextAnalysis.scriptProfile(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -711,6 +712,12 @@ class NativeExprSpec extends SparkSuite {
     val d5 = m(5L)
     assert(lv2(d5, "n_chars") == 4L && lv2(d5, "n_latin") == 2L, d5)
     assert(lv2(d5, "dominant_share_x100") == 50L, d5)
+    // multi-astral pins the code-point convention itself: 3 emoji +
+    // 'ab' + 2 spaces = 7 code points (a UTF-16-unit count would say
+    // 10; a strip-halve miscount would say 6) → latin share 2/7 → 28
+    val d6 = m(6L)
+    assert(lv2(d6, "n_chars") == 7L && lv2(d6, "n_latin") == 2L, d6)
+    assert(lv2(d6, "dominant_share_x100") == 28L, d6)
   }
 
   test("IR rank eval: closed-form trec metrics, lcm law, report rollup; exact AUC with ties") {

@@ -929,4 +929,91 @@ class OpsPropertySpec extends SparkSuite {
       .as[(Long, Long, Long)].head()
     assert(nulls == ((0L, 3L, 3L)))
   }
+
+  test("dpoPairs laws on random pools: margin floor honored, chosen beats rejected, ids distinct, one pair per prompt") {
+    import spark.implicits._
+    Seq(5L, 23L, 91L).foreach { seed =>
+      val rnd = new Random(seed)
+      val resp = (1 to 40).flatMap { p =>
+        (1 to rnd.nextInt(6) + 1).map(r =>
+          (s"p$p", p * 100L + r, rnd.nextInt(10).toLong))
+      }.toDF("prompt_id", "response_id", "score")
+      val perPrompt = resp.collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2)))).toMap
+      Seq(1L, 3L).foreach { mm =>
+        val got = graft.ext.Preference
+          .dpoPairs(resp, "prompt_id", "response_id", "score",
+            minMargin = mm)
+          .collect()
+        // at most one pair per prompt
+        assert(got.map(_.getString(0)).distinct.length == got.length)
+        got.foreach { r =>
+          val (c, cs) = (r.getLong(r.fieldIndex("chosen_id")),
+            r.getLong(r.fieldIndex("chosen_score")))
+          val (j, js) = (r.getLong(r.fieldIndex("rejected_id")),
+            r.getLong(r.fieldIndex("rejected_score")))
+          val margin = r.getLong(r.fieldIndex("margin"))
+          assert(c != j && margin == cs - js && margin >= mm, r)
+          val pool = perPrompt(r.getString(0))
+          // chosen is a true max, rejected a true min, ties to the
+          // smallest id
+          val maxS = pool.map(_._2).max; val minS = pool.map(_._2).min
+          assert(cs == maxS && js == minS, r)
+          assert(c == pool.filter(_._2 == maxS).map(_._1).min, r)
+          assert(j == pool.filter(_._2 == minS).map(_._1).min, r)
+          assert(r.getLong(r.fieldIndex("n_responses")) == pool.length, r)
+        }
+        // every emitted prompt truly clears the floor; every prompt
+        // with spread >= mm is emitted
+        val emitted = got.map(_.getString(0)).toSet
+        perPrompt.foreach { case (p, pool) =>
+          val spread = pool.map(_._2).max - pool.map(_._2).min
+          assert(emitted.contains(p) == (spread >= mm), s"$p $spread $mm")
+        }
+      }
+    }
+  }
+
+  test("chat render/span laws on random conversations: span arithmetic consistent, loss spans cover exactly the assistant contents") {
+    import spark.implicits._
+    Seq(7L, 41L).foreach { seed =>
+      val rnd = new Random(seed)
+      val words = Seq("alpha", "beta", "gamma", "δέλτα", "emoji😀x", "ok")
+      val turns = (1 to 25).flatMap { c =>
+        (0 until rnd.nextInt(5) + 1).map { t =>
+          val role = if (t % 2 == 0) "user" else "assistant"
+          val content = (0 to rnd.nextInt(4))
+            .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+          (c.toLong, t.toLong, role, content)
+        }
+      }.toDF("conv_id", "turn_idx", "role", "content")
+      val rendered = graft.ext.Packing.renderChat(turns).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      val spans = graft.ext.Packing.chatSpans(turns).collect()
+      def cpSlice(s: String, a: Long, b: Long): String =
+        s.substring(s.offsetByCodePoints(0, a.toInt),
+          s.offsetByCodePoints(0, b.toInt))
+      val turnRows = turns.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getString(3)))
+        .toMap
+      spans.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        val (role, content) = turnRows(key)
+        val (text, _, nChars) = rendered(r.getLong(0))
+        val (a, b) = (r.getLong(r.fieldIndex("content_start")),
+          r.getLong(r.fieldIndex("content_end")))
+        // the span slices the exact content back out of the render
+        assert(cpSlice(text, a, b) == content, s"$key")
+        assert(r.getBoolean(r.fieldIndex("is_loss")) ==
+          (role == "assistant"), key)
+        assert(b <= nChars, key)
+      }
+      // n_chars is the code-point length of the rendered text
+      rendered.values.foreach { case (text, _, nChars) =>
+        assert(text.codePointCount(0, text.length).toLong == nChars, text)
+      }
+    }
+  }
 }
