@@ -298,7 +298,10 @@ object DriftMonitor {
     * Same high-water marker, same atomic scratch-swap, same monotone-
     * epoch lineage contract. Alarms report as "group/metric". State is
     * |groups|×|metrics| rows + one marker — sound when the group key
-    * is configuration-sized (domains, languages, shards).
+    * is configuration-sized (domains, languages, shards). A NULL group
+    * can never match a baseline (SQL join semantics), so null-group
+    * rows are effectively unmonitored here — coalesce the key to a
+    * sentinel domain upstream if they need coverage.
     */
   def updateBatchBy(name: String, batch: DataFrame, epoch: Long,
                     groupCol: String = "source",
