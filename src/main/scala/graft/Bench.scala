@@ -53,14 +53,19 @@ import graft.core.Sessions
   *    appends an in-process regression verdict to the trailer
   *    (`shared_n` + `regressions_n` + the worst ≤10 shared queries past
   *    1.3×, via BenchDiff's truncation-tolerant parser). N-GUARD
-  *    (round-18 fix for r17's 127 phantom flags on n=1 medians): a
-  *    query with < 3 timed samples folds its warm-up sample into the
-  *    sample set; a query is regression-ELIGIBLE only at effective
-  *    n ≥ 2; each regression entry carries its `n`; the stanza carries
-  *    `regressions_unreliable: true` whenever any shared query sits
-  *    below the protocol's n ≥ 3, plus `regressions_suppressed_n` for
-  *    ineligible shared queries — the gate now enforces BASELINE.md's
-  *    "compare medians only where n ≥ 3" instead of merely stating it. Unset, it
+  *    (round-18 fix for r17's 127 phantom flags on n=1 medians,
+  *    RESHAPED round 19): a query is regression-ELIGIBLE only at
+  *    n ≥ 2 TIMED samples; the COLD warm-up sample is a fallback for
+  *    queries with ZERO timed samples only (SIGTERM partials,
+  *    `"cold":true`), never folded into a timed median — r18's fold
+  *    promoted 1-timed-sweep queries to an eligible n=2 whose "median"
+  *    was mean(cold, warm), and the artifact self-flagged 50 phantom
+  *    regressions that an idle-box n=5 re-run measured at or below
+  *    baseline. Each regression entry carries its `n`; the stanza
+  *    carries `regressions_unreliable: true` whenever any shared query
+  *    sits below the protocol's n ≥ 3, plus `regressions_suppressed_n`
+  *    for ineligible shared queries — a budget-clamped 1-sweep run now
+  *    suppresses EVERYTHING instead of crying wolf. Unset, it
   *    DEFAULTS to the newest `bench_full_r{M}.json` (else
   *    `BENCH_r{M}.json`) in the working directory with M STRICTLY below
   *    the current round — never this round's own output (the round-13
@@ -213,22 +218,19 @@ object Bench {
       val samp = samples.readOnlySnapshot().toMap
       val cold = coldSamples.readOnlySnapshot().toMap
       val fsnap = failed.readOnlySnapshot().toMap
-      // (name, median, samples, isCold) — cold fallback only when a
-      // query has zero timed samples. N-GUARD (r17 verdict: the
-      // budget-clamped driver run shipped n=1 medians and the gate
-      // cried 127 phantom regressions): below 3 timed samples the
-      // warm-up sample the query ALREADY PAID is folded into the
-      // sample set — at n=1 the "median" was one contention-exposed
-      // shot; median-of-2 with the warm-up at least averages it
-      // against an independent pass. Disclosed per query via
-      // queries_stats' n (which counts the merged sample).
+      // (name, median, samples, isCold) — the COLD warm-up sample is a
+      // fallback for ZERO timed samples only (SIGTERM partials). It is
+      // never folded into a timed median: the r18 driver artifact
+      // folded it at timed-n < 3, which promoted 1-sweep queries to an
+      // ELIGIBLE n=2 whose "median" was mean(cold, warm) — 50 phantom
+      // regression flags that an idle-box n=5 re-run measured at or
+      // below baseline. Timed medians stay warm-on-warm; a 1-sweep
+      // query reports n=1 and the eligibility gate below suppresses it
+      // (disclosed via regressions_suppressed_n + unreliable marker).
       val results: Seq[(String, Double, List[Double], Boolean)] =
         ordered.map { case (name, _) =>
           samp.get(name).filter(_.nonEmpty) match {
-            case Some(xs0) =>
-              val xs = if (xs0.size < 3) cold.get(name).fold(xs0)(xs0 :+ _)
-                       else xs0
-              (name, median(xs), xs, false)
+            case Some(xs0) => (name, median(xs0), xs0, false)
             case None => cold.get(name) match {
               case Some(c) => (name, c, List(c), true)
               case None    => (name, -1.0, Nil, false)
