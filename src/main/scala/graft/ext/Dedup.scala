@@ -348,14 +348,64 @@ object Dedup {
     val samp = Sampling.sampleByKey(
       docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
     val feats = features(samp, idCol, textCol, n).localCheckpoint()
-    // ground-truth inverted index, df-capped and disclosed
+    val truth = sampledExactTruth(feats, idCol, jaccardNum, jaccardDen,
+      maxShingleDf, "lshRecallAudit")
+    val cands = lshCandidates(feats, idCol, numBands, rowsPerBand, maxBucket)
+      .localCheckpoint()
+    auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+  }
+
+  /** The SIMHASH analog of [[lshRecallAudit]] — the eval of the
+    * Hamming-ball dedup CONFIG against the same exact-Jaccard ground
+    * truth: the block-combination join finds every pair within
+    * `maxHamming` by construction (modulo the disclosed bucket cap),
+    * so what this audit measures is the SEMANTIC gap — how well
+    * `bits`-wide signature proximity at the chosen radius tracks real
+    * Jaccard similarity at `jaccardNum/jaccardDen` (simhash tuning is
+    * otherwise blind: the radius is picked by folklore). Candidates =
+    * [[simhashNearDups]] member pairs of the SAME (bits, blocks,
+    * maxHamming, maxBucket) config the production run uses. One row
+    * out, the [[lshRecallAudit]] columns; same sample-bounded scale
+    * shape, same df-capped truth index.
+    */
+  def simhashRecallAudit(docs: DataFrame, sampleFraction: Double = 0.25,
+                         jaccardNum: Int = 1, jaccardDen: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, bits: Int = 60, blocks: Int = 6,
+                         maxHamming: Int = 3,
+                         maxBucket: Int = DefaultMaxBucketWidth,
+                         maxShingleDf: Int = 200): DataFrame = {
+    require(jaccardDen >= 1 && jaccardNum >= 0 && jaccardNum <= jaccardDen,
+      s"jaccard threshold must be 0 <= num <= den, got $jaccardNum/$jaccardDen")
+    require(maxShingleDf >= 1,
+      s"maxShingleDf must be >= 1, got $maxShingleDf")
+    val samp = Sampling.sampleByKey(
+        docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
+      .localCheckpoint() // feeds feats AND the simhash pipeline once
+    val feats = features(samp, idCol, textCol, n).localCheckpoint()
+    val truth = sampledExactTruth(feats, idCol, jaccardNum, jaccardDen,
+      maxShingleDf, "simhashRecallAudit")
+    val cands = simhashNearDups(samp, idCol, textCol, n, bits, blocks,
+        maxHamming, maxBucket)
+      .select("doc_a", "doc_b").localCheckpoint()
+    auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+  }
+
+  /** Shared df-capped exact-Jaccard ground truth of the recall audits:
+    * every sample pair sharing ≥ 1 shingle of document frequency
+    * ≤ `maxShingleDf` (drop disclosed via WARN under `who`), verified
+    * by exact integer Jaccard. Returns (doc_a, doc_b), pinned.
+    */
+  private def sampledExactTruth(feats: DataFrame, idCol: String,
+                                jaccardNum: Int, jaccardDen: Int,
+                                maxShingleDf: Int, who: String): DataFrame = {
     val post = feats.select(col(idCol), explode(col("hashes")).as("__la_h"))
       .withColumn("__la_df",
         count(lit(1)).over(Window.partitionBy(col("__la_h"))))
     val dropped = post.filter(col("__la_df") > maxShingleDf)
       .select(col("__la_h"), col("__la_df")).distinct().limit(21).collect()
     if (dropped.nonEmpty)
-      log.warn(s"lshRecallAudit: ${dropped.length}${if (dropped.length > 20) "+" else ""} " +
+      log.warn(s"$who: ${dropped.length}${if (dropped.length > 20) "+" else ""} " +
         s"shingle(s) wider than $maxShingleDf sampled docs excluded from the " +
         s"ground-truth index (truth pairs sharing ONLY those shingles are " +
         s"not counted): " + dropped.take(20)
@@ -365,11 +415,17 @@ object Dedup {
       .join(keep.select(col("__la_h"), col(idCol).as("doc_b")), "__la_h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val truth = withJaccard(truthCand, "doc_a", "doc_b", feats, feats, idCol)
+    withJaccard(truthCand, "doc_a", "doc_b", feats, feats, idCol)
       .filter(jaccardAtLeast(jaccardNum, jaccardDen))
       .select("doc_a", "doc_b").localCheckpoint()
-    val cands = lshCandidates(feats, idCol, numBands, rowsPerBand, maxBucket)
-      .localCheckpoint()
+  }
+
+  /** The audits' shared one-row readout over (sample features, truth
+    * pairs, candidate pairs): counts + recall/precision ×10⁴.
+    */
+  private def auditReport(feats: DataFrame, truth: DataFrame,
+                          cands: DataFrame, idCol: String,
+                          jaccardNum: Int, jaccardDen: Int): DataFrame = {
     val verified = withJaccard(cands, "doc_a", "doc_b", feats, feats, idCol)
       .filter(jaccardAtLeast(jaccardNum, jaccardDen))
     val hits = truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")

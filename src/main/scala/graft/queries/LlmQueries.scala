@@ -3875,6 +3875,92 @@ object LlmQueries {
       Dedup.lshRecallAudit(Tables.documents(s, d))
     },
 
+    // ── SimHash config recall audit: the Hamming-ball analog — on the
+    // same 25% sample, the production (60-bit, 6-block, radius-3)
+    // member pairs vs the exact df-capped Jaccard ground truth at
+    // J ≥ 1/2. The block-combination join is ball-complete by
+    // construction, so recall measures the SEMANTIC gap (does
+    // signature proximity track Jaccard at this radius), precision
+    // what the Hamming ball admits below the cut.
+    QueryDef("t_simhash_recall_audit", {
+      val jNum = 1; val jDen = 2
+      def jcut(rel: String) =
+        s"""(SELECT doc_a, doc_b FROM (
+           |    SELECT c.doc_a, c.doc_b,
+           |      len(list_intersect(ha.hs, hb.hs)) AS inter,
+           |      len(ha.hs) + len(hb.hs)
+           |        - len(list_intersect(ha.hs, hb.hs)) AS uni
+           |    FROM $rel c
+           |    JOIN sahashes ha ON ha.doc_id = c.doc_a
+           |    JOIN sahashes hb ON hb.doc_id = c.doc_b)
+           |  WHERE inter * $jDen >= uni * $jNum)""".stripMargin
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 < 2500),
+         |${hashesCteFrom("samp", "sa")},
+         |sapost AS (SELECT doc_id, unnest(hs) AS h FROM sahashes),
+         |sadf AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+         |    FROM sapost)
+         |  WHERE df <= 200),
+         |satc AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM sadf l JOIN sadf r ON l.h = r.h AND l.doc_id < r.doc_id),
+         |satruth AS ${jcut("satc")},
+         |ssims AS (SELECT doc_id,
+         |  CAST(${simhashExprBits(60)} AS BIGINT) AS sim FROM sahashes),
+         |ssgrp AS (SELECT sim, min(doc_id) AS rep FROM ssims
+         |          WHERE sim IS NOT NULL GROUP BY sim),
+         |ssmem AS (SELECT s.doc_id, coalesce(g.rep, s.doc_id) AS rep,
+         |            s.sim
+         |          FROM ssims s LEFT JOIN ssgrp g ON s.sim = g.sim),
+         |ssbands AS (
+         |  SELECT g.rep AS doc_id, c.band,
+         |         ${simhashComboKeyExpr("g.sim", 10, 3)} AS bkey
+         |  FROM ssgrp g CROSS JOIN (VALUES
+         |    ${simhashComboValues(6, 3)}) c(band, b0, b1, b2)
+         |  QUALIFY count(*) OVER (PARTITION BY c.band, bkey)
+         |    <= ${Dedup.DefaultMaxBucketWidth}),
+         |sscand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ssbands a JOIN ssbands b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |ssr AS (SELECT c.doc_a, c.doc_b
+         |  FROM sscand c
+         |  JOIN ssims s1 ON s1.doc_id = c.doc_a
+         |  JOIN ssims s2 ON s2.doc_id = c.doc_b
+         |  WHERE bit_count(xor(s1.sim, s2.sim)) <= 3),
+         |sspairs AS (
+         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |         greatest(ma.doc_id, mb.doc_id) AS doc_b
+         |  FROM ssr p
+         |  JOIN ssmem ma ON ma.rep = p.doc_a
+         |  JOIN ssmem mb ON mb.rep = p.doc_b
+         |  UNION ALL
+         |  SELECT ma.doc_id, mb.doc_id
+         |  FROM ssmem ma JOIN ssmem mb
+         |    ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+         |  WHERE ma.sim IS NOT NULL),
+         |ssver AS ${jcut("sspairs")},
+         |sshit AS (SELECT t.doc_a, t.doc_b FROM satruth t
+         |  JOIN sspairs c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT n_sampled, n_truth_pairs, n_candidates, n_verified,
+         |  n_hits,
+         |  CAST(CASE WHEN n_truth_pairs > 0
+         |    THEN (n_hits * 10000) // n_truth_pairs END AS BIGINT)
+         |    AS recall_x10000,
+         |  CAST(CASE WHEN n_candidates > 0
+         |    THEN (n_verified * 10000) // n_candidates END AS BIGINT)
+         |    AS precision_x10000
+         |FROM (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sahashes) AS n_sampled,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM satruth) AS n_truth_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sspairs) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ssver) AS n_verified,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sshit) AS n_hits)""".stripMargin
+    }) { (s, d) =>
+      Dedup.simhashRecallAudit(Tables.documents(s, d))
+    },
+
     // ── Normalization + normalization-robust dedup ─────────────────
     // Canonical lowercase/strip-punct/collapse-space normalization
     // (the C4/RefinedWeb preprocessing), then exact grouping over the

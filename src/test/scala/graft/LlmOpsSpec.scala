@@ -63,6 +63,20 @@ class LlmOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Dedup.lshRecallAudit(docs, jaccardNum = 3, jaccardDen = 2)
     }
+
+    // the SIMHASH audit on the same fixture: identical texts have
+    // Hamming-0 signatures, so the ball config recalls the full
+    // triangle; same consistency laws, same df-cap disclosure path
+    val sa = Dedup.simhashRecallAudit(docs, sampleFraction = 1.0)
+      .collect().head
+    def sv(c: String): Long = sa.getLong(sa.fieldIndex(c))
+    assert(sv("n_sampled") == 23L, sa)
+    assert(sv("n_truth_pairs") == 3L, sa)
+    assert(sv("n_hits") == 3L && sv("recall_x10000") == 10000L, sa)
+    assert(sv("n_verified") <= sv("n_candidates"), sa)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashRecallAudit(docs, jaccardNum = 3, jaccardDen = 2)
+    }
   }
 
   test("lsh recall audit equals a brute-force recount on planted near-dups") {
