@@ -238,47 +238,21 @@ object ScaleCheck {
           graft.ext.Packing.packSequences(fimmed, col("doc_id"),
             col("toks"), 512L)
         }))
-      // DPO pair prep (round 19, the t_dpo_prep chain): one prompt-
-      // keyed argmax/argmin fold over quality scores + two id-keyed
-      // token joins + the decomposed pack cumsum — the corpus-linear
-      // scan dominates; the pair relation is |prompts|-bounded
+      // DPO pair prep (round 19): the SAME dpoPrepOf chain the
+      // t_dpo_prep oracle gates — one prompt-keyed argmax/argmin fold
+      // over quality scores + two id-keyed token joins + the
+      // decomposed pack cumsum; the corpus-linear scan dominates, the
+      // pair relation is |prompts|-bounded
       record("dpo_prep", nDocs,
-        timeIt(reps, warm = m == mults.head)(noop {
-          val nn = docs.filter(col("text").isNotNull)
-          val resp = nn.select(col("source").as("prompt_id"),
-            col("doc_id"),
-            graft.ext.TextAnalysis.qualityScore(col("text"))
-              .cast("long").as("score"))
-          val toks = nn.select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("t"))
-          val pairs = graft.ext.Preference
-            .dpoPairs(resp, "prompt_id", "doc_id", "score")
-            .join(toks.withColumnRenamed("doc_id", "chosen_id")
-              .withColumnRenamed("t", "ct"), "chosen_id")
-            .join(toks.withColumnRenamed("doc_id", "rejected_id")
-              .withColumnRenamed("t", "rt"), "rejected_id")
-          graft.ext.Packing.packSequences(pairs, col("prompt_id"),
-            col("ct") + col("rt"), 1024L)
-        }))
-      // chat-prep (round 19, the t_chat_prep chain): conv-keyed token
-      // fold + the decomposed pack cumsum — conversations scale with
-      // the corpus, per-conv work is bounded by turns-per-conv
+        timeIt(reps, warm = m == mults.head)(
+          noop(graft.queries.LlmQueries.dpoPrepOf(docs))))
+      // chat-prep (round 19): the SAME chatPrepOf chain the
+      // t_chat_prep oracle gates — conv-keyed token fold + the
+      // decomposed pack cumsum; conversations scale with the corpus,
+      // per-conv work is bounded by turns-per-conv
       record("chat_prep", nDocs,
-        timeIt(reps, warm = m == mults.head)(noop {
-          val turns = docs.filter(col("text").isNotNull)
-            .select(expr("doc_id div 4").as("conv_id"),
-              when(col("doc_id") % 2 === 0, lit("user"))
-                .otherwise(lit("assistant")).as("role"),
-              col("text").as("content"))
-          val perConv = turns.groupBy(col("conv_id")).agg(
-            (sum(size(split(col("content"), " ")).cast("long"))
-              + count(lit(1))).as("n_tokens"),
-            sum(when(col("role") === "assistant",
-              size(split(col("content"), " ")).cast("long"))
-              .otherwise(0L)).as("loss_tokens"))
-          graft.ext.Packing.packSequences(perConv, col("conv_id"),
-            col("n_tokens"), 512L)
-        }))
+        timeIt(reps, warm = m == mults.head)(
+          noop(graft.queries.LlmQueries.chatPrepOf(docs))))
     }
 
     // SCALE.md: per-flagship rows × median seconds, plus the

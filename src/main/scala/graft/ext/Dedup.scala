@@ -380,13 +380,15 @@ object Dedup {
     require(maxShingleDf >= 1,
       s"maxShingleDf must be >= 1, got $maxShingleDf")
     val samp = Sampling.sampleByKey(
-        docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
-      .localCheckpoint() // feeds feats AND the simhash pipeline once
+      docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
     val feats = features(samp, idCol, textCol, n).localCheckpoint()
     val truth = sampledExactTruth(feats, idCol, jaccardNum, jaccardDen,
       maxShingleDf, "simhashRecallAudit")
-    val cands = simhashNearDups(samp, idCol, textCol, n, bits, blocks,
-        maxHamming, maxBucket)
+    // signatures off the CHECKPOINTED shingles — the truth index and
+    // the candidate pipeline share one tokenize+shingle pass
+    val cands = hammingNearDups(
+        feats.select(col(idCol), simhash(col("hashes"), bits).as("simhash")),
+        idCol, "simhash", bits, blocks, maxHamming, maxBucket)
       .select("doc_a", "doc_b").localCheckpoint()
     auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
   }

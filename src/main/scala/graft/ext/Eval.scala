@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** DECIMAL(38,0) lift — the shared overflow-safe grain for the
+    * ×10⁴ scalings whose Long products can wrap (rankEval, RBP,
+    * ROC-AUC and company all divide through here).
+    */
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Truncated division on the [[dec]] grain — floor-toward-zero on
+    * the non-negative quantities these metrics divide, matching the
+    * oracle's integer `//`.
+    */
+  private def tdiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
   /** Per-item exact-match + bag-of-tokens F1 between a prediction and
     * a reference relation (joined on `idCol`; items present on only
     * one side are dropped — they have no score). Tokens follow the
@@ -570,8 +583,6 @@ object Eval {
       .agg(count(lit(1)).as("n_categories"),
         sum(col("__fk_cj")).as("n_ratings"),
         sum(col("__fk_cj") * col("__fk_cj")).as("__fk_q"))
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val ln = dec(lit(L)) * dec(col("n_items"))
     val t2 = dec(col("n_ratings")) * dec(col("n_ratings"))
     val q = dec(col("__fk_q"))
@@ -639,8 +650,6 @@ object Eval {
       .agg(count(lit(1)).as("n_categories"),
         sum(col("__ka_cj")).as("n_ratings"),
         sum(col("__ka_cj") * col("__ka_cj")).as("__ka_q"))
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val t = dec(coalesce(col("n_ratings"), lit(0L)))
     val a = t * t - dec(col("__ka_q"))
     val ld = dec(lit(L))
@@ -704,8 +713,6 @@ object Eval {
     require(k >= 1 && k <= 25, s"k must be in [1, 25], got $k")
     val L = lcmTo(k + 1)
     import org.apache.spark.sql.expressions.Window
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val qr = qrels.filter(col(relCol) > 0)
       .select(col(queryCol), col(docCol), col(relCol).cast("long").as("__ir_rel"))
     val rj = run.filter(col(rankCol) <= k)
@@ -790,8 +797,6 @@ object Eval {
     require(math.pow(pDen.toDouble, k.toDouble) < 9e17,
       s"pDen^k overflows Long: $pDen^$k")
     def ipow(b: Long, e: Int): Long = (1 to e).foldLeft(1L)((a, _) => a * b)
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val denK = ipow(pDen.toLong, k)
     val weights = (1 to k).map(r =>
       (r.toLong, ipow(pNum.toLong, r - 1) * (pDen - pNum).toLong *
@@ -839,8 +844,6 @@ object Eval {
                queryCol: String = "query_id", docCol: String = "doc_id",
                rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
     val L = lcmTo(k + 1)
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     rankEval(run, qrels, k, queryCol, docCol, rankCol, relCol).agg(
         count(lit(1)).as("n_queries"),
         sum(when(col("n_rel") > 0L, 1L).otherwise(0L)).as("n_with_rel"),
@@ -901,8 +904,6 @@ object Eval {
   def rocAuc(scored: DataFrame, labelCol: String = "label",
              scoreCol: String = "score"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val byScore = scored
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(scoreCol).as("__ra_s"))
@@ -992,8 +993,6 @@ object Eval {
                labelCol: String = "label",
                scoreCol: String = "score"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def tdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val byScore = scored
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(groupCol), col(scoreCol).as("__ra_s"))

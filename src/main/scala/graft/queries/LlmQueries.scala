@@ -703,19 +703,68 @@ object LlmQueries {
       name
     }
 
-  /** The chat-turn fixture shared by t_chat_render/t_chat_spans:
-    * 4 docs per conversation (conv = doc_id div 4, turn = doc_id mod
-    * 4), roles alternating user/assistant by doc_id parity, content =
-    * the document text (non-null only).
+  /** The chat-turn fixture shared by t_chat_render/t_chat_spans and
+    * ScaleCheck's chat_prep probe: 4 docs per conversation (conv =
+    * doc_id div 4, turn = doc_id mod 4), roles alternating
+    * user/assistant by doc_id parity, content = the document text
+    * (non-null only).
     */
-  def chatTurns(s: org.apache.spark.sql.SparkSession,
-                d: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(s, d).filter(col("text").isNotNull)
+  def chatTurnsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(expr("doc_id div 4").as("conv_id"),
         (col("doc_id") % 4).as("turn_idx"),
         when(col("doc_id") % 2 === 0, lit("user"))
           .otherwise(lit("assistant")).as("role"),
         col("text").as("content"))
+
+  def chatTurns(s: org.apache.spark.sql.SparkSession,
+                d: String): org.apache.spark.sql.DataFrame =
+    chatTurnsOf(Tables.documents(s, d))
+
+  /** The t_chat_prep chain as ONE shared definition (QueryDef and
+    * ScaleCheck both measure exactly this): conversations → per-conv
+    * token accounting (content whitespace tokens + one tag token per
+    * turn; assistant share disclosed as loss_tokens) → the
+    * packSequences tape at 512.
+    */
+  def chatPrepOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perConv = chatTurnsOf(docs).groupBy(col("conv_id")).agg(
+      (sum(size(split(col("content"), " ")).cast("long"))
+        + count(lit(1))).as("n_tokens"),
+      sum(when(col("role") === "assistant",
+        size(split(col("content"), " ")).cast("long")).otherwise(0L))
+        .as("loss_tokens"))
+    graft.ext.Packing.packSequences(perConv, col("conv_id"),
+        col("n_tokens"), 512L)
+      .select(col("conv_id"), col("n_tokens"), col("loss_tokens"),
+        col("pack"))
+  }
+
+  /** The t_dpo_prep chain as ONE shared definition: quality-scored
+    * responses per source → [[graft.ext.Preference.dpoPairs]] → both
+    * texts' whitespace token counts → the packSequences tape at 1024,
+    * keyed by prompt.
+    */
+  def dpoPrepOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nn = docs.filter(col("text").isNotNull)
+    val resp = nn.select(col("source").as("prompt_id"), col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).cast("long").as("score"))
+    val toks = nn.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("__dq_t"))
+    val pairs = graft.ext.Preference
+      .dpoPairs(resp, "prompt_id", "doc_id", "score")
+      .join(toks.withColumnRenamed("doc_id", "chosen_id")
+        .withColumnRenamed("__dq_t", "chosen_tokens"), "chosen_id")
+      .join(toks.withColumnRenamed("doc_id", "rejected_id")
+        .withColumnRenamed("__dq_t", "rejected_tokens"), "rejected_id")
+    graft.ext.Packing.packSequences(pairs, col("prompt_id"),
+        col("chosen_tokens") + col("rejected_tokens"), 1024L)
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("chosen_tokens"), col("rejected_tokens"), col("pack"))
+  }
 
   /** The persisted QUALITY-classifier bundle per (JVM, sf dir) — the
     * write-once half of t_quality_classifier_persisted, same memo
@@ -7521,21 +7570,7 @@ object LlmQueries {
          |SELECT prompt_id, chosen_id, rejected_id, chosen_tokens,
          |  rejected_tokens, CAST(pos // 1024 AS BIGINT) AS pack
          |FROM cm ORDER BY prompt_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      val resp = docs.select(col("source").as("prompt_id"), col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).cast("long").as("score"))
-      val toks = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("__dq_t"))
-      val pairs = graft.ext.Preference
-        .dpoPairs(resp, "prompt_id", "doc_id", "score")
-        .join(toks.withColumnRenamed("doc_id", "chosen_id")
-          .withColumnRenamed("__dq_t", "chosen_tokens"), "chosen_id")
-        .join(toks.withColumnRenamed("doc_id", "rejected_id")
-          .withColumnRenamed("__dq_t", "rejected_tokens"), "rejected_id")
-      graft.ext.Packing.packSequences(pairs, col("prompt_id"),
-          col("chosen_tokens") + col("rejected_tokens"), 1024L)
-        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
-          col("chosen_tokens"), col("rejected_tokens"), col("pack"))
+      dpoPrepOf(Tables.documents(s, d))
     }.sortedBy(col("prompt_id")),
 
     // ── Chat-template rendering (SFT prep) ─────────────────────────
@@ -7592,16 +7627,7 @@ object LlmQueries {
          |SELECT conv_id, n_tokens, loss_tokens,
          |  CAST(pos // 512 AS BIGINT) AS pack
          |FROM cm ORDER BY conv_id""".stripMargin) { (s, d) =>
-      val perConv = chatTurns(s, d).groupBy(col("conv_id")).agg(
-        (sum(size(split(col("content"), " ")).cast("long"))
-          + count(lit(1))).as("n_tokens"),
-        sum(when(col("role") === "assistant",
-          size(split(col("content"), " ")).cast("long")).otherwise(0L))
-          .as("loss_tokens"))
-      graft.ext.Packing.packSequences(perConv, col("conv_id"),
-          col("n_tokens"), 512L)
-        .select(col("conv_id"), col("n_tokens"), col("loss_tokens"),
-          col("pack"))
+      chatPrepOf(Tables.documents(s, d))
     }.sortedBy(col("conv_id")),
 
     QueryDef("t_chat_spans",

@@ -175,16 +175,15 @@ object CurationStream {
     * — drift in what is actually arriving as new content, before any
     * quality cut masks it) fold into the monitor's persisted CUSUM
     * state under the gate stream's own epoch lineage; `onDrift` fires
-    * per batch with the alarm list. The baseline profile
-    * ([[DriftMonitor.writeProfile]]) must exist at stream start —
-    * fail loud, not a silently unmonitored stream. Observability only:
-    * the monitor never drops a document.
-    */
-  /** Drift-monitor attachment for the composed stream. `groupCol =
-    * Some(col)` switches to the PER-GROUP monitor (per-(group, metric)
-    * CUSUMs vs [[DriftMonitor.writeProfileBy]] baselines — the "which
-    * source drifted" readout; alarms report as "group/metric"); None
-    * keeps the global [[DriftMonitor.updateBatch]] law.
+    * per batch with the alarm list. `groupCol = Some(col)` switches to
+    * the PER-GROUP monitor (per-(group, metric) CUSUMs vs
+    * [[DriftMonitor.writeProfileBy]] baselines — the "which source
+    * drifted" readout; alarms report as "group/metric"); None keeps
+    * the global [[DriftMonitor.updateBatch]] law. The baseline profile
+    * (writeProfile / writeProfileBy, matching the mode — shape-checked
+    * at start) must exist at stream start — fail loud, not a silently
+    * unmonitored stream. Observability only: the monitor never drops a
+    * document.
     */
   final case class DriftGate(name: String, slack: Long = 200L,
                              threshold: Long = 1000L,
@@ -259,6 +258,8 @@ object CurationStream {
           .tableExists(DriftMonitor.profileTable(dg.name)),
         s"no baseline profile '${DriftMonitor.profileTable(dg.name)}' — " +
           "DriftMonitor.writeProfile/writeProfileBy first")
+      DriftMonitor.requireProfileShape(docs.sparkSession, dg.name,
+        perGroup = dg.groupCol.isDefined)
       dg.groupCol.foreach(g => require(docs.columns.contains(g),
         s"DriftGate.groupCol '$g' is not a stream column " +
           s"(${docs.columns.sorted.mkString(", ")})"))

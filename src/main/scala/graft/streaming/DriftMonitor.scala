@@ -142,7 +142,10 @@ object DriftMonitor {
     * trusted snapshot ([[metricsBy]] over it). Groups/metrics absent
     * from a batch carry state forward; rows emit only where present;
     * (group, metric) pairs with no profile baseline don't participate
-    * (a NEW domain has no baseline to drift FROM — profile it first).
+    * (a NEW domain has no baseline to drift FROM — profile it first),
+    * and null-group rows don't either (the [[updateBatchBy]] join
+    * law). Any group-key type folds through its string form, so long
+    * shard ids work; the output group column is that string.
     * Output: (batch_idx, groupCol, metric, x, s_up, s_dn).
     *
     * The driver-side fold collects |groups|×|metrics|-bounded
@@ -158,11 +161,17 @@ object DriftMonitor {
     require(batches.nonEmpty,
       "cusumTrajectoryBy needs at least one batch")
     val spark = batches.head.sparkSession
-    val mu = profile.collect()
+    val mu = profile
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string"), col("metric"), col("mu"))
+      .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     var state = Map.empty[(String, String), (Long, Long)]
     val rows = batches.zipWithIndex.flatMap { case (b, i) =>
-      val xs = metricsBy(b, groupCol, textCol, minQuality).collect()
+      val xs = metricsBy(b, groupCol, textCol, minQuality)
+        .filter(col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string"), col("metric"), col("x"))
+        .collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
       xs.toSeq.sortBy(_._1).flatMap { case (gm @ (g, m), x) =>
@@ -244,6 +253,53 @@ object DriftMonitor {
     graft.core.Layout.writeBucketed(mu, profileTable(name), "metric", 1)
   }
 
+  /** Fail-loud shape guard: a monitor profile is either GLOBAL
+    * (metric, mu) or PER-GROUP (grp, metric, mu), and starting the
+    * wrong face against it would otherwise die mid-stream (per-group
+    * face, global profile: batch-0 join on a missing `grp`) or —
+    * worse — silently corrupt state (global face, per-group profile:
+    * the metric join fans each batch rate across every group row,
+    * |groups| duplicate state rows per metric with per-group mus).
+    * Called at START by both maintain faces and
+    * [[CurationStream]]'s drift gate, and per batch (schema-only,
+    * no job) by both update faces.
+    */
+  private[streaming] def requireProfileShape(spark: SparkSession,
+                                             name: String,
+                                             perGroup: Boolean): Unit = {
+    val cols = spark.table(profileTable(name)).columns.toSet
+    if (perGroup)
+      require(cols.contains("grp"),
+        s"monitor '$name' has a GLOBAL profile (no grp column) — " +
+          "writeProfileBy a per-group baseline for per-group monitoring")
+    else
+      require(!cols.contains("grp"),
+        s"monitor '$name' has a PER-GROUP profile — use the per-group " +
+          "face (updateBatchBy/maintainBy) or writeProfile a global " +
+          "baseline")
+  }
+
+  /** The high-water epoch of the live state (None before any marker)
+    * — the shared replay-skip law of both update faces.
+    */
+  private def highWaterOf(liveDf: Option[DataFrame]): Option[Long] =
+    liveDf.flatMap(df =>
+      Option(df.filter(col("kind") === "e")
+        .agg(max(col("epoch"))).collect().head.get(0))
+        .map(_.asInstanceOf[Long]))
+
+  /** Publish pinned `merged` rows as the live state table in one
+    * atomic scratch-swap — the shared crash-window law of both update
+    * faces (a fix to either belongs HERE, not in one copy).
+    */
+  private def publishSwap(spark: SparkSession, name: String,
+                          merged: DataFrame): Unit = {
+    graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)
+    spark.sql(s"DROP TABLE IF EXISTS ${stateTable(name)}")
+    spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO ${stateTable(name)}")
+    spark.catalog.refreshTable(stateTable(name))
+  }
+
   /** Finish an interrupted scratch-swap ([[SketchStream.recoverCms]]'s
     * law): live missing + scratch present → republish the scratch.
     * Every batch calls it first; safe any time.
@@ -314,11 +370,7 @@ object DriftMonitor {
     val liveDf =
       if (spark.catalog.tableExists(live)) Some(spark.table(live))
       else None
-    val highWater = liveDf.flatMap(df =>
-      Option(df.filter(col("kind") === "e")
-        .agg(max(col("epoch"))).collect().head.get(0))
-        .map(_.asInstanceOf[Long]))
-    val applied = highWater.exists(epoch <= _)
+    val applied = highWaterOf(liveDf).exists(epoch <= _)
     if (applied) DriftEvent(epoch, "skipped_replay", Nil)
     else {
       val xs = metricsBy(batch, groupCol, textCol, minQuality)
@@ -326,6 +378,7 @@ object DriftMonitor {
         .localCheckpoint()
       if (xs.isEmpty) DriftEvent(epoch, "empty_batch", Nil)
       else {
+        requireProfileShape(spark, name, perGroup = true)
         val prof = spark.table(profileTable(name))
         val prev = liveDf.map(_.filter(col("kind") === "s"))
           .getOrElse(spark.emptyDataFrame
@@ -361,10 +414,7 @@ object DriftMonitor {
         val merged = Seq(upd, carried, marker)
           .reduce(_ unionByName _)
           .localCheckpoint()
-        graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)
-        spark.sql(s"DROP TABLE IF EXISTS $live")
-        spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
-        spark.catalog.refreshTable(live)
+        publishSwap(spark, name, merged)
         val alarms = merged.filter(col("kind") === "s" &&
             (col("s_up") > threshold || col("s_dn") > threshold))
           .select(concat_ws("/", col("grp"), col("metric")))
@@ -386,6 +436,7 @@ object DriftMonitor {
     require(threshold > 0L, s"threshold must be positive, got $threshold")
     require(docs.sparkSession.catalog.tableExists(profileTable(name)),
       s"no baseline profile '${profileTable(name)}' — writeProfileBy first")
+    requireProfileShape(docs.sparkSession, name, perGroup = true)
     val owner = docs.sparkSession
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -420,17 +471,14 @@ object DriftMonitor {
     // marker has already been folded in (an empty batch leaves no mark
     // — but an empty epoch can only be re-delivered while it is still
     // the newest, i.e. above the mark, so it re-reads as empty again)
-    val highWater = liveDf.flatMap(df =>
-      Option(df.filter(col("kind") === "e")
-        .agg(max(col("epoch"))).collect().head.get(0))
-        .map(_.asInstanceOf[Long]))
-    val applied = highWater.exists(epoch <= _)
+    val applied = highWaterOf(liveDf).exists(epoch <= _)
     if (applied) DriftEvent(epoch, "skipped_replay", Nil)
     else {
       val xs = metrics(batch, textCol, minQuality)
         .localCheckpoint()
       if (xs.isEmpty) DriftEvent(epoch, "empty_batch", Nil)
       else {
+        requireProfileShape(spark, name, perGroup = false)
         val prof = spark.table(profileTable(name))
         val prev = liveDf.map(_.filter(col("kind") === "s"))
           .getOrElse(spark.emptyDataFrame
@@ -467,10 +515,7 @@ object DriftMonitor {
         val merged = Seq(upd, carried, marker)
           .reduce(_ unionByName _)
           .localCheckpoint()
-        graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)
-        spark.sql(s"DROP TABLE IF EXISTS $live")
-        spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
-        spark.catalog.refreshTable(live)
+        publishSwap(spark, name, merged)
         val alarms = merged.filter(col("kind") === "s" &&
             (col("s_up") > threshold || col("s_dn") > threshold))
           .select("metric").collect().map(_.getString(0)).sorted
@@ -494,6 +539,7 @@ object DriftMonitor {
     require(threshold > 0L, s"threshold must be positive, got $threshold")
     require(docs.sparkSession.catalog.tableExists(profileTable(name)),
       s"no baseline profile '${profileTable(name)}' — writeProfile first")
+    requireProfileShape(docs.sparkSession, name, perGroup = false)
     val owner = docs.sparkSession
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -248,6 +248,39 @@ class DriftMonitorSpec extends SparkSuite {
         spark.readStream.schema(schema).parquet(srcDir),
         "t_drift_by_unprofiled", ckpt)
     }
+    // mode/profile SHAPE mismatches fail loudly at start: the
+    // per-group face on a global profile, and the global face on a
+    // per-group profile (that one would otherwise silently fan each
+    // metric across every group row)
+    DriftMonitor.writeProfile(dom("a", 80, 20, 30000L), "t_drift_glob2")
+    intercept[IllegalArgumentException] {
+      DriftMonitor.maintainBy(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "t_drift_glob2", ckpt)
+    }
+    intercept[IllegalArgumentException] {
+      DriftMonitor.maintain(
+        spark.readStream.schema(schema).parquet(srcDir), name, ckpt)
+    }
+    intercept[IllegalArgumentException] {
+      DriftMonitor.updateBatchBy("t_drift_glob2", b0, 99L)
+    }
+    intercept[IllegalArgumentException] {
+      DriftMonitor.updateBatch(name, b0, 99L)
+    }
+    // cusumTrajectoryBy survives null and NON-STRING group keys: null
+    // groups drop (never match a baseline), long shard ids fold
+    // through their string form
+    val shardProf = Seq(("7", "quality_rate", 8000L))
+      .toDF("shard", "metric", "mu")
+    val shardBatch = mix(20, 30, 40000L)
+      .withColumn("shard", when(col("doc_id") % 2 === 0, lit(7L))
+        .otherwise(lit(null).cast("long")))
+    val shardTraj = DriftMonitor.cusumTrajectoryBy(
+        Seq(shardBatch), shardProf, groupCol = "shard")
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    assert(shardTraj.keySet.forall(_._1 == "7"), shardTraj.keySet)
+    assert(shardTraj.contains(("7", "quality_rate")), shardTraj.keySet)
   }
 
   test("composed curation stream: drift gate observes novel batches, alarms on sustained shift, drops nothing") {
