@@ -1703,6 +1703,63 @@ object Similarity {
     cross.union(intra)
   }
 
+  /** The embedding-LSH recall audit — third member of the
+    * candidate-generation audit family ([[graft.ext.Dedup.lshRecallAudit]]
+    * for MinHash banding, [[graft.ext.Dedup.simhashRecallAudit]] for the
+    * Hamming ball): on a deterministic key-hash sample, the production
+    * (tables, planes, dims, maxBucket) random-hyperplane config's
+    * member pairs vs EXACT all-pairs cosine ground truth at
+    * `threshold`. Recall says what the hyperplane tables + hot-bucket
+    * cap MISS at this similarity cut (the number LSH-table/plane tuning
+    * otherwise guesses at); precision what the buckets admit below it.
+    *
+    * Candidates are [[embeddingNearDups]] run at threshold −1 — every
+    * bucket-cohabitant member pair through the EXACT production plan
+    * (collapse, cap, expansion), then split by the real threshold for
+    * the verified count. Ground truth is the one O(s²) relation in the
+    * engine, DISCLOSED and sample-bounded: dense vectors admit no
+    * sparse inverted index, so the audit's honesty comes from the
+    * sample cut — at corpus scale pick `sampleFraction` so s² cosines
+    * is a small job (10⁴ vectors → 5·10⁷ cosines). One row out, the
+    * audit family's columns.
+    */
+  def embeddingRecallAudit(emb: DataFrame, sampleFraction: Double = 0.25,
+                           threshold: Double = 0.25, planes: Int = 7,
+                           dims: Int = 64, tables: Int = 8,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxBucket: Int = graft.ext.Dedup.DefaultMaxBucketWidth)
+      : DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1, 1], got $threshold")
+    val samp = graft.ext.Sampling.sampleByKey(
+        emb.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol)),
+        col(idCol), sampleFraction)
+      .localCheckpoint()
+    val a = samp.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = samp.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select("id_a", "id_b").localCheckpoint()
+    val cands = embeddingNearDups(samp, -1.0, planes, dims, tables,
+        idCol, vecCol, maxBucket)
+      .localCheckpoint()
+    val verified = cands.filter(col("cos") >= threshold)
+    val hits = truth.join(cands, Seq("id_a", "id_b"), "left_semi")
+    samp.agg(count(lit(1)).as("n_sampled"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth_pairs")))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_sampled"), col("n_truth_pairs"), col("n_candidates"),
+        col("n_verified"), col("n_hits"),
+        when(col("n_truth_pairs") > 0L,
+          expr("(n_hits * 10000) div n_truth_pairs")).as("recall_x10000"),
+        when(col("n_candidates") > 0L,
+          expr("(n_verified * 10000) div n_candidates"))
+          .as("precision_x10000"))
+  }
+
   // ── SemDeDup: cluster-then-cosine semantic dedup ───────────────────
 
   /** Cap on vectors per k-means cell in [[semDedupPairs]]: a capped

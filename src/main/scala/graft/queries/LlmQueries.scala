@@ -285,7 +285,8 @@ object LlmOracle {
     * expression's double accumulation, so sign buckets agree exactly.
     * Yields `buckets(vec_id, tbl, bucket)` over the embeddings table.
     */
-  def lshBucketsCte(tables: Int, planes: Int, dims: Int): String = {
+  def lshBucketsCte(tables: Int, planes: Int, dims: Int,
+                    rel: String = "embeddings"): String = {
     val rows = (for (t <- 0 until tables; p <- 0 until planes) yield {
       val ws = (0 until dims).map(d =>
         if (graft.functions.LshBuckets.planeWeight(t, p, d) > 0) "1" else "-1")
@@ -297,7 +298,7 @@ object LlmOracle {
        |  SELECT e.vec_id, w.tbl, w.plane,
        |         list_sum(list_transform(generate_series(1, $dims),
        |           i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS proj
-       |  FROM embeddings e CROSS JOIN w),
+       |  FROM $rel e CROSS JOIN w),
        |buckets AS (
        |  SELECT vec_id, tbl,
        |         CAST(SUM(CASE WHEN proj >= 0 THEN 1 << plane ELSE 0 END)
@@ -4008,6 +4009,77 @@ object LlmQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM sshit) AS n_hits)""".stripMargin
     }) { (s, d) =>
       Dedup.simhashRecallAudit(Tables.documents(s, d))
+    },
+
+    // ── Embedding-LSH recall audit: third member of the audit family
+    // — on the same deterministic 25% sample, the production
+    // (8-table, 7-plane) random-hyperplane member pairs vs EXACT
+    // all-pairs cosine truth at 0.25. Candidates replay the full
+    // production plan (collapse, cap, expansion) with no cosine cut;
+    // the verified count applies the real threshold.
+    QueryDef("t_embed_recall_audit",
+      s"""WITH esamp AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND ${polyhash("CAST(vec_id AS VARCHAR)")} % 10000 < 2500),
+         |${lshBucketsCte(tables = 8, planes = 7, dims = 64, rel = "esamp")},
+         |etruth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM esamp a JOIN esamp b ON a.vec_id < b.vec_id
+         |  WHERE round(${cosine("a.embedding", "b.embedding")}, 6)
+         |    >= 0.25),
+         |evgrp AS (SELECT embedding AS emb, min(vec_id) AS rep
+         |          FROM esamp GROUP BY embedding),
+         |evmem AS (SELECT e.vec_id, g.rep FROM esamp e
+         |          JOIN evgrp g ON e.embedding = g.emb),
+         |erbuckets AS (
+         |  SELECT b.vec_id, b.tbl, b.bucket
+         |  FROM buckets b JOIN evgrp g ON g.rep = b.vec_id
+         |  QUALIFY count(*) OVER (PARTITION BY b.tbl, b.bucket)
+         |          <= ${Dedup.DefaultMaxBucketWidth}),
+         |ercand AS (
+         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM erbuckets l JOIN erbuckets r
+         |    ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id < r.vec_id),
+         |erscored AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(${cosine("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM ercand c
+         |  JOIN esamp a ON a.vec_id = c.id_a
+         |  JOIN esamp b ON b.vec_id = c.id_b),
+         |eself AS (
+         |  SELECT g.rep, round(${cosine("e.embedding", "e.embedding")}, 6)
+         |    AS cos
+         |  FROM evgrp g JOIN esamp e ON e.vec_id = g.rep),
+         |ecand AS (
+         |  SELECT least(ma.vec_id, mb.vec_id) AS id_a,
+         |         greatest(ma.vec_id, mb.vec_id) AS id_b, p.cos
+         |  FROM erscored p
+         |  JOIN evmem ma ON ma.rep = p.id_a
+         |  JOIN evmem mb ON mb.rep = p.id_b
+         |  UNION ALL
+         |  SELECT ma.vec_id, mb.vec_id, s.cos
+         |  FROM evmem ma JOIN evmem mb
+         |    ON ma.rep = mb.rep AND ma.vec_id < mb.vec_id
+         |  JOIN eself s ON s.rep = ma.rep),
+         |ever AS (SELECT id_a, id_b FROM ecand WHERE cos >= 0.25),
+         |ehit AS (SELECT t.id_a, t.id_b FROM etruth t
+         |  JOIN ecand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         |SELECT n_sampled, n_truth_pairs, n_candidates, n_verified,
+         |  n_hits,
+         |  CAST(CASE WHEN n_truth_pairs > 0
+         |    THEN (n_hits * 10000) // n_truth_pairs END AS BIGINT)
+         |    AS recall_x10000,
+         |  CAST(CASE WHEN n_candidates > 0
+         |    THEN (n_verified * 10000) // n_candidates END AS BIGINT)
+         |    AS precision_x10000
+         |FROM (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM esamp) AS n_sampled,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM etruth) AS n_truth_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ecand) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ever) AS n_verified,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ehit) AS n_hits)""".stripMargin) {
+      (s, d) =>
+      Similarity.embeddingRecallAudit(Tables.embeddings(s, d))
     },
 
     // ── Normalization + normalization-robust dedup ─────────────────

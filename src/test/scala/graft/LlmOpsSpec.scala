@@ -115,6 +115,33 @@ class LlmOpsSpec extends SparkSuite {
       (truth & cands).size.toLong * 10000L / truth.size, a)
   }
 
+  test("embedding recall audit: identical-vector truth fully recalled, family laws") {
+    import spark.implicits._
+    // 3 identical vectors (one truth triangle at cos = 1.0) + 8
+    // mutually ORTHOGONAL basis vectors (cos = 0 pairwise, and 1/√8 ≈
+    // 0.354 < 0.999 against the ones-vector) — at threshold 0.999 the
+    // truth set is exactly the triangle, and identical vectors collapse
+    // to one representative whose intra-group pairs are always
+    // candidates → full recall by construction
+    val ones = Array.fill(8)(1.0f)
+    val emb = ((1 to 3).map(i => (i.toLong, ones)) ++
+      (10 to 17).map(i => (i.toLong,
+        Array.tabulate(8)(j => if (j == i - 10) 1.0f else 0.0f))))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.embeddingRecallAudit(emb, sampleFraction = 1.0,
+      threshold = 0.999, planes = 5, dims = 8, tables = 4)
+      .collect().head
+    def lv(c: String): Long = a.getLong(a.fieldIndex(c))
+    assert(lv("n_sampled") == 11L, a)
+    assert(lv("n_truth_pairs") == 3L, a)
+    assert(lv("n_hits") == 3L && lv("recall_x10000") == 10000L, a)
+    assert(lv("n_verified") <= lv("n_candidates"), a)
+    assert(lv("n_hits") <= lv("n_truth_pairs"), a)
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingRecallAudit(emb, threshold = 2.0)
+    }
+  }
+
   test("mmr rerank: greedy diversity law, first pick is top-cos, parameters validated") {
     import spark.implicits._
     // q = e1; a/b nearly collinear with q (and with each other);
