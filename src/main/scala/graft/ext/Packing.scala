@@ -408,7 +408,11 @@ object Packing {
     *
     * Rows with a null role or content are DROPPED (a tag with no body
     * is not a turn — the null-rows-don't-vote convention); `turn_idx`
-    * must be unique within a conversation (the order key).
+    * must be unique within a conversation (the order key) — ENFORCED:
+    * a duplicate index would make the rendered order engine-dependent
+    * (array_sort ties break on the rendered piece; SQL string_agg tie
+    * order is unspecified), so the plan fails loud instead of
+    * silently skewing spans (the engine's fail-loud convention).
     *
     * Scale shape: one conv-keyed aggregation (collect + sort + join of
     * that conversation's own turns — bounded by turns-per-conv, never
@@ -428,7 +432,16 @@ object Packing {
             turnPiece(col(roleCol), col(contentCol)).as("p")))),
           x => x.getField("p")), "").as("text"),
         count(lit(1)).as("n_turns"),
+        countDistinct(col(idxCol).cast("long")).as("__rc_didx"),
         sum(turnLen(col(roleCol), col(contentCol))).as("n_chars"))
+      .select(col(convCol),
+        when(col("__rc_didx") === col("n_turns"), col("text"))
+          .otherwise(raise_error(concat(
+            lit("renderChat: duplicate turn_idx in conversation "),
+            col(convCol).cast("string"),
+            lit(" — the order key must be unique per conversation")))
+            .cast("string")).as("text"),
+        col("n_turns"), col("n_chars"))
   }
 
   /** The LOSS-SPAN face of [[renderChat]]: one row per turn with the
@@ -453,11 +466,24 @@ object Packing {
     val w = Window.partitionBy(col(convCol))
       .orderBy(col(idxCol).cast("long"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // duplicate-index guard ([[renderChat]]'s law, window form): in
+    // idx order duplicates are adjacent, so lag(idx) == idx detects
+    // every duplicate without a second aggregation
+    val wOrd = Window.partitionBy(col(convCol))
+      .orderBy(col(idxCol).cast("long"))
     t.select(col(convCol), col(idxCol).cast("long").as(idxCol),
         col(roleCol), col(contentCol))
       .withColumn("__cs_pre",
         coalesce(sum(turnLen(col(roleCol), col(contentCol))).over(w),
           lit(0L)))
+      .withColumn("__cs_pre",
+        when(lag(col(idxCol), 1).over(wOrd) === col(idxCol),
+          raise_error(concat(
+            lit("chatSpans: duplicate turn_idx in conversation "),
+            col(convCol).cast("string"),
+            lit(" — the order key must be unique per conversation")))
+            .cast("long"))
+          .otherwise(col("__cs_pre")))
       .select(col(convCol), col(idxCol), col(roleCol),
         (col("__cs_pre") + TextAnalysis.codePointLen(col(roleCol))
           + lit(5L)).as("content_start"),

@@ -228,6 +228,12 @@ object Preference {
     * `n_responses` is disclosed per surviving pair so the caller sees
     * the pool each verdict came from.
     *
+    * The score column must be INTEGRAL (the engine's integer-exact
+    * grain): a fractional reward-model score in [0, 1] would truncate
+    * to 0 under a silent cast and collapse every margin — scale such
+    * scores to an integer grain upstream (×10⁴, the engine-wide
+    * convention) instead. Enforced, not documented-only.
+    *
     * Output: (promptCol, chosen_id, chosen_score, rejected_id,
     * rejected_score, margin, n_responses).
     *
@@ -241,6 +247,16 @@ object Preference {
                scoreCol: String = "score",
                minMargin: Long = 1L): DataFrame = {
     require(minMargin >= 1L, s"minMargin must be >= 1, got $minMargin")
+    import org.apache.spark.sql.types._
+    val scoreType = responses.select(col(scoreCol)).schema.head.dataType
+    val integral = scoreType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"dpoPairs needs an integral score column ($scoreCol is $scoreType): " +
+        "fractional reward scores truncate to 0 under a long cast and " +
+        "collapse margins — pre-scale to an integer grain (x10^4) upstream")
     val r = responses
       .filter(col(promptCol).isNotNull && col(respCol).isNotNull &&
         col(scoreCol).isNotNull)

@@ -1719,22 +1719,47 @@ object Similarity {
     * the verified count. Ground truth is the one O(s²) relation in the
     * engine, DISCLOSED and sample-bounded: dense vectors admit no
     * sparse inverted index, so the audit's honesty comes from the
-    * sample cut — at corpus scale pick `sampleFraction` so s² cosines
-    * is a small job (10⁴ vectors → 5·10⁷ cosines). One row out, the
-    * audit family's columns.
+    * sample cut. A FRACTION alone grows linearly with the corpus (and
+    * the truth join quadratically), so the sample is additionally
+    * capped at `maxSample` vectors by ABSOLUTE count — the
+    * deterministic ascending-(fingerprint, id) prefix
+    * ([[graft.ext.Sampling.stratifiedTake]]'s order law, so the kept
+    * set is engine-reproducible and independent of partitioning) —
+    * bounding truth work at maxSample²/2 cosines no matter the corpus
+    * (default 4096 → ≤ 8.4M). The cap engaging is WARN-disclosed and
+    * visible in the report row (`n_sampled` == maxSample).
+    *
+    * Zero-norm vectors are excluded from the sample up front: they
+    * have no cosine to anything (0/0), so neither truth nor candidate
+    * side could ever pair them — excluding them keeps the two sides'
+    * null conventions identical instead of leaking a Spark-side
+    * cos-cut asymmetry. One row out, the audit family's columns.
     */
   def embeddingRecallAudit(emb: DataFrame, sampleFraction: Double = 0.25,
                            threshold: Double = 0.25, planes: Int = 7,
                            dims: Int = 64, tables: Int = 8,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
-                           maxBucket: Int = graft.ext.Dedup.DefaultMaxBucketWidth)
-      : DataFrame = {
+                           maxBucket: Int = graft.ext.Dedup.DefaultMaxBucketWidth,
+                           maxSample: Int = 4096): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in [-1, 1], got $threshold")
-    val samp = graft.ext.Sampling.sampleByKey(
-        emb.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol)),
-        col(idCol), sampleFraction)
+    require(maxSample >= 2, s"maxSample must be >= 2, got $maxSample")
+    val frac = graft.ext.Sampling.sampleByKey(
+      emb.filter(col(vecCol).isNotNull &&
+          size(filter(col(vecCol), x => x =!= lit(0.0f))) > 0)
+        .select(col(idCol), col(vecCol)),
+      col(idCol), sampleFraction)
+    val nFrac = frac.count()
+    if (nFrac > maxSample)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"embeddingRecallAudit: fraction sample has $nFrac vectors > " +
+          s"maxSample=$maxSample — keeping the deterministic ascending-" +
+          "fingerprint prefix (truth join stays maxSample^2/2-bounded)")
+    val samp = frac
+      .orderBy(graft.functions.polyFingerprint(col(idCol).cast("string")),
+        col(idCol))
+      .limit(maxSample)
       .localCheckpoint()
     val a = samp.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = samp.select(col(idCol).as("id_b"), col(vecCol).as("vb"))

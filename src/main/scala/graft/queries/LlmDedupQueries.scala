@@ -230,9 +230,13 @@ private[graft] object LlmDedupQueries {
     // production plan (collapse, cap, expansion) with no cosine cut;
     // the verified count applies the real threshold.
     QueryDef("t_embed_recall_audit",
-      s"""WITH esamp AS (SELECT vec_id, embedding FROM embeddings
+      s"""WITH esamp0 AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x <> 0)) > 0
          |    AND ${polyhash("CAST(vec_id AS VARCHAR)")} % 10000 < 2500),
+         |esamp AS (SELECT vec_id, embedding FROM esamp0
+         |  ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 4096),
          |${lshBucketsCte(tables = 8, planes = 7, dims = 64, rel = "esamp")},
          |etruth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM esamp a JOIN esamp b ON a.vec_id < b.vec_id

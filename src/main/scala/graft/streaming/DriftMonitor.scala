@@ -46,10 +46,18 @@ import graft.ext.TextAnalysis
   */
 object DriftMonitor {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** One monitor decision, reported per batch via `onBatch`: `alarms`
     * = metrics whose CUSUM crossed the threshold AFTER this update
     * (empty when quiet); `action` ∈ merged | skipped_replay |
-    * empty_batch.
+    * skipped_stale | empty_batch. A streaming lineage only ever
+    * redelivers its NEWEST uncommitted epoch, so `skipped_replay`
+    * (epoch == high water) is the crash-replay case; `skipped_stale`
+    * (epoch < high water) can only come from a manual
+    * [[updateBatch]]/[[updateBatchBy]] caller submitting out of order
+    * — distinguished (and WARN-logged) so such a caller notices the
+    * monotone-lineage contract dropped their batch.
     */
   final case class DriftEvent(epoch: Long, action: String,
                               alarms: Seq[String])
@@ -288,6 +296,21 @@ object DriftMonitor {
         .agg(max(col("epoch"))).collect().head.get(0))
         .map(_.asInstanceOf[Long]))
 
+  /** The shared skip verdict of both update faces: None = apply the
+    * batch; Some(action) = drop it, with the replay/stale distinction
+    * (and WARN on stale — see [[DriftEvent]]).
+    */
+  private def skipActionOf(name: String, liveDf: Option[DataFrame],
+                           epoch: Long): Option[String] =
+    highWaterOf(liveDf).collect {
+      case hw if epoch == hw => "skipped_replay"
+      case hw if epoch < hw =>
+        log.warn(s"$name: epoch $epoch is below the high-water mark " +
+          s"$hw — an out-of-order manual submission; the monotone-" +
+          "lineage contract drops it (state unchanged)")
+        "skipped_stale"
+    }
+
   /** Publish pinned `merged` rows as the live state table in one
     * atomic scratch-swap — the shared crash-window law of both update
     * faces (a fix to either belongs HERE, not in one copy).
@@ -370,8 +393,8 @@ object DriftMonitor {
     val liveDf =
       if (spark.catalog.tableExists(live)) Some(spark.table(live))
       else None
-    val applied = highWaterOf(liveDf).exists(epoch <= _)
-    if (applied) DriftEvent(epoch, "skipped_replay", Nil)
+    val skip = skipActionOf(name, liveDf, epoch)
+    if (skip.isDefined) DriftEvent(epoch, skip.get, Nil)
     else {
       val xs = metricsBy(batch, groupCol, textCol, minQuality)
         .select(col(groupCol).as("grp"), col("metric"), col("x"))
@@ -471,8 +494,8 @@ object DriftMonitor {
     // marker has already been folded in (an empty batch leaves no mark
     // — but an empty epoch can only be re-delivered while it is still
     // the newest, i.e. above the mark, so it re-reads as empty again)
-    val applied = highWaterOf(liveDf).exists(epoch <= _)
-    if (applied) DriftEvent(epoch, "skipped_replay", Nil)
+    val skip = skipActionOf(name, liveDf, epoch)
+    if (skip.isDefined) DriftEvent(epoch, skip.get, Nil)
     else {
       val xs = metrics(batch, textCol, minQuality)
         .localCheckpoint()

@@ -391,4 +391,26 @@ class DriftMonitorSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("null_text_rate" -> 10000L), m)
   }
+
+  test("manual updateBatch: replay of the newest epoch vs an out-of-order stale epoch are distinguished; neither moves state") {
+    val name = "t_drift_stale"
+    DriftMonitor.writeProfile(mix(80, 20, 0L), name)
+    assert(DriftMonitor.updateBatch(name, mix(40, 10, 100L), epoch = 0L)
+      .action == "merged")
+    assert(DriftMonitor.updateBatch(name, mix(35, 15, 200L), epoch = 3L)
+      .action == "merged")
+    val st0 = spark.table(DriftMonitor.stateTable(name))
+      .orderBy("kind", "metric").collect().toSeq
+    // the crash-replay shape: epoch == high water
+    assert(DriftMonitor.updateBatch(name, mix(35, 15, 200L), epoch = 3L)
+      .action == "skipped_replay")
+    // the out-of-order manual shape: epoch < high water — a streaming
+    // lineage can never produce this (only the newest uncommitted
+    // epoch redelivers), so it reads as a caller contract breach
+    assert(DriftMonitor.updateBatch(name, mix(40, 10, 100L), epoch = 1L)
+      .action == "skipped_stale")
+    val st1 = spark.table(DriftMonitor.stateTable(name))
+      .orderBy("kind", "metric").collect().toSeq
+    assert(st0 == st1, "skipped batches must leave state untouched")
+  }
 }

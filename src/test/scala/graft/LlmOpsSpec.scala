@@ -3758,4 +3758,68 @@ class LlmOpsSpec extends SparkSuite {
     assert(cpSlice(text, 26L, 33L) == "hello 😀")
     assert(cpSlice(text, 43L, 46L) == "bye")
   }
+
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("dpoPairs: fractional score column fails loud (no silent truncation)") {
+    import spark.implicits._
+    val resp = Seq(("A", 10L, 0.9), ("A", 11L, 0.1))
+      .toDF("prompt_id", "response_id", "score")
+    val e = intercept[IllegalArgumentException](graft.ext.Preference
+      .dpoPairs(resp, "prompt_id", "response_id", "score"))
+    assert(e.getMessage.contains("integral score column"), e.getMessage)
+    // an integer-typed column of any width still works
+    val ok = Seq(("A", 10L, 9), ("A", 11L, 1))
+      .toDF("prompt_id", "response_id", "score")
+    assert(graft.ext.Preference
+      .dpoPairs(ok, "prompt_id", "response_id", "score").count() == 1L)
+  }
+
+  test("chat render + spans: duplicate turn_idx fails loud on both faces") {
+    import spark.implicits._
+    val dup = Seq(
+      (1L, 0L, "user", "hi"), (1L, 0L, "assistant", "clash"),
+      (2L, 0L, "user", "fine"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val er = intercept[Throwable](
+      graft.ext.Packing.renderChat(dup).collect())
+    assert(causeMessages(er).exists(_.contains("duplicate turn_idx")), er)
+    val es = intercept[Throwable](
+      graft.ext.Packing.chatSpans(dup).collect())
+    assert(causeMessages(es).exists(_.contains("duplicate turn_idx")), es)
+    // unique indexes (per conversation) stay green
+    val ok = Seq((1L, 0L, "user", "hi"), (1L, 1L, "assistant", "yo"),
+      (2L, 0L, "user", "fine"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    assert(graft.ext.Packing.renderChat(ok).count() == 2L)
+    assert(graft.ext.Packing.chatSpans(ok).count() == 3L)
+  }
+
+  test("embedding recall audit: absolute cap bounds the sample deterministically; zero-norm vectors excluded") {
+    import spark.implicits._
+    // 40 distinct unit-ish vectors + one all-zero vector; fraction 1.0
+    // would sample all 41 — the cap must keep exactly maxSample of the
+    // 40 NONZERO vectors (zero-norm has no cosine to anything), and the
+    // kept set must be the ascending-(fingerprint, id) prefix: stable
+    // under repartitioning.
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i % 8) 1.0f else 0.1f))) :+
+      (99L, Array.fill(8)(0.0f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val a = Similarity.embeddingRecallAudit(emb, sampleFraction = 1.0,
+      threshold = 0.999, planes = 3, dims = 8, tables = 2, maxSample = 12)
+      .collect().head
+    assert(a.getLong(a.fieldIndex("n_sampled")) == 12L, a)
+    val b = Similarity.embeddingRecallAudit(emb.repartition(7),
+      sampleFraction = 1.0, threshold = 0.999, planes = 3, dims = 8,
+      tables = 2, maxSample = 12).collect().head
+    assert(a == b, s"cap prefix must be partitioning-independent: $a vs $b")
+    // no cap pressure → every nonzero vector sampled, zero-norm still out
+    val c = Similarity.embeddingRecallAudit(emb, sampleFraction = 1.0,
+      threshold = 0.999, planes = 3, dims = 8, tables = 2)
+      .collect().head
+    assert(c.getLong(c.fieldIndex("n_sampled")) == 40L, c)
+  }
 }
