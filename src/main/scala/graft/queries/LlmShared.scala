@@ -1341,6 +1341,65 @@ private[graft] object LlmShared {
       name
     }
 
+  /** The closed 4-batch EVAL-COUNTER log per (JVM, sf dir): the quality
+    * classifier's preds vs the rule teacher, folded through
+    * [[graft.streaming.EvalStream.mergeBatch]] in hash "arrival order"
+    * (Sampling.bucket decorrelates batches from source), with epoch 2
+    * REDELIVERED mid-log — the skip law must drop it (required fail-
+    * loud), so the maintained cells equal ONE single-pass aggregation
+    * over the closed log, which is exactly what the t_eval_stream /
+    * t_eval_stream_confusion oracles compute in SQL.
+    */
+  def evalCellsFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_evalc_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val docs = Tables.documents(s, d)
+        val cls = TextAnalysis.classifyWith(docs,
+          TextAnalysis.loadNbBundle(s, qualityBundleFor(s, d)))
+        val scored = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            when(TextAnalysis.qualityScore(col("text")) >= 3, lit("good"))
+              .otherwise(lit("bad")).as("ref"))
+          .join(cls.select(col("doc_id"), col("pred")), "doc_id")
+          .withColumn("__eb", graft.ext.Sampling.bucket(col("doc_id")) % 4)
+        Seq(0L -> "merged", 1L -> "merged", 2L -> "merged",
+          2L -> "skipped_replay", 3L -> "merged").foreach { case (e, want) =>
+          val ev = graft.streaming.EvalStream.mergeBatch(
+            scored.filter(col("__eb") === e).drop("__eb"), name, e)
+          require(ev.action == want,
+            s"evalCellsFor: epoch $e expected $want, got ${ev.action}")
+        }
+        builtIndexes += name
+      }
+      name
+    }
+
+  /** The closed 4-batch CMS log per (JVM, sf dir) — the
+    * [[evalCellsFor]] fixture for
+    * [[graft.streaming.SketchStream.mergeCmsBatch]]: same hash-order
+    * batches, same mid-log redelivery of epoch 2 (the sum-merge's skip
+    * law must drop it or t_cms_stream's mass invariant breaks by
+    * exactly that batch's token count).
+    */
+  def cmsStreamFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val name = "graft_cmsst_" + dirStem(d)
+      if (!builtIndexes.contains(name)) {
+        val docs = Tables.documents(s, d)
+          .withColumn("__cb", graft.ext.Sampling.bucket(col("doc_id")) % 4)
+        Seq(0L -> "merged", 1L -> "merged", 2L -> "merged",
+          2L -> "skipped_replay", 3L -> "merged").foreach { case (e, want) =>
+          val ev = graft.streaming.SketchStream.mergeCmsBatch(
+            docs.filter(col("__cb") === e).drop("__cb"), name, e)
+          require(ev.action == want,
+            s"cmsStreamFor: epoch $e expected $want, got ${ev.action}")
+        }
+        builtIndexes += name
+      }
+      name
+    }
+
   def pqIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     synchronized {
       val name = "graft_pq_" + dirStem(d)

@@ -334,5 +334,95 @@ private[graft] object LlmStreamQueries {
             concat(lit("xq7 "), col("text")).as("text")))
       Dedup.removeDupSpans(planted, minLen = 10)
     }.sortedBy(col("doc_id")),
+
+    // ── Streaming eval counters, merge law oracle-gated ────────────
+    // The EvalStream cell table after a CLOSED 4-batch log (hash
+    // "arrival order", epoch 2 redelivered mid-log and marker-skipped)
+    // must equal ONE single-pass aggregation over the whole corpus —
+    // the oracle computes exactly that in SQL. Per-group accuracy +
+    // 95% Wilson bounds off the maintained cells (the t_accuracy_ci
+    // law, stream face).
+    QueryDef("t_eval_stream",
+      s"""WITH $qualityNbCtes,
+         |alab AS (SELECT q.doc_id, d.source,
+         |    CASE WHEN q.quality >= 3 THEN 'good' ELSE 'bad' END AS r
+         |  FROM qscored q JOIN documents d USING (doc_id)
+         |  WHERE q.text IS NOT NULL),
+         |aagg AS (SELECT l.source AS grp,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN c.pred = l.r THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM qcls c JOIN alab l USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT grp, n, n_correct,
+         |  CAST((n_correct * 10000) // n AS BIGINT) AS acc_x10000,
+         |  CAST(floor(10000.0 * (((n_correct + 1.9208)
+         |    - 1.96 * sqrt(CAST(n_correct * (n - n_correct) AS DOUBLE)
+         |        / CAST(n AS DOUBLE) + 0.9604))
+         |    / (CAST(n AS DOUBLE) + 3.8416))) AS BIGINT)
+         |    AS wilson_lo_x10000,
+         |  CAST(floor(10000.0 * (((n_correct + 1.9208)
+         |    + 1.96 * sqrt(CAST(n_correct * (n - n_correct) AS DOUBLE)
+         |        / CAST(n AS DOUBLE) + 0.9604))
+         |    / (CAST(n AS DOUBLE) + 3.8416))) AS BIGINT)
+         |    AS wilson_hi_x10000
+         |FROM aagg ORDER BY grp""".stripMargin) { (s, d) =>
+      graft.streaming.EvalStream.report(s, evalCellsFor(s, d))
+    }.sortedBy(col("grp")),
+
+    // The full confusion matrix off the same maintained cells — the
+    // direct gate on the (group, ref, pred) cell SUM-merge itself.
+    QueryDef("t_eval_stream_confusion",
+      s"""WITH $qualityNbCtes,
+         |alab AS (SELECT q.doc_id, d.source,
+         |    CASE WHEN q.quality >= 3 THEN 'good' ELSE 'bad' END AS r
+         |  FROM qscored q JOIN documents d USING (doc_id)
+         |  WHERE q.text IS NOT NULL)
+         |SELECT l.source AS grp, l.r AS ref, c.pred AS pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM qcls c JOIN alab l USING (doc_id)
+         |GROUP BY 1, 2, 3
+         |ORDER BY grp, ref, pred""".stripMargin) { (s, d) =>
+      graft.streaming.EvalStream.confusion(s, evalCellsFor(s, d))
+    }.sortedBy(col("grp"), col("ref"), col("pred")),
+
+    // ── Streaming CMS, merge law oracle-gated (two faces) ──────────
+    // Mass invariant: every token lands in exactly ONE cell per sketch
+    // row, so after the closed log (epoch 2 redelivered and skipped)
+    // each of the d=4 rows' cell mass must equal the corpus token
+    // count EXACTLY — a double-counted replay or a dropped batch both
+    // break it by that batch's token count. The one CMS law that needs
+    // no hash replay (cell positions are XXH64, opaque to SQL; the
+    // mass telescopes over them).
+    QueryDef("t_cms_stream",
+      """WITH ctoks AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(i AS BIGINT) AS row_idx,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ctoks) AS mass
+        |FROM range(4) t(i) ORDER BY row_idx""".stripMargin) { (s, d) =>
+      val name = cmsStreamFor(s, d)
+      s.table(graft.streaming.SketchStream.cmsTable(name))
+        .filter(col("kind") === "c")
+        .groupBy(expr(s"k div ${graft.ext.FreqSketch.DefaultWidth}")
+          .as("row_idx"))
+        .agg(sum("v").as("mass"))
+    }.sortedBy(col("row_idx")),
+
+    // No-undercount face: exact heavy hitters THROUGH the maintained
+    // sketch (prune map-side on the stream-merged estimates, confirm
+    // exactly). Count-min never undercounts, so the output must be
+    // bit-identical to the plain exact aggregation the oracle runs —
+    // a merge that LOST mass would prune a true heavy hitter and the
+    // missing row hash-mismatches (t_cms_stream catches the
+    // over-counting direction exactly).
+    QueryDef("t_cms_stream_hh",
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE text IS NOT NULL) u
+        |GROUP BY 1 HAVING count(*) >= 100
+        |ORDER BY word""".stripMargin) { (s, d) =>
+      graft.streaming.SketchStream.heavyHitters(s, cmsStreamFor(s, d),
+        Tables.documents(s, d), threshold = 100L)
+    }.sortedBy(col("word")),
   )
 }

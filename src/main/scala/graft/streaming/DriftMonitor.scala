@@ -51,13 +51,15 @@ object DriftMonitor {
   /** One monitor decision, reported per batch via `onBatch`: `alarms`
     * = metrics whose CUSUM crossed the threshold AFTER this update
     * (empty when quiet); `action` ∈ merged | skipped_replay |
-    * skipped_stale | empty_batch. A streaming lineage only ever
+    * skipped_stale | empty_batch. A running lineage only ever
     * redelivers its NEWEST uncommitted epoch, so `skipped_replay`
-    * (epoch == high water) is the crash-replay case; `skipped_stale`
-    * (epoch < high water) can only come from a manual
-    * [[updateBatch]]/[[updateBatchBy]] caller submitting out of order
-    * — distinguished (and WARN-logged) so such a caller notices the
-    * monotone-lineage contract dropped their batch.
+    * (epoch == high water) is the in-lineage crash-replay case;
+    * `skipped_stale` (epoch < high water) means the submission is
+    * OUTSIDE the lineage — a manual [[updateBatch]]/[[updateBatchBy]]
+    * caller out of order, or a fresh-checkpoint restart re-reading
+    * already-folded history under restarted epoch numbers —
+    * distinguished (and WARN-logged) so the caller notices the
+    * monotone-lineage contract dropped the batch.
     */
   final case class DriftEvent(epoch: Long, action: String,
                               alarms: Seq[String])
@@ -306,7 +308,8 @@ object DriftMonitor {
       case hw if epoch == hw => "skipped_replay"
       case hw if epoch < hw =>
         log.warn(s"$name: epoch $epoch is below the high-water mark " +
-          s"$hw — an out-of-order manual submission; the monotone-" +
+          s"$hw — an out-of-order manual submission or a fresh-" +
+          "checkpoint restart re-reading folded history; the monotone-" +
           "lineage contract drops it (state unchanged)")
         "skipped_stale"
     }

@@ -87,6 +87,70 @@ object EvalStream {
     spark.table(cellsTable(name)).filter(col("kind") === "c")
       .select(col("grp"), col("ref"), col("pred"), col("n"))
 
+  /** ONE batch's cell merge — the reusable core [[maintain]] wraps
+    * (the [[graft.streaming.DriftMonitor.updateBatch]] posture): a
+    * batch replay/backfill caller folds a closed log through the SAME
+    * code path the stream runs, which is what lets the merge law be
+    * oracle-gated (t_eval_stream replays a multi-batch log in SQL as
+    * one single-pass aggregation — equal iff the merge is lossless and
+    * the replay skip holds). Epoch numbers must belong to ONE monotone
+    * lineage per `name`; `skipped_replay` (epoch == high water) is the
+    * in-lineage crash-replay shape, `skipped_stale` (epoch < high
+    * water, WARN-logged) an out-of-order manual caller or a fresh-
+    * checkpoint restart re-reading folded history.
+    */
+  def mergeBatch(batch: DataFrame, name: String, epoch: Long,
+                 groupCol: String = "source", predCol: String = "pred",
+                 refCol: String = "ref"): EvalEvent = {
+    val spark = batch.sparkSession
+    recover(spark, name)
+    val live = cellsTable(name)
+    val liveDf =
+      if (spark.catalog.tableExists(live)) Some(spark.table(live))
+      else None
+    val highWater = liveDf.flatMap(df =>
+      Option(df.filter(col("kind") === "e")
+        .agg(max(col("epoch"))).collect().head.get(0))
+        .map(_.asInstanceOf[Long]))
+    highWater match {
+      case Some(hw) if epoch == hw => EvalEvent(epoch, "skipped_replay", 0L)
+      case Some(hw) if epoch < hw =>
+        log.warn(s"$name: epoch $epoch is below the high-water mark $hw " +
+          "— an out-of-order manual submission or a fresh-checkpoint " +
+          "restart re-reading folded history; dropped (state unchanged)")
+        EvalEvent(epoch, "skipped_stale", 0L)
+      case _ =>
+        val cells = batch
+          .filter(col(predCol).isNotNull && col(refCol).isNotNull)
+          .groupBy(col(groupCol).as("grp"), col(refCol).as("ref"),
+            col(predCol).as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("c").as("kind"), col("grp"), col("ref"),
+            col("pred"), col("n"), lit(0L).as("epoch"))
+        // epoch > high-water (skip check passed): the new marker
+        // subsumes the old one, so only kind='c' cells carry over
+        val marker = spark.range(1).select(lit("e").as("kind"),
+          lit("").as("grp"), lit("").as("ref"), lit("").as("pred"),
+          lit(0L).as("n"), lit(epoch).as("epoch"))
+        val merged = liveDf.fold(cells.unionByName(marker)) { lv =>
+            lv.filter(col("kind") === "c")
+              .unionByName(cells).unionByName(marker)
+          }
+          .groupBy("kind", "grp", "ref", "pred", "epoch")
+          .agg(sum(col("n")).as("n"))
+          .select("kind", "grp", "ref", "pred", "n", "epoch")
+          .localCheckpoint()
+        graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)
+        spark.sql(s"DROP TABLE IF EXISTS $live")
+        spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
+        spark.catalog.refreshTable(live)
+        val nCells = merged.filter(col("kind") === "c").count()
+        EvalEvent(epoch, "merged", nCells)
+    }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Maintain the eval counters over a scored stream. Rows with a null
     * pred or ref carry no verdict and are dropped; a null group is a
     * group (disclosed, the batch family's convention).
@@ -99,47 +163,11 @@ object EvalStream {
     scored.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-        val spark = batch.sparkSession
-        recover(spark, name)
-        val live = cellsTable(name)
-        val liveDf =
-          if (spark.catalog.tableExists(live)) Some(spark.table(live))
-          else None
-        val highWater = liveDf.flatMap(df =>
-          Option(df.filter(col("kind") === "e")
-            .agg(max(col("epoch"))).collect().head.get(0))
-            .map(_.asInstanceOf[Long]))
-        val applied = highWater.exists(epoch <= _)
-        if (!applied) {
-          val cells = batch.toDF()
-            .filter(col(predCol).isNotNull && col(refCol).isNotNull)
-            .groupBy(col(groupCol).as("grp"), col(refCol).as("ref"),
-              col(predCol).as("pred"))
-            .agg(count(lit(1)).as("n"))
-            .select(lit("c").as("kind"), col("grp"), col("ref"),
-              col("pred"), col("n"), lit(0L).as("epoch"))
-          // epoch > high-water (skip check passed): the new marker
-          // subsumes the old one, so only kind='c' cells carry over
-          val marker = spark.range(1).select(lit("e").as("kind"),
-            lit("").as("grp"), lit("").as("ref"), lit("").as("pred"),
-            lit(0L).as("n"), lit(epoch).as("epoch"))
-          val merged = liveDf.fold(cells.unionByName(marker)) { lv =>
-              lv.filter(col("kind") === "c")
-                .unionByName(cells).unionByName(marker)
-            }
-            .groupBy("kind", "grp", "ref", "pred", "epoch")
-            .agg(sum(col("n")).as("n"))
-            .select("kind", "grp", "ref", "pred", "n", "epoch")
-            .localCheckpoint()
-          graft.core.Layout.writeBucketed(merged, scratch(name), "kind", 1)
-          spark.sql(s"DROP TABLE IF EXISTS $live")
-          spark.sql(s"ALTER TABLE ${scratch(name)} RENAME TO $live")
-          spark.catalog.refreshTable(live)
-          if (owner.catalog.tableExists(live))
-            owner.catalog.refreshTable(live)
-          val nCells = merged.filter(col("kind") === "c").count()
-          onBatch(EvalEvent(epoch, "merged", nCells))
-        } else onBatch(EvalEvent(epoch, "skipped_replay", 0L))
+        val ev = mergeBatch(batch.toDF(), name, epoch, groupCol,
+          predCol, refCol)
+        if (owner.catalog.tableExists(cellsTable(name)))
+          owner.catalog.refreshTable(cellsTable(name))
+        onBatch(ev)
       }
       .start()
   }

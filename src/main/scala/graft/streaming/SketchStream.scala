@@ -130,52 +130,85 @@ object SketchStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-        val spark = batch.sparkSession
-        recoverCms(spark, name)
-        val live = cmsTable(name)
-        val liveDf =
-          if (spark.catalog.tableExists(live)) Some(spark.table(live))
-          else None
-        // monotone-epoch lineage: ONE high-water marker row identifies
-        // every replay (epoch <= mark), so the table stays d×w-bounded
-        // for any stream lifetime
-        val highWater = liveDf.flatMap(df =>
-          Option(df.filter(col("kind") === "e")
-            .agg(max(col("k"))).collect().head.get(0))
-            .map(_.asInstanceOf[Long]))
-        val applied = highWater.exists(epoch <= _)
-        if (!applied) {
-          val toks = batch.toDF().filter(col(textCol).isNotNull)
-            .select(explode(graft.functions.wordTfs(col(textCol)))
-              .as("wt"))
-            .select(col("wt.word").as("word"),
-              col("wt.tf").cast("long").as("tf"))
-          val batchCells = toks
-            .select(explode(FreqSketch.cmsPositions(col("word"), d, w))
-              .as("k"), col("tf").as("v"))
-            .groupBy("k").agg(sum("v").as("v"))
-            .select(lit("c").as("kind"), col("k"), col("v"))
-          val marker = spark.range(1)
-            .select(lit("e").as("kind"), lit(epoch).as("k"),
-              lit(0L).as("v"))
-          // epoch > high-water: the new marker subsumes the old, so
-          // only kind='c' cells carry through the sum-merge
-          val merged = (liveDf.fold(batchCells.unionByName(marker)) { lv =>
-              lv.filter(col("kind") === "c")
-                .unionByName(batchCells).unionByName(marker)
-            })
-            .groupBy("kind", "k").agg(sum("v").as("v"))
-            .localCheckpoint()
-          graft.core.Layout.writeBucketed(merged, cmsScratch(name), "kind", 1)
-          spark.sql(s"DROP TABLE IF EXISTS $live")
-          spark.sql(s"ALTER TABLE ${cmsScratch(name)} RENAME TO $live")
-          if (owner.catalog.tableExists(live)) owner.catalog.refreshTable(live)
-          val cells = merged.filter(col("kind") === "c").count()
-          onBatch(SketchEvent(epoch, "merged", 1L, cells))
-        } else onBatch(SketchEvent(epoch, "skipped_replay", 1L, 0L))
+        val ev = mergeCmsBatch(batch.toDF(), name, epoch, textCol, d, w)
+        if (owner.catalog.tableExists(cmsTable(name)))
+          owner.catalog.refreshTable(cmsTable(name))
+        onBatch(ev)
       }
       .start()
   }
+
+  /** ONE batch's CMS sum-merge — the reusable core [[maintainCms]]
+    * wraps (the [[graft.streaming.DriftMonitor.updateBatch]] posture):
+    * a batch replay/backfill caller folds a closed log through the
+    * SAME code path the stream runs, which is what lets the merge law
+    * be oracle-gated (t_cms_stream replays the per-row mass invariant
+    * of a multi-batch log in SQL — each token lands in exactly one
+    * cell per sketch row, so every row's cell mass must equal the
+    * corpus token count exactly: a double-counted replay or a dropped
+    * batch both break it). Epoch numbers must belong to ONE monotone
+    * lineage per `name`; `skipped_replay` (epoch == high water) is the
+    * in-lineage crash-replay shape, `skipped_stale` (epoch < high
+    * water, WARN-logged) an out-of-order manual caller or a fresh-
+    * checkpoint restart re-reading folded history.
+    */
+  def mergeCmsBatch(batch: DataFrame, name: String, epoch: Long,
+                    textCol: String = "text",
+                    d: Int = FreqSketch.DefaultDepth,
+                    w: Int = FreqSketch.DefaultWidth): SketchEvent = {
+    val spark = batch.sparkSession
+    recoverCms(spark, name)
+    val live = cmsTable(name)
+    val liveDf =
+      if (spark.catalog.tableExists(live)) Some(spark.table(live))
+      else None
+    // monotone-epoch lineage: ONE high-water marker row identifies
+    // every replay (epoch <= mark), so the table stays d×w-bounded
+    // for any stream lifetime
+    val highWater = liveDf.flatMap(df =>
+      Option(df.filter(col("kind") === "e")
+        .agg(max(col("k"))).collect().head.get(0))
+        .map(_.asInstanceOf[Long]))
+    highWater match {
+      case Some(hw) if epoch == hw =>
+        SketchEvent(epoch, "skipped_replay", 1L, 0L)
+      case Some(hw) if epoch < hw =>
+        log.warn(s"$name: epoch $epoch is below the high-water mark $hw " +
+          "— an out-of-order manual submission or a fresh-checkpoint " +
+          "restart re-reading folded history; dropped (state unchanged)")
+        SketchEvent(epoch, "skipped_stale", 1L, 0L)
+      case _ =>
+        val toks = batch.filter(col(textCol).isNotNull)
+          .select(explode(graft.functions.wordTfs(col(textCol)))
+            .as("wt"))
+          .select(col("wt.word").as("word"),
+            col("wt.tf").cast("long").as("tf"))
+        val batchCells = toks
+          .select(explode(FreqSketch.cmsPositions(col("word"), d, w))
+            .as("k"), col("tf").as("v"))
+          .groupBy("k").agg(sum("v").as("v"))
+          .select(lit("c").as("kind"), col("k"), col("v"))
+        val marker = spark.range(1)
+          .select(lit("e").as("kind"), lit(epoch).as("k"),
+            lit(0L).as("v"))
+        // epoch > high-water: the new marker subsumes the old, so
+        // only kind='c' cells carry through the sum-merge
+        val merged = (liveDf.fold(batchCells.unionByName(marker)) { lv =>
+            lv.filter(col("kind") === "c")
+              .unionByName(batchCells).unionByName(marker)
+          })
+          .groupBy("kind", "k").agg(sum("v").as("v"))
+          .localCheckpoint()
+        graft.core.Layout.writeBucketed(merged, cmsScratch(name), "kind", 1)
+        spark.sql(s"DROP TABLE IF EXISTS $live")
+        spark.sql(s"ALTER TABLE ${cmsScratch(name)} RENAME TO $live")
+        spark.catalog.refreshTable(live)
+        val cells = merged.filter(col("kind") === "c").count()
+        SketchEvent(epoch, "merged", 1L, cells)
+    }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Estimate candidate-term frequencies against the maintained CMS:
     * the cells load once into the config-bounded d×w array (≤ 64k
@@ -186,13 +219,44 @@ object SketchStream {
   def cmsEstimates(spark: SparkSession, name: String, words: DataFrame,
                    wordCol: String = "word",
                    d: Int = FreqSketch.DefaultDepth,
-                   w: Int = FreqSketch.DefaultWidth): DataFrame = {
+                   w: Int = FreqSketch.DefaultWidth): DataFrame =
+    words.select(col(wordCol).as("word"),
+      FreqSketch.cmsEstimate(col(wordCol), loadCells(spark, name, d, w), d, w)
+        .as("est"))
+
+  /** The maintained d×w cell array (config-bounded driver load — ≤ 64k
+    * longs at the default), shared by the probe paths.
+    */
+  private def loadCells(spark: SparkSession, name: String, d: Int,
+                        w: Int): Array[Long] = {
     val table = new Array[Long](d * w)
     spark.table(cmsTable(name)).filter(col("kind") === "c")
       .select(col("k"), col("v")).collect()
       .foreach(r => table(r.getLong(0).toInt) = r.getLong(1))
-    words.select(col(wordCol).as("word"),
-      FreqSketch.cmsEstimate(col(wordCol), table, d, w).as("est"))
+    table
+  }
+
+  /** Exact corpus heavy hitters THROUGH the stream-maintained sketch —
+    * [[graft.ext.FreqSketch.heavyHitterWords]]'s prune-then-confirm
+    * with the maintained table as the gate: tokens whose maintained
+    * estimate reaches `threshold` enter the exact aggregation, the
+    * rest die map-side. Count-min never undercounts, so the output is
+    * bit-identical to the plain exact query — WHICH IS THE ORACLE GATE
+    * (t_cms_stream_hh): a merge law that lost mass would undercount
+    * some true heavy hitter's estimate below threshold and the missing
+    * row would hash-mismatch (the mass-invariant face, t_cms_stream,
+    * catches over-counting exactly).
+    */
+  def heavyHitters(spark: SparkSession, name: String, docs: DataFrame,
+                   threshold: Long, textCol: String = "text",
+                   d: Int = FreqSketch.DefaultDepth,
+                   w: Int = FreqSketch.DefaultWidth): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val table = loadCells(spark, name, d, w)
+    val toks = FreqSketch.tokenWeights(docs, textCol)
+    toks.filter(FreqSketch.cmsEstimate(col("word"), table, d, w) >= threshold)
+      .groupBy("word").agg(sum("weight").cast("long").as("n"))
+      .filter(col("n") >= threshold)
   }
 
   /** Maintain per-`groupCol` HLL registers of distinct `n`-shingles

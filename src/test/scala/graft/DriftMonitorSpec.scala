@@ -154,12 +154,14 @@ class DriftMonitorSpec extends SparkSuite {
     assert(markers == Seq(3L), markers)
 
     // REDELIVERY: fresh checkpoint re-batches history as epoch 0 —
-    // the marker skips it, no CUSUM moves (a sum WOULD double-count)
+    // below the high water, so it reads as STALE (outside the
+    // lineage) and is skipped; no CUSUM moves (a sum WOULD
+    // double-count)
     val before = spark.table(DriftMonitor.stateTable(name))
       .collect().map(_.toSeq).toSet
     val ck2 = java.nio.file.Files.createTempDirectory("drift-ck2").toString
     val q4 = start(ck2); q4.processAllAvailable(); q4.stop()
-    assert(events.asScala.toSeq.map(_.action).contains("skipped_replay"),
+    assert(events.asScala.toSeq.map(_.action).contains("skipped_stale"),
       events.asScala.toSeq.toString)
     assert(spark.table(DriftMonitor.stateTable(name))
       .collect().map(_.toSeq).toSet == before,
@@ -232,13 +234,13 @@ class DriftMonitorSpec extends SparkSuite {
         (r.getLong(4), r.getLong(5))).toMap
     assert(traj(("b", "quality_rate")) == (0L, 7600L), traj)
     assert(traj(("a", "quality_rate")) == (0L, 0L), traj)
-    // replay: fresh checkpoint re-batches history as epoch 0 — the
-    // high-water marker skips it, no CUSUM moves
+    // replay: fresh checkpoint re-batches history as epoch 0 — below
+    // the high water → STALE skip, no CUSUM moves
     val before = spark.table(DriftMonitor.stateTable(name))
       .collect().map(_.toSeq).toSet
     val ck2 = java.nio.file.Files.createTempDirectory("dby-ck2").toString
     val q3 = start(ck2); q3.processAllAvailable(); q3.stop()
-    assert(events.asScala.toSeq.map(_.action).contains("skipped_replay"))
+    assert(events.asScala.toSeq.map(_.action).contains("skipped_stale"))
     assert(spark.table(DriftMonitor.stateTable(name))
       .collect().map(_.toSeq).toSet == before,
       "replayed epoch must move no state")

@@ -67,10 +67,11 @@ class EvalStreamSpec extends SparkSuite {
     assert(markers == Seq(1L), markers)
 
     // REDELIVERY: fresh checkpoint re-batches history as epoch 0 —
-    // marker-skipped, no cell moves (a sum WOULD double-count)
+    // below the high water → STALE skip, no cell moves (a sum WOULD
+    // double-count)
     val ck2 = java.nio.file.Files.createTempDirectory("ev-ck2").toString
     val q3 = start(ck2); q3.processAllAvailable(); q3.stop()
-    assert(events.asScala.map(_.action).toSeq.contains("skipped_replay"))
+    assert(events.asScala.map(_.action).toSeq.contains("skipped_stale"))
     assert(EvalStream.confusion(spark, name).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         r.getLong(3)).toMap == refCells,
@@ -83,5 +84,24 @@ class EvalStreamSpec extends SparkSuite {
     assert(EvalStream.recover(spark, name))
     assert(spark.table(live).collect().map(_.toSeq).toSet == before)
     assert(!EvalStream.recover(spark, name))
+  }
+
+  test("batch face mergeBatch: in-lineage == replay vs stale < epoch distinguished; neither moves cells") {
+    val name = "t_eval_mergebatch"
+    assert(EvalStream.mergeBatch(scoredRows(0L, 30), name, 0L)
+      .action == "merged")
+    assert(EvalStream.mergeBatch(scoredRows(100L, 30), name, 2L)
+      .action == "merged")
+    val cells0 = EvalStream.confusion(spark, name)
+      .collect().map(_.toSeq).toSet
+    // the crash-replay shape: epoch == high water
+    assert(EvalStream.mergeBatch(scoredRows(100L, 30), name, 2L)
+      .action == "skipped_replay")
+    // outside the lineage: epoch < high water
+    assert(EvalStream.mergeBatch(scoredRows(0L, 30), name, 1L)
+      .action == "skipped_stale")
+    assert(EvalStream.confusion(spark, name)
+      .collect().map(_.toSeq).toSet == cells0,
+      "skipped batches must move no cell")
   }
 }

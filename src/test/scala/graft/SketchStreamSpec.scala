@@ -102,14 +102,15 @@ class SketchStreamSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (wd, n) =>
       assert(est(wd) >= n, s"'$wd': est ${est(wd)} < exact $n") }
-    // REDELIVERY: a checkpoint-less restart replays epoch 0 — the
-    // marker skips it, no cell moves (sum algebra WOULD double-count)
+    // REDELIVERY: a checkpoint-less restart replays epoch 0 — below
+    // the high water → STALE skip, no cell moves (sum algebra WOULD
+    // double-count)
     val ckpt2 = java.nio.file.Files.createTempDirectory("cms-ck2").toString
     val q3 = SketchStream.maintainCms(
       spark.readStream.schema(docs.schema).parquet(srcDir), "t_cms_stream",
       ckpt2, onBatch = events.add(_))
     q3.processAllAvailable(); q3.stop()
-    assert(events.asScala.map(_.action).toSeq.contains("skipped_replay"),
+    assert(events.asScala.map(_.action).toSeq.contains("skipped_stale"),
       events.asScala.toSeq.toString)
     assert(liveCells() == refCells, "replayed epoch must move no cell")
     // interrupted swap recovery (both crash windows)
@@ -141,5 +142,30 @@ class SketchStreamSpec extends SparkSuite {
     assert(SketchStream.recoverRegisters(spark, "t_hll_crash"))
     assert(spark.table(live).collect().map(_.toSeq).toSet == before)
     assert(!SketchStream.recoverRegisters(spark, "t_hll_crash"))
+  }
+
+  test("batch face mergeCmsBatch: in-lineage == replay vs stale < epoch distinguished; mass invariant holds over the fold") {
+    import spark.implicits._
+    val name = "t_cms_mergebatch"
+    val b0 = Seq((1L, "a b c"), (2L, "a a d")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "e f"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(SketchStream.mergeCmsBatch(b0, name, 0L).action == "merged")
+    assert(SketchStream.mergeCmsBatch(b1, name, 2L).action == "merged")
+    def rowMasses(): Map[Long, Long] = spark
+      .table(SketchStream.cmsTable(name)).filter(col("kind") === "c")
+      .groupBy(expr(s"k div ${graft.ext.FreqSketch.DefaultWidth}")
+        .as("row"))
+      .agg(sum("v").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 6 tokens in b0 + 2 in b1 (null text contributes none) per row
+    val want = (0L until graft.ext.FreqSketch.DefaultDepth.toLong)
+      .map(_ -> 8L).toMap
+    assert(rowMasses() == want, rowMasses())
+    assert(SketchStream.mergeCmsBatch(b1, name, 2L)
+      .action == "skipped_replay")
+    assert(SketchStream.mergeCmsBatch(b0, name, 1L)
+      .action == "skipped_stale")
+    assert(rowMasses() == want, "skipped batches must move no mass")
   }
 }
