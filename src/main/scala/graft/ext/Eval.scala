@@ -490,6 +490,72 @@ object Eval {
           .as("f_x100"))
   }
 
+  /** Per-item WORD ERROR RATE — token-level Levenshtein distance
+    * (insertions + deletions + substitutions, unit cost) over the
+    * SAME normalized token arrays as [[rougeL]], normalized by the
+    * reference length: `wer_x100 = (edit_dist · 100) div n_ref`. This
+    * is also TER's no-shift core (shift-less TER over one reference
+    * degenerates to exactly this distance; the shift search is an
+    * ASR/MT-toolkit heuristic, not a law this engine could replay
+    * exactly).
+    *
+    * Edge law: two empty token bags → distance 0, WER 0 (the perfect-
+    * match convention of [[tokenF1]]/[[rougeL]]); an empty REFERENCE
+    * against a non-empty prediction leaves WER undefined (division by
+    * zero in the metric's own definition) → NULL, with `edit_dist` =
+    * n_pred still reported. WER > 100 is real (more edits than
+    * reference tokens — the standard unbounded-above behavior).
+    *
+    * Both sides truncate to `maxTokens` (the [[rougeL]] cap bounding
+    * the row-local O(n·m) DP and the oracle recursion alike). Scale
+    * shape: one codegen'd row-local DP ([[graft.functions.EditDist]])
+    * per item after the id join — no shuffle beyond it.
+    */
+  def wer(preds: DataFrame, refs: DataFrame,
+          idCol: String = "doc_id", predCol: String = "pred",
+          refCol: String = "ref", maxTokens: Int = 32): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 256,
+      s"maxTokens must be in [1, 256], got $maxTokens")
+    val emptyArr = expr("cast(array() AS array<string>)")
+    def toksOf(c: Column): Column = slice(
+      when(c === "", emptyArr).otherwise(split(c, " ")), 1, maxTokens)
+    val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(predCol))).as("__wr_pt"))
+    val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
+      toksOf(TextAnalysis.normalizeText(col(refCol))).as("__wr_rt"))
+    nP.join(nR, idCol)
+      .withColumn("n_pred", size(col("__wr_pt")).cast("long"))
+      .withColumn("n_ref", size(col("__wr_rt")).cast("long"))
+      .withColumn("edit_dist", org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.EditDist(
+          org.apache.spark.sql.graft.Bridge.expression(col("__wr_pt")),
+          org.apache.spark.sql.graft.Bridge.expression(col("__wr_rt")))))
+      .select(col(idCol), col("n_pred"), col("n_ref"), col("edit_dist"),
+        when(col("n_ref") > 0L, expr("(edit_dist * 100) div n_ref"))
+          .when(col("n_pred") === 0L, lit(0L))
+          .as("wer_x100"))
+  }
+
+  /** Corpus WER rollup — the micro-average every ASR/MT leaderboard
+    * reports: total edits over total REFERENCE tokens (items pool
+    * their token mass; a long reference weighs more than a short one,
+    * by definition). Items with an empty reference contribute their
+    * `n_pred` edits to the numerator and nothing to the denominator —
+    * the standard pooled convention; the whole report is NULL-guarded
+    * when the pooled reference mass is zero. One row:
+    * (n_items, n_ref_tokens, n_edits, wer_x100).
+    */
+  def werReport(preds: DataFrame, refs: DataFrame,
+                idCol: String = "doc_id", predCol: String = "pred",
+                refCol: String = "ref", maxTokens: Int = 32): DataFrame =
+    wer(preds, refs, idCol, predCol, refCol, maxTokens)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_ref")).as("n_ref_tokens"),
+        sum(col("edit_dist")).as("n_edits"))
+      .select(col("n_items"), col("n_ref_tokens"), col("n_edits"),
+        when(col("n_ref_tokens") > 0L,
+          expr("(n_edits * 100) div n_ref_tokens")).as("wer_x100"))
+
   /** Per-GROUP eval report — the leaderboard row an eval platform
     * actually renders: [[tokenF1]] and [[rougeL]] composed per item,
     * joined to a grouping relation (domain, language, task…), rolled

@@ -776,6 +776,140 @@ private[graft] object LlmEvalQueries {
         base.select(col("doc_id"), col("text").as("ref")), maxTokens = 16)
     }.sortedBy(col("doc_id")),
 
+    // ── Per-item WER over the same planted predictions: token-level
+    // Levenshtein distance as ONE codegen'd row-local DP
+    // (graft.functions.EditDist); the oracle replays it as a
+    // recursive-CTE row carry — the running-MIN expansion of the
+    // within-row dependency (D[i+1][j] = j + min_{j'≤j}(c[j'] − j')
+    // with c[j] = min(D[i][j−1] + neq, D[i][j] + 1), c[0] = i+1).
+    // Both sides capped at 16 tokens, bounding engine DP and oracle
+    // recursion alike.
+    QueryDef("t_eval_wer",
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM preds),
+         |nr AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM base),
+         |wtoks AS MATERIALIZED (SELECT np.doc_id,
+         |    list_slice(CASE WHEN np.n = '' THEN []
+         |      ELSE string_split(np.n, ' ') END, 1, 16) AS pt,
+         |    list_slice(CASE WHEN nr.n = '' THEN []
+         |      ELSE string_split(nr.n, ' ') END, 1, 16) AS rt
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id),
+         |wwalk(doc_id, i, dp) AS (
+         |  SELECT doc_id, 0,
+         |    list_transform(range(len(rt) + 1), x -> CAST(x AS BIGINT))
+         |  FROM wtoks
+         |  UNION ALL
+         |  SELECT doc_id, i + 1,
+         |    list_transform(range(0, m + 1),
+         |      j -> CAST(j AS BIGINT) + list_min(cv2[1:CAST(j AS INTEGER) + 1]))
+         |  FROM (SELECT w.doc_id, w.i AS i, len(r.rt) AS m,
+         |      list_prepend(CAST(w.i + 1 AS BIGINT),
+         |        list_transform(range(1, len(r.rt) + 1),
+         |          j2 -> least(w.dp[CAST(j2 AS INTEGER)]
+         |              + CASE WHEN r.rt[CAST(j2 AS INTEGER)]
+         |                          = r.pt[w.i + 1] THEN 0 ELSE 1 END,
+         |            w.dp[CAST(j2 AS INTEGER) + 1] + 1) - j2)) AS cv2
+         |    FROM wwalk w JOIN wtoks r ON r.doc_id = w.doc_id
+         |    WHERE w.i < len(r.pt)) q),
+         |fin AS (SELECT w.doc_id, w.dp[len(r.rt) + 1] AS dist
+         |  FROM wwalk w JOIN wtoks r ON r.doc_id = w.doc_id
+         |  WHERE w.i = len(r.pt))
+         |SELECT t.doc_id, CAST(len(t.pt) AS BIGINT) AS n_pred,
+         |  CAST(len(t.rt) AS BIGINT) AS n_ref,
+         |  CAST(f.dist AS BIGINT) AS edit_dist,
+         |  CAST(CASE WHEN len(t.rt) > 0 THEN (f.dist * 100) // len(t.rt)
+         |       WHEN len(t.pt) = 0 THEN 0 END AS BIGINT) AS wer_x100
+         |FROM wtoks t JOIN fin f ON f.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.wer(preds,
+        base.select(col("doc_id"), col("text").as("ref")), maxTokens = 16)
+    }.sortedBy(col("doc_id")),
+
+    // Corpus WER rollup (the micro-average an ASR/MT leaderboard
+    // prints): total edits over pooled reference tokens — the same DP
+    // walk, summed.
+    QueryDef("t_eval_wer_report",
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |preds AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN coalesce(array_to_string(
+         |      string_split(text, ' ')[1:8], ' '), '')
+         |    WHEN 2 THEN text || ' EXTRA extra tokens'
+         |    ELSE 'completely different words here' END AS pred
+         |  FROM base),
+         |np AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM preds),
+         |nr AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+         |  FROM base),
+         |wtoks AS MATERIALIZED (SELECT np.doc_id,
+         |    list_slice(CASE WHEN np.n = '' THEN []
+         |      ELSE string_split(np.n, ' ') END, 1, 16) AS pt,
+         |    list_slice(CASE WHEN nr.n = '' THEN []
+         |      ELSE string_split(nr.n, ' ') END, 1, 16) AS rt
+         |  FROM np JOIN nr ON nr.doc_id = np.doc_id),
+         |wwalk(doc_id, i, dp) AS (
+         |  SELECT doc_id, 0,
+         |    list_transform(range(len(rt) + 1), x -> CAST(x AS BIGINT))
+         |  FROM wtoks
+         |  UNION ALL
+         |  SELECT doc_id, i + 1,
+         |    list_transform(range(0, m + 1),
+         |      j -> CAST(j AS BIGINT) + list_min(cv2[1:CAST(j AS INTEGER) + 1]))
+         |  FROM (SELECT w.doc_id, w.i AS i, len(r.rt) AS m,
+         |      list_prepend(CAST(w.i + 1 AS BIGINT),
+         |        list_transform(range(1, len(r.rt) + 1),
+         |          j2 -> least(w.dp[CAST(j2 AS INTEGER)]
+         |              + CASE WHEN r.rt[CAST(j2 AS INTEGER)]
+         |                          = r.pt[w.i + 1] THEN 0 ELSE 1 END,
+         |            w.dp[CAST(j2 AS INTEGER) + 1] + 1) - j2)) AS cv2
+         |    FROM wwalk w JOIN wtoks r ON r.doc_id = w.doc_id
+         |    WHERE w.i < len(r.pt)) q),
+         |fin AS (SELECT w.doc_id, w.dp[len(r.rt) + 1] AS dist
+         |  FROM wwalk w JOIN wtoks r ON r.doc_id = w.doc_id
+         |  WHERE w.i = len(r.pt))
+         |SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(len(t.rt)) AS BIGINT) AS n_ref_tokens,
+         |  CAST(sum(f.dist) AS BIGINT) AS n_edits,
+         |  CAST(CASE WHEN sum(len(t.rt)) > 0
+         |    THEN (sum(f.dist) * 100) // sum(len(t.rt)) END AS BIGINT)
+         |    AS wer_x100
+         |FROM wtoks t JOIN fin f ON f.doc_id = t.doc_id""".stripMargin) {
+      (s, d) =>
+      val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      val preds = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" EXTRA extra tokens")))
+          .otherwise(lit("completely different words here")).as("pred"))
+      graft.ext.Eval.werReport(preds,
+        base.select(col("doc_id"), col("text").as("ref")), maxTokens = 16)
+    },
+
     // ── Per-column table profile (the data-quality audit row DESCRIBE
     // can't give): one multi-distinct aggregation over one scan; the
     // oracle replays every count exactly, with the dtype labels pinned

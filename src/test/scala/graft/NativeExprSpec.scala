@@ -535,6 +535,96 @@ class NativeExprSpec extends SparkSuite {
     assert(nullGot.head.isNullAt(0))
   }
 
+  test("EditDist matches a naive full-matrix reference DP; hand goldens; null element law; codegen path") {
+    import spark.implicits._
+    // independent reference: the textbook full-matrix Levenshtein
+    def ref(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Long](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) dp(i)(0) = i.toLong
+      for (j <- 0 to b.length) dp(0)(j) = j.toLong
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = Seq(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0L else 1L),
+          dp(i - 1)(j) + 1L, dp(i)(j - 1) + 1L).min
+      dp(a.length)(b.length)
+    }
+    def dist(a: Seq[String], b: Seq[String]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.EditDist(
+            org.apache.spark.sql.graft.Bridge.expression(col("a")),
+            org.apache.spark.sql.graft.Bridge.expression(col("b")))))
+        .collect().head.getLong(0)
+    // hand goldens (kitten→sitting in token form = 3; classic cases)
+    assert(dist("k i t t e n".split(" "), "s i t t i n g".split(" ")) == 3L)
+    assert(dist(Nil, Nil) == 0L)
+    assert(dist(Seq("a", "b"), Nil) == 2L)
+    assert(dist(Nil, Seq("x", "y", "z")) == 3L)
+    assert(dist(Seq("a", "b", "c"), Seq("a", "b", "c")) == 0L)
+    assert(dist(Seq("a", "b", "c"), Seq("a", "x", "c")) == 1L)
+    assert(dist(Seq("a", "b"), Seq("b", "a")) == 2L)
+    // randomized equivalence against the naive reference, batched
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("a", "b", "c", "dd", "e")
+    val cases: Seq[(Seq[String], Seq[String])] =
+      (1 to 40).map(_ => (
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))),
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))))
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("i", "a", "b")
+    val got = df.select(col("i"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.EditDist(
+          org.apache.spark.sql.graft.Bridge.expression(col("a")),
+          org.apache.spark.sql.graft.Bridge.expression(col("b")))).as("d"))
+      .as[(Long, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i.toLong) == ref(a, b), s"case $i: $a vs $b")
+    }
+    // a null ELEMENT matches nothing (substitution still costs 1)
+    val withNullElem = Seq((Seq("a", null.asInstanceOf[String]),
+        Seq("a", "b")))
+      .toDF("a", "b")
+      .select(org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.EditDist(
+          org.apache.spark.sql.graft.Bridge.expression(col("a")),
+          org.apache.spark.sql.graft.Bridge.expression(col("b")))))
+      .collect().head.getLong(0)
+    assert(withNullElem == 1L)
+    // null ARRAY → null result
+    val nullArr = Seq((Seq("a"), null.asInstanceOf[Seq[String]]))
+      .toDF("a", "b")
+      .select(org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.EditDist(
+          org.apache.spark.sql.graft.Bridge.expression(col("a")),
+          org.apache.spark.sql.graft.Bridge.expression(col("b")))))
+      .collect()
+    assert(nullArr.head.isNullAt(0))
+  }
+
+  test("Eval.wer: edge laws (empty-empty perfect, empty-ref undefined) and micro rollup") {
+    import spark.implicits._
+    val preds = Seq((1L, "the cat sat"), (2L, ""), (3L, "extra words"),
+        (4L, "the cat"))
+      .toDF("doc_id", "pred")
+    val refs = Seq((1L, "the cat sat"), (2L, ""), (3L, ""),
+        (4L, "the cat sat on the mat"))
+      .toDF("doc_id", "ref")
+    val per = graft.ext.Eval.wer(preds, refs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // exact match → 0 edits, WER 0
+    assert(per(1L).getLong(3) == 0L && per(1L).getLong(4) == 0L, per(1L))
+    // both empty → perfect (0), not undefined
+    assert(per(2L).getLong(3) == 0L && per(2L).getLong(4) == 0L, per(2L))
+    // empty ref, non-empty pred → dist = n_pred, WER undefined (null)
+    assert(per(3L).getLong(3) == 2L && per(3L).isNullAt(4), per(3L))
+    // 4 missing tokens from a 6-token ref → 4*100 div 6 = 66
+    assert(per(4L).getLong(3) == 4L && per(4L).getLong(4) == 66L, per(4L))
+    val rep = graft.ext.Eval.werReport(preds, refs).collect().head
+    // pooled: items 4, ref tokens 3+0+0+6 = 9, edits 0+0+2+4 = 6
+    assert(rep.getLong(0) == 4L && rep.getLong(1) == 9L &&
+      rep.getLong(2) == 6L && rep.getLong(3) == 66L, rep)
+  }
+
   test("byte-level BPE: GPT-2 table law, round-trip decode, provable divergence from the code-point walk") {
     import spark.implicits._
     import graft.functions.ByteLevel
