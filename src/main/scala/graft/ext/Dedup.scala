@@ -340,7 +340,36 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text",
                      n: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,
                      maxBucket: Int = DefaultMaxBucketWidth,
-                     maxShingleDf: Int = 200): DataFrame = {
+                     maxShingleDf: Int = 200): DataFrame =
+    lshRecallGrid(docs, Seq((numBands, rowsPerBand)), sampleFraction,
+      jaccardNum, jaccardDen, idCol, textCol, n, maxBucket, maxShingleDf)
+      .drop("num_bands", "rows_per_band")
+
+  /** The CONFIG GRID over [[lshRecallAudit]] — the sweep that answers
+    * the question the single audit only scores: WHICH banding layout
+    * to run. All configs share ONE deterministic sample, ONE
+    * tokenize+shingle pass, and ONE df-capped exact ground truth (the
+    * expensive artifacts — candidates per config are the cheap part),
+    * so an s-vector sample prices a c-config sweep at truth + c band
+    * joins, not c audits. Every config must tile the full
+    * [[Perms]]-wide signature (bands × rows == 8 — the [[bands]]
+    * contract), so the default grid (8,1)/(4,2)/(2,4) sweeps the
+    * recall/precision trade at constant signature cost: more bands of
+    * fewer rows → match on ANY shorter key → recall monotonically up,
+    * precision down (the S-curve law the oracle's ordered rows
+    * exhibit). Output: one [[lshRecallAudit]] row per config, keyed by
+    * (num_bands, rows_per_band).
+    */
+  def lshRecallGrid(docs: DataFrame,
+                    configs: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4)),
+                    sampleFraction: Double = 0.25,
+                    jaccardNum: Int = 1, jaccardDen: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 3, maxBucket: Int = DefaultMaxBucketWidth,
+                    maxShingleDf: Int = 200): DataFrame = {
+    require(configs.nonEmpty, "lshRecallGrid needs at least one config")
+    require(configs.distinct.size == configs.size,
+      s"duplicate configs in $configs")
     require(jaccardDen >= 1 && jaccardNum >= 0 && jaccardNum <= jaccardDen,
       s"jaccard threshold must be 0 <= num <= den, got $jaccardNum/$jaccardDen")
     require(maxShingleDf >= 1,
@@ -349,10 +378,14 @@ object Dedup {
       docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
     val feats = features(samp, idCol, textCol, n).localCheckpoint()
     val truth = sampledExactTruth(feats, idCol, jaccardNum, jaccardDen,
-      maxShingleDf, "lshRecallAudit")
-    val cands = lshCandidates(feats, idCol, numBands, rowsPerBand, maxBucket)
-      .localCheckpoint()
-    auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+      maxShingleDf, "lshRecallGrid")
+    configs.map { case (b, r) =>
+      val cands = lshCandidates(feats, idCol, b, r, maxBucket)
+        .localCheckpoint()
+      auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+        .select(lit(b.toLong).as("num_bands"),
+          lit(r.toLong).as("rows_per_band"), col("*"))
+    }.reduce(_ unionByName _)
   }
 
   /** The SIMHASH analog of [[lshRecallAudit]] — the eval of the
@@ -374,7 +407,34 @@ object Dedup {
                          n: Int = 3, bits: Int = 60, blocks: Int = 6,
                          maxHamming: Int = 3,
                          maxBucket: Int = DefaultMaxBucketWidth,
-                         maxShingleDf: Int = 200): DataFrame = {
+                         maxShingleDf: Int = 200): DataFrame =
+    simhashRecallGrid(docs, Seq((blocks, maxHamming)), sampleFraction,
+      jaccardNum, jaccardDen, idCol, textCol, n, bits, maxBucket,
+      maxShingleDf)
+      .drop("blocks", "max_hamming")
+
+  /** The CONFIG GRID over [[simhashRecallAudit]] — the
+    * [[lshRecallGrid]] posture for the Hamming ball: all `(blocks,
+    * maxHamming)` configs share ONE sample, ONE tokenize+shingle pass,
+    * ONE `bits`-wide signature column and ONE df-capped exact ground
+    * truth; only the block-combination join re-runs per config. The
+    * default grid fixes blocks = 6 and sweeps the radius 1 → 3: a
+    * wider ball admits strictly more signature pairs, so recall rises
+    * monotonically and precision falls — the ordered rows that tell a
+    * tuner where signature proximity stops tracking Jaccard. Output:
+    * one audit row per config, keyed by (blocks, max_hamming).
+    */
+  def simhashRecallGrid(docs: DataFrame,
+                        configs: Seq[(Int, Int)] = Seq((6, 1), (6, 2), (6, 3)),
+                        sampleFraction: Double = 0.25,
+                        jaccardNum: Int = 1, jaccardDen: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 3, bits: Int = 60,
+                        maxBucket: Int = DefaultMaxBucketWidth,
+                        maxShingleDf: Int = 200): DataFrame = {
+    require(configs.nonEmpty, "simhashRecallGrid needs at least one config")
+    require(configs.distinct.size == configs.size,
+      s"duplicate configs in $configs")
     require(jaccardDen >= 1 && jaccardNum >= 0 && jaccardNum <= jaccardDen,
       s"jaccard threshold must be 0 <= num <= den, got $jaccardNum/$jaccardDen")
     require(maxShingleDf >= 1,
@@ -383,14 +443,20 @@ object Dedup {
       docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
     val feats = features(samp, idCol, textCol, n).localCheckpoint()
     val truth = sampledExactTruth(feats, idCol, jaccardNum, jaccardDen,
-      maxShingleDf, "simhashRecallAudit")
+      maxShingleDf, "simhashRecallGrid")
     // signatures off the CHECKPOINTED shingles — the truth index and
-    // the candidate pipeline share one tokenize+shingle pass
-    val cands = hammingNearDups(
-        feats.select(col(idCol), simhash(col("hashes"), bits).as("simhash")),
-        idCol, "simhash", bits, blocks, maxHamming, maxBucket)
-      .select("doc_a", "doc_b").localCheckpoint()
-    auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+    // every config's candidate pipeline share one tokenize+shingle pass
+    val sigs = feats
+      .select(col(idCol), simhash(col("hashes"), bits).as("simhash"))
+      .localCheckpoint()
+    configs.map { case (blocks, maxHamming) =>
+      val cands = hammingNearDups(sigs, idCol, "simhash", bits, blocks,
+          maxHamming, maxBucket)
+        .select("doc_a", "doc_b").localCheckpoint()
+      auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+        .select(lit(blocks.toLong).as("blocks"),
+          lit(maxHamming.toLong).as("max_hamming"), col("*"))
+    }.reduce(_ unionByName _)
   }
 
   /** Shared df-capped exact-Jaccard ground truth of the recall audits:

@@ -1741,7 +1741,34 @@ object Similarity {
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            maxBucket: Int = graft.ext.Dedup.DefaultMaxBucketWidth,
-                           maxSample: Int = 4096): DataFrame = {
+                           maxSample: Int = 4096): DataFrame =
+    embeddingRecallGrid(emb, Seq((tables, planes)), sampleFraction,
+      threshold, dims, idCol, vecCol, maxBucket, maxSample)
+      .drop("tables", "planes")
+
+  /** The CONFIG GRID over [[embeddingRecallAudit]] — the
+    * [[graft.ext.Dedup.lshRecallGrid]] posture for hyperplane LSH: all
+    * `(tables, planes)` configs share ONE capped deterministic sample
+    * and ONE exact all-pairs ground truth (the O(maxSample²) relation
+    * is priced ONCE for the whole sweep — the entire point of a grid
+    * over separate audits); only the bucket join re-runs per config.
+    * The default grid sweeps both axes around the production (8, 7):
+    * more tables → more chances to collide → recall up, precision
+    * down; more planes → finer buckets → recall down, precision up.
+    * Output: one audit row per config, keyed by (tables, planes).
+    */
+  def embeddingRecallGrid(emb: DataFrame,
+                          configs: Seq[(Int, Int)] =
+                            Seq((4, 7), (8, 7), (8, 9)),
+                          sampleFraction: Double = 0.25,
+                          threshold: Double = 0.25, dims: Int = 64,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          maxBucket: Int = graft.ext.Dedup.DefaultMaxBucketWidth,
+                          maxSample: Int = 4096): DataFrame = {
+    require(configs.nonEmpty, "embeddingRecallGrid needs at least one config")
+    require(configs.distinct.size == configs.size,
+      s"duplicate configs in $configs")
     require(threshold >= -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in [-1, 1], got $threshold")
     require(maxSample >= 2, s"maxSample must be >= 2, got $maxSample")
@@ -1753,7 +1780,7 @@ object Similarity {
     val nFrac = frac.count()
     if (nFrac > maxSample)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"embeddingRecallAudit: fraction sample has $nFrac vectors > " +
+        s"embeddingRecallGrid: fraction sample has $nFrac vectors > " +
           s"maxSample=$maxSample — keeping the deterministic ascending-" +
           "fingerprint prefix (truth join stays maxSample^2/2-bounded)")
     val samp = frac
@@ -1766,23 +1793,27 @@ object Similarity {
     val truth = a.join(b, col("id_a") < col("id_b"))
       .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select("id_a", "id_b").localCheckpoint()
-    val cands = embeddingNearDups(samp, -1.0, planes, dims, tables,
-        idCol, vecCol, maxBucket)
-      .localCheckpoint()
-    val verified = cands.filter(col("cos") >= threshold)
-    val hits = truth.join(cands, Seq("id_a", "id_b"), "left_semi")
-    samp.agg(count(lit(1)).as("n_sampled"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth_pairs")))
-      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-      .select(col("n_sampled"), col("n_truth_pairs"), col("n_candidates"),
-        col("n_verified"), col("n_hits"),
-        when(col("n_truth_pairs") > 0L,
-          expr("(n_hits * 10000) div n_truth_pairs")).as("recall_x10000"),
-        when(col("n_candidates") > 0L,
-          expr("(n_verified * 10000) div n_candidates"))
-          .as("precision_x10000"))
+    configs.map { case (tables, planes) =>
+      val cands = embeddingNearDups(samp, -1.0, planes, dims, tables,
+          idCol, vecCol, maxBucket)
+        .localCheckpoint()
+      val verified = cands.filter(col("cos") >= threshold)
+      val hits = truth.join(cands, Seq("id_a", "id_b"), "left_semi")
+      samp.agg(count(lit(1)).as("n_sampled"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth_pairs")))
+        .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(tables.toLong).as("tables"),
+          lit(planes.toLong).as("planes"),
+          col("n_sampled"), col("n_truth_pairs"), col("n_candidates"),
+          col("n_verified"), col("n_hits"),
+          when(col("n_truth_pairs") > 0L,
+            expr("(n_hits * 10000) div n_truth_pairs")).as("recall_x10000"),
+          when(col("n_candidates") > 0L,
+            expr("(n_verified * 10000) div n_candidates"))
+            .as("precision_x10000"))
+    }.reduce(_ unionByName _)
   }
 
   // ── SemDeDup: cluster-then-cosine semantic dedup ───────────────────

@@ -137,6 +137,85 @@ private[graft] object LlmDedupQueries {
       Dedup.lshRecallAudit(Tables.documents(s, d))
     },
 
+    // ── LSH config GRID: the sweep the single audit informs — three
+    // banding layouts over the SAME 25% sample, ONE shared shingle
+    // pass and ONE df-capped exact ground truth; only the band join
+    // differs per row. All layouts tile the full 8-perm signature
+    // ((8,1)/(4,2)/(2,4)), so the rows trace the banding S-curve:
+    // more bands of fewer rows → recall monotonically up, precision
+    // down — ordered exactly as theory predicts, per the oracle.
+    QueryDef("t_lsh_recall_grid", {
+      val jNum = 1; val jDen = 2
+      val configs = Seq((8, 1), (4, 2), (2, 4))
+      def jcut(rel: String) =
+        s"""(SELECT doc_a, doc_b FROM (
+           |    SELECT c.doc_a, c.doc_b,
+           |      len(list_intersect(ha.hs, hb.hs)) AS inter,
+           |      len(ha.hs) + len(hb.hs)
+           |        - len(list_intersect(ha.hs, hb.hs)) AS uni
+           |    FROM $rel c
+           |    JOIN lghashes ha ON ha.doc_id = c.doc_a
+           |    JOIN lghashes hb ON hb.doc_id = c.doc_b)
+           |  WHERE inter * $jDen >= uni * $jNum)""".stripMargin
+      def bandExpr(r: Int) = (1 to r)
+        .map(k => s"CAST(sig[b.band * $r + $k] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      val perConfig = configs.map { case (b, r) =>
+        val p = s"lg${b}x$r"
+        s"""${p}b AS (SELECT s.doc_id, b.band, ${bandExpr(r)} AS bkey
+           |  FROM lgsig s CROSS JOIN (VALUES
+           |    ${(0 until b).map(i => s"($i)").mkString(", ")}) b(band)
+           |  QUALIFY count(*) OVER (PARTITION BY b.band, bkey)
+           |    <= ${Dedup.DefaultMaxBucketWidth}),
+           |${p}c AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           |  FROM ${p}b l JOIN ${p}b r
+           |    ON l.band = r.band AND l.bkey = r.bkey
+           |    AND l.doc_id < r.doc_id),
+           |${p}v AS ${jcut(s"${p}c")},
+           |${p}h AS (SELECT t.doc_a, t.doc_b FROM lgtruth t
+           |  JOIN ${p}c c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = configs.map { case (b, r) =>
+        val p = s"lg${b}x$r"
+        s"""SELECT CAST($b AS BIGINT) AS num_bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lghashes) AS n_sampled,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lgtruth) AS n_truth_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}c) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}v) AS n_verified,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}h) AS n_hits"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 < 2500),
+         |${hashesCteFrom("samp", "lg")},
+         |lgsig AS (SELECT doc_id,
+         |  [${minhashExprs.mkString(",\n  ")}] AS sig FROM lghashes),
+         |lgpost AS (SELECT doc_id, unnest(hs) AS h FROM lghashes),
+         |lgdf AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+         |    FROM lgpost)
+         |  WHERE df <= 200),
+         |lgtc AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM lgdf l JOIN lgdf r ON l.h = r.h AND l.doc_id < r.doc_id),
+         |lgtruth AS ${jcut("lgtc")},
+         |$perConfig
+         |SELECT num_bands, rows_per_band, n_sampled, n_truth_pairs,
+         |  n_candidates, n_verified, n_hits,
+         |  CAST(CASE WHEN n_truth_pairs > 0
+         |    THEN (n_hits * 10000) // n_truth_pairs END AS BIGINT)
+         |    AS recall_x10000,
+         |  CAST(CASE WHEN n_candidates > 0
+         |    THEN (n_verified * 10000) // n_candidates END AS BIGINT)
+         |    AS precision_x10000
+         |FROM ($rows)
+         |ORDER BY num_bands, rows_per_band""".stripMargin
+    }) { (s, d) =>
+      Dedup.lshRecallGrid(Tables.documents(s, d))
+    }.sortedBy(col("num_bands"), col("rows_per_band")),
+
     // ── SimHash config recall audit: the Hamming-ball analog — on the
     // same 25% sample, the production (60-bit, 6-block, radius-3)
     // member pairs vs the exact df-capped Jaccard ground truth at
@@ -223,6 +302,110 @@ private[graft] object LlmDedupQueries {
       Dedup.simhashRecallAudit(Tables.documents(s, d))
     },
 
+    // ── SimHash config GRID: blocks fixed at 6, radius swept 1 → 3
+    // over the SAME sample, shingle pass, 60-bit signature column and
+    // exact ground truth; only the block-combination join and the
+    // Hamming cut differ per row. A wider ball admits strictly more
+    // signature pairs → recall monotonically up, precision down — the
+    // ordered rows a radius tuner reads (signature-level rep collapse
+    // and its intra-group expansion are radius-independent, shared).
+    QueryDef("t_simhash_recall_grid", {
+      val jNum = 1; val jDen = 2
+      val blocks = 6
+      val radii = Seq(1, 2, 3)
+      def jcut(rel: String) =
+        s"""(SELECT doc_a, doc_b FROM (
+           |    SELECT c.doc_a, c.doc_b,
+           |      len(list_intersect(ha.hs, hb.hs)) AS inter,
+           |      len(ha.hs) + len(hb.hs)
+           |        - len(list_intersect(ha.hs, hb.hs)) AS uni
+           |    FROM $rel c
+           |    JOIN sghashes ha ON ha.doc_id = c.doc_a
+           |    JOIN sghashes hb ON hb.doc_id = c.doc_b)
+           |  WHERE inter * $jDen >= uni * $jNum)""".stripMargin
+      val perConfig = radii.map { mh =>
+        val agree = blocks - mh
+        val p = s"sg$mh"
+        s"""${p}bands AS (
+           |  SELECT g.rep AS doc_id, c.band,
+           |         ${simhashComboKeyExpr("g.sim", 10, agree)} AS bkey
+           |  FROM sggrp g CROSS JOIN (VALUES
+           |    ${simhashComboValues(blocks, agree)})
+           |    c(band, ${(0 until agree).map("b" + _).mkString(", ")})
+           |  QUALIFY count(*) OVER (PARTITION BY c.band, bkey)
+           |    <= ${Dedup.DefaultMaxBucketWidth}),
+           |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM ${p}bands a JOIN ${p}bands b
+           |    ON a.band = b.band AND a.bkey = b.bkey
+           |    AND a.doc_id < b.doc_id),
+           |${p}r AS (SELECT c.doc_a, c.doc_b
+           |  FROM ${p}cand c
+           |  JOIN sgsims s1 ON s1.doc_id = c.doc_a
+           |  JOIN sgsims s2 ON s2.doc_id = c.doc_b
+           |  WHERE bit_count(xor(s1.sim, s2.sim)) <= $mh),
+           |${p}pairs AS (
+           |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+           |         greatest(ma.doc_id, mb.doc_id) AS doc_b
+           |  FROM ${p}r p
+           |  JOIN sgmem ma ON ma.rep = p.doc_a
+           |  JOIN sgmem mb ON mb.rep = p.doc_b
+           |  UNION ALL
+           |  SELECT doc_a, doc_b FROM sgintra),
+           |${p}v AS ${jcut(s"${p}pairs")},
+           |${p}h AS (SELECT t.doc_a, t.doc_b FROM sgtruth t
+           |  JOIN ${p}pairs c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = radii.map { mh =>
+        val p = s"sg$mh"
+        s"""SELECT CAST($blocks AS BIGINT) AS blocks,
+           |  CAST($mh AS BIGINT) AS max_hamming,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sghashes) AS n_sampled,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sgtruth) AS n_truth_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}pairs) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}v) AS n_verified,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}h) AS n_hits"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND ${polyhash("CAST(doc_id AS VARCHAR)")} % 10000 < 2500),
+         |${hashesCteFrom("samp", "sg")},
+         |sgpost AS (SELECT doc_id, unnest(hs) AS h FROM sghashes),
+         |sgdf AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+         |    FROM sgpost)
+         |  WHERE df <= 200),
+         |sgtc AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM sgdf l JOIN sgdf r ON l.h = r.h AND l.doc_id < r.doc_id),
+         |sgtruth AS ${jcut("sgtc")},
+         |sgsims AS (SELECT doc_id,
+         |  CAST(${simhashExprBits(60)} AS BIGINT) AS sim FROM sghashes),
+         |sggrp AS (SELECT sim, min(doc_id) AS rep FROM sgsims
+         |          WHERE sim IS NOT NULL GROUP BY sim),
+         |sgmem AS (SELECT s.doc_id, coalesce(g.rep, s.doc_id) AS rep,
+         |            s.sim
+         |          FROM sgsims s LEFT JOIN sggrp g ON s.sim = g.sim),
+         |sgintra AS (
+         |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b
+         |  FROM sgmem ma JOIN sgmem mb
+         |    ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+         |  WHERE ma.sim IS NOT NULL),
+         |$perConfig
+         |SELECT blocks, max_hamming, n_sampled, n_truth_pairs,
+         |  n_candidates, n_verified, n_hits,
+         |  CAST(CASE WHEN n_truth_pairs > 0
+         |    THEN (n_hits * 10000) // n_truth_pairs END AS BIGINT)
+         |    AS recall_x10000,
+         |  CAST(CASE WHEN n_candidates > 0
+         |    THEN (n_verified * 10000) // n_candidates END AS BIGINT)
+         |    AS precision_x10000
+         |FROM ($rows)
+         |ORDER BY blocks, max_hamming""".stripMargin
+    }) { (s, d) =>
+      Dedup.simhashRecallGrid(Tables.documents(s, d))
+    }.sortedBy(col("blocks"), col("max_hamming")),
+
     // ── Embedding-LSH recall audit: third member of the audit family
     // — on the same deterministic 25% sample, the production
     // (8-table, 7-plane) random-hyperplane member pairs vs EXACT
@@ -297,6 +480,97 @@ private[graft] object LlmDedupQueries {
       (s, d) =>
       Similarity.embeddingRecallAudit(Tables.embeddings(s, d))
     },
+
+    // ── Embedding-LSH config GRID: (tables, planes) swept around the
+    // production (8, 7) over the SAME capped sample and ONE exact
+    // all-pairs ground truth (the O(s²) relation priced once for the
+    // whole sweep — the point of a grid over separate audits); only
+    // the bucket join re-runs per row. More tables → more collision
+    // chances → recall up, precision down; more planes → finer
+    // buckets → the reverse.
+    QueryDef("t_embed_recall_grid", {
+      val configs = Seq((4, 7), (8, 7), (8, 9))
+      val perConfig = configs.map { case (t, p) =>
+        val x = s"eg${t}x$p"
+        s"""${lshBucketsCte(tables = t, planes = p, dims = 64,
+             rel = "esamp", prefix = x)},
+           |${x}rb AS (
+           |  SELECT b.vec_id, b.tbl, b.bucket
+           |  FROM ${x}buckets b JOIN evgrp g ON g.rep = b.vec_id
+           |  QUALIFY count(*) OVER (PARTITION BY b.tbl, b.bucket)
+           |          <= ${Dedup.DefaultMaxBucketWidth}),
+           |${x}c AS (
+           |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           |  FROM ${x}rb l JOIN ${x}rb r
+           |    ON l.tbl = r.tbl AND l.bucket = r.bucket
+           |    AND l.vec_id < r.vec_id),
+           |${x}sc AS (
+           |  SELECT c.id_a, c.id_b,
+           |         round(${cosine("a.embedding", "b.embedding")}, 6) AS cos
+           |  FROM ${x}c c
+           |  JOIN esamp a ON a.vec_id = c.id_a
+           |  JOIN esamp b ON b.vec_id = c.id_b),
+           |${x}all AS (
+           |  SELECT least(ma.vec_id, mb.vec_id) AS id_a,
+           |         greatest(ma.vec_id, mb.vec_id) AS id_b, p.cos
+           |  FROM ${x}sc p
+           |  JOIN evmem ma ON ma.rep = p.id_a
+           |  JOIN evmem mb ON mb.rep = p.id_b
+           |  UNION ALL
+           |  SELECT id_a, id_b, cos FROM egintra),
+           |${x}v AS (SELECT id_a, id_b FROM ${x}all WHERE cos >= 0.25),
+           |${x}h AS (SELECT t.id_a, t.id_b FROM etruth t
+           |  JOIN ${x}all c ON c.id_a = t.id_a AND c.id_b = t.id_b)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = configs.map { case (t, p) =>
+        val x = s"eg${t}x$p"
+        s"""SELECT CAST($t AS BIGINT) AS tables, CAST($p AS BIGINT) AS planes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM esamp) AS n_sampled,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM etruth) AS n_truth_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${x}all) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${x}v) AS n_verified,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${x}h) AS n_hits"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH esamp0 AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x <> 0)) > 0
+         |    AND ${polyhash("CAST(vec_id AS VARCHAR)")} % 10000 < 2500),
+         |esamp AS (SELECT vec_id, embedding FROM esamp0
+         |  ORDER BY ${polyhash("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 4096),
+         |etruth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM esamp a JOIN esamp b ON a.vec_id < b.vec_id
+         |  WHERE round(${cosine("a.embedding", "b.embedding")}, 6)
+         |    >= 0.25),
+         |evgrp AS (SELECT embedding AS emb, min(vec_id) AS rep
+         |          FROM esamp GROUP BY embedding),
+         |evmem AS (SELECT e.vec_id, g.rep FROM esamp e
+         |          JOIN evgrp g ON e.embedding = g.emb),
+         |eself AS (
+         |  SELECT g.rep, round(${cosine("e.embedding", "e.embedding")}, 6)
+         |    AS cos
+         |  FROM evgrp g JOIN esamp e ON e.vec_id = g.rep),
+         |egintra AS (
+         |  SELECT ma.vec_id AS id_a, mb.vec_id AS id_b, s.cos
+         |  FROM evmem ma JOIN evmem mb
+         |    ON ma.rep = mb.rep AND ma.vec_id < mb.vec_id
+         |  JOIN eself s ON s.rep = ma.rep),
+         |$perConfig
+         |SELECT tables, planes, n_sampled, n_truth_pairs,
+         |  n_candidates, n_verified, n_hits,
+         |  CAST(CASE WHEN n_truth_pairs > 0
+         |    THEN (n_hits * 10000) // n_truth_pairs END AS BIGINT)
+         |    AS recall_x10000,
+         |  CAST(CASE WHEN n_candidates > 0
+         |    THEN (n_verified * 10000) // n_candidates END AS BIGINT)
+         |    AS precision_x10000
+         |FROM ($rows)
+         |ORDER BY tables, planes""".stripMargin
+    }) { (s, d) =>
+      Similarity.embeddingRecallGrid(Tables.embeddings(s, d))
+    }.sortedBy(col("tables"), col("planes")),
 
     // ── Normalization + normalization-robust dedup ─────────────────
     // Canonical lowercase/strip-punct/collapse-space normalization

@@ -287,24 +287,25 @@ object LlmOracle {
     * Yields `buckets(vec_id, tbl, bucket)` over the embeddings table.
     */
   def lshBucketsCte(tables: Int, planes: Int, dims: Int,
-                    rel: String = "embeddings"): String = {
+                    rel: String = "embeddings",
+                    prefix: String = ""): String = {
     val rows = (for (t <- 0 until tables; p <- 0 until planes) yield {
       val ws = (0 until dims).map(d =>
         if (graft.functions.LshBuckets.planeWeight(t, p, d) > 0) "1" else "-1")
       s"($t, $p, ${ws.mkString("[", ",", "]")}::DOUBLE[])"
     }).mkString(",\n  ")
-    s"""w(tbl, plane, wv) AS (VALUES
+    s"""${prefix}w(tbl, plane, wv) AS (VALUES
        |  $rows),
-       |proj AS (
+       |${prefix}proj AS (
        |  SELECT e.vec_id, w.tbl, w.plane,
        |         list_sum(list_transform(generate_series(1, $dims),
        |           i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS proj
-       |  FROM $rel e CROSS JOIN w),
-       |buckets AS (
+       |  FROM $rel e CROSS JOIN ${prefix}w w),
+       |${prefix}buckets AS (
        |  SELECT vec_id, tbl,
        |         CAST(SUM(CASE WHEN proj >= 0 THEN 1 << plane ELSE 0 END)
        |              AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id, tbl)""".stripMargin
+       |  FROM ${prefix}proj GROUP BY vec_id, tbl)""".stripMargin
   }
 
   val stopwordList: String =

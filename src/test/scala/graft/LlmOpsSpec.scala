@@ -115,6 +115,92 @@ class LlmOpsSpec extends SparkSuite {
       (truth & cands).size.toLong * 10000L / truth.size, a)
   }
 
+  test("recall-audit grids: one shared truth, per-config rows, theory-ordered trade, single audit == its grid row") {
+    import spark.implicits._
+    // the planted-near-dup fixture of the brute-force test: 12 truth
+    // pairs at J ≈ 0.85, noise docs sharing nothing
+    val base = (0L until 12L).map(i => (i,
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i " +
+        s"iota$i kappa$i lambda$i mu$i"))
+    val nears = base.map { case (i, t) => (i + 500L, s"$t extra$i") }
+    val noise = (100L until 120L).map(i => (i,
+      s"solo$i words$i that$i share$i nothing$i with$i others$i"))
+    val docs = (base ++ nears ++ noise).toDF("doc_id", "text")
+
+    val lg = Dedup.lshRecallGrid(docs, sampleFraction = 1.0)
+      .orderBy(col("num_bands")).collect()
+    assert(lg.length == 3, lg.toSeq)
+    def lcol(r: org.apache.spark.sql.Row, c: String) =
+      r.getLong(r.fieldIndex(c))
+    // shared truth: identical n_sampled / n_truth_pairs on every row
+    assert(lg.map(lcol(_, "n_truth_pairs")).distinct.length == 1, lg.toSeq)
+    assert(lg.map(lcol(_, "n_sampled")).distinct.length == 1, lg.toSeq)
+    // theory order over (2,4) → (4,2) → (8,1): candidates and recall
+    // non-decreasing with more bands
+    val byBands = lg.sortBy(lcol(_, "num_bands"))
+    assert(byBands.map(lcol(_, "n_candidates")).sliding(2).forall {
+      case Array(a, b) => a <= b
+    }, lg.toSeq)
+    assert(byBands.map(lcol(_, "recall_x10000")).sliding(2).forall {
+      case Array(a, b) => a <= b
+    }, lg.toSeq)
+    // the single audit is literally its grid row
+    val single = Dedup.lshRecallAudit(docs, sampleFraction = 1.0)
+      .collect().head
+    val row42 = lg.find(r => lcol(r, "num_bands") == 4L).get
+    assert(single.toSeq ==
+      row42.toSeq.drop(2), s"$single vs $row42")
+
+    val sg = Dedup.simhashRecallGrid(docs, sampleFraction = 1.0)
+      .orderBy(col("max_hamming")).collect()
+    assert(sg.length == 3, sg.toSeq)
+    assert(sg.map(lcol(_, "n_truth_pairs")).distinct.length == 1, sg.toSeq)
+    // a wider ball admits strictly more: candidates/hits non-decreasing
+    assert(sg.map(lcol(_, "n_candidates")).sliding(2).forall {
+      case Array(a, b) => a <= b
+    }, sg.toSeq)
+    assert(sg.map(lcol(_, "n_hits")).sliding(2).forall {
+      case Array(a, b) => a <= b
+    }, sg.toSeq)
+
+    intercept[IllegalArgumentException](
+      Dedup.lshRecallGrid(docs, configs = Seq.empty))
+    intercept[IllegalArgumentException](
+      Dedup.lshRecallGrid(docs, configs = Seq((4, 2), (4, 2))))
+    // a config that does not tile the 8-perm signature fails loud
+    intercept[IllegalArgumentException](
+      Dedup.lshRecallGrid(docs, configs = Seq((3, 2))).collect())
+  }
+
+  test("embedding recall grid: shared capped sample, tables/planes trade, single audit == its grid row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    // 30 random vectors + 6 exact duplicates (guaranteed truth pairs)
+    val bases = (1L to 30L).map(i => (i, vec()))
+    val dups = bases.take(6).map { case (i, v) => (i + 100L, v) }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val g = Similarity.embeddingRecallGrid(emb,
+        configs = Seq((2, 4), (4, 4), (4, 6)),
+        sampleFraction = 1.0, threshold = 0.9, dims = 16)
+      .collect()
+    assert(g.length == 3, g.toSeq)
+    def lcol(r: org.apache.spark.sql.Row, c: String) =
+      r.getLong(r.fieldIndex(c))
+    assert(g.map(lcol(_, "n_sampled")).distinct.toSeq == Seq(36L), g.toSeq)
+    assert(g.map(lcol(_, "n_truth_pairs")).distinct.length == 1, g.toSeq)
+    // more tables at fixed planes → candidates non-decreasing
+    val t2 = g.find(r => lcol(r, "tables") == 2L && lcol(r, "planes") == 4L).get
+    val t4 = g.find(r => lcol(r, "tables") == 4L && lcol(r, "planes") == 4L).get
+    assert(lcol(t2, "n_candidates") <= lcol(t4, "n_candidates"), g.toSeq)
+    // identical vectors collapse to reps whose intra pairs are always
+    // candidates → the 6 planted dup pairs are hit in EVERY config
+    assert(g.forall(lcol(_, "n_hits") >= 6L), g.toSeq)
+    val single = Similarity.embeddingRecallAudit(emb, sampleFraction = 1.0,
+      threshold = 0.9, planes = 4, dims = 16, tables = 4).collect().head
+    assert(single.toSeq == t4.toSeq.drop(2), s"$single vs $t4")
+  }
+
   test("embedding recall audit: identical-vector truth fully recalled, family laws") {
     import spark.implicits._
     // 3 identical vectors (one truth triangle at cos = 1.0) + 8
