@@ -240,5 +240,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "lcs_len(a, b) takes 2 arguments")
         graft.functions.LcsLen(children.head, children(1))
       }))
+    // edit_dist(a, b): token-level Levenshtein distance of two string
+    // arrays (the WER kernel)
+    ext.injectFunction((
+      FunctionIdentifier("edit_dist"),
+      new ExpressionInfo(classOf[graft.functions.EditDist].getName,
+        "edit_dist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "edit_dist(a, b) takes 2 arguments")
+        graft.functions.EditDist(children.head, children(1))
+      }))
+    // roc_auc(score, label): exact AUC as a SQL AGGREGATE — the M4
+    // reach for Eval.rocAuc/rocAucBy (GROUP BY source replicates the
+    // per-domain face); returns the batch operator's row as a struct
+    ext.injectFunction((
+      FunctionIdentifier("roc_auc"),
+      new ExpressionInfo(classOf[graft.functions.RocAucAgg].getName,
+        "roc_auc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "roc_auc(score, label) takes 2 arguments")
+        graft.functions.RocAucAgg(children.head, children(1))
+      }))
+    // rrf_weight(rank[, rrfK]): THE engine's reciprocal-rank-fusion
+    // weight (10⁶ div (rrfK + rank)) — pins the integer grain so SQL-
+    // side fusion reproduces Retrieval.rrfFuseAll bit-exactly instead
+    // of hand-rolling the constant
+    ext.injectFunction((
+      FunctionIdentifier("rrf_weight"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.IntegralDivide].getName,
+        "rrf_weight"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "rrf_weight(rank[, rrfK]) takes 1-2 arguments")
+        val rrfK = if (children.length == 2) intArg(children(1), "rrfK") else 60
+        require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+        import org.apache.spark.sql.catalyst.expressions.{Add, Cast, IntegralDivide, Literal}
+        IntegralDivide(Literal(1000000L),
+          Add(Literal(rrfK.toLong),
+            Cast(children.head, org.apache.spark.sql.types.LongType)))
+      }))
   }
 }

@@ -51,6 +51,32 @@ object RestServer {
       }
     })
 
+    // Engine-operator verbs over REGISTERED relations — the M4 reach
+    // for the eval/retrieval family whose semantics exceed one SQL
+    // statement (ksqlDB's own console mixes SQL with verbs the same
+    // way). Relations are named views/tables (register via /query
+    // CREATE TEMP VIEW or Tables.registerAll); results return in the
+    // /query row shape under the same row cap.
+    //   POST /ops {"op":"rank_eval","run":"v1","qrels":"v2","k":10}
+    //   POST /ops {"op":"roc_auc","table":"v"[,"group":"source"]}
+    //   POST /ops {"op":"rrf_fuse","arms":["v1","v2"],"k":10[,"rrfK":60]}
+    server.createContext("/ops", (x: HttpExchange) => respond(x) {
+      if (x.getRequestMethod != "POST")
+        (405, """{"error":"POST only"}""")
+      else {
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        try {
+          val df = dispatchOp(spark, body).limit(limit)
+          val cols = df.columns.map(jstr).mkString("[", ",", "]")
+          val rows = df.toJSON.collect().mkString("[", ",", "]")
+          (200, s"""{"columns":$cols,"rows":$rows}""")
+        } catch {
+          case e: Exception =>
+            (400, s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))}}""")
+        }
+      }
+    })
+
     server.createContext("/status", (x: HttpExchange) => respond(x) {
       val tables = spark.catalog.listTables().collect()
         .map(t => jstr(t.name)).sorted.mkString("[", ",", "]")
@@ -59,6 +85,60 @@ object RestServer {
 
     server.start()
     server
+  }
+
+  /** The /ops dispatcher — public for the spec. Field extraction is
+    * the [[extractSql]] posture (thin regex shell); relation names are
+    * identifier-validated before reaching the catalog so the endpoint
+    * can't be steered to arbitrary SQL text.
+    */
+  def dispatchOp(spark: SparkSession,
+                 body: String): org.apache.spark.sql.DataFrame = {
+    def strField(name: String): Option[String] =
+      (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+        .findFirstMatchIn(body).map(m => unescape(m.group(1)))
+    def intField(name: String): Option[Int] =
+      (s""""$name"\\s*:\\s*(-?\\d+)""").r
+        .findFirstMatchIn(body).map(_.group(1).toInt)
+    def arrField(name: String): Option[Seq[String]] =
+      (s""""$name"\\s*:\\s*\\[([^\\]]*)\\]""").r
+        .findFirstMatchIn(body).map(m =>
+          """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+            .map(g => unescape(g.group(1))).toSeq)
+    def rel(name: String, what: String): org.apache.spark.sql.DataFrame = {
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"$what must be a registered relation name, got '$name'")
+      spark.table(name)
+    }
+    strField("op").getOrElse(
+      throw new IllegalArgumentException("""body needs an "op" field""")) match {
+      case "rank_eval" =>
+        val run = rel(strField("run")
+          .getOrElse(throw new IllegalArgumentException(
+            """rank_eval needs "run"""")), "run")
+        val qrels = rel(strField("qrels")
+          .getOrElse(throw new IllegalArgumentException(
+            """rank_eval needs "qrels"""")), "qrels")
+        graft.ext.Eval.rankEval(run, qrels, k = intField("k").getOrElse(10))
+      case "roc_auc" =>
+        val t = rel(strField("table")
+          .getOrElse(throw new IllegalArgumentException(
+            """roc_auc needs "table"""")), "table")
+        strField("group") match {
+          case Some(g) => graft.ext.Eval.rocAucBy(t, groupCol = g)
+          case None => graft.ext.Eval.rocAuc(t)
+        }
+      case "rrf_fuse" =>
+        val arms = arrField("arms").getOrElse(Seq.empty)
+        require(arms.size >= 2,
+          """rrf_fuse needs "arms": ["viewA", "viewB", ...]""")
+        graft.ext.Retrieval.rrfFuseAll(
+          arms.zipWithIndex.map { case (a, _) => rel(a, "arm") },
+          k = intField("k").getOrElse(10),
+          rrfK = intField("rrfK").getOrElse(60))
+      case other => throw new IllegalArgumentException(
+        s"unknown op '$other' (supported: rank_eval, roc_auc, rrf_fuse)")
+    }
   }
 
   /** Body → SQL text: raw SQL, or the ksqlDB envelope's "ksql"/"sql"

@@ -57,4 +57,64 @@ class RestServerSpec extends SparkSuite {
       assert(c4 == 200 && b4.contains("rest_customers"), b4)
     } finally server.stop(0)
   }
+
+  test("POST /ops reaches the eval/retrieval operators over registered relations") {
+    import spark.implicits._
+    Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+      .createOrReplaceTempView("rest_run")
+    Seq((1L, 10L, 1L), (1L, 13L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+      .createOrReplaceTempView("rest_qrels")
+    Seq((7L, true), (3L, false), (9L, true), (1L, false))
+      .toDF("score", "label")
+      .createOrReplaceTempView("rest_scored")
+    Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "sparse_rank")
+      .createOrReplaceTempView("rest_arm_a")
+    Seq((1L, 11L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "doc_id", "dense_rank")
+      .createOrReplaceTempView("rest_arm_b")
+    val server = RestServer.start(spark)
+    val port = server.getAddress.getPort
+    try {
+      // rank_eval over registered run/qrels == the operator API
+      val (c1, b1) = post(port, "/ops",
+        """{"op":"rank_eval","run":"rest_run","qrels":"rest_qrels","k":3}""")
+      assert(c1 == 200, b1)
+      val apiRow = graft.ext.Eval.rankEval(
+        spark.table("rest_run"), spark.table("rest_qrels"), k = 3)
+        .collect().head
+      assert(b1.contains(s""""n_rel_ret":${apiRow.getLong(
+        apiRow.fieldIndex("n_rel_ret"))}"""), b1)
+      assert(b1.contains(s""""ndcg_x10000":${apiRow.getLong(
+        apiRow.fieldIndex("ndcg_x10000"))}"""), b1)
+
+      // roc_auc (global face)
+      val (c2, b2) = post(port, "/ops",
+        """{"op":"roc_auc","table":"rest_scored"}""")
+      assert(c2 == 200 && b2.contains(""""auc_x10000":10000"""), s"$c2 $b2")
+
+      // rrf_fuse over two arms == rrfFuseAll
+      val (c3, b3) = post(port, "/ops",
+        """{"op":"rrf_fuse","arms":["rest_arm_a","rest_arm_b"],"k":3}""")
+      assert(c3 == 200, b3)
+      val fusedTop = graft.ext.Retrieval.rrfFuseAll(
+        Seq(spark.table("rest_arm_a"), spark.table("rest_arm_b")), k = 3)
+        .orderBy("rank").collect().head
+      assert(b3.contains(s""""doc_id":${fusedTop.getLong(1)}"""), b3)
+
+      // error contracts: unknown op, bad relation NAME (not SQL), and
+      // a non-identifier are all CLIENT errors
+      val (c4, b4) = post(port, "/ops", """{"op":"frobnicate"}""")
+      assert(c4 == 400 && b4.contains("unknown op"), s"$c4 $b4")
+      val (c5, b5) = post(port, "/ops",
+        """{"op":"roc_auc","table":"no_such_view_xyz"}""")
+      assert(c5 == 400 && b5.contains("error"), s"$c5 $b5")
+      val (c6, b6) = post(port, "/ops",
+        """{"op":"roc_auc","table":"x; DROP TABLE y"}""")
+      assert(c6 == 400 && b6.contains("registered relation name"),
+        s"$c6 $b6")
+    } finally server.stop(0)
+  }
 }

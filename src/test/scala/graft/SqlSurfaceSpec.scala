@@ -197,6 +197,73 @@ class SqlSurfaceSpec extends SparkSuite {
       spark.sql("SELECT lcs_len(array('a'), 5)").collect())
   }
 
+  test("eval/retrieval family is SQL-reachable: roc_auc aggregate and rrf_weight match the operator API") {
+    import spark.implicits._
+    // scored relation with ties on both classes at one score
+    val scored = Seq((5L, true), (5L, false), (3L, true), (3L, true),
+        (1L, false), (2L, false), (8L, true), (8L, false), (0L, false))
+      .toDF("score", "label")
+    scored.createOrReplaceTempView("sql_scored")
+    val viaSql = spark.sql(
+      """SELECT r.n_pos, r.n_neg, r.u2, r.auc_x10000
+        |FROM (SELECT roc_auc(score, label) AS r FROM sql_scored)"""
+        .stripMargin)
+    val viaApi = graft.ext.Eval.rocAuc(scored)
+    assert(rows(viaSql) == rows(viaApi))
+    // per-group face == rocAucBy
+    val grouped = Seq(("a", 5L, true), ("a", 1L, false), ("a", 3L, true),
+        ("b", 2L, false), ("b", 9L, true), ("b", 9L, false))
+      .toDF("source", "score", "label")
+    grouped.createOrReplaceTempView("sql_scored_by")
+    val bySql = spark.sql(
+      """SELECT source, r.n_pos, r.n_neg, r.u2, r.auc_x10000
+        |FROM (SELECT source, roc_auc(score, label) AS r
+        |      FROM sql_scored_by GROUP BY source)"""
+        .stripMargin)
+    val byApi = graft.ext.Eval.rocAucBy(grouped)
+    assert(rows(bySql) == rows(byApi))
+    // null rows don't vote (the batch filter)
+    val withNulls = spark.sql(
+      """SELECT r.n_pos, r.n_neg FROM (SELECT roc_auc(score, label) AS r
+        |FROM (SELECT * FROM sql_scored
+        |      UNION ALL SELECT NULL, true UNION ALL SELECT 7, NULL))"""
+        .stripMargin).collect().head
+    assert(withNulls.getLong(0) == 4L && withNulls.getLong(1) == 5L,
+      withNulls)
+    // a fractional score column fails analysis loud
+    intercept[Exception](
+      spark.sql("SELECT roc_auc(CAST(1.5 AS DOUBLE), true)").collect())
+
+    // rrf_weight pins the fusion grain: SQL-side full-outer fusion
+    // reproduces rrfFuseAll bit-exactly
+    val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "sparse_rank")
+    val armB = Seq((1L, 11L, 1L), (1L, 13L, 2L), (1L, 10L, 3L))
+      .toDF("query_id", "doc_id", "dense_rank")
+    armA.createOrReplaceTempView("sql_arm_a")
+    armB.createOrReplaceTempView("sql_arm_b")
+    val fusedSql = spark.sql(
+      """SELECT * FROM (
+        |  SELECT query_id, doc_id,
+        |    coalesce(rrf_weight(sparse_rank), 0)
+        |      + coalesce(rrf_weight(dense_rank), 0) AS rrf,
+        |    sparse_rank, dense_rank,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY coalesce(rrf_weight(sparse_rank), 0)
+        |        + coalesce(rrf_weight(dense_rank), 0) DESC, doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM sql_arm_a FULL OUTER JOIN sql_arm_b
+        |    USING (query_id, doc_id))
+        |WHERE rank <= 3""".stripMargin)
+    val fusedApi = graft.ext.Retrieval.rrfFuseAll(Seq(armA, armB), k = 3)
+    assert(rows(fusedSql) == rows(fusedApi))
+    // the default grain: 10^6 div (60 + rank)
+    assert(spark.sql("SELECT rrf_weight(1)").collect().head.getLong(0)
+      == 1000000L / 61L)
+    assert(spark.sql("SELECT rrf_weight(1, 10)").collect().head.getLong(0)
+      == 1000000L / 11L)
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // AQE assigns codegen stages only at execution: run the plan, then
     // inspect the finalized executedPlan for WholeStageCodegen wrappers
