@@ -116,5 +116,30 @@ class BenchDiffSpec extends AnyFunSuite {
     val (regs3, sup3, unrel3) =
       BenchDiff.guardedRegressions(prev, cur, Map("q_b" -> 5, "q_c" -> 5))
     assert(regs3.map(_._1) == Seq("q_b") && sup3 == 1 && unrel3)
+    // RESHAPED rule (round 20): a thin-sampled query BELOW the
+    // threshold neither suppresses nor marks the verdict unreliable —
+    // reliability is judged only where a flag is in question, so a
+    // budget-clamped run whose flagged set was topped up to n >= 3
+    // produces a verdict that can speak
+    val (regs4, sup4, unrel4) = BenchDiff.guardedRegressions(
+      prev, cur, Map("q_a" -> 5, "q_b" -> 5, "q_c" -> 1))
+    assert(regs4.map(_._1) == Seq("q_a", "q_b"), regs4)
+    assert(sup4 == 0 && !unrel4)
+  }
+
+  test("topup targets: past-threshold queries below targetN, median-based, deterministic order") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0, "q_d" -> 1.0)
+    val samples = Map(
+      "q_a" -> List(2.0),             // past threshold, n=1 → target
+      "q_b" -> List(2.0, 2.1, 1.9),   // past threshold but n=3 → done
+      "q_c" -> List(1.05),            // under threshold → not a target
+      "q_d" -> List(0.5, 9.0),        // MEDIAN 4.75 past threshold, n=2
+      "q_new" -> List(9.0))           // unshared → never a target
+    assert(BenchDiff.topupTargets(prev, samples) == Seq("q_a", "q_d"))
+    // a topped-up query leaves the set once its median drops back
+    assert(BenchDiff.topupTargets(prev,
+      samples + ("q_a" -> List(2.0, 1.0, 1.0))) == Seq("q_d"))
+    assert(BenchDiff.topupTargets(prev,
+      samples + ("q_d" -> List(0.5, 9.0, 0.6))) == Seq("q_a"))
   }
 }
