@@ -253,11 +253,29 @@ object ScaleCheck {
       record("chat_prep", nDocs,
         timeIt(reps, warm = m == mults.head)(
           noop(graft.queries.LlmQueries.chatPrepOf(docs))))
+      // corpus WER (round 20): the t_eval_wer_report chain — planted
+      // predictions vs the corpus as references, the row-local
+      // 16×16-capped EditDist DP + one global rollup; pure linear scan
+      record("wer_report", nDocs,
+        timeIt(reps, warm = m == mults.head)(noop {
+          val base = docs.filter(col("text").isNotNull)
+          val preds = base.select(col("doc_id"),
+            when(col("doc_id") % 4 === 0, col("text"))
+              .when(col("doc_id") % 4 === 1,
+                concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+              .when(col("doc_id") % 4 === 2,
+                concat(col("text"), lit(" EXTRA extra tokens")))
+              .otherwise(lit("completely different words here"))
+              .as("pred"))
+          graft.ext.Eval.werReport(preds,
+            base.select(col("doc_id"), col("text").as("ref")),
+            maxTokens = 16)
+        }))
     }
 
     // SCALE.md: per-flagship rows × median seconds, plus the
     // time-ratio-per-row-ratio column that makes sublinearity visible
-    out.append("# SCALE — measured flagship scaling curves (round 19)\n\n")
+    out.append("# SCALE — measured flagship scaling curves (round 20)\n\n")
     out.append(s"Derived corpora: deterministic replication of `$sfDir` ")
     out.append("(ScaleCheck.scala — 10% planted verbatim duplicates, the rest " +
       "token-rotated novel; embeddings 10% verbatim, the rest shifted). " +

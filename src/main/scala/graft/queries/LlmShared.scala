@@ -1400,6 +1400,65 @@ private[graft] object LlmShared {
       name
     }
 
+  /** Per-(JVM, fixture) ManifestStore temp dirs for the streaming prep
+    * builders — dirs, not catalog tables, so they memoize separately
+    * from [[builtIndexes]].
+    */
+  private val streamStoreDirs = scala.collection.mutable.Map[String, String]()
+
+  /** The closed 4-batch DPO-response log per (JVM, sf dir), folded
+    * through [[graft.streaming.PreferenceStream.mergeDpoBatch]] — the
+    * t_dpo_pairs fixture (source = prompt, quality = score) in hash
+    * "arrival order", with epoch 2 REDELIVERED mid-log (the epoch-keyed
+    * store overwrites its own rows — idempotent by construction, which
+    * t_dpo_stream's hash equality with the one-pass oracle proves).
+    */
+  def dpoStreamFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      streamStoreDirs.getOrElseUpdate("dpo_" + dirStem(d), {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_dpostream_").toString
+        val resp = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("source").as("prompt_id"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).cast("long").as("score"))
+          .withColumn("__b", graft.ext.Sampling.bucket(col("doc_id")) % 4)
+        Seq(0L, 1L, 2L, 2L, 3L).foreach { e =>
+          graft.streaming.PreferenceStream.mergeDpoBatch(
+            resp.filter(col("__b") === e).drop("__b"), dir, e,
+            "prompt_id", "doc_id", "score")
+        }
+        dir
+      })
+    }
+
+  /** The closed chat-turn log per (JVM, sf dir), folded through
+    * [[graft.streaming.PreferenceStream.mergeChatBatch]]: the
+    * t_chat_render fixture split into 4 hash-order batches, epoch 2
+    * redelivered, plus an EDIT batch (epoch 4) re-sending turn 0 of
+    * every 7th conversation with an 'EDITED ' prefix — the
+    * latest-epoch-wins law t_chat_stream's oracle replays as a CASE.
+    */
+  def chatStreamFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      streamStoreDirs.getOrElseUpdate("chat_" + dirStem(d), {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_chatstream_").toString
+        val docs = Tables.documents(s, d)
+          .withColumn("__b", graft.ext.Sampling.bucket(col("doc_id")) % 4)
+        Seq(0L, 1L, 2L, 2L, 3L).foreach { e =>
+          graft.streaming.PreferenceStream.mergeChatBatch(
+            chatTurnsOf(docs.filter(col("__b") === e).drop("__b")),
+            dir, e)
+        }
+        graft.streaming.PreferenceStream.mergeChatBatch(
+          chatTurnsOf(Tables.documents(s, d)
+            .filter(col("doc_id") % 28 === 0)
+            .withColumn("text", concat(lit("EDITED "), col("text")))),
+          dir, 4L)
+        dir
+      })
+    }
+
   def pqIndexFor(s: org.apache.spark.sql.SparkSession, d: String): String =
     synchronized {
       val name = "graft_pq_" + dirStem(d)

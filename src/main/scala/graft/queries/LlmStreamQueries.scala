@@ -424,5 +424,63 @@ private[graft] object LlmStreamQueries {
       graft.streaming.SketchStream.heavyHitters(s, cmsStreamFor(s, d),
         Tables.documents(s, d), threshold = 100L)
     }.sortedBy(col("word")),
+
+    // ── Streaming DPO pairs, merge law oracle-gated ────────────────
+    // The PreferenceStream store after a CLOSED 4-batch response log
+    // (hash arrival order, epoch 2 redelivered — the epoch-keyed rows
+    // overwrite themselves) must equal the BATCH dpoPairs operator
+    // over the whole log: the oracle is t_dpo_pairs' single-pass SQL
+    // verbatim. Gates the cross-batch associative fold AND the
+    // overwrite idempotence at once.
+    QueryDef("t_dpo_stream",
+      s"""WITH ${qualityCtes("documents")},
+         |resp AS (SELECT d.source, q.doc_id, q.quality
+         |  FROM documents d JOIN qscored q USING (doc_id)
+         |  WHERE d.text IS NOT NULL),
+         |rk AS (SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rc,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality ASC, doc_id) AS rr,
+         |    count(*) OVER (PARTITION BY source) AS nr
+         |  FROM resp)
+         |SELECT c.source AS prompt_id, c.doc_id AS chosen_id,
+         |  CAST(c.quality AS BIGINT) AS chosen_score,
+         |  r.doc_id AS rejected_id,
+         |  CAST(r.quality AS BIGINT) AS rejected_score,
+         |  CAST(c.quality - r.quality AS BIGINT) AS margin,
+         |  CAST(c.nr AS BIGINT) AS n_responses
+         |FROM rk c JOIN rk r ON r.source = c.source
+         |  AND c.rc = 1 AND r.rr = 1
+         |WHERE c.quality - r.quality >= 1
+         |ORDER BY prompt_id""".stripMargin) { (s, d) =>
+      graft.streaming.PreferenceStream.currentDpoPairs(s,
+        dpoStreamFor(s, d))
+    }.sortedBy(col("prompt_id")),
+
+    // ── Streaming chat render, merge + edit law oracle-gated ───────
+    // The turn store after the closed log (4 hash-order batches, one
+    // redelivery, one EDIT batch re-sending turn 0 of every 7th
+    // conversation) must render as the batch operator over the LATEST
+    // version of every turn — the oracle applies the edit as a CASE
+    // and renders single-pass. conv ids read back as strings (the
+    // store-key grain, disclosed).
+    QueryDef("t_chat_stream",
+      s"""WITH ct AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'user'
+         |         ELSE 'assistant' END AS role,
+         |    CASE WHEN doc_id % 28 = 0 THEN 'EDITED ' || text
+         |         ELSE text END AS content
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+         |  string_agg('<|' || role || '|>' || chr(10) || content
+         |      || chr(10), '' ORDER BY turn_idx) AS text,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(sum(length(role) + length(content) + 6) AS BIGINT)
+         |    AS n_chars
+         |FROM ct GROUP BY conv_id ORDER BY conv_id""".stripMargin) {
+      (s, d) =>
+      graft.streaming.PreferenceStream.currentChats(s, chatStreamFor(s, d))
+    }.sortedBy(col("conv_id")),
   )
 }
