@@ -424,18 +424,24 @@ object Packing {
     val t = turns.filter(col(convCol).isNotNull &&
       col(idxCol).isNotNull && col(roleCol).isNotNull &&
       col(contentCol).isNotNull)
+    // duplicate-order-key guard, row-local over the already-collected
+    // sorted array (adjacent equal indexes) — no countDistinct, whose
+    // two-phase distinct aggregation would cost a real expand at scale
+    def hasDupIdx(arr: Column): Column =
+      exists(zip_with(slice(arr, lit(1), size(arr) - 1),
+        slice(arr, lit(2), size(arr) - 1),
+        (a, b) => a.getField("i") === b.getField("i")), x => x)
     t.groupBy(col(convCol))
       .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(
-            col(idxCol).cast("long").as("i"),
-            turnPiece(col(roleCol), col(contentCol)).as("p")))),
-          x => x.getField("p")), "").as("text"),
+        array_sort(collect_list(struct(
+          col(idxCol).cast("long").as("i"),
+          turnPiece(col(roleCol), col(contentCol)).as("p"))))
+          .as("__rc_arr"),
         count(lit(1)).as("n_turns"),
-        countDistinct(col(idxCol).cast("long")).as("__rc_didx"),
         sum(turnLen(col(roleCol), col(contentCol))).as("n_chars"))
       .select(col(convCol),
-        when(col("__rc_didx") === col("n_turns"), col("text"))
+        when(!hasDupIdx(col("__rc_arr")),
+          array_join(transform(col("__rc_arr"), x => x.getField("p")), ""))
           .otherwise(raise_error(concat(
             lit("renderChat: duplicate turn_idx in conversation "),
             col(convCol).cast("string"),
@@ -468,7 +474,9 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     // duplicate-index guard ([[renderChat]]'s law, window form): in
     // idx order duplicates are adjacent, so lag(idx) == idx detects
-    // every duplicate without a second aggregation
+    // every duplicate. lag's spec shares the running sum's partition
+    // and order (lag takes its own offset frame), so CollapseWindow
+    // plans ONE WindowExec — the guard costs no extra sort/exchange.
     val wOrd = Window.partitionBy(col(convCol))
       .orderBy(col(idxCol).cast("long"))
     t.select(col(convCol), col(idxCol).cast("long").as(idxCol),
@@ -476,8 +484,10 @@ object Packing {
       .withColumn("__cs_pre",
         coalesce(sum(turnLen(col(roleCol), col(contentCol))).over(w),
           lit(0L)))
+      .withColumn("__cs_dup",
+        lag(col(idxCol), 1).over(wOrd) === col(idxCol))
       .withColumn("__cs_pre",
-        when(lag(col(idxCol), 1).over(wOrd) === col(idxCol),
+        when(col("__cs_dup"),
           raise_error(concat(
             lit("chatSpans: duplicate turn_idx in conversation "),
             col(convCol).cast("string"),
