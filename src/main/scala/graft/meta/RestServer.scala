@@ -60,6 +60,7 @@ object RestServer {
     //   POST /ops {"op":"rank_eval","run":"v1","qrels":"v2","k":10}
     //   POST /ops {"op":"roc_auc","table":"v"[,"group":"source"]}
     //   POST /ops {"op":"rrf_fuse","arms":["v1","v2"],"k":10[,"rrfK":60]}
+    //   POST /ops {"op":"wer","preds":"v1","refs":"v2"[,"report":true]}
     server.createContext("/ops", (x: HttpExchange) => respond(x) {
       if (x.getRequestMethod != "POST")
         (405, """{"error":"POST only"}""")
@@ -136,8 +137,18 @@ object RestServer {
           arms.zipWithIndex.map { case (a, _) => rel(a, "arm") },
           k = intField("k").getOrElse(10),
           rrfK = intField("rrfK").getOrElse(60))
+      case "wer" =>
+        val preds = rel(strField("preds")
+          .getOrElse(throw new IllegalArgumentException(
+            """wer needs "preds"""")), "preds")
+        val refs = rel(strField("refs")
+          .getOrElse(throw new IllegalArgumentException(
+            """wer needs "refs"""")), "refs")
+        val report = body.matches("""(?s).*"report"\s*:\s*true.*""")
+        if (report) graft.ext.Eval.werReport(preds, refs)
+        else graft.ext.Eval.wer(preds, refs)
       case other => throw new IllegalArgumentException(
-        s"unknown op '$other' (supported: rank_eval, roc_auc, rrf_fuse)")
+        s"unknown op '$other' (supported: rank_eval, roc_auc, rrf_fuse, wer)")
     }
   }
 

@@ -104,6 +104,20 @@ class RestServerSpec extends SparkSuite {
         .orderBy("rank").collect().head
       assert(b3.contains(s""""doc_id":${fusedTop.getLong(1)}"""), b3)
 
+      // wer over registered pred/ref views (per-item and report faces)
+      Seq((1L, "the cat sat"), (2L, "wrong words here"))
+        .toDF("doc_id", "pred").createOrReplaceTempView("rest_preds")
+      Seq((1L, "the cat sat"), (2L, "the dog ran"))
+        .toDF("doc_id", "ref").createOrReplaceTempView("rest_refs")
+      val (c7, b7) = post(port, "/ops",
+        """{"op":"wer","preds":"rest_preds","refs":"rest_refs"}""")
+      assert(c7 == 200 && b7.contains(""""edit_dist":0""") &&
+        b7.contains(""""edit_dist":3"""), s"$c7 $b7")
+      val (c8, b8) = post(port, "/ops",
+        """{"op":"wer","preds":"rest_preds","refs":"rest_refs","report":true}""")
+      assert(c8 == 200 && b8.contains(""""n_edits":3""") &&
+        b8.contains(""""wer_x100":50"""), s"$c8 $b8")
+
       // error contracts: unknown op, bad relation NAME (not SQL), and
       // a non-identifier are all CLIENT errors
       val (c4, b4) = post(port, "/ops", """{"op":"frobnicate"}""")
