@@ -160,6 +160,72 @@ private[graft] object LlmCorpusQueries {
       TextAnalysis.piiReport(planted)
     }.sortedBy(col("source")),
 
+    // ── k-anonymity / l-diversity release-risk audit ───────────────
+    // The formal re-identification readout next to the PII scrubbers:
+    // equivalence classes over the (segment, nation) quasi tuple with
+    // each class's size (its k) and its account-balance diversity
+    // (its l) — pure relational aggregation, oracle-exact.
+    QueryDef("t_k_anon_classes",
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      graft.ext.Privacy.equivalenceClasses(Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"), Some("c_acctbal"))
+    }.sortedBy(col("c_mktsegment"), col("c_nationkey")),
+
+    // The one-row release verdict: the corpus's k (min class size),
+    // its l (min per-class sensitive diversity), and the share of rows
+    // living in classes below the k=5 policy threshold.
+    QueryDef("t_k_anon_report",
+      """WITH kc AS (SELECT c_mktsegment, c_nationkey,
+        |    count(*) AS class_size,
+        |    count(DISTINCT c_acctbal) AS l_distinct
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(class_size) AS BIGINT) AS k_anonymity,
+        |  CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  CAST(CASE WHEN sum(class_size) > 0
+        |    THEN (sum(CASE WHEN class_size < 5 THEN class_size ELSE 0
+        |      END) * 10000) // sum(class_size) END AS BIGINT)
+        |    AS risk_x10000
+        |FROM kc""".stripMargin) { (s, d) =>
+      graft.ext.Privacy.kAnonymityReport(Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"), Some("c_acctbal"),
+        kThreshold = 5L)
+    },
+
+    // The GENERALIZATION step re-audited: the high-cardinality balance
+    // coarsened to 5000-wide buckets joins the quasi tuple in place of
+    // nation — the k the coarsening buys is the workflow's whole
+    // point, measured under the same law (floor division is
+    // engine-exact on IEEE doubles).
+    QueryDef("t_k_anon_generalized",
+      """WITH kg AS (SELECT c_mktsegment,
+        |    CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS acct_bucket,
+        |    count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(class_size) AS BIGINT) AS k_anonymity,
+        |  CAST(NULL AS BIGINT) AS l_diversity,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  CAST(CASE WHEN sum(class_size) > 0
+        |    THEN (sum(CASE WHEN class_size < 5 THEN class_size ELSE 0
+        |      END) * 10000) // sum(class_size) END AS BIGINT)
+        |    AS risk_x10000
+        |FROM kg""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).withColumn("acct_bucket",
+        graft.ext.Privacy.generalizeNumeric(col("c_acctbal"), 5000.0))
+      graft.ext.Privacy.kAnonymityReport(cust,
+        Seq("c_mktsegment", "acct_bucket"), kThreshold = 5L)
+    },
+
     // ── Per-domain DATASHEET (the data card) ───────────────────────
     // One wide row per domain joining the audit families: size +
     // language spread + exact-dup rate + quality pass rate + PII

@@ -115,6 +115,49 @@ class LlmOpsSpec extends SparkSuite {
       (truth & cands).size.toLong * 10000L / truth.size, a)
   }
 
+  test("k-anonymity / l-diversity: hand-computed classes, null-as-value quasi, null sensitive doesn't vote, guards") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", Some(1), Some(10.0)), ("A", Some(1), Some(10.0)),
+      ("A", Some(1), Some(20.0)),                       // A/1: k=3, l=2
+      ("A", None, Some(30.0)), ("A", None, None),       // A/null: k=2, l=1
+      ("B", Some(2), None))                             // B/2: k=1, l=0
+      .toDF("seg", "nat", "bal")
+    val classes = graft.ext.Privacy
+      .equivalenceClasses(rows, Seq("seg", "nat"), Some("bal"))
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(classes(("A", Some(1))) == ((3L, 2L)), classes)
+    assert(classes(("A", None)) == ((2L, 1L)), classes)
+    assert(classes(("B", Some(2))) == ((1L, 0L)), classes)
+    val rep = graft.ext.Privacy.kAnonymityReport(rows, Seq("seg", "nat"),
+      Some("bal"), kThreshold = 3L).collect().head
+    assert(rep.getLong(0) == 6L && rep.getLong(1) == 3L, rep) // rows/classes
+    assert(rep.getLong(2) == 1L && rep.getLong(3) == 0L, rep) // k, l
+    assert(rep.getLong(4) == 3L && rep.getLong(5) == 5000L, rep) // at-risk
+    // no sensitive column → l reads null, everything else unchanged
+    val rep2 = graft.ext.Privacy.kAnonymityReport(rows, Seq("seg", "nat"),
+      kThreshold = 3L).collect().head
+    assert(rep2.isNullAt(3) && rep2.getLong(2) == 1L, rep2)
+    // generalization coarsens: one bucket over bal → k jumps to the
+    // full row count per segment class
+    val gen = rows.withColumn("b",
+      graft.ext.Privacy.generalizeNumeric(col("bal"), 1000.0))
+    val rep3 = graft.ext.Privacy.kAnonymityReport(gen, Seq("seg", "b"))
+      .collect().head
+    assert(rep3.getLong(2) >= 1L, rep3)
+    intercept[IllegalArgumentException](
+      graft.ext.Privacy.equivalenceClasses(rows, Seq.empty))
+    intercept[IllegalArgumentException](
+      graft.ext.Privacy.equivalenceClasses(rows, Seq("seg", "seg")))
+    intercept[IllegalArgumentException](
+      graft.ext.Privacy.equivalenceClasses(rows, Seq("seg"), Some("seg")))
+    intercept[IllegalArgumentException](
+      graft.ext.Privacy.kAnonymityReport(rows, Seq("seg"), kThreshold = 0L))
+    intercept[IllegalArgumentException](
+      graft.ext.Privacy.generalizeNumeric(col("bal"), 0.0))
+  }
+
   test("recall-audit grids: one shared truth, per-config rows, theory-ordered trade, single audit == its grid row") {
     import spark.implicits._
     // the planted-near-dup fixture of the brute-force test: 12 truth
