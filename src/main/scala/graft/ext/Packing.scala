@@ -450,6 +450,36 @@ object Packing {
         col("n_turns"), col("n_chars"))
   }
 
+  /** CHAT-CORPUS DATASHEET — the data card a conversation corpus
+    * ships with (the [[renderChat]]/[[chatSpans]] family's audit row):
+    * per ROLE, how many turns and conversations it appears in, its
+    * whitespace-token mass, and that mass's corpus share ×10⁴ — the
+    * readout that says what fraction of an SFT corpus is actually
+    * loss-bearing assistant text vs prompt scaffolding. Null
+    * role/content turns are dropped (the family's null law); shares
+    * floor-divide against the total so rows sum to ≤ 10⁴ exactly.
+    *
+    * Scale shape: one role-keyed partial aggregation (+ a distinct
+    * conv count per role, bounded by |roles| × |convs|) and one
+    * broadcast total — groupBy-flat at any corpus size.
+    */
+  def chatDatasheet(turns: DataFrame, convCol: String = "conv_id",
+                    roleCol: String = "role",
+                    contentCol: String = "content"): DataFrame = {
+    val t = turns.filter(col(roleCol).isNotNull && col(contentCol).isNotNull)
+    val perRole = t.groupBy(col(roleCol))
+      .agg(count(lit(1)).as("n_turns"),
+        countDistinct(col(convCol)).as("n_convs"),
+        sum(size(split(col(contentCol), " ")).cast("long")).as("n_tokens"))
+    val total = perRole.agg(sum(col("n_tokens")).as("__cd_total"))
+    perRole.crossJoin(broadcast(total))
+      .select(col(roleCol), col("n_turns"), col("n_convs"),
+        col("n_tokens"),
+        when(col("__cd_total") > 0L,
+          expr("(n_tokens * 10000) div __cd_total"))
+          .as("token_share_x10000"))
+  }
+
   /** The LOSS-SPAN face of [[renderChat]]: one row per turn with the
     * half-open code-point span `[content_start, content_end)` its
     * content occupies inside the rendered conversation, and `is_loss`

@@ -506,6 +506,28 @@ private[graft] object LlmPackingQueries {
       chatPrepOf(Tables.documents(s, d))
     }.sortedBy(col("conv_id")),
 
+    // The chat-corpus DATA CARD: per role, turns / conversations /
+    // whitespace-token mass and its corpus share — what fraction of
+    // the SFT corpus is loss-bearing assistant text vs scaffolding.
+    QueryDef("t_chat_datasheet",
+      """WITH ct AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    text AS content
+        |  FROM documents WHERE text IS NOT NULL),
+        |pr AS (SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+        |    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+        |    CAST(sum(len(string_split(content, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM ct GROUP BY 1)
+        |SELECT role, n_turns, n_convs, n_tokens,
+        |  CAST(CASE WHEN (SELECT sum(n_tokens) FROM pr) > 0
+        |    THEN (n_tokens * 10000) // (SELECT sum(n_tokens) FROM pr)
+        |    END AS BIGINT) AS token_share_x10000
+        |FROM pr ORDER BY role""".stripMargin) { (s, d) =>
+      graft.ext.Packing.chatDatasheet(chatTurns(s, d))
+    }.sortedBy(col("role")),
+
     QueryDef("t_chat_spans",
       s"""WITH ct AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
          |    CASE WHEN doc_id % 2 = 0 THEN 'user'

@@ -3888,6 +3888,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(cpSlice(text, 43L, 46L) == "bye")
   }
 
+  test("chat datasheet: per-role masses, null turns dropped, shares floor to <= 10^4") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "user", "one two"), (1L, 1L, "assistant", "a b c d"),
+      (2L, 0L, "user", "three"), (2L, 1L, null.asInstanceOf[String], "x"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val got = graft.ext.Packing.chatDatasheet(turns).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("user", "assistant"), got.keySet)
+    val u = got("user"); val a = got("assistant")
+    assert(u.getLong(1) == 2L && u.getLong(2) == 2L && u.getLong(3) == 3L, u)
+    assert(a.getLong(1) == 1L && a.getLong(2) == 1L && a.getLong(3) == 4L, a)
+    // shares floor-divide: 3/7 and 4/7 of 10^4
+    assert(u.getLong(4) == 4285L && a.getLong(4) == 5714L, (u, a))
+    assert(u.getLong(4) + a.getLong(4) <= 10000L)
+  }
+
   private def causeMessages(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).toSeq
