@@ -29,7 +29,12 @@ import org.apache.spark.sql.types._
   * or label rows don't vote (the batch filter).
   *
   * The final division runs in BigInt (the DECIMAL(38,0) tdiv analog)
-  * so `u2 · 10⁴` can never wrap however large the corpus.
+  * so `u2 · 10⁴` cannot wrap in the division itself. The `u2`
+  * ACCUMULATION is Long — bounded by 2·P·N (P positives × N
+  * negatives), so the result is exact while 2·P·N < 2⁶³ (≈ 2.1·10⁹
+  * rows split evenly; the batch rocAuc's sum carries the identical
+  * Long bound, deliberately — parity over a guarantee neither side
+  * can give without widening both).
   */
 case class RocAucAgg(
     score: Expression,

@@ -158,17 +158,30 @@ object ManifestStore {
     * resurrect an older version of a row whose latest version fails it.
     */
   def readWhere(spark: SparkSession, dir: String, key: String,
-                pred: org.apache.spark.sql.Column): DataFrame = {
+                pred: org.apache.spark.sql.Column): DataFrame =
+    readWherePruned(spark, dir, key, _.filter(pred))
+
+  /** [[readWhere]] generalized to a scan-level PRUNING FUNCTION: `prune`
+    * is applied to the unioned version-dir scans BELOW the
+    * latest-version window, so a chunked-IN union
+    * ([[IngestDedupGate.prunedByKeys]]) reaches the parquet row-group
+    * stats of every version dir — the store's own pruning law for
+    * batch read-backs whose key list is too wide for one IN expression.
+    * The same key-determinism caveat as [[readWhere]] applies: `prune`
+    * must keep or drop ALL versions of a key's rows together.
+    */
+  def readWherePruned(spark: SparkSession, dir: String, key: String,
+                      prune: DataFrame => DataFrame): DataFrame = {
     val m = latestManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir — seed() first"))
     // allowMissingColumns: version dirs may differ in columns (e.g. a
     // maintain stream carrying its version-ts column over a seed that
     // lacked it) — absent columns read as null, dim-store schema drift
     val all = m.dirs.map { case (v, rel) =>
-      spark.read.parquet(s"$dir/$rel").filter(pred).withColumn("__v", lit(v))
+      spark.read.parquet(s"$dir/$rel").withColumn("__v", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(col(key)).orderBy(col("__v").desc)
-    all.withColumn("__rn", row_number().over(w))
+    prune(all).withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .filter(col("__op") =!= "d")
       .drop("__v", "__rn", "__op")

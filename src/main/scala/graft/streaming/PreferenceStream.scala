@@ -69,15 +69,25 @@ object PreferenceStream {
     *
     * Scale shape: per batch ONE prompt-keyed partial aggregation over
     * the batch, one store upsert of ≤ touched-prompt rows, and a
-    * prompt-PRUNED store read ([[ManifestStore.readWhere]]) whose cost
-    * tracks the touched prompts' history, not store size.
-    * `compactEvery` folds version dirs on the gate cadence.
+    * prompt-PRUNED store read whose cost tracks the touched prompts'
+    * history, not store size. Pruning follows the store layer's own
+    * chunked-IN law ([[IngestDedupGate.prunedByKeys]] via
+    * [[ManifestStore.readWherePruned]]): keys are sorted and pushed in
+    * `isinChunk`-sized IN lists so parquet row-group stats stay
+    * effective — one giant IN degrades the scan to a full pass plus an
+    * oversized expression tree. A backfill batch touching more than
+    * `pushdownKeyLimit` prompts skips pushdown entirely (scanning the
+    * store once beats thousands of pruned scans) and restricts to the
+    * touched set by a broadcast semi-join against the already-pinned
+    * batch partial instead. `compactEvery` folds version dirs on the
+    * gate cadence.
     */
   def mergeDpoBatch(batch: DataFrame, storeDir: String, epoch: Long,
                     promptCol: String = "prompt_id",
                     respCol: String = "response_id",
                     scoreCol: String = "score", minMargin: Long = 1L,
-                    compactEvery: Int = 0): DataFrame = {
+                    compactEvery: Int = 0, isinChunk: Int = 10000,
+                    pushdownKeyLimit: Int = 200000): DataFrame = {
     require(minMargin >= 1L, s"minMargin must be >= 1, got $minMargin")
     val spark = batch.sparkSession
     val scoreType = batch.select(col(scoreCol)).schema.head.dataType
@@ -103,7 +113,10 @@ object PreferenceStream {
       .localCheckpoint() // read twice: upsert + touched list
     val touched = partial.select(col("prompt"))
       .collect().map(_.getString(0)).toSeq
-    if (touched.isEmpty) return spark.emptyDataFrame
+    // empty batch: the sink still receives the OPERATOR's row shape
+    // (pairsOf over the empty partial), never a zero-column frame a
+    // column-selecting sink would crash on
+    if (touched.isEmpty) return pairsOf(partial, promptCol, minMargin)
     require(!touched.exists(_.contains(Sep)),
       "mergeDpoBatch: prompt ids must not contain the 0x1F separator")
     val rows = partial.select(
@@ -118,9 +131,30 @@ object PreferenceStream {
       ManifestStore.compact(spark, storeDir, "row_key")
       ManifestStore.vacuum(spark, storeDir, minVersionsToKeep = 2)
     }
-    pairsOf(ManifestStore.readWhere(spark, storeDir, "row_key",
-      col("prompt").isin(touched: _*)), promptCol, minMargin)
+    pairsOf(prunedStoreRead(spark, storeDir, "prompt", touched, partial,
+      isinChunk, pushdownKeyLimit), promptCol, minMargin)
   }
+
+  /** The merge paths' shared touched-key store read: chunked sorted INs
+    * below the store's latest-version window (parquet row-group pruning
+    * per chunk — the [[IngestDedupGate.prunedByKeys]] law), falling
+    * back above `pushdownKeyLimit` to ONE full-store scan restricted by
+    * a broadcast semi-join against the batch's pinned partial (the
+    * [[IngestDedupGate.probeBatch]] posture: past ~2·10⁵ keys the
+    * chunked scans cost more than reading the store once, and a
+    * 10⁵–10⁶-key IN tree would bloat codegen besides).
+    */
+  private def prunedStoreRead(spark: SparkSession, storeDir: String,
+                              keyCol: String, touched: Seq[String],
+                              partial: DataFrame, isinChunk: Int,
+                              pushdownKeyLimit: Int): DataFrame =
+    if (touched.size <= pushdownKeyLimit)
+      ManifestStore.readWherePruned(spark, storeDir, "row_key",
+        IngestDedupGate.prunedByKeys(_, keyCol, touched, isinChunk))
+    else
+      ManifestStore.read(spark, storeDir, "row_key")
+        .join(broadcast(partial.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_semi")
 
   /** The CURRENT pairs over the WHOLE maintained store — what a
     * training-data build reads when it wants every prompt's verdict so
@@ -183,21 +217,33 @@ object PreferenceStream {
     * for genuine same-relation duplicates, while the stream's
     * at-least-once redelivery can never trip it).
     *
+    * WITHIN-batch ties: two versions of the SAME (conv, turn) landing
+    * in one micro-batch collapse deterministically but ORDER-AGNOSTIC —
+    * max over the (role, content) struct, NOT arrival order (a
+    * micro-batch is a set; Spark gives no stable intra-batch arrival
+    * sequence that survives replay, so "last in the batch wins" is not
+    * a law this layer can promise). Callers that edit a turn more than
+    * once must land the edits in separate epochs (the cross-epoch
+    * latest-wins law then applies) or carry an explicit sequence
+    * column and pre-collapse before the merge.
+    *
     * Scale shape: per batch one conv-keyed dedup over the batch, one
     * store upsert, and a conv-PRUNED store read bounded by the touched
-    * conversations' turn counts — never the corpus.
+    * conversations' turn counts — never the corpus ([[mergeDpoBatch]]'s
+    * chunked-IN / semi-join pruning law, shared via the same helper).
     */
   def mergeChatBatch(batch: DataFrame, storeDir: String, epoch: Long,
                      convCol: String = "conv_id",
                      idxCol: String = "turn_idx",
                      roleCol: String = "role",
                      contentCol: String = "content",
-                     compactEvery: Int = 0): DataFrame = {
+                     compactEvery: Int = 0, isinChunk: Int = 10000,
+                     pushdownKeyLimit: Int = 200000): DataFrame = {
     val spark = batch.sparkSession
-    // within one batch the LAST occurrence of a (conv, turn) wins —
-    // the same latest-wins law the cross-epoch read applies; max over
-    // the (role, content) struct keeps the rule RNG-free and a
-    // replayed batch reproduces it exactly
+    // within one batch a duplicate (conv, turn) collapses by max over
+    // the (role, content) struct — deterministic and replay-stable but
+    // order-AGNOSTIC (see the scaladoc tie-law note); cross-epoch
+    // edits resolve by the latest-wins epoch law in renderOf
     val batchTurns = batch
       .filter(col(convCol).isNotNull && col(idxCol).isNotNull &&
         col(roleCol).isNotNull && col(contentCol).isNotNull)
@@ -212,7 +258,10 @@ object PreferenceStream {
       .localCheckpoint()
     val touched = batchTurns.select(col("conv")).distinct()
       .collect().map(_.getString(0)).toSeq
-    if (touched.isEmpty) return spark.emptyDataFrame
+    // empty batch: keep the operator's row shape (renderOf over the
+    // empty collapsed batch), never a zero-column frame
+    if (touched.isEmpty)
+      return renderOf(batchTurns.withColumn("epoch", lit(epoch)), convCol)
     require(!touched.exists(_.contains(Sep)),
       "mergeChatBatch: conv ids must not contain the 0x1F separator")
     val rows = batchTurns.select(
@@ -229,8 +278,8 @@ object PreferenceStream {
       ManifestStore.compact(spark, storeDir, "row_key")
       ManifestStore.vacuum(spark, storeDir, minVersionsToKeep = 2)
     }
-    renderOf(ManifestStore.readWhere(spark, storeDir, "row_key",
-      col("conv").isin(touched: _*)), convCol)
+    renderOf(prunedStoreRead(spark, storeDir, "conv", touched, batchTurns,
+      isinChunk, pushdownKeyLimit), convCol)
   }
 
   /** The CURRENT rendered conversations over the WHOLE maintained

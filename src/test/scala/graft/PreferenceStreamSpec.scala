@@ -115,4 +115,53 @@ class PreferenceStreamSpec extends SparkSuite {
       "<|user|>\nfinal\n", latest("2"))
     assert(latest("2").getLong(latest("2").fieldIndex("n_turns")) == 1L)
   }
+
+  test("merge read-backs follow the store's chunked-IN pruning law; semi-join fallback and chunked path agree; empty batch keeps the operator schema") {
+    val store = java.nio.file.Files.createTempDirectory("dpo-prune").toString
+    val b1 = Seq(("A", 10L, 5L), ("A", 11L, 3L), ("B", 20L, 7L),
+      ("B", 21L, 2L), ("C", 30L, 9L), ("C", 31L, 1L))
+      .toDF("prompt_id", "response_id", "score")
+    // isinChunk = 2 with 3 touched prompts → 2 chunks → 2 store scans,
+    // EACH with its own pushed IN list on the prune key (the
+    // IngestGateSpec per-chunk pushed-filter proof, applied to the
+    // PreferenceStream read-back — one unchunked isin was the r20 weak)
+    val out = PreferenceStream.mergeDpoBatch(b1, store, epoch = 0L,
+      isinChunk = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // one scan per chunk, each with its own pushed prompt filter (a
+    // 1-element chunk's IN is rewritten to EqualTo by Catalyst)
+    assert("PushedFilters: \\[[^\\]]*prompt".r.findAllIn(plan).length == 2,
+      plan)
+    val chunked = out.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(chunked.keySet == Set("A", "B", "C"))
+    // the over-limit path (broadcast semi-join against the batch
+    // partial, no pushdown) must produce the identical verdicts —
+    // replay the same epoch, which overwrites its own rows
+    val semi = PreferenceStream.mergeDpoBatch(b1, store, epoch = 0L,
+      pushdownKeyLimit = 0)
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(!semiPlan.contains("In(prompt"), semiPlan)
+    assert(semi.collect().map(r => r.getString(0) -> r.toSeq).toMap == chunked)
+    // empty batch: operator row shape, zero rows — not a zero-column
+    // frame a column-selecting sink would crash on
+    val empty = PreferenceStream.mergeDpoBatch(
+      Seq.empty[(String, Long, Long)].toDF("prompt_id", "response_id", "score"),
+      store, epoch = 1L)
+    assert(empty.columns.toSeq == Seq("prompt_id", "chosen_id",
+      "chosen_score", "rejected_id", "rejected_score", "margin",
+      "n_responses"), empty.columns.mkString(","))
+    assert(empty.count() == 0L)
+    val chatStore = java.nio.file.Files.createTempDirectory("chat-prune").toString
+    PreferenceStream.mergeChatBatch(
+      Seq((1L, 0L, "user", "hi")).toDF("conv_id", "turn_idx", "role", "content"),
+      chatStore, epoch = 0L)
+    val emptyChat = PreferenceStream.mergeChatBatch(
+      Seq.empty[(Long, Long, String, String)]
+        .toDF("conv_id", "turn_idx", "role", "content"),
+      chatStore, epoch = 1L)
+    assert(emptyChat.columns.toSeq ==
+      Seq("conv_id", "text", "n_turns", "n_chars"),
+      emptyChat.columns.mkString(","))
+    assert(emptyChat.count() == 0L)
+  }
 }
