@@ -1,5 +1,8 @@
 package graft.ext
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -376,13 +379,28 @@ object Dedup {
       s"maxShingleDf must be >= 1, got $maxShingleDf")
     val samp = Sampling.sampleByKey(
       docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
-    val feats = features(samp, idCol, textCol, n).localCheckpoint()
-    val truth = sampledExactTruth(feats, idCol, jaccardNum, jaccardDen,
-      maxShingleDf, "lshRecallGrid")
-    configs.map { case (b, r) =>
-      val cands = lshCandidates(feats, idCol, b, r, maxBucket)
-        .localCheckpoint()
-      auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+    // only the columns this audit consumes: hashes (truth + Jaccard)
+    // and the MinHash sig (banding) — [[features]]' simhash column
+    // would be computed and pinned for nothing here
+    val feats = samp
+      .select(col(idCol), shingleHashes(col(textCol), n).as("hashes"))
+      .withColumn("sig", minhashSignature(col("hashes")))
+      .localCheckpoint()
+    // the truth chain and each config's candidate materialization are
+    // INDEPENDENT until the report join — overlap their jobs from
+    // driver threads (guide §2.6 posture: actions are only sequential
+    // because the driver calls them sequentially); plan shapes are
+    // untouched, the sweep just stops paying one serial job barrier
+    // per config
+    val truthF = Future(sampledExactTruth(feats, idCol, jaccardNum,
+      jaccardDen, maxShingleDf, "lshRecallGrid"))
+    val candsF = Future.traverse(configs) { case (b, r) =>
+      Future(lshCandidates(feats, idCol, b, r, maxBucket).localCheckpoint())
+    }
+    val truth = Await.result(truthF, Duration.Inf)
+    val cands = Await.result(candsF, Duration.Inf)
+    configs.zip(cands).map { case ((b, r), c) =>
+      auditReport(feats, truth, c, idCol, jaccardNum, jaccardDen)
         .select(lit(b.toLong).as("num_bands"),
           lit(r.toLong).as("rows_per_band"), col("*"))
     }.reduce(_ unionByName _)
@@ -441,19 +459,38 @@ object Dedup {
       s"maxShingleDf must be >= 1, got $maxShingleDf")
     val samp = Sampling.sampleByKey(
       docs.filter(col(textCol).isNotNull), col(idCol), sampleFraction)
-    val feats = features(samp, idCol, textCol, n).localCheckpoint()
-    val truth = sampledExactTruth(feats, idCol, jaccardNum, jaccardDen,
-      maxShingleDf, "simhashRecallGrid")
-    // signatures off the CHECKPOINTED shingles — the truth index and
-    // every config's candidate pipeline share one tokenize+shingle pass
-    val sigs = feats
-      .select(col(idCol), simhash(col("hashes"), bits).as("simhash"))
+    // hashes ONLY: this audit's banding is the 60-bit simhash computed
+    // below — [[features]]' MinHash sig and 16-bit simhash columns
+    // would be computed and pinned for nothing
+    val feats = samp
+      .select(col(idCol), shingleHashes(col(textCol), n).as("hashes"))
       .localCheckpoint()
-    configs.map { case (blocks, maxHamming) =>
-      val cands = hammingNearDups(sigs, idCol, "simhash", bits, blocks,
-          maxHamming, maxBucket)
-        .select("doc_a", "doc_b").localCheckpoint()
-      auditReport(feats, truth, cands, idCol, jaccardNum, jaccardDen)
+    // the truth chain and the candidate chains are INDEPENDENT until
+    // the report join — overlap their jobs from driver threads (guide
+    // §2.6; plan shapes untouched). Within the candidate side, the
+    // Hamming-0 collapse and the intra-group expansion are
+    // radius-INDEPENDENT and run ONCE for the whole sweep (each config
+    // previously re-ran the collapse window + its checkpoint); only
+    // the block-combination join runs per config, and the configs'
+    // materializations overlap too.
+    val truthF = Future(sampledExactTruth(feats, idCol, jaccardNum,
+      jaccardDen, maxShingleDf, "simhashRecallGrid"))
+    val candsF = Future {
+      val grouped = hammingGrouped(feats
+        .select(col(idCol), simhash(col("hashes"), bits).as("simhash")),
+        idCol, "simhash")
+      val intra = hammingIntraPairs(grouped, idCol)
+        .select("doc_a", "doc_b")
+      Await.result(Future.traverse(configs) { case (blocks, maxHamming) =>
+        Future(hammingCrossPairs(grouped, idCol, bits, blocks, maxHamming,
+            maxBucket)
+          .select("doc_a", "doc_b").union(intra).localCheckpoint())
+      }, Duration.Inf)
+    }
+    val truth = Await.result(truthF, Duration.Inf)
+    val cands = Await.result(candsF, Duration.Inf)
+    configs.zip(cands).map { case ((blocks, maxHamming), c) =>
+      auditReport(feats, truth, c, idCol, jaccardNum, jaccardDen)
         .select(lit(blocks.toLong).as("blocks"),
           lit(maxHamming.toLong).as("max_hamming"), col("*"))
     }.reduce(_ unionByName _)
@@ -467,25 +504,48 @@ object Dedup {
   private def sampledExactTruth(feats: DataFrame, idCol: String,
                                 jaccardNum: Int, jaccardDen: Int,
                                 maxShingleDf: Int, who: String): DataFrame = {
-    val post = feats.select(col(idCol), explode(col("hashes")).as("__la_h"))
-      .withColumn("__la_df",
-        count(lit(1)).over(Window.partitionBy(col("__la_h"))))
-    val dropped = post.filter(col("__la_df") > maxShingleDf)
-      .select(col("__la_h"), col("__la_df")).distinct().limit(21).collect()
+    val ex = feats.select(col(idCol), explode(col("hashes")).as("__la_h"))
+    // shingle document frequency via ONE partial-aggregated shuffle
+    // (map-side combine ships (hash, count) rows, never the exploded
+    // postings — the previous window-count formulation shuffled and
+    // SORTED the full posting relation, then re-ran it on both sides
+    // of a postings self-join)
+    val hdf = ex.groupBy("__la_h").agg(count(lit(1)).as("__la_df"))
+    // df-capped posting list per shingle (the cap is applied BEFORE
+    // collect_list, so a boilerplate shingle's postings never
+    // materialize in an aggregation buffer), then candidate pairs
+    // GENERATED IN-TASK from each sorted list: all C(df, 2)
+    // combinations with a < b, df ≤ maxShingleDf — the self-join this
+    // replaces shuffled the postings twice more to build the same set
+    val kept = ex.join(hdf.filter(col("__la_df") <= maxShingleDf)
+      .select("__la_h"), "__la_h")
+    val posting = kept.groupBy("__la_h")
+      .agg(sort_array(collect_list(col(idCol))).as("__la_ids"))
+    val ids = col("__la_ids")
+    val truthCand = posting
+      .filter(size(ids) >= 2)
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("__la_p"))
+      .select(col("__la_p.doc_a"), col("__la_p.doc_b"))
+      .distinct()
+    // the disclosure probe and the truth materialization are
+    // independent — overlap their jobs (both recompute the cheap hdf
+    // subtree off the pinned feats; a shared checkpoint would insert a
+    // serial job barrier that costs more than the recompute)
+    val droppedF = Future(hdf.filter(col("__la_df") > maxShingleDf)
+      .limit(21).collect())
+    val truth = withJaccard(truthCand, "doc_a", "doc_b", feats, feats, idCol)
+      .filter(jaccardAtLeast(jaccardNum, jaccardDen))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val dropped = Await.result(droppedF, Duration.Inf)
     if (dropped.nonEmpty)
       log.warn(s"$who: ${dropped.length}${if (dropped.length > 20) "+" else ""} " +
         s"shingle(s) wider than $maxShingleDf sampled docs excluded from the " +
         s"ground-truth index (truth pairs sharing ONLY those shingles are " +
         s"not counted): " + dropped.take(20)
           .map(r => s"(h=${r.get(0)}, df=${r.get(1)})").mkString(", "))
-    val keep = post.filter(col("__la_df") <= maxShingleDf)
-    val truthCand = keep.select(col("__la_h"), col(idCol).as("doc_a"))
-      .join(keep.select(col("__la_h"), col(idCol).as("doc_b")), "__la_h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    withJaccard(truthCand, "doc_a", "doc_b", feats, feats, idCol)
-      .filter(jaccardAtLeast(jaccardNum, jaccardDen))
-      .select("doc_a", "doc_b").localCheckpoint()
+    truth
   }
 
   /** The audits' shared one-row readout over (sample features, truth
@@ -640,6 +700,49 @@ object Dedup {
                       sigCol: String = "simhash", bits: Int = 64,
                       blocks: Int = 8, maxHamming: Int = 3,
                       maxBucket: Int = DefaultMaxBucketWidth): DataFrame = {
+    val grouped = hammingGrouped(sigs, idCol, sigCol)
+    hammingCrossPairs(grouped, idCol, bits, blocks, maxHamming, maxBucket)
+      .union(hammingIntraPairs(grouped, idCol))
+  }
+
+  /** The Hamming-0 collapse shared by every `(blocks, maxHamming)`
+    * config over one signature column: sigs plus a `rep` — minimum id
+    * among BIT-IDENTICAL signatures (null signatures are their own
+    * rep). Pinned once; [[simhashRecallGrid]] reuses it across its
+    * whole config sweep (the collapse and the intra-group expansion
+    * are radius-independent).
+    */
+  private[graft] def hammingGrouped(sigs: DataFrame, idCol: String,
+                                    sigCol: String): DataFrame =
+    sigs.select(col(idCol), col(sigCol).as("simhash"))
+      .withColumn("rep",
+        when(col("simhash").isNull, col(idCol))
+          .otherwise(min(col(idCol)).over(Window.partitionBy("simhash"))))
+      .localCheckpoint()
+
+  /** Intra-group member pairs of a [[hammingGrouped]] frame — Hamming 0
+    * by construction, config-independent.
+    */
+  private[graft] def hammingIntraPairs(grouped: DataFrame,
+                                       idCol: String): DataFrame = {
+    val ma = grouped.filter(col("simhash").isNotNull)
+      .select(col(idCol).as("a"), col("rep").as("r0"))
+    val mb = grouped.filter(col("simhash").isNotNull)
+      .select(col(idCol).as("b"), col("rep").as("r0"))
+    ma.join(mb, "r0").filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(0L).as("hamming"))
+  }
+
+  /** One config's cross-group member pairs over a shared
+    * [[hammingGrouped]] frame: block-combination candidate join over
+    * representatives, exact `bit_count(xor)` verification, member
+    * expansion.
+    */
+  private[graft] def hammingCrossPairs(grouped: DataFrame, idCol: String,
+                                       bits: Int, blocks: Int,
+                                       maxHamming: Int,
+                                       maxBucket: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(bits % blocks == 0,
       s"bits ($bits) must split evenly into blocks ($blocks)")
@@ -650,11 +753,6 @@ object Dedup {
     val sliceBits = bits / blocks
     val agree = blocks - maxHamming
     val combos = simhashCombos(blocks, agree)
-    val feats = sigs.select(col(idCol), col(sigCol).as("simhash"))
-    val grouped = feats.withColumn("rep",
-      when(col("simhash").isNull, col(idCol))
-        .otherwise(min(col(idCol)).over(Window.partitionBy("simhash"))))
-      .localCheckpoint()
     val reps = grouped.filter(col(idCol) === col("rep"))
       .select(col(idCol), col("simhash"))
     def blockVal(blk: Int): Column =
@@ -698,17 +796,9 @@ object Dedup {
       col("hamming"))
     val ga = grouped.select(col(idCol).as("a"), col("rep").as("ra"))
     val gb = grouped.select(col(idCol).as("b"), col("rep").as("rb"))
-    val cross = rp.join(ga, "ra").join(gb, "rb")
+    rp.join(ga, "ra").join(gb, "rb")
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
-    val ma = grouped.filter(col("simhash").isNotNull)
-      .select(col(idCol).as("a"), col("rep").as("r0"))
-    val mb = grouped.filter(col("simhash").isNotNull)
-      .select(col(idCol).as("b"), col("rep").as("r0"))
-    val intra = ma.join(mb, "r0").filter(col("a") < col("b"))
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        lit(0L).as("hamming"))
-    cross.union(intra)
   }
 
   /** Exact dedup: representative (min id) + multiplicity per distinct
