@@ -870,11 +870,18 @@ object Dedup {
                     checkpointDir: Option[String] = None): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
     var ckptDirSet = false
+    // LAZY local pins (lineage still truncated — the pinned frame plans
+    // as a flat RDD scan — but materialization folds into the round's
+    // OWN signature job instead of a separate eager job): each round
+    // costs ONE action, not two. The round driver is an aggregation /
+    // key-partitioned join, so nothing downstream needs the pre-run
+    // size statistics an eager pin would add. Reliable-checkpoint mode
+    // (explicit checkpointDir) keeps eager semantics unchanged.
     def pin(df: DataFrame): DataFrame = checkpointDir match {
       case Some(d) =>
         if (!ckptDirSet) { sc.setCheckpointDir(d); ckptDirSet = true }
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None => df.localCheckpoint(eager = false)
     }
     val sym = pin(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
@@ -964,11 +971,13 @@ object Dedup {
                         checkpointDir: Option[String] = None): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
     var ckptDirSet = false
+    // lazy local pins: one action per round instead of two — see
+    // [[clusterLabels]]' pin note
     def pin(df: DataFrame): DataFrame = checkpointDir match {
       case Some(d) =>
         if (!ckptDirSet) { sc.setCheckpointDir(d); ckptDirSet = true }
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None => df.localCheckpoint(eager = false)
     }
     // canonical orientation (big, small); self-loops and duplicates out
     def canon(e: DataFrame): DataFrame = e
