@@ -621,9 +621,20 @@ object Dedup {
       .localCheckpoint()
     val sizes = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("nh"))
-    val l = kept.select(col("h"), col(idCol).as("doc_a"))
-    val r = kept.select(col("h"), col(idCol).as("doc_b"))
-    val inter = l.join(r, "h").filter(col("doc_a") < col("doc_b"))
+    // shared-hash counts per pair GENERATED IN-TASK from each hash's
+    // df-capped sorted posting list (≤ maxDf ids by the universe cut
+    // above, so ≤ C(maxDf, 2) pairs per hash) — the self-join this
+    // replaces shuffled the kept postings twice more to emit the same
+    // multiset of pairs into the (doc_a, doc_b) count
+    val posting = kept.groupBy(col("h"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ct_ids"))
+    val cids = col("__ct_ids")
+    val inter = posting
+      .filter(size(cids) >= 2)
+      .select(explode(flatten(transform(cids, (a, i) =>
+        transform(slice(cids, i + lit(2), size(cids) - i - lit(1)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("__ct_p"))
+      .select(col("__ct_p.doc_a"), col("__ct_p.doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val j = inter
       .join(sizes.select(col(idCol).as("doc_a"), col("nh").as("nh_a")), "doc_a")

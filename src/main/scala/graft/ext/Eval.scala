@@ -181,11 +181,13 @@ object Eval {
       when(c === "", emptyArr).otherwise(split(c, " "))
     val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
       toksOf(TextAnalysis.normalizeText(col(predCol))).as("__bl_pt"))
-      .localCheckpoint()
     val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
       toksOf(TextAnalysis.normalizeText(col(refCol))).as("__bl_rt"))
-      .localCheckpoint()
-    // only items present on BOTH sides score (same rule as tokenF1)
+    // only items present on BOTH sides score (same rule as tokenF1).
+    // ONE pin: the sides are consumed only through this join, so the
+    // regex normalization folds into the join's own materialization —
+    // pinning each side separately added two serial job barriers for
+    // work this single job does anyway
     val both = nP.join(nR, idCol).localCheckpoint()
     def grams(tc: String, side: String): DataFrame = both
       .select(col(idCol), explode(lit(Array(1, 2, 3, 4))).as("__bl_n"),
@@ -281,9 +283,10 @@ object Eval {
     def chars(c: Column): Column =
       regexp_replace(TextAnalysis.normalizeText(c), " ", "")
     val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
-      chars(col(predCol)).as("__cf_p")).localCheckpoint()
+      chars(col(predCol)).as("__cf_p"))
     val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
-      chars(col(refCol)).as("__cf_r")).localCheckpoint()
+      chars(col(refCol)).as("__cf_r"))
+    // one pin, not three — the bleuStats rationale
     val both = nP.join(nR, idCol).localCheckpoint()
     def grams(c: String, side: String): DataFrame = both
       .select(col(idCol), explode(lit(orders.toArray)).as("__cf_n"),
@@ -354,10 +357,9 @@ object Eval {
       when(c === "", emptyArr).otherwise(split(c, " "))
     val nP = preds.filter(col(predCol).isNotNull).select(col(idCol),
       toksOf(TextAnalysis.normalizeText(col(predCol))).as("__rn_pt"))
-      .localCheckpoint()
     val nR = refs.filter(col(refCol).isNotNull).select(col(idCol),
       toksOf(TextAnalysis.normalizeText(col(refCol))).as("__rn_rt"))
-      .localCheckpoint()
+    // one pin, not three — the bleuStats rationale
     val both = nP.join(nR, idCol).localCheckpoint()
     def grams(tc: String, side: String): DataFrame = both
       .select(col(idCol), explode(lit(orders.toArray)).as("__rn_n"),
